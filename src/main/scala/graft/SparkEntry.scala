@@ -1,13 +1,259 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every implemented operator appears in `queries`; SQL-expressible
+  * ones also in `oracleSql` (DuckDB dialect, same column names/order
+  * semantics — the driver hash-compares after sorting columns by
+  * name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    cypher.CypherQueries.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 Cypher engine / graph
+    "cypher_match_scan"     -> (cypher.CypherQueries.matchScan(_, _)),
+    "cypher_match_filter"   -> (cypher.CypherQueries.matchFilter(_, _)),
+    "cypher_expand"         -> (cypher.CypherQueries.expand(_, _)),
+    "cypher_expand_2hop"    -> (cypher.CypherQueries.expand2Hop(_, _)),
+    "cypher_aggregate"      -> (cypher.CypherQueries.aggregate(_, _)),
+    "cypher_order_limit"    -> (cypher.CypherQueries.orderLimit(_, _)),
+    "cypher_optional_match" -> (cypher.CypherQueries.optionalMatch(_, _)),
+    "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
+    "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
+    // §2.2 relational / events
+    "q1_agg"            -> (Relational.q1Agg(_, _)),
+    "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
+    "q5_multi_join"     -> (Relational.q5MultiJoin(_, _)),
+    "window_topn"       -> (Relational.windowTopn(_, _)),
+    "events_window_agg" -> (Events.windowAgg(_, _)),
+    "events_sessionize" -> (Events.sessionize(_, _)),
+    // §2.3 LLM pipeline
+    "dedup_exact"         -> (Dedup.exact(_, _)),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
+    "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
+    "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
+    "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
+    "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
+    "text_quality"        -> (TextAnalysis.quality(_, _)),
+    "text_langid"         -> (TextAnalysis.langId(_, _)),
+    "text_tokens"         -> (TextAnalysis.tokens(_, _)),
+    "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
+    "multimodal_meta"     -> (Multimodal.meta(_, _)))
+
+  /** DuckDB oracle SQL per query key (omitted keys → rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_join" ->
+      """SELECT l_orderkey, o_orderdate,
+        |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |AND c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1995-06-15'
+        |AND l_shipdate > TIMESTAMP '1995-06-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |AND l_suppkey = s_suppkey AND c_nationkey = n_nationkey
+        |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |AND r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_topn" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM j)
+        |SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "events_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM z GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+        |COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 2, 0) + 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.n_sh AS a_n, b.n_sh AS b_n, COUNT(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id,
+        |round(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
+        |FROM p WHERE round(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+    "embed_cosine_dup" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
+        |  ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
+        |  ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |d AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 5),
+        |s AS (
+        |  SELECT q.q_id, d.vec_id,
+        |  round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+        |  FROM d CROSS JOIN q),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "text_quality" ->
+      ("""SELECT doc_id,
+        |CAST(length(text) AS BIGINT) AS n_chars_m,
+        |CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |  / greatest(length(text), 1), 6) AS punct_ratio,
+        |round(CAST(length(text) AS DOUBLE) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6) AS mean_word_len,
+        |CAST(""" + TextAnalysis.stopwords("en").map(w =>
+          s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END)")
+          .mkString(" + ") + """ AS BIGINT) AS en_stopword_hits,
+        |CAST(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 100000
+        |  AND CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) < 0.2
+        |  THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM documents ORDER BY doc_id""").stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(256 + (octet_length(encode(text)) % 64) * 16 AS BIGINT) AS width,
+        |CAST(256 + ((octet_length(encode(text)) // 64) % 64) * 16 AS BIGINT) AS height,
+        |CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |  ELSE 'wav' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cypher_match_scan" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY id""".stripMargin,
+    "cypher_match_filter" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+        |ORDER BY id""".stripMargin,
+    "cypher_expand" ->
+      """SELECT c_name AS cust, n_name AS nation
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY cust, nation""".stripMargin,
+    "cypher_expand_2hop" ->
+      """SELECT c_name AS cust, n_name AS nation, r_name AS region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY cust, nation, region""".stripMargin,
+    "cypher_aggregate" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "cypher_order_limit" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY acctbal DESC, name LIMIT 10""".stripMargin,
+    "cypher_optional_match" ->
+      """SELECT c.c_name AS cust, o.o_orderkey AS orderkey
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |ORDER BY cust, orderkey NULLS FIRST""".stripMargin,
+    "cypher_write_batches" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+        |b AS (
+        |  SELECT *, CAST((rn - 1) // 100 AS BIGINT) AS batch_id,
+        |    '{"orderkey":' || o_orderkey || ',"status":"' || o_orderstatus || '"}' AS elem
+        |  FROM r)
+        |SELECT batch_id, COUNT(*) AS n_rows,
+        |'{"statements" : [ {"statement" : "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})", "parameters" : {"inserts" : ['
+        |  || string_agg(elem, ',' ORDER BY rn) || ']} }]}' AS payload
+        |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "graph_degrees" ->
+      """WITH edges AS (
+        |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 2000000000 + c_custkey AS src, 3000000000 + c_nationkey AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 3000000000 + n_nationkey AS src, 4000000000 + n_regionkey AS dst
+        |  FROM nation)
+        |SELECT id, CAST(SUM(out_d) AS BIGINT) AS out_degree,
+        |  CAST(SUM(in_d) AS BIGINT) AS in_degree
+        |FROM (
+        |  SELECT src AS id, 1 AS out_d, 0 AS in_d FROM edges
+        |  UNION ALL
+        |  SELECT dst AS id, 0 AS out_d, 1 AS in_d FROM edges)
+        |GROUP BY id ORDER BY id""".stripMargin)
 }

@@ -1,0 +1,79 @@
+package graft.cypher
+
+/** AST for the Cypher subset graft executes natively on Spark.
+  *
+  * The reference (s1ck/flink-neo4j, Neo4jInputFormat.java:60-92)
+  * ships the Cypher string to a Neo4j server and parses result rows;
+  * graft instead compiles the query itself into a Catalyst plan over
+  * property-graph DataFrames — that is what makes the same surface
+  * scale past a single server.
+  *
+  * Grammar (round 1):
+  * {{{
+  *   query      := MATCH pattern (OPTIONAL MATCH pattern)*
+  *                 [WHERE expr] RETURN [DISTINCT] item (, item)*
+  *                 [ORDER BY sort (, sort)*] [SKIP n] [LIMIT n]
+  *   pattern    := node (rel node)*
+  *   node       := '(' [var] [':' Label] [{prop: lit, …}] ')'
+  *   rel        := '-[' [var] [':' TYPE] [*min..max] ']->'
+  *               | '<-[' … ']-'
+  * }}}
+  */
+object Ast {
+
+  sealed trait CExpr
+  final case class Prop(variable: String, prop: String) extends CExpr
+  final case class Ident(name: String) extends CExpr
+  final case class LitV(value: Any) extends CExpr
+  final case class Cmp(op: String, l: CExpr, r: CExpr) extends CExpr
+  final case class And(l: CExpr, r: CExpr) extends CExpr
+  final case class Or(l: CExpr, r: CExpr) extends CExpr
+  final case class Not(e: CExpr) extends CExpr
+  /** Aggregate or scalar function call; `star` for count(*). */
+  final case class FnCall(name: String, arg: Option[CExpr], star: Boolean = false)
+    extends CExpr
+
+  sealed trait Direction
+  case object Out extends Direction
+  case object In extends Direction
+
+  final case class NodePattern(
+      variable: Option[String],
+      label: Option[String],
+      props: Map[String, Any])
+
+  final case class RelPattern(
+      variable: Option[String],
+      relType: Option[String],
+      direction: Direction,
+      varLength: Option[(Int, Int)])
+
+  /** A linear pattern chain: start node then (rel, node) hops. */
+  final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)]) {
+    def nodeVars: Seq[String] =
+      (start +: hops.map(_._2)).flatMap(_.variable)
+  }
+
+  final case class MatchClause(chain: PatternChain, optional: Boolean)
+
+  final case class ReturnItem(expr: CExpr, alias: Option[String]) {
+    def name: String = alias.getOrElse(expr match {
+      case Prop(v, p)           => p
+      case Ident(n)             => n
+      case FnCall(f, _, true)   => f
+      case FnCall(f, Some(a), _) => f
+      case _                    => "expr"
+    })
+  }
+
+  final case class SortItem(ref: String, ascending: Boolean)
+
+  final case class CypherQuery(
+      matches: Seq[MatchClause],
+      where: Option[CExpr],
+      distinct: Boolean,
+      items: Seq[ReturnItem],
+      orderBy: Seq[SortItem],
+      skip: Option[Long],
+      limit: Option[Long])
+}

@@ -1,0 +1,257 @@
+package graft.cypher
+
+import graft.cypher.Ast._
+
+/** Hand-rolled recursive-descent parser for the Cypher subset
+  * (grammar in [[Ast]]). Keywords are case-insensitive; string
+  * literals use single quotes; property maps use `{k: v}`.
+  */
+object CypherParser {
+
+  def parse(input: String): CypherQuery = new P(tokenize(input)).query()
+
+  // ---- lexer ----------------------------------------------------------
+
+  sealed trait Tok
+  final case class TId(s: String) extends Tok       // identifier / keyword
+  final case class TStr(s: String) extends Tok      // 'string'
+  final case class TNum(s: String) extends Tok      // 123 or 1.5
+  final case class TSym(s: String) extends Tok      // punctuation incl. -> <- <= >= <> ..
+
+  private[cypher] def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = nextWhile(s, i, ch => ch.isLetterOrDigit || ch == '_')
+        out += TId(s.substring(i, j)); i = j
+      } else if (c.isDigit) {
+        var j = nextWhile(s, i, _.isDigit)
+        // a single '.' followed by a digit → float; ".." stays a range
+        if (j < s.length && s.charAt(j) == '.' && j + 1 < s.length &&
+            s.charAt(j + 1).isDigit)
+          j = nextWhile(s, j + 1, _.isDigit)
+        out += TNum(s.substring(i, j)); i = j
+      } else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < s.length && s.charAt(i) != '\'') {
+          if (s.charAt(i) == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 2 }
+          else { sb += s.charAt(i); i += 1 }
+        }
+        require(i < s.length, s"unterminated string literal in: $s")
+        out += TStr(sb.toString); i += 1
+      } else {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        if (Set("->", "<-", "<=", ">=", "<>", "..").contains(two)) {
+          out += TSym(two); i += 2
+        } else { out += TSym(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  private def nextWhile(s: String, from: Int, p: Char => Boolean): Int = {
+    var j = from
+    while (j < s.length && p(s.charAt(j))) j += 1
+    j
+  }
+
+  // ---- parser ---------------------------------------------------------
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TId(s) => s.equalsIgnoreCase(kw)
+      case _      => false
+    }
+    private def atKw(kw: String): Boolean = peek.exists(isKw(_, kw))
+    private def eatKw(kw: String): Unit = {
+      require(atKw(kw), s"expected $kw at token $pos, got $peek")
+      pos += 1
+    }
+    private def atSym(sym: String): Boolean = peek.contains(TSym(sym))
+    private def eatSym(sym: String): Unit = {
+      require(atSym(sym), s"expected '$sym' at token $pos, got $peek")
+      pos += 1
+    }
+    private def ident(): String = next() match {
+      case TId(s) => s
+      case t      => throw new IllegalArgumentException(s"expected identifier, got $t")
+    }
+
+    def query(): CypherQuery = {
+      val matches = Seq.newBuilder[MatchClause]
+      eatKw("MATCH")
+      matches += MatchClause(patternChain(), optional = false)
+      var whereExpr: Option[CExpr] = None
+      while (atKw("OPTIONAL") || atKw("MATCH")) {
+        val opt = atKw("OPTIONAL")
+        if (opt) { eatKw("OPTIONAL") }
+        eatKw("MATCH")
+        matches += MatchClause(patternChain(), optional = opt)
+      }
+      if (atKw("WHERE")) { eatKw("WHERE"); whereExpr = Some(expr()) }
+      eatKw("RETURN")
+      val distinct = atKw("DISTINCT")
+      if (distinct) eatKw("DISTINCT")
+      val items = Seq.newBuilder[ReturnItem]
+      items += returnItem()
+      while (atSym(",")) { eatSym(","); items += returnItem() }
+      val sorts = Seq.newBuilder[SortItem]
+      if (atKw("ORDER")) {
+        eatKw("ORDER"); eatKw("BY")
+        sorts += sortItem()
+        while (atSym(",")) { eatSym(","); sorts += sortItem() }
+      }
+      val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(longLit()) } else None
+      val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(longLit()) } else None
+      require(pos == toks.length, s"trailing tokens from position $pos: ${toks.drop(pos)}")
+      CypherQuery(matches.result(), whereExpr, distinct, items.result(),
+        sorts.result(), skip, limit)
+    }
+
+    private def longLit(): Long = next() match {
+      case TNum(n) => n.toLong
+      case t       => throw new IllegalArgumentException(s"expected number, got $t")
+    }
+
+    private def patternChain(): PatternChain = {
+      val start = nodePattern()
+      val hops = Seq.newBuilder[(RelPattern, NodePattern)]
+      while (atSym("-") || atSym("<-")) {
+        val rel = relPattern()
+        hops += ((rel, nodePattern()))
+      }
+      PatternChain(start, hops.result())
+    }
+
+    private def nodePattern(): NodePattern = {
+      eatSym("(")
+      val variable = peek match {
+        case Some(TId(_)) => Some(ident())
+        case _            => None
+      }
+      val label = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      val props =
+        if (atSym("{")) {
+          eatSym("{")
+          val m = Map.newBuilder[String, Any]
+          m += (ident() -> { eatSymThen(":"); literal() })
+          while (atSym(",")) { eatSym(","); m += (ident() -> { eatSymThen(":"); literal() }) }
+          eatSym("}")
+          m.result()
+        } else Map.empty[String, Any]
+      eatSym(")")
+      NodePattern(variable, label, props)
+    }
+
+    private def eatSymThen(sym: String): Unit = eatSym(sym)
+
+    private def relPattern(): RelPattern = {
+      val direction =
+        if (atSym("<-")) { eatSym("<-"); In }
+        else { eatSym("-"); Out } // provisional: Out confirmed by trailing '->'
+      eatSym("[")
+      val variable = peek match {
+        case Some(TId(_)) => Some(ident())
+        case _            => None
+      }
+      val relType = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      val varLength =
+        if (atSym("*")) {
+          eatSym("*")
+          val lo = longLit().toInt
+          eatSym("..")
+          val hi = longLit().toInt
+          Some((lo, hi))
+        } else None
+      eatSym("]")
+      direction match {
+        case In =>
+          eatSym("-")
+          RelPattern(variable, relType, In, varLength)
+        case Out =>
+          if (atSym("->")) { eatSym("->"); RelPattern(variable, relType, Out, varLength) }
+          else throw new IllegalArgumentException(
+            "undirected relationships are not supported; use -[..]-> or <-[..]-")
+      }
+    }
+
+    private def returnItem(): ReturnItem = {
+      val e = valueExpr()
+      val alias = if (atKw("AS")) { eatKw("AS"); Some(ident()) } else None
+      ReturnItem(e, alias)
+    }
+
+    private def sortItem(): SortItem = {
+      val r = ident()
+      val asc =
+        if (atKw("DESC")) { eatKw("DESC"); false }
+        else { if (atKw("ASC")) eatKw("ASC"); true }
+      SortItem(r, asc)
+    }
+
+    // expr with OR < AND < NOT < comparison precedence
+    private def expr(): CExpr = {
+      var l = andExpr()
+      while (atKw("OR")) { eatKw("OR"); l = Or(l, andExpr()) }
+      l
+    }
+    private def andExpr(): CExpr = {
+      var l = notExpr()
+      while (atKw("AND")) { eatKw("AND"); l = And(l, notExpr()) }
+      l
+    }
+    private def notExpr(): CExpr =
+      if (atKw("NOT")) { eatKw("NOT"); Not(notExpr()) } else cmpExpr()
+
+    private def cmpExpr(): CExpr = {
+      val l = valueExpr()
+      peek match {
+        case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=").contains(op) =>
+          next()
+          Cmp(op, l, valueExpr())
+        case _ => l
+      }
+    }
+
+    private val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
+
+    private def valueExpr(): CExpr = peek match {
+      case Some(TId(name)) if aggFns.contains(name.toLowerCase) &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        val fn = ident().toLowerCase
+        eatSym("(")
+        val call =
+          if (atSym("*")) { eatSym("*"); FnCall(fn, None, star = true) }
+          else FnCall(fn, Some(valueExpr()))
+        eatSym(")")
+        call
+      case Some(TId(_)) =>
+        val v = ident()
+        if (atSym(".")) { eatSym("."); Prop(v, ident()) } else Ident(v)
+      case Some(TStr(s)) => next(); LitV(s)
+      case Some(TNum(n)) =>
+        next()
+        LitV(if (n.contains('.')) n.toDouble else n.toLong)
+      case Some(TSym("(")) =>
+        eatSym("("); val e = expr(); eatSym(")"); e
+      case t => throw new IllegalArgumentException(s"unexpected token $t")
+    }
+
+    private def literal(): Any = next() match {
+      case TStr(s) => s
+      case TNum(n) => if (n.contains('.')) n.toDouble else n.toLong
+      case TId(s) if s.equalsIgnoreCase("true")  => true
+      case TId(s) if s.equalsIgnoreCase("false") => false
+      case TId(s) if s.equalsIgnoreCase("null")  => null
+      case t => throw new IllegalArgumentException(s"expected literal, got $t")
+    }
+  }
+}

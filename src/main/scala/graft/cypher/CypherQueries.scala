@@ -1,0 +1,66 @@
+package graft.cypher
+
+import graft.graph.GraphLoader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SURVEY §2.1 Cypher queries, each executed natively by
+  * [[CypherPlanner]] over the TPC-H property graph. These are the
+  * graft equivalents of the reference's
+  * `setCypherQuery("MATCH (n:User) RETURN id(n), n.name, n.born")`
+  * usage (README, Neo4jInputFormat) — same query language surface,
+  * but compiled to distributed Catalyst plans instead of shipped to a
+  * server.
+  */
+object CypherQueries {
+
+  def run(spark: SparkSession, sfDir: String, query: String): DataFrame =
+    CypherPlanner.run(spark, GraphLoader.tpch(spark, sfDir), query)
+
+  def flagship(spark: SparkSession, sfDir: String): DataFrame =
+    expand2Hop(spark, sfDir)
+
+  def matchScan(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN c.custkey AS id, c.name AS name, c.acctbal AS acctbal
+        |ORDER BY id""".stripMargin)
+
+  def matchFilter(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WHERE c.mktsegment = 'BUILDING' AND c.acctbal > 1000.0
+        |RETURN c.custkey AS id, c.name AS name, c.acctbal AS acctbal
+        |ORDER BY id""".stripMargin)
+
+  def expand(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |RETURN c.name AS cust, n.name AS nation
+        |ORDER BY cust, nation""".stripMargin)
+
+  def expand2Hop(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN c.name AS cust, n.name AS nation, r.name AS region
+        |ORDER BY cust, nation, region""".stripMargin)
+
+  def aggregate(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |RETURN n.name AS nation, count(*) AS n_customers
+        |ORDER BY nation""".stripMargin)
+
+  def orderLimit(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN c.name AS name, c.acctbal AS acctbal
+        |ORDER BY acctbal DESC, name
+        |LIMIT 10""".stripMargin)
+
+  def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |OPTIONAL MATCH (o:Order)-[:PLACED_BY]->(c)
+        |RETURN c.name AS cust, o.orderkey AS orderkey
+        |ORDER BY cust, orderkey""".stripMargin)
+}

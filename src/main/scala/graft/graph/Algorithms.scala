@@ -1,0 +1,101 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms over the generic (src, dst) edge list — the
+  * GraphX-analog surface from SURVEY §2.1 #10-12, kept in DataFrame
+  * land so Catalyst/AQE optimize the iteration bodies.
+  */
+object Algorithms {
+
+  /** Out/in degree per node id: union both endpoint roles then a
+    * single groupBy — one shuffle on node id, map-side partials.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"), lit(1L).as("out_d"), lit(0L).as("in_d"))
+      .unionByName(
+        edges.select(col("dst").as("id"), lit(0L).as("out_d"), lit(1L).as("in_d")))
+      .groupBy(col("id"))
+      .agg(sum(col("out_d")).as("out_degree"), sum(col("in_d")).as("in_degree"))
+
+  /** Degrees over the order→customer→nation→region hierarchy (the
+    * SparkEntry `graph_degrees` query, oracle-checked).
+    */
+  def degreesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    degrees(edges).orderBy(col("id"))
+  }
+
+  /** Connected components by iterative min-id label propagation.
+    * DataFrame-iterative with per-iteration localCheckpoint to cut
+    * lineage; converges when no label changes (checked with a cheap
+    * count, early-stop). Undirected semantics: edges mirrored.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val propagated = und
+        .join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .unionByName(propagated)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
+        .filter(col("comp") =!= col("old_comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** PageRank, fixed iteration count (deterministic), damping 0.85.
+    * Dangling mass redistributed uniformly. Out-degrees computed once
+    * and cached; each iteration is one join + one groupBy on node id —
+    * the canonical shuffle-minimal DataFrame formulation.
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val vertices = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = vertices.count().toDouble
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
+
+    var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("contrib"))
+      val summed = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("received"))
+      val withAll = vertices.join(summed, Seq("id"), "left_outer")
+        .withColumn("received", coalesce(col("received"), lit(0.0)))
+      // dangling: rank mass of nodes without out-edges, spread uniformly
+      val dangling = ranks.join(outDeg, ranks("id") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+      ranks = withAll.select(col("id"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * (col("received") + lit(dangling / n))).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+}

@@ -1,0 +1,90 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds the TPC-H property graph (SURVEY §3) from the testdata
+  * parquet, mirroring the kind of graph the reference would read out
+  * of Neo4j (README read example: `MATCH (n:User) RETURN id(n),
+  * n.name, n.born`).
+  *
+  * Global node ids are label-offset + natural key, so edge lists can
+  * be unioned across labels without collision. Everything is a lazy
+  * view over the parquet scans: loading the graph costs nothing until
+  * a query selects from it, and column pruning flows through.
+  */
+object GraphLoader {
+
+  val OrderOffset    = 1000000000L
+  val CustomerOffset = 2000000000L
+  val NationOffset   = 3000000000L
+  val RegionOffset   = 4000000000L
+  val SupplierOffset = 5000000000L
+  val PartOffset     = 6000000000L
+
+  def tpch(spark: SparkSession, sfDir: String): PropertyGraph = {
+    def id(offset: Long, key: String) = (lit(offset) + col(key).cast("long")).as("__id")
+
+    val customer = Tables.customer(spark, sfDir).select(
+      id(CustomerOffset, "c_custkey"),
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      col("c_nationkey").cast("long").as("nationkey"),
+      col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+
+    val nation = Tables.nation(spark, sfDir).select(
+      id(NationOffset, "n_nationkey"),
+      col("n_nationkey").cast("long").as("nationkey"),
+      col("n_name").as("name"), col("n_regionkey").cast("long").as("regionkey"))
+
+    val region = Tables.region(spark, sfDir).select(
+      id(RegionOffset, "r_regionkey"),
+      col("r_regionkey").cast("long").as("regionkey"), col("r_name").as("name"))
+
+    val order = Tables.orders(spark, sfDir).select(
+      id(OrderOffset, "o_orderkey"),
+      col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+      col("o_orderstatus").as("orderstatus"), col("o_totalprice").as("totalprice"),
+      col("o_orderdate").as("orderdate"), col("o_orderpriority").as("orderpriority"))
+
+    val supplier = Tables.supplier(spark, sfDir).select(
+      id(SupplierOffset, "s_suppkey"),
+      col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+      col("s_nationkey").cast("long").as("nationkey"), col("s_acctbal").as("acctbal"))
+
+    val part = Tables.part(spark, sfDir).select(
+      id(PartOffset, "p_partkey"),
+      col("p_partkey").as("partkey"), col("p_name").as("name"),
+      col("p_brand").as("brand"), col("p_type").as("type"),
+      col("p_size").cast("long").as("size"), col("p_retailprice").as("retailprice"))
+
+    def edge(df: DataFrame, srcOffset: Long, srcKey: String,
+        dstOffset: Long, dstKey: String): DataFrame =
+      df.select(
+        (lit(srcOffset) + col(srcKey).cast("long")).as("__src"),
+        (lit(dstOffset) + col(dstKey).cast("long")).as("__dst"))
+
+    val placedBy = edge(Tables.orders(spark, sfDir),
+      OrderOffset, "o_orderkey", CustomerOffset, "o_custkey")
+    val fromNation = edge(Tables.customer(spark, sfDir),
+      CustomerOffset, "c_custkey", NationOffset, "c_nationkey")
+    val suppNation = edge(Tables.supplier(spark, sfDir),
+      SupplierOffset, "s_suppkey", NationOffset, "s_nationkey")
+    val inRegion = edge(Tables.nation(spark, sfDir),
+      NationOffset, "n_nationkey", RegionOffset, "n_regionkey")
+    val supplies = Tables.lineitem(spark, sfDir)
+      .select(
+        (lit(SupplierOffset) + col("l_suppkey")).as("__src"),
+        (lit(PartOffset) + col("l_partkey")).as("__dst"))
+      .distinct()
+
+    PropertyGraph(
+      nodes = Map(
+        "Customer" -> customer, "Nation" -> nation, "Region" -> region,
+        "Order" -> order, "Supplier" -> supplier, "Part" -> part),
+      rels = Map(
+        "PLACED_BY" -> placedBy, "FROM_NATION" -> fromNation,
+        "SUPP_NATION" -> suppNation, "IN_REGION" -> inRegion,
+        "SUPPLIES" -> supplies))
+  }
+}

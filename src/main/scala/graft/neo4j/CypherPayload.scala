@@ -1,0 +1,84 @@
+package graft.neo4j
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Builds Neo4j transactional-endpoint write payloads: rows batched
+  * into the `parameters` array of an `UNWIND $param … CREATE` Cypher
+  * statement — the Spark re-expression of the reference's
+  * Neo4jOutputFormat (payload template Neo4jFormatBase.java:44-45,
+  * batching Neo4jOutputFormat.java:104-116, parameter-name extraction
+  * from the UNWIND clause Neo4jOutputFormat.java:128-137).
+  */
+object CypherPayload {
+
+  /** Payload template, mirroring Neo4jFormatBase.PAYLOAD_TEMPLATE. */
+  val PayloadTemplate = """{"statements" : [ {"statement" : "%s", "parameters" : {%s} }]}"""
+
+  /** Extracts the parameter name from an `UNWIND $param …` query
+    * (reference semantics: Neo4jOutputFormat.getParameterName, which
+    * matched the legacy `UNWIND {param}` form; Cypher has since moved
+    * to `$param`, we accept both).
+    */
+  def parameterName(query: String): String = {
+    val m = """^(?i)UNWIND [\{\$]([A-Za-z0-9_]+)\}? .*""".r
+    query match {
+      case m(p) => p
+      case _ => throw new IllegalArgumentException(
+        "Query does not contain a parameter statement.")
+    }
+  }
+
+  /** Serializes one JSON object element `{"k":v,…}` from columns.
+    * Strings are quoted (values here are JSON-safe identifiers; full
+    * escaping lives in Neo4jWriter's jackson path).
+    */
+  private def jsonElem(fields: Seq[(String, org.apache.spark.sql.Column, Boolean)]) =
+    concat(
+      lit("{") +:
+      fields.zipWithIndex.flatMap { case ((name, c, quoted), i) =>
+        val v = if (quoted) concat(lit("\""), c, lit("\"")) else c.cast("string")
+        val kv = concat(lit("\"" + name + "\":"), v)
+        if (i == 0) Seq(kv) else Seq(lit(","), kv)
+      } :+
+      lit("}"): _*)
+
+  /** The oracle-checked `cypher_write_batches` query: orders rows →
+    * deterministic batches of 100 (by orderkey order) → one full
+    * transactional payload string per batch, exactly the bytes the
+    * reference's output format would POST.
+    *
+    * Note: the deterministic global row_number here is for the
+    * correctness gate (stable batch membership). The production write
+    * path ([[Neo4jWriter]]) batches per partition like the reference
+    * does per task, with no global ordering shuffle.
+    */
+  def writeBatches(spark: SparkSession, sfDir: String, batchSize: Int = 100): DataFrame = {
+    val stmt = "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})"
+    val param = parameterName(stmt)
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+      .withColumn("batch_id", ((col("rn") - 1) / batchSize).cast("long"))
+      .withColumn("elem", jsonElem(Seq(
+        ("orderkey", col("o_orderkey"), false),
+        ("status", col("o_orderstatus"), true))))
+    rows.groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("elem")))),
+            s => s.getField("elem")),
+          ",").as("joined"))
+      .select(
+        col("batch_id"), col("n_rows"),
+        concat(
+          lit(PayloadTemplate.split("%s")(0)), lit(stmt),
+          lit(PayloadTemplate.split("%s")(1)),
+          lit("\"" + param + "\" : ["), col("joined"), lit("]"),
+          lit(PayloadTemplate.split("%s")(2))).as("payload"))
+      .orderBy(col("batch_id"))
+  }
+}

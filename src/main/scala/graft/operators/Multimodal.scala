@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline (SURVEY §2.3 #30): treat media payloads
+  * as opaque `binary` columns plus a typed metadata struct, with the
+  * decode step stubbed deterministically (no image/audio libs in this
+  * environment — see [[decodeStubBatch]], the clearly-marked stub
+  * boundary).
+  *
+  * The Spark-side plumbing is the real deliverable: binary column
+  * ingestion, metadata extraction as codegen'd expressions, and a
+  * partition-batched decode path with the exact shape a Python
+  * `mapInPandas` / JNI decoder would slot into at 100 TB (iterator of
+  * batches in, iterator of decoded rows out; no per-row library
+  * setup; payload bytes never shuffled).
+  */
+object Multimodal {
+
+  /** Row shape entering the decode stage. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded output: deterministic fake of what an image decoder would
+    * emit. STUB — replace body with a real decoder (e.g. pix decode
+    * via JNI or `mapInPandas` with PIL) in a full deployment; the
+    * signature and batching are what production code keeps.
+    */
+  def decodeStubBatch(rows: Iterator[MediaRow]): Iterator[(Long, Int, Int, String)] =
+    rows.map { r =>
+      val n = r.payload.length
+      (r.doc_id, fakeWidth(n), fakeHeight(n), sniffFormat(n))
+    }
+
+  // Deterministic fakes: metadata as pure functions of payload size so
+  // the DuckDB oracle can compute the identical values.
+  def fakeWidth(nBytes: Int): Int  = 256 + (nBytes % 64) * 16
+  def fakeHeight(nBytes: Int): Int = 256 + ((nBytes / 64) % 64) * 16
+  def sniffFormat(nBytes: Int): String = (nBytes % 3) match {
+    case 0 => "png"
+    case 1 => "jpeg"
+    case _ => "wav"
+  }
+
+  /** Ingest documents' text as a binary payload column (a stand-in for
+    * real media bytes), extract typed metadata. Fully columnar /
+    * codegen'd — this is the query-able metadata view a catalog would
+    * expose over a 100 TB media lake without touching payloads.
+    */
+  def meta(spark: SparkSession, sfDir: String): DataFrame = {
+    val payload = encode(col("text"), "utf-8")
+    val nBytes = octet_length(payload).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nBytes.as("n_bytes"),
+        (lit(256) + (nBytes % 64) * 16).cast("long").as("width"),
+        (lit(256) + ((nBytes.cast("long") / lit(64)).cast("long") % 64) * 16)
+          .cast("long").as("height"),
+        when(nBytes % 3 === 0, "png")
+          .when(nBytes % 3 === 1, "jpeg")
+          .otherwise("wav").as("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The partition-batched decode path (mapPartitions over the typed
+    * Dataset). Produces the same rows as [[meta]] — MultimodalSpec
+    * asserts the equivalence, which is what validates the stub
+    * boundary wiring.
+    */
+  def decoded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(decodeStubBatch)
+      .toDF("doc_id", "width", "height", "format")
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-style headline queries (SURVEY §2.2 #13-16).
+  *
+  * Determinism discipline for the DuckDB oracle hash-compare:
+  *  - money sums go through `decimal(18,2/4)` so parallel summation
+  *    order cannot perturb low bits; final cast back to double is the
+  *    same IEEE value on both engines;
+  *  - every result is totally ordered by its group keys.
+  * The trailing sort is free in bench: Catalyst's EliminateSorts drops
+  * it under the `count()` action.
+  */
+object Relational {
+
+  /** Q1-style pricing summary: scan-heavy partial aggregation.
+    * 100 TB notes: single shuffle on (returnflag, linestatus) — 6
+    * groups, partial agg does virtually all the work map-side; scan
+    * reads only the 7 referenced columns of lineitem.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3-style shipping priority: selective filters on both fact
+    * tables, join, aggregate, top-k.
+    * 100 TB notes: filters push to both scans; orders⨝customer keeps
+    * only keys via semi-join shape; final top-10 is
+    * TakeOrderedAndProject (no global sort).
+    */
+  def q3TopkJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1995-06-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1995-06-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local-supplier volume: star join with broadcast dims.
+    * 100 TB notes: region/nation/supplier/customer are dimension-sized
+    * (star-schema ratios) → broadcast; the only shuffles are
+    * lineitem⨝orders on orderkey and the final tiny groupBy.
+    */
+  def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+
+    val natInAsia = nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val custN = cust.join(broadcast(natInAsia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("cn_key"), col("n_name"))
+    val suppN = supp.join(broadcast(natInAsia.select(col("n_nationkey").as("sn_key"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("sn_key"))
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN),
+        col("l_suppkey") === col("s_suppkey") && col("cn_key") === col("sn_key"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Per-group top-n via window rank: 3 highest-value orders per
+    * customer market segment.
+    * 100 TB notes: one shuffle on the partition key; rank is computed
+    * streaming within each sorted partition.
+    */
+  def windowTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY §2.3
+  * #26-29): quality scoring, language ID, token counting, document
+  * fingerprinting. Everything except the fingerprint is pure
+  * `functions._` — codegen'd, no UDFs, scan-prunable.
+  */
+object TextAnalysis {
+
+  /** Stopword lists for the latin-script testdata languages; used by
+    * both quality scoring and the language-ID heuristic. Chinese (zh)
+    * is detected by CJK script presence instead.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "de", "que", "en", "una", "por", "con", "para"))
+
+  /** Whitespace token count, 0 for blank text. Same expression shape
+    * is used in the DuckDB oracle.
+    */
+  private def wsTokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** Token counting: whitespace tokens plus a BPE-ish segmentation
+    * (runs of alphanumerics | single non-space punctuation) that
+    * approximates subword tokenizer unit counts. Expressed via
+    * regexp_extract_all with an RE2-compatible pattern so the DuckDB
+    * oracle computes the identical quantity.
+    */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation ratio, mean word length,
+    * English stopword ratio, and a composite keep/drop flag — the
+    * standard pretraining-corpus heuristics (Gopher-style), all as
+    * codegen'd column expressions.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("long")
+    val nWords = wsTokenCount(t)
+    val nPunct = (nChars - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long")
+    val enHits = TextAnalysis.stopwords("en").map(w =>
+      when(t.rlike("(?i)(^|\\s)" + w + "(\\s|$)"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
+        nPunct.as("n_punct"),
+        round(nPunct.cast("double") / greatest(nChars, lit(1L)), 6).as("punct_ratio"),
+        round(nChars.cast("double") / greatest(nWords, lit(1L)), 6).as("mean_word_len"),
+        enHits.as("en_stopword_hits"),
+        (nWords >= 5 && nWords <= 100000 &&
+          (nPunct.cast("double") / greatest(nChars, lit(1L))) < lit(0.2))
+          .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID: CJK-script presence → zh; otherwise argmax of
+    * distinct-stopword hits per latin language (ties broken by
+    * language code order, "und" when no hits). Pure column
+    * expressions → a single projection, no shuffle.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
+      case (langCode, words) =>
+        langCode -> words.map(w =>
+          when(col("text").rlike("(?i)(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0))
+          .reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val latinBest = scores.foldRight(lit("und")) { case ((langCode, s), acc) =>
+      when(s === best && best > 0, lit(langCode)).otherwise(acc)
+    }
+    // foldRight makes earlier language codes win ties (checked first).
+    val predicted =
+      when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(latinBest)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), predicted.as("predicted_lang"))
+      .withColumn("correct", (col("lang") === col("predicted_lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD
+    * 2003): polynomial rolling hash of char 8-grams, minimum per
+    * window of 16, fingerprint = xor-fold of selected hashes.
+    * Implemented as a Dataset map — the hash is inherently sequential
+    * per document, but documents are independent so it parallelizes
+    * perfectly across partitions and shuffles nothing.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, winnowFingerprint(text)) }
+      .toDF("doc_id", "fingerprint")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprint of a string: rolling-hash k-grams (k=8),
+    * window w=16, xor-fold of window minima. Deterministic, no
+    * allocation beyond the hash array.
+    */
+  def winnowFingerprint(text: String, k: Int = 8, w: Int = 16): Long = {
+    val s = text
+    if (s.length < k) return 0L
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    val B = 1000003L
+    // precompute B^(k-1) for the rolling update
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * bk) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    var fp = 0L
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + w, n)
+      var m = hashes(start)
+      var j = start + 1
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      fp ^= m
+      start += w
+    }
+    fp
+  }
+}
