@@ -1,0 +1,152 @@
+package graft.neo4j
+
+import graft.neo4j.Neo4jConfig.TransactionUri
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Connection settings for a Neo4j transactional HTTP endpoint —
+  * graft's equivalent of the reference's builder surface
+  * (Neo4jFormatBase.Builder: restURI, cypher query, username,
+  * password, connect/read timeouts; validation at
+  * Neo4jFormatBase.java:180-195).
+  */
+final case class Neo4jConfig(
+    restUri: String,
+    query: String,
+    username: Option[String] = None,
+    password: Option[String] = None,
+    connectTimeoutMs: Int = 1000,
+    readTimeoutMs: Int = 1000) {
+  require(restUri != null && restUri.nonEmpty, "No Rest URI was supplied.")
+  require(query != null && query.nonEmpty, "No Cypher statement was supplied.")
+
+  def endpoint: String =
+    (if (restUri.endsWith("/")) restUri else restUri + "/") + TransactionUri
+
+  def authHeader: Option[String] = for (u <- username; p <- password) yield {
+    "Basic " + java.util.Base64.getEncoder
+      .encodeToString(s"$u:$p".getBytes("UTF-8"))
+  }
+}
+
+object Neo4jConfig {
+  /** Appended to the rest URI for transactional queries (mirrors
+    * Neo4jFormatBase.TRANSACTION_URI).
+    */
+  val TransactionUri = "transaction/commit"
+}
+
+/** HTTP plumbing shared by reader and writer. */
+private[neo4j] object Http {
+  def client(cfg: Neo4jConfig): HttpClient =
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs.toLong))
+      .build()
+
+  def post(cfg: Neo4jConfig, payload: String): HttpResponse[java.io.InputStream] = {
+    val b = HttpRequest.newBuilder(URI.create(cfg.endpoint))
+      .timeout(Duration.ofMillis(cfg.readTimeoutMs.toLong))
+      .header("Content-Type", "application/json;charset=UTF-8")
+      .header("Accept", "application/json")
+      .header("X-Stream", "true")
+      .POST(HttpRequest.BodyPublishers.ofString(payload))
+    cfg.authHeader.foreach(a => b.header("Authorization", a))
+    val resp = client(cfg).send(b.build(), HttpResponse.BodyHandlers.ofInputStream())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"Server returned status [${resp.statusCode()}]")
+    resp
+  }
+}
+
+/** Reads a Cypher query result from a Neo4j transactional endpoint
+  * into a DataFrame — the Spark twin of Neo4jInputFormat.
+  *
+  * The HTTP fetch happens once on the driver (the endpoint is a
+  * single server — same NonParallelInput constraint as the reference,
+  * Neo4jInputFormat.java:40); rows are then parallelized so all
+  * downstream processing distributes. For graph-scale data the
+  * native path is GraphLoader + CypherPlanner, which never funnels
+  * through a socket.
+  */
+object Neo4jReader {
+
+  def read(spark: SparkSession, cfg: Neo4jConfig, schema: StructType): DataFrame = {
+    val payload = String.format(CypherPayload.PayloadTemplate,
+      cfg.query.replace("\"", "\\\""), "")
+    val resp = Http.post(cfg, payload)
+    val rows =
+      try Neo4jRowParser.parseRows(resp.body()).map(coerce(_, schema)).toVector
+      finally resp.body().close()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), math.max(1, rows.size / 10000)),
+      schema)
+  }
+
+  /** Aligns parsed JSON scalars with the declared column types (the
+    * reference relies on Flink tuple field types the same way).
+    */
+  private def coerce(values: Array[Any], schema: StructType): Seq[Any] =
+    values.toSeq.zip(schema.fields).map {
+      case (null, _) => null
+      case (v: Number, f) => f.dataType match {
+        case IntegerType => v.intValue()
+        case LongType    => v.longValue()
+        case DoubleType  => v.doubleValue()
+        case FloatType   => v.floatValue()
+        case _           => v
+      }
+      case (v, _) => v
+    }
+}
+
+/** Writes a DataFrame to Neo4j as batched `UNWIND $param` statements —
+  * the Spark twin of Neo4jOutputFormat: per-partition accumulation
+  * with bounded batch size and a final flush on partition end
+  * (Neo4jOutputFormat.java:104-116, writeRecord/close), executed in
+  * parallel across partitions like the reference's parallel tasks.
+  */
+object Neo4jWriter {
+
+  def write(df: DataFrame, cfg: Neo4jConfig, parameterKeys: Seq[String],
+      batchSize: Int = 1000): Unit = {
+    require(parameterKeys.nonEmpty, "No parameter keys were supplied.")
+    val param = CypherPayload.parameterName(cfg.query)
+    val schema = df.schema
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val buf = new scala.collection.mutable.ArrayBuffer[String]()
+
+      def flush(): Unit = if (buf.nonEmpty) {
+        val payload = String.format(CypherPayload.PayloadTemplate,
+          cfg.query.replace("\"", "\\\""),
+          "\"" + param + "\" : [" + buf.mkString(",") + "]")
+        Http.post(cfg, payload).body().close()
+        buf.clear()
+      }
+
+      rows.foreach { row =>
+        val node = mapper.createObjectNode()
+        parameterKeys.zipWithIndex.foreach { case (key, i) =>
+          row.get(i) match {
+            case null       => node.putNull(key)
+            case b: Boolean => node.put(key, b)
+            case x: Int     => node.put(key, x)
+            case x: Long    => node.put(key, x)
+            case x: Float   => node.put(key, x)
+            case x: Double  => node.put(key, x)
+            case s: String  => node.put(key, s)
+            case other => throw new java.io.IOException(
+              s"Unsupported field type for value: $other " +
+                s"(column ${schema.fields(i).name})")
+          }
+        }
+        buf += node.toString
+        if (buf.size >= batchSize) flush()
+      }
+      flush()
+    }
+  }
+}

@@ -80,10 +80,13 @@ object Similarity {
     * [[topkBruteforce]] — bucket population ~ N / 2^nPlanes, so work
     * per query is O(bucket), not O(N).
     *
-    * Output: per query, top-k within-bucket neighbors (rows-only
-    * oracle; AnnSpec checks recall ≥ 0.5 vs brute force on sf0.001 —
-    * recall rises with multi-probe, kept single-probe here for the
-    * clean bucket-join shape).
+    * Queries are multi-probed: each query searches its own bucket and
+    * every Hamming-1 neighbor bucket (nPlanes+1 probes) — the standard
+    * trick to recover recall that single-probe hyperplane LSH loses on
+    * weakly-clustered vectors, at probe-count (not data) cost.
+    *
+    * Output: per query, top-k within-probed-buckets neighbors
+    * (rows-only oracle; SimilaritySpec checks recall vs brute force).
     */
   def annLsh(spark: SparkSession, sfDir: String, k: Int = 10, nPlanes: Int = 4)
       : DataFrame = {
@@ -99,8 +102,13 @@ object Similarity {
     val queries = bucketed.filter(col("vec_id") < 5)
       .select(col("bucket"), col("vec_id").as("q_id"),
         col("v").as("q_v"), col("nrm").as("q_nrm"))
+      // multi-probe: own bucket + all 1-bit flips
+      .withColumn("probe", explode(array(
+        col("bucket") +: (0 until nPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+      .drop("bucket")
     val scored = bucketed.filter(col("vec_id") >= 5)
-      .join(broadcast(queries), Seq("bucket"))
+      .join(broadcast(queries), col("bucket") === col("probe"))
       .withColumn("score", round(
         when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
           .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))), 6))

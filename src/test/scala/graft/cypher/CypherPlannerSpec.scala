@@ -1,0 +1,82 @@
+package graft.cypher
+
+import graft.TestSpark
+import graft.graph.GraphLoader
+import org.scalatest.funsuite.AnyFunSuite
+
+class CypherPlannerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(q: String) =
+    CypherPlanner.run(spark, GraphLoader.tpch(spark, TestSpark.sf), q)
+
+  test("node scan returns every customer") {
+    val n = run("MATCH (c:Customer) RETURN c.custkey AS id").count()
+    val expected = graft.Tables.customer(spark, TestSpark.sf).count()
+    assert(n == expected)
+  }
+
+  test("inline property map filters") {
+    val df = run("MATCH (c:Customer {mktsegment: 'BUILDING'}) RETURN c.custkey AS id")
+    val expected = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING").count()
+    assert(df.count() == expected)
+  }
+
+  test("expand joins along relationships with label filtering") {
+    // FROM_NATION only holds customer→nation edges; SUPP_NATION holds
+    // supplier→nation — expanding Customer must not pick up suppliers
+    val n = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN c.custkey AS id, n.name AS nation")
+      .count()
+    assert(n == graft.Tables.customer(spark, TestSpark.sf).count())
+  }
+
+  test("reverse direction matches the same rows") {
+    val out = run("MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN c.custkey AS id")
+    val rev = run("MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer) RETURN c.custkey AS id")
+    assert(out.collect().map(_.getLong(0)).sorted
+      .sameElements(rev.collect().map(_.getLong(0)).sorted))
+  }
+
+  test("aggregate groups and counts") {
+    val rows = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "RETURN n.name AS nation, count(*) AS n_customers ORDER BY nation")
+      .collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.customer(spark, TestSpark.sf).count())
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("order by desc with skip and limit") {
+    val all = run("MATCH (c:Customer) RETURN c.acctbal AS b ORDER BY b DESC LIMIT 5")
+      .collect().map(_.getDouble(0))
+    val skipped = run("MATCH (c:Customer) RETURN c.acctbal AS b ORDER BY b DESC SKIP 2 LIMIT 3")
+      .collect().map(_.getDouble(0))
+    assert(all.drop(2).sameElements(skipped))
+  }
+
+  test("optional match keeps unmatched left rows") {
+    val df = run(
+      "MATCH (c:Customer) OPTIONAL MATCH (o:Order)-[:PLACED_BY]->(c) " +
+      "RETURN c.custkey AS id, o.orderkey AS ok")
+    val customers = graft.Tables.customer(spark, TestSpark.sf).count()
+    val matchedCustomers = graft.Tables.orders(spark, TestSpark.sf)
+      .select("o_custkey").distinct().count()
+    val nullRows = df.filter(org.apache.spark.sql.functions.col("ok").isNull).count()
+    assert(nullRows == customers - matchedCustomers)
+  }
+
+  test("distinct dedups") {
+    val n = run("MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN DISTINCT n.name AS nation")
+      .count()
+    assert(n == graft.Tables.customer(spark, TestSpark.sf)
+      .select("c_nationkey").distinct().count())
+  }
+
+  test("unknown label and rel type raise") {
+    assertThrows[IllegalArgumentException](run("MATCH (x:Nope) RETURN x.a"))
+    assertThrows[IllegalArgumentException](
+      run("MATCH (c:Customer)-[:NOPE]->(n:Nation) RETURN c.custkey"))
+  }
+}

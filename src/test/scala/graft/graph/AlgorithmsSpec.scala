@@ -1,0 +1,43 @@
+package graft.graph
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AlgorithmsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def edgeDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("connected components on a known graph") {
+    // components: {1,2,3,4}, {10,11}, {20}
+    val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L)))
+    val cc = Algorithms.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(cc).toSet.size == 1)
+    assert(Seq(10L, 11L).map(cc).toSet.size == 1)
+    assert(cc(10L) != cc(1L) && cc(20L) != cc(1L))
+    assert(cc(1L) == 1L && cc(10L) == 10L) // min-id labeling
+  }
+
+  test("pagerank mass is conserved and favors high in-degree") {
+    // star: everyone points at 1
+    val edges = edgeDf(Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    val pr = Algorithms.pageRank(spark, edges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass=${pr.values.sum}")
+    assert(pr(1L) > pr(2L) * 2)
+    assert(Seq(2L, 3L, 4L, 5L).map(pr).distinct.size == 1) // symmetric leaves
+  }
+
+  test("degrees on the tpch hierarchy: every order has out-degree 1") {
+    val df = Algorithms.degreesQuery(spark, TestSpark.sf)
+    val orders = df.filter(col("id") >= GraphLoader.OrderOffset &&
+      col("id") < GraphLoader.CustomerOffset)
+    assert(orders.filter(col("out_degree") =!= 1).count() == 0)
+    assert(orders.filter(col("in_degree") =!= 0).count() == 0)
+  }
+}

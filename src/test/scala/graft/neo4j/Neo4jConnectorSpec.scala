@@ -1,0 +1,127 @@
+package graft.neo4j
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.TestSpark
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayInputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Connector specs against an embedded HTTP server speaking the
+  * transactional-endpoint protocol — the graft analog of the
+  * reference's Neo4jFormatTest (which runs an embedded Neo4j).
+  */
+class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // canned transactional response, shape as documented for
+  // POST /db/data/transaction/commit
+  private val cannedResponse =
+    """{"results":[{"columns":["id","name","born","score","flag","missing"],
+      |"data":[
+      | {"row":[1,"Alice",1984,4.5,true,null]},
+      | {"row":[2,"Bob",1976,3.25,false,null]},
+      | {"row":[3,"Carol",1990,5.0,true,null]}
+      |]}],"errors":[]}""".stripMargin
+
+  private var server: HttpServer = _
+  private var uri: String = _
+  private val received = new ConcurrentLinkedQueue[String]()
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/db/data/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        received.add(body)
+        val resp = cannedResponse.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.createContext("/broken/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(500, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    uri = s"http://localhost:${server.getAddress.getPort}/db/data/"
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  test("row parser maps JSON scalar types like the reference") {
+    val rows = Neo4jRowParser.parseRows(
+      new ByteArrayInputStream(cannedResponse.getBytes(StandardCharsets.UTF_8))).toList
+    assert(rows.length == 3)
+    assert(rows.head.toSeq == Seq(1, "Alice", 1984, 4.5, true, null))
+    assert(rows(1).toSeq == Seq(2, "Bob", 1976, 3.25, false, null))
+  }
+
+  test("row parser handles long-range ints") {
+    val body = """{"results":[{"data":[{"row":[8589934592]}]}]}"""
+    val rows = Neo4jRowParser.parseRows(
+      new ByteArrayInputStream(body.getBytes(StandardCharsets.UTF_8))).toList
+    assert(rows.head.toSeq == Seq(8589934592L))
+  }
+
+  test("reader fetches a Cypher result into a DataFrame") {
+    val spark = TestSpark.spark
+    val cfg = Neo4jConfig(uri, "MATCH (n:User) RETURN id(n), n.name, n.born")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("born", IntegerType), StructField("score", DoubleType),
+      StructField("flag", BooleanType), StructField("missing", StringType)))
+    val df = Neo4jReader.read(spark, cfg, schema)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSet == Set("Alice", "Bob", "Carol"))
+    // the POST body carried the query in the reference's payload template
+    val sent = received.poll()
+    assert(sent.contains(""""statement" : "MATCH (n:User) RETURN id(n), n.name, n.born""""))
+  }
+
+  test("reader surfaces non-200 as IOException (reference behavior)") {
+    val cfg = Neo4jConfig(
+      s"http://localhost:${server.getAddress.getPort}/broken/", "MATCH (n) RETURN n")
+    val ex = intercept[java.io.IOException](
+      Neo4jReader.read(TestSpark.spark, cfg,
+        StructType(Seq(StructField("x", IntegerType)))))
+    assert(ex.getMessage.contains("500"))
+  }
+
+  test("writer batches per partition with bounded batch size") {
+    received.clear()
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 25).map(i => (s"user$i", 1980 + i)).toDF("name", "born")
+      .repartition(2)
+    val cfg = Neo4jConfig(uri,
+      "UNWIND $inserts AS i CREATE (a:User {name:i.name, born:i.born})")
+    Neo4jWriter.write(df, cfg, Seq("name", "born"), batchSize = 10)
+    val bodies = Iterator.continually(received.poll()).takeWhile(_ != null).toList
+    // 25 rows over 2 partitions with batchSize 10 → 4 POSTs (2+2 per partition)
+    assert(bodies.length == 4)
+    val allRows = bodies.flatMap(b =>
+      """\{"name":"user\d+","born":\d+\}""".r.findAllIn(b).toList)
+    assert(allRows.length == 25)
+    bodies.foreach { b =>
+      assert(b.contains(""""inserts" : ["""))
+      assert(b.contains("UNWIND $inserts AS i CREATE"))
+    }
+  }
+
+  test("config validation mirrors the reference builder") {
+    assertThrows[IllegalArgumentException](Neo4jConfig("", "MATCH (n) RETURN n"))
+    assertThrows[IllegalArgumentException](Neo4jConfig("http://x/", ""))
+    assertThrows[IllegalArgumentException](
+      CypherPayload.parameterName("CREATE (a:User)"))
+    assert(CypherPayload.parameterName("UNWIND $rows AS r CREATE (a)") == "rows")
+    assert(CypherPayload.parameterName("UNWIND {rows} AS r CREATE (a)") == "rows")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("exact dedup partitions the corpus") {
+    val df = Dedup.exact(spark, TestSpark.sf)
+    val total = df.agg(sum("n_dups")).first().getLong(0)
+    assert(total == graft.Tables.documents(spark, TestSpark.sf).count())
+    // canonical ids are distinct
+    assert(df.select("keep_doc_id").distinct().count() == df.count())
+  }
+
+  test("minhash LSH estimates track exact jaccard (recall on high-sim pairs)") {
+    val exact = Dedup.ngramJaccard(spark, TestSpark.sf, tau = 0.6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, TestSpark.sf, tau = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(exact.nonEmpty, "testdata contains near-dup documents")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("simhash near-dup pairs all verify true hamming distance") {
+    val sigs = Dedup.simhashSignatures(
+        graft.Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.simhashNearDup(spark, TestSpark.sf, maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val h = java.lang.Long.bitCount(sigs(r.getLong(0)) ^ sigs(r.getLong(1)))
+      assert(h == r.getLong(2) && h <= 3)
+    }
+    // pigeonhole blocking is exhaustive for hamming<=3: brute-force check
+    val ids = sigs.keys.toSeq.sorted
+    val brute = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 3
+    } yield (ids(i), ids(j))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == brute.toSet)
+  }
+
+  test("shingles slide a 3-word window") {
+    import spark.implicits._
+    val df = Seq("a b c d", "x y", "").toDF("text")
+      .select(Dedup.shingles(col("text")).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b c", "b c d"), Nil, Nil))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ann results are a subset of the scored universe with decent recall") {
+    val brute = Similarity.topkBruteforce(spark, TestSpark.sf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.annLsh(spark, TestSpark.sf, k = 10, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    // single-probe LSH on random-ish embeddings: expect a meaningful
+    // overlap, not perfection
+    assert(recall >= 0.3, s"ANN recall $recall")
+    assert(ann.nonEmpty)
+  }
+
+  test("brute-force ranks are dense per query") {
+    val rows = Similarity.topkBruteforce(spark, TestSpark.sf, k = 10).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+    }
+    // scores are within [-1, 1] and non-increasing by rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(byRank.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+}
