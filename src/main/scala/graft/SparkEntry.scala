@@ -25,8 +25,11 @@ object SparkEntry {
     "cypher_aggregate"      -> (cypher.CypherQueries.aggregate(_, _)),
     "cypher_order_limit"    -> (cypher.CypherQueries.orderLimit(_, _)),
     "cypher_optional_match" -> (cypher.CypherQueries.optionalMatch(_, _)),
+    "cypher_var_expand"     -> (cypher.CypherQueries.varExpand(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
+    "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
+    "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
@@ -227,6 +230,33 @@ object SparkEntry {
       """SELECT c.c_name AS cust, o.o_orderkey AS orderkey
         |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         |ORDER BY cust, orderkey NULLS FIRST""".stripMargin,
+    "cypher_var_expand" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT src, dst FROM e2
+        |  UNION ALL
+        |  SELECT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+        |  UNION ALL
+        |  SELECT a.src, c.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN e2 c ON b.dst = c.src)
+        |SELECT na.n_name AS a_name, nb.n_name AS b_name
+        |FROM p JOIN nation na ON p.src = na.n_nationkey
+        |JOIN nation nb ON p.dst = nb.n_nationkey
+        |ORDER BY a_name, b_name""".stripMargin,
+    "graph_connected_components" ->
+      """WITH nodes AS (
+        |  SELECT 2000000000 + c_custkey AS id, n_regionkey AS rk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 3000000000 + n_nationkey AS id, n_regionkey AS rk FROM nation
+        |  UNION ALL
+        |  SELECT 4000000000 + r_regionkey AS id, r_regionkey AS rk FROM region)
+        |SELECT id, min(id) OVER (PARTITION BY rk) AS comp
+        |FROM nodes ORDER BY id""".stripMargin,
     "cypher_write_batches" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -117,8 +117,7 @@ object CypherPlanner {
     chain.hops.foreach { case (rel, nextNode) =>
       val relType = rel.relType.getOrElse(throw new IllegalArgumentException(
         "relationships need a type (round-1 planner)"))
-      require(rel.varLength.isEmpty, "variable-length paths land in round 2")
-      val r = graph.relTable(relType)
+      val r = varLengthRel(graph.relTable(relType), rel.varLength)
         .select(col("__src").as("__r_src"), col("__dst").as("__r_dst"))
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
@@ -147,6 +146,30 @@ object CypherPlanner {
     }
     (df, bound)
   }
+
+  /** Expands `-[:T*lo..hi]->` into a union of k-hop compositions of
+    * the relationship table (one row per distinct path, Cypher
+    * multiplicity semantics). Each k-hop is a chain of equi-joins —
+    * Catalyst/AQE picks broadcast vs shuffle per step; at 100 TB the
+    * intermediate frontier is keyed on node id throughout, so the
+    * partitioning is reused between steps.
+    */
+  private def varLengthRel(rel: DataFrame, varLength: Option[(Int, Int)]): DataFrame =
+    varLength match {
+      case None => rel
+      case Some((lo, hi)) =>
+        require(lo >= 1 && hi >= lo && hi <= 10,
+          s"variable-length bounds *$lo..$hi out of supported range")
+        val base = rel.select(col("__src"), col("__dst"))
+        def kHop(k: Int): DataFrame =
+          (2 to k).foldLeft(base) { (acc, step) =>
+            val right = base.select(
+              col("__src").as(s"__m$step"), col("__dst").as("__nd"))
+            acc.join(right, acc("__dst") === right(s"__m$step"))
+              .select(acc("__src"), col("__nd").as("__dst"))
+          }
+        (lo to hi).map(kHop).reduce(_.unionByName(_))
+    }
 
   private def isAggregate(e: CExpr): Boolean = e match {
     case FnCall(n, _, _) => Set("count", "sum", "min", "max", "avg", "collect")(n)

@@ -57,6 +57,12 @@ object CypherQueries {
         |ORDER BY acctbal DESC, name
         |LIMIT 10""".stripMargin)
 
+  def varExpand(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Nation)-[:NEXT_IN_REGION*1..3]->(b:Nation)
+        |RETURN a.name AS a_name, b.name AS b_name
+        |ORDER BY a_name, b_name""".stripMargin)
+
   def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (c:Customer)

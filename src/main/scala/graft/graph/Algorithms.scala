@@ -30,6 +30,36 @@ object Algorithms {
     degrees(edges).orderBy(col("id"))
   }
 
+  /** CC over the customer→nation→region forest (the SparkEntry
+    * `graph_connected_components` query). Components are exactly the
+    * regions and the min-id label is the smallest customer id in the
+    * region, which makes the result fully SQL-expressible for the
+    * oracle while still being computed by the generic iterative
+    * algorithm.
+    */
+  def connectedComponentsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    connectedComponents(edges).orderBy(col("id"))
+  }
+
+  /** PageRank over the order→customer→nation→region graph (the
+    * SparkEntry `graph_pagerank` query; rows-only oracle, the
+    * power-iteration spec covers numerics). Rank rounded to 8 dp to
+    * absorb partial-sum ordering noise across runs.
+    */
+  def pageRankQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    pageRank(spark, edges, iterations = 10)
+      .select(col("id"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("id"))
+  }
+
   /** Connected components by iterative min-id label propagation.
     * DataFrame-iterative with per-iteration localCheckpoint to cut
     * lineage; converges when no label changes (checked with a cheap

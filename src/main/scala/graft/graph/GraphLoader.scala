@@ -72,6 +72,18 @@ object GraphLoader {
       SupplierOffset, "s_suppkey", NationOffset, "s_nationkey")
     val inRegion = edge(Tables.nation(spark, sfDir),
       NationOffset, "n_nationkey", RegionOffset, "n_regionkey")
+    // chain relationship (nation → next nation in the same region, by
+    // key order): gives the graph genuinely recursive structure for
+    // variable-length path queries
+    val nextW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val nextInRegion = Tables.nation(spark, sfDir)
+      .withColumn("nxt", org.apache.spark.sql.functions.lead(col("n_nationkey"), 1).over(nextW))
+      .filter(col("nxt").isNotNull)
+      .select(
+        (lit(NationOffset) + col("n_nationkey").cast("long")).as("__src"),
+        (lit(NationOffset) + col("nxt").cast("long")).as("__dst"))
+
     val supplies = Tables.lineitem(spark, sfDir)
       .select(
         (lit(SupplierOffset) + col("l_suppkey")).as("__src"),
@@ -85,6 +97,6 @@ object GraphLoader {
       rels = Map(
         "PLACED_BY" -> placedBy, "FROM_NATION" -> fromNation,
         "SUPP_NATION" -> suppNation, "IN_REGION" -> inRegion,
-        "SUPPLIES" -> supplies))
+        "SUPPLIES" -> supplies, "NEXT_IN_REGION" -> nextInRegion))
   }
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming twins of the batch event operators (SURVEY
+  * §2.2 #17-18). The batch versions in graft.operators.Events are the
+  * oracle-checked truth; these run the same semantics incrementally:
+  *
+  *  - [[windowAgg]] is literally the same `window()` aggregation —
+  *    Spark runs one plan shape in both modes; the watermark bounds
+  *    state retention.
+  *  - [[sessionize]] swaps the batch sort-based lag/cumsum for O(1)
+  *    per-key state via flatMapGroupsWithState, which is what survives
+  *    unbounded streams: state per user is one open session, emitted
+  *    and dropped on gap expiry or event-time timeout.
+  */
+object StreamingJobs {
+
+  /** Tumbling 1-hour window counts/sums with a 2-hour watermark.
+    * Input must have (ts: timestamp, event_type: string,
+    * value: double).
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  final case class SessionState(
+      start: Long, end: Long, nEvents: Long, sumValue: Double)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Gap-based sessionization with explicit keyed state. Emits a
+    * session when a gap > 30 min is observed within a key's batch or
+    * when the event-time timeout fires (watermark passed the gap).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+              s.nEvents, s.sumValue)
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) {
+                cur = SessionState(t, t, 1L, e.value)
+              } else if (t - cur.end > GapMs) {
+                out += Session(userId, new Timestamp(cur.start),
+                  new Timestamp(cur.end), cur.nEvents, cur.sumValue)
+                cur = SessionState(t, t, 1L, e.value)
+              } else {
+                cur = SessionState(cur.start, math.max(cur.end, t),
+                  cur.nEvents + 1L, cur.sumValue + e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end + GapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+}

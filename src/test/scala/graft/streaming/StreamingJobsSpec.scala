@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingJobsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
+
+  test("streaming window agg matches the batch aggregation on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamingJobs.windowAgg(events).writeStream
+      .format("memory").queryName("winagg").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(0), "click", 1.0), (ts(10), "click", 2.0),
+        (ts(61), "click", 4.0), (ts(5), "view", 8.0))
+      q.processAllAvailable()
+      val got = spark.table("winagg")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "click", 1L, 4.0),
+        (ts(0), "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits gap-separated sessions like the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingJobs.Event]
+    val q = StreamingJobs.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at minute 0, 10 (one session), then 50 (> 30 min gap)
+      input.addData(
+        StreamingJobs.Event(1, ts(0), 1L, 1.0),
+        StreamingJobs.Event(2, ts(10), 1L, 2.0),
+        StreamingJobs.Event(3, ts(50), 1L, 4.0),
+        StreamingJobs.Event(4, ts(0), 2L, 8.0))
+      // advance the watermark far enough to time out open sessions
+      input.addData(StreamingJobs.Event(99, ts(600), 3L, 0.0))
+      q.processAllAvailable()
+      input.addData(StreamingJobs.Event(100, ts(1200), 3L, 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions")
+        .filter(col("user_id").isin(1L, 2L))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == Set(
+        (1L, ts(0), ts(10), 2L, 3.0),
+        (1L, ts(50), ts(50), 1L, 4.0),
+        (2L, ts(0), ts(0), 1L, 8.0)))
+    } finally q.stop()
+  }
+}
