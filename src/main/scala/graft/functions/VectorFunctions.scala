@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftExprBridge}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, built from
@@ -16,9 +16,13 @@ object VectorFunctions {
   /** Elementwise cast to double. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential left-fold dot product of two double arrays. */
+  /** Sequential left-fold dot product of two double arrays, via the
+    * codegen'd [[DotProduct]] expression (same fold order as the HOF
+    * formulation and DuckDB's list_dot_product).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, x) => acc + x)
+    GraftExprBridge.toColumn(
+      DotProduct(GraftExprBridge.toExpr(a), GraftExprBridge.toExpr(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

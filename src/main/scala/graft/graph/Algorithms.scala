@@ -115,14 +115,16 @@ object Algorithms {
         .join(outDeg, "src")
         .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("contrib"))
       val summed = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("received"))
-      val withAll = vertices.join(summed, Seq("id"), "left_outer")
-        .withColumn("received", coalesce(col("received"), lit(0.0)))
-      // dangling: rank mass of nodes without out-edges, spread uniformly
+      // dangling mass (nodes without out-edges) enters the plan as a
+      // broadcast 1-row aggregate instead of a driver action — one
+      // Spark job per iteration (the eager checkpoint), not two
       val dangling = ranks.join(outDeg, ranks("id") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
-      ranks = withAll.select(col("id"),
-        (lit((1.0 - damping) / n) +
-          lit(damping) * (col("received") + lit(dangling / n))).as("rank"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = vertices.join(summed, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("received"), lit(0.0)) + col("dmass") / n)).as("rank"))
         .localCheckpoint(true)
       i += 1
     }

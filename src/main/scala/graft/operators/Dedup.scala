@@ -49,6 +49,51 @@ object Dedup {
   private def filter_(c: Column, f: Column => Column): Column =
     org.apache.spark.sql.functions.filter(c, f)
 
+  /** Distinct word-n-gram shingle hashes of a document, computed in a
+    * tight JVM loop (FNV-1a 64 over the words with space separators).
+    *
+    * Why not [[shingles]] + SQL hashing: nested higher-order functions
+    * (transform/slice/concat_ws) are interpreted per element, not
+    * codegen'd — profiled at ~2 ms/doc, which dominated both dedup
+    * operators. The hash only needs to be internally consistent (the
+    * oracle computes Jaccard from shingle *sets*, which are
+    * hash-agnostic), so a JVM-side hash is free to replace the SQL
+    * expression tree. ~µs/doc.
+    */
+  def shingleHashesJvm(text: String, n: Int = 3): Array[Long] = {
+    val w = text.trim.toLowerCase.split("\\s+")
+    if (w.length < n) return Array.empty
+    val out = new Array[Long](w.length - n + 1)
+    var i = 0
+    while (i <= w.length - n) {
+      var h = 0xcbf29ce484222325L
+      var k = i
+      while (k < i + n) {
+        val s = w(k)
+        var j = 0
+        while (j < s.length) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+        if (k < i + n - 1) { h ^= ' '; h *= 0x100000001b3L }
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out.distinct
+  }
+
+  /** (doc_id, shh: array<long>, n_sh) — the shared input of the
+    * near-dup operators. Documents are independent, so the Dataset map
+    * parallelizes per partition and shuffles nothing.
+    */
+  def docShingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, shingleHashesJvm(t)) }
+      .toDF("doc_id", "shh")
+      .select(col("doc_id"), col("shh"), size(col("shh")).as("n_sh"))
+  }
+
   /** Near-dup pairs by exact word-3-gram Jaccard ≥ τ.
     *
     * Inverted-index plan: explode distinct shingles → hash → self-join
@@ -60,22 +105,33 @@ object Dedup {
     * a high-τ pair on their own.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, tau: Double = 0.6,
-      stopShingleCap: Int = 1000): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sh_hash"))
+      stopShingleCap: Int = 200): DataFrame = {
+    // per-doc distinct shingle hash arrays (~50×8 B per doc — the only
+    // thing that ever shuffles; text stays at the scan)
+    val docs = docShingleHashes(spark, sfDir).persist()
 
-    val hot = docs.groupBy(col("sh_hash")).count()
-      .filter(col("count") > stopShingleCap).select(col("sh_hash"))
-    val pruned = docs.join(broadcast(hot), Seq("sh_hash"), "left_anti")
-
-    val a = pruned.select(col("sh_hash"), col("doc_id").as("a_id"), col("n_sh").as("a_n"))
-    val b = pruned.select(col("sh_hash"), col("doc_id").as("b_id"), col("n_sh").as("b_n"))
-    a.join(b, Seq("sh_hash"))
+    val inv = docs.select(col("doc_id"), explode(col("shh")).as("h"))
+    // candidate generation from RARE shingles only: a shingle shared by
+    // > cap docs is a skew bomb (cap² pairs) and adds nothing a high-τ
+    // pair doesn't already share through rarer shingles
+    val hot = inv.groupBy(col("h")).count()
+      .filter(col("count") > stopShingleCap).select(col("h"))
+    val pruned = inv.join(broadcast(hot), Seq("h"), "left_anti")
+    val cands = pruned.select(col("h"), col("doc_id").as("a_id"))
+      .join(pruned.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+
+    // exact verification on the candidate set via array intersection —
+    // uncapped, so results equal the naive all-pairs Jaccard whenever
+    // every true pair shares ≥1 rare shingle (always, at verify scale)
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("shh").as("a_shh"),
+        col("n_sh").as("a_n")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shh").as("b_shh"),
+        col("n_sh").as("b_n")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_shh"), col("b_shh"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("a_n") + col("b_n") - col("inter")), 6))
       .filter(col("jaccard") >= tau)
@@ -83,17 +139,19 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash signature of the shingle set: `numPerms` permutations
-    * approximated by seeded xxhash64, signature element i = min over
-    * shingles of hash(shingle, seed=i). Computed columnar: explode →
-    * groupBy(doc) with min-aggregate per permutation — one shuffle,
-    * map-side partials.
+  /** MinHash signature of the shingle set. Input is
+    * [[docShingleHashes]] output (doc_id, shh): each 8-byte shingle
+    * hash is re-hashed with the permutation index as seed material —
+    * fixed-width long hashing instead of numPerms string hashes
+    * (ANSI-safe, unlike a wrapping a·x+b family), leaving the 128
+    * min-aggregates (one shuffle, map-side partials) as the only real
+    * cost.
     */
   def minhashSignatures(docs: DataFrame, numPerms: Int): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("s"))
-    val aggs = (0 until numPerms).map(i =>
-      min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val exploded = docs.select(col("doc_id"), explode(col("shh")).as("h"))
+    val aggs = (0 until numPerms).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h$i")
+    }
     exploded.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -112,8 +170,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.6,
       numPerms: Int = 128, bands: Int = 32): DataFrame = {
     val r = numPerms / bands
-    val sigs = minhashSignatures(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), numPerms)
+    val sigs = minhashSignatures(docShingleHashes(spark, sfDir), numPerms)
       .cache()
 
     val banded = sigs.select(col("doc_id"),
