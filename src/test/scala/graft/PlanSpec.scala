@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide 100 TB behavior —
+  * filters reaching the parquet scan, column pruning, dimension
+  * broadcasts, top-k as TakeOrderedAndProject — asserted on explain
+  * output so a regression shows up as a test failure, not as a 10×
+  * bench slowdown three rounds later.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 scan prunes lineitem to the referenced columns") {
+    val plan = planOf(Relational.q1Agg(spark, TestSpark.sf))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      s"unexpected columns in $readSchema")
+  }
+
+  test("q3 predicates push down to both fact scans") {
+    val plan = planOf(Relational.q3TopkJoin(spark, TestSpark.sf))
+    assert(plan.contains("PushedFilters"))
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r.findFirstIn(plan).isDefined,
+      "l_shipdate filter not pushed to parquet")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment,BUILDING".r
+      .findFirstIn(plan).isDefined, "c_mktsegment filter not pushed")
+  }
+
+  test("q3 top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.q3TopkJoin(spark, TestSpark.sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q5 broadcasts the dimension side of every star join") {
+    val plan = planOf(Relational.q5MultiJoin(spark, TestSpark.sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      "star joins must not shuffle the fact table against dimensions")
+  }
+
+  test("cypher WHERE predicates reach the node-table scan") {
+    val df = cypher.CypherQueries.matchFilter(spark, TestSpark.sf)
+    val plan = planOf(df)
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment,BUILDING".r
+      .findFirstIn(plan).isDefined,
+      "cypher property predicate did not push to parquet scan")
+  }
+
+  test("cypher ORDER BY + LIMIT compiles to TakeOrderedAndProject") {
+    val plan = planOf(cypher.CypherQueries.orderLimit(spark, TestSpark.sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity queries broadcast the query side") {
+    val plan = planOf(Similarity.topkBruteforce(spark, TestSpark.sf))
+    assert(plan.contains("Broadcast"), "query vectors should broadcast")
+  }
+
+  test("dot product is the codegen'd expression, not interpreted HOFs") {
+    val plan = planOf(Similarity.topkBruteforce(spark, TestSpark.sf))
+    assert(plan.contains("dotproduct") || plan.contains("DotProduct"),
+      s"expected DotProduct expression in plan")
+  }
+}
