@@ -27,8 +27,14 @@ object Tables {
     * precision: epoch-ns ≈ 1.7e18 > 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(s, d, "events")
+    // The flag must be live at execution time (the scan's schema
+    // converter reads it per file), so a save/restore around the read
+    // would break lazy plans. Instead the read happens in a derived
+    // session (shared SparkContext, isolated SQLConf): the caller's
+    // session conf is never mutated.
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(iso, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else raw

@@ -60,12 +60,21 @@ object Algorithms {
       .orderBy(col("id"))
   }
 
-  /** Connected components by iterative min-id label propagation.
-    * DataFrame-iterative with per-iteration localCheckpoint to cut
-    * lineage; converges when no label changes (checked with a cheap
-    * count, early-stop). Undirected semantics: edges mirrored.
+  /** Connected components by iterative min-id label propagation with
+    * pointer jumping. DataFrame-iterative with per-iteration
+    * localCheckpoint to cut lineage; converges when no label changes
+    * (checked with a cheap count, early-stop). Undirected semantics:
+    * edges mirrored.
+    *
+    * Each iteration does (1) one hop of edge propagation and (2) one
+    * pointer-jump (`comp ← label(comp)`), so label information travels
+    * ~2× the distance per round — O(log diameter)-ish rounds on
+    * chains, the same idea as the star-contraction CC algorithms.
+    * Exiting without convergence is a hard error: truncated label
+    * propagation silently returns WRONG components, which is never
+    * acceptable.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -79,16 +88,29 @@ object Algorithms {
       val propagated = und
         .join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp"))
+      // checkpoint before the self-join: cuts lineage AND gives the
+      // jump join two independent LogicalRDD scans of one materialized
+      // result instead of re-deriving the union twice
+      val hop = labels.select(col("id"), col("comp"))
         .unionByName(propagated)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
+      // pointer jump: my component's own label may already be smaller —
+      // adopt it, doubling the effective propagation distance per round
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("a.comp") === col("cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
       val changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
         .filter(col("comp") =!= col("old_comp")).limit(1).count()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations - " +
+        "results would be wrong; raise maxIter for graphs of this diameter")
     labels
   }
 

@@ -14,18 +14,43 @@ import org.apache.spark.sql.functions._
   */
 object CypherPayload {
 
-  /** Payload template, mirroring Neo4jFormatBase.PAYLOAD_TEMPLATE. */
+  /** Payload template, mirroring Neo4jFormatBase.PAYLOAD_TEMPLATE.
+    * Used by the oracle-checked [[writeBatches]] query, whose inputs
+    * are JSON-safe by construction; the live HTTP path goes through
+    * [[statementJson]] instead.
+    */
   val PayloadTemplate = """{"statements" : [ {"statement" : "%s", "parameters" : {%s} }]}"""
+
+  /** Builds the transactional payload with jackson so arbitrary query
+    * text (quotes, backslashes, newlines, control characters)
+    * serializes to valid JSON — the reference's String.format with
+    * quote-only escaping (Neo4jFormatBase.java:44) breaks on those.
+    */
+  def statementJson(query: String,
+      parameters: Map[String, com.fasterxml.jackson.databind.JsonNode] = Map.empty)
+      : String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val stmt = root.putArray("statements").addObject()
+    stmt.put("statement", query)
+    val params = stmt.putObject("parameters")
+    parameters.foreach { case (k, v) =>
+      params.set[com.fasterxml.jackson.databind.JsonNode](k, v)
+    }
+    mapper.writeValueAsString(root)
+  }
 
   /** Extracts the parameter name from an `UNWIND $param …` query
     * (reference semantics: Neo4jOutputFormat.getParameterName, which
     * matched the legacy `UNWIND {param}` form; Cypher has since moved
-    * to `$param`, we accept both).
+    * to `$param`, we accept both). `(?s)` so multi-line queries match;
+    * the brace and dollar forms are strict alternatives, so mismatched
+    * mixtures like `UNWIND {param ` are rejected.
     */
   def parameterName(query: String): String = {
-    val m = """^(?i)UNWIND [\{\$]([A-Za-z0-9_]+)\}? .*""".r
+    val m = """(?is)^\s*UNWIND\s+(?:\{([A-Za-z0-9_]+)\}|\$([A-Za-z0-9_]+))\s.*""".r
     query match {
-      case m(p) => p
+      case m(brace, dollar) => if (brace != null) brace else dollar
       case _ => throw new IllegalArgumentException(
         "Query does not contain a parameter statement.")
     }

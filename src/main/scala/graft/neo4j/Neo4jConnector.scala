@@ -74,8 +74,7 @@ private[neo4j] object Http {
 object Neo4jReader {
 
   def read(spark: SparkSession, cfg: Neo4jConfig, schema: StructType): DataFrame = {
-    val payload = String.format(CypherPayload.PayloadTemplate,
-      cfg.query.replace("\"", "\\\""), "")
+    val payload = CypherPayload.statementJson(cfg.query)
     val resp = Http.post(cfg, payload)
     val rows =
       try Neo4jRowParser.parseRows(resp.body()).map(coerce(_, schema)).toVector
@@ -117,18 +116,18 @@ object Neo4jWriter {
     val schema = df.schema
     df.foreachPartition { (rows: Iterator[Row]) =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val buf = new scala.collection.mutable.ArrayBuffer[String]()
+      var batch = mapper.createArrayNode()
 
-      def flush(): Unit = if (buf.nonEmpty) {
-        val payload = String.format(CypherPayload.PayloadTemplate,
-          cfg.query.replace("\"", "\\\""),
-          "\"" + param + "\" : [" + buf.mkString(",") + "]")
+      // whole payload built by jackson (query text AND parameter rows),
+      // so no hand-spliced JSON anywhere on the wire path
+      def flush(): Unit = if (batch.size() > 0) {
+        val payload = CypherPayload.statementJson(cfg.query, Map(param -> batch))
         Http.post(cfg, payload).body().close()
-        buf.clear()
+        batch = mapper.createArrayNode()
       }
 
       rows.foreach { row =>
-        val node = mapper.createObjectNode()
+        val node = batch.addObject()
         parameterKeys.zipWithIndex.foreach { case (key, i) =>
           row.get(i) match {
             case null       => node.putNull(key)
@@ -143,8 +142,7 @@ object Neo4jWriter {
                 s"(column ${schema.fields(i).name})")
           }
         }
-        buf += node.toString
-        if (buf.size >= batchSize) flush()
+        if (batch.size() >= batchSize) flush()
       }
       flush()
     }

@@ -33,16 +33,14 @@ object Neo4jRowParser {
             require(parser.nextToken() == JsonToken.START_ARRAY,
               s""""$RowField" field must hold an array""")
             val buf = new ArrayBuffer[Any]()
-            var depth = 1
             var tok = parser.nextToken()
-            while (depth > 0) {
-              tok match {
-                case JsonToken.END_ARRAY   => depth -= 1
-                case JsonToken.START_ARRAY => depth += 1
-                case _ if depth == 1       => buf += scalar(tok)
-                case _                     => // nested values unsupported at depth>1
-              }
-              if (depth > 0) tok = parser.nextToken()
+            while (tok != JsonToken.END_ARRAY) {
+              // nested arrays/objects are unsupported cell types and must
+              // fail loudly — silently skipping them would shrink the row
+              // and shift every later column against the schema
+              // (reference throws the same way, Neo4jInputFormat.java:137)
+              buf += scalar(tok)
+              tok = parser.nextToken()
             }
             return buf.toArray
           }

@@ -115,8 +115,23 @@ object Dedup {
     // > cap docs is a skew bomb (cap² pairs) and adds nothing a high-τ
     // pair doesn't already share through rarer shingles
     val hot = inv.groupBy(col("h")).count()
-      .filter(col("count") > stopShingleCap).select(col("h"))
-    val pruned = inv.join(broadcast(hot), Seq("h"), "left_anti")
+      .filter(col("count") > stopShingleCap)
+    val prunedRare = inv.join(broadcast(hot.select(col("h"))), Seq("h"), "left_anti")
+    // fallback: a doc whose EVERY shingle is hot (pure boilerplate)
+    // would otherwise generate no candidates while the exact oracle
+    // still pairs it — keep each such doc's single rarest shingle, so
+    // boilerplate clusters pair among themselves and the pair volume
+    // stays bounded by the cluster, not cap²
+    val orphanDocs = docs.select(col("doc_id"))
+      .join(prunedRare.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val rarestW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("count"), col("h"))
+    val orphanPick = inv.join(orphanDocs, Seq("doc_id"), "left_semi")
+      .join(broadcast(hot), Seq("h"))
+      .withColumn("rnk", row_number().over(rarestW))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("h"))
+    val pruned = prunedRare.unionByName(orphanPick.select(col("doc_id"), col("h")))
     val cands = pruned.select(col("h"), col("doc_id").as("a_id"))
       .join(pruned.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
       .filter(col("a_id") < col("b_id"))

@@ -81,9 +81,11 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(rows.length == 3)
     assert(rows.map(_.getString(1)).toSet == Set("Alice", "Bob", "Carol"))
-    // the POST body carried the query in the reference's payload template
-    val sent = received.poll()
-    assert(sent.contains(""""statement" : "MATCH (n:User) RETURN id(n), n.name, n.born""""))
+    // the POST body carried the query in the transactional payload shape
+    val sent = new com.fasterxml.jackson.databind.ObjectMapper().readTree(received.poll())
+    assert(sent.at("/statements/0/statement").asText()
+      == "MATCH (n:User) RETURN id(n), n.name, n.born")
+    assert(sent.at("/statements/0/parameters").isObject)
   }
 
   test("reader surfaces non-200 as IOException (reference behavior)") {
@@ -110,9 +112,13 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allRows = bodies.flatMap(b =>
       """\{"name":"user\d+","born":\d+\}""".r.findAllIn(b).toList)
     assert(allRows.length == 25)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     bodies.foreach { b =>
-      assert(b.contains(""""inserts" : ["""))
-      assert(b.contains("UNWIND $inserts AS i CREATE"))
+      val tree = mapper.readTree(b)
+      assert(tree.at("/statements/0/statement").asText()
+        .startsWith("UNWIND $inserts AS i CREATE"))
+      assert(tree.at("/statements/0/parameters/inserts").isArray)
+      assert(tree.at("/statements/0/parameters/inserts").size() <= 10)
     }
   }
 
@@ -123,5 +129,26 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       CypherPayload.parameterName("CREATE (a:User)"))
     assert(CypherPayload.parameterName("UNWIND $rows AS r CREATE (a)") == "rows")
     assert(CypherPayload.parameterName("UNWIND {rows} AS r CREATE (a)") == "rows")
+    // multi-line queries match; mismatched brace forms are rejected
+    assert(CypherPayload.parameterName("UNWIND $rows AS r\nCREATE (a)") == "rows")
+    assertThrows[IllegalArgumentException](
+      CypherPayload.parameterName("UNWIND {rows AS r CREATE (a)"))
+  }
+
+  test("row parser rejects array and object cells (reference behavior)") {
+    def parse(body: String) = Neo4jRowParser.parseRows(
+      new ByteArrayInputStream(body.getBytes(StandardCharsets.UTF_8))).toList
+    // a silently skipped array cell would shift all later columns
+    assertThrows[IllegalArgumentException](
+      parse("""{"results":[{"data":[{"row":[1,[2,3],4]}]}]}"""))
+    assertThrows[IllegalArgumentException](
+      parse("""{"results":[{"data":[{"row":[1,{"a":2}]}]}]}"""))
+  }
+
+  test("statement payloads stay valid JSON for hostile query text") {
+    val q = "MATCH (n) WHERE n.name = \"x\\y\nz\" RETURN n"
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(CypherPayload.statementJson(q))
+    assert(tree.at("/statements/0/statement").asText() == q)
   }
 }
