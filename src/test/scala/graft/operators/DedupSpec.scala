@@ -26,8 +26,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash near-dup pairs all verify true hamming distance") {
-    val sigs = Dedup.simhashSignatures(
-        graft.Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("text")))
+    val sigs = Dedup.simhashSignatures(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.simhashNearDup(spark, TestSpark.sf, maxHamming = 3).collect()
     assert(pairs.nonEmpty)
