@@ -75,11 +75,19 @@ object Algorithms {
     * propagation silently returns WRONG components, which is never
     * acceptable.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** @param jumpAfter iteration index from which the pointer-jump step
+    *   is added. Plain propagation converges in O(diameter) rounds at
+    *   one shuffle each — optimal for the shallow graphs that dominate
+    *   in practice; the jump join (two extra shuffles/round) only pays
+    *   for itself on deep chains, so it switches on adaptively once
+    *   the iteration count reveals the graph IS deep.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      jumpAfter: Int = 8): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .repartition(col("src")).localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -89,20 +97,22 @@ object Algorithms {
       val propagated = und
         .join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      // checkpoint before the self-join: cuts lineage AND gives the
-      // jump join two independent LogicalRDD scans of one materialized
-      // result instead of re-deriving the union twice
       val hop = labels.select(col("id"), col("comp"))
         .unionByName(propagated)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
       // pointer jump: my component's own label may already be smaller —
-      // adopt it, doubling the effective propagation distance per round
-      val next = hop.as("a")
-        .join(hop.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("a.comp") === col("cid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
+      // adopt it, doubling the effective propagation distance per
+      // round. hop is checkpointed first: that cuts lineage AND gives
+      // the self-join two independent LogicalRDD scans of one
+      // materialized result.
+      val next =
+        if (iter < jumpAfter) hop
+        else hop.as("a")
+          .join(hop.select(col("id").as("cid"), col("comp").as("ccomp")),
+            col("a.comp") === col("cid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.comp"), coalesce(col("ccomp"), col("a.comp"))).as("comp"))
       val changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
         .filter(col("comp") =!= col("old_comp")).limit(1).count()
       labels = next
@@ -116,41 +126,58 @@ object Algorithms {
   }
 
   /** PageRank, fixed iteration count (deterministic), damping 0.85.
-    * Dangling mass redistributed uniformly. Out-degrees computed once
-    * and cached; each iteration is one join + one groupBy on node id —
-    * the canonical shuffle-minimal DataFrame formulation.
+    * Dangling mass redistributed uniformly.
+    *
+    * Shuffle discipline (the part that matters at 100 TB): the static
+    * structures — edges pre-joined with out-degrees and hash-
+    * partitioned by src, vertices carrying a `has_out` flag and
+    * partitioned by id — are materialized ONCE (localCheckpoint
+    * preserves outputPartitioning). Each iteration then shuffles only
+    * the contribution aggregation: the edge×rank join co-locates on
+    * existing partitioning, the vertices×received join reuses the
+    * aggregation's id-partitioning, and dangling mass is a filter on
+    * `has_out` (no anti-join). One shuffle per iteration total.
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesDeg = e.join(outDeg, "src")
+      .repartition(col("src")).localCheckpoint(true)
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .join(outDeg.select(col("src").as("id"), lit(true).as("has_out")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .repartition(col("id")).localCheckpoint(true)
     val n = vertices.count().toDouble
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
 
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var i = 0
     while (i < iterations) {
-      val contribs = e
-        .join(ranks, e("src") === ranks("id"))
-        .join(outDeg, "src")
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("contrib"))
       val summed = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("received"))
       // dangling mass (nodes without out-edges) enters the plan as a
-      // broadcast 1-row aggregate instead of a driver action — one
-      // Spark job per iteration (the eager checkpoint), not two
-      val dangling = ranks.join(outDeg, ranks("id") === outDeg("src"), "left_anti")
+      // broadcast 1-row aggregate instead of a driver action — no
+      // extra Spark job per iteration
+      val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       ranks = vertices.join(summed, Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("has_out"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("received"), lit(0.0)) + col("dmass") / n)).as("rank"))
-        .localCheckpoint(true)
+      // materialize every SECOND iteration: each un-checkpointed round
+      // triples the plan (ranks feeds contribs, dangling, and the
+      // final join), so stride 2 keeps the plan bounded (~9 scans of
+      // the last materialization) while halving the eager-write cost —
+      // the fixed overhead that dominates iterative DataFrame loops
+      if (i % 2 == 1 || i == iterations - 1) ranks = ranks.localCheckpoint(true)
       i += 1
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 }

@@ -131,22 +131,41 @@ object Dedup {
       .withColumn("rnk", row_number().over(rarestW))
       .filter(col("rnk") === 1)
       .select(col("doc_id"), col("h"))
-    val pruned = prunedRare.unionByName(orphanPick.select(col("doc_id"), col("h")))
-    val cands = pruned.select(col("h"), col("doc_id").as("a_id"))
-      .join(pruned.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
 
-    // exact verification on the candidate set via array intersection —
-    // uncapped, so results equal the naive all-pairs Jaccard whenever
-    // every true pair shares ≥1 rare shingle (always, at verify scale)
+    // exact intersection split by rarity class: rare and hot shingles
+    // partition the shingle space, so |A∩B| = |A∩B|_rare + |A∩B|_hot.
+    // The rare part falls out of the candidate self-join as a COUNT
+    // (one groupBy — replaces a distinct + two joins shipping full
+    // signature arrays); the hot part intersects per-doc HOT-ONLY
+    // arrays, which are bounded by the stop-shingle list, not the
+    // document length.
+    val rarePairs = prunedRare.select(col("h"), col("doc_id").as("a_id"))
+      .join(prunedRare.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("rare_inter"))
+    // orphan docs have zero rare shingles (rare_inter = 0) and only
+    // pair among themselves via the picked shingle — disjoint from
+    // rarePairs by construction
+    val orphanPairs = orphanPick.select(col("h"), col("doc_id").as("a_id"))
+      .join(orphanPick.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("rare_inter"))
+    val cands = rarePairs.unionByName(orphanPairs)
+
+    val hotSets = inv.join(broadcast(hot.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hot_shh"))
+    val meta = docs.select(col("doc_id"), col("n_sh"))
+      .join(hotSets, Seq("doc_id"), "left_outer")
+
     cands
-      .join(docs.select(col("doc_id").as("a_id"), col("shh").as("a_shh"),
-        col("n_sh").as("a_n")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("shh").as("b_shh"),
-        col("n_sh").as("b_n")), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_shh"), col("b_shh"))))
+      .join(meta.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+        col("hot_shh").as("a_hot")), "a_id")
+      .join(meta.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+        col("hot_shh").as("b_hot")), "b_id")
+      .withColumn("inter", col("rare_inter") +
+        when(col("a_hot").isNull || col("b_hot").isNull, lit(0))
+          .otherwise(size(array_intersect(col("a_hot"), col("b_hot")))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("a_n") + col("b_n") - col("inter")), 6))
       .filter(col("jaccard") >= tau)

@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.graph.{Algorithms, GraphLoader}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc perf harness: times one named operator repeatedly so plan
+  * changes can be compared without a full Bench run.
+  * Usage: runMain graft.tools.PerfLab <query> [reps]
+  */
+object PerfLab {
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("pagerank")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm
+    graft.Tables.orders(spark, sfDir).count()
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = what match {
+        case "pagerank" => Algorithms.pageRankQuery(spark, sfDir).count()
+        case "cc"       => Algorithms.connectedComponentsQuery(spark, sfDir).count()
+        case "ngram"    => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()
+        case "cc-after-warm" =>
+          // reproduce the Bench context: tiny-SF warmup of all queries,
+          // then the timed CC run
+          if (r == 1) {
+            graft.SparkEntry.queries.values.foreach(fn =>
+              try fn(spark, "/root/testdata/sf0.001").count()
+              catch { case _: Throwable => () })
+            spark.sharedState.cacheManager.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          }
+          val t1 = System.nanoTime()
+          val c = Algorithms.connectedComponentsQuery(spark, sfDir).count()
+          println(f"[perflab] cc-only: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+          c
+        case "explain-pagerank" =>
+          val g = GraphLoader.tpch(spark, sfDir)
+          val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+            .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+            .reduce(_.unionByName(_))
+          Algorithms.pageRank(spark, edges, 2).explain("formatted"); 0L
+      }
+      println(f"[perflab] $what rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}
