@@ -26,6 +26,9 @@ object SparkEntry {
     "cypher_order_limit"    -> (cypher.CypherQueries.orderLimit(_, _)),
     "cypher_optional_match" -> (cypher.CypherQueries.optionalMatch(_, _)),
     "cypher_var_expand"     -> (cypher.CypherQueries.varExpand(_, _)),
+    "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
+    "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
+    "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -232,6 +235,18 @@ object SparkEntry {
     "cypher_aggregate" ->
       """SELECT n_name AS nation, COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "cypher_with_agg" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING COUNT(*) > 59 ORDER BY nation""".stripMargin,
+    "cypher_collect_unwind" ->
+      """SELECT n_name AS nation FROM nation ORDER BY nation""".stripMargin,
+    "cypher_multi_match" ->
+      """SELECT n_name AS nation, COUNT(*) AS pairs
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation""".stripMargin,
     "cypher_order_limit" ->
       """SELECT c_name AS name, c_acctbal AS acctbal

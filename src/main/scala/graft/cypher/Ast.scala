@@ -8,11 +8,15 @@ package graft.cypher
   * property-graph DataFrames — that is what makes the same surface
   * scale past a single server.
   *
-  * Grammar (round 1):
+  * Grammar (round 2 — clause pipeline):
   * {{{
-  *   query      := MATCH pattern (OPTIONAL MATCH pattern)*
-  *                 [WHERE expr] RETURN [DISTINCT] item (, item)*
-  *                 [ORDER BY sort (, sort)*] [SKIP n] [LIMIT n]
+  *   query      := clause+ return
+  *   clause     := [OPTIONAL] MATCH pattern [WHERE expr]
+  *               | WITH [DISTINCT] item (, item)* [WHERE expr]
+  *                 [ORDER BY sort*] [SKIP n] [LIMIT n]
+  *               | UNWIND expr AS var
+  *   return     := RETURN [DISTINCT] item (, item)*
+  *                 [ORDER BY sort*] [SKIP n] [LIMIT n]
   *   pattern    := node (rel node)*
   *   node       := '(' [var] [':' Label] [{prop: lit, …}] ')'
   *   rel        := '-[' [var] [':' TYPE] [*min..max] ']->'
@@ -25,6 +29,7 @@ object Ast {
   final case class Prop(variable: String, prop: String) extends CExpr
   final case class Ident(name: String) extends CExpr
   final case class LitV(value: Any) extends CExpr
+  final case class ListLit(items: Seq[CExpr]) extends CExpr
   final case class Cmp(op: String, l: CExpr, r: CExpr) extends CExpr
   final case class And(l: CExpr, r: CExpr) extends CExpr
   final case class Or(l: CExpr, r: CExpr) extends CExpr
@@ -54,7 +59,29 @@ object Ast {
       (start +: hops.map(_._2)).flatMap(_.variable)
   }
 
-  final case class MatchClause(chain: PatternChain, optional: Boolean)
+  sealed trait Clause
+  final case class MatchClause(chain: PatternChain, optional: Boolean) extends Clause
+  /** A WHERE attached to the clause it follows (applied immediately). */
+  final case class FilterClause(expr: CExpr) extends Clause
+  /** Horizon: re-projects the row set (aggregating when any item
+    * aggregates), optionally filters the projected rows (Cypher's
+    * HAVING), then the pipeline continues with the new bindings.
+    */
+  final case class WithClause(
+      distinct: Boolean,
+      items: Seq[ReturnItem],
+      where: Option[CExpr],
+      orderBy: Seq[SortItem],
+      skip: Option[Long],
+      limit: Option[Long]) extends Clause
+  /** UNWIND list AS var — one output row per list element. */
+  final case class UnwindClause(list: CExpr, alias: String) extends Clause
+  final case class ReturnClause(
+      distinct: Boolean,
+      items: Seq[ReturnItem],
+      orderBy: Seq[SortItem],
+      skip: Option[Long],
+      limit: Option[Long]) extends Clause
 
   final case class ReturnItem(expr: CExpr, alias: Option[String]) {
     def name: String = alias.getOrElse(expr match {
@@ -68,12 +95,9 @@ object Ast {
 
   final case class SortItem(ref: String, ascending: Boolean)
 
-  final case class CypherQuery(
-      matches: Seq[MatchClause],
-      where: Option[CExpr],
-      distinct: Boolean,
-      items: Seq[ReturnItem],
-      orderBy: Seq[SortItem],
-      skip: Option[Long],
-      limit: Option[Long])
+  final case class CypherQuery(clauses: Seq[Clause]) {
+    def returnClause: ReturnClause =
+      clauses.collectFirst { case r: ReturnClause => r }.getOrElse(
+        throw new IllegalArgumentException("query has no RETURN clause"))
+  }
 }

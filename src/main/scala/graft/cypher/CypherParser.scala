@@ -86,23 +86,52 @@ object CypherParser {
     }
 
     def query(): CypherQuery = {
-      val matches = Seq.newBuilder[MatchClause]
-      eatKw("MATCH")
-      matches += MatchClause(patternChain(), optional = false)
-      var whereExpr: Option[CExpr] = None
-      while (atKw("OPTIONAL") || atKw("MATCH")) {
-        val opt = atKw("OPTIONAL")
-        if (opt) { eatKw("OPTIONAL") }
-        eatKw("MATCH")
-        matches += MatchClause(patternChain(), optional = opt)
+      val clauses = Seq.newBuilder[Clause]
+      var sawReturn = false
+      var sawAny = false
+      while (!sawReturn) {
+        if (atKw("MATCH") || atKw("OPTIONAL")) {
+          val opt = atKw("OPTIONAL")
+          if (opt) eatKw("OPTIONAL")
+          eatKw("MATCH")
+          clauses += MatchClause(patternChain(), opt)
+          if (atKw("WHERE")) { eatKw("WHERE"); clauses += FilterClause(expr()) }
+        } else if (atKw("UNWIND")) {
+          eatKw("UNWIND")
+          val list = valueExpr()
+          eatKw("AS")
+          clauses += UnwindClause(list, ident())
+        } else if (atKw("WITH")) {
+          eatKw("WITH")
+          val (distinct, items) = projectionItems()
+          val where = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+          val (sorts, skip, limit) = tailModifiers()
+          clauses += WithClause(distinct, items, where, sorts, skip, limit)
+        } else if (atKw("RETURN")) {
+          eatKw("RETURN")
+          val (distinct, items) = projectionItems()
+          val (sorts, skip, limit) = tailModifiers()
+          clauses += ReturnClause(distinct, items, sorts, skip, limit)
+          sawReturn = true
+        } else throw new IllegalArgumentException(
+          s"expected MATCH/OPTIONAL MATCH/WITH/UNWIND/RETURN at token $pos, got $peek")
+        sawAny = true
       }
-      if (atKw("WHERE")) { eatKw("WHERE"); whereExpr = Some(expr()) }
-      eatKw("RETURN")
+      require(sawAny, "empty query")
+      require(pos == toks.length, s"trailing tokens from position $pos: ${toks.drop(pos)}")
+      CypherQuery(clauses.result())
+    }
+
+    private def projectionItems(): (Boolean, Seq[ReturnItem]) = {
       val distinct = atKw("DISTINCT")
       if (distinct) eatKw("DISTINCT")
       val items = Seq.newBuilder[ReturnItem]
       items += returnItem()
       while (atSym(",")) { eatSym(","); items += returnItem() }
+      (distinct, items.result())
+    }
+
+    private def tailModifiers(): (Seq[SortItem], Option[Long], Option[Long]) = {
       val sorts = Seq.newBuilder[SortItem]
       if (atKw("ORDER")) {
         eatKw("ORDER"); eatKw("BY")
@@ -111,9 +140,7 @@ object CypherParser {
       }
       val skip = if (atKw("SKIP")) { eatKw("SKIP"); Some(longLit()) } else None
       val limit = if (atKw("LIMIT")) { eatKw("LIMIT"); Some(longLit()) } else None
-      require(pos == toks.length, s"trailing tokens from position $pos: ${toks.drop(pos)}")
-      CypherQuery(matches.result(), whereExpr, distinct, items.result(),
-        sorts.result(), skip, limit)
+      (sorts.result(), skip, limit)
     }
 
     private def longLit(): Long = next() match {
@@ -242,6 +269,15 @@ object CypherParser {
         LitV(if (n.contains('.')) n.toDouble else n.toLong)
       case Some(TSym("(")) =>
         eatSym("("); val e = expr(); eatSym(")"); e
+      case Some(TSym("[")) =>
+        eatSym("[")
+        val items = Seq.newBuilder[CExpr]
+        if (!atSym("]")) {
+          items += valueExpr()
+          while (atSym(",")) { eatSym(","); items += valueExpr() }
+        }
+        eatSym("]")
+        ListLit(items.result())
       case t => throw new IllegalArgumentException(s"unexpected token $t")
     }
 

@@ -25,52 +25,119 @@ object CypherPlanner {
   def run(spark: SparkSession, graph: PropertyGraph, query: String): DataFrame =
     plan(graph, CypherParser.parse(query))
 
+  /** Pipeline state between clauses: the accumulated plan, the bound
+    * pattern variables (columns `v__*`), and the scalar bindings
+    * introduced by WITH/UNWIND (columns named directly).
+    */
+  private final case class Scope(
+      df: DataFrame, nodeVars: Set[String], scalars: Set[String])
+
   def plan(graph: PropertyGraph, q: CypherQuery): DataFrame = {
-    // plan the mandatory MATCH clauses, then left-join OPTIONAL ones
-    val (mandatory, optionals) = q.matches.partition(!_.optional)
-    require(mandatory.nonEmpty, "query needs at least one non-optional MATCH")
+    var s = Scope(null, Set.empty, Set.empty)
+    var out: DataFrame = null
+    q.clauses.foreach {
+      case MatchClause(chain, false) =>
+        val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df)
+        s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars)
 
-    var df: DataFrame = null
-    var bound = Set.empty[String]
-    mandatory.foreach { m =>
-      val (cdf, cvars) = planChain(graph, m.chain, bound, df)
-      df = cdf; bound ++= cvars
+      case MatchClause(chain, true) =>
+        val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
+        require(shared.nonEmpty,
+          "OPTIONAL MATCH must share at least one variable with a previous MATCH")
+        // plan the optional chain standalone (shared vars bind through
+        // the relationship join keys, no second node-table scan), then
+        // left-outer join on the shared variables' ids
+        val (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        val keys = shared.map(v => s"${v}__id")
+        // drop the optional side's duplicate copies of shared-var props
+        val dupCols = odf.columns.filter(c =>
+          shared.exists(v => c.startsWith(s"${v}__")) && !keys.contains(c))
+        s = s.copy(df = s.df.join(odf.drop(dupCols: _*), keys, "left_outer"),
+          nodeVars = s.nodeVars ++ ovars)
+
+      case FilterClause(e) =>
+        s = s.copy(df = s.df.filter(toColumn(e, s.scalars)))
+
+      case UnwindClause(list, alias) =>
+        val c = explode(toColumn(list, s.scalars)).as(alias)
+        val df =
+          if (s.df == null)
+            graph.nodes.values.head.sparkSession.range(1).select(c)
+          else s.df.select(s.df.columns.map(col) :+ c: _*)
+        s = Scope(df, s.nodeVars, s.scalars + alias)
+
+      case w: WithClause =>
+        s = planWith(s, w)
+
+      case r: ReturnClause =>
+        // a query can be pure projection (`RETURN 1`, `UNWIND … RETURN`)
+        if (s.df == null)
+          s = s.copy(df = graph.nodes.values.head.sparkSession.range(1).toDF())
+        out = planReturn(s, r)
     }
-    optionals.foreach { m =>
-      val shared = m.chain.nodeVars.filter(bound.contains).distinct
-      require(shared.nonEmpty,
-        "OPTIONAL MATCH must share at least one variable with a previous MATCH")
-      // plan the optional chain standalone (shared vars bind through
-      // the relationship join keys, no second node-table scan), then
-      // left-outer join on the shared variables' ids
-      val (odf, ovars) = planChain(graph, m.chain, Set.empty, null, shared.toSet)
-      val keys = shared.map(v => s"${v}__id")
-      // drop the optional side's duplicate copies of shared-var props
-      val dupCols = odf.columns.filter(c =>
-        shared.exists(v => c.startsWith(s"${v}__")) && !keys.contains(c))
-      df = df.join(odf.drop(dupCols: _*), keys, "left_outer")
-      bound ++= ovars
+    out
+  }
+
+  /** WITH: re-project the pipeline. A bare `v` item for a bound
+    * pattern variable carries the whole node through (all its
+    * columns); any other item becomes a scalar column named after the
+    * item. If any item aggregates, the non-aggregate items are the
+    * grouping keys (Cypher implicit grouping) and the trailing WHERE
+    * is a HAVING.
+    */
+  private def planWith(s: Scope, w: WithClause): Scope = {
+    val (aggs, keys) = w.items.partition(i => isAggregate(i.expr))
+    val nodeKeeps = keys.collect {
+      case ReturnItem(Ident(v), None) if s.nodeVars(v) => v
     }
+    val scalarItems = keys.filterNot {
+      case ReturnItem(Ident(v), None) => s.nodeVars(v)
+      case _                          => false
+    }
+    val nodeCols = nodeKeeps.flatMap(v =>
+      s.df.columns.filter(_.startsWith(s"${v}__")).map(col))
+    val scalarCols = scalarItems.map(i => toColumn(i.expr, s.scalars).as(i.name))
 
-    q.where.foreach(w => df = df.filter(toColumn(w)))
+    var df =
+      if (aggs.nonEmpty) {
+        val aggCols = aggs.map(i => toAggColumn(i.expr, s.scalars).as(i.name))
+        val keyCols = nodeCols ++ scalarCols
+        if (keyCols.isEmpty) s.df.agg(aggCols.head, aggCols.tail: _*)
+        else s.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      } else {
+        val sel = s.df.select(nodeCols ++ scalarCols: _*)
+        if (w.distinct) sel.distinct() else sel
+      }
+    w.where.foreach(e => df = df.filter(toColumn(e,
+      s.scalars ++ scalarItems.map(_.name) ++ aggs.map(_.name))))
+    if (w.orderBy.nonEmpty)
+      df = df.orderBy(w.orderBy.map(o =>
+        if (o.ascending) col(o.ref).asc else col(o.ref).desc): _*)
+    w.skip.foreach(n => df = df.offset(n.toInt))
+    w.limit.foreach(n => df = df.limit(n.toInt))
+    Scope(df, nodeKeeps.toSet,
+      (scalarItems.map(_.name) ++ aggs.map(_.name)).toSet)
+  }
 
+  private def planReturn(s: Scope, q: ReturnClause): DataFrame = {
+    var df = s.df
     val hasAgg = q.items.exists(i => isAggregate(i.expr))
     var out: DataFrame =
       if (hasAgg) {
         val (aggs, keys) = q.items.partition(i => isAggregate(i.expr))
-        val keyCols = keys.map(i => toColumn(i.expr).as(i.name))
-        val aggCols = aggs.map(i => toAggColumn(i.expr).as(i.name))
+        val keyCols = keys.map(i => toColumn(i.expr, s.scalars).as(i.name))
+        val aggCols = aggs.map(i => toAggColumn(i.expr, s.scalars).as(i.name))
         if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           .select(q.items.map(i => col(i.name)): _*)
       } else {
-        val sel = df.select(q.items.map(i => toColumn(i.expr).as(i.name)): _*)
+        val sel = df.select(q.items.map(i => toColumn(i.expr, s.scalars).as(i.name)): _*)
         if (q.distinct) sel.distinct() else sel
       }
 
     if (q.orderBy.nonEmpty) {
-      val sorts = q.orderBy.map(s =>
-        if (s.ascending) col(s.ref).asc else col(s.ref).desc)
+      val sorts = q.orderBy.map(o =>
+        if (o.ascending) col(o.ref).asc else col(o.ref).desc)
       out = out.orderBy(sorts: _*)
     }
     q.skip.foreach(n => out = out.offset(n.toInt))
@@ -176,32 +243,37 @@ object CypherPlanner {
     case _               => false
   }
 
-  private def toColumn(e: CExpr): Column = e match {
+  /** `scalars` holds the names bound by WITH/UNWIND (plain columns);
+    * bare identifiers outside that set are pattern variables and
+    * resolve to their node id column.
+    */
+  private def toColumn(e: CExpr, scalars: Set[String]): Column = e match {
     case Prop(v, p)   => col(s"${v}__$p")
-    case Ident(n)     => col(s"${n}__id")
+    case Ident(n)     => if (scalars(n)) col(n) else col(s"${n}__id")
     case LitV(x)      => lit(x)
-    case Cmp("=", l, r)  => toColumn(l) === toColumn(r)
-    case Cmp("<>", l, r) => toColumn(l) =!= toColumn(r)
-    case Cmp("<", l, r)  => toColumn(l) < toColumn(r)
-    case Cmp("<=", l, r) => toColumn(l) <= toColumn(r)
-    case Cmp(">", l, r)  => toColumn(l) > toColumn(r)
-    case Cmp(">=", l, r) => toColumn(l) >= toColumn(r)
+    case ListLit(xs)  => array(xs.map(toColumn(_, scalars)): _*)
+    case Cmp("=", l, r)  => toColumn(l, scalars) === toColumn(r, scalars)
+    case Cmp("<>", l, r) => toColumn(l, scalars) =!= toColumn(r, scalars)
+    case Cmp("<", l, r)  => toColumn(l, scalars) < toColumn(r, scalars)
+    case Cmp("<=", l, r) => toColumn(l, scalars) <= toColumn(r, scalars)
+    case Cmp(">", l, r)  => toColumn(l, scalars) > toColumn(r, scalars)
+    case Cmp(">=", l, r) => toColumn(l, scalars) >= toColumn(r, scalars)
     case Cmp(op, _, _)   => throw new IllegalArgumentException(s"bad operator $op")
-    case And(l, r)    => toColumn(l) && toColumn(r)
-    case Or(l, r)     => toColumn(l) || toColumn(r)
-    case Not(x)       => !toColumn(x)
+    case And(l, r)    => toColumn(l, scalars) && toColumn(r, scalars)
+    case Or(l, r)     => toColumn(l, scalars) || toColumn(r, scalars)
+    case Not(x)       => !toColumn(x, scalars)
     case f: FnCall    => throw new IllegalArgumentException(
       s"aggregate ${f.name} not allowed here")
   }
 
-  private def toAggColumn(e: CExpr): Column = e match {
+  private def toAggColumn(e: CExpr, scalars: Set[String]): Column = e match {
     case FnCall("count", _, true)    => count(lit(1))
-    case FnCall("count", Some(a), _) => count(toColumn(a))
-    case FnCall("sum", Some(a), _)   => sum(toColumn(a))
-    case FnCall("min", Some(a), _)   => min(toColumn(a))
-    case FnCall("max", Some(a), _)   => max(toColumn(a))
-    case FnCall("avg", Some(a), _)   => avg(toColumn(a))
-    case FnCall("collect", Some(a), _) => sort_array(collect_list(toColumn(a)))
+    case FnCall("count", Some(a), _) => count(toColumn(a, scalars))
+    case FnCall("sum", Some(a), _)   => sum(toColumn(a, scalars))
+    case FnCall("min", Some(a), _)   => min(toColumn(a, scalars))
+    case FnCall("max", Some(a), _)   => max(toColumn(a, scalars))
+    case FnCall("avg", Some(a), _)   => avg(toColumn(a, scalars))
+    case FnCall("collect", Some(a), _) => sort_array(collect_list(toColumn(a, scalars)))
     case other => throw new IllegalArgumentException(s"not an aggregate: $other")
   }
 }

@@ -69,4 +69,36 @@ object CypherQueries {
         |OPTIONAL MATCH (o:Order)-[:PLACED_BY]->(c)
         |RETURN c.name AS cust, o.orderkey AS orderkey
         |ORDER BY cust, orderkey""".stripMargin)
+
+  /** WITH as an aggregation horizon + post-aggregation WHERE — the
+    * Cypher spelling of HAVING.
+    */
+  def withAgg(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n, count(c) AS n_customers
+        |WHERE n_customers > 59
+        |RETURN n.name AS nation, n_customers
+        |ORDER BY nation""".stripMargin)
+
+  /** collect() into a list, then UNWIND back to rows — the round-trip
+    * the reference's UNWIND batch writes rely on.
+    */
+  def collectUnwind(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |WITH collect(n.name) AS names
+        |UNWIND names AS nation
+        |RETURN nation
+        |ORDER BY nation""".stripMargin)
+
+  /** Two MATCH clauses sharing a variable — join via the shared
+    * binding, per Cypher semantics.
+    */
+  def multiMatch(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |MATCH (s:Supplier)-[:SUPP_NATION]->(n)
+        |RETURN n.name AS nation, count(*) AS pairs
+        |ORDER BY nation""".stripMargin)
 }

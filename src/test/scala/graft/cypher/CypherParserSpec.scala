@@ -5,24 +5,30 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class CypherParserSpec extends AnyFunSuite {
 
+  private def matches(q: CypherQuery): Seq[MatchClause] =
+    q.clauses.collect { case m: MatchClause => m }
+  private def where(q: CypherQuery): Option[CExpr] =
+    q.clauses.collectFirst { case FilterClause(e) => e }
+
   test("node scan with projection and order") {
     val q = CypherParser.parse(
       "MATCH (c:Customer) RETURN c.name AS name, c.acctbal ORDER BY name DESC LIMIT 5")
-    assert(q.matches.head.chain.start == NodePattern(Some("c"), Some("Customer"), Map.empty))
-    assert(q.items == Seq(
+    assert(matches(q).head.chain.start == NodePattern(Some("c"), Some("Customer"), Map.empty))
+    val r = q.returnClause
+    assert(r.items == Seq(
       ReturnItem(Prop("c", "name"), Some("name")),
       ReturnItem(Prop("c", "acctbal"), None)))
-    assert(q.items(1).name == "acctbal")
-    assert(q.orderBy == Seq(SortItem("name", ascending = false)))
-    assert(q.limit.contains(5L))
+    assert(r.items(1).name == "acctbal")
+    assert(r.orderBy == Seq(SortItem("name", ascending = false)))
+    assert(r.limit.contains(5L))
   }
 
   test("relationship pattern directions") {
-    val out = CypherParser.parse(
-      "MATCH (a:X)-[:R]->(b:Y) RETURN a.p").matches.head.chain
+    val out = matches(CypherParser.parse(
+      "MATCH (a:X)-[:R]->(b:Y) RETURN a.p")).head.chain
     assert(out.hops.head._1 == RelPattern(None, Some("R"), Out, None))
-    val in = CypherParser.parse(
-      "MATCH (a:X)<-[:R]-(b:Y) RETURN a.p").matches.head.chain
+    val in = matches(CypherParser.parse(
+      "MATCH (a:X)<-[:R]-(b:Y) RETURN a.p")).head.chain
     assert(in.hops.head._1 == RelPattern(None, Some("R"), In, None))
     assertThrows[IllegalArgumentException](
       CypherParser.parse("MATCH (a:X)-[:R]-(b:Y) RETURN a.p"))
@@ -32,35 +38,59 @@ class CypherParserSpec extends AnyFunSuite {
     val q = CypherParser.parse(
       "MATCH (c:Customer {mktsegment: 'BUILDING'}) WHERE c.acctbal >= 10.5 AND NOT c.name = 'x' " +
       "RETURN c.name SKIP 2 LIMIT 3")
-    assert(q.matches.head.chain.start.props == Map("mktsegment" -> "BUILDING"))
-    assert(q.where.contains(
+    assert(matches(q).head.chain.start.props == Map("mktsegment" -> "BUILDING"))
+    assert(where(q).contains(
       And(Cmp(">=", Prop("c", "acctbal"), LitV(10.5)),
         Not(Cmp("=", Prop("c", "name"), LitV("x"))))))
-    assert(q.skip.contains(2L) && q.limit.contains(3L))
+    assert(q.returnClause.skip.contains(2L) && q.returnClause.limit.contains(3L))
   }
 
   test("aggregates and count star") {
     val q = CypherParser.parse(
       "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
       "RETURN n.name AS nation, count(*) AS n, sum(c.acctbal) AS bal")
-    assert(q.items(1).expr == FnCall("count", None, star = true))
-    assert(q.items(2).expr == FnCall("sum", Some(Prop("c", "acctbal"))))
+    assert(q.returnClause.items(1).expr == FnCall("count", None, star = true))
+    assert(q.returnClause.items(2).expr == FnCall("sum", Some(Prop("c", "acctbal"))))
   }
 
   test("var-length range") {
     val q = CypherParser.parse("MATCH (a:X)-[:R*1..3]->(b:Y) RETURN a.p")
-    assert(q.matches.head.chain.hops.head._1.varLength.contains((1, 3)))
+    assert(matches(q).head.chain.hops.head._1.varLength.contains((1, 3)))
   }
 
   test("optional match flag") {
     val q = CypherParser.parse(
       "MATCH (c:Customer) OPTIONAL MATCH (o:Order)-[:PLACED_BY]->(c) RETURN c.name")
-    assert(!q.matches.head.optional && q.matches(1).optional)
+    val ms = matches(q)
+    assert(!ms.head.optional && ms(1).optional)
+  }
+
+  test("WITH pipeline with aggregation and post-filter") {
+    val q = CypherParser.parse(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "WITH n, count(c) AS cnt WHERE cnt > 3 RETURN n.name AS nation, cnt")
+    val w = q.clauses.collectFirst { case w: WithClause => w }.get
+    assert(w.items == Seq(
+      ReturnItem(Ident("n"), None),
+      ReturnItem(FnCall("count", Some(Ident("c"))), Some("cnt"))))
+    assert(w.where.contains(Cmp(">", Ident("cnt"), LitV(3L))))
+  }
+
+  test("UNWIND of a list literal and of a bound name") {
+    val q = CypherParser.parse("UNWIND [1, 2, 3] AS x RETURN x")
+    assert(q.clauses.head ==
+      UnwindClause(ListLit(Seq(LitV(1L), LitV(2L), LitV(3L))), "x"))
+    val q2 = CypherParser.parse(
+      "MATCH (n:Nation) WITH collect(n.name) AS names UNWIND names AS nm RETURN nm")
+    assert(q2.clauses.exists {
+      case UnwindClause(Ident("names"), "nm") => true
+      case _ => false
+    })
   }
 
   test("malformed queries fail with a message") {
     assertThrows[IllegalArgumentException](CypherParser.parse("MATCH (c:Customer"))
-    assertThrows[IllegalArgumentException](CypherParser.parse("RETURN 1"))
+    assertThrows[IllegalArgumentException](CypherParser.parse("FOO 1"))
     assertThrows[IllegalArgumentException](
       CypherParser.parse("MATCH (c:Customer) RETURN c.name trailing"))
   }

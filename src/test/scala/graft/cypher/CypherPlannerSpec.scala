@@ -79,4 +79,54 @@ class CypherPlannerSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       run("MATCH (c:Customer)-[:NOPE]->(n:Nation) RETURN c.custkey"))
   }
+
+  test("WITH aggregation horizon filters like HAVING") {
+    val rows = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "WITH n, count(c) AS cnt WHERE cnt > 3 " +
+      "RETURN n.name AS nation, cnt ORDER BY nation").collect()
+    // every surviving group is above the threshold and props of the
+    // carried node variable stay addressable after the horizon
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 3))
+    val all = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "RETURN n.name AS nation, count(*) AS cnt").collect()
+    assert(rows.length == all.count(_.getLong(1) > 3))
+  }
+
+  test("WITH scalar projection rebinds names for later clauses") {
+    val rows = run(
+      "MATCH (c:Customer) WITH c.acctbal AS bal WHERE bal > 0 " +
+      "RETURN count(*) AS n").collect()
+    val expected = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 0).count()
+    assert(rows.head.getLong(0) == expected)
+  }
+
+  test("UNWIND explodes list literals and collected lists") {
+    val lits = run("UNWIND [1, 2, 3] AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0)).toSeq
+    assert(lits == Seq(1L, 2L, 3L))
+    val roundTrip = run(
+      "MATCH (n:Nation) WITH collect(n.name) AS names " +
+      "UNWIND names AS nm RETURN nm ORDER BY nm").count()
+    assert(roundTrip == graft.Tables.nation(spark, TestSpark.sf).count())
+  }
+
+  test("multiple MATCH clauses join on the shared variable") {
+    val pairs = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "MATCH (s:Supplier)-[:SUPP_NATION]->(n) " +
+      "RETURN n.name AS nation, count(*) AS pairs ORDER BY nation").collect()
+    // per nation: |customers| × |suppliers|
+    val c = graft.Tables.customer(spark, TestSpark.sf)
+      .groupBy("c_nationkey").count().collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1)).toMap
+    val sup = graft.Tables.supplier(spark, TestSpark.sf)
+      .groupBy("s_nationkey").count().collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue -> r.getLong(1)).toMap
+    val expected = c.keySet.intersect(sup.keySet)
+      .toSeq.map(k => c(k) * sup(k)).sum
+    assert(pairs.map(_.getLong(1)).sum == expected)
+  }
 }
