@@ -153,6 +153,44 @@ object OracleSql {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Duplicate clusters, mirroring [[Dedup.dedupClusters]]: the same
+    * exact + ngram-Jaccard pair edges, with connected components
+    * computed by a recursive CTE (min-label transitive closure —
+    * tractable because dup clusters are tiny; the Spark side's
+    * iterative propagation is the 100 TB formulation).
+    */
+  def dedupClusters(tau: Double = 0.6): String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(ws) - 2, 0) + 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+       |  FROM w WHERE len(ws) >= 3),
+       |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.n_sh AS a_n, b.n_sh AS b_n, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |near AS (
+       |  SELECT a_id, b_id FROM p
+       |  WHERE round(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) >= $tau),
+       |exact AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM documents a JOIN documents b
+       |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+       |allp AS (SELECT a_id, b_id FROM near UNION SELECT a_id, b_id FROM exact),
+       |edges AS (SELECT a_id AS a, b_id AS b FROM allp
+       |  UNION SELECT b_id AS a, a_id AS b FROM allp),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+       |SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   /** PageRank with the 10 power iterations unrolled as chained CTEs —
     * identical arithmetic to [[graft.graph.Algorithms.pageRank]]
     * (same double constants via `::DOUBLE` casts, same dangling-mass

@@ -29,6 +29,7 @@ object SparkEntry {
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
+    "cypher_rel_props"      -> (cypher.CypherQueries.relProps(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -43,6 +44,8 @@ object SparkEntry {
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
+    "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
     "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
     "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
@@ -60,6 +63,21 @@ object SparkEntry {
     * re-derive identical values via the shared OracleHash family.
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_clusters"    -> OracleSql.dedupClusters(),
+    "pipeline_corpus_stats" ->
+      """SELECT
+        |(SELECT COUNT(*) FROM documents) AS n_docs,
+        |(SELECT COUNT(*) FROM documents
+        | WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 100000
+        | AND CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |   / greatest(length(text), 1) < 0.2) AS n_kept,
+        |(SELECT COUNT(DISTINCT md5(text)) FROM documents) AS n_unique,
+        |(SELECT CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        | FROM documents) AS ws_tokens_total,
+        |(SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        | FROM documents) AS bpe_tokens_total""".stripMargin,
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
     "dedup_simhash"     -> OracleSql.simhash(),
     "text_fingerprint"  -> OracleSql.fingerprint(),
@@ -242,6 +260,12 @@ object SparkEntry {
         |GROUP BY n_name HAVING COUNT(*) > 59 ORDER BY nation""".stripMargin,
     "cypher_collect_unwind" ->
       """SELECT n_name AS nation FROM nation ORDER BY nation""".stripMargin,
+    "cypher_rel_props" ->
+      """SELECT p_brand AS brand,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY brand""".stripMargin,
     "cypher_multi_match" ->
       """SELECT n_name AS nation, COUNT(*) AS pairs
         |FROM customer

@@ -184,8 +184,19 @@ object CypherPlanner {
     chain.hops.foreach { case (rel, nextNode) =>
       val relType = rel.relType.getOrElse(throw new IllegalArgumentException(
         "relationships need a type (round-1 planner)"))
+      // a named single-hop relationship binds its property columns as
+      // `rv__prop` (Neo4j relationship properties); var-length paths
+      // have no single edge to take properties from
+      val relPropCols = rel.variable match {
+        case Some(rv) if rel.varLength.isEmpty =>
+          graph.relTable(relType).columns.toSeq
+            .filterNot(Set("__src", "__dst"))
+            .map(c => col(c).as(s"${rv}__$c"))
+        case _ => Seq.empty
+      }
       val r = varLengthRel(graph.relTable(relType), rel.varLength)
-        .select(col("__src").as("__r_src"), col("__dst").as("__r_dst"))
+        .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
+          relPropCols: _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
       val (joinKeyCur, joinKeyNext) = rel.direction match {

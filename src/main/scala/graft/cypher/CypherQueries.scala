@@ -92,6 +92,16 @@ object CypherQueries {
         |RETURN nation
         |ORDER BY nation""".stripMargin)
 
+  /** Relationship property access: the CONTAINS edges carry {qty,
+    * price} like Neo4j relationship properties; a named rel binds
+    * them.
+    */
+  def relProps(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |RETURN p.brand AS brand, sum(l.qty) AS total_qty, count(*) AS n_items
+        |ORDER BY brand""".stripMargin)
+
   /** Two MATCH clauses sharing a variable — join via the shared
     * binding, per Cypher semantics.
     */

@@ -89,6 +89,15 @@ object GraphLoader {
         (lit(SupplierOffset) + col("l_suppkey")).as("__src"),
         (lit(PartOffset) + col("l_partkey")).as("__dst"))
       .distinct()
+    // relationship WITH properties (SURVEY §3: (:Order)-[:CONTAINS
+    // {qty, price}]->(:Part)) — one edge per lineitem, properties ride
+    // on the edge like Neo4j relationship properties
+    val contains = Tables.lineitem(spark, sfDir)
+      .select(
+        (lit(OrderOffset) + col("l_orderkey")).as("__src"),
+        (lit(PartOffset) + col("l_partkey")).as("__dst"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))
 
     PropertyGraph(
       nodes = Map(
@@ -97,6 +106,7 @@ object GraphLoader {
       rels = Map(
         "PLACED_BY" -> placedBy, "FROM_NATION" -> fromNation,
         "SUPP_NATION" -> suppNation, "IN_REGION" -> inRegion,
-        "SUPPLIES" -> supplies, "NEXT_IN_REGION" -> nextInRegion))
+        "SUPPLIES" -> supplies, "NEXT_IN_REGION" -> nextInRegion,
+        "CONTAINS" -> contains))
   }
 }

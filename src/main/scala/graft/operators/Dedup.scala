@@ -173,6 +173,34 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Duplicate clusters: exact-duplicate pairs ∪ word-3-gram Jaccard
+    * near-dup pairs form an undirected graph; connected components
+    * assign every document a cluster id (the min doc_id of its
+    * cluster — singletons cluster with themselves). This is the
+    * standard corpus-dedup reduction: keep one representative per
+    * cluster, drop the rest.
+    *
+    * 100 TB shape: the pair edges are the ONLY cross-document data
+    * (|pairs| ≪ |docs| on real corpora) and the component loop runs
+    * on (id, label) longs — document text never enters the iteration.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String, tau: Double = 0.6)
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactPairs = hashed.as("a").join(hashed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val nearPairs = ngramJaccard(spark, sfDir, tau)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    // self-loops register singleton docs as their own component
+    val selfLoops = docs.select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    val edges = exactPairs.unionByName(nearPairs).unionByName(selfLoops)
+    graft.graph.Algorithms.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signature + LSH band hashes of one document, computed in
     * a tight JVM loop over the [[graft.OracleHash]] family. One pass
     * over the word 3-gram shingles; per shingle, numPerms `(a·h+b) mod

@@ -113,6 +113,17 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(roundTrip == graft.Tables.nation(spark, TestSpark.sf).count())
   }
 
+  test("named relationship binds its property columns") {
+    val rows = run(
+      "MATCH (o:Order)-[l:CONTAINS]->(p:Part) " +
+      "RETURN count(*) AS n, sum(l.qty) AS q").collect()
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+    assert(rows.head.getLong(0) == li.count())
+    val expected = li.agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      .first().getDouble(0)
+    assert(math.abs(rows.head.getDouble(1) - expected) < 1e-6)
+  }
+
   test("multiple MATCH clauses join on the shared variable") {
     val pairs = run(
       "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +

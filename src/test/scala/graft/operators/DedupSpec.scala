@@ -43,6 +43,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == brute.toSet)
   }
 
+  test("dedup clusters: labels are cluster minima and respect pair edges") {
+    val clusters = Dedup.dedupClusters(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every document is labeled, label is a member of its own cluster
+    assert(clusters.size == graft.Tables.documents(spark, TestSpark.sf).count())
+    clusters.foreach { case (id, c) => assert(c <= id && clusters(c) == c) }
+    // near-dup pairs land in the same cluster
+    Dedup.ngramJaccard(spark, TestSpark.sf).collect().foreach { r =>
+      assert(clusters(r.getLong(0)) == clusters(r.getLong(1)))
+    }
+  }
+
   test("shingles slide a 3-word window") {
     import spark.implicits._
     val df = Seq("a b c d", "x y", "").toDF("text")
