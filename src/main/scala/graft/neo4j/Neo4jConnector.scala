@@ -84,10 +84,47 @@ object Neo4jReader {
       schema)
   }
 
+  /** Parallel paginated read: partition `p` of `numPartitions` fetches
+    * pages p, p+numPartitions, … of `pageSize` rows by appending
+    * `SKIP/LIMIT` to the query, stopping after its first short page.
+    * The reference input format is explicitly single-split
+    * (NonParallelInput, Neo4jInputFormat.java:40) — this spreads the
+    * wire transfer and JSON parsing across executor tasks instead of
+    * funnelling everything through one socket on the driver. The query
+    * must have a deterministic ORDER BY for pagination to partition
+    * the result exactly.
+    */
+  def readPartitioned(spark: SparkSession, cfg: Neo4jConfig, schema: StructType,
+      numPartitions: Int = 4, pageSize: Int = 10000): DataFrame = {
+    require(numPartitions >= 1 && pageSize >= 1, "bad partitioning")
+    val rows = spark.sparkContext
+      .parallelize(0 until numPartitions, numPartitions)
+      .flatMap { p =>
+        val pages = new Iterator[Vector[Seq[Any]]] {
+          private var k = 0
+          private var done = false
+          override def hasNext: Boolean = !done
+          override def next(): Vector[Seq[Any]] = {
+            val skip = (p.toLong + k.toLong * numPartitions) * pageSize
+            k += 1
+            val q = s"${cfg.query} SKIP $skip LIMIT $pageSize"
+            val resp = Http.post(cfg.copy(query = q), CypherPayload.statementJson(q))
+            val page =
+              try Neo4jRowParser.parseRows(resp.body()).map(coerce(_, schema)).toVector
+              finally resp.body().close()
+            if (page.size < pageSize) done = true
+            page
+          }
+        }
+        pages.flatten.map(Row.fromSeq)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Aligns parsed JSON scalars with the declared column types (the
     * reference relies on Flink tuple field types the same way).
     */
-  private def coerce(values: Array[Any], schema: StructType): Seq[Any] =
+  private[neo4j] def coerce(values: Array[Any], schema: StructType): Seq[Any] =
     values.toSeq.zip(schema.fields).map {
       case (null, _) => null
       case (v: Number, f) => f.dataType match {

@@ -33,6 +33,20 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming twin of exact dedup (graft.operators.Dedup.exact):
+    * emit only the first document seen per content hash.
+    * dropDuplicatesWithinWatermark holds per-hash state only until the
+    * watermark passes, so dedup state is bounded by the watermark
+    * horizon instead of the whole stream history — the only sane
+    * memory contract for an unbounded corpus feed.
+    * Input needs (ts: timestamp, text: string).
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(
       start: Long, end: Long, nEvents: Long, sumValue: Double)

@@ -53,6 +53,31 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     uri = s"http://localhost:${server.getAddress.getPort}/db/data/"
   }
 
+  // paged endpoint: parses SKIP/LIMIT from the posted statement and
+  // slices a canned 25-row resultset — lets the partitioned reader be
+  // exercised against real pagination semantics
+  private val pagedRows = (1 to 25).map(i => s"""{"row":[$i,"name$i"]}""")
+  private def pagedContext(): Unit =
+    server.createContext("/paged/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val stmt = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).at("/statements/0/statement").asText()
+        val m = """.*SKIP (\d+) LIMIT (\d+)""".r
+        val (skip, limit) = stmt match {
+          case m(s, l) => (s.toInt, l.toInt)
+          case _       => (0, pagedRows.size)
+        }
+        val page = pagedRows.slice(skip, skip + limit)
+        val resp = (s"""{"results":[{"columns":["id","name"],"data":[""" +
+          page.mkString(",") + """]}],"errors":[]}""").getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
   test("row parser maps JSON scalar types like the reference") {
@@ -120,6 +145,20 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tree.at("/statements/0/parameters/inserts").isArray)
       assert(tree.at("/statements/0/parameters/inserts").size() <= 10)
     }
+  }
+
+  test("partitioned reader pages the full result exactly once") {
+    pagedContext()
+    val spark = TestSpark.spark
+    val cfg = Neo4jConfig(
+      s"http://localhost:${server.getAddress.getPort}/paged/",
+      "MATCH (n:User) RETURN id(n), n.name ORDER BY id(n)")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val df = Neo4jReader.readPartitioned(spark, cfg, schema,
+      numPartitions = 3, pageSize = 4)
+    val ids = df.collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (1 to 25))
   }
 
   test("config validation mirrors the reference builder") {

@@ -35,6 +35,24 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits only the first doc per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingJobs.dedupExact(docs).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "alpha"))
+      q.processAllAvailable()
+      input.addData((2L, ts(1), "alpha"), (3L, ts(2), "beta"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L)) // second "alpha" suppressed
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits gap-separated sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
