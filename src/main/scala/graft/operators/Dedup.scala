@@ -193,11 +193,16 @@ object Dedup {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
     val nearPairs = ngramJaccard(spark, sfDir, tau)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    // self-loops register singleton docs as their own component
-    val selfLoops = docs.select(col("doc_id").as("src"), col("doc_id").as("dst"))
-    val edges = exactPairs.unionByName(nearPairs).unionByName(selfLoops)
-    graft.graph.Algorithms.connectedComponents(edges)
-      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+    // the component loop only ever sees docs that appear in a pair —
+    // |pairs| ≪ |docs| on real corpora, so the iterative part runs on
+    // the duplicate graph, not the corpus; everything else defaults to
+    // its own id via one left join
+    val edges = exactPairs.unionByName(nearPairs)
+    val clustered = graft.graph.Algorithms.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp"))
+    docs.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
       .orderBy(col("doc_id"))
   }
 

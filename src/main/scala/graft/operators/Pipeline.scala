@@ -12,10 +12,10 @@ object Pipeline {
 
   /** One-row corpus summary: total docs, docs passing the quality
     * gate, exact-unique docs, and whitespace/BPE-ish token totals.
-    * Three independent single-row aggregates cross-joined — each is a
-    * full map-side-combined scan aggregation, no keyed shuffle at
-    * all, so the plan is three scans (Catalyst prunes each to the
-    * columns it needs) regardless of corpus size.
+    * Three independent single-row aggregates cross-joined — the
+    * quality and token ones are pure map-side-combined scan
+    * aggregations; only the distinct-hash count pays a keyed shuffle
+    * (of 16-byte hashes, the unavoidable cost of an exact distinct).
     */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = TextAnalysis.quality(spark, sfDir)

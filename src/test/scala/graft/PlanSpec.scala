@@ -68,4 +68,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("dotproduct") || plan.contains("DotProduct"),
       s"expected DotProduct expression in plan")
   }
+
+  test("rel-property query prunes lineitem to the used edge columns") {
+    val plan = planOf(cypher.CypherQueries.relProps(spark, TestSpark.sf))
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).mkString("\n")
+    // query touches qty but never price — pruning must flow through
+    // the CONTAINS edge projection into the lineitem scan
+    assert(readSchemas.contains("l_quantity"))
+    assert(!readSchemas.contains("l_extendedprice"),
+      s"unused edge property survived into the scan: $readSchemas")
+  }
+
+  test("corpus stats: only the exact-distinct count pays a keyed shuffle") {
+    val plan = planOf(operators.Pipeline.corpusStats(spark, TestSpark.sf))
+    val keyed = "hashpartitioning\\(([a-z0-9_()# ]+)".r.findAllIn(plan).toList
+    // COUNT(DISTINCT md5) legitimately hash-partitions its 16-byte
+    // hashes; the quality/token totals must stay map-side combined
+    assert(keyed.size == 1, s"expected exactly one keyed exchange, got $keyed")
+    assert(keyed.head.contains("md5"), s"unexpected keyed exchange: $keyed")
+  }
+
+  test("minhash banding join carries only ids and hashes, never text") {
+    val plan = planOf(operators.Dedup.minhashLsh(spark, TestSpark.sf))
+    // the candidate self-join happens above the signature map; the
+    // text column must not appear in any exchange
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).mkString("\n")
+    assert(!exchanges.contains("text"), s"text column in a shuffle: $exchanges")
+  }
 }
