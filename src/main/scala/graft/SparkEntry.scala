@@ -30,6 +30,7 @@ object SparkEntry {
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
     "cypher_rel_props"      -> (cypher.CypherQueries.relProps(_, _)),
+    "cypher_arithmetic"     -> (cypher.CypherQueries.arithmetic(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -262,9 +263,15 @@ object SparkEntry {
       """SELECT n_name AS nation FROM nation ORDER BY nation""".stripMargin,
     "cypher_rel_props" ->
       """SELECT p_brand AS brand,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
         |COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY brand""".stripMargin,
+    "cypher_arithmetic" ->
+      """SELECT p_brand AS brand,
+        |CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 25.0
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
     "cypher_multi_match" ->
       """SELECT n_name AS nation, COUNT(*) AS pairs

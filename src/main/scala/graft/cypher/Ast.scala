@@ -31,6 +31,8 @@ object Ast {
   final case class LitV(value: Any) extends CExpr
   final case class ListLit(items: Seq[CExpr]) extends CExpr
   final case class Cmp(op: String, l: CExpr, r: CExpr) extends CExpr
+  /** Binary arithmetic: + - * / with the usual precedence. */
+  final case class Arith(op: String, l: CExpr, r: CExpr) extends CExpr
   final case class And(l: CExpr, r: CExpr) extends CExpr
   final case class Or(l: CExpr, r: CExpr) extends CExpr
   final case class Not(e: CExpr) extends CExpr

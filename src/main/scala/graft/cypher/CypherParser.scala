@@ -211,7 +211,7 @@ object CypherParser {
     }
 
     private def returnItem(): ReturnItem = {
-      val e = valueExpr()
+      val e = addExpr()
       val alias = if (atKw("AS")) { eatKw("AS"); Some(ident()) } else None
       ReturnItem(e, alias)
     }
@@ -239,13 +239,33 @@ object CypherParser {
       if (atKw("NOT")) { eatKw("NOT"); Not(notExpr()) } else cmpExpr()
 
     private def cmpExpr(): CExpr = {
-      val l = valueExpr()
+      val l = addExpr()
       peek match {
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=").contains(op) =>
           next()
-          Cmp(op, l, valueExpr())
+          Cmp(op, l, addExpr())
         case _ => l
       }
+    }
+
+    // arithmetic with * / binding tighter than + - ; `*` inside
+    // count(*) and rel patterns never reaches here (consumed by their
+    // own productions)
+    private def addExpr(): CExpr = {
+      var l = mulExpr()
+      while (atSym("+") || atSym("-")) {
+        val op = next().asInstanceOf[TSym].s
+        l = Arith(op, l, mulExpr())
+      }
+      l
+    }
+    private def mulExpr(): CExpr = {
+      var l = valueExpr()
+      while (atSym("*") || atSym("/")) {
+        val op = next().asInstanceOf[TSym].s
+        l = Arith(op, l, valueExpr())
+      }
+      l
     }
 
     private val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
@@ -257,7 +277,7 @@ object CypherParser {
         eatSym("(")
         val call =
           if (atSym("*")) { eatSym("*"); FnCall(fn, None, star = true) }
-          else FnCall(fn, Some(valueExpr()))
+          else FnCall(fn, Some(addExpr()))
         eatSym(")")
         call
       case Some(TId(_)) =>

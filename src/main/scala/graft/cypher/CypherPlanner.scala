@@ -270,6 +270,11 @@ object CypherPlanner {
     case Cmp(">", l, r)  => toColumn(l, scalars) > toColumn(r, scalars)
     case Cmp(">=", l, r) => toColumn(l, scalars) >= toColumn(r, scalars)
     case Cmp(op, _, _)   => throw new IllegalArgumentException(s"bad operator $op")
+    case Arith("+", l, r) => toColumn(l, scalars) + toColumn(r, scalars)
+    case Arith("-", l, r) => toColumn(l, scalars) - toColumn(r, scalars)
+    case Arith("*", l, r) => toColumn(l, scalars) * toColumn(r, scalars)
+    case Arith("/", l, r) => toColumn(l, scalars) / toColumn(r, scalars)
+    case Arith(op, _, _)  => throw new IllegalArgumentException(s"bad operator $op")
     case And(l, r)    => toColumn(l, scalars) && toColumn(r, scalars)
     case Or(l, r)     => toColumn(l, scalars) || toColumn(r, scalars)
     case Not(x)       => !toColumn(x, scalars)
@@ -280,7 +285,11 @@ object CypherPlanner {
   private def toAggColumn(e: CExpr, scalars: Set[String]): Column = e match {
     case FnCall("count", _, true)    => count(lit(1))
     case FnCall("count", Some(a), _) => count(toColumn(a, scalars))
-    case FnCall("sum", Some(a), _)   => sum(toColumn(a, scalars))
+    // fixed-point accumulation (like Relational's money sums): decimal
+    // summation is exact, so parallel combine order cannot perturb low
+    // bits; result surfaces as double
+    case FnCall("sum", Some(a), _)   =>
+      sum(toColumn(a, scalars).cast("decimal(18,4)")).cast("double")
     case FnCall("min", Some(a), _)   => min(toColumn(a, scalars))
     case FnCall("max", Some(a), _)   => max(toColumn(a, scalars))
     case FnCall("avg", Some(a), _)   => avg(toColumn(a, scalars))

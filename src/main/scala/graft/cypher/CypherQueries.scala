@@ -102,6 +102,16 @@ object CypherQueries {
         |RETURN p.brand AS brand, sum(l.qty) AS total_qty, count(*) AS n_items
         |ORDER BY brand""".stripMargin)
 
+  /** Arithmetic in projections and predicates: revenue-style
+    * aggregation over an edge-property product with a filtered scan.
+    */
+  def arithmetic(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |WHERE l.qty >= 25.0
+        |RETURN p.brand AS brand, sum(l.qty * l.price) AS volume
+        |ORDER BY brand""".stripMargin)
+
   /** Two MATCH clauses sharing a variable — join via the shared
     * binding, per Cypher semantics.
     */

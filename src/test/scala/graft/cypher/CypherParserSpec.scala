@@ -88,6 +88,19 @@ class CypherParserSpec extends AnyFunSuite {
     })
   }
 
+  test("arithmetic precedence: * binds tighter than +, cmp above both") {
+    val q = CypherParser.parse(
+      "MATCH (c:X) WHERE c.a + c.b * 2 >= 10 RETURN c.a * c.b + 1 AS v")
+    assert(where(q).contains(Cmp(">=",
+      Arith("+", Prop("c", "a"), Arith("*", Prop("c", "b"), LitV(2L))),
+      LitV(10L))))
+    assert(q.returnClause.items.head.expr ==
+      Arith("+", Arith("*", Prop("c", "a"), Prop("c", "b")), LitV(1L)))
+    // count(*) still parses as the star aggregate, not arithmetic
+    val agg = CypherParser.parse("MATCH (c:X) RETURN count(*) AS n")
+    assert(agg.returnClause.items.head.expr == FnCall("count", None, star = true))
+  }
+
   test("malformed queries fail with a message") {
     assertThrows[IllegalArgumentException](CypherParser.parse("MATCH (c:Customer"))
     assertThrows[IllegalArgumentException](CypherParser.parse("FOO 1"))
