@@ -52,6 +52,7 @@ object SparkEntry {
     "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
+    "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
@@ -201,6 +202,14 @@ object SparkEntry {
         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "sim_label_centroid" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
+        |  FROM embeddings)
+        |SELECT label, CAST(d - 1 AS BIGINT) AS d,
+        |round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS centroid
+        |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin,
     "text_quality" ->
       ("""SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_m,

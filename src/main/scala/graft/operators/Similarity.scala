@@ -82,6 +82,25 @@ object Similarity {
     (h2 % (1 << 24)).toDouble / (1 << 24) * 2.0 - 1.0
   }
 
+  /** Per-label centroid components (label prototypes / cluster
+    * centers): explode dimensions → one shuffle on (label, dim) with
+    * map-side partial sums. Components accumulate through
+    * decimal(28,12) so parallel combine order cannot perturb low bits
+    * (the oracle sums the identical decimals). Long output shape
+    * (label, d, centroid) keeps the result engine-agnostic.
+    *
+    * 100 TB: the shuffle carries (label, dim, partial-sum) triples —
+    * bounded by |labels|×dims×partitions, independent of row count.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("d").cast("long").as("d"),
+        round(col("s").cast("double") / col("n"), 6).as("centroid"))
+      .orderBy(col("label"), col("d"))
+
   /** Approximate nearest neighbors via random-hyperplane LSH:
     * `nPlanes` signed projections give a bucket id; each query only
     * scores vectors in its own bucket. The scale path for
