@@ -57,7 +57,8 @@ object SparkEntry {
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
     "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
-    "multimodal_meta"     -> (Multimodal.meta(_, _)))
+    "multimodal_meta"     -> (Multimodal.meta(_, _)),
+    "multimodal_prep"     -> (Multimodal.prep(_, _)))
 
   /** DuckDB oracle SQL per query key (omitted keys → rows-only check).
     * The generated entries (OracleSql) cover operators whose Spark
@@ -243,6 +244,23 @@ object SparkEntry {
         |CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |  ELSE 'wav' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_prep" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(256 + (octet_length(encode(text)) % 64) * 16 AS BIGINT) AS width,
+        |    CAST(256 + ((octet_length(encode(text)) // 64) % 64) * 16 AS BIGINT) AS height
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    greatest(1, width * 224 // greatest(width, height)) AS target_w,
+        |    greatest(1, height * 224 // greatest(width, height)) AS target_h,
+        |    n_bytes // 1024 + 1 AS n_frames
+        |  FROM m)
+        |SELECT doc_id, target_w, target_h, n_frames,
+        |  greatest(1, n_frames // 8) AS stride,
+        |  (n_frames - 1) // greatest(1, n_frames // 8) + 1 AS n_samples
+        |FROM p ORDER BY doc_id""".stripMargin,
     "cypher_match_scan" ->
       """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY id""".stripMargin,

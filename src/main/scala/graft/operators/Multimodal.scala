@@ -64,6 +64,29 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Preprocessing plan for the decoded media: aspect-preserving
+    * resize into a `box`×`box` target and uniform frame sampling
+    * (stride chosen so at most `maxSamples` frames survive). All
+    * integer arithmetic over the metadata — this stage stays exactly
+    * as-is when the stub decoder is swapped for a real one, because
+    * resize/sample planning only ever needs the metadata, never the
+    * pixels. The fake frame count derives from payload size
+    * (1 KiB ≈ one frame) like the other stub quantities.
+    */
+  def prep(spark: SparkSession, sfDir: String, box: Int = 224,
+      maxSamples: Int = 8): DataFrame =
+    meta(spark, sfDir)
+      .withColumn("target_w",
+        greatest(lit(1L), expr(s"width * $box div greatest(width, height)")))
+      .withColumn("target_h",
+        greatest(lit(1L), expr(s"height * $box div greatest(width, height)")))
+      .withColumn("n_frames", expr("n_bytes div 1024 + 1"))
+      .withColumn("stride", greatest(lit(1L), expr(s"n_frames div $maxSamples")))
+      .withColumn("n_samples", expr("(n_frames - 1) div stride + 1"))
+      .select(col("doc_id"), col("target_w"), col("target_h"),
+        col("n_frames"), col("stride"), col("n_samples"))
+      .orderBy(col("doc_id"))
+
   /** The partition-batched decode path (mapPartitions over the typed
     * Dataset). Produces the same rows as [[meta]] — MultimodalSpec
     * asserts the equivalence, which is what validates the stub
