@@ -95,7 +95,17 @@ object Ast {
     })
   }
 
-  final case class SortItem(ref: String, ascending: Boolean)
+  /** Sort key: a bare identifier naming an output column, or any
+    * expression (e.g. `c.name`) evaluated against the pre-projection
+    * row.
+    */
+  final case class SortItem(expr: CExpr, ascending: Boolean)
+
+  object SortItem {
+    /** Convenience for name-based sorts (the common case). */
+    def apply(ref: String, ascending: Boolean): SortItem =
+      SortItem(Ident(ref), ascending)
+  }
 
   final case class CypherQuery(clauses: Seq[Clause]) {
     def returnClause: ReturnClause =

@@ -217,11 +217,11 @@ object CypherParser {
     }
 
     private def sortItem(): SortItem = {
-      val r = ident()
+      val e = addExpr()
       val asc =
         if (atKw("DESC")) { eatKw("DESC"); false }
         else { if (atKw("ASC")) eatKw("ASC"); true }
-      SortItem(r, asc)
+      SortItem(e, asc)
     }
 
     // expr with OR < AND < NOT < comparison precedence

@@ -108,11 +108,16 @@ object CypherPlanner {
         val sel = s.df.select(nodeCols ++ scalarCols: _*)
         if (w.distinct) sel.distinct() else sel
       }
-    w.where.foreach(e => df = df.filter(toColumn(e,
-      s.scalars ++ scalarItems.map(_.name) ++ aggs.map(_.name))))
+    val newScalars = s.scalars ++ scalarItems.map(_.name) ++ aggs.map(_.name)
+    w.where.foreach(e => df = df.filter(toColumn(e, newScalars)))
     if (w.orderBy.nonEmpty)
-      df = df.orderBy(w.orderBy.map(o =>
-        if (o.ascending) col(o.ref).asc else col(o.ref).desc): _*)
+      df = df.orderBy(w.orderBy.map { o =>
+        val c = o.expr match {
+          case Ident(n) => col(n)
+          case e        => toColumn(e, newScalars)
+        }
+        if (o.ascending) c.asc else c.desc
+      }: _*)
     w.skip.foreach(n => df = df.offset(n.toInt))
     w.limit.foreach(n => df = df.limit(n.toInt))
     Scope(df, nodeKeeps.toSet,
@@ -120,24 +125,53 @@ object CypherPlanner {
   }
 
   private def planReturn(s: Scope, q: ReturnClause): DataFrame = {
-    var df = s.df
+    val df = s.df
     val hasAgg = q.items.exists(i => isAggregate(i.expr))
+    val names = q.items.map(_.name).toSet
+    // sorts on anything but an output column must evaluate BEFORE the
+    // projection discards the source columns; a projection preserves
+    // its child's ordering, so sort-then-select is the same result
+    val preSort = q.orderBy.exists {
+      case SortItem(Ident(n), _) => !names(n)
+      case _                     => true
+    }
     var out: DataFrame =
       if (hasAgg) {
+        require(!preSort,
+          "ORDER BY with aggregation must reference output columns")
         val (aggs, keys) = q.items.partition(i => isAggregate(i.expr))
         val keyCols = keys.map(i => toColumn(i.expr, s.scalars).as(i.name))
         val aggCols = aggs.map(i => toAggColumn(i.expr, s.scalars).as(i.name))
         if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           .select(q.items.map(i => col(i.name)): _*)
+      } else if (preSort) {
+        require(!q.distinct,
+          "ORDER BY on non-output expressions with DISTINCT is unsupported")
+        val byName = q.items.map(i => i.name -> i.expr).toMap
+        val sorts = q.orderBy.map { o =>
+          val e = o.expr match {
+            case Ident(n) if byName.contains(n) => byName(n)
+            case e                              => e
+          }
+          val c = toColumn(e, s.scalars)
+          if (o.ascending) c.asc else c.desc
+        }
+        df.orderBy(sorts: _*)
+          .select(q.items.map(i => toColumn(i.expr, s.scalars).as(i.name)): _*)
       } else {
         val sel = df.select(q.items.map(i => toColumn(i.expr, s.scalars).as(i.name)): _*)
         if (q.distinct) sel.distinct() else sel
       }
 
-    if (q.orderBy.nonEmpty) {
-      val sorts = q.orderBy.map(o =>
-        if (o.ascending) col(o.ref).asc else col(o.ref).desc)
+    if (q.orderBy.nonEmpty && !preSort) {
+      val sorts = q.orderBy.map { o =>
+        val c = o.expr match {
+          case Ident(n) => col(n)
+          case e        => toColumn(e, s.scalars)
+        }
+        if (o.ascending) c.asc else c.desc
+      }
       out = out.orderBy(sorts: _*)
     }
     q.skip.foreach(n => out = out.offset(n.toInt))

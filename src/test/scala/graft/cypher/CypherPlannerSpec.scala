@@ -113,6 +113,21 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(roundTrip == graft.Tables.nation(spark, TestSpark.sf).count())
   }
 
+  test("ORDER BY on a non-projected property sorts before projection") {
+    val viaProp = run(
+      "MATCH (c:Customer) RETURN c.name AS name ORDER BY c.acctbal DESC, c.name LIMIT 5")
+      .collect().map(_.getString(0)).toSeq
+    val viaAlias = run(
+      "MATCH (c:Customer) RETURN c.name AS name, c.acctbal AS b " +
+      "ORDER BY b DESC, name LIMIT 5")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaProp == viaAlias)
+    // arithmetic sort keys work too
+    val arith = run(
+      "MATCH (c:Customer) RETURN c.custkey AS id ORDER BY c.acctbal * 2 DESC LIMIT 3")
+    assert(arith.count() == 3)
+  }
+
   test("named relationship binds its property columns") {
     val rows = run(
       "MATCH (o:Order)-[l:CONTAINS]->(p:Part) " +
