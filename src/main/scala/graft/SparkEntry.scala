@@ -31,6 +31,8 @@ object SparkEntry {
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
     "cypher_rel_props"      -> (cypher.CypherQueries.relProps(_, _)),
     "cypher_arithmetic"     -> (cypher.CypherQueries.arithmetic(_, _)),
+    "cypher_not_exists"     -> (cypher.CypherQueries.notExists(_, _)),
+    "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -300,6 +302,25 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity >= 25.0
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+    "cypher_not_exists" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey NOT IN (
+        |  SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13')
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "cypher_undirected" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |u AS (SELECT src, dst FROM e2 UNION ALL SELECT dst AS src, src AS dst FROM e2)
+        |SELECT na.n_name AS a_name, nb.n_name AS b_name
+        |FROM u
+        |JOIN nation na ON u.src = na.n_nationkey
+        |JOIN nation nb ON u.dst = nb.n_nationkey
+        |ORDER BY a_name, b_name""".stripMargin,
     "cypher_multi_match" ->
       """SELECT n_name AS nation, COUNT(*) AS pairs
         |FROM customer

@@ -39,10 +39,19 @@ object Ast {
   /** Aggregate or scalar function call; `star` for count(*). */
   final case class FnCall(name: String, arg: Option[CExpr], star: Boolean = false)
     extends CExpr
+  /** `EXISTS { pattern }` — true when the pattern matches at least
+    * once from the current bindings; compiles to a semi-join (or
+    * anti-join under NOT).
+    */
+  final case class ExistsPattern(chain: PatternChain) extends CExpr
 
   sealed trait Direction
   case object Out extends Direction
   case object In extends Direction
+  /** Undirected `-[:T]-`: matches the relationship in either
+    * orientation.
+    */
+  case object Both extends Direction
 
   final case class NodePattern(
       variable: Option[String],

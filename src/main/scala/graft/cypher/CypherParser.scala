@@ -203,10 +203,11 @@ object CypherParser {
         case In =>
           eatSym("-")
           RelPattern(variable, relType, In, varLength)
-        case Out =>
+        case _ =>
           if (atSym("->")) { eatSym("->"); RelPattern(variable, relType, Out, varLength) }
+          else if (atSym("-")) { eatSym("-"); RelPattern(variable, relType, Both, varLength) }
           else throw new IllegalArgumentException(
-            "undirected relationships are not supported; use -[..]-> or <-[..]-")
+            "expected -> or - to close the relationship pattern")
       }
     }
 
@@ -236,7 +237,14 @@ object CypherParser {
       l
     }
     private def notExpr(): CExpr =
-      if (atKw("NOT")) { eatKw("NOT"); Not(notExpr()) } else cmpExpr()
+      if (atKw("NOT")) { eatKw("NOT"); Not(notExpr()) }
+      else if (atKw("EXISTS")) {
+        eatKw("EXISTS")
+        eatSym("{")
+        val chain = patternChain()
+        eatSym("}")
+        ExistsPattern(chain)
+      } else cmpExpr()
 
     private def cmpExpr(): CExpr = {
       val l = addExpr()

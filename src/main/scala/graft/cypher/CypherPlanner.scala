@@ -56,7 +56,7 @@ object CypherPlanner {
           nodeVars = s.nodeVars ++ ovars)
 
       case FilterClause(e) =>
-        s = s.copy(df = s.df.filter(toColumn(e, s.scalars)))
+        s = s.copy(df = applyFilter(graph, s, e))
 
       case UnwindClause(list, alias) =>
         val c = explode(toColumn(list, s.scalars)).as(alias)
@@ -76,6 +76,46 @@ object CypherPlanner {
         out = planReturn(s, r)
     }
     out
+  }
+
+  /** Applies a WHERE expression: top-level conjuncts are split so
+    * `EXISTS { pattern }` becomes a left-semi join and
+    * `NOT EXISTS { pattern }` a left-anti join on the shared
+    * variables' ids (no pattern data enters the row — exactly a
+    * semi-join's contract); scalar conjuncts stay ordinary filters.
+    * EXISTS under OR/deeper negation is rejected explicitly.
+    */
+  private def applyFilter(graph: PropertyGraph, s: Scope, e: CExpr): DataFrame =
+    e match {
+      case And(l, r) =>
+        applyFilter(graph, s.copy(df = applyFilter(graph, s, l)), r)
+      case ExistsPattern(chain) =>
+        existsJoin(graph, s, chain, "left_semi")
+      case Not(ExistsPattern(chain)) =>
+        existsJoin(graph, s, chain, "left_anti")
+      case other if containsExists(other) =>
+        throw new IllegalArgumentException(
+          "EXISTS is only supported as a top-level (possibly negated) conjunct")
+      case other => s.df.filter(toColumn(other, s.scalars))
+    }
+
+  private def existsJoin(graph: PropertyGraph, s: Scope,
+      chain: PatternChain, joinType: String): DataFrame = {
+    val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
+    require(shared.nonEmpty,
+      "EXISTS pattern must share at least one variable with the outer MATCH")
+    val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+    val keys = shared.map(v => s"${v}__id")
+    s.df.join(odf.select(keys.map(col): _*), keys, joinType)
+  }
+
+  private def containsExists(e: CExpr): Boolean = e match {
+    case _: ExistsPattern => true
+    case And(l, r)        => containsExists(l) || containsExists(r)
+    case Or(l, r)         => containsExists(l) || containsExists(r)
+    case Not(x)           => containsExists(x)
+    case Cmp(_, l, r)     => containsExists(l) || containsExists(r)
+    case _                => false
   }
 
   /** WITH: re-project the pipeline. A bare `v` item for a bound
@@ -228,14 +268,27 @@ object CypherPlanner {
             .map(c => col(c).as(s"${rv}__$c"))
         case _ => Seq.empty
       }
-      val r = varLengthRel(graph.relTable(relType), rel.varLength)
+      // undirected: the edge list mirrored once (props ride along),
+      // then planned exactly like an Out hop
+      val baseRel = graph.relTable(relType)
+      val orientedRel = rel.direction match {
+        case Both =>
+          val swapped = baseRel.select(baseRel.columns.map {
+            case "__src" => col("__dst").as("__src")
+            case "__dst" => col("__src").as("__dst")
+            case c       => col(c)
+          }.toSeq: _*)
+          baseRel.unionByName(swapped)
+        case _ => baseRel
+      }
+      val r = varLengthRel(orientedRel, rel.varLength)
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
           relPropCols: _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
       val (joinKeyCur, joinKeyNext) = rel.direction match {
-        case Out => ("__r_src", "__r_dst")
-        case In  => ("__r_dst", "__r_src")
+        case In => ("__r_dst", "__r_src")
+        case _  => ("__r_src", "__r_dst")
       }
       df = df.join(r, col(s"${cur}__id") === col(joinKeyCur))
       if (bound.contains(nv)) {
@@ -314,6 +367,8 @@ object CypherPlanner {
     case Not(x)       => !toColumn(x, scalars)
     case f: FnCall    => throw new IllegalArgumentException(
       s"aggregate ${f.name} not allowed here")
+    case _: ExistsPattern => throw new IllegalArgumentException(
+      "EXISTS is only valid in a WHERE directly after MATCH")
   }
 
   private def toAggColumn(e: CExpr, scalars: Set[String]): Column = e match {

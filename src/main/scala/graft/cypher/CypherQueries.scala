@@ -102,6 +102,27 @@ object CypherQueries {
         |RETURN p.brand AS brand, sum(l.qty) AS total_qty, count(*) AS n_items
         |ORDER BY brand""".stripMargin)
 
+  /** NOT EXISTS pattern predicate → anti-join: orders that never
+    * contained a Brand#13 part, by status. (The pattern is written
+    * with the labeled node first so the shared variable binds through
+    * the relationship join key — no second Order scan.)
+    */
+  def notExists(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)
+        |WHERE NOT EXISTS { (p:Part {brand: 'Brand#13'})<-[:CONTAINS]-(o) }
+        |RETURN o.orderstatus AS status, count(*) AS n_orders
+        |ORDER BY status""".stripMargin)
+
+  /** Undirected relationship: neighbors along the nation chain in
+    * either orientation.
+    */
+  def undirected(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Nation)-[:NEXT_IN_REGION]-(b:Nation)
+        |RETURN a.name AS a_name, b.name AS b_name
+        |ORDER BY a_name, b_name""".stripMargin)
+
   /** Arithmetic in projections and predicates: revenue-style
     * aggregation over an edge-property product with a filtered scan.
     */

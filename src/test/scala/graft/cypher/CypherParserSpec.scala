@@ -30,8 +30,9 @@ class CypherParserSpec extends AnyFunSuite {
     val in = matches(CypherParser.parse(
       "MATCH (a:X)<-[:R]-(b:Y) RETURN a.p")).head.chain
     assert(in.hops.head._1 == RelPattern(None, Some("R"), In, None))
-    assertThrows[IllegalArgumentException](
-      CypherParser.parse("MATCH (a:X)-[:R]-(b:Y) RETURN a.p"))
+    val both = matches(CypherParser.parse(
+      "MATCH (a:X)-[:R]-(b:Y) RETURN a.p")).head.chain
+    assert(both.hops.head._1 == RelPattern(None, Some("R"), Both, None))
   }
 
   test("property map, where, skip") {

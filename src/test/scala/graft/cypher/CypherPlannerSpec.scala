@@ -113,6 +113,35 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(roundTrip == graft.Tables.nation(spark, TestSpark.sf).count())
   }
 
+  test("EXISTS semi-join and NOT EXISTS anti-join partition the customers") {
+    val withOrders = run(
+      "MATCH (c:Customer) WHERE EXISTS { (o:Order)-[:PLACED_BY]->(c) } " +
+      "RETURN count(*) AS n").first().getLong(0)
+    val without = run(
+      "MATCH (c:Customer) WHERE NOT EXISTS { (o:Order)-[:PLACED_BY]->(c) } " +
+      "RETURN count(*) AS n").first().getLong(0)
+    val all = graft.Tables.customer(spark, TestSpark.sf).count()
+    val distinctBuyers = graft.Tables.orders(spark, TestSpark.sf)
+      .select("o_custkey").distinct().count()
+    assert(withOrders == distinctBuyers)
+    assert(withOrders + without == all)
+    // EXISTS must not duplicate outer rows (semi-join, not inner join)
+    val rows = run(
+      "MATCH (c:Customer) WHERE EXISTS { (o:Order)-[:PLACED_BY]->(c) } " +
+      "RETURN c.custkey AS id")
+    assert(rows.count() == rows.distinct().count())
+  }
+
+  test("undirected hop matches both orientations exactly once each") {
+    val out = run(
+      "MATCH (a:Nation)-[:NEXT_IN_REGION]->(b:Nation) RETURN a.name AS x").count()
+    val in = run(
+      "MATCH (a:Nation)<-[:NEXT_IN_REGION]-(b:Nation) RETURN a.name AS x").count()
+    val both = run(
+      "MATCH (a:Nation)-[:NEXT_IN_REGION]-(b:Nation) RETURN a.name AS x").count()
+    assert(out > 0 && both == out + in)
+  }
+
   test("ORDER BY on a non-projected property sorts before projection") {
     val viaProp = run(
       "MATCH (c:Customer) RETURN c.name AS name ORDER BY c.acctbal DESC, c.name LIMIT 5")
