@@ -55,10 +55,13 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
+    "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
     "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
+    "text_top_tokens"     -> (TextAnalysis.topTokens(_, _)),
+    "text_length_hist"    -> (TextAnalysis.lengthHistogram(_, _)),
     "multimodal_meta"     -> (Multimodal.meta(_, _)),
     "multimodal_prep"     -> (Multimodal.prep(_, _)))
 
@@ -213,6 +216,40 @@ object SparkEntry {
         |SELECT label, CAST(d - 1 AS BIGINT) AS d,
         |round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS centroid
         |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, d,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS c
+        |  FROM ex GROUP BY label, d),
+        |cent AS (SELECT label AS cell, list(c ORDER BY d) AS cvec FROM cd GROUP BY label),
+        |n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      list_dot_product(v, v) - 2.0*list_dot_product(v, cvec)
+        |        + list_dot_product(cvec, cvec), cell) AS rk
+        |  FROM n CROSS JOIN cent),
+        |d AS (SELECT cell, vec_id, v, nrm FROM assign WHERE rk = 1 AND vec_id >= 5),
+        |q AS (SELECT cell, vec_id AS q_id, v AS q_v, nrm AS q_nrm
+        |      FROM assign WHERE rk <= 2 AND vec_id < 5),
+        |s AS (
+        |  SELECT q.q_id, d.vec_id,
+        |    round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+        |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+        |  FROM d JOIN q USING (cell)),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "text_quality" ->
       ("""SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -232,6 +269,15 @@ object SparkEntry {
         |    / greatest(length(text), 1) < 0.2
         |  THEN 1 ELSE 0 END AS INT) AS keep
         |FROM documents ORDER BY doc_id""").stripMargin,
+    "text_top_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_length_hist" ->
+      """SELECT length(text) // 256 AS bucket, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |CAST(CASE WHEN length(trim(text)) = 0 THEN 0

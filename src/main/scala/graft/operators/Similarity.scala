@@ -101,6 +101,46 @@ object Similarity {
         round(col("s").cast("double") / col("n"), 6).as("centroid"))
       .orderBy(col("label"), col("d"))
 
+  /** IVF-style ANN: the label centroids act as a coarse quantizer.
+    * Every vector is assigned to its nearest centroid cell (the
+    * quantizer is tiny and broadcast — an exact argmin over |cells|
+    * rows); each query probes its `nprobe` nearest cells and ranks
+    * exactly within them. At scale the cells are the pruning
+    * mechanism: a query scores ~nprobe/|cells| of the corpus.
+    * Distances use d² = v·v − 2·v·c + c·c so both engines fold the
+    * identical IEEE sequence; assignment ties break on cell id.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 10, nprobe: Int = 2)
+      : DataFrame = {
+    val cents = labelCentroids(spark, sfDir)
+      .groupBy(col("label").as("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("centroid")))),
+        s => s.getField("centroid")).as("cvec"))
+    val emb = embWithNorm(spark, sfDir)
+    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cvec")) +
+      dot(col("cvec"), col("cvec"))
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(d2.asc, col("cell"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("rk", row_number().over(assignW))
+    val data = assigned.filter(col("rk") === 1 && col("vec_id") >= 5)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val probes = assigned.filter(col("rk") <= nprobe && col("vec_id") < 5)
+      .select(col("cell"), col("vec_id").as("q_id"),
+        col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val scored = data.join(broadcast(probes), Seq("cell"))
+      .withColumn("score", round(
+        when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH:
     * `nPlanes` signed projections give a bucket id; each query only
     * scores vectors in its own bucket. The scale path for

@@ -94,6 +94,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus heavy hitters: top-k tokens by frequency. One shuffle on
+    * the token (map-side partial counts collapse the long tail), then
+    * TakeOrderedAndProject for the top-k — no global sort. Ties break
+    * on the token so the result is deterministic.
+    */
+  def topTokens(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Document length histogram (256-char buckets) — the length
+    * distribution every curation run reports. Single tiny-key shuffle.
+    */
+  def lengthHistogram(spark: SparkSession, sfDir: String, bucketChars: Int = 256)
+      : DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(expr(s"length(text) div $bucketChars").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD
     * 2003): polynomial rolling hash of char 8-grams, minimum per
     * window of 16, fingerprint = xor-fold of selected hashes.

@@ -18,6 +18,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("ivf probes recover a meaningful share of the exact top-k") {
+    val brute = Similarity.topkBruteforce(spark, TestSpark.sf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvf(spark, TestSpark.sf, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // 2 of ~10 cells probed; labels correlate with geometry only
+    // loosely on synthetic data, so expect overlap, not perfection
+    assert(recall >= 0.2, s"IVF recall $recall")
+    assert(ivf.nonEmpty)
+  }
+
+  test("label centroids have one row per (label, dim) and bounded values") {
+    val rows = Similarity.labelCentroids(spark, TestSpark.sf).collect()
+    val dims = rows.map(_.getLong(1)).distinct
+    assert(dims.length == 64 && rows.length % 64 == 0)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
+  }
+
   test("brute-force ranks are dense per query") {
     val rows = Similarity.topkBruteforce(spark, TestSpark.sf, k = 10).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
