@@ -37,6 +37,7 @@ object SparkEntry {
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
     "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
+    "graph_bfs"             -> (graph.Algorithms.bfsQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
@@ -44,6 +45,7 @@ object SparkEntry {
     "window_topn"       -> (Relational.windowTopn(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
     "events_sessionize" -> (Events.sessionize(_, _)),
+    "events_funnel"     -> (Events.funnel(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -154,6 +156,21 @@ object SparkEntry {
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM z GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+        |  (SELECT COUNT(*) FROM t2) AS n_view_click,
+        |  (SELECT COUNT(*) FROM t3) AS n_funnel""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |COUNT(*) AS n_dups
@@ -419,6 +436,23 @@ object SparkEntry {
         |'{"statements" : [ {"statement" : "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})", "parameters" : {"inserts" : ['
         |  || string_agg(elem, ',' ORDER BY rn) || ']} }]}' AS payload
         |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "graph_bfs" ->
+      """WITH RECURSIVE edges AS MATERIALIZED (
+        |  SELECT 2000000000 + o_custkey AS src, 1000000000 + o_orderkey AS dst
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 3000000000 + c_nationkey AS src, 2000000000 + c_custkey AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 4000000000 + n_regionkey AS src, 3000000000 + n_nationkey AS dst
+        |  FROM nation),
+        |walk AS (
+        |  SELECT 4000000000 + r_regionkey AS id, 0 AS depth FROM region
+        |  UNION
+        |  SELECT e.dst AS id, w.depth + 1 AS depth
+        |  FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id, CAST(MIN(depth) AS BIGINT) AS depth
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "graph_degrees" ->
       """WITH edges AS (
         |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst

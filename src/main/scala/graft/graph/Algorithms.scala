@@ -61,6 +61,51 @@ object Algorithms {
       .orderBy(col("id"))
   }
 
+  /** BFS hop distance from a set of source nodes along directed
+    * edges. Classic frontier expansion: each round joins the frontier
+    * against the (pre-partitioned, checkpointed) edge list, anti-joins
+    * already-visited nodes, and stops when the frontier drains —
+    * O(depth) rounds, every shuffle keyed on node id.
+    */
+  def bfsDepths(edges: DataFrame, sources: DataFrame, maxDepth: Int = 30)
+      : DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    var labels = sources.select(col("id")).distinct()
+      .withColumn("depth", lit(0L)).localCheckpoint(true)
+    var frontier = labels
+    var d = 0L
+    var drained = false
+    while (d < maxDepth && !drained) {
+      val next = e.join(frontier, e("src") === frontier("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(labels, Seq("id"), "left_anti")
+        .withColumn("depth", lit(d + 1L))
+        .localCheckpoint(true)
+      if (next.isEmpty) drained = true
+      else {
+        labels = labels.unionByName(next).localCheckpoint(true)
+        frontier = next
+        d += 1
+      }
+    }
+    labels
+  }
+
+  /** BFS over the reversed order→customer→nation→region hierarchy,
+    * rooted at the region nodes (the SparkEntry `graph_bfs` query:
+    * regions at depth 0, nations 1, customers 2, orders 3 — a shape
+    * the recursive-CTE oracle verifies edge by edge, not by fiat).
+    */
+  def bfsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__dst").as("src"), col("__src").as("dst")))
+      .reduce(_.unionByName(_))
+    val sources = g.nodeTable("Region").select(col("__id").as("id"))
+    bfsDepths(edges, sources).orderBy(col("id"))
+  }
+
   /** Connected components by iterative min-id label propagation with
     * pointer jumping. DataFrame-iterative with per-iteration
     * localCheckpoint to cut lineage; converges when no label changes

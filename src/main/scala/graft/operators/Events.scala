@@ -30,6 +30,33 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Temporally-ordered funnel: users who viewed, then clicked after
+    * their first view, then purchased after that first qualifying
+    * click. Each stage is one filtered groupBy(user_id) min-timestamp
+    * plus a join against the previous stage's (small, per-user) frame
+    * — AQE broadcasts the stage frames, so the event table is scanned
+    * per stage but never shuffled whole.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(evType: String, prev: Option[DataFrame], prevTs: String, outTs: String)
+        : DataFrame = {
+      val base = ev.filter(col("event_type") === evType)
+      val gated = prev match {
+        case Some(p) => base.join(p, "user_id").filter(col("ts") >= col(prevTs))
+        case None    => base
+      }
+      gated.groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    }
+    val t1 = stage("view", None, "", "t1")
+    val t2 = stage("click", Some(t1), "t1", "t2")
+    val t3 = stage("purchase", Some(t2), "t2", "t3")
+    t1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_funnel")))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle > 30 minutes. Classic lag + cumulative-sum formulation —
     * fully window-based, so it is a single shuffle on user_id and is

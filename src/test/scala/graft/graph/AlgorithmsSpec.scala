@@ -23,6 +23,15 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(cc(1L) == 1L && cc(10L) == 10L) // min-id labeling
   }
 
+  test("bfs depth equals shortest hop count, unreachable nodes absent") {
+    import spark.implicits._
+    // chain 1→2→3→4 plus a shortcut 1→3 and an unreachable 10→11
+    val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (10L, 11L)))
+    val depths = Algorithms.bfsDepths(edges, Seq(1L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(depths == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("pagerank mass is conserved and favors high in-degree") {
     // star: everyone points at 1
     val edges = edgeDf(Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
