@@ -33,6 +33,7 @@ object SparkEntry {
     "cypher_arithmetic"     -> (cypher.CypherQueries.arithmetic(_, _)),
     "cypher_not_exists"     -> (cypher.CypherQueries.notExists(_, _)),
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
+    "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -365,6 +366,11 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity >= 25.0
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+    "cypher_in_list" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 0.0
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "cypher_not_exists" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders
         |FROM orders

@@ -33,6 +33,10 @@ object Ast {
   final case class Cmp(op: String, l: CExpr, r: CExpr) extends CExpr
   /** Binary arithmetic: + - * / with the usual precedence. */
   final case class Arith(op: String, l: CExpr, r: CExpr) extends CExpr
+  /** `e IS NULL` (negate with NOT / IS NOT NULL). */
+  final case class IsNull(e: CExpr) extends CExpr
+  /** `e IN [literal, …]`. */
+  final case class InList(e: CExpr, list: ListLit) extends CExpr
   final case class And(l: CExpr, r: CExpr) extends CExpr
   final case class Or(l: CExpr, r: CExpr) extends CExpr
   final case class Not(e: CExpr) extends CExpr

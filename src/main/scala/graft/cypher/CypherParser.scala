@@ -252,6 +252,19 @@ object CypherParser {
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=").contains(op) =>
           next()
           Cmp(op, l, addExpr())
+        case Some(t) if isKw(t, "IS") =>
+          eatKw("IS")
+          val negated = atKw("NOT")
+          if (negated) eatKw("NOT")
+          eatKw("NULL")
+          if (negated) Not(IsNull(l)) else IsNull(l)
+        case Some(t) if isKw(t, "IN") =>
+          eatKw("IN")
+          addExpr() match {
+            case ll: ListLit => InList(l, ll)
+            case other => throw new IllegalArgumentException(
+              s"IN expects a list literal, got $other")
+          }
         case _ => l
       }
     }

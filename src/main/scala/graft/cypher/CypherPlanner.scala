@@ -362,6 +362,13 @@ object CypherPlanner {
     case Arith("*", l, r) => toColumn(l, scalars) * toColumn(r, scalars)
     case Arith("/", l, r) => toColumn(l, scalars) / toColumn(r, scalars)
     case Arith(op, _, _)  => throw new IllegalArgumentException(s"bad operator $op")
+    case IsNull(x)        => toColumn(x, scalars).isNull
+    case InList(x, ListLit(items)) =>
+      toColumn(x, scalars).isin(items.map {
+        case LitV(v) => v
+        case other => throw new IllegalArgumentException(
+          s"IN list must hold literals, got $other")
+      }: _*)
     case And(l, r)    => toColumn(l, scalars) && toColumn(r, scalars)
     case Or(l, r)     => toColumn(l, scalars) || toColumn(r, scalars)
     case Not(x)       => !toColumn(x, scalars)

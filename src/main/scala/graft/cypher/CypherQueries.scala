@@ -123,6 +123,16 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** IN-list membership predicate, pushed to the scan like any other
+    * property filter.
+    */
+  def inList(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WHERE c.mktsegment IN ['BUILDING', 'MACHINERY'] AND c.acctbal > 0.0
+        |RETURN c.mktsegment AS segment, count(*) AS n
+        |ORDER BY segment""".stripMargin)
+
   /** Arithmetic in projections and predicates: revenue-style
     * aggregation over an edge-property product with a filtered scan.
     */

@@ -113,6 +113,23 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(roundTrip == graft.Tables.nation(spark, TestSpark.sf).count())
   }
 
+  test("IS NULL after OPTIONAL MATCH selects the unmatched rows") {
+    val orderless = run(
+      "MATCH (c:Customer) OPTIONAL MATCH (o:Order)-[:PLACED_BY]->(c) " +
+      "WHERE o.orderkey IS NULL RETURN count(*) AS n").first().getLong(0)
+    val viaAnti = run(
+      "MATCH (c:Customer) WHERE NOT EXISTS { (o:Order)-[:PLACED_BY]->(c) } " +
+      "RETURN count(*) AS n").first().getLong(0)
+    assert(orderless == viaAnti)
+    val inTwo = run(
+      "MATCH (c:Customer) WHERE c.mktsegment IN ['BUILDING', 'MACHINERY'] " +
+      "RETURN count(*) AS n").first().getLong(0)
+    val direct = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment")
+        .isin("BUILDING", "MACHINERY")).count()
+    assert(inTwo == direct)
+  }
+
   test("EXISTS semi-join and NOT EXISTS anti-join partition the customers") {
     val withOrders = run(
       "MATCH (c:Customer) WHERE EXISTS { (o:Order)-[:PLACED_BY]->(c) } " +
