@@ -246,6 +246,20 @@ object Dedup {
     Some((sig, bh))
   }
 
+  /** Signature extraction as a pure transformation over (doc_id,
+    * text) — shuffle-free and STATELESS, so the identical code path
+    * runs under `readStream` (StreamingJobsSpec pins that property).
+    */
+  def minhashSignaturesOf(docs: DataFrame,
+      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        minhashBandsJvm(t, numPerms, bands).map { case (s, bh) => (id, s, bh) }
+      }
+      .toDF("doc_id", "sig", "bands")
+  }
+
   /** (doc_id, sig, bands) — JVM-computed MinHash signatures. No
     * shuffle: documents are independent, the map runs per partition.
     * (The previous formulation — explode shingles + 128 SQL min
@@ -254,15 +268,10 @@ object Dedup {
     * DuckDB oracle.)
     */
   def minhashSignatures(spark: SparkSession, sfDir: String,
-      numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        minhashBandsJvm(t, numPerms, bands).map { case (s, bh) => (id, s, bh) }
-      }
-      .toDF("doc_id", "sig", "bands")
-  }
+      numPerms: Int = 128, bands: Int = 32): DataFrame =
+    minhashSignaturesOf(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      numPerms, bands)
 
   /** MinHash+LSH near-dup: b bands × r rows banding over the MinHash
     * signature; docs colliding in any band become candidates; a

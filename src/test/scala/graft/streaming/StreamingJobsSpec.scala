@@ -53,6 +53,28 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minhash signature extraction runs unchanged under readStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup
+      .minhashSignaturesOf(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sigs").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sigs")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val batch = graft.operators.Dedup
+        .minhashSignaturesOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed == batch && streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits gap-separated sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
