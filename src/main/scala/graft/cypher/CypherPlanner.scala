@@ -50,7 +50,7 @@ object CypherPlanner {
         val (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet)
         val keys = shared.map(v => s"${v}__id")
         // drop the optional side's duplicate copies of shared-var props
-        val dupCols = odf.columns.filter(c =>
+        val dupCols = odf.columns.toSeq.filter(c =>
           shared.exists(v => c.startsWith(s"${v}__")) && !keys.contains(c))
         s = s.copy(df = s.df.join(odf.drop(dupCols: _*), keys, "left_outer"),
           nodeVars = s.nodeVars ++ ovars)
@@ -63,7 +63,7 @@ object CypherPlanner {
         val df =
           if (s.df == null)
             graph.nodes.values.head.sparkSession.range(1).select(c)
-          else s.df.select(s.df.columns.map(col) :+ c: _*)
+          else s.df.select(s.df.columns.toSeq.map(col) :+ c: _*)
         s = Scope(df, s.nodeVars, s.scalars + alias)
 
       case w: WithClause =>
@@ -238,7 +238,7 @@ object CypherPlanner {
         s"node ($v) needs a label to bind a table (round-1 planner)"))
       var t = graph.nodeTable(label)
       np.props.foreach { case (k, value) => t = t.filter(col(k) === lit(value)) }
-      val renamed = t.select(t.columns.map(c =>
+      val renamed = t.select(t.columns.toSeq.map(c =>
         if (c == "__id") col(c).as(s"${v}__id") else col(c).as(s"${v}__$c")): _*)
       (renamed, v)
     }
