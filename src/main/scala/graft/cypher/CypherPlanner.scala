@@ -59,6 +59,8 @@ object CypherPlanner {
         s = s.copy(df = applyFilter(graph, s, e))
 
       case UnwindClause(list, alias) =>
+        require(s.df == null || !s.df.columns.contains(alias),
+          s"UNWIND alias '$alias' collides with an existing binding")
         val c = explode(toColumn(list, s.scalars)).as(alias)
         val df =
           if (s.df == null)

@@ -97,6 +97,10 @@ object Neo4jReader {
   def readPartitioned(spark: SparkSession, cfg: Neo4jConfig, schema: StructType,
       numPartitions: Int = 4, pageSize: Int = 10000): DataFrame = {
     require(numPartitions >= 1 && pageSize >= 1, "bad partitioning")
+    // appending our own window onto a query that already paginates
+    // would silently return the wrong subset — refuse loudly
+    require(!"""(?is).*\b(SKIP|LIMIT)\s+\d+\s*$""".r.matches(cfg.query),
+      "partitioned read appends SKIP/LIMIT; the query must not end with its own")
     val rows = spark.sparkContext
       .parallelize(0 until numPartitions, numPartitions)
       .flatMap { p =>

@@ -159,6 +159,10 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       numPartitions = 3, pageSize = 4)
     val ids = df.collect().map(_.getInt(0)).sorted
     assert(ids.toSeq == (1 to 25))
+    // a query carrying its own pagination must be rejected, not
+    // silently double-paginated
+    assertThrows[IllegalArgumentException](Neo4jReader.readPartitioned(
+      spark, cfg.copy(query = cfg.query + " LIMIT 10"), schema))
   }
 
   test("config validation mirrors the reference builder") {
