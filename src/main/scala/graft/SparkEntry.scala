@@ -44,6 +44,7 @@ object SparkEntry {
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
     "q5_multi_join"     -> (Relational.q5MultiJoin(_, _)),
     "window_topn"       -> (Relational.windowTopn(_, _)),
+    "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
     "events_sessionize" -> (Events.sessionize(_, _)),
     "events_funnel"     -> (Events.funnel(_, _)),
@@ -134,6 +135,13 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM j)
         |SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM r WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "copurchase_topk" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |COUNT(*) AS n_events,

@@ -94,6 +94,25 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Market-basket co-occurrence: the 20 part pairs appearing together
+    * in the most orders. Fact-fact self-join on the order key — both
+    * sides shuffle once on l_orderkey and the join is co-partitioned;
+    * per-pair counts partial-aggregate map-side and the top-20 is
+    * TakeOrderedAndProject. The distinct() keeps multi-quantity line
+    * items from double-counting a pair within one order.
+    */
+  def copurchase(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Per-group top-n via window rank: 3 highest-value orders per
     * customer market segment.
     * 100 TB notes: one shuffle on the partition key; rank is computed
