@@ -34,6 +34,7 @@ object SparkEntry {
     "cypher_not_exists"     -> (cypher.CypherQueries.notExists(_, _)),
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
+    "cypher_agg_functions"  -> (cypher.CypherQueries.aggFunctions(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -374,6 +375,11 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity >= 25.0
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+    "cypher_agg_functions" ->
+      """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
+        |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        |FROM customer""".stripMargin,
     "cypher_in_list" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n
         |FROM customer

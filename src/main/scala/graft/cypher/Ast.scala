@@ -40,8 +40,11 @@ object Ast {
   final case class And(l: CExpr, r: CExpr) extends CExpr
   final case class Or(l: CExpr, r: CExpr) extends CExpr
   final case class Not(e: CExpr) extends CExpr
-  /** Aggregate or scalar function call; `star` for count(*). */
-  final case class FnCall(name: String, arg: Option[CExpr], star: Boolean = false)
+  /** Aggregate or scalar function call; `star` for count(*),
+    * `distinct` for count(DISTINCT e) / sum(DISTINCT e).
+    */
+  final case class FnCall(name: String, arg: Option[CExpr],
+      star: Boolean = false, distinct: Boolean = false)
     extends CExpr
   /** `EXISTS { pattern }` — true when the pattern matches at least
     * once from the current bindings; compiles to a semi-join (or
@@ -102,8 +105,8 @@ object Ast {
     def name: String = alias.getOrElse(expr match {
       case Prop(v, p)           => p
       case Ident(n)             => n
-      case FnCall(f, _, true)   => f
-      case FnCall(f, Some(a), _) => f
+      case FnCall(f, _, true, _)  => f
+      case FnCall(f, Some(_), _, _) => f
       case _                    => "expr"
     })
   }

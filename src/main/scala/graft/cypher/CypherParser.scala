@@ -298,7 +298,11 @@ object CypherParser {
         eatSym("(")
         val call =
           if (atSym("*")) { eatSym("*"); FnCall(fn, None, star = true) }
-          else FnCall(fn, Some(addExpr()))
+          else {
+            val distinct = atKw("DISTINCT")
+            if (distinct) eatKw("DISTINCT")
+            FnCall(fn, Some(addExpr()), distinct = distinct)
+          }
         eatSym(")")
         call
       case Some(TId(_)) =>

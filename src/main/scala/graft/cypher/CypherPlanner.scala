@@ -339,7 +339,7 @@ object CypherPlanner {
     }
 
   private def isAggregate(e: CExpr): Boolean = e match {
-    case FnCall(n, _, _) => Set("count", "sum", "min", "max", "avg", "collect")(n)
+    case FnCall(n, _, _, _) => Set("count", "sum", "min", "max", "avg", "collect")(n)
     case _               => false
   }
 
@@ -381,17 +381,24 @@ object CypherPlanner {
   }
 
   private def toAggColumn(e: CExpr, scalars: Set[String]): Column = e match {
-    case FnCall("count", _, true)    => count(lit(1))
-    case FnCall("count", Some(a), _) => count(toColumn(a, scalars))
+    case FnCall("count", _, true, _)       => count(lit(1))
+    case FnCall("count", Some(a), _, true) => countDistinct(toColumn(a, scalars))
+    case FnCall("count", Some(a), _, _)    => count(toColumn(a, scalars))
     // fixed-point accumulation (like Relational's money sums): decimal
     // summation is exact, so parallel combine order cannot perturb low
     // bits; result surfaces as double
-    case FnCall("sum", Some(a), _)   =>
-      sum(toColumn(a, scalars).cast("decimal(18,4)")).cast("double")
-    case FnCall("min", Some(a), _)   => min(toColumn(a, scalars))
-    case FnCall("max", Some(a), _)   => max(toColumn(a, scalars))
-    case FnCall("avg", Some(a), _)   => avg(toColumn(a, scalars))
-    case FnCall("collect", Some(a), _) => sort_array(collect_list(toColumn(a, scalars)))
+    case FnCall("sum", Some(a), _, d) =>
+      val c = toColumn(a, scalars).cast("decimal(18,4)")
+      (if (d) sum_distinct(c) else sum(c)).cast("double")
+    case FnCall("min", Some(a), _, _) => min(toColumn(a, scalars))
+    case FnCall("max", Some(a), _, _) => max(toColumn(a, scalars))
+    // avg via the same fixed-point sum over an explicit count, so the
+    // result is order-independent like sum()
+    case FnCall("avg", Some(a), _, _) =>
+      sum(toColumn(a, scalars).cast("decimal(18,4)")).cast("double") /
+        count(toColumn(a, scalars))
+    case FnCall("collect", Some(a), _, _) =>
+      sort_array(collect_list(toColumn(a, scalars)))
     case other => throw new IllegalArgumentException(s"not an aggregate: $other")
   }
 }

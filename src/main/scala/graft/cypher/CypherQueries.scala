@@ -123,6 +123,17 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** The full aggregate-function surface in one ungrouped aggregation:
+    * count(DISTINCT), min, max, and order-independent avg.
+    */
+  def aggFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN count(DISTINCT c.nationkey) AS n_nations,
+        |  min(c.acctbal) AS min_bal,
+        |  max(c.acctbal) AS max_bal,
+        |  avg(c.acctbal) AS avg_bal""".stripMargin)
+
   /** IN-list membership predicate, pushed to the scan like any other
     * property filter.
     */
