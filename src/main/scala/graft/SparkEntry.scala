@@ -35,6 +35,7 @@ object SparkEntry {
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
     "cypher_agg_functions"  -> (cypher.CypherQueries.aggFunctions(_, _)),
+    "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -375,6 +376,9 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity >= 25.0
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+    "cypher_string_fns" ->
+      """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
+        |FROM nation ORDER BY name_lc""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

@@ -290,9 +290,12 @@ object CypherParser {
     }
 
     private val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
+    private val scalarFns = Set("toupper", "tolower", "trim", "size")
 
     private def valueExpr(): CExpr = peek match {
-      case Some(TId(name)) if aggFns.contains(name.toLowerCase) &&
+      case Some(TId(name))
+          if (aggFns.contains(name.toLowerCase) ||
+            scalarFns.contains(name.toLowerCase)) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
         val fn = ident().toLowerCase
         eatSym("(")

@@ -374,6 +374,11 @@ object CypherPlanner {
     case And(l, r)    => toColumn(l, scalars) && toColumn(r, scalars)
     case Or(l, r)     => toColumn(l, scalars) || toColumn(r, scalars)
     case Not(x)       => !toColumn(x, scalars)
+    case FnCall("toupper", Some(a), _, _) => upper(toColumn(a, scalars))
+    case FnCall("tolower", Some(a), _, _) => lower(toColumn(a, scalars))
+    case FnCall("trim", Some(a), _, _)    => trim(toColumn(a, scalars))
+    case FnCall("size", Some(a), _, _)    =>
+      length(toColumn(a, scalars)).cast("long")
     case f: FnCall    => throw new IllegalArgumentException(
       s"aggregate ${f.name} not allowed here")
     case _: ExistsPattern => throw new IllegalArgumentException(

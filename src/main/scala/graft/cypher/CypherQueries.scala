@@ -123,6 +123,13 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** Scalar string functions in projections (toLower / size). */
+  def stringFns(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |RETURN toLower(n.name) AS name_lc, size(n.name) AS name_len
+        |ORDER BY name_lc""".stripMargin)
+
   /** The full aggregate-function surface in one ungrouped aggregation:
     * count(DISTINCT), min, max, and order-independent avg.
     */

@@ -102,6 +102,14 @@ class CypherParserSpec extends AnyFunSuite {
     assert(agg.returnClause.items.head.expr == FnCall("count", None, star = true))
   }
 
+  test("DISTINCT aggregates and scalar functions parse") {
+    val q = CypherParser.parse(
+      "MATCH (c:X) RETURN count(DISTINCT c.k) AS n, toLower(c.name) AS lc")
+    assert(q.returnClause.items.head.expr ==
+      FnCall("count", Some(Prop("c", "k")), distinct = true))
+    assert(q.returnClause.items(1).expr == FnCall("tolower", Some(Prop("c", "name"))))
+  }
+
   test("malformed queries fail with a message") {
     assertThrows[IllegalArgumentException](CypherParser.parse("MATCH (c:Customer"))
     assertThrows[IllegalArgumentException](CypherParser.parse("FOO 1"))
