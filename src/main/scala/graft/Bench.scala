@@ -16,10 +16,18 @@ object Bench {
     // graph queries alone). Falls back to table counts when the tiny
     // SF isn't present.
     val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
-    if (warmDir.isDirectory)
+    if (warmDir.isDirectory) {
+      // warm concurrently: the point is JIT/codegen coverage, not
+      // timing, and the tiny-SF jobs interleave fine on local[32]
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       SparkEntry.queries.values.foreach(fn =>
-        try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () })
-    else Tables.all.foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
+        }))
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    } else Tables.all.foreach { t =>
       try {
         if (t == "events") Tables.events(spark, sfDir).count()
         else Tables(spark, sfDir, t).count()
