@@ -69,7 +69,8 @@ object Ast {
       variable: Option[String],
       relType: Option[String],
       direction: Direction,
-      varLength: Option[(Int, Int)])
+      varLength: Option[(Int, Int)],
+      props: Map[String, Any] = Map.empty)
 
   /** A linear pattern chain: start node then (rel, node) hops. */
   final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)]) {

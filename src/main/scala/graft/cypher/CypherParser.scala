@@ -8,6 +8,11 @@ import graft.cypher.Ast._
   */
 object CypherParser {
 
+  /** Upper bound substituted for open-ended var-length ranges (`*`,
+    * `*2..`) — matches the planner's supported expansion cap.
+    */
+  val MaxVarHops = 10
+
   def parse(input: String): CypherQuery = new P(tokenize(input)).query()
 
   // ---- lexer ----------------------------------------------------------
@@ -190,23 +195,51 @@ object CypherParser {
         case _            => None
       }
       val relType = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      // all Cypher range spellings: *  *2  *1..3  *..3  *2..
+      // (missing lower bound → 1; missing upper bound → the planner's
+      // supported cap; bare number → exactly that many hops)
       val varLength =
         if (atSym("*")) {
           eatSym("*")
-          val lo = longLit().toInt
-          eatSym("..")
-          val hi = longLit().toInt
-          Some((lo, hi))
+          val lo = peek match {
+            case Some(TNum(_)) => Some(longLit().toInt)
+            case _             => None
+          }
+          val hasRange = atSym("..")
+          if (hasRange) eatSym("..")
+          val hi = peek match {
+            case Some(TNum(_)) if hasRange => Some(longLit().toInt)
+            case _                         => None
+          }
+          (lo, hasRange, hi) match {
+            case (Some(l), false, _)      => Some((l, l))          // *2
+            case (Some(l), true, Some(h)) => Some((l, h))          // *1..3
+            case (Some(l), true, None)    => Some((l, MaxVarHops)) // *2..
+            case (None, true, Some(h))    => Some((1, h))          // *..3
+            case (None, true, None)       => Some((1, MaxVarHops)) // *..
+            case (None, false, _)         => Some((1, MaxVarHops)) // *
+          }
         } else None
+      val props =
+        if (atSym("{")) {
+          eatSym("{")
+          val m = Map.newBuilder[String, Any]
+          m += (ident() -> { eatSym(":"); literal() })
+          while (atSym(",")) { eatSym(","); m += (ident() -> { eatSym(":"); literal() }) }
+          eatSym("}")
+          m.result()
+        } else Map.empty[String, Any]
       eatSym("]")
       direction match {
         case In =>
           eatSym("-")
-          RelPattern(variable, relType, In, varLength)
+          RelPattern(variable, relType, In, varLength, props)
         case _ =>
-          if (atSym("->")) { eatSym("->"); RelPattern(variable, relType, Out, varLength) }
-          else if (atSym("-")) { eatSym("-"); RelPattern(variable, relType, Both, varLength) }
-          else throw new IllegalArgumentException(
+          if (atSym("->")) {
+            eatSym("->"); RelPattern(variable, relType, Out, varLength, props)
+          } else if (atSym("-")) {
+            eatSym("-"); RelPattern(variable, relType, Both, varLength, props)
+          } else throw new IllegalArgumentException(
             "expected -> or - to close the relationship pattern")
       }
     }

@@ -270,9 +270,12 @@ object CypherPlanner {
             .map(c => col(c).as(s"${rv}__$c"))
         case _ => Seq.empty
       }
+      // inline relationship property map → equality filters on the
+      // edge table, applied before any mirroring/expansion
+      var baseRel = graph.relTable(relType)
+      rel.props.foreach { case (k, v) => baseRel = baseRel.filter(col(k) === lit(v)) }
       // undirected: the edge list mirrored once (props ride along),
       // then planned exactly like an Out hop
-      val baseRel = graph.relTable(relType)
       val orientedRel = rel.direction match {
         case Both =>
           val swapped = baseRel.select(baseRel.columns.map {

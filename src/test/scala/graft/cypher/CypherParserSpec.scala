@@ -55,8 +55,22 @@ class CypherParserSpec extends AnyFunSuite {
   }
 
   test("var-length range") {
-    val q = CypherParser.parse("MATCH (a:X)-[:R*1..3]->(b:Y) RETURN a.p")
-    assert(matches(q).head.chain.hops.head._1.varLength.contains((1, 3)))
+    def vl(p: String) = matches(CypherParser.parse(
+      s"MATCH (a:X)-[$p]->(b:Y) RETURN a.p")).head.chain.hops.head._1.varLength
+    assert(vl(":R*1..3").contains((1, 3)))
+    assert(vl(":R*2").contains((2, 2)))
+    assert(vl(":R*..3").contains((1, 3)))
+    assert(vl(":R*2..").contains((2, CypherParser.MaxVarHops)))
+    assert(vl(":R*").contains((1, CypherParser.MaxVarHops)))
+    assert(vl(":R").isEmpty)
+  }
+
+  test("relationship property maps parse and attach to the pattern") {
+    val r = matches(CypherParser.parse(
+      "MATCH (a:X)-[l:R {qty: 25.0, kind: 'bulk'}]->(b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(r.props == Map("qty" -> 25.0, "kind" -> "bulk"))
+    assert(r.variable.contains("l"))
   }
 
   test("optional match flag") {

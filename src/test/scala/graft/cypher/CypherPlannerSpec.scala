@@ -174,6 +174,15 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(arith.count() == 3)
   }
 
+  test("relationship property map filters the edge table") {
+    val filtered = run(
+      "MATCH (o:Order)-[l:CONTAINS {qty: 25.0}]->(p:Part) RETURN count(*) AS n")
+      .first().getLong(0)
+    val expected = graft.Tables.lineitem(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") === 25.0).count()
+    assert(filtered == expected && filtered > 0)
+  }
+
   test("named relationship binds its property columns") {
     val rows = run(
       "MATCH (o:Order)-[l:CONTAINS]->(p:Part) " +
