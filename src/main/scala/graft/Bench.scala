@@ -26,7 +26,12 @@ object Bench {
             try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
         }))
       pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      // if warmup overruns, cancel it rather than letting stragglers
+      // run Spark jobs concurrently with the timed measurements
+      if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        pool.shutdownNow()
+        spark.sparkContext.cancelAllJobs()
+      }
     } else Tables.all.foreach { t =>
       try {
         if (t == "events") Tables.events(spark, sfDir).count()

@@ -79,7 +79,14 @@ object Ast {
   }
 
   sealed trait Clause
-  final case class MatchClause(chain: PatternChain, optional: Boolean) extends Clause
+  /** `where` holds a WHERE attached to an OPTIONAL MATCH: per Cypher
+    * semantics it filters the optional pattern BEFORE the left join
+    * (unmatched outer rows survive with nulls). A WHERE after a plain
+    * MATCH becomes a [[FilterClause]] instead — for an inner pattern
+    * the two are equivalent.
+    */
+  final case class MatchClause(chain: PatternChain, optional: Boolean,
+      where: Option[CExpr] = None) extends Clause
   /** A WHERE attached to the clause it follows (applied immediately). */
   final case class FilterClause(expr: CExpr) extends Clause
   /** Horizon: re-projects the row set (aggregating when any item

@@ -99,8 +99,17 @@ object CypherParser {
           val opt = atKw("OPTIONAL")
           if (opt) eatKw("OPTIONAL")
           eatKw("MATCH")
-          clauses += MatchClause(patternChain(), opt)
-          if (atKw("WHERE")) { eatKw("WHERE"); clauses += FilterClause(expr()) }
+          val chain = patternChain()
+          val where =
+            if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+          // Cypher semantics: WHERE after OPTIONAL MATCH filters the
+          // optional pattern before the left join; after a plain MATCH
+          // it is an ordinary filter
+          if (opt) clauses += MatchClause(chain, optional = true, where)
+          else {
+            clauses += MatchClause(chain, optional = false)
+            where.foreach(clauses += FilterClause(_))
+          }
         } else if (atKw("UNWIND")) {
           eatKw("UNWIND")
           val list = valueExpr()
@@ -327,10 +336,10 @@ object CypherParser {
 
     private def valueExpr(): CExpr = peek match {
       case Some(TId(name))
-          if (aggFns.contains(name.toLowerCase) ||
-            scalarFns.contains(name.toLowerCase)) &&
+          if (aggFns.contains(name.toLowerCase(java.util.Locale.ROOT)) ||
+            scalarFns.contains(name.toLowerCase(java.util.Locale.ROOT))) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
-        val fn = ident().toLowerCase
+        val fn = ident().toLowerCase(java.util.Locale.ROOT)
         eatSym("(")
         val call =
           if (atSym("*")) { eatSym("*"); FnCall(fn, None, star = true) }

@@ -36,18 +36,21 @@ object CypherPlanner {
     var s = Scope(null, Set.empty, Set.empty)
     var out: DataFrame = null
     q.clauses.foreach {
-      case MatchClause(chain, false) =>
+      case MatchClause(chain, false, _) =>
         val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df)
         s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars)
 
-      case MatchClause(chain, true) =>
+      case MatchClause(chain, true, where) =>
         val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
         require(shared.nonEmpty,
           "OPTIONAL MATCH must share at least one variable with a previous MATCH")
         // plan the optional chain standalone (shared vars bind through
         // the relationship join keys, no second node-table scan), then
-        // left-outer join on the shared variables' ids
-        val (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        // left-outer join on the shared variables' ids. The attached
+        // WHERE filters the optional side BEFORE the join — unmatched
+        // outer rows keep their nulls (Cypher semantics).
+        var (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        where.foreach(e => odf = odf.filter(toColumn(e, s.scalars)))
         val keys = shared.map(v => s"${v}__id")
         // drop the optional side's duplicate copies of shared-var props
         val dupCols = odf.columns.toSeq.filter(c =>

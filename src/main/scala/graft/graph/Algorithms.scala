@@ -89,6 +89,12 @@ object Algorithms {
         d += 1
       }
     }
+    // truncating with a live frontier would silently misreport every
+    // deeper node as unreachable — same non-negotiable as the CC
+    // convergence check
+    if (!drained) throw new IllegalStateException(
+      s"bfsDepths frontier not drained after $maxDepth hops - " +
+        "results would be wrong; raise maxDepth for graphs of this depth")
     labels
   }
 

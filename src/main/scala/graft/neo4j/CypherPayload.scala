@@ -26,10 +26,15 @@ object CypherPayload {
     * serializes to valid JSON — the reference's String.format with
     * quote-only escaping (Neo4jFormatBase.java:44) breaks on those.
     */
+  /** Shared mapper — ObjectMapper is expensive to build and
+    * thread-safe for serialization, and [[statementJson]] sits on the
+    * per-page / per-batch hot paths.
+    */
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def statementJson(query: String,
       parameters: Map[String, com.fasterxml.jackson.databind.JsonNode] = Map.empty)
       : String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     val stmt = root.putArray("statements").addObject()
     stmt.put("statement", query)

@@ -61,7 +61,7 @@ object Dedup {
     * expression tree. ~µs/doc.
     */
   def shingleHashesJvm(text: String, n: Int = 3): Array[Long] = {
-    val w = text.trim.toLowerCase.split("\\s+")
+    val w = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (w.length < n) return Array.empty
     val out = new Array[Long](w.length - n + 1)
     var i = 0
@@ -216,7 +216,7 @@ object Dedup {
   def minhashBandsJvm(text: String, numPerms: Int = 128, bands: Int = 32)
       : Option[(Array[Long], Array[Long])] = {
     import graft.OracleHash.{P, a, b, poly, polyChar}
-    val w = text.trim.toLowerCase.split("\\s+")
+    val w = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     if (w.length < 3) return None
     val aArr = Array.tabulate(numPerms)(a)
     val bArr = Array.tabulate(numPerms)(b)
@@ -319,7 +319,7 @@ object Dedup {
     */
   def simhashJvm(text: String): Option[Long] = {
     import graft.OracleHash.{P, a, b, poly}
-    val w = text.trim.toLowerCase.split("\\s+")
+    val w = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val aArr = Array.tabulate(SimhashBits)(a)
     val bArr = Array.tabulate(SimhashBits)(b)
     val sums = new Array[Int](SimhashBits)

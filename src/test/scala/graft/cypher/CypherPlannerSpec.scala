@@ -113,14 +113,28 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(roundTrip == graft.Tables.nation(spark, TestSpark.sf).count())
   }
 
-  test("IS NULL after OPTIONAL MATCH selects the unmatched rows") {
+  test("WHERE on OPTIONAL MATCH filters the pattern, not the outer rows") {
+    // Cypher semantics: every customer survives; only the optional
+    // side is filtered (non-qualifying orders null out)
+    val kept = run(
+      "MATCH (c:Customer) OPTIONAL MATCH (o:Order)-[:PLACED_BY]->(c) " +
+      "WHERE o.totalprice > 100000.0 " +
+      "RETURN c.custkey AS id, o.orderkey AS ok")
+    val all = graft.Tables.customer(spark, TestSpark.sf).count()
+    assert(kept.select("id").distinct().count() == all)
+    // post-join filtering (the anti-join idiom) goes through a WITH
+    // horizon, exactly like Neo4j
     val orderless = run(
       "MATCH (c:Customer) OPTIONAL MATCH (o:Order)-[:PLACED_BY]->(c) " +
-      "WHERE o.orderkey IS NULL RETURN count(*) AS n").first().getLong(0)
+      "WITH c, o WHERE o.orderkey IS NULL RETURN count(*) AS n")
+      .first().getLong(0)
     val viaAnti = run(
       "MATCH (c:Customer) WHERE NOT EXISTS { (o:Order)-[:PLACED_BY]->(c) } " +
       "RETURN count(*) AS n").first().getLong(0)
     assert(orderless == viaAnti)
+  }
+
+  test("IN list predicate matches direct isin filtering") {
     val inTwo = run(
       "MATCH (c:Customer) WHERE c.mktsegment IN ['BUILDING', 'MACHINERY'] " +
       "RETURN count(*) AS n").first().getLong(0)
