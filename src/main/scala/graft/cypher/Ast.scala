@@ -37,6 +37,10 @@ object Ast {
   final case class IsNull(e: CExpr) extends CExpr
   /** `e IN [literal, …]`. */
   final case class InList(e: CExpr, list: ListLit) extends CExpr
+  /** `$name` placeholder — replaced by a literal at plan time (the
+    * reference ships these in the payload's `parameters` object).
+    */
+  final case class Param(name: String) extends CExpr
   final case class And(l: CExpr, r: CExpr) extends CExpr
   final case class Or(l: CExpr, r: CExpr) extends CExpr
   final case class Not(e: CExpr) extends CExpr

@@ -357,6 +357,8 @@ object CypherParser {
       case Some(TNum(n)) =>
         next()
         LitV(if (n.contains('.')) n.toDouble else n.toLong)
+      case Some(TSym("$")) =>
+        eatSym("$"); Param(ident())
       case Some(TSym("(")) =>
         eatSym("("); val e = expr(); eatSym(")"); e
       case Some(TSym("[")) =>

@@ -25,6 +25,40 @@ object CypherPlanner {
   def run(spark: SparkSession, graph: PropertyGraph, query: String): DataFrame =
     plan(graph, CypherParser.parse(query))
 
+  /** Parameterized execution: `$name` placeholders bind to literal
+    * values before planning — the distributed twin of the reference's
+    * `parameters` payload object (Neo4jFormatBase.java:44).
+    */
+  def run(spark: SparkSession, graph: PropertyGraph, query: String,
+      params: Map[String, Any]): DataFrame =
+    plan(graph, bindParams(CypherParser.parse(query), params))
+
+  /** Replaces every [[Param]] in the query with its literal value. */
+  def bindParams(q: CypherQuery, params: Map[String, Any]): CypherQuery = {
+    def bx(e: CExpr): CExpr = e match {
+      case Param(n) => LitV(params.getOrElse(n,
+        throw new IllegalArgumentException(s"unbound query parameter $$$n")))
+      case Cmp(op, l, r)   => Cmp(op, bx(l), bx(r))
+      case Arith(op, l, r) => Arith(op, bx(l), bx(r))
+      case And(l, r)       => And(bx(l), bx(r))
+      case Or(l, r)        => Or(bx(l), bx(r))
+      case Not(x)          => Not(bx(x))
+      case IsNull(x)       => IsNull(bx(x))
+      case InList(x, ListLit(items)) => InList(bx(x), ListLit(items.map(bx)))
+      case ListLit(items)  => ListLit(items.map(bx))
+      case FnCall(n, a, s, d) => FnCall(n, a.map(bx), s, d)
+      case other           => other
+    }
+    def bi(i: ReturnItem): ReturnItem = i.copy(expr = bx(i.expr))
+    CypherQuery(q.clauses.map {
+      case m: MatchClause   => m.copy(where = m.where.map(bx))
+      case FilterClause(e)  => FilterClause(bx(e))
+      case w: WithClause    => w.copy(items = w.items.map(bi), where = w.where.map(bx))
+      case UnwindClause(l, a) => UnwindClause(bx(l), a)
+      case r: ReturnClause  => r.copy(items = r.items.map(bi))
+    })
+  }
+
   /** Pipeline state between clauses: the accumulated plan, the bound
     * pattern variables (columns `v__*`), and the scalar bindings
     * introduced by WITH/UNWIND (columns named directly).
@@ -389,6 +423,8 @@ object CypherPlanner {
       s"aggregate ${f.name} not allowed here")
     case _: ExistsPattern => throw new IllegalArgumentException(
       "EXISTS is only valid in a WHERE directly after MATCH")
+    case Param(n) => throw new IllegalArgumentException(
+      s"unbound query parameter $$$n - pass a params map to CypherPlanner.run")
   }
 
   private def toAggColumn(e: CExpr, scalars: Set[String]): Column = e match {

@@ -134,6 +134,22 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(orderless == viaAnti)
   }
 
+  test("parameterized queries bind $placeholders at plan time") {
+    val g = GraphLoader.tpch(spark, TestSpark.sf)
+    val df = CypherPlanner.run(spark, g,
+      "MATCH (c:Customer) WHERE c.mktsegment = $seg AND c.acctbal > $minBal " +
+      "RETURN count(*) AS n",
+      Map("seg" -> "BUILDING", "minBal" -> 1000.0))
+    val direct = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 1000.0).count()
+    assert(df.first().getLong(0) == direct)
+    // unbound parameters fail loudly, not silently
+    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH (c:Customer) WHERE c.acctbal > $x RETURN count(*) AS n",
+      Map.empty[String, Any]))
+  }
+
   test("IN list predicate matches direct isin filtering") {
     val inTwo = run(
       "MATCH (c:Customer) WHERE c.mktsegment IN ['BUILDING', 'MACHINERY'] " +
