@@ -361,17 +361,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ k (default 3) via
-    * the pigeonhole principle: split the 60-bit hash into k+1 = 4
-    * 15-bit blocks; any pair within distance k must agree exactly on
-    * ≥1 block → join per block, then verify true Hamming distance.
-    * Join keys are (block_idx, block_value) — no all-pairs comparison.
+    * the pigeonhole principle: split the 60-bit hash into k+1 blocks
+    * (15-bit blocks for the default k=3); any pair within distance k
+    * must agree exactly on ≥1 block → join per block, then verify true
+    * Hamming distance. Join keys are (block_idx, block_value) — no
+    * all-pairs comparison. The block count DERIVES from k: a fixed
+    * split would silently lose completeness the moment a caller asked
+    * for a larger distance.
     */
   def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 3)
       : DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimhashBits, s"bad maxHamming $maxHamming")
+    val nBlocks = maxHamming + 1
+    val width = (SimhashBits + nBlocks - 1) / nBlocks
     val sigs = simhashSignatures(spark, sfDir).cache()
     val blocks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
+      posexplode(array((0 until nBlocks).map(i =>
+        shiftright(col("simhash"), i * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*))
         .as(Seq("blk", "blk_val")))
     val pairs = blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.blk_val") === col("y.blk_val") &&

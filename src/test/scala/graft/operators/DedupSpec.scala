@@ -41,6 +41,15 @@ class DedupSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 3
     } yield (ids(i), ids(j))
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == brute.toSet)
+    // and the blocking adapts to other distances (k+1 blocks), staying
+    // exhaustive rather than silently losing completeness
+    val pairs6 = Dedup.simhashNearDup(spark, TestSpark.sf, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute6 = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 6
+    } yield (ids(i), ids(j))).toSet
+    assert(pairs6 == brute6)
   }
 
   test("dedup clusters: labels are cluster minima and respect pair edges") {
