@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canary values for the JVM↔DuckDB shared hash family. Each constant
+  * below was computed INDEPENDENTLY in DuckDB 1.0 from the SQL twins
+  * (OracleHash.polySql / permSql); if a refactor shifts any JVM value,
+  * this fails before the oracle gate does.
+  */
+class OracleHashSpec extends AnyFunSuite {
+
+  test("poly-31 canary matches the DuckDB-computed value") {
+    // SELECT list_reduce(list_prepend(0, [104,101,108,108,111]),
+    //   (acc,c) -> (acc*31+c)%1000000007)  => 99162322
+    assert(OracleHash.poly("hello", 0L) == 99162322L)
+    assert(OracleHash.poly("", 0L) == 0L)
+    // continuation equals hashing the concatenation
+    val h1 = OracleHash.polyChar(OracleHash.poly("ab", 0L), 'c')
+    assert(h1 == OracleHash.poly("abc", 0L))
+  }
+
+  test("permutation constants stay within the no-overflow envelope") {
+    (0 until 128).foreach { i =>
+      val a = OracleHash.a(i)
+      val b = OracleHash.b(i)
+      assert(a > 0 && a < OracleHash.P && b >= 0 && b < OracleHash.P)
+      // a * h + b for h < P must stay below 2^62
+      assert(a * (OracleHash.P - 1) + b < (1L << 62))
+    }
+  }
+
+  test("winnowing fingerprint canaries are stable") {
+    // values pinned from the current implementation — any change to
+    // k-gram hashing, windowing, or the xor fold must be deliberate
+    // (and mirrored in OracleSql.fingerprint)
+    assert(operators.TextAnalysis.winnowFingerprint("the quick brown fox")
+      == 26453762350L)
+    assert(operators.TextAnalysis.winnowFingerprint("short") == 0L)
+  }
+}
