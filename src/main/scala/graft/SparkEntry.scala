@@ -36,6 +36,11 @@ object SparkEntry {
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
     "cypher_agg_functions"  -> (cypher.CypherQueries.aggFunctions(_, _)),
     "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
+    "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
+    "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
+    "cypher_untyped_scan"   -> (cypher.CypherQueries.untypedScan(_, _)),
+    "cypher_untyped_rel"    -> (cypher.CypherQueries.untypedRel(_, _)),
+    "cypher_rel_where"      -> (cypher.CypherQueries.relWhere(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -379,6 +384,32 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_node_return" ->
+      """SELECT 2000000000 + c_custkey AS node_id, c_name AS name, c_acctbal AS acctbal
+        |FROM customer ORDER BY node_id""".stripMargin,
+    "cypher_whole_node" ->
+      """SELECT n_name AS "n.name", CAST(n_nationkey AS BIGINT) AS "n.nationkey",
+        |CAST(n_regionkey AS BIGINT) AS "n.regionkey"
+        |FROM nation ORDER BY 2""".stripMargin,
+    "cypher_untyped_scan" ->
+      """SELECT 3000000000 + n_nationkey AS src_id, 4000000000 + n_regionkey AS dst_id
+        |FROM nation ORDER BY src_id""".stripMargin,
+    "cypher_untyped_rel" ->
+      """WITH nx AS (
+        |  SELECT n_nationkey AS k,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nk
+        |  FROM nation),
+        |e AS (
+        |  SELECT 3000000000 + n_nationkey AS src, 4000000000 + n_regionkey AS dst
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 3000000000 + k, 3000000000 + nk FROM nx WHERE nk IS NOT NULL)
+        |SELECT src AS a_id, dst AS b_id FROM e ORDER BY a_id, b_id""".stripMargin,
+    "cypher_rel_where" ->
+      """SELECT p_brand AS brand, COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity > 45.0
+        |GROUP BY p_brand ORDER BY brand""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

@@ -198,6 +198,19 @@ object CypherParser {
       val direction =
         if (atSym("<-")) { eatSym("<-"); In }
         else { eatSym("-"); Out } // provisional: Out confirmed by trailing '->'
+      // bare arrows (`-->`, `<--`, `--`): anonymous type-less
+      // relationship with no bracket body
+      if (!atSym("[")) {
+        direction match {
+          case In =>
+            eatSym("-")
+            return RelPattern(None, None, In, None)
+          case _ =>
+            if (atSym("->")) { eatSym("->"); return RelPattern(None, None, Out, None) }
+            eatSym("-")
+            return RelPattern(None, None, Both, None)
+        }
+      }
       eatSym("[")
       val variable = peek match {
         case Some(TId(_)) => Some(ident())
@@ -332,7 +345,7 @@ object CypherParser {
     }
 
     private val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
-    private val scalarFns = Set("toupper", "tolower", "trim", "size")
+    private val scalarFns = Set("toupper", "tolower", "trim", "size", "id")
 
     private def valueExpr(): CExpr = peek match {
       case Some(TId(name))

@@ -203,7 +203,18 @@ object CypherPlanner {
       (scalarItems.map(_.name) ++ aggs.map(_.name)).toSet)
   }
 
-  private def planReturn(s: Scope, q: ReturnClause): DataFrame = {
+  private def planReturn(s: Scope, q0: ReturnClause): DataFrame = {
+    // bare `RETURN n` for a bound pattern variable returns the whole
+    // node: expand to one output column per property, named `n.prop`
+    // (the tabular spelling of Neo4j's node value; ids stay behind
+    // `id(n)`)
+    val q = q0.copy(items = q0.items.flatMap {
+      case ReturnItem(Ident(v), None) if s.nodeVars(v) =>
+        s.df.columns.toSeq.filter(_.startsWith(s"${v}__"))
+          .map(_.stripPrefix(s"${v}__")).filter(_ != "id").sorted
+          .map(p => ReturnItem(Prop(v, p), Some(s"$v.$p")))
+      case other => Seq(other)
+    })
     val df = s.df
     val hasAgg = q.items.exists(i => isAggregate(i.expr))
     val names = q.items.map(_.name).toSet
@@ -273,9 +284,16 @@ object CypherPlanner {
 
     def nodeDf(np: NodePattern): (DataFrame, String) = {
       val v = np.variable.getOrElse(s"__anon${np.hashCode.abs}")
-      val label = np.label.getOrElse(throw new IllegalArgumentException(
-        s"node ($v) needs a label to bind a table (round-1 planner)"))
-      var t = graph.nodeTable(label)
+      // label-less node (`MATCH (a)-->(b)`): the scan is the
+      // schema-reconciled union of every label table — each table
+      // contributes its own property columns, missing ones null out.
+      // Column pruning still reaches each parquet scan, so a query
+      // touching only ids reads one column per table.
+      var t = np.label match {
+        case Some(label) => graph.nodeTable(label)
+        case None => graph.nodes.values
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      }
       np.props.foreach { case (k, value) => t = t.filter(col(k) === lit(value)) }
       val renamed = t.select(t.columns.toSeq.map(c =>
         if (c == "__id") col(c).as(s"${v}__id") else col(c).as(s"${v}__$c")): _*)
@@ -295,33 +313,62 @@ object CypherPlanner {
 
     var cur = bindStart(chain.start)
     chain.hops.foreach { case (rel, nextNode) =>
-      val relType = rel.relType.getOrElse(throw new IllegalArgumentException(
-        "relationships need a type (round-1 planner)"))
-      // a named single-hop relationship binds its property columns as
-      // `rv__prop` (Neo4j relationship properties); var-length paths
-      // have no single edge to take properties from
+      // type-less relationship (`-->`, `-[r]->`): the union of every
+      // relationship table, edges only — properties are type-specific
+      val relBase = rel.relType match {
+        case Some(t) => graph.relTable(t)
+        case None =>
+          require(rel.props.isEmpty,
+            "a property map on a type-less relationship is unsupported")
+          graph.rels.values.map(_.select(col("__src"), col("__dst")))
+            .reduce(_.unionByName(_))
+      }
+      // a named single-hop typed relationship binds its property
+      // columns as `rv__prop` (Neo4j relationship properties);
+      // var-length paths have no single edge to take properties from
       val relPropCols = rel.variable match {
-        case Some(rv) if rel.varLength.isEmpty =>
-          graph.relTable(relType).columns.toSeq
+        case Some(rv) if rel.varLength.isEmpty && rel.relType.isDefined =>
+          relBase.columns.toSeq
             .filterNot(Set("__src", "__dst"))
             .map(c => col(c).as(s"${rv}__$c"))
         case _ => Seq.empty
       }
       // inline relationship property map → equality filters on the
       // edge table, applied before any mirroring/expansion
-      var baseRel = graph.relTable(relType)
+      var baseRel = relBase
       rel.props.foreach { case (k, v) => baseRel = baseRel.filter(col(k) === lit(v)) }
-      // undirected: the edge list mirrored once (props ride along),
-      // then planned exactly like an Out hop
+      // multi-hop var-length expansion must not reuse a relationship
+      // within one walk (Cypher relationship uniqueness): tag every
+      // edge with an identity BEFORE mirroring, so an undirected edge
+      // and its mirror share one identity and a walk cannot traverse
+      // the same relationship forward then backward. The identity is
+      // (unordered endpoints, rank among duplicates) — the rank window
+      // is partitioned by the edge key, so it parallelizes (no global
+      // funnel); duplicate (src,dst) rows are interchangeable here
+      // (var-length hops never read edge properties), so any
+      // consistent rank assignment is correct.
+      val needEid = rel.varLength.exists(_._2 > 1)
+      val relForExpand =
+        if (needEid) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__src"), col("__dst")).orderBy(col("__src"))
+          baseRel.select(col("__src"), col("__dst"),
+            struct(
+              least(col("__src"), col("__dst")).as("u"),
+              greatest(col("__src"), col("__dst")).as("v"),
+              row_number().over(w).as("k")).as("__eid"))
+        } else baseRel
+      // undirected: the edge list mirrored once (props/identity ride
+      // along), then planned exactly like an Out hop
       val orientedRel = rel.direction match {
         case Both =>
-          val swapped = baseRel.select(baseRel.columns.map {
+          val swapped = relForExpand.select(relForExpand.columns.map {
             case "__src" => col("__dst").as("__src")
             case "__dst" => col("__src").as("__dst")
             case c       => col(c)
           }.toSeq: _*)
-          baseRel.unionByName(swapped)
-        case _ => baseRel
+          relForExpand.unionByName(swapped)
+        case _ => relForExpand
       }
       val r = varLengthRel(orientedRel, rel.varLength)
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
@@ -367,15 +414,29 @@ object CypherPlanner {
       case Some((lo, hi)) =>
         require(lo >= 1 && hi >= lo && hi <= 10,
           s"variable-length bounds *$lo..$hi out of supported range")
-        val base = rel.select(col("__src"), col("__dst"))
-        def kHop(k: Int): DataFrame =
-          (2 to k).foldLeft(base) { (acc, step) =>
-            val right = base.select(
-              col("__src").as(s"__m$step"), col("__dst").as("__nd"))
-            acc.join(right, acc("__dst") === right(s"__m$step"))
-              .select(acc("__src"), col("__nd").as("__dst"))
-          }
-        (lo to hi).map(kHop).reduce(_.unionByName(_))
+        if (hi <= 1 || !rel.columns.contains("__eid"))
+          rel.select(col("__src"), col("__dst"))
+        else {
+          // Cypher relationship uniqueness: a walk may not traverse
+          // the same relationship twice. Each step carries the walk's
+          // edge identities (≤ hi small structs — bounded) and joins
+          // away any edge already used. Without this, an undirected
+          // *2 hop would return every node as its own neighbor via
+          // a-x-a (the mirrored edge reused backward).
+          val base = rel.select(col("__src"), col("__dst"),
+            array(col("__eid")).as("__eids"))
+          def kHop(k: Int): DataFrame =
+            (2 to k).foldLeft(base) { (acc, step) =>
+              val right = rel.select(col("__src").as(s"__m$step"),
+                col("__dst").as("__nd"), col("__eid").as("__ne"))
+              acc.join(right, acc("__dst") === right(s"__m$step") &&
+                  !array_contains(acc("__eids"), right("__ne")))
+                .select(acc("__src"), col("__nd").as("__dst"),
+                  concat(acc("__eids"), array(col("__ne"))).as("__eids"))
+            }
+          (lo to hi).map(k => kHop(k).select(col("__src"), col("__dst")))
+            .reduce(_.unionByName(_))
+        }
     }
 
   private def isAggregate(e: CExpr): Boolean = e match {
@@ -414,6 +475,11 @@ object CypherPlanner {
     case And(l, r)    => toColumn(l, scalars) && toColumn(r, scalars)
     case Or(l, r)     => toColumn(l, scalars) || toColumn(r, scalars)
     case Not(x)       => !toColumn(x, scalars)
+    // id(n): the node's id column — the reference README's first
+    // documented query shape (`MATCH (n:User) RETURN id(n), n.name`)
+    case FnCall("id", Some(Ident(v)), _, _) => col(s"${v}__id")
+    case FnCall("id", Some(a), _, _) => throw new IllegalArgumentException(
+      s"id() takes a pattern variable, got $a")
     case FnCall("toupper", Some(a), _, _) => upper(toColumn(a, scalars))
     case FnCall("tolower", Some(a), _, _) => lower(toColumn(a, scalars))
     case FnCall("trim", Some(a), _, _)    => trim(toColumn(a, scalars))

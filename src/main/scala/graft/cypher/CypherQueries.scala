@@ -161,6 +161,57 @@ object CypherQueries {
         |RETURN p.brand AS brand, sum(l.qty * l.price) AS volume
         |ORDER BY brand""".stripMargin)
 
+  /** The reference README's documented read shape, verbatim surface:
+    * `id(n)` projections over a labeled scan
+    * (/root/reference/README.md read example:
+    * `MATCH (n:User) RETURN id(n), n.name, n.born`).
+    */
+  def nodeReturn(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN id(c) AS node_id, c.name AS name, c.acctbal AS acctbal
+        |ORDER BY node_id""".stripMargin)
+
+  /** Bare `RETURN n`: the whole node expands to its property columns
+    * (`n.name`, `n.nationkey`, …) — Neo4j's node value in tabular
+    * form.
+    */
+  def wholeNode(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |RETURN n
+        |ORDER BY n.nationkey""".stripMargin)
+
+  /** Label-less node patterns: `(a)` and `(b)` resolve against the
+    * union of every label table; the typed relationship constrains
+    * which ids survive the join.
+    */
+  def untypedScan(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a)-[:IN_REGION]->(b)
+        |RETURN id(a) AS src_id, id(b) AS dst_id
+        |ORDER BY src_id""".stripMargin)
+
+  /** Type-less relationship: `-[r]->` scans the union of every
+    * relationship table; the labeled start node constrains the
+    * sources, the label-less end binds through the edge.
+    */
+  def untypedRel(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)-[r]->(x)
+        |RETURN id(n) AS a_id, id(x) AS b_id
+        |ORDER BY a_id, b_id""".stripMargin)
+
+  /** Relationship-property predicates in WHERE (`l.qty > …`) — the
+    * edge-column filter pushed into the scan before the joins.
+    */
+  def relWhere(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |WHERE l.qty > 45.0
+        |RETURN p.brand AS brand, count(*) AS n_items
+        |ORDER BY brand""".stripMargin)
+
   /** Two MATCH clauses sharing a variable — join via the shared
     * binding, per Cypher semantics.
     */

@@ -224,6 +224,70 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getDouble(1) - expected) < 1e-6)
   }
 
+  test("id(n) projects the node id; bare RETURN n expands to property columns") {
+    val ids = run("MATCH (n:Nation) RETURN id(n) AS nid ORDER BY nid")
+      .collect().map(_.getLong(0))
+    assert(ids.head == graft.graph.GraphLoader.NationOffset &&
+      ids.length == 25 && ids.forall(_ >= graft.graph.GraphLoader.NationOffset))
+    val whole = run("MATCH (n:Nation) RETURN n ORDER BY n.nationkey")
+    assert(whole.columns.toSeq == Seq("n.name", "n.nationkey", "n.regionkey"))
+    assert(whole.count() == 25)
+  }
+
+  test("label-less nodes resolve against the union of label tables") {
+    val viaUnion = run(
+      "MATCH (a)-[:IN_REGION]->(b) RETURN id(a) AS s, id(b) AS d").count()
+    assert(viaUnion == 25)
+    // a label-less scan with a property filter only matches tables
+    // carrying the property
+    val byProp = run(
+      "MATCH (a {mktsegment: 'BUILDING'}) RETURN id(a) AS i").count()
+    val direct = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING").count()
+    assert(byProp == direct)
+  }
+
+  test("type-less relationships scan the union of relationship tables") {
+    val fromNation = run(
+      "MATCH (n:Nation)-[r]->(x) RETURN id(n) AS a, id(x) AS b").count()
+    // nation sources: 25 IN_REGION edges + 20 NEXT_IN_REGION edges
+    assert(fromNation == 45)
+    val bare = run("MATCH (n:Nation)-->(x) RETURN id(x) AS b").count()
+    assert(bare == fromNation)
+  }
+
+  test("var-length walks never reuse a relationship (Cypher uniqueness)") {
+    // undirected 2-hop: without edge-identity tracking every node is
+    // its own neighbor via a->x->a over the mirrored edge
+    val twoHop = run(
+      "MATCH (a:Nation)-[:NEXT_IN_REGION*2]-(b:Nation) " +
+      "RETURN id(a) AS a_id, id(b) AS b_id").collect()
+    assert(twoHop.forall(r => r.getLong(0) != r.getLong(1)))
+    // brute-force expected walk count from the edge list
+    val edges = graft.graph.GraphLoader.tpch(spark, TestSpark.sf)
+      .relTable("NEXT_IN_REGION").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex
+    val adj: Map[Long, Seq[(Long, Int)]] =
+      edges.toSeq.flatMap { case ((s, d), i) => Seq((s, (d, i)), (d, (s, i))) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val expected = (for {
+      (s, out) <- adj.toSeq
+      (m, e1)  <- out
+      (t, e2)  <- adj.getOrElse(m, Seq.empty)
+      if e2 != e1
+    } yield (s, t)).size
+    assert(twoHop.length == expected)
+  }
+
+  test("relationship property predicates in WHERE filter the edge table") {
+    val n = run(
+      "MATCH (o:Order)-[l:CONTAINS]->(p:Part) WHERE l.qty > 45.0 " +
+      "RETURN count(*) AS n").first().getLong(0)
+    val direct = graft.Tables.lineitem(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 45.0).count()
+    assert(n == direct && n > 0)
+  }
+
   test("multiple MATCH clauses join on the shared variable") {
     val pairs = run(
       "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
