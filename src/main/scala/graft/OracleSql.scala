@@ -236,6 +236,40 @@ object OracleSql {
        |SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
 
+  /** Embedding near-dup via LSH bucket blocking, mirroring
+    * [[Similarity.embCosineDup]]: same plane literals, same
+    * Hamming-≤radius probe masks, same exact-cosine verify.
+    */
+  def embCosineDup(tau: Double = 0.35, nPlanes: Int = 4, radius: Int = 2,
+      dims: Int = 64): String = {
+    def planeList(p: Int) =
+      (0 until dims).map(d => Similarity.planeComponent(p, d))
+        .mkString("[", ", ", "]")
+    val bucketExpr = (0 until nPlanes).map(p =>
+      s"(CASE WHEN list_dot_product(v, ${planeList(p)}) >= 0.0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n      + ")
+    val probes = Similarity.probeMasks(nPlanes, radius)
+      .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |bk AS (
+       |  SELECT *, $bucketExpr AS bucket FROM n),
+       |pr AS (
+       |  SELECT vec_id AS b_id, v AS b_v, nrm AS b_nrm,
+       |    unnest($probes) AS probe
+       |  FROM bk),
+       |cand AS (
+       |  SELECT a.vec_id AS a_id, b.b_id,
+       |    round(CASE WHEN a.nrm = 0 OR b.b_nrm = 0 THEN 0
+       |      ELSE list_dot_product(a.v, b.b_v) / (a.nrm * b.b_nrm) END, 6) AS cosine
+       |  FROM bk a JOIN pr b ON a.bucket = b.probe AND a.vec_id < b.b_id)
+       |SELECT a_id, b_id, cosine FROM cand
+       |WHERE cosine >= $tau ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** ANN via random-hyperplane LSH, mirroring [[Similarity.annLsh]]:
     * the plane constants are the SAME Scala-computed double literals
     * that sit in the Spark plan (Double.toString round-trips exactly),

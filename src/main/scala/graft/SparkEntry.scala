@@ -53,6 +53,7 @@ object SparkEntry {
     "window_topn"       -> (Relational.windowTopn(_, _)),
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
+    "skew_salted_agg"   -> (Skew.saltedAgg(_, _)),
     "events_sessionize" -> (Events.sessionize(_, _)),
     "events_funnel"     -> (Events.funnel(_, _)),
     // §2.3 LLM pipeline
@@ -149,6 +150,11 @@ object SparkEntry {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT event_type AS key,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |COUNT(*) AS n_events,
@@ -210,19 +216,7 @@ object SparkEntry {
         |round(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
-    "embed_cosine_dup" ->
-      """WITH n AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                          CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
-        |  ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) AS cosine
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
-        |  ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin,
+    "embed_cosine_dup" -> OracleSql.embCosineDup(),
     "sim_topk_bruteforce" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -480,16 +474,13 @@ object SparkEntry {
         |SELECT id, min(id) OVER (PARTITION BY rk) AS comp
         |FROM nodes ORDER BY id""".stripMargin,
     "cypher_write_batches" ->
-      """WITH r AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
-        |b AS (
-        |  SELECT *, CAST((rn - 1) // 100 AS BIGINT) AS batch_id,
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_orderkey // 400 AS BIGINT) AS batch_id,
         |    '{"orderkey":' || o_orderkey || ',"status":"' || o_orderstatus || '"}' AS elem
-        |  FROM r)
+        |  FROM orders)
         |SELECT batch_id, COUNT(*) AS n_rows,
         |'{"statements" : [ {"statement" : "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})", "parameters" : {"inserts" : ['
-        |  || string_agg(elem, ',' ORDER BY rn) || ']} }]}' AS payload
+        |  || string_agg(elem, ',' ORDER BY o_orderkey) || ']} }]}' AS payload
         |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
     "graph_bfs" ->
       """WITH RECURSIVE edges AS MATERIALIZED (

@@ -2,7 +2,6 @@ package graft.neo4j
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Builds Neo4j transactional-endpoint write payloads: rows batched
@@ -75,23 +74,28 @@ object CypherPayload {
       } :+
       lit("}"): _*)
 
-  /** The oracle-checked `cypher_write_batches` query: orders rows →
-    * deterministic batches of 100 (by orderkey order) → one full
-    * transactional payload string per batch, exactly the bytes the
-    * reference's output format would POST.
+  /** The oracle-checked `cypher_write_batches` query: rows →
+    * deterministic key-range batches (`orderkey div keyRange`) → one
+    * full transactional payload string per batch, exactly the bytes
+    * the reference's output format would POST.
     *
-    * Note: the deterministic global row_number here is for the
-    * correctness gate (stable batch membership). The production write
-    * path ([[Neo4jWriter]]) batches per partition like the reference
-    * does per task, with no global ordering shuffle.
+    * Batch derivation is embarrassingly parallel: the batch id is a
+    * pure function of the key, so no global ordering shuffle and no
+    * single-task window funnel exists anywhere in the plan (pinned by
+    * PlanSpec) — the only exchange is the per-batch hash partition.
+    * Batch populations vary with key density (TPC-H orderkeys are
+    * sparse) exactly like the reference's per-task batches vary with
+    * partition size (Neo4jOutputFormat.java:104-116); elements are
+    * ordered within each batch, which is a per-group sort, not a
+    * global one. The production write path ([[Neo4jWriter]]) batches
+    * per partition like the reference does per task.
     */
-  def writeBatches(spark: SparkSession, sfDir: String, batchSize: Int = 100): DataFrame = {
+  def writeBatches(spark: SparkSession, sfDir: String, keyRange: Int = 400): DataFrame = {
     val stmt = "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})"
     val param = parameterName(stmt)
     val rows = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
-      .withColumn("batch_id", ((col("rn") - 1) / batchSize).cast("long"))
+      .withColumn("batch_id", floor(col("o_orderkey") / keyRange).cast("long"))
       .withColumn("elem", jsonElem(Seq(
         ("orderkey", col("o_orderkey"), false),
         ("status", col("o_orderstatus"), true))))
@@ -99,7 +103,7 @@ object CypherPayload {
       .agg(
         count(lit(1)).as("n_rows"),
         array_join(
-          transform(array_sort(collect_list(struct(col("rn"), col("elem")))),
+          transform(array_sort(collect_list(struct(col("o_orderkey"), col("elem")))),
             s => s.getField("elem")),
           ",").as("joined"))
       .select(

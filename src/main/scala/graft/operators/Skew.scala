@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation helpers (SURVEY §5). AQE's skew-join handling
@@ -28,4 +29,18 @@ object Skew {
       .groupBy(col("__k"))
       .agg(sum(col("__ps")).as("sum_value"), sum(col("__pc")).as("n"))
       .withColumnRenamed("__k", "key")
+
+  /** The declared salted-aggregation query (`skew_salted_agg`):
+    * per-event-type value totals over `events`, where event_type is a
+    * pathologically hot key (a handful of values across the whole
+    * corpus). Value accumulates through decimal(18,4), so the
+    * two-phase salted sum is exactly the single-phase sum regardless
+    * of salt assignment — which is what lets a plain GROUP BY oracle
+    * check the salted plan.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    saltedSumCount(Tables.events(spark, sfDir),
+        col("event_type"), col("value").cast("decimal(18,4)"), col("event_id"))
+      .select(col("key"), col("sum_value").cast("double").as("sum_value"), col("n"))
+      .orderBy(col("key"))
 }

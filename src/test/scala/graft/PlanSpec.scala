@@ -88,6 +88,32 @@ class PlanSpec extends AnyFunSuite {
     assert(keyed.head.contains("md5"), s"unexpected keyed exchange: $keyed")
   }
 
+  test("write-batch derivation has no single-partition funnel") {
+    val plan = planOf(neo4j.CypherPayload.writeBatches(spark, TestSpark.sf))
+    // the old global row_number() window forced every row through ONE
+    // task (Exchange SinglePartition); key-range batching must keep
+    // the plan fully parallel
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in write-batch plan")
+    assert(!plan.contains("Window"), "no global window should remain")
+  }
+
+  test("salted aggregation plans two partial phases, no hot-key funnel") {
+    val plan = planOf(operators.Skew.saltedAgg(spark, TestSpark.sf))
+    // phase 1 keys on (key, salt); phase 2 on key alone — both present
+    assert("hashpartitioning\\([^\\n]*__salt".r.findFirstIn(plan).isDefined,
+      "salted partial-aggregate exchange missing")
+    assert(!plan.contains("SinglePartition"))
+  }
+
+  test("embedding near-dup blocks on LSH buckets, not a low-cardinality key") {
+    val plan = planOf(operators.Similarity.embCosineDup(spark, TestSpark.sf))
+    assert(plan.contains("bucket") || plan.contains("probe"),
+      "bucket join missing from near-dup plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      "near-dup must never plan a cartesian product")
+  }
+
   test("minhash banding join carries only ids and hashes, never text") {
     val plan = planOf(operators.Dedup.minhashLsh(spark, TestSpark.sf))
     // the candidate self-join happens above the signature map; the

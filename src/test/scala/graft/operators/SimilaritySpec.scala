@@ -30,6 +30,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("LSH-blocked near-dup pairs recall >= 0.85 of exact all-pairs truth") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    // exact all-pairs ground truth (test scale only)
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = emb.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", round(
+        when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm"))), 6))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embCosineDup(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truth), "LSH blocking must not invent pairs")
+    val recall = truth.count(lsh.contains).toDouble / math.max(truth.size, 1)
+    assert(recall >= 0.85, s"near-dup recall $recall over ${truth.size} true pairs")
+  }
+
+  test("probe masks enumerate exactly the Hamming ball") {
+    assert(Similarity.probeMasks(4, 2).toSet ==
+      Set(0L, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12))
+    assert(Similarity.probeMasks(4, 0) == Seq(0L))
+  }
+
   test("label centroids have one row per (label, dim) and bounded values") {
     val rows = Similarity.labelCentroids(spark, TestSpark.sf).collect()
     val dims = rows.map(_.getLong(1)).distinct
