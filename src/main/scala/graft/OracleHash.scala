@@ -34,13 +34,19 @@ object OracleHash {
   /** One poly-31 step: `(h*31 + c) mod P`. */
   @inline def polyChar(h: Long, c: Char): Long = (h * 31 + c) % P
 
-  /** Poly-31 hash of `s` continuing from `h0` (fold left over chars —
-    * the DuckDB twin is a `list_reduce` over `unicode(substr(...))`).
+  /** Poly-31 hash of `s` continuing from `h0` (fold left over CODE
+    * POINTS — the DuckDB twin is a `list_reduce` over
+    * `unicode(substr(...))`, which yields code points, so the JVM loop
+    * must step by code point too or non-BMP characters diverge).
     */
   def poly(s: String, h0: Long): Long = {
     var h = h0
     var j = 0
-    while (j < s.length) { h = (h * 31 + s.charAt(j)) % P; j += 1 }
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      h = (h * 31 + cp) % P
+      j += Character.charCount(cp)
+    }
     h
   }
 
