@@ -6,8 +6,9 @@ package graft
   * engine (including one with overflow checking) computes bit-identical
   * values from the same formulas:
   *
-  *  - base string hash: `h = (h*31 + codepoint) mod P` over the chars
-  *    (BMP-safe: Java UTF-16 units equal code points there);
+  *  - base string hash: `h = (h*31 + codepoint) mod P` folded over the
+  *    string's CODE POINTS (matching DuckDB's `unicode(substr(...))`,
+  *    which yields code points — see [[poly]]);
   *  - permutation i: `(a(i)*h + b(i)) mod P` — a 2-universal
   *    multiply-add family.
   *
@@ -31,8 +32,12 @@ object OracleHash {
   /** Permutation addend for index i. */
   def b(i: Int): Long = (MulB * (i + 1)) % P
 
-  /** One poly-31 step: `(h*31 + c) mod P`. */
-  @inline def polyChar(h: Long, c: Char): Long = (h * 31 + c) % P
+  /** One poly-31 step: `(h*31 + cp) mod P`, where `cp` is a full Int
+    * code point (callers passing a `Char` get the BMP code point via
+    * the implicit widening, which is correct for BMP chars; non-BMP
+    * input must pass the code point, not a surrogate).
+    */
+  @inline def polyChar(h: Long, cp: Int): Long = (h * 31 + cp) % P
 
   /** Poly-31 hash of `s` continuing from `h0` (fold left over CODE
     * POINTS — the DuckDB twin is a `list_reduce` over

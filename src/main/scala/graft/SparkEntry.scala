@@ -41,6 +41,8 @@ object SparkEntry {
     "cypher_untyped_scan"   -> (cypher.CypherQueries.untypedScan(_, _)),
     "cypher_untyped_rel"    -> (cypher.CypherQueries.untypedRel(_, _)),
     "cypher_rel_where"      -> (cypher.CypherQueries.relWhere(_, _)),
+    "cypher_chain_uniq"     -> (cypher.CypherQueries.chainUniq(_, _)),
+    "cypher_distinct_node"  -> (cypher.CypherQueries.distinctNode(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -404,6 +406,28 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity > 45.0
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+    "cypher_chain_uniq" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |u AS (
+        |  SELECT src, dst, src AS osrc, dst AS odst FROM e2
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst, src AS osrc, dst AS odst FROM e2)
+        |SELECT na.n_name AS a_name, nb.n_name AS b_name, nc.n_name AS c_name
+        |FROM u x JOIN u y ON x.dst = y.src
+        |  AND NOT (x.osrc = y.osrc AND x.odst = y.odst)
+        |JOIN nation na ON x.src = na.n_nationkey
+        |JOIN nation nb ON x.dst = nb.n_nationkey
+        |JOIN nation nc ON y.dst = nc.n_nationkey
+        |ORDER BY a_name, b_name, c_name""".stripMargin,
+    "cypher_distinct_node" ->
+      """SELECT DISTINCT n_name AS "n.name", CAST(n_nationkey AS BIGINT) AS "n.nationkey",
+        |CAST(n_regionkey AS BIGINT) AS "n.regionkey"
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |ORDER BY 2""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

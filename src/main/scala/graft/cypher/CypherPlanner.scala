@@ -207,12 +207,24 @@ object CypherPlanner {
     // bare `RETURN n` for a bound pattern variable returns the whole
     // node: expand to one output column per property, named `n.prop`
     // (the tabular spelling of Neo4j's node value; ids stay behind
-    // `id(n)`)
+    // `id(n)`). Under DISTINCT or implicit grouping the node's id is
+    // carried as a hidden key — Neo4j dedups/groups nodes by IDENTITY,
+    // not by property values, so two distinct nodes with identical
+    // properties must stay two rows/groups. The hidden column is
+    // dropped after the dedup/aggregation.
+    val returnsAgg = q0.items.exists(i => isAggregate(i.expr))
+    val needIdentity = q0.distinct || returnsAgg
+    var hidden = List.empty[String]
     val q = q0.copy(items = q0.items.flatMap {
       case ReturnItem(Ident(v), None) if s.nodeVars(v) =>
-        s.df.columns.toSeq.filter(_.startsWith(s"${v}__"))
+        val props = s.df.columns.toSeq.filter(_.startsWith(s"${v}__"))
           .map(_.stripPrefix(s"${v}__")).filter(_ != "id").sorted
           .map(p => ReturnItem(Prop(v, p), Some(s"$v.$p")))
+        if (needIdentity) {
+          val h = s"__identity_$v"
+          hidden ::= h
+          props :+ ReturnItem(Prop(v, "id"), Some(h))
+        } else props
       case other => Seq(other)
     })
     val df = s.df
@@ -222,8 +234,11 @@ object CypherPlanner {
     // projection discards the source columns; a projection preserves
     // its child's ordering, so sort-then-select is the same result
     val preSort = q.orderBy.exists {
-      case SortItem(Ident(n), _) => !names(n)
-      case _                     => true
+      case SortItem(Ident(n), _)  => !names(n)
+      // `ORDER BY n.prop` where whole-node expansion produced an
+      // output column literally named "n.prop"
+      case SortItem(Prop(v, p), _) => !names(s"$v.$p")
+      case _                      => true
     }
     var out: DataFrame =
       if (hasAgg) {
@@ -234,7 +249,8 @@ object CypherPlanner {
         val aggCols = aggs.map(i => toAggColumn(i.expr, s.scalars).as(i.name))
         if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-          .select(q.items.map(i => col(i.name)): _*)
+          // backticks: whole-node expansion names columns `v.prop`
+          .select(q.items.map(i => col(s"`${i.name}`")): _*)
       } else if (preSort) {
         require(!q.distinct,
           "ORDER BY on non-output expressions with DISTINCT is unsupported")
@@ -257,8 +273,9 @@ object CypherPlanner {
     if (q.orderBy.nonEmpty && !preSort) {
       val sorts = q.orderBy.map { o =>
         val c = o.expr match {
-          case Ident(n) => col(n)
-          case e        => toColumn(e, s.scalars)
+          case Ident(n)                            => col(n)
+          case Prop(v, p) if names(s"$v.$p")       => col(s"`$v.$p`")
+          case e                                   => toColumn(e, s.scalars)
         }
         if (o.ascending) c.asc else c.desc
       }
@@ -266,6 +283,7 @@ object CypherPlanner {
     }
     q.skip.foreach(n => out = out.offset(n.toInt))
     q.limit.foreach(n => out = out.limit(n.toInt))
+    if (hidden.nonEmpty) out = out.drop(hidden: _*)
     out
   }
 
@@ -311,16 +329,33 @@ object CypherPlanner {
       }
     }
 
+    // Cypher relationship uniqueness (isomorphism) spans ALL
+    // relationships bound by one MATCH pattern, not just one
+    // var-length walk. Relationships of different types can never be
+    // equal, so a hop needs an edge identity only when another hop of
+    // the same chain could bind the same edge: same type, or either
+    // hop type-less.
+    val hopTypes = chain.hops.map(_._1.relType)
+    def typesOverlap(a: Option[String], b: Option[String]): Boolean =
+      a.isEmpty || b.isEmpty || a == b
+    val chainEidAt: Seq[Boolean] = hopTypes.zipWithIndex.map { case (t, i) =>
+      hopTypes.zipWithIndex.exists { case (u, j) => j != i && typesOverlap(t, u) }
+    }
+
     var cur = bindStart(chain.start)
-    chain.hops.foreach { case (rel, nextNode) =>
+    chain.hops.zipWithIndex.foreach { case ((rel, nextNode), hopIdx) =>
       // type-less relationship (`-->`, `-[r]->`): the union of every
-      // relationship table, edges only — properties are type-specific
+      // relationship table, edges only — properties are type-specific.
+      // Each table tags its rows with its type name so edge identities
+      // stay distinct across types inside the union.
       val relBase = rel.relType match {
         case Some(t) => graph.relTable(t)
         case None =>
           require(rel.props.isEmpty,
             "a property map on a type-less relationship is unsupported")
-          graph.rels.values.map(_.select(col("__src"), col("__dst")))
+          graph.rels.toSeq.sortBy(_._1)
+            .map { case (tn, t) =>
+              t.select(col("__src"), col("__dst"), lit(tn).as("__rt")) }
             .reduce(_.unionByName(_))
       }
       // a named single-hop typed relationship binds its property
@@ -337,26 +372,34 @@ object CypherPlanner {
       // edge table, applied before any mirroring/expansion
       var baseRel = relBase
       rel.props.foreach { case (k, v) => baseRel = baseRel.filter(col(k) === lit(v)) }
-      // multi-hop var-length expansion must not reuse a relationship
-      // within one walk (Cypher relationship uniqueness): tag every
-      // edge with an identity BEFORE mirroring, so an undirected edge
-      // and its mirror share one identity and a walk cannot traverse
-      // the same relationship forward then backward. The identity is
-      // (unordered endpoints, rank among duplicates) — the rank window
-      // is partitioned by the edge key, so it parallelizes (no global
-      // funnel); duplicate (src,dst) rows are interchangeable here
-      // (var-length hops never read edge properties), so any
-      // consistent rank assignment is correct.
-      val needEid = rel.varLength.exists(_._2 > 1)
+      // Edge identity, needed when a walk (var-length) or another hop
+      // of the same chain could rebind this relationship. The identity
+      // is (type, src, dst, rank-among-duplicates) in the edge's
+      // ORIGINAL orientation, tagged BEFORE mirroring — the mirror
+      // carries the struct through unchanged, so an undirected edge
+      // and its mirror share one identity while two distinct
+      // anti-parallel edges keep separate ones. The rank window is
+      // partitioned by the edge key (parallel, no global funnel) and
+      // ordered by the remaining columns, so it is deterministic up to
+      // fully-duplicate rows, which are interchangeable.
+      val needWalkEid = rel.varLength.exists(_._2 > 1)
+      val needChainEid = chainEidAt(hopIdx)
       val relForExpand =
-        if (needEid) {
+        if (needWalkEid || needChainEid) {
+          val tagCol =
+            if (baseRel.columns.contains("__rt")) col("__rt")
+            else lit(rel.relType.getOrElse(""))
+          val ordCols = baseRel.columns.toSeq
+            .filterNot(Set("__src", "__dst")).sorted.map(col) match {
+            case Seq() => Seq(col("__src"))
+            case cs    => cs
+          }
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__src"), col("__dst")).orderBy(col("__src"))
-          baseRel.select(col("__src"), col("__dst"),
-            struct(
-              least(col("__src"), col("__dst")).as("u"),
-              greatest(col("__src"), col("__dst")).as("v"),
-              row_number().over(w).as("k")).as("__eid"))
+            .partitionBy(col("__src"), col("__dst"))
+            .orderBy(ordCols: _*)
+          baseRel.withColumn("__eid",
+            struct(tagCol.as("t"), col("__src").as("u"),
+              col("__dst").as("v"), row_number().over(w).as("k")))
         } else baseRel
       // undirected: the edge list mirrored once (props/identity ride
       // along), then planned exactly like an Out hop
@@ -370,16 +413,36 @@ object CypherPlanner {
           relForExpand.unionByName(swapped)
         case _ => relForExpand
       }
-      val r = varLengthRel(orientedRel, rel.varLength)
+      val expanded = varLengthRel(orientedRel, rel.varLength)
+      // the edge identities this hop consumed, exposed only when some
+      // other hop of the chain must be kept from reusing them
+      val hopEids: Option[Column] =
+        if (!needChainEid) None
+        else if (expanded.columns.contains("__eids")) Some(col("__eids"))
+        else Some(array(col("__eid")))
+      val r = expanded
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
-          relPropCols: _*)
+          (relPropCols ++ hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
       val (joinKeyCur, joinKeyNext) = rel.direction match {
         case In => ("__r_dst", "__r_src")
         case _  => ("__r_src", "__r_dst")
       }
-      df = df.join(r, col(s"${cur}__id") === col(joinKeyCur))
+      // chain-wide uniqueness: this hop may not bind an edge identity
+      // already consumed by an earlier hop of the same MATCH pattern
+      val hasAcc = df.columns.contains("__chain_eids")
+      var joinCond = col(s"${cur}__id") === col(joinKeyCur)
+      if (hasAcc && hopEids.isDefined)
+        joinCond = joinCond &&
+          !arrays_overlap(col("__chain_eids"), col("__r_eids"))
+      df = df.join(r, joinCond)
+      if (hopEids.isDefined)
+        df =
+          if (hasAcc)
+            df.withColumn("__chain_eids",
+              concat(col("__chain_eids"), col("__r_eids"))).drop("__r_eids")
+          else df.withColumnRenamed("__r_eids", "__chain_eids")
       if (bound.contains(nv)) {
         // closing a cycle back onto an already-bound variable
         df = df.filter(col(s"${nv}__id") === col(joinKeyNext))
@@ -398,6 +461,10 @@ object CypherPlanner {
       }
       cur = nv
     }
+    // uniqueness is scoped to ONE MATCH pattern (Cypher semantics);
+    // the accumulated identities don't leak into later clauses
+    if (df != null && df.columns.contains("__chain_eids"))
+      df = df.drop("__chain_eids")
     (df, bound)
   }
 
@@ -414,8 +481,10 @@ object CypherPlanner {
       case Some((lo, hi)) =>
         require(lo >= 1 && hi >= lo && hi <= 10,
           s"variable-length bounds *$lo..$hi out of supported range")
-        if (hi <= 1 || !rel.columns.contains("__eid"))
+        if (!rel.columns.contains("__eid"))
           rel.select(col("__src"), col("__dst"))
+        else if (hi <= 1)
+          rel.select(col("__src"), col("__dst"), array(col("__eid")).as("__eids"))
         else {
           // Cypher relationship uniqueness: a walk may not traverse
           // the same relationship twice. Each step carries the walk's
@@ -434,7 +503,8 @@ object CypherPlanner {
                 .select(acc("__src"), col("__nd").as("__dst"),
                   concat(acc("__eids"), array(col("__ne"))).as("__eids"))
             }
-          (lo to hi).map(k => kHop(k).select(col("__src"), col("__dst")))
+          (lo to hi)
+            .map(k => kHop(k).select(col("__src"), col("__dst"), col("__eids")))
             .reduce(_.unionByName(_))
         }
     }

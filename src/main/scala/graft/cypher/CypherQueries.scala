@@ -212,6 +212,26 @@ object CypherQueries {
         |RETURN p.brand AS brand, count(*) AS n_items
         |ORDER BY brand""".stripMargin)
 
+  /** Relationship uniqueness across the hops of ONE pattern: an
+    * undirected two-hop chain may not traverse the same relationship
+    * out and back, so `c` can equal `a` only via a different edge
+    * (impossible in the nation path graph — those rows vanish).
+    */
+  def chainUniq(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Nation)-[:NEXT_IN_REGION]-(b:Nation)-[:NEXT_IN_REGION]-(c:Nation)
+        |RETURN a.name AS a_name, b.name AS b_name, c.name AS c_name
+        |ORDER BY a_name, b_name, c_name""".stripMargin)
+
+  /** `RETURN DISTINCT n`: nodes dedup by IDENTITY (the hidden id key),
+    * not by property values — Neo4j node-value semantics.
+    */
+  def distinctNode(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |RETURN DISTINCT n
+        |ORDER BY n.nationkey""".stripMargin)
+
   /** Two MATCH clauses sharing a variable — join via the shared
     * binding, per Cypher semantics.
     */

@@ -83,12 +83,17 @@ object CypherPayload {
     * pure function of the key, so no global ordering shuffle and no
     * single-task window funnel exists anywhere in the plan (pinned by
     * PlanSpec) — the only exchange is the per-batch hash partition.
-    * Batch populations vary with key density (TPC-H orderkeys are
-    * sparse) exactly like the reference's per-task batches vary with
-    * partition size (Neo4jOutputFormat.java:104-116); elements are
-    * ordered within each batch, which is a per-group sort, not a
-    * global one. The production write path ([[Neo4jWriter]]) batches
-    * per partition like the reference does per task.
+    * Unlike the reference, whose isBatchFull caps EVERY batch at
+    * batchSize rows (Neo4jOutputFormat.java:104-116), key-range
+    * batches are populated by key density: a batch holds up to
+    * `keyRange` rows when its key range is fully dense, and fewer
+    * when keys are sparse (TPC-H orderkeys are ~4x sparse). Pick
+    * `keyRange` so a worst-case fully-dense payload is still
+    * acceptable to the transactional endpoint — it is the hard upper
+    * bound on rows per POST. Elements are ordered within each batch,
+    * which is a per-group sort, not a global one. The production
+    * write path ([[Neo4jWriter]]) batches per partition with an exact
+    * per-batch row cap, like the reference does per task.
     */
   def writeBatches(spark: SparkSession, sfDir: String, keyRange: Int = 400): DataFrame = {
     val stmt = "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})"

@@ -136,15 +136,18 @@ object TextAnalysis {
 
   /** Winnowing fingerprint of a string: rolling-hash k-grams (k=8),
     * window w=16, xor-fold of window minima. Deterministic, no
-    * allocation beyond the hash array.
+    * allocation beyond the code-point and hash arrays.
     *
     * The k-gram hash is poly-1000003 mod 2^40 — a masked modulus
     * instead of free 64-bit wrap-around, so the DuckDB oracle computes
     * the identical values with overflow-checked BIGINT arithmetic
-    * (every intermediate stays < 2^61).
+    * (every intermediate stays < 2^61). Grams step over CODE POINTS,
+    * not UTF-16 units: the DuckDB twin's `len`/`substr`/`unicode` are
+    * all code-point based, so non-BMP text (emoji, supplementary CJK)
+    * must hash identically here.
     */
   def winnowFingerprint(text: String, k: Int = 8, w: Int = 16): Long = {
-    val s = text
+    val s = text.codePoints().toArray
     if (s.length < k) return 0L
     val M = (1L << 40) - 1 // h & M == h mod 2^40
     val B = 1000003L
@@ -156,12 +159,12 @@ object TextAnalysis {
     while (i < k - 1) { bk = (bk * B) & M; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = (h * B + s.charAt(i)) & M; i += 1 }
+    while (i < k) { h = (h * B + s(i)) & M; i += 1 }
     hashes(0) = h
     i = 1
     while (i < n) {
-      val drop = (s.charAt(i - 1) * bk) & M
-      h = (((h - drop + M + 1) & M) * B + s.charAt(i + k - 1)) & M
+      val drop = (s(i - 1).toLong * bk) & M
+      h = (((h - drop + M + 1) & M) * B + s(i + k - 1)) & M
       hashes(i) = h
       i += 1
     }

@@ -37,4 +37,14 @@ class OracleHashSpec extends AnyFunSuite {
       == 26453762350L)
     assert(operators.TextAnalysis.winnowFingerprint("short") == 0L)
   }
+
+  test("non-BMP text hashes by code point, matching DuckDB") {
+    // 3 supplementary code points (😀 U+1F600, 𝄞 U+1D11E, 🚀 U+1F680):
+    // 28 code points but 31 UTF-16 units — a UTF-16 loop diverges here.
+    // Both constants computed independently in DuckDB 1.0 from the SQL
+    // twins (polySql / OracleSql.fingerprint).
+    val s = "emoji 😀𝄞 test naïve 🚀 rocket"
+    assert(OracleHash.poly(s, 0L) == 414095170L)
+    assert(operators.TextAnalysis.winnowFingerprint(s) == 343109000562L)
+  }
 }

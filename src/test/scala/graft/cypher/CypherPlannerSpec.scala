@@ -279,6 +279,52 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(twoHop.length == expected)
   }
 
+  test("single-hop chains share relationship uniqueness (cross-pattern)") {
+    // undirected chain (a)-[:T]-(b)-[:T]-(c): the second hop may not
+    // reuse the first hop's edge, so its walk count must equal the
+    // var-length *2 walk count (same brute-force expectation)
+    val chain = run(
+      "MATCH (a:Nation)-[:NEXT_IN_REGION]-(b:Nation)-[:NEXT_IN_REGION]-(c:Nation) " +
+      "RETURN id(a) AS a_id, id(b) AS b_id, id(c) AS c_id").collect()
+    assert(chain.forall(r => r.getLong(0) != r.getLong(2)),
+      "a-b-a over the same mirrored edge must be excluded")
+    val edges = graft.graph.GraphLoader.tpch(spark, TestSpark.sf)
+      .relTable("NEXT_IN_REGION").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex
+    val adj: Map[Long, Seq[(Long, Int)]] =
+      edges.toSeq.flatMap { case ((s, d), i) => Seq((s, (d, i)), (d, (s, i))) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val expected = (for {
+      (s, out) <- adj.toSeq
+      (m, e1)  <- out
+      (t, e2)  <- adj.getOrElse(m, Seq.empty)
+      if e2 != e1
+    } yield (s, m, t)).size
+    assert(chain.length == expected)
+    // hops of DIFFERENT types never conflict — no identity filtering
+    val mixed = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) " +
+      "RETURN count(*) AS n").first().getLong(0)
+    assert(mixed == graft.Tables.customer(spark, TestSpark.sf).count())
+  }
+
+  test("DISTINCT and grouping on whole nodes use node identity, not props") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("X" ->
+        Seq((1L, "same"), (2L, "same"), (3L, "other"))
+          .toDF("__id", "name")),
+      rels = Map.empty)
+    // two distinct nodes with identical properties stay two rows
+    val d = CypherPlanner.run(spark, g, "MATCH (x:X) RETURN DISTINCT x")
+    assert(d.count() == 3)
+    assert(d.columns.toSeq == Seq("x.name"))
+    // implicit grouping on a node groups by identity as well
+    val a = CypherPlanner.run(spark, g, "MATCH (x:X) RETURN x, count(*) AS n")
+    assert(a.count() == 3)
+    assert(a.collect().forall(_.getLong(1) == 1L))
+  }
+
   test("relationship property predicates in WHERE filter the edge table") {
     val n = run(
       "MATCH (o:Order)-[l:CONTAINS]->(p:Part) WHERE l.qty > 45.0 " +
