@@ -55,6 +55,15 @@ object Ast {
     * anti-join under NOT).
     */
   final case class ExistsPattern(chain: PatternChain) extends CExpr
+  /** Searched `CASE WHEN cond THEN val … [ELSE val] END`. */
+  final case class CaseExpr(whens: Seq[(CExpr, CExpr)],
+      otherwise: Option[CExpr]) extends CExpr
+  /** String predicates: STARTS WITH / ENDS WITH / CONTAINS, plus the
+    * anchored regex match `=~` (op ∈ startswith|endswith|contains|regex).
+    */
+  final case class StrPred(op: String, l: CExpr, r: CExpr) extends CExpr
+  /** `coalesce(a, b, …)` — first non-null argument. */
+  final case class Coalesce(args: Seq[CExpr]) extends CExpr
 
   sealed trait Direction
   case object Out extends Direction
