@@ -12,6 +12,10 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 qdirs = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
 def norm(v):
     if isinstance(v, float):
+        # SQL NULL surfaces as NaN in fetchdf; NaN != NaN would flag a
+        # both-sides-NULL row as a mismatch
+        if math.isnan(v):
+            return None
         return round(v, 9)
     return v
 fails = []

@@ -236,31 +236,51 @@ object OracleSql {
        |SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
 
-  /** Embedding near-dup via LSH bucket blocking, mirroring
-    * [[Similarity.embCosineDup]]: same plane literals, same
-    * Hamming-≤radius probe masks, same exact-cosine verify.
+  /** The DuckDB twin of [[Similarity.planesFor]]: smallest k in
+    * [4, 16] with 32·2^k >= n — shift-and-compare, no float log, so
+    * both engines derive the identical plane count from the same
+    * corpus count.
     */
-  def embCosineDup(tau: Double = 0.35, nPlanes: Int = 4, radius: Int = 2,
-      dims: Int = 64): String = {
-    def planeList(p: Int) =
-      (0 until dims).map(d => Similarity.planeComponent(p, d))
+  private def planesForSql: String =
+    "(SELECT MIN(k) FROM range(4, 17) t(k) " +
+      "WHERE (32::BIGINT << k) >= cnt.n OR k = 16)"
+
+  /** The 16 plane literals (the planesFor clamp bound), gated on
+    * `p < nbits` — the SQL twin of Spark's plan-time `(0 until np)`
+    * term list, for an `nbits` only known from the data's COUNT(*).
+    */
+  private def gatedBucketExpr(dims: Int): String =
+    (0 until 16).map { p =>
+      val planeList = (0 until dims).map(d => Similarity.planeComponent(p, d))
         .mkString("[", ", ", "]")
-    val bucketExpr = (0 until nPlanes).map(p =>
-      s"(CASE WHEN list_dot_product(v, ${planeList(p)}) >= 0.0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("\n      + ")
-    val probes = Similarity.probeMasks(nPlanes, radius)
-      .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
-    s"""WITH n AS (
+      s"(CASE WHEN $p < nbits AND list_dot_product(v, $planeList) >= 0.0 " +
+        s"THEN ${1L << p}::BIGINT ELSE 0 END)"
+    }.mkString("\n      + ")
+
+  /** Embedding near-dup via LSH bucket blocking, mirroring
+    * [[Similarity.embCosineDup]]: same corpus-count-derived plane
+    * count, same plane literals, same Hamming-≤radius probe masks
+    * (enumerated in-SQL from the derived nbits), same exact-cosine
+    * verify.
+    */
+  def embCosineDup(tau: Double = 0.35, radius: Int = 2,
+      dims: Int = 64): String = {
+    s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+       |nb AS (SELECT $planesForSql AS nbits FROM cnt),
+       |n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                          CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
        |bk AS (
-       |  SELECT *, $bucketExpr AS bucket FROM n),
+       |  SELECT n.*, nbits, ${gatedBucketExpr(dims)} AS bucket
+       |  FROM n CROSS JOIN nb),
        |pr AS (
-       |  SELECT vec_id AS b_id, v AS b_v, nrm AS b_nrm,
-       |    unnest($probes) AS probe
-       |  FROM bk),
+       |  SELECT b_id, b_v, b_nrm, xor(bucket, m) AS probe FROM (
+       |    SELECT vec_id AS b_id, v AS b_v, nrm AS b_nrm, bucket,
+       |      unnest(list_filter(range(0, (1::BIGINT << nbits)),
+       |        m -> bit_count(m) <= $radius)) AS m
+       |    FROM bk)),
        |cand AS (
        |  SELECT a.vec_id AS a_id, b.b_id,
        |    round(CASE WHEN a.nrm = 0 OR b.b_nrm = 0 THEN 0
@@ -275,26 +295,23 @@ object OracleSql {
     * that sit in the Spark plan (Double.toString round-trips exactly),
     * so bucket assignment and probing agree.
     */
-  def annLsh(k: Int = 10, nPlanes: Int = 4, dims: Int = 64): String = {
-    def planeList(p: Int) =
-      (0 until dims).map(d => Similarity.planeComponent(p, d))
-        .mkString("[", ", ", "]")
-    val bucketExpr = (0 until nPlanes).map(p =>
-      s"(CASE WHEN list_dot_product(v, ${planeList(p)}) >= 0.0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("\n      + ")
-    val probes = ("bucket" +: (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})"))
-      .mkString("[", ", ", "]")
-    s"""WITH n AS (
+  def annLsh(k: Int = 10, dims: Int = 64): String = {
+    s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+       |nb AS (SELECT $planesForSql AS nbits FROM cnt),
+       |n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
        |                          CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
        |bk AS (
-       |  SELECT *, $bucketExpr AS bucket FROM n),
+       |  SELECT n.*, nbits, ${gatedBucketExpr(dims)} AS bucket
+       |  FROM n CROSS JOIN nb),
        |q AS (
-       |  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm,
-       |    unnest($probes) AS probe
-       |  FROM bk WHERE vec_id < 5),
+       |  SELECT q_id, q_v, q_nrm, xor(bucket, m) AS probe FROM (
+       |    SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, bucket,
+       |      unnest(list_filter(range(0, (1::BIGINT << nbits)),
+       |        m -> bit_count(m) <= 1)) AS m
+       |    FROM bk WHERE vec_id < 5)),
        |d AS (SELECT vec_id, v, nrm, bucket FROM bk WHERE vec_id >= 5),
        |s AS (
        |  SELECT q.q_id, d.vec_id,

@@ -51,6 +51,20 @@ object Similarity {
   def probeMasks(nPlanes: Int, radius: Int): Seq[Long] =
     (0L until (1L << nPlanes)).filter(m => java.lang.Long.bitCount(m) <= radius)
 
+  /** Plane count for a corpus of `n` vectors: the smallest k in
+    * [4, 16] with `targetBucket * 2^k >= n`, i.e.
+    * ceil(log2(n/targetBucket)) — buckets stay ~`targetBucket` deep as
+    * the corpus grows. Integer-exact (shift-and-compare, no float
+    * log), so the DuckDB oracle derives the identical k from its own
+    * COUNT(*). With radius fixed, probe count grows as C(k,2) =
+    * O(log^2 n) while bucket count grows as n/targetBucket, so
+    * candidate volume is O(n log^2 n) — sub-quadratic at any scale.
+    * The [4, 16] clamp bounds SQL/codegen size; lifting it past 16
+    * only needs more plane literals.
+    */
+  def planesFor(n: Long, targetBucket: Long = 32L): Int =
+    (4 to 16).find(k => (targetBucket << k) >= n).getOrElse(16)
+
   /** Embedding near-duplicate pairs: cosine ≥ τ, blocked on
     * random-hyperplane LSH buckets (the same literal planes as
     * [[annLsh]]). One side probes every bucket within Hamming ≤
@@ -59,20 +73,28 @@ object Similarity {
     * with the exact cosine.
     *
     * Scale: candidate volume is Σ_buckets |b|·|probe(b)| — buckets
-    * shrink 2× per plane, so `nPlanes` grows as log₂(N/target-bucket)
-    * and the per-bucket work stays bounded; no low-cardinality
-    * key (the former `label` blocking) ever forms an O(N²/|labels|)
-    * block. Approximation is by-design and measured: at a production
-    * near-dup threshold (cosine ≥ 0.9, θ≈26°) a pair agrees per plane
-    * w.p. 1−θ/π ≈ 0.857, so 4 planes / radius 2 give ≥ 0.99 recall;
-    * SimilaritySpec pins recall ≥ 0.85 against the exact all-pairs
-    * truth even at this synthetic corpus's much weaker τ = 0.35
-    * (θ ≈ 69°).
+    * shrink 2× per plane, and the plane count is DERIVED from the
+    * corpus size (`nPlanes <= 0` → [[planesFor]](count), the smallest
+    * k with 32·2^k ≥ N), so per-bucket depth stays ~32 while the probe
+    * count grows only as C(k,2): candidate volume is O(N log²N), not
+    * the fixed-plane O(N²·c). No low-cardinality key (the former
+    * `label` blocking) ever forms an O(N²/|labels|) block.
+    * Approximation is by-design and measured: at a production near-dup
+    * threshold (cosine ≥ 0.9, θ≈26°) a pair agrees per plane w.p.
+    * 1−θ/π ≈ 0.857, so radius 2 holds ≥ 0.99 recall for small plane
+    * counts; SimilaritySpec pins recall ≥ 0.85 against the exact
+    * all-pairs truth even at this synthetic corpus's much weaker
+    * τ = 0.35 (θ ≈ 69°), and pins the candidate fraction ≤ 10% of all
+    * pairs at a 64k-vector corpus. At recall-critical large-N + weak-τ
+    * combinations, band the planes (AND-OR amplification, as in
+    * [[graft.operators.Dedup]]'s MinHash) instead of raising radius.
     */
   def embCosineDup(spark: SparkSession, sfDir: String, tau: Double = 0.35,
-      nPlanes: Int = 4, radius: Int = 2): DataFrame = {
+      nPlanes: Int = -1, radius: Int = 2): DataFrame = {
     val emb = embWithNorm(spark, sfDir)
-    val bucket = (0 until nPlanes).map { p =>
+    val np = if (nPlanes > 0) nPlanes
+             else planesFor(Tables.embeddings(spark, sfDir).count())
+    val bucket = (0 until np).map { p =>
       val proj = dot(col("v"),
         array((0 until 64).map(d => lit(planeComponent(p, d))): _*))
       when(proj >= 0.0, lit(1L << p)).otherwise(0L)
@@ -85,7 +107,7 @@ object Similarity {
     // post-join distinct
     val b = bucketed
       .withColumn("probe", explode(array(
-        probeMasks(nPlanes, radius).map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+        probeMasks(np, radius).map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
       .select(col("probe"), col("vec_id").as("b_id"),
         col("v").as("b_v"), col("nrm").as("b_nrm"))
     a.join(b, col("bucket") === col("probe") && col("a_id") < col("b_id"))
@@ -174,8 +196,10 @@ object Similarity {
   /** Approximate nearest neighbors via random-hyperplane LSH:
     * `nPlanes` signed projections give a bucket id; each query only
     * scores vectors in its own bucket. The scale path for
-    * [[topkBruteforce]] — bucket population ~ N / 2^nPlanes, so work
-    * per query is O(bucket), not O(N).
+    * [[topkBruteforce]] — the plane count is derived from the corpus
+    * size (`nPlanes <= 0` → [[planesFor]](count)), so bucket
+    * population stays ~32 and work per query is O(probes · bucket) =
+    * O(log N · bucket), not O(N).
     *
     * Queries are multi-probed: each query searches its own bucket and
     * every Hamming-1 neighbor bucket (nPlanes+1 probes) — the standard
@@ -185,10 +209,12 @@ object Similarity {
     * Output: per query, top-k within-probed-buckets neighbors
     * (rows-only oracle; SimilaritySpec checks recall vs brute force).
     */
-  def annLsh(spark: SparkSession, sfDir: String, k: Int = 10, nPlanes: Int = 4)
+  def annLsh(spark: SparkSession, sfDir: String, k: Int = 10, nPlanes: Int = -1)
       : DataFrame = {
     val emb = embWithNorm(spark, sfDir)
-    val bucket = (0 until nPlanes).map { p =>
+    val np = if (nPlanes > 0) nPlanes
+             else planesFor(Tables.embeddings(spark, sfDir).count())
+    val bucket = (0 until np).map { p =>
       val proj = dot(col("v"),
         array((0 until 64).map(d => lit(planeComponent(p, d))): _*))
       when(proj >= 0.0, lit(1L << p)).otherwise(0L)
@@ -199,7 +225,7 @@ object Similarity {
         col("v").as("q_v"), col("nrm").as("q_nrm"))
       // multi-probe: own bucket + all 1-bit flips
       .withColumn("probe", explode(array(
-        col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket") +: (0 until np).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p))): _*)))
       .drop("bucket")
     val scored = bucketed.filter(col("vec_id") >= 5)

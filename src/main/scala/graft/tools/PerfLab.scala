@@ -48,6 +48,8 @@ object PerfLab {
             .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
             .reduce(_.unionByName(_))
           Algorithms.pageRank(spark, edges, 2).explain("formatted"); 0L
+        // any declared query by name
+        case other => graft.SparkEntry.queries(other)(spark, sfDir).count()
       }
       println(f"[perflab] $what rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
       spark.sharedState.cacheManager.clearCache()

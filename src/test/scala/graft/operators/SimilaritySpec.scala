@@ -59,6 +59,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.probeMasks(4, 0) == Seq(0L))
   }
 
+  test("planesFor tracks corpus size: smallest k in [4,16] with 32*2^k >= n") {
+    assert(Similarity.planesFor(1L) == 4)
+    assert(Similarity.planesFor(500L) == 4)   // sf0.001/sf0.01 corpora
+    assert(Similarity.planesFor(512L) == 4)
+    assert(Similarity.planesFor(513L) == 5)
+    assert(Similarity.planesFor(2000L) == 6)  // sf0.1 corpus
+    assert(Similarity.planesFor(65536L) == 11)
+    assert(Similarity.planesFor(32L << 16) == 16)
+    assert(Similarity.planesFor(Long.MaxValue / 4) == 16) // clamp
+  }
+
+  test("derived planes keep LSH candidate volume <= 10% of all pairs at 64k vectors") {
+    // Pure-Scala twin of the embCosineDup blocking: bucket a 64k-vector
+    // corpus with the derived plane count, then count candidate pairs
+    // exactly from the bucket histogram (sum over buckets x probe
+    // masks) — no N^2 join needed. With planesFor(65536) = 11 planes
+    // and radius 2, probe coverage is 67/2048 of bucket space, so the
+    // fraction must land well under the 10% pin (it is ~3% uniform).
+    val n = 65536
+    val dims = 64
+    val nPlanes = Similarity.planesFor(n.toLong)
+    val rnd = new java.util.Random(42)
+    val planes = Array.tabulate(nPlanes, dims)((p, d) => Similarity.planeComponent(p, d))
+    val hist = new scala.collection.mutable.HashMap[Long, Long]()
+    var i = 0
+    while (i < n) {
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < dims) { dot += v(d) * planes(p)(d); d += 1 }
+        if (dot >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      hist.update(bucket, hist.getOrElse(bucket, 0L) + 1L)
+      i += 1
+    }
+    // each unordered candidate pair matches on exactly one xor mask,
+    // counted twice in the ordered sum below (minus n self-pairs at m=0)
+    val masks = Similarity.probeMasks(nPlanes, 2)
+    var ordered = 0L
+    for ((b, c) <- hist; m <- masks)
+      ordered += c * hist.getOrElse(b ^ m, 0L)
+    val candidates = (ordered - n) / 2
+    val allPairs = n.toLong * (n - 1) / 2
+    val fraction = candidates.toDouble / allPairs
+    assert(fraction <= 0.10, s"candidate fraction $fraction over $allPairs pairs")
+  }
+
   test("label centroids have one row per (label, dim) and bounded values") {
     val rows = Similarity.labelCentroids(spark, TestSpark.sf).collect()
     val dims = rows.map(_.getLong(1)).distinct
