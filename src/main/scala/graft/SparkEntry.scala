@@ -43,6 +43,12 @@ object SparkEntry {
     "cypher_rel_where"      -> (cypher.CypherQueries.relWhere(_, _)),
     "cypher_chain_uniq"     -> (cypher.CypherQueries.chainUniq(_, _)),
     "cypher_distinct_node"  -> (cypher.CypherQueries.distinctNode(_, _)),
+    "cypher_string_pred"    -> (cypher.CypherQueries.stringPred(_, _)),
+    "cypher_type_of"        -> (cypher.CypherQueries.typeOf(_, _)),
+    "cypher_labels"         -> (cypher.CypherQueries.labelCounts(_, _)),
+    "cypher_path_len"       -> (cypher.CypherQueries.pathLen(_, _)),
+    "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
+    "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -428,6 +434,59 @@ object SparkEntry {
         |CAST(n_regionkey AS BIGINT) AS "n.regionkey"
         |FROM nation JOIN customer ON c_nationkey = n_nationkey
         |ORDER BY 2""".stripMargin,
+    "cypher_string_pred" ->
+      """SELECT c_custkey AS id, c_name AS name
+        |FROM customer
+        |WHERE c_name LIKE 'Customer#000000%'
+        |  AND c_mktsegment LIKE '%ING%'
+        |  AND c_name LIKE '%1'
+        |ORDER BY id""".stripMargin,
+    "cypher_type_of" ->
+      """WITH nx AS (
+        |  SELECT n_nationkey AS k,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nk
+        |  FROM nation),
+        |r AS (
+        |  SELECT 'IN_REGION' AS rel_type FROM nation
+        |  UNION ALL
+        |  SELECT 'NEXT_IN_REGION' FROM nx WHERE nk IS NOT NULL)
+        |SELECT rel_type, COUNT(*) AS n_rels FROM r
+        |GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+    "cypher_labels" ->
+      """SELECT label, COUNT(*) AS n_nodes FROM (
+        |  SELECT 'Customer' AS label FROM customer
+        |  UNION ALL SELECT 'Nation' FROM nation
+        |  UNION ALL SELECT 'Order' FROM orders
+        |  UNION ALL SELECT 'Part' FROM part
+        |  UNION ALL SELECT 'Region' FROM region
+        |  UNION ALL SELECT 'Supplier' FROM supplier)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "cypher_path_len" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT 1 AS hops FROM e2
+        |  UNION ALL
+        |  SELECT 2 FROM e2 a JOIN e2 b ON a.dst = b.src
+        |  UNION ALL
+        |  SELECT 3 FROM e2 a JOIN e2 b ON a.dst = b.src JOIN e2 c ON b.dst = c.src)
+        |SELECT CAST(hops AS BIGINT) AS hops, COUNT(*) AS n_paths FROM p
+        |GROUP BY hops ORDER BY hops""".stripMargin,
+    "cypher_case" ->
+      """SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg'
+        |            WHEN c_acctbal < 5000.0 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY band ORDER BY band""".stripMargin,
+    "cypher_coalesce_agg" ->
+      """SELECT n_name AS nation,
+        |CAST(SUM(CAST(coalesce(c_acctbal, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM nation LEFT JOIN customer
+        |  ON c_nationkey = n_nationkey AND c_acctbal > 9900.0
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

@@ -17,7 +17,7 @@ package graft.cypher
   *               | UNWIND expr AS var
   *   return     := RETURN [DISTINCT] item (, item)*
   *                 [ORDER BY sort*] [SKIP n] [LIMIT n]
-  *   pattern    := node (rel node)*
+  *   pattern    := [pathVar '='] node (rel node)*
   *   node       := '(' [var] [':' Label] [{prop: lit, …}] ')'
   *   rel        := '-[' [var] [':' TYPE] [*min..max] ']->'
   *               | '<-[' … ']-'
@@ -85,8 +85,12 @@ object Ast {
       varLength: Option[(Int, Int)],
       props: Map[String, Any] = Map.empty)
 
-  /** A linear pattern chain: start node then (rel, node) hops. */
-  final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)]) {
+  /** A linear pattern chain: start node then (rel, node) hops.
+    * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for
+    * path introspection (`length(p)` = relationship count).
+    */
+  final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)],
+      pathVar: Option[String] = None) {
     def nodeVars: Seq[String] =
       (start +: hops.map(_._2)).flatMap(_.variable)
   }

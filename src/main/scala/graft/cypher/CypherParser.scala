@@ -50,7 +50,7 @@ object CypherParser {
         out += TStr(sb.toString); i += 1
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
-        if (Set("->", "<-", "<=", ">=", "<>", "..").contains(two)) {
+        if (Set("->", "<-", "<=", ">=", "<>", "..", "=~").contains(two)) {
           out += TSym(two); i += 2
         } else { out += TSym(c.toString); i += 1 }
       }
@@ -99,7 +99,13 @@ object CypherParser {
           val opt = atKw("OPTIONAL")
           if (opt) eatKw("OPTIONAL")
           eatKw("MATCH")
-          val chain = patternChain()
+          // path variable: `MATCH p = (a)-[...]->(b)`
+          val pathVar = peek match {
+            case Some(TId(_)) if pos + 1 < toks.length && toks(pos + 1) == TSym("=") =>
+              val pv = ident(); eatSym("="); Some(pv)
+            case _ => None
+          }
+          val chain = patternChain().copy(pathVar = pathVar)
           val where =
             if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
           // Cypher semantics: WHERE after OPTIONAL MATCH filters the
@@ -304,9 +310,21 @@ object CypherParser {
     private def cmpExpr(): CExpr = {
       val l = addExpr()
       peek match {
+        case Some(TSym("=~")) =>
+          next()
+          StrPred("regex", l, addExpr())
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=").contains(op) =>
           next()
           Cmp(op, l, addExpr())
+        case Some(t) if isKw(t, "STARTS") =>
+          eatKw("STARTS"); eatKw("WITH")
+          StrPred("startswith", l, addExpr())
+        case Some(t) if isKw(t, "ENDS") =>
+          eatKw("ENDS"); eatKw("WITH")
+          StrPred("endswith", l, addExpr())
+        case Some(t) if isKw(t, "CONTAINS") =>
+          eatKw("CONTAINS")
+          StrPred("contains", l, addExpr())
         case Some(t) if isKw(t, "IS") =>
           eatKw("IS")
           val negated = atKw("NOT")
@@ -345,9 +363,28 @@ object CypherParser {
     }
 
     private val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
-    private val scalarFns = Set("toupper", "tolower", "trim", "size", "id")
+    private val scalarFns =
+      Set("toupper", "tolower", "trim", "size", "id", "type", "labels", "length")
 
     private def valueExpr(): CExpr = peek match {
+      case Some(TId(name))
+          if name.equalsIgnoreCase("coalesce") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        ident(); eatSym("(")
+        val args = Seq.newBuilder[CExpr]
+        args += addExpr()
+        while (atSym(",")) { eatSym(","); args += addExpr() }
+        eatSym(")")
+        Coalesce(args.result())
+      case Some(t) if isKw(t, "CASE") =>
+        eatKw("CASE")
+        val whens = Seq.newBuilder[(CExpr, CExpr)]
+        while (atKw("WHEN")) {
+          eatKw("WHEN"); val c = expr(); eatKw("THEN"); whens += ((c, addExpr()))
+        }
+        val otherwise = if (atKw("ELSE")) { eatKw("ELSE"); Some(addExpr()) } else None
+        eatKw("END")
+        CaseExpr(whens.result(), otherwise)
       case Some(TId(name))
           if (aggFns.contains(name.toLowerCase(java.util.Locale.ROOT)) ||
             scalarFns.contains(name.toLowerCase(java.util.Locale.ROOT))) &&

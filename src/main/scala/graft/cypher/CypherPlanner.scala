@@ -47,6 +47,9 @@ object CypherPlanner {
       case InList(x, ListLit(items)) => InList(bx(x), ListLit(items.map(bx)))
       case ListLit(items)  => ListLit(items.map(bx))
       case FnCall(n, a, s, d) => FnCall(n, a.map(bx), s, d)
+      case StrPred(op, l, r) => StrPred(op, bx(l), bx(r))
+      case Coalesce(args)  => Coalesce(args.map(bx))
+      case CaseExpr(ws, o) => CaseExpr(ws.map { case (c, v) => (bx(c), bx(v)) }, o.map(bx))
       case other           => other
     }
     def bi(i: ReturnItem): ReturnItem = i.copy(expr = bx(i.expr))
@@ -217,8 +220,11 @@ object CypherPlanner {
     var hidden = List.empty[String]
     val q = q0.copy(items = q0.items.flatMap {
       case ReturnItem(Ident(v), None) if s.nodeVars(v) =>
+        // "@"-prefixed names are planner-internal (labels/type/len)
+        // and never user properties — they stay out of the node value
         val props = s.df.columns.toSeq.filter(_.startsWith(s"${v}__"))
-          .map(_.stripPrefix(s"${v}__")).filter(_ != "id").sorted
+          .map(_.stripPrefix(s"${v}__"))
+          .filter(p => p != "id" && !p.startsWith("@")).sorted
           .map(p => ReturnItem(Prop(v, p), Some(s"$v.$p")))
         if (needIdentity) {
           val h = s"__identity_$v"
@@ -307,9 +313,14 @@ object CypherPlanner {
       // contributes its own property columns, missing ones null out.
       // Column pruning still reaches each parquet scan, so a query
       // touching only ids reads one column per table.
+      // every scan carries the node's label list as a hidden `@labels`
+      // column (a literal — Catalyst prunes it when labels(n) is never
+      // asked for); the union branch tags each table with its own label
       var t = np.label match {
-        case Some(label) => graph.nodeTable(label)
-        case None => graph.nodes.values
+        case Some(label) =>
+          graph.nodeTable(label).withColumn("@labels", array(lit(label)))
+        case None => graph.nodes.toSeq.sortBy(_._1)
+          .map { case (ln, nt) => nt.withColumn("@labels", array(lit(ln))) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       }
       np.props.foreach { case (k, value) => t = t.filter(col(k) === lit(value)) }
@@ -368,6 +379,17 @@ object CypherPlanner {
             .map(c => col(c).as(s"${rv}__$c"))
         case _ => Seq.empty
       }
+      // a named single-hop relationship also binds its type name for
+      // `type(r)`: a plan-time literal when the hop is typed, the
+      // union's `__rt` tag when type-less
+      val relTypeCol = rel.variable match {
+        case Some(rv) if rel.varLength.isEmpty =>
+          rel.relType match {
+            case Some(t) => Seq(lit(t).as(s"${rv}__@type"))
+            case None    => Seq(col("__rt").as(s"${rv}__@type"))
+          }
+        case _ => Seq.empty
+      }
       // inline relationship property map → equality filters on the
       // edge table, applied before any mirroring/expansion
       var baseRel = relBase
@@ -420,9 +442,16 @@ object CypherPlanner {
         if (!needChainEid) None
         else if (expanded.columns.contains("__eids")) Some(col("__eids"))
         else Some(array(col("__eid")))
+      // hop count for `length(p)`: var-length hops report their walk
+      // length (`__hops`), fixed hops contribute 1
+      val hopLenCols =
+        if (chain.pathVar.isDefined && rel.varLength.isDefined)
+          Seq(col("__hops").as("__r_hops"))
+        else Seq.empty
       val r = expanded
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
-          (relPropCols ++ hopEids.map(_.as("__r_eids")).toSeq): _*)
+          (relPropCols ++ relTypeCol ++ hopLenCols ++
+            hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
       val (joinKeyCur, joinKeyNext) = rel.direction match {
@@ -443,6 +472,15 @@ object CypherPlanner {
             df.withColumn("__chain_eids",
               concat(col("__chain_eids"), col("__r_eids"))).drop("__r_eids")
           else df.withColumnRenamed("__r_eids", "__chain_eids")
+      if (chain.pathVar.isDefined) {
+        val contrib =
+          if (rel.varLength.isDefined) col("__r_hops").cast("long") else lit(1L)
+        df =
+          if (df.columns.contains("__path_len"))
+            df.withColumn("__path_len", col("__path_len") + contrib)
+          else df.withColumn("__path_len", contrib)
+        if (rel.varLength.isDefined) df = df.drop("__r_hops")
+      }
       if (bound.contains(nv)) {
         // closing a cycle back onto an already-bound variable
         df = df.filter(col(s"${nv}__id") === col(joinKeyNext))
@@ -465,6 +503,12 @@ object CypherPlanner {
     // the accumulated identities don't leak into later clauses
     if (df != null && df.columns.contains("__chain_eids"))
       df = df.drop("__chain_eids")
+    chain.pathVar.foreach { pv =>
+      df =
+        if (df.columns.contains("__path_len"))
+          df.withColumnRenamed("__path_len", s"${pv}__@len")
+        else df.withColumn(s"${pv}__@len", lit(0L)) // zero-hop path `p = (a)`
+    }
     (df, bound)
   }
 
@@ -481,10 +525,12 @@ object CypherPlanner {
       case Some((lo, hi)) =>
         require(lo >= 1 && hi >= lo && hi <= 10,
           s"variable-length bounds *$lo..$hi out of supported range")
+        // `__hops` reports each row's walk length for `length(p)`
         if (!rel.columns.contains("__eid"))
-          rel.select(col("__src"), col("__dst"))
+          rel.select(col("__src"), col("__dst"), lit(1).as("__hops"))
         else if (hi <= 1)
-          rel.select(col("__src"), col("__dst"), array(col("__eid")).as("__eids"))
+          rel.select(col("__src"), col("__dst"), array(col("__eid")).as("__eids"),
+            lit(1).as("__hops"))
         else {
           // Cypher relationship uniqueness: a walk may not traverse
           // the same relationship twice. Each step carries the walk's
@@ -504,7 +550,8 @@ object CypherPlanner {
                   concat(acc("__eids"), array(col("__ne"))).as("__eids"))
             }
           (lo to hi)
-            .map(k => kHop(k).select(col("__src"), col("__dst"), col("__eids")))
+            .map(k => kHop(k).select(col("__src"), col("__dst"), col("__eids"),
+              lit(k).as("__hops")))
             .reduce(_.unionByName(_))
         }
     }
@@ -555,6 +602,38 @@ object CypherPlanner {
     case FnCall("trim", Some(a), _, _)    => trim(toColumn(a, scalars))
     case FnCall("size", Some(a), _, _)    =>
       length(toColumn(a, scalars)).cast("long")
+    // type(r): the relationship's type name — planChain binds it as a
+    // hidden `r__@type` column (a literal for typed hops, the union's
+    // `__rt` tag for type-less ones; "@" keeps it out of the
+    // property namespace and whole-node expansion)
+    case FnCall("type", Some(Ident(r)), _, _)   => col(s"${r}__@type")
+    // labels(n): the node's label list, bound by every node scan as
+    // the hidden `n__@labels` column
+    case FnCall("labels", Some(Ident(v)), _, _) => col(s"${v}__@labels")
+    // length(p): relationship count of the named path — planChain
+    // accumulates it while joining the chain's hops
+    case FnCall("length", Some(Ident(p)), _, _) => col(s"${p}__@len")
+    case StrPred("startswith", l, r) =>
+      toColumn(l, scalars).startsWith(toColumn(r, scalars))
+    case StrPred("endswith", l, r) =>
+      toColumn(l, scalars).endsWith(toColumn(r, scalars))
+    case StrPred("contains", l, r) =>
+      toColumn(l, scalars).contains(toColumn(r, scalars))
+    // Neo4j `=~` matches the WHOLE string; Spark's regexp_like finds
+    // anywhere — anchor via a non-capturing group
+    case StrPred("regex", l, r) =>
+      regexp_like(toColumn(l, scalars),
+        concat(lit("^(?:"), toColumn(r, scalars), lit(")$")))
+    case StrPred(op, _, _) => throw new IllegalArgumentException(
+      s"bad string predicate $op")
+    case Coalesce(args) => coalesce(args.map(toColumn(_, scalars)): _*)
+    case CaseExpr(whens, otherwise) =>
+      val base = whens.map { case (c, v) =>
+        (toColumn(c, scalars), toColumn(v, scalars))
+      }
+      val first = when(base.head._1, base.head._2)
+      val chained = base.tail.foldLeft(first) { case (acc, (c, v)) => acc.when(c, v) }
+      otherwise.map(o => chained.otherwise(toColumn(o, scalars))).getOrElse(chained)
     case f: FnCall    => throw new IllegalArgumentException(
       s"aggregate ${f.name} not allowed here")
     case _: ExistsPattern => throw new IllegalArgumentException(

@@ -241,4 +241,76 @@ object CypherQueries {
         |MATCH (s:Supplier)-[:SUPP_NATION]->(n)
         |RETURN n.name AS nation, count(*) AS pairs
         |ORDER BY nation""".stripMargin)
+
+  /** String predicates STARTS WITH / CONTAINS / ENDS WITH — the
+    * first-WHERE-clause idiom for queries ported through the
+    * reference's arbitrary-Cypher surface (Neo4jInputFormat.java:60).
+    * All three compile to Catalyst StartsWith/Contains/EndsWith and
+    * push into the parquet scan (PlanSpec pin).
+    */
+  def stringPred(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WHERE c.name STARTS WITH 'Customer#000000'
+        |  AND c.mktsegment CONTAINS 'ING'
+        |  AND c.name ENDS WITH '1'
+        |RETURN c.custkey AS id, c.name AS name
+        |ORDER BY id""".stripMargin)
+
+  /** `type(r)` over a type-less relationship match: the union scan
+    * tags each row with its relationship type, so grouping by type
+    * costs one tiny-key shuffle.
+    */
+  def typeOf(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)-[r]->(x)
+        |RETURN type(r) AS rel_type, count(*) AS n_rels
+        |ORDER BY rel_type""".stripMargin)
+
+  /** `labels(n)` over a label-less scan, UNWOUND to per-label counts —
+    * the node-catalog query every graph browser issues first.
+    */
+  def labelCounts(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n)
+        |UNWIND labels(n) AS label
+        |RETURN label, count(*) AS n_nodes
+        |ORDER BY label""".stripMargin)
+
+  /** Path variable + `length(p)`: the var-length expansion reports
+    * each row's walk length, aggregated here into a path-length
+    * histogram.
+    */
+  def pathLen(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..3]->(b:Nation)
+        |RETURN length(p) AS hops, count(*) AS n_paths
+        |ORDER BY hops""".stripMargin)
+
+  /** Searched CASE in a projection, grouped — value banding, the
+    * everyday reporting idiom.
+    */
+  def caseBand(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN CASE WHEN c.acctbal < 0.0 THEN 'neg'
+        |            WHEN c.acctbal < 5000.0 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  count(*) AS n
+        |ORDER BY band""".stripMargin)
+
+  /** coalesce() over an OPTIONAL MATCH's nullable binding — the
+    * null-plugging companion of every left join. The WHERE filters the
+    * optional side BEFORE the join (Cypher semantics), so nations with
+    * no high-balance customer survive with nulls and coalesce plugs
+    * them.
+    */
+  def coalesceAgg(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |WHERE c.acctbal > 9900.0
+        |WITH n, coalesce(c.acctbal, 0.0) AS bal
+        |RETURN n.name AS nation, sum(bal) AS total_bal
+        |ORDER BY nation""".stripMargin)
 }

@@ -12,8 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def planOf(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  // maxMetadataStringLength default (100) truncates longer PushedFilters
+  // lists to "…", which would hide a filter from the assertions below
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try df.queryExecution.executedPlan.toString
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
 
   test("q1 scan prunes lineitem to the referenced columns") {
     val plan = planOf(Relational.q1Agg(spark, TestSpark.sf))
@@ -56,6 +61,16 @@ class PlanSpec extends AnyFunSuite {
   test("cypher ORDER BY + LIMIT compiles to TakeOrderedAndProject") {
     val plan = planOf(cypher.CypherQueries.orderLimit(spark, TestSpark.sf))
     assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("cypher string predicates push to the parquet scan") {
+    val plan = planOf(cypher.CypherQueries.stringPred(spark, TestSpark.sf))
+    assert("PushedFilters: \\[[^\\]]*StringStartsWith\\(c_name,Customer#000000".r
+      .findFirstIn(plan).isDefined, "STARTS WITH did not push to parquet")
+    assert("StringContains\\(c_mktsegment,ING".r.findFirstIn(plan).isDefined,
+      "CONTAINS did not push to parquet")
+    assert("StringEndsWith\\(c_name,1".r.findFirstIn(plan).isDefined,
+      "ENDS WITH did not push to parquet")
   }
 
   test("similarity queries broadcast the query side") {

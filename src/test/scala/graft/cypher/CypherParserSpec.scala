@@ -124,6 +124,42 @@ class CypherParserSpec extends AnyFunSuite {
     assert(q.returnClause.items(1).expr == FnCall("tolower", Some(Prop("c", "name"))))
   }
 
+  test("string predicates STARTS WITH / ENDS WITH / CONTAINS / =~ parse") {
+    val q = CypherParser.parse(
+      "MATCH (c:X) WHERE c.name STARTS WITH 'Cu' AND c.name ENDS WITH '1' " +
+        "AND c.seg CONTAINS 'ING' AND c.name =~ 'Cu.*' RETURN c.name")
+    val w = where(q).get
+    def preds(e: CExpr): Seq[StrPred] = e match {
+      case And(l, r)  => preds(l) ++ preds(r)
+      case p: StrPred => Seq(p)
+      case _          => Seq.empty
+    }
+    assert(preds(w) == Seq(
+      StrPred("startswith", Prop("c", "name"), LitV("Cu")),
+      StrPred("endswith", Prop("c", "name"), LitV("1")),
+      StrPred("contains", Prop("c", "seg"), LitV("ING")),
+      StrPred("regex", Prop("c", "name"), LitV("Cu.*"))))
+  }
+
+  test("path variables, type/labels/length functions parse") {
+    val q = CypherParser.parse(
+      "MATCH p = (a:X)-[r:T*1..2]->(b) RETURN length(p) AS hops, type(r) AS t, labels(a) AS ls")
+    assert(matches(q).head.chain.pathVar.contains("p"))
+    assert(q.returnClause.items.map(_.expr) == Seq(
+      FnCall("length", Some(Ident("p"))),
+      FnCall("type", Some(Ident("r"))),
+      FnCall("labels", Some(Ident("a")))))
+  }
+
+  test("CASE and coalesce parse") {
+    val q = CypherParser.parse(
+      "MATCH (c:X) RETURN CASE WHEN c.a < 0 THEN 'neg' ELSE 'pos' END AS band, " +
+        "coalesce(c.a, 0) AS a0")
+    assert(q.returnClause.items.head.expr ==
+      CaseExpr(Seq((Cmp("<", Prop("c", "a"), LitV(0L)), LitV("neg"))), Some(LitV("pos"))))
+    assert(q.returnClause.items(1).expr == Coalesce(Seq(Prop("c", "a"), LitV(0L))))
+  }
+
   test("malformed queries fail with a message") {
     assertThrows[IllegalArgumentException](CypherParser.parse("MATCH (c:Customer"))
     assertThrows[IllegalArgumentException](CypherParser.parse("FOO 1"))

@@ -350,4 +350,70 @@ class CypherPlannerSpec extends AnyFunSuite {
       .toSeq.map(k => c(k) * sup(k)).sum
     assert(pairs.map(_.getLong(1)).sum == expected)
   }
+
+  test("string predicates filter like their Column twins") {
+    import org.apache.spark.sql.functions.col
+    val n = run(
+      "MATCH (c:Customer) WHERE c.name STARTS WITH 'Customer#000000' " +
+      "AND c.mktsegment CONTAINS 'ING' AND c.name ENDS WITH '1' " +
+      "RETURN c.custkey AS id").count()
+    val direct = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(col("c_name").startsWith("Customer#000000") &&
+        col("c_mktsegment").contains("ING") && col("c_name").endsWith("1"))
+      .count()
+    assert(n == direct && n > 0)
+    // `=~` matches the WHOLE string (Neo4j semantics): only custkey 1
+    // is "Customer#" + zeros + "1" and nothing after
+    val rx = run(
+      "MATCH (c:Customer) WHERE c.name =~ 'Customer#0+1' RETURN c.custkey AS id")
+      .count()
+    assert(rx == 1)
+  }
+
+  test("type(r) binds for typed and type-less hops; labels(n) for any scan") {
+    val typed = run(
+      "MATCH (c:Customer)-[r:FROM_NATION]->(n:Nation) " +
+      "RETURN type(r) AS t, count(*) AS n").collect()
+    assert(typed.map(_.getString(0)).toSeq == Seq("FROM_NATION"))
+    val untyped = run(
+      "MATCH (n:Nation)-[r]->(x) RETURN type(r) AS t, count(*) AS n ORDER BY t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(untyped.keySet == Set("IN_REGION", "NEXT_IN_REGION"))
+    assert(untyped("IN_REGION") ==
+      graft.Tables.nation(spark, TestSpark.sf).count())
+    val labels = run(
+      "MATCH (n:Region) UNWIND labels(n) AS l RETURN l, count(*) AS n")
+      .collect()
+    assert(labels.length == 1 && labels.head.getString(0) == "Region")
+  }
+
+  test("length(p) is the relationship count per path row") {
+    val hist = run(
+      "MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..3]->(b:Nation) " +
+      "RETURN length(p) AS hops, count(*) AS n ORDER BY hops")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 5 regions × 5-nation chains: 4/3/2 paths of length 1/2/3 each
+    assert(hist == Map(1L -> 20L, 2L -> 15L, 3L -> 10L))
+    // fixed-hop path: every row reports length 2
+    val fixed = run(
+      "MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) " +
+      "RETURN length(p) AS hops, count(*) AS n").collect()
+    assert(fixed.length == 1 && fixed.head.getLong(0) == 2L)
+  }
+
+  test("CASE bands and coalesce plug optional-match nulls") {
+    val bands = run(
+      "MATCH (c:Customer) RETURN CASE WHEN c.acctbal < 0.0 THEN 'neg' " +
+      "WHEN c.acctbal < 5000.0 THEN 'mid' ELSE 'high' END AS band, count(*) AS n " +
+      "ORDER BY band").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands.values.sum == graft.Tables.customer(spark, TestSpark.sf).count())
+    assert(bands.keySet.subsetOf(Set("neg", "mid", "high")))
+    val coal = run(
+      "MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n) " +
+      "WHERE c.acctbal > 999999.0 " + // matches nobody → all nulls
+      "WITH n, coalesce(c.acctbal, 0.0) AS bal " +
+      "RETURN n.name AS nation, sum(bal) AS total ORDER BY nation").collect()
+    assert(coal.length == graft.Tables.nation(spark, TestSpark.sf).count())
+    assert(coal.forall(_.getDouble(1) == 0.0))
+  }
 }
