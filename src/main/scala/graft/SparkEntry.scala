@@ -558,13 +558,14 @@ object SparkEntry {
         |FROM nodes ORDER BY id""".stripMargin,
     "cypher_write_batches" ->
       """WITH b AS (
-        |  SELECT o_orderkey, CAST(o_orderkey // 400 AS BIGINT) AS batch_id,
+        |  SELECT o_orderkey, CAST(o_orderkey // 400 AS BIGINT) AS range_id,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY o_orderkey // 400 ORDER BY o_orderkey) - 1) // 100 AS BIGINT) AS sub_id,
         |    '{"orderkey":' || o_orderkey || ',"status":"' || o_orderstatus || '"}' AS elem
         |  FROM orders)
-        |SELECT batch_id, COUNT(*) AS n_rows,
+        |SELECT range_id, sub_id, COUNT(*) AS n_rows,
         |'{"statements" : [ {"statement" : "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})", "parameters" : {"inserts" : ['
         |  || string_agg(elem, ',' ORDER BY o_orderkey) || ']} }]}' AS payload
-        |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+        |FROM b GROUP BY range_id, sub_id ORDER BY range_id, sub_id""".stripMargin,
     "graph_bfs" ->
       """WITH RECURSIVE edges AS MATERIALIZED (
         |  SELECT 2000000000 + o_custkey AS src, 1000000000 + o_orderkey AS dst

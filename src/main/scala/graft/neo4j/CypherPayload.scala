@@ -75,49 +75,62 @@ object CypherPayload {
       lit("}"): _*)
 
   /** The oracle-checked `cypher_write_batches` query: rows →
-    * deterministic key-range batches (`orderkey div keyRange`) → one
-    * full transactional payload string per batch, exactly the bytes
-    * the reference's output format would POST.
+    * deterministic key-range batches (`orderkey div keyRange`),
+    * sub-split at `rowCap` rows → one full transactional payload
+    * string per batch, exactly the bytes the reference's output
+    * format would POST.
     *
-    * Batch derivation is embarrassingly parallel: the batch id is a
+    * Batch derivation is embarrassingly parallel: the range id is a
     * pure function of the key, so no global ordering shuffle and no
     * single-task window funnel exists anywhere in the plan (pinned by
-    * PlanSpec) — the only exchange is the per-batch hash partition.
+    * PlanSpec) — every exchange hash-partitions on the range id.
     * Unlike the reference, whose isBatchFull caps EVERY batch at
     * batchSize rows (Neo4jOutputFormat.java:104-116), key-range
-    * batches are populated by key density: a batch holds up to
-    * `keyRange` rows when its key range is fully dense, and fewer
-    * when keys are sparse (TPC-H orderkeys are ~4x sparse). Pick
-    * `keyRange` so a worst-case fully-dense payload is still
-    * acceptable to the transactional endpoint — it is the hard upper
-    * bound on rows per POST. Elements are ordered within each batch,
-    * which is a per-group sort, not a global one. The production
-    * write path ([[Neo4jWriter]]) batches per partition with an exact
-    * per-batch row cap, like the reference does per task.
+    * batches are populated by key density — so a dense range is
+    * sub-split by a PER-RANGE row_number into chunks of at most
+    * `rowCap` rows, making `rowCap` the hard upper bound on rows per
+    * POST regardless of density (the window partitions by range id:
+    * thousands of concurrent ranges, no funnel). Elements are ordered
+    * within each batch, a per-group sort, not a global one. The
+    * production write path ([[Neo4jWriter]]) batches per partition
+    * with the same exact per-batch cap, like the reference per task.
     */
-  def writeBatches(spark: SparkSession, sfDir: String, keyRange: Int = 400): DataFrame = {
+  def writeBatches(spark: SparkSession, sfDir: String, keyRange: Int = 400,
+      rowCap: Int = 100): DataFrame =
+    payloadBatches(
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus")),
+      keyRange, rowCap)
+
+  /** Core of [[writeBatches]] over any (orderkey, status) rows — split
+    * out so the cap is testable against pathological fully-dense keys.
+    */
+  private[neo4j] def payloadBatches(orders: DataFrame, keyRange: Int,
+      rowCap: Int): DataFrame = {
     val stmt = "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})"
     val param = parameterName(stmt)
-    val rows = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderstatus"))
-      .withColumn("batch_id", floor(col("o_orderkey") / keyRange).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("range_id")).orderBy(col("o_orderkey"))
+    val rows = orders
+      .withColumn("range_id", floor(col(orders.columns(0)) / keyRange).cast("long"))
+      .withColumn("sub_id",
+        floor((row_number().over(w) - 1) / rowCap).cast("long"))
       .withColumn("elem", jsonElem(Seq(
-        ("orderkey", col("o_orderkey"), false),
-        ("status", col("o_orderstatus"), true))))
-    rows.groupBy(col("batch_id"))
+        ("orderkey", col(orders.columns(0)), false),
+        ("status", col(orders.columns(1)), true))))
+    rows.groupBy(col("range_id"), col("sub_id"))
       .agg(
         count(lit(1)).as("n_rows"),
         array_join(
-          transform(array_sort(collect_list(struct(col("o_orderkey"), col("elem")))),
+          transform(array_sort(collect_list(struct(col(orders.columns(0)), col("elem")))),
             s => s.getField("elem")),
           ",").as("joined"))
       .select(
-        col("batch_id"), col("n_rows"),
+        col("range_id"), col("sub_id"), col("n_rows"),
         concat(
           lit(PayloadTemplate.split("%s")(0)), lit(stmt),
           lit(PayloadTemplate.split("%s")(1)),
           lit("\"" + param + "\" : ["), col("joined"), lit("]"),
           lit(PayloadTemplate.split("%s")(2))).as("payload"))
-      .orderBy(col("batch_id"))
+      .orderBy(col("range_id"), col("sub_id"))
   }
 }

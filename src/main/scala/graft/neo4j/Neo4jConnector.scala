@@ -125,6 +125,80 @@ object Neo4jReader {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Parameter names a keyset query must embed (wire parameters in
+    * the transactional payload, never spliced into query text).
+    */
+  val KeysetAfter = "graftAfter"
+  val KeysetUpper = "graftUpper"
+  val KeysetPage = "graftPage"
+
+  /** Keyset-paginated parallel read — the scale-safe alternative to
+    * [[readPartitioned]]'s SKIP/LIMIT pages, whose server-side cost is
+    * O(offset) per page (deep pages of a large result degrade
+    * quadratically). A keyset page costs O(log n + pageSize) on an
+    * indexed key regardless of page index.
+    *
+    * The key domain `(bounds._1, bounds._2]` splits into
+    * `numPartitions` contiguous ranges; each executor task pages its
+    * range with the last-seen key carried forward. The query embeds
+    * the three pagination parameters itself — they travel as
+    * transactional-payload parameters, so no text is ever spliced:
+    *
+    * {{{
+    * MATCH (n:User) WHERE id(n) > $graftAfter AND id(n) <= $graftUpper
+    * RETURN id(n) AS id, n.name ORDER BY id LIMIT $graftPage
+    * }}}
+    *
+    * The key must be the ascending ORDER BY column, returned at
+    * `keyIndex`, integral, and unique (a run of equal keys split
+    * across a page boundary would drop rows). Probe `bounds` with a
+    * cheap `RETURN min(key)-1, max(key)` through [[read]]. (Reference
+    * contrast: Neo4jInputFormat is single-split by design —
+    * NonParallelInput, Neo4jInputFormat.java:40.)
+    */
+  def readKeyset(spark: SparkSession, cfg: Neo4jConfig, schema: StructType,
+      bounds: (Long, Long), keyIndex: Int = 0,
+      numPartitions: Int = 4, pageSize: Int = 10000): DataFrame = {
+    require(numPartitions >= 1 && pageSize >= 1, "bad partitioning")
+    require(bounds._1 <= bounds._2, s"empty key domain $bounds")
+    Seq(KeysetAfter, KeysetUpper, KeysetPage).foreach(p =>
+      require(cfg.query.contains("$" + p),
+        s"keyset query must reference $$$p (wire parameter)"))
+    val (lo, hi) = bounds
+    val span = hi - lo
+    val nodes = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    val rows = spark.sparkContext
+      .parallelize(0 until numPartitions, numPartitions)
+      .flatMap { p =>
+        val rangeLo = lo + span / numPartitions * p + math.min(p, span % numPartitions)
+        val rangeHi = lo + span / numPartitions * (p + 1) + math.min(p + 1, span % numPartitions)
+        val pages = new Iterator[Vector[Seq[Any]]] {
+          private var after = rangeLo
+          private var done = rangeLo >= rangeHi
+          override def hasNext: Boolean = !done
+          override def next(): Vector[Seq[Any]] = {
+            val payload = CypherPayload.statementJson(cfg.query, Map(
+              KeysetAfter -> nodes.numberNode(after),
+              KeysetUpper -> nodes.numberNode(rangeHi),
+              KeysetPage -> nodes.numberNode(pageSize)))
+            val resp = Http.post(cfg, payload)
+            val page =
+              try Neo4jRowParser.parseRows(resp.body()).map(coerce(_, schema)).toVector
+              finally resp.body().close()
+            if (page.size < pageSize) done = true
+            else after = page.last(keyIndex) match {
+              case n: Number => n.longValue()
+              case other => throw new java.io.IOException(
+                s"keyset column $keyIndex must be integral, got $other")
+            }
+            page
+          }
+        }
+        pages.flatten.map(Row.fromSeq)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Aligns parsed JSON scalars with the declared column types (the
     * reference relies on Flink tuple field types the same way).
     */

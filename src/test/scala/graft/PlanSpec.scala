@@ -110,7 +110,10 @@ class PlanSpec extends AnyFunSuite {
     // the plan fully parallel
     assert(!plan.contains("SinglePartition"),
       s"single-partition exchange in write-batch plan")
-    assert(!plan.contains("Window"), "no global window should remain")
+    // the rowCap sub-split window is allowed ONLY partitioned by
+    // range_id (thousands of concurrent ranges) — never global
+    assert("windowspecdefinition\\(range_id".r.findFirstIn(plan).isDefined,
+      "rowCap window must partition by range_id")
   }
 
   test("salted aggregation plans two partial phases, no hot-key funnel") {

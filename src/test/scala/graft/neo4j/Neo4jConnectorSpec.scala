@@ -78,6 +78,31 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     })
 
+  // keyset endpoint: reads the graftAfter/graftUpper/graftPage WIRE
+  // PARAMETERS (never spliced text) and slices the canned rows by key
+  // predicate — per-page work is proportional to the page, not to any
+  // offset, which is the whole point of keyset pagination
+  private def keysetContext(): Unit =
+    server.createContext("/keyset/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        received.add(body)
+        val params = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body).at("/statements/0/parameters")
+        val after = params.get("graftAfter").asLong()
+        val upper = params.get("graftUpper").asLong()
+        val page = params.get("graftPage").asInt()
+        val rows = (1 to 25).filter(i => i > after && i <= upper).take(page)
+          .map(i => s"""{"row":[$i,"name$i"]}""")
+        val resp = (s"""{"results":[{"columns":["id","name"],"data":[""" +
+          rows.mkString(",") + """]}],"errors":[]}""").getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
   test("row parser maps JSON scalar types like the reference") {
@@ -163,6 +188,55 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // silently double-paginated
     assertThrows[IllegalArgumentException](Neo4jReader.readPartitioned(
       spark, cfg.copy(query = cfg.query + " LIMIT 10"), schema))
+  }
+
+  test("keyset reader covers the key domain exactly once with no offsets") {
+    keysetContext()
+    received.clear()
+    val spark = TestSpark.spark
+    val cfg = Neo4jConfig(
+      s"http://localhost:${server.getAddress.getPort}/keyset/",
+      "MATCH (n:User) WHERE id(n) > $graftAfter AND id(n) <= $graftUpper " +
+        "RETURN id(n) AS id, n.name ORDER BY id LIMIT $graftPage")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val df = Neo4jReader.readKeyset(spark, cfg, schema,
+      bounds = (0L, 25L), keyIndex = 0, numPartitions = 3, pageSize = 4)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == (1 to 25))
+    // every POST paged by key predicate — no SKIP anywhere on the wire
+    val bodies = Iterator.continually(received.poll()).takeWhile(_ != null).toList
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(bodies.nonEmpty)
+    bodies.foreach { b =>
+      val tree = mapper.readTree(b)
+      assert(!tree.at("/statements/0/statement").asText().contains("SKIP"))
+      assert(tree.at("/statements/0/parameters/graftAfter").isNumber)
+    }
+    // a query that never references the wire parameters would silently
+    // return the same unbounded result per page — refuse loudly
+    assertThrows[IllegalArgumentException](Neo4jReader.readKeyset(
+      spark, cfg.copy(query = "MATCH (n) RETURN id(n)"), schema, bounds = (0L, 25L)))
+  }
+
+  test("payload batches cap rows per POST even for fully-dense keys") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // worst case for key-range batching: every key in 1..1000 present,
+    // so range 0 alone would hold 399 rows without the cap
+    val dense = (1 to 1000).map(i => (i.toLong, "O")).toDF("o_orderkey", "o_orderstatus")
+    val batches = CypherPayload.payloadBatches(dense, keyRange = 400, rowCap = 100)
+      .collect()
+    assert(batches.map(_.getLong(2)).max <= 100, "a batch exceeded rowCap")
+    assert(batches.map(_.getLong(2)).sum == 1000, "rows lost or duplicated")
+    // range 0 covers keys 1..399 → sub-batches of 100,100,100,99
+    val range0 = batches.filter(_.getLong(0) == 0L).map(_.getLong(2)).toSeq
+    assert(range0 == Seq(100L, 100L, 100L, 99L))
+    // each payload is valid JSON with exactly n_rows elements
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    batches.foreach { b =>
+      val tree = mapper.readTree(b.getString(3))
+      assert(tree.at("/statements/0/parameters/inserts").size() == b.getLong(2))
+    }
   }
 
   test("config validation mirrors the reference builder") {
