@@ -49,6 +49,7 @@ object SparkEntry {
     "cypher_path_len"       -> (cypher.CypherQueries.pathLen(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
+    "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -487,6 +488,10 @@ object SparkEntry {
         |FROM nation LEFT JOIN customer
         |  ON c_nationkey = n_nationkey AND c_acctbal > 9900.0
         |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "cypher_regex" ->
+      """SELECT s_suppkey AS id, s_name AS name FROM supplier
+        |WHERE regexp_full_match(s_name, 'Supplier#0+[0-9]{2}')
+        |ORDER BY id""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

@@ -299,6 +299,18 @@ object CypherQueries {
         |  count(*) AS n
         |ORDER BY band""".stripMargin)
 
+  /** `=~` regex predicate with Neo4j whole-string semantics (the
+    * planner anchors the pattern, since Spark's regexp_like matches
+    * anywhere). The DuckDB oracle uses regexp_full_match — same
+    * whole-string contract.
+    */
+  def regexMatch(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (s:Supplier)
+        |WHERE s.name =~ 'Supplier#0+[0-9]{2}'
+        |RETURN s.suppkey AS id, s.name AS name
+        |ORDER BY id""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with
