@@ -50,6 +50,7 @@ object SparkEntry {
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
+    "cypher_union"          -> (cypher.CypherQueries.unionNations(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -492,6 +493,13 @@ object SparkEntry {
       """SELECT s_suppkey AS id, s_name AS name FROM supplier
         |WHERE regexp_full_match(s_name, 'Supplier#0+[0-9]{2}')
         |ORDER BY id""".stripMargin,
+    "cypher_union" ->
+      """SELECT n_name AS nation FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9900.0
+        |UNION
+        |SELECT n_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

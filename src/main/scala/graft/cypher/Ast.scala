@@ -153,4 +153,12 @@ object Ast {
       clauses.collectFirst { case r: ReturnClause => r }.getOrElse(
         throw new IllegalArgumentException("query has no RETURN clause"))
   }
+
+  /** A full statement: one query, or several combined with UNION
+    * (dedup) / UNION ALL (keep duplicates). Neo4j forbids mixing the
+    * two flavors in one statement, and so does the parser.
+    */
+  final case class CypherStatement(parts: Seq[CypherQuery], unionAll: Boolean) {
+    require(parts.nonEmpty, "empty statement")
+  }
 }

@@ -13,7 +13,16 @@ object CypherParser {
     */
   val MaxVarHops = 10
 
-  def parse(input: String): CypherQuery = new P(tokenize(input)).query()
+  /** Parses a single (non-UNION) query — the common entry point. */
+  def parse(input: String): CypherQuery = {
+    val st = parseStatement(input)
+    require(st.parts.size == 1, "UNION statement — use parseStatement")
+    st.parts.head
+  }
+
+  /** Parses a full statement: `query (UNION [ALL] query)*`. */
+  def parseStatement(input: String): CypherStatement =
+    new P(tokenize(input)).statement()
 
   // ---- lexer ----------------------------------------------------------
 
@@ -88,6 +97,24 @@ object CypherParser {
     private def ident(): String = next() match {
       case TId(s) => s
       case t      => throw new IllegalArgumentException(s"expected identifier, got $t")
+    }
+
+    def statement(): CypherStatement = {
+      val parts = Seq.newBuilder[CypherQuery]
+      parts += query()
+      // UNION flavors must be uniform across the statement (Neo4j
+      // rejects a mix, whose dedup semantics would be ambiguous)
+      var all: Option[Boolean] = None
+      while (atKw("UNION")) {
+        eatKw("UNION")
+        val thisAll = atKw("ALL")
+        if (thisAll) eatKw("ALL")
+        require(all.forall(_ == thisAll), "cannot mix UNION and UNION ALL")
+        all = Some(thisAll)
+        parts += query()
+      }
+      require(pos == toks.length, s"trailing tokens from position $pos: ${toks.drop(pos)}")
+      CypherStatement(parts.result(), all.getOrElse(false))
     }
 
     def query(): CypherQuery = {

@@ -23,15 +23,34 @@ import org.apache.spark.sql.functions._
 object CypherPlanner {
 
   def run(spark: SparkSession, graph: PropertyGraph, query: String): DataFrame =
-    plan(graph, CypherParser.parse(query))
+    planStatement(graph, CypherParser.parseStatement(query))
 
   /** Parameterized execution: `$name` placeholders bind to literal
     * values before planning — the distributed twin of the reference's
     * `parameters` payload object (Neo4jFormatBase.java:44).
     */
   def run(spark: SparkSession, graph: PropertyGraph, query: String,
-      params: Map[String, Any]): DataFrame =
-    plan(graph, bindParams(CypherParser.parse(query), params))
+      params: Map[String, Any]): DataFrame = {
+    val st = CypherParser.parseStatement(query)
+    planStatement(graph, st.copy(parts = st.parts.map(bindParams(_, params))))
+  }
+
+  /** Plans each UNION part independently and combines: positional
+    * union (column names must agree, Cypher's rule), then a distinct
+    * for plain UNION. The dedup is one hash-partitioned exchange on
+    * the output columns — the rows at that point are final projected
+    * results, not pattern intermediates, so it is as narrow as the
+    * result itself.
+    */
+  def planStatement(graph: PropertyGraph, st: CypherStatement): DataFrame = {
+    val dfs = st.parts.map(plan(graph, _))
+    val names = dfs.head.columns.toSeq
+    dfs.tail.foreach(d => require(d.columns.toSeq == names,
+      s"UNION parts must return the same columns: $names vs ${d.columns.toSeq}"))
+    if (st.parts.size == 1) dfs.head
+    else if (st.unionAll) dfs.reduce(_.union(_))
+    else dfs.reduce(_.union(_)).distinct()
+  }
 
   /** Replaces every [[Param]] in the query with its literal value. */
   def bindParams(q: CypherQuery, params: Map[String, Any]): CypherQuery = {

@@ -311,6 +311,19 @@ object CypherQueries {
         |RETURN s.suppkey AS id, s.name AS name
         |ORDER BY id""".stripMargin)
 
+  /** UNION across two pattern matches with Cypher's dedup semantics:
+    * each part plans independently, the combine is a positional union
+    * + distinct on the final projected columns only.
+    */
+  def unionNations(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE c.acctbal > 9900.0
+        |RETURN n.name AS nation
+        |UNION
+        |MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation)
+        |RETURN n.name AS nation""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with

@@ -160,6 +160,22 @@ class CypherParserSpec extends AnyFunSuite {
     assert(q.returnClause.items(1).expr == Coalesce(Seq(Prop("c", "a"), LitV(0L))))
   }
 
+  test("UNION and UNION ALL parse; mixing flavors is rejected") {
+    val st = CypherParser.parseStatement(
+      "MATCH (c:X) RETURN c.name AS n UNION MATCH (s:Y) RETURN s.name AS n")
+    assert(st.parts.size == 2 && !st.unionAll)
+    val sta = CypherParser.parseStatement(
+      "MATCH (c:X) RETURN c.name AS n UNION ALL MATCH (s:Y) RETURN s.name AS n " +
+        "UNION ALL MATCH (t:Z) RETURN t.name AS n")
+    assert(sta.parts.size == 3 && sta.unionAll)
+    assertThrows[IllegalArgumentException](CypherParser.parseStatement(
+      "MATCH (c:X) RETURN c.name AS n UNION MATCH (s:Y) RETURN s.name AS n " +
+        "UNION ALL MATCH (t:Z) RETURN t.name AS n"))
+    // the single-query entry point refuses a UNION statement
+    assertThrows[IllegalArgumentException](CypherParser.parse(
+      "MATCH (c:X) RETURN c.name AS n UNION MATCH (s:Y) RETURN s.name AS n"))
+  }
+
   test("malformed queries fail with a message") {
     assertThrows[IllegalArgumentException](CypherParser.parse("MATCH (c:Customer"))
     assertThrows[IllegalArgumentException](CypherParser.parse("FOO 1"))

@@ -401,6 +401,26 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(fixed.length == 1 && fixed.head.getLong(0) == 2L)
   }
 
+  test("UNION dedups across parts; UNION ALL keeps duplicates") {
+    val nNations = graft.Tables.nation(spark, TestSpark.sf).count()
+    // both parts project nation names; plain UNION collapses to the
+    // distinct nation set
+    val u = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN n.name AS nation " +
+      "UNION MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) RETURN n.name AS nation")
+    assert(u.count() == nNations)
+    // UNION ALL keeps one row per customer + one per supplier
+    val ua = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN n.name AS nation " +
+      "UNION ALL MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) RETURN n.name AS nation")
+    assert(ua.count() ==
+      graft.Tables.customer(spark, TestSpark.sf).count() +
+      graft.Tables.supplier(spark, TestSpark.sf).count())
+    // mismatched output columns are rejected at plan time
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (c:Customer) RETURN c.name AS a UNION MATCH (s:Supplier) RETURN s.name AS b"))
+  }
+
   test("CASE bands and coalesce plug optional-match nulls") {
     val bands = run(
       "MATCH (c:Customer) RETURN CASE WHEN c.acctbal < 0.0 THEN 'neg' " +
