@@ -47,6 +47,7 @@ object SparkEntry {
     "cypher_type_of"        -> (cypher.CypherQueries.typeOf(_, _)),
     "cypher_labels"         -> (cypher.CypherQueries.labelCounts(_, _)),
     "cypher_path_len"       -> (cypher.CypherQueries.pathLen(_, _)),
+    "cypher_shortest_path"  -> (cypher.CypherQueries.shortestPath(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
@@ -56,6 +57,7 @@ object SparkEntry {
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
     "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
     "graph_bfs"             -> (graph.Algorithms.bfsQuery(_, _)),
+    "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
@@ -85,7 +87,11 @@ object SparkEntry {
     "text_top_tokens"     -> (TextAnalysis.topTokens(_, _)),
     "text_length_hist"    -> (TextAnalysis.lengthHistogram(_, _)),
     "multimodal_meta"     -> (Multimodal.meta(_, _)),
-    "multimodal_prep"     -> (Multimodal.prep(_, _)))
+    "multimodal_prep"     -> (Multimodal.prep(_, _)),
+    "sample_stratified"   -> (Pipeline.stratifiedSample(_, _)),
+    "contamination_ngram" -> (Pipeline.contamination(_, _)),
+    "text_redact"         -> (TextAnalysis.redact(_, _)),
+    "search_bm25_topk"    -> (Search.bm25TopK(_, _)))
 
   /** DuckDB oracle SQL per query key (omitted keys → rows-only check).
     * The generated entries (OracleSql) cover operators whose Spark
@@ -108,6 +114,71 @@ object SparkEntry {
         | FROM documents) AS ws_tokens_total,
         |(SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
         | FROM documents) AS bpe_tokens_total""".stripMargin,
+    "sample_stratified" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang AS lang FROM documents d JOIN counts USING (lang)
+        |WHERE n_lang <= 40
+        |   OR ((2654435761 * (doc_id % 1000000007) + 3266489917) % 1000000007)
+        |      * n_lang < 40 * 1000000007::BIGINT
+        |ORDER BY doc_id""".stripMargin,
+    "contamination_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 2, 0) + 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE doc_id % 97 <> 0),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+        |hit AS (
+        |  SELECT ex.doc_id, count(*) AS n_hit
+        |  FROM ex JOIN b USING (g) GROUP BY ex.doc_id)
+        |SELECT c.doc_id AS doc_id, c.n_sh AS n_shingles,
+        |  coalesce(n_hit, 0) AS n_overlap,
+        |  CASE WHEN c.n_sh = 0 THEN 0.0::DOUBLE
+        |       ELSE round(coalesce(n_hit, 0)::DOUBLE / c.n_sh, 6) END AS contamination,
+        |  CAST(c.n_sh > 0 AND coalesce(n_hit, 0)::DOUBLE / c.n_sh >= 0.05::DOUBLE
+        |    AS BIGINT) AS contaminated
+        |FROM c LEFT JOIN hit ON c.doc_id = hit.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or call 555-01'
+        |      || doc_id || '.',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9-]{4,}[0-9]', '<PHONE>', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "search_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, x -> x = 'spark')) AS tf1,
+        |    len(list_filter(ws, x -> x = 'join')) AS tf2,
+        |    len(list_filter(ws, x -> x = 'vector')) AS tf3
+        |  FROM d),
+        |g AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(
+        |    ln((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE) + 1)
+        |      * (tf1 * 2.2::DOUBLE / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+        |  + ln((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE) + 1)
+        |      * (tf2 * 2.2::DOUBLE / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))
+        |  + ln((n - df3 + 0.5::DOUBLE) / (df3 + 0.5::DOUBLE) + 1)
+        |      * (tf3 * 2.2::DOUBLE / (tf3 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))), 6)
+        |    AS score
+        |FROM t, g
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
     "dedup_simhash"     -> OracleSql.simhash(),
     "text_fingerprint"  -> OracleSql.fingerprint(),
@@ -463,6 +534,23 @@ object SparkEntry {
         |  UNION ALL SELECT 'Region' FROM region
         |  UNION ALL SELECT 'Supplier' FROM supplier)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "cypher_shortest_path" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT n_nationkey AS src,
+        |      lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |    FROM nation)
+        |  WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT src, dst, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT p.src, e.dst, p.hops + 1 FROM p JOIN e ON p.dst = e.src
+        |  WHERE p.hops < 10),
+        |m AS (SELECT src, dst, MIN(hops) AS hops FROM p GROUP BY src, dst)
+        |SELECT na.n_name AS a_name, nb.n_name AS b_name, m.hops AS hops
+        |FROM m JOIN nation na ON m.src = na.n_nationkey
+        |JOIN nation nb ON m.dst = nb.n_nationkey
+        |ORDER BY a_name, b_name""".stripMargin,
     "cypher_path_len" ->
       """WITH e AS (
         |  SELECT n_nationkey AS src,
@@ -596,6 +684,24 @@ object SparkEntry {
         |  FROM walk w JOIN edges e ON e.src = w.id)
         |SELECT id, CAST(MIN(depth) AS BIGINT) AS depth
         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "graph_triangle_count" ->
+      """WITH nb AS (
+        |  SELECT c_custkey AS src,
+        |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+        |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
+        |  FROM customer),
+        |e AS (
+        |  SELECT src AS u, d1 AS v FROM nb WHERE d1 IS NOT NULL
+        |  UNION
+        |  SELECT src AS u, d2 AS v FROM nb WHERE d2 IS NOT NULL),
+        |t AS (
+        |  SELECT e1.u AS x
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT n_name AS nation, COUNT(*) AS n_triangles
+        |FROM t JOIN customer ON x = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
     "graph_degrees" ->
       """WITH edges AS (
         |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst

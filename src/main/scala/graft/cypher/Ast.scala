@@ -88,9 +88,12 @@ object Ast {
   /** A linear pattern chain: start node then (rel, node) hops.
     * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for
     * path introspection (`length(p)` = relationship count).
+    * `shortest` marks a `shortestPath(...)` wrapper: the planner keeps
+    * only a minimum-hop walk per (start, end) pair instead of every
+    * walk.
     */
   final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)],
-      pathVar: Option[String] = None) {
+      pathVar: Option[String] = None, shortest: Boolean = false) {
     def nodeVars: Seq[String] =
       (start +: hops.map(_._2)).flatMap(_.variable)
   }

@@ -132,7 +132,14 @@ object CypherParser {
               val pv = ident(); eatSym("="); Some(pv)
             case _ => None
           }
-          val chain = patternChain().copy(pathVar = pathVar)
+          // `shortestPath((a)-[:T*]->(b))` — lexes as the identifier
+          // SHORTESTPATH followed by '(' '(': the inner '(' opens the
+          // wrapped pattern's start node
+          val shortest = atKw("SHORTESTPATH")
+          if (shortest) { eatKw("SHORTESTPATH"); eatSym("(") }
+          val chain0 = patternChain()
+          if (shortest) eatSym(")")
+          val chain = chain0.copy(pathVar = pathVar, shortest = shortest)
           val where =
             if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
           // Cypher semantics: WHERE after OPTIONAL MATCH filters the
@@ -165,7 +172,10 @@ object CypherParser {
         sawAny = true
       }
       require(sawAny, "empty query")
-      require(pos == toks.length, s"trailing tokens from position $pos: ${toks.drop(pos)}")
+      // a UNION boundary hands control back to statement(), which owns
+      // the end-of-input check across all parts
+      require(pos == toks.length || atKw("UNION"),
+        s"trailing tokens from position $pos: ${toks.drop(pos)}")
       CypherQuery(clauses.result())
     }
 

@@ -372,6 +372,13 @@ object CypherPlanner {
       hopTypes.zipWithIndex.exists { case (u, j) => j != i && typesOverlap(t, u) }
     }
 
+    if (chain.shortest) {
+      require(chain.hops.size == 1 &&
+          chain.hops.head._1.varLength.exists(_._1 == 1) &&
+          chain.hops.head._1.variable.isEmpty,
+        "shortestPath supports a single unnamed var-length hop starting at *1")
+    }
+
     var cur = bindStart(chain.start)
     chain.hops.zipWithIndex.foreach { case ((rel, nextNode), hopIdx) =>
       // type-less relationship (`-->`, `-[r]->`): the union of every
@@ -423,8 +430,10 @@ object CypherPlanner {
       // partitioned by the edge key (parallel, no global funnel) and
       // ordered by the remaining columns, so it is deterministic up to
       // fully-duplicate rows, which are interchangeable.
-      val needWalkEid = rel.varLength.exists(_._2 > 1)
-      val needChainEid = chainEidAt(hopIdx)
+      // shortestPath never enumerates walks, so no edge-identity
+      // bookkeeping: a BFS first-reach cannot traverse an edge twice
+      val needWalkEid = !chain.shortest && rel.varLength.exists(_._2 > 1)
+      val needChainEid = !chain.shortest && chainEidAt(hopIdx)
       val relForExpand =
         if (needWalkEid || needChainEid) {
           val tagCol =
@@ -454,7 +463,10 @@ object CypherPlanner {
           relForExpand.unionByName(swapped)
         case _ => relForExpand
       }
-      val expanded = varLengthRel(orientedRel, rel.varLength)
+      val expanded =
+        if (chain.shortest)
+          shortestRel(orientedRel, rel.varLength.get._1, rel.varLength.get._2)
+        else varLengthRel(orientedRel, rel.varLength)
       // the edge identities this hop consumed, exposed only when some
       // other hop of the chain must be kept from reusing them
       val hopEids: Option[Column] =
@@ -574,6 +586,53 @@ object CypherPlanner {
             .reduce(_.unionByName(_))
         }
     }
+
+  /** `shortestPath` expansion: level-synchronous multi-source BFS.
+    * Each level extends the surviving frontier by one hop and
+    * anti-joins away (src, dst) pairs already reached, so every pair
+    * is kept at its FIRST — minimum — hop count and walks are never
+    * enumerated (the var-length union is exponential on dense graphs;
+    * the BFS frontier is bounded by the reachable pair set). Shortest
+    * walks cannot repeat an edge, so no edge-identity bookkeeping.
+    *
+    * Scale shape: per-level cost is one equi-join + distinct +
+    * anti-join, all keyed on node id; the frontier is eagerly
+    * localCheckpoint'ed per level, which truncates lineage (keeps the
+    * plan linear in the hop bound), lets the empty-frontier early
+    * exit read materialized data, and sidesteps the union-self-join
+    * constraint-propagation issue. Returns (__src, __dst, __hops).
+    */
+  private def shortestRel(rel: DataFrame, lo: Int, hi: Int): DataFrame = {
+    require(lo == 1 && hi >= lo && hi <= 10,
+      s"shortestPath var-length bounds *$lo..$hi out of supported range")
+    val edges = rel.select(col("__src"), col("__dst")).distinct().localCheckpoint()
+    var seen = edges.withColumn("__hops", lit(1))
+    var frontier = edges
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      // src = dst is excluded: Neo4j's shortestPath never binds both
+      // ends to one node, and without edge identities an undirected
+      // mirror-edge bounce (a-x-a) would fabricate a 2-hop self-pair
+      val stepped = frontier
+        .join(edges.select(col("__src").as("__m"), col("__dst").as("__n")),
+          col("__dst") === col("__m"))
+        .select(col("__src"), col("__n").as("__dst"))
+        .filter(col("__src") =!= col("__dst"))
+        .distinct()
+      val fresh = stepped
+        .join(seen.select(col("__src"), col("__dst")), Seq("__src", "__dst"),
+          "left_anti")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        seen = seen.unionByName(fresh.withColumn("__hops", lit(k)))
+        frontier = fresh
+      }
+      k += 1
+    }
+    seen
+  }
 
   private def isAggregate(e: CExpr): Boolean = e match {
     case FnCall(n, _, _, _) => Set("count", "sum", "min", "max", "avg", "collect")(n)

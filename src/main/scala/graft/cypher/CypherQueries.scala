@@ -287,6 +287,19 @@ object CypherQueries {
         |RETURN length(p) AS hops, count(*) AS n_paths
         |ORDER BY hops""".stripMargin)
 
+  /** `shortestPath` over the in-region nation chain: minimum hop
+    * count per reachable (a, b) pair, planned as a level-synchronous
+    * BFS (never walk enumeration — see CypherPlanner.shortestRel).
+    * Mirrors the reference surface's arbitrary-Cypher passthrough
+    * (Neo4jInputFormat.java:60), where shortestPath is an everyday
+    * server-side idiom.
+    */
+  def shortestPath(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..10]->(b:Nation))
+        |RETURN a.name AS a_name, b.name AS b_name, length(p) AS hops
+        |ORDER BY a_name, b_name""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

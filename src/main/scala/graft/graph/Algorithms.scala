@@ -30,6 +30,77 @@ object Algorithms {
     degrees(edges).orderBy(col("id"))
   }
 
+  /** Exact triangle enumeration over an undirected edge list, one row
+    * per triangle with the member ids sorted ascending.
+    *
+    * The classic distributed formulation: canonicalize (dedup both
+    * orientations, drop self-loops), then orient every edge from its
+    * lower-(degree, id) endpoint to the higher one. Each triangle then
+    * has exactly one node with two out-edges, so the wedge join
+    * `(a→b) ⋈ (a→c)` plus the closing-edge join `(b→c)` finds it
+    * exactly once — no post-dedup, and the orientation bounds any
+    * node's out-degree by O(√m), which is what keeps the wedge set
+    * from exploding on skewed (power-law) graphs at 100 TB: hub nodes
+    * become wedge *targets*, never wedge *apexes*. Three shuffles
+    * total (degree agg, wedge join, closing join), all keyed on node
+    * id; AQE broadcasts the degree table when small.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"))
+    val wedge = oriented.select(col("s").as("a"), col("t").as("b"))
+      .join(oriented.select(col("s").as("a2"), col("t").as("c")),
+        col("a") === col("a2") && col("b") =!= col("c"))
+      .select(col("a"), col("b"), col("c"))
+    val closed = wedge.join(
+      oriented.select(col("s").as("b2"), col("t").as("c2")),
+      col("b") === col("b2") && col("c") === col("c2"))
+    closed.select(sort_array(array(col("a"), col("b"), col("c"))).as("tri"))
+      .select(col("tri")(0).as("n1"), col("tri")(1).as("n2"), col("tri")(2).as("n3"))
+  }
+
+  /** Triangles per nation over a deterministic customer proximity
+    * graph (each customer linked to the next and next-next custkey in
+    * its nation), attributed to the nation of the triangle's minimum
+    * member — the SparkEntry `graph_triangle_count` query. The chain
+    * construction makes the expected triangles exactly the consecutive
+    * custkey triples, which the DuckDB oracle reproduces verbatim.
+    */
+  def triangleCountQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"))
+    val edges = nbr.select(col("src"), col("d1").as("dst"))
+      .filter(col("dst").isNotNull)
+      .unionByName(nbr.select(col("src"), col("d2").as("dst"))
+        .filter(col("dst").isNotNull))
+    triangles(edges)
+      .join(c.select(col("c_custkey").as("n1"), col("c_nationkey")), "n1")
+      .join(graft.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("n_name").as("nation"), col("n_triangles"))
+      .orderBy(col("nation"))
+  }
+
   /** CC over the customer→nation→region forest (the SparkEntry
     * `graph_connected_components` query). Components are exactly the
     * regions and the min-id label is the smallest customer id in the

@@ -29,4 +29,68 @@ object Pipeline {
       .select(col("n_docs"), col("n_kept"), col("n_unique"),
         col("ws_tokens_total"), col("bpe_tokens_total"))
   }
+
+  /** Deterministic stratified downsampling: each language stratum is
+    * thinned to ~`cap` documents by a hash threshold instead of
+    * `sample()` — reruns pick the SAME rows (training-data pipelines
+    * need reproducible subsets), and the decision is a pure function
+    * of (doc_id, stratum size), so the DuckDB oracle mirrors it
+    * exactly.
+    *
+    * Keep rule: `h(doc_id) * n_lang < cap * P` with
+    * `h = (A·(id mod P) + B) mod P` ([[graft.OracleHash]] family) —
+    * the division-free spelling of `h < P·(cap/n_lang)`, so both
+    * engines evaluate pure 64-bit integer arithmetic (exact while
+    * n_lang < 2^62/P ≈ 4.6e9 docs per stratum; both engines
+    * overflow-CHECK beyond that, so the failure mode is loud). Plan:
+    * one map-side-combined stratum count, broadcast back onto the
+    * scan — no shuffle of the corpus itself, filter runs at the scan.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String, cap: Long = 40L): DataFrame = {
+    import graft.OracleHash.{MulA, MulB, P}
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val h = (lit(MulA) * (col("doc_id") % lit(P)) + lit(MulB)) % lit(P)
+    docs.join(broadcast(counts), Seq("lang"))
+      .filter(col("n_lang") <= cap || h * col("n_lang") < lit(cap * P))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination screen: fraction of each corpus
+    * document's distinct word-3-gram shingles that also occur in a
+    * held-out benchmark set (here: every `benchMod`-th doc stands in
+    * for the benchmark). The n-gram-overlap check is the standard
+    * decontamination gate run before pretraining.
+    *
+    * Plan shape: shingling rides the document scan
+    * ([[Dedup.docShingleHashes]] — per-doc JVM loop, no exchange ever
+    * carries text); the benchmark's distinct shingle hashes are a
+    * left-semi join key (8 B per shingle, broadcast when the
+    * benchmark is small — the usual case: benchmarks are MBs, corpora
+    * are TBs); the per-doc overlap count is one keyed shuffle of
+    * (doc_id, hash) pairs.
+    */
+  def contamination(spark: SparkSession, sfDir: String, benchMod: Long = 97L,
+      tau: Double = 0.05): DataFrame = {
+    val docs = Dedup.docShingleHashes(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % benchMod === 0)
+      .select(explode(col("shh")).as("h")).distinct()
+    val corpus = docs.filter(col("doc_id") % benchMod =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("shh")).as("h"))
+      .join(bench, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val frac = when(col("n_shingles") === 0, lit(0.0))
+      .otherwise(round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+    corpus.select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        frac.as("contamination"),
+        (col("n_shingles") > 0 &&
+          col("n_overlap").cast("double") / col("n_shingles") >= tau)
+          .cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -117,6 +117,33 @@ object TextAnalysis {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))
 
+  /** PII-style redaction: emails and phone-like digit runs replaced
+    * with typed placeholders. The corpus itself is synthetic and
+    * PII-free, so the declared query first injects a deterministic
+    * email + phone per document (pure column expression, mirrored in
+    * the oracle) and then scrubs it — the patterns are exercised for
+    * real while the check stays hash-exact.
+    *
+    * Both regexes stay in the common RE2/Java subset (character
+    * classes and bounded repetition only — identical leftmost-match
+    * semantics in Spark and DuckDB), run as codegen'd
+    * `regexp_replace` at the scan, and shuffle nothing but the final
+    * deterministic sort. At 100 TB this is the ideal shape: pure
+    * per-row map over the text column, no exchange at all when the
+    * caller skips the ordering.
+    */
+  def redact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-01"), col("doc_id").cast("string"),
+          lit(".")).as("text"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9][0-9-]{4,}[0-9]", "<PHONE>").as("text"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD
     * 2003): polynomial rolling hash of char 8-grams, minimum per
     * window of 16, fingerprint = xor-fold of selected hashes.

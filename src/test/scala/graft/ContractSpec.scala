@@ -19,4 +19,21 @@ class ContractSpec extends AnyFunSuite {
   test("flagship entry returns rows on the smoke dataset") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
+
+  /** Every declared query must at least parse and plan — Verify
+    * tolerates per-query failures (one broken query must not zero the
+    * whole round), so without this pin a query that throws at plan
+    * time silently drops out of the correctness gate (this is exactly
+    * how the round-5 UNION parser regression shipped unnoticed).
+    * Resolving the schema forces parsing, analysis, and planner
+    * validation but executes nothing, so the sweep stays cheap.
+    */
+  test("every declared query plans against the smoke dataset") {
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(TestSpark.spark, TestSpark.sf).schema; None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(broken.isEmpty, s"queries failing at plan time:\n${broken.mkString("\n")}")
+  }
 }

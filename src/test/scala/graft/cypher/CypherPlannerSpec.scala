@@ -421,6 +421,33 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (c:Customer) RETURN c.name AS a UNION MATCH (s:Supplier) RETURN s.name AS b"))
   }
 
+  test("shortestPath keeps the minimum hop count per pair (BFS, not walks)") {
+    val sp = run(
+      "MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..10]->(b:Nation)) " +
+      "RETURN a.name AS a, b.name AS b, length(p) AS hops")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // oracle: minimum over the enumerated walks of the plain pattern
+    val walks = run(
+      "MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..10]->(b:Nation) " +
+      "RETURN a.name AS a, b.name AS b, length(p) AS hops")
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).min).toMap
+    assert(sp == walks)
+    // undirected: same pairs both ways, never a self-pair from the
+    // mirror-edge bounce, distance symmetric
+    val und = run(
+      "MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..10]-(b:Nation)) " +
+      "RETURN a.name AS a, b.name AS b, length(p) AS hops")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(und.keys.forall { case (a, b) => a != b })
+    assert(und.forall { case ((a, b), d) => und((b, a)) == d })
+    assert(sp.forall { case (k, d) => und(k) == d })
+    // unsupported shapes are rejected, not silently mis-planned
+    assertThrows[IllegalArgumentException](run(
+      "MATCH p = shortestPath((a:Nation)-[r:NEXT_IN_REGION*1..3]->(b:Nation)) " +
+      "RETURN length(p) AS l"))
+  }
+
   test("CASE bands and coalesce plug optional-match nulls") {
     val bands = run(
       "MATCH (c:Customer) RETURN CASE WHEN c.acctbal < 0.0 THEN 'neg' " +

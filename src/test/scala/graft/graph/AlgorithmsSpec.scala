@@ -42,6 +42,40 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(Seq(2L, 3L, 4L, 5L).map(pr).distinct.size == 1) // symmetric leaves
   }
 
+  test("triangles finds each triangle once regardless of orientation") {
+    // K4 on {1,2,3,4} → 4 triangles; extra pendant edge and a
+    // duplicate/reversed/self-loop edge must not change the count
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = edgeDf(k4 ++ Seq((2L, 1L), (3L, 3L), (4L, 5L)))
+    val tris = Algorithms.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // triangle-free graph (star) → empty
+    assert(Algorithms.triangles(
+      edgeDf(Seq((1L, 2L), (1L, 3L), (1L, 4L)))).count() == 0)
+  }
+
+  test("triangle query counts consecutive custkey triples per nation") {
+    // the proximity graph links custkey i→i+1 and i→i+2 within a
+    // nation, so its triangles are exactly the consecutive triples:
+    // a nation with k customers has max(k-2, 0) of them
+    val perNation = graft.Tables.customer(spark, TestSpark.sf)
+      .groupBy(col("c_nationkey")).count()
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        math.max(r.getLong(1) - 2, 0L)).toMap
+    val got = Algorithms.triangleCountQuery(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nationName = graft.Tables.nation(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[String]("n_name")).toMap
+    val expected = perNation.collect {
+      case (nk, n) if n > 0 => nationName(nk) -> n
+    }
+    assert(got == expected)
+  }
+
   test("degrees on the tpch hierarchy: every order has out-degree 1") {
     val df = Algorithms.degreesQuery(spark, TestSpark.sf)
     val orders = df.filter(col("id") >= GraphLoader.OrderOffset &&
