@@ -89,11 +89,16 @@ object CypherPlanner {
       df: DataFrame, nodeVars: Set[String], scalars: Set[String])
 
   def plan(graph: PropertyGraph, q: CypherQuery): DataFrame = {
+    // variables whose node-table columns are actually read somewhere —
+    // every other label-less pattern variable is identity-only and its
+    // node-table scan can be elided (the edge endpoint IS the id)
+    val needs = colsNeeded(q)
     var s = Scope(null, Set.empty, Set.empty)
     var out: DataFrame = null
     q.clauses.foreach {
       case MatchClause(chain, false, _) =>
-        val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df)
+        val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df,
+          needs = Some(needs))
         s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars)
 
       case MatchClause(chain, true, where) =>
@@ -105,7 +110,8 @@ object CypherPlanner {
         // left-outer join on the shared variables' ids. The attached
         // WHERE filters the optional side BEFORE the join — unmatched
         // outer rows keep their nulls (Cypher semantics).
-        var (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        var (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet,
+          needs = Some(needs))
         where.foreach(e => odf = odf.filter(toColumn(e, s.scalars)))
         val keys = shared.map(v => s"${v}__id")
         // drop the optional side's duplicate copies of shared-var props
@@ -312,6 +318,52 @@ object CypherPlanner {
     out
   }
 
+  /** Pattern variables whose node-table COLUMNS (properties, labels,
+    * whole-node projection) are read anywhere in the query. A bare
+    * identifier inside an expression only ever resolves to the id
+    * column, so it does NOT put its variable here — only property
+    * access `v.p`, `labels(v)`, and a bare `v` as a RETURN/WITH item
+    * (whole-node expansion) do. Everything else is identity-only and
+    * eligible for scan elision in [[planChain]].
+    */
+  private def colsNeeded(q: CypherQuery): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    def walk(e: CExpr): Unit = e match {
+      case Prop(v, _)          => out += v
+      case FnCall("labels", arg, _, _) =>
+        arg.foreach { case Ident(v) => out += v; case other => walk(other) }
+      case FnCall(_, arg, _, _) => arg.foreach(walk)
+      case Cmp(_, l, r)        => walk(l); walk(r)
+      case Arith(_, l, r)      => walk(l); walk(r)
+      case And(l, r)           => walk(l); walk(r)
+      case Or(l, r)            => walk(l); walk(r)
+      case Not(x)              => walk(x)
+      case IsNull(x)           => walk(x)
+      case InList(x, l)        => walk(x); walk(l)
+      case StrPred(_, l, r)    => walk(l); walk(r)
+      case Coalesce(xs)        => xs.foreach(walk)
+      case CaseExpr(ws, els)   =>
+        ws.foreach { case (c, v) => walk(c); walk(v) }; els.foreach(walk)
+      case ListLit(xs)         => xs.foreach(walk)
+      case _                   => () // Ident/LitV/Param/ExistsPattern
+    }
+    def walkItems(items: Seq[ReturnItem]): Unit = items.foreach {
+      case ReturnItem(Ident(v), _) => out += v // whole-node projection
+      case ReturnItem(e, _)        => walk(e)
+    }
+    q.clauses.foreach {
+      case MatchClause(_, _, where) => where.foreach(walk)
+      case FilterClause(e)          => walk(e)
+      case UnwindClause(l, _)       => walk(l)
+      case w: WithClause            =>
+        walkItems(w.items); w.where.foreach(walk)
+        w.orderBy.foreach(s0 => walk(s0.expr))
+      case r: ReturnClause          =>
+        walkItems(r.items); r.orderBy.foreach(s0 => walk(s0.expr))
+    }
+    out.toSet
+  }
+
   /** Plans one linear pattern chain. Returns (df, node variables
     * bound). `prev` (with `prevBound` vars) is the accumulated plan
     * from earlier clauses; a chain that starts from an already-bound
@@ -320,10 +372,23 @@ object CypherPlanner {
     */
   private def planChain(graph: PropertyGraph, chain: PatternChain,
       prevBound: Set[String], prev: DataFrame,
-      virtualVars: Set[String] = Set.empty): (DataFrame, Set[String]) = {
+      virtualVars: Set[String] = Set.empty,
+      needs: Option[Set[String]] = None): (DataFrame, Set[String]) = {
 
     var bound = prevBound
     var df = prev
+    // identity-only scan elision: a label-less, prop-less pattern
+    // variable whose property columns are never read anywhere in the
+    // query (per colsNeeded) binds its id straight off the edge
+    // endpoint — the node-table union scan proves nothing (every edge
+    // endpoint is a node by construction) and is dropped from the
+    // plan. At 100 TB this removes entire table scans from
+    // existence-only patterns like `(n:Nation)-[r]->(x)` or `-->()`.
+    def idOnly(np: NodePattern, v: String): Boolean =
+      needs.exists(n => np.label.isEmpty && np.props.isEmpty && !n(v))
+    // the chain start's scan elision is deferred: its id column
+    // materializes from the FIRST hop's edge source instead
+    var pendingStart: Option[String] = None
 
     def nodeDf(np: NodePattern): (DataFrame, String) = {
       val v = np.variable.getOrElse(s"__anon${np.hashCode.abs}")
@@ -351,7 +416,11 @@ object CypherPlanner {
     def bindStart(np: NodePattern): String = {
       val v = np.variable.getOrElse("__start")
       if (bound.contains(v)) v // already in df — extend from it
-      else {
+      else if (chain.hops.nonEmpty && idOnly(np, v)) {
+        pendingStart = Some(v)
+        bound += v
+        v
+      } else {
         val (ndf, vv) = nodeDf(np)
         df = if (df == null) ndf else df.crossJoin(ndf)
         bound += vv
@@ -491,12 +560,20 @@ object CypherPlanner {
       }
       // chain-wide uniqueness: this hop may not bind an edge identity
       // already consumed by an earlier hop of the same MATCH pattern
-      val hasAcc = df.columns.contains("__chain_eids")
-      var joinCond = col(s"${cur}__id") === col(joinKeyCur)
-      if (hasAcc && hopEids.isDefined)
-        joinCond = joinCond &&
-          !arrays_overlap(col("__chain_eids"), col("__r_eids"))
-      df = df.join(r, joinCond)
+      val hasAcc = df != null && df.columns.contains("__chain_eids")
+      if (pendingStart.contains(cur)) {
+        // elided start scan: the first hop's edge source IS the
+        // start id; disconnected prior clauses cross-join as usual
+        pendingStart = None
+        val r2 = r.withColumnRenamed(joinKeyCur, s"${cur}__id")
+        df = if (df == null) r2 else df.crossJoin(r2)
+      } else {
+        var joinCond = col(s"${cur}__id") === col(joinKeyCur)
+        if (hasAcc && hopEids.isDefined)
+          joinCond = joinCond &&
+            !arrays_overlap(col("__chain_eids"), col("__r_eids"))
+        df = df.join(r, joinCond)
+      }
       if (hopEids.isDefined)
         df =
           if (hasAcc)
@@ -519,6 +596,12 @@ object CypherPlanner {
       } else if (virtualVars.contains(nv)) {
         // variable is bound in an earlier clause: expose its id via the
         // join key; the outer left-join constrains it, no scan needed
+        df = df.withColumnRenamed(joinKeyNext, s"${nv}__id")
+          .drop(joinKeyCur)
+        bound += nv
+      } else if (idOnly(nextNode, nv)) {
+        // identity-only endpoint: the edge's far end IS the node id —
+        // no node-table scan, same row multiplicity (node join is 1:1)
         df = df.withColumnRenamed(joinKeyNext, s"${nv}__id")
           .drop(joinKeyCur)
         bound += nv

@@ -73,6 +73,28 @@ class PlanSpec extends AnyFunSuite {
       "ENDS WITH did not push to parquet")
   }
 
+  test("identity-only pattern endpoints elide their node-table scans") {
+    // `(a)-[:IN_REGION]->(b)` returning only ids: the single scan is
+    // the nation table the edges derive from — neither label-less
+    // endpoint may pull in the 6-table node union
+    val scan = "Scan parquet".r
+    val p1 = planOf(cypher.CypherQueries.untypedScan(spark, TestSpark.sf))
+    assert(scan.findAllIn(p1).size == 1, s"expected 1 scan:\n$p1")
+    // `(n:Nation)-[r]->(x)` grouped by type(r): x is identity-only,
+    // so the plan reads nation + one scan per relationship table and
+    // NOT the all-label node union on top
+    val g = graph.GraphLoader.tpch(spark, TestSpark.sf)
+    val p2 = planOf(cypher.CypherQueries.typeOf(spark, TestSpark.sf))
+    val n2 = scan.findAllIn(p2).size
+    assert(n2 == g.rels.size + 1,
+      s"expected ${g.rels.size + 1} scans (no x node union), got $n2")
+    // a property access on the endpoint still forces the scan
+    val p3 = planOf(cypher.CypherPlanner.run(spark,
+      graph.GraphLoader.tpch(spark, TestSpark.sf),
+      "MATCH (n:Nation)-[:IN_REGION]->(x) RETURN x.name AS rn ORDER BY rn"))
+    assert("Scan parquet".r.findAllIn(p3).size > 1, s"x scan missing:\n$p3")
+  }
+
   test("similarity queries broadcast the query side") {
     val plan = planOf(Similarity.topkBruteforce(spark, TestSpark.sf))
     assert(plan.contains("Broadcast"), "query vectors should broadcast")
