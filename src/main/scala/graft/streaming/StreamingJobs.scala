@@ -47,6 +47,35 @@ object StreamingJobs {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming twin of the contamination screen
+    * (graft.operators.Pipeline.contamination): incoming documents are
+    * checked against a STATIC benchmark shingle set, collected once
+    * per micro-batch into a single broadcast row and intersected
+    * row-locally (`array_intersect`) — a completely STATELESS map, so
+    * append mode works with zero streaming state and the memory
+    * contract is just the benchmark set's size (decontamination
+    * benchmarks are MBs; the corpus feed is the unbounded side).
+    * The batch operator's explode + semi-join shape would need keyed
+    * state per doc here; row-local intersection is the same math
+    * with no state at all. Input needs (doc_id, shh: array<long> of
+    * distinct shingle hashes, n_sh); output mirrors the batch schema.
+    */
+  def contamination(docs: DataFrame, benchHashes: DataFrame,
+      tau: Double = 0.05): DataFrame = {
+    val benchArr = benchHashes.agg(collect_set(col("h")).as("__bench"))
+    docs.crossJoin(benchArr)
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"),
+        size(array_intersect(col("shh"), col("__bench"))).cast("long")
+          .as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+          .as("contamination"),
+        (col("n_shingles") > 0 &&
+          col("n_overlap").cast("double") / col("n_shingles") >= tau)
+          .cast("long").as("contaminated"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(
       start: Long, end: Long, nEvents: Long, sumValue: Double)

@@ -75,6 +75,31 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination matches the batch screen, stateless append") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark = hashes {10, 20, 30}; doc 1 hits 2/4, doc 2 hits 0/2,
+    // doc 3 is too short to shingle (n_sh = 0)
+    val bench = Seq(10L, 20L, 30L).toDF("h")
+    val input = MemoryStream[(Long, Seq[Long], Int)]
+    val docs = input.toDF().toDF("doc_id", "shh", "n_sh")
+    val q = StreamingJobs.contamination(docs, bench, tau = 0.5)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Seq(10L, 20L, 40L, 50L), 4), (2L, Seq(40L, 50L), 2))
+      q.processAllAvailable()
+      input.addData((3L, Seq.empty[Long], 0))
+      q.processAllAvailable()
+      val rows = spark.table("contam")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+      assert(rows(1L) == ((4L, 2L, 0.5, 1L)))
+      assert(rows(2L) == ((2L, 0L, 0.0, 0L)))
+      assert(rows(3L) == ((0L, 0L, 0.0, 0L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits gap-separated sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
