@@ -449,17 +449,45 @@ object CypherPlanner {
     }
 
     var cur = bindStart(chain.start)
+    // the CURRENT node's pattern label, tracked through the hops —
+    // drives static schema pruning of type-less relationship unions
+    var curLabel: Option[String] = chain.start.label
     chain.hops.zipWithIndex.foreach { case ((rel, nextNode), hopIdx) =>
       // type-less relationship (`-->`, `-[r]->`): the union of every
       // relationship table, edges only — properties are type-specific.
       // Each table tags its rows with its type name so edge identities
       // stay distinct across types inside the union.
+      // When the graph declares its schema (relEndpoints), branches
+      // whose endpoint labels cannot match the pattern's labels are
+      // pruned STATICALLY — expanding `(n:Nation)-[r]->(x)` never
+      // scans an order→part edge table. At 100 TB this is the
+      // difference between scanning two small tables and every edge
+      // list in the graph.
       val relBase = rel.relType match {
         case Some(t) => graph.relTable(t)
         case None =>
           require(rel.props.isEmpty,
             "a property map on a type-less relationship is unsupported")
-          graph.rels.toSeq.sortBy(_._1)
+          def fits(want: Option[String], have: String) = want.forall(_ == have)
+          val compatible = (tn: String) => graph.relEndpoints.get(tn) match {
+            case None => true // schema unknown for this type: keep
+            case Some((sl, dl)) => rel.direction match {
+              case Out => fits(curLabel, sl) && fits(nextNode.label, dl)
+              case In  => fits(curLabel, dl) && fits(nextNode.label, sl)
+              case Both =>
+                (fits(curLabel, sl) && fits(nextNode.label, dl)) ||
+                  (fits(curLabel, dl) && fits(nextNode.label, sl))
+            }
+          }
+          val kept = graph.rels.toSeq.sortBy(_._1)
+            .filter { case (tn, _) => compatible(tn) }
+          if (kept.isEmpty) {
+            // no relationship type connects these labels — statically
+            // empty, but keep the union's schema for downstream code
+            val (tn0, t0) = graph.rels.toSeq.sortBy(_._1).head
+            t0.select(col("__src"), col("__dst"), lit(tn0).as("__rt"))
+              .filter(lit(false))
+          } else kept
             .map { case (tn, t) =>
               t.select(col("__src"), col("__dst"), lit(tn).as("__rt")) }
             .reduce(_.unionByName(_))
@@ -612,6 +640,7 @@ object CypherPlanner {
         df = df.drop("__r_src", "__r_dst")
       }
       cur = nv
+      curLabel = nextNode.label
     }
     // uniqueness is scoped to ONE MATCH pattern (Cypher semantics);
     // the accumulated identities don't leak into later clauses

@@ -107,6 +107,14 @@ object GraphLoader {
         "PLACED_BY" -> placedBy, "FROM_NATION" -> fromNation,
         "SUPP_NATION" -> suppNation, "IN_REGION" -> inRegion,
         "SUPPLIES" -> supplies, "NEXT_IN_REGION" -> nextInRegion,
-        "CONTAINS" -> contains))
+        "CONTAINS" -> contains),
+      relEndpoints = Map(
+        "PLACED_BY" -> ("Order", "Customer"),
+        "FROM_NATION" -> ("Customer", "Nation"),
+        "SUPP_NATION" -> ("Supplier", "Nation"),
+        "IN_REGION" -> ("Nation", "Region"),
+        "SUPPLIES" -> ("Supplier", "Part"),
+        "NEXT_IN_REGION" -> ("Nation", "Nation"),
+        "CONTAINS" -> ("Order", "Part")))
   }
 }

@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   */
 final case class PropertyGraph(
     nodes: Map[String, DataFrame],
-    rels: Map[String, DataFrame]) {
+    rels: Map[String, DataFrame],
+    /** Endpoint labels per relationship type: relType → (srcLabel,
+      * dstLabel). The graph's SCHEMA, known at load time — lets the
+      * Cypher planner statically prune type-less relationship unions
+      * to the types that can actually touch a labeled pattern node
+      * (e.g. expanding from `(n:Nation)` never scans an order→part
+      * edge table). Empty map = schema unknown, no pruning.
+      */
+    relEndpoints: Map[String, (String, String)] = Map.empty) {
 
   def nodeTable(label: String): DataFrame =
     nodes.getOrElse(label, throw new IllegalArgumentException(

@@ -80,19 +80,22 @@ class PlanSpec extends AnyFunSuite {
     val scan = "Scan parquet".r
     val p1 = planOf(cypher.CypherQueries.untypedScan(spark, TestSpark.sf))
     assert(scan.findAllIn(p1).size == 1, s"expected 1 scan:\n$p1")
-    // `(n:Nation)-[r]->(x)` grouped by type(r): x is identity-only,
-    // so the plan reads nation + one scan per relationship table and
-    // NOT the all-label node union on top
-    val g = graph.GraphLoader.tpch(spark, TestSpark.sf)
-    val p2 = planOf(cypher.CypherQueries.typeOf(spark, TestSpark.sf))
-    val n2 = scan.findAllIn(p2).size
-    assert(n2 == g.rels.size + 1,
-      s"expected ${g.rels.size + 1} scans (no x node union), got $n2")
+    // (typeOf's scan count — elision + schema pruning combined — is
+    // pinned in the schema-pruning test below)
     // a property access on the endpoint still forces the scan
     val p3 = planOf(cypher.CypherPlanner.run(spark,
       graph.GraphLoader.tpch(spark, TestSpark.sf),
       "MATCH (n:Nation)-[:IN_REGION]->(x) RETURN x.name AS rn ORDER BY rn"))
     assert("Scan parquet".r.findAllIn(p3).size > 1, s"x scan missing:\n$p3")
+  }
+
+  test("type-less relationship unions prune to schema-compatible types") {
+    // `(n:Nation)-[r]->(x)`: only IN_REGION and NEXT_IN_REGION start
+    // at a Nation, so the plan is nation + those two edge sources —
+    // the order/customer/supplier/lineitem edge tables never appear
+    val p = planOf(cypher.CypherQueries.typeOf(spark, TestSpark.sf))
+    val n = "Scan parquet".r.findAllIn(p).size
+    assert(n == 3, s"expected 3 scans (nation + 2 compatible edge tables), got $n:\n$p")
   }
 
   test("similarity queries broadcast the query side") {
