@@ -68,6 +68,7 @@ object SparkEntry {
     "skew_salted_agg"   -> (Skew.saltedAgg(_, _)),
     "events_sessionize" -> (Events.sessionize(_, _)),
     "events_funnel"     -> (Events.funnel(_, _)),
+    "events_retention"  -> (Events.retention(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "sample_stratified"   -> (Pipeline.stratifiedSample(_, _)),
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
     "text_redact"         -> (TextAnalysis.redact(_, _)),
+    "text_repetition"     -> (TextAnalysis.repetition(_, _)),
     "search_bm25_topk"    -> (Search.bm25TopK(_, _)))
 
   /** DuckDB oracle SQL per query key (omitted keys → rows-only check).
@@ -152,6 +154,39 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9][0-9-]{4,}[0-9]', '<PHONE>', 'g') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    round(1.0::DOUBLE - len(list_distinct(ws))::DOUBLE / len(ws), 6)
+        |      AS dup_word_frac,
+        |    round(list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w))))::DOUBLE / len(ws), 6)
+        |      AS top_word_frac,
+        |    CASE WHEN len(ws) < 2 THEN 0.0::DOUBLE
+        |      ELSE round(1.0::DOUBLE
+        |        - len(list_distinct(list_transform(range(1, len(ws)),
+        |            i -> ws[i] || ' ' || ws[i+1])))::DOUBLE
+        |        / (len(ws) - 1), 6) END AS dup_2gram_frac
+        |  FROM d)
+        |SELECT *,
+        |  CAST(top_word_frac > 0.2::DOUBLE OR dup_2gram_frac > 0.5::DOUBLE AS INT)
+        |    AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "events_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT date_trunc('week', cohort_day) AS cohort_week, e.user_id,
+        |    date_diff('day', cohort_day, CAST(ts AS DATE)) // 7 AS week_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "search_bm25_topk" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws

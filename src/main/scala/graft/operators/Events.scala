@@ -83,4 +83,30 @@ object Events {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_seq"))
   }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first event; each later active week increments that cohort's
+    * retention counter at its week offset.
+    *
+    * 100 TB notes: the first-activity aggregate and the activity join
+    * share the user_id key, so the shuffle partitioning is computed
+    * once and reused (no second exchange of the event table); the
+    * per-day DISTINCT collapses each user's events before the final
+    * tiny (cohort_week, week_offset) aggregate. Nothing here is
+    * per-event after the first partial aggregation.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(
+        date_trunc("week", col("cohort_day")).cast("date").as("cohort_week"),
+        col("user_id"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

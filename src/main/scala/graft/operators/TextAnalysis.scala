@@ -144,6 +144,42 @@ object TextAnalysis {
           "[0-9][0-9-]{4,}[0-9]", "<PHONE>").as("text"))
       .orderBy(col("doc_id"))
 
+  /** Intra-document repetition ratios — the Gopher-style repetition
+    * filters (duplicate-word fraction, most-frequent-word share,
+    * duplicate-bigram fraction) that gate low-quality boilerplate out
+    * of a pretraining corpus. Entirely higher-order array functions
+    * over the split token list: a pure per-row map with ZERO
+    * exchanges, the ideal 100 TB shape (the declared query's ORDER BY
+    * is presentation only).
+    *
+    * The max-frequency term is O(distinct·words) per row — documents
+    * are bounded (the corpus-quality gate itself drops outliers), so
+    * this stays cheap and avoids a (doc_id, word) shuffle that would
+    * dwarf the arithmetic at scale.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val n = size(ws)
+    val nDistinct = size(array_distinct(ws))
+    val maxFreq = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+    Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_words"),
+        round(lit(1.0) - nDistinct.cast("double") / n, 6).as("dup_word_frac"),
+        round(maxFreq.cast("double") / n, 6).as("top_word_frac"),
+        when(n < 2, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
+            / size(bigrams), 6)).as("dup_2gram_frac"))
+      .withColumn("repetitive",
+        (col("top_word_frac") > 0.2 || col("dup_2gram_frac") > 0.5).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD
     * 2003): polynomial rolling hash of char 8-grams, minimum per
     * window of 16, fingerprint = xor-fold of selected hashes.
