@@ -236,6 +236,48 @@ object OracleSql {
        |SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
 
+  /** Deterministic k-means with the Lloyd iterations unrolled as
+    * chained CTEs — identical arithmetic to
+    * [[graft.operators.Similarity.kmeans]]: same first-k init, same
+    * d² = v·v − 2·(v·c) + c·c fold, same decimal(28,12)-accumulated
+    * 6-dp-rounded centroid updates, ties to the smaller cell id.
+    */
+  def kmeans(k: Int = 8, iters: Int = 4): String = {
+    def d2(e: String, c: String): String =
+      s"list_dot_product($e, $e) - 2.0*list_dot_product($e, $c)" +
+        s" + list_dot_product($c, $c)"
+    val steps = (1 until iters).map { j =>
+      s"""a$j AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${d2("e.v", "c.cvec")}, c.cell) AS rk
+         |    FROM e CROSS JOIN c${j - 1} c) WHERE rk = 1),
+         |m$j AS (
+         |  SELECT cell, d,
+         |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS m
+         |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS d
+         |        FROM a$j)
+         |  GROUP BY cell, d),
+         |c$j AS MATERIALIZED (
+         |  SELECT c.cell, COALESCE(n.cvec, c.cvec) AS cvec
+         |  FROM c${j - 1} c LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY d) AS cvec FROM m$j GROUP BY cell) n
+         |    USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e WHERE vec_id < $k),
+       |$steps
+       |SELECT vec_id, cell, round(d2, 6) AS dist2 FROM (
+       |  SELECT e.vec_id, c.cell, ${d2("e.v", "c.cvec")} AS d2,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${d2("e.v", "c.cvec")}, c.cell) AS rk
+       |  FROM e CROSS JOIN c${iters - 1} c) WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The DuckDB twin of [[Similarity.planesFor]]: smallest k in
     * [4, 16] with 32·2^k >= n — shift-and-compare, no float log, so
     * both engines derive the identical plane count from the same

@@ -81,6 +81,7 @@ object SparkEntry {
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
+    "embed_kmeans"        -> (Similarity.kmeans(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
@@ -215,6 +216,7 @@ object SparkEntry {
         |FROM t, g
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
+    "embed_kmeans"      -> OracleSql.kmeans(),
     "dedup_simhash"     -> OracleSql.simhash(),
     "text_fingerprint"  -> OracleSql.fingerprint(),
     "text_langid"       -> OracleSql.langid,

@@ -193,6 +193,72 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Deterministic k-means over the embedding corpus — the semantic
+    * clustering step of a curation pipeline (cluster-balanced
+    * sampling, semantic dedup, topic bucketing). Init is the first
+    * `k` vectors by id; `iters` assignment rounds with Lloyd updates
+    * between them; ties in the argmin break to the smaller cell id.
+    *
+    * Determinism across engines (the DuckDB oracle unrolls the same
+    * iterations as CTEs, [[graft.OracleSql.kmeans]]): distances are
+    * d² = v·v − 2·(v·c) + c·c folded left-to-right in double on both
+    * sides; centroid components accumulate through decimal(28,12) and
+    * are rounded to 6 dp each round, so parallel combine order cannot
+    * perturb the next iteration's input.
+    *
+    * 100 TB notes: the centroid table is k×dims doubles — broadcast —
+    * so ASSIGNMENT IS A PURE MAP over the corpus (argmin computed
+    * per-row from a one-row centroid-array frame; no join shuffle, no
+    * window). The Lloyd update explodes (cell, dim, x) but partial
+    * aggregation collapses it to k·dims rows per partition before the
+    * one tiny exchange. Per iteration: one broadcast + one k·dims-key
+    * shuffle — independent of corpus size.
+    */
+  def kmeans(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 4)
+      : DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+    // argmin assignment against a broadcast one-row centroid array;
+    // first index of the min distance = smallest cell id among ties
+    // (cs is sorted by cell)
+    def assign(cents: DataFrame): DataFrame = {
+      val cs = cents.agg(
+        sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+      emb.crossJoin(broadcast(cs))
+        .withColumn("ds", transform(col("cs"), c =>
+          dot(col("v"), col("v")) -
+            lit(2.0) * dot(col("v"), c.getField("cvec")) +
+            dot(c.getField("cvec"), c.getField("cvec"))))
+        .withColumn("best", array_position(col("ds"), array_min(col("ds"))).cast("int"))
+        .select(col("vec_id"), col("v"),
+          element_at(col("cs"), col("best")).getField("cell").as("cell"),
+          element_at(col("ds"), col("best")).as("d2"))
+    }
+
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 until iters) {
+      val means = assign(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("d"),
+          round(col("s").cast("double") / col("n"), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      // a cell that captured no vectors keeps its previous centroid
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH:
     * `nPlanes` signed projections give a bucket id; each query only
     * scores vectors in its own bucket. The scale path for

@@ -129,4 +129,60 @@ class SimilaritySpec extends AnyFunSuite {
       assert(byRank.forall(s => s >= -1.0001 && s <= 1.0001))
     }
   }
+
+  test("kmeans matches an in-JVM Lloyd replay exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val k = 8
+    val iters = 4
+    val rows = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dotJ(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      dotJ(v, v) - 2.0 * dotJ(v, c) + dotJ(c, c)
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, HALF_UP).toDouble
+    // cents sorted by cell id; strict < in the argmin keeps the
+    // smallest cell among exact ties, mirroring array_position-of-min
+    var cents: Array[(Int, Array[Double])] =
+      rows.filter(_._1 < k).map { case (id, v) => (id.toInt, v) }.sortBy(_._1)
+    def assign(): Array[(Long, Int, Double)] = rows.map { case (id, v) =>
+      val ds = cents.map(c => d2(v, c._2))
+      var best = 0; var i = 1
+      while (i < ds.length) { if (ds(i) < ds(best)) best = i; i += 1 }
+      (id, cents(best)._1, ds(best))
+    }
+    val byId = rows.toMap
+    for (_ <- 1 until iters) {
+      val members = assign().groupBy(_._2)
+      cents = cents.map { case (cell, old) =>
+        members.get(cell) match {
+          case None => (cell, old)
+          case Some(ms) =>
+            val vs = ms.map(m => byId(m._1))
+            val dims = vs.head.length
+            // decimal(28,12)-accumulated mean, 6-dp rounded — the
+            // operator's exact update arithmetic
+            val mean = Array.tabulate(dims) { d =>
+              val s = vs.map(v => BigDecimal(v(d)).setScale(12, HALF_UP)).sum
+              r6(s.toDouble / vs.length)
+            }
+            (cell, mean)
+        }
+      }
+    }
+    val expect = assign().map { case (id, cell, dd) => (id, cell, r6(dd)) }.toSet
+    val got = Similarity.kmeans(spark, TestSpark.sf, k, iters)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == expect, s"symmetric diff: ${(got diff expect) ++ (expect diff got)}")
+    // sanity: clustering is non-trivial (more than one populated cell)
+    assert(got.map(_._2).size > 1)
+  }
 }
