@@ -94,6 +94,9 @@ object SparkEntry {
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
     "text_redact"         -> (TextAnalysis.redact(_, _)),
     "text_repetition"     -> (TextAnalysis.repetition(_, _)),
+    "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
+    "sample_split"        -> (Pipeline.trainSplit(_, _)),
+    "pipeline_pack"       -> (Pipeline.packChunks(_, _)),
     "search_bm25_topk"    -> (Search.bm25TopK(_, _)))
 
   /** DuckDB oracle SQL per query key (omitted keys → rows-only check).
@@ -423,6 +426,48 @@ object SparkEntry {
     "text_length_hist" ->
       """SELECT length(text) // 256 AS bucket, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ((2654435761 * (doc_id % 1000000007) + 3266489917)
+        |          % 1000000007) % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_pack" ->
+      """SELECT doc_id, shard, n_tok, start_off,
+        |  CAST(floor(start_off / 2048.0) AS BIGINT) AS chunk
+        |FROM (
+        |  SELECT doc_id, doc_id % 32 AS shard, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM (SELECT doc_id,
+        |          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |            END AS BIGINT) AS n_tok
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |        FROM d),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE len(token) > 0 GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM d)
+        |SELECT doc_id, rank, token, score FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 6)
+        |        DESC, tf.token) AS rank
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |CAST(CASE WHEN length(trim(text)) = 0 THEN 0

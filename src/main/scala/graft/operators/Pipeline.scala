@@ -93,4 +93,56 @@ object Pipeline {
           .cast("long").as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic train/val/test split assignment (90/5/5): the
+    * split is a pure function of `doc_id` through the
+    * [[graft.OracleHash]] multiply-add hash, so reruns, retries, and
+    * other engines (the DuckDB twin) assign every document to the
+    * SAME split — the reproducibility property a training pipeline
+    * needs from its holdout carve.
+    *
+    * 100 TB notes: a pure per-row map at the scan — zero exchanges,
+    * no corpus count, no sampling state. The ORDER BY in the declared
+    * query is presentation only.
+    */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.OracleHash.{MulA, MulB, P}
+    val bucket = ((lit(MulA) * (col("doc_id") % lit(P)) + lit(MulB)) % lit(P)) % 100L
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(bucket < 90L, lit("train"))
+          .when(bucket < 95L, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence-packing plan: concatenate documents in deterministic
+    * order and cut the stream into training chunks of `budget`
+    * tokens (the GPT-style concat-and-chunk packing step). Each doc
+    * gets its stream offset and the chunk its first token lands in.
+    *
+    * 100 TB notes: a single global concatenation order would be one
+    * window over one partition — a driver-shaped bottleneck. Instead
+    * the corpus is sharded by `doc_id mod shards` and each shard is
+    * packed independently: the running-offset window partitions by
+    * shard, so all 32 (or 32 000) shards pack in parallel and each
+    * chunk id is (shard, chunk) — exactly how a multi-writer
+    * tokenizer job lays out files. Raise `shards` with the cluster;
+    * the plan shape is one hash exchange on the shard key.
+    */
+  def packChunks(spark: SparkSession, sfDir: String, budget: Long = 2048L,
+      shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        nTok.as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("start_off"),
+        floor(col("start_off") / budget.toDouble).as("chunk"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -243,4 +243,43 @@ object TextAnalysis {
     }
     fp
   }
+
+  /** Top-`m` TF-IDF terms per document — the keyword-extraction /
+    * topic-tagging step of a curation pipeline. Smoothed
+    * idf = ln((N+1)/(df+1)); score ranked on the 6-dp rounding (ties
+    * → token) so both engines order identically despite last-ulp
+    * `ln` differences.
+    *
+    * 100 TB notes: term frequencies are one (doc_id, token)-keyed
+    * partial agg (map-side combine collapses within-partition
+    * repeats); document frequency reuses that frame with a
+    * token-keyed partial agg — vocabulary-sized, NOT corpus-sized —
+    * and joins back on the token key. The corpus size is a one-row
+    * broadcast, never a driver-side count. The per-doc top-m is a
+    * window over the (doc_id, token) frame already partitioned by
+    * doc_id's hash — no extra pass over text.
+    */
+  def tfidf(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score = round(col("tf") * log(
+      (col("n_docs") + lit(1L)).cast("double") / (col("df") + lit(1L))), 6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

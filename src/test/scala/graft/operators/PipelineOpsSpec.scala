@@ -60,4 +60,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.forall(_ > 0.0))
     assert(s.zip(s.tail).forall { case (x, y) => x >= y })
   }
+
+  test("train split covers every doc once with ~90/5/5 shares") {
+    val rows = Pipeline.trainSplit(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == total) // every doc, exactly once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val shares = rows.groupBy(_.getString(1)).view.mapValues(_.length.toDouble / rows.length)
+    assert(shares.keySet == Set("train", "val", "test"))
+    // hash split on 500 docs: generous bands around 0.90/0.05/0.05
+    assert(shares("train") > 0.8 && shares("train") < 0.97, shares.toMap)
+    assert(shares("val") < 0.12 && shares("test") < 0.12, shares.toMap)
+  }
+
+  test("pack chunks: offsets are per-shard prefix sums and chunks match the budget cut") {
+    val rows = Pipeline.packChunks(spark, sf, budget = 100L, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, ms) =>
+      val byId = ms.sortBy(_._1)
+      var off = 0L
+      byId.foreach { case (id, sh, nTok, startOff, chunk) =>
+        assert(sh == id % 8)
+        assert(startOff == off, s"doc $id in shard $shard: offset $startOff != $off")
+        assert(chunk == startOff / 100L)
+        off += nTok
+      }
+    }
+  }
+
+  test("tfidf ranks are dense, scores non-increasing, and stuffed terms surface") {
+    val rows = TextAnalysis.tfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length))
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // a token appearing in every document has idf ln((N+1)/(N+1)) = 0
+    // and can never be a top term unless everything ties at 0
+    val nDocs = rows.map(_._1).distinct.length
+    val df = rows.groupBy(_._3).view.mapValues(_.map(_._1).distinct.length)
+    assert(rows.map(_._4).forall(_ >= 0.0))
+    assert(df.values.forall(_ <= nDocs))
+  }
 }
