@@ -32,6 +32,8 @@ object SparkEntry {
     "cypher_rel_props"      -> (cypher.CypherQueries.relProps(_, _)),
     "cypher_arithmetic"     -> (cypher.CypherQueries.arithmetic(_, _)),
     "cypher_not_exists"     -> (cypher.CypherQueries.notExists(_, _)),
+    "cypher_pattern_pred"   -> (cypher.CypherQueries.patternPred(_, _)),
+    "cypher_with_top"       -> (cypher.CypherQueries.withTop(_, _)),
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
     "cypher_agg_functions"  -> (cypher.CypherQueries.aggFunctions(_, _)),
@@ -687,6 +689,24 @@ object SparkEntry {
         |  SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_brand = 'Brand#13')
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "cypher_pattern_pred" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13')
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "cypher_with_top" ->
+      """WITH top5 AS (
+        |  SELECT n_nationkey, n_name AS nation, n_regionkey,
+        |         COUNT(*) AS n_customers
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY n_customers DESC, nation LIMIT 5)
+        |SELECT t.nation, t.n_customers, r.r_name AS region
+        |FROM top5 t JOIN region r ON t.n_regionkey = r.r_regionkey
+        |WHERE t.nation >= 'NATION_11'
+        |ORDER BY t.nation""".stripMargin,
     "cypher_undirected" ->
       """WITH e AS (
         |  SELECT n_nationkey AS src,

@@ -158,9 +158,15 @@ object CypherParser {
         } else if (atKw("WITH")) {
           eatKw("WITH")
           val (distinct, items) = projectionItems()
+          // lenient extension: WHERE directly after the items filters
+          // BEFORE the modifiers (the HAVING-style spelling)
           val where = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
           val (sorts, skip, limit) = tailModifiers()
           clauses += WithClause(distinct, items, where, sorts, skip, limit)
+          // openCypher grammar position: WHERE after ORDER BY/SKIP/
+          // LIMIT filters the modifier-applied rows — an immediate
+          // FilterClause gives exactly that post-horizon semantics
+          if (atKw("WHERE")) { eatKw("WHERE"); clauses += FilterClause(expr()) }
         } else if (atKw("RETURN")) {
           eatKw("RETURN")
           val (distinct, items) = projectionItems()
@@ -342,6 +348,18 @@ object CypherParser {
         val chain = patternChain()
         eatSym("}")
         ExistsPattern(chain)
+      } else if (atSym("(")) {
+        // bare pattern predicate — `WHERE (a)-[:T]->(b)` — is EXISTS
+        // sugar. Try a pattern parse; a parenthesized value expression
+        // (no hops, or not pattern-shaped at all) backtracks cleanly.
+        val save = pos
+        try {
+          val chain = patternChain()
+          if (chain.hops.nonEmpty) ExistsPattern(chain)
+          else { pos = save; cmpExpr() }
+        } catch {
+          case scala.util.control.NonFatal(_) => pos = save; cmpExpr()
+        }
       } else cmpExpr()
 
     private def cmpExpr(): CExpr = {

@@ -114,6 +114,32 @@ object CypherQueries {
         |RETURN o.orderstatus AS status, count(*) AS n_orders
         |ORDER BY status""".stripMargin)
 
+  /** Bare pattern predicate (`WHERE (pattern)`) — openCypher's EXISTS
+    * sugar, planned as the same semi-join.
+    */
+  def patternPred(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)
+        |WHERE (p:Part {brand: 'Brand#13'})<-[:CONTAINS]-(o)
+        |RETURN o.orderstatus AS status, count(*) AS n_orders
+        |ORDER BY status""".stripMargin)
+
+  /** WITH as a top-k horizon (`WITH … ORDER BY … LIMIT … WHERE`, the
+    * openCypher clause order): keep the 5 nations with most
+    * customers, post-filter them, then expand the survivors to their
+    * region. The WHERE filters AFTER the LIMIT — pre-limit filtering
+    * would pick a different five.
+    */
+  def withTop(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n, count(c) AS n_customers
+        |ORDER BY n_customers DESC, n.name LIMIT 5
+        |WHERE n.name >= 'NATION_11'
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |RETURN n.name AS nation, n_customers, r.name AS region
+        |ORDER BY nation""".stripMargin)
+
   /** Undirected relationship: neighbors along the nation chain in
     * either orientation.
     */

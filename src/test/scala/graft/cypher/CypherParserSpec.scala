@@ -182,4 +182,35 @@ class CypherParserSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       CypherParser.parse("MATCH (c:Customer) RETURN c.name trailing"))
   }
+
+  test("bare pattern predicate is EXISTS sugar; parenthesized exprs backtrack") {
+    val q = CypherParser.parse(
+      "MATCH (o:Order) WHERE (p:Part {brand: 'B'})<-[:CONTAINS]-(o) RETURN o.orderstatus")
+    val f = q.clauses.collectFirst { case f: FilterClause => f }.get
+    val ex = f.expr.asInstanceOf[ExistsPattern]
+    assert(ex.chain.hops.nonEmpty)
+    // NOT (pattern) negates the sugar
+    val q2 = CypherParser.parse(
+      "MATCH (o:Order) WHERE NOT (o)-[:CONTAINS]->(:Part) RETURN o.orderstatus")
+    val f2 = q2.clauses.collectFirst { case f: FilterClause => f }.get
+    assert(f2.expr.isInstanceOf[Not] &&
+      f2.expr.asInstanceOf[Not].e.isInstanceOf[ExistsPattern])
+    // a parenthesized value expression still parses as arithmetic
+    val q3 = CypherParser.parse(
+      "MATCH (c:Customer) WHERE (c.acctbal + 1.0) > 2.0 RETURN c.name")
+    val f3 = q3.clauses.collectFirst { case f: FilterClause => f }.get
+    assert(f3.expr.isInstanceOf[Cmp])
+  }
+
+  test("WITH accepts openCypher order: modifiers then WHERE as a post-horizon filter") {
+    val q = CypherParser.parse(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "WITH n, count(c) AS cnt ORDER BY cnt DESC LIMIT 5 WHERE cnt > 3 " +
+      "RETURN n.name AS nation, cnt")
+    val w = q.clauses.collectFirst { case w: WithClause => w }.get
+    assert(w.where.isEmpty && w.limit.contains(5L) && w.orderBy.nonEmpty)
+    // the WHERE lands as a FilterClause AFTER the WithClause
+    val iw = q.clauses.indexWhere(_.isInstanceOf[WithClause])
+    assert(q.clauses(iw + 1) == FilterClause(Cmp(">", Ident("cnt"), LitV(3L))))
+  }
 }
