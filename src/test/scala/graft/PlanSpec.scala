@@ -164,4 +164,34 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).mkString("\n")
     assert(!exchanges.contains("text"), s"text column in a shuffle: $exchanges")
   }
+
+  test("kmeans assignment is a broadcast map over the corpus, no keyed shuffle") {
+    // Lloyd iterations are checkpointed away; the final plan is the
+    // last assignment — a broadcast nested-loop against the one-row
+    // centroid frame plus the presentation sort. A hashpartitioning
+    // exchange here would mean the corpus shuffles per iteration.
+    val plan = planOf(Similarity.kmeans(spark, TestSpark.sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast to the corpus")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      "kmeans assignment must not hash-shuffle the corpus")
+  }
+
+  test("sample_split is a pure map: no exchange except the presentation sort") {
+    val plan = planOf(operators.Pipeline.trainSplit(spark, TestSpark.sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "split assignment must not shuffle")
+    assert(!plan.contains("HashAggregate"),
+      "split assignment must not aggregate")
+  }
+
+  test("pack chunks shuffles once on the shard key; windows stay per-shard") {
+    val plan = planOf(operators.Pipeline.packChunks(spark, TestSpark.sf))
+    val hashEx = "Exchange hashpartitioning\\(shard".r.findAllIn(plan).size
+    assert(hashEx >= 1, s"expected a shard-keyed exchange:\n$plan")
+    // no single-partition funnel: a global window would show
+    // SinglePartition under Exchange
+    assert(!plan.contains("Exchange SinglePartition"),
+      "packing must not funnel through one partition")
+  }
 }
