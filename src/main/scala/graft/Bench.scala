@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
     // JVM/codegen warmup: run every query once at the smallest scale
     // factor (100× less data) so the timed runs measure the plan, not
     // first-use JIT and Janino compilation (~7 s on the iterative

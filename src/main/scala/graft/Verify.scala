@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
     // start from a clean slate: a stale result directory from a query
     // that no longer exists would otherwise be picked up by the
     // compare step and reported as a failure

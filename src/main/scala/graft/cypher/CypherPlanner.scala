@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object CypherPlanner {
 
-  def run(spark: SparkSession, graph: PropertyGraph, query: String): DataFrame =
+  def run(spark: SparkSession, graph: PropertyGraph, query: String): DataFrame = {
+    graft.plans.GraftOptimizations.install(spark)
     planStatement(graph, CypherParser.parseStatement(query))
+  }
 
   /** Parameterized execution: `$name` placeholders bind to literal
     * values before planning — the distributed twin of the reference's
@@ -31,6 +33,7 @@ object CypherPlanner {
     */
   def run(spark: SparkSession, graph: PropertyGraph, query: String,
       params: Map[String, Any]): DataFrame = {
+    graft.plans.GraftOptimizations.install(spark)
     val st = CypherParser.parseStatement(query)
     planStatement(graph, st.copy(parts = st.parts.map(bindParams(_, params))))
   }

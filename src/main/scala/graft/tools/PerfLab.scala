@@ -20,6 +20,7 @@ object PerfLab {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
     // warm
     graft.Tables.orders(spark, sfDir).count()
     (1 to reps).foreach { r =>
@@ -48,6 +49,11 @@ object PerfLab {
             .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
             .reduce(_.unionByName(_))
           Algorithms.pageRank(spark, edges, 2).explain("formatted"); 0L
+        // `explain:<query>` dumps the optimized logical + physical plan
+        case s if s.startsWith("explain:") =>
+          val df = graft.SparkEntry.queries(s.stripPrefix("explain:"))(spark, sfDir)
+          println(df.queryExecution.optimizedPlan.treeString)
+          df.explain("formatted"); 0L
         // any declared query by name
         case other => graft.SparkEntry.queries(other)(spark, sfDir).count()
       }

@@ -13,6 +13,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
