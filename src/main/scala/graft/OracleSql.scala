@@ -278,6 +278,34 @@ object OracleSql {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The DuckDB twin of [[graft.graph.Algorithms.kcorePeel]] over the
+    * per-nation consecutive-customer graph: exactly `rounds` peeling
+    * steps unrolled as CTEs (same rounds-bounded contract as the
+    * operator).
+    */
+  def kcorePeel(k: Int = 3, rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { j =>
+      s"""k$j AS MATERIALIZED (
+         |  SELECT src FROM s${j - 1} GROUP BY src HAVING COUNT(*) >= $k),
+         |s$j AS MATERIALIZED (
+         |  SELECT s.src, s.dst FROM s${j - 1} s
+         |  JOIN k$j a ON s.src = a.src JOIN k$j b ON s.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nb AS (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+       |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
+       |  FROM customer),
+       |e AS (SELECT src, dst FROM (
+       |  SELECT src, d1 AS dst FROM nb UNION ALL SELECT src, d2 AS dst FROM nb)
+       |  WHERE dst IS NOT NULL),
+       |s0 AS MATERIALIZED (SELECT src, dst FROM e
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |$steps
+       |SELECT src AS id, COUNT(*) AS deg FROM s$rounds
+       |GROUP BY src ORDER BY id""".stripMargin
+  }
+
   /** The DuckDB twin of [[Similarity.planesFor]]: smallest k in
     * [4, 16] with 32·2^k >= n — shift-and-compare, no float log, so
     * both engines derive the identical plane count from the same

@@ -60,6 +60,7 @@ object SparkEntry {
     "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
     "graph_bfs"             -> (graph.Algorithms.bfsQuery(_, _)),
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
+    "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
     "embed_kmeans"        -> (Similarity.kmeans(_, _)),
+    "embed_dim_stats"     -> (Similarity.dimStats(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
@@ -108,6 +110,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters"    -> OracleSql.dedupClusters(),
+    "graph_kcore"       -> OracleSql.kcorePeel(),
     "pipeline_corpus_stats" ->
       """SELECT
         |(SELECT COUNT(*) FROM documents) AS n_docs,
@@ -222,6 +225,20 @@ object SparkEntry {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
     "embed_kmeans"      -> OracleSql.kmeans(),
+    "embed_dim_stats" ->
+      """WITH e AS (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS d
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT d,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean,
+        |    round(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS m2,
+        |    min(x) AS min_x, max(x) AS max_x
+        |  FROM e GROUP BY d)
+        |SELECT CAST(d AS BIGINT) AS d, mean,
+        |  round(m2 - mean*mean, 6) AS variance, min_x, max_x
+        |FROM m ORDER BY d""".stripMargin,
     "dedup_simhash"     -> OracleSql.simhash(),
     "text_fingerprint"  -> OracleSql.fingerprint(),
     "text_langid"       -> OracleSql.langid,

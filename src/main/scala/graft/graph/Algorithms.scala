@@ -30,6 +30,59 @@ object Algorithms {
     degrees(edges).orderBy(col("id"))
   }
 
+  /** Rounds-bounded k-core peeling: `rounds` iterations of "drop
+    * every node with undirected degree < k, and all edges touching
+    * it"; returns the surviving nodes with their degrees. The
+    * ROUNDS-BOUNDED contract (rather than loop-to-convergence) is
+    * deliberate: it makes the result a pure function of (edges, k,
+    * rounds) that a SQL oracle reproduces by unrolling exactly
+    * `rounds` CTE steps. Convergence can need up to O(diameter)
+    * rounds (a path graph peels one node per end per round), so in
+    * production `rounds` is an explicit iteration budget — callers
+    * wanting the converged core loop until a round removes nothing
+    * (the survivors-shrink monotonicity is spec-pinned).
+    *
+    * 100 TB notes: per round one map-side-combined degree count plus
+    * two semi-joins against the (small, shrinking) survivor set; the
+    * symmetrized edge list is checkpointed with src-hash partitioning
+    * so the per-round degree count and src-side semi-join reuse the
+    * partitioning without a new exchange.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      sym = sym.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .repartition(col("src")).localCheckpoint()
+    }
+    sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+  }
+
+  /** k-core peeling over the per-nation consecutive-customer graph
+    * (the same cyclic synthetic graph as [[triangleCountQuery]] — the
+    * TPC-H hierarchy itself is a forest, whose every k≥2 core is
+    * empty).
+    */
+  def kcoreQuery(spark: SparkSession, sfDir: String, k: Int = 3,
+      rounds: Int = 4): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"))
+    val edges = nbr.select(col("src"), col("d1").as("dst"))
+      .filter(col("dst").isNotNull)
+      .unionByName(nbr.select(col("src"), col("d2").as("dst"))
+        .filter(col("dst").isNotNull))
+    kcorePeel(edges, k, rounds).orderBy(col("id"))
+  }
+
   /** Exact triangle enumeration over an undirected edge list, one row
     * per triangle with the member ids sorted ascending.
     *

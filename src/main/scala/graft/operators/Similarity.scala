@@ -259,6 +259,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-corpus QA: per-dimension mean, 6-dp-rounded variance,
+    * and min/max — the drift/collapse screen run before trusting a
+    * new embedding batch (a dimension with ~zero variance is dead; a
+    * shifted mean signals an encoder change).
+    *
+    * 100 TB notes: explode to (dim, x) then ONE shuffle keyed by the
+    * 64 dimension ids with map-side partial aggregation — the
+    * exchange carries dims×partitions partial rows, independent of
+    * corpus size. Moments accumulate through decimal(28,12) (sums)
+    * exactly, so the DuckDB twin reproduces the rounded values
+    * bit-for-bit; variance = E[x²]−E[x]² computed on the rounded
+    * moments on BOTH sides.
+    */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("d", "x")))
+    val m1 = round(sum(col("x").cast("decimal(28,12)")).cast("double")
+      / count(lit(1)), 6)
+    val m2 = round(sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+      / count(lit(1)), 6)
+    e.groupBy(col("d"))
+      .agg(m1.as("mean"), m2.as("m2"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .select(col("d").cast("long").as("d"), col("mean"),
+        round(col("m2") - col("mean") * col("mean"), 6).as("variance"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("d"))
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH:
     * `nPlanes` signed projections give a bucket id; each query only
     * scores vectors in its own bucket. The scale path for

@@ -76,6 +76,26 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("kcore peels a known graph to its core and the query's rounds converge") {
+    // triangle 1-2-3 plus a tail 3-4-5: the 2-core is exactly the
+    // triangle; the tail peels end-first over two rounds
+    val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val core = Algorithms.kcorePeel(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1L, 2L, 3L))
+    assert(core.values.forall(_ == 2L))
+    // rounds-bounded contract on the declared query: each extra round
+    // peels monotonically (survivors shrink, never grow), and a
+    // surviving node's degree never increases
+    val at4 = Algorithms.kcoreQuery(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at5 = Algorithms.kcoreQuery(spark, TestSpark.sf, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at5.keySet.subsetOf(at4.keySet), "peeling must only remove nodes")
+    assert(at5.forall { case (id, d) => d <= at4(id) })
+    assert(at4.nonEmpty)
+  }
+
   test("degrees on the tpch hierarchy: every order has out-degree 1") {
     val df = Algorithms.degreesQuery(spark, TestSpark.sf)
     val orders = df.filter(col("id") >= GraphLoader.OrderOffset &&
