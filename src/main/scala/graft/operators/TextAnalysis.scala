@@ -48,7 +48,18 @@ object TextAnalysis {
     * standard pretraining-corpus heuristics (Gopher-style), all as
     * codegen'd column expressions.
     */
-  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityProjection(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  /** The quality metrics as a pure stateless projection over any
+    * frame with (doc_id, text) — shared verbatim by the batch query
+    * above and the streaming router
+    * ([[graft.streaming.StreamingJobs.qualityRoute]]); being a single
+    * codegen'd map is exactly what makes it run unchanged under
+    * `readStream` in append mode with zero state.
+    */
+  def qualityProjection(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nChars = length(t).cast("long")
     val nWords = wsTokenCount(t)
@@ -56,17 +67,15 @@ object TextAnalysis {
     val enHits = TextAnalysis.stopwords("en").map(w =>
       when(t.rlike("(?i)(^|\\s)" + w + "(\\s|$)"), 1L).otherwise(0L))
       .reduce(_ + _)
-    Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
-        nPunct.as("n_punct"),
-        round(nPunct.cast("double") / greatest(nChars, lit(1L)), 6).as("punct_ratio"),
-        round(nChars.cast("double") / greatest(nWords, lit(1L)), 6).as("mean_word_len"),
-        enHits.as("en_stopword_hits"),
-        (nWords >= 5 && nWords <= 100000 &&
-          (nPunct.cast("double") / greatest(nChars, lit(1L))) < lit(0.2))
-          .cast("int").as("keep"))
-      .orderBy(col("doc_id"))
+    docs.select(
+      col("doc_id"), nChars.as("n_chars_m"), nWords.as("n_words"),
+      nPunct.as("n_punct"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1L)), 6).as("punct_ratio"),
+      round(nChars.cast("double") / greatest(nWords, lit(1L)), 6).as("mean_word_len"),
+      enHits.as("en_stopword_hits"),
+      (nWords >= 5 && nWords <= 100000 &&
+        (nPunct.cast("double") / greatest(nChars, lit(1L))) < lit(0.2))
+        .cast("int").as("keep"))
   }
 
   /** Language ID: CJK-script presence → zh; otherwise argmax of

@@ -76,6 +76,28 @@ object StreamingJobs {
           .cast("long").as("contaminated"))
   }
 
+  /** Streaming twin of the quality gate + train/val/test router
+    * (graft.operators.TextAnalysis.quality ∘ Pipeline.trainSplit):
+    * the ingestion-side filter of a corpus feed — score each arriving
+    * document, keep the passers, and stamp the deterministic split it
+    * will land in (the downstream writer fans out on that column,
+    * e.g. `writeStream.partitionBy("split")`). Both pieces are pure
+    * stateless projections (the split is the OracleHash bucket of
+    * doc_id), so append mode needs ZERO streaming state and the
+    * stream twin is literally the batch expressions re-applied.
+    * Input needs (doc_id, text).
+    */
+  def qualityRoute(docs: DataFrame): DataFrame = {
+    import graft.OracleHash.{MulA, MulB, P}
+    val bucket = ((lit(MulA) * (col("doc_id") % lit(P)) + lit(MulB)) % lit(P)) % 100L
+    graft.operators.TextAnalysis.qualityProjection(docs)
+      .filter(col("keep") === 1)
+      .withColumn("split",
+        when(bucket < 90L, lit("train"))
+          .when(bucket < 95L, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(
       start: Long, end: Long, nEvents: Long, sumValue: Double)

@@ -130,4 +130,30 @@ class StreamingJobsSpec extends AnyFunSuite {
         (2L, ts(0), ts(0), 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("quality router gates and splits a stream exactly like the batch operators") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and beyond"),
+      (2L, "short"), // < 5 words → gated out
+      (3L, "pack my box with five dozen liquor jugs right now today"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.qualityRoute(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("routed").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val routed = spark.table("routed")
+        .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+      assert(routed.keySet == Set(1L, 3L)) // doc 2 gated
+      // split assignment identical to the batch trainSplit hash
+      import graft.OracleHash.{MulA, MulB, P}
+      def splitOf(id: Long): String = {
+        val b = ((MulA * (id % P) + MulB) % P) % 100
+        if (b < 90) "train" else if (b < 95) "val" else "test"
+      }
+      assert(routed.forall { case (id, s) => s == splitOf(id) })
+    } finally q.stop()
+  }
 }
