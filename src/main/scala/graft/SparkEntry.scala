@@ -100,6 +100,7 @@ object SparkEntry {
     "text_repetition"     -> (TextAnalysis.repetition(_, _)),
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
+    "pipeline_mix"        -> (Pipeline.mixWeights(_, _)),
     "pipeline_pack"       -> (Pipeline.packChunks(_, _)),
     "search_bm25_topk"    -> (Search.bm25TopK(_, _)))
 
@@ -445,6 +446,17 @@ object SparkEntry {
     "text_length_hist" ->
       """SELECT length(text) // 256 AS bucket, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_mix" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT round(SUM(pow(tokens::DOUBLE, 0.5::DOUBLE)), 6) AS z FROM s)
+        |SELECT source, n_docs, tokens,
+        |  round(round(pow(tokens::DOUBLE, 0.5::DOUBLE), 6) / z, 6) AS weight
+        |FROM s CROSS JOIN z ORDER BY source""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'

@@ -94,6 +94,38 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-mixture sampling weights: per-source token counts scaled
+    * by a temperature exponent `alpha` and normalized — the standard
+    * recipe for re-balancing pretraining sources (alpha = 1
+    * reproduces natural proportions; alpha < 1 up-weights small
+    * domains, the multilingual-sampling trick).
+    *
+    * Determinism: token totals are exact integers; `pow` and the
+    * normalizing division are done in double on the 6-dp-rounded
+    * shares, and the output weight is rounded to 6 dp on both
+    * engines, which dwarfs any last-ulp `pow` divergence.
+    *
+    * 100 TB notes: one map-side-combined aggregation to |sources|
+    * rows (single tiny keyed shuffle); the weights frame is
+    * broadcast-sized by construction — the expensive corpus never
+    * moves.
+    */
+  def mixWeights(spark: SparkSession, sfDir: String, alpha: Double = 0.5): DataFrame = {
+    val nTok = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"), nTok.as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val scaled = pow(col("tokens").cast("double"), lit(alpha))
+    val total = perSource.agg(
+      round(sum(pow(col("tokens").cast("double"), lit(alpha))), 6).as("z"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(round(scaled, 6) / col("z"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/val/test split assignment (90/5/5): the
     * split is a pure function of `doc_id` through the
     * [[graft.OracleHash]] multiply-add hash, so reruns, retries, and

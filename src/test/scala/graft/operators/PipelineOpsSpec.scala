@@ -89,6 +89,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mix weights normalize to 1 and temperature compresses the spread") {
+    def weights(alpha: Double) = Pipeline.mixWeights(spark, sf, alpha)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val natural = weights(1.0)
+    val tempered = weights(0.5)
+    assert(math.abs(natural.values.sum - 1.0) < 1e-4)
+    assert(math.abs(tempered.values.sum - 1.0) < 1e-4)
+    def spread(w: Map[String, Double]) = w.values.max / w.values.min
+    // alpha < 1 up-weights small domains: the max/min ratio shrinks
+    assert(spread(tempered) <= spread(natural) + 1e-9,
+      s"tempered spread ${spread(tempered)} vs natural ${spread(natural)}")
+  }
+
   test("tfidf ranks are dense, scores non-increasing, and stuffed terms surface") {
     val rows = TextAnalysis.tfidf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
