@@ -33,6 +33,7 @@ object SparkEntry {
     "cypher_arithmetic"     -> (cypher.CypherQueries.arithmetic(_, _)),
     "cypher_not_exists"     -> (cypher.CypherQueries.notExists(_, _)),
     "cypher_pattern_pred"   -> (cypher.CypherQueries.patternPred(_, _)),
+    "cypher_count_subquery" -> (cypher.CypherQueries.countSubquery(_, _)),
     "cypher_with_top"       -> (cypher.CypherQueries.withTop(_, _)),
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
@@ -718,6 +719,16 @@ object SparkEntry {
         |  SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_brand = 'Brand#13')
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "cypher_count_subquery" ->
+      """SELECT n_name AS nation,
+        |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_customers,
+        |  CAST(COALESCE(s.cnt, 0) AS BIGINT) AS n_suppliers
+        |FROM nation
+        |LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+        |           GROUP BY 1) c ON n_nationkey = c.c_nationkey
+        |LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier
+        |           GROUP BY 1) s ON n_nationkey = s.s_nationkey
+        |ORDER BY nation""".stripMargin,
     "cypher_pattern_pred" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders
         |FROM orders

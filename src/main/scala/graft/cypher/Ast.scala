@@ -55,6 +55,12 @@ object Ast {
     * anti-join under NOT).
     */
   final case class ExistsPattern(chain: PatternChain) extends CExpr
+
+  /** `COUNT { pattern }` subquery expression (openCypher): the number
+    * of pattern matches for the row's bindings of the shared
+    * variables.
+    */
+  final case class CountPattern(chain: PatternChain) extends CExpr
   /** Searched `CASE WHEN cond THEN val … [ELSE val] END`. */
   final case class CaseExpr(whens: Seq[(CExpr, CExpr)],
       otherwise: Option[CExpr]) extends CExpr

@@ -441,6 +441,14 @@ object CypherParser {
         eatKw("END")
         CaseExpr(whens.result(), otherwise)
       case Some(TId(name))
+          if name.equalsIgnoreCase("count") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>
+        // COUNT { pattern } subquery expression
+        ident(); eatSym("{")
+        val chain = patternChain()
+        eatSym("}")
+        CountPattern(chain)
+      case Some(TId(name))
           if (aggFns.contains(name.toLowerCase(java.util.Locale.ROOT)) ||
             scalarFns.contains(name.toLowerCase(java.util.Locale.ROOT))) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>

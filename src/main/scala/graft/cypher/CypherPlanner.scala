@@ -137,13 +137,15 @@ object CypherPlanner {
         s = Scope(df, s.nodeVars, s.scalars + alias)
 
       case w: WithClause =>
-        s = planWith(s, w)
+        val (s2, items2) = materializeCounts(graph, s, w.items)
+        s = planWith(s2, w.copy(items = items2))
 
       case r: ReturnClause =>
         // a query can be pure projection (`RETURN 1`, `UNWIND … RETURN`)
         if (s.df == null)
           s = s.copy(df = graph.nodes.values.head.sparkSession.range(1).toDF())
-        out = planReturn(s, r)
+        val (s2, items2) = materializeCounts(graph, s, r.items)
+        out = planReturn(s2, r.copy(items = items2))
     }
     out
   }
@@ -177,6 +179,54 @@ object CypherPlanner {
     val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
     val keys = shared.map(v => s"${v}__id")
     s.df.join(odf.select(keys.map(col): _*), keys, joinType)
+  }
+
+  /** Materializes `COUNT { pattern }` items before projection: the
+    * subquery plans like EXISTS, but instead of a semi-join the
+    * matches are pre-aggregated to one count per shared-variable
+    * binding and LEFT-joined back (zero-match rows coalesce to 0 —
+    * Cypher's COUNT subquery never drops outer rows). The join's
+    * build side is at most |distinct bindings| rows, and the
+    * eager-count optimizer rule keeps the subquery's own join tree
+    * pair-free.
+    */
+  private def materializeCounts(graph: PropertyGraph, s: Scope,
+      items: Seq[ReturnItem]): (Scope, Seq[ReturnItem]) = {
+    var scope = s
+    var idx = 0
+    val out = items.map { it =>
+      it.expr match {
+        case CountPattern(chain) =>
+          val shared = chain.nodeVars.filter(scope.nodeVars.contains).distinct
+          require(shared.nonEmpty,
+            "COUNT { } pattern must share at least one variable with the outer MATCH")
+          val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+          val keys = shared.map(v => s"${v}__id")
+          val alias = s"__graft_psq_$idx"
+          idx += 1
+          val cnts = odf.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as(alias))
+          val joined = scope.df.join(cnts, keys, "left")
+            .withColumn(alias, coalesce(col(alias), lit(0L)))
+          scope = Scope(joined, scope.nodeVars, scope.scalars + alias)
+          ReturnItem(Ident(alias), Some(it.alias.getOrElse("count")))
+        case other if containsCountPattern(other) =>
+          throw new IllegalArgumentException(
+            "COUNT { } is only supported as a top-level RETURN/WITH item")
+        case _ => it
+      }
+    }
+    (scope, out)
+  }
+
+  private def containsCountPattern(e: CExpr): Boolean = e match {
+    case _: CountPattern  => true
+    case And(l, r)        => containsCountPattern(l) || containsCountPattern(r)
+    case Or(l, r)         => containsCountPattern(l) || containsCountPattern(r)
+    case Not(x)           => containsCountPattern(x)
+    case Cmp(_, l, r)     => containsCountPattern(l) || containsCountPattern(r)
+    case Arith(_, l, r)   => containsCountPattern(l) || containsCountPattern(r)
+    case _                => false
   }
 
   private def containsExists(e: CExpr): Boolean = e match {
@@ -831,6 +881,8 @@ object CypherPlanner {
       s"aggregate ${f.name} not allowed here")
     case _: ExistsPattern => throw new IllegalArgumentException(
       "EXISTS is only valid in a WHERE directly after MATCH")
+    case _: CountPattern => throw new IllegalArgumentException(
+      "COUNT { } is only supported as a top-level RETURN/WITH item")
     case Param(n) => throw new IllegalArgumentException(
       s"unbound query parameter $$$n - pass a params map to CypherPlanner.run")
   }

@@ -140,6 +140,19 @@ object CypherQueries {
         |RETURN n.name AS nation, n_customers, r.name AS region
         |ORDER BY nation""".stripMargin)
 
+  /** `COUNT { pattern }` subquery expression (openCypher): per-row
+    * match counts without an aggregation horizon — note the zero-
+    * match rows survive with 0, unlike a MATCH + count(*) pipeline
+    * which would drop them.
+    */
+  def countSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |RETURN n.name AS nation,
+        |  COUNT { (n)<-[:FROM_NATION]-(:Customer) } AS n_customers,
+        |  COUNT { (n)<-[:SUPP_NATION]-(:Supplier) } AS n_suppliers
+        |ORDER BY nation""".stripMargin)
+
   /** Undirected relationship: neighbors along the nation chain in
     * either orientation.
     */

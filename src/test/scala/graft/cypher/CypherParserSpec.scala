@@ -202,6 +202,16 @@ class CypherParserSpec extends AnyFunSuite {
     assert(f3.expr.isInstanceOf[Cmp])
   }
 
+  test("COUNT { pattern } parses as a subquery expression, count(x) stays an aggregate") {
+    val q = CypherParser.parse(
+      "MATCH (n:Nation) RETURN n.name, COUNT { (n)<-[:FROM_NATION]-(:Customer) } AS c")
+    val items = q.returnClause.items
+    assert(items(1).expr.isInstanceOf[CountPattern])
+    assert(items(1).alias.contains("c"))
+    val q2 = CypherParser.parse("MATCH (n:Nation) RETURN count(n.name) AS c")
+    assert(q2.returnClause.items.head.expr == FnCall("count", Some(Prop("n", "name"))))
+  }
+
   test("WITH accepts openCypher order: modifiers then WHERE as a post-horizon filter") {
     val q = CypherParser.parse(
       "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +

@@ -463,4 +463,26 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(coal.length == graft.Tables.nation(spark, TestSpark.sf).count())
     assert(coal.forall(_.getDouble(1) == 0.0))
   }
+
+  test("COUNT subquery keeps zero-match rows and matches the grouped count") {
+    val viaSub = run(
+      "MATCH (c:Customer) RETURN c.custkey AS id, " +
+      "COUNT { (o:Order)-[:PLACED_BY]->(c) } AS n_orders ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every customer appears, including order-less ones (count 0)
+    assert(viaSub.size == graft.Tables.customer(spark, TestSpark.sf).count())
+    // agreement with the direct per-customer order counts
+    val direct = graft.Tables.orders(spark, TestSpark.sf)
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSub.forall { case (id, n) => n == direct.getOrElse(id, 0L) })
+    // zero-match rows survive with 0: an impossible property map
+    // matches nothing, yet every customer still gets a row
+    val zeros = run(
+      "MATCH (c:Customer) RETURN c.custkey AS id, " +
+      "COUNT { (o:Order {orderstatus: 'NO_SUCH'})-[:PLACED_BY]->(c) } AS n " +
+      "ORDER BY id").collect()
+    assert(zeros.length.toLong == graft.Tables.customer(spark, TestSpark.sf).count())
+    assert(zeros.forall(_.getLong(1) == 0L))
+  }
 }
