@@ -34,6 +34,7 @@ object SparkEntry {
     "cypher_not_exists"     -> (cypher.CypherQueries.notExists(_, _)),
     "cypher_pattern_pred"   -> (cypher.CypherQueries.patternPred(_, _)),
     "cypher_count_subquery" -> (cypher.CypherQueries.countSubquery(_, _)),
+    "cypher_stat_agg"       -> (cypher.CypherQueries.statAgg(_, _)),
     "cypher_with_top"       -> (cypher.CypherQueries.withTop(_, _)),
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
@@ -73,6 +74,7 @@ object SparkEntry {
     "events_sessionize" -> (Events.sessionize(_, _)),
     "events_funnel"     -> (Events.funnel(_, _)),
     "events_retention"  -> (Events.retention(_, _)),
+    "events_anomaly"    -> (Events.anomaly(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -302,6 +304,24 @@ object SparkEntry {
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_n,
+        |    sqrt((CAST(SUM(n_events * n_events) AS DOUBLE)
+        |        - CAST(SUM(n_events) AS DOUBLE) * SUM(n_events) / COUNT(*))
+        |      / (COUNT(*) - 1)) AS sd_n
+        |  FROM h GROUP BY 1)
+        |SELECT window_start, h.event_type, n_events,
+        |  round(mean_n, 6) AS mean_n,
+        |  round((n_events - mean_n) / sd_n, 6) AS z,
+        |  CAST(abs(n_events - mean_n) / sd_n > 3.0::DOUBLE AS INT) AS anomalous
+        |FROM h JOIN m ON h.event_type = m.event_type
+        |ORDER BY window_start, h.event_type""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -719,6 +739,16 @@ object SparkEntry {
         |  SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_brand = 'Brand#13')
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "cypher_stat_agg" ->
+      """SELECT c_mktsegment AS segment,
+        |  round(sqrt((CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4))
+        |        * CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE)
+        |      - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |        / COUNT(c_acctbal))
+        |    / (COUNT(c_acctbal) - 1)), 6) AS sd_bal,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+        |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin,
     "cypher_count_subquery" ->
       """SELECT n_name AS nation,
         |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_customers,

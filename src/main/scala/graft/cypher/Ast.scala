@@ -61,6 +61,11 @@ object Ast {
     * variables.
     */
   final case class CountPattern(chain: PatternChain) extends CExpr
+
+  /** `percentileCont(expr, p)` — continuous (interpolated) percentile
+    * aggregate; `p` must be a literal in [0, 1].
+    */
+  final case class PercentileCont(arg: CExpr, p: Double) extends CExpr
   /** Searched `CASE WHEN cond THEN val … [ELSE val] END`. */
   final case class CaseExpr(whens: Seq[(CExpr, CExpr)],
       otherwise: Option[CExpr]) extends CExpr

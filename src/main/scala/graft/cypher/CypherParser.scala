@@ -417,7 +417,8 @@ object CypherParser {
       l
     }
 
-    private val aggFns = Set("count", "sum", "min", "max", "avg", "collect")
+    private val aggFns =
+      Set("count", "sum", "min", "max", "avg", "collect", "stdev")
     private val scalarFns =
       Set("toupper", "tolower", "trim", "size", "id", "type", "labels", "length")
 
@@ -440,6 +441,20 @@ object CypherParser {
         val otherwise = if (atKw("ELSE")) { eatKw("ELSE"); Some(addExpr()) } else None
         eatKw("END")
         CaseExpr(whens.result(), otherwise)
+      case Some(TId(name))
+          if name.equalsIgnoreCase("percentileCont") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        ident(); eatSym("(")
+        val a = addExpr()
+        eatSym(",")
+        val p = next() match {
+          case TNum(n) => n.toDouble
+          case t => throw new IllegalArgumentException(
+            s"percentileCont expects a numeric literal percentile, got $t")
+        }
+        require(p >= 0.0 && p <= 1.0, s"percentile $p outside [0, 1]")
+        eatSym(")")
+        PercentileCont(a, p)
       case Some(TId(name))
           if name.equalsIgnoreCase("count") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>

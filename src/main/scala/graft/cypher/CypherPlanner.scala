@@ -800,8 +800,10 @@ object CypherPlanner {
   }
 
   private def isAggregate(e: CExpr): Boolean = e match {
-    case FnCall(n, _, _, _) => Set("count", "sum", "min", "max", "avg", "collect")(n)
-    case _               => false
+    case FnCall(n, _, _, _) =>
+      Set("count", "sum", "min", "max", "avg", "collect", "stdev")(n)
+    case _: PercentileCont => true
+    case _                 => false
   }
 
   /** `scalars` holds the names bound by WITH/UNWIND (plain columns);
@@ -883,6 +885,8 @@ object CypherPlanner {
       "EXISTS is only valid in a WHERE directly after MATCH")
     case _: CountPattern => throw new IllegalArgumentException(
       "COUNT { } is only supported as a top-level RETURN/WITH item")
+    case _: PercentileCont => throw new IllegalArgumentException(
+      "percentileCont is an aggregate and only valid in RETURN/WITH items")
     case Param(n) => throw new IllegalArgumentException(
       s"unbound query parameter $$$n - pass a params map to CypherPlanner.run")
   }
@@ -906,6 +910,20 @@ object CypherPlanner {
         count(toColumn(a, scalars))
     case FnCall("collect", Some(a), _, _) =>
       sort_array(collect_list(toColumn(a, scalars)))
+    // sample stddev from exact decimal moments — sqrt((Σx² − (Σx)²/n)
+    // / (n−1)) where both sums accumulate in decimal, so parallel
+    // combine order cannot perturb the result and the DuckDB oracle
+    // folds the identical IEEE sequence; 6-dp rounded
+    case FnCall("stdev", Some(a), _, _) =>
+      val x = toColumn(a, scalars).cast("decimal(18,4)")
+      val n = count(toColumn(a, scalars))
+      val s1 = sum(x).cast("double")
+      val s2 = sum((x * x).cast("decimal(38,8)")).cast("double")
+      round(sqrt((s2 - s1 * s1 / n) / (n - lit(1L))), 6)
+    // exact interpolated percentile (Spark sorts the group's values);
+    // 6-dp rounding absorbs interpolation-formula ulp differences
+    case PercentileCont(a, p) =>
+      round(percentile(toColumn(a, scalars), lit(p)), 6)
     case other => throw new IllegalArgumentException(s"not an aggregate: $other")
   }
 }

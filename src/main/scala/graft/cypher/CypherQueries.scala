@@ -140,6 +140,18 @@ object CypherQueries {
         |RETURN n.name AS nation, n_customers, r.name AS region
         |ORDER BY nation""".stripMargin)
 
+  /** Statistical aggregates: sample stdDev from exact decimal
+    * moments and exact interpolated percentile — the distributional
+    * summary surface beyond sum/avg.
+    */
+  def statAgg(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN c.mktsegment AS segment,
+        |  stDev(c.acctbal) AS sd_bal,
+        |  percentileCont(c.acctbal, 0.5) AS median_bal
+        |ORDER BY segment""".stripMargin)
+
   /** `COUNT { pattern }` subquery expression (openCypher): per-row
     * match counts without an aggregation horizon — note the zero-
     * match rows survive with 0, unlike a MATCH + count(*) pipeline

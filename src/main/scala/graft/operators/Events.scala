@@ -30,6 +30,41 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Volume-anomaly screen: hourly event counts per type, z-scored
+    * against that type's own hourly distribution — the standard
+    * ops-analytics alarm for traffic spikes/drops. Mean and stddev
+    * come from exact decimal moments over the (already tiny) hourly
+    * frame, so the z-scores are parallel-order-independent and
+    * oracle-exact.
+    *
+    * 100 TB notes: the raw corpus pays exactly ONE shuffle — the
+    * (hour, type) partial-agg count (same shape as [[windowAgg]]).
+    * Everything after operates on hours×types rows: the per-type
+    * moment agg and the join back are both trivially broadcast-sized.
+    */
+  def anomaly(spark: SparkSession, sfDir: String, zTau: Double = 3.0): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("n_events")).as("s1"),
+      sum(col("n_events") * col("n_events")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n_hours")).as("mean_n"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n_hours")) /
+          (col("n_hours") - lit(1L))).as("sd_n"))
+    hourly.join(broadcast(moments), Seq("event_type"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("mean_n"), 6).as("mean_n"),
+        round((col("n_events") - col("mean_n")) / col("sd_n"), 6).as("z"),
+        (abs(col("n_events") - col("mean_n")) / col("sd_n") > zTau)
+          .cast("int").as("anomalous"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Temporally-ordered funnel: users who viewed, then clicked after
     * their first view, then purchased after that first qualifying
     * click. Each stage is one filtered groupBy(user_id) min-timestamp
