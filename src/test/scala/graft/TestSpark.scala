@@ -11,6 +11,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${java.lang.ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.plans.GraftOptimizations.install(s)
