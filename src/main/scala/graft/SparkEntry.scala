@@ -35,6 +35,7 @@ object SparkEntry {
     "cypher_pattern_pred"   -> (cypher.CypherQueries.patternPred(_, _)),
     "cypher_count_subquery" -> (cypher.CypherQueries.countSubquery(_, _)),
     "cypher_stat_agg"       -> (cypher.CypherQueries.statAgg(_, _)),
+    "cypher_unwind_range"   -> (cypher.CypherQueries.unwindRange(_, _)),
     "cypher_with_top"       -> (cypher.CypherQueries.withTop(_, _)),
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
@@ -739,6 +740,9 @@ object SparkEntry {
         |  SELECT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_brand = 'Brand#13')
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "cypher_unwind_range" ->
+      """SELECT k, k * k AS sq FROM generate_series(0, 24, 2) t(k)
+        |ORDER BY k""".stripMargin,
     "cypher_stat_agg" ->
       """SELECT c_mktsegment AS segment,
         |  round(sqrt((CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4))

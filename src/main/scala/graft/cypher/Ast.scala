@@ -66,6 +66,9 @@ object Ast {
     * aggregate; `p` must be a literal in [0, 1].
     */
   final case class PercentileCont(arg: CExpr, p: Double) extends CExpr
+
+  /** `range(from, to [, step])` — inclusive integer list (openCypher). */
+  final case class RangeList(from: CExpr, to: CExpr, step: CExpr) extends CExpr
   /** Searched `CASE WHEN cond THEN val … [ELSE val] END`. */
   final case class CaseExpr(whens: Seq[(CExpr, CExpr)],
       otherwise: Option[CExpr]) extends CExpr

@@ -442,6 +442,16 @@ object CypherParser {
         eatKw("END")
         CaseExpr(whens.result(), otherwise)
       case Some(TId(name))
+          if name.equalsIgnoreCase("range") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        ident(); eatSym("(")
+        val from = addExpr()
+        eatSym(",")
+        val to = addExpr()
+        val step = if (atSym(",")) { eatSym(","); addExpr() } else LitV(1L)
+        eatSym(")")
+        RangeList(from, to, step)
+      case Some(TId(name))
           if name.equalsIgnoreCase("percentileCont") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
         ident(); eatSym("(")

@@ -879,6 +879,8 @@ object CypherPlanner {
       val first = when(base.head._1, base.head._2)
       val chained = base.tail.foldLeft(first) { case (acc, (c, v)) => acc.when(c, v) }
       otherwise.map(o => chained.otherwise(toColumn(o, scalars))).getOrElse(chained)
+    case RangeList(f, t, st) =>
+      sequence(toColumn(f, scalars), toColumn(t, scalars), toColumn(st, scalars))
     case f: FnCall    => throw new IllegalArgumentException(
       s"aggregate ${f.name} not allowed here")
     case _: ExistsPattern => throw new IllegalArgumentException(

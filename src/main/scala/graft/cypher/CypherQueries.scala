@@ -140,6 +140,16 @@ object CypherQueries {
         |RETURN n.name AS nation, n_customers, r.name AS region
         |ORDER BY nation""".stripMargin)
 
+  /** `range()` list generation + UNWIND — the numeric-driver idiom
+    * (openCypher): generate rows without any input table, join them
+    * against the graph.
+    */
+  def unwindRange(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """UNWIND range(0, 24, 2) AS k
+        |RETURN k, k * k AS sq
+        |ORDER BY k""".stripMargin)
+
   /** Statistical aggregates: sample stdDev from exact decimal
     * moments and exact interpolated percentile — the distributional
     * summary surface beyond sum/avg.
