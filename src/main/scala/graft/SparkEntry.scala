@@ -36,6 +36,7 @@ object SparkEntry {
     "cypher_count_subquery" -> (cypher.CypherQueries.countSubquery(_, _)),
     "cypher_stat_agg"       -> (cypher.CypherQueries.statAgg(_, _)),
     "cypher_unwind_range"   -> (cypher.CypherQueries.unwindRange(_, _)),
+    "cypher_list_comp"      -> (cypher.CypherQueries.listComp(_, _)),
     "cypher_with_top"       -> (cypher.CypherQueries.withTop(_, _)),
     "cypher_undirected"     -> (cypher.CypherQueries.undirected(_, _)),
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
@@ -743,6 +744,12 @@ object SparkEntry {
     "cypher_unwind_range" ->
       """SELECT k, k * k AS sq FROM generate_series(0, 24, 2) t(k)
         |ORDER BY k""".stripMargin,
+    "cypher_list_comp" ->
+      """SELECT n_name AS nation,
+        |  CAST(COUNT(CASE WHEN c_acctbal > 5000.0::DOUBLE THEN 1 END) AS BIGINT)
+        |    AS n_rich
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cypher_stat_agg" ->
       """SELECT c_mktsegment AS segment,
         |  round(sqrt((CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4))

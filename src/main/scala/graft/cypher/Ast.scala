@@ -69,6 +69,24 @@ object Ast {
 
   /** `range(from, to [, step])` — inclusive integer list (openCypher). */
   final case class RangeList(from: CExpr, to: CExpr, step: CExpr) extends CExpr
+
+  /** List comprehension `[x IN list WHERE pred | proj]` — filter and/or
+    * projection over a list value (openCypher).
+    */
+  final case class ListComp(variable: String, list: CExpr,
+      where: Option[CExpr], proj: Option[CExpr]) extends CExpr
+
+  /** `reduce(acc = init, x IN list | step)` — left fold over a list
+    * value (openCypher).
+    */
+  final case class ReduceExpr(acc: String, init: CExpr, variable: String,
+      list: CExpr, step: CExpr) extends CExpr
+
+  /** Planner-internal: a lambda-bound variable already resolved to a
+    * Catalyst column (produced by the higher-order-function
+    * translation; never emitted by the parser).
+    */
+  private[cypher] final case class ColRef(c: AnyRef) extends CExpr
   /** Searched `CASE WHEN cond THEN val … [ELSE val] END`. */
   final case class CaseExpr(whens: Seq[(CExpr, CExpr)],
       otherwise: Option[CExpr]) extends CExpr

@@ -442,6 +442,22 @@ object CypherParser {
         eatKw("END")
         CaseExpr(whens.result(), otherwise)
       case Some(TId(name))
+          if name.equalsIgnoreCase("reduce") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        // reduce(acc = init, x IN list | step)
+        ident(); eatSym("(")
+        val acc = ident()
+        eatSym("=")
+        val init = addExpr()
+        eatSym(",")
+        val v = ident()
+        eatKw("IN")
+        val list = addExpr()
+        eatSym("|")
+        val step = addExpr()
+        eatSym(")")
+        ReduceExpr(acc, init, v, list, step)
+      case Some(TId(name))
           if name.equalsIgnoreCase("range") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
         ident(); eatSym("(")
@@ -499,6 +515,18 @@ object CypherParser {
         eatSym("$"); Param(ident())
       case Some(TSym("(")) =>
         eatSym("("); val e = expr(); eatSym(")"); e
+      case Some(TSym("["))
+          if pos + 2 < toks.length && toks(pos + 1).isInstanceOf[TId] &&
+            isKw(toks(pos + 2), "IN") =>
+        // list comprehension: [x IN list (WHERE pred)? (| proj)?]
+        eatSym("[")
+        val v = ident()
+        eatKw("IN")
+        val list = addExpr()
+        val where = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+        val proj = if (atSym("|")) { eatSym("|"); Some(addExpr()) } else None
+        eatSym("]")
+        ListComp(v, list, where, proj)
       case Some(TSym("[")) =>
         eatSym("[")
         val items = Seq.newBuilder[CExpr]

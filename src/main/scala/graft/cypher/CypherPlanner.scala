@@ -881,6 +881,19 @@ object CypherPlanner {
       otherwise.map(o => chained.otherwise(toColumn(o, scalars))).getOrElse(chained)
     case RangeList(f, t, st) =>
       sequence(toColumn(f, scalars), toColumn(t, scalars), toColumn(st, scalars))
+    // list comprehension / reduce → codegen'd higher-order functions;
+    // the lambda variable is substituted into the sub-expression as an
+    // already-resolved column (ColRef), so nested expressions reuse
+    // this translator unchanged
+    case ListComp(v, listE, whereE, projE) =>
+      var c = toColumn(listE, scalars)
+      whereE.foreach(w => c = filter(c, x => toColumn(subst(w, v, x), scalars)))
+      projE.foreach(p => c = transform(c, x => toColumn(subst(p, v, x), scalars)))
+      c
+    case ReduceExpr(accName, init, v, listE, step) =>
+      aggregate(toColumn(listE, scalars), toColumn(init, scalars),
+        (a, x) => toColumn(subst(subst(step, accName, a), v, x), scalars))
+    case ColRef(c) => c.asInstanceOf[Column]
     case f: FnCall    => throw new IllegalArgumentException(
       s"aggregate ${f.name} not allowed here")
     case _: ExistsPattern => throw new IllegalArgumentException(
@@ -891,6 +904,46 @@ object CypherPlanner {
       "percentileCont is an aggregate and only valid in RETURN/WITH items")
     case Param(n) => throw new IllegalArgumentException(
       s"unbound query parameter $$$n - pass a params map to CypherPlanner.run")
+  }
+
+  /** Substitutes lambda variable `name` with an already-resolved
+    * column throughout a sub-expression (respecting inner shadowing by
+    * a same-named comprehension/reduce variable).
+    */
+  private def subst(e: CExpr, name: String, c: Column): CExpr = e match {
+    case Ident(`name`)   => ColRef(c)
+    case i: Ident        => i
+    case p: Prop         => p
+    case l: LitV         => l
+    case pr: Param       => pr
+    case cr: ColRef      => cr
+    case ListLit(xs)     => ListLit(xs.map(subst(_, name, c)))
+    case Cmp(op, l, r)   => Cmp(op, subst(l, name, c), subst(r, name, c))
+    case Arith(op, l, r) => Arith(op, subst(l, name, c), subst(r, name, c))
+    case IsNull(x)       => IsNull(subst(x, name, c))
+    case InList(x, l)    => InList(subst(x, name, c),
+      ListLit(l.items.map(subst(_, name, c))))
+    case And(l, r)       => And(subst(l, name, c), subst(r, name, c))
+    case Or(l, r)        => Or(subst(l, name, c), subst(r, name, c))
+    case Not(x)          => Not(subst(x, name, c))
+    case FnCall(f, a, s, d) => FnCall(f, a.map(subst(_, name, c)), s, d)
+    case StrPred(op, l, r)  => StrPred(op, subst(l, name, c), subst(r, name, c))
+    case Coalesce(xs)    => Coalesce(xs.map(subst(_, name, c)))
+    case CaseExpr(ws, o) => CaseExpr(
+      ws.map { case (w, v) => (subst(w, name, c), subst(v, name, c)) },
+      o.map(subst(_, name, c)))
+    case RangeList(f, t, s) =>
+      RangeList(subst(f, name, c), subst(t, name, c), subst(s, name, c))
+    case lc @ ListComp(v, l, w, p) =>
+      if (v == name) lc.copy(list = subst(l, name, c)) // inner shadow
+      else ListComp(v, subst(l, name, c),
+        w.map(subst(_, name, c)), p.map(subst(_, name, c)))
+    case r @ ReduceExpr(acc, init, v, l, st) =>
+      val init2 = subst(init, name, c)
+      val l2 = subst(l, name, c)
+      if (acc == name || v == name) r.copy(init = init2, list = l2)
+      else ReduceExpr(acc, init2, v, l2, subst(st, name, c))
+    case other => other // patterns (EXISTS/COUNT) hold no lambda vars
   }
 
   private def toAggColumn(e: CExpr, scalars: Set[String]): Column = e match {

@@ -140,6 +140,19 @@ object CypherQueries {
         |RETURN n.name AS nation, n_customers, r.name AS region
         |ORDER BY nation""".stripMargin)
 
+  /** List comprehension + reduce over a collected list (openCypher
+    * lambda surface): per-nation count of high-balance customers, the
+    * `[x IN xs WHERE p]` filter folded by `reduce` — both compile to
+    * codegen'd higher-order array functions, no UDFs, no explode.
+    */
+  def listComp(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n, collect(c.acctbal) AS bals
+        |RETURN n.name AS nation,
+        |  reduce(acc = 0, b IN [x IN bals WHERE x > 5000.0] | acc + 1) AS n_rich
+        |ORDER BY nation""".stripMargin)
+
   /** `range()` list generation + UNWIND — the numeric-driver idiom
     * (openCypher): generate rows without any input table, join them
     * against the graph.

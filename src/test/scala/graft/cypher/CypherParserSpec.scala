@@ -212,6 +212,20 @@ class CypherParserSpec extends AnyFunSuite {
     assert(q2.returnClause.items.head.expr == FnCall("count", Some(Prop("n", "name"))))
   }
 
+  test("list comprehension and reduce parse; plain list literals still work") {
+    val q = CypherParser.parse(
+      "MATCH (n:Nation) RETURN [x IN [1, 2, 3] WHERE x > 1 | x * 2] AS ys")
+    val lc = q.returnClause.items.head.expr.asInstanceOf[ListComp]
+    assert(lc.variable == "x" && lc.where.isDefined && lc.proj.isDefined)
+    val q2 = CypherParser.parse(
+      "MATCH (n:Nation) RETURN reduce(acc = 0, x IN [1, 2] | acc + x) AS s")
+    val r = q2.returnClause.items.head.expr.asInstanceOf[ReduceExpr]
+    assert(r.acc == "acc" && r.variable == "x" && r.init == LitV(0L))
+    // a plain list literal is still a ListLit
+    val q3 = CypherParser.parse("MATCH (n:Nation) RETURN [1, 2, 3] AS xs")
+    assert(q3.returnClause.items.head.expr.isInstanceOf[ListLit])
+  }
+
   test("WITH accepts openCypher order: modifiers then WHERE as a post-horizon filter") {
     val q = CypherParser.parse(
       "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +

@@ -464,6 +464,27 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(coal.forall(_.getDouble(1) == 0.0))
   }
 
+  test("list comprehension filters/projects and reduce folds, as HOFs") {
+    val rows = run(
+      "UNWIND [1] AS one " +
+      "RETURN reduce(acc = 0, x IN [1, 2, 3, 4] | acc + x) AS total, " +
+      "[y IN [1, 2, 3, 4] WHERE y > 2 | y * 10] AS big").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 10L)
+    assert(rows.head.getSeq[Long](1) == Seq(30L, 40L))
+    // lambda variables resolve against collected per-group lists too
+    val rich = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "WITH n, collect(c.acctbal) AS bals " +
+      "RETURN n.name AS nation, " +
+      "reduce(acc = 0, b IN [x IN bals WHERE x > 5000.0] | acc + 1) AS n_rich " +
+      "ORDER BY nation").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 5000.0)
+      .count()
+    assert(rich.values.sum == direct)
+  }
+
   test("COUNT subquery keeps zero-match rows and matches the grouped count") {
     val viaSub = run(
       "MATCH (c:Customer) RETURN c.custkey AS id, " +
