@@ -42,6 +42,9 @@ object SparkEntry {
     "cypher_in_list"        -> (cypher.CypherQueries.inList(_, _)),
     "cypher_agg_functions"  -> (cypher.CypherQueries.aggFunctions(_, _)),
     "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
+    "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
+    "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
+    "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
     "cypher_untyped_scan"   -> (cypher.CypherQueries.untypedScan(_, _)),
@@ -595,6 +598,40 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_math_fns" ->
+      """SELECT c_custkey AS id,
+        |  abs(c_acctbal) AS abs_bal,
+        |  round(c_acctbal / 100.0, 6) AS bal_h,
+        |  CAST(sign(c_acctbal) AS BIGINT) AS sgn,
+        |  CAST(trunc(sqrt(CAST(c_custkey AS DOUBLE)) * 100.0) AS BIGINT) AS sqrt100,
+        |  c_custkey % 7 AS m7,
+        |  floor(c_acctbal / 1000.0) AS k_floor,
+        |  ceil(c_acctbal / 1000.0) AS k_ceil,
+        |  power(2.0, 10) AS p2
+        |FROM customer WHERE c_custkey <= 50 ORDER BY id""".stripMargin,
+    "cypher_string_fns2" ->
+      """SELECT n_name AS nation,
+        |  substr(n_name, 1, 3) AS pre,
+        |  replace(n_name, 'A', '@') AS repl,
+        |  reverse(n_name) AS rev,
+        |  left(n_name, 4) AS l4,
+        |  right(n_name, 2) AS r2,
+        |  CAST(len(string_split(n_name, '_')) AS BIGINT) AS n_parts,
+        |  CAST(n_nationkey AS VARCHAR) AS key_str
+        |FROM nation ORDER BY nation""".stripMargin,
+    "cypher_list_pred" ->
+      """WITH b AS (
+        |  SELECT n_name AS nation, c_acctbal AS bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT nation,
+        |  bool_or(bal < 0.0) AS has_neg,
+        |  bool_and(bal > -999.99) AS all_above,
+        |  NOT bool_or(bal > 9999.0) AS none_big,
+        |  count(*) FILTER (WHERE bal > 9995.0) = 1 AS one_top,
+        |  min(bal) AS min_bal,
+        |  max(bal) AS max_bal,
+        |  count(*) - 1 AS n_rest
+        |FROM b GROUP BY nation ORDER BY nation""".stripMargin,
     "cypher_node_return" ->
       """SELECT 2000000000 + c_custkey AS node_id, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY node_id""".stripMargin,

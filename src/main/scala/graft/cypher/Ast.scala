@@ -96,6 +96,14 @@ object Ast {
   final case class StrPred(op: String, l: CExpr, r: CExpr) extends CExpr
   /** `coalesce(a, b, …)` — first non-null argument. */
   final case class Coalesce(args: Seq[CExpr]) extends CExpr
+  /** Multi-argument scalar call — `substring(s, i[, len])`,
+    * `replace(s, from, to)`, `split(s, delim)`, `left/right(s, n)`,
+    * `round(x, d)`. Single-argument scalars stay [[FnCall]].
+    */
+  final case class FnCallN(name: String, args: Seq[CExpr]) extends CExpr
+  /** List predicate `any/all/none/single(x IN list WHERE pred)`. */
+  final case class ListPred(kind: String, variable: String, list: CExpr,
+      pred: CExpr) extends CExpr
 
   sealed trait Direction
   case object Out extends Direction

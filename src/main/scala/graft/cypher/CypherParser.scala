@@ -409,18 +409,37 @@ object CypherParser {
       l
     }
     private def mulExpr(): CExpr = {
-      var l = valueExpr()
-      while (atSym("*") || atSym("/")) {
+      var l = powExpr()
+      while (atSym("*") || atSym("/") || atSym("%")) {
         val op = next().asInstanceOf[TSym].s
-        l = Arith(op, l, valueExpr())
+        l = Arith(op, l, powExpr())
       }
       l
     }
+    // `^` binds tighter than * / % and is right-associative (Neo4j)
+    private def powExpr(): CExpr = {
+      val l = unaryExpr()
+      if (atSym("^")) { eatSym("^"); Arith("^", l, powExpr()) } else l
+    }
+    // unary minus: folds into numeric literals, otherwise 0 - e
+    private def unaryExpr(): CExpr =
+      if (atSym("-")) {
+        eatSym("-")
+        unaryExpr() match {
+          case LitV(n: Long)   => LitV(-n)
+          case LitV(d: Double) => LitV(-d)
+          case e               => Arith("-", LitV(0L), e)
+        }
+      } else valueExpr()
 
     private val aggFns =
       Set("count", "sum", "min", "max", "avg", "collect", "stdev")
     private val scalarFns =
-      Set("toupper", "tolower", "trim", "size", "id", "type", "labels", "length")
+      Set("toupper", "tolower", "trim", "size", "id", "type", "labels",
+        "length", "abs", "ceil", "floor", "round", "sign", "sqrt",
+        "tointeger", "tofloat", "tostring", "reverse", "head", "last",
+        "tail", "substring", "replace", "split", "left", "right")
+    private val listPredFns = Set("any", "all", "none", "single")
 
     private def valueExpr(): CExpr = peek match {
       case Some(TId(name))
@@ -490,8 +509,20 @@ object CypherParser {
         eatSym("}")
         CountPattern(chain)
       case Some(TId(name))
-          if (aggFns.contains(name.toLowerCase(java.util.Locale.ROOT)) ||
-            scalarFns.contains(name.toLowerCase(java.util.Locale.ROOT))) &&
+          if listPredFns.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        // any/all/none/single(x IN list WHERE pred)
+        val kind = ident().toLowerCase(java.util.Locale.ROOT)
+        eatSym("(")
+        val v = ident()
+        eatKw("IN")
+        val list = addExpr()
+        eatKw("WHERE")
+        val pred = expr()
+        eatSym(")")
+        ListPred(kind, v, list, pred)
+      case Some(TId(name))
+          if aggFns.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
         val fn = ident().toLowerCase(java.util.Locale.ROOT)
         eatSym("(")
@@ -504,6 +535,17 @@ object CypherParser {
           }
         eatSym(")")
         call
+      case Some(TId(name))
+          if scalarFns.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        val fn = ident().toLowerCase(java.util.Locale.ROOT)
+        eatSym("(")
+        val args = Seq.newBuilder[CExpr]
+        args += addExpr()
+        while (atSym(",")) { eatSym(","); args += addExpr() }
+        eatSym(")")
+        val as = args.result()
+        if (as.size == 1) FnCall(fn, Some(as.head)) else FnCallN(fn, as)
       case Some(TId(_)) =>
         val v = ident()
         if (atSym(".")) { eatSym("."); Prop(v, ident()) } else Ident(v)

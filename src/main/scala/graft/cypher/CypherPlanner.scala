@@ -69,6 +69,8 @@ object CypherPlanner {
       case InList(x, ListLit(items)) => InList(bx(x), ListLit(items.map(bx)))
       case ListLit(items)  => ListLit(items.map(bx))
       case FnCall(n, a, s, d) => FnCall(n, a.map(bx), s, d)
+      case FnCallN(n, as)    => FnCallN(n, as.map(bx))
+      case ListPred(k, v, l, p) => ListPred(k, v, bx(l), bx(p))
       case StrPred(op, l, r) => StrPred(op, bx(l), bx(r))
       case Coalesce(args)  => Coalesce(args.map(bx))
       case CaseExpr(ws, o) => CaseExpr(ws.map { case (c, v) => (bx(c), bx(v)) }, o.map(bx))
@@ -386,6 +388,8 @@ object CypherPlanner {
       case FnCall("labels", arg, _, _) =>
         arg.foreach { case Ident(v) => out += v; case other => walk(other) }
       case FnCall(_, arg, _, _) => arg.foreach(walk)
+      case FnCallN(_, as)      => as.foreach(walk)
+      case ListPred(_, _, l, p) => walk(l); walk(p)
       case Cmp(_, l, r)        => walk(l); walk(r)
       case Arith(_, l, r)      => walk(l); walk(r)
       case And(l, r)           => walk(l); walk(r)
@@ -826,6 +830,10 @@ object CypherPlanner {
     case Arith("-", l, r) => toColumn(l, scalars) - toColumn(r, scalars)
     case Arith("*", l, r) => toColumn(l, scalars) * toColumn(r, scalars)
     case Arith("/", l, r) => toColumn(l, scalars) / toColumn(r, scalars)
+    case Arith("%", l, r) => toColumn(l, scalars) % toColumn(r, scalars)
+    // Neo4j `^` is always floating-point exponentiation
+    case Arith("^", l, r) => pow(toColumn(l, scalars).cast("double"),
+      toColumn(r, scalars).cast("double"))
     case Arith(op, _, _)  => throw new IllegalArgumentException(s"bad operator $op")
     case IsNull(x)        => toColumn(x, scalars).isNull
     case InList(x, ListLit(items)) =>
@@ -845,8 +853,66 @@ object CypherPlanner {
     case FnCall("toupper", Some(a), _, _) => upper(toColumn(a, scalars))
     case FnCall("tolower", Some(a), _, _) => lower(toColumn(a, scalars))
     case FnCall("trim", Some(a), _, _)    => trim(toColumn(a, scalars))
+    // size() is element count for a (statically) list-shaped argument,
+    // character count otherwise — Neo4j's polymorphic size() resolved
+    // at plan time from the expression shape
     case FnCall("size", Some(a), _, _)    =>
-      length(toColumn(a, scalars)).cast("long")
+      if (isListShaped(a)) size(toColumn(a, scalars)).cast("long")
+      else length(toColumn(a, scalars)).cast("long")
+    // math scalars; ceil/floor surface as double (Neo4j returns Float)
+    case FnCall("abs", Some(a), _, _)   => abs(toColumn(a, scalars))
+    case FnCall("ceil", Some(a), _, _)  => ceil(toColumn(a, scalars)).cast("double")
+    case FnCall("floor", Some(a), _, _) => floor(toColumn(a, scalars)).cast("double")
+    case FnCall("round", Some(a), _, _) => round(toColumn(a, scalars), 0)
+    case FnCall("sign", Some(a), _, _)  => signum(toColumn(a, scalars)).cast("long")
+    case FnCall("sqrt", Some(a), _, _)  => sqrt(toColumn(a, scalars))
+    // conversions: toInteger truncates toward zero (Neo4j semantics —
+    // Spark's double→long cast truncates, matching)
+    case FnCall("tointeger", Some(a), _, _) => toColumn(a, scalars).cast("long")
+    case FnCall("tofloat", Some(a), _, _)   => toColumn(a, scalars).cast("double")
+    case FnCall("tostring", Some(a), _, _)  => toColumn(a, scalars).cast("string")
+    case FnCall("reverse", Some(a), _, _)   => reverse(toColumn(a, scalars))
+    case FnCall("head", Some(a), _, _) => element_at(toColumn(a, scalars), 1)
+    case FnCall("last", Some(a), _, _) => element_at(toColumn(a, scalars), -1)
+    case FnCall("tail", Some(a), _, _) =>
+      val c = toColumn(a, scalars)
+      slice(c, lit(2), greatest(size(c) - 1, lit(0)))
+    // substring(s, i[, len]) — Neo4j indexes from 0, SQL from 1
+    case FnCallN("substring", args) if args.size == 2 || args.size == 3 =>
+      val s = toColumn(args(0), scalars)
+      val from = toColumn(args(1), scalars).cast("int") + 1
+      val len = if (args.size == 3) toColumn(args(2), scalars).cast("int")
+        else length(s)
+      substr(s, from, len)
+    case FnCallN("replace", Seq(s0, f0, t0)) =>
+      replace(toColumn(s0, scalars), toColumn(f0, scalars), toColumn(t0, scalars))
+    // split on a LITERAL delimiter (Neo4j splits literally; Spark's
+    // split takes a regex, so the delimiter is quoted)
+    case FnCallN("split", Seq(s0, LitV(d: String))) =>
+      split(toColumn(s0, scalars), java.util.regex.Pattern.quote(d))
+    case FnCallN("left", Seq(s0, n0)) =>
+      substr(toColumn(s0, scalars), lit(1), toColumn(n0, scalars).cast("int"))
+    case FnCallN("right", Seq(s0, n0)) =>
+      val c = toColumn(s0, scalars)
+      val n = toColumn(n0, scalars).cast("int")
+      // start clamps to 1 when n exceeds the length (whole string)
+      substr(c, greatest(length(c) - n + 1, lit(1)), n)
+    case FnCallN("round", Seq(a, LitV(d: Long))) =>
+      round(toColumn(a, scalars), d.toInt)
+    case FnCallN(f, as) => throw new IllegalArgumentException(
+      s"unsupported call $f/${as.size}")
+    // list predicates → codegen'd higher-order functions
+    case ListPred(kind, v, listE, predE) =>
+      val c = toColumn(listE, scalars)
+      def p(x: Column): Column = toColumn(subst(predE, v, x), scalars)
+      kind match {
+        case "any"    => exists(c, p)
+        case "all"    => forall(c, p)
+        case "none"   => !exists(c, p)
+        case "single" => size(filter(c, x => p(x))) === 1
+        case other => throw new IllegalArgumentException(
+          s"bad list predicate $other")
+      }
     // type(r): the relationship's type name — planChain binds it as a
     // hidden `r__@type` column (a literal for typed hops, the union's
     // `__rt` tag for type-less ones; "@" keeps it out of the
@@ -906,6 +972,20 @@ object CypherPlanner {
       s"unbound query parameter $$$n - pass a params map to CypherPlanner.run")
   }
 
+  /** True when `e` is statically known to produce a list value —
+    * drives the polymorphic `size()` resolution. A WITH-bound variable
+    * holding a list is not detectable here (no type inference); size()
+    * of a bound variable treats it as a string.
+    */
+  private def isListShaped(e: CExpr): Boolean = e match {
+    case _: ListLit | _: RangeList | _: ListComp => true
+    case FnCall("collect", _, _, _) => true
+    case FnCall("labels", _, _, _)  => true
+    case FnCall("tail", _, _, _)    => true
+    case FnCallN("split", _)        => true
+    case _                          => false
+  }
+
   /** Substitutes lambda variable `name` with an already-resolved
     * column throughout a sub-expression (respecting inner shadowing by
     * a same-named comprehension/reduce variable).
@@ -927,6 +1007,10 @@ object CypherPlanner {
     case Or(l, r)        => Or(subst(l, name, c), subst(r, name, c))
     case Not(x)          => Not(subst(x, name, c))
     case FnCall(f, a, s, d) => FnCall(f, a.map(subst(_, name, c)), s, d)
+    case FnCallN(f, as)     => FnCallN(f, as.map(subst(_, name, c)))
+    case lp @ ListPred(k, v, l, p) =>
+      if (v == name) lp.copy(list = subst(l, name, c)) // inner shadow
+      else ListPred(k, v, subst(l, name, c), subst(p, name, c))
     case StrPred(op, l, r)  => StrPred(op, subst(l, name, c), subst(r, name, c))
     case Coalesce(xs)    => Coalesce(xs.map(subst(_, name, c)))
     case CaseExpr(ws, o) => CaseExpr(

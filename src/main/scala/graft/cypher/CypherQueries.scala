@@ -204,6 +204,61 @@ object CypherQueries {
         |RETURN toLower(n.name) AS name_lc, size(n.name) AS name_len
         |ORDER BY name_lc""".stripMargin)
 
+  /** Math scalar surface — abs/round/sign/sqrt/floor/ceil/toInteger
+    * plus `%` modulo and `^` exponentiation. All compile to codegen'd
+    * Catalyst arithmetic; the WHERE pushes to the node scan.
+    */
+  def mathFns(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WHERE c.custkey <= 50
+        |RETURN c.custkey AS id,
+        |  abs(c.acctbal) AS abs_bal,
+        |  round(c.acctbal / 100.0, 6) AS bal_h,
+        |  sign(c.acctbal) AS sgn,
+        |  toInteger(sqrt(toFloat(c.custkey)) * 100.0) AS sqrt100,
+        |  c.custkey % 7 AS m7,
+        |  floor(c.acctbal / 1000.0) AS k_floor,
+        |  ceil(c.acctbal / 1000.0) AS k_ceil,
+        |  2.0 ^ 10 AS p2
+        |ORDER BY id""".stripMargin)
+
+  /** Multi-argument string scalars — substring (0-indexed per Neo4j),
+    * replace, split (literal delimiter), left/right, reverse,
+    * toString — every one a built-in Catalyst expression.
+    */
+  def stringFns2(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |RETURN n.name AS nation,
+        |  substring(n.name, 0, 3) AS pre,
+        |  replace(n.name, 'A', '@') AS repl,
+        |  reverse(n.name) AS rev,
+        |  left(n.name, 4) AS l4,
+        |  right(n.name, 2) AS r2,
+        |  size(split(n.name, '_')) AS n_parts,
+        |  toString(n.nationkey) AS key_str
+        |ORDER BY nation""".stripMargin)
+
+  /** List predicates any/all/none/single over a collected list, plus
+    * head/last/tail — all higher-order array functions, evaluated
+    * per-row with no explode/re-aggregate round trip. collect() is
+    * sort_array'd, so head/last are deterministic min/max.
+    */
+  def listPred(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n.name AS nation, collect(c.acctbal) AS bals
+        |RETURN nation,
+        |  any(x IN bals WHERE x < 0.0) AS has_neg,
+        |  all(x IN bals WHERE x > -999.99) AS all_above,
+        |  none(x IN bals WHERE x > 9999.0) AS none_big,
+        |  single(x IN bals WHERE x > 9995.0) AS one_top,
+        |  head(bals) AS min_bal,
+        |  last(bals) AS max_bal,
+        |  size(tail(bals)) AS n_rest
+        |ORDER BY nation""".stripMargin)
+
   /** The full aggregate-function surface in one ungrouped aggregation:
     * count(DISTINCT), min, max, and order-independent avg.
     */

@@ -237,4 +237,31 @@ class CypherParserSpec extends AnyFunSuite {
     val iw = q.clauses.indexWhere(_.isInstanceOf[WithClause])
     assert(q.clauses(iw + 1) == FilterClause(Cmp(">", Ident("cnt"), LitV(3L))))
   }
+
+  test("multi-arg scalar calls, list predicates, unary minus, % and ^") {
+    val q = CypherParser.parse(
+      "MATCH (n:Nation) RETURN substring(n.name, 0, 3) AS pre, " +
+      "replace(n.name, 'A', '@') AS r, abs(n.nationkey) AS a")
+    val items = q.returnClause.items
+    assert(items(0).expr ==
+      FnCallN("substring", Seq(Prop("n", "name"), LitV(0L), LitV(3L))))
+    assert(items(1).expr ==
+      FnCallN("replace", Seq(Prop("n", "name"), LitV("A"), LitV("@"))))
+    // single-arg scalar stays FnCall
+    assert(items(2).expr == FnCall("abs", Some(Prop("n", "nationkey"))))
+
+    val q2 = CypherParser.parse(
+      "MATCH (n:Nation) WHERE any(x IN [1, 2] WHERE x > -1) RETURN n.name")
+    val lp = q2.clauses.collectFirst { case FilterClause(e) => e }.get
+      .asInstanceOf[ListPred]
+    assert(lp.kind == "any" && lp.variable == "x")
+    // unary minus folded into the literal
+    assert(lp.pred == Cmp(">", Ident("x"), LitV(-1L)))
+
+    // % at mul precedence; ^ tighter and right-associative
+    val q3 = CypherParser.parse("MATCH (n:Nation) RETURN n.nationkey % 3 + 2 ^ 3 ^ 2 AS v")
+    assert(q3.returnClause.items.head.expr ==
+      Arith("+", Arith("%", Prop("n", "nationkey"), LitV(3L)),
+        Arith("^", LitV(2L), Arith("^", LitV(3L), LitV(2L)))))
+  }
 }

@@ -506,4 +506,47 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(zeros.length.toLong == graft.Tables.customer(spark, TestSpark.sf).count())
     assert(zeros.forall(_.getLong(1) == 0L))
   }
+
+  test("math/string scalar functions evaluate with Neo4j semantics") {
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+      "abs(-2.5) AS a, round(2.345, 2) AS rd, sign(-7) AS sg, " +
+      "toInteger(3.9) AS ti, 17 % 5 AS m, 2 ^ 10 AS p, " +
+      "substring('hello world', 6) AS sub1, substring('hello', 1, 3) AS sub2, " +
+      "replace('banana', 'an', 'AN') AS rep, split('a,b,c', ',') AS sp, " +
+      "left('spark', 2) AS l2, right('spark', 9) AS r9, " +
+      "reverse('abc') AS rev, toString(42) AS ts").collect().head
+    assert(r.getAs[Double]("a") == 2.5)
+    assert(r.getAs[Double]("rd") == 2.35)
+    assert(r.getAs[Long]("sg") == -1L)
+    assert(r.getAs[Long]("ti") == 3L) // truncation toward zero, not rounding
+    assert(r.getAs[Long]("m") == 2L)
+    assert(r.getAs[Double]("p") == 1024.0)
+    assert(r.getAs[String]("sub1") == "world") // 0-indexed start
+    assert(r.getAs[String]("sub2") == "ell")
+    assert(r.getAs[String]("rep") == "bANANa")
+    assert(r.getSeq[String](r.fieldIndex("sp")) == Seq("a", "b", "c"))
+    assert(r.getAs[String]("l2") == "sp")
+    assert(r.getAs[String]("r9") == "spark") // n past length → whole string
+    assert(r.getAs[String]("rev") == "cba")
+    assert(r.getAs[String]("ts") == "42")
+  }
+
+  test("list predicates and head/last/tail over lists") {
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+      "any(x IN [1, 5, 9] WHERE x > 8) AS any_t, " +
+      "all(x IN [1, 5, 9] WHERE x > 0) AS all_t, " +
+      "all(x IN [1, 5, 9] WHERE x > 1) AS all_f, " +
+      "none(x IN [1, 5, 9] WHERE x < 0) AS none_t, " +
+      "single(x IN [1, 5, 9] WHERE x = 5) AS single_t, " +
+      "single(x IN [5, 5, 9] WHERE x = 5) AS single_f, " +
+      "head([3, 1, 2]) AS h, last([3, 1, 2]) AS l, " +
+      "size(tail([3, 1, 2])) AS nt").collect().head
+    assert(r.getAs[Boolean]("any_t") && r.getAs[Boolean]("all_t")
+      && !r.getAs[Boolean]("all_f") && r.getAs[Boolean]("none_t"))
+    assert(r.getAs[Boolean]("single_t") && !r.getAs[Boolean]("single_f"))
+    assert(r.getAs[Long]("h") == 3L && r.getAs[Long]("l") == 2L)
+    assert(r.getAs[Long]("nt") == 2L)
+  }
 }
