@@ -80,6 +80,8 @@ object SparkEntry {
     "events_funnel"     -> (Events.funnel(_, _)),
     "events_retention"  -> (Events.retention(_, _)),
     "events_anomaly"    -> (Events.anomaly(_, _)),
+    "events_asof_join"  -> (Events.asofJoin(_, _)),
+    "events_range_join" -> (Events.rangeJoin(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -327,6 +329,30 @@ object SparkEntry {
         |  CAST(abs(n_events - mean_n) / sd_n > 3.0::DOUBLE AS INT) AS anomalous
         |FROM h JOIN m ON h.event_type = m.event_type
         |ORDER BY window_start, h.event_type""".stripMargin,
+    "events_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id,
+        |    arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  v.view_id, v.ts AS view_ts,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+        |  v.view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "events_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT purchase_id, p.user_id AS user_id, COUNT(*) AS n_events_30m,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value_30m
+        |FROM p JOIN events e ON p.user_id = e.user_id
+        |  AND e.ts >= p.p_ts - INTERVAL 30 MINUTE AND e.ts <= p.p_ts
+        |  AND e.event_id <> p.purchase_id
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

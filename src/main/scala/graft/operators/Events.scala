@@ -144,4 +144,91 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** As-of (point-in-time) join — last-touch attribution: for each
+    * `purchase`, the latest `view` by the same user at or before the
+    * purchase timestamp. Spark has no ASOF JOIN operator; the
+    * scalable spelling is a union-tag + one keyed window, NO join at
+    * all: tag views 0 / purchases 1, sort each user's rows by
+    * (ts, side), and carry the last non-null view columns forward
+    * with `last(_, ignoreNulls).over(w)`. The `side` tie-break makes
+    * a view at exactly the purchase ts count as "at or before".
+    *
+    * 100 TB notes: exactly one exchange on user_id for the window
+    * (the view dedup groupBy pre-shuffles on (user_id, ts), which AQE
+    * coalesces); per-user sorted runs never materialize a join — the
+    * classic sort-merge-asof shape. Skewed users would salt the same
+    * way Skew.saltedAgg does; time-ordered state is O(1) per row
+    * (running last), not O(window).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    // one view row per (user, ts): keep the max event_id (and its
+    // value) so the as-of pick is deterministic under ts collisions
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"),
+        max_by(col("value"), col("event_id")).as("view_value"))
+    val tagged = views
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("view_id"), col("view_value"),
+        lit(null).cast("long").as("purchase_id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("view_id"),
+          lit(null).cast("double").as("view_value"),
+          col("event_id").as("purchase_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("lv_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("lv_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lv_val", last(col("view_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("lv_id").as("view_id"), col("lv_ts").as("view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("lv_ts"))).as("gap_us"),
+        col("lv_val").as("view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Bounded range join (interval join): events inside
+    * [purchase_ts - 30 min, purchase_ts] per (user, purchase) —
+    * "activity in the half hour leading up to the purchase". A naive
+    * inequality join is O(n·m) per user; the scalable spelling is the
+    * BANDED equi-join: bucket both sides by a 30-min time grain, probe
+    * each purchase's bucket and its predecessor (the interval spans at
+    * most 2 grains), equi-join on (user_id, bucket), then apply the
+    * exact range filter. The optimizer sees a plain shuffled equi-join
+    * with a pushed residual — no cross product ever forms.
+    *
+    * 100 TB notes: join keys carry the time grain, so partition
+    * fan-out scales with bucket cardinality (time × users), not event
+    * volume; candidate factor is ≤ 2 buckets per purchase regardless
+    * of data size; AQE handles per-bucket skew.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val grainUs = 30L * 60 * 1000 * 1000 // 30 min in microseconds
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", floor(col("us") / grainUs))
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val probes = purchases
+      .withColumn("bucket", explode(array(
+        floor(col("p_us") / grainUs) - 1, floor(col("p_us") / grainUs))))
+    probes.join(ev, Seq("user_id", "bucket"))
+      .filter(col("us") >= col("p_us") - grainUs && col("us") <= col("p_us")
+        && col("event_id") =!= col("purchase_id"))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_events_30m"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value_30m"))
+      .orderBy(col("purchase_id"))
+  }
 }

@@ -194,4 +194,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"),
       "packing must not funnel through one partition")
   }
+
+  test("as-of join is a keyed window, not a join") {
+    val plan = planOf(operators.Events.asofJoin(spark, TestSpark.sf))
+    // the union-tag spelling must plan ZERO join operators — the
+    // point-in-time pick is a running `last` over per-user sorted runs
+    assert(!plan.contains("Join"), s"asof join must not plan a join:\n$plan")
+    assert(plan.contains("Window"), "expected the running-last window")
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(plan).isDefined,
+      "expected the user-keyed exchange")
+  }
+
+  test("range join is a banded equi-join, no nested loop") {
+    val plan = planOf(operators.Events.rangeJoin(spark, TestSpark.sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded range join must stay an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "expected a hash-keyed equi-join on (user_id, bucket)")
+  }
 }
