@@ -73,6 +73,7 @@ object SparkEntry {
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
     "q5_multi_join"     -> (Relational.q5MultiJoin(_, _)),
     "window_topn"       -> (Relational.windowTopn(_, _)),
+    "q_rollup_agg"      -> (Relational.rollupAgg(_, _)),
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
     "skew_salted_agg"   -> (Skew.saltedAgg(_, _)),
@@ -294,6 +295,13 @@ object SparkEntry {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM j)
         |SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
         |FROM r WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n_rows,
+        |CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "copurchase_topk" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders

@@ -130,4 +130,24 @@ object Relational {
         col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
+
+  /** ROLLUP aggregation: per-(flag, status) totals, per-flag
+    * subtotals, and the grand total in ONE pass — Spark's `rollup`
+    * compiles to a single Expand + hash aggregate, so the data is
+    * scanned once and shuffled once for all three grouping levels
+    * (vs three scans for the UNION ALL spelling).
+    * 100 TB notes: Expand multiplies rows 3× BEFORE the partial
+    * aggregate, but the partials collapse to ≤ 3×|groups| rows
+    * map-side (6 flag×status groups), so the exchange still carries
+    * only group rows; grouping_id disambiguates NULL-as-subtotal from
+    * a NULL key value.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 }
