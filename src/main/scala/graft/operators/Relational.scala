@@ -102,11 +102,22 @@ object Relational {
     * items from double-counting a pair within one order.
     */
   def copurchase(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
+    // adjacency-list spelling: one shuffle builds each order's sorted
+    // part set, a nested higher-order transform emits the i<j pairs
+    // in-partition (no self-join), then one pair-keyed shuffle counts.
+    // vs the distinct+self-join plan this drops a whole exchange and
+    // never re-reads lineitem; the quadratic pair fan-out happens
+    // inside the row it belongs to (bounded by order size, ~4 parts),
+    // which is the shape that survives 100 TB order volumes.
+    val parts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    parts
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
