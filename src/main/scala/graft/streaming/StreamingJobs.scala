@@ -148,4 +148,63 @@ object StreamingJobs {
           out.iterator
       }
   }
+
+  final case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  /** Per-user as-of state: the latest view seen so far (micros). */
+  final case class LastView(view_id: Long, tsUs: Long, value: Double)
+  final case class Attribution(
+      purchase_id: Long, user_id: Long, purchase_ts: Timestamp,
+      view_id: Option[Long], view_ts: Option[Timestamp],
+      gap_us: Option[Long], view_value: Option[Double])
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming twin of [[graft.operators.Events.asofJoin]] — as-of
+    * (point-in-time) enrichment as O(1) keyed state instead of the
+    * batch running-last window: state per user is ONE LastView record,
+    * purchases emit immediately with the view that was current at
+    * their event time. Within a batch events are processed in
+    * event-time order with the same (ts, view-first, event_id)
+    * tie-break as the batch window; across batches the state carries
+    * the last view forward. Late views older than an already-emitted
+    * purchase cannot retract it — the streaming-vs-batch tradeoff
+    * shared by every append-mode enrichment.
+    */
+  def asofAttribution(events: Dataset[TypedEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastView, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TypedEvent], state: GroupState[LastView]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Attribution]()
+          var lv = state.getOption.orNull
+          evs.toSeq
+            .sortBy(e => (micros(e.ts),
+              if (e.event_type == "view") 0 else 1, e.event_id))
+            .foreach { e =>
+              e.event_type match {
+                case "view" =>
+                  val us = micros(e.ts)
+                  // same determinism rule as the batch dedup: later ts
+                  // wins; on a ts tie the larger event_id wins
+                  if (lv == null || us > lv.tsUs ||
+                      (us == lv.tsUs && e.event_id > lv.view_id))
+                    lv = LastView(e.event_id, us, e.value)
+                case "purchase" =>
+                  val o = Option(lv)
+                  out += Attribution(e.event_id, uid, e.ts,
+                    o.map(_.view_id),
+                    o.map(v => new Timestamp(v.tsUs / 1000L)),
+                    o.map(v => micros(e.ts) - v.tsUs),
+                    o.map(_.value))
+                case _ => () // other event types don't touch the state
+              }
+            }
+          if (lv != null) state.update(lv)
+          out.iterator
+      }
+  }
 }

@@ -131,6 +131,40 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("as-of attribution enriches purchases with the last view, O(1) state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingJobs.TypedEvent
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingJobs.asofAttribution(input.toDS()).writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      input.addData(
+        // user 1: purchase before any view → no attribution
+        TypedEvent(10, ts(0), 1L, "purchase", 5.0),
+        // views at minute 1 and 2; tie at minute 2 → larger id wins
+        TypedEvent(11, ts(1), 1L, "view", 1.0),
+        TypedEvent(12, ts(2), 1L, "view", 2.0),
+        TypedEvent(13, ts(2), 1L, "view", 3.0),
+        TypedEvent(14, ts(5), 1L, "purchase", 7.0),
+        // clicks must not disturb the view state
+        TypedEvent(15, ts(6), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // state carries across batches: a later purchase still sees the
+      // minute-2 view
+      input.addData(TypedEvent(16, ts(9), 1L, "purchase", 9.0))
+      q.processAllAvailable()
+
+      val got = spark.table("attrib").collect().map(r =>
+        (r.getLong(0), r.getAs[Any]("view_id"),
+          r.getAs[Any]("gap_us"))).toSet
+      assert(got == Set(
+        (10L, null, null),
+        (14L, 13L, 3L * 60000000L),  // 3 minutes in micros
+        (16L, 13L, 7L * 60000000L)))
+    } finally q.stop()
+  }
+
   test("quality router gates and splits a stream exactly like the batch operators") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
