@@ -45,6 +45,8 @@ object SparkEntry {
     "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
+    "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
+    "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
     "cypher_untyped_scan"   -> (cypher.CypherQueries.untypedScan(_, _)),
@@ -82,6 +84,8 @@ object SparkEntry {
     "events_retention"  -> (Events.retention(_, _)),
     "events_anomaly"    -> (Events.anomaly(_, _)),
     "events_asof_join"  -> (Events.asofJoin(_, _)),
+    "events_rolling_avg" -> (Events.rollingAvg(_, _)),
+    "pipeline_length_quantiles" -> (Pipeline.lengthQuantiles(_, _)),
     "events_range_join" -> (Events.rangeJoin(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
@@ -337,6 +341,31 @@ object SparkEntry {
         |  CAST(abs(n_events - mean_n) / sd_n > 3.0::DOUBLE AS INT) AS anomalous
         |FROM h JOIN m ON h.event_type = m.event_type
         |ORDER BY window_start, h.event_type""".stripMargin,
+    "events_rolling_avg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w, 6) AS avg_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "pipeline_length_quantiles" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tok
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  round(quantile_cont(n_tok, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_tok, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_tok, 0.75), 6) AS p75,
+        |  round(quantile_cont(n_tok, 0.95), 6) AS p95,
+        |  max(n_tok) AS max_tok
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "events_asof_join" ->
       """WITH v AS (
         |  SELECT user_id, ts, max(event_id) AS view_id,
@@ -632,6 +661,16 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_keys" ->
+      """SELECT n_name AS nation, key FROM nation
+        |CROSS JOIN (SELECT unnest(['name', 'nationkey', 'regionkey']) AS key)
+        |WHERE n_nationkey < 3 ORDER BY nation, key""".stripMargin,
+    "cypher_collect_distinct" ->
+      """SELECT n_name AS nation,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+        |  min(c_mktsegment) AS first_seg
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cypher_math_fns" ->
       """SELECT c_custkey AS id,
         |  abs(c_acctbal) AS abs_bal,

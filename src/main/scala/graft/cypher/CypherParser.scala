@@ -438,7 +438,7 @@ object CypherParser {
       Set("toupper", "tolower", "trim", "size", "id", "type", "labels",
         "length", "abs", "ceil", "floor", "round", "sign", "sqrt",
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
-        "tail", "substring", "replace", "split", "left", "right")
+        "tail", "substring", "replace", "split", "left", "right", "keys")
     private val listPredFns = Set("any", "all", "none", "single")
 
     private def valueExpr(): CExpr = peek match {

@@ -385,7 +385,7 @@ object CypherPlanner {
     val out = scala.collection.mutable.Set[String]()
     def walk(e: CExpr): Unit = e match {
       case Prop(v, _)          => out += v
-      case FnCall("labels", arg, _, _) =>
+      case FnCall("labels" | "keys", arg, _, _) =>
         arg.foreach { case Ident(v) => out += v; case other => walk(other) }
       case FnCall(_, arg, _, _) => arg.foreach(walk)
       case FnCallN(_, as)      => as.foreach(walk)
@@ -457,11 +457,18 @@ object CypherPlanner {
       // every scan carries the node's label list as a hidden `@labels`
       // column (a literal — Catalyst prunes it when labels(n) is never
       // asked for); the union branch tags each table with its own label
+      // keys(n): the property-name list is a per-table literal too —
+      // sorted, excluding the hidden __id (Neo4j returns property
+      // keys, not the internal id)
+      def withMeta(nt: DataFrame, label: String): DataFrame = {
+        val ks = nt.columns.filter(_ != "__id").sorted
+        nt.withColumn("@labels", array(lit(label)))
+          .withColumn("@keys", array(ks.map(lit(_)): _*))
+      }
       var t = np.label match {
-        case Some(label) =>
-          graph.nodeTable(label).withColumn("@labels", array(lit(label)))
+        case Some(label) => withMeta(graph.nodeTable(label), label)
         case None => graph.nodes.toSeq.sortBy(_._1)
-          .map { case (ln, nt) => nt.withColumn("@labels", array(lit(ln))) }
+          .map { case (ln, nt) => withMeta(nt, ln) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       }
       np.props.foreach { case (k, value) => t = t.filter(col(k) === lit(value)) }
@@ -921,6 +928,8 @@ object CypherPlanner {
     // labels(n): the node's label list, bound by every node scan as
     // the hidden `n__@labels` column
     case FnCall("labels", Some(Ident(v)), _, _) => col(s"${v}__@labels")
+    // keys(n): the node's property-name list, a plan-time literal
+    case FnCall("keys", Some(Ident(v)), _, _)   => col(s"${v}__@keys")
     // length(p): relationship count of the named path — planChain
     // accumulates it while joining the chain's hops
     case FnCall("length", Some(Ident(p)), _, _) => col(s"${p}__@len")
@@ -981,6 +990,7 @@ object CypherPlanner {
     case _: ListLit | _: RangeList | _: ListComp => true
     case FnCall("collect", _, _, _) => true
     case FnCall("labels", _, _, _)  => true
+    case FnCall("keys", _, _, _)    => true
     case FnCall("tail", _, _, _)    => true
     case FnCallN("split", _)        => true
     case _                          => false
@@ -1047,8 +1057,10 @@ object CypherPlanner {
     case FnCall("avg", Some(a), _, _) =>
       sum(toColumn(a, scalars).cast("decimal(18,4)")).cast("double") /
         count(toColumn(a, scalars))
-    case FnCall("collect", Some(a), _, _) =>
-      sort_array(collect_list(toColumn(a, scalars)))
+    // collect(DISTINCT x) dedups before the (deterministic) sort
+    case FnCall("collect", Some(a), _, d) =>
+      sort_array(if (d) collect_set(toColumn(a, scalars))
+        else collect_list(toColumn(a, scalars)))
     // sample stddev from exact decimal moments — sqrt((Σx² − (Σx)²/n)
     // / (n−1)) where both sums accumulate in decimal, so parallel
     // combine order cannot perturb the result and the DuckDB oracle

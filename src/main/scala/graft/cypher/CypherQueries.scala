@@ -259,6 +259,31 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** `keys(n)` property-name introspection + UNWIND — the
+    * schema-discovery idiom. The key list is a plan-time literal per
+    * label scan (like `labels(n)`), so it costs nothing at runtime.
+    */
+  def keysOf(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |WHERE n.nationkey < 3
+        |UNWIND keys(n) AS key
+        |RETURN n.name AS nation, key
+        |ORDER BY nation, key""".stripMargin)
+
+  /** `collect(DISTINCT …)` dedup-collect; the result list is consumed
+    * by list functions (reduce/head) rather than returned raw, keeping
+    * the declared output hashable.
+    */
+  def collectDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n.name AS nation, collect(DISTINCT c.mktsegment) AS segs
+        |RETURN nation,
+        |  reduce(acc = 0, s IN segs | acc + 1) AS n_segments,
+        |  head(segs) AS first_seg
+        |ORDER BY nation""".stripMargin)
+
   /** The full aggregate-function surface in one ungrouped aggregation:
     * count(DISTINCT), min, max, and order-independent avg.
     */

@@ -195,6 +195,31 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** Rolling event-time window: each event's trailing-1-hour count
+    * and average value for its user, via a RANGE frame over the
+    * event-time axis (frame membership by timestamp VALUE, not row
+    * position — ties and gaps handled by definition). The decimal
+    * running sum keeps the average order-independent.
+    * 100 TB notes: one exchange on user_id; the range frame is
+    * computed in a single pass over each user's sorted run with a
+    * sliding two-pointer (Spark's bounded-range WindowExec), state
+    * O(window), never O(history).
+    */
+  def rollingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("avg_1h",
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          / col("n_1h"), 6))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("avg_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** Bounded range join (interval join): events inside
     * [purchase_ts - 30 min, purchase_ts] per (user, purchase) —
     * "activity in the half hour leading up to the purchase". A naive

@@ -177,4 +177,31 @@ object Pipeline {
         floor(col("start_off") / budget.toDouble).as("chunk"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source document-length quantiles — the curation dashboard's
+    * "what does each domain's length distribution look like" report.
+    * Exact interpolated percentiles (Spark sorts each group's values);
+    * 6-dp rounding absorbs interpolation ulp differences vs the
+    * oracle's quantile_cont.
+    * 100 TB notes: one shuffle on source (tens of groups); the exact
+    * sort is per-group. At extreme group sizes the approx_percentile
+    * sketch is the drop-in (same call shape, mergeable state, no
+    * group sort) — kept exact here because the oracle must
+    * hash-match.
+    */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), nTok.as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_tok"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("n_tok"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("n_tok"), lit(0.75)), 6).as("p75"),
+        round(percentile(col("n_tok"), lit(0.95)), 6).as("p95"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("source"))
+  }
 }
