@@ -160,6 +160,38 @@ object OracleSql {
     * iterative propagation is the 100 TB formulation).
     */
   def dedupClusters(tau: Double = 0.6): String =
+    clusterCtes(tau) + """
+       |SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Curation verdict, mirroring [[Pipeline.curate]]: the cluster
+    * CTEs above plus the corpus-stats quality keep rule, folded into
+    * one keep/reason row per document.
+    */
+  def curate(tau: Double = 0.6): String =
+    clusterCtes(tau) + """,
+       |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+       |q AS (
+       |  SELECT doc_id,
+       |    ((CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+       |       BETWEEN 5 AND 100000
+       |     AND CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+       |       / greatest(length(text), 1) < 0.2) AS keep_q
+       |  FROM documents)
+       |SELECT q.doc_id AS doc_id,
+       |  CASE WHEN NOT q.keep_q THEN 'quality'
+       |       WHEN q.doc_id <> cl.cluster THEN 'duplicate'
+       |       ELSE 'kept' END AS reason,
+       |  CAST(q.keep_q AND q.doc_id = cl.cluster AS INT) AS keep,
+       |  cl.cluster AS cluster
+       |FROM q JOIN cl ON q.doc_id = cl.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** The shared pair-edge + transitive-closure CTE chain (no final
+    * SELECT) behind [[dedupClusters]] and [[curate]].
+    */
+  private def clusterCtes(tau: Double): String =
     s"""WITH RECURSIVE w AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
        |  FROM documents),
@@ -187,9 +219,7 @@ object OracleSql {
        |reach AS (
        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
        |  UNION
-       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
-       |SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
-       |ORDER BY doc_id""".stripMargin
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)""".stripMargin
 
   /** PageRank with the 10 power iterations unrolled as chained CTEs —
     * identical arithmetic to [[graft.graph.Algorithms.pageRank]]

@@ -86,6 +86,7 @@ object SparkEntry {
     "events_asof_join"  -> (Events.asofJoin(_, _)),
     "events_rolling_avg" -> (Events.rollingAvg(_, _)),
     "pipeline_length_quantiles" -> (Pipeline.lengthQuantiles(_, _)),
+    "pipeline_curate"   -> (Pipeline.curate(_, _)),
     "events_range_join" -> (Events.rangeJoin(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
@@ -126,6 +127,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters"    -> OracleSql.dedupClusters(),
+    "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "pipeline_corpus_stats" ->
       """SELECT

@@ -189,6 +189,35 @@ object Pipeline {
     * group sort) — kept exact here because the oracle must
     * hash-match.
     */
+  /** End-to-end curation decision: composes the quality gate
+    * ([[TextAnalysis.qualityProjection]]) with duplicate clustering
+    * ([[Dedup.dedupClusters]]) into one keep/drop verdict per
+    * document with a reason — the last step of a corpus pipeline,
+    * where per-doc signals become the actual train-set membership.
+    * Rules: quality failure drops first; then any non-canonical
+    * cluster member (canonical = min doc_id in its duplicate
+    * cluster, chosen before the quality gate so the survivor set is
+    * stable under gate-threshold changes).
+    * 100 TB notes: adds exactly one doc_id-keyed join on top of its
+    * two inputs — the quality side is a stateless scan projection,
+    * so the composition's cost IS the clustering cost.
+    */
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = graft.operators.TextAnalysis
+      .qualityProjection(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("keep").as("keep_q"))
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+    q.join(clusters, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("keep_q") === 0, lit("quality"))
+          .when(col("doc_id") =!= col("cluster"), lit("duplicate"))
+          .otherwise(lit("kept")).as("reason"),
+        (col("keep_q") === 1 && col("doc_id") === col("cluster"))
+          .cast("int").as("keep"),
+        col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val nTok = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
