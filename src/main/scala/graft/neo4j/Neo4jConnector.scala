@@ -19,9 +19,13 @@ final case class Neo4jConfig(
     username: Option[String] = None,
     password: Option[String] = None,
     connectTimeoutMs: Int = 1000,
-    readTimeoutMs: Int = 1000) {
+    readTimeoutMs: Int = 1000,
+    maxRetries: Int = 3,
+    retryBackoffMs: Int = 100) {
   require(restUri != null && restUri.nonEmpty, "No Rest URI was supplied.")
   require(query != null && query.nonEmpty, "No Cypher statement was supplied.")
+  require(maxRetries >= 0, "maxRetries must be >= 0")
+  require(retryBackoffMs >= 0, "retryBackoffMs must be >= 0")
 
   def endpoint: String =
     (if (restUri.endsWith("/")) restUri else restUri + "/") + TransactionUri
@@ -46,18 +50,54 @@ private[neo4j] object Http {
       .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs.toLong))
       .build()
 
+  /** Status codes worth retrying: rate-limit and server-side
+    * transients. 4xx client errors (bad query, auth) fail fast.
+    */
+  private val Retryable = Set(429, 500, 502, 503, 504)
+
+  /** POST with bounded deterministic exponential backoff (base ×2 per
+    * attempt, no jitter — reproducible tests beat decorrelation at
+    * this fan-in). Retries connect/IO failures and [[Retryable]]
+    * statuses up to `cfg.maxRetries` times. NOTE the transactional
+    * endpoint commits per request, so a retried WRITE whose first
+    * response was lost after the server committed is at-least-once —
+    * same contract as re-running a failed reference output-format
+    * task; idempotent statements (MERGE) make it effectively-once.
+    */
   def post(cfg: Neo4jConfig, payload: String): HttpResponse[java.io.InputStream] = {
-    val b = HttpRequest.newBuilder(URI.create(cfg.endpoint))
-      .timeout(Duration.ofMillis(cfg.readTimeoutMs.toLong))
-      .header("Content-Type", "application/json;charset=UTF-8")
-      .header("Accept", "application/json")
-      .header("X-Stream", "true")
-      .POST(HttpRequest.BodyPublishers.ofString(payload))
-    cfg.authHeader.foreach(a => b.header("Authorization", a))
-    val resp = client(cfg).send(b.build(), HttpResponse.BodyHandlers.ofInputStream())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"Server returned status [${resp.statusCode()}]")
-    resp
+    var attempt = 0
+    while (true) {
+      val outcome: Either[Throwable, HttpResponse[java.io.InputStream]] =
+        try {
+          val b = HttpRequest.newBuilder(URI.create(cfg.endpoint))
+            .timeout(Duration.ofMillis(cfg.readTimeoutMs.toLong))
+            .header("Content-Type", "application/json;charset=UTF-8")
+            .header("Accept", "application/json")
+            .header("X-Stream", "true")
+            .POST(HttpRequest.BodyPublishers.ofString(payload))
+          cfg.authHeader.foreach(a => b.header("Authorization", a))
+          val resp = client(cfg).send(b.build(),
+            HttpResponse.BodyHandlers.ofInputStream())
+          if (resp.statusCode() == 200) Right(resp)
+          else {
+            try resp.body().close() catch { case _: java.io.IOException => () }
+            val e = new java.io.IOException(
+              s"Server returned status [${resp.statusCode()}]")
+            if (Retryable(resp.statusCode())) Left(e) else throw e
+          }
+        } catch {
+          case io: java.io.IOException if !io.getMessage.startsWith("Server returned") =>
+            Left(io) // connect refused / reset / timeout — transient
+        }
+      outcome match {
+        case Right(resp) => return resp
+        case Left(e) =>
+          if (attempt >= cfg.maxRetries) throw e
+          Thread.sleep(cfg.retryBackoffMs.toLong << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 

@@ -29,6 +29,9 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var uri: String = _
   private val received = new ConcurrentLinkedQueue[String]()
+  private val flakyFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val flakyRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val badreqRequests = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress(0), 0)
@@ -46,6 +49,31 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/broken/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         ex.sendResponseHeaders(500, -1)
+        ex.close()
+      }
+    })
+    // flaky endpoint: 503 until `flakyFailures` hits 0, then the
+    // canned result — exercises the retry loop's recovery path
+    server.createContext("/flaky/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        flakyRequests.incrementAndGet()
+        if (flakyFailures.getAndDecrement() > 0) {
+          ex.sendResponseHeaders(503, -1)
+          ex.close()
+        } else {
+          val resp = cannedResponse.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, resp.length.toLong)
+          ex.getResponseBody.write(resp)
+          ex.close()
+        }
+      }
+    })
+    // client-error endpoint: 400 must never be retried
+    server.createContext("/badreq/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        badreqRequests.incrementAndGet()
+        ex.sendResponseHeaders(400, -1)
         ex.close()
       }
     })
@@ -145,6 +173,36 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Neo4jReader.read(TestSpark.spark, cfg,
         StructType(Seq(StructField("x", IntegerType)))))
     assert(ex.getMessage.contains("500"))
+  }
+
+  test("transient 503s are retried with backoff until success") {
+    val base = s"http://localhost:${server.getAddress.getPort}/flaky/"
+    flakyFailures.set(2); flakyRequests.set(0)
+    val cfg = Neo4jConfig(base, "MATCH (n:User) RETURN id(n), n.name, n.born",
+      retryBackoffMs = 1)
+    val df = Neo4jReader.read(TestSpark.spark, cfg, StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("born", IntegerType), StructField("score", DoubleType),
+      StructField("flag", BooleanType), StructField("missing", StringType))))
+    assert(df.count() == 3) // two 503s absorbed, third attempt served
+    assert(flakyRequests.get() == 3)
+    // with retries disabled the first 503 is fatal
+    flakyFailures.set(2); flakyRequests.set(0)
+    val ex = intercept[java.io.IOException](
+      Neo4jReader.read(TestSpark.spark, cfg.copy(maxRetries = 0),
+        StructType(Seq(StructField("x", IntegerType)))))
+    assert(ex.getMessage.contains("503") && flakyRequests.get() == 1)
+  }
+
+  test("4xx client errors fail fast, never retried") {
+    val base = s"http://localhost:${server.getAddress.getPort}/badreq/"
+    badreqRequests.set(0)
+    val ex = intercept[java.io.IOException](
+      Neo4jReader.read(TestSpark.spark,
+        Neo4jConfig(base, "MATCH (n) RETURN n", retryBackoffMs = 1),
+        StructType(Seq(StructField("x", IntegerType)))))
+    assert(ex.getMessage.contains("400"))
+    assert(badreqRequests.get() == 1, "a 400 must not be retried")
   }
 
   test("writer batches per partition with bounded batch size") {
