@@ -117,6 +117,41 @@ object OracleSql {
        |SELECT doc_id, fingerprint FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact-substring dup candidates, mirroring [[Dedup.substringDup]]:
+    * same per-gram rolling hashes as [[fingerprint]], but instead of
+    * xor-folding the window minima it extracts the SELECTED gram
+    * substrings (every argmin position per window), then counts
+    * gram-sharing pairs under the same hot-gram cap.
+    */
+  def substringDup(k: Int = 8, w: Int = 16, minShared: Int = 3,
+      dfCap: Int = 20): String = {
+    val M = 1L << 40
+    s"""WITH h AS (
+       |  SELECT doc_id, text,
+       |    list_transform(range(1, greatest(len(text)-$k+1, 0)+1),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range(i, i+$k),
+       |               j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |           (acc, c) -> (acc*1000003+c)%$M)) AS hs
+       |  FROM documents),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, unnest(flatten(
+       |    list_transform(range(0, (len(hs)+${w - 1})//$w), b ->
+       |      list_transform(
+       |        list_filter(range(b*$w+1, least((b+1)*$w, len(hs))+1),
+       |          p -> hs[p] = list_min(hs[b*$w+1 : least((b+1)*$w, len(hs))])),
+       |        p -> substr(text, CAST(p AS INT), $k))))) AS g
+       |  FROM h WHERE len(hs) > 0),
+       |cold AS (SELECT g FROM sel GROUP BY g HAVING COUNT(*) <= $dfCap),
+       |s2 AS (SELECT doc_id, g FROM sel JOIN cold USING (g)),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+       |  FROM s2 a JOIN s2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= $minShared
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Language ID, mirroring [[TextAnalysis.langId]]: CJK presence →
     * zh, else argmax of stopword hits with ties to the earlier
     * language code (the cascade checks codes in sorted order, so a

@@ -91,6 +91,7 @@ object SparkEntry {
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "dedup_substring"     -> (Dedup.substringDup(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
@@ -242,6 +243,7 @@ object SparkEntry {
         |FROM t, g
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
+    "dedup_substring"   -> OracleSql.substringDup(),
     "embed_kmeans"      -> OracleSql.kmeans(),
     "embed_dim_stats" ->
       """WITH e AS (

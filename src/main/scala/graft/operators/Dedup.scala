@@ -29,6 +29,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("keep_doc_id"))
 
+  /** Exact-substring duplicate candidates (the Lee et al. 2021
+    * "Deduplicating Training Data" failure mode that document-level
+    * hashing misses: long verbatim passages inside otherwise-distinct
+    * documents). Candidate generator = winnowing
+    * ([[TextAnalysis.winnowSelectedGrams]]): any shared exact
+    * substring of ≥ k+w-1 code points forces a shared SELECTED k-gram,
+    * so pairs sharing ≥ `minShared` selected grams are passage-dup
+    * candidates. Inverted-index join on the gram string; grams seen in
+    * > `dfCap` docs are dropped (boilerplate cannot decide a pair and
+    * is a quadratic bucket).
+    * 100 TB notes: selected grams are a ~1/w sample of each doc
+    * (winnowing's density bound), so the exchange carries ~len/16
+    * short strings per doc, never the text; the hot-gram cap bounds
+    * every join bucket; pair counting is one keyed shuffle.
+    */
+  def substringDup(spark: SparkSession, sfDir: String, minShared: Int = 3,
+      dfCap: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextAnalysis.winnowSelectedGrams(t).map(g => (id, g)) }
+      .toDF("doc_id", "g")
+    val hot = sel.groupBy(col("g")).count().filter(col("count") > dfCap)
+    val pruned = sel.join(broadcast(hot.select(col("g"))), Seq("g"), "left_anti")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Lower-cased word array of a document, the shared tokenization for
     * all near-dup operators (also mirrored in the DuckDB oracle).
     */

@@ -221,6 +221,26 @@ object TextAnalysis {
   def winnowFingerprint(text: String, k: Int = 8, w: Int = 16): Long = {
     val s = text.codePoints().toArray
     if (s.length < k) return 0L
+    val hashes = winnowHashes(s, k)
+    val n = hashes.length
+    var fp = 0L
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + w, n)
+      var m = hashes(start)
+      var j = start + 1
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      fp ^= m
+      start += w
+    }
+    fp
+  }
+
+  /** Rolling poly-1000003 mod 2^40 hash of every k-gram of the
+    * code-point array — shared by [[winnowFingerprint]] and
+    * [[winnowSelectedGrams]] so both derive from identical values.
+    */
+  private[operators] def winnowHashes(s: Array[Int], k: Int): Array[Long] = {
     val M = (1L << 40) - 1 // h & M == h mod 2^40
     val B = 1000003L
     val n = s.length - k + 1
@@ -240,17 +260,36 @@ object TextAnalysis {
       hashes(i) = h
       i += 1
     }
-    var fp = 0L
+    hashes
+  }
+
+  /** The winnow-SELECTED k-gram substrings of a document (every
+    * argmin position of each window, deduped). Winnowing's guarantee
+    * (Schleimer et al., SIGMOD 2003, /root/reference has no analog):
+    * two documents sharing any exact substring of length ≥ k+w-1
+    * share at least one selected gram — the candidate generator for
+    * exact-substring dedup.
+    */
+  def winnowSelectedGrams(text: String, k: Int = 8, w: Int = 16): Array[String] = {
+    val s = text.codePoints().toArray
+    if (s.length < k) return Array.empty
+    val hashes = winnowHashes(s, k)
+    val n = hashes.length
+    val sel = scala.collection.mutable.SortedSet[String]()
     var start = 0
     while (start < n) {
       val end = math.min(start + w, n)
       var m = hashes(start)
       var j = start + 1
       while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      fp ^= m
+      j = start
+      while (j < end) {
+        if (hashes(j) == m) sel += new String(s, j, k)
+        j += 1
+      }
       start += w
     }
-    fp
+    sel.toArray
   }
 
   /** Top-`m` TF-IDF terms per document — the keyword-extraction /

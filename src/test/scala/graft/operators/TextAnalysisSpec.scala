@@ -19,6 +19,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.count() == graft.Tables.documents(spark, TestSpark.sf).count())
   }
 
+  test("winnowing guarantee: a shared k+w-1 substring forces a shared selected gram") {
+    // two otherwise-unrelated documents embedding the same 23-char
+    // (= k+w-1 for k=8, w=16) passage MUST share a selected gram —
+    // this is the Schleimer et al. detection bound substringDup
+    // candidates rely on
+    val passage = "zqxvkwjmplfrtbndhgycsue" // 23 chars, no repeats
+    val a = TextAnalysis.winnowSelectedGrams("AAAA " + passage + " BBBBBBBBBBBB")
+    val b = TextAnalysis.winnowSelectedGrams("CCCCCCCCCCCCCC " + passage + " DD")
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+    // below the k-gram size nothing is selected
+    assert(TextAnalysis.winnowSelectedGrams("short").isEmpty)
+    // selection is a subset of the doc's k-grams, deduped and sorted
+    val g = TextAnalysis.winnowSelectedGrams(passage + passage)
+    assert(g.distinct.length == g.length && g.sorted.sameElements(g))
+    assert(g.forall(_.length == 8))
+  }
+
   test("quality metrics are internally consistent") {
     val rows = TextAnalysis.quality(spark, TestSpark.sf).collect()
     rows.foreach { r =>
