@@ -263,5 +263,18 @@ class CypherParserSpec extends AnyFunSuite {
     assert(q3.returnClause.items.head.expr ==
       Arith("+", Arith("%", Prop("n", "nationkey"), LitV(3L)),
         Arith("^", LitV(2L), Arith("^", LitV(3L), LitV(2L)))))
+
+    // malformed spellings fail loudly, not silently
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (n:Nation) RETURN any(x IN [1,2]) AS a")) // missing WHERE
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (n:Nation) RETURN substring(n.name,) AS s")) // dangling comma
+    // an unknown multi-arg call shape is rejected by the planner
+    intercept[IllegalArgumentException] {
+      graft.cypher.CypherPlanner.plan(
+        graft.graph.GraphLoader.tpch(graft.TestSpark.spark, graft.TestSpark.sf),
+        CypherParser.parse("MATCH (n:Nation) RETURN split(n.name, 'A', 'B') AS s"))
+        .collect()
+    }
   }
 }
