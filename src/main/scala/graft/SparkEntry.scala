@@ -46,6 +46,7 @@ object SparkEntry {
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
+    "cypher_return_star"    -> (cypher.CypherQueries.returnStar(_, _)),
     "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
@@ -665,6 +666,10 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_return_star" ->
+      """SELECT CAST(r_regionkey * 10 AS BIGINT) AS k10, r_name AS "r.name",
+        |CAST(r_regionkey AS BIGINT) AS "r.regionkey"
+        |FROM region ORDER BY k10""".stripMargin,
     "cypher_keys" ->
       """SELECT n_name AS nation, key FROM nation
         |CROSS JOIN (SELECT unnest(['name', 'nationkey', 'regionkey']) AS key)

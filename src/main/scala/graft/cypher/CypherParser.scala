@@ -189,7 +189,10 @@ object CypherParser {
       val distinct = atKw("DISTINCT")
       if (distinct) eatKw("DISTINCT")
       val items = Seq.newBuilder[ReturnItem]
-      items += returnItem()
+      // `RETURN *` / `WITH *` (optionally `*, more items`): the star
+      // is a planner-expanded placeholder for every bound variable
+      if (atSym("*")) { eatSym("*"); items += ReturnItem(Ident("*"), None) }
+      else items += returnItem()
       while (atSym(",")) { eatSym(","); items += returnItem() }
       (distinct, items.result())
     }

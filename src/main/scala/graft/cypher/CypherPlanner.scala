@@ -247,7 +247,8 @@ object CypherPlanner {
     * grouping keys (Cypher implicit grouping) and the trailing WHERE
     * is a HAVING.
     */
-  private def planWith(s: Scope, w: WithClause): Scope = {
+  private def planWith(s: Scope, w0: WithClause): Scope = {
+    val w = w0.copy(items = expandStar(s, w0.items))
     val (aggs, keys) = w.items.partition(i => isAggregate(i.expr))
     val nodeKeeps = keys.collect {
       case ReturnItem(Ident(v), None) if s.nodeVars(v) => v
@@ -286,7 +287,21 @@ object CypherPlanner {
       (scalarItems.map(_.name) ++ aggs.map(_.name)).toSet)
   }
 
-  private def planReturn(s: Scope, q0: ReturnClause): DataFrame = {
+  /** `*` placeholder (RETURN * / WITH *) → every bound scalar then
+    * every bound node variable, name-sorted (Neo4j's column order is
+    * also deterministic by name). Node variables then expand to
+    * whole-node projections downstream.
+    */
+  private def expandStar(s: Scope, items: Seq[ReturnItem]): Seq[ReturnItem] =
+    items.flatMap {
+      case ReturnItem(Ident("*"), None) =>
+        s.scalars.toSeq.sorted.map(n => ReturnItem(Ident(n), None)) ++
+          s.nodeVars.toSeq.sorted.map(v => ReturnItem(Ident(v), None))
+      case other => Seq(other)
+    }
+
+  private def planReturn(s: Scope, q00: ReturnClause): DataFrame = {
+    val q0 = q00.copy(items = expandStar(s, q00.items))
     // bare `RETURN n` for a bound pattern variable returns the whole
     // node: expand to one output column per property, named `n.prop`
     // (the tabular spelling of Neo4j's node value; ids stay behind

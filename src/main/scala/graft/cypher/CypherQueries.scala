@@ -259,6 +259,17 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** `WITH *` carry-all + `RETURN *` projection of every binding —
+    * the star expands at plan time to name-sorted bound variables
+    * (scalars first, then whole-node expansions).
+    */
+  def returnStar(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (r:Region)
+        |WITH *, r.regionkey * 10 AS k10
+        |RETURN *
+        |ORDER BY k10""".stripMargin)
+
   /** `keys(n)` property-name introspection + UNWIND — the
     * schema-discovery idiom. The key list is a plan-time literal per
     * label scan (like `labels(n)`), so it costs nothing at runtime.
