@@ -47,6 +47,7 @@ object SparkEntry {
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
     "cypher_return_star"    -> (cypher.CypherQueries.returnStar(_, _)),
+    "cypher_simple_case"    -> (cypher.CypherQueries.simpleCase(_, _)),
     "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
@@ -666,6 +667,11 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_simple_case" ->
+      """SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 'b2b'
+        |  WHEN 'MACHINERY' THEN 'b2b' ELSE 'other' END AS channel,
+        |COUNT(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY channel""".stripMargin,
     "cypher_return_star" ->
       """SELECT CAST(r_regionkey * 10 AS BIGINT) AS k10, r_name AS "r.name",
         |CAST(r_regionkey AS BIGINT) AS "r.regionkey"

@@ -456,9 +456,17 @@ object CypherParser {
         Coalesce(args.result())
       case Some(t) if isKw(t, "CASE") =>
         eatKw("CASE")
+        // simple form `CASE scrut WHEN v THEN …` desugars to the
+        // searched form with `scrut = v` conditions
+        val scrut = if (atKw("WHEN")) None else Some(addExpr())
         val whens = Seq.newBuilder[(CExpr, CExpr)]
         while (atKw("WHEN")) {
-          eatKw("WHEN"); val c = expr(); eatKw("THEN"); whens += ((c, addExpr()))
+          eatKw("WHEN")
+          val c0 = scrut match {
+            case None    => expr()
+            case Some(x) => Cmp("=", x, addExpr())
+          }
+          eatKw("THEN"); whens += ((c0, addExpr()))
         }
         val otherwise = if (atKw("ELSE")) { eatKw("ELSE"); Some(addExpr()) } else None
         eatKw("END")

@@ -259,6 +259,19 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** Simple-form CASE (`CASE x WHEN v THEN …`), desugared by the
+    * parser to the searched form with equality conditions.
+    */
+  def simpleCase(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN CASE c.mktsegment
+        |         WHEN 'BUILDING' THEN 'b2b'
+        |         WHEN 'MACHINERY' THEN 'b2b'
+        |         ELSE 'other' END AS channel,
+        |  count(*) AS n
+        |ORDER BY channel""".stripMargin)
+
   /** `WITH *` carry-all + `RETURN *` projection of every binding —
     * the star expands at plan time to name-sorted bound variables
     * (scalars first, then whole-node expansions).
