@@ -48,6 +48,7 @@ object SparkEntry {
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
     "cypher_return_star"    -> (cypher.CypherQueries.returnStar(_, _)),
     "cypher_simple_case"    -> (cypher.CypherQueries.simpleCase(_, _)),
+    "cypher_multi_type"     -> (cypher.CypherQueries.multiType(_, _)),
     "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
@@ -667,6 +668,13 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_multi_type" ->
+      """SELECT n_name AS nation, rel_type, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk, 'FROM_NATION' AS rel_type FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey, 'SUPP_NATION' FROM supplier)
+        |JOIN nation ON nk = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, rel_type""".stripMargin,
     "cypher_simple_case" ->
       """SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 'b2b'
         |  WHEN 'MACHINERY' THEN 'b2b' ELSE 'other' END AS channel,

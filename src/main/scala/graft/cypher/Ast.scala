@@ -118,12 +118,17 @@ object Ast {
       label: Option[String],
       props: Map[String, Any])
 
+  /** `altTypes` holds the 2nd..nth alternatives of a multi-type
+    * relationship `-[:A|B|C]->` (relType holds the first; empty for
+    * single-type and type-less patterns).
+    */
   final case class RelPattern(
       variable: Option[String],
       relType: Option[String],
       direction: Direction,
       varLength: Option[(Int, Int)],
-      props: Map[String, Any] = Map.empty)
+      props: Map[String, Any] = Map.empty,
+      altTypes: Seq[String] = Nil)
 
   /** A linear pattern chain: start node then (rel, node) hops.
     * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for

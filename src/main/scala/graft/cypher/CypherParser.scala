@@ -269,6 +269,15 @@ object CypherParser {
         case _            => None
       }
       val relType = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      // multi-type alternatives `:A|B` (also `:A|:B`)
+      val altTypes = Seq.newBuilder[String]
+      if (relType.isDefined)
+        while (atSym("|")) {
+          eatSym("|")
+          if (atSym(":")) eatSym(":")
+          altTypes += ident()
+        }
+      val alts = altTypes.result()
       // all Cypher range spellings: *  *2  *1..3  *..3  *2..
       // (missing lower bound → 1; missing upper bound → the planner's
       // supported cap; bare number → exactly that many hops)
@@ -307,12 +316,12 @@ object CypherParser {
       direction match {
         case In =>
           eatSym("-")
-          RelPattern(variable, relType, In, varLength, props)
+          RelPattern(variable, relType, In, varLength, props, alts)
         case _ =>
           if (atSym("->")) {
-            eatSym("->"); RelPattern(variable, relType, Out, varLength, props)
+            eatSym("->"); RelPattern(variable, relType, Out, varLength, props, alts)
           } else if (atSym("-")) {
-            eatSym("-"); RelPattern(variable, relType, Both, varLength, props)
+            eatSym("-"); RelPattern(variable, relType, Both, varLength, props, alts)
           } else throw new IllegalArgumentException(
             "expected -> or - to close the relationship pattern")
       }

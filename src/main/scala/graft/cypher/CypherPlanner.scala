@@ -513,9 +513,12 @@ object CypherPlanner {
     // equal, so a hop needs an edge identity only when another hop of
     // the same chain could bind the same edge: same type, or either
     // hop type-less.
-    val hopTypes = chain.hops.map(_._1.relType)
-    def typesOverlap(a: Option[String], b: Option[String]): Boolean =
-      a.isEmpty || b.isEmpty || a == b
+    val hopTypes: Seq[Option[Set[String]]] = chain.hops.map { h =>
+      if (h._1.relType.isEmpty) None
+      else Some((h._1.relType.toSeq ++ h._1.altTypes).toSet)
+    }
+    def typesOverlap(a: Option[Set[String]], b: Option[Set[String]]): Boolean =
+      a.isEmpty || b.isEmpty || a.get.intersect(b.get).nonEmpty
     val chainEidAt: Seq[Boolean] = hopTypes.zipWithIndex.map { case (t, i) =>
       hopTypes.zipWithIndex.exists { case (u, j) => j != i && typesOverlap(t, u) }
     }
@@ -543,7 +546,16 @@ object CypherPlanner {
       // difference between scanning two small tables and every edge
       // list in the graph.
       val relBase = rel.relType match {
-        case Some(t) => graph.relTable(t)
+        case Some(t) if rel.altTypes.isEmpty => graph.relTable(t)
+        // multi-type `-[:A|B]->`: union of exactly the listed edge
+        // tables, edges only, each branch tagged for type(r)/identity
+        case Some(t) =>
+          require(rel.props.isEmpty,
+            "a property map on a multi-type relationship is unsupported")
+          (t +: rel.altTypes).distinct.sorted
+            .map(tn => graph.relTable(tn)
+              .select(col("__src"), col("__dst"), lit(tn).as("__rt")))
+            .reduce(_.unionByName(_))
         case None =>
           require(rel.props.isEmpty,
             "a property map on a type-less relationship is unsupported")
@@ -575,7 +587,8 @@ object CypherPlanner {
       // columns as `rv__prop` (Neo4j relationship properties);
       // var-length paths have no single edge to take properties from
       val relPropCols = rel.variable match {
-        case Some(rv) if rel.varLength.isEmpty && rel.relType.isDefined =>
+        case Some(rv) if rel.varLength.isEmpty && rel.relType.isDefined &&
+            rel.altTypes.isEmpty =>
           relBase.columns.toSeq
             .filterNot(Set("__src", "__dst"))
             .map(c => col(c).as(s"${rv}__$c"))
@@ -587,8 +600,9 @@ object CypherPlanner {
       val relTypeCol = rel.variable match {
         case Some(rv) if rel.varLength.isEmpty =>
           rel.relType match {
-            case Some(t) => Seq(lit(t).as(s"${rv}__@type"))
-            case None    => Seq(col("__rt").as(s"${rv}__@type"))
+            case Some(t) if rel.altTypes.isEmpty =>
+              Seq(lit(t).as(s"${rv}__@type"))
+            case _ => Seq(col("__rt").as(s"${rv}__@type"))
           }
         case _ => Seq.empty
       }

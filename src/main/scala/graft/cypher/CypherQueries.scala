@@ -259,6 +259,16 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** Multi-type relationship `-[:A|B]->`: the hop is the union of
+    * exactly the listed edge tables (not all of them), each branch
+    * tagged for `type(r)`.
+    */
+  def multiType(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (x)-[r:FROM_NATION|SUPP_NATION]->(n:Nation)
+        |RETURN n.name AS nation, type(r) AS rel_type, count(*) AS n
+        |ORDER BY nation, rel_type""".stripMargin)
+
   /** Simple-form CASE (`CASE x WHEN v THEN …`), desugared by the
     * parser to the searched form with equality conditions.
     */
