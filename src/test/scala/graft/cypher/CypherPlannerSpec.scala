@@ -507,6 +507,29 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(zeros.forall(_.getLong(1) == 0L))
   }
 
+  test("multi-type hops: undirected and var-length forms agree with unions") {
+    // undirected multi-type: IN_REGION ∪ NEXT_IN_REGION seen from
+    // Nation in either orientation
+    val multi = run(
+      "MATCH (n:Nation)-[r:IN_REGION|NEXT_IN_REGION]-(x) " +
+      "RETURN type(r) AS t, count(*) AS n ORDER BY t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = Seq("IN_REGION", "NEXT_IN_REGION").map { t =>
+      t -> run(s"MATCH (n:Nation)-[:$t]-(x) RETURN count(*) AS n")
+        .collect().head.getLong(0)
+    }.toMap
+    assert(multi == single.filter(_._2 > 0))
+    // var-length over a multi-type hop expands each step through both
+    // tables; 1-hop slice equals the single-hop union
+    val var1 = run(
+      "MATCH (n:Nation)-[:IN_REGION|NEXT_IN_REGION*1..1]->(x) " +
+      "RETURN count(*) AS n").collect().head.getLong(0)
+    val dir1 = run(
+      "MATCH (n:Nation)-[r:IN_REGION|NEXT_IN_REGION]->(x) " +
+      "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(var1 == dir1)
+  }
+
   test("math/string scalar functions evaluate with Neo4j semantics") {
     val r = run(
       "UNWIND [1] AS one RETURN " +
