@@ -49,6 +49,7 @@ object SparkEntry {
     "cypher_return_star"    -> (cypher.CypherQueries.returnStar(_, _)),
     "cypher_simple_case"    -> (cypher.CypherQueries.simpleCase(_, _)),
     "cypher_multi_type"     -> (cypher.CypherQueries.multiType(_, _)),
+    "cypher_skip_limit"     -> (cypher.CypherQueries.skipLimit(_, _)),
     "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
@@ -668,6 +669,9 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_skip_limit" ->
+      """SELECT c_custkey AS id, c_name AS name FROM customer
+        |ORDER BY id LIMIT 5 OFFSET 10""".stripMargin,
     "cypher_multi_type" ->
       """SELECT n_name AS nation, rel_type, COUNT(*) AS n FROM (
         |  SELECT c_nationkey AS nk, 'FROM_NATION' AS rel_type FROM customer

@@ -259,6 +259,14 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** SKIP + LIMIT pagination (the reference's page-through idiom). */
+  def skipLimit(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN c.custkey AS id, c.name AS name
+        |ORDER BY id
+        |SKIP 10 LIMIT 5""".stripMargin)
+
   /** Multi-type relationship `-[:A|B]->`: the hop is the union of
     * exactly the listed edge tables (not all of them), each branch
     * tagged for `type(r)`.
