@@ -11,8 +11,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // memoized per (session, path): `spark.read.parquet` does file
+  // listing + footer schema inference on EVERY call, which at ~1-10
+  // tables per operator and ~100 operators per bench run is pure
+  // re-derivation of an immutable result. The cached value is only
+  // the lazy DataFrame (a logical plan) — nothing is persisted, so
+  // query isolation and pushdown are untouched.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
@@ -26,19 +36,24 @@ object Tables {
     * timestamp with integer division (a double division would lose
     * precision: epoch-ns ≈ 1.7e18 > 2^53).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    // The flag must be live at execution time (the scan's schema
-    // converter reads it per file), so a save/restore around the read
-    // would break lazy plans. Instead the read happens in a derived
-    // session (shared SparkContext, isolated SQLConf): the caller's
-    // session conf is never mutated.
-    val iso = s.newSession()
-    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(iso, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    // memoized on the CALLER's session: the body spins up a derived
+    // session per call, which would otherwise defeat `apply`'s cache
+    // (a fresh key every time) and leak one cache entry per call
+    cache.computeIfAbsent((s, s"$d/events.parquet#nanos"), _ => {
+      // The flag must be live at execution time (the scan's schema
+      // converter reads it per file), so a save/restore around the read
+      // would break lazy plans. Instead the read happens in a derived
+      // session (shared SparkContext, isolated SQLConf): the caller's
+      // session conf is never mutated.
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = apply(iso, d, "events")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
+    })
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

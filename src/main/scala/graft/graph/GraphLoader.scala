@@ -23,7 +23,18 @@ object GraphLoader {
   val SupplierOffset = 5000000000L
   val PartOffset     = 6000000000L
 
-  def tpch(spark: SparkSession, sfDir: String): PropertyGraph = {
+  // memoized per (session, dir): the graph is a bundle of lazy
+  // DataFrames (nothing persisted), but building it re-derives 14
+  // scans plus windowed edge tables on every Cypher query — pure
+  // plan-construction overhead at the bench's one-query-per-call
+  // cadence.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PropertyGraph]()
+
+  def tpch(spark: SparkSession, sfDir: String): PropertyGraph =
+    cache.computeIfAbsent((spark, sfDir), k => build(k._1, k._2))
+
+  private def build(spark: SparkSession, sfDir: String): PropertyGraph = {
     def id(offset: Long, key: String) = (lit(offset) + col(key).cast("long")).as("__id")
 
     val customer = Tables.customer(spark, sfDir).select(
