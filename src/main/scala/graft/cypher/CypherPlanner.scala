@@ -91,7 +91,27 @@ object CypherPlanner {
     * introduced by WITH/UNWIND (columns named directly).
     */
   private final case class Scope(
-      df: DataFrame, nodeVars: Set[String], scalars: Set[String])
+      df: DataFrame, nodeVars: Set[String], scalars: Set[String],
+      lists: Set[String] = Set.empty) {
+    def binds: Bindings = Bindings(scalars, lists)
+  }
+
+  /** Scalar bindings visible to expression translation: the names
+    * bound by WITH/UNWIND, plus which of them hold LIST values —
+    * tracked through WITH horizons so the polymorphic `size()`
+    * resolves correctly on bound list variables (e.g.
+    * `WITH collect(x) AS xs … RETURN size(xs)`).
+    */
+  private[cypher] final case class Bindings(
+      names: Set[String], lists: Set[String] = Set.empty) {
+    def apply(n: String): Boolean = names(n)
+    def +(n: String): Bindings = Bindings(names + n, lists)
+  }
+  private[cypher] object Bindings {
+    val empty: Bindings = Bindings(Set.empty)
+    /** Convenience for name-only contexts (no list vars known). */
+    def apply(names: Set[String]): Bindings = new Bindings(names, Set.empty)
+  }
 
   def plan(graph: PropertyGraph, q: CypherQuery): DataFrame = {
     // variables whose node-table columns are actually read somewhere —
@@ -117,7 +137,7 @@ object CypherPlanner {
         // outer rows keep their nulls (Cypher semantics).
         var (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet,
           needs = Some(needs))
-        where.foreach(e => odf = odf.filter(toColumn(e, s.scalars)))
+        where.foreach(e => odf = odf.filter(toColumn(e, s.binds)))
         val keys = shared.map(v => s"${v}__id")
         // drop the optional side's duplicate copies of shared-var props
         val dupCols = odf.columns.toSeq.filter(c =>
@@ -131,7 +151,7 @@ object CypherPlanner {
       case UnwindClause(list, alias) =>
         require(s.df == null || !s.df.columns.contains(alias),
           s"UNWIND alias '$alias' collides with an existing binding")
-        val c = explode(toColumn(list, s.scalars)).as(alias)
+        val c = explode(toColumn(list, s.binds)).as(alias)
         val df =
           if (s.df == null)
             graph.nodes.values.head.sparkSession.range(1).select(c)
@@ -170,7 +190,7 @@ object CypherPlanner {
       case other if containsExists(other) =>
         throw new IllegalArgumentException(
           "EXISTS is only supported as a top-level (possibly negated) conjunct")
-      case other => s.df.filter(toColumn(other, s.scalars))
+      case other => s.df.filter(toColumn(other, s.binds))
     }
 
   private def existsJoin(graph: PropertyGraph, s: Scope,
@@ -259,11 +279,11 @@ object CypherPlanner {
     }
     val nodeCols = nodeKeeps.flatMap(v =>
       s.df.columns.filter(_.startsWith(s"${v}__")).map(col))
-    val scalarCols = scalarItems.map(i => toColumn(i.expr, s.scalars).as(i.name))
+    val scalarCols = scalarItems.map(i => toColumn(i.expr, s.binds).as(i.name))
 
     var df =
       if (aggs.nonEmpty) {
-        val aggCols = aggs.map(i => toAggColumn(i.expr, s.scalars).as(i.name))
+        val aggCols = aggs.map(i => toAggColumn(i.expr, s.binds).as(i.name))
         val keyCols = nodeCols ++ scalarCols
         if (keyCols.isEmpty) s.df.agg(aggCols.head, aggCols.tail: _*)
         else s.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -271,20 +291,29 @@ object CypherPlanner {
         val sel = s.df.select(nodeCols ++ scalarCols: _*)
         if (w.distinct) sel.distinct() else sel
       }
-    val newScalars = s.scalars ++ scalarItems.map(_.name) ++ aggs.map(_.name)
-    w.where.foreach(e => df = df.filter(toColumn(e, newScalars)))
+    // which of the new bindings hold lists: a list-shaped expression
+    // (collect/split/comprehension/…) or a carried-through list var
+    def bindsList(e: CExpr): Boolean = isListShaped(e) || (e match {
+      case Ident(n) => s.lists(n)
+      case _        => false
+    })
+    val newLists = (scalarItems ++ aggs)
+      .filter(i => bindsList(i.expr)).map(_.name).toSet
+    val newBinds = Bindings(
+      s.scalars ++ scalarItems.map(_.name) ++ aggs.map(_.name), newLists)
+    w.where.foreach(e => df = df.filter(toColumn(e, newBinds)))
     if (w.orderBy.nonEmpty)
       df = df.orderBy(w.orderBy.map { o =>
         val c = o.expr match {
           case Ident(n) => col(n)
-          case e        => toColumn(e, newScalars)
+          case e        => toColumn(e, newBinds)
         }
         if (o.ascending) c.asc else c.desc
       }: _*)
     w.skip.foreach(n => df = df.offset(n.toInt))
     w.limit.foreach(n => df = df.limit(n.toInt))
     Scope(df, nodeKeeps.toSet,
-      (scalarItems.map(_.name) ++ aggs.map(_.name)).toSet)
+      (scalarItems.map(_.name) ++ aggs.map(_.name)).toSet, newLists)
   }
 
   /** `*` placeholder (RETURN * / WITH *) → every bound scalar then
@@ -346,8 +375,8 @@ object CypherPlanner {
         require(!preSort,
           "ORDER BY with aggregation must reference output columns")
         val (aggs, keys) = q.items.partition(i => isAggregate(i.expr))
-        val keyCols = keys.map(i => toColumn(i.expr, s.scalars).as(i.name))
-        val aggCols = aggs.map(i => toAggColumn(i.expr, s.scalars).as(i.name))
+        val keyCols = keys.map(i => toColumn(i.expr, s.binds).as(i.name))
+        val aggCols = aggs.map(i => toAggColumn(i.expr, s.binds).as(i.name))
         if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           // backticks: whole-node expansion names columns `v.prop`
@@ -361,13 +390,13 @@ object CypherPlanner {
             case Ident(n) if byName.contains(n) => byName(n)
             case e                              => e
           }
-          val c = toColumn(e, s.scalars)
+          val c = toColumn(e, s.binds)
           if (o.ascending) c.asc else c.desc
         }
         df.orderBy(sorts: _*)
-          .select(q.items.map(i => toColumn(i.expr, s.scalars).as(i.name)): _*)
+          .select(q.items.map(i => toColumn(i.expr, s.binds).as(i.name)): _*)
       } else {
-        val sel = df.select(q.items.map(i => toColumn(i.expr, s.scalars).as(i.name)): _*)
+        val sel = df.select(q.items.map(i => toColumn(i.expr, s.binds).as(i.name)): _*)
         if (q.distinct) sel.distinct() else sel
       }
 
@@ -376,7 +405,7 @@ object CypherPlanner {
         val c = o.expr match {
           case Ident(n)                            => col(n)
           case Prop(v, p) if names(s"$v.$p")       => col(s"`$v.$p`")
-          case e                                   => toColumn(e, s.scalars)
+          case e                                   => toColumn(e, s.binds)
         }
         if (o.ascending) c.asc else c.desc
       }
@@ -850,7 +879,7 @@ object CypherPlanner {
     * bare identifiers outside that set are pattern variables and
     * resolve to their node id column.
     */
-  private def toColumn(e: CExpr, scalars: Set[String]): Column = e match {
+  private def toColumn(e: CExpr, scalars: Bindings): Column = e match {
     case Prop(v, p)   => col(s"${v}__$p")
     case Ident(n)     => if (scalars(n)) col(n) else col(s"${n}__id")
     case LitV(x)      => lit(x)
@@ -893,7 +922,11 @@ object CypherPlanner {
     // character count otherwise — Neo4j's polymorphic size() resolved
     // at plan time from the expression shape
     case FnCall("size", Some(a), _, _)    =>
-      if (isListShaped(a)) size(toColumn(a, scalars)).cast("long")
+      val isList = isListShaped(a) || (a match {
+        case Ident(n) => scalars.lists(n)
+        case _        => false
+      })
+      if (isList) size(toColumn(a, scalars)).cast("long")
       else length(toColumn(a, scalars)).cast("long")
     // math scalars; ceil/floor surface as double (Neo4j returns Float)
     case FnCall("abs", Some(a), _, _)   => abs(toColumn(a, scalars))
@@ -1011,9 +1044,9 @@ object CypherPlanner {
   }
 
   /** True when `e` is statically known to produce a list value —
-    * drives the polymorphic `size()` resolution. A WITH-bound variable
-    * holding a list is not detectable here (no type inference); size()
-    * of a bound variable treats it as a string.
+    * drives the polymorphic `size()` resolution together with
+    * [[Bindings.lists]], which tracks WITH-bound variables holding
+    * lists across horizons.
     */
   private def isListShaped(e: CExpr): Boolean = e match {
     case _: ListLit | _: RangeList | _: ListComp => true
@@ -1069,7 +1102,7 @@ object CypherPlanner {
     case other => other // patterns (EXISTS/COUNT) hold no lambda vars
   }
 
-  private def toAggColumn(e: CExpr, scalars: Set[String]): Column = e match {
+  private def toAggColumn(e: CExpr, scalars: Bindings): Column = e match {
     case FnCall("count", _, true, _)       => count(lit(1))
     case FnCall("count", Some(a), _, true) => countDistinct(toColumn(a, scalars))
     case FnCall("count", Some(a), _, _)    => count(toColumn(a, scalars))

@@ -507,6 +507,23 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(zeros.forall(_.getLong(1) == 0L))
   }
 
+  test("size() of a WITH-bound list variable is element count") {
+    val rows = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+      "WITH n.name AS nation, collect(DISTINCT c.mktsegment) AS segs " +
+      "RETURN nation, size(segs) AS n_segs, size(nation) AS n_chars " +
+      "ORDER BY nation").collect()
+    assert(rows.nonEmpty)
+    // list-typed binding → element count; string binding → char count
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 5))
+    assert(rows.forall(r => r.getLong(2) == r.getString(0).length.toLong))
+    // the list-ness survives a second WITH horizon
+    val carried = run(
+      "MATCH (n:Nation) WITH collect(n.name) AS names " +
+      "WITH names AS nms RETURN size(nms) AS n").collect().head.getLong(0)
+    assert(carried == graft.Tables.nation(spark, TestSpark.sf).count())
+  }
+
   test("multi-type hops: undirected and var-length forms agree with unions") {
     // undirected multi-type: IN_REGION ∪ NEXT_IN_REGION seen from
     // Nation in either orientation
