@@ -177,7 +177,9 @@ object CypherPlanner {
     * `NOT EXISTS { pattern }` a left-anti join on the shared
     * variables' ids (no pattern data enters the row — exactly a
     * semi-join's contract); scalar conjuncts stay ordinary filters.
-    * EXISTS under OR/deeper negation is rejected explicitly.
+    * EXISTS under OR/deeper negation materializes as a boolean flag
+    * join instead (general but wider plan — the fast path stays on
+    * plain conjuncts).
     */
   private def applyFilter(graph: PropertyGraph, s: Scope, e: CExpr): DataFrame =
     e match {
@@ -188,8 +190,40 @@ object CypherPlanner {
       case Not(ExistsPattern(chain)) =>
         existsJoin(graph, s, chain, "left_anti")
       case other if containsExists(other) =>
-        throw new IllegalArgumentException(
-          "EXISTS is only supported as a top-level (possibly negated) conjunct")
+        // EXISTS in general boolean context (under OR, XOR-style
+        // combinations, deeper NOT): each pattern materializes as a
+        // boolean flag — the pattern's DISTINCT shared ids LEFT-join
+        // back with `true`, unmatched rows coalesce to false — and the
+        // expression then evaluates as ordinary boolean algebra. The
+        // build side is ≤ |distinct bindings| rows. Top-level
+        // conjuncts never reach here (the semi/anti fast path above
+        // strips them first).
+        var df = s.df
+        var idx = 0
+        val flags = Seq.newBuilder[String]
+        def bind(e2: CExpr): CExpr = e2 match {
+          case ExistsPattern(chain) =>
+            val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
+            require(shared.nonEmpty,
+              "EXISTS pattern must share at least one variable with the outer MATCH")
+            val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+            val keys = shared.map(v => s"${v}__id")
+            val alias = s"__graft_ex_$idx"
+            idx += 1
+            flags += alias
+            df = df.join(
+              odf.select(keys.map(col): _*).distinct()
+                .withColumn(alias, lit(true)),
+              keys, "left")
+            ColRef(coalesce(col(alias), lit(false)))
+          case And(l, r) => And(bind(l), bind(r))
+          case Or(l, r)  => Or(bind(l), bind(r))
+          case Not(x)    => Not(bind(x))
+          case Cmp(op, l, r) => Cmp(op, bind(l), bind(r))
+          case leaf      => leaf
+        }
+        val bound = bind(other)
+        df.filter(toColumn(bound, s.binds)).drop(flags.result(): _*)
       case other => s.df.filter(toColumn(other, s.binds))
     }
 

@@ -507,6 +507,29 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(zeros.forall(_.getLong(1) == 0L))
   }
 
+  test("EXISTS under OR evaluates as a boolean flag, not a reject") {
+    // customers that placed an order OR hold a negative balance —
+    // inexpressible as semi/anti joins alone
+    val viaOr = run(
+      "MATCH (c:Customer) " +
+      "WHERE EXISTS { (o:Order)-[:PLACED_BY]->(c) } OR c.acctbal < 0.0 " +
+      "RETURN count(*) AS n").first().getLong(0)
+    val buyers = run(
+      "MATCH (c:Customer) WHERE EXISTS { (o:Order)-[:PLACED_BY]->(c) } " +
+      "RETURN c.custkey AS id").collect().map(_.getLong(0)).toSet
+    val negs = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") < 0.0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(viaOr == (buyers ++ negs).size)
+    // NOT distributes over the flag too (De Morgan sanity)
+    val notOr = run(
+      "MATCH (c:Customer) " +
+      "WHERE NOT (EXISTS { (o:Order)-[:PLACED_BY]->(c) } OR c.acctbal < 0.0) " +
+      "RETURN count(*) AS n").first().getLong(0)
+    val all = graft.Tables.customer(spark, TestSpark.sf).count()
+    assert(notOr == all - viaOr)
+  }
+
   test("size() of a WITH-bound list variable is element count") {
     val rows = run(
       "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
