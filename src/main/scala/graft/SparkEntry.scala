@@ -50,6 +50,7 @@ object SparkEntry {
     "cypher_simple_case"    -> (cypher.CypherQueries.simpleCase(_, _)),
     "cypher_multi_type"     -> (cypher.CypherQueries.multiType(_, _)),
     "cypher_skip_limit"     -> (cypher.CypherQueries.skipLimit(_, _)),
+    "cypher_count_expr"     -> (cypher.CypherQueries.countExpr(_, _)),
     "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
@@ -669,6 +670,16 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_count_expr" ->
+      """WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer
+        |           GROUP BY 1),
+        |sc AS (SELECT s_nationkey AS nk, COUNT(*) AS n FROM supplier GROUP BY 1)
+        |SELECT n_name AS nation,
+        |  CAST(COALESCE(sc.n, 0) * 10 AS BIGINT) AS supp_x10
+        |FROM nation
+        |JOIN cc ON cc.nk = n_nationkey AND cc.n >= 60
+        |LEFT JOIN sc ON sc.nk = n_nationkey
+        |ORDER BY nation""".stripMargin,
     "cypher_skip_limit" ->
       """SELECT c_custkey AS id, c_name AS name FROM customer
         |ORDER BY id LIMIT 5 OFFSET 10""".stripMargin,

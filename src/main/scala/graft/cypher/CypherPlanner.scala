@@ -189,6 +189,13 @@ object CypherPlanner {
         existsJoin(graph, s, chain, "left_semi")
       case Not(ExistsPattern(chain)) =>
         existsJoin(graph, s, chain, "left_anti")
+      // COUNT { } in a predicate (`WHERE COUNT { … } >= k`): bind the
+      // counts as hidden scalars, filter, then drop them so they never
+      // leak into RETURN * or later horizons
+      case other if containsCountPattern(other) =>
+        val (s2, e2) = bindCounts(graph, s, other)
+        val added = (s2.scalars -- s.scalars).toSeq
+        applyFilter(graph, s2, e2).drop(added: _*)
       case other if containsExists(other) =>
         // EXISTS in general boolean context (under OR, XOR-style
         // combinations, deeper NOT): each pattern materializes as a
@@ -237,38 +244,66 @@ object CypherPlanner {
     s.df.join(odf.select(keys.map(col): _*), keys, joinType)
   }
 
-  /** Materializes `COUNT { pattern }` items before projection: the
-    * subquery plans like EXISTS, but instead of a semi-join the
-    * matches are pre-aggregated to one count per shared-variable
-    * binding and LEFT-joined back (zero-match rows coalesce to 0 —
-    * Cypher's COUNT subquery never drops outer rows). The join's
-    * build side is at most |distinct bindings| rows, and the
+  /** Materializes `COUNT { pattern }` subqueries wherever they appear
+    * in an expression: each pattern's matches pre-aggregate to one
+    * count per shared-variable binding and LEFT-join back (zero-match
+    * rows coalesce to 0 — Cypher's COUNT subquery never drops outer
+    * rows), then the count participates as an ordinary scalar. The
+    * join's build side is at most |distinct bindings| rows, and the
     * eager-count optimizer rule keeps the subquery's own join tree
     * pair-free.
     */
+  private def bindCounts(graph: PropertyGraph, s0: Scope, e0: CExpr)
+      : (Scope, CExpr) = {
+    var scope = s0
+    def rw(e: CExpr): CExpr = e match {
+      case CountPattern(chain) =>
+        val shared = chain.nodeVars.filter(scope.nodeVars.contains).distinct
+        require(shared.nonEmpty,
+          "COUNT { } pattern must share at least one variable with the outer MATCH")
+        val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        val keys = shared.map(v => s"${v}__id")
+        // unique alias against everything already bound in this scope
+        val alias = Iterator.from(0).map(i => s"__graft_psq_$i")
+          .find(a => !scope.df.columns.contains(a)).get
+        val cnts = odf.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(alias))
+        val joined = scope.df.join(cnts, keys, "left")
+          .withColumn(alias, coalesce(col(alias), lit(0L)))
+        scope = Scope(joined, scope.nodeVars, scope.scalars + alias, scope.lists)
+        Ident(alias)
+      case Cmp(op, l, r)   => Cmp(op, rw(l), rw(r))
+      case Arith(op, l, r) => Arith(op, rw(l), rw(r))
+      case And(l, r)       => And(rw(l), rw(r))
+      case Or(l, r)        => Or(rw(l), rw(r))
+      case Not(x)          => Not(rw(x))
+      case IsNull(x)       => IsNull(rw(x))
+      case Coalesce(xs)    => Coalesce(xs.map(rw))
+      case CaseExpr(ws, o) =>
+        CaseExpr(ws.map { case (c, v) => (rw(c), rw(v)) }, o.map(rw))
+      case FnCall(n, a, st, d) => FnCall(n, a.map(rw), st, d)
+      case FnCallN(n, as)  => FnCallN(n, as.map(rw))
+      case leaf            => leaf
+    }
+    // rewrite FIRST: rw mutates `scope`, so the tuple must read it
+    // after the traversal, not before
+    val e2 = if (containsCountPattern(e0)) rw(e0) else e0
+    (scope, e2)
+  }
+
   private def materializeCounts(graph: PropertyGraph, s: Scope,
       items: Seq[ReturnItem]): (Scope, Seq[ReturnItem]) = {
     var scope = s
-    var idx = 0
     val out = items.map { it =>
       it.expr match {
-        case CountPattern(chain) =>
-          val shared = chain.nodeVars.filter(scope.nodeVars.contains).distinct
-          require(shared.nonEmpty,
-            "COUNT { } pattern must share at least one variable with the outer MATCH")
-          val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
-          val keys = shared.map(v => s"${v}__id")
-          val alias = s"__graft_psq_$idx"
-          idx += 1
-          val cnts = odf.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).as(alias))
-          val joined = scope.df.join(cnts, keys, "left")
-            .withColumn(alias, coalesce(col(alias), lit(0L)))
-          scope = Scope(joined, scope.nodeVars, scope.scalars + alias)
-          ReturnItem(Ident(alias), Some(it.alias.getOrElse("count")))
+        case cp: CountPattern => // bare item keeps its `count` default name
+          val (s2, e2) = bindCounts(graph, scope, cp)
+          scope = s2
+          ReturnItem(e2, Some(it.alias.getOrElse("count")))
         case other if containsCountPattern(other) =>
-          throw new IllegalArgumentException(
-            "COUNT { } is only supported as a top-level RETURN/WITH item")
+          val (s2, e2) = bindCounts(graph, scope, other)
+          scope = s2
+          ReturnItem(e2, it.alias)
         case _ => it
       }
     }
@@ -282,6 +317,14 @@ object CypherPlanner {
     case Not(x)           => containsCountPattern(x)
     case Cmp(_, l, r)     => containsCountPattern(l) || containsCountPattern(r)
     case Arith(_, l, r)   => containsCountPattern(l) || containsCountPattern(r)
+    case IsNull(x)        => containsCountPattern(x)
+    case Coalesce(xs)     => xs.exists(containsCountPattern)
+    case CaseExpr(ws, o)  =>
+      ws.exists { case (c, v) =>
+        containsCountPattern(c) || containsCountPattern(v) } ||
+        o.exists(containsCountPattern)
+    case FnCall(_, a, _, _) => a.exists(containsCountPattern)
+    case FnCallN(_, as)   => as.exists(containsCountPattern)
     case _                => false
   }
 

@@ -259,6 +259,18 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** `COUNT { pattern }` beyond the top level: in a WHERE predicate
+    * and inside an arithmetic expression — each subquery binds as a
+    * hidden pre-aggregated scalar.
+    */
+  def countExpr(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |WHERE COUNT { (c:Customer)-[:FROM_NATION]->(n) } >= 60
+        |RETURN n.name AS nation,
+        |  COUNT { (s:Supplier)-[:SUPP_NATION]->(n) } * 10 AS supp_x10
+        |ORDER BY nation""".stripMargin)
+
   /** SKIP + LIMIT pagination (the reference's page-through idiom). */
   def skipLimit(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
