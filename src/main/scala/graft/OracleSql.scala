@@ -60,6 +60,52 @@ object OracleSql {
        |WHERE est_jaccard >= $tau ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Incremental near-dup, mirroring [[Dedup.incrementalDedup]]: the
+    * minhashLsh CTEs with an ASYMMETRIC candidate join (index side =
+    * doc_id % 10 <> 0, delta side = doc_id % 10 = 0) and a best-match
+    * rank per delta doc.
+    */
+  def incrementalDedup(numPerms: Int = 128, bands: Int = 32,
+      tau: Double = 0.6): String = {
+    val r = numPerms / bands
+    s"""WITH $WordsCte,
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(ws)-2, 0)+1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+       |  FROM w WHERE len(ws) >= 3),
+       |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+       |hb AS (SELECT doc_id, ${polySql("g")} AS h0 FROM ex),
+       |perm AS (
+       |  SELECT doc_id, p, MIN(${permSql("p", "h0")}) AS sp
+       |  FROM hb CROSS JOIN (SELECT unnest(range(0, $numPerms)) AS p) pp
+       |  GROUP BY doc_id, p),
+       |sigl AS (SELECT doc_id, list(sp ORDER BY p) AS sig FROM perm GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*$r+1 : b*$r+$r]),
+       |      (acc, x) -> (acc*1000003+x)%$P) AS band_hash
+       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS index_id, y.doc_id AS delta_id
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash
+       |    AND x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+       |eq AS (
+       |  SELECT c.index_id, c.delta_id,
+       |    round(CAST(len(list_filter(range(1, ${numPerms + 1}),
+       |      i -> a.sig[i] = b.sig[i])) AS DOUBLE)/$numPerms, 6) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigl a ON c.index_id = a.doc_id
+       |  JOIN sigl b ON c.delta_id = b.doc_id),
+       |kept AS (SELECT * FROM eq WHERE est_jaccard >= $tau),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY delta_id ORDER BY est_jaccard DESC, index_id) AS rnk
+       |  FROM kept)
+       |SELECT delta_id, index_id, est_jaccard FROM rk WHERE rnk = 1
+       |ORDER BY delta_id""".stripMargin
+  }
+
   /** SimHash near-dup, mirroring [[Dedup.simhashJvm]] +
     * [[Dedup.simhashNearDup]]: 60-bit simhash from token-hash parity
     * sums, 4 × 15-bit pigeonhole blocks, Hamming ≤ 3 verify.

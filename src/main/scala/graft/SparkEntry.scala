@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_substring"     -> (Dedup.substringDup(_, _)),
+    "dedup_incremental"   -> (Dedup.incrementalDedup(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
@@ -249,6 +250,7 @@ object SparkEntry {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
     "dedup_substring"   -> OracleSql.substringDup(),
+    "dedup_incremental" -> OracleSql.incrementalDedup(),
     "embed_kmeans"      -> OracleSql.kmeans(),
     "embed_dim_stats" ->
       """WITH e AS (

@@ -338,6 +338,46 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Incremental near-dup screen: match a NEW batch against the
+    * EXISTING corpus without re-pairing the corpus with itself — the
+    * shape of production ingestion, where the index side's band
+    * hashes are a precomputed artifact and each delta only pays
+    * |delta| signatures plus an asymmetric band join. Here the split
+    * is deterministic (doc_id % 10 == 0 is the incoming batch); the
+    * band join keeps only (index, delta) pairs, so index-index
+    * candidates — the quadratic bulk of a full dedup — never form.
+    * Output: delta docs with their nearest index duplicate.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String, tau: Double = 0.6,
+      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir, numPerms, bands).cache()
+    val isDelta = col("doc_id") % 10 === 0
+    val banded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val cands = banded.filter(!isDelta).as("x")
+      .join(banded.filter(isDelta).as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("index_id"), col("y.doc_id").as("delta_id"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("index_id"), col("sig").as("a_sig")),
+        "index_id")
+      .join(sigs.select(col("doc_id").as("delta_id"), col("sig").as("b_sig")),
+        "delta_id")
+      .withColumn("est_jaccard", round(
+        size(filter_(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          identity(_))).cast("double") / numPerms, 6))
+      .filter(col("est_jaccard") >= tau)
+      // one verdict per incoming doc: its best index match
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("delta_id"))
+          .orderBy(col("est_jaccard").desc, col("index_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("delta_id"), col("index_id"), col("est_jaccard"))
+      .orderBy(col("delta_id"))
+  }
+
   /** SimHash bit width: 60 rather than 64 so every bit constant
     * (1L << b) and block mask stays positive in engines without
     * unsigned 64-bit ints (the DuckDB oracle computes the identical
