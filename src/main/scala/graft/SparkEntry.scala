@@ -75,6 +75,7 @@ object SparkEntry {
     "graph_bfs"             -> (graph.Algorithms.bfsQuery(_, _)),
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
+    "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
@@ -120,6 +121,7 @@ object SparkEntry {
     "sample_stratified"   -> (Pipeline.stratifiedSample(_, _)),
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
     "text_redact"         -> (TextAnalysis.redact(_, _)),
+    "text_domains"        -> (TextAnalysis.domains(_, _)),
     "text_repetition"     -> (TextAnalysis.repetition(_, _)),
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
@@ -180,6 +182,32 @@ object SparkEntry {
         |    AS BIGINT) AS contaminated
         |FROM c LEFT JOIN hit ON c.doc_id = hit.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "graph_neighbor_sim" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 5000000000 + l_suppkey AS supp, 6000000000 + l_partkey AS part
+        |  FROM lineitem),
+        |deg AS (SELECT part, COUNT(*) AS deg FROM e GROUP BY part),
+        |p AS (
+        |  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.supp = b.supp AND a.part < b.part
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b,
+        |  round(CAST(inter AS DOUBLE) / (da.deg + db.deg - inter), 6) AS jaccard,
+        |  inter
+        |FROM p JOIN deg da ON p.part_a = da.part JOIN deg db ON p.part_b = db.part
+        |ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "text_domains" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' see https://site' || (doc_id % 20)
+        |    || '.example.com/p/' || doc_id
+        |    || ' and http://mirror' || (doc_id % 7) || '.example.org' AS text
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        |  FROM aug)
+        |SELECT domain, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_mentions
+        |FROM ex GROUP BY domain ORDER BY domain""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(

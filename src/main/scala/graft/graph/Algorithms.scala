@@ -355,4 +355,34 @@ object Algorithms {
     }
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Neighborhood Jaccard similarity — the classic link-prediction /
+    * entity-resolution feature: for part pairs sharing at least one
+    * supplier, |N(a)∩N(b)| / |N(a)∪N(b)| over SUPPLIES neighborhoods,
+    * top-k. Same inverted-index discipline as the dedup family: pairs
+    * form ONLY through a shared neighbor (supplier), never by
+    * crossing the part list with itself, so candidate volume is
+    * Σ_s deg(s)² — bounded by the hub cap of the degree distribution,
+    * not |parts|².
+    */
+  def neighborSimQuery(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val e = g.relTable("SUPPLIES")
+      .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
+    val deg = e.groupBy(col("part")).agg(count(lit(1)).as("deg"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.supp") === col("b.supp") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(deg.select(col("part").as("part_a"), col("deg").as("deg_a")), "part_a")
+      .join(deg.select(col("part").as("part_b"), col("deg").as("deg_b")), "part_b")
+      .select(col("part_a"), col("part_b"),
+        round(col("inter").cast("double") /
+          (col("deg_a") + col("deg_b") - col("inter")), 6).as("jaccard"),
+        col("inter"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
 }

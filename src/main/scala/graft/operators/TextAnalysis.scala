@@ -153,6 +153,31 @@ object TextAnalysis {
           "[0-9][0-9-]{4,}[0-9]", "<PHONE>").as("text"))
       .orderBy(col("doc_id"))
 
+  /** Source-domain statistics: extract URLs, count documents and
+    * mentions per domain — the provenance/boilerplate screen of a
+    * crawled corpus ("which hosts dominate, which to down-weight").
+    * The synthetic corpus carries no URLs, so (like [[redact]]'s
+    * synthetic PII) each doc gets a deterministic appended link; the
+    * extraction pipeline — regexp_extract_all at the scan, explode,
+    * one domain-keyed agg — is the real operator.
+    * 100 TB notes: extraction is per-row at the scan; the only
+    * exchange carries (domain) keys, cardinality ≪ corpus.
+    */
+  def domains(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" see https://site"),
+          (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and http://mirror"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org")).as("text"))
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_mentions"))
+      .orderBy(col("domain"))
+
   /** Intra-document repetition ratios — the Gopher-style repetition
     * filters (duplicate-word fraction, most-frequent-word share,
     * duplicate-bigram fraction) that gate low-quality boilerplate out
