@@ -156,7 +156,7 @@ object CypherPlanner {
           if (s.df == null)
             graph.nodes.values.head.sparkSession.range(1).select(c)
           else s.df.select(s.df.columns.toSeq.map(col) :+ c: _*)
-        s = Scope(df, s.nodeVars, s.scalars + alias)
+        s = Scope(df, s.nodeVars, s.scalars + alias, s.lists)
 
       case w: WithClause =>
         val (s2, items2) = materializeCounts(graph, s, w.items)
