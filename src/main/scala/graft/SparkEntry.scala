@@ -82,6 +82,7 @@ object SparkEntry {
     "q5_multi_join"     -> (Relational.q5MultiJoin(_, _)),
     "window_topn"       -> (Relational.windowTopn(_, _)),
     "q_rollup_agg"      -> (Relational.rollupAgg(_, _)),
+    "window_topn_agg"   -> (Relational.windowTopnAgg(_, _)),
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
     "skew_salted_agg"   -> (Skew.saltedAgg(_, _)),
@@ -328,6 +329,16 @@ object SparkEntry {
         |AND o_orderdate >= TIMESTAMP '1994-01-01'
         |AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_topn_agg" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM j)
+        |SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "window_topn" ->
       """WITH j AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice

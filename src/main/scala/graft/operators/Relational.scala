@@ -142,6 +142,28 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  /** Per-group top-n as a MERGEABLE bounded aggregate
+    * ([[graft.functions.TopKAggregate]]) instead of a window rank:
+    * identical output to [[windowTopn]], but each map task reduces
+    * its slice to ≤ n rows per group before the exchange, so the
+    * shuffle carries ≤ n·groups·tasks rows instead of the whole fact
+    * table — the difference between sorting 100 TB and merging
+    * k-element heaps. PlanSpec pins the partial aggregation and the
+    * absence of a Window/full sort.
+    */
+  def windowTopnAgg(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregate(n))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "row")))
+      .select(col("c_mktsegment"), (col("i") + 1).cast("long").as("rn"),
+        col("row._1").as("o_orderkey"), col("row._2").as("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
   /** ROLLUP aggregation: per-(flag, status) totals, per-flag
     * subtotals, and the grand total in ONE pass — Spark's `rollup`
     * compiles to a single Expand + hash aggregate, so the data is

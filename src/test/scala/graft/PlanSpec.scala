@@ -195,6 +195,16 @@ class PlanSpec extends AnyFunSuite {
       "packing must not funnel through one partition")
   }
 
+  test("top-k aggregate plans partial aggregation, no window sort") {
+    val plan = planOf(operators.Relational.windowTopnAgg(spark, TestSpark.sf))
+    assert(!plan.contains("Window"),
+      s"aggregate top-k must not plan a window:\n$plan")
+    // two-phase: partial_topkaggregate on the map side, merge after
+    // the exchange — the property that bounds the shuffle at scale
+    assert("partial_topkaggregate".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"expected a partial top-k aggregate phase:\n$plan")
+  }
+
   test("as-of join is a keyed window, not a join") {
     val plan = planOf(operators.Events.asofJoin(spark, TestSpark.sf))
     // the union-tag spelling must plan ZERO join operators — the
