@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
     "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
+    "sim_topk_agg"        -> (Similarity.topkAgg(_, _)),
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
@@ -498,6 +499,24 @@ object SparkEntry {
         |ORDER BY a_id, b_id""".stripMargin,
     "embed_cosine_dup" -> OracleSql.embCosineDup(),
     "sim_topk_bruteforce" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |d AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 5),
+        |s AS (
+        |  SELECT q.q_id, d.vec_id,
+        |  round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+        |  FROM d CROSS JOIN q),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_agg" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -44,6 +44,31 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[topkBruteforce]] re-spelled with the mergeable
+    * [[graft.functions.TopKAggregate]]: identical output, but the
+    * per-query top-k is a two-phase bounded aggregate — every map
+    * task keeps ≤ k candidates per query before the exchange, so the
+    * shuffle carries k·|queries|·tasks rows instead of the full
+    * |corpus|·|queries| score matrix the window spelling sorts. THE
+    * vector-search reduction shape for a billion-vector corpus.
+    */
+  def topkAgg(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregate(k))
+    val emb = embWithNorm(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    emb.filter(col("vec_id") >= 5).crossJoin(broadcast(queries))
+      .withColumn("score", round(
+        when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))), 6))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "row")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("row._1").as("vec_id"), col("row._2").as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** XOR masks addressing every bucket within Hamming distance
     * `radius` of a bucket, for `nPlanes`-bit bucket ids (mask 0 = the
     * bucket itself).
