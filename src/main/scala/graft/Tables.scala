@@ -48,7 +48,10 @@ object Tables {
       // session conf is never mutated.
       val iso = s.newSession()
       iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = apply(iso, d, "events")
+      // read directly — a nested computeIfAbsent on the same map
+      // (this closure runs inside one) is forbidden by
+      // ConcurrentHashMap and can throw "Recursive update"
+      val raw = iso.read.parquet(s"$d/events.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
