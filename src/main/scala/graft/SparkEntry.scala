@@ -188,16 +188,19 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT DISTINCT 5000000000 + l_suppkey AS supp, 6000000000 + l_partkey AS part
         |  FROM lineitem),
-        |deg AS (SELECT part, COUNT(*) AS deg FROM e GROUP BY part),
+        |pruned AS (
+        |  SELECT supp, part FROM e
+        |  WHERE part IN (SELECT part FROM e GROUP BY part HAVING COUNT(*) <= 500)),
+        |deg AS (SELECT supp, COUNT(*) AS deg FROM e GROUP BY supp),
         |p AS (
-        |  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS inter
-        |  FROM e a JOIN e b ON a.supp = b.supp AND a.part < b.part
+        |  SELECT a.supp AS supp_a, b.supp AS supp_b, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.part = b.part AND a.supp < b.supp
         |  GROUP BY 1, 2)
-        |SELECT part_a, part_b,
+        |SELECT supp_a, supp_b,
         |  round(CAST(inter AS DOUBLE) / (da.deg + db.deg - inter), 6) AS jaccard,
         |  inter
-        |FROM p JOIN deg da ON p.part_a = da.part JOIN deg db ON p.part_b = db.part
-        |ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin,
+        |FROM p JOIN deg da ON p.supp_a = da.supp JOIN deg db ON p.supp_b = db.supp
+        |ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20""".stripMargin,
     "text_domains" ->
       """WITH aug AS (
         |  SELECT doc_id, text || ' see https://site' || (doc_id % 20)

@@ -258,7 +258,43 @@ object Algorithms {
     *   the iteration count reveals the graph IS deep.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-      jumpAfter: Int = 8): DataFrame = {
+      jumpAfter: Int = 8, localEdgeCap: Int = 0): DataFrame = {
+    // Size-gated driver union-find (opt-in, default OFF): when the
+    // caller KNOWS the edge list is orders of magnitude smaller than
+    // the data it came from — duplicate-PAIR graphs after candidate
+    // generation, not raw corpora — a bounded collect + union-find
+    // replaces ~10 iterative Spark jobs whose scheduling floor
+    // dominates at that size. Above the cap (or with cap 0) the
+    // distributed propagation below runs unchanged; it IS the scale
+    // path and stays the default for every graph-sized input.
+    // Labels are identical: union-by-min-root keeps every root the
+    // component minimum, matching the loop's min-label fixpoint.
+    if (localEdgeCap > 0) {
+      val sample = edges.select(col("src"), col("dst"))
+        .limit(localEdgeCap + 1).collect()
+      if (sample.length <= localEdgeCap) {
+        val parent = scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        sample.foreach { row =>
+          val s = row.getLong(0); val d = row.getLong(1)
+          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          val (rs, rd) = (find(s), find(d))
+          if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+          .toDF("id", "comp")
+      }
+    }
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -365,24 +401,34 @@ object Algorithms {
     * Σ_s deg(s)² — bounded by the hub cap of the degree distribution,
     * not |parts|².
     */
-  def neighborSimQuery(spark: SparkSession, sfDir: String, k: Int = 20)
-      : DataFrame = {
+  def neighborSimQuery(spark: SparkSession, sfDir: String, k: Int = 20,
+      hubCap: Int = 500): DataFrame = {
     val g = GraphLoader.tpch(spark, sfDir)
     val e = g.relTable("SUPPLIES")
       .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
-    val deg = e.groupBy(col("part")).agg(count(lit(1)).as("deg"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.supp") === col("b.supp") && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+    // candidate pairs form through the PART side, whose supplier
+    // fanout is bounded by the catalog shape (≈ suppliers-per-part, a
+    // constant as the data grows) — pairing through the supplier side
+    // would be quadratic in parts-per-supplier, which GROWS with
+    // scale. Parts shared by more than hubCap suppliers are dropped
+    // from candidate generation like dedup's stop shingles: a
+    // universal part connects everyone and decides nothing.
+    val partDeg = e.groupBy(col("part")).agg(count(lit(1)).as("pdeg"))
+    val pruned = e.join(broadcast(partDeg.filter(col("pdeg") > hubCap)
+      .select(col("part"))), Seq("part"), "left_anti")
+    val deg = e.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.part") === col("b.part") && col("a.supp") < col("b.supp"))
+      .groupBy(col("a.supp").as("supp_a"), col("b.supp").as("supp_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(deg.select(col("part").as("part_a"), col("deg").as("deg_a")), "part_a")
-      .join(deg.select(col("part").as("part_b"), col("deg").as("deg_b")), "part_b")
-      .select(col("part_a"), col("part_b"),
+      .join(deg.select(col("supp").as("supp_a"), col("deg").as("deg_a")), "supp_a")
+      .join(deg.select(col("supp").as("supp_b"), col("deg").as("deg_b")), "supp_b")
+      .select(col("supp_a"), col("supp_b"),
         round(col("inter").cast("double") /
           (col("deg_a") + col("deg_b") - col("inter")), 6).as("jaccard"),
         col("inter"))
-      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .orderBy(col("jaccard").desc, col("supp_a"), col("supp_b"))
       .limit(k)
   }
 }

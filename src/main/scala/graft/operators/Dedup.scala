@@ -231,7 +231,10 @@ object Dedup {
     // the duplicate graph, not the corpus; everything else defaults to
     // its own id via one left join
     val edges = exactPairs.unionByName(nearPairs)
-    val clustered = graft.graph.Algorithms.connectedComponents(edges)
+    // pair graphs are ≪ corpus by construction: take the union-find
+    // fast path under 1M edges, distributed propagation above
+    val clustered = graft.graph.Algorithms
+      .connectedComponents(edges, localEdgeCap = 1 << 20)
       .select(col("id").as("doc_id"), col("comp"))
     docs.select(col("doc_id"))
       .join(clustered, Seq("doc_id"), "left_outer")
