@@ -26,25 +26,8 @@ object OracleSql {
     * agreement ≥ τ. Agreement count / 128 is exact in binary, so the
     * 6-dp round matches bit-for-bit.
     */
-  def minhashLsh(numPerms: Int = 128, bands: Int = 32, tau: Double = 0.6): String = {
-    val r = numPerms / bands
-    s"""WITH $WordsCte,
-       |sh AS (
-       |  SELECT doc_id, list_transform(range(1, greatest(len(ws)-2, 0)+1),
-       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
-       |  FROM w WHERE len(ws) >= 3),
-       |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
-       |hb AS (SELECT doc_id, ${polySql("g")} AS h0 FROM ex),
-       |perm AS (
-       |  SELECT doc_id, p, MIN(${permSql("p", "h0")}) AS sp
-       |  FROM hb CROSS JOIN (SELECT unnest(range(0, $numPerms)) AS p) pp
-       |  GROUP BY doc_id, p),
-       |sigl AS (SELECT doc_id, list(sp ORDER BY p) AS sig FROM perm GROUP BY doc_id),
-       |banded AS (
-       |  SELECT doc_id, b AS band,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*$r+1 : b*$r+$r]),
-       |      (acc, x) -> (acc*1000003+x)%$P) AS band_hash
-       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb),
+  def minhashLsh(numPerms: Int = 128, bands: Int = 32, tau: Double = 0.6): String =
+    minhashCtes(numPerms, bands) + s""",
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM banded x JOIN banded y
@@ -58,15 +41,12 @@ object OracleSql {
        |  JOIN sigl b ON c.b_id = b.doc_id)
        |SELECT a_id, b_id, est_jaccard FROM eq
        |WHERE est_jaccard >= $tau ORDER BY a_id, b_id""".stripMargin
-  }
 
-  /** Incremental near-dup, mirroring [[Dedup.incrementalDedup]]: the
-    * minhashLsh CTEs with an ASYMMETRIC candidate join (index side =
-    * doc_id % 10 <> 0, delta side = doc_id % 10 = 0) and a best-match
-    * rank per delta doc.
+  /** The shared shingle→signature→band CTE chain (no final SELECT)
+    * behind [[minhashLsh]] and [[incrementalDedup]] — one definition
+    * so the two oracles cannot drift.
     */
-  def incrementalDedup(numPerms: Int = 128, bands: Int = 32,
-      tau: Double = 0.6): String = {
+  private def minhashCtes(numPerms: Int, bands: Int): String = {
     val r = numPerms / bands
     s"""WITH $WordsCte,
        |sh AS (
@@ -84,7 +64,17 @@ object OracleSql {
        |  SELECT doc_id, b AS band,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*$r+1 : b*$r+$r]),
        |      (acc, x) -> (acc*1000003+x)%$P) AS band_hash
-       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb),
+       |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb)""".stripMargin
+  }
+
+  /** Incremental near-dup, mirroring [[Dedup.incrementalDedup]]: the
+    * minhashLsh CTEs with an ASYMMETRIC candidate join (index side =
+    * doc_id % 10 <> 0, delta side = doc_id % 10 = 0) and a best-match
+    * rank per delta doc.
+    */
+  def incrementalDedup(numPerms: Int = 128, bands: Int = 32,
+      tau: Double = 0.6): String =
+    minhashCtes(numPerms, bands) + s""",
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS index_id, y.doc_id AS delta_id
        |  FROM banded x JOIN banded y
@@ -104,7 +94,6 @@ object OracleSql {
        |  FROM kept)
        |SELECT delta_id, index_id, est_jaccard FROM rk WHERE rnk = 1
        |ORDER BY delta_id""".stripMargin
-  }
 
   /** SimHash near-dup, mirroring [[Dedup.simhashJvm]] +
     * [[Dedup.simhashNearDup]]: 60-bit simhash from token-hash parity

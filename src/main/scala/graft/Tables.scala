@@ -19,10 +19,18 @@ object Tables {
   // query isolation and pushdown are untouched.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // strong session keys would pin every session for the JVM's
+  // lifetime in a session-per-task app; a crude size cap bounds that
+  // (the few-session CLI/bench shape never reaches it)
+  private val CacheCap = 256
+  private def capped[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
+    if (m.size > CacheCap) m.clear()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    capped(cache)
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       k => k._1.read.parquet(k._2))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

@@ -401,7 +401,10 @@ object CypherPlanner {
   private def expandStar(s: Scope, items: Seq[ReturnItem]): Seq[ReturnItem] =
     items.flatMap {
       case ReturnItem(Ident("*"), None) =>
-        s.scalars.toSeq.sorted.map(n => ReturnItem(Ident(n), None)) ++
+        // planner-internal bindings (COUNT{} subquery aliases etc.)
+        // are not user-visible and must not surface through the star
+        s.scalars.toSeq.filterNot(_.startsWith("__graft_")).sorted
+          .map(n => ReturnItem(Ident(n), None)) ++
           s.nodeVars.toSeq.sorted.map(v => ReturnItem(Ident(v), None))
       case other => Seq(other)
     }
@@ -526,6 +529,15 @@ object CypherPlanner {
       case _                   => () // Ident/LitV/Param/ExistsPattern
     }
     def walkItems(items: Seq[ReturnItem]): Unit = items.foreach {
+      // `*` projects EVERY bound variable whole-node, so every pattern
+      // variable's properties are needed — without this, a label-less
+      // endpoint would be scan-elided as identity-only and then
+      // silently contribute zero columns to the star expansion
+      case ReturnItem(Ident("*"), _) =>
+        q.clauses.foreach {
+          case MatchClause(chain, _, _) => out ++= chain.nodeVars
+          case _                        => ()
+        }
       case ReturnItem(Ident(v), _) => out += v // whole-node projection
       case ReturnItem(e, _)        => walk(e)
     }

@@ -31,8 +31,10 @@ object GraphLoader {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), PropertyGraph]()
 
-  def tpch(spark: SparkSession, sfDir: String): PropertyGraph =
+  def tpch(spark: SparkSession, sfDir: String): PropertyGraph = {
+    if (cache.size > 256) cache.clear() // bound session pinning
     cache.computeIfAbsent((spark, sfDir), k => build(k._1, k._2))
+  }
 
   private def build(spark: SparkSession, sfDir: String): PropertyGraph = {
     def id(offset: Long, key: String) = (lit(offset) + col(key).cast("long")).as("__id")

@@ -55,6 +55,13 @@ private[neo4j] object Http {
     */
   private val Retryable = Set(429, 500, 502, 503, 504)
 
+  /** Non-200 response, distinguishable by TYPE from transport
+    * IOExceptions in the retry loop (message text can be null on
+    * transport errors, so string matching is unsafe).
+    */
+  private final class StatusException(val status: Int)
+    extends java.io.IOException(s"Server returned status [$status]")
+
   /** POST with bounded deterministic exponential backoff (base ×2 per
     * attempt, no jitter — reproducible tests beat decorrelation at
     * this fan-in). Retries connect/IO failures and [[Retryable]]
@@ -81,12 +88,16 @@ private[neo4j] object Http {
           if (resp.statusCode() == 200) Right(resp)
           else {
             try resp.body().close() catch { case _: java.io.IOException => () }
-            val e = new java.io.IOException(
-              s"Server returned status [${resp.statusCode()}]")
+            val e = new StatusException(resp.statusCode())
             if (Retryable(resp.statusCode())) Left(e) else throw e
           }
         } catch {
-          case io: java.io.IOException if !io.getMessage.startsWith("Server returned") =>
+          // typed guard, not message matching — transports raise
+          // IOExceptions with null messages (e.g. a closed keep-alive
+          // channel), which must still retry; a non-retryable status
+          // was thrown above and propagates unchanged
+          case se: StatusException => throw se
+          case io: java.io.IOException =>
             Left(io) // connect refused / reset / timeout — transient
         }
       outcome match {

@@ -178,17 +178,6 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-source document-length quantiles — the curation dashboard's
-    * "what does each domain's length distribution look like" report.
-    * Exact interpolated percentiles (Spark sorts each group's values);
-    * 6-dp rounding absorbs interpolation ulp differences vs the
-    * oracle's quantile_cont.
-    * 100 TB notes: one shuffle on source (tens of groups); the exact
-    * sort is per-group. At extreme group sizes the approx_percentile
-    * sketch is the drop-in (same call shape, mergeable state, no
-    * group sort) — kept exact here because the oracle must
-    * hash-match.
-    */
   /** End-to-end curation decision: composes the quality gate
     * ([[TextAnalysis.qualityProjection]]) with duplicate clustering
     * ([[Dedup.dedupClusters]]) into one keep/drop verdict per
@@ -218,6 +207,17 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source document-length quantiles — the curation dashboard's
+    * "what does each domain's length distribution look like" report.
+    * Exact interpolated percentiles (Spark sorts each group's values);
+    * 6-dp rounding absorbs interpolation ulp differences vs the
+    * oracle's quantile_cont.
+    * 100 TB notes: one shuffle on source (tens of groups); the exact
+    * sort is per-group. At extreme group sizes the approx_percentile
+    * sketch is the drop-in (same call shape, mergeable state, no
+    * group sort) — kept exact here because the oracle must
+    * hash-match.
+    */
   def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val nTok = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))

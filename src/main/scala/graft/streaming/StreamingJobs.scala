@@ -161,6 +161,16 @@ object StreamingJobs {
   private def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Inverse of [[micros]] — keeps sub-millisecond precision so the
+    * emitted view_ts matches the batch twin's exact timestamp and
+    * stays consistent with gap_us.
+    */
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming twin of [[graft.operators.Events.asofJoin]] — as-of
     * (point-in-time) enrichment as O(1) keyed state instead of the
     * batch running-last window: state per user is ONE LastView record,
@@ -197,7 +207,7 @@ object StreamingJobs {
                   val o = Option(lv)
                   out += Attribution(e.event_id, uid, e.ts,
                     o.map(_.view_id),
-                    o.map(v => new Timestamp(v.tsUs / 1000L)),
+                    o.map(v => tsOfMicros(v.tsUs)),
                     o.map(v => micros(e.ts) - v.tsUs),
                     o.map(_.value))
                 case _ => () // other event types don't touch the state

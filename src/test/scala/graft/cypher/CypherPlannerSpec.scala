@@ -507,6 +507,24 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(zeros.forall(_.getLong(1) == 0L))
   }
 
+  test("RETURN * keeps label-less variables whole (no scan elision)") {
+    // x is label-less; without star-aware needs analysis its node
+    // scan would be elided and the star expansion would silently emit
+    // zero columns for it
+    val df = run("MATCH (n:Nation)-[:IN_REGION]->(x) RETURN * ORDER BY n.nationkey")
+    val xCols = df.columns.filter(_.startsWith("x."))
+    assert(xCols.nonEmpty, s"x vanished from RETURN *: ${df.columns.toSeq}")
+    assert(df.columns.exists(_.startsWith("n.")))
+    assert(df.count() == graft.Tables.nation(spark, TestSpark.sf).count())
+    // hidden COUNT{} aliases must not surface through the star either
+    val starCount = run(
+      "MATCH (n:Nation) RETURN *, COUNT { (c:Customer)-[:FROM_NATION]->(n) } AS c " +
+      "ORDER BY n.nationkey")
+    assert(!starCount.columns.exists(_.startsWith("__graft_")),
+      s"planner-internal binding leaked: ${starCount.columns.toSeq}")
+    assert(starCount.columns.contains("c"))
+  }
+
   test("EXISTS under OR evaluates as a boolean flag, not a reject") {
     // customers that placed an order OR hold a negative balance —
     // inexpressible as semi/anti joins alone
