@@ -124,6 +124,7 @@ object SparkEntry {
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
     "text_redact"         -> (TextAnalysis.redact(_, _)),
     "text_domains"        -> (TextAnalysis.domains(_, _)),
+    "text_entropy"        -> (TextAnalysis.entropy(_, _)),
     "text_repetition"     -> (TextAnalysis.repetition(_, _)),
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
@@ -201,6 +202,19 @@ object SparkEntry {
         |  inter
         |FROM p JOIN deg da ON p.supp_a = da.supp JOIN deg db ON p.supp_b = db.supp
         |ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20""".stripMargin,
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(text, '') AS cs, len(text) AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, n, list_sort(list_distinct(cs)) AS ds, cs FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE
+        |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ds, d -> (len(list_filter(cs, x -> x = d))::DOUBLE / n)
+        |        * ln(len(list_filter(cs, x -> x = d))::DOUBLE / n))),
+        |      (a, x) -> a + x), 6) END AS char_entropy,
+        |  CAST(n AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
     "text_domains" ->
       """WITH aug AS (
         |  SELECT doc_id, text || ' see https://site' || (doc_id % 20)

