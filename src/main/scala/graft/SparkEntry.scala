@@ -87,6 +87,7 @@ object SparkEntry {
     "events_window_agg" -> (Events.windowAgg(_, _)),
     "skew_salted_agg"   -> (Skew.saltedAgg(_, _)),
     "events_sessionize" -> (Events.sessionize(_, _)),
+    "events_sessionize_native" -> (Events.sessionizeNative(_, _)),
     "events_funnel"     -> (Events.funnel(_, _)),
     "events_retention"  -> (Events.retention(_, _)),
     "events_anomaly"    -> (Events.anomaly(_, _)),
@@ -458,6 +459,24 @@ object SparkEntry {
         |  AND e.ts >= p.p_ts - INTERVAL 30 MINUTE AND e.ts <= p.p_ts
         |  AND e.event_id <> p.purchase_id
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "events_sessionize_native" ->
+      """WITH x AS (
+        |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)
+        |SELECT user_id,
+        |MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM z GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

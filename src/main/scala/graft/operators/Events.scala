@@ -145,6 +145,26 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window`
+    * (same 30-min gap semantics as [[sessionize]]'s lag/cumsum
+    * spelling, minus the per-user sequence number): one shuffle on
+    * (user, window), sessions merge inside the aggregate. This exact
+    * plan also runs incrementally under a watermark — session_window
+    * is the Structured Streaming session operator — so the batch
+    * oracle here certifies the streaming operator's arithmetic.
+    */
+  def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** As-of (point-in-time) join — last-touch attribution: for each
     * `purchase`, the latest `view` by the same user at or before the
     * purchase timestamp. Spark has no ASOF JOIN operator; the
