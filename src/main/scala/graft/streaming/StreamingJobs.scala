@@ -149,6 +149,42 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Dedup.incrementalDedup]]'s
+    * ingestion shape: incoming documents MinHash themselves on the
+    * stream (the same JVM signature map runs unchanged under
+    * readStream) and band-join a STATIC index — stream-static
+    * equi-joins are stateless, so each micro-batch pays only its own
+    * signatures and probes, never the index scan-side state. Emits
+    * candidate (delta, index) pairs with exact signature agreement;
+    * a pair surfaces once per agreeing band (in-stream global dedup
+    * would need unbounded state — downstream resolution dedups, as in
+    * production ingestion).
+    *
+    * `indexBands`: (index_id, band, band_hash); `indexSigs`:
+    * (index_id, sig array) — the precomputed artifact the batch
+    * operator also probes.
+    */
+  def incrementalCandidates(docs: Dataset[(Long, String)],
+      indexBands: DataFrame, indexSigs: DataFrame,
+      numPerms: Int = 128, bands: Int = 32, tau: Double = 0.6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val deltaBands = docs.flatMap { case (id, text) =>
+      graft.operators.Dedup.minhashBandsJvm(text, numPerms, bands) match {
+        case Some((sig, bandHashes)) =>
+          bandHashes.iterator.zipWithIndex.map { case (h, b) => (id, sig, b, h) }
+        case None => Iterator.empty
+      }
+    }.toDF("delta_id", "delta_sig", "band", "band_hash")
+    deltaBands
+      .join(indexBands, Seq("band", "band_hash"))
+      .join(indexSigs, Seq("index_id"))
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("delta_sig"), col("sig"), (x, y) => x === y),
+          (b: org.apache.spark.sql.Column) => b)).cast("double") / numPerms, 6))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("delta_id"), col("index_id"), col("est_jaccard"))
+  }
+
   final case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   /** Per-user as-of state: the latest view seen so far (micros). */

@@ -131,6 +131,41 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup matches deltas against a static index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed dataflow engines"))
+    // static index artifact: band table + signature table
+    val bandRows = indexDocs.flatMap { case (id, t) =>
+      graft.operators.Dedup.minhashBandsJvm(t).toSeq.flatMap { case (sig, bhs) =>
+        bhs.zipWithIndex.map { case (h, b) => (id, b, h) } }
+    }
+    val sigRows = indexDocs.flatMap { case (id, t) =>
+      graft.operators.Dedup.minhashBandsJvm(t).map { case (sig, _) => (id, sig) } }
+    val indexBands = bandRows.toDF("index_id", "band", "band_hash")
+    val indexSigs = sigRows.toDF("index_id", "sig")
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalCandidates(input.toDS(), indexBands, indexSigs)
+      .writeStream.format("memory").queryName("inc_cands")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // near-copy of index doc 1 → must surface as a candidate
+        (100L, "the quick brown fox jumps over the lazy dog again and again"),
+        // novel text → no candidate
+        (101L, "entirely unrelated musings on lunar agriculture and tides"))
+      q.processAllAvailable()
+      val got = spark.table("inc_cands").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.nonEmpty && got.forall(_._1 == 100L))
+      assert(got.forall(_._2 == 1L))
+      assert(got.forall(_._3 >= 0.6))
+    } finally q.stop()
+  }
+
   test("as-of attribution enriches purchases with the last view, O(1) state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
