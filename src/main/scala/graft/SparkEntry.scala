@@ -51,6 +51,7 @@ object SparkEntry {
     "cypher_multi_type"     -> (cypher.CypherQueries.multiType(_, _)),
     "cypher_skip_limit"     -> (cypher.CypherQueries.skipLimit(_, _)),
     "cypher_count_expr"     -> (cypher.CypherQueries.countExpr(_, _)),
+    "cypher_stat_disc"      -> (cypher.CypherQueries.statDisc(_, _)),
     "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
@@ -766,6 +767,12 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_stat_disc" ->
+      """SELECT c_mktsegment AS segment,
+        |  quantile_disc(c_acctbal, 0.5) AS median_bal,
+        |  quantile_disc(c_acctbal, 0.9) AS p90_bal,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin,
     "cypher_count_expr" ->
       """WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer
         |           GROUP BY 1),

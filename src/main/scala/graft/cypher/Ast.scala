@@ -67,6 +67,12 @@ object Ast {
     */
   final case class PercentileCont(arg: CExpr, p: Double) extends CExpr
 
+  /** `percentileDisc(expr, p)` — discrete percentile: the smallest
+    * value whose cumulative fraction reaches `p` (an actual data
+    * value, never interpolated).
+    */
+  final case class PercentileDisc(arg: CExpr, p: Double) extends CExpr
+
   /** `range(from, to [, step])` — inclusive integer list (openCypher). */
   final case class RangeList(from: CExpr, to: CExpr, step: CExpr) extends CExpr
 

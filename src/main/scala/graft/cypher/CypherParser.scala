@@ -507,19 +507,21 @@ object CypherParser {
         eatSym(")")
         RangeList(from, to, step)
       case Some(TId(name))
-          if name.equalsIgnoreCase("percentileCont") &&
+          if (name.equalsIgnoreCase("percentileCont") ||
+            name.equalsIgnoreCase("percentileDisc")) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        val disc = name.equalsIgnoreCase("percentileDisc")
         ident(); eatSym("(")
         val a = addExpr()
         eatSym(",")
         val p = next() match {
           case TNum(n) => n.toDouble
           case t => throw new IllegalArgumentException(
-            s"percentileCont expects a numeric literal percentile, got $t")
+            s"percentile expects a numeric literal percentile, got $t")
         }
         require(p >= 0.0 && p <= 1.0, s"percentile $p outside [0, 1]")
         eatSym(")")
-        PercentileCont(a, p)
+        if (disc) PercentileDisc(a, p) else PercentileCont(a, p)
       case Some(TId(name))
           if name.equalsIgnoreCase("count") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>

@@ -961,6 +961,7 @@ object CypherPlanner {
     case FnCall(n, _, _, _) =>
       Set("count", "sum", "min", "max", "avg", "collect", "stdev")(n)
     case _: PercentileCont => true
+    case _: PercentileDisc => true
     case _                 => false
   }
 
@@ -1126,8 +1127,9 @@ object CypherPlanner {
       "EXISTS is only valid in a WHERE directly after MATCH")
     case _: CountPattern => throw new IllegalArgumentException(
       "COUNT { } is only supported as a top-level RETURN/WITH item")
-    case _: PercentileCont => throw new IllegalArgumentException(
-      "percentileCont is an aggregate and only valid in RETURN/WITH items")
+    case _: PercentileCont | _: PercentileDisc =>
+      throw new IllegalArgumentException(
+        "percentile aggregates are only valid in RETURN/WITH items")
     case Param(n) => throw new IllegalArgumentException(
       s"unbound query parameter $$$n - pass a params map to CypherPlanner.run")
   }
@@ -1226,6 +1228,13 @@ object CypherPlanner {
     // 6-dp rounding absorbs interpolation-formula ulp differences
     case PercentileCont(a, p) =>
       round(percentile(toColumn(a, scalars), lit(p)), 6)
+    // discrete percentile: the ceil(p·n)-th smallest actual value —
+    // an expression OVER aggregates (sorted collect + count), exact
+    // and engine-agnostic (no interpolation to absorb)
+    case PercentileDisc(a, p) =>
+      val c = toColumn(a, scalars)
+      element_at(sort_array(collect_list(c)),
+        greatest(ceil(lit(p) * count(c)), lit(1L)).cast("int"))
     case other => throw new IllegalArgumentException(s"not an aggregate: $other")
   }
 }

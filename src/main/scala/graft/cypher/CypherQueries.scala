@@ -259,6 +259,19 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** Discrete percentiles: actual data values at p, never
+    * interpolated — exact on both engines with no rounding tolerance
+    * needed.
+    */
+  def statDisc(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |RETURN c.mktsegment AS segment,
+        |  percentileDisc(c.acctbal, 0.5) AS median_bal,
+        |  percentileDisc(c.acctbal, 0.9) AS p90_bal,
+        |  count(*) AS n
+        |ORDER BY segment""".stripMargin)
+
   /** `COUNT { pattern }` beyond the top level: in a WHERE predicate
     * and inside an arithmetic expression — each subquery binds as a
     * hidden pre-aggregated scalar.
