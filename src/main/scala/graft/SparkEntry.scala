@@ -52,6 +52,7 @@ object SparkEntry {
     "cypher_skip_limit"     -> (cypher.CypherQueries.skipLimit(_, _)),
     "cypher_count_expr"     -> (cypher.CypherQueries.countExpr(_, _)),
     "cypher_stat_disc"      -> (cypher.CypherQueries.statDisc(_, _)),
+    "cypher_with_distinct"  -> (cypher.CypherQueries.withDistinct(_, _)),
     "cypher_collect_distinct" -> (cypher.CypherQueries.collectDistinct(_, _)),
     "cypher_node_return"    -> (cypher.CypherQueries.nodeReturn(_, _)),
     "cypher_whole_node"     -> (cypher.CypherQueries.wholeNode(_, _)),
@@ -767,6 +768,12 @@ object SparkEntry {
     "cypher_string_fns" ->
       """SELECT lower(n_name) AS name_lc, CAST(length(n_name) AS BIGINT) AS name_len
         |FROM nation ORDER BY name_lc""".stripMargin,
+    "cypher_with_distinct" ->
+      """SELECT r_name AS region FROM region
+        |WHERE r_regionkey IN (
+        |  SELECT DISTINCT n_regionkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |ORDER BY region""".stripMargin,
     "cypher_stat_disc" ->
       """SELECT c_mktsegment AS segment,
         |  quantile_disc(c_acctbal, 0.5) AS median_bal,

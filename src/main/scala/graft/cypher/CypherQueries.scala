@@ -259,6 +259,18 @@ object CypherQueries {
         |  size(tail(bals)) AS n_rest
         |ORDER BY nation""".stripMargin)
 
+  /** `WITH DISTINCT` dedup horizon mid-pipeline: distinct region
+    * keys of customer nations, re-matched to region names.
+    */
+  def withDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH DISTINCT n.regionkey AS rk
+        |MATCH (r:Region)
+        |WHERE r.regionkey = rk
+        |RETURN r.name AS region
+        |ORDER BY region""".stripMargin)
+
   /** Discrete percentiles: actual data values at p, never
     * interpolated — exact on both engines with no rounding tolerance
     * needed.
