@@ -211,12 +211,12 @@ object SparkEntry {
         |  FROM documents),
         |e AS (SELECT doc_id, n, list_sort(list_distinct(cs)) AS ds, cs FROM c)
         |SELECT doc_id,
-        |  CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE
+        |  CASE WHEN n IS NULL OR n = 0 THEN 0.0::DOUBLE ELSE
         |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(ds, d -> (len(list_filter(cs, x -> x = d))::DOUBLE / n)
         |        * ln(len(list_filter(cs, x -> x = d))::DOUBLE / n))),
         |      (a, x) -> a + x), 6) END AS char_entropy,
-        |  CAST(n AS BIGINT) AS n_chars
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_chars
         |FROM e ORDER BY doc_id""".stripMargin,
     "text_domains" ->
       """WITH aug AS (

@@ -1233,8 +1233,23 @@ object CypherPlanner {
     // and engine-agnostic (no interpolation to absorb)
     case PercentileDisc(a, p) =>
       val c = toColumn(a, scalars)
-      element_at(sort_array(collect_list(c)),
-        greatest(ceil(lit(p) * count(c)), lit(1L)).cast("int"))
+      // rank = ceil(p·n) in EXACT integer arithmetic: the double
+      // product can round up past an integer (0.07 × 100 →
+      // 7.000000000000001 → ceil 8, off by one vs every SQL engine).
+      // With p = num/10^s (shortest decimal of the literal),
+      // ceil(num·n / 10^s) = (num·n + 10^s - 1) div 10^s — decimal
+      // arithmetic, no floats anywhere.
+      val bd = java.math.BigDecimal.valueOf(p)
+      val scale = math.max(bd.scale, 0)
+      require(scale <= 6, s"percentileDisc supports ≤ 6 decimal places, got $p")
+      val den = math.pow(10, scale.toDouble).toLong
+      val num = bd.movePointRight(scale).longValueExact()
+      val t = (lit(num) * count(c)).cast("decimal(38,0)") + lit(den - 1)
+      val rank = greatest(floor(t / lit(den)).cast("int"), lit(1))
+      // an all-NULL / empty group yields NULL (as quantile_disc does)
+      // instead of an ANSI INVALID_ARRAY_INDEX on the empty collect
+      when(count(c) === 0, lit(null))
+        .otherwise(element_at(sort_array(collect_list(c)), rank))
     case other => throw new IllegalArgumentException(s"not an aggregate: $other")
   }
 }

@@ -82,6 +82,16 @@ object Dedup {
   private def filter_(c: Column, f: Column => Column): Column =
     org.apache.spark.sql.functions.filter(c, f)
 
+  /** MinHash signature agreement estimate — the Jaccard estimator
+    * every banding verify pass shares (batch full dedup, batch
+    * incremental, streaming incremental). One definition so the
+    * estimate (and anything oracle-certified about it) cannot drift
+    * between the twins.
+    */
+  def sigAgreement(a: Column, b: Column, numPerms: Int): Column =
+    round(size(filter_(zip_with(a, b, (x, y) => x === y), identity(_)))
+      .cast("double") / numPerms, 6)
+
   /** Distinct word-n-gram shingle hashes of a document, computed in a
     * tight JVM loop (FNV-1a 64 over the words with space separators).
     *
@@ -333,9 +343,8 @@ object Dedup {
     cands
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .withColumn("est_jaccard", round(
-        size(filter_(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          identity(_))).cast("double") / numPerms, 6))
+      .withColumn("est_jaccard",
+        sigAgreement(col("a_sig"), col("b_sig"), numPerms))
       .filter(col("est_jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -368,9 +377,8 @@ object Dedup {
         "index_id")
       .join(sigs.select(col("doc_id").as("delta_id"), col("sig").as("b_sig")),
         "delta_id")
-      .withColumn("est_jaccard", round(
-        size(filter_(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          identity(_))).cast("double") / numPerms, 6))
+      .withColumn("est_jaccard",
+        sigAgreement(col("a_sig"), col("b_sig"), numPerms))
       .filter(col("est_jaccard") >= tau)
       // one verdict per incoming doc: its best index match
       .withColumn("rnk", row_number().over(

@@ -156,8 +156,10 @@ object TextAnalysis {
   /** Character-distribution Shannon entropy per document — the cheap
     * LM-free perplexity proxy: gibberish/binary-ish text scores high,
     * repeated boilerplate scores low, natural prose sits in a narrow
-    * band. Entirely higher-order array functions per row (zero
-    * exchanges). Determinism across engines: the -Σ p·ln p fold runs
+    * band. Plan: explode → map-combined (doc, char) counts → one
+    * ordered fold per doc (two narrow keyed shuffles — the per-row
+    * HOF spelling is O(distinct·n) interpreted and 10× slower).
+    * Determinism across engines: the -Σ p·ln p fold runs
     * over the SORTED distinct characters on both sides, so the IEEE
     * addition sequence is identical and the 6-dp round is exact.
     * (Characters here are UTF-16 units — equal to code points for the
@@ -169,7 +171,12 @@ object TextAnalysis {
     // per-distinct-char HOF filter, which is O(distinct·n)
     // interpreted per row — 10× slower at bench scale); the shuffle
     // carries ~|alphabet| rows per doc, not characters
+    // empty docs are excluded BEFORE the explode: Spark's
+    // split('', '') yields [""], which would count one phantom char
+    // where the oracle's len(text)=0 sees none; the left join below
+    // restores empty/NULL docs as (0.0, 0)
     val counts = docs
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
     val folded = counts.groupBy(col("doc_id"))

@@ -178,9 +178,8 @@ object StreamingJobs {
     deltaBands
       .join(indexBands, Seq("band", "band_hash"))
       .join(indexSigs, Seq("index_id"))
-      .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("delta_sig"), col("sig"), (x, y) => x === y),
-          (b: org.apache.spark.sql.Column) => b)).cast("double") / numPerms, 6))
+      .withColumn("est_jaccard", graft.operators.Dedup
+        .sigAgreement(col("delta_sig"), col("sig"), numPerms))
       .filter(col("est_jaccard") >= tau)
       .select(col("delta_id"), col("index_id"), col("est_jaccard"))
   }
