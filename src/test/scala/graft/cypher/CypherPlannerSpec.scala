@@ -565,6 +565,25 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(carried == graft.Tables.nation(spark, TestSpark.sf).count())
   }
 
+  test("percentileDisc rank is float-proof and NULL-safe") {
+    // 0.07 × 100 rounds to 7.000000000000001 in double; the exact
+    // integer rank must still pick the 7th smallest (1..100 → 7)
+    val r = run(
+      "UNWIND range(1, 100) AS x " +
+      "RETURN percentileDisc(x, 0.07) AS p07, percentileDisc(x, 0.5) AS p50, " +
+      "percentileDisc(x, 1.0) AS p100").collect().head
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 50L)
+    assert(r.getLong(2) == 100L)
+    // a group whose argument is entirely NULL yields NULL, not an
+    // ANSI INVALID_ARRAY_INDEX on the empty collect
+    val n = run(
+      "MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n) " +
+      "WHERE c.acctbal > 999999.0 " + // matches nobody → all nulls
+      "RETURN percentileDisc(c.acctbal, 0.5) AS p").collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("multi-type hops: undirected and var-length forms agree with unions") {
     // undirected multi-type: IN_REGION ∪ NEXT_IN_REGION seen from
     // Nation in either orientation
