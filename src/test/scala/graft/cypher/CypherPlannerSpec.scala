@@ -523,6 +523,21 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(!starCount.columns.exists(_.startsWith("__graft_")),
       s"planner-internal binding leaked: ${starCount.columns.toSeq}")
     assert(starCount.columns.contains("c"))
+    // two disconnected chains: star covers both cartesian sides
+    val two = run("MATCH (r:Region) MATCH (n:Nation) RETURN * ORDER BY r.regionkey, n.nationkey")
+    assert(two.columns.exists(_.startsWith("r.")) && two.columns.exists(_.startsWith("n.")))
+    assert(two.count() ==
+      graft.Tables.region(spark, TestSpark.sf).count() *
+        graft.Tables.nation(spark, TestSpark.sf).count())
+    // RETURN DISTINCT * dedups by node identity through the expansion
+    val d = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN DISTINCT n.regionkey AS rk, n.name AS nm")
+      .count()
+    val dStar = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) WITH n MATCH (x:Region) " +
+      "WHERE x.regionkey = n.regionkey RETURN DISTINCT * ").count()
+    assert(dStar == graft.Tables.customer(spark, TestSpark.sf)
+      .select("c_nationkey").distinct().count(), s"DISTINCT * gave $dStar (d=$d)")
   }
 
   test("EXISTS under OR evaluates as a boolean flag, not a reject") {
