@@ -165,6 +165,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchanges.contains("text"), s"text column in a shuffle: $exchanges")
   }
 
+  test("substring-dup exchanges carry selected grams, never documents") {
+    val plan = planOf(operators.Dedup.substringDup(spark, TestSpark.sf))
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).mkString("\n")
+    assert(!exchanges.contains("text"), s"text column in a shuffle: $exchanges")
+  }
+
+  test("incremental dedup band join never shuffles text") {
+    val plan = planOf(operators.Dedup.incrementalDedup(spark, TestSpark.sf))
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(plan).mkString("\n")
+    assert(!exchanges.contains("text"), s"text column in a shuffle: $exchanges")
+  }
+
+  test("neighbor similarity pairs through the part side, no nested loop") {
+    val plan = planOf(graph.Algorithms.neighborSimQuery(spark, TestSpark.sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"neighbor sim must stay an equi-join:\n$plan")
+  }
+
   test("kmeans assignment is a broadcast map over the corpus, no keyed shuffle") {
     // Lloyd iterations are checkpointed away; the final plan is the
     // last assignment — a broadcast nested-loop against the one-row
