@@ -230,6 +230,35 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("writer handles update-style payloads with mixed value types") {
+    // mirrors the reference's updateTest (Neo4jOutputTest.java:78):
+    // UNWIND $updates MATCH … SET with (string, int, double, boolean)
+    // tuples — booleans and doubles must serialize as JSON scalars,
+    // not quoted strings, for the server to apply typed properties
+    received.clear()
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      ("Alice", 42, 1.74, false),
+      ("Bob", 75, 1.82, true)).toDF("name", "weight", "height", "trust")
+      .coalesce(1)
+    val cfg = Neo4jConfig(uri,
+      "UNWIND $updates AS u MATCH (p) WHERE p.name = u.name " +
+      "SET p.weight = u.weight, p.height = u.height, p.trust = u.trust")
+    Neo4jWriter.write(df, cfg, Seq("name", "weight", "height", "trust"),
+      batchSize = 10)
+    val body = received.poll()
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val arr = tree.at("/statements/0/parameters/updates")
+    assert(arr.isArray && arr.size() == 2)
+    val alice = (0 until 2).map(arr.get)
+      .find(_.get("name").asText() == "Alice").get
+    assert(alice.get("weight").isIntegralNumber && alice.get("weight").asInt() == 42)
+    assert(alice.get("height").isFloatingPointNumber
+      && alice.get("height").asDouble() == 1.74)
+    assert(alice.get("trust").isBoolean && !alice.get("trust").asBoolean())
+  }
+
   test("partitioned reader pages the full result exactly once") {
     pagedContext()
     val spark = TestSpark.spark
