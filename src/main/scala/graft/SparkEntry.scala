@@ -838,7 +838,9 @@ object SparkEntry {
         |  left(n_name, 4) AS l4,
         |  right(n_name, 2) AS r2,
         |  CAST(len(string_split(n_name, '_')) AS BIGINT) AS n_parts,
-        |  CAST(n_nationkey AS VARCHAR) AS key_str
+        |  CAST(n_nationkey AS VARCHAR) AS key_str,
+        |  ltrim('  pad') AS lt, rtrim('pad  ') AS rt,
+        |  CAST('TRUE' AS BOOLEAN) AS tb
         |FROM nation ORDER BY nation""".stripMargin,
     "cypher_list_pred" ->
       """WITH b AS (

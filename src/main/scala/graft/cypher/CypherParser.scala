@@ -450,7 +450,8 @@ object CypherParser {
       Set("toupper", "tolower", "trim", "size", "id", "type", "labels",
         "length", "abs", "ceil", "floor", "round", "sign", "sqrt",
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
-        "tail", "substring", "replace", "split", "left", "right", "keys")
+        "tail", "substring", "replace", "split", "left", "right", "keys",
+        "ltrim", "rtrim", "toboolean")
     private val listPredFns = Set("any", "all", "none", "single")
 
     private def valueExpr(): CExpr = peek match {

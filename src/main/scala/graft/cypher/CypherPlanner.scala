@@ -1008,6 +1008,13 @@ object CypherPlanner {
     case FnCall("toupper", Some(a), _, _) => upper(toColumn(a, scalars))
     case FnCall("tolower", Some(a), _, _) => lower(toColumn(a, scalars))
     case FnCall("trim", Some(a), _, _)    => trim(toColumn(a, scalars))
+    case FnCall("ltrim", Some(a), _, _)   => ltrim(toColumn(a, scalars))
+    case FnCall("rtrim", Some(a), _, _)   => rtrim(toColumn(a, scalars))
+    // toBoolean('true'/'false', case-insensitive; anything else null)
+    case FnCall("toboolean", Some(a), _, _) =>
+      val l = lower(toColumn(a, scalars))
+      when(l === "true", lit(true)).when(l === "false", lit(false))
+        .otherwise(lit(null))
     // size() is element count for a (statically) list-shaped argument,
     // character count otherwise — Neo4j's polymorphic size() resolved
     // at plan time from the expression shape

@@ -237,7 +237,9 @@ object CypherQueries {
         |  left(n.name, 4) AS l4,
         |  right(n.name, 2) AS r2,
         |  size(split(n.name, '_')) AS n_parts,
-        |  toString(n.nationkey) AS key_str
+        |  toString(n.nationkey) AS key_str,
+        |  lTrim('  pad') AS lt, rTrim('pad  ') AS rt,
+        |  toBoolean('TRUE') AS tb
         |ORDER BY nation""".stripMargin)
 
   /** List predicates any/all/none/single over a collected list, plus
