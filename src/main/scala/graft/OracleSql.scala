@@ -370,7 +370,7 @@ object OracleSql {
        |c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e WHERE vec_id < $k),
        |$steps
-       |SELECT vec_id, cell, round(d2, 6) AS dist2 FROM (
+       |SELECT vec_id, cell, round(d2, 6) + 0.0 AS dist2 FROM (
        |  SELECT e.vec_id, c.cell, ${d2("e.v", "c.cvec")} AS d2,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      ${d2("e.v", "c.cvec")}, c.cell) AS rk
@@ -454,7 +454,7 @@ object OracleSql {
        |cand AS (
        |  SELECT a.vec_id AS a_id, b.b_id,
        |    round(CASE WHEN a.nrm = 0 OR b.b_nrm = 0 THEN 0
-       |      ELSE list_dot_product(a.v, b.b_v) / (a.nrm * b.b_nrm) END, 6) AS cosine
+       |      ELSE list_dot_product(a.v, b.b_v) / (a.nrm * b.b_nrm) END, 6) + 0.0 AS cosine
        |  FROM bk a JOIN pr b ON a.bucket = b.probe AND a.vec_id < b.b_id)
        |SELECT a_id, b_id, cosine FROM cand
        |WHERE cosine >= $tau ORDER BY a_id, b_id""".stripMargin
@@ -486,7 +486,7 @@ object OracleSql {
        |s AS (
        |  SELECT q.q_id, d.vec_id,
        |    round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
-       |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+       |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) + 0.0 AS score
        |  FROM d JOIN q ON d.bucket = q.probe),
        |r AS (
        |  SELECT *, row_number() OVER (

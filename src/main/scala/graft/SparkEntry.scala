@@ -215,7 +215,7 @@ object SparkEntry {
         |    round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(ds, d -> (len(list_filter(cs, x -> x = d))::DOUBLE / n)
         |        * ln(len(list_filter(cs, x -> x = d))::DOUBLE / n))),
-        |      (a, x) -> a + x), 6) END AS char_entropy,
+        |      (a, x) -> a + x), 6) + 0.0 END AS char_entropy,
         |  CAST(COALESCE(n, 0) AS BIGINT) AS n_chars
         |FROM e ORDER BY doc_id""".stripMargin,
     "text_domains" ->
@@ -309,12 +309,12 @@ object SparkEntry {
         |  FROM embeddings),
         |m AS (
         |  SELECT d,
-        |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS mean,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) + 0.0 AS mean,
         |    round(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS m2,
         |    min(x) AS min_x, max(x) AS max_x
         |  FROM e GROUP BY d)
         |SELECT CAST(d AS BIGINT) AS d, mean,
-        |  round(m2 - mean*mean, 6) AS variance, min_x, max_x
+        |  round(m2 - mean*mean, 6) + 0.0 AS variance, min_x, max_x
         |FROM m ORDER BY d""".stripMargin,
     "dedup_simhash"     -> OracleSql.simhash(),
     "text_fingerprint"  -> OracleSql.fingerprint(),
@@ -408,7 +408,7 @@ object SparkEntry {
         |  FROM h GROUP BY 1)
         |SELECT window_start, h.event_type, n_events,
         |  round(mean_n, 6) AS mean_n,
-        |  round((n_events - mean_n) / sd_n, 6) AS z,
+        |  round((n_events - mean_n) / sd_n, 6) + 0.0 AS z,
         |  CAST(abs(n_events - mean_n) / sd_n > 3.0::DOUBLE AS INT) AS anomalous
         |FROM h JOIN m ON h.event_type = m.event_type
         |ORDER BY window_start, h.event_type""".stripMargin,
@@ -418,7 +418,7 @@ object SparkEntry {
         |SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_1h,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-        |    / COUNT(*) OVER w, 6) AS avg_1h
+        |    / COUNT(*) OVER w, 6) + 0.0 AS avg_1h
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -547,7 +547,7 @@ object SparkEntry {
         |s AS (
         |  SELECT q.q_id, d.vec_id,
         |  round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
-        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) + 0.0 AS score
         |  FROM d CROSS JOIN q),
         |r AS (
         |  SELECT *, row_number() OVER (
@@ -565,7 +565,7 @@ object SparkEntry {
         |s AS (
         |  SELECT q.q_id, d.vec_id,
         |  round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
-        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) + 0.0 AS score
         |  FROM d CROSS JOIN q),
         |r AS (
         |  SELECT *, row_number() OVER (
@@ -578,7 +578,7 @@ object SparkEntry {
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
         |  FROM embeddings)
         |SELECT label, CAST(d - 1 AS BIGINT) AS d,
-        |round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS centroid
+        |round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) + 0.0 AS centroid
         |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin,
     "sim_ann_ivf" ->
       """WITH ex AS (
@@ -607,7 +607,7 @@ object SparkEntry {
         |s AS (
         |  SELECT q.q_id, d.vec_id,
         |    round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
-        |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) AS score
+        |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) + 0.0 AS score
         |  FROM d JOIN q USING (cell)),
         |r AS (
         |  SELECT *, row_number() OVER (

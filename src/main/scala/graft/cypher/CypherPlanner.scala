@@ -1025,10 +1025,23 @@ object CypherPlanner {
       })
       if (isList) size(toColumn(a, scalars)).cast("long")
       else length(toColumn(a, scalars)).cast("long")
-    // math scalars; ceil/floor surface as double (Neo4j returns Float)
+    // math scalars; ceil/floor surface as double (Neo4j returns Float).
+    // Spark's ceil/floor return LONG, which erases IEEE -0.0: Math.ceil
+    // of any value in (-1, 0) is -0.0, and both Neo4j (Math.ceil) and
+    // the DuckDB oracle preserve that sign. When the integral result is
+    // zero, multiply the input by 0.0 instead — for finite x, x * 0.0
+    // is a zero carrying x's sign, which is exactly IEEE ceil/floor at
+    // zero (ceil hits zero only for x in (-1, 0], floor only for
+    // x in [0, 1)).
     case FnCall("abs", Some(a), _, _)   => abs(toColumn(a, scalars))
-    case FnCall("ceil", Some(a), _, _)  => ceil(toColumn(a, scalars)).cast("double")
-    case FnCall("floor", Some(a), _, _) => floor(toColumn(a, scalars)).cast("double")
+    case FnCall("ceil", Some(a), _, _) =>
+      val c = toColumn(a, scalars)
+      val r = ceil(c).cast("double")
+      when(r === 0.0, c * lit(0.0)).otherwise(r)
+    case FnCall("floor", Some(a), _, _) =>
+      val c = toColumn(a, scalars)
+      val r = floor(c).cast("double")
+      when(r === 0.0, c * lit(0.0)).otherwise(r)
     case FnCall("round", Some(a), _, _) => round(toColumn(a, scalars), 0)
     case FnCall("sign", Some(a), _, _)  => signum(toColumn(a, scalars)).cast("long")
     case FnCall("sqrt", Some(a), _, _)  => sqrt(toColumn(a, scalars))

@@ -47,4 +47,22 @@ class OracleHashSpec extends AnyFunSuite {
     assert(OracleHash.poly(s, 0L) == 414095170L)
     assert(operators.TextAnalysis.winnowFingerprint(s) == 343109000562L)
   }
+
+  test("-0.0 canary: the driver hash sees the sign bit of zero") {
+    // compare.py hashes raw value bytes, so -0.0 != +0.0 there even
+    // though `-0.0 == 0.0` in every numeric comparison. Two rules keep
+    // oracles safe: (1) Spark's round() goes through BigDecimal and can
+    // NEVER emit -0.0, so any oracle column built with round(...) on a
+    // possibly-negative argument needs `+ 0.0` on the DuckDB side
+    // (IEEE: -0.0 + 0.0 = +0.0; exact identity for every other value);
+    // (2) engine expressions that must be IEEE-faithful (Cypher
+    // ceil/floor) preserve the sign via `x * 0.0` at zero.
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    assert(bits(-0.0) != bits(0.0))       // the hazard exists
+    assert(-0.0 == 0.0)                   // ...and comparisons hide it
+    assert(bits(-0.0 + 0.0) == bits(0.0)) // the oracle-side normalizer
+    assert(bits(-0.25 * 0.0) == bits(-0.0)) // the engine-side restorer
+    assert(bits(BigDecimal(-1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble) == bits(0.0)) // Spark round never yields -0.0
+  }
 }

@@ -664,4 +664,22 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getAs[Long]("h") == 3L && r.getAs[Long]("l") == 2L)
     assert(r.getAs[Long]("nt") == 2L)
   }
+
+  test("ceil/floor preserve IEEE signed zero (Math.ceil semantics)") {
+    // Neo4j ceil = Math.ceil: inputs in (-1, 0) yield -0.0, and the
+    // driver compare hashes raw bytes, so the sign bit is observable.
+    // Spark's ceil returns LONG (+0.0 after the double cast) — the
+    // planner restores the sign; this canary pins it.
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+      "ceil(-0.5) AS cneg, floor(-0.5) AS fneg, " +
+      "ceil(0.5) AS cpos, floor(0.5) AS fpos, " +
+      "ceil(2.5) AS c25, floor(-2.5) AS f25").collect().head
+    assert(bits(r.getAs[Double]("cneg")) == bits(-0.0)) // the r6 failure
+    assert(bits(r.getAs[Double]("fneg")) == bits(-1.0))
+    assert(bits(r.getAs[Double]("cpos")) == bits(1.0))
+    assert(bits(r.getAs[Double]("fpos")) == bits(0.0)) // +0.0, not -0.0
+    assert(r.getAs[Double]("c25") == 3.0 && r.getAs[Double]("f25") == -3.0)
+  }
 }
