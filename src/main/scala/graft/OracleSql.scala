@@ -130,7 +130,9 @@ object OracleSql {
 
   /** Winnowing fingerprint, mirroring
     * [[TextAnalysis.winnowFingerprint]]: poly-1000003 mod 2^40 char
-    * 8-gram hashes, tumbling 16-windows, xor-fold of minima.
+    * 8-gram hashes, SLIDING 16-windows (step 1 — the Schleimer
+    * scheme), xor-fold of the hashes at the distinct argmin
+    * positions.
     */
   def fingerprint(k: Int = 8, w: Int = 16): String = {
     val M = 1L << 40
@@ -144,9 +146,13 @@ object OracleSql {
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0
-       |    ELSE list_reduce(
-       |      list_transform(range(0, (len(hs)+${w - 1})//$w),
-       |        b -> list_min(hs[b*$w+1 : least((b+1)*$w, len(hs))])),
+       |    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        list_distinct(flatten(
+       |          list_transform(range(0, greatest(len(hs)-$w+1, 1)),
+       |            b -> list_filter(range(b+1, least(b+$w, len(hs))+1),
+       |              p -> hs[p] = list_min(hs[b+1 : least(b+$w, len(hs))]))))),
+       |        p -> hs[p])),
        |      (x, y) -> xor(x, y)) END AS fingerprint
        |  FROM h)
        |SELECT doc_id, fingerprint FROM m ORDER BY doc_id""".stripMargin
@@ -170,12 +176,13 @@ object OracleSql {
        |           (acc, c) -> (acc*1000003+c)%$M)) AS hs
        |  FROM documents),
        |sel AS (
-       |  SELECT DISTINCT doc_id, unnest(flatten(
-       |    list_transform(range(0, (len(hs)+${w - 1})//$w), b ->
-       |      list_transform(
-       |        list_filter(range(b*$w+1, least((b+1)*$w, len(hs))+1),
-       |          p -> hs[p] = list_min(hs[b*$w+1 : least((b+1)*$w, len(hs))])),
-       |        p -> substr(text, CAST(p AS INT), $k))))) AS g
+       |  SELECT DISTINCT doc_id, unnest(
+       |    list_transform(
+       |      list_distinct(flatten(
+       |        list_transform(range(0, greatest(len(hs)-$w+1, 1)),
+       |          b -> list_filter(range(b+1, least(b+$w, len(hs))+1),
+       |            p -> hs[p] = list_min(hs[b+1 : least(b+$w, len(hs))]))))),
+       |      p -> substr(text, CAST(p AS INT), $k))) AS g
        |  FROM h WHERE len(hs) > 0),
        |cold AS (SELECT g FROM sel GROUP BY g HAVING COUNT(*) <= $dfCap),
        |s2 AS (SELECT doc_id, g FROM sel JOIN cold USING (g)),

@@ -462,6 +462,11 @@ object SparkEntry {
         |  AND e.event_id <> p.purchase_id
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
     "events_sessionize_native" ->
+      // `> 1800` is exact at the boundary: session_window MERGES
+      // sessions that touch at a point (an event exactly gap seconds
+      // after the previous one joins its session) — verified by
+      // EventsSpec's boundary pin, so both sessionize spellings share
+      // this oracle shape.
       """WITH x AS (
         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),

@@ -428,10 +428,12 @@ object CypherParser {
       }
       l
     }
-    // `^` binds tighter than * / % and is right-associative (Neo4j)
+    // `^` binds tighter than * / % and is LEFT-associative in
+    // openCypher/Neo4j: 2^3^2 = (2^3)^2 = 64, not 512
     private def powExpr(): CExpr = {
-      val l = unaryExpr()
-      if (atSym("^")) { eatSym("^"); Arith("^", l, powExpr()) } else l
+      var l = unaryExpr()
+      while (atSym("^")) { eatSym("^"); l = Arith("^", l, unaryExpr()) }
+      l
     }
     // unary minus: folds into numeric literals, otherwise 0 - e
     private def unaryExpr(): CExpr =

@@ -21,7 +21,8 @@ final case class Neo4jConfig(
     connectTimeoutMs: Int = 1000,
     readTimeoutMs: Int = 1000,
     maxRetries: Int = 3,
-    retryBackoffMs: Int = 100) {
+    retryBackoffMs: Int = 100,
+    idempotentWrites: Boolean = false) {
   require(restUri != null && restUri.nonEmpty, "No Rest URI was supplied.")
   require(query != null && query.nonEmpty, "No Cypher statement was supplied.")
   require(maxRetries >= 0, "maxRetries must be >= 0")
@@ -50,10 +51,19 @@ private[neo4j] object Http {
       .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs.toLong))
       .build()
 
-  /** Status codes worth retrying: rate-limit and server-side
-    * transients. 4xx client errors (bad query, auth) fail fast.
+  /** Statuses safe to retry for ANY payload: the server (429
+    * rate-limit) or its front proxy (503 unavailable) rejected the
+    * request before processing it, so nothing can have committed.
+    * 4xx client errors (bad query, auth) fail fast.
     */
-  private val Retryable = Set(429, 500, 502, 503, 504)
+  private val AlwaysRetryable = Set(429, 503)
+
+  /** Statuses retryable only for replay-safe payloads: a 500, or a
+    * gateway's 502/504, can arrive AFTER the backend committed the
+    * transaction (the transactional endpoint commits per request), so
+    * replaying a non-idempotent write here could duplicate rows.
+    */
+  private val AmbiguousRetryable = Set(500, 502, 504)
 
   /** Non-200 response, distinguishable by TYPE from transport
     * IOExceptions in the retry loop (message text can be null on
@@ -64,14 +74,20 @@ private[neo4j] object Http {
 
   /** POST with bounded deterministic exponential backoff (base ×2 per
     * attempt, no jitter — reproducible tests beat decorrelation at
-    * this fan-in). Retries connect/IO failures and [[Retryable]]
-    * statuses up to `cfg.maxRetries` times. NOTE the transactional
-    * endpoint commits per request, so a retried WRITE whose first
-    * response was lost after the server committed is at-least-once —
-    * same contract as re-running a failed reference output-format
-    * task; idempotent statements (MERGE) make it effectively-once.
+    * this fan-in), up to `cfg.maxRetries` times.
+    *
+    * `replaySafe = false` (the writer's default — UNWIND…CREATE is
+    * not idempotent) narrows retries to failures that PRECEDE the
+    * request reaching the server: connect-phase exceptions and
+    * [[AlwaysRetryable]] statuses. Ambiguous failures — an IOException
+    * after the request was sent (response lost mid-read) or an
+    * [[AmbiguousRetryable]] gateway status — fail fast instead of
+    * silently duplicating committed work; opting in via
+    * `Neo4jConfig.idempotentWrites` (for MERGE-style statements)
+    * restores full at-least-once retries.
     */
-  def post(cfg: Neo4jConfig, payload: String): HttpResponse[java.io.InputStream] = {
+  def post(cfg: Neo4jConfig, payload: String,
+      replaySafe: Boolean = true): HttpResponse[java.io.InputStream] = {
     var attempt = 0
     while (true) {
       val outcome: Either[Throwable, HttpResponse[java.io.InputStream]] =
@@ -89,16 +105,24 @@ private[neo4j] object Http {
           else {
             try resp.body().close() catch { case _: java.io.IOException => () }
             val e = new StatusException(resp.statusCode())
-            if (Retryable(resp.statusCode())) Left(e) else throw e
+            val retriable = AlwaysRetryable(resp.statusCode()) ||
+              (replaySafe && AmbiguousRetryable(resp.statusCode()))
+            if (retriable) Left(e) else throw e
           }
         } catch {
-          // typed guard, not message matching — transports raise
+          // typed guards, not message matching — transports raise
           // IOExceptions with null messages (e.g. a closed keep-alive
-          // channel), which must still retry; a non-retryable status
-          // was thrown above and propagates unchanged
+          // channel); a non-retryable status was thrown above and
+          // propagates unchanged
           case se: StatusException => throw se
+          // connect-phase failures: the request never reached the
+          // server, so a replay can't duplicate anything
+          case ce: java.net.ConnectException => Left(ce)
+          case ct: java.net.http.HttpConnectTimeoutException => Left(ct)
           case io: java.io.IOException =>
-            Left(io) // connect refused / reset / timeout — transient
+            // sent-but-ambiguous (reset / read timeout mid-response):
+            // the server may have committed before the response died
+            if (replaySafe) Left(io) else throw io
         }
       outcome match {
         case Right(resp) => return resp
@@ -288,7 +312,8 @@ object Neo4jWriter {
       // so no hand-spliced JSON anywhere on the wire path
       def flush(): Unit = if (batch.size() > 0) {
         val payload = CypherPayload.statementJson(cfg.query, Map(param -> batch))
-        Http.post(cfg, payload).body().close()
+        Http.post(cfg, payload, replaySafe = cfg.idempotentWrites)
+          .body().close()
         batch = mapper.createArrayNode()
       }
 

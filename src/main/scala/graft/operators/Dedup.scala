@@ -39,10 +39,10 @@ object Dedup {
     * candidates. Inverted-index join on the gram string; grams seen in
     * > `dfCap` docs are dropped (boilerplate cannot decide a pair and
     * is a quadratic bucket).
-    * 100 TB notes: selected grams are a ~1/w sample of each doc
-    * (winnowing's density bound), so the exchange carries ~len/16
-    * short strings per doc, never the text; the hot-gram cap bounds
-    * every join bucket; pair counting is one keyed shuffle.
+    * 100 TB notes: selected grams are a ~2/(w+1) sample of each doc
+    * (sliding winnowing's expected density), so the exchange carries
+    * ~len/8 short strings per doc, never the text; the hot-gram cap
+    * bounds every join bucket; pair counting is one keyed shuffle.
     */
   def substringDup(spark: SparkSession, sfDir: String, minShared: Int = 3,
       dfCap: Int = 20): DataFrame = {

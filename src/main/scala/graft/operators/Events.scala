@@ -100,9 +100,15 @@ object Events {
     * within partition. The streaming twin keeps O(1) state per key via
     * flatMapGroupsWithState instead of a sort.
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeOn(Tables.events(spark, sfDir))
+
+  /** [[sessionize]] over an arbitrary events-shaped frame — the
+    * boundary-semantics specs drive this directly.
+    */
+  def sessionizeOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -146,15 +152,26 @@ object Events {
   }
 
   /** Gap-based sessionization via Spark's NATIVE `session_window`
-    * (same 30-min gap semantics as [[sessionize]]'s lag/cumsum
-    * spelling, minus the per-user sequence number): one shuffle on
-    * (user, window), sessions merge inside the aggregate. This exact
-    * plan also runs incrementally under a watermark — session_window
-    * is the Structured Streaming session operator — so the batch
-    * oracle here certifies the streaming operator's arithmetic.
+    * (30-min gap, minus [[sessionize]]'s per-user sequence number):
+    * one shuffle on (user, window), sessions merge inside the
+    * aggregate. This exact plan also runs incrementally under a
+    * watermark — session_window is the Structured Streaming session
+    * operator — so the batch oracle here certifies the streaming
+    * operator's arithmetic.
+    *
+    * BOUNDARY: sessions that touch at a point MERGE — an event
+    * exactly `gap` seconds after the previous one joins that
+    * session, identical to the lag/cumsum spelling's `diff > gap`
+    * split rule, so both operators share one oracle shape.
+    * EventsSpec pins the exact-gap case on both (don't trust the
+    * "end-exclusive window" intuition — merge is on start ≤ end).
     */
   def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    sessionizeNativeOn(Tables.events(spark, sfDir))
+
+  /** [[sessionizeNative]] over an arbitrary events-shaped frame. */
+  def sessionizeNativeOn(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(
         min(col("ts")).as("session_start"),

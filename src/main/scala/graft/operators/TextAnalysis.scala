@@ -274,8 +274,11 @@ object TextAnalysis {
   }
 
   /** Winnowing fingerprint of a string: rolling-hash k-grams (k=8),
-    * window w=16, xor-fold of window minima. Deterministic, no
-    * allocation beyond the code-point and hash arrays.
+    * SLIDING window w=16 (every w consecutive hashes, step 1 — the
+    * Schleimer et al. scheme, which is what gives the substring
+    * guarantee; a tumbling window does not), xor-fold of the hashes at
+    * the selected (distinct argmin) positions. Deterministic, no
+    * allocation beyond the code-point, hash, and selection arrays.
     *
     * The k-gram hash is poly-1000003 mod 2^40 — a masked modulus
     * instead of free 64-bit wrap-around, so the DuckDB oracle computes
@@ -289,18 +292,42 @@ object TextAnalysis {
     val s = text.codePoints().toArray
     if (s.length < k) return 0L
     val hashes = winnowHashes(s, k)
-    val n = hashes.length
+    val sel = winnowSelect(hashes, w)
     var fp = 0L
-    var start = 0
-    while (start < n) {
-      val end = math.min(start + w, n)
-      var m = hashes(start)
-      var j = start + 1
-      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      fp ^= m
-      start += w
-    }
+    var j = 0
+    while (j < hashes.length) { if (sel(j)) fp ^= hashes(j); j += 1 }
     fp
+  }
+
+  /** Winnowing selection over the k-gram hash array: a boolean mask of
+    * the positions that are an argmin of at least one sliding window
+    * of `w` consecutive hashes (ALL argmins of each window, so the
+    * selection is robust under either tie-breaking convention and the
+    * DuckDB twin's `list_filter(... = list_min(...))` spelling is
+    * literal). Shorter-than-w arrays use one window covering
+    * everything. Shared by [[winnowFingerprint]] and
+    * [[winnowSelectedGrams]] so both derive from one definition.
+    *
+    * The Schleimer guarantee this restores: any substring of
+    * ≥ k+w-1 code points shared by two documents spans a full window
+    * of w identical k-gram hashes in both, and that window's minima
+    * are selected in both — so the documents share a selected gram.
+    */
+  private[operators] def winnowSelect(hashes: Array[Long], w: Int): Array[Boolean] = {
+    val n = hashes.length
+    val sel = new Array[Boolean](n)
+    val numWin = math.max(n - w + 1, 1)
+    var b = 0
+    while (b < numWin) {
+      val end = math.min(b + w, n)
+      var m = hashes(b)
+      var j = b + 1
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      j = b
+      while (j < end) { if (hashes(j) == m) sel(j) = true; j += 1 }
+      b += 1
+    }
+    sel
   }
 
   /** Rolling poly-1000003 mod 2^40 hash of every k-gram of the
@@ -330,31 +357,26 @@ object TextAnalysis {
     hashes
   }
 
-  /** The winnow-SELECTED k-gram substrings of a document (every
-    * argmin position of each window, deduped). Winnowing's guarantee
-    * (Schleimer et al., SIGMOD 2003, /root/reference has no analog):
-    * two documents sharing any exact substring of length ≥ k+w-1
-    * share at least one selected gram — the candidate generator for
-    * exact-substring dedup.
+  /** The winnow-SELECTED k-gram substrings of a document (the
+    * distinct argmin positions of every sliding window, deduped as
+    * strings). Winnowing's guarantee (Schleimer et al., SIGMOD 2003,
+    * /root/reference has no analog): two documents sharing any exact
+    * substring of length ≥ k+w-1 share at least one selected gram —
+    * the candidate generator for exact-substring dedup. The guarantee
+    * needs the windows to SLIDE ([[winnowSelect]]); density stays
+    * ~2/(w+1) of all grams, so the 1/w-ish shuffle-sample bound the
+    * substring-dedup plan relies on still holds.
     */
   def winnowSelectedGrams(text: String, k: Int = 8, w: Int = 16): Array[String] = {
     val s = text.codePoints().toArray
     if (s.length < k) return Array.empty
     val hashes = winnowHashes(s, k)
-    val n = hashes.length
+    val selMask = winnowSelect(hashes, w)
     val sel = scala.collection.mutable.SortedSet[String]()
-    var start = 0
-    while (start < n) {
-      val end = math.min(start + w, n)
-      var m = hashes(start)
-      var j = start + 1
-      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      j = start
-      while (j < end) {
-        if (hashes(j) == m) sel += new String(s, j, k)
-        j += 1
-      }
-      start += w
+    var j = 0
+    while (j < hashes.length) {
+      if (selMask(j)) sel += new String(s, j, k)
+      j += 1
     }
     sel.toArray
   }

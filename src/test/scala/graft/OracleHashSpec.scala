@@ -45,7 +45,7 @@ class OracleHashSpec extends AnyFunSuite {
     // twins (polySql / OracleSql.fingerprint).
     val s = "emoji 😀𝄞 test naïve 🚀 rocket"
     assert(OracleHash.poly(s, 0L) == 414095170L)
-    assert(operators.TextAnalysis.winnowFingerprint(s) == 343109000562L)
+    assert(operators.TextAnalysis.winnowFingerprint(s) == 187265598L)
   }
 
   test("-0.0 canary: the driver hash sees the sign bit of zero") {

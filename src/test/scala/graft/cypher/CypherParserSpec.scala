@@ -258,11 +258,12 @@ class CypherParserSpec extends AnyFunSuite {
     // unary minus folded into the literal
     assert(lp.pred == Cmp(">", Ident("x"), LitV(-1L)))
 
-    // % at mul precedence; ^ tighter and right-associative
+    // % at mul precedence; ^ tighter and LEFT-associative (openCypher:
+    // 2^3^2 = (2^3)^2 = 64)
     val q3 = CypherParser.parse("MATCH (n:Nation) RETURN n.nationkey % 3 + 2 ^ 3 ^ 2 AS v")
     assert(q3.returnClause.items.head.expr ==
       Arith("+", Arith("%", Prop("n", "nationkey"), LitV(3L)),
-        Arith("^", LitV(2L), Arith("^", LitV(3L), LitV(2L)))))
+        Arith("^", Arith("^", LitV(2L), LitV(3L)), LitV(2L))))
 
     // malformed spellings fail loudly, not silently
     intercept[IllegalArgumentException](CypherParser.parse(

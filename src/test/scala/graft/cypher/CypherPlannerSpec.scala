@@ -665,6 +665,13 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getAs[Long]("nt") == 2L)
   }
 
+  test("^ is left-associative per openCypher (2^3^2 = 64)") {
+    val r = run("UNWIND [1] AS one RETURN 2 ^ 3 ^ 2 AS p, 2 ^ 10 AS p10")
+      .collect().head
+    assert(r.getAs[Double]("p") == 64.0)
+    assert(r.getAs[Double]("p10") == 1024.0)
+  }
+
   test("ceil/floor preserve IEEE signed zero (Math.ceil semantics)") {
     // Neo4j ceil = Math.ceil: inputs in (-1, 0) yield -0.0, and the
     // driver compare hashes raw bytes, so the sign bit is observable.

@@ -32,6 +32,7 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val flakyFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   private val flakyRequests = new java.util.concurrent.atomic.AtomicInteger(0)
   private val badreqRequests = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val amb500Requests = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress(0), 0)
@@ -67,6 +68,16 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
           ex.getResponseBody.write(resp)
           ex.close()
         }
+      }
+    })
+    // ambiguous-failure endpoint: counts requests, always 500 — the
+    // server may have committed before such a status (gateway case),
+    // so non-idempotent writes must not replay against it
+    server.createContext("/amb500/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        amb500Requests.incrementAndGet()
+        ex.sendResponseHeaders(500, -1)
+        ex.close()
       }
     })
     // client-error endpoint: 400 must never be retried
@@ -203,6 +214,48 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         StructType(Seq(StructField("x", IntegerType)))))
     assert(ex.getMessage.contains("400"))
     assert(badreqRequests.get() == 1, "a 400 must not be retried")
+  }
+
+  test("non-idempotent writes never replay an ambiguous failure") {
+    // UNWIND…CREATE is not idempotent and the transactional endpoint
+    // commits per request: a 500/502/504 (or a lost response) can
+    // follow a committed transaction, so the writer must fail fast
+    // instead of duplicating rows — exactly one POST despite
+    // maxRetries=3.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", 2)).toDF("name", "born").coalesce(1)
+    val cfg = Neo4jConfig(
+      s"http://localhost:${server.getAddress.getPort}/amb500/",
+      "UNWIND $inserts AS i CREATE (a:User {name:i.name, born:i.born})",
+      retryBackoffMs = 1)
+    amb500Requests.set(0)
+    val ex = intercept[org.apache.spark.SparkException](
+      Neo4jWriter.write(df, cfg, Seq("name", "born")))
+    assert(ex.getMessage.contains("500") ||
+      Option(ex.getCause).exists(_.getMessage.contains("500")))
+    assert(amb500Requests.get() == 1, "ambiguous 500 must not be replayed")
+    // opting in (MERGE-style statements) restores at-least-once retry
+    amb500Requests.set(0)
+    intercept[org.apache.spark.SparkException](
+      Neo4jWriter.write(df, cfg.copy(maxRetries = 1, idempotentWrites = true),
+        Seq("name", "born")))
+    assert(amb500Requests.get() == 2, "idempotent writes retry ambiguity")
+  }
+
+  test("writes still retry pre-processing rejections (503)") {
+    // a 503 rejection precedes any transaction work, so even a
+    // non-idempotent write may replay it safely
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("a", 1)).toDF("name", "born").coalesce(1)
+    flakyFailures.set(1); flakyRequests.set(0)
+    Neo4jWriter.write(df,
+      Neo4jConfig(s"http://localhost:${server.getAddress.getPort}/flaky/",
+        "UNWIND $inserts AS i CREATE (a:User {name:i.name})",
+        retryBackoffMs = 1),
+      Seq("name", "born"))
+    assert(flakyRequests.get() == 2) // one 503 absorbed, then success
   }
 
   test("writer batches per partition with bounded batch size") {

@@ -28,6 +28,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     val a = TextAnalysis.winnowSelectedGrams("AAAA " + passage + " BBBBBBBBBBBB")
     val b = TextAnalysis.winnowSelectedGrams("CCCCCCCCCCCCCC " + passage + " DD")
     assert(a.toSet.intersect(b.toSet).nonEmpty)
+    // ...at EVERY window alignment: shift the passage through all w
+    // offsets on one side — only a true sliding window holds the bound
+    // regardless of alignment (a tumbling selector does not)
+    for (off <- 0 until 16) {
+      val sa = TextAnalysis.winnowSelectedGrams(("X" * (4 + off)) + " " + passage)
+      val sb = TextAnalysis.winnowSelectedGrams(passage + " " + ("Y" * 30))
+      assert(sa.toSet.intersect(sb.toSet).nonEmpty,
+        s"alignment $off lost the shared passage")
+    }
     // below the k-gram size nothing is selected
     assert(TextAnalysis.winnowSelectedGrams("short").isEmpty)
     // selection is a subset of the doc's k-grams, deduped and sorted
