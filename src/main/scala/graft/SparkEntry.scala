@@ -43,6 +43,7 @@ object SparkEntry {
     "cypher_agg_functions"  -> (cypher.CypherQueries.aggFunctions(_, _)),
     "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
     "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
+    "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
@@ -824,6 +825,16 @@ object SparkEntry {
         |  min(c_mktsegment) AS first_seg
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cypher_temporal" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  CAST(year(ts) AS BIGINT) AS y,
+        |  CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(isodow(ts) AS BIGINT) AS dow,
+        |  COUNT(*) AS n,
+        |  CAST(hour(ts) AS BIGINT) AS h
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND hour(ts) >= 6
+        |GROUP BY 1, 2, 3, 4, 6 ORDER BY d, h""".stripMargin,
     "cypher_math_fns" ->
       """SELECT c_custkey AS id,
         |  abs(c_acctbal) AS abs_bal,

@@ -56,6 +56,11 @@ object Tables {
       // session conf is never mutated.
       val iso = s.newSession()
       iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a derived session has its OWN ExperimentalMethods — without
+      // this, plans rooted at the events scan (everything the events
+      // graph runs) would silently skip graft's optimizer rules, e.g.
+      // the instant-comparison pushdown rewrite
+      graft.plans.GraftOptimizations.install(iso)
       // read directly — a nested computeIfAbsent on the same map
       // (this closure runs inside one) is forbidden by
       // ConcurrentHashMap and can throw "Recursive update"

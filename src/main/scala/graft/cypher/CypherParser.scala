@@ -453,10 +453,39 @@ object CypherParser {
         "length", "abs", "ceil", "floor", "round", "sign", "sqrt",
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
         "tail", "substring", "replace", "split", "left", "right", "keys",
-        "ltrim", "rtrim", "toboolean")
+        "ltrim", "rtrim", "toboolean", "date", "datetime", "properties")
     private val listPredFns = Set("any", "all", "none", "single")
 
-    private def valueExpr(): CExpr = peek match {
+    /** Temporal instant components, accessed Neo4j-style as a postfix
+      * `.year` on an already-parsed expression (`e.ts.year`,
+      * `date(e.ts).month`). Parsed into reserved `@`-prefixed FnCall
+      * names so every existing AST traversal (agg detection, list
+      * tracking) sees an ordinary unary function.
+      */
+    private val temporalComps = Set(
+      "year", "month", "day", "hour", "minute", "second",
+      "dayofweek", "epochseconds", "epochmillis")
+
+    /** Primary expression plus any postfix temporal-component chain.
+      * The FIRST dot after a bare identifier is property access
+      * (consumed inside [[primaryExpr]] as `Prop`), so `n.year` stays
+      * a property read; only dots on an already-built expression
+      * (`e.ts.year`, `date(x).month`) resolve as components.
+      */
+    private def valueExpr(): CExpr = {
+      var e = primaryExpr()
+      while (atSym(".") && pos + 1 < toks.length &&
+          (toks(pos + 1) match {
+            case TId(n) => temporalComps.contains(n.toLowerCase(java.util.Locale.ROOT))
+            case _      => false
+          })) {
+        eatSym(".")
+        e = FnCall("@" + ident().toLowerCase(java.util.Locale.ROOT), Some(e))
+      }
+      e
+    }
+
+    private def primaryExpr(): CExpr = peek match {
       case Some(TId(name))
           if name.equalsIgnoreCase("coalesce") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>

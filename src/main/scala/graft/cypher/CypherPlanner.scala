@@ -1045,6 +1045,28 @@ object CypherPlanner {
     case FnCall("round", Some(a), _, _) => round(toColumn(a, scalars), 0)
     case FnCall("sign", Some(a), _, _)  => signum(toColumn(a, scalars)).cast("long")
     case FnCall("sqrt", Some(a), _, _)  => sqrt(toColumn(a, scalars))
+    // temporal constructors: date()/datetime() accept an ISO string
+    // or an instant column; both compile to codegen'd casts that
+    // CONSTANT-FOLD over literals, so a `ts >= datetime('…')` WHERE
+    // reaches the parquet scan as a pushable timestamp comparison
+    case FnCall("date", Some(a), _, _)     => to_date(toColumn(a, scalars))
+    case FnCall("datetime", Some(a), _, _) => to_timestamp(toColumn(a, scalars))
+    // temporal components (parsed from Neo4j's postfix `.year` form
+    // into reserved @-names); all surface as long like Neo4j integers.
+    // dayOfWeek is ISO (Monday=1) — Spark's dayofweek is Sunday=1, so
+    // shift; the DuckDB twin is isodow()
+    case FnCall("@year", Some(a), _, _)   => year(toColumn(a, scalars)).cast("long")
+    case FnCall("@month", Some(a), _, _)  => month(toColumn(a, scalars)).cast("long")
+    case FnCall("@day", Some(a), _, _)    => dayofmonth(toColumn(a, scalars)).cast("long")
+    case FnCall("@hour", Some(a), _, _)   => hour(toColumn(a, scalars)).cast("long")
+    case FnCall("@minute", Some(a), _, _) => minute(toColumn(a, scalars)).cast("long")
+    case FnCall("@second", Some(a), _, _) => second(toColumn(a, scalars)).cast("long")
+    case FnCall("@dayofweek", Some(a), _, _) =>
+      (((dayofweek(toColumn(a, scalars)) + 5) % 7) + 1).cast("long")
+    case FnCall("@epochseconds", Some(a), _, _) =>
+      unix_timestamp(toColumn(a, scalars)).cast("long")
+    case FnCall("@epochmillis", Some(a), _, _) =>
+      unix_millis(to_timestamp(toColumn(a, scalars)))
     // conversions: toInteger truncates toward zero (Neo4j semantics —
     // Spark's double→long cast truncates, matching)
     case FnCall("tointeger", Some(a), _, _) => toColumn(a, scalars).cast("long")

@@ -16,6 +16,12 @@ object CypherQueries {
   def run(spark: SparkSession, sfDir: String, query: String): DataFrame =
     CypherPlanner.run(spark, GraphLoader.tpch(spark, sfDir), query)
 
+  /** Same planner over the (:User)-[:PERFORMED]->(:Event) graph — the
+    * temporal-property surface (Event.ts is a real timestamp).
+    */
+  def runEvents(spark: SparkSession, sfDir: String, query: String): DataFrame =
+    CypherPlanner.run(spark, GraphLoader.events(spark, sfDir), query)
+
   def flagship(spark: SparkSession, sfDir: String): DataFrame =
     expand2Hop(spark, sfDir)
 
@@ -571,6 +577,22 @@ object CypherQueries {
         |UNION
         |MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation)
         |RETURN n.name AS nation""".stripMargin)
+
+  /** Temporal scalars — the first-WHERE-clause idiom of any
+    * time-bounded Cypher ported through the reference's arbitrary
+    * `setCypherQuery` surface (Neo4jInputFormat.java:60-66):
+    * `datetime('…')` construction, an instant-vs-instant comparison
+    * in WHERE (constant-folds to a PUSHABLE timestamp filter — pinned
+    * in PlanSpec), `date()` truncation, and Neo4j's postfix component
+    * access (`e.ts.year`, `.dayOfWeek` ISO Monday=1).
+    */
+  def temporal(spark: SparkSession, sfDir: String): DataFrame =
+    runEvents(spark, sfDir,
+      """MATCH (e:Event)
+        |WHERE e.ts >= datetime('2024-01-08T00:00:00') AND e.ts.hour >= 6
+        |RETURN date(e.ts) AS d, e.ts.year AS y, e.ts.month AS m,
+        |  e.ts.dayOfWeek AS dow, count(*) AS n, e.ts.hour AS h
+        |ORDER BY d, h""".stripMargin)
 
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the

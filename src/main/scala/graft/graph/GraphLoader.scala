@@ -22,6 +22,8 @@ object GraphLoader {
   val RegionOffset   = 4000000000L
   val SupplierOffset = 5000000000L
   val PartOffset     = 6000000000L
+  val EventOffset    = 7000000000L
+  val UserOffset     = 8000000000L
 
   // memoized per (session, dir): the graph is a bundle of lazy
   // DataFrames (nothing persisted), but building it re-derives 14
@@ -34,6 +36,38 @@ object GraphLoader {
   def tpch(spark: SparkSession, sfDir: String): PropertyGraph = {
     if (cache.size > 256) cache.clear() // bound session pinning
     cache.computeIfAbsent((spark, sfDir), k => build(k._1, k._2))
+  }
+
+  private val eventsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PropertyGraph]()
+
+  /** The events property graph — (:User)-[:PERFORMED]->(:Event) over
+    * events.parquet, KEPT SEPARATE from [[tpch]] so untyped scans /
+    * labels() / whole-graph algorithms over the TPC-H graph are
+    * unaffected. This is the temporal-query surface: Event carries a
+    * real timestamp property (`ts`), the shape a user ports
+    * time-bounded Cypher against.
+    */
+  def events(spark: SparkSession, sfDir: String): PropertyGraph = {
+    if (eventsCache.size > 256) eventsCache.clear()
+    eventsCache.computeIfAbsent((spark, sfDir), k => buildEvents(k._1, k._2))
+  }
+
+  private def buildEvents(spark: SparkSession, sfDir: String): PropertyGraph = {
+    val ev = Tables.events(spark, sfDir)
+    val event = ev.select(
+      (lit(EventOffset) + col("event_id")).as("__id"),
+      col("event_id").as("eventId"), col("user_id").cast("long").as("userId"),
+      col("ts"), col("event_type").as("eventType"), col("value"))
+    val user = ev.select(col("user_id").cast("long").as("userId")).distinct()
+      .select((lit(UserOffset) + col("userId")).as("__id"), col("userId"))
+    val performed = ev.select(
+      (lit(UserOffset) + col("user_id").cast("long")).as("__src"),
+      (lit(EventOffset) + col("event_id")).as("__dst"))
+    PropertyGraph(
+      nodes = Map("Event" -> event, "User" -> user),
+      rels = Map("PERFORMED" -> performed),
+      relEndpoints = Map("PERFORMED" -> ("User", "Event")))
   }
 
   private def build(spark: SparkSession, sfDir: String): PropertyGraph = {

@@ -158,8 +158,11 @@ object EagerCountAggregation extends Rule[LogicalPlan] {
   * via `SparkSessionExtensions.injectOptimizerRule`.
   */
 object GraftOptimizations {
+  private val rules = Seq(EagerCountAggregation, InstantComparisonRewrite)
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(EagerCountAggregation))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ EagerCountAggregation
+    rules.foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
 }

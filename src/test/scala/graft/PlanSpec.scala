@@ -58,6 +58,17 @@ class PlanSpec extends AnyFunSuite {
       "cypher property predicate did not push to parquet scan")
   }
 
+  test("cypher temporal WHERE pushes a timestamp filter to the scan") {
+    // datetime('…') must constant-fold so the instant comparison
+    // reaches parquet as GreaterThanOrEqual(ts, …) — the row-group
+    // pruning that makes time-bounded queries cheap at 100 TB
+    val df = cypher.CypherQueries.temporal(spark, TestSpark.sf)
+    val plan = planOf(df)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+      .findFirstIn(plan).isDefined,
+      "temporal predicate did not push to parquet scan")
+  }
+
   test("cypher ORDER BY + LIMIT compiles to TakeOrderedAndProject") {
     val plan = planOf(cypher.CypherQueries.orderLimit(spark, TestSpark.sf))
     assert(plan.contains("TakeOrderedAndProject"))

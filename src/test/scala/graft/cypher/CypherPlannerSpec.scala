@@ -672,6 +672,41 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p10") == 1024.0)
   }
 
+  test("temporal scalars: constructors, components, ISO dayOfWeek") {
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+      "date('2024-03-15').year AS y, date('2024-03-15').month AS m, " +
+      "date('2024-03-15').day AS d, " +
+      "datetime('2024-03-15T13:45:30').hour AS h, " +
+      "datetime('2024-03-15T13:45:30').minute AS mi, " +
+      "datetime('2024-03-15T13:45:30').second AS s, " +
+      "date('2024-03-15').dayOfWeek AS dow, " +
+      "date('2024-03-17').dayOfWeek AS dow_sun, " +
+      "datetime('1970-01-01T00:01:00').epochSeconds AS es, " +
+      "datetime('1970-01-01T00:00:01').epochMillis AS em").collect().head
+    assert(r.getAs[Long]("y") == 2024L && r.getAs[Long]("m") == 3L
+      && r.getAs[Long]("d") == 15L)
+    assert(r.getAs[Long]("h") == 13L && r.getAs[Long]("mi") == 45L
+      && r.getAs[Long]("s") == 30L)
+    // ISO numbering: Friday=5, Sunday=7 (Spark's dayofweek is Sun=1 —
+    // the planner shifts)
+    assert(r.getAs[Long]("dow") == 5L && r.getAs[Long]("dow_sun") == 7L)
+    assert(r.getAs[Long]("es") == 60L && r.getAs[Long]("em") == 1000L)
+  }
+
+  test("temporal comparisons and date() truncation on a real instant") {
+    // events graph: Event.ts is a genuine timestamp property
+    val df = CypherQueries.temporal(TestSpark.spark, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the WHERE bound holds and hour-components agree with the date
+    rows.foreach { row =>
+      assert(row.getAs[java.sql.Date]("d").toString >= "2024-01-08")
+      assert(row.getAs[Long]("h") >= 6L && row.getAs[Long]("h") <= 23L)
+      assert(row.getAs[Long]("dow") >= 1L && row.getAs[Long]("dow") <= 7L)
+    }
+  }
+
   test("ceil/floor preserve IEEE signed zero (Math.ceil semantics)") {
     // Neo4j ceil = Math.ceil: inputs in (-1, 0) yield -0.0, and the
     // driver compare hashes raw bytes, so the sign bit is observable.
