@@ -44,6 +44,8 @@ object SparkEntry {
     "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
     "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
+    "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
+    "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
@@ -835,6 +837,16 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND hour(ts) >= 6
         |GROUP BY 1, 2, 3, 4, 6 ORDER BY d, h""".stripMargin,
+    "cypher_properties" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS id, key AS k,
+        |  CASE key WHEN 'name' THEN r_name
+        |           ELSE CAST(CAST(r_regionkey AS BIGINT) AS VARCHAR) END AS v
+        |FROM region CROSS JOIN (SELECT unnest(['name', 'regionkey']) AS key)
+        |ORDER BY id, k""".stripMargin,
+    "cypher_map_proj" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+        |  c_mktsegment AS segment
+        |FROM customer WHERE c_custkey <= 10 ORDER BY id""".stripMargin,
     "cypher_math_fns" ->
       """SELECT c_custkey AS id,
         |  abs(c_acctbal) AS abs_bal,

@@ -602,7 +602,27 @@ object CypherParser {
         if (as.size == 1) FnCall(fn, Some(as.head)) else FnCallN(fn, as)
       case Some(TId(_)) =>
         val v = ident()
-        if (atSym(".")) { eatSym("."); Prop(v, ident()) } else Ident(v)
+        if (atSym(".")) { eatSym("."); Prop(v, ident()) }
+        else if (atSym("{")) {
+          // map projection `n {.name, .acctbal}` — desugared at parse
+          // time to a struct build (reserved FnCallN), consumed via
+          // field access (`m.name`). Only the `.key` entry form is
+          // supported; computed entries / `.*` fail loudly here.
+          eatSym("{")
+          val keys = Seq.newBuilder[CExpr]
+          while (!atSym("}")) {
+            if (!atSym(".")) throw new IllegalArgumentException(
+              s"unsupported map-projection entry for '$v' — only " +
+                "property selectors (`{.key, .key}`) are supported")
+            eatSym(".")
+            keys += LitV(ident())
+            if (!atSym("}")) eatSym(",")
+          }
+          eatSym("}")
+          val ks = keys.result()
+          require(ks.nonEmpty, s"empty map projection on '$v'")
+          FnCallN("@mapproj", Ident(v) +: ks)
+        } else Ident(v)
       case Some(TStr(s)) => next(); LitV(s)
       case Some(TNum(n)) =>
         next()

@@ -509,9 +509,11 @@ object CypherPlanner {
     val out = scala.collection.mutable.Set[String]()
     def walk(e: CExpr): Unit = e match {
       case Prop(v, _)          => out += v
-      case FnCall("labels" | "keys", arg, _, _) =>
+      case FnCall("labels" | "keys" | "properties", arg, _, _) =>
         arg.foreach { case Ident(v) => out += v; case other => walk(other) }
       case FnCall(_, arg, _, _) => arg.foreach(walk)
+      case FnCallN("@mapproj", as) =>
+        as.headOption.foreach { case Ident(v) => out += v; case _ => () }
       case FnCallN(_, as)      => as.foreach(walk)
       case ListPred(_, _, l, p) => walk(l); walk(p)
       case Cmp(_, l, r)        => walk(l); walk(r)
@@ -595,8 +597,19 @@ object CypherPlanner {
       // keys, not the internal id)
       def withMeta(nt: DataFrame, label: String): DataFrame = {
         val ks = nt.columns.filter(_ != "__id").sorted
+        // properties(n): key-sorted array<struct<key,val>> (val
+        // stringified — property types are heterogeneous), null
+        // values dropped to match Neo4j's absent-key semantics.
+        // A literal-keyed struct array, so Catalyst prunes it (and
+        // the columns it reads) whenever properties(n) is not asked
+        // for.
+        val props = org.apache.spark.sql.functions.filter(
+          array(ks.map(k => struct(lit(k).as("key"),
+            col(k).cast("string").as("val"))): _*),
+          x => x.getField("val").isNotNull)
         nt.withColumn("@labels", array(lit(label)))
           .withColumn("@keys", array(ks.map(lit(_)): _*))
+          .withColumn("@props", props)
       }
       var t = np.label match {
         case Some(label) => withMeta(graph.nodeTable(label), label)
@@ -970,6 +983,10 @@ object CypherPlanner {
     * resolve to their node id column.
     */
   private def toColumn(e: CExpr, scalars: Bindings): Column = e match {
+    // property access on a WITH/UNWIND-bound scalar is struct-field
+    // access (e.g. `p.key` after `UNWIND properties(n) AS p`);
+    // pattern variables keep their flattened `v__p` columns
+    case Prop(v, p) if scalars(v) => col(v).getField(p)
     case Prop(v, p)   => col(s"${v}__$p")
     case Ident(n)     => if (scalars(n)) col(n) else col(s"${n}__id")
     case LitV(x)      => lit(x)
@@ -1079,6 +1096,13 @@ object CypherPlanner {
       val c = toColumn(a, scalars)
       slice(c, lit(2), greatest(size(c) - 1, lit(0)))
     // substring(s, i[, len]) — Neo4j indexes from 0, SQL from 1
+    // map projection (parser sugar): n {.name, .acctbal} → a struct
+    // with the selected properties as fields; field access on the
+    // result goes through the scalar-Prop getField path
+    case FnCallN("@mapproj", Seq(Ident(v), keys @ _*)) =>
+      struct(keys.map { case LitV(k: String) => col(s"${v}__$k").as(k)
+        case other => throw new IllegalArgumentException(
+          s"map-projection key must be a property name, got $other") }: _*)
     case FnCallN("substring", args) if args.size == 2 || args.size == 3 =>
       val s = toColumn(args(0), scalars)
       val from = toColumn(args(1), scalars).cast("int") + 1
@@ -1124,6 +1148,11 @@ object CypherPlanner {
     case FnCall("labels", Some(Ident(v)), _, _) => col(s"${v}__@labels")
     // keys(n): the node's property-name list, a plan-time literal
     case FnCall("keys", Some(Ident(v)), _, _)   => col(s"${v}__@keys")
+    // properties(n): sorted array<struct<key,val>> with stringified
+    // values (a MAP would not be hashable by the driver compare);
+    // bound per scan as the hidden `n__@props` column, null-valued
+    // properties filtered out like Neo4j's absent keys
+    case FnCall("properties", Some(Ident(v)), _, _) => col(s"${v}__@props")
     // length(p): relationship count of the named path — planChain
     // accumulates it while joining the chain's hops
     case FnCall("length", Some(Ident(p)), _, _) => col(s"${p}__@len")
@@ -1186,6 +1215,7 @@ object CypherPlanner {
     case FnCall("collect", _, _, _) => true
     case FnCall("labels", _, _, _)  => true
     case FnCall("keys", _, _, _)    => true
+    case FnCall("properties", _, _, _) => true
     case FnCall("tail", _, _, _)    => true
     case FnCallN("split", _)        => true
     case _                          => false

@@ -594,6 +594,32 @@ object CypherQueries {
         |  e.ts.dayOfWeek AS dow, count(*) AS n, e.ts.hour AS h
         |ORDER BY d, h""".stripMargin)
 
+  /** `properties(n)` — whole-property-map introspection, surfaced as
+    * a key-sorted `array<struct<key,val>>` (stringified values; a MAP
+    * would not be driver-hashable) and consumed via UNWIND + struct
+    * field access, closing the node-introspection trio with keys()
+    * and labels().
+    */
+  def propertiesOf(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (r:Region)
+        |UNWIND properties(r) AS p
+        |RETURN r.regionkey AS id, p.key AS k, p.val AS v
+        |ORDER BY id, k""".stripMargin)
+
+  /** Map projection `c {.name, .acctbal}` — parser sugar building a
+    * struct from the selected properties, consumed through scalar
+    * field access after a WITH horizon (Neo4j's map value itself
+    * isn't driver-hashable).
+    */
+  def mapProjection(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WHERE c.custkey <= 10
+        |WITH c.custkey AS id, c {.name, .mktsegment} AS m
+        |RETURN id, m.name AS name, m.mktsegment AS segment
+        |ORDER BY id""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with

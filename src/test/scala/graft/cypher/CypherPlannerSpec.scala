@@ -707,6 +707,30 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("properties(n) yields the key-sorted struct array; map projection builds a struct") {
+    val rows = run(
+      "MATCH (r:Region) UNWIND properties(r) AS p " +
+      "RETURN r.regionkey AS id, p.key AS k, p.val AS v ORDER BY id, k")
+      .collect()
+    // 5 regions × 2 properties, keys sorted, no nulls
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[String]("k")).distinct.sorted
+      .sameElements(Array("name", "regionkey")))
+    assert(rows.forall(_.getAs[String]("v") != null))
+
+    val m = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 3 " +
+      "WITH n {.name, .regionkey} AS m RETURN m.name AS nm, m.regionkey AS rk")
+      .collect().head
+    assert(m.getAs[String]("nm") == "NATION_3" && m.getAs[Long]("rk") == 3L)
+
+    // unsupported entry forms fail loudly at parse time
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (n:Nation) RETURN n {.*} AS m"))
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (n:Nation) RETURN n {name: 1} AS m"))
+  }
+
   test("ceil/floor preserve IEEE signed zero (Math.ceil semantics)") {
     // Neo4j ceil = Math.ceil: inputs in (-1, 0) yield -0.0, and the
     // driver compare hashes raw bytes, so the sign bit is observable.
