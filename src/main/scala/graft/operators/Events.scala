@@ -171,6 +171,17 @@ object Events {
 
   /** [[sessionizeNative]] over an arbitrary events-shaped frame. */
   def sessionizeNativeOn(events: DataFrame): DataFrame =
+    sessionWindowAgg(events).orderBy(col("user_id"), col("session_start"))
+
+  /** The session_window aggregation itself, shared VERBATIM between
+    * the batch operator (above, which only adds a presentation sort)
+    * and the watermarked streaming twin
+    * ([[graft.streaming.StreamingJobs.sessionizeNative]]) — so the
+    * batch oracle genuinely certifies the streaming operator's
+    * arithmetic, and StreamingJobsSpec pins the same aggregation
+    * merging sessions under a watermark.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(
@@ -180,7 +191,6 @@ object Events {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("session_start"))
 
   /** As-of (point-in-time) join — last-touch attribution: for each
     * `purchase`, the latest `view` by the same user at or before the

@@ -107,6 +107,16 @@ object StreamingJobs {
 
   val GapMs: Long = 30 * 60 * 1000L
 
+  /** The NATIVE session_window sessionization under a watermark —
+    * literally [[graft.operators.Events.sessionWindowAgg]], the same
+    * aggregation the batch oracle certifies, now running
+    * incrementally: session windows merge in state and emit once the
+    * watermark passes a session's close (end + gap).
+    */
+  def sessionizeNative(events: Dataset[Event]): org.apache.spark.sql.DataFrame =
+    graft.operators.Events.sessionWindowAgg(
+      events.toDF().withWatermark("ts", "1 hour"))
+
   /** Gap-based sessionization with explicit keyed state. Emits a
     * session when a gap > 30 min is observed within a key's batch or
     * when the event-time timeout fires (watermark passed the gap).

@@ -100,6 +100,45 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window sessionizes under a watermark (merge + emission)") {
+    // the EXACT batch aggregation (Events.sessionWindowAgg) running
+    // incrementally: sessions merge in state (including the
+    // exact-30-min-gap event, per the EventsSpec boundary pin) and
+    // emit once the watermark passes their close
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingJobs.Event]
+    val q = StreamingJobs.sessionizeNative(input.toDS()).writeStream
+      .format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // user 1: minute 0 and 10 → one session; 50 → a second
+        StreamingJobs.Event(1, ts(0), 1L, 1.0),
+        StreamingJobs.Event(2, ts(10), 1L, 2.0),
+        StreamingJobs.Event(3, ts(50), 1L, 4.0),
+        // user 2: exactly 30 min apart — touching windows MERGE
+        StreamingJobs.Event(4, ts(0), 2L, 8.0),
+        StreamingJobs.Event(5, ts(30), 2L, 16.0))
+      q.processAllAvailable()
+      // push the watermark (1 h delay) past every session's close
+      input.addData(StreamingJobs.Event(99, ts(600), 3L, 0.0))
+      q.processAllAvailable()
+      input.addData(StreamingJobs.Event(100, ts(1200), 3L, 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("native_sessions")
+        .filter(col("user_id").isin(1L, 2L))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == Set(
+        (1L, ts(0), ts(10), 2L, 3.0),
+        (1L, ts(50), ts(50), 1L, 4.0),
+        (2L, ts(0), ts(30), 2L, 24.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits gap-separated sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
