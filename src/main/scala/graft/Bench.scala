@@ -69,7 +69,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full line (115+ queries) exceeds the 2000-char output tail
+    // the round driver keeps, which clipped r6's artifact into an
+    // unparseable fragment. Persist the full JSON to a file, then
+    // print a compact line LAST — total + the slowest queries,
+    // rounded — that always fits the tail whole.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
+    println(full)
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val top = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_note":"20 slowest of ${results.size}; all in BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

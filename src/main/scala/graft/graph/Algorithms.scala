@@ -350,7 +350,8 @@ object Algorithms {
     * `has_out` (no anti-join). One shuffle per iteration total.
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointStride: Int = 2,
+      eagerCheckpoint: Boolean = true): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val edgesDeg = e.join(outDeg, "src")
@@ -381,12 +382,20 @@ object Algorithms {
         .select(col("id"), col("has_out"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("received"), lit(0.0)) + col("dmass") / n)).as("rank"))
-      // materialize every SECOND iteration: each un-checkpointed round
-      // triples the plan (ranks feeds contribs, dangling, and the
-      // final join), so stride 2 keeps the plan bounded (~9 scans of
-      // the last materialization) while halving the eager-write cost —
-      // the fixed overhead that dominates iterative DataFrame loops
-      if (i % 2 == 1 || i == iterations - 1) ranks = ranks.localCheckpoint(true)
+      // materialize every `checkpointStride`-th iteration: each
+      // un-checkpointed round triples the plan (ranks feeds contribs,
+      // dangling, and the final join), so a small stride keeps the
+      // plan bounded (~3^stride scans of the last materialization)
+      // while dividing the eager-write cost — the fixed overhead that
+      // dominates iterative DataFrame loops. Measured (PerfLab
+      // variants, best-of-3 at sf0.1 / best-of-2 at sf1): stride 2
+      // eager 3.85s/14.9s, stride 3 4.0s, stride 1 4.2s, lazy
+      // stride 2 3.42s/17.9s — lazy wins only while fixed overhead
+      // dominates and loses at sf1 where the deferred write lands on
+      // the next iteration's critical path, so eager stride 2 is the
+      // scale-robust default.
+      if (i % checkpointStride == checkpointStride - 1 || i == iterations - 1)
+        ranks = ranks.localCheckpoint(eagerCheckpoint)
       i += 1
     }
     ranks.select(col("id"), col("rank"))

@@ -27,8 +27,25 @@ object PerfLab {
       val t0 = System.nanoTime()
       val n = what match {
         case "pagerank" => Algorithms.pageRankQuery(spark, sfDir).count()
+        case "pagerank_s1" | "pagerank_s3" | "pagerank_lazy" | "pagerank_s3lazy" =>
+          // checkpoint-policy variants for the stride/eagerness choice
+          val g = graft.graph.GraphLoader.tpch(spark, sfDir)
+          val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+            .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+            .reduce(_.unionByName(_))
+          val (stride, eager) = what match {
+            case "pagerank_s1"     => (1, true)
+            case "pagerank_s3"     => (3, true)
+            case "pagerank_lazy"   => (2, false)
+            case _                 => (3, false)
+          }
+          Algorithms.pageRank(spark, edges, iterations = 10,
+            checkpointStride = stride, eagerCheckpoint = eager).count()
         case "cc"       => Algorithms.connectedComponentsQuery(spark, sfDir).count()
         case "ngram"    => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()
+        case "neighbor_sim"   => Algorithms.neighborSimQuery(spark, sfDir).count()
+        case "dedup_clusters" => graft.operators.Dedup.dedupClusters(spark, sfDir).count()
+        case "copurchase"     => graft.operators.Relational.copurchase(spark, sfDir).count()
         case "cc-after-warm" =>
           // reproduce the Bench context: tiny-SF warmup of all queries,
           // then the timed CC run
