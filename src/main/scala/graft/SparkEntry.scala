@@ -46,6 +46,7 @@ object SparkEntry {
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
+    "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
@@ -119,6 +120,7 @@ object SparkEntry {
     "embed_kmeans"        -> (Similarity.kmeans(_, _)),
     "embed_dim_stats"     -> (Similarity.dimStats(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
+    "text_gopher"         -> (TextAnalysis.gopherRules(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
     "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
@@ -622,6 +624,41 @@ object SparkEntry {
         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "text_gopher" -> {
+      val hits = operators.TextAnalysis.stopwords("en").sorted.take(8)
+        .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') " +
+          "THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS nw,
+         |    len(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
+         |    len(text) - len(replace(text, '#', '')) AS n_hash,
+         |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE
+         |      len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |          w -> regexp_matches(w, '[a-z]'))) END AS alpha_words,
+         |    $hits AS sh
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |    round(CAST(non_ws AS DOUBLE) / greatest(nw, 1), 6) AS mean_word_len,
+         |    round(CAST(n_hash + n_ell AS DOUBLE) / greatest(nw, 1), 6) AS symbol_ratio,
+         |    round(CAST(alpha_words AS DOUBLE) / greatest(nw, 1), 6) AS alpha_frac,
+         |    CAST(sh AS BIGINT) AS stop_hits
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_word_count,
+         |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_mean_len,
+         |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+         |  CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+         |  CAST(stop_hits >= 2 AS INT) AS r_stops,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |    AND stop_hits >= 2 AS INT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "text_quality" ->
       ("""SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -847,6 +884,13 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
         |  c_mktsegment AS segment
         |FROM customer WHERE c_custkey <= 10 ORDER BY id""".stripMargin,
+    "cypher_list_index" ->
+      """WITH p AS (SELECT n_name AS nation, string_split(n_name, '_') AS parts
+        |           FROM nation)
+        |SELECT nation, parts[1] AS p0, parts[-1] AS plast,
+        |  CAST(len(parts[1:1]) AS BIGINT) AS n_first,
+        |  CAST(len(parts[6:len(parts)]) AS BIGINT) AS n_tail
+        |FROM p ORDER BY nation""".stripMargin,
     "cypher_math_fns" ->
       """SELECT c_custkey AS id,
         |  abs(c_acctbal) AS abs_bal,

@@ -474,13 +474,34 @@ object CypherParser {
       */
     private def valueExpr(): CExpr = {
       var e = primaryExpr()
-      while (atSym(".") && pos + 1 < toks.length &&
-          (toks(pos + 1) match {
-            case TId(n) => temporalComps.contains(n.toLowerCase(java.util.Locale.ROOT))
-            case _      => false
-          })) {
-        eatSym(".")
-        e = FnCall("@" + ident().toLowerCase(java.util.Locale.ROOT), Some(e))
+      var done = false
+      while (!done) {
+        if (atSym(".") && pos + 1 < toks.length &&
+            (toks(pos + 1) match {
+              case TId(n) => temporalComps.contains(n.toLowerCase(java.util.Locale.ROOT))
+              case _      => false
+            })) {
+          eatSym(".")
+          e = FnCall("@" + ident().toLowerCase(java.util.Locale.ROOT), Some(e))
+        } else if (atSym("[")) {
+          // postfix list access: index `xs[i]` (negative = from end)
+          // or slice `xs[a..b]` (0-based, end-exclusive, open ends) —
+          // desugared to reserved @index/@slice calls. Missing slice
+          // bounds become 0 / size(xs).
+          eatSym("[")
+          val start =
+            if (atSym("..")) LitV(0L) else addExpr()
+          if (atSym("..")) {
+            eatSym("..")
+            val end =
+              if (atSym("]")) FnCall("size", Some(e)) else addExpr()
+            eatSym("]")
+            e = FnCallN("@slice", Seq(e, start, end))
+          } else {
+            eatSym("]")
+            e = FnCallN("@index", Seq(e, start))
+          }
+        } else done = true
       }
       e
     }

@@ -1096,6 +1096,24 @@ object CypherPlanner {
       val c = toColumn(a, scalars)
       slice(c, lit(2), greatest(size(c) - 1, lit(0)))
     // substring(s, i[, len]) — Neo4j indexes from 0, SQL from 1
+    // list index xs[i]: Cypher is 0-based with negative-from-end;
+    // `get` is the 0-based null-on-out-of-bounds accessor, and
+    // element_at's negative indexing covers i < 0 — both codegen'd
+    case FnCallN("@index", Seq(b, i)) =>
+      val arr = toColumn(b, scalars)
+      val ic = toColumn(i, scalars).cast("int")
+      when(ic >= 0, get(arr, ic)).otherwise(element_at(arr, ic))
+    // list slice xs[a..b]: 0-based end-exclusive with negative and
+    // open bounds — normalize each bound to [0, n] then one `slice`
+    case FnCallN("@slice", Seq(b, a0, b0)) =>
+      val arr = toColumn(b, scalars)
+      val n = size(arr)
+      def norm(e: CExpr): Column = {
+        val x = toColumn(e, scalars).cast("int")
+        greatest(least(when(x < 0, n + x).otherwise(x), n), lit(0))
+      }
+      val lo = norm(a0)
+      slice(arr, lo + 1, greatest(norm(b0) - lo, lit(0)))
     // map projection (parser sugar): n {.name, .acctbal} → a struct
     // with the selected properties as fields; field access on the
     // result goes through the scalar-Prop getField path
@@ -1216,6 +1234,7 @@ object CypherPlanner {
     case FnCall("labels", _, _, _)  => true
     case FnCall("keys", _, _, _)    => true
     case FnCall("properties", _, _, _) => true
+    case FnCallN("@slice", _)       => true
     case FnCall("tail", _, _, _)    => true
     case FnCallN("split", _)        => true
     case _                          => false

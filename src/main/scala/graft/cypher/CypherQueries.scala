@@ -620,6 +620,20 @@ object CypherQueries {
         |RETURN id, m.name AS name, m.mktsegment AS segment
         |ORDER BY id""".stripMargin)
 
+  /** Postfix list access — 0-based indexing with negative-from-end
+    * (`parts[0]`, `parts[-1]`) and end-exclusive slices with open and
+    * out-of-range bounds (`parts[0..1]`, `parts[5..]`), all compiled
+    * to codegen'd array expressions (get/element_at/slice), no
+    * explode.
+    */
+  def listIndex(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |WITH n.name AS nation, split(n.name, '_') AS parts
+        |RETURN nation, parts[0] AS p0, parts[-1] AS plast,
+        |  size(parts[0..1]) AS n_first, size(parts[5..]) AS n_tail
+        |ORDER BY nation""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with

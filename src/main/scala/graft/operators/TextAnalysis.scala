@@ -78,6 +78,53 @@ object TextAnalysis {
         .cast("int").as("keep"))
   }
 
+  /** The explicit Gopher filtering rules (Rae et al. 2021, table A1
+    * subset) with per-rule verdicts — the interpretable curation
+    * cousin of [[quality]]'s composite score: word count in
+    * [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * (# and …) ≤ 0.1, ≥ 80% of words contain a letter, and ≥ 2
+    * distinct common English stopwords present. Every metric is a
+    * codegen'd column expression over one projection — no shuffle,
+    * no UDF — so the operator is a pure map at any corpus size.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val words = split(lower(trim(t)), "\\s+")
+    val nWords = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(words).cast("long"))
+    val nonWs = length(regexp_replace(t, "\\s", "")).cast("long")
+    val meanWordLen = round(nonWs.cast("double") / greatest(nWords, lit(1L)), 6)
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEllipsis = ((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbolRatio = round((nHash + nEllipsis).cast("double")
+      / greatest(nWords, lit(1L)), 6)
+    val alphaWords = size(org.apache.spark.sql.functions.filter(
+      words, w => w.rlike("[a-z]"))).cast("long")
+    val alphaFrac = round(alphaWords.cast("double") / greatest(nWords, lit(1L)), 6)
+    val stops = stopwords("en").toSeq.sorted.take(8)
+    val stopHits = stops.map(w =>
+      when(t.rlike("(?i)(^|\\s)" + w + "(\\s|$)"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rWordCount = nWords >= 50 && nWords <= 100000
+    val rMeanLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rAlpha = alphaFrac >= 0.8
+    val rStops = stopHits >= 2
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
+      rWordCount.cast("int").as("r_word_count"),
+      rMeanLen.cast("int").as("r_mean_len"),
+      rSymbol.cast("int").as("r_symbol"),
+      rAlpha.cast("int").as("r_alpha"),
+      rStops.cast("int").as("r_stops"),
+      (rWordCount && rMeanLen && rSymbol && rAlpha && rStops)
+        .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID: CJK-script presence → zh; otherwise argmax of
     * distinct-stopword hits per latin language (ties broken by
     * language code order, "und" when no hits). Pure column

@@ -731,6 +731,28 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (n:Nation) RETURN n {name: 1} AS m"))
   }
 
+  test("list indexing and slicing: 0-based, negative, open and OOB bounds") {
+    val r = run(
+      "UNWIND [1] AS one WITH [10, 20, 30, 40] AS xs RETURN " +
+      "xs[0] AS a, xs[3] AS b, xs[-1] AS c, xs[-4] AS d, " +
+      "xs[9] AS oob, " +                       // out of bounds → null
+      "size(xs[1..3]) AS s13, " +              // [20, 30]
+      "xs[1..3][0] AS s13h, " +                // chained postfix
+      "size(xs[..2]) AS open_lo, " +           // [10, 20]
+      "size(xs[2..]) AS open_hi, " +           // [30, 40]
+      "size(xs[-2..]) AS neg_lo, " +           // [30, 40]
+      "size(xs[2..99]) AS clamp_hi, " +        // [30, 40]
+      "size(xs[3..1]) AS empty")               // inverted → []
+      .collect().head
+    assert(r.getAs[Long]("a") == 10L && r.getAs[Long]("b") == 40L)
+    assert(r.getAs[Long]("c") == 40L && r.getAs[Long]("d") == 10L)
+    assert(r.isNullAt(r.fieldIndex("oob")))
+    assert(r.getAs[Long]("s13") == 2L && r.getAs[Long]("s13h") == 20L)
+    assert(r.getAs[Long]("open_lo") == 2L && r.getAs[Long]("open_hi") == 2L)
+    assert(r.getAs[Long]("neg_lo") == 2L && r.getAs[Long]("clamp_hi") == 2L)
+    assert(r.getAs[Long]("empty") == 0L)
+  }
+
   test("ceil/floor preserve IEEE signed zero (Math.ceil semantics)") {
     // Neo4j ceil = Math.ceil: inputs in (-1, 0) yield -0.0, and the
     // driver compare hashes raw bytes, so the sign bit is observable.

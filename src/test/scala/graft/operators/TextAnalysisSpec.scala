@@ -45,6 +45,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(g.forall(_.length == 8))
   }
 
+  test("gopher rules: verdicts follow their metrics") {
+    val rows = TextAnalysis.gopherRules(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      assert((r.getAs[Int]("r_word_count") == 1) ==
+        (nWords >= 50 && nWords <= 100000))
+      assert((r.getAs[Int]("r_symbol") == 1) ==
+        (r.getAs[Double]("symbol_ratio") <= 0.1))
+      assert((r.getAs[Int]("r_alpha") == 1) ==
+        (r.getAs[Double]("alpha_frac") >= 0.8))
+      val allRules = Seq("r_word_count", "r_mean_len", "r_symbol",
+        "r_alpha", "r_stops").forall(r.getAs[Int](_) == 1)
+      assert((r.getAs[Int]("keep") == 1) == allRules)
+      assert(r.getAs[Double]("alpha_frac") <= 1.0)
+    }
+  }
+
   test("quality metrics are internally consistent") {
     val rows = TextAnalysis.quality(spark, TestSpark.sf).collect()
     rows.foreach { r =>
