@@ -47,6 +47,7 @@ object SparkEntry {
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
+    "cypher_temporal_arith" -> (cypher.CypherQueries.temporalArith(_, _)),
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
@@ -884,6 +885,14 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
         |  c_mktsegment AS segment
         |FROM customer WHERE c_custkey <= 10 ORDER BY id""".stripMargin,
+    "cypher_temporal_arith" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(min(day(ts)) AS BIGINT) AS d_min,
+        |  CAST(max(day(ts)) AS BIGINT) AS d_max
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-30 23:59:59' - INTERVAL 7 DAY
+        |  AND ts < TIMESTAMP '2024-01-24 00:00:00' + INTERVAL 36 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cypher_list_index" ->
       """WITH p AS (SELECT n_name AS nation, string_split(n_name, '_') AS parts
         |           FROM nation)

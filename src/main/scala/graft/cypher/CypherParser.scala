@@ -453,7 +453,8 @@ object CypherParser {
         "length", "abs", "ceil", "floor", "round", "sign", "sqrt",
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
         "tail", "substring", "replace", "split", "left", "right", "keys",
-        "ltrim", "rtrim", "toboolean", "date", "datetime", "properties")
+        "ltrim", "rtrim", "toboolean", "date", "datetime", "duration",
+        "properties")
     private val listPredFns = Set("any", "all", "none", "single")
 
     /** Temporal instant components, accessed Neo4j-style as a postfix

@@ -982,6 +982,25 @@ object CypherPlanner {
     * bare identifiers outside that set are pattern variables and
     * resolve to their node id column.
     */
+  /** ISO-8601 duration string → a foldable `make_interval` column.
+    * Supports Y/M/W/D date parts and H/M/S time parts (integer
+    * values, Neo4j's common literal forms); weeks fold into days.
+    */
+  private val DurationRe =
+    ("^P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)W)?(?:(\\d+)D)?" +
+      "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?$").r
+  private def durationInterval(s: String): Column = s.toUpperCase match {
+    case DurationRe(y, mo, w, d, h, mi, sec) =>
+      def n(x: String) = if (x == null) 0L else x.toLong
+      require(Seq(y, mo, w, d, h, mi, sec).exists(_ != null),
+        s"empty duration literal '$s'")
+      expr(s"make_interval(${n(y)}, ${n(mo)}, 0, ${n(w) * 7 + n(d)}, " +
+        s"${n(h)}, ${n(mi)}, ${n(sec)})")
+    case _ => throw new IllegalArgumentException(
+      s"unsupported duration literal '$s' — expected ISO-8601 like " +
+        "'P7D', 'PT90M', 'P1YT2H'")
+  }
+
   private def toColumn(e: CExpr, scalars: Bindings): Column = e match {
     // property access on a WITH/UNWIND-bound scalar is struct-field
     // access (e.g. `p.key` after `UNWIND properties(n) AS p`);
@@ -1068,6 +1087,16 @@ object CypherPlanner {
     // reaches the parquet scan as a pushable timestamp comparison
     case FnCall("date", Some(a), _, _)     => to_date(toColumn(a, scalars))
     case FnCall("datetime", Some(a), _, _) => to_timestamp(toColumn(a, scalars))
+    // duration('P7D'/'PT90M'/…): an ISO-8601 duration LITERAL as a
+    // foldable interval, so `ts >= datetime('…') - duration('P7D')`
+    // constant-folds into a pushable timestamp bound. Only literal
+    // arguments make sense here (Neo4j duration strings are written
+    // inline); anything else fails loudly
+    case FnCall("duration", Some(a), _, _) => a match {
+      case LitV(s: String) => durationInterval(s)
+      case other => throw new IllegalArgumentException(
+        s"duration() expects a string literal, got $other")
+    }
     // temporal components (parsed from Neo4j's postfix `.year` form
     // into reserved @-names); all surface as long like Neo4j integers.
     // dayOfWeek is ISO (Monday=1) — Spark's dayofweek is Sunday=1, so

@@ -634,6 +634,21 @@ object CypherQueries {
         |  size(parts[0..1]) AS n_first, size(parts[5..]) AS n_tail
         |ORDER BY nation""".stripMargin)
 
+  /** Duration arithmetic — `duration('P7D')` ISO-8601 literals
+    * added/subtracted from instants inside WHERE. The interval and
+    * both datetime() anchors are foldable, so the bounds collapse to
+    * pushable timestamp literals (same scan-pruning path as
+    * [[temporal]]).
+    */
+  def temporalArith(spark: SparkSession, sfDir: String): DataFrame =
+    runEvents(spark, sfDir,
+      """MATCH (e:Event)
+        |WHERE e.ts >= datetime('2024-01-30T23:59:59') - duration('P7D')
+        |  AND e.ts < datetime('2024-01-24T00:00:00') + duration('PT36H')
+        |RETURN e.eventType AS event_type, count(*) AS n,
+        |  min(e.ts.day) AS d_min, max(e.ts.day) AS d_max
+        |ORDER BY event_type""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with

@@ -87,7 +87,16 @@ object TextAnalysis {
     * codegen'd column expression over one projection — no shuffle,
     * no UDF — so the operator is a pure map at any corpus size.
     */
-  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherProjection(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  /** The Gopher metrics/verdicts as a pure stateless projection over
+    * any (doc_id, text) frame — shared verbatim with the streaming
+    * router ([[graft.streaming.StreamingJobs.gopherRoute]]), same
+    * batch-certifies-streaming contract as [[qualityProjection]].
+    */
+  def gopherProjection(docs: DataFrame): DataFrame = {
     val t = col("text")
     val words = split(lower(trim(t)), "\\s+")
     val nWords = when(length(trim(t)) === 0, lit(0L))
@@ -111,7 +120,7 @@ object TextAnalysis {
     val rSymbol = symbolRatio <= 0.1
     val rAlpha = alphaFrac >= 0.8
     val rStops = stopHits >= 2
-    Tables.documents(spark, sfDir).select(
+    docs.select(
       col("doc_id"), nWords.as("n_words"),
       meanWordLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
       alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
@@ -122,7 +131,6 @@ object TextAnalysis {
       rStops.cast("int").as("r_stops"),
       (rWordCount && rMeanLen && rSymbol && rAlpha && rStops)
         .cast("int").as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Language ID: CJK-script presence → zh; otherwise argmax of

@@ -98,6 +98,15 @@ object StreamingJobs {
           .otherwise(lit("test")))
   }
 
+  /** Gopher-rule router: the batch-certified
+    * [[graft.operators.TextAnalysis.gopherProjection]] running
+    * unchanged over a document stream (stateless projection + filter
+    * — zero state, append mode), keeping only rule-passing docs.
+    */
+  def gopherRoute(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.gopherProjection(docs)
+      .filter(col("keep") === 1)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(
       start: Long, end: Long, nEvents: Long, sumValue: Double)

@@ -239,6 +239,34 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopher router gates a stream exactly like the batch projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a doc passing every Gopher rule (>= 50 words, sane word length,
+    // no symbols, alphabetic, stopword-bearing) and two failing ones
+    val good = (("the quick brown fox jumps over the lazy dog and " * 6)
+      + "that is all for today with luck").trim
+    val docs = Seq(
+      (1L, good),
+      (2L, "short text"),                       // < 50 words
+      (3L, ("#### " * 60).trim))               // symbol ratio + no stopwords
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.gopherRoute(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_routed")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val kept = spark.table("gopher_routed").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L))
+      // identical verdicts to the batch projection over the same frame
+      val batch = graft.operators.TextAnalysis
+        .gopherProjection(docs.toDF("doc_id", "text"))
+        .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
+      assert(batch == kept)
+    } finally q.stop()
+  }
+
   test("quality router gates and splits a stream exactly like the batch operators") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
