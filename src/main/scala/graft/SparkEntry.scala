@@ -48,6 +48,8 @@ object SparkEntry {
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
     "cypher_temporal_arith" -> (cypher.CypherQueries.temporalArith(_, _)),
+    "cypher_exists_where"   -> (cypher.CypherQueries.existsWhere(_, _)),
+    "cypher_count_where"    -> (cypher.CypherQueries.countWhere(_, _)),
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
@@ -122,6 +124,7 @@ object SparkEntry {
     "embed_dim_stats"     -> (Similarity.dimStats(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
     "text_gopher"         -> (TextAnalysis.gopherRules(_, _)),
+    "text_unigram_lm"     -> (TextAnalysis.unigramLogprob(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
     "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
@@ -625,6 +628,19 @@ object SparkEntry {
         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "text_unigram_lm" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
+        |t AS (SELECT doc_id,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |      FROM d),
+        |t2 AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+        |n AS (SELECT SUM(cnt) AS n_total FROM c)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_logprob
+        |FROM t2 JOIN c USING (token) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_gopher" -> {
       val hits = operators.TextAnalysis.stopwords("en").sorted.take(8)
         .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') " +
@@ -885,6 +901,18 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
         |  c_mktsegment AS segment
         |FROM customer WHERE c_custkey <= 10 ORDER BY id""".stripMargin,
+    "cypher_exists_where" ->
+      """SELECT n_name AS nation FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_nationkey = n.n_nationkey
+        |                AND c.c_acctbal > 9950.0)
+        |ORDER BY nation""".stripMargin,
+    "cypher_count_where" ->
+      """SELECT n_name AS nation,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE c.c_nationkey = n.n_nationkey
+        |     AND c.c_mktsegment = 'BUILDING') AS n_building
+        |FROM nation n ORDER BY nation""".stripMargin,
     "cypher_temporal_arith" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(min(day(ts)) AS BIGINT) AS d_min,

@@ -50,17 +50,20 @@ object Ast {
   final case class FnCall(name: String, arg: Option[CExpr],
       star: Boolean = false, distinct: Boolean = false)
     extends CExpr
-  /** `EXISTS { pattern }` — true when the pattern matches at least
-    * once from the current bindings; compiles to a semi-join (or
-    * anti-join under NOT).
+  /** `EXISTS { (MATCH)? pattern (WHERE pred)? }` — true when the
+    * pattern (restricted by the optional inner predicate) matches at
+    * least once from the current bindings; compiles to a semi-join
+    * (or anti-join under NOT) over the filtered subquery frame.
     */
-  final case class ExistsPattern(chain: PatternChain) extends CExpr
+  final case class ExistsPattern(chain: PatternChain,
+      where: Option[CExpr] = None) extends CExpr
 
-  /** `COUNT { pattern }` subquery expression (openCypher): the number
-    * of pattern matches for the row's bindings of the shared
-    * variables.
+  /** `COUNT { (MATCH)? pattern (WHERE pred)? }` subquery expression
+    * (openCypher): the number of pattern matches (after the optional
+    * inner predicate) for the row's bindings of the shared variables.
     */
-  final case class CountPattern(chain: PatternChain) extends CExpr
+  final case class CountPattern(chain: PatternChain,
+      where: Option[CExpr] = None) extends CExpr
 
   /** `percentileCont(expr, p)` — continuous (interpolated) percentile
     * aggregate; `p` must be a literal in [0, 1].

@@ -357,9 +357,13 @@ object CypherParser {
       else if (atKw("EXISTS")) {
         eatKw("EXISTS")
         eatSym("{")
+        // full subquery form: optional MATCH keyword, optional inner
+        // WHERE restricting the subquery's own matches
+        if (atKw("MATCH")) eatKw("MATCH")
         val chain = patternChain()
+        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
         eatSym("}")
-        ExistsPattern(chain)
+        ExistsPattern(chain, w)
       } else if (atSym("(")) {
         // bare pattern predicate — `WHERE (a)-[:T]->(b)` — is EXISTS
         // sugar. Try a pattern parse; a parenthesized value expression
@@ -579,11 +583,13 @@ object CypherParser {
       case Some(TId(name))
           if name.equalsIgnoreCase("count") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>
-        // COUNT { pattern } subquery expression
+        // COUNT { (MATCH)? pattern (WHERE pred)? } subquery expression
         ident(); eatSym("{")
+        if (atKw("MATCH")) eatKw("MATCH")
         val chain = patternChain()
+        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
         eatSym("}")
-        CountPattern(chain)
+        CountPattern(chain, w)
       case Some(TId(name))
           if listPredFns.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>

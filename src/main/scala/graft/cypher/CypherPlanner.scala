@@ -185,10 +185,10 @@ object CypherPlanner {
     e match {
       case And(l, r) =>
         applyFilter(graph, s.copy(df = applyFilter(graph, s, l)), r)
-      case ExistsPattern(chain) =>
-        existsJoin(graph, s, chain, "left_semi")
-      case Not(ExistsPattern(chain)) =>
-        existsJoin(graph, s, chain, "left_anti")
+      case ExistsPattern(chain, w) =>
+        existsJoin(graph, s, chain, "left_semi", w)
+      case Not(ExistsPattern(chain, w)) =>
+        existsJoin(graph, s, chain, "left_anti", w)
       // COUNT { } in a predicate (`WHERE COUNT { … } >= k`): bind the
       // counts as hidden scalars, filter, then drop them so they never
       // leak into RETURN * or later horizons
@@ -209,11 +209,12 @@ object CypherPlanner {
         var idx = 0
         val flags = Seq.newBuilder[String]
         def bind(e2: CExpr): CExpr = e2 match {
-          case ExistsPattern(chain) =>
+          case ExistsPattern(chain, w) =>
             val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
             require(shared.nonEmpty,
               "EXISTS pattern must share at least one variable with the outer MATCH")
-            val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+            val (odf0, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+            val odf = w.map(p => odf0.filter(toColumn(p, s.binds))).getOrElse(odf0)
             val keys = shared.map(v => s"${v}__id")
             val alias = s"__graft_ex_$idx"
             idx += 1
@@ -235,11 +236,15 @@ object CypherPlanner {
     }
 
   private def existsJoin(graph: PropertyGraph, s: Scope,
-      chain: PatternChain, joinType: String): DataFrame = {
+      chain: PatternChain, joinType: String,
+      where: Option[CExpr] = None): DataFrame = {
     val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
     require(shared.nonEmpty,
       "EXISTS pattern must share at least one variable with the outer MATCH")
-    val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+    val (odf0, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+    // the inner WHERE restricts the SUBQUERY's matches (it sees the
+    // pattern's own variables) before the semi/anti join
+    val odf = where.map(p => odf0.filter(toColumn(p, s.binds))).getOrElse(odf0)
     val keys = shared.map(v => s"${v}__id")
     s.df.join(odf.select(keys.map(col): _*), keys, joinType)
   }
@@ -257,11 +262,12 @@ object CypherPlanner {
       : (Scope, CExpr) = {
     var scope = s0
     def rw(e: CExpr): CExpr = e match {
-      case CountPattern(chain) =>
+      case CountPattern(chain, w) =>
         val shared = chain.nodeVars.filter(scope.nodeVars.contains).distinct
         require(shared.nonEmpty,
           "COUNT { } pattern must share at least one variable with the outer MATCH")
-        val (odf, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        val (odf0, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        val odf = w.map(p => odf0.filter(toColumn(p, scope.binds))).getOrElse(odf0)
         val keys = shared.map(v => s"${v}__id")
         // unique alias against everything already bound in this scope
         val alias = Iterator.from(0).map(i => s"__graft_psq_$i")

@@ -649,6 +649,31 @@ object CypherQueries {
         |  min(e.ts.day) AS d_min, max(e.ts.day) AS d_max
         |ORDER BY event_type""".stripMargin)
 
+  /** Full `EXISTS { MATCH … WHERE … }` subquery — the inner predicate
+    * restricts the subquery's own matches before the semi-join, so
+    * outer rows survive exactly when a QUALIFYING match exists (not
+    * merely any pattern match).
+    */
+  def existsWhere(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |WHERE EXISTS { MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |               WHERE c.acctbal > 9950.0 }
+        |RETURN n.name AS nation
+        |ORDER BY nation""".stripMargin)
+
+  /** `COUNT { … WHERE … }` — counting subquery with an inner
+    * restriction, still the pre-aggregated left-join plan (zero-match
+    * rows keep 0).
+    */
+  def countWhere(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |RETURN n.name AS nation,
+        |  COUNT { MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |          WHERE c.mktsegment = 'BUILDING' } AS n_building
+        |ORDER BY nation""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with

@@ -133,6 +133,44 @@ object TextAnalysis {
         .cast("int").as("keep"))
   }
 
+  /** Unigram language-model scoring — the KenLM-style fluency proxy
+    * of curation pipelines, self-trained on the corpus: token
+    * probabilities from one global count pass, then each document
+    * scored by its mean token log-probability (low = gibberish /
+    * rare-token soup, the classic perplexity-filter signal).
+    *
+    * Determinism: the per-token logprob is rounded to 6 dp BEFORE the
+    * per-doc mean, and the mean accumulates in decimal(28,12) — sums
+    * are order-independent, so Spark's partition order and DuckDB's
+    * scan order produce identical bytes.
+    *
+    * 100 TB notes: the model is the token-count table (vocab-sized,
+    * NOT corpus-sized — the map-side combine collapses repeats before
+    * the exchange); the corpus total is a broadcast 1-row aggregate;
+    * the scoring join is token-keyed and AQE broadcasts the count
+    * table when it fits. Two shuffles total (vocab agg, per-doc agg).
+    */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val lp = round(log(col("cnt").cast("double") / col("n_total")), 6)
+    toks.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", lp)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        (round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID: CJK-script presence → zh; otherwise argmax of
     * distinct-stopword hits per latin language (ties broken by
     * language code order, "und" when no hits). Pure column
