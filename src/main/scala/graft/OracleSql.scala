@@ -385,6 +385,41 @@ object OracleSql {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The DuckDB twin of [[graft.graph.Algorithms.labelPropagation]]
+    * over the per-nation consecutive-customer graph: `rounds`
+    * synchronous most-frequent-label steps (ties to the smallest
+    * label) unrolled as CTEs.
+    */
+  def labelProp(rounds: Int = 3): String = {
+    val steps = (1 to rounds).map { j =>
+      s"""n$j AS (
+         |  SELECT s.src, l.label, COUNT(*) AS cnt
+         |  FROM s0 s JOIN l${j - 1} l ON s.dst = l.id GROUP BY 1, 2),
+         |b$j AS (
+         |  SELECT src AS id, label FROM (
+         |    SELECT src, label, row_number() OVER (
+         |      PARTITION BY src ORDER BY cnt DESC, label) AS rk FROM n$j)
+         |  WHERE rk = 1),
+         |l$j AS MATERIALIZED (
+         |  SELECT l.id, COALESCE(b.label, l.label) AS label
+         |  FROM l${j - 1} l LEFT JOIN b$j b USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nb AS (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+       |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
+       |  FROM customer),
+       |e AS (SELECT src, dst FROM (
+       |  SELECT src, d1 AS dst FROM nb UNION ALL SELECT src, d2 AS dst FROM nb)
+       |  WHERE dst IS NOT NULL),
+       |s0 AS MATERIALIZED (SELECT src, dst FROM e
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src AS label FROM s0),
+       |$steps
+       |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin
+  }
+
   /** The DuckDB twin of [[graft.graph.Algorithms.kcorePeel]] over the
     * per-nation consecutive-customer graph: exactly `rounds` peeling
     * steps unrolled as CTEs (same rounds-bounded contract as the

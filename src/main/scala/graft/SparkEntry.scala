@@ -84,6 +84,7 @@ object SparkEntry {
     "graph_bfs"             -> (graph.Algorithms.bfsQuery(_, _)),
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
+    "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "dedup_clusters"    -> OracleSql.dedupClusters(),
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
+    "graph_label_prop"  -> OracleSql.labelProp(),
     "pipeline_corpus_stats" ->
       """SELECT
         |(SELECT COUNT(*) FROM documents) AS n_docs,

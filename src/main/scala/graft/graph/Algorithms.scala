@@ -83,6 +83,64 @@ object Algorithms {
     kcorePeel(edges, k, rounds).orderBy(col("id"))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round a node adopts its neighbors'
+    * MOST FREQUENT label with ties to the smallest (a total order, so
+    * the rounds-bounded synchronous variant is DETERMINISTIC — the
+    * async/random-order LPA of the literature is not
+    * oracle-checkable); isolated nodes keep their label.
+    *
+    * 100 TB notes: per round, one (node, label)-keyed partial
+    * aggregate (map-side combine collapses repeated neighbor labels),
+    * one per-node argmax window on the same partitioning, and a
+    * labels join — all keyed on node id, so the edge table's
+    * partitioning is reused and nothing quadratic forms.
+    * localCheckpoint per round bounds the plan like pageRank's.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .repartition(col("id")).localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val best = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("id"), col("label").as("new_label"))
+      labels = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Label propagation over the per-nation consecutive-customer graph
+    * (same cyclic synthetic graph as [[kcoreQuery]]).
+    */
+  def labelPropQuery(spark: SparkSession, sfDir: String,
+      rounds: Int = 3): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"))
+    val edges = nbr.select(col("src"), col("d1").as("dst"))
+      .filter(col("dst").isNotNull)
+      .unionByName(nbr.select(col("src"), col("d2").as("dst"))
+        .filter(col("dst").isNotNull))
+    labelPropagation(edges, rounds)
+      .select(col("id"), col("label").as("community"))
+      .orderBy(col("id"))
+  }
+
   /** Exact triangle enumeration over an undirected edge list, one row
     * per triangle with the member ids sorted ascending.
     *

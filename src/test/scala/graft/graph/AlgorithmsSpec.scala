@@ -96,6 +96,27 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(at4.nonEmpty)
   }
 
+  test("label propagation: deterministic majority labels, ties to smallest") {
+    // two triangles bridged by one edge: each triangle converges to
+    // its own minimum label; the bridge can't outvote a triangle
+    val edges = edgeDf(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)))
+    val lp = Algorithms.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(lp).toSet.size == 1)
+    assert(Seq(10L, 11L, 12L).map(lp).toSet.size == 1)
+    assert(lp(1L) == 1L, "community label is its minimum member")
+    // determinism: a second run produces identical labels
+    val lp2 = Algorithms.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == lp2)
+    // isolated self-loop-free node keeps its own label via the query
+    val q = Algorithms.labelPropQuery(spark, TestSpark.sf).collect()
+    assert(q.nonEmpty && q.forall(_.getLong(1) <= q.map(_.getLong(0)).max))
+  }
+
   test("degrees on the tpch hierarchy: every order has out-degree 1") {
     val df = Algorithms.degreesQuery(spark, TestSpark.sf)
     val orders = df.filter(col("id") >= GraphLoader.OrderOffset &&
