@@ -107,6 +107,32 @@ object StreamingJobs {
     graft.operators.TextAnalysis.gopherProjection(docs)
       .filter(col("keep") === 1)
 
+  /** Scores a document stream against a STATIC unigram model artifact
+    * (the token→cnt table + corpus total that
+    * [[graft.operators.TextAnalysis.unigramLogprob]] trains) — the
+    * serve-side of the train-batch/score-stream pair, like
+    * `incrementalCandidates` is for dedup. Identical arithmetic to
+    * the batch scorer (6-dp logprobs, decimal-accumulated means), so
+    * on the same input the stream emits byte-identical scores; tokens
+    * outside the model vocabulary drop like the batch inner join.
+    * Stream-static join + per-doc aggregation (update output mode —
+    * each document is complete within its micro-batch).
+    */
+  def lmScore(docs: DataFrame, counts: DataFrame, nTotal: Long): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.join(counts, Seq("token"))
+      .withColumn("lp",
+        round(log(col("cnt").cast("double") / lit(nTotal.toDouble)), 6))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        (round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(
       start: Long, end: Long, nEvents: Long, sumValue: Double)

@@ -267,6 +267,42 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scorer matches the batch arithmetic byte-for-byte") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ate the cat food"),
+      (3L, "dog and cat and mat"))
+    val docsDf = corpus.toDF("doc_id", "text")
+    // train the model artifact from the corpus (same shape the batch
+    // operator derives internally)
+    val counts = docsDf
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val nTotal = counts.agg(sum(col("cnt"))).collect().head.getLong(0)
+    // expected: the same lmScore plan over the static frame
+    val expected = StreamingJobs.lmScore(docsDf, counts, nTotal)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.lmScore(
+        input.toDF().toDF("doc_id", "text"), counts, nTotal)
+      .writeStream.format("memory").queryName("lm_scores")
+      .outputMode("update").start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      val got = spark.table("lm_scores")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expected)
+      // sanity: repeated common tokens score higher (less negative)
+      assert(got(1L)._2 > -3.0 && got.values.forall(_._2 < 0.0))
+    } finally q.stop()
+  }
+
   test("quality router gates and splits a stream exactly like the batch operators") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
