@@ -50,6 +50,7 @@ object SparkEntry {
     "cypher_temporal_arith" -> (cypher.CypherQueries.temporalArith(_, _)),
     "cypher_exists_where"   -> (cypher.CypherQueries.existsWhere(_, _)),
     "cypher_count_where"    -> (cypher.CypherQueries.countWhere(_, _)),
+    "cypher_pattern_comp"   -> (cypher.CypherQueries.patternComp(_, _)),
     "cypher_string_fns2"    -> (cypher.CypherQueries.stringFns2(_, _)),
     "cypher_list_pred"      -> (cypher.CypherQueries.listPred(_, _)),
     "cypher_keys"           -> (cypher.CypherQueries.keysOf(_, _)),
@@ -903,6 +904,15 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
         |  c_mktsegment AS segment
         |FROM customer WHERE c_custkey <= 10 ORDER BY id""".stripMargin,
+    "cypher_pattern_comp" ->
+      """SELECT n_name AS nation,
+        |  CAST((SELECT COUNT(*) FROM customer c
+        |        WHERE c.c_nationkey = n.n_nationkey
+        |          AND c.c_acctbal > 9000.0) AS BIGINT) AS n_rich,
+        |  CAST(COALESCE((SELECT SUM(c_custkey) FROM customer c
+        |        WHERE c.c_nationkey = n.n_nationkey
+        |          AND c.c_acctbal > 9000.0), 0) AS BIGINT) AS key_sum
+        |FROM nation n ORDER BY nation""".stripMargin,
     "cypher_exists_where" ->
       """SELECT n_name AS nation FROM nation n
         |WHERE EXISTS (SELECT 1 FROM customer c

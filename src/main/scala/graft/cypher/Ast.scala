@@ -65,6 +65,14 @@ object Ast {
   final case class CountPattern(chain: PatternChain,
       where: Option[CExpr] = None) extends CExpr
 
+  /** Pattern comprehension `[(a)-[:R]->(b) (WHERE pred)? | proj]` —
+    * the per-row list of `proj` values over the pattern's matches.
+    * Collected SORTED (deterministic; Neo4j leaves the order
+    * unspecified, so any order-insensitive consumer agrees).
+    */
+  final case class PatternComp(chain: PatternChain,
+      where: Option[CExpr], proj: CExpr) extends CExpr
+
   /** `percentileCont(expr, p)` — continuous (interpolated) percentile
     * aggregate; `p` must be a literal in [0, 1].
     */

@@ -659,6 +659,34 @@ object CypherParser {
         eatSym("$"); Param(ident())
       case Some(TSym("(")) =>
         eatSym("("); val e = expr(); eatSym(")"); e
+      case Some(TSym("[")) if pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        // pattern comprehension `[(a)-[:R]->(b) (WHERE p)? | proj]`;
+        // a list literal starting with a parenthesized value
+        // expression backtracks cleanly (same discipline as the bare
+        // pattern predicate)
+        val save = pos
+        try {
+          eatSym("[")
+          val chain = patternChain()
+          if (chain.hops.isEmpty) throw new IllegalArgumentException(
+            "not a pattern comprehension")
+          val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+          eatSym("|")
+          val proj = addExpr()
+          eatSym("]")
+          PatternComp(chain, w, proj)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            pos = save
+            eatSym("[")
+            val items = Seq.newBuilder[CExpr]
+            if (!atSym("]")) {
+              items += valueExpr()
+              while (atSym(",")) { eatSym(","); items += valueExpr() }
+            }
+            eatSym("]")
+            ListLit(items.result())
+        }
       case Some(TSym("["))
           if pos + 2 < toks.length && toks(pos + 1).isInstanceOf[TId] &&
             isKw(toks(pos + 2), "IN") =>

@@ -278,6 +278,27 @@ object CypherPlanner {
           .withColumn(alias, coalesce(col(alias), lit(0L)))
         scope = Scope(joined, scope.nodeVars, scope.scalars + alias, scope.lists)
         Ident(alias)
+      case PatternComp(chain, w, proj) =>
+        // the list-valued sibling of COUNT { }: collect the projected
+        // values per shared binding (SORTED — deterministic), left
+        // join back, empty list for zero-match rows
+        val shared = chain.nodeVars.filter(scope.nodeVars.contains).distinct
+        require(shared.nonEmpty,
+          "pattern comprehension must share at least one variable with the outer MATCH")
+        val (odf0, _) = planChain(graph, chain, Set.empty, null, shared.toSet)
+        val odf = w.map(p => odf0.filter(toColumn(p, scope.binds))).getOrElse(odf0)
+        val keys = shared.map(v => s"${v}__id")
+        val alias = Iterator.from(0).map(i => s"__graft_pc_$i")
+          .find(a => !scope.df.columns.contains(a)).get
+        val lists = odf.groupBy(keys.map(col): _*)
+          .agg(sort_array(collect_list(toColumn(proj, scope.binds))).as(alias))
+        val dt = lists.schema(alias).dataType
+        val joined = scope.df.join(lists, keys, "left")
+          .withColumn(alias,
+            coalesce(col(alias), array().cast(dt)))
+        scope = Scope(joined, scope.nodeVars, scope.scalars + alias,
+          scope.lists + alias)
+        Ident(alias)
       case Cmp(op, l, r)   => Cmp(op, rw(l), rw(r))
       case Arith(op, l, r) => Arith(op, rw(l), rw(r))
       case And(l, r)       => And(rw(l), rw(r))
@@ -289,6 +310,14 @@ object CypherPlanner {
         CaseExpr(ws.map { case (c, v) => (rw(c), rw(v)) }, o.map(rw))
       case FnCall(n, a, st, d) => FnCall(n, a.map(rw), st, d)
       case FnCallN(n, as)  => FnCallN(n, as.map(rw))
+      // descend into lambda containers so a pattern subquery inside
+      // reduce()/[x IN …]/any() materializes too (the subquery cannot
+      // reference the lambda variable — it joins on pattern vars)
+      case ReduceExpr(acc, init, v, l, step) =>
+        ReduceExpr(acc, rw(init), v, rw(l), step)
+      case ListComp(v, l, w, p) => ListComp(v, rw(l), w, p)
+      case ListPred(k, v, l, p) => ListPred(k, v, rw(l), p)
+      case InList(x, l)    => InList(rw(x), l) // list is a literal
       case leaf            => leaf
     }
     // rewrite FIRST: rw mutates `scope`, so the tuple must read it
@@ -318,6 +347,7 @@ object CypherPlanner {
 
   private def containsCountPattern(e: CExpr): Boolean = e match {
     case _: CountPattern  => true
+    case _: PatternComp   => true
     case And(l, r)        => containsCountPattern(l) || containsCountPattern(r)
     case Or(l, r)         => containsCountPattern(l) || containsCountPattern(r)
     case Not(x)           => containsCountPattern(x)
@@ -331,6 +361,11 @@ object CypherPlanner {
         o.exists(containsCountPattern)
     case FnCall(_, a, _, _) => a.exists(containsCountPattern)
     case FnCallN(_, as)   => as.exists(containsCountPattern)
+    case ReduceExpr(_, init, _, l, _) =>
+      containsCountPattern(init) || containsCountPattern(l)
+    case ListComp(_, l, _, _) => containsCountPattern(l)
+    case ListPred(_, _, l, _) => containsCountPattern(l)
+    case InList(x, l)     => containsCountPattern(x) || containsCountPattern(l)
     case _                => false
   }
 

@@ -674,6 +674,21 @@ object CypherQueries {
         |          WHERE c.mktsegment = 'BUILDING' } AS n_building
         |ORDER BY nation""".stripMargin)
 
+  /** Pattern comprehension `[(c)-[:R]->(n) WHERE … | c.key]` — the
+    * per-row list subquery, materialized as a sorted collect per
+    * shared binding and consumed by size() and reduce() (both
+    * order-insensitive, so the deterministic sort is unobservable).
+    */
+  def patternComp(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |RETURN n.name AS nation,
+        |  size([(c:Customer)-[:FROM_NATION]->(n)
+        |        WHERE c.acctbal > 9000.0 | c.custkey]) AS n_rich,
+        |  reduce(acc = 0, k IN [(c:Customer)-[:FROM_NATION]->(n)
+        |        WHERE c.acctbal > 9000.0 | c.custkey] | acc + k) AS key_sum
+        |ORDER BY nation""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with

@@ -753,6 +753,25 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getAs[Long]("empty") == 0L)
   }
 
+  test("pattern comprehension: per-row lists, empty on zero matches") {
+    // threshold high enough that some nations have NO qualifying
+    // customer at sf0.001 — those rows must keep [] (size 0, sum 0),
+    // not drop
+    val rows = run(
+      "MATCH (n:Nation) RETURN n.name AS nation, " +
+      "size([(c:Customer)-[:FROM_NATION]->(n) WHERE c.acctbal > 9900.0 " +
+      "| c.custkey]) AS n_rich ORDER BY nation").collect()
+    assert(rows.length == 25, "zero-match nations must survive")
+    assert(rows.exists(_.getAs[Long]("n_rich") == 0L))
+    assert(rows.exists(_.getAs[Long]("n_rich") > 0L))
+
+    // a list literal opening with a parenthesized expression still
+    // parses as a literal (comprehension attempt backtracks)
+    val lit = run("UNWIND [1] AS one RETURN size([(1+2), 3]) AS n")
+      .collect().head
+    assert(lit.getAs[Long]("n") == 2L)
+  }
+
   test("ceil/floor preserve IEEE signed zero (Math.ceil semantics)") {
     // Neo4j ceil = Math.ceil: inputs in (-1, 0) yield -0.0, and the
     // driver compare hashes raw bytes, so the sign bit is observable.
