@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "dedup_substring"     -> (Dedup.substringDup(_, _)),
     "dedup_incremental"   -> (Dedup.incrementalDedup(_, _)),
+    "dedup_bloom"         -> (Dedup.bloomIncremental(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
@@ -313,6 +314,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
     "dedup_substring"   -> OracleSql.substringDup(),
     "dedup_incremental" -> OracleSql.incrementalDedup(),
+    // bloom prefilter is a pure pruning layer (no false negatives;
+    // the band join removes false positives) => same oracle as the
+    // unfiltered incremental dedup
+    "dedup_bloom" -> OracleSql.incrementalDedup(),
     "embed_kmeans"      -> OracleSql.kmeans(),
     "embed_dim_stats" ->
       """WITH e AS (

@@ -64,6 +64,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-prefiltered incremental dedup is byte-identical to the plain one") {
+    val plain = Dedup.incrementalDedup(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val bloom = Dedup.bloomIncremental(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // no false negatives: every true band collision survives the
+    // prefilter; the band join removes false positives => identical
+    assert(bloom == plain)
+    assert(bloom.nonEmpty)
+  }
+
   test("shingles slide a 3-word window") {
     import spark.implicits._
     val df = Seq("a b c d", "x y", "").toDF("text")
