@@ -142,6 +142,7 @@ object SparkEntry {
     "text_entropy"        -> (TextAnalysis.entropy(_, _)),
     "text_repetition"     -> (TextAnalysis.repetition(_, _)),
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
+    "text_boilerplate"    -> (TextAnalysis.boilerplate(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "pipeline_mix"        -> (Pipeline.mixWeights(_, _)),
     "pipeline_pack"       -> (Pipeline.packChunks(_, _)),
@@ -251,6 +252,35 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9][0-9-]{4,}[0-9]', '<PHONE>', 'g') AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 2, 0) + 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |df AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+        |st AS (
+        |  SELECT ex.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN df.df > 5 THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM ex JOIN df USING (g) GROUP BY ex.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(st.n_grams, 0) AS n_grams,
+        |  CAST(COALESCE(st.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CASE WHEN COALESCE(st.n_grams, 0) > 0
+        |    THEN round(CAST(st.n_boiler AS DOUBLE) / st.n_grams, 6)
+        |    ELSE 0.0 END AS boiler_frac,
+        |  CASE
+        |    WHEN COALESCE(st.n_boiler, 0)*100 >= COALESCE(st.n_grams, 0)*8
+        |      AND COALESCE(st.n_grams, 0) > 0 THEN 'drop'
+        |    WHEN COALESCE(st.n_boiler, 0)*100 >= COALESCE(st.n_grams, 0)*2
+        |      AND COALESCE(st.n_boiler, 0) > 0 THEN 'clean'
+        |    ELSE 'keep' END AS action
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws

@@ -489,6 +489,60 @@ object TextAnalysis {
     * window over the (doc_id, token) frame already partitioned by
     * doc_id's hash — no extra pass over text.
     */
+  /** Corpus-wide boilerplate detection (the CCNet-style cleaning
+    * pass, adapted to unstructured text): a word n-gram whose
+    * document frequency exceeds `dfCap` is boilerplate — repeated
+    * headers, navigation chrome, license blurbs — and each document
+    * is classified by its boilerplate-gram fraction: `drop` at
+    * ≥ dropPct %, `clean` at ≥ cleanPct %, else `keep`. The
+    * classification compares in EXACT integer arithmetic
+    * (n_boiler·100 vs n_grams·pct) so no float rounding can flip a
+    * verdict between engines; the reported fraction is 6-dp display.
+    *
+    * 100 TB shape: grams ride the shuffle as 8-byte FNV hashes
+    * ([[Dedup.shingleHashesJvm]], per-doc distinct), never text; the
+    * hot-gram set (df > dfCap) is tiny by construction — it's the
+    * boilerplate — and broadcast for the per-doc flag counting, so
+    * the plan is two keyed aggregations plus a broadcast semi-join,
+    * no big-big join.
+    */
+  def boilerplate(spark: SparkSession, sfDir: String, n: Int = 3,
+      dfCap: Int = 5, cleanPct: Int = 2, dropPct: Int = 8): DataFrame =
+    boilerplateOn(Tables.documents(spark, sfDir), n, dfCap, cleanPct, dropPct)
+
+  /** [[boilerplate]] over an arbitrary documents-shaped frame. */
+  def boilerplateOn(docs: DataFrame, n: Int = 3, dfCap: Int = 5,
+      cleanPct: Int = 2, dropPct: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => Dedup.shingleHashesJvm(t, n).map(h => (id, h)) }
+      .toDF("doc_id", "g")
+    val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("g"))
+    val totals = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val boiler = grams.join(broadcast(hot), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left_outer")
+      .join(boiler, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          round(col("n_boiler").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("action",
+        when(col("n_boiler") * 100 >= col("n_grams") * dropPct &&
+          col("n_grams") > 0, "drop")
+          .when(col("n_boiler") * 100 >= col("n_grams") * cleanPct &&
+            col("n_boiler") > 0, "clean")
+          .otherwise("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def tfidf(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)

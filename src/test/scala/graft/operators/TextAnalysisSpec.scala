@@ -86,4 +86,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     val rows = TextAnalysis.tokens(spark, TestSpark.sf).collect()
     rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(1) >= 0))
   }
+
+  test("boilerplate: corpus-frequent grams flag docs, verdict is exact integer math") {
+    import spark.implicits._
+    // 6 docs share the gram "shared header line" (df=6 > dfCap=5);
+    // each has 8 distinct grams total (10 words). doc 100 is unique
+    // text; doc 101 is too short for any gram; doc 102 is ALL shared.
+    val docs = ((0L until 6L).map(i =>
+        (i, s"shared header line u$i v$i w$i x$i y$i z$i q$i")) ++
+      Seq((100L, "completely different words here nothing shared at all ok"),
+          (101L, "two words"),
+          (102L, "shared header line")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateOn(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    (0L until 6L).foreach { i =>
+      val (n, b, act) = out(i)
+      // 1 of 8 grams is boilerplate: 12.5% >= dropPct 8%
+      assert(n == 8 && b == 1 && act == "drop")
+    }
+    assert(out(100L) == ((7L, 0L, "keep")))
+    assert(out(101L) == ((0L, 0L, "keep")))
+    assert(out(102L) == ((1L, 1L, "drop")))
+  }
 }
