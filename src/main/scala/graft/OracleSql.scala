@@ -536,4 +536,87 @@ object OracleSql {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
+
+  /** Token CTEs shared by the sketch oracles: per-token exact counts
+    * and the poly-31 base hash (computed once per DISTINCT token).
+    * Mirrors [[graft.operators.Sketches.tokenPolysJvm]].
+    */
+  private val TokenHashCtes =
+    s"""w AS (
+       |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |t AS (SELECT unnest(ws) AS tok FROM w),
+       |tg AS (SELECT tok, COUNT(*) AS cnt FROM t WHERE len(tok) > 0
+       |       GROUP BY tok),
+       |th AS (SELECT tok, cnt, ${polySql("tok")} AS h FROM tg)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Sketches.kmvDistinctOn]]. */
+  def kmvSketch(k: Int = 256): String = {
+    val scale = (k - 1).toDouble * P
+    s"""WITH $TokenHashCtes,
+       |hp AS (SELECT DISTINCT ${permSql("0", "h")} AS hp FROM th),
+       |km AS (SELECT hp FROM hp ORDER BY hp LIMIT $k),
+       |sk AS (SELECT MAX(hp) AS kth_hash, COUNT(*) AS n_kept FROM km),
+       |tru AS (SELECT COUNT(*) AS true_distinct FROM tg),
+       |e AS (
+       |  SELECT CAST($k AS BIGINT) AS k, kth_hash, n_kept,
+       |    round(CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |      ELSE $scale / CAST(kth_hash AS DOUBLE) END, 6) AS est_distinct,
+       |    true_distinct
+       |  FROM sk, tru)
+       |SELECT k, kth_hash, n_kept, est_distinct, true_distinct,
+       |  round((est_distinct - true_distinct) / true_distinct, 6) + 0.0
+       |    AS rel_err
+       |FROM e""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Sketches.hllDistinctOn]] —
+    * identical register construction (`bit_count((v & -v) - 1)`
+    * trailing zeros, cap 24) and the identical left-to-right IEEE
+    * evaluation of the alpha_m correction.
+    */
+  def hllSketch(m: Int = 128): String = {
+    s"""WITH $TokenHashCtes,
+       |hp AS (SELECT ${permSql("0", "h")} AS hp FROM th),
+       |r AS (SELECT hp % $m AS bucket, hp // $m AS v FROM hp),
+       |rr AS (SELECT bucket,
+       |         least(bit_count((v & (-v)) - 1) + 1, 24) AS rho FROM r),
+       |mx AS (SELECT bucket, MAX(rho) AS m_j FROM rr GROUP BY bucket),
+       |fl AS (
+       |  SELECT g.bucket, COALESCE(mx.m_j, 0) AS m_j
+       |  FROM (SELECT range AS bucket FROM range($m)) g
+       |  LEFT JOIN mx USING (bucket)),
+       |s AS (
+       |  SELECT SUM(pow(2.0, -m_j)) AS s,
+       |    CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |  FROM fl),
+       |tru AS (SELECT COUNT(*) AS true_distinct FROM tg),
+       |e AS (
+       |  SELECT CAST($m AS BIGINT) AS m,
+       |    round(0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0 / s, 6)
+       |      AS est_distinct,
+       |    n_zero, true_distinct
+       |  FROM s, tru)
+       |SELECT m, est_distinct, n_zero, true_distinct,
+       |  round((est_distinct - true_distinct) / true_distinct, 6) + 0.0
+       |    AS rel_err
+       |FROM e""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Sketches.cmsTopkOn]]. */
+  def cmsTopk(depth: Int = 4, width: Int = 1024, topk: Int = 20): String = {
+    s"""WITH $TokenHashCtes,
+       |ix AS (SELECT range AS i FROM range($depth)),
+       |cc AS (
+       |  SELECT i, ${permSql("i", "h")} % $width AS cell,
+       |    CAST(SUM(cnt) AS BIGINT) AS ccnt
+       |  FROM th CROSS JOIN ix GROUP BY 1, 2),
+       |top AS (SELECT tok, h, cnt FROM th ORDER BY cnt DESC, tok LIMIT $topk),
+       |tc AS (
+       |  SELECT tok, cnt, i, ${permSql("i", "h")} % $width AS cell
+       |  FROM top CROSS JOIN ix)
+       |SELECT tc.tok AS token, tc.cnt AS true_cnt, MIN(cc.ccnt) AS est_cnt
+       |FROM tc JOIN cc USING (i, cell)
+       |GROUP BY 1, 2 ORDER BY true_cnt DESC, token""".stripMargin
+  }
 }

@@ -116,6 +116,9 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
+    "sketch_kmv_distinct" -> (Sketches.kmvDistinct(_, _)),
+    "sketch_hll_distinct" -> (Sketches.hllDistinct(_, _)),
+    "sketch_cms_topk"     -> (Sketches.cmsTopk(_, _)),
     "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
     "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
@@ -158,6 +161,9 @@ object SparkEntry {
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),
+    "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
+    "sketch_hll_distinct" -> OracleSql.hllSketch(),
+    "sketch_cms_topk"     -> OracleSql.cmsTopk(),
     "pipeline_corpus_stats" ->
       """SELECT
         |(SELECT COUNT(*) FROM documents) AS n_docs,

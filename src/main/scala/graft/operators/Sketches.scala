@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{OracleHash, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches over the corpus token
+  * stream — the operators a 100 TB profiling pass actually runs when
+  * exact `COUNT(DISTINCT)` or exact heavy-hitters would need an
+  * unbounded shuffle. All three use the [[graft.OracleHash]] integer
+  * family (poly-31 mod P string hash, 2-universal multiply-add
+  * permutations), so the DuckDB oracle computes bit-identical hashes
+  * and therefore bit-identical ESTIMATES — the sketch itself is
+  * oracle-certified, not just sanity-checked.
+  *
+  * Scale shapes (the reason sketches exist):
+  *  - KMV: per-partition distinct + global top-k-smallest is
+  *    TakeOrdered (k rows per task cross the wire, not the key set);
+  *  - HLL: the whole corpus reduces to m=128 (bucket, max-rho) pairs
+  *    with map-side partial max — a full-reduction, the cheapest
+  *    shape Spark has;
+  *  - CMS: d·w bounded cells with map-side partial sums, so the
+  *    shuffle is O(d·w) per task regardless of corpus size.
+  * All three are trivially mergeable across partitions/streams
+  * (set-union + re-min, bucket-wise max, cell-wise add — pinned in
+  * SketchesSpec), which is what makes them the right tool on a
+  * 1000-executor cluster.
+  *
+  * Reference scope note: the reference connector (s1ck/flink-neo4j)
+  * has no sketch surface; these belong to the training-data-pipeline
+  * extension of SURVEY §2.3.
+  */
+object Sketches {
+  import OracleHash.{MulA, MulB, P}
+
+  /** (token, poly-hash) pairs of one document — trimmed, lowered,
+    * whitespace-split, empties dropped — matching the oracle's
+    * `regexp_split_to_array(lower(trim(text)), '\s+')` + `len > 0`
+    * convention used by every token-level operator. JVM loop for the
+    * same reason as [[Dedup.shingleHashesJvm]]: per-codepoint
+    * higher-order expressions don't codegen.
+    */
+  private[operators] def tokenPolysJvm(text: String): Array[(String, Long)] = {
+    val w = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val out = Array.newBuilder[(String, Long)]
+    var i = 0
+    while (i < w.length) {
+      val t = w(i)
+      if (t.nonEmpty) out += ((t, OracleHash.poly(t, 0L)))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Per-occurrence (token, h) frame over documents. */
+  private def tokenHashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("text")).as[String]
+      .flatMap(tokenPolysJvm)
+      .toDF("token", "h")
+  }
+
+  /** Permutation `i` of hash column `h` as pure column arithmetic —
+    * every intermediate < 2^62 (see [[graft.OracleHash]]), so BIGINT
+    * math is exact on both engines.
+    */
+  private def perm(i: Column, h: Column): Column =
+    (((lit(MulA) * (i + 1)) % P) * h + (lit(MulB) * (i + 1)) % P) % P
+
+  /** K-minimum-values distinct-count sketch over corpus tokens.
+    *
+    * Estimator: with h(1..k) the k smallest DISTINCT permuted hashes
+    * (uniform on [0, P)), `est = (k-1) · P / h(k)`; if fewer than k
+    * distinct hashes exist the sketch is exact and returns that
+    * count. One row: k, kth_hash, n_kept, est_distinct,
+    * true_distinct (exact, for the reported rel_err).
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 256): DataFrame =
+    kmvDistinctOn(Tables.documents(spark, sfDir), k)
+
+  /** [[kmvDistinct]] over an arbitrary documents-shaped frame. */
+  def kmvDistinctOn(docs: DataFrame, k: Int = 256): DataFrame = {
+    val th = tokenHashes(docs)
+    val kmin = th.select(perm(lit(0), col("h")).as("hp"))
+      .distinct()
+      .orderBy(col("hp"))
+      .limit(k)
+    val sk = kmin.agg(max(col("hp")).as("kth_hash"),
+      count(lit(1)).as("n_kept"))
+    val tru = th.agg(countDistinct(col("token")).as("true_distinct"))
+    sk.crossJoin(broadcast(tru))
+      .withColumn("est_distinct",
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * P) /
+            col("kth_hash").cast("double")), 6))
+      .select(lit(k).cast("long").as("k"), col("kth_hash"), col("n_kept"),
+        col("est_distinct"), col("true_distinct"),
+        round((col("est_distinct") - col("true_distinct")) /
+          col("true_distinct"), 6).as("rel_err"))
+  }
+
+  /** HyperLogLog distinct-count over corpus tokens, m buckets (a
+    * power of two).
+    *
+    * Deterministic construction: permuted hash h splits into
+    * `bucket = h mod m` and quotient `v = h div m`; the register
+    * value is trailing-zero-count(v)+1 (the Flajolet–Martin rho),
+    * capped at 24 (P/m < 2^24, and v = 0 means every bit "matched").
+    * `bit_count((v & -v) - 1)` computes trailing zeros in exact
+    * integer arithmetic on BOTH engines (v = 0 → bit_count(-1) = 64,
+    * then the cap applies). The harmonic sum adds exact powers of two
+    * (exponents in [-24, 0], well inside the 53-bit mantissa window),
+    * so it is order-independent — safe under any partitioning.
+    */
+  def hllDistinct(spark: SparkSession, sfDir: String, m: Int = 128): DataFrame =
+    hllDistinctOn(Tables.documents(spark, sfDir), m)
+
+  /** [[hllDistinct]] over an arbitrary documents-shaped frame. */
+  def hllDistinctOn(docs: DataFrame, m: Int = 128): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val spark = docs.sparkSession
+    val th = tokenHashes(docs)
+    val regs = th.select(perm(lit(0), col("h")).as("hp"))
+      .select((col("hp") % m).as("bucket"),
+        expr(s"hp DIV $m").as("v"))
+      .select(col("bucket"),
+        least(bit_count(col("v").bitwiseAND(-col("v")) - 1) + 1, lit(24))
+          .cast("int").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_j"))
+    val full = spark.range(m).toDF("bucket")
+      .join(regs, Seq("bucket"), "left_outer")
+      .select(coalesce(col("m_j"), lit(0)).as("m_j"))
+    // alpha_m for m >= 64; both engines evaluate the identical
+    // literal expression left-to-right, so the IEEE result agrees
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
+    val est = full
+      .agg(sum(pow(lit(2.0), -col("m_j"))).as("s"),
+        sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(round(alpha * m.toDouble * m.toDouble / col("s"), 6)
+        .as("est_distinct"), col("n_zero"))
+    val tru = th.agg(countDistinct(col("token")).as("true_distinct"))
+    est.crossJoin(broadcast(tru))
+      .select(lit(m).cast("long").as("m"), col("est_distinct"), col("n_zero"),
+        col("true_distinct"),
+        round((col("est_distinct") - col("true_distinct")) /
+          col("true_distinct"), 6).as("rel_err"))
+  }
+
+  /** Count-min sketch (depth d, width w) estimates for the exact
+    * top-k corpus tokens: per depth row i, token mass lands in cell
+    * `perm_i(h) mod w`; the estimate is the min over rows, an upper
+    * bound on the true count (est >= true always — pinned in spec).
+    * Returns (token, true_cnt, est_cnt) for the top-k by exact count
+    * (ties broken by token), so the oracle certifies the exact same
+    * collision pattern.
+    */
+  def cmsTopk(spark: SparkSession, sfDir: String, depth: Int = 4,
+      width: Int = 1024, topk: Int = 20): DataFrame =
+    cmsTopkOn(Tables.documents(spark, sfDir), depth, width, topk)
+
+  /** [[cmsTopk]] over an arbitrary documents-shaped frame. */
+  def cmsTopkOn(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      topk: Int = 20): DataFrame = {
+    val tc = tokenHashes(docs)
+      .groupBy(col("token"), col("h")).agg(count(lit(1)).as("cnt"))
+    // sketch cells: d·w bounded groups, partial-summed map-side
+    val cells = tc
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"),
+        col("h"), col("cnt"))
+      .select(col("i"), (perm(col("i"), col("h")) % width).as("cell"),
+        col("cnt"))
+      .groupBy(col("i"), col("cell")).agg(sum(col("cnt")).as("ccnt"))
+    val top = tc.orderBy(col("cnt").desc, col("token")).limit(topk)
+    top
+      .select(col("token"), col("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"), col("h"))
+      .select(col("token"), col("cnt"), col("i"),
+        (perm(col("i"), col("h")) % width).as("cell"))
+      .join(cells, Seq("i", "cell"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("ccnt")).as("est_cnt"))
+      .select(col("token"), col("cnt").as("true_cnt"), col("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("token"))
+  }
+}
