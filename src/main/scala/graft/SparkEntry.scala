@@ -93,6 +93,11 @@ object SparkEntry {
     "q5_multi_join"     -> (Relational.q5MultiJoin(_, _)),
     "window_topn"       -> (Relational.windowTopn(_, _)),
     "q_rollup_agg"      -> (Relational.rollupAgg(_, _)),
+    "q6_filter_sum"     -> (Relational.q6Revenue(_, _)),
+    "q4_priority_exists" -> (Relational.q4OrderPriority(_, _)),
+    "q14_promo_share"   -> (Relational.q14PromoShare(_, _)),
+    "q18_big_orders"    -> (Relational.q18BigOrders(_, _)),
+    "q19_disjunct_join" -> (Relational.q19DiscountRevenue(_, _)),
     "window_topn_agg"   -> (Relational.windowTopnAgg(_, _)),
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
@@ -430,6 +435,52 @@ object SparkEntry {
         |CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4)))
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01')
+        |SELECT round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct,
+        |  promo_revenue, total_revenue FROM j""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunct_join" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 1 AND l_quantity <= 30 AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11) OR
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20) OR
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
     "copurchase_topk" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders

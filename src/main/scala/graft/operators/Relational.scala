@@ -183,4 +183,115 @@ object Relational {
         count(lit(1)).as("n_rows"),
         grouping_id().cast("long").as("gid"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Q6-style forecasting revenue change: pure scan + filter + global
+    * sum, the canonical predicate-pushdown benchmark.
+    * 100 TB notes: all three predicates reach the parquet scan
+    * (PushedFilters), the scan reads 4 columns, and the aggregate is
+    * a map-side partial + 1-row exchange — the cheapest full-table
+    * query shape that exists.
+    */
+  def q6Revenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+
+  /** Q4-style order-priority check, adapted to the available columns
+    * (no commit/receipt dates in testdata): count orders per priority
+    * that have at least one line item shipped after the order date.
+    * 100 TB notes: the EXISTS compiles to a left-semi hash join on
+    * orderkey — lineitem is deduplicated to order keys map-side
+    * (semi-join skips non-matching build rows), then one 5-group
+    * aggregate.
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q14-style promotion effect: revenue share of PROMO parts in one
+    * shipping year. 100 TB notes: the date filter pushes to the
+    * lineitem scan; part joins on partkey — broadcast at bench scale,
+    * and at cluster scale both sides bucket on partkey
+    * ([[graft.sources.BucketedSink]]) for a zero-exchange join; the
+    * conditional sum is one pass.
+    */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+          .as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  /** Q18-style large-volume customers: orders whose total quantity
+    * exceeds a threshold, with customer attribution, top 100 by
+    * (totalprice desc, orderkey).
+    * 100 TB notes: the HAVING filter runs on the aggregated (small)
+    * side BEFORE the joins, so only qualifying orderkeys join back;
+    * customer joins broadcast; final top-100 is TakeOrdered.
+    */
+  def q18BigOrders(spark: SparkSession, sfDir: String,
+      minQty: Int = 300): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19-style discounted revenue over disjunctive brand/size/quantity
+    * predicates, adapted to available columns (no container or
+    * shipinstruct in testdata). 100 TB notes: the OR-of-ANDs lives in
+    * the JOIN condition referencing both sides, so Catalyst keeps the
+    * per-side conjuncts it can extract (quantity bounds push to the
+    * lineitem scan); part broadcasts.
+    */
+  def q19DiscountRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size")
+    val cond = col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30)))
+    li.join(broadcast(part), cond)
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
 }

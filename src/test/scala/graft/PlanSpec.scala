@@ -42,6 +42,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q6 pushes all three predicates to the lineitem scan and prunes columns") {
+    val plan = planOf(Relational.q6Revenue(spark, TestSpark.sf))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+      .findFirstIn(plan).isDefined, "shipdate bound not pushed")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(l_quantity".r
+      .findFirstIn(plan).isDefined, "quantity bound not pushed")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("q18 filters on the aggregate before joining and takes top-100 without a global sort") {
+    val plan = planOf(Relational.q18BigOrders(spark, TestSpark.sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the HAVING runs between the aggregate and the orders join: a
+    // Filter on sum_qty must appear (post-agg), not a filter-free
+    // join of the full aggregate
+    assert("Filter [^\\n]*sum_qty".r.findFirstIn(plan).isDefined ||
+      plan.contains("(sum_qty"), "sum_qty HAVING filter missing")
+  }
+
+  test("q19 extracts the quantity conjunct to the lineitem scan") {
+    val plan = planOf(Relational.q19DiscountRevenue(spark, TestSpark.sf))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_quantity".r
+      .findFirstIn(plan).isDefined, "quantity lower bound not pushed")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), "part side not broadcast")
+  }
+
   test("q5 broadcasts the dimension side of every star join") {
     val plan = planOf(Relational.q5MultiJoin(spark, TestSpark.sf))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
