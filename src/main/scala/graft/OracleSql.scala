@@ -349,10 +349,16 @@ object OracleSql {
     * d² = v·v − 2·(v·c) + c·c fold, same decimal(28,12)-accumulated
     * 6-dp-rounded centroid updates, ties to the smaller cell id.
     */
-  def kmeans(k: Int = 8, iters: Int = 4): String = {
-    def d2(e: String, c: String): String =
-      s"list_dot_product($e, $e) - 2.0*list_dot_product($e, $c)" +
-        s" + list_dot_product($c, $c)"
+  private def kmeansD2(e: String, c: String): String =
+    s"list_dot_product($e, $e) - 2.0*list_dot_product($e, $c)" +
+      s" + list_dot_product($c, $c)"
+
+  /** Lloyd-iteration CTEs shared by [[kmeans]] and [[semanticDedup]]:
+    * after these, `asg(vec_id, v, cell, d2)` holds the final
+    * assignment — mirroring `Similarity.kmeansAssign`.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def d2 = kmeansD2 _
     val steps = (1 until iters).map { j =>
       s"""a$j AS MATERIALIZED (
          |  SELECT vec_id, v, cell FROM (
@@ -372,18 +378,42 @@ object OracleSql {
          |    (SELECT cell, list(m ORDER BY d) AS cvec FROM m$j GROUP BY cell) n
          |    USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e WHERE vec_id < $k),
-       |$steps
-       |SELECT vec_id, cell, round(d2, 6) + 0.0 AS dist2 FROM (
-       |  SELECT e.vec_id, c.cell, ${d2("e.v", "c.cvec")} AS d2,
-       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |      ${d2("e.v", "c.cvec")}, c.cell) AS rk
-       |  FROM e CROSS JOIN c${iters - 1} c) WHERE rk = 1
-       |ORDER BY vec_id""".stripMargin
+       |$steps,
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, v, cell, d2 FROM (
+       |    SELECT e.vec_id, e.v, c.cell, ${d2("e.v", "c.cvec")} AS d2,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${d2("e.v", "c.cvec")}, c.cell) AS rk
+       |    FROM e CROSS JOIN c${iters - 1} c) WHERE rk = 1)""".stripMargin
   }
+
+  def kmeans(k: Int = 8, iters: Int = 4): String =
+    s"""WITH ${kmeansCtes(k, iters)}
+       |SELECT vec_id, cell, round(d2, 6) + 0.0 AS dist2 FROM asg
+       |ORDER BY vec_id""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.semanticDedup]]:
+    * identical clustering CTEs, then the within-cluster greedy
+    * keep-lowest-id rule.
+    */
+  def semanticDedup(k: Int = 8, iters: Int = 4, tau: Double = 0.35): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |nn AS (
+       |  SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM asg),
+       |pp AS (
+       |  SELECT b.vec_id AS b_id, MIN(a.vec_id) AS dup_of
+       |  FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
+       |    ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) >= $tau
+       |  GROUP BY b.vec_id)
+       |SELECT n.vec_id, n.cell, p.dup_of, p.dup_of IS NULL AS keep
+       |FROM nn n LEFT JOIN pp p ON n.vec_id = p.b_id
+       |ORDER BY n.vec_id""".stripMargin
 
   /** The DuckDB twin of [[graft.graph.Algorithms.labelPropagation]]
     * over the per-nation consecutive-customer graph: `rounds`

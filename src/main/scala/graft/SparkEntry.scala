@@ -132,6 +132,7 @@ object SparkEntry {
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
     "embed_kmeans"        -> (Similarity.kmeans(_, _)),
+    "sim_semantic_dedup"  -> (Similarity.semanticDedup(_, _)),
     "embed_dim_stats"     -> (Similarity.dimStats(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
     "text_gopher"         -> (TextAnalysis.gopherRules(_, _)),
@@ -360,6 +361,7 @@ object SparkEntry {
     // unfiltered incremental dedup
     "dedup_bloom" -> OracleSql.incrementalDedup(),
     "embed_kmeans"      -> OracleSql.kmeans(),
+    "sim_semantic_dedup" -> OracleSql.semanticDedup(),
     "embed_dim_stats" ->
       """WITH e AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,

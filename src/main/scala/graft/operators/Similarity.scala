@@ -240,7 +240,17 @@ object Similarity {
     * shuffle — independent of corpus size.
     */
   def kmeans(spark: SparkSession, sfDir: String, k: Int = 8, iters: Int = 4)
-      : DataFrame = {
+      : DataFrame =
+    kmeansAssign(spark, sfDir, k, iters)
+      .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("dist2"))
+      .orderBy(col("vec_id"))
+
+  /** Lloyd iterations returning the final assignment WITH the vector
+    * still attached: (vec_id, v, cell, d2). Shared by [[kmeans]] and
+    * [[semanticDedup]] so both certify the identical clustering.
+    */
+  private def kmeansAssign(spark: SparkSession, sfDir: String, k: Int,
+      iters: Int): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
 
@@ -280,7 +290,45 @@ object Similarity {
         .localCheckpoint()
     }
     assign(cents)
-      .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("dist2"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with [[kmeans]],
+    * then WITHIN each cluster drop every vector that has a
+    * lower-vec_id cluster-mate with cosine >= tau. The greedy
+    * keep-lowest-id rule is deterministic and local to a cluster, so
+    * the result is a pure function of (embeddings, k, iters, tau).
+    * Returns (vec_id, cell, dup_of, keep): `dup_of` is the smallest
+    * qualifying lower id (NULL for keepers).
+    *
+    * 100 TB shape — the whole point of clustering first: the
+    * quadratic pair join runs per-cluster, so candidate volume is
+    * Σ|cluster|² instead of N²; k grows with the corpus to hold
+    * |cluster| ~ N/k constant, and the pair join shuffles on `cell`
+    * (one key per cluster — skew shows up only if a cluster
+    * degenerates, which the kmeans objective resists). The final
+    * attribution join is a broadcast of the (small) dup list.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 4, tau: Double = 0.35): DataFrame = {
+    val asg = kmeansAssign(spark, sfDir, k, iters)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = asg.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val b = asg.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("nrm").as("b_nrm"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(
+        when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("a_v"), col("b_v")) /
+            (col("a_nrm") * col("b_nrm"))), 6))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(broadcast(dups), col("vec_id") === col("b_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
       .orderBy(col("vec_id"))
   }
 

@@ -185,4 +185,24 @@ class SimilaritySpec extends AnyFunSuite {
     // sanity: clustering is non-trivial (more than one populated cell)
     assert(got.map(_._2).size > 1)
   }
+
+  test("semantic dedup: greedy keep-lowest-id rule is locally consistent") {
+    val rows = Similarity.semanticDedup(spark, TestSpark.sf).collect()
+    assert(rows.length ==
+      graft.Tables.embeddings(spark, TestSpark.sf).count())
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    var dropped = 0
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      if (!keep) {
+        dropped += 1
+        val dupOf = r.getAs[Long]("dup_of")
+        // the attributed representative is a LOWER id in the SAME cluster
+        assert(dupOf < r.getAs[Long]("vec_id"))
+        assert(byId(dupOf).getAs[Int]("cell") == r.getAs[Int]("cell"))
+      } else assert(r.isNullAt(r.fieldIndex("dup_of")))
+    }
+    // the synthetic corpus has planted near-dups: some must be caught
+    assert(dropped > 0 && dropped < rows.length)
+  }
 }
