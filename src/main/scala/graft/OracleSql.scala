@@ -567,6 +567,80 @@ object OracleSql {
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Per-nation customer proximity edges (lead 1 and 2), shared with
+    * the triangle-count oracle's construction.
+    */
+  private val ProximityEdgeCtes =
+    """nb AS (
+      |  SELECT c_custkey AS src,
+      |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+      |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
+      |  FROM customer),
+      |e AS (
+      |  SELECT src AS u, d1 AS v FROM nb WHERE d1 IS NOT NULL
+      |  UNION
+      |  SELECT src AS u, d2 AS v FROM nb WHERE d2 IS NOT NULL)""".stripMargin
+
+  /** DuckDB twin of [[graft.graph.Algorithms.clusteringCoeffQuery]]:
+    * chain edges always point ascending, so each triangle enumerates
+    * exactly once as (u, v, w) with u<v<w.
+    */
+  def clusteringCoeff: String =
+    s"""WITH $ProximityEdgeCtes,
+       |t AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |m AS (SELECT unnest([a, b, c]) AS id FROM t),
+       |ntri AS (SELECT id, COUNT(*) AS n_tri FROM m GROUP BY id),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS degree FROM (
+       |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+       |  GROUP BY id)
+       |SELECT d.id, d.degree, COALESCE(n.n_tri, 0) AS n_tri,
+       |  CASE WHEN d.degree >= 2
+       |    THEN round(2.0 * COALESCE(n.n_tri, 0)
+       |      / (d.degree * (d.degree - 1)), 6)
+       |    ELSE 0.0 END AS coeff
+       |FROM deg d LEFT JOIN ntri n USING (id)
+       |ORDER BY id""".stripMargin
+
+  /** DuckDB twin of [[graft.graph.Algorithms.ssspQuery]]: the same
+    * lead-(1,2,8) weighted edges and per-nation min-custkey sources,
+    * with `rounds` Bellman–Ford relaxations unrolled as CTEs (the
+    * Spark loop's early-stop cannot change the fixpoint, so equal
+    * round counts give equal results once converged).
+    */
+  def ssspWeighted(rounds: Int = 14): String = {
+    val steps = (1 to rounds).map { j =>
+      s"""d$j AS MATERIALIZED (
+         |  SELECT id, MIN(cost) AS cost FROM (
+         |    SELECT id, cost FROM d${j - 1}
+         |    UNION ALL
+         |    SELECT we.dst AS id, d.cost + we.w AS cost
+         |    FROM d${j - 1} d JOIN we ON d.id = we.src)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nb AS (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+       |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2,
+       |    lead(c_custkey, 8) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d8
+       |  FROM customer),
+       |we AS MATERIALIZED (
+       |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+       |    SELECT src, d1 AS dst FROM nb WHERE d1 IS NOT NULL
+       |    UNION ALL SELECT src, d2 FROM nb WHERE d2 IS NOT NULL
+       |    UNION ALL SELECT src, d8 FROM nb WHERE d8 IS NOT NULL)),
+       |d0 AS (
+       |  SELECT MIN(c_custkey) AS id, CAST(0 AS BIGINT) AS cost
+       |  FROM customer GROUP BY c_nationkey),
+       |$steps
+       |SELECT c.c_custkey AS id, d.cost
+       |FROM customer c LEFT JOIN d$rounds d ON c.c_custkey = d.id
+       |ORDER BY id""".stripMargin
+  }
+
   /** Token CTEs shared by the sketch oracles: per-token exact counts
     * and the poly-31 base hash (computed once per DISTINCT token).
     * Mirrors [[graft.operators.Sketches.tokenPolysJvm]].

@@ -86,6 +86,8 @@ object SparkEntry {
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
     "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
+    "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
+    "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
@@ -167,6 +169,8 @@ object SparkEntry {
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),
+    "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
+    "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),
     "sketch_cms_topk"     -> OracleSql.cmsTopk(),

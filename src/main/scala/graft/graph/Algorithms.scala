@@ -498,4 +498,126 @@ object Algorithms {
       .orderBy(col("jaccard").desc, col("supp_a"), col("supp_b"))
       .limit(k)
   }
+
+  /** Local clustering coefficient per node: 2·t(v) / (d(v)·(d(v)−1))
+    * with t(v) the triangles containing v and d(v) the distinct
+    * undirected degree; nodes of degree < 2 report 0.0.
+    *
+    * Reuses [[triangles]] (degree-ordered orientation — the √m wedge
+    * bound is what survives skew at scale), then one explode +
+    * count per member; degree is a second pass over the
+    * canonicalized edge set. Three keyed shuffles total beyond the
+    * triangle enumeration itself.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val perNode = triangles(edges)
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_tri") /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** [[localClustering]] over the per-nation customer proximity graph
+    * (same construction as [[triangleCountQuery]]) — the SparkEntry
+    * `graph_clustering_coeff` query.
+    */
+  def clusteringCoeffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"))
+    val edges = nbr.select(col("src"), col("d1").as("dst"))
+      .filter(col("dst").isNotNull)
+      .unionByName(nbr.select(col("src"), col("d2").as("dst"))
+        .filter(col("dst").isNotNull))
+    localClustering(edges).orderBy(col("id"))
+  }
+
+  /** Hop-bounded weighted single-source shortest path (Bellman–Ford,
+    * synchronous rounds): after `rounds` relaxations, `cost(v)` is
+    * the cheapest path of ≤ rounds hops from any source — the exact
+    * SSSP when the graph's hop diameter fits the bound, and a
+    * documented truncation when it doesn't (unreached nodes surface
+    * as NULL through the caller's left join). Early-stops when a
+    * round improves nothing, which cannot change the fixpoint
+    * (relaxation is monotone).
+    *
+    * 100 TB notes: each round is one join keyed on src + one
+    * min-aggregate keyed on node id — the same two-exchange shape as
+    * a PageRank iteration; dist is localCheckpointed each round to
+    * cut lineage. Edge weights ride the edge relation; no per-round
+    * driver data beyond the 1-row convergence count.
+    */
+  def ssspBoundedHops(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = sources.select(col("id"), lit(0L).as("cost"))
+      .localCheckpoint(true)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      val improved = next
+        .join(dist.withColumnRenamed("cost", "old_cost"), Seq("id"), "left_outer")
+        .filter(col("old_cost").isNull || col("cost") < col("old_cost"))
+        .limit(1).count()
+      dist = next
+      converged = improved == 0
+      r += 1
+    }
+    dist
+  }
+
+  /** SSSP over the per-nation proximity graph with log-spaced skip
+    * links (lead 1, 2, 8) and the deterministic edge cost
+    * `1 + (src + dst) mod 7`; one source per nation (its minimum
+    * custkey). 14 rounds covers the sf0.01 hop diameter exactly
+    * (oracle-checked); at larger factors the bound truncates —
+    * unreached customers report NULL cost, the documented
+    * bounded-hop semantic. The SparkEntry `graph_sssp_weighted`
+    * query.
+    */
+  def ssspQuery(spark: SparkSession, sfDir: String,
+      rounds: Int = 14): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"),
+      lead(col("c_custkey"), 8).over(w).as("d8"))
+    val edges = Seq("d1", "d2", "d8")
+      .map(d => nbr.select(col("src"), col(d).as("dst"))
+        .filter(col("dst").isNotNull))
+      .reduce(_.unionByName(_))
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+    val sources = c.groupBy(col("c_nationkey"))
+      .agg(min(col("c_custkey")).as("id"))
+      .select(col("id"))
+    val dist = ssspBoundedHops(edges, sources, rounds)
+    c.select(col("c_custkey").as("id"))
+      .join(dist, Seq("id"), "left_outer")
+      .select(col("id"), col("cost"))
+      .orderBy(col("id"))
+  }
 }

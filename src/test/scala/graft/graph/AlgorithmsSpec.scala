@@ -124,4 +124,35 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(orders.filter(col("out_degree") =!= 1).count() == 0)
     assert(orders.filter(col("in_degree") =!= 0).count() == 0)
   }
+
+  test("local clustering coefficient on a known graph") {
+    // triangle {1,2,3} plus a pendant 3-4: coeff(1)=coeff(2)=1,
+    // coeff(3)=1/3 (deg 3, one of three possible pairs closed),
+    // coeff(4)=0 (degree 1)
+    val edges = edgeDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    val m = Algorithms.localClustering(edges).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+          r.getAs[Double]("coeff"))).toMap
+    assert(m(1L) == ((2L, 1L, 1.0)))
+    assert(m(2L) == ((2L, 1L, 1.0)))
+    assert(m(3L) == ((3L, 1L, 0.333333)))
+    assert(m(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("bounded-hop weighted SSSP relaxes to the cheapest path and truncates at the bound") {
+    import spark.implicits._
+    // 1→2 (w=10), 1→3 (w=1), 3→2 (w=1): cheapest 1→2 is 2 via 3.
+    // chain 1→3→5→6 checks multi-hop accumulation.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (3L, 5L, 2L), (5L, 6L, 3L)).toDF("src", "dst", "w")
+    val full = Algorithms.ssspBoundedHops(edges, Seq(1L).toDF("id"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 5L -> 3L, 6L -> 6L))
+    // one round only: the 2-hop improvement to node 2 must NOT apply,
+    // and 3+ hop nodes are absent — the documented truncation
+    val one = Algorithms.ssspBoundedHops(edges, Seq(1L).toDF("id"), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+  }
 }
