@@ -40,7 +40,7 @@ object Sketches {
     * same reason as [[Dedup.shingleHashesJvm]]: per-codepoint
     * higher-order expressions don't codegen.
     */
-  private[operators] def tokenPolysJvm(text: String): Array[(String, Long)] = {
+  private[graft] def tokenPolysJvm(text: String): Array[(String, Long)] = {
     val w = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val out = Array.newBuilder[(String, Long)]
     var i = 0
@@ -65,8 +65,34 @@ object Sketches {
     * every intermediate < 2^62 (see [[graft.OracleHash]]), so BIGINT
     * math is exact on both engines.
     */
-  private def perm(i: Column, h: Column): Column =
+  private[graft] def perm(i: Column, h: Column): Column =
     (((lit(MulA) * (i + 1)) % P) * h + (lit(MulB) * (i + 1)) % P) % P
+
+  /** (bucket, rho) HLL register observations of a permuted-hash
+    * column `hp` — bucket = hp mod m, rho = trailing-zeros(hp div m)
+    * + 1 capped at 24, all exact integer arithmetic. The register
+    * STATE of a partition/window is the per-bucket max; states merge
+    * by bucket-wise max, which is what the streaming twin aggregates
+    * under a watermark.
+    */
+  private[graft] def hllObservations(hp: Column, m: Int): (Column, Column) = {
+    // integer quotient via exact double division: hp < 2^30 << 2^53
+    val v = floor(hp / m.toDouble).cast("long")
+    (hp % m,
+      least(bit_count(v.bitwiseAND(-v) - 1) + 1, lit(24)).cast("int"))
+  }
+
+  /** Finalize an HLL estimate from a COMPLETE (bucket, m_j) register
+    * frame (missing buckets must already be present as 0).
+    */
+  private[graft] def hllEstimate(regs: DataFrame, m: Int): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
+    regs
+      .agg(sum(pow(lit(2.0), -col("m_j"))).as("s"),
+        sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(round(alpha * m.toDouble * m.toDouble / col("s"), 6)
+        .as("est_distinct"), col("n_zero"))
+  }
 
   /** K-minimum-values distinct-count sketch over corpus tokens.
     *
@@ -121,24 +147,15 @@ object Sketches {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
     val spark = docs.sparkSession
     val th = tokenHashes(docs)
-    val regs = th.select(perm(lit(0), col("h")).as("hp"))
-      .select((col("hp") % m).as("bucket"),
-        expr(s"hp DIV $m").as("v"))
-      .select(col("bucket"),
-        least(bit_count(col("v").bitwiseAND(-col("v")) - 1) + 1, lit(24))
-          .cast("int").as("rho"))
+    val (bucket, rho) = hllObservations(perm(lit(0), col("h")), m)
+    val regs = th.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("m_j"))
     val full = spark.range(m).toDF("bucket")
       .join(regs, Seq("bucket"), "left_outer")
       .select(coalesce(col("m_j"), lit(0)).as("m_j"))
     // alpha_m for m >= 64; both engines evaluate the identical
     // literal expression left-to-right, so the IEEE result agrees
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
-    val est = full
-      .agg(sum(pow(lit(2.0), -col("m_j"))).as("s"),
-        sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("n_zero"))
-      .select(round(alpha * m.toDouble * m.toDouble / col("s"), 6)
-        .as("est_distinct"), col("n_zero"))
+    val est = hllEstimate(full, m)
     val tru = th.agg(countDistinct(col("token")).as("true_distinct"))
     est.crossJoin(broadcast(tru))
       .select(lit(m).cast("long").as("m"), col("est_distinct"), col("n_zero"),

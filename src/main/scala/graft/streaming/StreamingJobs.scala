@@ -107,6 +107,39 @@ object StreamingJobs {
     graft.operators.TextAnalysis.gopherProjection(docs)
       .filter(col("keep") === 1)
 
+  /** Windowed HLL distinct-token registers over a document stream —
+    * the streaming half of [[graft.operators.Sketches.hllDistinctOn]].
+    * Emits per tumbling hour the (bucket, m_j) REGISTER STATE (the
+    * mergeable sketch itself, not the finalized number): one row per
+    * non-empty bucket, `m_j` the max rho observed. Downstream merges
+    * registers bucket-wise-max across windows/streams and finalizes
+    * with `Sketches.hllEstimate` — the emit-state/merge-downstream
+    * shape production sketch pipelines use, and it keeps this a
+    * SINGLE streaming aggregation (finalizing in-stream would chain
+    * two stateful aggs). State is bounded: m buckets per open window,
+    * closed by the watermark. StreamingJobsSpec pins that the
+    * streamed registers equal the batch operator's registers on the
+    * same documents, so the batch oracle certifies this path too.
+    * Input must have (ts: timestamp, text: string).
+    */
+  def hllRegisters(docs: DataFrame, m: Int = 128): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("ts"), col("text")).as[(Timestamp, String)]
+      .flatMap { case (ts, t) =>
+        graft.operators.Sketches.tokenPolysJvm(t).map(p => (ts, p._2)) }
+      .toDF("ts", "h")
+    val (bucket, rho) = graft.operators.Sketches.hllObservations(
+      graft.operators.Sketches.perm(lit(0), col("h")), m)
+    toks
+      .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("m_j"))
+  }
+
   /** Scores a document stream against a STATIC unigram model artifact
     * (the token→cnt table + corpus total that
     * [[graft.operators.TextAnalysis.unigramLogprob]] trains) — the

@@ -328,4 +328,36 @@ class StreamingJobsSpec extends AnyFunSuite {
       assert(routed.forall { case (id, s) => s == splitOf(id) })
     } finally q.stop()
   }
+
+  test("streamed HLL registers equal the batch operator's registers and finalize to its estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = (1 to 400).map(i => s"a$i").mkString(" ")
+    val textB = (200 to 600).map(i => s"a$i").mkString(" ")
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamingJobs.hllRegisters(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(0), textA), (ts(10), textB))
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs")
+        .select("bucket", "m_j")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // batch twin over the same two documents: same registers...
+      val batch = graft.operators.Sketches
+        .hllDistinctOn(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"))
+        .collect().head
+      // ...so merging the streamed registers (one window here) and
+      // finalizing reproduces the batch estimate bit-for-bit
+      val full = spark.range(128).toDF("bucket")
+        .join(streamed.toSeq.toDF("bucket", "m_j"), Seq("bucket"), "left_outer")
+        .select(coalesce(col("m_j"), lit(0)).as("m_j"))
+      val est = graft.operators.Sketches.hllEstimate(full, 128)
+        .collect().head.getDouble(0)
+      assert(est == batch.getAs[Double]("est_distinct"))
+      // the registers really are the bounded state: at most m rows
+      assert(streamed.size <= 128)
+    } finally q.stop()
+  }
 }
