@@ -44,6 +44,7 @@ object SparkEntry {
     "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
     "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
+    "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
@@ -992,6 +993,14 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND hour(ts) >= 6
         |GROUP BY 1, 2, 3, 4, 6 ORDER BY d, h""".stripMargin,
+    "cypher_temporal_trunc" ->
+      """SELECT date_trunc('week', ts) AS wk,
+        |  CAST(date_trunc('month', ts) AS DATE) AS mo,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        |GROUP BY 1, 2 ORDER BY wk, mo""".stripMargin,
     "cypher_properties" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS id, key AS k,
         |  CASE key WHEN 'name' THEN r_name

@@ -564,6 +564,27 @@ object CypherParser {
         val step = if (atSym(",")) { eatSym(","); addExpr() } else LitV(1L)
         eatSym(")")
         RangeList(from, to, step)
+      case Some(TId(ns))
+          if (ns.equalsIgnoreCase("datetime") || ns.equalsIgnoreCase("date")) &&
+          pos + 2 < toks.length && toks(pos + 1) == TSym(".") &&
+          (toks(pos + 2) match {
+            case TId(f) => f.equalsIgnoreCase("truncate")
+            case _      => false
+          }) =>
+        // namespaced temporal truncation `datetime.truncate('month', x)`
+        // / `date.truncate(...)` — desugared to a reserved @trunc call
+        // carrying the unit as a literal (the planner validates it)
+        val toDate = ns.equalsIgnoreCase("date")
+        ident(); eatSym("."); ident(); eatSym("(")
+        val unit = next() match {
+          case TStr(s) => s.toLowerCase(java.util.Locale.ROOT)
+          case t => throw new IllegalArgumentException(
+            s"$ns.truncate expects a string-literal unit, got $t")
+        }
+        eatSym(",")
+        val arg = addExpr()
+        eatSym(")")
+        FnCallN(if (toDate) "@truncdate" else "@trunc", Seq(LitV(unit), arg))
       case Some(TId(name))
           if (name.equalsIgnoreCase("percentileCont") ||
             name.equalsIgnoreCase("percentileDisc")) &&

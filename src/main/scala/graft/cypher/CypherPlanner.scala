@@ -1184,6 +1184,19 @@ object CypherPlanner {
       }
       val lo = norm(a0)
       slice(arr, lo + 1, greatest(norm(b0) - lo, lit(0)))
+    // namespaced temporal truncation (parser sugar):
+    // datetime.truncate('month', x) → date_trunc — codegen'd, and
+    // foldable over literal arguments so truncated-bound WHERE
+    // comparisons stay pushable. date.truncate additionally casts to
+    // date (Neo4j returns a Date from the date namespace).
+    case FnCallN(fn @ ("@trunc" | "@truncdate"), Seq(LitV(unit: String), a)) =>
+      val supported = Set("year", "quarter", "month", "week", "day",
+        "hour", "minute", "second")
+      require(supported.contains(unit),
+        s"unsupported truncation unit '$unit' (supported: " +
+          s"${supported.toSeq.sorted.mkString(", ")})")
+      val t = date_trunc(unit, toColumn(a, scalars))
+      if (fn == "@truncdate") t.cast("date") else t
     // map projection (parser sugar): n {.name, .acctbal} → a struct
     // with the selected properties as fields; field access on the
     // result goes through the scalar-Prop getField path

@@ -594,6 +594,21 @@ object CypherQueries {
         |  e.ts.dayOfWeek AS dow, count(*) AS n, e.ts.hour AS h
         |ORDER BY d, h""".stripMargin)
 
+  /** Namespaced temporal truncation — `datetime.truncate` bucketing an
+    * aggregation (the canonical time-series GROUP BY) and
+    * `date.truncate` in the same projection; both compile to Spark's
+    * codegen'd `date_trunc`, and the WHERE's truncated bound
+    * constant-folds to a pushable timestamp comparison.
+    */
+  def temporalTrunc(spark: SparkSession, sfDir: String): DataFrame =
+    runEvents(spark, sfDir,
+      """MATCH (e:Event)
+        |WHERE e.ts >= datetime('2024-01-03T00:00:00')
+        |RETURN datetime.truncate('week', e.ts) AS wk,
+        |  date.truncate('month', e.ts) AS mo,
+        |  count(*) AS n, sum(e.value) AS total
+        |ORDER BY wk, mo""".stripMargin)
+
   /** `properties(n)` — whole-property-map introspection, surfaced as
     * a key-sorted `array<struct<key,val>>` (stringified values; a MAP
     * would not be driver-hashable) and consumed via UNWIND + struct

@@ -707,6 +707,25 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("datetime.truncate buckets instants; unsupported units fail loudly") {
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+      "datetime.truncate('month', datetime('2024-03-15T13:45:30')) AS mo, " +
+      "datetime.truncate('week', datetime('2024-03-15T13:45:30')) AS wk, " +
+      "date.truncate('year', datetime('2024-03-15T13:45:30')) AS yr")
+      .collect().head
+    assert(r.getAs[java.sql.Timestamp]("mo").toString == "2024-03-01 00:00:00.0")
+    // 2024-03-15 is a Friday; ISO weeks start Monday 03-11
+    assert(r.getAs[java.sql.Timestamp]("wk").toString == "2024-03-11 00:00:00.0")
+    assert(r.getAs[java.sql.Date]("yr").toString == "2024-01-01")
+    val err = intercept[IllegalArgumentException] {
+      run("UNWIND [1] AS one RETURN " +
+        "datetime.truncate('fortnight', datetime('2024-03-15T00:00:00')) AS x")
+        .collect()
+    }
+    assert(err.getMessage.contains("fortnight"))
+  }
+
   test("properties(n) yields the key-sorted struct array; map projection builds a struct") {
     val rows = run(
       "MATCH (r:Region) UNWIND properties(r) AS p " +
