@@ -156,6 +156,8 @@ object SparkEntry {
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
     "text_boilerplate"    -> (TextAnalysis.boilerplate(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
+    "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
+    "events_pivot"        -> (Events.pivotDaily(_, _)),
     "pipeline_mix"        -> (Pipeline.mixWeights(_, _)),
     "pipeline_pack"       -> (Pipeline.packChunks(_, _)),
     "search_bm25_topk"    -> (Search.bm25TopK(_, _)))
@@ -826,6 +828,32 @@ object SparkEntry {
         |          % 1000000007) % 100 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+        |      AS BIGINT) AS weight
+        |  FROM documents),
+        |kk AS (
+        |  SELECT doc_id, weight,
+        |    CAST(floor(
+        |      ((2654435761 * (doc_id % 1000000007) + 3266489917)
+        |        % 1000000007) / CAST(weight AS DOUBLE)) AS BIGINT) AS key
+        |  FROM d),
+        |t AS (SELECT * FROM kk ORDER BY key, doc_id LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+        |    AS rank,
+        |  doc_id, weight, key
+        |FROM t ORDER BY rank""".stripMargin,
+    "events_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
     "pipeline_pack" ->
       """SELECT doc_id, shard, n_tok, start_off,
         |  CAST(floor(start_off / 2048.0) AS BIGINT) AS chunk

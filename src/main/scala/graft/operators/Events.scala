@@ -30,6 +30,29 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Daily event-type pivot — the wide activity matrix
+    * (day × event_type → count) reporting layers ask for. Uses
+    * Spark's native `pivot` WITH an explicit value list: declaring
+    * the columns up front skips the extra distinct-collection job
+    * pivot otherwise runs AND makes the output schema static —
+    * both what a production pipeline wants (a schema that can't
+    * drift because a new event type appeared mid-day).
+    *
+    * 100 TB notes: compiles to a single groupBy(day) hash aggregate
+    * with one conditional count per declared type — one shuffle
+    * keyed on day, map-side partials, no explode. Null cells (day
+    * without that type) fill to 0 for determinism.
+    */
+  def pivotDaily(spark: SparkSession, sfDir: String,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup",
+        "view")): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("d"))
+
   /** Volume-anomaly screen: hourly event counts per type, z-scored
     * against that type's own hourly distribution — the standard
     * ops-analytics alarm for traffic spikes/drops. Mean and stddev

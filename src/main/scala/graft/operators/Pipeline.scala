@@ -148,6 +148,36 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling without replacement, probability ∝ token
+    * count, in PURE INTEGER arithmetic: each doc draws the uniform
+    * hash `h = (A·(id mod P)+B) mod P` and competes on the priority
+    * key `h div weight` — scaling the uniform key down by the weight
+    * makes heavier docs win smaller keys proportionally (the
+    * classic priority-sampling trick), with none of the
+    * `u^(1/w)` float portability hazards of A-Res. The k smallest
+    * (key, doc_id) win; fully deterministic and rerun-stable.
+    *
+    * 100 TB notes: key assignment is a per-row map at the scan;
+    * selection is TakeOrdered (k rows per task cross the wire). The
+    * rank window runs over the k survivors only.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String,
+      k: Int = 50): DataFrame = {
+    import graft.OracleHash.{MulA, MulB, P}
+    val tokens = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val h = (lit(MulA) * (col("doc_id") % lit(P)) + lit(MulB)) % lit(P)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), greatest(tokens, lit(1L)).as("weight"))
+      .withColumn("key", floor(h / col("weight")).cast("long"))
+      .orderBy(col("key"), col("doc_id")).limit(k)
+      .select(row_number().over(w).cast("long").as("rank"),
+        col("doc_id"), col("weight"), col("key"))
+      .orderBy(col("rank"))
+  }
+
   /** Sequence-packing plan: concatenate documents in deterministic
     * order and cut the stream into training chunks of `budget`
     * tokens (the GPT-style concat-and-chunk packing step). Each doc

@@ -140,6 +140,36 @@ object StreamingJobs {
         col("m_j"))
   }
 
+  /** Windowed count-min sketch cells over a document stream — the
+    * streaming half of [[graft.operators.Sketches.cmsTopkOn]], same
+    * emit-state/merge-downstream contract as [[hllRegisters]]: per
+    * tumbling hour, (i, cell, ccnt) partial counts over d·w bounded
+    * cells. Cells merge across windows/streams by ADDITION (the CMS
+    * merge), after which the min-over-depth lookup estimates any
+    * token's frequency. Single streaming aggregation; state is
+    * ≤ d·w rows per open window regardless of stream volume.
+    */
+  def cmsRegisters(docs: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("ts"), col("text")).as[(Timestamp, String)]
+      .flatMap { case (ts, t) =>
+        graft.operators.Sketches.tokenPolysJvm(t).map(p => (ts, p._2)) }
+      .toDF("ts", "h")
+    toks
+      .select(col("ts"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"), col("h"))
+      .select(col("ts"), col("i"),
+        (graft.operators.Sketches.perm(col("i"), col("h")) % width)
+          .as("cell"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("i"), col("cell"))
+      .agg(count(lit(1)).as("ccnt"))
+      .select(col("window.start").as("window_start"), col("i"),
+        col("cell"), col("ccnt"))
+  }
+
   /** Scores a document stream against a STATIC unigram model artifact
     * (the token→cnt table + corpus total that
     * [[graft.operators.TextAnalysis.unigramLogprob]] trains) — the

@@ -117,4 +117,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).forall(_ >= 0.0))
     assert(df.values.forall(_ <= nDocs))
   }
+
+  test("weighted sampling is deterministic, ranked by integer priority, and favors heavy docs") {
+    val a = Pipeline.sampleWeighted(spark, TestSpark.sf).collect()
+    val b = Pipeline.sampleWeighted(spark, TestSpark.sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // rerun-stable
+    // ranks dense 1..k, keys non-decreasing in rank order
+    assert(a.map(_.getAs[Long]("rank")).toSeq == (1L to a.length).toSeq)
+    val keys = a.map(_.getAs[Long]("key"))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x <= y })
+    // selection is weight-biased: the sampled docs' mean token weight
+    // exceeds the corpus mean (probability ∝ weight)
+    val sampleMean = a.map(_.getAs[Long]("weight")).sum.toDouble / a.length
+    val corpus = graft.operators.TextAnalysis.tokens(spark, TestSpark.sf)
+      .agg(org.apache.spark.sql.functions.avg("ws_tokens")).collect()
+      .head.getDouble(0)
+    assert(sampleMean > corpus,
+      s"sample mean $sampleMean not above corpus mean $corpus")
+  }
 }

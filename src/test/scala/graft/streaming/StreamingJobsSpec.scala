@@ -360,4 +360,35 @@ class StreamingJobsSpec extends AnyFunSuite {
       assert(streamed.size <= 128)
     } finally q.stop()
   }
+
+  test("streamed CMS cells match the batch cell construction and merge by addition") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = ("hot " * 10) + (1 to 50).map(i => s"n$i").mkString(" ")
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamingJobs.cmsRegisters(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(0), textA), (ts(5), textA))
+      q.processAllAvailable()
+      val streamed = spark.table("cmscells")
+        .collect().map(r => (r.getInt(r.fieldIndex("i")),
+          r.getLong(r.fieldIndex("cell"))) -> r.getLong(r.fieldIndex("ccnt")))
+        .toMap
+      // batch twin of the same two docs: identical cells, and counts
+      // merge by addition (two identical docs → every cell 2× one doc)
+      import graft.operators.Sketches
+      val one = Seq((1L, textA)).toDF("doc_id", "text")
+        .select(col("text")).as[String]
+        .flatMap(Sketches.tokenPolysJvm).toDF("token", "h")
+        .select(explode(sequence(lit(0), lit(3))).as("i"), col("h"))
+        .select(col("i"), (Sketches.perm(col("i"), col("h")) % 1024).as("cell"))
+        .groupBy("i", "cell").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed.keySet == one.keySet)
+      assert(streamed.forall { case (k, v) => v == 2 * one(k) })
+      assert(streamed.size <= 4 * 1024)
+    } finally q.stop()
+  }
 }
