@@ -566,23 +566,39 @@ object Algorithms {
     */
   def ssspBoundedHops(edges: DataFrame, sources: DataFrame,
       rounds: Int): DataFrame = {
+    // edges partitioned by src ONCE: every round's relax join then
+    // reuses this layout instead of re-exchanging the edge relation
     val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")).localCheckpoint(true)
     var dist = sources.select(col("id"), lit(0L).as("cost"))
       .localCheckpoint(true)
+    // delta relaxation: only nodes improved last round can improve a
+    // neighbor this round, so the relax join runs against the
+    // (shrinking) frontier. Merge + improvement detection fuse into
+    // ONE tagged min-aggregate — tag 0 carries the old dist, tag 1
+    // the candidates, and `min(cost) < min(cost WHERE tag=0)` is the
+    // improvement test — so each round pays the relax join, one
+    // keyed exchange, and ONE eager checkpoint; the termination
+    // count scans the materialized checkpoint.
+    var frontier = dist
     var r = 0
-    var converged = false
-    while (r < rounds && !converged) {
-      val relaxed = dist.join(e, dist("id") === e("src"))
+    var frontierSize = 1L
+    while (r < rounds && frontierSize > 0) {
+      val candidates = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
-      val next = dist.unionByName(relaxed)
-        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+      val merged = dist.select(col("id"), col("cost"), lit(0).as("tag"))
+        .unionByName(candidates.select(col("id"), col("cost"),
+          lit(1).as("tag")))
+        .groupBy(col("id"))
+        .agg(min(col("cost")).as("cost"),
+          min(when(col("tag") === 0, col("cost"))).as("old_cost"))
         .localCheckpoint(true)
-      val improved = next
-        .join(dist.withColumnRenamed("cost", "old_cost"), Seq("id"), "left_outer")
+      val improved = merged
         .filter(col("old_cost").isNull || col("cost") < col("old_cost"))
-        .limit(1).count()
-      dist = next
-      converged = improved == 0
+        .select(col("id"), col("cost"))
+      frontierSize = improved.count()
+      if (frontierSize > 0) dist = merged.select(col("id"), col("cost"))
+      frontier = improved
       r += 1
     }
     dist
