@@ -158,6 +158,8 @@ object SparkEntry {
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
     "events_pivot"        -> (Events.pivotDaily(_, _)),
+    "events_value_hist"   -> (Events.valueHistogram(_, _)),
+    "text_ppl_buckets"    -> (TextAnalysis.pplBuckets(_, _)),
     "pipeline_mix"        -> (Pipeline.mixWeights(_, _)),
     "pipeline_pack"       -> (Pipeline.packChunks(_, _)),
     "search_bm25_topk"    -> (Search.bm25TopK(_, _)))
@@ -846,6 +848,39 @@ object SparkEntry {
         |    AS rank,
         |  doc_id, weight, key
         |FROM t ORDER BY rank""".stripMargin,
+    "events_value_hist" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 20.0) + 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "text_ppl_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM docs),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        |counts AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token),
+        |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+        |scored AS (
+        |  SELECT t2.doc_id, COUNT(*) AS n_tok,
+        |    round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0
+        |      AS mean_logprob
+        |  FROM t2 JOIN counts USING (token) CROSS JOIN total
+        |  GROUP BY t2.doc_id)
+        |SELECT s.doc_id, d.lang, s.mean_logprob,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.mean_logprob DESC, s.doc_id) AS BIGINT) AS tercile,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.mean_logprob DESC, s.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM scored s JOIN docs d USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "events_pivot" ->
       """SELECT CAST(ts AS DATE) AS d,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

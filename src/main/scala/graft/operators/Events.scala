@@ -53,6 +53,27 @@ object Events {
       .na.fill(0L, types)
       .orderBy(col("d"))
 
+  /** Equi-width value histogram per event type: bucket i covers
+    * [(i−1)·step, i·step) via explicit `floor(value/step)+1` binning
+    * (identical arithmetic on both engines; values below 0 land in
+    * bucket ≤ 0, above-range in higher buckets — no silent clamp) —
+    * the distribution profile a monitoring layer keeps per metric.
+    *
+    * 100 TB notes: bucket assignment is a per-row codegen'd
+    * expression at the scan; ONE shuffle on (type, bucket) — at most
+    * types×buckets groups — with map-side partials doing virtually
+    * all the reduction.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String,
+      step: Double = 20.0): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        (floor(col("value") / step) + 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** Volume-anomaly screen: hourly event counts per type, z-scored
     * against that type's own hourly distribution — the standard
     * ops-analytics alarm for traffic spikes/drops. Mean and stddev

@@ -171,6 +171,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, rank documents by [[unigramLogprob]]'s fluency score
+    * and split into head / middle / tail terciles — the triage CCNet
+    * uses to keep the head, sample the middle, and drop the tail of
+    * a crawl. `ntile(3)` over (score desc, doc_id) is fully
+    * deterministic (the id tie-break) and both engines implement
+    * identical SQL ntile semantics.
+    *
+    * 100 TB notes: scoring is the LM operator's cost (token-keyed
+    * joins); the ranking window shuffles once on `lang` — partitions
+    * are per-language corpus shares. At extreme skew (one language =
+    * 90% of the crawl) swap ntile for the two-pass quantile-cut:
+    * compute per-lang score terciles (tiny agg), then bucket by
+    * comparison — same result, no giant window partition.
+    */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(spark, sfDir)
+    val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_logprob").desc, col("doc_id"))
+    scored.join(langs, Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("mean_logprob"),
+        col("tercile"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID: CJK-script presence → zh; otherwise argmax of
     * distinct-stopword hits per latin language (ties broken by
     * language code order, "und" when no hits). Pure column

@@ -110,4 +110,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(101L) == ((0L, 0L, "keep")))
     assert(out(102L) == ((1L, 1L, "drop")))
   }
+
+  test("perplexity buckets: per-lang terciles are balanced and ordered by score") {
+    val rows = TextAnalysis.pplBuckets(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byT = rs.groupBy(_.getAs[Long]("tercile")).view
+        .mapValues(_.map(_.getAs[Double]("mean_logprob")))
+      // ntile balance: sizes differ by at most 1
+      val sizes = byT.values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles $sizes")
+      // head scores >= middle >= tail (boundaries can tie)
+      if (byT.contains(1L) && byT.contains(3L))
+        assert(byT(1L).min >= byT(3L).max,
+          s"$lang head/tail ordering violated")
+    }
+    val names = rows.map(r => r.getAs[Long]("tercile") ->
+      r.getAs[String]("bucket")).toMap
+    assert(names.forall { case (t, b) =>
+      b == Seq("head", "middle", "tail")(t.toInt - 1) })
+  }
 }
