@@ -45,6 +45,7 @@ object SparkEntry {
     "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
     "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
+    "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
@@ -1252,6 +1253,20 @@ object SparkEntry {
         |  SELECT 3 FROM e2 a JOIN e2 b ON a.dst = b.src JOIN e2 c ON b.dst = c.src)
         |SELECT CAST(hops AS BIGINT) AS hops, COUNT(*) AS n_paths FROM p
         |GROUP BY hops ORDER BY hops""".stripMargin,
+    "cypher_path_nodes" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT [3000000000 + src, 3000000000 + dst] AS ns FROM e2
+        |  UNION ALL
+        |  SELECT [3000000000 + a.src, 3000000000 + a.dst, 3000000000 + b.dst]
+        |  FROM e2 a JOIN e2 b ON a.dst = b.src)
+        |SELECT CAST(nid AS BIGINT) AS node_id, COUNT(*) AS n_paths
+        |FROM (SELECT unnest(ns) AS nid FROM p)
+        |GROUP BY 1 ORDER BY node_id""".stripMargin,
     "cypher_case" ->
       """SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg'
         |            WHEN c_acctbal < 5000.0 THEN 'mid'

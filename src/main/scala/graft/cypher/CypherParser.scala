@@ -458,7 +458,7 @@ object CypherParser {
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
         "tail", "substring", "replace", "split", "left", "right", "keys",
         "ltrim", "rtrim", "toboolean", "date", "datetime", "duration",
-        "properties")
+        "properties", "nodes")
     private val listPredFns = Set("any", "all", "none", "single")
 
     /** Temporal instant components, accessed Neo4j-style as a postfix

@@ -841,9 +841,19 @@ object CypherPlanner {
         if (chain.pathVar.isDefined && rel.varLength.isDefined)
           Seq(col("__hops").as("__r_hops"))
         else Seq.empty
+      // node ids for `nodes(p)`: a var-length hop reports its walk's
+      // node sequence (`__nids`); fixed hops contribute the bound
+      // endpoint below. shortestPath never carries node sequences
+      // (the BFS keeps pair×depth only), so nodes(p) on a shortest
+      // chain stays unbound and fails loudly at resolution.
+      val hopNidCols =
+        if (chain.pathVar.isDefined && !chain.shortest &&
+            rel.varLength.isDefined && expanded.columns.contains("__nids"))
+          Seq(col("__nids").as("__r_nids"))
+        else Seq.empty
       val r = expanded
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
-          (relPropCols ++ relTypeCol ++ hopLenCols ++
+          (relPropCols ++ relTypeCol ++ hopLenCols ++ hopNidCols ++
             hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
@@ -904,6 +914,32 @@ object CypherPlanner {
         bound += nv
         df = df.drop("__r_src", "__r_dst")
       }
+      // `nodes(p)` accumulation — after the endpoint is bound so
+      // `${nv}__id` resolves in every binding shape. A var-length hop
+      // contributed its whole walk suffix (`__r_nids`, whose last
+      // element IS the endpoint); a fixed hop contributes the
+      // endpoint id. The chain's start node seeds the array on the
+      // first hop (`cur` still names the hop's source here).
+      if (chain.pathVar.isDefined && !chain.shortest) {
+        // an In hop's walk runs opposite to pattern order: the edge
+        // orientation's node list [b, x, …, a] must surface as
+        // [x, …, b] after the already-seeded a — reverse the walk
+        // with its endpoint swapped in for the pattern source
+        val contrib =
+          if (rel.varLength.isEmpty) array(col(s"${nv}__id"))
+          else if (rel.direction == In)
+            reverse(concat(array(col(s"${nv}__id")),
+              slice(col("__r_nids"), lit(1),
+                greatest(size(col("__r_nids")) - 1, lit(0)))))
+          else col("__r_nids")
+        df =
+          if (df.columns.contains("__path_nids"))
+            df.withColumn("__path_nids", concat(col("__path_nids"), contrib))
+          else
+            df.withColumn("__path_nids",
+              concat(array(col(s"${cur}__id")), contrib))
+        if (rel.varLength.isDefined) df = df.drop("__r_nids")
+      }
       cur = nv
       curLabel = nextNode.label
     }
@@ -916,6 +952,12 @@ object CypherPlanner {
         if (df.columns.contains("__path_len"))
           df.withColumnRenamed("__path_len", s"${pv}__@len")
         else df.withColumn(s"${pv}__@len", lit(0L)) // zero-hop path `p = (a)`
+      df =
+        if (df.columns.contains("__path_nids"))
+          df.withColumnRenamed("__path_nids", s"${pv}__@nodes")
+        else if (!chain.shortest) // zero-hop: the path is its one node
+          df.withColumn(s"${pv}__@nodes", array(col(s"${cur}__id")))
+        else df // shortest chains don't carry node sequences
     }
     (df, bound)
   }
@@ -933,12 +975,15 @@ object CypherPlanner {
       case Some((lo, hi)) =>
         require(lo >= 1 && hi >= lo && hi <= 10,
           s"variable-length bounds *$lo..$hi out of supported range")
-        // `__hops` reports each row's walk length for `length(p)`
+        // `__hops` reports each row's walk length for `length(p)`;
+        // `__nids` the walk's node ids AFTER the source (each step's
+        // destination, in order) for `nodes(p)`
         if (!rel.columns.contains("__eid"))
-          rel.select(col("__src"), col("__dst"), lit(1).as("__hops"))
+          rel.select(col("__src"), col("__dst"), lit(1).as("__hops"),
+            array(col("__dst")).as("__nids"))
         else if (hi <= 1)
           rel.select(col("__src"), col("__dst"), array(col("__eid")).as("__eids"),
-            lit(1).as("__hops"))
+            lit(1).as("__hops"), array(col("__dst")).as("__nids"))
         else {
           // Cypher relationship uniqueness: a walk may not traverse
           // the same relationship twice. Each step carries the walk's
@@ -947,7 +992,8 @@ object CypherPlanner {
           // *2 hop would return every node as its own neighbor via
           // a-x-a (the mirrored edge reused backward).
           val base = rel.select(col("__src"), col("__dst"),
-            array(col("__eid")).as("__eids"))
+            array(col("__eid")).as("__eids"),
+            array(col("__dst")).as("__nids"))
           def kHop(k: Int): DataFrame =
             (2 to k).foldLeft(base) { (acc, step) =>
               val right = rel.select(col("__src").as(s"__m$step"),
@@ -955,11 +1001,12 @@ object CypherPlanner {
               acc.join(right, acc("__dst") === right(s"__m$step") &&
                   !array_contains(acc("__eids"), right("__ne")))
                 .select(acc("__src"), col("__nd").as("__dst"),
-                  concat(acc("__eids"), array(col("__ne"))).as("__eids"))
+                  concat(acc("__eids"), array(col("__ne"))).as("__eids"),
+                  concat(acc("__nids"), array(col("__nd"))).as("__nids"))
             }
           (lo to hi)
             .map(k => kHop(k).select(col("__src"), col("__dst"), col("__eids"),
-              lit(k).as("__hops")))
+              lit(k).as("__hops"), col("__nids")))
             .reduce(_.unionByName(_))
         }
     }
@@ -1257,6 +1304,10 @@ object CypherPlanner {
     // length(p): relationship count of the named path — planChain
     // accumulates it while joining the chain's hops
     case FnCall("length", Some(Ident(p)), _, _) => col(s"${p}__@len")
+    // nodes(p): the path's node-id sequence in pattern order,
+    // accumulated hop by hop (unavailable on shortestPath chains —
+    // the BFS keeps pair×depth, not walks; resolution fails there)
+    case FnCall("nodes", Some(Ident(p)), _, _) => col(s"${p}__@nodes")
     case StrPred("startswith", l, r) =>
       toColumn(l, scalars).startsWith(toColumn(r, scalars))
     case StrPred("endswith", l, r) =>
@@ -1317,6 +1368,7 @@ object CypherPlanner {
     case FnCall("labels", _, _, _)  => true
     case FnCall("keys", _, _, _)    => true
     case FnCall("properties", _, _, _) => true
+    case FnCall("nodes", _, _, _)   => true
     case FnCallN("@slice", _)       => true
     case FnCall("tail", _, _, _)    => true
     case FnCallN("split", _)        => true

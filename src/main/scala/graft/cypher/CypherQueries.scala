@@ -528,6 +528,18 @@ object CypherQueries {
         |RETURN length(p) AS hops, count(*) AS n_paths
         |ORDER BY hops""".stripMargin)
 
+  /** `nodes(p)` — the named path's node sequence in pattern order,
+    * accumulated hop by hop through the var-length expansion and
+    * consumed via UNWIND: per node, the number of 1-2 hop chain paths
+    * it appears on (mid-chain nodes count once per path).
+    */
+  def pathNodes(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..2]->(b:Nation)
+        |UNWIND nodes(p) AS nid
+        |RETURN nid AS node_id, count(*) AS n_paths
+        |ORDER BY node_id""".stripMargin)
+
   /** `shortestPath` over the in-region nation chain: minimum hop
     * count per reachable (a, b) pair, planned as a level-synchronous
     * BFS (never walk enumeration — see CypherPlanner.shortestRel).

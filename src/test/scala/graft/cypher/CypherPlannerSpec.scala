@@ -726,6 +726,37 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(err.getMessage.contains("fortnight"))
   }
 
+  test("nodes(p) reports the path's node ids in PATTERN order, both directions") {
+    // derive the chain of the start nation's region from the data
+    // (NEXT_IN_REGION links nations of one region in nationkey order)
+    val nation = graft.Tables.nation(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[Number]("n_regionkey").longValue)
+    val region0 = nation.filter(_._2 == nation.toMap.apply(0L))
+      .map(_._1).sorted.toList
+    val List(k0, k1, k2) = region0.take(3)
+    val out = run(
+      s"MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..2]->(b:Nation) " +
+      s"WHERE a.nationkey = $k0 RETURN length(p) AS hops, nodes(p) AS ns")
+      .collect().map(r => r.getAs[Long]("hops") ->
+        r.getSeq[Long](r.fieldIndex("ns")).toList.map(_ - 3000000000L)).toMap
+    assert(out(1L) == List(k0, k1))
+    assert(out(2L) == List(k0, k1, k2))
+    // In: `(a)<-[*]-(b)` — the walk runs b→…→a, but nodes(p) must
+    // surface pattern order a, …, b
+    val in = run(
+      s"MATCH p = (a:Nation)<-[:NEXT_IN_REGION*1..2]-(b:Nation) " +
+      s"WHERE a.nationkey = $k2 RETURN length(p) AS hops, nodes(p) AS ns")
+      .collect().map(r => r.getAs[Long]("hops") ->
+        r.getSeq[Long](r.fieldIndex("ns")).toList.map(_ - 3000000000L)).toMap
+    assert(in(1L) == List(k2, k1))
+    assert(in(2L) == List(k2, k1, k0))
+    // zero-hop named path: the path is its single node
+    val zero = run("MATCH p = (r:Region) RETURN size(nodes(p)) AS n, " +
+      "length(p) AS len LIMIT 1").collect().head
+    assert(zero.getAs[Long]("n") == 1L && zero.getAs[Long]("len") == 0L)
+  }
+
   test("properties(n) yields the key-sorted struct array; map projection builds a struct") {
     val rows = run(
       "MATCH (r:Region) UNWIND properties(r) AS p " +
