@@ -159,6 +159,18 @@ object Neo4jReader {
       schema)
   }
 
+  /** Typed read — the Spark counterpart of the reference's typed
+    * tuple emission (Neo4jInputFormat is generic in a Flink tuple
+    * type; here the case class's Encoder derives the expected schema
+    * AND the row mapping). Columns bind by POSITION like the
+    * reference's tuple fields: the i-th RETURN expression feeds the
+    * i-th case-class field; the encoder's field names become the
+    * column names.
+    */
+  def readTyped[T <: Product](spark: SparkSession, cfg: Neo4jConfig)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] =
+    read(spark, cfg, enc.schema).as[T](enc)
+
   /** Parallel paginated read: partition `p` of `numPartitions` fetches
     * pages p, p+numPartitions, … of `pageSize` rows by appending
     * `SKIP/LIMIT` to the query, stopping after its first short page.

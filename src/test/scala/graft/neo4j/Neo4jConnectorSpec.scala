@@ -177,6 +177,22 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sent.at("/statements/0/parameters").isObject)
   }
 
+  test("typed reader yields a Dataset[T] with encoder-derived schema, fields bound by position") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cfg = Neo4jConfig(uri,
+      "MATCH (n:User) RETURN id(n), n.name, n.born, n.score, n.flag, n.note")
+    val ds = Neo4jReader.readTyped[UserRow](spark, cfg)
+    assert(ds.schema.fieldNames.toSeq ==
+      Seq("id", "name", "born", "score", "flag", "note"))
+    val rows = ds.collect().sortBy(_.id)
+    assert(rows.map(_.name).toSeq == Seq("Alice", "Bob", "Carol"))
+    assert(rows.head == UserRow(1, "Alice", 1984, 4.5, flag = true, None))
+    assert(rows.forall(_.note.isEmpty)) // JSON null → None
+    // typed operations compose directly on the Dataset
+    assert(ds.filter(_.flag).map(_.score).collect().sorted.toSeq == Seq(4.5, 5.0))
+  }
+
   test("reader surfaces non-200 as IOException (reference behavior)") {
     val cfg = Neo4jConfig(
       s"http://localhost:${server.getAddress.getPort}/broken/", "MATCH (n) RETURN n")
@@ -409,3 +425,9 @@ class Neo4jConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tree.at("/statements/0/statement").asText() == q)
   }
 }
+
+/** Typed row for the readTyped spec — field ORDER mirrors the RETURN
+  * clause (positional binding), names become the Dataset columns.
+  */
+case class UserRow(id: Int, name: String, born: Int, score: Double,
+    flag: Boolean, note: Option[String])
