@@ -16,7 +16,14 @@ def norm(v):
         # both-sides-NULL row as a mismatch
         if math.isnan(v):
             return None
-        return round(v, 9)
+        r = round(v, 9)
+        # The driver's compare hashes raw bytes, where -0.0 != +0.0
+        # (Python's == treats them equal and would hide the mismatch —
+        # this is exactly how the round-6 ceil() hash failure slipped
+        # past the local sweep). Tag the sign explicitly.
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     return v
 fails = []
 for q in qdirs:
