@@ -723,4 +723,37 @@ object OracleSql {
        |FROM tc JOIN cc USING (i, cell)
        |GROUP BY 1, 2 ORDER BY true_cnt DESC, token""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.qualityModel]] —
+    * identical feature hashing (poly-31 → permutation 0 → mod dim)
+    * and the identical integer stub weight `((A·(j+7)+B) mod P) mod
+    * 201 − 100`. The vocabulary is hashed once and occurrences join
+    * back (Σ cnt·wt ≡ the Spark side's per-occurrence sum — exact
+    * integers either way).
+    */
+  def qualityModel(dim: Int = 1024): String = {
+    import OracleHash.{MulA, MulB}
+    s"""WITH wd AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |td AS (SELECT doc_id, unnest(ws) AS tok FROM wd),
+       |tdg AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM td
+       |        WHERE len(tok) > 0 GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT tok FROM tdg),
+       |vh AS (SELECT tok, ${polySql("tok")} AS h FROM vocab),
+       |vb AS (SELECT tok, ${permSql("0", "h")} % $dim AS bucket FROM vh),
+       |wt AS (SELECT CAST(j AS BIGINT) AS bucket,
+       |         (($MulA*(j+7)+$MulB) % $P) % 201 - 100 AS wt
+       |       FROM (SELECT unnest(range(0, $dim)) AS j)),
+       |s AS (SELECT g.doc_id, CAST(SUM(g.cnt) AS BIGINT) AS n_tokens,
+       |        CAST(SUM(g.cnt * wt.wt) AS BIGINT) AS score
+       |      FROM tdg g JOIN vb USING (tok) JOIN wt USING (bucket)
+       |      GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_tokens, 0) AS n_tokens,
+       |  COALESCE(s.score, 0) AS score,
+       |  CAST(COALESCE(s.score, 0) >= 0 AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

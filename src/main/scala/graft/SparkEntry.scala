@@ -115,6 +115,7 @@ object SparkEntry {
     "events_rolling_avg" -> (Events.rollingAvg(_, _)),
     "pipeline_length_quantiles" -> (Pipeline.lengthQuantiles(_, _)),
     "pipeline_curate"   -> (Pipeline.curate(_, _)),
+    "pipeline_chunk"    -> (Pipeline.chunkDocs(_, _)),
     "events_range_join" -> (Events.rangeJoin(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "sim_semantic_dedup"  -> (Similarity.semanticDedup(_, _)),
     "embed_dim_stats"     -> (Similarity.dimStats(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
+    "text_quality_model"  -> (TextAnalysis.qualityModel(_, _)),
     "text_gopher"         -> (TextAnalysis.gopherRules(_, _)),
     "text_unigram_lm"     -> (TextAnalysis.unigramLogprob(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
@@ -178,6 +180,7 @@ object SparkEntry {
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
+    "text_quality_model"  -> OracleSql.qualityModel(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),
     "sketch_cms_topk"     -> OracleSql.cmsTopk(),
     "pipeline_corpus_stats" ->
@@ -539,6 +542,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "pipeline_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n_tok,
+        |    unnest(range(0, 1 + CASE WHEN n_tok <= 64 THEN 0
+        |      ELSE (n_tok - 64 + 47) // 48 END)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(chunk_idx * 48 + 64, n_tok) AS BIGINT) AS tok_end,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+        |    least(chunk_idx * 48 + 64, n_tok)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipeline_length_quantiles" ->
       """WITH t AS (
         |  SELECT source,

@@ -263,4 +263,51 @@ object Pipeline {
         max(col("n_tok")).as("max_tok"))
       .orderBy(col("source"))
   }
+
+  /** Overlapping sliding-window chunking — the RAG / long-context
+    * preprocessing step that cuts each document into token windows of
+    * `chunkTokens` advancing by `stride` (overlap = chunkTokens −
+    * stride), materializing each chunk's text plus its token span.
+    * Unlike [[packChunks]] (which concatenates ACROSS documents at a
+    * hard budget), chunks here never cross a document boundary and
+    * neighboring chunks share context — the retrieval-index layout,
+    * not the pretraining-batch layout. Empty documents yield no
+    * chunks; a final partial window is kept (min chunk = 1 token).
+    *
+    * Token windows are whitespace tokens (the corpus-wide
+    * convention); chunk text is the slice re-joined with single
+    * spaces, so runs of whitespace normalize — documented, and
+    * mirrored exactly by the oracle's `list_slice` + `array_to_string`.
+    *
+    * 100 TB notes: chunk indexes come from `sequence()` exploded AT
+    * THE SCAN — a pure per-row flatMap, zero exchanges, zero state;
+    * every executor chunks its own partition of documents and the
+    * output is written partition-local. No shuffle appears unless a
+    * downstream op asks for one. At 100 TB this is the ideal shape:
+    * the operator is embarrassingly parallel and its cost is exactly
+    * one read + one write of the corpus.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val toks = split(trim(col("text")), "\\s+")
+    val n = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    // starts: 0, stride, 2·stride, … while start < n (last window may
+    // be short); nChunks = 1 + ceil((n − chunk)/stride) for n > chunk.
+    val lastIdx = when(n <= chunkTokens, lit(0L))
+      .otherwise(floor((n - chunkTokens + stride - 1) / lit(stride.toLong)))
+    Tables.documents(spark, sfDir)
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), toks.as("toks"), n.as("n_tok"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + chunkTokens, col("n_tok")).as("tok_end"),
+        array_join(slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          (least(col("chunk_idx") * stride + chunkTokens, col("n_tok"))
+            - col("chunk_idx") * stride).cast("int")), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

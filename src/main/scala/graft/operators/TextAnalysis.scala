@@ -574,6 +574,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality filtering: a hashed bag-of-words LINEAR
+    * classifier scores every document and the score gates keep/drop —
+    * the FineWeb-Edu / CCNet-style "train a small model, filter the
+    * corpus" step, as distinct from the rule-based gates
+    * ([[quality]], [[gopher]]). Features are token occurrences hashed
+    * into `dim` buckets (the fastText feature-hashing trick); the
+    * per-bucket weights here are a DETERMINISTIC stub derived from
+    * [[graft.OracleHash]] (this container can't train a real model —
+    * swapping in trained weights is a one-line change to the weight
+    * table), integer-valued so the score sum is exact on both
+    * engines.
+    *
+    * 100 TB notes: the weight table is the broadcast side — a real
+    * 2^20-bucket float vector is ~4 MB, broadcast once per executor,
+    * exactly how a production classifier filter ships its model. The
+    * plan is: per-row token hashing at the scan (no text leaves the
+    * scan task), a broadcast hash join to weights, ONE doc_id-keyed
+    * shuffle with map-side partial sums for the per-doc score. Keep
+    * decisions are a post-agg map. Nothing scales with anything but
+    * the token count.
+    */
+  def qualityModel(spark: SparkSession, sfDir: String,
+      dim: Int = 1024): DataFrame = {
+    import graft.OracleHash.{MulA, MulB, P}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tokenHashes = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        Sketches.tokenPolysJvm(t).map { case (_, h) => (id, h) }
+      }.toDF("doc_id", "h")
+    val bucket = (Sketches.perm(lit(0), col("h")) % dim).as("bucket")
+    val weights = spark.range(dim.toLong)
+      .select(col("id").as("bucket"),
+        (((lit(MulA) * (col("id") + 7) + MulB) % P) % 201 - 100).as("wt"))
+    val scored = tokenHashes.select(col("doc_id"), bucket)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) >= 0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def tfidf(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)

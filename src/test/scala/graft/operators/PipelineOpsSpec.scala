@@ -135,4 +135,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sampleMean > corpus,
       s"sample mean $sampleMean not above corpus mean $corpus")
   }
+
+  test("chunking tiles every document with the declared overlap") {
+    val chunk = 64
+    val stride = 48
+    val rows = Pipeline.chunkDocs(spark, sf, chunk, stride).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.keySet == docs.keySet) // every non-empty doc chunked
+    for ((id, cs) <- byDoc) {
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      val n = docs(id).trim.split("\\s+").length.toLong
+      // spans: start at idx*stride, capped width, last covers the tail
+      assert(sorted.zipWithIndex.forall { case (r, i) =>
+        r.getAs[Long]("chunk_idx") == i &&
+          r.getAs[Long]("tok_start") == i * stride &&
+          r.getAs[Long]("tok_end") == math.min(i.toLong * stride + chunk, n)
+      })
+      assert(sorted.last.getAs[Long]("tok_end") == n) // full coverage
+      assert(sorted.head.getAs[Long]("tok_start") == 0L)
+      // chunk text token count equals the span width
+      assert(sorted.forall { r =>
+        r.getAs[String]("chunk_text").split(" ").length.toLong ==
+          r.getAs[Long]("tok_end") - r.getAs[Long]("tok_start")
+      })
+      // no chunk starts at or past the end (no empty windows)
+      assert(sorted.forall(r =>
+        r.getAs[Long]("tok_start") < r.getAs[Long]("tok_end")))
+    }
+  }
 }

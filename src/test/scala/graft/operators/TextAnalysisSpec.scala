@@ -130,4 +130,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(names.forall { case (t, b) =>
       b == Seq("head", "middle", "tail")(t.toInt - 1) })
   }
+
+  test("quality model: every doc scored, score bounded by weights, keep = sign") {
+    val rows = TextAnalysis.qualityModel(spark, TestSpark.sf).collect()
+    val total = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.length.toLong == total)
+    // |score| <= 100 * n_tokens (weights live in [-100, 100])
+    assert(rows.forall { r =>
+      math.abs(r.getAs[Long]("score")) <= 100L * r.getAs[Long]("n_tokens")
+    })
+    assert(rows.forall { r =>
+      (r.getAs[Int]("keep") == 1) == (r.getAs[Long]("score") >= 0L)
+    })
+    // n_tokens agrees with the corpus-wide whitespace convention
+    val ws = TextAnalysis.tokens(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("ws_tokens")).toMap
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_tokens") == ws(r.getAs[Long]("doc_id"))))
+    // rerun-stable (deterministic stub weights, integer arithmetic)
+    val again = TextAnalysis.qualityModel(spark, TestSpark.sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
