@@ -90,6 +90,7 @@ object SparkEntry {
     "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
+    "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
@@ -179,6 +180,33 @@ object SparkEntry {
     "graph_label_prop"  -> OracleSql.labelProp(),
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
+    "graph_closeness" ->
+      """WITH RECURSIVE nb AS (
+        |  SELECT c_custkey AS src,
+        |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+        |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2,
+        |    lead(c_custkey, 8) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d8
+        |  FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT src, d1 AS dst FROM nb WHERE d1 IS NOT NULL
+        |  UNION ALL SELECT src, d2 FROM nb WHERE d2 IS NOT NULL
+        |  UNION ALL SELECT src, d8 FROM nb WHERE d8 IS NOT NULL),
+        |lms AS (
+        |  SELECT c_custkey AS lm FROM (
+        |    SELECT c_custkey,
+        |      row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        |    FROM customer) WHERE rn IN (1, 10)),
+        |walk AS (
+        |  SELECT lm, lm AS id, 0 AS depth FROM lms
+        |  UNION
+        |  SELECT w.lm, e.dst AS id, w.depth + 1 AS depth
+        |  FROM walk w JOIN edges e ON e.src = w.id WHERE w.depth < 16),
+        |best AS (SELECT lm, id, MIN(depth) AS d FROM walk GROUP BY 1, 2)
+        |SELECT c.c_custkey AS id,
+        |  CAST(COUNT(b.lm) AS BIGINT) AS reached,
+        |  CAST(SUM(b.d) AS BIGINT) AS dist_sum
+        |FROM customer c LEFT JOIN best b ON b.id = c.c_custkey
+        |GROUP BY 1 ORDER BY id""".stripMargin,
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
     "text_quality_model"  -> OracleSql.qualityModel(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),

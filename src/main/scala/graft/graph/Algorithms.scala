@@ -636,4 +636,85 @@ object Algorithms {
       .select(col("id"), col("cost"))
       .orderBy(col("id"))
   }
+
+  /** Hop-bounded per-landmark BFS distances: like [[bfsDepths]] but
+    * the state is keyed `(lm, id)` so every landmark keeps its OWN
+    * distance to every node — the Thorup–Zwick-style landmark
+    * distance sketch that large-graph systems precompute to answer
+    * approximate point-to-point distance / closeness queries without
+    * all-pairs work. Hop-bounding is intentional semantics here (the
+    * sketch answers "distance within R hops"), unlike [[bfsDepths]]
+    * where truncation is an error — nodes beyond the bound are simply
+    * absent from a landmark's profile.
+    *
+    * 100 TB notes: state is k·|reached| rows for k landmarks — k is a
+    * design constant (tens), so state is O(k·V), never V². Per round:
+    * one src-keyed join (edges pre-partitioned and checkpointed once)
+    * and one (lm, id) anti-join against the accumulated labels; both
+    * exchanges are on node-id-dominated keys, no skew amplification
+    * beyond the graph's own hub structure.
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+      maxDepth: Int = 16): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    var labels = landmarks.select(col("lm"), col("id")).distinct()
+      .withColumn("depth", lit(0L)).localCheckpoint(true)
+    var frontier = labels
+    var d = 0L
+    var drained = false
+    while (d < maxDepth && !drained) {
+      val next = e.join(frontier, e("src") === frontier("id"))
+        .select(col("lm"), col("dst").as("id")).distinct()
+        .join(labels, Seq("lm", "id"), "left_anti")
+        .withColumn("depth", lit(d + 1L))
+        .localCheckpoint(true)
+      if (next.isEmpty) drained = true
+      else {
+        labels = labels.unionByName(next).localCheckpoint(true)
+        frontier = next
+        d += 1
+      }
+    }
+    labels
+  }
+
+  /** Landmark closeness profile over the per-nation proximity graph
+    * (the [[ssspQuery]] skip-link edges, unit hop cost): landmarks =
+    * each nation's 1st and 10th smallest custkeys, distances bounded
+    * at 16 hops, and per customer the profile aggregate
+    * `(reached, dist_sum)` — the closeness-centrality estimate a
+    * distance sketch serves. Forward-only skip links make the graph a
+    * DAG, so the oracle's recursive CTE terminates on the same bound.
+    * Unreached customers report `reached = 0, dist_sum NULL` — the
+    * documented bounded-hop semantic (same family as
+    * `graph_sssp_weighted`). The SparkEntry `graph_closeness` query.
+    */
+  def closenessQuery(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 16): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"),
+      lead(col("c_custkey"), 8).over(w).as("d8"))
+    val edges = Seq("d1", "d2", "d8")
+      .map(d => nbr.select(col("src"), col(d).as("dst"))
+        .filter(col("dst").isNotNull))
+      .reduce(_.unionByName(_))
+    val ranked = c.select(col("c_custkey"),
+      row_number().over(w).as("rn"))
+    val landmarks = ranked.filter(col("rn") === 1 || col("rn") === 10)
+      .select(col("c_custkey").as("lm"), col("c_custkey").as("id"))
+    val dist = landmarkDistances(edges, landmarks, maxDepth)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("reached"), sum(col("depth")).as("dist_sum"))
+    c.select(col("c_custkey").as("id"))
+      .join(dist, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("reached"), lit(0L)).as("reached"),
+        col("dist_sum"))
+      .orderBy(col("id"))
+  }
 }

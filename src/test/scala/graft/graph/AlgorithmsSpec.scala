@@ -155,4 +155,28 @@ class AlgorithmsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
   }
+
+  test("landmark distances keep per-landmark state and honor the hop bound") {
+    import spark.implicits._
+    // chain 1→2→3, landmarks 1 and 3: landmark 1 sees the whole
+    // chain, landmark 3 only itself (forward edges)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val lms = Seq((1L, 1L), (3L, 3L)).toDF("lm", "id")
+    val full = Algorithms.landmarkDistances(edges, lms, maxDepth = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full == Map((1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (3L, 3L) -> 0L))
+    // hop bound 1: landmark 1's depth-2 reach of node 3 is absent —
+    // bounded-hop truncation is the documented sketch semantic
+    val one = Algorithms.landmarkDistances(edges, lms, maxDepth = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(one == Map((1L, 1L) -> 0L, (1L, 2L) -> 1L, (3L, 3L) -> 0L))
+    // profile aggregation on the declared query: landmarks exist per
+    // nation, every reached count is 0/1/2 (two landmarks per nation,
+    // no cross-nation edges), and dist_sum is NULL iff reached = 0
+    val prof = Algorithms.closenessQuery(spark, TestSpark.sf).collect()
+    assert(prof.nonEmpty)
+    assert(prof.forall(r => Set(0L, 1L, 2L)(r.getLong(1))))
+    assert(prof.forall(r => (r.getLong(1) == 0L) == r.isNullAt(2)))
+  }
 }
