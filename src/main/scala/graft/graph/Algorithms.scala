@@ -671,7 +671,11 @@ object Algorithms {
         .localCheckpoint(true)
       if (next.isEmpty) drained = true
       else {
-        labels = labels.unionByName(next).localCheckpoint(true)
+        // every frontier increment is checkpointed above, so the
+        // accumulated union has flat lineage — re-materializing the
+        // whole labels frame each round would add an O(|labels|)
+        // write per round for nothing
+        labels = labels.unionByName(next)
         frontier = next
         d += 1
       }
