@@ -595,6 +595,31 @@ object TextAnalysis {
     * decisions are a post-agg map. Nothing scales with anything but
     * the token count.
     */
+  /** In-process twin of [[qualityModel]]'s scoring arithmetic:
+    * `(n_tokens, score)` for one document — the shape a STREAMING
+    * classifier gate wants, where the model rides the task closure
+    * (broadcast once per executor) and each record is scored with no
+    * join or state. Bit-identical to the batch broadcast-join path
+    * (same poly-31 → permutation-0 → mod-dim bucket, same stub
+    * weights); StreamingJobsSpec pins the equality.
+    */
+  private[graft] def modelScoreJvm(text: String, dim: Int = 1024): (Long, Long) = {
+    import graft.OracleHash.{MulA, MulB, P}
+    val a0 = MulA % P
+    val b0 = MulB % P
+    var n = 0L
+    var s = 0L
+    val toks = Sketches.tokenPolysJvm(text)
+    var i = 0
+    while (i < toks.length) {
+      val bucket = ((a0 * toks(i)._2 + b0) % P) % dim
+      s += ((MulA * (bucket + 7) + MulB) % P) % 201 - 100
+      n += 1
+      i += 1
+    }
+    (n, s)
+  }
+
   def qualityModel(spark: SparkSession, sfDir: String,
       dim: Int = 1024): DataFrame = {
     import graft.OracleHash.{MulA, MulB, P}

@@ -107,6 +107,28 @@ object StreamingJobs {
     graft.operators.TextAnalysis.gopherProjection(docs)
       .filter(col("keep") === 1)
 
+  /** Model-based classifier gate over a document stream: each record
+    * is scored in-process with the [[graft.operators.TextAnalysis
+    * .qualityModel]] arithmetic (model weights ride the task closure
+    * — the way a production fastText-style filter ships its model to
+    * executors: broadcast once, score per record), keep = sign.
+    * Stateless map + filter, zero streaming state, append mode. The
+    * batch operator's DuckDB oracle certifies the arithmetic;
+    * StreamingJobsSpec pins stream == batch on shared input. Input
+    * needs (doc_id, text).
+    */
+  def classifierRoute(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val (n, s) = graft.operators.TextAnalysis.modelScoreJvm(t, dim)
+        (id, n, s, if (s >= 0L) 1 else 0)
+      }
+      .toDF("doc_id", "n_tokens", "score", "keep")
+      .filter(col("keep") === 1)
+  }
+
   /** Windowed HLL distinct-token registers over a document stream —
     * the streaming half of [[graft.operators.Sketches.hllDistinctOn]].
     * Emits per tumbling hour the (bucket, m_j) REGISTER STATE (the

@@ -391,4 +391,35 @@ class StreamingJobsSpec extends AnyFunSuite {
       assert(streamed.size <= 4 * 1024)
     } finally q.stop()
   }
+
+  test("classifier gate scores a stream identically to the batch broadcast join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus text so the bucket/weight arithmetic is exercised
+    // across genuine token diversity
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.take(100)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.classifierRoute(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clf_routed")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_routed").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // batch path: broadcast-join spelling over the same 100 docs —
+      // scores and the kept set must agree exactly
+      val ids = docs.map(_._1).toSet
+      val batch = graft.operators.TextAnalysis
+        .qualityModel(spark, graft.TestSpark.sf)
+        .filter(col("doc_id").isin(ids.toSeq: _*))
+        .collect()
+      val batchKept = batch.filter(_.getAs[Int]("keep") == 1)
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batchKept)
+      assert(streamed.nonEmpty && streamed.size < docs.size) // gate splits
+    } finally q.stop()
+  }
 }
