@@ -43,6 +43,7 @@ object SparkEntry {
     "cypher_agg_functions"  -> (cypher.CypherQueries.aggFunctions(_, _)),
     "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
     "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
+    "cypher_math_fns2"      -> (cypher.CypherQueries.mathFns2(_, _)),
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
     "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
@@ -1168,6 +1169,24 @@ object SparkEntry {
         |  floor(c_acctbal / 1000.0) AS k_floor,
         |  ceil(c_acctbal / 1000.0) AS k_ceil,
         |  power(2.0, 10) AS p2
+        |FROM customer WHERE c_custkey <= 50 ORDER BY id""".stripMargin,
+    "cypher_math_fns2" ->
+      """SELECT c_custkey AS id,
+        |  round(exp(c_acctbal / 10000.0), 6) AS k_exp,
+        |  round(ln(abs(c_acctbal) + 1.0), 6) AS k_ln,
+        |  round(log10(abs(c_acctbal) + 1.0), 6) AS k_log10,
+        |  round(sin(c_acctbal / 1000.0), 6) AS k_sin,
+        |  round(cos(c_acctbal / 1000.0), 6) AS k_cos,
+        |  round(tan(c_acctbal / 10000.0), 6) AS k_tan,
+        |  round(atan(c_acctbal / 1000.0), 6) AS k_atan,
+        |  round(atan2(c_acctbal, 1000.0), 6) AS k_atan2,
+        |  round(degrees(asin(c_acctbal / 10000.0)), 6) AS k_deg,
+        |  round(radians(c_acctbal / 100.0), 6) AS k_rad,
+        |  round(acos(c_acctbal / 10000.0), 6) AS k_acos,
+        |  round(pi(), 6) AS k_pi,
+        |  round(exp(1.0), 6) AS k_e,
+        |  (length(trim(c_name)) = 0) AS k_empty,
+        |  (length(replace(c_name, c_name, '')) = 0) AS k_empty2
         |FROM customer WHERE c_custkey <= 50 ORDER BY id""".stripMargin,
     "cypher_string_fns2" ->
       """SELECT n_name AS nation,

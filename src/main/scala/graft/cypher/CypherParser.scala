@@ -458,7 +458,9 @@ object CypherParser {
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
         "tail", "substring", "replace", "split", "left", "right", "keys",
         "ltrim", "rtrim", "toboolean", "date", "datetime", "duration",
-        "properties", "nodes")
+        "properties", "nodes", "exp", "log", "log10", "sin", "cos",
+        "tan", "asin", "acos", "atan", "atan2", "degrees", "radians",
+        "pi", "e", "isempty")
     private val listPredFns = Set("any", "all", "none", "single")
 
     /** Temporal instant components, accessed Neo4j-style as a postfix
@@ -643,12 +645,16 @@ object CypherParser {
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
         val fn = ident().toLowerCase(java.util.Locale.ROOT)
         eatSym("(")
-        val args = Seq.newBuilder[CExpr]
-        args += addExpr()
-        while (atSym(",")) { eatSym(","); args += addExpr() }
-        eatSym(")")
-        val as = args.result()
-        if (as.size == 1) FnCall(fn, Some(as.head)) else FnCallN(fn, as)
+        // zero-arg scalars: pi(), e()
+        if (atSym(")")) { eatSym(")"); FnCall(fn, None) }
+        else {
+          val args = Seq.newBuilder[CExpr]
+          args += addExpr()
+          while (atSym(",")) { eatSym(","); args += addExpr() }
+          eatSym(")")
+          val as = args.result()
+          if (as.size == 1) FnCall(fn, Some(as.head)) else FnCallN(fn, as)
+        }
       case Some(TId(_)) =>
         val v = ident()
         if (atSym(".")) { eatSym("."); Prop(v, ident()) }

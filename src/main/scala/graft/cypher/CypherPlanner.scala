@@ -1169,6 +1169,33 @@ object CypherPlanner {
     case FnCall("round", Some(a), _, _) => round(toColumn(a, scalars), 0)
     case FnCall("sign", Some(a), _, _)  => signum(toColumn(a, scalars)).cast("long")
     case FnCall("sqrt", Some(a), _, _)  => sqrt(toColumn(a, scalars))
+    // transcendental scalars (Neo4j math namespace): each maps to the
+    // codegen'd Catalyst expression backed by java.lang.Math — the
+    // same libm Neo4j itself calls. log() is NATURAL log in Cypher,
+    // matching Spark's log(Column).
+    case FnCall("exp", Some(a), _, _)     => exp(toColumn(a, scalars))
+    case FnCall("log", Some(a), _, _)     => log(toColumn(a, scalars))
+    case FnCall("log10", Some(a), _, _)   => log10(toColumn(a, scalars))
+    case FnCall("sin", Some(a), _, _)     => sin(toColumn(a, scalars))
+    case FnCall("cos", Some(a), _, _)     => cos(toColumn(a, scalars))
+    case FnCall("tan", Some(a), _, _)     => tan(toColumn(a, scalars))
+    case FnCall("asin", Some(a), _, _)    => asin(toColumn(a, scalars))
+    case FnCall("acos", Some(a), _, _)    => acos(toColumn(a, scalars))
+    case FnCall("atan", Some(a), _, _)    => atan(toColumn(a, scalars))
+    case FnCall("degrees", Some(a), _, _) => degrees(toColumn(a, scalars))
+    case FnCall("radians", Some(a), _, _) => radians(toColumn(a, scalars))
+    // zero-arg constants: foldable literals, free to the optimizer
+    case FnCall("pi", None, _, _) => lit(java.lang.Math.PI)
+    case FnCall("e", None, _, _)  => lit(java.lang.Math.E)
+    // isEmpty(list | string): element/character count = 0, resolved
+    // at plan time from the expression shape like size()
+    case FnCall("isempty", Some(a), _, _) =>
+      val isList = isListShaped(a) || (a match {
+        case Ident(n) => scalars.lists(n)
+        case _        => false
+      })
+      if (isList) size(toColumn(a, scalars)) === 0
+      else length(toColumn(a, scalars)) === 0
     // temporal constructors: date()/datetime() accept an ISO string
     // or an instant column; both compile to codegen'd casts that
     // CONSTANT-FOLD over literals, so a `ts >= datetime('…')` WHERE
@@ -1259,6 +1286,8 @@ object CypherPlanner {
       substr(s, from, len)
     case FnCallN("replace", Seq(s0, f0, t0)) =>
       replace(toColumn(s0, scalars), toColumn(f0, scalars), toColumn(t0, scalars))
+    case FnCallN("atan2", Seq(y0, x0)) =>
+      atan2(toColumn(y0, scalars), toColumn(x0, scalars))
     // split on a LITERAL delimiter (Neo4j splits literally; Spark's
     // split takes a regex, so the delimiter is quoted)
     case FnCallN("split", Seq(s0, LitV(d: String))) =>

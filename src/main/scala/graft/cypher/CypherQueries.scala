@@ -229,6 +229,37 @@ object CypherQueries {
         |  2.0 ^ 10 AS p2
         |ORDER BY id""".stripMargin)
 
+  /** Transcendental math scalars (Neo4j's logarithmic/trigonometric
+    * namespace): exp/log/log10, the trig family incl. two-arg atan2,
+    * degrees/radians conversions, the pi()/e() constants, and
+    * isEmpty(). All compile to codegen'd Catalyst expressions backed
+    * by java.lang.Math — the same libm Neo4j calls — and every
+    * result is 6-dp rounded on both engines (arguments are scaled
+    * into well-conditioned ranges, so the ≤1-ulp libm spread between
+    * JVM and DuckDB vanishes in the rounding with ~5e2 margin).
+    */
+  def mathFns2(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WHERE c.custkey <= 50
+        |RETURN c.custkey AS id,
+        |  round(exp(c.acctbal / 10000.0), 6) AS k_exp,
+        |  round(log(abs(c.acctbal) + 1.0), 6) AS k_ln,
+        |  round(log10(abs(c.acctbal) + 1.0), 6) AS k_log10,
+        |  round(sin(c.acctbal / 1000.0), 6) AS k_sin,
+        |  round(cos(c.acctbal / 1000.0), 6) AS k_cos,
+        |  round(tan(c.acctbal / 10000.0), 6) AS k_tan,
+        |  round(atan(c.acctbal / 1000.0), 6) AS k_atan,
+        |  round(atan2(c.acctbal, 1000.0), 6) AS k_atan2,
+        |  round(degrees(asin(c.acctbal / 10000.0)), 6) AS k_deg,
+        |  round(radians(c.acctbal / 100.0), 6) AS k_rad,
+        |  round(acos(c.acctbal / 10000.0), 6) AS k_acos,
+        |  round(pi(), 6) AS k_pi,
+        |  round(e(), 6) AS k_e,
+        |  isEmpty(trim(c.name)) AS k_empty,
+        |  isEmpty(replace(c.name, c.name, '')) AS k_empty2
+        |ORDER BY id""".stripMargin)
+
   /** Multi-argument string scalars — substring (0-indexed per Neo4j),
     * replace, split (literal delimiter), left/right, reverse,
     * toString — every one a built-in Catalyst expression.

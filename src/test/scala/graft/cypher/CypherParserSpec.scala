@@ -278,4 +278,32 @@ class CypherParserSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("transcendental scalars, zero-arg constants, and isEmpty parse and evaluate") {
+    val spark = graft.TestSpark.spark
+    val g = graft.graph.GraphLoader.tpch(spark, graft.TestSpark.sf)
+    val row = graft.cypher.CypherPlanner.plan(g, CypherParser.parse(
+      """MATCH (n:Nation) WHERE n.nationkey = 0
+        |RETURN round(exp(1.0), 6) AS e1, round(pi(), 6) AS p,
+        |  round(e(), 6) AS e2,
+        |  round(atan2(1.0, 1.0), 6) AS a45,
+        |  round(degrees(atan2(1.0, 1.0)), 6) AS d45,
+        |  round(sin(pi()), 6) AS s0,
+        |  round(log10(100.0), 6) AS l2,
+        |  isEmpty(trim(' ')) AS emp, isEmpty(n.name) AS nemp,
+        |  isEmpty([]) AS lemp""".stripMargin)).collect().head
+    assert(row.getAs[Double]("e1") == row.getAs[Double]("e2"))
+    assert(row.getAs[Double]("p") == 3.141593)
+    assert(row.getAs[Double]("d45") == 45.0)
+    assert(row.getAs[Double]("a45") == 0.785398)
+    assert(row.getAs[Double]("s0") == 0.0)
+    assert(row.getAs[Double]("l2") == 2.0)
+    assert(row.getAs[Boolean]("emp") && !row.getAs[Boolean]("nemp")
+      && row.getAs[Boolean]("lemp"))
+    // zero-arg parens only for the constants; sqrt() with no arg fails
+    intercept[Exception] {
+      graft.cypher.CypherPlanner.plan(g, CypherParser.parse(
+        "MATCH (n:Nation) RETURN sqrt() AS x")).collect()
+    }
+  }
 }
