@@ -104,6 +104,8 @@ object SparkEntry {
     "q14_promo_share"   -> (Relational.q14PromoShare(_, _)),
     "q18_big_orders"    -> (Relational.q18BigOrders(_, _)),
     "q19_disjunct_join" -> (Relational.q19DiscountRevenue(_, _)),
+    "q7_nation_trade"   -> (Relational.q7NationTrade(_, _)),
+    "q10_returned_items" -> (Relational.q10ReturnedItems(_, _)),
     "window_topn_agg"   -> (Relational.windowTopnAgg(_, _)),
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
@@ -525,6 +527,34 @@ object SparkEntry {
         |    AND l_quantity BETWEEN 10 AND 20) OR
         |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+        |  SELECT c_custkey, c_name,
+        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS revenue,
+        |    c_acctbal, n_name
+        |  FROM customer, orders, lineitem, nation
+        |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01'
+        |    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "copurchase_topk" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders

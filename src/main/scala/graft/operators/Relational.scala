@@ -294,4 +294,71 @@ object Relational {
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).cast("double").as("revenue"))
   }
+
+  /** Q7-style nation-pair trade flow: shipping revenue between two
+    * chosen nations (both directions kept distinct) by ship year.
+    * 100 TB notes: the two big facts join once on l_orderkey (the
+    * only fact-fact exchange); supplier/customer pre-reduce to
+    * (key, nation-name) maps filtered to the TWO nations of interest
+    * — tiny, broadcast — so the nation-pair predicate prunes rows at
+    * the broadcast probes, never in a shuffled join. Revenue
+    * accumulates in decimal(18,4) (order-independent exact sums).
+    */
+  def q7NationTrade(spark: SparkSession, sfDir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val nat = Tables.nation(spark, sfDir)
+      .filter(col("n_name") === nationA || col("n_name") === nationB)
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q10-style returned-item reporting: the 20 customers losing the
+    * most revenue to returns in a quarter. 100 TB notes: the return
+    * flag and date window prune both fact scans BEFORE their single
+    * co-keyed exchange; customer and nation broadcast onto the
+    * aggregated (small) result, and the top-20 is TakeOrdered with a
+    * deterministic custkey tie-break.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
 }

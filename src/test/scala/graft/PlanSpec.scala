@@ -280,4 +280,22 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"),
       "expected a hash-keyed equi-join on (user_id, bucket)")
   }
+
+  test("q7 broadcasts both nation maps; only the fact-fact join shuffles") {
+    val plan = planOf(Relational.q7NationTrade(spark, TestSpark.sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"supplier/customer maps must broadcast, got $broadcasts")
+    // ship-date window reaches the lineitem scan
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      "ship-date window not pushed to the lineitem scan")
+  }
+
+  test("q10 prunes both facts at the scan and takes top-20 without a global sort") {
+    val plan = planOf(Relational.q10ReturnedItems(spark, TestSpark.sf))
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).isDefined,
+      "return-flag filter not pushed to the lineitem scan")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+      "order-date window not pushed to the orders scan")
+  }
 }
