@@ -44,6 +44,7 @@ object SparkEntry {
     "cypher_string_fns"     -> (cypher.CypherQueries.stringFns(_, _)),
     "cypher_math_fns"       -> (cypher.CypherQueries.mathFns(_, _)),
     "cypher_math_fns2"      -> (cypher.CypherQueries.mathFns2(_, _)),
+    "cypher_rel_endpoints"  -> (cypher.CypherQueries.relEndpoints(_, _)),
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
     "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
@@ -1218,6 +1219,13 @@ object SparkEntry {
         |  (length(trim(c_name)) = 0) AS k_empty,
         |  (length(replace(c_name, c_name, '')) = 0) AS k_empty2
         |FROM customer WHERE c_custkey <= 50 ORDER BY id""".stripMargin,
+    "cypher_rel_endpoints" ->
+      """SELECT 1000000000 + l_orderkey AS start_id,
+        |  6000000000 + l_partkey AS end_id,
+        |  1000000000 + l_orderkey AS o_id,
+        |  l_quantity AS qty
+        |FROM lineitem WHERE l_partkey <= 3
+        |ORDER BY start_id, end_id, qty""".stripMargin,
     "cypher_string_fns2" ->
       """SELECT n_name AS nation,
         |  substr(n_name, 1, 3) AS pre,

@@ -460,7 +460,7 @@ object CypherParser {
         "ltrim", "rtrim", "toboolean", "date", "datetime", "duration",
         "properties", "nodes", "exp", "log", "log10", "sin", "cos",
         "tan", "asin", "acos", "atan", "atan2", "degrees", "radians",
-        "pi", "e", "isempty")
+        "pi", "e", "isempty", "startnode", "endnode")
     private val listPredFns = Set("any", "all", "none", "single")
 
     /** Temporal instant components, accessed Neo4j-style as a postfix

@@ -778,6 +778,18 @@ object CypherPlanner {
           }
         case _ => Seq.empty
       }
+      // startNode(r)/endNode(r) identity for DIRECTED single hops:
+      // the stored edge orientation is intrinsic there (an In-hop
+      // flips join keys, not the edge), so __src/__dst ARE the
+      // relationship's start/end. Undirected hops mirror the edge
+      // list before expansion, losing the intrinsic orientation —
+      // no endpoint columns bind and resolution fails loudly.
+      val relEndpointCols = rel.variable match {
+        case Some(rv) if rel.varLength.isEmpty && rel.direction != Both =>
+          Seq(col("__src").as(s"${rv}__@src"),
+            col("__dst").as(s"${rv}__@dst"))
+        case _ => Seq.empty
+      }
       // inline relationship property map → equality filters on the
       // edge table, applied before any mirroring/expansion
       var baseRel = relBase
@@ -853,8 +865,8 @@ object CypherPlanner {
         else Seq.empty
       val r = expanded
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
-          (relPropCols ++ relTypeCol ++ hopLenCols ++ hopNidCols ++
-            hopEids.map(_.as("__r_eids")).toSeq): _*)
+          (relPropCols ++ relTypeCol ++ relEndpointCols ++ hopLenCols ++
+            hopNidCols ++ hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
       val (joinKeyCur, joinKeyNext) = rel.direction match {
@@ -1127,6 +1139,18 @@ object CypherPlanner {
     // id(n): the node's id column — the reference README's first
     // documented query shape (`MATCH (n:User) RETURN id(n), n.name`)
     case FnCall("id", Some(Ident(v)), _, _) => col(s"${v}__id")
+    // startNode/endNode identity: resolves to the hidden @src/@dst
+    // endpoint ids a named DIRECTED single-hop relationship binds
+    // (missing column = loud resolution failure for undirected or
+    // var-length hops, where the intrinsic orientation isn't carried)
+    case FnCall("id", Some(FnCall("startnode", Some(Ident(r)), _, _)), _, _) =>
+      col(s"${r}__@src")
+    case FnCall("id", Some(FnCall("endnode", Some(Ident(r)), _, _)), _, _) =>
+      col(s"${r}__@dst")
+    case FnCall("startnode" | "endnode", _, _, _) =>
+      throw new IllegalArgumentException(
+        "startNode()/endNode() are supported only under id(...): whole-node " +
+          "expansion of a relationship endpoint is not implemented")
     case FnCall("id", Some(a), _, _) => throw new IllegalArgumentException(
       s"id() takes a pattern variable, got $a")
     case FnCall("toupper", Some(a), _, _) => upper(toColumn(a, scalars))

@@ -229,6 +229,21 @@ object CypherQueries {
         |  2.0 ^ 10 AS p2
         |ORDER BY id""".stripMargin)
 
+  /** Relationship endpoint introspection: `id(startNode(r))` /
+    * `id(endNode(r))` resolve to the edge's INTRINSIC orientation —
+    * the pattern is deliberately spelled In-direction
+    * (`(p)<-[r]-(o)`) so the query itself proves startNode is the
+    * stored edge source (the order), not the pattern's left
+    * endpoint: `start_id` must equal `id(o)` row for row.
+    */
+  def relEndpoints(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (p:Part)<-[r:CONTAINS]-(o:Order)
+        |WHERE p.partkey <= 3
+        |RETURN id(startNode(r)) AS start_id, id(endNode(r)) AS end_id,
+        |  id(o) AS o_id, r.qty AS qty
+        |ORDER BY start_id, end_id, qty""".stripMargin)
+
   /** Transcendental math scalars (Neo4j's logarithmic/trigonometric
     * namespace): exp/log/log10, the trig family incl. two-arg atan2,
     * degrees/radians conversions, the pi()/e() constants, and

@@ -839,4 +839,29 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(bits(r.getAs[Double]("fpos")) == bits(0.0)) // +0.0, not -0.0
     assert(r.getAs[Double]("c25") == 3.0 && r.getAs[Double]("f25") == -3.0)
   }
+
+  test("startNode/endNode follow intrinsic edge orientation, not pattern spelling") {
+    // Out-spelling and In-spelling of the same hop must agree: the
+    // relationship's start is the stored source either way
+    val out = run("MATCH (o:Order)-[r:CONTAINS]->(p:Part) WHERE p.partkey = 1 " +
+      "RETURN id(startNode(r)) AS s, id(endNode(r)) AS e, id(o) AS oid")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) == r.getLong(2))) // start = order
+    val in = run("MATCH (p:Part)<-[r:CONTAINS]-(o:Order) WHERE p.partkey = 1 " +
+      "RETURN id(startNode(r)) AS s, id(endNode(r)) AS e, id(o) AS oid")
+      .collect()
+    assert(in.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      out.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // undirected hops lose intrinsic orientation: loud failure
+    intercept[Exception] {
+      run("MATCH (o:Order)-[r:CONTAINS]-(p:Part) WHERE p.partkey = 1 " +
+        "RETURN id(startNode(r)) AS s").collect()
+    }
+    // bare startNode (whole-node expansion) is an explicit parse error
+    intercept[IllegalArgumentException] {
+      run("MATCH (o:Order)-[r:CONTAINS]->(p:Part) RETURN startNode(r) AS n")
+        .collect()
+    }
+  }
 }
