@@ -111,6 +111,7 @@ object SparkEntry {
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
     "skew_salted_agg"   -> (Skew.saltedAgg(_, _)),
+    "skew_salted_join"  -> (Skew.saltedJoinQuery(_, _)),
     "events_sessionize" -> (Events.sessionize(_, _)),
     "events_sessionize_native" -> (Events.sessionizeNative(_, _)),
     "events_funnel"     -> (Events.funnel(_, _)),
@@ -568,6 +569,12 @@ object SparkEntry {
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+    "skew_salted_join" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, f.first_ts,
+        |  CAST(e.ts = f.first_ts AS INTEGER) AS is_first
+        |FROM events e JOIN f USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |COUNT(*) AS n_events,

@@ -43,4 +43,42 @@ object Skew {
         col("event_type"), col("value").cast("decimal(18,4)"), col("event_id"))
       .select(col("key"), col("sum_value").cast("double").as("sum_value"), col("n"))
       .orderBy(col("key"))
+
+  /** Deterministic salted JOIN: the fact side salts its key with a
+    * hash of a per-row column (never rand() — retries and the oracle
+    * need stability), the dim side replicates ×salts, and the join
+    * runs on (key, salt) so one hot key spreads across `salts`
+    * reducers. Join semantics are untouched — every fact row still
+    * meets its dim row exactly once — which is what lets a plain-join
+    * oracle certify the salted plan. Use when a specific hot key is
+    * KNOWN and AQE's size-based skew split isn't enough (AQE can't
+    * split a single in-flight hash bucket); the dim must be small
+    * enough to replicate ×salts but too big (or too churn-prone) to
+    * broadcast.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBy: Column, salts: Int = 8): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    // shuffle_hash hint: a salted join IS the shuffle-join escape
+    // hatch, letting Spark broadcast the replicated dim would defeat
+    // the exercise (and at production dim sizes isn't an option)
+    f.join(d.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The declared salted-join query (`skew_salted_join`): every event
+    * enriched with its user's first-activity timestamp via the salted
+    * (user_id, salt) join — user_id standing in for the hot-key role
+    * an abusive account or a null-bucket plays in production streams.
+    */
+  def saltedJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dim = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    saltedJoin(e, dim, "user_id", col("event_id"))
+      .select(col("event_id"), col("user_id"), col("first_ts"),
+        (col("ts") === col("first_ts")).cast("int").as("is_first"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -281,6 +281,15 @@ class PlanSpec extends AnyFunSuite {
       "expected a hash-keyed equi-join on (user_id, bucket)")
   }
 
+  test("salted join keys on (user_id, salt) without broadcasting the replicated dim") {
+    val plan = planOf(operators.Skew.saltedJoinQuery(spark, TestSpark.sf))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "replicated dim must not broadcast — that would defeat the salting")
+    assert(plan.contains("__salt"), "join must key on the salt column")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      "expected a shuffled join on the composite key")
+  }
+
   test("q7 broadcasts both nation maps; only the fact-fact join shuffles") {
     val plan = planOf(Relational.q7NationTrade(spark, TestSpark.sf))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
