@@ -106,7 +106,11 @@ object SparkEntry {
     "q18_big_orders"    -> (Relational.q18BigOrders(_, _)),
     "q19_disjunct_join" -> (Relational.q19DiscountRevenue(_, _)),
     "q7_nation_trade"   -> (Relational.q7NationTrade(_, _)),
+    "q8_market_share"   -> (Relational.q8MarketShare(_, _)),
+    "q9_product_profit" -> (Relational.q9ProductProfit(_, _)),
     "q10_returned_items" -> (Relational.q10ReturnedItems(_, _)),
+    "q12_late_priority" -> (Relational.q12LatePriority(_, _)),
+    "q13_cust_dist"     -> (Relational.q13CustDist(_, _)),
     "window_topn_agg"   -> (Relational.windowTopnAgg(_, _)),
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
@@ -557,6 +561,47 @@ object SparkEntry {
         |    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |        AS DOUBLE) AS mkt_share
+        |FROM part, lineitem, orders, customer, nation n1, region,
+        |     supplier, nation n2
+        |WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  AND s_suppkey = l_suppkey AND s_nationkey = n2.n_nationkey
+        |  AND p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE 'red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus AS linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_cust_dist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "copurchase_topk" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders

@@ -361,4 +361,114 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
+
+  private def revenueDec: org.apache.spark.sql.Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+
+  /** Q8-style national market share: one nation's share of a region's
+    * revenue on one part type, by order year. 100 TB notes: part
+    * (type-filtered), supplier→nation, and customer→nation→region are
+    * all broadcast maps pruning at the probe; the only exchange is
+    * the lineitem×orders fact-fact join on l_orderkey. The share is a
+    * conditional decimal sum over the same aggregate — no second
+    * pass, no self-join.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String,
+      nation: String = "NATION_5", region: String = "EUROPE",
+      ptype: String = "PROMO"): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === ptype).select("p_partkey")
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === region)
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === nation, revenueDec)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(revenueDec).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q9-style product-line profit by supplier nation × order year
+    * (adapted: no partsupp table in the testdata, so profit is
+    * revenue rather than revenue − supplycost·qty). 100 TB notes:
+    * the name-filtered part and the supplier→nation map broadcast;
+    * lineitem×orders is again the only shuffle, and the part filter
+    * prunes lineitem BEFORE that exchange.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String,
+      nameLike: String = "red%"): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_name").like(nameLike)).select("p_partkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revenueDec).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q12-style late-shipment priority split (adapted: the testdata
+    * has no shipmode/commitdate, so "late" is shipped >90 days after
+    * the order date, grouped by linestatus). 100 TB notes: one
+    * fact-fact exchange on the order key; the CASE split rides the
+    * same partial aggregate (2 groups → map-side collapse).
+    */
+  def q12LatePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("linestatus"))
+  }
+
+  /** Q13-style customer order-count distribution: how many customers
+    * placed N qualifying orders, including zero (the left join is the
+    * point of the query). 100 TB notes: two inherent shuffles —
+    * per-customer count keyed on custkey (orders pre-filtered before
+    * the exchange), then the distribution keyed on the count (tiny
+    * domain, partial agg collapses it map-side).
+    */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
 }

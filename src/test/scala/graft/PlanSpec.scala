@@ -307,4 +307,24 @@ class PlanSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
       "order-date window not pushed to the orders scan")
   }
+
+  test("q8 broadcasts part/supplier/customer maps; one fact-fact exchange") {
+    val plan = planOf(Relational.q8MarketShare(spark, TestSpark.sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3,
+      s"part, supplier and region-filtered customer must broadcast, got $broadcasts")
+    assert("PushedFilters: \\[[^\\]]*p_type".r.findFirstIn(plan).isDefined,
+      "part-type filter not pushed to the part scan")
+    val factJoins = ("SortMergeJoin".r.findAllIn(plan).size
+      + "ShuffledHashJoin".r.findAllIn(plan).size)
+    assert(factJoins <= 1, s"only lineitem×orders may shuffle, got $factJoins")
+  }
+
+  test("q13 pre-filters orders before the left join and keeps the count small-domain") {
+    val plan = planOf(Relational.q13CustDist(spark, TestSpark.sf))
+    assert("PushedFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(plan).isDefined,
+      "priority filter not pushed to the orders scan")
+    assert(plan.contains("LeftOuter") || plan.contains("left_outer"),
+      "zero-order customers must survive: expected a left outer join")
+  }
 }
