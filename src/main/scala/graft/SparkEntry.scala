@@ -111,6 +111,10 @@ object SparkEntry {
     "q10_returned_items" -> (Relational.q10ReturnedItems(_, _)),
     "q12_late_priority" -> (Relational.q12LatePriority(_, _)),
     "q13_cust_dist"     -> (Relational.q13CustDist(_, _)),
+    "q15_top_supplier"  -> (Relational.q15TopSupplier(_, _)),
+    "q16_supplier_counts" -> (Relational.q16SupplierCounts(_, _)),
+    "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue(_, _)),
+    "q22_dormant_customers" -> (Relational.q22DormantCustomers(_, _)),
     "window_topn_agg"   -> (Relational.windowTopnAgg(_, _)),
     "copurchase_topk"   -> (Relational.copurchase(_, _)),
     "events_window_agg" -> (Events.windowAgg(_, _)),
@@ -602,6 +606,50 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
         |  GROUP BY 1)
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, rev WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps,
+        |     part, supplier
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_brand <> 'Brand#5' AND p_size IN (1,4,9,14,19,23,36,45)
+        |  AND s_acctbal >= 0
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH agg AS (SELECT l_partkey AS a_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |  AS DOUBLE)/7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem, part, agg
+        |WHERE p_partkey = l_partkey AND a_partkey = l_partkey
+        |  AND p_brand = 'Brand#23' AND p_size < 5
+        |  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sum_qty""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH stats AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s,
+        |    COUNT(*) AS n FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer, nation, stats
+        |WHERE c_nationkey = n_nationkey
+        |  AND CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "copurchase_topk" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders

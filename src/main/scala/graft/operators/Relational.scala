@@ -471,4 +471,108 @@ object Relational {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
+
+  /** Q15-style top supplier: the supplier(s) with maximum quarterly
+    * revenue. 100 TB notes: revenue is one suppkey-keyed partial agg
+    * over the date-pruned scan; the max is a 1-row broadcast joined
+    * back (no second pass over lineitem, no window over the agg);
+    * equality on the double is safe because both sides derive it
+    * from the same exact decimal sum.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(revenueDec).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q16-style supplier diversity per part attribute (adapted: the
+    * part↔supplier relation is the distinct (l_partkey, l_suppkey)
+    * pairs of lineitem — there is no partsupp table — and the
+    * "complaints" exclusion is negative supplier balance). 100 TB
+    * notes: the distinct-pair reduction is partkey-hash-keyed and
+    * collapses the fact ~12× before anything joins; part filter and
+    * the supplier exclusion both broadcast; countDistinct rides one
+    * more (brand,type,size)-keyed exchange on the reduced frame.
+    */
+  def q16SupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val ps = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val okSupp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") >= 0).select("s_suppkey")
+    ps.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q17-style small-quantity revenue: average yearly revenue lost if
+    * sub-20%-of-average-quantity orders stopped. The avg comparison
+    * is exact integer/decimal arithmetic (5·qty·cnt < Σqty), never a
+    * double divide. 100 TB notes: per-part moments and the probe both
+    * key on l_partkey so the join back reuses one hash partitioning;
+    * the brand/size filter broadcasts and prunes BEFORE the exchange.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val partFilter = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 5)
+      .select("p_partkey")
+    val agg = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+           count(lit(1)).as("cnt"))
+    li.join(broadcast(partFilter), col("l_partkey") === col("p_partkey"))
+      .join(agg, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,4)") * 5 * col("cnt") <
+        col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  /** Q22-style dormant high-balance customers (adapted: every
+    * customer has orders in this dataset, so "no orders" is no orders
+    * since 2000): per nation, customers above the positive-balance
+    * average with no recent orders. The average is an exact decimal
+    * cross-multiply (bal·n > Σbal), not a double divide. 100 TB
+    * notes: the balance stats are a 1-row broadcast; the anti-join
+    * keys on custkey against the date-pruned orders scan — the only
+    * exchange of fact scale; nation broadcasts onto the survivors.
+    */
+  def q22DormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val stats = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("s"),
+           count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(stats))
+      .filter(col("c_acctbal").cast("decimal(18,4)") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+           sum(col("c_acctbal").cast("decimal(18,4)"))
+             .cast("double").as("totacctbal"))
+      .orderBy(col("cntry"))
+  }
 }

@@ -320,6 +320,28 @@ class PlanSpec extends AnyFunSuite {
     assert(factJoins <= 1, s"only lineitem×orders may shuffle, got $factJoins")
   }
 
+  test("q17 joins the per-part moments back on one partkey partitioning") {
+    val plan = planOf(Relational.q17SmallQtyRevenue(spark, TestSpark.sf))
+    assert("PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(plan).isDefined,
+      "brand filter not pushed to the part scan")
+    // part filter broadcasts; the moments join is the only shuffled join
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      "brand/size part filter must broadcast")
+    val shuffled = ("SortMergeJoin".r.findAllIn(plan).size
+      + "ShuffledHashJoin".r.findAllIn(plan).size)
+    assert(shuffled <= 1, s"only the moments join may shuffle, got $shuffled")
+  }
+
+  test("q22 anti-joins date-pruned orders and broadcasts the balance stats") {
+    val plan = planOf(Relational.q22DormantCustomers(spark, TestSpark.sf))
+    assert(plan.contains("LeftAnti"), "dormancy must be a left anti join")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+      "recency window not pushed to the orders scan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastExchange".r.findAllIn(plan).nonEmpty,
+      "the 1-row balance stats must broadcast")
+  }
+
   test("q13 pre-filters orders before the left join and keeps the count small-domain") {
     val plan = planOf(Relational.q13CustDist(spark, TestSpark.sf))
     assert("PushedFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(plan).isDefined,
