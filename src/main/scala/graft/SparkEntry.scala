@@ -111,7 +111,11 @@ object SparkEntry {
     "q10_returned_items" -> (Relational.q10ReturnedItems(_, _)),
     "q12_late_priority" -> (Relational.q12LatePriority(_, _)),
     "q13_cust_dist"     -> (Relational.q13CustDist(_, _)),
+    "q2_min_bal_supplier" -> (Relational.q2MinBalSupplier(_, _)),
+    "q11_important_parts" -> (Relational.q11ImportantParts(_, _)),
     "q15_top_supplier"  -> (Relational.q15TopSupplier(_, _)),
+    "q20_dominant_supplier" -> (Relational.q20DominantSupplier(_, _)),
+    "q21_waiting_culprit" -> (Relational.q21WaitingCulprit(_, _)),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts(_, _)),
     "q17_small_qty_revenue" -> (Relational.q17SmallQtyRevenue(_, _)),
     "q22_dormant_customers" -> (Relational.q22DormantCustomers(_, _)),
@@ -606,6 +610,63 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
         |  GROUP BY 1)
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q2_min_bal_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |  eu AS (SELECT s_suppkey, s_acctbal, s_name, n_name
+        |    FROM supplier, nation, region
+        |    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |      AND r_name = 'EUROPE'),
+        |  cand AS (SELECT p_partkey, p_name, s_acctbal, s_name, n_name,
+        |    ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |      ORDER BY s_acctbal, s_suppkey) AS rk
+        |    FROM part, ps, eu WHERE p_partkey = l_partkey
+        |      AND l_suppkey = s_suppkey
+        |      AND p_type = 'STANDARD' AND p_size <= 5)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM cand WHERE rk = 1
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS value
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3'
+        |  GROUP BY 1),
+        | t AS (SELECT SUM(value) AS total FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+        |FROM v, t WHERE value * 1000 > total
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        | q95 AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+        |   FROM lineitem, red WHERE l_partkey = p_partkey
+        |     AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |     AND l_shipdate < TIMESTAMP '1996-01-01'
+        |   GROUP BY 1, 2),
+        | tot AS (SELECT l_partkey AS t_partkey, SUM(sq) AS tq
+        |   FROM q95 GROUP BY 1)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM q95, tot, supplier
+        |WHERE l_partkey = t_partkey AND l_suppkey = s_suppkey
+        |  AND sq * 2 > tq
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_culprit" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey, l_shipdate
+        |    FROM lineitem, orders
+        |    WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+        | stats AS (SELECT l_orderkey AS ok, max(l_shipdate) AS mx,
+        |     COUNT(DISTINCT l_suppkey) AS ns FROM lo GROUP BY 1),
+        | atmax AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nmax,
+        |     min(l_suppkey) AS culprit
+        |   FROM lo, stats WHERE l_orderkey = ok AND l_shipdate = mx
+        |   GROUP BY 1)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM atmax, stats, supplier
+        |WHERE l_orderkey = ok AND ns > 1 AND nmax = 1
+        |  AND culprit = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey AS supplier_no,
         |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))

@@ -575,4 +575,131 @@ object Relational {
              .cast("double").as("totacctbal"))
       .orderBy(col("cntry"))
   }
+
+  /** Q2-style min-cost supplier per part (adapted: part↔supplier via
+    * distinct lineitem pairs; "cost" is supplier account balance —
+    * the testdata has no partsupp/supplycost). The per-part argmin is
+    * a MERGEABLE `min(struct(bal, suppkey, …))` aggregate — ties
+    * break on suppkey inside the struct ordering — so there is no
+    * window sort over the candidates and partials collapse map-side.
+    * 100 TB notes: filtered part and region-filtered supplier both
+    * broadcast; the distinct-pair reduction and the argmin agg share
+    * the partkey hash partitioning.
+    */
+  def q2MinBalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 5)
+      .select("p_partkey", "p_name")
+    val eu = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+    ps.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(min(struct(col("s_acctbal"), col("s_suppkey"),
+        col("s_name"), col("n_name"))).as("best"))
+      .select(col("best.s_acctbal").as("s_acctbal"),
+        col("best.s_name").as("s_name"), col("best.n_name").as("n_name"),
+        col("p_partkey"), col("p_name"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11-style important parts (adapted: "stock value" is the revenue
+    * a nation's suppliers generated per part). The significance
+    * threshold is an exact decimal cross-multiply (value·1000 >
+    * total), never a double fraction. 100 TB notes: the nation's
+    * supplier map broadcasts and prunes lineitem BEFORE its one
+    * partkey-keyed exchange; the grand total is a 1-row broadcast
+    * over the per-part aggregate.
+    */
+  def q11ImportantParts(spark: SparkSession, sfDir: String,
+      nation: String = "NATION_3"): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenueDec).as("value_dec"))
+    val total = v.agg(sum(col("value_dec")).as("total"))
+    v.crossJoin(broadcast(total))
+      .filter(col("value_dec") * 1000 > col("total"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** Q20-style dominant-share suppliers (adapted: no availqty, so the
+    * flag is "shipped more than half of a red part's 1995 volume").
+    * The share test is an exact decimal cross-multiply (2·sq > tq).
+    * 100 TB notes: the name-filtered part broadcasts and prunes the
+    * date-windowed scan; per-(part,supplier) and per-part totals
+    * share the partkey hash partitioning, so the join back is
+    * co-keyed; supplier names broadcast onto the tiny survivor set.
+    */
+  def q20DominantSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val red = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val q95 = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"))
+    val tot = q95.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("sq")).as("tq"))
+    q95.join(tot, col("l_partkey") === col("t_partkey"))
+      .filter(col("sq") * 2 > col("tq"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name")).distinct()
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q21-style waiting-on-one-supplier analysis (adapted: no
+    * commit/receipt dates, so the culprit is the SOLE supplier whose
+    * shipment was the last on a multi-supplier completed order).
+    * 100 TB notes: everything keys on l_orderkey until the final
+    * tiny supplier-keyed count — the fact-fact join, the per-order
+    * stats, and the at-max re-probe all reuse one hash partitioning;
+    * supplier names broadcast at the end. Timestamp equality against
+    * the per-order max is exact.
+    */
+  def q21WaitingCulprit(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val stats = lo.groupBy(col("l_orderkey").as("ok"))
+      .agg(max(col("l_shipdate")).as("mx"),
+           countDistinct(col("l_suppkey")).as("ns"))
+    val atMax = lo.join(stats, col("l_orderkey") === col("ok"))
+      .filter(col("l_shipdate") === col("mx"))
+      .groupBy(col("l_orderkey"), col("ns"))
+      .agg(countDistinct(col("l_suppkey")).as("nmax"),
+           min(col("l_suppkey")).as("culprit"))
+    atMax.filter(col("ns") > 1 && col("nmax") === 1)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("culprit") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
 }

@@ -342,6 +342,24 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row balance stats must broadcast")
   }
 
+  test("q2 argmin is a partial aggregate, not a window sort") {
+    val plan = planOf(Relational.q2MinBalSupplier(spark, TestSpark.sf))
+    assert(!plan.contains("Window"),
+      "per-part argmin must be min(struct(..)), not a row_number window")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "filtered part and region-filtered supplier must broadcast")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      "expected a mergeable aggregate for the argmin")
+  }
+
+  test("q21 keeps every exchange on l_orderkey until the final supplier count") {
+    val plan = planOf(Relational.q21WaitingCulprit(spark, TestSpark.sf))
+    assert("PushedFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(plan).isDefined,
+      "status filter not pushed to the orders scan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "no nested-loop joins allowed")
+  }
+
   test("q13 pre-filters orders before the left join and keeps the count small-domain") {
     val plan = planOf(Relational.q13CustDist(spark, TestSpark.sf))
     assert("PushedFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(plan).isDefined,
