@@ -1,0 +1,163 @@
+package graft.neo4j
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.TestSpark
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** The DataSource V2 surface (`spark.read.format("graft-neo4j")`)
+  * against the same stub transactional endpoint the programmatic
+  * connector specs use.
+  */
+class Neo4jDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val received = new ConcurrentLinkedQueue[String]()
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private val rows25 = (1 to 25).map(i => s"""{"row":[$i,"name$i"]}""")
+  private def ok(ex: HttpExchange, body: String): Unit = {
+    val resp = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, resp.length.toLong)
+    ex.getResponseBody.write(resp)
+    ex.close()
+  }
+  private def result(rows: Seq[String]): String =
+    s"""{"results":[{"columns":["id","name"],"data":[${rows.mkString(",")}]}],"errors":[]}"""
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    // paged endpoint: slices by SKIP/LIMIT appended to the statement
+    server.createContext("/paged/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        received.add(body)
+        val stmt = mapper.readTree(body).at("/statements/0/statement").asText()
+        val m = """.*SKIP (\d+) LIMIT (\d+)""".r
+        val (skip, limit) = stmt match {
+          case m(s, l) => (s.toInt, l.toInt)
+          case _       => (0, rows25.size)
+        }
+        ok(ex, result(rows25.slice(skip, skip + limit)))
+      }
+    })
+    // keyset endpoint: slices by the graftAfter/graftUpper/graftPage
+    // wire parameters
+    server.createContext("/keyset/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        received.add(body)
+        val params = mapper.readTree(body).at("/statements/0/parameters")
+        val (after, upper) = (params.get("graftAfter").asLong(),
+          params.get("graftUpper").asLong())
+        val page = params.get("graftPage").asInt()
+        ok(ex, result((1 to 25).filter(i => i > after && i <= upper)
+          .take(page).map(i => s"""{"row":[$i,"name$i"]}""")))
+      }
+    })
+    // write endpoint: records payloads, returns an empty result
+    server.createContext("/write/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        received.add(body)
+        ok(ex, """{"results":[],"errors":[]}""")
+      }
+    })
+    server.start()
+    base = s"http://localhost:${server.getAddress.getPort}"
+  }
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("format read in single mode fetches once, in one partition") {
+    received.clear()
+    val df = TestSpark.spark.read.format("graft-neo4j").schema(schema)
+      .option("url", s"$base/paged/")
+      .option("query", "MATCH (n) RETURN id(n), n.name ORDER BY id(n)")
+      .load()
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 25)
+    assert(received.size == 1)
+  }
+
+  test("pages mode spreads SKIP/LIMIT pages across partitions") {
+    received.clear()
+    val df = TestSpark.spark.read.format("graft-neo4j").schema(schema)
+      .option("url", s"$base/paged/")
+      .option("query", "MATCH (n) RETURN id(n), n.name ORDER BY id(n)")
+      .option("mode", "pages")
+      .option("numPartitions", "3").option("pageSize", "4")
+      .load()
+    assert(df.rdd.getNumPartitions == 3)
+    val ids = df.collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 25L))
+  }
+
+  test("keyset mode walks disjoint key ranges via wire parameters") {
+    received.clear()
+    val df = TestSpark.spark.read.format("graft-neo4j").schema(schema)
+      .option("url", s"$base/keyset/")
+      .option("query", "MATCH (n) WHERE id(n) > $graftAfter AND id(n) <= $graftUpper " +
+        "RETURN id(n), n.name ORDER BY id(n) LIMIT $graftPage")
+      .option("mode", "keyset")
+      .option("numPartitions", "4").option("pageSize", "5")
+      .option("keysetLo", "0").option("keysetHi", "25")
+      .load()
+    assert(df.rdd.getNumPartitions == 4)
+    val ids = df.collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 25L))
+  }
+
+  test("read without a schema fails with a clear message") {
+    val e = intercept[IllegalArgumentException](
+      TestSpark.spark.read.format("graft-neo4j")
+        .option("url", s"$base/paged/").option("query", "MATCH (n) RETURN n")
+        .load())
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("format write batches rows into UNWIND payloads") {
+    received.clear()
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 7).map(i => (i.toLong, s"u$i")).toDF("id", "name")
+      .coalesce(1)
+    df.write.format("graft-neo4j").mode("append")
+      .option("url", s"$base/write/")
+      .option("query", "UNWIND $rows AS r CREATE (n:User {id: r.id, name: r.name})")
+      .option("batchSize", "3")
+      .save()
+    // 7 rows at batchSize 3 → 3 payloads (3+3+1)
+    assert(received.size == 3)
+    val batches = received.toArray(Array.empty[String]).map(mapper.readTree)
+    assert(batches.forall(_.at("/statements/0/statement").asText().startsWith("UNWIND")))
+    val sizes = batches.map(_.at("/statements/0/parameters/rows").size()).sorted
+    assert(sizes.toSeq == Seq(1, 3, 3))
+    val names = batches.flatMap { b =>
+      val arr = b.at("/statements/0/parameters/rows")
+      (0 until arr.size()).map(arr.get(_).get("name").asText())
+    }
+    assert(names.toSet == (1 to 7).map(i => s"u$i").toSet)
+  }
+
+  test("write with a non-UNWIND statement fails at planning time") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val e = intercept[Exception](
+      df.write.format("graft-neo4j").mode("append")
+        .option("url", s"$base/write/")
+        .option("query", "CREATE (n:User)")
+        .save())
+    assert(e.getMessage.contains("parameter statement") ||
+      Option(e.getCause).exists(_.getMessage.contains("parameter statement")))
+  }
+}
