@@ -298,6 +298,46 @@ object OracleSql {
        |  UNION
        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)""".stripMargin
 
+  /** HITS with the power iterations unrolled as chained CTEs —
+    * identical arithmetic to [[graft.graph.Algorithms.hits]] (L1
+    * normalization each half-step, absent scores coalesced to 0),
+    * rounded to 6 dp on both sides like [[pagerank]].
+    */
+  def hits(iters: Int = 8): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""ra$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(h.hub) AS rawa
+         |  FROM edges e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst),
+         |a$k AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(ra.rawa, 0.0::DOUBLE)/s.anorm AS auth
+         |  FROM verts v LEFT JOIN ra$k ra ON v.id = ra.id
+         |  CROSS JOIN (SELECT SUM(rawa) AS anorm FROM ra$k) s),
+         |rh$k AS MATERIALIZED (
+         |  SELECT e.src AS id, SUM(a.auth) AS rawh
+         |  FROM edges e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+         |h$k AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(rh.rawh, 0.0::DOUBLE)/s.hnorm AS hub
+         |  FROM verts v LEFT JOIN rh$k rh ON v.id = rh.id
+         |  CROSS JOIN (SELECT SUM(rawh) AS hnorm FROM rh$k) s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 2000000000 + c_custkey AS src, 3000000000 + c_nationkey AS dst
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 3000000000 + n_nationkey AS src, 4000000000 + n_regionkey AS dst
+       |  FROM nation),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       |h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS hub FROM verts),
+       |$iterCtes
+       |SELECT h.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+       |FROM h$iters h JOIN a$iters a ON h.id = a.id ORDER BY h.id""".stripMargin
+  }
+
   /** PageRank with the 10 power iterations unrolled as chained CTEs —
     * identical arithmetic to [[graft.graph.Algorithms.pageRank]]
     * (same double constants via `::DOUBLE` casts, same dangling-mass

@@ -48,6 +48,7 @@ object SparkEntry {
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
     "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
+    "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
     "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
+    "graph_hits"            -> (graph.Algorithms.hitsQuery(_, _)),
     "graph_bfs"             -> (graph.Algorithms.bfsQuery(_, _)),
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
@@ -438,6 +440,7 @@ object SparkEntry {
     "text_fingerprint"  -> OracleSql.fingerprint(),
     "text_langid"       -> OracleSql.langid,
     "graph_pagerank"    -> OracleSql.pagerank(),
+    "graph_hits"        -> OracleSql.hits(),
     "sim_ann_lsh"       -> OracleSql.annLsh(),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1532,6 +1535,22 @@ object SparkEntry {
         |SELECT CAST(nid AS BIGINT) AS node_id, COUNT(*) AS n_paths
         |FROM (SELECT unnest(ns) AS nid FROM p)
         |GROUP BY 1 ORDER BY node_id""".stripMargin,
+    "cypher_path_rels" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT [[src, dst]] AS rs FROM e2
+        |  UNION ALL
+        |  SELECT [[a.src, a.dst], [b.src, b.dst]]
+        |  FROM e2 a JOIN e2 b ON a.dst = b.src)
+        |SELECT CAST(3000000000 + rr[1] AS BIGINT) AS src_id,
+        |  CAST(3000000000 + rr[2] AS BIGINT) AS dst_id,
+        |  COUNT(*) AS n_paths
+        |FROM (SELECT unnest(rs) AS rr FROM p)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cypher_case" ->
       """SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg'
         |            WHEN c_acctbal < 5000.0 THEN 'mid'

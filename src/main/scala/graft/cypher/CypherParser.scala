@@ -458,7 +458,8 @@ object CypherParser {
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
         "tail", "substring", "replace", "split", "left", "right", "keys",
         "ltrim", "rtrim", "toboolean", "date", "datetime", "duration",
-        "properties", "nodes", "exp", "log", "log10", "sin", "cos",
+        "properties", "nodes", "relationships", "exp", "log", "log10",
+        "sin", "cos",
         "tan", "asin", "acos", "atan", "atan2", "degrees", "radians",
         "pi", "e", "isempty", "startnode", "endnode")
     private val listPredFns = Set("any", "all", "none", "single")

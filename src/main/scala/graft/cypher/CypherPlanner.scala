@@ -808,8 +808,11 @@ object CypherPlanner {
       // bookkeeping: a BFS first-reach cannot traverse an edge twice
       val needWalkEid = !chain.shortest && rel.varLength.exists(_._2 > 1)
       val needChainEid = !chain.shortest && chainEidAt(hopIdx)
+      // `relationships(p)` needs every hop's edge identity, even on
+      // single-hop chains that need no uniqueness bookkeeping
+      val needPathRels = chain.pathVar.isDefined && !chain.shortest
       val relForExpand =
-        if (needWalkEid || needChainEid) {
+        if (needWalkEid || needChainEid || needPathRels) {
           val tagCol =
             if (baseRel.columns.contains("__rt")) col("__rt")
             else lit(rel.relType.getOrElse(""))
@@ -863,10 +866,18 @@ object CypherPlanner {
             rel.varLength.isDefined && expanded.columns.contains("__nids"))
           Seq(col("__nids").as("__r_nids"))
         else Seq.empty
+      // edge identities for `relationships(p)`, in walk order: a
+      // var-length hop reports its walk's edge list (`__eids`), a
+      // fixed hop its one tagged edge
+      val hopReidCols =
+        if (!needPathRels) Seq.empty
+        else if (expanded.columns.contains("__eids"))
+          Seq(col("__eids").as("__r_reids"))
+        else Seq(array(col("__eid")).as("__r_reids"))
       val r = expanded
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
           (relPropCols ++ relTypeCol ++ relEndpointCols ++ hopLenCols ++
-            hopNidCols ++ hopEids.map(_.as("__r_eids")).toSeq): _*)
+            hopNidCols ++ hopReidCols ++ hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
       val (joinKeyCur, joinKeyNext) = rel.direction match {
@@ -952,6 +963,20 @@ object CypherPlanner {
               concat(array(col(s"${cur}__id")), contrib))
         if (rel.varLength.isDefined) df = df.drop("__r_nids")
       }
+      // `relationships(p)` accumulation — edge identities in pattern
+      // order. An In hop traverses its walk opposite to the edge
+      // orientation, so its edge list reverses; Both-direction hops
+      // expand in traversal order already.
+      if (needPathRels) {
+        val contribR =
+          if (rel.direction == In) reverse(col("__r_reids"))
+          else col("__r_reids")
+        df =
+          if (df.columns.contains("__path_reids"))
+            df.withColumn("__path_reids", concat(col("__path_reids"), contribR))
+          else df.withColumn("__path_reids", contribR)
+        df = df.drop("__r_reids")
+      }
       cur = nv
       curLabel = nextNode.label
     }
@@ -970,6 +995,13 @@ object CypherPlanner {
         else if (!chain.shortest) // zero-hop: the path is its one node
           df.withColumn(s"${pv}__@nodes", array(col(s"${cur}__id")))
         else df // shortest chains don't carry node sequences
+      // zero-hop paths have no relationships; the column stays unbound
+      // there (a relationships(p) reference fails loudly rather than
+      // fabricating an empty array of unknown element type)
+      df =
+        if (df.columns.contains("__path_reids"))
+          df.withColumnRenamed("__path_reids", s"${pv}__@rels")
+        else df
     }
     (df, bound)
   }
@@ -1361,6 +1393,10 @@ object CypherPlanner {
     // accumulated hop by hop (unavailable on shortestPath chains —
     // the BFS keeps pair×depth, not walks; resolution fails there)
     case FnCall("nodes", Some(Ident(p)), _, _) => col(s"${p}__@nodes")
+    // relationships(p): the path's edge identities in pattern order —
+    // structs of (t: type tag, u: src id, v: dst id, k: parallel
+    // rank), the same identity the uniqueness bookkeeping uses
+    case FnCall("relationships", Some(Ident(p)), _, _) => col(s"${p}__@rels")
     case StrPred("startswith", l, r) =>
       toColumn(l, scalars).startsWith(toColumn(r, scalars))
     case StrPred("endswith", l, r) =>
@@ -1422,6 +1458,7 @@ object CypherPlanner {
     case FnCall("keys", _, _, _)    => true
     case FnCall("properties", _, _, _) => true
     case FnCall("nodes", _, _, _)   => true
+    case FnCall("relationships", _, _, _) => true
     case FnCallN("@slice", _)       => true
     case FnCall("tail", _, _, _)    => true
     case FnCallN("split", _)        => true

@@ -586,6 +586,18 @@ object CypherQueries {
         |RETURN nid AS node_id, count(*) AS n_paths
         |ORDER BY node_id""".stripMargin)
 
+  /** `relationships(p)` — the named path's edge sequence in pattern
+    * order (identity structs with src/dst ids), consumed via UNWIND:
+    * per edge, the number of 1-2 hop chain paths traversing it —
+    * closing the path-introspection trio with length(p)/nodes(p).
+    */
+  def pathRels(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..2]->(b:Nation)
+        |UNWIND relationships(p) AS r
+        |RETURN r.u AS src_id, r.v AS dst_id, count(*) AS n_paths
+        |ORDER BY src_id, dst_id""".stripMargin)
+
   /** `shortestPath` over the in-region nation chain: minimum hop
     * count per reachable (a, b) pair, planned as a level-synchronous
     * BFS (never walk enumeration — see CypherPlanner.shortestRel).

@@ -459,6 +459,70 @@ object Algorithms {
     ranks.select(col("id"), col("rank"))
   }
 
+  /** HITS (Kleinberg hubs & authorities), L1-normalized each
+    * half-step. Same iterative discipline as [[pageRank]]: one
+    * src-keyed and one dst-keyed exchange per iteration, the L1 norm
+    * enters as a broadcast 1-row aggregate (never a driver action),
+    * lineage cut on a checkpoint stride. Scores are sign-stable
+    * (non-negative init, non-negative updates), so the norm is never
+    * zero on a graph with edges.
+    */
+  def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 8,
+      checkpointStride: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val vertices = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().repartition(col("id")).localCheckpoint(true)
+    var scores = vertices
+      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      // authority: normalized sum of in-neighbor hub scores
+      val rawA = e.join(scores.select(col("id"), col("hub")),
+          e("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("rawa"))
+        .select(col("dst").as("id"), col("rawa"))
+      val aNorm = rawA.agg(sum(col("rawa")).as("anorm"))
+      val auth = vertices.join(rawA, Seq("id"), "left_outer")
+        .crossJoin(broadcast(aNorm))
+        .select(col("id"),
+          (coalesce(col("rawa"), lit(0.0)) / col("anorm")).as("auth"))
+      // hub: normalized sum of out-neighbor authority scores
+      val rawH = e.join(auth.select(col("id"), col("auth")),
+          e("dst") === col("id"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("rawh"))
+        .select(col("src").as("id"), col("rawh"))
+      val hNorm = rawH.agg(sum(col("rawh")).as("hnorm"))
+      val hub = vertices.join(rawH, Seq("id"), "left_outer")
+        .crossJoin(broadcast(hNorm))
+        .select(col("id"),
+          (coalesce(col("rawh"), lit(0.0)) / col("hnorm")).as("hub"))
+      scores = hub.join(auth, Seq("id"))
+      if (i % checkpointStride == checkpointStride - 1 || i == iterations - 1)
+        scores = scores.localCheckpoint(true)
+      i += 1
+    }
+    scores.select(col("id"), col("hub"), col("auth"))
+  }
+
+  /** The declared `graph_hits` query: hubs/authorities over the
+    * order→customer→nation→region hierarchy, 6-dp rounded (the same
+    * ulp-absorption contract as `graph_pagerank` — the oracle unrolls
+    * identical arithmetic as chained CTEs).
+    */
+  def hitsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    hits(spark, edges)
+      .select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+      .orderBy(col("id"))
+  }
+
   /** Neighborhood Jaccard similarity — the classic link-prediction /
     * entity-resolution feature: for part pairs sharing at least one
     * supplier, |N(a)∩N(b)| / |N(a)∪N(b)| over SUPPLIES neighborhoods,

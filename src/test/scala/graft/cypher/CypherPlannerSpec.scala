@@ -757,6 +757,41 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(zero.getAs[Long]("n") == 1L && zero.getAs[Long]("len") == 0L)
   }
 
+  test("relationships(p) reports edge identities in PATTERN order, both directions") {
+    val nation = graft.Tables.nation(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[Number]("n_regionkey").longValue)
+    val region0 = nation.filter(_._2 == nation.toMap.apply(0L))
+      .map(_._1).sorted.toList
+    val List(k0, k1, k2) = region0.take(3)
+    def pairs(r: org.apache.spark.sql.Row): List[(Long, Long)] =
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("rs")).toList
+        .map(e => (e.getAs[Long]("u") - 3000000000L,
+          e.getAs[Long]("v") - 3000000000L))
+    val out = run(
+      s"MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..2]->(b:Nation) " +
+      s"WHERE a.nationkey = $k0 RETURN length(p) AS hops, relationships(p) AS rs")
+      .collect().map(r => r.getAs[Long]("hops") -> pairs(r)).toMap
+    // edges keep their intrinsic orientation (u -> v), listed in
+    // traversal order
+    assert(out(1L) == List((k0, k1)))
+    assert(out(2L) == List((k0, k1), (k1, k2)))
+    // In hop: the walk runs b -> ... -> a; relationships(p) must list
+    // pattern order (a's edge first)
+    val in = run(
+      s"MATCH p = (a:Nation)<-[:NEXT_IN_REGION*1..2]-(b:Nation) " +
+      s"WHERE a.nationkey = $k2 RETURN length(p) AS hops, relationships(p) AS rs")
+      .collect().map(r => r.getAs[Long]("hops") -> pairs(r)).toMap
+    assert(in(1L) == List((k1, k2)))
+    assert(in(2L) == List((k1, k2), (k0, k1)))
+    // a fixed single hop also binds relationships(p)
+    val one = run(
+      s"MATCH p = (a:Nation)-[:NEXT_IN_REGION]->(b:Nation) " +
+      s"WHERE a.nationkey = $k0 RETURN size(relationships(p)) AS n")
+      .collect().head
+    assert(one.getAs[Long]("n") == 1L)
+  }
+
   test("properties(n) yields the key-sorted struct array; map projection builds a struct") {
     val rows = run(
       "MATCH (r:Region) UNWIND properties(r) AS p " +
