@@ -34,6 +34,7 @@ object SparkEntry {
     "cypher_not_exists"     -> (cypher.CypherQueries.notExists(_, _)),
     "cypher_pattern_pred"   -> (cypher.CypherQueries.patternPred(_, _)),
     "cypher_count_subquery" -> (cypher.CypherQueries.countSubquery(_, _)),
+    "cypher_call_topk"      -> (cypher.CypherQueries.callTopk(_, _)),
     "cypher_stat_agg"       -> (cypher.CypherQueries.statAgg(_, _)),
     "cypher_unwind_range"   -> (cypher.CypherQueries.unwindRange(_, _)),
     "cypher_list_comp"      -> (cypher.CypherQueries.listComp(_, _)),
@@ -1620,6 +1621,13 @@ object SparkEntry {
         |LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier
         |           GROUP BY 1) s ON n_nationkey = s.s_nationkey
         |ORDER BY nation""".stripMargin,
+    "cypher_call_topk" ->
+      """SELECT nation, top_cust, bal FROM (
+        |  SELECT n_name AS nation, c_name AS top_cust, c_acctbal AS bal,
+        |    ROW_NUMBER() OVER (PARTITION BY n_nationkey
+        |      ORDER BY c_acctbal DESC, c_name) AS rk
+        |  FROM customer, nation WHERE c_nationkey = n_nationkey)
+        |WHERE rk <= 3 ORDER BY nation, bal DESC, top_cust""".stripMargin,
     "cypher_pattern_pred" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders
         |FROM orders

@@ -184,6 +184,11 @@ object Ast {
       limit: Option[Long]) extends Clause
   /** UNWIND list AS var — one output row per list element. */
   final case class UnwindClause(list: CExpr, alias: String) extends Clause
+  /** `CALL { [WITH var, …] … RETURN … }` subquery: `imports` is the
+    * leading importing-WITH variable list (empty = uncorrelated).
+    */
+  final case class CallClause(imports: Seq[String], inner: Seq[Clause])
+      extends Clause
   final case class ReturnClause(
       distinct: Boolean,
       items: Seq[ReturnItem],

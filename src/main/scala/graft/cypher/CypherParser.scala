@@ -117,7 +117,9 @@ object CypherParser {
       CypherStatement(parts.result(), all.getOrElse(false))
     }
 
-    def query(): CypherQuery = {
+    def query(): CypherQuery = query(inCall = false)
+
+    private def query(inCall: Boolean): CypherQuery = {
       val clauses = Seq.newBuilder[Clause]
       var sawReturn = false
       var sawAny = false
@@ -167,6 +169,22 @@ object CypherParser {
           // LIMIT filters the modifier-applied rows — an immediate
           // FilterClause gives exactly that post-horizon semantics
           if (atKw("WHERE")) { eatKw("WHERE"); clauses += FilterClause(expr()) }
+        } else if (atKw("CALL")) {
+          eatKw("CALL"); eatSym("{")
+          // importing WITH: a leading WITH whose items are ONLY bare
+          // identifiers (lookahead distinguishes it from a projecting
+          // WITH, which the subquery body may still open with)
+          val imports =
+            if (atKw("WITH") && importListAhead()) {
+              eatKw("WITH")
+              val b = Seq.newBuilder[String]
+              b += ident()
+              while (atSym(",")) { eatSym(","); b += ident() }
+              b.result()
+            } else Seq.empty
+          val inner = query(inCall = true)
+          eatSym("}")
+          clauses += CallClause(imports, inner.clauses)
         } else if (atKw("RETURN")) {
           eatKw("RETURN")
           val (distinct, items) = projectionItems()
@@ -174,15 +192,45 @@ object CypherParser {
           clauses += ReturnClause(distinct, items, sorts, skip, limit)
           sawReturn = true
         } else throw new IllegalArgumentException(
-          s"expected MATCH/OPTIONAL MATCH/WITH/UNWIND/RETURN at token $pos, got $peek")
+          s"expected MATCH/OPTIONAL MATCH/WITH/UNWIND/CALL/RETURN at token $pos, got $peek")
         sawAny = true
       }
       require(sawAny, "empty query")
-      // a UNION boundary hands control back to statement(), which owns
-      // the end-of-input check across all parts
-      require(pos == toks.length || atKw("UNION"),
-        s"trailing tokens from position $pos: ${toks.drop(pos)}")
+      if (inCall) {
+        // the closing brace hands control back to the CALL site
+        require(atSym("}"),
+          s"expected }} closing the CALL subquery at token $pos, got $peek")
+      } else
+        // a UNION boundary hands control back to statement(), which owns
+        // the end-of-input check across all parts
+        require(pos == toks.length || atKw("UNION"),
+          s"trailing tokens from position $pos: ${toks.drop(pos)}")
       CypherQuery(clauses.result())
+    }
+
+    /** Lookahead from a WITH directly after `CALL {`: true iff the
+      * items are bare identifiers followed by another clause keyword —
+      * the importing-WITH form.
+      */
+    private def importListAhead(): Boolean = {
+      var p = pos + 1 // past WITH
+      var ok = true
+      var expectId = true
+      var done = false
+      while (!done && ok && p < toks.length) {
+        toks(p) match {
+          case TId(s) if expectId &&
+              !Set("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN", "CALL")
+                .contains(s.toUpperCase) =>
+            expectId = false; p += 1
+          case TSym(",") if !expectId => expectId = true; p += 1
+          case TId(s) if !expectId &&
+              Set("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN", "CALL")
+                .contains(s.toUpperCase) => done = true
+          case _ => ok = false
+        }
+      }
+      ok && done
     }
 
     private def projectionItems(): (Boolean, Seq[ReturnItem]) = {

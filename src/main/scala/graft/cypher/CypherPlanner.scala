@@ -82,6 +82,8 @@ object CypherPlanner {
       case FilterClause(e)  => FilterClause(bx(e))
       case w: WithClause    => w.copy(items = w.items.map(bi), where = w.where.map(bx))
       case UnwindClause(l, a) => UnwindClause(bx(l), a)
+      case CallClause(imp, inner) =>
+        CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
       case r: ReturnClause  => r.copy(items = r.items.map(bi))
     })
   }
@@ -118,9 +120,19 @@ object CypherPlanner {
     // every other label-less pattern variable is identity-only and its
     // node-table scan can be elided (the edge endpoint IS the id)
     val needs = colsNeeded(q)
-    var s = Scope(null, Set.empty, Set.empty)
+    planClauses(graph, q.clauses, Scope(null, Set.empty, Set.empty), needs)._2
+  }
+
+  /** Plans a clause pipeline from an initial scope — the body of
+    * [[plan]], reusable for `CALL { … }` subqueries (which seed the
+    * scope with imported variables). Returns the final scope and the
+    * RETURN result (null when the pipeline has no RETURN).
+    */
+  private def planClauses(graph: PropertyGraph, clauses: Seq[Clause],
+      s0: Scope, needs: Set[String]): (Scope, DataFrame) = {
+    var s = s0
     var out: DataFrame = null
-    q.clauses.foreach {
+    clauses.foreach {
       case MatchClause(chain, false, _) =>
         val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df,
           needs = Some(needs))
@@ -162,6 +174,9 @@ object CypherPlanner {
         val (s2, items2) = materializeCounts(graph, s, w.items)
         s = planWith(s2, w.copy(items = items2))
 
+      case CallClause(imports, inner) =>
+        s = planCall(graph, s, imports, inner)
+
       case r: ReturnClause =>
         // a query can be pure projection (`RETURN 1`, `UNWIND … RETURN`)
         if (s.df == null)
@@ -169,7 +184,118 @@ object CypherPlanner {
         val (s2, items2) = materializeCounts(graph, s, r.items)
         out = planReturn(s2, r.copy(items = items2))
     }
-    out
+    (s, out)
+  }
+
+  /** `CALL { … }` subquery planning.
+    *
+    * Uncorrelated (no importing WITH): the subquery plans standalone
+    * and cross-joins the outer rows (Cypher row-multiplication
+    * semantics; the subquery result is typically small/aggregated, so
+    * Catalyst broadcasts it).
+    *
+    * Correlated (`CALL { WITH a … }`): relational decorrelation — the
+    * subquery plans ONCE over the DISTINCT imported bindings (never
+    * per outer row), and the result joins back on the import keys:
+    *  - aggregates group by the import keys (per-outer-row aggregation
+    *    semantics); pure-count subqueries keep zero-match rows via a
+    *    left join + 0-coalesce, mirroring Neo4j's "aggregation always
+    *    returns a row";
+    *  - ORDER BY/SKIP/LIMIT become a row_number window PARTITIONED BY
+    *    the import keys — the per-row top-k idiom (`CALL { WITH a
+    *    MATCH … RETURN b ORDER BY … LIMIT k }`) costs one window over
+    *    the subquery frame, not a loop;
+    *  - otherwise a plain projection joined back (zero-match imports
+    *    drop their outer rows, Cypher semantics).
+    * At 100 TB the decorrelated shape is the only viable one: the
+    * subquery's exchanges are keyed on the import ids, and the join
+    * back reuses that partitioning.
+    */
+  private def planCall(graph: PropertyGraph, outer: Scope,
+      imports: Seq[String], inner: Seq[Clause]): Scope = {
+    val innerQ = CypherQuery(inner)
+    val needs = colsNeeded(innerQ)
+    if (imports.isEmpty) {
+      val sub = planClauses(graph, inner,
+        Scope(null, Set.empty, Set.empty), needs)._2
+      require(sub != null, "CALL subquery must end in RETURN")
+      val df = if (outer.df == null) sub else outer.df.crossJoin(sub)
+      return Scope(df, outer.nodeVars, outer.scalars ++ sub.columns,
+        outer.lists)
+    }
+    require(outer.df != null, "CALL imports require previously bound variables")
+    val nodeImports = imports.filter(outer.nodeVars)
+    val scalarImports = imports.filter(outer.scalars)
+    val unknown = imports.diff(nodeImports ++ scalarImports)
+    require(unknown.isEmpty, s"CALL imports unbound variables: $unknown")
+    val keyCols = nodeImports.map(v => s"${v}__id") ++ scalarImports
+    val carryCols = (nodeImports.flatMap(v =>
+      outer.df.columns.filter(_.startsWith(s"${v}__"))) ++ scalarImports).distinct
+    val seed = Scope(
+      outer.df.select(carryCols.map(col): _*).distinct(),
+      nodeImports.toSet, scalarImports.toSet,
+      outer.lists.intersect(scalarImports.toSet))
+
+    val ret = inner.last match {
+      case r: ReturnClause => r
+      case other => throw new IllegalArgumentException(
+        s"CALL subquery must end in RETURN, got $other")
+    }
+    var (si, _) = planClauses(graph, inner.init, seed, needs)
+    val (si2, items2) = materializeCounts(graph, si, ret.items)
+    si = si2
+    val items = items2.map(i => i.copy())
+    items.foreach(i => require(!outer.df.columns.contains(i.name),
+      s"CALL subquery output '${i.name}' collides with an outer binding"))
+    val (aggs, plain) = items.partition(i => isAggregate(i.expr))
+
+    val (sub, joinKind, coalesceZero) =
+      if (aggs.nonEmpty) {
+        require(ret.orderBy.isEmpty && ret.limit.isEmpty && ret.skip.isEmpty,
+          "ORDER BY/SKIP/LIMIT with aggregates inside CALL is unsupported")
+        val keyExprs = keyCols.map(col) ++
+          plain.map(i => toColumn(i.expr, si.binds).as(i.name))
+        val aggCols = aggs.map(i => toAggColumn(i.expr, si.binds).as(i.name))
+        val g = si.df.groupBy(keyExprs: _*).agg(aggCols.head, aggCols.tail: _*)
+        // count() over zero matches must yield 0, not a dropped row
+        val allCounts = plain.isEmpty && aggs.forall(_.expr match {
+          case FnCall("count", _, _, _) => true
+          case _                        => false
+        })
+        (g, if (allCounts) "left_outer" else "inner", allCounts)
+      } else if (ret.orderBy.nonEmpty || ret.limit.isDefined || ret.skip.isDefined) {
+        require(ret.orderBy.nonEmpty,
+          "SKIP/LIMIT inside a correlated CALL requires ORDER BY (per-key top-k)")
+        val itemByName = items.map(i => i.name -> i.expr).toMap
+        val sortCols = ret.orderBy.map { o =>
+          val e = o.expr match {
+            case Ident(n) if itemByName.contains(n) => itemByName(n)
+            case e2                                 => e2
+          }
+          val c = toColumn(e, si.binds)
+          if (o.ascending) c.asc else c.desc
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(sortCols: _*)
+        val lo = ret.skip.getOrElse(0L)
+        val hi = ret.limit.map(lo + _).getOrElse(Long.MaxValue)
+        val ranked = si.df.withColumn("__call_rk", row_number().over(w))
+          .filter(col("__call_rk") > lo && col("__call_rk") <= hi)
+        val sel = ranked.select(keyCols.map(col) ++
+          items.map(i => toColumn(i.expr, si.binds).as(i.name)): _*)
+        (if (ret.distinct) sel.distinct() else sel, "inner", false)
+      } else {
+        val sel = si.df.select(keyCols.map(col) ++
+          items.map(i => toColumn(i.expr, si.binds).as(i.name)): _*)
+        (if (ret.distinct) sel.distinct() else sel, "inner", false)
+      }
+
+    var df = outer.df.join(sub, keyCols, joinKind)
+    if (coalesceZero) aggs.foreach(i =>
+      df = df.withColumn(i.name, coalesce(col(i.name), lit(0L))))
+    val newLists = items.filter(i => isListShaped(i.expr)).map(_.name).toSet
+    Scope(df, outer.nodeVars, outer.scalars ++ items.map(_.name),
+      outer.lists ++ newLists)
   }
 
   /** Applies a WHERE expression: top-level conjuncts are split so
@@ -591,6 +717,12 @@ object CypherPlanner {
       case w: WithClause            =>
         walkItems(w.items); w.where.foreach(walk)
         w.orderBy.foreach(s0 => walk(s0.expr))
+      case CallClause(imports, inner) =>
+        // over-approximate: imported vars and everything the subquery
+        // reads count as needed (extra columns only reduce scan
+        // elision, never correctness)
+        out ++= imports
+        out ++= colsNeeded(CypherQuery(inner))
       case r: ReturnClause          =>
         walkItems(r.items); r.orderBy.foreach(s0 => walk(s0.expr))
     }

@@ -194,6 +194,19 @@ object CypherQueries {
         |  COUNT { (n)<-[:SUPP_NATION]-(:Supplier) } AS n_suppliers
         |ORDER BY nation""".stripMargin)
 
+  /** `CALL { WITH n … ORDER BY … LIMIT k }` — the per-row top-k
+    * subquery idiom, planned as ONE row_number window partitioned by
+    * the import key (decorrelated; never a per-row loop).
+    */
+  def callTopk(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |CALL { WITH n MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |  RETURN c.name AS top_cust, c.acctbal AS bal
+        |  ORDER BY bal DESC, top_cust LIMIT 3 }
+        |RETURN n.name AS nation, top_cust, bal
+        |ORDER BY nation, bal DESC, top_cust""".stripMargin)
+
   /** Undirected relationship: neighbors along the nation chain in
     * either orientation.
     */

@@ -792,6 +792,51 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(one.getAs[Long]("n") == 1L)
   }
 
+  test("CALL subquery: uncorrelated cross-joins, correlated decorrelates") {
+    // uncorrelated: the 1-row aggregate multiplies onto every nation
+    val un = run(
+      "MATCH (n:Nation) CALL { MATCH (r:Region) RETURN count(r) AS n_regions } " +
+      "RETURN n.name AS nation, n_regions ORDER BY nation LIMIT 3").collect()
+    assert(un.length == 3 && un.forall(_.getAs[Long]("n_regions") == 5L))
+    // correlated per-key top-k: ORDER BY+LIMIT inside CALL becomes a
+    // window partitioned by the import key
+    val topk = run(
+      "MATCH (n:Nation) CALL { WITH n " +
+      "MATCH (c:Customer)-[:FROM_NATION]->(n) " +
+      "RETURN c.acctbal AS bal ORDER BY bal DESC LIMIT 2 } " +
+      "RETURN n.name AS nation, bal ORDER BY nation, bal DESC")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expect = graft.Tables.customer(spark, TestSpark.sf)
+      .join(graft.Tables.nation(spark, TestSpark.sf),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .select("n_name", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (n, rows) => rows.sortBy(-_._2).take(2) }
+      .sortBy(p => (p._1, -p._2))
+    assert(topk.toSeq == expect)
+    // window plan, not a per-row loop
+    val plan = run(
+      "MATCH (n:Nation) CALL { WITH n " +
+      "MATCH (c:Customer)-[:FROM_NATION]->(n) " +
+      "RETURN c.acctbal AS bal ORDER BY bal DESC LIMIT 2 } " +
+      "RETURN n.name AS nation, bal").queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "per-key top-k must plan as a window")
+  }
+
+  test("CALL subquery: pure-count aggregation keeps zero-match rows at 0") {
+    val df = run(
+      "MATCH (n:Nation) CALL { WITH n " +
+      "MATCH (c:Customer)-[:FROM_NATION]->(n) WHERE c.acctbal > 99999999.0 " +
+      "RETURN count(c) AS n_rich } " +
+      "RETURN n.name AS nation, n_rich ORDER BY nation")
+    val rows = df.collect()
+    val nNations = graft.Tables.nation(spark, TestSpark.sf).count()
+    assert(rows.length == nNations, "every nation row must survive")
+    assert(rows.forall(_.getAs[Long]("n_rich") == 0L))
+  }
+
   test("properties(n) yields the key-sorted struct array; map projection builds a struct") {
     val rows = run(
       "MATCH (r:Region) UNWIND properties(r) AS p " +
