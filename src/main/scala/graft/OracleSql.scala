@@ -796,4 +796,46 @@ object OracleSql {
        |FROM documents d LEFT JOIN s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.operators.Pipeline.importanceSample]] —
+    * identical feature hashing (poly-31 → permutation 0 → mod dim,
+    * computed once per DISTINCT token and joined back), identical
+    * add-1-smoothed 6-dp log-ratios, and the same DECIMAL(28,12)
+    * accumulation of the rounded per-occurrence terms.
+    */
+  def importanceSample(dim: Int = 256, targetLang: String = "en"): String =
+    s"""WITH wd AS (
+       |  SELECT doc_id, lang,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |td AS (SELECT doc_id, lang, unnest(ws) AS tok FROM wd),
+       |t2 AS (SELECT doc_id, lang, tok FROM td WHERE len(tok) > 0),
+       |vocab AS (SELECT DISTINCT tok FROM t2),
+       |vh AS (SELECT tok, ${polySql("tok")} AS h FROM vocab),
+       |vb AS (SELECT tok, ${permSql("0", "h")} % $dim AS bucket FROM vh),
+       |occ AS (SELECT doc_id, lang, bucket FROM t2 JOIN vb USING (tok)),
+       |rc AS (SELECT bucket, COUNT(*) AS cnt_r FROM occ GROUP BY 1),
+       |tc AS (SELECT bucket, COUNT(*) AS cnt_t FROM occ
+       |       WHERE lang = '$targetLang' GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS tot_r,
+       |          SUM(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS tot_t
+       |        FROM occ),
+       |bl AS (SELECT CAST(j AS BIGINT) AS bucket
+       |       FROM (SELECT unnest(range(0, $dim)) AS j)),
+       |lr AS (SELECT bucket,
+       |    round(ln(CAST(COALESCE(cnt_t, 0) + 1 AS DOUBLE) / (tot_t + $dim))
+       |        - ln(CAST(COALESCE(cnt_r, 0) + 1 AS DOUBLE) / (tot_r + $dim)),
+       |      6) AS lr
+       |  FROM bl LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+       |  CROSS JOIN tot),
+       |s AS (SELECT doc_id, COUNT(*) AS n_tok,
+       |        round(CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0
+       |          AS weight
+       |      FROM occ JOIN lr USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_tok, 0) AS n_tok,
+       |  COALESCE(s.weight, 0.0) + 0.0 AS weight,
+       |  CAST(COALESCE(s.weight, 0.0) >= 0 AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

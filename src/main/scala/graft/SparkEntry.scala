@@ -181,6 +181,7 @@ object SparkEntry {
     "text_boilerplate"    -> (TextAnalysis.boilerplate(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
+    "sample_importance"   -> (Pipeline.importanceSample(_, _)),
     "events_pivot"        -> (Events.pivotDaily(_, _)),
     "events_value_hist"   -> (Events.valueHistogram(_, _)),
     "text_ppl_buckets"    -> (TextAnalysis.pplBuckets(_, _)),
@@ -1093,6 +1094,7 @@ object SparkEntry {
         |    AS rank,
         |  doc_id, weight, key
         |FROM t ORDER BY rank""".stripMargin,
+    "sample_importance"   -> OracleSql.importanceSample(),
     "events_value_hist" ->
       """SELECT event_type,
         |  CAST(floor(value / 20.0) + 1 AS BIGINT) AS bucket,

@@ -310,4 +310,72 @@ object Pipeline {
             - col("chunk_idx") * stride).cast("int")), " ").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** DSIR-style importance sampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every raw document by how much its
+    * hashed-unigram distribution resembles a TARGET domain (here: the
+    * `lang = targetLang` slice of the corpus standing in for the
+    * high-quality target set), weight = Σ_tokens
+    * log p̂_target(bucket) − log p̂_raw(bucket) with add-1 smoothing
+    * over `dim` feature-hash buckets ([[graft.OracleHash]] family,
+    * the same poly-31 → permutation-0 → mod-dim hashing as
+    * [[TextAnalysis.qualityModel]]). `keep` = weight ≥ 0 ("more
+    * target-like than raw"); top-k selection at a fixed token budget
+    * composes with [[sampleWeighted]]'s integer-priority TakeOrdered.
+    *
+    * Determinism: per-bucket log-ratios are 6-dp-rounded doubles
+    * (rounding absorbs the ≤1-ulp cross-libm `ln` spread), the
+    * per-doc sum accumulates them as DECIMAL(28,12) — exact and
+    * order-independent — and the final weight re-rounds (+0.0
+    * normalizes −0.0), so the DuckDB oracle hashes identically.
+    *
+    * 100 TB notes: the bucket log-ratio table is `dim` rows —
+    * BROADCAST (a real DSIR run fits its n-gram hash buckets in
+    * memory the same way); token hashing rides the scan; the only
+    * corpus-sized exchange is the doc_id-keyed weight sum with
+    * map-side partials. Nothing scales with vocabulary.
+    */
+  def importanceSample(spark: SparkSession, sfDir: String, dim: Int = 256,
+      targetLang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val occ = docs
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, t) =>
+        Sketches.tokenPolysJvm(t).map { case (_, h) => (id, lang, h) }
+      }.toDF("doc_id", "lang", "h")
+      .select(col("doc_id"), col("lang"),
+        (Sketches.perm(lit(0), col("h")) % dim).as("bucket"))
+    val rawCnt = occ.groupBy(col("bucket")).agg(count(lit(1)).as("cnt_r"))
+    val tgtCnt = occ.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_t"))
+    val tot = occ.agg(
+      count(lit(1)).as("tot_r"),
+      sum((col("lang") === targetLang).cast("long")).as("tot_t"))
+    // all dim buckets, zero-count ones included: smoothing gives them
+    // a (maximally negative) defined log-ratio too
+    val lr = spark.range(dim.toLong).select(col("id").as("bucket"))
+      .join(rawCnt, Seq("bucket"), "left")
+      .join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), round(
+        log((coalesce(col("cnt_t"), lit(0L)) + lit(1)).cast("double") /
+          (col("tot_t") + lit(dim))) -
+        log((coalesce(col("cnt_r"), lit(0L)) + lit(1)).cast("double") /
+          (col("tot_r") + lit(dim))), 6).as("lr"))
+    val scored = occ.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (round(sum(col("lr").cast("decimal(28,12)")).cast("double"), 6)
+          + lit(0.0)).as("weight"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        (coalesce(col("weight"), lit(0.0)) + lit(0.0)).as("weight"),
+        (coalesce(col("weight"), lit(0.0)) >= 0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }
