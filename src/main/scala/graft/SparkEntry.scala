@@ -151,6 +151,7 @@ object SparkEntry {
     "sketch_hll_distinct" -> (Sketches.hllDistinct(_, _)),
     "sketch_cms_topk"     -> (Sketches.cmsTopk(_, _)),
     "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
+    "dedup_url"           -> (Dedup.urlDedup(_, _)),
     "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
     "sim_topk_agg"        -> (Similarity.topkAgg(_, _)),
@@ -439,6 +440,29 @@ object SparkEntry {
         |  round(m2 - mean*mean, 6) + 0.0 AS variance, min_x, max_x
         |FROM m ORDER BY d""".stripMargin,
     "dedup_simhash"     -> OracleSql.simhash(),
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'Site' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    '.Example.COM/Articles/' || CAST(doc_id % 120 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_medium=rss'
+        |          WHEN doc_id % 7 = 0 THEN '?utm_campaign=x&gclid=abc123'
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '[?&](utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '', 'g'),
+        |      '/$', '') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS keep_id
+        |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin,
     "text_fingerprint"  -> OracleSql.fingerprint(),
     "text_langid"       -> OracleSql.langid,
     "graph_pagerank"    -> OracleSql.pagerank(),

@@ -528,4 +528,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** URL-canonicalization dedup — the cheapest and first dedup gate of
+    * a crawled corpus (CommonCrawl-derived pipelines drop same-URL
+    * refetches before any content hashing): canonicalize each
+    * document's source URL, group, keep the smallest doc_id.
+    *
+    * Canonical form: lowercase → strip scheme (`https?://`) → strip a
+    * leading `www.` → drop tracking query params
+    * (`utm_*`/`gclid`/`fbclid`/`ref`, the left-to-right global regex
+    * removes chains like `?utm_a=..&utm_b=..` entirely) → strip one
+    * trailing slash. No capture groups, so the Java and RE2/DuckDB
+    * regex dialects agree literally. A kept param AFTER a dropped one
+    * (`?utm_x=1&page=2` → dangling `&page=2`) is out of scope here and
+    * documented: the synthetic corpus carries no URL column, so (like
+    * [[TextAnalysis.domains]]) each doc gets a deterministic
+    * generated URL whose spelling variants (scheme, WWW-casing,
+    * trailing slash, tracking suffixes) the canonicalizer must
+    * collapse.
+    *
+    * 100 TB notes: canonicalization is codegen'd regexp at the scan;
+    * the single exchange carries (canon_url) keys with map-side
+    * partial aggregation — the same shape as exact dedup, minus the
+    * text bytes.
+    */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), (id % 40).cast("string"), lit(".Example.COM/Articles/"),
+      (id % 120).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 5 === 0, lit("?utm_source=feed&utm_medium=rss"))
+        .otherwise(when(id % 7 === 0, lit("?utm_campaign=x&gclid=abc123"))
+          .otherwise(lit(""))))
+    Tables.documents(spark, sfDir)
+      .select(id, url.as("url"))
+      .withColumn("canon_url",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("url")),
+          "^https?://", ""), "^www\\.", ""),
+          "[?&](utm_[a-z]+|gclid|fbclid|ref)=[^&#]*", ""), "/$", ""))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("keep_id"))
+      .orderBy(col("canon_url"))
+  }
 }
