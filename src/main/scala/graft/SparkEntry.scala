@@ -85,6 +85,7 @@ object SparkEntry {
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
     "cypher_union"          -> (cypher.CypherQueries.unionNations(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
+    "cypher_write_merge"    -> (neo4j.CypherPayload.mergeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
     "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
@@ -1732,6 +1733,16 @@ object SparkEntry {
         |  FROM orders)
         |SELECT range_id, sub_id, COUNT(*) AS n_rows,
         |'{"statements" : [ {"statement" : "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})", "parameters" : {"inserts" : ['
+        |  || string_agg(elem, ',' ORDER BY o_orderkey) || ']} }]}' AS payload
+        |FROM b GROUP BY range_id, sub_id ORDER BY range_id, sub_id""".stripMargin,
+    "cypher_write_merge" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_orderkey // 400 AS BIGINT) AS range_id,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY o_orderkey // 400 ORDER BY o_orderkey) - 1) // 100 AS BIGINT) AS sub_id,
+        |    '{"orderkey":' || o_orderkey || ',"status":"' || o_orderstatus || '"}' AS elem
+        |  FROM orders)
+        |SELECT range_id, sub_id, COUNT(*) AS n_rows,
+        |'{"statements" : [ {"statement" : "UNWIND $rows AS r MERGE (o:Order {orderkey:r.orderkey}) SET o.status = r.status", "parameters" : {"rows" : ['
         |  || string_agg(elem, ',' ORDER BY o_orderkey) || ']} }]}' AS payload
         |FROM b GROUP BY range_id, sub_id ORDER BY range_id, sub_id""".stripMargin,
     "graph_bfs" ->

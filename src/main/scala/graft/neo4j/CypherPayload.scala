@@ -101,12 +101,31 @@ object CypherPayload {
       Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus")),
       keyRange, rowCap)
 
-  /** Core of [[writeBatches]] over any (orderkey, status) rows — split
-    * out so the cap is testable against pathological fully-dense keys.
+  /** The idempotent twin of [[writeBatches]]: identical batching, but
+    * the statement is `MERGE … SET` keyed on the node's identity
+    * property, so replaying a batch after an AMBIGUOUS transport
+    * failure (response lost after the server may have committed —
+    * see [[Http.post]]'s replay-safety contract) converges instead of
+    * duplicating nodes. This is the payload shape to pair with
+    * `Neo4jConfig.idempotentWrites = true`, which re-enables
+    * at-least-once retries on the write path.
+    */
+  def mergeBatches(spark: SparkSession, sfDir: String, keyRange: Int = 400,
+      rowCap: Int = 100): DataFrame =
+    payloadBatches(
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus")),
+      keyRange, rowCap,
+      "UNWIND $rows AS r MERGE (o:Order {orderkey:r.orderkey}) SET o.status = r.status")
+
+  /** Core of [[writeBatches]]/[[mergeBatches]] over any
+    * (orderkey, status) rows — split out so the cap is testable
+    * against pathological fully-dense keys.
     */
   private[neo4j] def payloadBatches(orders: DataFrame, keyRange: Int,
-      rowCap: Int): DataFrame = {
-    val stmt = "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})"
+      rowCap: Int,
+      stmt: String =
+        "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})")
+      : DataFrame = {
     val param = parameterName(stmt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("range_id")).orderBy(col("o_orderkey"))
