@@ -797,6 +797,44 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrain]] — the
+    * merge rounds unrolled as CTE chains: each round re-derives pair
+    * counts from the previous round's representations, takes the same
+    * `ORDER BY cnt DESC, pair LIMIT 1` argmax, and applies the same
+    * literal sentinel-space `replace` (both engines rewrite
+    * non-overlapping occurrences left-to-right).
+    */
+  def bpeTrain(rounds: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |wf AS (SELECT tok, COUNT(*) AS freq FROM toks
+       |       WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1),
+       |r0 AS (SELECT ' ' || list_aggregate(
+       |    list_transform(range(1, len(tok)+1),
+       |      i -> substr(tok, CAST(i AS INT), 1)), 'string_agg', ' ')
+       |    || ' ' AS r, freq FROM wf)""".stripMargin
+    for (k <- 1 to rounds) {
+      val prev = s"r${k - 1}"
+      sb ++= s""",
+       |s$k AS (SELECT string_split(trim(r), ' ') AS sy, freq FROM $prev),
+       |p$k AS (SELECT unnest(list_transform(range(1, len(sy)),
+       |          i -> sy[i] || ' ' || sy[i+1])) AS pair, freq FROM s$k),
+       |b$k AS MATERIALIZED (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+       |        FROM p$k GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+       |r$k AS MATERIALIZED (
+       |        SELECT replace(r, ' ' || (SELECT pair FROM b$k) || ' ',
+       |          ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS r,
+       |          freq FROM $prev)""".stripMargin
+    }
+    sb ++= "\n" + (1 to rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, pair, " +
+        s"replace(pair, ' ', '') AS merged, cnt FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    sb.result()
+  }
+
   /** DuckDB twin of [[graft.operators.Pipeline.importanceSample]] —
     * identical feature hashing (poly-31 → permutation 0 → mod dim,
     * computed once per DISTINCT token and joined back), identical

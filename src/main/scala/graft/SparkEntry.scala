@@ -168,6 +168,7 @@ object SparkEntry {
     "text_unigram_lm"     -> (TextAnalysis.unigramLogprob(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
+    "text_bpe_train"      -> (TextAnalysis.bpeTrain(_, _)),
     "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
     "text_top_tokens"     -> (TextAnalysis.topTokens(_, _)),
     "text_length_hist"    -> (TextAnalysis.lengthHistogram(_, _)),
@@ -232,6 +233,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY id""".stripMargin,
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
     "text_quality_model"  -> OracleSql.qualityModel(),
+    "text_bpe_train"      -> OracleSql.bpeTrain(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),
     "sketch_cms_topk"     -> OracleSql.cmsTopk(),
     "pipeline_corpus_stats" ->

@@ -620,6 +620,64 @@ object TextAnalysis {
     (n, s)
   }
 
+  /** Byte-pair-encoding merge-rule training (Sennrich et al. 2016,
+    * the word-frequency formulation GPT-2-style tokenizers train
+    * with): collapse the corpus to a (word, freq) table, represent
+    * each word as space-separated symbols, then for `rounds` rounds
+    * pick the globally most frequent adjacent symbol pair (ties:
+    * lexicographically smallest pair — deterministic) and merge every
+    * non-overlapping left-to-right occurrence. Returns one row per
+    * learned merge rule: (round, pair, merged, cnt) — the artifact a
+    * tokenizer ships.
+    *
+    * Alphabet is bounded to `^[a-z]+$` words so symbols stay
+    * drawn from a closed set; the merge rewrite is the literal
+    * (non-regex) `replace` over sentinel-space-wrapped
+    * representations (`" h e l l o "`), whose left-to-right
+    * non-overlapping semantics Spark and DuckDB share (the
+    * `" a a a "` self-overlap case is spec-pinned).
+    *
+    * 100 TB notes: everything after the first (word)-keyed exchange
+    * operates on the VOCABULARY (unique words), not the corpus — the
+    * classic reason BPE training is feasible at web scale. Per round:
+    * one pair-keyed agg over vocab-sized data, a 1-row TakeOrdered
+    * argmax broadcast back, and a pure-map rewrite. The per-round
+    * argmax is `localCheckpoint`ed (1 row) so lineage stays linear in
+    * rounds.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    var reprs = words.select(col("freq"),
+      concat(lit(" "), array_join(chars, " "), lit(" ")).as("r"))
+    val rounds_out = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    for (round <- 1 to rounds) {
+      val sy = split(trim(col("r")), " ")
+      val pairs = reprs
+        .withColumn("sy", sy)
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => concat(element_at(col("sy"), i), lit(" "),
+            element_at(col("sy"), i + 1)))).as("pair"))
+      val best = pairs.groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .localCheckpoint()
+      rounds_out += best.select(lit(round.toLong).as("round"), col("pair"),
+        translate(col("pair"), " ", "").as("merged"), col("cnt"))
+      reprs = reprs.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(col("freq"),
+          expr("replace(r, concat(' ', bp, ' '), " +
+            "concat(' ', replace(bp, ' ', ''), ' '))").as("r"))
+    }
+    rounds_out.result().reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
   def qualityModel(spark: SparkSession, sfDir: String,
       dim: Int = 1024): DataFrame = {
     import graft.OracleHash.{MulA, MulB, P}

@@ -151,4 +151,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     val again = TextAnalysis.qualityModel(spark, TestSpark.sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("bpe merge rewrite: left-to-right non-overlapping, both replace dialects") {
+    // the engine relies on Spark's `replace` and DuckDB's `replace`
+    // agreeing on self-overlapping patterns: " a a a " under merge
+    // (a,a) must become " aa a " (first occurrence consumed, scan
+    // resumes after it), never " a aa " or " aa aa "
+    import spark.implicits._
+    val out = Seq(" a a a ").toDF("r")
+      .selectExpr("replace(r, ' a a ', concat(' ', 'aa', ' ')) AS m")
+      .collect()(0).getString(0)
+    assert(out == " aa a ")
+  }
+
+  test("bpe training learns the dominant pair first and is rerun-stable") {
+    val rules = TextAnalysis.bpeTrain(spark, TestSpark.sf, rounds = 4).collect()
+    assert(rules.length == 4)
+    assert(rules.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // each rule's merged form is its pair with the separator dropped
+    assert(rules.forall(r =>
+      r.getAs[String]("merged") == r.getAs[String]("pair").replace(" ", "")))
+    // counts are monotonically available (a later round can never
+    // exceed the first round's max: merges only remove occurrences)
+    val counts = rules.map(_.getAs[Long]("cnt"))
+    assert(counts.forall(_ > 0) && counts.tail.forall(_ <= counts.head))
+    val again = TextAnalysis.bpeTrain(spark, TestSpark.sf, rounds = 4).collect()
+    assert(rules.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
