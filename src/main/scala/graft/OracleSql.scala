@@ -797,6 +797,64 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.Similarity.pcaPower]] — the
+    * power iterations unrolled as CTEs: identical 6-dp decimal means,
+    * identical 12-dp product partials into DECIMAL(38,12), the same
+    * in-row `list_dot_product` folds (left-to-right, matching the
+    * codegen DotProduct loop), and the same sign-fix-then-round
+    * normalize.
+    */
+  def pcaPower(iters: Int = 5): String = {
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS (
+         |  SELECT d, CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS w
+         |  FROM (SELECT d, round(cx * s, 12) AS t
+         |        FROM (SELECT unnest(c) AS cx,
+         |                generate_subscripts(c, 1) - 1 AS d,
+         |                list_dot_product(c, pv) AS s
+         |              FROM cent CROSS JOIN p${k - 1}))
+         |  GROUP BY d),
+         |wl$k AS MATERIALIZED (SELECT list(w ORDER BY d) AS wv FROM w$k),
+         |n$k AS MATERIALIZED (
+         |  SELECT wv, sqrt(list_dot_product(wv, wv)) AS nrm FROM wl$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT CASE WHEN nrm = 0.0 THEN wv
+         |    ELSE list_transform(
+         |      CASE WHEN COALESCE(list_filter(wv, x -> x <> 0.0)[1], 0.0) < 0
+         |           THEN list_transform(wv, x -> -x) ELSE wv END,
+         |      x -> round(x / nrm, 9)) END AS pv
+         |  FROM n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |md AS MATERIALIZED (
+       |  SELECT d,
+       |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS m
+       |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM e)
+       |  GROUP BY d),
+       |mu AS MATERIALIZED (SELECT list(m ORDER BY d) AS mu FROM md),
+       |cent AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(v)+1), i -> v[i] - mu[i]) AS c
+       |  FROM e CROSS JOIN mu),
+       |p0 AS (SELECT list_transform(mu,
+       |         x -> 1.0/sqrt(CAST(len(mu) AS DOUBLE))) AS pv FROM mu),
+       |$steps,
+       |lam AS (SELECT round(nrm / (SELECT COUNT(*) FROM cent), 6) AS lambda
+       |        FROM n$iters),
+       |tv AS (SELECT CAST(SUM(CAST(round(cx*cx, 12) AS DECIMAL(38,12)))
+       |           AS DOUBLE) / (SELECT COUNT(*) FROM cent) AS tv
+       |       FROM (SELECT unnest(c) AS cx FROM cent)),
+       |ld AS (SELECT unnest(pv) AS loading,
+       |         generate_subscripts(pv, 1) - 1 AS d FROM p$iters)
+       |SELECT CAST(md.d AS BIGINT) AS d, md.m + 0.0 AS mean,
+       |  ld.loading + 0.0 AS loading, lam.lambda,
+       |  CASE WHEN tv.tv = 0.0 THEN 0.0
+       |       ELSE round(lam.lambda / round(tv.tv, 6), 6) END AS var_share
+       |FROM md JOIN ld USING (d) CROSS JOIN lam CROSS JOIN tv
+       |ORDER BY d""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrain]] — the
     * merge rounds unrolled as CTE chains: each round re-derives pair
     * counts from the previous round's representations, takes the same

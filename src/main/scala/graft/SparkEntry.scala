@@ -162,6 +162,7 @@ object SparkEntry {
     "embed_kmeans"        -> (Similarity.kmeans(_, _)),
     "sim_semantic_dedup"  -> (Similarity.semanticDedup(_, _)),
     "embed_dim_stats"     -> (Similarity.dimStats(_, _)),
+    "embed_pca_power"     -> (Similarity.pcaPower(_, _)),
     "text_quality"        -> (TextAnalysis.quality(_, _)),
     "text_quality_model"  -> (TextAnalysis.qualityModel(_, _)),
     "text_gopher"         -> (TextAnalysis.gopherRules(_, _)),
@@ -234,6 +235,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),
+    "embed_pca_power"     -> OracleSql.pcaPower(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),
     "sketch_cms_topk"     -> OracleSql.cmsTopk(),
     "pipeline_corpus_stats" ->

@@ -409,4 +409,95 @@ object Similarity {
         col("vec_id"), col("score"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Top principal component of the embedding corpus by power
+    * iteration over the (mean-centered) covariance — the
+    * anisotropy/collapse screen run next to [[dimStats]]: a single
+    * direction hoarding most of the variance means the embedding
+    * space has collapsed (Ethayarajh 2019's anisotropy observation)
+    * and cosine similarities are dominated by one axis.
+    *
+    * Per iteration, `w = Σ_i c_i (c_i · v)` — i.e. `N·Cov·v` without
+    * ever materializing the d×d covariance — then v normalizes,
+    * sign-fixed so the first nonzero component is positive (power
+    * iteration is sign-ambiguous; the fix makes it deterministic).
+    * Output per dimension: the centered mean, the top-PC loading, and
+    * constant `lambda` (top eigenvalue ≈ ‖w‖/N at convergence) /
+    * `var_share` (λ / total variance) columns.
+    *
+    * Determinism: the mean is 6-dp decimal-exact ([[dimStats]]'s
+    * pattern); each per-row product `c_d·s` rounds to 12 dp and
+    * accumulates as DECIMAL(38,12) (order-independent); the
+    * normalize step divides by an in-row ordered fold ‖w‖ and
+    * re-rounds to 9 dp — so the DuckDB oracle (iterations unrolled
+    * as CTEs) reproduces every double bit-for-bit.
+    *
+    * 100 TB notes: v and μ are dims-sized BROADCAST one-row frames;
+    * each iteration pays one dims-keyed exchange of 12-dp partials
+    * with map-side combine (same shape as [[dimStats]]) — per-iter
+    * cost is linear in corpus size and independent of iteration
+    * count; nothing is ever collected to the driver.
+    */
+  def pcaPower(spark: SparkSession, sfDir: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // per-dim 6-dp decimal-exact means, folded to a one-row array
+    val muPerDim = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 6).as("m"))
+    val mu = muPerDim
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("mu"))
+    val cent = e.crossJoin(broadcast(mu))
+      .select(col("vec_id"), zip_with(col("v"), col("mu"), _ - _).as("c"))
+      .localCheckpoint()
+    val nRows = cent.count()
+    // v0: uniform unit vector (deterministic, never orthogonal to the
+    // top PC in practice; dims from the mu array, no hardcoding)
+    var pv: DataFrame = mu.select(transform(col("mu"),
+      _ => lit(1.0) / sqrt(size(col("mu")).cast("double"))).as("pv"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cent.crossJoin(broadcast(pv))
+        .select(posexplode(col("c")).as(Seq("d", "cx")),
+          dot(col("c"), col("pv")).as("s"))
+        .select(col("d"), round(col("cx") * col("s"), 12).as("t"))
+        .groupBy(col("d"))
+        .agg(sum(col("t").cast("decimal(38,12)")).cast("double").as("w"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("w")))),
+          s => s.getField("w")).as("wv"))
+      val n = w.select(col("wv"), sqrt(dot(col("wv"), col("wv"))).as("nrm"))
+        .localCheckpoint()
+      lastNorm = n
+      // sign-fix BEFORE the rounding divide: both engines flip the
+      // same doubles, so the rounded quotients agree exactly
+      val adj = when(
+        coalesce(element_at(filter(col("wv"), x => x =!= 0.0), 1),
+          lit(0.0)) < 0,
+        transform(col("wv"), x => -x)).otherwise(col("wv"))
+      pv = n.select(when(col("nrm") === 0.0, col("wv"))
+        .otherwise(transform(adj, x => round(x / col("nrm"), 9))).as("pv"))
+    }
+    val lam = lastNorm.select(
+      round(col("nrm") / nRows.toDouble, 6).as("lambda"))
+    val totvar = cent
+      .select(explode(col("c")).as("cx"))
+      .select(round(col("cx") * col("cx"), 12).as("t"))
+      .agg((sum(col("t").cast("decimal(38,12)")).cast("double")
+        / nRows.toDouble).as("tv"))
+    muPerDim
+      .crossJoin(broadcast(pv.select(posexplode(col("pv")).as(Seq("pd", "loading")))))
+      .filter(col("d") === col("pd"))
+      .crossJoin(broadcast(lam))
+      .crossJoin(broadcast(totvar))
+      .select(col("d").cast("long").as("d"),
+        (col("m") + lit(0.0)).as("mean"),
+        (col("loading") + lit(0.0)).as("loading"),
+        col("lambda"),
+        when(col("tv") === 0.0, lit(0.0))
+          .otherwise(round(col("lambda") / round(col("tv"), 6), 6)).as("var_share"))
+      .orderBy(col("d"))
+  }
 }
