@@ -136,6 +136,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"sample mean $sampleMean not above corpus mean $corpus")
   }
 
+  test("importance sampling: every doc scored, en docs skew positive") {
+    val rows = Pipeline.importanceSample(spark, TestSpark.sf).collect()
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    assert(rows.length == docs.count())
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = rows.partition(r => langs(r.getAs[Long]("doc_id")) == "en")
+    def meanW(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("weight")).sum / rs.length.max(1)
+    // the target slice must score higher on average than the rest —
+    // the defining property of the importance weight
+    assert(meanW(en) > meanW(other),
+      s"en mean ${meanW(en)} <= other mean ${meanW(other)}")
+    // keep flag is exactly the weight's sign
+    assert(rows.forall(r =>
+      (r.getAs[Int]("keep") == 1) == (r.getAs[Double]("weight") >= 0)))
+  }
+
   test("chunking tiles every document with the declared overlap") {
     val chunk = 64
     val stride = 48

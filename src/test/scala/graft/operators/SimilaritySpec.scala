@@ -186,6 +186,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).size > 1)
   }
 
+  test("pca power iteration: unit loading, positive sign fix, sane variance share") {
+    val rows = Similarity.pcaPower(spark, TestSpark.sf, iters = 3).collect()
+    assert(rows.nonEmpty)
+    val loadings = rows.sortBy(_.getLong(0)).map(_.getAs[Double]("loading"))
+    // unit norm (9-dp rounding leaves ~1e-8 slack per component)
+    val nrm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6, s"loading norm $nrm")
+    // deterministic sign: first nonzero component is positive
+    assert(loadings.find(_ != 0.0).forall(_ > 0))
+    // the top PC explains a positive share, never more than all of it
+    val share = rows.head.getAs[Double]("var_share")
+    assert(share > 0.0 && share <= 1.0 + 1e-6, s"var_share $share")
+    assert(rows.map(_.getAs[Double]("var_share")).distinct.length == 1)
+    // rerun-stable
+    val again = Similarity.pcaPower(spark, TestSpark.sf, iters = 3).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("semantic dedup: greedy keep-lowest-id rule is locally consistent") {
     val rows = Similarity.semanticDedup(spark, TestSpark.sf).collect()
     assert(rows.length ==
