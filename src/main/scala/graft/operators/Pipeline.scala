@@ -338,33 +338,9 @@ object Pipeline {
     */
   def importanceSample(spark: SparkSession, sfDir: String, dim: Int = 256,
       targetLang: String = "en"): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val occ = docs
-      .select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, lang, t) =>
-        Sketches.tokenPolysJvm(t).map { case (_, h) => (id, lang, h) }
-      }.toDF("doc_id", "lang", "h")
-      .select(col("doc_id"), col("lang"),
-        (Sketches.perm(lit(0), col("h")) % dim).as("bucket"))
-    val rawCnt = occ.groupBy(col("bucket")).agg(count(lit(1)).as("cnt_r"))
-    val tgtCnt = occ.filter(col("lang") === targetLang)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_t"))
-    val tot = occ.agg(
-      count(lit(1)).as("tot_r"),
-      sum((col("lang") === targetLang).cast("long")).as("tot_t"))
-    // all dim buckets, zero-count ones included: smoothing gives them
-    // a (maximally negative) defined log-ratio too
-    val lr = spark.range(dim.toLong).select(col("id").as("bucket"))
-      .join(rawCnt, Seq("bucket"), "left")
-      .join(tgtCnt, Seq("bucket"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"), round(
-        log((coalesce(col("cnt_t"), lit(0L)) + lit(1)).cast("double") /
-          (col("tot_t") + lit(dim))) -
-        log((coalesce(col("cnt_r"), lit(0L)) + lit(1)).cast("double") /
-          (col("tot_r") + lit(dim))), 6).as("lr"))
+    val occ = importanceOccurrences(docs, dim)
+    val lr = importanceLogRatios(spark, sfDir, dim, targetLang)
     val scored = occ.join(broadcast(lr), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
@@ -377,5 +353,58 @@ object Pipeline {
         (coalesce(col("weight"), lit(0.0)) + lit(0.0)).as("weight"),
         (coalesce(col("weight"), lit(0.0)) >= 0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-token-occurrence hashed feature buckets of a (doc_id, lang?,
+    * text) frame — the tokenize→poly-31→permutation-0→mod-dim chain
+    * shared by [[importanceSample]] and the streaming scorer
+    * ([[graft.streaming.StreamingJobs.dsirScore]]), split out so the
+    * two cannot drift. Works on batch AND streaming frames (the JVM
+    * flatMap carries no state).
+    */
+  private[graft] def importanceOccurrences(docs: DataFrame, dim: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hasLang = docs.columns.contains("lang")
+    val occ =
+      if (hasLang)
+        docs.select(col("doc_id"), col("lang"), col("text"))
+          .as[(Long, String, String)]
+          .flatMap { case (id, lang, t) =>
+            Sketches.tokenPolysJvm(t).map { case (_, h) => (id, lang, h) }
+          }.toDF("doc_id", "lang", "h")
+      else
+        docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, t) =>
+            Sketches.tokenPolysJvm(t).map { case (_, h) => (id, h) }
+          }.toDF("doc_id", "h")
+    occ.withColumn("bucket", Sketches.perm(lit(0), col("h")) % dim).drop("h")
+  }
+
+  /** The trained DSIR artifact: per-bucket 6-dp target-vs-raw
+    * log-likelihood ratios over `dim` hashed-unigram buckets — the
+    * small frame a production run persists once and every scoring
+    * job (batch or stream) broadcasts.
+    */
+  private[graft] def importanceLogRatios(spark: SparkSession, sfDir: String,
+      dim: Int = 256, targetLang: String = "en"): DataFrame = {
+    val occ = importanceOccurrences(Tables.documents(spark, sfDir), dim)
+    val rawCnt = occ.groupBy(col("bucket")).agg(count(lit(1)).as("cnt_r"))
+    val tgtCnt = occ.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_t"))
+    val tot = occ.agg(
+      count(lit(1)).as("tot_r"),
+      sum((col("lang") === targetLang).cast("long")).as("tot_t"))
+    // all dim buckets, zero-count ones included: smoothing gives them
+    // a (maximally negative) defined log-ratio too
+    spark.range(dim.toLong).select(col("id").as("bucket"))
+      .join(rawCnt, Seq("bucket"), "left")
+      .join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), round(
+        log((coalesce(col("cnt_t"), lit(0L)) + lit(1)).cast("double") /
+          (col("tot_t") + lit(dim))) -
+        log((coalesce(col("cnt_r"), lit(0L)) + lit(1)).cast("double") /
+          (col("tot_r") + lit(dim))), 6).as("lr"))
   }
 }

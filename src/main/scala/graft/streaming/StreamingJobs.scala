@@ -218,6 +218,28 @@ object StreamingJobs {
           / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
   }
 
+  /** Scores a document stream against a STATIC DSIR log-ratio
+    * artifact (the bucket→lr table
+    * [[graft.operators.Pipeline.importanceLogRatios]] trains) — the
+    * ingestion-side of train-batch/score-stream for importance
+    * sampling: new crawl records get target-resemblance weights as
+    * they arrive, before any batch job sees them. Identical
+    * arithmetic to [[graft.operators.Pipeline.importanceSample]]
+    * (shared occurrence hashing, 6-dp log-ratios, DECIMAL(28,12)
+    * accumulation), so on the same input the stream emits
+    * byte-identical weights. Stream-static join + per-doc aggregation
+    * (update mode — each document is complete within its
+    * micro-batch); zero streaming state.
+    */
+  def dsirScore(docs: DataFrame, logRatios: DataFrame, dim: Int = 256)
+      : DataFrame =
+    graft.operators.Pipeline.importanceOccurrences(docs, dim)
+      .join(logRatios, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (round(sum(col("lr").cast("decimal(28,12)")).cast("double"), 6)
+          + lit(0.0)).as("weight"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(
       start: Long, end: Long, nEvents: Long, sumValue: Double)

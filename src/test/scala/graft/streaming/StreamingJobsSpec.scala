@@ -267,6 +267,39 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scorer matches the batch importance weights byte-for-byte") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train the artifact on the shared sf corpus, score a SUBSET of
+    // the same docs through the stream: weights must equal the batch
+    // operator's rows exactly (shared hashing + identical arithmetic)
+    val lr = graft.operators.Pipeline
+      .importanceLogRatios(spark, graft.TestSpark.sf).localCheckpoint()
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .filter(col("doc_id") < 40 && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = graft.operators.Pipeline
+      .importanceSample(spark, graft.TestSpark.sf)
+      .filter(col("doc_id").isin(docs.map(_._1): _*) && col("n_tok") > 0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tok"), r.getAs[Double]("weight"))))
+      .toMap
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.dsirScore(input.toDF().toDF("doc_id", "text"), lr)
+      .writeStream.format("memory").queryName("dsir_scores")
+      .outputMode("update").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_scores")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_tok"), r.getAs[Double]("weight")))).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming LM scorer matches the batch arithmetic byte-for-byte") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
