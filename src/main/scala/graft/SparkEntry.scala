@@ -80,6 +80,7 @@ object SparkEntry {
     "cypher_labels"         -> (cypher.CypherQueries.labelCounts(_, _)),
     "cypher_path_len"       -> (cypher.CypherQueries.pathLen(_, _)),
     "cypher_shortest_path"  -> (cypher.CypherQueries.shortestPath(_, _)),
+    "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
@@ -1539,6 +1540,21 @@ object SparkEntry {
         |FROM m JOIN nation na ON m.src = na.n_nationkey
         |JOIN nation nb ON m.dst = nb.n_nationkey
         |ORDER BY a_name, b_name""".stripMargin,
+    "cypher_all_shortest" ->
+      // CONTAINS is bipartite (Order-Part), so part-part shortest
+      // distance is exactly 2 and the multiplicity is the closed form
+      // sigma_2 = SUM over shared orders of w(o,a)*w(o,b), where w
+      // counts parallel CONTAINS edges (one per lineitem)
+      """WITH ce AS (
+        |  SELECT l_orderkey AS o, l_partkey AS p, COUNT(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(SUM(a.w * b.w) AS BIGINT) AS n_paths
+        |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+        |  WHERE a.p < 40 AND b.p < 40
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, CAST(2 AS BIGINT) AS hops, n_paths
+        |FROM pp ORDER BY pa, pb""".stripMargin,
     "cypher_path_len" ->
       """WITH e AS (
         |  SELECT n_nationkey AS src,

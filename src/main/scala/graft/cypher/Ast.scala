@@ -152,10 +152,14 @@ object Ast {
     * path introspection (`length(p)` = relationship count).
     * `shortest` marks a `shortestPath(...)` wrapper: the planner keeps
     * only a minimum-hop walk per (start, end) pair instead of every
-    * walk.
+    * walk. `allShortest` marks `allShortestPaths(...)`: same minimum
+    * hop count per pair, but the pair additionally carries its
+    * shortest-path MULTIPLICITY (parallel relationships count as
+    * distinct paths), consumable as `count(p)`.
     */
   final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)],
-      pathVar: Option[String] = None, shortest: Boolean = false) {
+      pathVar: Option[String] = None, shortest: Boolean = false,
+      allShortest: Boolean = false) {
     def nodeVars: Seq[String] =
       (start +: hops.map(_._2)).flatMap(_.variable)
   }

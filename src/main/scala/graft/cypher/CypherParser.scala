@@ -134,14 +134,17 @@ object CypherParser {
               val pv = ident(); eatSym("="); Some(pv)
             case _ => None
           }
-          // `shortestPath((a)-[:T*]->(b))` — lexes as the identifier
-          // SHORTESTPATH followed by '(' '(': the inner '(' opens the
-          // wrapped pattern's start node
-          val shortest = atKw("SHORTESTPATH")
-          if (shortest) { eatKw("SHORTESTPATH"); eatSym("(") }
+          // `shortestPath((a)-[:T*]->(b))` / `allShortestPaths(…)` —
+          // lex as the identifier followed by '(' '(': the inner '('
+          // opens the wrapped pattern's start node
+          val allShortest = atKw("ALLSHORTESTPATHS")
+          val shortest = allShortest || atKw("SHORTESTPATH")
+          if (allShortest) { eatKw("ALLSHORTESTPATHS"); eatSym("(") }
+          else if (shortest) { eatKw("SHORTESTPATH"); eatSym("(") }
           val chain0 = patternChain()
           if (shortest) eatSym(")")
-          val chain = chain0.copy(pathVar = pathVar, shortest = shortest)
+          val chain = chain0.copy(pathVar = pathVar, shortest = shortest,
+            allShortest = allShortest)
           val where =
             if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
           // Cypher semantics: WHERE after OPTIONAL MATCH filters the

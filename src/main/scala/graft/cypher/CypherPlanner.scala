@@ -255,7 +255,8 @@ object CypherPlanner {
           "ORDER BY/SKIP/LIMIT with aggregates inside CALL is unsupported")
         val keyExprs = keyCols.map(col) ++
           plain.map(i => toColumn(i.expr, si.binds).as(i.name))
-        val aggCols = aggs.map(i => toAggColumn(i.expr, si.binds).as(i.name))
+        val aggCols = aggs.map(i =>
+          toAggColumn(i.expr, si.binds, pathCountVars(si.df)).as(i.name))
         val g = si.df.groupBy(keyExprs: _*).agg(aggCols.head, aggCols.tail: _*)
         // count() over zero matches must yield 0, not a dropped row
         val allCounts = plain.isEmpty && aggs.forall(_.expr match {
@@ -527,7 +528,8 @@ object CypherPlanner {
 
     var df =
       if (aggs.nonEmpty) {
-        val aggCols = aggs.map(i => toAggColumn(i.expr, s.binds).as(i.name))
+        val aggCols = aggs.map(i =>
+          toAggColumn(i.expr, s.binds, pathCountVars(s.df)).as(i.name))
         val keyCols = nodeCols ++ scalarCols
         if (keyCols.isEmpty) s.df.agg(aggCols.head, aggCols.tail: _*)
         else s.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -623,7 +625,8 @@ object CypherPlanner {
           "ORDER BY with aggregation must reference output columns")
         val (aggs, keys) = q.items.partition(i => isAggregate(i.expr))
         val keyCols = keys.map(i => toColumn(i.expr, s.binds).as(i.name))
-        val aggCols = aggs.map(i => toAggColumn(i.expr, s.binds).as(i.name))
+        val aggCols = aggs.map(i =>
+          toAggColumn(i.expr, s.binds, pathCountVars(df)).as(i.name))
         if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           // backticks: whole-node expansion names columns `v.prop`
@@ -973,7 +976,10 @@ object CypherPlanner {
         case _ => relForExpand
       }
       val expanded =
-        if (chain.shortest)
+        if (chain.allShortest)
+          shortestRelCounted(orientedRel, rel.varLength.get._1,
+            rel.varLength.get._2)
+        else if (chain.shortest)
           shortestRel(orientedRel, rel.varLength.get._1, rel.varLength.get._2)
         else varLengthRel(orientedRel, rel.varLength)
       // the edge identities this hop consumed, exposed only when some
@@ -1006,10 +1012,14 @@ object CypherPlanner {
         else if (expanded.columns.contains("__eids"))
           Seq(col("__eids").as("__r_reids"))
         else Seq(array(col("__eid")).as("__r_reids"))
+      // shortest-path multiplicity for `count(p)` on allShortestPaths
+      val hopNpCols =
+        if (chain.allShortest) Seq(col("__np").as("__r_np")) else Seq.empty
       val r = expanded
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
           (relPropCols ++ relTypeCol ++ relEndpointCols ++ hopLenCols ++
-            hopNidCols ++ hopReidCols ++ hopEids.map(_.as("__r_eids")).toSeq): _*)
+            hopNidCols ++ hopReidCols ++ hopNpCols ++
+            hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
       val (joinKeyCur, joinKeyNext) = rel.direction match {
@@ -1116,7 +1126,15 @@ object CypherPlanner {
     // the accumulated identities don't leak into later clauses
     if (df != null && df.columns.contains("__chain_eids"))
       df = df.drop("__chain_eids")
+    // unnamed allShortestPaths: the multiplicity has no consumer
+    if (chain.pathVar.isEmpty && df != null && df.columns.contains("__r_np"))
+      df = df.drop("__r_np")
     chain.pathVar.foreach { pv =>
+      // shortest-path multiplicity: `count(p)` sums this per group
+      df =
+        if (df.columns.contains("__r_np"))
+          df.withColumnRenamed("__r_np", s"${pv}__@npaths")
+        else df
       df =
         if (df.columns.contains("__path_len"))
           df.withColumnRenamed("__path_len", s"${pv}__@len")
@@ -1202,6 +1220,54 @@ object CypherPlanner {
     * exit read materialized data, and sidesteps the union-self-join
     * constraint-propagation issue. Returns (__src, __dst, __hops).
     */
+  /** `allShortestPaths` expansion: the same level-synchronous BFS as
+    * [[shortestRel]], additionally carrying each pair's shortest-path
+    * MULTIPLICITY `__np` (Brandes' σ counting): parallel
+    * relationships weight the edge (`__w`), and a pair first reached
+    * at level k sums `σ(src, m) · w(m, dst)` over its predecessors —
+    * every shortest walk's prefix is itself a shortest walk, so the
+    * recurrence is exact under the first-reach anti-join. `count(p)`
+    * over the path variable consumes the multiplicity.
+    *
+    * Scale shape identical to [[shortestRel]] (one keyed join + agg +
+    * anti-join per level, frontier localCheckpoint'ed); the weighted
+    * edge list adds one up-front (src, dst)-keyed agg.
+    */
+  private def shortestRelCounted(rel: DataFrame, lo: Int, hi: Int): DataFrame = {
+    require(lo == 1 && hi >= lo && hi <= 10,
+      s"allShortestPaths var-length bounds *$lo..$hi out of supported range")
+    val edges = rel.select(col("__src"), col("__dst"))
+      .groupBy(col("__src"), col("__dst"))
+      .agg(count(lit(1)).as("__w"))
+      .localCheckpoint()
+    var seen = edges.select(col("__src"), col("__dst"),
+      lit(1).as("__hops"), col("__w").cast("long").as("__np"))
+    var frontier = seen.select(col("__src"), col("__dst"), col("__np"))
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val stepped = frontier
+        .join(edges.select(col("__src").as("__m"), col("__dst").as("__n"),
+          col("__w")), col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .groupBy(col("__src"), col("__n"))
+        .agg(sum(col("__np") * col("__w")).as("__np"))
+        .select(col("__src"), col("__n").as("__dst"), col("__np"))
+      val fresh = stepped
+        .join(seen.select(col("__src"), col("__dst")), Seq("__src", "__dst"),
+          "left_anti")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        seen = seen.unionByName(fresh.withColumn("__hops", lit(k))
+          .select(col("__src"), col("__dst"), col("__hops"), col("__np")))
+        frontier = fresh.select(col("__src"), col("__dst"), col("__np"))
+      }
+      k += 1
+    }
+    seen
+  }
+
   private def shortestRel(rel: DataFrame, lo: Int, hi: Int): DataFrame = {
     require(lo == 1 && hi >= lo && hi <= 10,
       s"shortestPath var-length bounds *$lo..$hi out of supported range")
@@ -1641,7 +1707,20 @@ object CypherPlanner {
     case other => other // patterns (EXISTS/COUNT) hold no lambda vars
   }
 
-  private def toAggColumn(e: CExpr, scalars: Bindings): Column = e match {
+  /** Path variables carrying a shortest-path multiplicity
+    * (`allShortestPaths` chains): `count(p)` over them sums the
+    * multiplicities instead of counting rows — the relational
+    * spelling of "one row per path" without enumerating paths.
+    */
+  private def pathCountVars(df: DataFrame): Set[String] =
+    df.columns.collect {
+      case c if c.endsWith("__@npaths") => c.stripSuffix("__@npaths")
+    }.toSet
+
+  private def toAggColumn(e: CExpr, scalars: Bindings,
+      npaths: Set[String] = Set.empty): Column = e match {
+    case FnCall("count", Some(Ident(p)), _, false) if npaths(p) =>
+      sum(col(s"${p}__@npaths")).cast("long")
     case FnCall("count", _, true, _)       => count(lit(1))
     case FnCall("count", Some(a), _, true) => countDistinct(toColumn(a, scalars))
     case FnCall("count", Some(a), _, _)    => count(toColumn(a, scalars))

@@ -624,6 +624,22 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name, length(p) AS hops
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** `allShortestPaths` with `count(p)` — shortest-path MULTIPLICITY
+    * per endpoint pair (parallel CONTAINS relationships are distinct
+    * paths, exactly Neo4j's semantics), here the co-purchase strength
+    * between part pairs through shared orders. Planned as a σ-counting
+    * BFS (CypherPlanner.shortestRelCounted): `count(p)` compiles to a
+    * SUM of the pair's multiplicity — one row per PAIR ever exists;
+    * paths are never enumerated.
+    */
+  def allShortest(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = allShortestPaths((a:Part)-[:CONTAINS*1..2]-(b:Part))
+        |WHERE a.partkey < 40 AND b.partkey < 40 AND a.partkey < b.partkey
+        |RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  count(p) AS n_paths
+        |ORDER BY pa, pb""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

@@ -448,6 +448,29 @@ class CypherPlannerSpec extends AnyFunSuite {
       "RETURN length(p) AS l"))
   }
 
+  test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
+    // directed 1-hop over CONTAINS: count(p) per (order, part) pair
+    // must equal the PARALLEL relationship count (one per lineitem) —
+    // the semantics that distinguishes allShortestPaths from
+    // shortestPath's one-row-per-pair
+    val got = run(
+      "MATCH p = allShortestPaths((o:Order)-[:CONTAINS*1..2]->(b:Part)) " +
+      "WHERE o.orderkey < 200 " +
+      "RETURN o.orderkey AS ok, b.partkey AS pk, count(p) AS np")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") < 200)
+      .groupBy("l_orderkey", "l_partkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == li)
+    // length(p) still reports the shortest hop count per pair
+    val hops = run(
+      "MATCH p = allShortestPaths((o:Order)-[:CONTAINS*1..2]->(b:Part)) " +
+      "WHERE o.orderkey < 200 RETURN length(p) AS h, count(*) AS n")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(hops == Set(1L)) // bipartite: parts are 1 hop from orders
+  }
+
   test("CASE bands and coalesce plug optional-match nulls") {
     val bands = run(
       "MATCH (c:Customer) RETURN CASE WHEN c.acctbal < 0.0 THEN 'neg' " +
