@@ -797,6 +797,70 @@ object OracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.graph.Algorithms.betweennessQuery]]:
+    * σ from a bounded recursive walk enumeration (walks at the
+    * minimum depth ARE the shortest paths — no parallel edges in the
+    * skip-link DAG), then the backward dependency levels unrolled,
+    * each mirroring the engine's round-12 / DECIMAL(38,12) term
+    * accumulation exactly.
+    */
+  def betweenness(maxDepth: Int = 4): String = {
+    val back = new StringBuilder
+    var prev = s"dl$maxDepth"
+    for (l <- (maxDepth - 1) to 1 by -1) {
+      back ++= s""",
+         |c$l AS (
+         |  SELECT s.lm, s.v,
+         |    CAST(SUM(CAST(round(CAST(s.sigma AS DOUBLE)/w.sigma
+         |      * (1.0 + w.delta), 12) AS DECIMAL(38,12))) AS DOUBLE) AS delta
+         |  FROM sg s JOIN e ON e.src = s.v
+         |  JOIN $prev w ON w.lm = s.lm AND w.v = e.dst
+         |  WHERE s.dist = $l GROUP BY 1, 2),
+         |dl$l AS MATERIALIZED (
+         |  SELECT s.lm, s.v, s.sigma, COALESCE(c.delta, 0.0) AS delta
+         |  FROM sg s LEFT JOIN c$l c ON c.lm = s.lm AND c.v = s.v
+         |  WHERE s.dist = $l)""".stripMargin
+      prev = s"dl$l"
+    }
+    val unions = (1 to maxDepth)
+      .map(l => s"SELECT lm, v, delta FROM dl$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE cw AS (
+       |  SELECT c_custkey,
+       |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+       |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+       |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2,
+       |    lead(c_custkey, 8) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d8
+       |  FROM customer),
+       |e AS MATERIALIZED (
+       |  SELECT c_custkey AS src, d1 AS dst FROM cw WHERE d1 IS NOT NULL
+       |  UNION ALL SELECT c_custkey, d2 FROM cw WHERE d2 IS NOT NULL
+       |  UNION ALL SELECT c_custkey, d8 FROM cw WHERE d8 IS NOT NULL),
+       |lmx AS (SELECT c_custkey AS lm FROM cw WHERE rn IN (1, 10)),
+       |walk AS (
+       |  SELECT lm, lm AS v, 0 AS dd FROM lmx
+       |  UNION ALL
+       |  SELECT w.lm, e.dst AS v, w.dd + 1 FROM walk w
+       |  JOIN e ON e.src = w.v WHERE w.dd < $maxDepth),
+       |wc AS (SELECT lm, v, dd, COUNT(*) AS walks FROM walk GROUP BY 1, 2, 3),
+       |sg AS MATERIALIZED (
+       |  SELECT lm, v, dd AS dist, CAST(walks AS BIGINT) AS sigma FROM (
+       |    SELECT lm, v, dd, walks, MIN(dd) OVER (PARTITION BY lm, v) AS md
+       |    FROM wc)
+       |  WHERE dd = md),
+       |dl$maxDepth AS (SELECT lm, v, sigma, 0.0 AS delta FROM sg
+       |  WHERE dist = $maxDepth)$back,
+       |allv AS (
+       |  $unions),
+       |bc AS (SELECT v AS id,
+       |    round(CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0
+       |      AS bc
+       |  FROM allv GROUP BY 1)
+       |SELECT c_custkey AS id, COALESCE(bc.bc, 0.0) + 0.0 AS bc
+       |FROM customer LEFT JOIN bc ON c_custkey = bc.id
+       |ORDER BY id""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.operators.Similarity.pcaPower]] — the
     * power iterations unrolled as CTEs: identical 6-dp decimal means,
     * identical 12-dp product partials into DECIMAL(38,12), the same

@@ -98,6 +98,7 @@ object SparkEntry {
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
+    "graph_betweenness"     -> (graph.Algorithms.betweennessQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "pipeline_curate"   -> (Pipeline.curate(_, _)),
     "pipeline_chunk"    -> (Pipeline.chunkDocs(_, _)),
     "events_range_join" -> (Events.rangeJoin(_, _)),
+    "events_sequence_detect" -> (Events.sequenceDetect(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -206,6 +208,7 @@ object SparkEntry {
     "graph_label_prop"  -> OracleSql.labelProp(),
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
+    "graph_betweenness"   -> OracleSql.betweenness(),
     "graph_closeness" ->
       """WITH RECURSIVE nb AS (
         |  SELECT c_custkey AS src,
@@ -852,6 +855,19 @@ object SparkEntry {
         |  AND e.ts >= p.p_ts - INTERVAL 30 MINUTE AND e.ts <= p.p_ts
         |  AND e.event_id <> p.purchase_id
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "events_sequence_detect" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS t
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, string_agg(t, '' ORDER BY ts, event_id) AS seq,
+        |    COUNT(*) AS n_events
+        |  FROM ev GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT) AS n_vcp,
+        |  CAST(regexp_matches(seq, 'v.*c.*p') AS INT) AS converted,
+        |  CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT) AS n_error_bursts
+        |FROM s ORDER BY user_id""".stripMargin,
     "events_sessionize_native" ->
       // `> 1800` is exact at the boundary: session_window MERGES
       // sessions that touch at a point (an event exactly gap seconds

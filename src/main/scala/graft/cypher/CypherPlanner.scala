@@ -975,12 +975,25 @@ object CypherPlanner {
           relForExpand.unionByName(swapped)
         case _ => relForExpand
       }
+      // shortest-path chains seed the BFS with the start variable's
+      // bound id set (the pre-bound MATCH spelling, or at least the
+      // start label's scan): sources outside the binding can never
+      // survive the later join, so expanding them is pure waste — the
+      // difference between all-pairs BFS over the whole edge set and
+      // a frontier proportional to the restriction (a 40-part seed
+      // touches ~1k edges where all-pairs touches millions)
+      val bfsSeed: Option[DataFrame] =
+        if (chain.shortest && df != null &&
+            df.columns.contains(s"${cur}__id"))
+          Some(df.select(col(s"${cur}__id").as("__seedid")).distinct())
+        else None
       val expanded =
         if (chain.allShortest)
           shortestRelCounted(orientedRel, rel.varLength.get._1,
-            rel.varLength.get._2)
+            rel.varLength.get._2, bfsSeed)
         else if (chain.shortest)
-          shortestRel(orientedRel, rel.varLength.get._1, rel.varLength.get._2)
+          shortestRel(orientedRel, rel.varLength.get._1,
+            rel.varLength.get._2, bfsSeed)
         else varLengthRel(orientedRel, rel.varLength)
       // the edge identities this hop consumed, exposed only when some
       // other hop of the chain must be kept from reusing them
@@ -1233,14 +1246,20 @@ object CypherPlanner {
     * anti-join per level, frontier localCheckpoint'ed); the weighted
     * edge list adds one up-front (src, dst)-keyed agg.
     */
-  private def shortestRelCounted(rel: DataFrame, lo: Int, hi: Int): DataFrame = {
+  private def shortestRelCounted(rel: DataFrame, lo: Int, hi: Int,
+      seed: Option[DataFrame] = None): DataFrame = {
     require(lo == 1 && hi >= lo && hi <= 10,
       s"allShortestPaths var-length bounds *$lo..$hi out of supported range")
     val edges = rel.select(col("__src"), col("__dst"))
       .groupBy(col("__src"), col("__dst"))
       .agg(count(lit(1)).as("__w"))
       .localCheckpoint()
-    var seen = edges.select(col("__src"), col("__dst"),
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    var seen = e0.select(col("__src"), col("__dst"),
       lit(1).as("__hops"), col("__w").cast("long").as("__np"))
     var frontier = seen.select(col("__src"), col("__dst"), col("__np"))
     var k = 2
@@ -1268,12 +1287,18 @@ object CypherPlanner {
     seen
   }
 
-  private def shortestRel(rel: DataFrame, lo: Int, hi: Int): DataFrame = {
+  private def shortestRel(rel: DataFrame, lo: Int, hi: Int,
+      seed: Option[DataFrame] = None): DataFrame = {
     require(lo == 1 && hi >= lo && hi <= 10,
       s"shortestPath var-length bounds *$lo..$hi out of supported range")
     val edges = rel.select(col("__src"), col("__dst")).distinct().localCheckpoint()
-    var seen = edges.withColumn("__hops", lit(1))
-    var frontier = edges
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    var seen = e0.withColumn("__hops", lit(1))
+    var frontier = e0
     var k = 2
     var exhausted = hi < 2 || frontier.isEmpty
     while (k <= hi && !exhausted) {

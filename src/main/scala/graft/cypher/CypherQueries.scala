@@ -630,12 +630,17 @@ object CypherQueries {
     * between part pairs through shared orders. Planned as a σ-counting
     * BFS (CypherPlanner.shortestRelCounted): `count(p)` compiles to a
     * SUM of the pair's multiplicity — one row per PAIR ever exists;
-    * paths are never enumerated.
+    * paths are never enumerated. The pre-bound start (`MATCH (a:Part)
+    * WHERE … MATCH p = allShortestPaths((a)-…)`) SEEDS the BFS — the
+    * frontier grows from the 40 bound parts, not all-pairs over the
+    * full edge set (Neo4j itself wants shortest-path endpoints bound;
+    * the unbound spelling still plans, at all-pairs cost).
     */
   def allShortest(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
-      """MATCH p = allShortestPaths((a:Part)-[:CONTAINS*1..2]-(b:Part))
-        |WHERE a.partkey < 40 AND b.partkey < 40 AND a.partkey < b.partkey
+      """MATCH (a:Part) WHERE a.partkey < 40
+        |MATCH p = allShortestPaths((a)-[:CONTAINS*1..2]-(b:Part))
+        |WHERE b.partkey < 40 AND a.partkey < b.partkey
         |RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
         |  count(p) AS n_paths
         |ORDER BY pa, pb""".stripMargin)

@@ -758,8 +758,14 @@ object Algorithms {
     * documented bounded-hop semantic (same family as
     * `graph_sssp_weighted`). The SparkEntry `graph_closeness` query.
     */
-  def closenessQuery(spark: SparkSession, sfDir: String,
-      maxDepth: Int = 16): DataFrame = {
+  /** The per-nation skip-link proximity DAG shared by
+    * [[closenessQuery]] and [[betweennessQuery]] (forward-only d1/d2/
+    * d8 leads ⇒ acyclic, unit-cost, no parallel edges), plus its
+    * landmark set (each nation's 1st and 10th smallest custkeys).
+    * One definition so the two centrality sketches cannot drift.
+    */
+  private def skipLinkGraph(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val c = graft.Tables.customer(spark, sfDir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
@@ -775,6 +781,13 @@ object Algorithms {
       row_number().over(w).as("rn"))
     val landmarks = ranked.filter(col("rn") === 1 || col("rn") === 10)
       .select(col("c_custkey").as("lm"), col("c_custkey").as("id"))
+    (edges, landmarks)
+  }
+
+  def closenessQuery(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 16): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val (edges, landmarks) = skipLinkGraph(spark, sfDir)
     val dist = landmarkDistances(edges, landmarks, maxDepth)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("reached"), sum(col("depth")).as("dist_sum"))
@@ -783,6 +796,88 @@ object Algorithms {
       .select(col("id"),
         coalesce(col("reached"), lit(0L)).as("reached"),
         col("dist_sum"))
+      .orderBy(col("id"))
+  }
+
+  /** Landmark-sampled betweenness centrality (Brandes 2001, the
+    * k-source sampling of Brandes–Pich 2007): from each landmark a
+    * hop-bounded forward BFS accumulates shortest-path counts σ, then
+    * the dependency recurrence runs BACKWARD level by level —
+    * δ(v) = Σ_{w ∈ succ(v), dist(w)=dist(v)+1} σ(v)/σ(w) · (1+δ(w)) —
+    * and a node's betweenness estimate is Σ_landmarks δ(v). The hop
+    * bound is the sketch semantic (same family as [[closenessQuery]]
+    * / `graph_sssp_weighted`): paths longer than `maxDepth` don't
+    * contribute, documented truncation.
+    *
+    * Determinism: σ is exact integer arithmetic; each per-edge
+    * dependency term rounds to 12 dp and accumulates as
+    * DECIMAL(38,12) (order-independent), the cross-landmark sum
+    * likewise, final 6-dp round — the DuckDB oracle (recursive-CTE σ,
+    * backward levels unrolled) reproduces every double exactly.
+    *
+    * 100 TB shape: state is keyed (lm, id) — O(k·V) for k landmarks
+    * like [[landmarkDistances]]; each forward level is one src-keyed
+    * join + (lm, dst) agg + anti-join, each backward level one
+    * src-keyed join + (lm, v) agg. Everything localCheckpoints per
+    * level (flat lineage); nothing collects to the driver.
+    */
+  def betweennessQuery(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 4): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val (edges, landmarks) = skipLinkGraph(spark, sfDir)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    // forward sigma BFS: levels (lm, id, dist, sigma), first-reach only
+    var levels = landmarks.select(col("lm"), col("id")).distinct()
+      .withColumn("dist", lit(0)).withColumn("sigma", lit(1L))
+      .localCheckpoint(true)
+    var frontier = levels
+    var d = 0
+    var drained = false
+    while (d < maxDepth && !drained) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .groupBy(col("lm"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("dst", "id")
+        .join(levels.select(col("lm"), col("id")), Seq("lm", "id"), "left_anti")
+        .withColumn("dist", lit(d + 1))
+        .select(col("lm"), col("id"), col("dist"), col("sigma"))
+        .localCheckpoint(true)
+      if (next.isEmpty) drained = true
+      else { levels = levels.unionByName(next); frontier = next; d += 1 }
+    }
+    val deepest = d
+    // backward dependency accumulation, deepest level first; nodes at
+    // the deepest level have no successors inside the bound → delta 0
+    var withDelta = levels.filter(col("dist") === deepest)
+      .withColumn("delta", lit(0.0)).localCheckpoint(true)
+    val acc = Seq.newBuilder[DataFrame]
+    acc += withDelta.select(col("lm"), col("id"), col("dist"), col("delta"))
+    for (l <- (deepest - 1) to 1 by -1) {
+      val vSide = levels.filter(col("dist") === l)
+      val wSide = withDelta.select(col("lm").as("w_lm"), col("id").as("w_id"),
+        col("sigma").as("w_sigma"), col("delta").as("w_delta"))
+      val contrib = vSide.join(e, vSide("id") === e("src"))
+        .join(wSide, col("lm") === col("w_lm") && col("dst") === col("w_id"))
+        .select(col("lm"), col("id"),
+          round(col("sigma").cast("double") / col("w_sigma")
+            * (lit(1.0) + col("w_delta")), 12).as("t"))
+        .groupBy(col("lm"), col("id"))
+        .agg(sum(col("t").cast("decimal(38,12)")).cast("double").as("delta"))
+      withDelta = vSide.join(contrib, Seq("lm", "id"), "left_outer")
+        .select(col("lm"), col("id"), col("dist"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      acc += withDelta.select(col("lm"), col("id"), col("dist"), col("delta"))
+    }
+    val perNode = acc.result().reduce(_.unionByName(_))
+      .filter(col("dist") >= 1)
+      .groupBy(col("id"))
+      .agg((round(sum(col("delta").cast("decimal(38,12)")).cast("double"), 6)
+        + lit(0.0)).as("bc"))
+    c.select(col("c_custkey").as("id"))
+      .join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), (coalesce(col("bc"), lit(0.0)) + lit(0.0)).as("bc"))
       .orderBy(col("id"))
   }
 }

@@ -347,4 +347,40 @@ object Events {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value_30m"))
       .orderBy(col("purchase_id"))
   }
+
+  /** CEP-style sequence-pattern detection (the MATCH_RECOGNIZE /
+    * Flink-CEP idiom, re-expressed relationally): each user's
+    * time-ordered event types collapse to a compact symbol string
+    * (first letter — distinct across the five types), and patterns
+    * become REGEXES over that string: non-overlapping
+    * view→click→purchase trigrams, an anywhere-ordered conversion
+    * flag, and error-burst counts. Regex counting via
+    * `regexp_extract_all` is left-to-right non-overlapping in both
+    * Java and RE2, so the DuckDB oracle matches literally; the
+    * (ts, event_id) sort key makes same-timestamp ordering
+    * deterministic.
+    *
+    * 100 TB notes: ONE user-keyed exchange carrying 1-byte symbols
+    * (never payloads); the per-user sequence is bounded by that
+    * user's activity — whale sessions would be windowed by day first
+    * (compose with [[sessionize]]), which changes no plumbing.
+    */
+  def sequenceDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("t"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("t")))),
+          s => s.getField("t")), "").as("seq"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        size(regexp_extract_all(col("seq"), lit("vcp"), lit(0)))
+          .cast("long").as("n_vcp"),
+        col("seq").rlike("v.*c.*p").cast("int").as("converted"),
+        size(regexp_extract_all(col("seq"), lit("e+"), lit(0)))
+          .cast("long").as("n_error_bursts"))
+      .orderBy(col("user_id"))
+  }
 }
