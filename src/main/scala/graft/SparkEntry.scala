@@ -191,6 +191,8 @@ object SparkEntry {
     "sample_importance"   -> (Pipeline.importanceSample(_, _)),
     "events_pivot"        -> (Events.pivotDaily(_, _)),
     "events_value_hist"   -> (Events.valueHistogram(_, _)),
+    "events_hopping_window" -> (Events.hoppingWindow(_, _)),
+    "embed_quantize_int8" -> (Similarity.quantizeInt8(_, _)),
     "text_ppl_buckets"    -> (TextAnalysis.pplBuckets(_, _)),
     "pipeline_mix"        -> (Pipeline.mixWeights(_, _)),
     "pipeline_pack"       -> (Pipeline.packChunks(_, _)),
@@ -1147,6 +1149,33 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "events_hopping_window" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(
+        |      ((CAST(floor(epoch(ts) / 900) AS BIGINT) - o.o) * 900)
+        |        * 1000000) AS window_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(o))
+        |SELECT window_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "embed_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS d
+        |  FROM embeddings),
+        |s AS (SELECT d, max(abs(x)) AS scale FROM e GROUP BY d),
+        |c AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN s.scale = 0 THEN 0
+        |         ELSE CAST(floor(x * 127 / s.scale + 0.5) AS INT) END AS code
+        |  FROM e JOIN s USING (d))
+        |SELECT vec_id, COUNT(*) AS n_dims,
+        |  CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  MIN(code) AS code_min, MAX(code) AS code_max,
+        |  CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sat
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_ppl_buckets" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, text FROM documents

@@ -30,6 +30,39 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Hopping (sliding) 1-hour window with a 15-minute slide — the
+    * HOP window of streaming SQL (Flink's SlidingEventTimeWindows;
+    * flink-neo4j pipelines compose it upstream of the connector).
+    * Every event lands in exactly window/slide = 4 windows; Spark's
+    * `window(ts, "1 hour", "15 minutes")` enumerates them
+    * arithmetically at the scan (a codegen'd Expand — no join
+    * against a generated window table).
+    *
+    * 100 TB notes: the expand multiplies rows ×4 BEFORE the
+    * shuffle, but hash partial aggregation collapses them map-side
+    * to at most windows×types partials per task, so the exchange
+    * carries group partials, not events. The same operator runs
+    * incrementally under a watermark (StreamingJobs.hoppingAgg —
+    * spec-pinned); state is bounded by watermark horizon × 4 open
+    * windows per type.
+    */
+  def hoppingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    hoppingWindowOn(Tables.events(spark, sfDir))
+
+  /** Core of [[hoppingWindow]] over an arbitrary (ts, event_type,
+    * value) frame — shared with the spec's boundary pins.
+    */
+  def hoppingWindowOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Daily event-type pivot — the wide activity matrix
     * (day × event_type → count) reporting layers ask for. Uses
     * Spark's native `pivot` WITH an explicit value list: declaring

@@ -361,6 +361,48 @@ object Similarity {
       .orderBy(col("d"))
   }
 
+  /** Symmetric int8 scalar quantization of the embedding corpus —
+    * the serving-memory trick (4× smaller vectors, int8 SIMD dot
+    * products). Per-dimension scale = max |x| over the corpus;
+    * code = half-up round of 127·x/scale, so codes span [−127, 127]
+    * and each dimension's extreme saturates by construction. Output
+    * is per-vector code diagnostics in exact integers — the
+    * hash-stable spelling of "did quantization preserve the vector"
+    * (code_sum drift ≈ quantization bias; n_sat counts saturated
+    * dims).
+    *
+    * 100 TB notes: the scale pass is the [[dimStats]] exchange — ONE
+    * shuffle keyed by the 64 dimension ids, map-side partials, cost
+    * independent of corpus size past the scan; the 64 scales then
+    * ride back as a broadcast 1-row array and quantization itself is
+    * a pure per-row `zip_with` map (no second shuffle, no join). The
+    * half-up `floor(x·127/s + 0.5)` is IEEE-deterministic, so codes
+    * are bit-identical across engines — no round-half-even
+    * divergence.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val scales = emb
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(max(abs(col("x"))).as("scale"))
+      .agg(array_sort(collect_list(struct(col("d"), col("scale")))).as("ds"))
+      .select(transform(col("ds"), s => s("scale")).as("scales"))
+    emb.crossJoin(broadcast(scales))
+      .select(col("vec_id"),
+        zip_with(toDouble(col("embedding")), col("scales"),
+          (x, s) => when(s === 0.0, lit(0))
+            .otherwise(floor(x * lit(127.0) / s + lit(0.5)).cast("int")))
+          .as("codes"))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        size(filter(col("codes"), c => abs(c) === 127)).cast("long")
+          .as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Approximate nearest neighbors via random-hyperplane LSH:
     * `nPlanes` signed projections give a bucket id; each query only
     * scores vectors in its own bucket. The scale path for

@@ -33,6 +33,23 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hopping 1-hour/15-minute window counts/sums with a 2-hour
+    * watermark — the streaming twin of Events.hoppingWindow (same
+    * `window(ts, win, slide)` expression, so the batch DuckDB oracle
+    * certifies this plan's arithmetic). State: ≤4 open windows per
+    * event type inside the watermark horizon; windows whose end
+    * passes the watermark are finalized and dropped.
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming twin of exact dedup (graft.operators.Dedup.exact):
     * emit only the first document seen per content hash.
     * dropDuplicatesWithinWatermark holds per-hash state only until the

@@ -18,6 +18,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("int8 quantization saturates exactly at per-dim extremes and bounds codes") {
+    val rows = Similarity.quantizeInt8(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("code_min") >= -127)
+      assert(r.getAs[Int]("code_max") <= 127)
+    }
+    // scale = max|x| per dim means each dimension's extreme vector
+    // quantizes to ±127 — so saturation must occur somewhere in the
+    // corpus (at least one saturated dim overall), but codes never
+    // exceed the symmetric budget
+    assert(rows.map(_.getAs[Long]("n_sat")).sum >= 1L)
+    // reconstruction sanity on one vector: |x − code·s/127| ≤ s/254
+    // (half-up rounding's half-step bound) for every dimension
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf)
+      .orderBy("vec_id").head()
+    val v = emb.getSeq[Float](1).map(_.toDouble)
+    val scales = graft.Tables.embeddings(spark, TestSpark.sf)
+      .selectExpr("posexplode(embedding) as (d, x)")
+      .groupBy("d").agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.col("x").cast("double"))).as("s"))
+      .orderBy("d").collect().map(_.getAs[Double]("s"))
+    v.zip(scales).foreach { case (x, s) =>
+      if (s > 0) {
+        val code = math.floor(x * 127.0 / s + 0.5)
+        assert(math.abs(x - code * s / 127.0) <= s / 254.0 + 1e-12)
+      }
+    }
+  }
+
   test("ivf probes recover a meaningful share of the exact top-k") {
     val brute = Similarity.topkBruteforce(spark, TestSpark.sf, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

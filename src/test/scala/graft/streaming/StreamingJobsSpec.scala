@@ -35,6 +35,27 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping window shares the batch 4-windows-per-event math") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.hoppingAgg(events).writeStream
+      .format("memory").queryName("hopagg").outputMode("complete").start()
+    try {
+      // both events inside [00:00, 00:15): the same four hopping
+      // windows (starts 23:15..00:00) accumulate both
+      input.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("hopagg")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == Set(
+        (ts(-45), 2L, 3.0), (ts(-30), 2L, 3.0),
+        (ts(-15), 2L, 3.0), (ts(0), 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits only the first doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
