@@ -56,6 +56,13 @@ object Tables {
       // session conf is never mutated.
       val iso = s.newSession()
       iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generator has shipped `ts` as TIMESTAMP(NANOS) and as
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false); the latter would
+      // infer as TIMESTAMP_NTZ, which unix_micros()/instant pushdown
+      // reject. Disable NTZ inference so both spellings surface as a
+      // session-tz (UTC) instant — numerically identical to the
+      // DuckDB oracle's naive reading of the same stored micros.
+      iso.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // a derived session has its OWN ExperimentalMethods — without
       // this, plans rooted at the events scan (everything the events
       // graph runs) would silently skip graft's optimizer rules, e.g.
