@@ -142,6 +142,7 @@ object SparkEntry {
     "pipeline_chunk"    -> (Pipeline.chunkDocs(_, _)),
     "events_range_join" -> (Events.rangeJoin(_, _)),
     "events_sequence_detect" -> (Events.sequenceDetect(_, _)),
+    "events_session_paths" -> (Events.sessionPaths(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -170,6 +171,8 @@ object SparkEntry {
     "text_quality_model"  -> (TextAnalysis.qualityModel(_, _)),
     "text_gopher"         -> (TextAnalysis.gopherRules(_, _)),
     "text_unigram_lm"     -> (TextAnalysis.unigramLogprob(_, _)),
+    "text_bigram_lm"      -> (TextAnalysis.bigramLogprob(_, _)),
+    "text_zipf"           -> (TextAnalysis.zipfSlope(_, _)),
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
     "text_bpe_train"      -> (TextAnalysis.bpeTrain(_, _)),
@@ -870,6 +873,29 @@ object SparkEntry {
         |  CAST(regexp_matches(seq, 'v.*c.*p') AS INT) AS converted,
         |  CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT) AS n_error_bursts
         |FROM s ORDER BY user_id""".stripMargin,
+    "events_session_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+        |tri AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM z
+        |  WINDOW w AS (PARTITION BY user_id, session_seq
+        |               ORDER BY ts, event_id))
+        |SELECT path, COUNT(*) AS n FROM tri WHERE e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "events_sessionize_native" ->
       // `> 1800` is exact at the boundary: session_window MERGES
       // sessions that touch at a point (an event exactly gap seconds
@@ -1041,6 +1067,47 @@ object SparkEntry {
         |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_logprob
         |FROM t2 JOIN c USING (token) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
+        |t AS (SELECT doc_id,
+        |        list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                    x -> len(x) > 0) AS toks
+        |      FROM d),
+        |tok AS (SELECT doc_id, unnest(toks) AS w1 FROM t),
+        |u AS (SELECT w1, COUNT(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM u),
+        |bi0 AS (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t),
+        |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bi0),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(ln(CAST(cb + 1 AS DOUBLE) / (cu + v)), 6)
+        |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_logprob
+        |FROM bi JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_zipf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
+        |t AS (SELECT doc_id,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |      FROM d),
+        |t2 AS (SELECT token FROM t WHERE len(token) > 0),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+        |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |        FROM c ORDER BY cnt DESC, token LIMIT 100),
+        |r AS (SELECT round(ln(CAST(rank AS DOUBLE)), 12) AS x,
+        |             round(ln(CAST(cnt AS DOUBLE)), 12) AS y FROM top),
+        |s AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |      FROM r)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |    + 0.0 AS intercept
+        |FROM s""".stripMargin,
     "text_gopher" -> {
       val hits = operators.TextAnalysis.stopwords("en").sorted.take(8)
         .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') " +

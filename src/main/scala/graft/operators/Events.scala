@@ -416,4 +416,49 @@ object Events {
           .cast("long").as("n_error_bursts"))
       .orderBy(col("user_id"))
   }
+
+  /** Session path mining: the most common event-type TRIGRAMS taken
+    * inside a session (journey fragments like view>click>purchase),
+    * with sessions cut by [[sessionize]]'s exact 30-minute-gap rule
+    * so the two operators agree on boundaries. Trigrams never cross a
+    * session cut; sessions shorter than 3 events contribute none.
+    * Ties at the top-k boundary break on the path string, so the
+    * result is fully deterministic on both engines.
+    *
+    * 100 TB notes: ONE shuffle on user_id serves both window passes
+    * (session tagging and the two lead()s share the same partitioning
+    * + ordering, Catalyst plans a single exchange+sort); the trigram
+    * count then aggregates into a tiny |types|^3 domain where
+    * map-side partials do virtually all the reduction, and the top-k
+    * sort runs on that collapsed frame, not the corpus.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    sessionPathsOn(Tables.events(spark, sfDir), k)
+
+  /** [[sessionPaths]] over an arbitrary events-shaped frame — the
+    * boundary/count specs drive this directly.
+    */
+  def sessionPathsOn(events: DataFrame, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("e2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -728,4 +728,107 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("token"), col("score"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** Bigram language-model scoring with add-one smoothing — the next
+    * step up from [[unigramLogprob]] in the KenLM-style fluency
+    * ladder: P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), each document scored
+    * by the mean log-conditional-probability of its in-order bigrams.
+    * Word-salad that sails past a unigram filter (common tokens in
+    * impossible orders) scores low here.
+    *
+    * Determinism: per-bigram logprob rounds to 6 dp BEFORE the mean;
+    * the mean accumulates in decimal(28,12) — order-independent, so
+    * parallel Spark and serial DuckDB produce identical bytes.
+    *
+    * 100 TB notes: bigram formation is a lead() window — ONE shuffle
+    * on doc_id, no positional self-join; the bigram model table is
+    * vocab²-bounded but corpus-collapsed by map-side combine; the
+    * scoring join is (w1,w2)-keyed with AQE free to broadcast; the
+    * unigram divisor and V ride along as a broadcast join + 1-row
+    * cross. Per-doc agg reuses the doc_id partitioning.
+    */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w1")))
+      .filter(length(col("w1")) > 0)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("w1"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+    val biCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val uniCounts = toks.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    val lp = round(log((col("cb") + lit(1L)).cast("double") /
+      (col("cu") + col("v")).cast("double")), 6)
+    bigrams.join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", lp)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf-slope corpus QA: least-squares slope of ln(freq) on
+    * ln(rank) over the top-m token frequencies. Natural corpora sit
+    * near −1; a slope far off flags template/boilerplate floods
+    * (too flat) or tiny-vocab synthetic text (too steep) — a
+    * one-number drift monitor for an ingestion feed.
+    *
+    * Determinism: ln(rank)/ln(freq) are per-row doubles of integers
+    * (identical libm inputs on both engines), rounded to 12 dp and
+    * summed in decimal(38,18) — the closed-form slope then divides
+    * two exactly-computed decimals, rounded to 6 dp.
+    *
+    * 100 TB notes: the only corpus-scale work is the vocab count
+    * (map-side combined); ranking happens on the vocab table and the
+    * regression on m rows. The final fold is a 1-row aggregate.
+    */
+  def zipfSlope(spark: SparkSession, sfDir: String, m: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // top-m via TakeOrderedAndProject (distributed partial top-k),
+    // then rank the tiny m-row frame — no vocab-wide single-partition
+    // window
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(m)
+    val ranked = top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")), 12).as("x"),
+        round(log(col("cnt").cast("double")), 12).as("y"))
+      // per-row terms stay double (identical libm inputs both
+      // engines, IEEE multiply is exact-rounded) and are 12-dp
+      // rounded before the decimal sums; decimal×decimal is avoided
+      // entirely (DuckDB's 38-digit width cap rejects it)
+      .select(
+        col("x").cast("decimal(28,12)").as("x"),
+        col("y").cast("decimal(28,12)").as("y"),
+        round(col("x") * col("y"), 12).cast("decimal(28,12)").as("xy"),
+        round(col("x") * col("x"), 12).cast("decimal(28,12)").as("xx"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .select(col("n"),
+        (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          + lit(0.0)).as("slope"),
+        (round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6) + lit(0.0)).as("intercept"))
+  }
 }

@@ -70,4 +70,46 @@ class EventsSpec extends AnyFunSuite {
     assert(sessions.length == 1)
     assert(sessions.head.getAs[Long]("n_events") == 3L)
   }
+
+  test("session paths: trigrams never cross a session cut") {
+    val spk = spark
+    import spk.implicits._
+    // user 10: one 4-event session (2 trigrams) then a >30min gap and
+    // a 3-event session (1 trigram); user 20: 2 events, no trigram
+    val ev = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1.0),
+      (2L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (3L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "view", 1.0),
+      (4L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "purchase", 1.0),
+      (5L, 10L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "view", 1.0),
+      (6L, 10L, java.sql.Timestamp.valueOf("2024-01-01 01:01:00"), "click", 1.0),
+      (7L, 10L, java.sql.Timestamp.valueOf("2024-01-01 01:02:00"), "purchase", 1.0),
+      (8L, 20L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1.0),
+      (9L, 20L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val paths = Events.sessionPathsOn(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 trigrams total; the cross-gap pairs (view,purchase,view) /
+    // (purchase,view,click) from user 10's gap never form
+    assert(paths == Map(
+      "view>click>view" -> 1L,
+      "click>view>purchase" -> 1L,
+      "view>click>purchase" -> 1L))
+  }
+
+  test("session paths: total trigram mass equals sum of per-session max(0, n-2)") {
+    val sf = graft.TestSpark.sf
+    val sessions = Events.sessionize(spark, sf)
+      .selectExpr("greatest(n_events - 2, 0) AS t")
+      .agg(org.apache.spark.sql.functions.sum("t")).as[Long](spk_enc)
+      .collect().head
+    val pathMass = Events.sessionPathsOn(
+        graft.Tables.events(spark, sf), k = Int.MaxValue)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long](spk_enc)
+      .collect().head
+    assert(pathMass == sessions)
+  }
+
+  private def spk_enc: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
 }

@@ -178,4 +178,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     val again = TextAnalysis.bpeTrain(spark, TestSpark.sf, rounds = 4).collect()
     assert(rules.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("bigram LM: scores every multi-token doc, logprobs negative, count right") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val scored = TextAnalysis.bigramLogprob(spark, TestSpark.sf)
+    val rows = scored.collect()
+    // every doc with >= 2 tokens gets a score; mean log-conditional-
+    // probability of a smoothed model is strictly negative
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("mean_logprob") < 0.0))
+    assert(rows.forall(_.getAs[Long]("n_bigrams") > 0L))
+    // n_bigrams == token count - 1 for a spot-checked doc
+    val spot = docs.selectExpr("doc_id",
+        "size(filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)) AS nt")
+      .filter("nt >= 2").limit(1).collect().head
+    val got = rows.find(_.getAs[Long]("doc_id") == spot.getAs[Long]("doc_id")).get
+    assert(got.getAs[Long]("n_bigrams") == spot.getAs[Int]("nt") - 1L)
+  }
+
+  test("zipf slope: negative, rerun-stable, and built from exactly m ranks") {
+    val r = TextAnalysis.zipfSlope(spark, TestSpark.sf, m = 20).collect().head
+    assert(r.getAs[Long]("n") == 20L)
+    // frequency is non-increasing in rank, so the LS slope can't be
+    // positive on any real corpus
+    assert(r.getAs[Double]("slope") < 0.0)
+    val again = TextAnalysis.zipfSlope(spark, TestSpark.sf, m = 20).collect().head
+    assert(r.toSeq == again.toSeq)
+  }
 }
