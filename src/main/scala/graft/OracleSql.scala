@@ -397,38 +397,65 @@ object OracleSql {
     * after these, `asg(vec_id, v, cell, d2)` holds the final
     * assignment — mirroring `Similarity.kmeansAssign`.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtesOn(k, iters, "", "CAST(embedding AS DOUBLE[])")
+
+  /** [[kmeansCtes]] with a CTE-name prefix and an arbitrary vector
+    * expression over `embeddings` — [[pq]] instantiates one block per
+    * subvector slice; the final assignment lands in `${p}asg`.
+    */
+  private def kmeansCtesOn(k: Int, iters: Int, p: String,
+      vexpr: String): String = {
     def d2 = kmeansD2 _
     val steps = (1 until iters).map { j =>
-      s"""a$j AS MATERIALIZED (
+      s"""${p}a$j AS MATERIALIZED (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        ${d2("e.v", "c.cvec")}, c.cell) AS rk
-         |    FROM e CROSS JOIN c${j - 1} c) WHERE rk = 1),
-         |m$j AS (
+         |    FROM ${p}e e CROSS JOIN ${p}c${j - 1} c) WHERE rk = 1),
+         |${p}m$j AS (
          |  SELECT cell, d,
          |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS m
          |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS d
-         |        FROM a$j)
+         |        FROM ${p}a$j)
          |  GROUP BY cell, d),
-         |c$j AS MATERIALIZED (
+         |${p}c$j AS MATERIALIZED (
          |  SELECT c.cell, COALESCE(n.cvec, c.cvec) AS cvec
-         |  FROM c${j - 1} c LEFT JOIN
-         |    (SELECT cell, list(m ORDER BY d) AS cvec FROM m$j GROUP BY cell) n
+         |  FROM ${p}c${j - 1} c LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY d) AS cvec FROM ${p}m$j GROUP BY cell) n
          |    USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS MATERIALIZED (
-       |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e WHERE vec_id < $k),
+    s"""${p}e AS MATERIALIZED (
+       |  SELECT vec_id, $vexpr AS v FROM embeddings),
+       |${p}c0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM ${p}e WHERE vec_id < $k),
        |$steps,
-       |asg AS MATERIALIZED (
+       |${p}asg AS MATERIALIZED (
        |  SELECT vec_id, v, cell, d2 FROM (
        |    SELECT e.vec_id, e.v, c.cell, ${d2("e.v", "c.cvec")} AS d2,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${d2("e.v", "c.cvec")}, c.cell) AS rk
-       |    FROM e CROSS JOIN c${iters - 1} c) WHERE rk = 1)""".stripMargin
+       |    FROM ${p}e e CROSS JOIN ${p}c${iters - 1} c) WHERE rk = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Similarity.pq]]: one kmeans CTE
+    * block per subvector slice, unioned into (vec_id, sub, code,
+    * dist2).
+    */
+  def pq(m: Int = 4, k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
+    val subDim = dim / m
+    val blocks = (0 until m).map { s =>
+      kmeansCtesOn(k, iters, s"s$s",
+        s"(CAST(embedding AS DOUBLE[]))[${s * subDim + 1}:${s * subDim + subDim}]")
+    }.mkString(",\n")
+    val sel = (0 until m).map { s =>
+      s"""SELECT vec_id, CAST($s AS BIGINT) AS sub, CAST(cell AS BIGINT) AS code,
+         |  round(d2, 6) + 0.0 AS dist2 FROM s${s}asg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $blocks
+       |$sel
+       |ORDER BY vec_id, sub""".stripMargin
   }
 
   def kmeans(k: Int = 8, iters: Int = 4): String =

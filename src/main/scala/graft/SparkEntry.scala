@@ -164,6 +164,7 @@ object SparkEntry {
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
     "embed_kmeans"        -> (Similarity.kmeans(_, _)),
+    "embed_pq"            -> (Similarity.pq(_, _)),
     "sim_semantic_dedup"  -> (Similarity.semanticDedup(_, _)),
     "embed_dim_stats"     -> (Similarity.dimStats(_, _)),
     "embed_pca_power"     -> (Similarity.pcaPower(_, _)),
@@ -438,6 +439,7 @@ object SparkEntry {
     // unfiltered incremental dedup
     "dedup_bloom" -> OracleSql.incrementalDedup(),
     "embed_kmeans"      -> OracleSql.kmeans(),
+    "embed_pq"          -> OracleSql.pq(),
     "sim_semantic_dedup" -> OracleSql.semanticDedup(),
     "embed_dim_stats" ->
       """WITH e AS (

@@ -245,14 +245,52 @@ object Similarity {
       .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("dist2"))
       .orderBy(col("vec_id"))
 
+  /** Product quantization (Jégou et al. 2011, the IVFPQ building
+    * block): the vector is split into `m` contiguous subvectors and
+    * each subspace gets its OWN small codebook trained by the same
+    * deterministic Lloyd loop as [[kmeans]] — a vector's code is its
+    * m cell ids, and memory per vector drops from dim floats to m
+    * bytes. Returns one row per (vec_id, sub): the assigned code and
+    * the 6-dp subspace reconstruction error (their sum is the
+    * vector's total quantization error).
+    *
+    * 100 TB notes: each subspace pass is [[kmeans]]'s shape —
+    * broadcast k×(dim/m) codebook, pure-map assignment, per-iter cost
+    * independent of corpus size — and the m passes share the one
+    * embeddings scan (column-pruned to vec_id+embedding). Codebook
+    * training would subsample at real scale; assignment (the
+    * corpus-scale step) is shuffle-free.
+    */
+  def pq(spark: SparkSession, sfDir: String, m: Int = 4, k: Int = 8,
+      iters: Int = 3, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val subDim = dim / m
+    (0 until m).map { s =>
+      kmeansAssignOn(
+          emb.select(col("vec_id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
+          k, iters)
+        .select(col("vec_id"), lit(s.toLong).as("sub"),
+          col("cell").cast("long").as("code"),
+          (round(col("d2"), 6) + lit(0.0)).as("dist2"))
+    }.reduce(_.unionByName(_)).orderBy(col("vec_id"), col("sub"))
+  }
+
   /** Lloyd iterations returning the final assignment WITH the vector
     * still attached: (vec_id, v, cell, d2). Shared by [[kmeans]] and
     * [[semanticDedup]] so both certify the identical clustering.
     */
   private def kmeansAssign(spark: SparkSession, sfDir: String, k: Int,
-      iters: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      iters: Int): DataFrame =
+    kmeansAssignOn(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      k, iters)
+
+  /** [[kmeansAssign]] over an arbitrary (vec_id, v) frame — shared
+    * with [[pq]], which runs it once per subvector slice.
+    */
+  private def kmeansAssignOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
 
     // argmin assignment against a broadcast one-row centroid array;
     // first index of the min distance = smallest cell id among ties

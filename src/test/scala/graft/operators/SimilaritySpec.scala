@@ -254,4 +254,21 @@ class SimilaritySpec extends AnyFunSuite {
     // the synthetic corpus has planted near-dups: some must be caught
     assert(dropped > 0 && dropped < rows.length)
   }
+
+  test("pq: m codes per vector, codes in range, errors nonneg, rerun-stable") {
+    val m = 4; val k = 8
+    val rows = Similarity.pq(spark, TestSpark.sf, m = m, k = k).collect()
+    val n = rows.map(_.getAs[Long]("vec_id")).distinct.length
+    assert(rows.length == n * m)
+    assert(rows.forall { r =>
+      val code = r.getAs[Long]("code")
+      code >= 0 && code < k && r.getAs[Double]("dist2") >= 0.0
+    })
+    // every vector carries exactly subspaces 0..m-1
+    val bySub = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(bySub.values.forall(
+      _.map(_.getAs[Long]("sub")).sorted.toSeq == (0L until m.toLong)))
+    val again = Similarity.pq(spark, TestSpark.sf, m = m, k = k).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
