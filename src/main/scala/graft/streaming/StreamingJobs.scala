@@ -235,6 +235,46 @@ object StreamingJobs {
           / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
   }
 
+  /** Scores a document stream against a STATIC bigram model artifact
+    * (the (w1,w2)→cb and w1→cu tables + vocab size that
+    * [[graft.operators.TextAnalysis.bigramLogprob]] trains) with the
+    * same add-one smoothing: lp = ln((cb+1)/(cu+V)). Bigrams form
+    * IN-ROW (adjacent pairs of the filtered token array via a
+    * transform over indices — no window function, which streaming
+    * forbids), so the operator is stateless: stream-static joins +
+    * one per-doc aggregation in update mode. Unseen bigrams/heads
+    * smooth through LEFT joins (cb=0, cu=0) instead of dropping —
+    * exactly what add-one smoothing is for at serve time; on
+    * model-covered input the scores are byte-identical to the batch
+    * operator (spec-pinned).
+    */
+  def bigramScore(docs: DataFrame, biCounts: DataFrame, uniCounts: DataFrame,
+      vocabV: Long): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      x => length(x) > lit(0))
+    val pairs = docs
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bi"))
+      .select(col("doc_id"), col("bi.w1").as("w1"), col("bi.w2").as("w2"))
+    pairs
+      .join(biCounts, Seq("w1", "w2"), "left")
+      .join(uniCounts, Seq("w1"), "left")
+      .withColumn("lp", round(log(
+        (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + lit(vocabV)).cast("double")), 6))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
+  }
+
   /** Scores a document stream against a STATIC DSIR log-ratio
     * artifact (the bucket→lr table
     * [[graft.operators.Pipeline.importanceLogRatios]] trains) — the

@@ -357,6 +357,45 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bigram scorer matches the batch arithmetic; OOV smooths, not drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ate the cat food"),
+      (3L, "dog and cat and mat"))
+    val docsDf = corpus.toDF("doc_id", "text")
+    val tok = docsDf
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w1")))
+      .filter(length(col("w1")) > 0)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok.withColumn("w2", lead(col("w1"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uniCounts = tok.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = uniCounts.count()
+    // expected: the same scoring plan over the static frame
+    val expected = StreamingJobs.bigramScore(docsDf, biCounts, uniCounts, v)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.bigramScore(
+        input.toDF().toDF("doc_id", "text"), biCounts, uniCounts, v)
+      .writeStream.format("memory").queryName("bigram_scores")
+      .outputMode("update").start()
+    try {
+      // one in-model doc and one with bigrams the model never saw
+      input.addData(corpus.head, (9L, "cat mat zebra"))
+      q.processAllAvailable()
+      val got = spark.table("bigram_scores")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got(1L) == expected(1L))
+      // OOV doc still scores (2 bigrams), strictly below the in-model doc
+      assert(got(9L)._1 == 2L && got(9L)._2 < got(1L)._2)
+    } finally q.stop()
+  }
+
   test("quality router gates and splits a stream exactly like the batch operators") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
