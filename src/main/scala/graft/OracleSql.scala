@@ -487,7 +487,14 @@ object OracleSql {
     * synchronous most-frequent-label steps (ties to the smallest
     * label) unrolled as CTEs.
     */
-  def labelProp(rounds: Int = 3): String = {
+  def labelProp(rounds: Int = 3): String =
+    s"""WITH ${labelPropCtes(rounds)}
+       |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin
+
+  /** The label-propagation CTE block (graph `e`/`s0`, final labels in
+    * `l$rounds`) shared by [[labelProp]] and [[modularity]].
+    */
+  private def labelPropCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { j =>
       s"""n$j AS (
          |  SELECT s.src, l.label, COUNT(*) AS cnt
@@ -501,21 +508,44 @@ object OracleSql {
          |  SELECT l.id, COALESCE(b.label, l.label) AS label
          |  FROM l${j - 1} l LEFT JOIN b$j b USING (id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH nb AS (
+    s"""nb AS (
        |  SELECT c_custkey AS src,
        |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
        |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
        |  FROM customer),
-       |e AS (SELECT src, dst FROM (
+       |e AS MATERIALIZED (SELECT src, dst FROM (
        |  SELECT src, d1 AS dst FROM nb UNION ALL SELECT src, d2 AS dst FROM nb)
        |  WHERE dst IS NOT NULL),
        |s0 AS MATERIALIZED (SELECT src, dst FROM e
        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
        |l0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS id, src AS label FROM s0),
-       |$steps
-       |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin
+       |$steps""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.graph.Algorithms.modularityQuery]]:
+    * label-prop CTEs, then per-community Newman modularity parts from
+    * exact integer aggregates.
+    */
+  def modularity(rounds: Int = 3): String =
+    s"""WITH ${labelPropCtes(rounds)},
+       |lab AS MATERIALIZED (SELECT id, label AS community FROM l$rounds),
+       |mm AS (SELECT COUNT(*) AS m FROM e),
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM s0 GROUP BY 1),
+       |cdeg AS (
+       |  SELECT community, COUNT(*) AS n_nodes, SUM(deg) AS deg_sum
+       |  FROM lab JOIN deg USING (id) GROUP BY 1),
+       |intra AS (
+       |  SELECT la.community, COUNT(*) AS m_intra
+       |  FROM e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+       |  WHERE la.community = lb.community GROUP BY 1)
+       |SELECT c.community, c.n_nodes,
+       |  COALESCE(i.m_intra, 0) AS m_intra, c.deg_sum,
+       |  round(CAST(COALESCE(i.m_intra, 0) AS DOUBLE) / mm.m -
+       |    (CAST(c.deg_sum AS DOUBLE) / (2 * mm.m)) *
+       |    (CAST(c.deg_sum AS DOUBLE) / (2 * mm.m)), 9) + 0.0 AS q_part
+       |FROM cdeg c LEFT JOIN intra i USING (community) CROSS JOIN mm
+       |ORDER BY community""".stripMargin
 
   /** The DuckDB twin of [[graft.graph.Algorithms.kcorePeel]] over the
     * per-nation consecutive-customer graph: exactly `rounds` peeling

@@ -95,6 +95,7 @@ object SparkEntry {
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
     "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
+    "graph_modularity"      -> (graph.Algorithms.modularityQuery(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "events_rolling_avg" -> (Events.rollingAvg(_, _)),
     "pipeline_length_quantiles" -> (Pipeline.lengthQuantiles(_, _)),
     "pipeline_curate"   -> (Pipeline.curate(_, _)),
+    "pipeline_quality_funnel" -> (Pipeline.qualityFunnel(_, _)),
     "pipeline_chunk"    -> (Pipeline.chunkDocs(_, _)),
     "events_range_join" -> (Events.rangeJoin(_, _)),
     "events_sequence_detect" -> (Events.sequenceDetect(_, _)),
@@ -207,11 +209,51 @@ object SparkEntry {
     * implementation is a JVM loop or an iterative program — they
     * re-derive identical values via the shared OracleHash family.
     */
+  /** The Gopher metrics/verdicts SELECT (no ORDER BY) shared by the
+    * text_gopher oracle and the pipeline_quality_funnel wrapper.
+    */
+  private lazy val gopherOracleBase: String = {
+      val hits = operators.TextAnalysis.stopwords("en").sorted.take(8)
+        .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') " +
+          "THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS nw,
+         |    len(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
+         |    len(text) - len(replace(text, '#', '')) AS n_hash,
+         |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE
+         |      len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |          w -> regexp_matches(w, '[a-z]'))) END AS alpha_words,
+         |    $hits AS sh
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |    round(CAST(non_ws AS DOUBLE) / greatest(nw, 1), 6) AS mean_word_len,
+         |    round(CAST(n_hash + n_ell AS DOUBLE) / greatest(nw, 1), 6) AS symbol_ratio,
+         |    round(CAST(alpha_words AS DOUBLE) / greatest(nw, 1), 6) AS alpha_frac,
+         |    CAST(sh AS BIGINT) AS stop_hits
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_word_count,
+         |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_mean_len,
+         |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+         |  CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+         |  CAST(stop_hits >= 2 AS INT) AS r_stops,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |    AND stop_hits >= 2 AS INT) AS keep
+         |FROM r""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters"    -> OracleSql.dedupClusters(),
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),
+    "graph_modularity"  -> OracleSql.modularity(),
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
     "graph_betweenness"   -> OracleSql.betweenness(),
@@ -1110,41 +1152,21 @@ object SparkEntry {
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
         |    + 0.0 AS intercept
         |FROM s""".stripMargin,
-    "text_gopher" -> {
-      val hits = operators.TextAnalysis.stopwords("en").sorted.take(8)
-        .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') " +
-          "THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS nw,
-         |    len(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
-         |    len(text) - len(replace(text, '#', '')) AS n_hash,
-         |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell,
-         |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE
-         |      len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |          w -> regexp_matches(w, '[a-z]'))) END AS alpha_words,
-         |    $hits AS sh
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
-         |    round(CAST(non_ws AS DOUBLE) / greatest(nw, 1), 6) AS mean_word_len,
-         |    round(CAST(n_hash + n_ell AS DOUBLE) / greatest(nw, 1), 6) AS symbol_ratio,
-         |    round(CAST(alpha_words AS DOUBLE) / greatest(nw, 1), 6) AS alpha_frac,
-         |    CAST(sh AS BIGINT) AS stop_hits
-         |  FROM m)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
-         |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_word_count,
-         |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_mean_len,
-         |  CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
-         |  CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
-         |  CAST(stop_hits >= 2 AS INT) AS r_stops,
-         |  CAST(n_words BETWEEN 50 AND 100000
-         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-         |    AND stop_hits >= 2 AS INT) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
-    },
+    "text_gopher" -> (gopherOracleBase + "\nORDER BY doc_id"),
+    "pipeline_quality_funnel" ->
+      s"""WITH g AS ($gopherOracleBase)
+         |SELECT COUNT(*) AS n_docs,
+         |  SUM(CAST(r_word_count AS BIGINT)) AS p_word_count,
+         |  SUM(CAST(r_mean_len AS BIGINT)) AS p_mean_len,
+         |  SUM(CAST(r_symbol AS BIGINT)) AS p_symbol,
+         |  SUM(CAST(r_alpha AS BIGINT)) AS p_alpha,
+         |  SUM(CAST(r_stops AS BIGINT)) AS p_stops,
+         |  SUM(CAST(r_word_count AS BIGINT)) AS c_word_count,
+         |  SUM(CAST(r_word_count * r_mean_len AS BIGINT)) AS c_mean_len,
+         |  SUM(CAST(r_word_count * r_mean_len * r_symbol AS BIGINT)) AS c_symbol,
+         |  SUM(CAST(r_word_count * r_mean_len * r_symbol * r_alpha AS BIGINT)) AS c_alpha,
+         |  SUM(CAST(keep AS BIGINT)) AS n_keep
+         |FROM g""".stripMargin,
     "text_quality" ->
       ("""SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars_m,

@@ -141,6 +141,61 @@ object Algorithms {
       .orderBy(col("id"))
   }
 
+  /** Newman modularity of [[labelPropQuery]]'s communities, reported
+    * per community: Q_c = m_c/m − (d_c/2m)², whose sum is the
+    * partition's modularity — the standard quality gauge for a
+    * community detection run (Q ≈ 0: no better than random; higher:
+    * denser-than-chance communities).
+    *
+    * Determinism: every input to the final expression is an exact
+    * integer aggregate (edge count, intra-community count, degree
+    * sums) and the one double expression evaluates identically on
+    * both engines, 9-dp rounded.
+    *
+    * 100 TB notes: after label propagation, the cost is ONE edge-keyed
+    * join against the (broadcastable) label table taken twice — src
+    * and dst sides — plus community-keyed aggregates over node- and
+    * community-cardinality frames; the global edge count rides in as
+    * a broadcast 1-row aggregate, never a driver collect.
+    */
+  def modularityQuery(spark: SparkSession, sfDir: String,
+      rounds: Int = 3): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"))
+    val edges = nbr.select(col("src"), col("d1").as("dst"))
+      .filter(col("dst").isNotNull)
+      .unionByName(nbr.select(col("src"), col("d2").as("dst"))
+        .filter(col("dst").isNotNull))
+      .localCheckpoint()
+    val labels = labelPropagation(edges, rounds)
+      .select(col("id"), col("label").as("community"))
+    val mRow = edges.agg(count(lit(1)).as("m"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val cdeg = labels.join(deg, Seq("id"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = edges
+      .join(labels.select(col("id").as("src"), col("community").as("ca")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("community").as("cb")), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_intra"))
+    cdeg.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_intra"), lit(0L)).as("m_intra"), col("deg_sum"),
+        (round(coalesce(col("m_intra"), lit(0L)).cast("double") / col("m") -
+          (col("deg_sum").cast("double") / (lit(2L) * col("m"))) *
+          (col("deg_sum").cast("double") / (lit(2L) * col("m"))), 9)
+          + lit(0.0)).as("q_part"))
+      .orderBy(col("community"))
+  }
+
   /** Exact triangle enumeration over an undirected edge list, one row
     * per triangle with the member ids sorted ascending.
     *

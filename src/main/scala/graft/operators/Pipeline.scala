@@ -407,4 +407,39 @@ object Pipeline {
         log((coalesce(col("cnt_r"), lit(0L)) + lit(1)).cast("double") /
           (col("tot_r") + lit(dim))), 6).as("lr"))
   }
+
+  /** Curation-funnel observability: how many documents survive each
+    * Gopher gate, both STANDALONE (each rule applied alone) and
+    * CUMULATIVE (rules applied in sequence — the actual pipeline
+    * order), in one row. The standalone/cumulative split is what a
+    * pipeline operator tunes thresholds with: a rule whose standalone
+    * pass rate is high but whose cumulative step drops many docs is
+    * correlated with an earlier gate, not the binding constraint.
+    *
+    * 100 TB notes: the Gopher projection is a stateless codegen'd
+    * scan map; the funnel is ONE 1-row aggregate of integer flags
+    * with map-side partials — the whole report costs a single pass,
+    * no shuffle of anything document-sized.
+    */
+  def qualityFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = graft.operators.TextAnalysis
+      .gopherProjection(Tables.documents(spark, sfDir))
+    def s(c: org.apache.spark.sql.Column) = sum(c.cast("long"))
+    val c1 = col("r_word_count")
+    val c2 = c1 * col("r_mean_len")
+    val c3 = c2 * col("r_symbol")
+    val c4 = c3 * col("r_alpha")
+    g.agg(
+      count(lit(1)).as("n_docs"),
+      s(col("r_word_count")).as("p_word_count"),
+      s(col("r_mean_len")).as("p_mean_len"),
+      s(col("r_symbol")).as("p_symbol"),
+      s(col("r_alpha")).as("p_alpha"),
+      s(col("r_stops")).as("p_stops"),
+      s(c1).as("c_word_count"),
+      s(c2).as("c_mean_len"),
+      s(c3).as("c_symbol"),
+      s(c4).as("c_alpha"),
+      s(col("keep")).as("n_keep"))
+  }
 }

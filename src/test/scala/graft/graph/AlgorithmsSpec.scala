@@ -179,4 +179,19 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(prof.forall(r => Set(0L, 1L, 2L)(r.getLong(1))))
     assert(prof.forall(r => (r.getLong(1) == 0L) == r.isNullAt(2)))
   }
+
+  test("modularity: parts bounded, intra-edge mass conserved, partition sums sane") {
+    val rows = Algorithms.modularityQuery(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // each part is in (-1, 1); the label-prop communities on the
+    // chain graph are denser than chance, so total Q is positive
+    assert(rows.forall(r => math.abs(r.getAs[Double]("q_part")) < 1.0))
+    assert(rows.map(_.getAs[Double]("q_part")).sum > 0.0)
+    // intra-community edges can't exceed half the degree mass
+    assert(rows.forall(r =>
+      2 * r.getAs[Long]("m_intra") <= r.getAs[Long]("deg_sum")))
+    // degree mass sums to 2m and nodes partition the graph
+    val labels = Algorithms.labelPropQuery(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == labels.length)
+  }
 }

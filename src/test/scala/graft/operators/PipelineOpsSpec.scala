@@ -186,4 +186,23 @@ class PipelineOpsSpec extends AnyFunSuite {
         r.getAs[Long]("tok_start") < r.getAs[Long]("tok_end")))
     }
   }
+
+  test("quality funnel: cumulative gates are monotone and agree with the projection") {
+    val r = Pipeline.qualityFunnel(spark, TestSpark.sf).collect().head
+    def g(n: String) = r.getAs[Long](n)
+    // first cumulative step IS the first standalone rule
+    assert(g("c_word_count") == g("p_word_count"))
+    // each gate only removes documents
+    val chain = Seq(g("n_docs"), g("c_word_count"), g("c_mean_len"),
+      g("c_symbol"), g("c_alpha"), g("n_keep"))
+    assert(chain.zip(chain.tail).forall { case (a, b) => b <= a })
+    // a cumulative count never exceeds that rule's standalone count
+    assert(g("c_mean_len") <= g("p_mean_len") &&
+      g("c_symbol") <= g("p_symbol") && g("c_alpha") <= g("p_alpha"))
+    // and the funnel agrees with the per-doc projection it aggregates
+    val keeps = graft.operators.TextAnalysis
+      .gopherRules(spark, graft.TestSpark.sf)
+      .agg(org.apache.spark.sql.functions.sum("keep")).collect().head.getLong(0)
+    assert(g("n_keep") == keeps)
+  }
 }
