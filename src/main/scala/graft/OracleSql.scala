@@ -383,6 +383,54 @@ object OracleSql {
        |SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.graph.Algorithms.pprQuery]]: the pagerank
+    * CTE skeleton with seed-restricted teleport — p_v = 1/|S| on the
+    * seed set, 0 elsewhere; dangling mass restarts at the seeds.
+    */
+  def ppr(iters: Int = 10, seedMax: Int = 5): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |    (1.0::DOUBLE - 0.85::DOUBLE)*v.p
+         |      + 0.85::DOUBLE*(COALESCE(s.received, 0.0::DOUBLE) + d.dmass*v.p) AS rank
+         |  FROM verts v
+         |  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0.0::DOUBLE) AS dmass
+         |              FROM $prev r LEFT JOIN outdeg o ON r.id = o.src
+         |              WHERE o.src IS NULL) d
+         |  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / o.out_deg) AS received
+         |             FROM edges e
+         |             JOIN $prev r ON e.src = r.id
+         |             JOIN outdeg o ON e.src = o.src
+         |             GROUP BY e.dst) s ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 2000000000 + c_custkey AS src, 3000000000 + c_nationkey AS dst
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 3000000000 + n_nationkey AS src, 4000000000 + n_regionkey AS dst
+       |  FROM nation),
+       |seeds AS MATERIALIZED (
+       |  SELECT 2000000000 + c_custkey AS id FROM customer
+       |  WHERE c_custkey <= $seedMax),
+       |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+       |verts AS MATERIALIZED (
+       |  SELECT u.id,
+       |    CASE WHEN s.id IS NOT NULL THEN 1.0::DOUBLE/ns.n
+       |         ELSE 0.0::DOUBLE END AS p
+       |  FROM (SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)) u
+       |  LEFT JOIN seeds s USING (id) CROSS JOIN ns),
+       |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT id, p AS rank FROM verts),
+       |$iterCtes
+       |SELECT v.id, round(r.rank, 9) + 0.0 AS rank
+       |FROM r$iters r JOIN verts v USING (id) ORDER BY v.id""".stripMargin
+  }
+
   /** Deterministic k-means with the Lloyd iterations unrolled as
     * chained CTEs — identical arithmetic to
     * [[graft.operators.Similarity.kmeans]]: same first-k init, same

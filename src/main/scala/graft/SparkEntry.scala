@@ -90,6 +90,7 @@ object SparkEntry {
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
     "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
+    "graph_ppr"             -> (graph.Algorithms.pprQuery(_, _)),
     "graph_hits"            -> (graph.Algorithms.hitsQuery(_, _)),
     "graph_bfs"             -> (graph.Algorithms.bfsQuery(_, _)),
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
@@ -148,6 +149,7 @@ object SparkEntry {
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "dedup_containment"   -> (Dedup.ngramContainment(_, _)),
     "dedup_substring"     -> (Dedup.substringDup(_, _)),
     "dedup_incremental"   -> (Dedup.incrementalDedup(_, _)),
     "dedup_bloom"         -> (Dedup.bloomIncremental(_, _)),
@@ -524,6 +526,7 @@ object SparkEntry {
     "text_fingerprint"  -> OracleSql.fingerprint(),
     "text_langid"       -> OracleSql.langid,
     "graph_pagerank"    -> OracleSql.pagerank(),
+    "graph_ppr"         -> OracleSql.ppr(),
     "graph_hits"        -> OracleSql.hits(),
     "sim_ann_lsh"       -> OracleSql.annLsh(),
     "q1_agg" ->
@@ -1018,6 +1021,25 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |round(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
         |FROM p WHERE round(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 2, 0) + 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.n_sh AS a_n, b.n_sh AS b_n, COUNT(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id,
+        |round(CAST(inter AS DOUBLE) / least(a_n, b_n), 6) AS containment
+        |FROM p WHERE round(CAST(inter AS DOUBLE) / least(a_n, b_n), 6) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
     "embed_cosine_dup" -> OracleSql.embCosineDup(),
     "sim_topk_bruteforce" ->

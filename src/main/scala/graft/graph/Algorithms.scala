@@ -514,6 +514,83 @@ object Algorithms {
     ranks.select(col("id"), col("rank"))
   }
 
+  /** Personalized PageRank: teleport mass goes to a SEED set instead
+    * of uniformly — rank_v = (1−d)·p_v + d·(received_v + dmass·p_v)
+    * with p_v = 1/|S| for seeds, 0 elsewhere. The standard
+    * random-walk-with-restart relevance score for recommendation /
+    * related-entity queries, converging to mass concentrated around
+    * the seeds.
+    *
+    * Same per-iteration shuffle discipline as [[pageRank]] (whose
+    * static structures and checkpoint-stride policy this reuses):
+    * one contribution aggregation per round; the seed indicator
+    * rides the vertex frame, and dangling mass restarts at the seeds
+    * via the same broadcast 1-row aggregate.
+    */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+      checkpointStride: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesDeg = e.join(outDeg, "src")
+      .repartition(col("src")).localCheckpoint(true)
+    val seedFlag = seeds.select(col("id")).distinct()
+      .withColumn("is_seed", lit(true))
+    val vertices = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .join(outDeg.select(col("src").as("id"), lit(true).as("has_out")),
+        Seq("id"), "left_outer")
+      .join(seedFlag, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("has_out"), lit(false)).as("has_out"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .repartition(col("id")).localCheckpoint(true)
+    val nSeeds = vertices.agg(
+      sum(col("is_seed").cast("long")).as("ns"))
+    val withP = vertices.crossJoin(broadcast(nSeeds))
+      .select(col("id"), col("has_out"),
+        when(col("is_seed"), lit(1.0) / col("ns")).otherwise(lit(0.0)).as("p"))
+      .localCheckpoint(true)
+    var ranks = withP.withColumn("rank", col("p"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("contrib"))
+      val summed = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("received"))
+      val dangling = ranks.filter(!col("has_out"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = withP.join(summed, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("has_out"), col("p"),
+          (lit(1.0 - damping) * col("p") + lit(damping) *
+            (coalesce(col("received"), lit(0.0)) + col("dmass") * col("p")))
+            .as("rank"))
+      if (i % checkpointStride == checkpointStride - 1 || i == iterations - 1)
+        ranks = ranks.localCheckpoint(true)
+      i += 1
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+
+  /** [[personalizedPageRank]] over the TPC-H entity graph, seeded at
+    * the five lowest-key customers — "what is most relevant to this
+    * cohort": their orders stay hot, mass drains through customers to
+    * the shared nation/region spine.
+    */
+  def pprQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    val seeds = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 5)
+      .select((lit(2000000000L) + col("c_custkey")).as("id"))
+    personalizedPageRank(spark, edges, seeds, iterations = 10)
+      .select(col("id"), (round(col("rank"), 9) + lit(0.0)).as("rank"))
+      .orderBy(col("id"))
+  }
+
   /** HITS (Kleinberg hubs & authorities), L1-normalized each
     * half-step. Same iterative discipline as [[pageRank]]: one
     * src-keyed and one dst-keyed exchange per iteration, the L1 norm

@@ -192,7 +192,39 @@ object Dedup {
     * a high-τ pair on their own.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, tau: Double = 0.6,
-      stopShingleCap: Int = 200): DataFrame = {
+      stopShingleCap: Int = 200): DataFrame =
+    ngramPairIntersections(spark, sfDir, stopShingleCap)
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("a_n") + col("b_n") - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Asymmetric near-dup detection by shingle CONTAINMENT
+    * (Broder's measure): inter / min(|A|, |B|) — catches a short
+    * document embedded in a much longer one, where Jaccard is diluted
+    * by the size gap and never fires (|A∩B|/|A∪B| ≤ |A|/|B|). The
+    * classic miss: a quoted article inside a discussion page.
+    * Shares [[ngramPairIntersections]]'s exact candidate machinery
+    * verbatim, so the two measures certify each other's plumbing.
+    */
+  def ngramContainment(spark: SparkSession, sfDir: String,
+      tau: Double = 0.9, stopShingleCap: Int = 200): DataFrame =
+    ngramPairIntersections(spark, sfDir, stopShingleCap)
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("a_n"), col("b_n")), 6))
+      .filter(col("containment") >= tau)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Exact per-candidate-pair shingle intersections — the shared core
+    * of [[ngramJaccard]] and [[ngramContainment]]: returns
+    * (a_id, b_id, inter, a_n, b_n) for every pair sharing at least
+    * one rare shingle (plus the orphan fallback). See inline notes
+    * for the rare/hot split and skew bounds.
+    */
+  private def ngramPairIntersections(spark: SparkSession, sfDir: String,
+      stopShingleCap: Int): DataFrame = {
     // per-doc distinct shingle hash arrays (~50×8 B per doc — the only
     // thing that ever shuffles; text stays at the scan)
     val docs = docShingleHashes(spark, sfDir).persist()
@@ -253,11 +285,7 @@ object Dedup {
       .withColumn("inter", col("rare_inter") +
         when(col("a_hot").isNull || col("b_hot").isNull, lit(0))
           .otherwise(size(array_intersect(col("a_hot"), col("b_hot")))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("a_n") + col("b_n") - col("inter")), 6))
-      .filter(col("jaccard") >= tau)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("a_n"), col("b_n"))
   }
 
   /** Duplicate clusters: exact-duplicate pairs ∪ word-3-gram Jaccard

@@ -194,4 +194,19 @@ class AlgorithmsSpec extends AnyFunSuite {
     val labels = Algorithms.labelPropQuery(spark, TestSpark.sf).collect()
     assert(rows.map(_.getAs[Long]("n_nodes")).sum == labels.length)
   }
+
+  test("personalized pagerank conserves mass and concentrates it at the seeds") {
+    val rows = Algorithms.pprQuery(spark, TestSpark.sf).collect()
+    val mass = rows.map(_.getAs[Double]("rank")).sum
+    // teleport + propagation is mass-conserving (rounding noise only)
+    assert(math.abs(mass - 1.0) < 1e-4)
+    assert(rows.forall(_.getAs[Double]("rank") >= 0.0))
+    // the five seed customers hold more mass than any other customer:
+    // every walk restarts there
+    val cust = rows.filter(r => r.getAs[Long]("id") >= 2000000000L &&
+      r.getAs[Long]("id") < 3000000000L)
+    val (seeds, others) = cust.partition(_.getAs[Long]("id") <= 2000000005L)
+    assert(seeds.map(_.getAs[Double]("rank")).min >
+      others.map(_.getAs[Double]("rank")).max)
+  }
 }

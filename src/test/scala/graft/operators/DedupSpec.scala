@@ -82,4 +82,17 @@ class DedupSpec extends AnyFunSuite {
     val got = df.collect().map(_.getSeq[String](0).toList).toList
     assert(got == List(List("a b c", "b c d"), Nil, Nil))
   }
+
+  test("containment dominates jaccard at the same threshold") {
+    // containment = inter/min(a,b) >= inter/(a+b-inter) = jaccard, so
+    // at equal tau the jaccard pair set is a subset and each kept
+    // pair's containment value is >= its jaccard value
+    val j = Dedup.ngramJaccard(spark, TestSpark.sf, tau = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = Dedup.ngramContainment(spark, TestSpark.sf, tau = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j.keySet.subsetOf(c.keySet))
+    assert(j.forall { case (k, jv) => c(k) >= jv })
+    assert(j.nonEmpty)
+  }
 }
