@@ -146,6 +146,7 @@ object SparkEntry {
     "events_range_join" -> (Events.rangeJoin(_, _)),
     "events_sequence_detect" -> (Events.sequenceDetect(_, _)),
     "events_session_paths" -> (Events.sessionPaths(_, _)),
+    "events_rfm"        -> (Events.rfm(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -188,6 +189,7 @@ object SparkEntry {
     "multimodal_prep"     -> (Multimodal.prep(_, _)),
     "sample_stratified"   -> (Pipeline.stratifiedSample(_, _)),
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
+    "contamination_embedding" -> (Similarity.contaminationEmbedding(_, _)),
     "text_redact"         -> (TextAnalysis.redact(_, _)),
     "text_domains"        -> (TextAnalysis.domains(_, _)),
     "text_entropy"        -> (TextAnalysis.entropy(_, _)),
@@ -943,6 +945,25 @@ object SparkEntry {
         |               ORDER BY ts, event_id))
         |SELECT path, COUNT(*) AS n FROM tri WHERE e3 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "events_rfm" ->
+      """WITH gm AS (SELECT MAX(ts) AS global_max FROM events),
+        |per AS (
+        |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id),
+        |x AS (
+        |  SELECT p.*, date_diff('day', CAST(last_ts AS DATE),
+        |    CAST(gm.global_max AS DATE)) AS recency_days
+        |  FROM per p CROSS JOIN gm),
+        |t AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    CAST(ntile(3) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
+        |    CAST(ntile(3) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f,
+        |    CAST(ntile(3) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m
+        |  FROM x)
+        |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS segment
+        |FROM t ORDER BY user_id""".stripMargin,
     "events_sessionize_native" ->
       // `> 1800` is exact at the boundary: session_window MERGES
       // sessions that touch at a point (an event exactly gap seconds
@@ -1174,6 +1195,30 @@ object SparkEntry {
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
         |    + 0.0 AS intercept
         |FROM s""".stripMargin,
+    "contamination_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT vec_id AS b_id, v AS b_v, nrm AS b_nrm FROM e
+        |      WHERE vec_id % 29 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 29 <> 0),
+        |p AS (
+        |  SELECT c.vec_id, b.b_id,
+        |    round(CASE WHEN c.nrm = 0 OR b.b_nrm = 0 THEN 0
+        |      ELSE list_dot_product(c.v, b.b_v) / (c.nrm * b.b_nrm) END, 6) AS cos
+        |  FROM c CROSS JOIN b),
+        |q AS (SELECT * FROM p WHERE cos >= 0.35),
+        |agg AS (
+        |  SELECT vec_id, COUNT(*) AS n_hits FROM q GROUP BY 1),
+        |best AS (
+        |  SELECT vec_id, cos AS max_cos, b_id AS bench_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cos DESC, b_id) AS rk FROM q)
+        |  WHERE rk = 1)
+        |SELECT a.vec_id, a.n_hits, best.max_cos + 0.0 AS max_cos, best.bench_id
+        |FROM agg a JOIN best USING (vec_id) ORDER BY a.vec_id""".stripMargin,
     "text_gopher" -> (gopherOracleBase + "\nORDER BY doc_id"),
     "pipeline_quality_funnel" ->
       s"""WITH g AS ($gopherOracleBase)

@@ -417,6 +417,47 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** RFM segmentation — the classic user-value triage: per user,
+    * Recency (days since last event, vs the corpus max date),
+    * Frequency (event count), Monetary (exact decimal value sum),
+    * each cut into terciles (1 = best) and combined into the
+    * three-digit segment code marketers act on (111 = champions,
+    * 333 = lost). `ntile` over (metric, user_id) is deterministic on
+    * both engines via the id tie-break — the [[graft.operators
+    * .TextAnalysis.pplBuckets]] precedent.
+    *
+    * 100 TB notes: the corpus-scale work is ONE user-keyed aggregate
+    * with map-side partials; the tercile windows run over the
+    * already-collapsed users frame. At extreme user cardinality the
+    * two-pass quantile-cut (compute the two tercile boundaries per
+    * metric — a tiny agg — then bucket by comparison) replaces the
+    * global ntile sort with the same result; kept as ntile here
+    * because the oracle must hash-match.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max(col("ts")).as("global_max"))
+    val per = ev.groupBy(col("user_id")).agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("recency_days",
+        datediff(to_date(col("global_max")), to_date(col("last_ts"))).cast("long"))
+    val wR = Window.orderBy(col("recency_days"), col("user_id"))
+    val wF = Window.orderBy(col("frequency").desc, col("user_id"))
+    val wM = Window.orderBy(col("monetary").desc, col("user_id"))
+    per
+      .withColumn("r", ntile(3).over(wR).cast("long"))
+      .withColumn("f", ntile(3).over(wF).cast("long"))
+      .withColumn("m", ntile(3).over(wM).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
   /** Session path mining: the most common event-type TRIGRAMS taken
     * inside a session (journey fragments like view>click>purchase),
     * with sessions cut by [[sessionize]]'s exact 30-minute-gap rule

@@ -144,6 +144,43 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Embedding-space decontamination: flag corpus vectors whose
+    * cosine against ANY benchmark vector (the vec_id % benchMod
+    * holdout, mirroring [[graft.operators.Pipeline.contamination]]'s
+    * n-gram split) reaches tau — the semantic-leakage screen that
+    * catches paraphrased benchmark items an exact n-gram overlap
+    * misses. Returns flagged vectors with their hit count, best
+    * score, and the argmax benchmark id (ties → smallest id, via
+    * lexicographic struct max on the 6-dp-rounded score).
+    *
+    * 100 TB notes: the benchmark set is small by construction and
+    * BROADCAST — the corpus-side pass is embarrassingly parallel
+    * map work (|B| dots per vector, the brute-force baseline;
+    * [[embCosineDup]]'s LSH bucketing is the drop-in when |B| grows);
+    * the only shuffle is the per-vector aggregate, already collapsed
+    * to ≤1 row per flagged vector by map-side partials.
+    */
+  def contaminationEmbedding(spark: SparkSession, sfDir: String,
+      benchMod: Long = 29L, tau: Double = 0.35): DataFrame = {
+    val emb = embWithNorm(spark, sfDir)
+    val bench = emb.filter(col("vec_id") % benchMod === 0)
+      .select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("nrm").as("b_nrm"))
+    emb.filter(col("vec_id") % benchMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", round(
+        when(col("nrm") === 0.0 || col("b_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("v"), col("b_v")) / (col("nrm") * col("b_nrm"))), 6))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos"), (-col("b_id")).as("nb"))).as("best"))
+      .select(col("vec_id"), col("n_hits"),
+        (col("best").getField("cos") + lit(0.0)).as("max_cos"),
+        (-col("best").getField("nb")).as("bench_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for
     * (plane, dim), exact in any engine: a squared-permutation integer
     * hash (all ops < 2^62, see [[graft.OracleHash]]) reduced to 24

@@ -110,6 +110,26 @@ class EventsSpec extends AnyFunSuite {
     assert(pathMass == sessions)
   }
 
+  test("rfm: terciles balanced within one, segment encodes the digits") {
+    val rows = Events.rfm(spark, graft.TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // segment is exactly the three tercile digits
+    assert(rows.forall { r =>
+      val (rr, f, m) = (r.getAs[Long]("r"), r.getAs[Long]("f"), r.getAs[Long]("m"))
+      Seq(rr, f, m).forall(d => d >= 1 && d <= 3) &&
+        r.getAs[Long]("segment") == rr * 100 + f * 10 + m
+    })
+    // ntile(3) balance: bucket sizes differ by at most one
+    for (c <- Seq("r", "f", "m")) {
+      val sizes = rows.groupBy(_.getAs[Long](c)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+    // one row per active user
+    val users = graft.Tables.events(spark, graft.TestSpark.sf)
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong == users)
+  }
+
   private def spk_enc: org.apache.spark.sql.Encoder[Long] =
     org.apache.spark.sql.Encoders.scalaLong
 }

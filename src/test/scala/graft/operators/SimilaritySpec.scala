@@ -271,4 +271,17 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.pq(spark, TestSpark.sf, m = m, k = k).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("embedding contamination: flags only non-benchmark vectors above tau") {
+    val benchMod = 29L; val tau = 0.35
+    val rows = Similarity.contaminationEmbedding(
+      spark, TestSpark.sf, benchMod, tau).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getAs[Long]("vec_id") % benchMod != 0 &&
+        r.getAs[Double]("max_cos") >= tau &&
+        r.getAs[Long]("n_hits") >= 1L &&
+        r.getAs[Long]("bench_id") % benchMod == 0
+    })
+  }
 }
