@@ -187,6 +187,7 @@ object SparkEntry {
     "text_length_hist"    -> (TextAnalysis.lengthHistogram(_, _)),
     "multimodal_meta"     -> (Multimodal.meta(_, _)),
     "multimodal_prep"     -> (Multimodal.prep(_, _)),
+    "multimodal_phash"    -> (Multimodal.phashDup(_, _)),
     "sample_stratified"   -> (Pipeline.stratifiedSample(_, _)),
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
     "contamination_embedding" -> (Similarity.contaminationEmbedding(_, _)),
@@ -1408,6 +1409,25 @@ object SparkEntry {
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_phash" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+        |  FROM documents WHERE len(text) > 0),
+        |m AS (
+        |  SELECT doc_id, codes,
+        |    CAST(floor(CAST(list_sum(codes) AS DOUBLE)
+        |      / greatest(len(codes), 1)) AS BIGINT) AS mean_code
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, least(len(codes), 62) + 1),
+        |      i -> CASE WHEN codes[i] > mean_code
+        |        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS phash
+        |  FROM m)
+        |SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+        |FROM h GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY phash""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

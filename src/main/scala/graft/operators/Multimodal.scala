@@ -101,4 +101,44 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "format")
       .orderBy(col("doc_id"))
   }
+
+  /** Perceptual-hash (aHash) near-dup grouping over the media
+    * payload: sample the first 62 payload bytes (the int64 sign bit and bit 62 stay clear, keeping the fold overflow-free on both engines), threshold each
+    * against the payload's own mean byte value, pack the bits into a
+    * 64-bit fingerprint, and group payloads sharing a fingerprint —
+    * the average-hash family image dedup uses, robust to tail edits
+    * an exact content hash is not. On real media the same pipeline
+    * runs over decoded downsampled pixels (the [[decodeStubBatch]]
+    * boundary); byte-level aHash here keeps the oracle exact.
+    *
+    * 100 TB notes: hashing is a per-row codegen'd expression at the
+    * scan (payload bytes never shuffle — only the 8-byte fingerprint
+    * rides the exchange); the duplicate-group aggregate is the
+    * [[Dedup.exact]] shape with map-side partials.
+    */
+  def phashDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val codes = transform(split(t, ""), c => ascii(c))
+    // floor (not truncate-after-double-divide): positive operands make
+    // the two identical, and the oracle spells floor explicitly
+    val meanCode = floor(aggregate(codes, lit(0L), (acc, x) => acc + x)
+      / greatest(size(codes), lit(1))).cast("long")
+    // the DSL's shiftleft only takes a literal shift — the SQL
+    // function accepts a column, so the bit-packing fold is spelled
+    // as an expr over the materialized codes/mean columns
+    val phash = expr(
+      "aggregate(transform(slice(codes, 1, 62), " +
+        "(x, i) -> IF(CAST(x AS BIGINT) > mean_code, " +
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    Tables.documents(spark, sfDir)
+      .filter(length(t) > 0)
+      .withColumn("codes", codes)
+      .withColumn("mean_code", meanCode)
+      .withColumn("phash", phash)
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("phash"))
+  }
 }

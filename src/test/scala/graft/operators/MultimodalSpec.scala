@@ -20,4 +20,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sniffFormat(100) == "jpeg")
     assert(Multimodal.sniffFormat(101) == "wav")
   }
+
+  test("phash groups bound fingerprints and absorb every exact duplicate") {
+    val groups = Multimodal.phashDup(spark, TestSpark.sf).collect()
+    assert(groups.nonEmpty)
+    assert(groups.forall { g =>
+      val h = g.getAs[Long]("phash")
+      h >= 0L && g.getAs[Long]("n_docs") >= 2L && h < (1L << 62)
+    })
+    // identical text => identical fingerprint, so the perceptual
+    // grouping must hold at least the exact-duplicate mass
+    val exactDupDocs = graft.Tables.documents(spark, TestSpark.sf)
+      .groupBy("text").count().filter("count > 1")
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("count"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .collect().head.getLong(0)
+    assert(groups.map(_.getAs[Long]("n_docs")).sum >= exactDupDocs)
+  }
 }
