@@ -1168,12 +1168,19 @@ object SparkEntry {
         |          unnest(generate_series(1, len(toks) - 1)) AS i
         |        FROM t),
         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bi0),
-        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  round(CAST(SUM(CAST(round(ln(CAST(cb + 1 AS DOUBLE) / (cu + v)), 6)
-        |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_logprob
-        |FROM bi JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(ln(CAST(cb + 1 AS DOUBLE) / (cu + v)), 6)
+        |      AS DECIMAL(28,12))) * 1000000000000 AS BIGINT) AS s12
+        |  FROM bi JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n AS n_bigrams,
+        |  CAST(CASE WHEN s12 < 0
+        |    THEN -((-s12 + n * 500000) // (n * 1000000))
+        |    ELSE (s12 + n * 500000) // (n * 1000000) END AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS mean_logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_zipf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
         |t AS (SELECT doc_id,

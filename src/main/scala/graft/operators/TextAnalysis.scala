@@ -771,9 +771,33 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        (round(sum(col("lp").cast("decimal(28,12)")).cast("double")
-          / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
+        sum(col("lp").cast("decimal(28,12)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        meanLogprob6(col("s"), col("n_bigrams")).as("mean_logprob"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Integer-exact half-away-from-zero rounding of a decimal(28,12)
+    * sum divided by a count, at 6 dp — `round(sum/count, 6)` computed
+    * in BIGINT so BOTH engines produce identical bytes even when the
+    * quotient lands exactly on a rounding boundary (where Spark's
+    * BigDecimal-of-toString HALF_UP and DuckDB's binary-double round
+    * disagree by one ulp — observed once in 5000 docs at sf0.1).
+    * The sum is scaled to exact 1e-12 units (|s12| ≲ 1e15, far inside
+    * BIGINT), rounded to micro-units by integer division, and only
+    * then divided by the 1e6 literal — one double op from identical
+    * integers.
+    */
+  private[graft] def meanLogprob6(s: Column, n: Column): Column = {
+    val s12 = (s * lit(1000000000000L)).cast("long")
+    val num = abs(s12) + n * lit(500000L)
+    val den = n * lit(1000000L)
+    // exact integer division without a DSL `div`: num − num%den is an
+    // exact multiple of den and both sides stay ≪ 2^53, so the double
+    // quotient is the exact integer
+    val mAbs = ((num - num % den) / den).cast("long")
+    (when(s12 < 0, -mAbs).otherwise(mAbs).cast("double") / lit(1000000.0)
+      + lit(0.0))
   }
 
   /** Zipf-slope corpus QA: least-squares slope of ln(freq) on
