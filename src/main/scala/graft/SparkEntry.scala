@@ -1149,12 +1149,18 @@ object SparkEntry {
         |      FROM d),
         |t2 AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
         |c AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY 1),
-        |n AS (SELECT SUM(cnt) AS n_total FROM c)
-        |SELECT doc_id, COUNT(*) AS n_tok,
-        |  round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
-        |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_logprob
-        |FROM t2 JOIN c USING (token) CROSS JOIN n
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |n AS (SELECT SUM(cnt) AS n_total FROM c),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |      AS DECIMAL(28,12))) * 1000000000000 AS BIGINT) AS s12
+        |  FROM t2 JOIN c USING (token) CROSS JOIN n GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tok,
+        |  CAST(CASE WHEN s12 < 0
+        |    THEN -((-s12 + n * 500000) // (n * 1000000))
+        |    ELSE (s12 + n * 500000) // (n * 1000000) END AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS mean_logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_bigram_lm" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE len(trim(text)) > 0),
         |t AS (SELECT doc_id,
@@ -1353,13 +1359,19 @@ object SparkEntry {
         |t2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
         |counts AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token),
         |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
-        |scored AS (
-        |  SELECT t2.doc_id, COUNT(*) AS n_tok,
-        |    round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
-        |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0
-        |      AS mean_logprob
+        |agg AS (
+        |  SELECT t2.doc_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6)
+        |      AS DECIMAL(28,12))) * 1000000000000 AS BIGINT) AS s12
         |  FROM t2 JOIN counts USING (token) CROSS JOIN total
-        |  GROUP BY t2.doc_id)
+        |  GROUP BY t2.doc_id),
+        |scored AS (
+        |  SELECT doc_id, n AS n_tok,
+        |    CAST(CASE WHEN s12 < 0
+        |      THEN -((-s12 + n * 500000) // (n * 1000000))
+        |      ELSE (s12 + n * 500000) // (n * 1000000) END AS DOUBLE)
+        |      / 1000000.0 + 0.0 AS mean_logprob
+        |  FROM agg)
         |SELECT s.doc_id, d.lang, s.mean_logprob,
         |  CAST(ntile(3) OVER (PARTITION BY d.lang
         |    ORDER BY s.mean_logprob DESC, s.doc_id) AS BIGINT) AS tercile,

@@ -166,8 +166,9 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tok"),
-        (round(sum(col("lp").cast("decimal(28,12)")).cast("double")
-          / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
+        sum(col("lp").cast("decimal(28,12)")).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        meanLogprob6(col("s"), col("n_tok")).as("mean_logprob"))
       .orderBy(col("doc_id"))
   }
 

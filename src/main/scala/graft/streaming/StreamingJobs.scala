@@ -231,8 +231,10 @@ object StreamingJobs {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tok"),
-        (round(sum(col("lp").cast("decimal(28,12)")).cast("double")
-          / count(lit(1)), 6) + lit(0.0)).as("mean_logprob"))
+        sum(col("lp").cast("decimal(28,12)")).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        graft.operators.TextAnalysis
+          .meanLogprob6(col("s"), col("n_tok")).as("mean_logprob"))
   }
 
   /** Scores a document stream against a STATIC bigram model artifact
