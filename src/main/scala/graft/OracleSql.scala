@@ -535,6 +535,45 @@ object OracleSql {
     * synchronous most-frequent-label steps (ties to the smallest
     * label) unrolled as CTEs.
     */
+  /** DuckDB twin of [[graft.graph.Algorithms.degreeDistQuery]]. */
+  def degreeDist: String =
+    """WITH edges AS (
+      |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 2000000000 + c_custkey AS src, 3000000000 + c_nationkey AS dst
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 3000000000 + n_nationkey AS src, 4000000000 + n_regionkey AS dst
+      |  FROM nation),
+      |d AS (
+      |  SELECT id, SUM(out_d) AS out_degree, SUM(in_d) AS in_degree FROM (
+      |    SELECT src AS id, 1 AS out_d, 0 AS in_d FROM edges
+      |    UNION ALL
+      |    SELECT dst AS id, 0 AS out_d, 1 AS in_d FROM edges)
+      |  GROUP BY id),
+      |b AS (
+      |  SELECT 'out' AS direction,
+      |    CAST(length(bin(out_degree)) - 1 AS BIGINT) AS bucket
+      |  FROM d WHERE out_degree > 0
+      |  UNION ALL
+      |  SELECT 'in' AS direction,
+      |    CAST(length(bin(in_degree)) - 1 AS BIGINT) AS bucket
+      |  FROM d WHERE in_degree > 0)
+      |SELECT direction, bucket, COUNT(*) AS n_nodes
+      |FROM b GROUP BY 1, 2 ORDER BY direction, bucket""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.clusterStats]]: the
+    * cluster CTEs plus a size histogram.
+    */
+  def clusterStats(tau: Double = 0.6): String =
+    clusterCtes(tau) + """,
+      |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+      |szs AS (SELECT cluster, COUNT(*) AS sz FROM cl GROUP BY 1)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(COUNT(*) * sz AS BIGINT) AS n_docs
+      |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   def labelProp(rounds: Int = 3): String =
     s"""WITH ${labelPropCtes(rounds)}
        |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin

@@ -88,6 +88,7 @@ object SparkEntry {
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "cypher_write_merge"    -> (neo4j.CypherPayload.mergeBatches(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
+    "graph_degree_dist"     -> (graph.Algorithms.degreeDistQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
     "graph_pagerank"        -> (graph.Algorithms.pageRankQuery(_, _)),
     "graph_ppr"             -> (graph.Algorithms.pprQuery(_, _)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "dedup_incremental"   -> (Dedup.incrementalDedup(_, _)),
     "dedup_bloom"         -> (Dedup.bloomIncremental(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
+    "dedup_cluster_stats" -> (Dedup.clusterStats(_, _)),
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct(_, _)),
@@ -255,9 +257,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters"    -> OracleSql.dedupClusters(),
+    "dedup_cluster_stats" -> OracleSql.clusterStats(),
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),
+    "graph_degree_dist" -> OracleSql.degreeDist,
     "graph_modularity"  -> OracleSql.modularity(),
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),

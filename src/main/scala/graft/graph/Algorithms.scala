@@ -30,6 +30,38 @@ object Algorithms {
     degrees(edges).orderBy(col("id"))
   }
 
+  /** Log₂-bucketed degree distribution — the graph-shape
+    * observability report (power-law heavy tail vs bell = which
+    * skew strategy the joins need): per (direction, bucket) node
+    * counts where bucket b covers degrees [2^b, 2^(b+1)).
+    *
+    * 100 TB notes: rides [[degrees]]'s single node-keyed exchange,
+    * then collapses into ≤2·log₂(max_degree) rows with map-side
+    * partials — the report costs one tiny aggregation over the
+    * already-computed frame.
+    */
+  def degreeDistQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    val d = degrees(edges)
+    Seq(("out", col("out_degree")), ("in", col("in_degree"))).map {
+      case (dir, deg) =>
+        // floor(log2(d)) spelled as binary-string length − 1: pure
+        // integer arithmetic, immune to the ln(8)/ln(2) =
+        // 2.…96-ulp-under-3 hazard that makes floor(log2) differ
+        // between libm spellings at exact powers of two
+        d.filter(deg > 0)
+          .select((length(bin(deg)) - 1).cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .withColumn("direction", lit(dir))
+    }.reduce(_.unionByName(_))
+      .select(col("direction"), col("bucket"), col("n_nodes"))
+      .orderBy(col("direction"), col("bucket"))
+  }
+
   /** Rounds-bounded k-core peeling: `rounds` iterations of "drop
     * every node with undirected degree < k, and all edges touching
     * it"; returns the surviving nodes with their degrees. The

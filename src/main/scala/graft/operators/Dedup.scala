@@ -324,6 +324,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-size histogram over [[dedupClusters]]'s partition — the
+    * dedup observability report: how much document mass sits in
+    * clusters of size 1 (unique), 2, 3, … (near-dup families). A fat
+    * tail here means boilerplate floods; the singleton share is the
+    * corpus's effective uniqueness rate.
+    *
+    * 100 TB notes: two map-side-combined aggregations over the
+    * already-computed cluster frame (cluster → size, size → count);
+    * nothing document-sized moves.
+    */
+  def clusterStats(spark: SparkSession, sfDir: String, tau: Double = 0.6)
+      : DataFrame =
+    dedupClusters(spark, sfDir, tau)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** MinHash signature + LSH band hashes of one document, computed in
     * a tight JVM loop over the [[graft.OracleHash]] family. One pass
     * over the word 3-gram shingles; per shingle, numPerms `(a·h+b) mod

@@ -195,6 +195,18 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_nodes")).sum == labels.length)
   }
 
+  test("degree distribution partitions the positive-degree nodes") {
+    val rows = Algorithms.degreeDistQuery(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("bucket") >= 0L))
+    val deg = Algorithms.degreesQuery(spark, TestSpark.sf).collect()
+    val outPos = deg.count(_.getAs[Long]("out_degree") > 0L).toLong
+    val inPos = deg.count(_.getAs[Long]("in_degree") > 0L).toLong
+    val byDir = rows.groupBy(_.getAs[String]("direction"))
+      .view.mapValues(_.map(_.getAs[Long]("n_nodes")).sum).toMap
+    assert(byDir("out") == outPos && byDir("in") == inPos)
+  }
+
   test("personalized pagerank conserves mass and concentrates it at the seeds") {
     val rows = Algorithms.pprQuery(spark, TestSpark.sf).collect()
     val mass = rows.map(_.getAs[Double]("rank")).sum

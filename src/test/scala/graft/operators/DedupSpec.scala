@@ -83,6 +83,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got == List(List("a b c", "b c d"), Nil, Nil))
   }
 
+  test("cluster stats conserve document mass") {
+    val stats = Dedup.clusterStats(spark, TestSpark.sf).collect()
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(stats.forall(r => r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")))
+    // a real corpus is mostly singletons
+    val singles = stats.find(_.getAs[Long]("cluster_size") == 1L)
+    assert(singles.exists(_.getAs[Long]("n_clusters") > nDocs / 2))
+  }
+
   test("containment dominates jaccard at the same threshold") {
     // containment = inter/min(a,b) >= inter/(a+b-inter) = jaccard, so
     // at equal tau the jaccard pair set is a subset and each kept
