@@ -37,7 +37,15 @@ for q in qdirs:
         if nrows == 0: fails.append(q)
         continue
     try:
-        oracle_df = con.execute(oracle[q]).fetchdf()
+        cur = con.execute(oracle[q])
+        # The driver hashes raw bytes, so DuckDB result *types* matter:
+        # SUM(BIGINT) silently widens to HUGEINT (int128) and mismatches
+        # Spark's int64 even on value-identical rows (round-7 failures).
+        otypes = {d[0]: str(d[1]) for d in cur.description}
+        hug = [c for c, t in otypes.items() if "HUGEINT" in t.upper() or "INT128" in t.upper()]
+        oracle_df = cur.fetchdf()
+        if hug:
+            print(f"{q:25s} ORACLE-TYPE HUGEINT cols={hug} (driver hash WILL fail)"); fails.append(q); continue
     except Exception as e:
         print(f"{q:25s} ORACLE-SQL-ERROR {e}"); fails.append(q); continue
     sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)

@@ -620,7 +620,7 @@ object OracleSql {
        |mm AS (SELECT COUNT(*) AS m FROM e),
        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM s0 GROUP BY 1),
        |cdeg AS (
-       |  SELECT community, COUNT(*) AS n_nodes, SUM(deg) AS deg_sum
+       |  SELECT community, COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS deg_sum
        |  FROM lab JOIN deg USING (id) GROUP BY 1),
        |intra AS (
        |  SELECT la.community, COUNT(*) AS m_intra

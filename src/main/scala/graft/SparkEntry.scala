@@ -190,6 +190,7 @@ object SparkEntry {
     "multimodal_meta"     -> (Multimodal.meta(_, _)),
     "multimodal_prep"     -> (Multimodal.prep(_, _)),
     "multimodal_phash"    -> (Multimodal.phashDup(_, _)),
+    "multimodal_decoded"  -> (Multimodal.decodedMeta(_, _)),
     "sample_stratified"   -> (Pipeline.stratifiedSample(_, _)),
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
     "contamination_embedding" -> (Similarity.contaminationEmbedding(_, _)),
@@ -1241,16 +1242,16 @@ object SparkEntry {
     "pipeline_quality_funnel" ->
       s"""WITH g AS ($gopherOracleBase)
          |SELECT COUNT(*) AS n_docs,
-         |  SUM(CAST(r_word_count AS BIGINT)) AS p_word_count,
-         |  SUM(CAST(r_mean_len AS BIGINT)) AS p_mean_len,
-         |  SUM(CAST(r_symbol AS BIGINT)) AS p_symbol,
-         |  SUM(CAST(r_alpha AS BIGINT)) AS p_alpha,
-         |  SUM(CAST(r_stops AS BIGINT)) AS p_stops,
-         |  SUM(CAST(r_word_count AS BIGINT)) AS c_word_count,
-         |  SUM(CAST(r_word_count * r_mean_len AS BIGINT)) AS c_mean_len,
-         |  SUM(CAST(r_word_count * r_mean_len * r_symbol AS BIGINT)) AS c_symbol,
-         |  SUM(CAST(r_word_count * r_mean_len * r_symbol * r_alpha AS BIGINT)) AS c_alpha,
-         |  SUM(CAST(keep AS BIGINT)) AS n_keep
+         |  CAST(SUM(CAST(r_word_count AS BIGINT)) AS BIGINT) AS p_word_count,
+         |  CAST(SUM(CAST(r_mean_len AS BIGINT)) AS BIGINT) AS p_mean_len,
+         |  CAST(SUM(CAST(r_symbol AS BIGINT)) AS BIGINT) AS p_symbol,
+         |  CAST(SUM(CAST(r_alpha AS BIGINT)) AS BIGINT) AS p_alpha,
+         |  CAST(SUM(CAST(r_stops AS BIGINT)) AS BIGINT) AS p_stops,
+         |  CAST(SUM(CAST(r_word_count AS BIGINT)) AS BIGINT) AS c_word_count,
+         |  CAST(SUM(CAST(r_word_count * r_mean_len AS BIGINT)) AS BIGINT) AS c_mean_len,
+         |  CAST(SUM(CAST(r_word_count * r_mean_len * r_symbol AS BIGINT)) AS BIGINT) AS c_symbol,
+         |  CAST(SUM(CAST(r_word_count * r_mean_len * r_symbol * r_alpha AS BIGINT)) AS BIGINT) AS c_alpha,
+         |  CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_keep
          |FROM g""".stripMargin,
     "text_quality" ->
       ("""SELECT doc_id,
@@ -1435,7 +1436,7 @@ object SparkEntry {
     "multimodal_phash" ->
       """WITH c AS (
         |  SELECT doc_id,
-        |    list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+        |    list_transform(string_split(substr(text, 1, 64), ''), ch -> ord(ch)) AS codes
         |  FROM documents WHERE len(text) > 0),
         |m AS (
         |  SELECT doc_id, codes,
@@ -1454,6 +1455,13 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(256 + (octet_length(encode(text)) % 64) * 16 AS BIGINT) AS width,
+        |CAST(256 + ((octet_length(encode(text)) // 64) % 64) * 16 AS BIGINT) AS height,
+        |CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |  ELSE 'wav' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decoded" ->
+      """SELECT doc_id,
         |CAST(256 + (octet_length(encode(text)) % 64) * 16 AS BIGINT) AS width,
         |CAST(256 + ((octet_length(encode(text)) // 64) % 64) * 16 AS BIGINT) AS height,
         |CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

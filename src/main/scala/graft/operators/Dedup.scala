@@ -193,7 +193,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, tau: Double = 0.6,
       stopShingleCap: Int = 200): DataFrame =
-    ngramPairIntersections(spark, sfDir, stopShingleCap)
+    ngramPairIntersections(spark, sfDir, stopShingleCap, tau)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("a_n") + col("b_n") - col("inter")), 6))
       .filter(col("jaccard") >= tau)
@@ -210,7 +210,7 @@ object Dedup {
     */
   def ngramContainment(spark: SparkSession, sfDir: String,
       tau: Double = 0.9, stopShingleCap: Int = 200): DataFrame =
-    ngramPairIntersections(spark, sfDir, stopShingleCap)
+    ngramPairIntersections(spark, sfDir, stopShingleCap, tau)
       .withColumn("containment", round(col("inter").cast("double") /
         least(col("a_n"), col("b_n")), 6))
       .filter(col("containment") >= tau)
@@ -219,37 +219,31 @@ object Dedup {
 
   /** Exact per-candidate-pair shingle intersections — the shared core
     * of [[ngramJaccard]] and [[ngramContainment]]: returns
-    * (a_id, b_id, inter, a_n, b_n) for every pair sharing at least
-    * one rare shingle (plus the orphan fallback). See inline notes
-    * for the rare/hot split and skew bounds.
+    * (a_id, b_id, inter, a_n, b_n) for every pair that can clear the
+    * caller's τ. Completeness argument: a qualifying pair has
+    * intersection ≥ τ·min(|A|,|B|), so the smaller side S has fewer
+    * than ⌊(1−τ)|S|⌋+1 shingles OUTSIDE the partner — hence among ANY
+    * ⌊(1−τ)|S|⌋+1 distinct shingles of S ("probe set"), at least one
+    * lies in the partner. Choosing the probe set as S's rare shingles
+    * first (a shared rare shingle is already a rare-join candidate)
+    * plus its globally-least-frequent hot shingles, every qualifying
+    * pair is found either by the rare self-join or by the hot-probe
+    * join. See inline notes for the skew bounds.
     */
   private def ngramPairIntersections(spark: SparkSession, sfDir: String,
-      stopShingleCap: Int): DataFrame = {
+      stopShingleCap: Int, tau: Double): DataFrame = {
     // per-doc distinct shingle hash arrays (~50×8 B per doc — the only
     // thing that ever shuffles; text stays at the scan)
     val docs = docShingleHashes(spark, sfDir).persist()
 
     val inv = docs.select(col("doc_id"), explode(col("shh")).as("h"))
     // candidate generation from RARE shingles only: a shingle shared by
-    // > cap docs is a skew bomb (cap² pairs) and adds nothing a high-τ
-    // pair doesn't already share through rarer shingles
+    // > cap docs is a skew bomb (cap² pairs); rare sharing covers every
+    // qualifying pair whose smaller side has ≥ ⌊(1−τ)n⌋+1 rare shingles
+    // (pigeonhole above)
     val hot = inv.groupBy(col("h")).count()
       .filter(col("count") > stopShingleCap)
     val prunedRare = inv.join(broadcast(hot.select(col("h"))), Seq("h"), "left_anti")
-    // fallback: a doc whose EVERY shingle is hot (pure boilerplate)
-    // would otherwise generate no candidates while the exact oracle
-    // still pairs it — keep each such doc's single rarest shingle, so
-    // boilerplate clusters pair among themselves and the pair volume
-    // stays bounded by the cluster, not cap²
-    val orphanDocs = docs.select(col("doc_id"))
-      .join(prunedRare.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-    val rarestW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("count"), col("h"))
-    val orphanPick = inv.join(orphanDocs, Seq("doc_id"), "left_semi")
-      .join(broadcast(hot), Seq("h"))
-      .withColumn("rnk", row_number().over(rarestW))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("h"))
 
     // exact intersection split by rarity class: rare and hot shingles
     // partition the shingle space, so |A∩B| = |A∩B|_rare + |A∩B|_hot.
@@ -263,14 +257,44 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("rare_inter"))
-    // orphan docs have zero rare shingles (rare_inter = 0) and only
-    // pair among themselves via the picked shingle — disjoint from
-    // rarePairs by construction
-    val orphanPairs = orphanPick.select(col("h"), col("doc_id").as("a_id"))
-      .join(orphanPick.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
+
+    // hot-probe fallback for near-orphan docs (< ⌊(1−τ)n⌋+1 rare
+    // shingles, i.e. ≳τ of the doc is boilerplate): top up the probe
+    // set with the doc's globally-least-frequent hot shingles and pair
+    // against every index doc sharing one. Volume is bounded by
+    // (#near-orphan docs) × (probe top-up) × df(chosen hot shingle) —
+    // near-orphans are the boilerplate tail, and the least-frequent
+    // hot shingles sit just above the cap, not at corpus df. This is
+    // what makes the candidate set COMPLETE for τ-containment when a
+    // mostly-boilerplate doc is embedded in a page (the intersection
+    // is all-hot and the rare join never sees it).
+    val probeSize = (col("n_sh") * lit(1.0 - tau)).cast("long") + lit(1L)
+    val nRare = prunedRare.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rare"))
+    val needHot = docs.select(col("doc_id"), col("n_sh"))
+      .join(nRare, Seq("doc_id"), "left_outer")
+      .withColumn("need_hot", probeSize - coalesce(col("n_rare"), lit(0L)))
+      .filter(col("need_hot") > 0)
+      .select(col("doc_id"), col("need_hot"))
+    val rarestW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("count"), col("h"))
+    val hotProbes = inv.join(broadcast(hot), Seq("h"))
+      .join(needHot, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(rarestW))
+      .filter(col("rnk") <= col("need_hot"))
+      .select(col("doc_id"), col("h"))
+    // pairs reached only through a hot probe share no rare shingle
+    // (else the rare join already has them) → rare_inter = 0
+    val hotProbePairs = hotProbes.select(col("h"), col("doc_id").as("p_id"))
+      .join(inv.select(col("h"), col("doc_id").as("q_id")), Seq("h"))
+      .filter(col("p_id") =!= col("q_id"))
+      .select(least(col("p_id"), col("q_id")).as("a_id"),
+        greatest(col("p_id"), col("q_id")).as("b_id"))
+      .distinct()
+      .join(rarePairs.select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_anti")
       .select(col("a_id"), col("b_id"), lit(0L).as("rare_inter"))
-    val cands = rarePairs.unionByName(orphanPairs)
+    val cands = rarePairs.unionByName(hotProbePairs)
 
     val hotSets = inv.join(broadcast(hot.select(col("h"))), Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hot_shh"))

@@ -102,23 +102,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Declared-query wrapper over [[decoded]]: identical rows, with
+    * the stub decoder's Int metadata widened to int64 so the
+    * driver-facing schema matches [[meta]]'s. This drives the
+    * production decoder slot — the partition-batched `mapPartitions`
+    * boundary a real PIL/JNI decoder replaces — through the oracle
+    * gate, not just the unit spec.
+    */
+  def decodedMeta(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("format"))
+      .orderBy(col("doc_id"))
+
   /** Perceptual-hash (aHash) near-dup grouping over the media
     * payload: sample the first 62 payload bytes (the int64 sign bit and bit 62 stay clear, keeping the fold overflow-free on both engines), threshold each
-    * against the payload's own mean byte value, pack the bits into a
-    * 64-bit fingerprint, and group payloads sharing a fingerprint —
-    * the average-hash family image dedup uses, robust to tail edits
-    * an exact content hash is not. On real media the same pipeline
-    * runs over decoded downsampled pixels (the [[decodeStubBatch]]
-    * boundary); byte-level aHash here keeps the oracle exact.
+    * against the mean byte value of the same bounded 64-byte window,
+    * pack the bits into a 64-bit fingerprint, and group payloads
+    * sharing a fingerprint — the average-hash family image dedup
+    * uses, robust to tail edits an exact content hash is not. On real
+    * media the same pipeline runs over decoded downsampled pixels
+    * (the [[decodeStubBatch]] boundary); byte-level aHash here keeps
+    * the oracle exact.
     *
-    * 100 TB notes: hashing is a per-row codegen'd expression at the
-    * scan (payload bytes never shuffle — only the 8-byte fingerprint
-    * rides the exchange); the duplicate-group aggregate is the
-    * [[Dedup.exact]] shape with map-side partials.
+    * 100 TB notes: the per-row cost is O(64) regardless of document
+    * length — both the mean and the bit fold run over a fixed
+    * 64-char prefix, never the whole payload (a real aHash likewise
+    * sees only the fixed 8×8 downsample, not the full image). Payload
+    * bytes never shuffle — only the 8-byte fingerprint rides the
+    * exchange; the duplicate-group aggregate is the [[Dedup.exact]]
+    * shape with map-side partials.
     */
   def phashDup(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
-    val codes = transform(split(t, ""), c => ascii(c))
+    val codes = transform(split(substring(t, 1, 64), ""), c => ascii(c))
     // floor (not truncate-after-double-divide): positive operands make
     // the two identical, and the oracle spells floor explicitly
     val meanCode = floor(aggregate(codes, lit(0L), (acc, x) => acc + x)

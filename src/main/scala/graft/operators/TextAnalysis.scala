@@ -793,10 +793,16 @@ object TextAnalysis {
     val s12 = (s * lit(1000000000000L)).cast("long")
     val num = abs(s12) + n * lit(500000L)
     val den = n * lit(1000000L)
-    // exact integer division without a DSL `div`: num − num%den is an
-    // exact multiple of den and both sides stay ≪ 2^53, so the double
-    // quotient is the exact integer
-    val mAbs = ((num - num % den) / den).cast("long")
+    // exact integer division without a DSL `div`: seed with a double
+    // quotient, then snap with Long-exact comparisons. The seed's
+    // absolute error is ≈ |q|·6e-16, so it is within ±1 of the true
+    // quotient for any |q| < ~1e15 (mean logprobs give |q| ≤ ~1e8) —
+    // no 2^53 cliff on num itself, which a long document's scaled sum
+    // can exceed
+    val qa = floor(num.cast("double") / den.cast("double")).cast("long")
+    val mAbs = when(qa * den > num, qa - lit(1L))
+      .when((qa + lit(1L)) * den <= num, qa + lit(1L))
+      .otherwise(qa)
     (when(s12 < 0, -mAbs).otherwise(mAbs).cast("double") / lit(1000000.0)
       + lit(0.0))
   }
