@@ -299,8 +299,10 @@ object OracleSql {
        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)""".stripMargin
 
   /** HITS with the power iterations unrolled as chained CTEs —
-    * identical arithmetic to [[graft.graph.Algorithms.hits]] (L1
-    * normalization each half-step, absent scores coalesced to 0),
+    * identical FUSED arithmetic to [[graft.graph.Algorithms.hits]]
+    * (one L1 normalization per full iteration on the hub side, raw
+    * authority sums feed the hub sum directly, authorities normalized
+    * once after the last iteration; absent scores coalesced to 0),
     * rounded to 6 dp on both sides like [[pagerank]].
     */
   def hits(iters: Int = 8): String = {
@@ -308,18 +310,18 @@ object OracleSql {
       s"""ra$k AS MATERIALIZED (
          |  SELECT e.dst AS id, SUM(h.hub) AS rawa
          |  FROM edges e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst),
-         |a$k AS MATERIALIZED (
-         |  SELECT v.id, COALESCE(ra.rawa, 0.0::DOUBLE)/s.anorm AS auth
-         |  FROM verts v LEFT JOIN ra$k ra ON v.id = ra.id
-         |  CROSS JOIN (SELECT SUM(rawa) AS anorm FROM ra$k) s),
          |rh$k AS MATERIALIZED (
-         |  SELECT e.src AS id, SUM(a.auth) AS rawh
-         |  FROM edges e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+         |  SELECT e.src AS id, SUM(ra.rawa) AS rawh
+         |  FROM edges e JOIN ra$k ra ON e.dst = ra.id GROUP BY e.src),
          |h$k AS MATERIALIZED (
          |  SELECT v.id, COALESCE(rh.rawh, 0.0::DOUBLE)/s.hnorm AS hub
          |  FROM verts v LEFT JOIN rh$k rh ON v.id = rh.id
          |  CROSS JOIN (SELECT SUM(rawh) AS hnorm FROM rh$k) s)""".stripMargin
-    }.mkString(",\n")
+    }.mkString(",\n") + s""",
+         |a$iters AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(ra.rawa, 0.0::DOUBLE)/s.anorm AS auth
+         |  FROM verts v LEFT JOIN ra$iters ra ON v.id = ra.id
+         |  CROSS JOIN (SELECT SUM(rawa) AS anorm FROM ra$iters) s)""".stripMargin
     s"""WITH edges AS MATERIALIZED (
        |  SELECT 1000000000 + o_orderkey AS src, 2000000000 + o_custkey AS dst
        |  FROM orders

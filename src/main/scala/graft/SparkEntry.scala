@@ -54,6 +54,7 @@ object SparkEntry {
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
     "cypher_temporal_arith" -> (cypher.CypherQueries.temporalArith(_, _)),
+    "cypher_temporal_arith2" -> (cypher.CypherQueries.temporalArith2(_, _)),
     "cypher_exists_where"   -> (cypher.CypherQueries.existsWhere(_, _)),
     "cypher_count_where"    -> (cypher.CypherQueries.countWhere(_, _)),
     "cypher_pattern_comp"   -> (cypher.CypherQueries.patternComp(_, _)),
@@ -87,6 +88,8 @@ object SparkEntry {
     "cypher_union"          -> (cypher.CypherQueries.unionNations(_, _)),
     "cypher_write_batches"  -> (neo4j.CypherPayload.writeBatches(_, _)),
     "cypher_write_merge"    -> (neo4j.CypherPayload.mergeBatches(_, _)),
+    "cypher_merge_rel"      -> (cypher.CypherQueries.mergeRel(_, _)),
+    "cypher_create_rel"     -> (cypher.CypherQueries.createRel(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_degree_dist"     -> (graph.Algorithms.degreeDistQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -1634,6 +1637,13 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-30 23:59:59' - INTERVAL 7 DAY
         |  AND ts < TIMESTAMP '2024-01-24 00:00:00' + INTERVAL 36 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cypher_temporal_arith2" ->
+      """SELECT event_id AS id,
+        |  CAST(floor(epoch(ts)) - epoch(TIMESTAMP '2023-12-31 00:00:00') AS BIGINT) AS age_secs,
+        |  CAST(CAST(floor(epoch(ts)) - epoch(TIMESTAMP '2023-12-31 00:00:00') AS BIGINT) // 86400 AS BIGINT) AS age_days
+        |FROM events
+        |WHERE floor(epoch(ts)) - epoch(TIMESTAMP '2024-01-01 00:00:00') < 172800
+        |ORDER BY id""".stripMargin,
     "cypher_list_index" ->
       """WITH p AS (SELECT n_name AS nation, string_split(n_name, '_') AS parts
         |           FROM nation)
@@ -1876,6 +1886,29 @@ object SparkEntry {
         |UNION
         |SELECT n_name FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "cypher_merge_rel" ->
+      """WITH newe AS (
+        |  SELECT CAST(2000000000 + c_custkey AS BIGINT) AS src_id,
+        |         CAST(4000000000 + n_regionkey AS BIGINT) AS dst_id
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_custkey <= 100),
+        |olde AS (
+        |  SELECT CAST(3000000000 + n_nationkey AS BIGINT) AS src_id,
+        |         CAST(4000000000 + n_regionkey AS BIGINT) AS dst_id
+        |  FROM nation),
+        |m AS (SELECT src_id, dst_id FROM olde
+        |      UNION SELECT src_id, dst_id FROM newe),
+        |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_writes FROM newe)
+        |SELECT m.src_id, m.dst_id, w.n_writes
+        |FROM m CROSS JOIN w ORDER BY src_id, dst_id""".stripMargin,
+    "cypher_create_rel" ->
+      """WITH newe AS (
+        |  SELECT CAST(1000000000 + l_orderkey AS BIGINT) AS src_id,
+        |         CAST(6000000000 + l_partkey AS BIGINT) AS dst_id
+        |  FROM lineitem WHERE l_partkey <= 5),
+        |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_writes FROM newe)
+        |SELECT newe.src_id, newe.dst_id, w.n_writes
+        |FROM newe CROSS JOIN w ORDER BY src_id, dst_id""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

@@ -193,6 +193,23 @@ object Ast {
     */
   final case class CallClause(imports: Seq[String], inner: Seq[Clause])
       extends Clause
+  /** Engine-side write clause: `MERGE (a)-[:T {props}]->(b)` /
+    * `CREATE (a)-[:T {props}]->(b)` — inserts a relationship between
+    * two node variables bound by earlier reading clauses (the
+    * engine-side analog of the reference's Neo4jOutputFormat write
+    * half, Neo4jOutputFormat.java:104-137, which builds exactly these
+    * UNWIND-batched MERGE/CREATE statements server-side).
+    *
+    * Insert-only CTAS-style semantics over immutable inputs: the
+    * write never mutates the underlying DataFrames — it derives a new
+    * [[graft.graph.PropertyGraph]] whose relationship table for T is
+    * the union (MERGE: deduplicated against existing (src, dst)
+    * pairs; CREATE: multiset) — and later clauses of the same query
+    * read the post-write graph. Constant property maps on the
+    * relationship become literal columns on the new edges.
+    */
+  final case class WriteRelClause(chain: PatternChain, create: Boolean)
+      extends Clause
   final case class ReturnClause(
       distinct: Boolean,
       items: Seq[ReturnItem],

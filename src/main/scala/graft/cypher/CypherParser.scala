@@ -155,6 +155,14 @@ object CypherParser {
             clauses += MatchClause(chain, optional = false)
             where.foreach(clauses += FilterClause(_))
           }
+        } else if (atKw("MERGE") || atKw("CREATE")) {
+          val create = atKw("CREATE")
+          if (create) eatKw("CREATE") else eatKw("MERGE")
+          val chain = patternChain()
+          require(chain.hops.size == 1,
+            "MERGE/CREATE supports exactly one relationship pattern " +
+              "between two bound node variables")
+          clauses += WriteRelClause(chain, create)
         } else if (atKw("UNWIND")) {
           eatKw("UNWIND")
           val list = valueExpr()
@@ -195,7 +203,7 @@ object CypherParser {
           clauses += ReturnClause(distinct, items, sorts, skip, limit)
           sawReturn = true
         } else throw new IllegalArgumentException(
-          s"expected MATCH/OPTIONAL MATCH/WITH/UNWIND/CALL/RETURN at token $pos, got $peek")
+          s"expected MATCH/OPTIONAL MATCH/WITH/UNWIND/CALL/MERGE/CREATE/RETURN at token $pos, got $peek")
         sawAny = true
       }
       require(sawAny, "empty query")
@@ -542,6 +550,21 @@ object CypherParser {
             })) {
           eatSym(".")
           e = FnCall("@" + ident().toLowerCase(java.util.Locale.ROOT), Some(e))
+        } else if (atSym(".") && pos + 1 < toks.length &&
+            (toks(pos + 1) match {
+              // `.seconds` on a duration.inSeconds.between(...) value /
+              // `.days` on inDays — the single component such a
+              // duration carries, so the access is the identity
+              case TId(n) =>
+                val ln = n.toLowerCase(java.util.Locale.ROOT)
+                e match {
+                  case FnCallN("@durbetween_s", _) => ln == "seconds"
+                  case FnCallN("@durbetween_d", _) => ln == "days"
+                  case _                           => false
+                }
+              case _ => false
+            })) {
+          eatSym("."); ident(): Unit // identity component access
         } else if (atSym("[")) {
           // postfix list access: index `xs[i]` (negative = from end)
           // or slice `xs[a..b]` (0-based, end-exclusive, open ends) —
@@ -566,6 +589,28 @@ object CypherParser {
     }
 
     private def primaryExpr(): CExpr = peek match {
+      // `duration.inSeconds.between(a, b)` / `duration.inDays.between`
+      // — Neo4j's single-component duration constructors, the
+      // instant-minus-instant surface (epoch arithmetic; the full
+      // calendar-decomposed `duration.between` is out of scope).
+      // Parsed into reserved @durbetween_s/_d calls.
+      case Some(TId(name))
+          if name.equalsIgnoreCase("duration") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym(".") =>
+        ident(); eatSym(".")
+        val unit = ident().toLowerCase(java.util.Locale.ROOT)
+        require(unit == "inseconds" || unit == "indays",
+          s"duration.$unit unsupported — use duration.inSeconds.between " +
+            "or duration.inDays.between")
+        eatSym(".")
+        val m = ident()
+        require(m.equalsIgnoreCase("between"),
+          s"expected between after duration.$unit, got $m")
+        eatSym("(")
+        val a = addExpr(); eatSym(",")
+        val b = addExpr(); eatSym(")")
+        FnCallN(if (unit == "inseconds") "@durbetween_s" else "@durbetween_d",
+          Seq(a, b))
       case Some(TId(name))
           if name.equalsIgnoreCase("coalesce") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>

@@ -84,6 +84,7 @@ object CypherPlanner {
       case UnwindClause(l, a) => UnwindClause(bx(l), a)
       case CallClause(imp, inner) =>
         CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
+      case w: WriteRelClause => w // pattern props are literals already
       case r: ReturnClause  => r.copy(items = r.items.map(bi))
     })
   }
@@ -128,11 +129,17 @@ object CypherPlanner {
     * scope with imported variables). Returns the final scope and the
     * RETURN result (null when the pipeline has no RETURN).
     */
-  private def planClauses(graph: PropertyGraph, clauses: Seq[Clause],
+  private def planClauses(graph0: PropertyGraph, clauses: Seq[Clause],
       s0: Scope, needs: Set[String]): (Scope, DataFrame) = {
+    // a WriteRelClause swaps in the post-write graph, so clauses after
+    // it (and the RETURN) read the updated relationship tables —
+    // everything before the write planned against the original graph
+    var graph = graph0
     var s = s0
     var out: DataFrame = null
     clauses.foreach {
+      case WriteRelClause(chain, create) =>
+        graph = planWriteRel(graph, s, chain, create)
       case MatchClause(chain, false, _) =>
         val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df,
           needs = Some(needs))
@@ -185,6 +192,67 @@ object CypherPlanner {
         out = planReturn(s2, r.copy(items = items2))
     }
     (s, out)
+  }
+
+  /** Plans `MERGE`/`CREATE` of a single-hop relationship between two
+    * bound node variables (see [[Ast.WriteRelClause]]): derives the
+    * new edge rows from the current frame's endpoint id columns and
+    * returns a graph whose table for the type is the insert-only
+    * union.
+    *
+    * MERGE deduplicates — new (src, dst) pairs are distinct'd and
+    * anti-joined against the existing pairs, so re-running the write
+    * is idempotent (the engine-side twin of the payload builder's
+    * `MERGE` batches, CypherPayload.mergeRelationships). CREATE
+    * appends one edge per frame row, duplicates and all (Cypher
+    * CREATE semantics).
+    *
+    * 100 TB notes: only 16-byte id pairs flow — the anti-join keys on
+    * (__src, __dst), the same partitioning the dedup'd union needs,
+    * and existing edge property columns null-extend lazily via
+    * unionByName. The frame itself is untouched (MERGE preserves
+    * cardinality), so a following RETURN costs nothing extra.
+    */
+  private def planWriteRel(graph: PropertyGraph, s: Scope,
+      chain: PatternChain, create: Boolean): PropertyGraph = {
+    val (rel, endNode) = chain.hops.head
+    val aVar = chain.start.variable.getOrElse(throw new IllegalArgumentException(
+      "MERGE/CREATE start node must be a bound variable"))
+    val bVar = endNode.variable.getOrElse(throw new IllegalArgumentException(
+      "MERGE/CREATE end node must be a bound variable"))
+    require(s.nodeVars.contains(aVar) && s.nodeVars.contains(bVar),
+      s"MERGE/CREATE endpoints ($aVar, $bVar) must be bound by a previous MATCH")
+    require(chain.start.label.isEmpty && endNode.label.isEmpty &&
+        chain.start.props.isEmpty && endNode.props.isEmpty,
+      "MERGE/CREATE endpoints must be bare bound variables (no label/props)")
+    val relType = rel.relType.getOrElse(throw new IllegalArgumentException(
+      "MERGE/CREATE relationship must have a type"))
+    require(rel.altTypes.isEmpty && rel.varLength.isEmpty && rel.variable.isEmpty,
+      "MERGE/CREATE supports a single typed, unnamed, fixed-length relationship")
+    val (srcVar, dstVar) = rel.direction match {
+      case Out => (aVar, bVar)
+      case In  => (bVar, aVar)
+      case Both => throw new IllegalArgumentException(
+        "MERGE/CREATE relationship must be directed")
+    }
+    var newE = s.df.select(col(s"${srcVar}__id").as("__src"),
+      col(s"${dstVar}__id").as("__dst"))
+    rel.props.foreach { case (k, v) => newE = newE.withColumn(k, lit(v)) }
+    val updated = graph.rels.get(relType) match {
+      case None => if (create) newE else newE.distinct()
+      case Some(existing) =>
+        if (create) existing.unionByName(newE, allowMissingColumns = true)
+        else existing.unionByName(
+          newE.distinct().join(existing.select(col("__src"), col("__dst")),
+            Seq("__src", "__dst"), "left_anti"),
+          allowMissingColumns = true)
+    }
+    // the written type's endpoint schema is no longer the declared one
+    // (merged edges may connect other labels) — drop its relEndpoints
+    // entry so type-less expansions keep (never prune) it, which is
+    // always safe
+    graph.copy(rels = graph.rels.updated(relType, updated),
+      relEndpoints = graph.relEndpoints - relType)
   }
 
   /** `CALL { … }` subquery planning.
@@ -726,6 +794,7 @@ object CypherPlanner {
         // elision, never correctness)
         out ++= imports
         out ++= colsNeeded(CypherQuery(inner))
+      case _: WriteRelClause        => () // reads only endpoint __id
       case r: ReturnClause          =>
         walkItems(r.items); r.orderBy.foreach(s0 => walk(s0.expr))
     }
@@ -1491,6 +1560,19 @@ object CypherPlanner {
       case other => throw new IllegalArgumentException(
         s"duration() expects a string literal, got $other")
     }
+    // duration.inSeconds.between(a, b) → total seconds b − a;
+    // duration.inDays.between → whole 24h periods, truncated toward
+    // zero (Neo4j duration component semantics). Pure epoch
+    // arithmetic — codegen'd, constant-folds over literal instants
+    case FnCallN("@durbetween_s", Seq(a, b)) =>
+      (unix_timestamp(toColumn(b, scalars)) -
+        unix_timestamp(toColumn(a, scalars))).cast("long")
+    case FnCallN("@durbetween_d", Seq(a, b)) =>
+      val d = unix_timestamp(toColumn(b, scalars)) -
+        unix_timestamp(toColumn(a, scalars))
+      // d − d%86400 is an exact multiple and |d| ≪ 2^53, so the
+      // double quotient is the exact truncated-toward-zero integer
+      ((d - d % lit(86400L)) / lit(86400L)).cast("long")
     // temporal components (parsed from Neo4j's postfix `.year` form
     // into reserved @-names); all surface as long like Neo4j integers.
     // dayOfWeek is ISO (Monday=1) — Spark's dayofweek is Sunday=1, so

@@ -657,6 +657,41 @@ object CypherQueries {
         |  count(*) AS n
         |ORDER BY band""".stripMargin)
 
+  /** Engine-side `MERGE` of a derived relationship — the write half
+    * the reference performs server-side (Neo4jOutputFormat.java:
+    * 104-137 ships UNWIND-batched MERGE statements) applied to the
+    * engine's own property graph: materialize customer→region
+    * shortcut edges into the existing IN_REGION table, then read the
+    * POST-WRITE merged edge set in the same query. Insert-only
+    * CTAS-style semantics — inputs stay immutable, the query plans
+    * over a derived graph.
+    */
+  def mergeRel(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE c.custkey <= 100
+        |MERGE (c)-[:IN_REGION]->(r)
+        |WITH count(*) AS n_writes
+        |MATCH (x)-[:IN_REGION]->(y)
+        |RETURN id(x) AS src_id, id(y) AS dst_id, n_writes
+        |ORDER BY src_id, dst_id""".stripMargin)
+
+  /** Engine-side `CREATE` of a relationship with a constant property
+    * map: multiset semantics (one edge per matched row, duplicates
+    * preserved — Cypher CREATE, unlike MERGE), written to a
+    * brand-new relationship type that a later clause of the same
+    * query reads back.
+    */
+  def createRel(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)-[:CONTAINS]->(p:Part)
+        |WHERE p.partkey <= 5
+        |CREATE (o)-[:HAS_PART {src: 'lineitem'}]->(p)
+        |WITH count(*) AS n_writes
+        |MATCH (a)-[:HAS_PART]->(b)
+        |RETURN id(a) AS src_id, id(b) AS dst_id, n_writes
+        |ORDER BY src_id, dst_id""".stripMargin)
+
   /** `=~` regex predicate with Neo4j whole-string semantics (the
     * planner anchors the pattern, since Spark's regexp_like matches
     * anywhere). The DuckDB oracle uses regexp_full_match — same
@@ -767,6 +802,22 @@ object CypherQueries {
         |RETURN e.eventType AS event_type, count(*) AS n,
         |  min(e.ts.day) AS d_min, max(e.ts.day) AS d_max
         |ORDER BY event_type""".stripMargin)
+
+  /** `duration.inSeconds.between` / `duration.inDays.between` —
+    * instant-minus-instant arithmetic (the other half of the Neo4j
+    * duration story next to [[temporalArith]]'s literal durations):
+    * age-of-event in seconds and whole days against an anchor
+    * instant, plus a duration-valued comparison in WHERE. Compiles to
+    * epoch arithmetic that constant-folds over the literal side.
+    */
+  def temporalArith2(spark: SparkSession, sfDir: String): DataFrame =
+    runEvents(spark, sfDir,
+      """MATCH (e:Event)
+        |WHERE duration.inSeconds.between(datetime('2024-01-01T00:00:00'), e.ts).seconds < 172800
+        |RETURN e.eventId AS id,
+        |  duration.inSeconds.between(datetime('2023-12-31T00:00:00'), e.ts).seconds AS age_secs,
+        |  duration.inDays.between(datetime('2023-12-31T00:00:00'), e.ts).days AS age_days
+        |ORDER BY id""".stripMargin)
 
   /** Full `EXISTS { MATCH … WHERE … }` subquery — the inner predicate
     * restricts the subquery's own matches before the semi-join, so

@@ -623,13 +623,18 @@ object Algorithms {
       .orderBy(col("id"))
   }
 
-  /** HITS (Kleinberg hubs & authorities), L1-normalized each
-    * half-step. Same iterative discipline as [[pageRank]]: one
-    * src-keyed and one dst-keyed exchange per iteration, the L1 norm
-    * enters as a broadcast 1-row aggregate (never a driver action),
-    * lineage cut on a checkpoint stride. Scores are sign-stable
-    * (non-negative init, non-negative updates), so the norm is never
-    * zero on a graph with edges.
+  /** HITS (Kleinberg hubs & authorities), L1-normalized once per FULL
+    * iteration (normalization fusion): the mid-iteration authority
+    * normalization cancels algebraically — hub_k = A·(aᵣ/‖aᵣ‖₁) /
+    * ‖A·(aᵣ/‖aᵣ‖₁)‖₁ = A·aᵣ / ‖A·aᵣ‖₁ — so each iteration runs the
+    * dst-keyed and src-keyed exchanges BACK TO BACK on raw sums and
+    * pays exactly one broadcast 1-row norm barrier (the hub one);
+    * authorities are normalized once, after the last iteration. Same
+    * iterative discipline as [[pageRank]] otherwise: norms enter as
+    * broadcast 1-row aggregates (never a driver action), lineage cut
+    * on a checkpoint stride. Scores are sign-stable (non-negative
+    * init, non-negative updates), so no norm is ever zero on a graph
+    * with edges. The oracle unrolls this exact fused arithmetic.
     */
   def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 8,
       checkpointStride: Int = 2): DataFrame = {
@@ -643,34 +648,36 @@ object Algorithms {
     // per-iteration frames keep only the NONZERO scores and the full
     // vertex set is zero-filled once at the end — two vertex-sized
     // left-joins per iteration gone (measured ~20% off the query,
-    // with stride-1 checkpoints beating stride 2 on this 4-join
-    // iteration body: 7.5 s vs 9.2 s warm at sf0.1)
+    // with stride-1 checkpoints beating stride 2 on this join-heavy
+    // iteration body)
     var hub = vertices.withColumn("hub", lit(1.0)).localCheckpoint(true)
-    var auth: DataFrame = null
+    var authRaw: DataFrame = null
     var i = 0
     while (i < iterations) {
-      // authority: normalized sum of in-neighbor hub scores
+      // authority raw: sum of in-neighbor hub scores (hub normalized)
       val rawA = e.join(hub.select(col("id"), col("hub")),
           e("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("rawa"))
         .select(col("dst").as("id"), col("rawa"))
-      val aNorm = rawA.agg(sum(col("rawa")).as("anorm"))
-      auth = rawA.crossJoin(broadcast(aNorm))
-        .select(col("id"), (col("rawa") / col("anorm")).as("auth"))
-      // hub: normalized sum of out-neighbor authority scores
-      val rawH = e.join(auth.select(col("id"), col("auth")),
+      authRaw = rawA
+      // hub: normalized sum of out-neighbor RAW authority scores —
+      // the skipped authority normalization folds into this L1
+      val rawH = e.join(rawA.select(col("id"), col("rawa")),
           e("dst") === col("id"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("rawh"))
+        .groupBy(col("src")).agg(sum(col("rawa")).as("rawh"))
         .select(col("src").as("id"), col("rawh"))
       val hNorm = rawH.agg(sum(col("rawh")).as("hnorm"))
       hub = rawH.crossJoin(broadcast(hNorm))
         .select(col("id"), (col("rawh") / col("hnorm")).as("hub"))
       if (i % checkpointStride == checkpointStride - 1 || i == iterations - 1) {
         hub = hub.localCheckpoint(true)
-        auth = auth.localCheckpoint(true)
+        authRaw = authRaw.localCheckpoint(true)
       }
       i += 1
     }
+    val aNorm = authRaw.agg(sum(col("rawa")).as("anorm"))
+    val auth = authRaw.crossJoin(broadcast(aNorm))
+      .select(col("id"), (col("rawa") / col("anorm")).as("auth"))
     vertices
       .join(hub, Seq("id"), "left_outer")
       .join(auth, Seq("id"), "left_outer")

@@ -324,7 +324,33 @@ object Dedup {
     * on (id, label) longs — document text never enters the iteration.
     */
   def dedupClusters(spark: SparkSession, sfDir: String, tau: Double = 0.6)
-      : DataFrame = {
+      : DataFrame =
+    clusterArtifact(spark, sfDir, tau).orderBy(col("doc_id"))
+
+  /** Memoized cluster-assignment ARTIFACT per (session, dir, τ): the
+    * observability family ([[dedupClusters]], [[clusterStats]],
+    * `Pipeline.curate`) all read the same partition of the corpus. In
+    * a production pipeline the clustering runs once and its output is
+    * persisted (the `dedup_incremental` index-artifact pattern); here
+    * the artifact is an eagerly-materialized localCheckpoint holding
+    * only (doc_id, cluster) int64 pairs — corpus-linear but 16 B/doc
+    * — so the pair-graph + component loop is paid once per session,
+    * not once per consuming query.
+    */
+  def clusterArtifact(spark: SparkSession, sfDir: String,
+      tau: Double = 0.6): DataFrame = {
+    if (clusterCache.size > 64) clusterCache.clear() // bound pinning
+    clusterCache.computeIfAbsent((spark, sfDir, tau),
+      k => graft.Artifacts.pinning(k._1) {
+        computeClusters(k._1, k._2, k._3).localCheckpoint(true)
+      })
+  }
+
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), DataFrame]()
+
+  private def computeClusters(spark: SparkSession, sfDir: String,
+      tau: Double): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val exactPairs = hashed.as("a").join(hashed.as("b"),
@@ -345,7 +371,6 @@ object Dedup {
     docs.select(col("doc_id"))
       .join(clustered, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
-      .orderBy(col("doc_id"))
   }
 
   /** Cluster-size histogram over [[dedupClusters]]'s partition — the
@@ -355,12 +380,13 @@ object Dedup {
     * corpus's effective uniqueness rate.
     *
     * 100 TB notes: two map-side-combined aggregations over the
-    * already-computed cluster frame (cluster → size, size → count);
-    * nothing document-sized moves.
+    * already-computed cluster ARTIFACT (cluster → size, size →
+    * count); nothing document-sized moves and the clustering itself
+    * is not recomputed.
     */
   def clusterStats(spark: SparkSession, sfDir: String, tau: Double = 0.6)
       : DataFrame =
-    dedupClusters(spark, sfDir, tau)
+    clusterArtifact(spark, sfDir, tau)
       .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),

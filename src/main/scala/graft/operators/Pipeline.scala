@@ -218,14 +218,15 @@ object Pipeline {
     * cluster, chosen before the quality gate so the survivor set is
     * stable under gate-threshold changes).
     * 100 TB notes: adds exactly one doc_id-keyed join on top of its
-    * two inputs — the quality side is a stateless scan projection,
-    * so the composition's cost IS the clustering cost.
+    * two inputs — the quality side is a stateless scan projection and
+    * the cluster side is the memoized [[Dedup.clusterArtifact]], so
+    * the clustering is computed once per session, not per consumer.
     */
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     val q = graft.operators.TextAnalysis
       .qualityProjection(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("keep").as("keep_q"))
-    val clusters = Dedup.dedupClusters(spark, sfDir)
+    val clusters = Dedup.clusterArtifact(spark, sfDir)
     q.join(clusters, Seq("doc_id"))
       .select(col("doc_id"),
         when(col("keep_q") === 0, lit("quality"))

@@ -306,4 +306,42 @@ class CypherParserSpec extends AnyFunSuite {
         "MATCH (n:Nation) RETURN sqrt() AS x")).collect()
     }
   }
+
+  test("duration.between variants parse; unsupported units fail loudly") {
+    import graft.cypher.Ast._
+    val q = CypherParser.parse(
+      "MATCH (e:Event) RETURN " +
+        "duration.inSeconds.between(datetime('2024-01-01T00:00:00'), e.ts).seconds AS s, " +
+        "duration.inDays.between(datetime('2024-01-01T00:00:00'), e.ts).days AS d")
+    val items = q.returnClause.items
+    assert(items.head.expr.isInstanceOf[FnCallN] &&
+      items.head.expr.asInstanceOf[FnCallN].name == "@durbetween_s")
+    assert(items(1).expr.asInstanceOf[FnCallN].name == "@durbetween_d")
+    // the wrong component on a single-component duration is an error
+    intercept[Exception] {
+      CypherParser.parse("MATCH (e:Event) RETURN " +
+        "duration.inSeconds.between(e.ts, e.ts).days AS x")
+    }
+    intercept[Exception] {
+      CypherParser.parse("MATCH (e:Event) RETURN " +
+        "duration.inMonths.between(e.ts, e.ts).months AS x")
+    }
+  }
+
+  test("MERGE/CREATE clause parses into WriteRelClause") {
+    import graft.cypher.Ast._
+    val q = CypherParser.parse(
+      "MATCH (a:Customer)-[:FROM_NATION]->(b:Nation) " +
+        "MERGE (a)-[:X]->(b) RETURN count(*) AS n")
+    assert(q.clauses.collect { case w: WriteRelClause => w } match {
+      case Seq(WriteRelClause(chain, false)) =>
+        chain.hops.head._1.relType.contains("X")
+      case _ => false
+    })
+    // a multi-hop write pattern is rejected at parse time
+    intercept[Exception] {
+      CypherParser.parse("MATCH (a:Customer) " +
+        "MERGE (a)-[:X]->(b)-[:Y]->(c) RETURN count(*) AS n")
+    }
+  }
 }

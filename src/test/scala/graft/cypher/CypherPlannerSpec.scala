@@ -967,4 +967,59 @@ class CypherPlannerSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("MERGE is idempotent: re-merging existing pairs adds no edges") {
+    val before = run(
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val after = run(
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) MERGE (n)-[:IN_REGION]->(r) " +
+        "WITH count(*) AS w MATCH (x)-[:IN_REGION]->(y) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(after == before)
+  }
+
+  test("MERGE dedups new pairs; CREATE preserves duplicates") {
+    // two orders of the same part produce ONE merged edge but BOTH
+    // created edges (multiset CREATE vs set MERGE)
+    val merged = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE p.partkey <= 3 " +
+        "MERGE (p)-[:SEEN_IN]->(p) " +
+        "WITH count(*) AS w MATCH (a)-[:SEEN_IN]->(b) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val created = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE p.partkey <= 3 " +
+        "CREATE (p)-[:SEEN_IN]->(p) " +
+        "WITH count(*) AS w MATCH (a)-[:SEEN_IN]->(b) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val matches = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE p.partkey <= 3 " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val distinctParts = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE p.partkey <= 3 " +
+        "RETURN count(DISTINCT p.partkey) AS n").collect().head.getLong(0)
+    assert(merged == distinctParts && created == matches && created > merged)
+  }
+
+  test("writes never leak into the shared graph (inputs immutable)") {
+    run("MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE p.partkey = 1 " +
+      "CREATE (o)-[:EPHEMERAL]->(p) " +
+      "WITH count(*) AS w MATCH (a)-[:EPHEMERAL]->(b) RETURN count(*) AS n")
+      .collect()
+    // a fresh query against the cached graph must not see EPHEMERAL
+    intercept[Exception] {
+      run("MATCH (a)-[:EPHEMERAL]->(b) RETURN count(*) AS n").collect()
+    }
+  }
+
+  test("MERGE endpoints must be bound and the relationship directed") {
+    intercept[Exception] {
+      run("MATCH (c:Customer) MERGE (c)-[:X]->(q) RETURN count(*) AS n")
+        .collect()
+    }
+    intercept[Exception] {
+      run("MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+        "MERGE (c)-[:X]-(n) RETURN count(*) AS n").collect()
+    }
+  }
 }
