@@ -90,6 +90,8 @@ object SparkEntry {
     "cypher_write_merge"    -> (neo4j.CypherPayload.mergeBatches(_, _)),
     "cypher_merge_rel"      -> (cypher.CypherQueries.mergeRel(_, _)),
     "cypher_create_rel"     -> (cypher.CypherQueries.createRel(_, _)),
+    "cypher_delete_rel"     -> (cypher.CypherQueries.deleteRel(_, _)),
+    "cypher_set_prop"       -> (cypher.CypherQueries.setProp(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_degree_dist"     -> (graph.Algorithms.degreeDistQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -1909,6 +1911,22 @@ object SparkEntry {
         |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_writes FROM newe)
         |SELECT newe.src_id, newe.dst_id, w.n_writes
         |FROM newe CROSS JOIN w ORDER BY src_id, dst_id""".stripMargin,
+    "cypher_delete_rel" ->
+      """WITH del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+        |  FROM lineitem WHERE l_quantity <= 10.0),
+        |kept AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_left
+        |  FROM lineitem WHERE l_quantity > 10.0)
+        |SELECT kept.n_left, del.n_deleted
+        |FROM kept CROSS JOIN del""".stripMargin,
+    "cypher_set_prop" ->
+      """WITH f AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_nationkey <= 4 THEN CAST(1 AS BIGINT) END AS flagged
+        |  FROM customer)
+        |SELECT flagged, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM f GROUP BY 1 ORDER BY flagged""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

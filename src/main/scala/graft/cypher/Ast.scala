@@ -210,6 +210,24 @@ object Ast {
     */
   final case class WriteRelClause(chain: PatternChain, create: Boolean)
       extends Clause
+  /** `DELETE r [, r2 …]` — engine-side removal of the relationships a
+    * named single-hop pattern variable binds. Row-level set
+    * semantics: the matched edges (src, dst, and every property
+    * column) anti-join out of the type's table; fully-identical
+    * parallel edge rows are interchangeable and all matched copies
+    * are removed. Same CTAS-style derived-graph model as
+    * [[WriteRelClause]]; later clauses read the post-delete graph.
+    */
+  final case class DeleteRelClause(vars: Seq[String]) extends Clause
+  /** `SET n.prop = expr [, m.prop2 = expr2 …]` — engine-side property
+    * write on a LABELED bound node variable: the label's node table
+    * derives a new version with the property overwritten for matched
+    * ids (added as a fresh column when new). Bindings already in
+    * flight keep their pre-SET values — re-match to read the update
+    * (Neo4j reads-own-writes applies to later clauses here).
+    */
+  final case class SetPropClause(assignments: Seq[(String, String, CExpr)])
+      extends Clause
   final case class ReturnClause(
       distinct: Boolean,
       items: Seq[ReturnItem],

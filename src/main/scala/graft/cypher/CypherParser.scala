@@ -155,6 +155,23 @@ object CypherParser {
             clauses += MatchClause(chain, optional = false)
             where.foreach(clauses += FilterClause(_))
           }
+        } else if (atKw("DELETE")) {
+          eatKw("DELETE")
+          val vs = Seq.newBuilder[String]
+          vs += ident()
+          while (atSym(",")) { eatSym(","); vs += ident() }
+          clauses += DeleteRelClause(vs.result())
+        } else if (atKw("SET")) {
+          eatKw("SET")
+          val as = Seq.newBuilder[(String, String, CExpr)]
+          def one(): Unit = {
+            val v = ident(); eatSym(".")
+            val p = ident(); eatSym("=")
+            as += ((v, p, addExpr()))
+          }
+          one()
+          while (atSym(",")) { eatSym(","); one() }
+          clauses += SetPropClause(as.result())
         } else if (atKw("MERGE") || atKw("CREATE")) {
           val create = atKw("CREATE")
           if (create) eatKw("CREATE") else eatKw("MERGE")

@@ -85,6 +85,9 @@ object CypherPlanner {
       case CallClause(imp, inner) =>
         CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
       case w: WriteRelClause => w // pattern props are literals already
+      case d: DeleteRelClause => d
+      case SetPropClause(as) =>
+        SetPropClause(as.map { case (v, p, e) => (v, p, bx(e)) })
       case r: ReturnClause  => r.copy(items = r.items.map(bi))
     })
   }
@@ -137,10 +140,45 @@ object CypherPlanner {
     var graph = graph0
     var s = s0
     var out: DataFrame = null
+    // pattern metadata the write clauses need: which label a node
+    // variable scanned, which single type a named relationship
+    // variable bound (only SET/DELETE consume these, so WITH horizons
+    // renaming vars away is harmless — a stale entry for a variable
+    // no longer in the frame fails loudly at column resolution)
+    var varLabels = Map.empty[String, String]
+    var relVarTypes = Map.empty[String, String]
+    def recordChainMeta(chain: PatternChain): Unit = {
+      (chain.start +: chain.hops.map(_._2)).foreach { np =>
+        for (v <- np.variable; l <- np.label) varLabels += (v -> l)
+      }
+      chain.hops.foreach { case (rel, _) =>
+        for (rv <- rel.variable; t <- rel.relType
+            if rel.altTypes.isEmpty && rel.varLength.isEmpty &&
+              rel.direction != Both)
+          relVarTypes += (rv -> t)
+      }
+    }
     clauses.foreach {
       case WriteRelClause(chain, create) =>
         graph = planWriteRel(graph, s, chain, create)
+
+      case DeleteRelClause(vars) =>
+        vars.foreach { rv =>
+          val relType = relVarTypes.getOrElse(rv,
+            throw new IllegalArgumentException(
+              s"DELETE $rv: not a bound single-type directed relationship variable"))
+          graph = planDeleteRel(graph, s, rv, relType)
+        }
+
+      case SetPropClause(assignments) =>
+        assignments.foreach { case (v, prop, value) =>
+          val label = varLabels.getOrElse(v,
+            throw new IllegalArgumentException(
+              s"SET $v.$prop: $v is not a labeled bound node variable"))
+          graph = planSetProp(graph, s, v, label, prop, value)
+        }
       case MatchClause(chain, false, _) =>
+        recordChainMeta(chain)
         val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df,
           needs = Some(needs))
         s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars)
@@ -253,6 +291,67 @@ object CypherPlanner {
     // always safe
     graph.copy(rels = graph.rels.updated(relType, updated),
       relEndpoints = graph.relEndpoints - relType)
+  }
+
+  /** Plans `DELETE r` for a bound single-hop typed relationship
+    * variable (see [[Ast.DeleteRelClause]]): rebuilds the matched
+    * edge rows from the frame's `r__@src`/`r__@dst`/`r__prop`
+    * columns and anti-joins them (all columns, distinct'd) out of the
+    * type's table. Row-level set semantics — fully-identical parallel
+    * rows are interchangeable, all matched copies go; rows with null
+    * property values never match the anti-join keys and survive
+    * (documented, like any null-unsafe equi-join).
+    *
+    * 100 TB notes: the anti-join keys on (__src, __dst, props) — the
+    * same narrow rows the edge table itself holds; nothing else
+    * moves, and the deletion is lazy (a later clause reading the type
+    * plans the anti-join into its own scan).
+    */
+  private def planDeleteRel(graph: PropertyGraph, s: Scope,
+      rv: String, relType: String): PropertyGraph = {
+    val existing = graph.relTable(relType)
+    val srcCol = s"${rv}__@src"
+    require(s.df != null && s.df.columns.contains(srcCol),
+      s"DELETE $rv: relationship variable is not bound in the current frame")
+    val delRows = s.df.select(existing.columns.toSeq.map {
+      case "__src" => col(srcCol).as("__src")
+      case "__dst" => col(s"${rv}__@dst").as("__dst")
+      case c       => col(s"${rv}__$c").as(c)
+    }: _*).distinct()
+    val updated = existing.join(delRows, existing.columns.toSeq, "left_anti")
+    // deleting edges only shrinks the type's endpoint population —
+    // the declared endpoint schema stays valid for static pruning
+    graph.copy(rels = graph.rels.updated(relType, updated))
+  }
+
+  /** Plans `SET n.prop = expr` on a labeled bound node variable (see
+    * [[Ast.SetPropClause]]): derives a new node table for the label
+    * with the property overwritten on matched ids (fresh column when
+    * the property is new). Per-node value conflicts (a frame binding
+    * the node on several rows with different expr values) resolve to
+    * the MAX — deterministic where Neo4j's sequential last-write is
+    * row-order-dependent.
+    *
+    * 100 TB notes: one id-keyed left join of the label's table
+    * against the distinct per-id update frame; only (id, value)
+    * pairs move, and Catalyst prunes the join away for queries that
+    * never read the label again.
+    */
+  private def planSetProp(graph: PropertyGraph, s: Scope, v: String,
+      label: String, prop: String, value: CExpr): PropertyGraph = {
+    val idCol = s"${v}__id"
+    require(s.df != null && s.df.columns.contains(idCol),
+      s"SET $v.$prop: $v is not bound in the current frame")
+    val updates = s.df
+      .select(col(idCol).as("__id"), toColumn(value, s.binds).as("__newval"))
+      .groupBy(col("__id")).agg(max(col("__newval")).as("__newval"))
+    val nt = graph.nodeTable(label)
+    val base = if (nt.columns.contains(prop)) nt
+      else nt.withColumn(prop, lit(null))
+    val updated = base.join(updates, Seq("__id"), "left_outer")
+      .withColumn(prop, coalesce(col("__newval"), col(prop)))
+      .drop("__newval")
+    graph.copy(nodes = graph.nodes.updated(label, updated))
   }
 
   /** `CALL { … }` subquery planning.
@@ -795,6 +894,9 @@ object CypherPlanner {
         out ++= imports
         out ++= colsNeeded(CypherQuery(inner))
       case _: WriteRelClause        => () // reads only endpoint __id
+      case _: DeleteRelClause       => () // rel props bind via the rel var
+      case SetPropClause(as)        =>
+        as.foreach { case (v, _, e) => out += v; walk(e) }
       case r: ReturnClause          =>
         walkItems(r.items); r.orderBy.foreach(s0 => walk(s0.expr))
     }

@@ -692,6 +692,37 @@ object CypherQueries {
         |RETURN id(a) AS src_id, id(b) AS dst_id, n_writes
         |ORDER BY src_id, dst_id""".stripMargin)
 
+  /** Engine-side `DELETE` of matched relationships: drop low-quantity
+    * CONTAINS edges, then re-read the post-delete edge set in the
+    * same query — completing the write-clause family with
+    * [[mergeRel]]/[[createRel]]. Row-level anti-join semantics (the
+    * matched edge rows, properties included, leave the derived
+    * graph's table).
+    */
+  def deleteRel(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)-[r:CONTAINS]->(p:Part)
+        |WHERE r.qty <= 10.0
+        |DELETE r
+        |WITH count(*) AS n_deleted
+        |MATCH (o2:Order)-[r2:CONTAINS]->(p2:Part)
+        |RETURN count(*) AS n_left, min(n_deleted) AS n_deleted""".stripMargin)
+
+  /** Engine-side `SET` of a node property: flag customers of the
+    * low-key nations, then group the POST-WRITE customer table by the
+    * new property (unmatched nodes read the property as null — the
+    * fresh-column case).
+    */
+  def setProp(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE n.nationkey <= 4
+        |SET c.flagged = 1
+        |WITH count(*) AS n_set
+        |MATCH (c2:Customer)
+        |RETURN c2.flagged AS flagged, count(*) AS n_customers
+        |ORDER BY flagged""".stripMargin)
+
   /** `=~` regex predicate with Neo4j whole-string semantics (the
     * planner anchors the pattern, since Spark's regexp_like matches
     * anywhere). The DuckDB oracle uses regexp_full_match — same

@@ -134,28 +134,40 @@ object Multimodal {
     * shape with map-side partials.
     */
   def phashDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = col("text")
-    val codes = transform(split(substring(t, 1, 64), ""), c => ascii(c))
-    // floor (not truncate-after-double-divide): positive operands make
-    // the two identical, and the oracle spells floor explicitly
-    val meanCode = floor(aggregate(codes, lit(0L), (acc, x) => acc + x)
-      / greatest(size(codes), lit(1))).cast("long")
-    // the DSL's shiftleft only takes a literal shift — the SQL
-    // function accepts a column, so the bit-packing fold is spelled
-    // as an expr over the materialized codes/mean columns
-    val phash = expr(
-      "aggregate(transform(slice(codes, 1, 62), " +
-        "(x, i) -> IF(CAST(x AS BIGINT) > mean_code, " +
-        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    import spark.implicits._
     Tables.documents(spark, sfDir)
-      .filter(length(t) > 0)
-      .withColumn("codes", codes)
-      .withColumn("mean_code", meanCode)
-      .withColumn("phash", phash)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, phashJvm(t)) }
+      .toDF("doc_id", "phash")
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .filter(col("n_docs") > 1)
       .orderBy(col("phash"))
+  }
+
+  /** The 62-bit aHash of [[phashDup]] as a tight JVM fold — same
+    * arithmetic the DuckDB oracle spells over `ord(ch)` of the first
+    * 64 chars (mean = floor of the window's code sum over its length;
+    * bit i set iff code_i > mean): nested SQL higher-order functions
+    * are interpreted per element (~1 ms/doc profiled), a JVM loop is
+    * ~µs/doc — the [[Dedup.shingleHashesJvm]] precedent. ASCII-range
+    * corpus assumed (chars = codepoints), like every other
+    * OracleHash-family function.
+    */
+  def phashJvm(text: String): Long = {
+    val n = math.min(text.length, 64)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += text.charAt(i).toLong; i += 1 }
+    val mean = sum / math.max(n, 1) // non-negative: floor = truncate
+    var bits = 0L
+    val nb = math.min(n, 62)
+    i = 0
+    while (i < nb) {
+      if (text.charAt(i).toLong > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
   }
 }

@@ -1012,6 +1012,45 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE removes matched edges row-level; unmatched rows survive") {
+    val total = run(
+      "MATCH (o:Order)-[r:CONTAINS]->(p:Part) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val low = run(
+      "MATCH (o:Order)-[r:CONTAINS]->(p:Part) WHERE r.qty <= 10.0 " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val left = run(
+      "MATCH (o:Order)-[r:CONTAINS]->(p:Part) WHERE r.qty <= 10.0 DELETE r " +
+        "WITH count(*) AS w MATCH (o2:Order)-[r2:CONTAINS]->(p2:Part) " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(low > 0 && left == total - low)
+    // deleting an unbound/var-length variable fails loudly
+    intercept[Exception] {
+      run("MATCH (o:Order) DELETE o RETURN count(*) AS n").collect()
+    }
+  }
+
+  test("SET writes a fresh property; unmatched nodes read null") {
+    val rows = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) WHERE n.nationkey <= 4 " +
+        "SET c.flagged = 1 WITH count(*) AS w MATCH (c2:Customer) " +
+        "RETURN c2.flagged AS flagged, count(*) AS n ORDER BY flagged")
+      .collect()
+    val byFlag = rows.map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    val flagged = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) WHERE n.nationkey <= 4 " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val all = run("MATCH (c:Customer) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(byFlag(1L) == flagged && byFlag(-1L) == all - flagged)
+    // the shared cached graph is untouched: no flagged column leaks
+    intercept[Exception] {
+      run("MATCH (c:Customer) WHERE c.flagged = 1 RETURN count(*) AS n")
+        .collect()
+    }
+  }
+
   test("MERGE endpoints must be bound and the relationship directed") {
     intercept[Exception] {
       run("MATCH (c:Customer) MERGE (c)-[:X]->(q) RETURN count(*) AS n")
