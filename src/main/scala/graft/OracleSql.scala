@@ -723,8 +723,12 @@ object OracleSql {
     * that sit in the Spark plan (Double.toString round-trips exactly),
     * so bucket assignment and probing agree.
     */
-  def annLsh(k: Int = 10, dims: Int = 64): String = {
-    s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+  /** The CTE pipeline shared by [[annLsh]] and [[annRecall]]: vectors
+    * normed and bucketed, queries multi-probed, LSH candidates ranked
+    * into `r`.
+    */
+  private def annLshCtes(dims: Int): String =
+    s"""cnt AS (SELECT COUNT(*) AS n FROM embeddings),
        |nb AS (SELECT $planesForSql AS nbits FROM cnt),
        |n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -748,9 +752,36 @@ object OracleSql {
        |  FROM d JOIN q ON d.bucket = q.probe),
        |r AS (
        |  SELECT *, row_number() OVER (
-       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)""".stripMargin
+
+  def annLsh(k: Int = 10, dims: Int = 64): String = {
+    s"""WITH ${annLshCtes(dims)}
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.recallEval]]: the LSH candidates'
+    * top-k left-joined against the exact brute-force top-k per query,
+    * recall = hits / k.
+    */
+  def annRecall(k: Int = 10, dims: Int = 64): String = {
+    s"""WITH ${annLshCtes(dims)},
+       |ann AS (SELECT q_id, vec_id FROM r WHERE rank <= $k),
+       |ex_s AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id,
+       |    round(CASE WHEN d.nrm = 0 OR q.nrm = 0 THEN 0
+       |      ELSE list_dot_product(d.v, q.v) / (d.nrm * q.nrm) END, 6) + 0.0 AS score
+       |  FROM (SELECT * FROM n WHERE vec_id >= 5) d
+       |  CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q),
+       |ex_r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM ex_s),
+       |exact AS (SELECT q_id, vec_id FROM ex_r WHERE rank <= $k)
+       |SELECT exact.q_id, CAST(COUNT(ann.vec_id) AS BIGINT) AS n_hit,
+       |  round(CAST(COUNT(ann.vec_id) AS DOUBLE) / $k, 6) + 0.0 AS recall_at_k
+       |FROM exact LEFT JOIN ann
+       |  ON exact.q_id = ann.q_id AND exact.vec_id = ann.vec_id
+       |GROUP BY exact.q_id ORDER BY exact.q_id""".stripMargin
   }
 
   /** Per-nation customer proximity edges (lead 1 and 2), shared with

@@ -151,6 +151,7 @@ object SparkEntry {
     "pipeline_chunk"    -> (Pipeline.chunkDocs(_, _)),
     "events_range_join" -> (Events.rangeJoin(_, _)),
     "events_sequence_detect" -> (Events.sequenceDetect(_, _)),
+    "events_cep_negation" -> (Events.cepNegation(_, _)),
     "events_session_paths" -> (Events.sessionPaths(_, _)),
     "events_rfm"        -> (Events.rfm(_, _)),
     // §2.3 LLM pipeline
@@ -173,6 +174,9 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
     "sim_topk_agg"        -> (Similarity.topkAgg(_, _)),
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
+    "sim_recall_eval"     -> (Similarity.recallEval(_, _)),
+    "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
+    "multimodal_frames"   -> (Multimodal.frameIndex(_, _)),
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
     "embed_kmeans"        -> (Similarity.kmeans(_, _)),
@@ -542,6 +546,7 @@ object SparkEntry {
     "graph_ppr"         -> OracleSql.ppr(),
     "graph_hits"        -> OracleSql.hits(),
     "sim_ann_lsh"       -> OracleSql.annLsh(),
+    "sim_recall_eval"   -> OracleSql.annRecall(),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -920,6 +925,26 @@ object SparkEntry {
         |  AND e.ts >= p.p_ts - INTERVAL 30 MINUTE AND e.ts <= p.p_ts
         |  AND e.event_id <> p.purchase_id
         |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "events_cep_negation" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view,
+        |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    CASE WHEN last_view IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(last_view) <= 3600000000
+        |      AND (last_click IS NULL OR last_click <= last_view)
+        |      THEN 1 ELSE 0 END AS direct
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(direct) AS BIGINT) AS n_direct
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_sequence_detect" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS t
@@ -1118,6 +1143,33 @@ object SparkEntry {
         |SELECT label, CAST(d - 1 AS BIGINT) AS d,
         |round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) + 0.0 AS centroid
         |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin,
+    "embed_outliers" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, d,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS c
+        |  FROM ex GROUP BY label, d),
+        |cent AS (SELECT label, list(c ORDER BY d) AS cvec FROM cd GROUP BY label),
+        |n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT n.vec_id, CAST(n.label AS BIGINT) AS label,
+        |    round(CASE WHEN n.nrm = 0
+        |        OR sqrt(list_dot_product(c.cvec, c.cvec)) = 0 THEN 0
+        |      ELSE list_dot_product(n.v, c.cvec)
+        |        / (n.nrm * sqrt(list_dot_product(c.cvec, c.cvec))) END, 6)
+        |      + 0.0 AS cos_centroid
+        |  FROM n JOIN cent c ON n.label = c.label)
+        |SELECT vec_id, label, cos_centroid,
+        |  CAST(CASE WHEN cos_centroid < 0.2 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_outlier
+        |FROM s ORDER BY vec_id""".stripMargin,
     "sim_ann_ivf" ->
       """WITH ex AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -1472,6 +1524,28 @@ object SparkEntry {
         |CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |  ELSE 'wav' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(256 + (octet_length(encode(text)) % 64) * 16 AS BIGINT) AS width,
+        |    CAST(256 + ((octet_length(encode(text)) // 64) % 64) * 16 AS BIGINT) AS height
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    greatest(1, width * 224 // greatest(width, height)) AS target_w,
+        |    greatest(1, height * 224 // greatest(width, height)) AS target_h,
+        |    n_bytes // 1024 + 1 AS n_frames
+        |  FROM m),
+        |x AS (
+        |  SELECT doc_id, target_w, target_h,
+        |    unnest(range(0, n_frames, greatest(1, n_frames // 8))) AS frame_no
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY frame_no) - 1
+        |    AS BIGINT) AS sample_idx,
+        |  CAST(frame_no AS BIGINT) AS frame_no, target_w, target_h
+        |FROM x ORDER BY doc_id, sample_idx""".stripMargin,
     "multimodal_prep" ->
       """WITH m AS (
         |  SELECT doc_id,

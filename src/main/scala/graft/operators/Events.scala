@@ -417,6 +417,46 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** CEP NEGATION pattern — "view then purchase within 1 h with NO
+    * click in between" (Flink CEP's `notFollowedBy`, the pattern
+    * class [[sequenceDetect]]'s regex over collected symbols cannot
+    * express with time bounds): for every purchase, the latest prior
+    * view and latest prior click resolve from two running windows,
+    * and the purchase counts as "direct" iff a view exists within
+    * the hour and the last click is at or before that view. Absence
+    * + time-bound matching is the hard half of CEP — this spelling
+    * is O(1) state per user and streams as keyed running-max state.
+    *
+    * Time bounds compare integer MICROSECONDS (`unix_micros` /
+    * DuckDB `epoch_us`) — exact on both engines, no fractional-epoch
+    * double drift.
+    *
+    * 100 TB notes: one user-keyed exchange; the two running maxima
+    * are window state, never a self-join — the naive per-purchase
+    * interval join this replaces is quadratic in session length.
+    */
+  def cepNegation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastView = max(when(col("event_type") === "view", col("ts"))).over(w)
+    val lastClick = max(when(col("event_type") === "click", col("ts"))).over(w)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("last_view", lastView)
+      .withColumn("last_click", lastClick)
+      .filter(col("event_type") === "purchase")
+      .withColumn("direct",
+        (col("last_view").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("last_view")) <= 3600000000L &&
+          (col("last_click").isNull || col("last_click") <= col("last_view")))
+          .cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("direct")).as("n_direct"))
+      .orderBy(col("user_id"))
+  }
+
   /** RFM segmentation — the classic user-value triage: per user,
     * Recency (days since last event, vs the corpus max date),
     * Frequency (event count), Monetary (exact decimal value sum),

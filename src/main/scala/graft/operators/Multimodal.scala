@@ -102,6 +102,23 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame-sample MANIFEST over [[prep]]'s plan: one row per sampled
+    * frame (doc, ordinal, frame number, resize target) — the work
+    * list a frame-level extraction stage fans out over, materialized
+    * without touching any payload. At 100 TB this manifest is what
+    * gets repartitioned to decode executors; it is metadata-sized
+    * (≤ maxSamples rows/doc) while the media bytes stay at rest
+    * until the decoder reads exactly the frames listed.
+    */
+  def frameIndex(spark: SparkSession, sfDir: String): DataFrame =
+    prep(spark, sfDir)
+      .select(col("doc_id"), col("target_w"), col("target_h"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1, col("stride")))
+          .as(Seq("sample_idx", "frame_no")))
+      .select(col("doc_id"), col("sample_idx").cast("long").as("sample_idx"),
+        col("frame_no"), col("target_w"), col("target_h"))
+      .orderBy(col("doc_id"), col("sample_idx"))
+
   /** Declared-query wrapper over [[decoded]]: identical rows, with
     * the stub decoder's Int metadata widened to int64 so the
     * driver-facing schema matches [[meta]]'s. This drives the

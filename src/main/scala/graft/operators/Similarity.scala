@@ -527,6 +527,62 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Per-label centroid-cosine outlier screen — embedding QA's "does
+    * this vector belong with its label" report: cosine of every
+    * vector against its OWN label's (6-dp-rounded) centroid, flagged
+    * below `tau`. Catches mislabeled / corrupted / off-distribution
+    * embeddings before they poison contrastive training or skew the
+    * IVF quantizer cells built from the same centroids.
+    *
+    * 100 TB notes: the centroid table is labels×dims (tiny,
+    * broadcast); the corpus pass is one map with a 64-term dot
+    * product per row — the only corpus-keyed exchange is the
+    * centroid aggregation itself, which map-side combines.
+    */
+  def centroidOutliers(spark: SparkSession, sfDir: String,
+      tau: Double = 0.2): DataFrame = {
+    val cents = labelCentroids(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("centroid")))),
+        s => s.getField("centroid")).as("cvec"))
+    embWithNorm(spark, sfDir)
+      .join(broadcast(cents), Seq("label"))
+      .withColumn("cnrm", norm(col("cvec")))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(when(col("nrm") === 0.0 || col("cnrm") === 0.0, 0.0)
+          .otherwise(dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm"))),
+          6).as("cos_centroid"))
+      .withColumn("is_outlier", (col("cos_centroid") < tau).cast("int"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ANN quality evaluation — recall@k of the multi-probe LSH index
+    * ([[annLsh]]) against the exact top-k ([[topkBruteforce]]), per
+    * query. The eval loop every production vector index ships with:
+    * recall is THE dial that justifies (or vetoes) replacing the
+    * brute-force path, and it must be measured on the same engine
+    * that serves the index.
+    *
+    * 100 TB notes: composes the two existing plans — the ANN side's
+    * k·|Q| rows broadcast into a semi-match against the exact side's
+    * k·|Q| rows; the eval adds nothing corpus-sized beyond its two
+    * inputs (and on a real deployment the exact side runs on a
+    * sampled query panel, which is exactly this shape).
+    */
+  def recallEval(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val exact = topkBruteforce(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"))
+    val ann = annLsh(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(broadcast(ann), Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (round(col("n_hit").cast("double") / k, 6) + lit(0.0)).as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
   /** Top principal component of the embedding corpus by power
     * iteration over the (mean-centered) covariance — the
     * anisotropy/collapse screen run next to [[dimStats]]: a single

@@ -76,7 +76,11 @@ object PerfLab {
       }
       println(f"[perflab] $what rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // skip pinned artifacts — an unpersisted localCheckpoint cannot
+      // recompute (same rule as Bench)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!graft.Artifacts.isPinned(id)) rdd.unpersist(false)
+      }
     }
     spark.stop()
   }

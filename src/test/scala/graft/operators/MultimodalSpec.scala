@@ -21,6 +21,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sniffFormat(101) == "wav")
   }
 
+  test("frame manifest agrees with prep's sample accounting") {
+    val prep = Multimodal.prep(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("stride"),
+          r.getAs[Long]("n_samples"))).toMap
+    val frames = Multimodal.frameIndex(spark, TestSpark.sf).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == prep.keySet)
+    byDoc.foreach { case (doc, rows) =>
+      val (nFrames, stride, nSamples) = prep(doc)
+      assert(rows.length.toLong == nSamples, s"doc=$doc")
+      val nos = rows.sortBy(_.getAs[Long]("sample_idx"))
+        .map(_.getAs[Long]("frame_no"))
+      assert(nos.head == 0 && nos.forall(_ < nFrames))
+      assert(nos.zip(nos.tail).forall { case (a, b) => b - a == stride })
+    }
+  }
+
   test("phash groups bound fingerprints and absorb every exact duplicate") {
     val groups = Multimodal.phashDup(spark, TestSpark.sf).collect()
     assert(groups.nonEmpty)

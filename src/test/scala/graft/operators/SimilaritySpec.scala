@@ -18,6 +18,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("recallEval agrees with a hand-computed ANN/exact overlap") {
+    val k = 10
+    val brute = Similarity.topkBruteforce(spark, TestSpark.sf, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ann = Similarity.annLsh(spark, TestSpark.sf, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = brute.groupBy(_._1).view
+      .mapValues(_.count(ann.contains).toLong).toMap
+    val got = Similarity.recallEval(spark, TestSpark.sf, k).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (q, nHit, rec) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nHit == expected(q), s"q=$q")
+      assert(rec == math.rint(nHit.toDouble / k * 1e6) / 1e6)
+    }
+  }
+
   test("int8 quantization saturates exactly at per-dim extremes and bounds codes") {
     val rows = Similarity.quantizeInt8(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
