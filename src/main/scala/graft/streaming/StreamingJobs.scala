@@ -399,6 +399,11 @@ object StreamingJobs {
 
   final case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+  /** Per-user CEP-negation state: latest view / click micros
+    * (Long.MinValue = none yet).
+    */
+  final case class CepState(viewUs: Long, clickUs: Long)
+  final case class CepVerdict(purchase_id: Long, user_id: Long, direct: Int)
   /** Per-user as-of state: the latest view seen so far (micros). */
   final case class LastView(view_id: Long, tsUs: Long, value: Double)
   final case class Attribution(
@@ -430,6 +435,46 @@ object StreamingJobs {
     * purchase cannot retract it — the streaming-vs-batch tradeoff
     * shared by every append-mode enrichment.
     */
+  /** Streaming twin of [[graft.operators.Events.cepNegation]] —
+    * absence matching (view → purchase within 1 h with NO click
+    * between) as O(1) keyed state: two running-latest micros per
+    * user, a purchase classifies immediately against them. Absence
+    * detection is the famously hard CEP case for streams because
+    * "nothing happened" never arrives as an event; the negation here
+    * needs no timers because the predicate only consults the PAST
+    * (last click at or before last view), so it resolves at the
+    * purchase itself. Within a batch events process in (ts,
+    * event_id) order — the batch window's exact frame; across
+    * batches the two maxima carry forward.
+    */
+  def cepNegation(events: Dataset[TypedEvent]): Dataset[CepVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TypedEvent], state: GroupState[CepState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[CepVerdict]()
+          var st = state.getOption.getOrElse(
+            CepState(Long.MinValue, Long.MinValue))
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "purchase" =>
+                val direct = st.viewUs != Long.MinValue &&
+                  us - st.viewUs <= 3600000000L &&
+                  (st.clickUs == Long.MinValue || st.clickUs <= st.viewUs)
+                out += CepVerdict(e.event_id, uid, if (direct) 1 else 0)
+              case "view"  => if (us > st.viewUs) st = st.copy(viewUs = us)
+              case "click" => if (us > st.clickUs) st = st.copy(clickUs = us)
+              case _       => () // other types don't touch the state
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def asofAttribution(events: Dataset[TypedEvent]): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     events

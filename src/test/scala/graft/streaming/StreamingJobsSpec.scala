@@ -226,6 +226,40 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CEP negation classifies purchases like the batch windows, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingJobs.TypedEvent
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingJobs.cepNegation(input.toDS()).writeStream
+      .format("memory").queryName("cepneg").outputMode("append").start()
+    try {
+      input.addData(
+        // user 1: view then purchase 30 min later, no click → direct
+        TypedEvent(10, ts(0), 1L, "view", 0.0),
+        TypedEvent(11, ts(30), 1L, "purchase", 5.0),
+        // click after the view → the next purchase is NOT direct
+        TypedEvent(12, ts(40), 1L, "click", 0.0),
+        TypedEvent(13, ts(50), 1L, "purchase", 6.0),
+        // user 2: purchase with no view at all → not direct
+        TypedEvent(20, ts(10), 2L, "purchase", 1.0),
+        // user 2: view, but the purchase lands 2 h later → too late
+        TypedEvent(21, ts(20), 2L, "view", 0.0),
+        TypedEvent(22, ts(20 + 120), 2L, "purchase", 2.0))
+      q.processAllAvailable()
+      // cross-batch: user 3's view arrives in batch 1 …
+      input.addData(TypedEvent(30, ts(100), 3L, "view", 0.0))
+      q.processAllAvailable()
+      // … and the qualifying purchase in batch 2, 10 min later
+      input.addData(TypedEvent(31, ts(110), 3L, "purchase", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("cepneg").collect()
+        .map(r => (r.getLong(0), r.getInt(2))).toSet
+      assert(got == Set(
+        (11L, 1), (13L, 0), (20L, 0), (22L, 0), (31L, 1)))
+    } finally q.stop()
+  }
+
   test("as-of attribution enriches purchases with the last view, O(1) state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
