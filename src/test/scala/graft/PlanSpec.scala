@@ -367,4 +367,49 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftOuter") || plan.contains("left_outer"),
       "zero-order customers must survive: expected a left outer join")
   }
+
+  test("phash exchange carries only 8-byte fingerprints, never text") {
+    val plan = planOf(operators.Multimodal.phashDup(spark, TestSpark.sf))
+    val exchanges = "Exchange hashpartitioning\\([^\\n]*".r.findAllIn(plan).toList
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(e => !e.contains("text")),
+      s"document text must not ride the phash exchange: $exchanges")
+  }
+
+  test("recall eval broadcasts the k-by-queries ANN side") {
+    val plan = planOf(Similarity.recallEval(spark, TestSpark.sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ANN top-k side must broadcast into the exact side")
+  }
+
+  test("centroid outlier screen broadcasts the centroid table") {
+    val plan = planOf(Similarity.centroidOutliers(spark, TestSpark.sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the labels-by-dims centroid table must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("engine-side MERGE plans no cartesian and an anti-join dedup") {
+    val plan = planOf(cypher.CypherQueries.mergeRel(spark, TestSpark.sf))
+    assert(plan.contains("LeftAnti"), "MERGE dedup must be an anti-join")
+    assert(!plan.contains("CartesianProduct"),
+      "the post-write read must not plan a cartesian")
+  }
+
+  test("cluster artifact memoizes: consumers reuse one materialized frame") {
+    val a = operators.Dedup.clusterArtifact(spark, TestSpark.sf)
+    val b = operators.Dedup.clusterArtifact(spark, TestSpark.sf)
+    assert(a eq b, "repeated artifact calls must return the memoized frame")
+    // the artifact is a materialized checkpoint: scan-shaped, no joins
+    assert(!a.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("CEP negation plans one user-keyed exchange, no self-join") {
+    val plan = planOf(operators.Events.cepNegation(spark, TestSpark.sf))
+    assert(!plan.contains("Join"),
+      "absence matching must be window state, never a self-join")
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(plan).isDefined,
+      "expected the single user-keyed exchange")
+  }
 }
