@@ -640,6 +640,13 @@ object Algorithms {
       checkpointStride: Int = 2): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
+    // second copy partitioned on dst: the hub-sum join keys on e.dst,
+    // so without it every iteration re-exchanges the FULL edge list
+    // dst-ward (the aggregation exchanges are inherent, this one is
+    // not). Two materialized edge copies buy 8 iterations × one
+    // edge-list exchange — the classic in/out adjacency split every
+    // Pregel-style engine keeps
+    val eByDst = e.repartition(col("dst")).localCheckpoint(true)
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct().repartition(col("id")).localCheckpoint(true)
@@ -662,8 +669,8 @@ object Algorithms {
       authRaw = rawA
       // hub: normalized sum of out-neighbor RAW authority scores —
       // the skipped authority normalization folds into this L1
-      val rawH = e.join(rawA.select(col("id"), col("rawa")),
-          e("dst") === col("id"))
+      val rawH = eByDst.join(rawA.select(col("id"), col("rawa")),
+          eByDst("dst") === col("id"))
         .groupBy(col("src")).agg(sum(col("rawa")).as("rawh"))
         .select(col("src").as("id"), col("rawh"))
       val hNorm = rawH.agg(sum(col("rawh")).as("hnorm"))
