@@ -91,6 +91,7 @@ object SparkEntry {
     "cypher_merge_rel"      -> (cypher.CypherQueries.mergeRel(_, _)),
     "cypher_create_rel"     -> (cypher.CypherQueries.createRel(_, _)),
     "cypher_delete_rel"     -> (cypher.CypherQueries.deleteRel(_, _)),
+    "cypher_create_node"    -> (cypher.CypherQueries.createNode(_, _)),
     "cypher_set_prop"       -> (cypher.CypherQueries.setProp(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_degree_dist"     -> (graph.Algorithms.degreeDistQuery(_, _)),
@@ -1985,6 +1986,14 @@ object SparkEntry {
         |w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_writes FROM newe)
         |SELECT newe.src_id, newe.dst_id, w.n_writes
         |FROM newe CROSS JOIN w ORDER BY src_id, dst_id""".stripMargin,
+    "cypher_create_node" ->
+      """WITH g AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |    r_name AS region
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_created FROM g)
+        |SELECT g.id, g.name, g.region, c.n_created
+        |FROM g CROSS JOIN c ORDER BY id""".stripMargin,
     "cypher_delete_rel" ->
       """WITH del AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted

@@ -210,6 +210,19 @@ object Ast {
     */
   final case class WriteRelClause(chain: PatternChain, create: Boolean)
       extends Clause
+  /** `CREATE (x:Label {id: expr, k: expr, …})` / `MERGE (…)` —
+    * engine-side NODE creation (the reference's own write example:
+    * Neo4jOutputFormat's UNWIND batches create `(:User)` nodes): one
+    * node per current frame row, property values are full
+    * expressions over the bindings. The reserved `id` property is
+    * REQUIRED and becomes the node's `__id` (and stays readable as
+    * `x.id`) — a distributed engine needs deterministic ids, so the
+    * caller supplies them and owns global uniqueness (follow the
+    * GraphLoader offset discipline). MERGE dedups whole rows
+    * (idempotent CTAS); CREATE appends per row.
+    */
+  final case class CreateNodeClause(variable: Option[String], label: String,
+      props: Seq[(String, CExpr)], merge: Boolean) extends Clause
   /** `DELETE r [, r2 …]` — engine-side removal of the relationships a
     * named single-hop pattern variable binds. Row-level set
     * semantics: the matched edges (src, dst, and every property

@@ -175,11 +175,36 @@ object CypherParser {
         } else if (atKw("MERGE") || atKw("CREATE")) {
           val create = atKw("CREATE")
           if (create) eatKw("CREATE") else eatKw("MERGE")
-          val chain = patternChain()
-          require(chain.hops.size == 1,
-            "MERGE/CREATE supports exactly one relationship pattern " +
-              "between two bound node variables")
-          clauses += WriteRelClause(chain, create)
+          if (writePatternIsRel) {
+            val chain = patternChain()
+            require(chain.hops.size == 1,
+              "MERGE/CREATE supports exactly one relationship pattern " +
+                "between two bound node variables")
+            clauses += WriteRelClause(chain, create)
+          } else {
+            // node write: `(x:Label {k: expr, …})` — property values
+            // are full expressions, unlike pattern maps (literals)
+            eatSym("(")
+            val v = peek match {
+              case Some(TId(_)) => Some(ident())
+              case _            => None
+            }
+            eatSym(":")
+            val label = ident()
+            val props = Seq.newBuilder[(String, CExpr)]
+            if (atSym("{")) {
+              eatSym("{")
+              def one(): Unit = {
+                val k = ident(); eatSym(":"); props += ((k, addExpr()))
+              }
+              one()
+              while (atSym(",")) { eatSym(","); one() }
+              eatSym("}")
+            }
+            eatSym(")")
+            clauses += CreateNodeClause(v, label, props.result(),
+              merge = !create)
+          }
         } else if (atKw("UNWIND")) {
           eatKw("UNWIND")
           val list = valueExpr()
@@ -234,6 +259,28 @@ object CypherParser {
         require(pos == toks.length || atKw("UNION"),
           s"trailing tokens from position $pos: ${toks.drop(pos)}")
       CypherQuery(clauses.result())
+    }
+
+    /** Lookahead after MERGE/CREATE: true iff the parenthesized node
+      * group is followed by a relationship arrow (`-` / `<-`), i.e.
+      * the write is a relationship pattern, not a node create.
+      */
+    private def writePatternIsRel: Boolean = {
+      var i = pos
+      var depth = 0
+      while (i < toks.length) {
+        toks(i) match {
+          case TSym("(") => depth += 1
+          case TSym(")") =>
+            depth -= 1
+            if (depth == 0)
+              return i + 1 < toks.length &&
+                (toks(i + 1) == TSym("-") || toks(i + 1) == TSym("<-"))
+          case _ => ()
+        }
+        i += 1
+      }
+      false
     }
 
     /** Lookahead from a WITH directly after `CALL {`: true iff the

@@ -85,6 +85,8 @@ object CypherPlanner {
       case CallClause(imp, inner) =>
         CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
       case w: WriteRelClause => w // pattern props are literals already
+      case CreateNodeClause(v, l, ps, m) =>
+        CreateNodeClause(v, l, ps.map { case (k, e) => (k, bx(e)) }, m)
       case d: DeleteRelClause => d
       case SetPropClause(as) =>
         SetPropClause(as.map { case (v, p, e) => (v, p, bx(e)) })
@@ -161,6 +163,9 @@ object CypherPlanner {
     clauses.foreach {
       case WriteRelClause(chain, create) =>
         graph = planWriteRel(graph, s, chain, create)
+
+      case CreateNodeClause(_, label, props, merge) =>
+        graph = planCreateNode(graph, s, label, props, merge)
 
       case DeleteRelClause(vars) =>
         vars.foreach { rv =>
@@ -291,6 +296,42 @@ object CypherPlanner {
     // always safe
     graph.copy(rels = graph.rels.updated(relType, updated),
       relEndpoints = graph.relEndpoints - relType)
+  }
+
+  /** Plans `CREATE`/`MERGE` of a node (see [[Ast.CreateNodeClause]]):
+    * one node per frame row, the reserved `id` property supplying the
+    * node's `__id` (caller owns global uniqueness — the GraphLoader
+    * offset discipline). The label's table derives as a lazy union
+    * with the new rows; MERGE dedups full rows for idempotent
+    * CTAS-style re-runs. Only the projected property columns move —
+    * node creation is exactly as wide as the created properties.
+    */
+  private def planCreateNode(graph: PropertyGraph, s: Scope, label: String,
+      props: Seq[(String, CExpr)], merge: Boolean): PropertyGraph = {
+    require(s.df != null,
+      "CREATE/MERGE of a node needs a current frame (add a MATCH/UNWIND first)")
+    val idExpr = props.collectFirst { case ("id", e) => e }.getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE (:$label …) requires an `id` property — distributed node " +
+          "creation needs caller-supplied deterministic ids"))
+    // the `id` property IS the node id: `x.id` resolves to the same
+    // `x__id` column a scan binds, so no separate `id` column exists
+    // (it would collide with the id binding at rename time)
+    val cols = toColumn(idExpr, s.binds).cast("long").as("__id") +:
+      props.collect { case (k, e) if k != "id" =>
+        toColumn(e, s.binds).as(k) }
+    var rows = s.df.select(cols: _*)
+    if (merge) rows = rows.distinct()
+    val updated = graph.nodes.get(label) match {
+      case None => rows
+      case Some(existing) =>
+        val appended =
+          if (merge)
+            rows.join(existing.select(col("__id")), Seq("__id"), "left_anti")
+          else rows
+        existing.unionByName(appended, allowMissingColumns = true)
+    }
+    graph.copy(nodes = graph.nodes.updated(label, updated))
   }
 
   /** Plans `DELETE r` for a bound single-hop typed relationship
@@ -894,6 +935,7 @@ object CypherPlanner {
         out ++= imports
         out ++= colsNeeded(CypherQuery(inner))
       case _: WriteRelClause        => () // reads only endpoint __id
+      case CreateNodeClause(_, _, ps, _) => ps.foreach { case (_, e) => walk(e) }
       case _: DeleteRelClause       => () // rel props bind via the rel var
       case SetPropClause(as)        =>
         as.foreach { case (v, _, e) => out += v; walk(e) }

@@ -692,6 +692,22 @@ object CypherQueries {
         |RETURN id(a) AS src_id, id(b) AS dst_id, n_writes
         |ORDER BY src_id, dst_id""".stripMargin)
 
+  /** Engine-side NODE creation — the write shape of the reference's
+    * own example (Neo4jOutputFormat's UNWIND batches create `(:User)`
+    * nodes): derive a new node label from matched rows with
+    * expression-valued properties, then read the new label back in
+    * the same query. The reserved `id` property supplies the node id
+    * (deterministic, caller-owned — the offset discipline).
+    */
+  def createNode(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |CREATE (g:NationGroup {id: n.nationkey, name: n.name, region: r.name})
+        |WITH count(*) AS n_created
+        |MATCH (g:NationGroup)
+        |RETURN g.id AS id, g.name AS name, g.region AS region, n_created
+        |ORDER BY id""".stripMargin)
+
   /** Engine-side `DELETE` of matched relationships: drop low-quantity
     * CONTAINS edges, then re-read the post-delete edge set in the
     * same query — completing the write-clause family with

@@ -1051,6 +1051,37 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("node CREATE derives a readable label; MERGE node dedups; id required") {
+    val n = run(
+      "MATCH (r:Region) CREATE (t:Tag {id: r.regionkey, name: r.name}) " +
+        "WITH count(*) AS w MATCH (t:Tag) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val regions = run("MATCH (r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == regions)
+    // MERGE node: duplicate source rows collapse (customers share nations)
+    val merged = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(nn:Nation) " +
+        "MERGE (t:Tag {id: nn.nationkey, name: nn.name}) " +
+        "WITH count(*) AS w MATCH (t:Tag) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val nations = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(nn:Nation) " +
+        "RETURN count(DISTINCT nn.nationkey) AS n").collect().head.getLong(0)
+    assert(merged == nations)
+    // property values read back through the new label's scan
+    val byName = run(
+      "MATCH (r:Region) CREATE (t:Tag {id: r.regionkey, name: r.name}) " +
+        "WITH count(*) AS w MATCH (t:Tag) RETURN id(t) AS i, t.name AS nm " +
+        "ORDER BY i").collect()
+    assert(byName.forall(r => r.getString(1).nonEmpty))
+    // missing `id` property fails loudly
+    intercept[Exception] {
+      run("MATCH (r:Region) CREATE (t:Tag {name: r.name}) " +
+        "WITH count(*) AS w MATCH (t:Tag) RETURN count(*) AS n").collect()
+    }
+  }
+
   test("MERGE endpoints must be bound and the relationship directed") {
     intercept[Exception] {
       run("MATCH (c:Customer) MERGE (c)-[:X]->(q) RETURN count(*) AS n")
