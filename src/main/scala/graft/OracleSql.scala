@@ -636,6 +636,68 @@ object OracleSql {
        |FROM cdeg c LEFT JOIN intra i USING (community) CROSS JOIN mm
        |ORDER BY community""".stripMargin
 
+  /** DuckDB twin of [[graft.graph.Algorithms.louvainQuery]]:
+    * synchronous Louvain local-moving rounds unrolled as CTEs over
+    * the same per-nation consecutive-customer graph. The gain
+    * comparison (`2m·k_{i,c} − k_i·Σtot'(c)`) is exact integer
+    * arithmetic on both engines, ties to the smallest community id;
+    * the reporting tail is [[modularity]]'s.
+    */
+  def louvain(rounds: Int = 3): String = {
+    val steps = (1 to rounds).map { j =>
+      s"""t$j AS (SELECT comm, SUM(deg) AS tot FROM c${j - 1} GROUP BY 1),
+         |k$j AS (
+         |  SELECT s.src, c.comm AS nc, COUNT(*) AS kic
+         |  FROM s0 s JOIN c${j - 1} c ON s.dst = c.id GROUP BY 1, 2),
+         |u$j AS (
+         |  SELECT src, nc, CAST(SUM(kic) AS BIGINT) AS kic FROM (
+         |    SELECT src, nc, kic FROM k$j
+         |    UNION ALL SELECT id AS src, comm AS nc, 0 AS kic FROM c${j - 1})
+         |  GROUP BY 1, 2),
+         |c$j AS MATERIALIZED (
+         |  SELECT src AS id, nc AS comm, ki AS deg FROM (
+         |    SELECT u.src, u.nc, c.deg AS ki, row_number() OVER (
+         |      PARTITION BY u.src ORDER BY
+         |        2 * mm.m * u.kic - c.deg *
+         |          (CASE WHEN u.nc = c.comm THEN t.tot - c.deg
+         |                ELSE t.tot END) DESC, u.nc) AS rk
+         |    FROM u$j u JOIN c${j - 1} c ON u.src = c.id
+         |    JOIN t$j t ON u.nc = t.comm CROSS JOIN mm)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nb AS (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+       |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
+       |  FROM customer),
+       |e AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, d1 AS dst FROM nb UNION ALL SELECT src, d2 AS dst FROM nb)
+       |  WHERE dst IS NOT NULL),
+       |s0 AS MATERIALIZED (SELECT src, dst FROM e
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |mm AS (SELECT COUNT(*) AS m FROM e),
+       |c0 AS MATERIALIZED (
+       |  SELECT src AS id, src AS comm, COUNT(*) AS deg
+       |  FROM s0 GROUP BY src),
+       |$steps,
+       |lab AS MATERIALIZED (SELECT id, comm AS community, deg FROM c$rounds),
+       |cdeg AS (
+       |  SELECT community, COUNT(*) AS n_nodes,
+       |    CAST(SUM(deg) AS BIGINT) AS deg_sum
+       |  FROM lab GROUP BY 1),
+       |intra AS (
+       |  SELECT la.community, COUNT(*) AS m_intra
+       |  FROM e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+       |  WHERE la.community = lb.community GROUP BY 1)
+       |SELECT c.community, c.n_nodes,
+       |  COALESCE(i.m_intra, 0) AS m_intra, c.deg_sum,
+       |  round(CAST(COALESCE(i.m_intra, 0) AS DOUBLE) / mm.m -
+       |    (CAST(c.deg_sum AS DOUBLE) / (2 * mm.m)) *
+       |    (CAST(c.deg_sum AS DOUBLE) / (2 * mm.m)), 9) + 0.0 AS q_part
+       |FROM cdeg c LEFT JOIN intra i USING (community) CROSS JOIN mm
+       |ORDER BY community""".stripMargin
+  }
+
   /** The DuckDB twin of [[graft.graph.Algorithms.kcorePeel]] over the
     * per-nation consecutive-customer graph: exactly `rounds` peeling
     * steps unrolled as CTEs (same rounds-bounded contract as the

@@ -93,6 +93,9 @@ object SparkEntry {
     "cypher_delete_rel"     -> (cypher.CypherQueries.deleteRel(_, _)),
     "cypher_create_node"    -> (cypher.CypherQueries.createNode(_, _)),
     "cypher_set_prop"       -> (cypher.CypherQueries.setProp(_, _)),
+    "cypher_merge_on"       -> (cypher.CypherQueries.mergeOn(_, _)),
+    "cypher_remove"         -> (cypher.CypherQueries.removeProp(_, _)),
+    "cypher_detach_delete"  -> (cypher.CypherQueries.detachDelete(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_degree_dist"     -> (graph.Algorithms.degreeDistQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -104,6 +107,7 @@ object SparkEntry {
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
     "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
     "graph_modularity"      -> (graph.Algorithms.modularityQuery(_, _)),
+    "graph_louvain"         -> (graph.Algorithms.louvainQuery(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
@@ -274,6 +278,7 @@ object SparkEntry {
     "graph_label_prop"  -> OracleSql.labelProp(),
     "graph_degree_dist" -> OracleSql.degreeDist,
     "graph_modularity"  -> OracleSql.modularity(),
+    "graph_louvain"     -> OracleSql.louvain(),
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
     "graph_betweenness"   -> OracleSql.betweenness(),
@@ -2003,6 +2008,46 @@ object SparkEntry {
         |  FROM lineitem WHERE l_quantity > 10.0)
         |SELECT kept.n_left, del.n_deleted
         |FROM kept CROSS JOIN del""".stripMargin,
+    "cypher_merge_on" ->
+      """WITH h1 AS (
+        |  SELECT DISTINCT CAST(r_regionkey AS BIGINT) AS hub_id,
+        |    CAST(1 AS BIGINT) AS src FROM region),
+        |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM region),
+        |nk AS (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS hub_id
+        |       FROM nation),
+        |merged AS (
+        |  SELECT h1.hub_id,
+        |    CASE WHEN nk.hub_id IS NOT NULL THEN CAST(2 AS BIGINT)
+        |         ELSE h1.src END AS src
+        |  FROM h1 LEFT JOIN nk ON h1.hub_id = nk.hub_id
+        |  UNION ALL
+        |  SELECT nk.hub_id, CAST(10 AS BIGINT) AS src FROM nk
+        |  WHERE nk.hub_id NOT IN (SELECT hub_id FROM h1)),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM nation)
+        |SELECT m.hub_id, m.src, c1.n1, c2.n2
+        |FROM merged m CROSS JOIN c1 CROSS JOIN c2
+        |ORDER BY hub_id""".stripMargin,
+    "cypher_remove" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN c_acctbal < 0.0 THEN NULL
+        |              ELSE c_mktsegment END AS segment
+        |  FROM customer),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_removed
+        |      FROM customer WHERE c_acctbal < 0.0)
+        |SELECT f.segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(r.n_removed) AS n_removed
+        |FROM f CROSS JOIN r GROUP BY f.segment
+        |ORDER BY segment""".stripMargin,
+    "cypher_detach_delete" ->
+      """WITH del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+        |  FROM part WHERE p_size > 40),
+        |e AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 40)
+        |SELECT e.n_edges, del.n_deleted
+        |FROM e CROSS JOIN del""".stripMargin,
     "cypher_set_prop" ->
       """WITH f AS (
         |  SELECT c_custkey,

@@ -220,9 +220,22 @@ object Ast {
     * caller supplies them and owns global uniqueness (follow the
     * GraphLoader offset discipline). MERGE dedups whole rows
     * (idempotent CTAS); CREATE appends per row.
+    *
+    * `onCreate` / `onMatch` hold `ON CREATE SET` / `ON MATCH SET`
+    * assignments (MERGE only): a frame row whose `id` is absent from
+    * the PRE-MERGE label table creates the node and applies
+    * `onCreate`; a present id applies `onMatch` to the existing node
+    * instead. Neo4j's row-at-a-time semantics (later rows of the SAME
+    * clause "match" an id an earlier row just created) is inherently
+    * row-order-dependent, so the engine uses the deterministic
+    * set-based reading: created-vs-matched is decided against the
+    * pre-merge table, and per-id value conflicts resolve to MAX (the
+    * [[SetPropClause]] discipline).
     */
   final case class CreateNodeClause(variable: Option[String], label: String,
-      props: Seq[(String, CExpr)], merge: Boolean) extends Clause
+      props: Seq[(String, CExpr)], merge: Boolean,
+      onCreate: Seq[(String, CExpr)] = Nil,
+      onMatch: Seq[(String, CExpr)] = Nil) extends Clause
   /** `DELETE r [, r2 …]` — engine-side removal of the relationships a
     * named single-hop pattern variable binds. Row-level set
     * semantics: the matched edges (src, dst, and every property
@@ -241,6 +254,23 @@ object Ast {
     */
   final case class SetPropClause(assignments: Seq[(String, String, CExpr)])
       extends Clause
+  /** `REMOVE n.prop [, m.prop2 …]` — engine-side property removal on
+    * labeled bound node variables: matched ids read the property as
+    * null afterwards (Neo4j "missing property" ≡ null in the
+    * engine's columnar model; the column itself stays when other
+    * nodes keep values). Same derived-table discipline as
+    * [[SetPropClause]].
+    */
+  final case class RemovePropClause(targets: Seq[(String, String)])
+      extends Clause
+  /** `DETACH DELETE n [, m …]` — engine-side NODE deletion: the
+    * matched ids leave the label's node table AND every relationship
+    * table drops edges incident (either endpoint) to a deleted id —
+    * Neo4j's DETACH semantics, where plain `DELETE` of a connected
+    * node errors. Same CTAS-style derived-graph model as the other
+    * write clauses; later clauses read the post-delete graph.
+    */
+  final case class DetachDeleteClause(vars: Seq[String]) extends Clause
   final case class ReturnClause(
       distinct: Boolean,
       items: Seq[ReturnItem],

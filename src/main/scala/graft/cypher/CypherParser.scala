@@ -155,12 +155,24 @@ object CypherParser {
             clauses += MatchClause(chain, optional = false)
             where.foreach(clauses += FilterClause(_))
           }
-        } else if (atKw("DELETE")) {
-          eatKw("DELETE")
+        } else if (atKw("DELETE") || atKw("DETACH")) {
+          val detach = atKw("DETACH")
+          if (detach) { eatKw("DETACH"); eatKw("DELETE") } else eatKw("DELETE")
           val vs = Seq.newBuilder[String]
           vs += ident()
           while (atSym(",")) { eatSym(","); vs += ident() }
-          clauses += DeleteRelClause(vs.result())
+          clauses +=
+            (if (detach) DetachDeleteClause(vs.result())
+             else DeleteRelClause(vs.result()))
+        } else if (atKw("REMOVE")) {
+          eatKw("REMOVE")
+          val ts = Seq.newBuilder[(String, String)]
+          def one(): Unit = {
+            val v = ident(); eatSym("."); ts += ((v, ident()))
+          }
+          one()
+          while (atSym(",")) { eatSym(","); one() }
+          clauses += RemovePropClause(ts.result())
         } else if (atKw("SET")) {
           eatKw("SET")
           val as = Seq.newBuilder[(String, String, CExpr)]
@@ -202,8 +214,34 @@ object CypherParser {
               eatSym("}")
             }
             eatSym(")")
+            // ON CREATE SET / ON MATCH SET conditional assignments
+            // (MERGE only), in either order, each a comma list of
+            // `var.prop = expr`
+            var onCreate = Seq.empty[(String, CExpr)]
+            var onMatch = Seq.empty[(String, CExpr)]
+            while (atKw("ON")) {
+              eatKw("ON")
+              val isCreate = atKw("CREATE")
+              if (isCreate) eatKw("CREATE") else eatKw("MATCH")
+              eatKw("SET")
+              require(!create,
+                "ON CREATE/ON MATCH SET requires MERGE, not CREATE")
+              val as = Seq.newBuilder[(String, CExpr)]
+              def assign(): Unit = {
+                val av = ident(); eatSym(".")
+                val p = ident(); eatSym("=")
+                require(v.contains(av),
+                  s"ON ${if (isCreate) "CREATE" else "MATCH"} SET targets " +
+                    s"'$av' — only the merged variable ${v.getOrElse("?")} " +
+                    "is assignable here")
+                as += ((p, addExpr()))
+              }
+              assign()
+              while (atSym(",")) { eatSym(","); assign() }
+              if (isCreate) onCreate ++= as.result() else onMatch ++= as.result()
+            }
             clauses += CreateNodeClause(v, label, props.result(),
-              merge = !create)
+              merge = !create, onCreate = onCreate, onMatch = onMatch)
           }
         } else if (atKw("UNWIND")) {
           eatKw("UNWIND")

@@ -85,9 +85,13 @@ object CypherPlanner {
       case CallClause(imp, inner) =>
         CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
       case w: WriteRelClause => w // pattern props are literals already
-      case CreateNodeClause(v, l, ps, m) =>
-        CreateNodeClause(v, l, ps.map { case (k, e) => (k, bx(e)) }, m)
+      case CreateNodeClause(v, l, ps, m, oc, om) =>
+        CreateNodeClause(v, l, ps.map { case (k, e) => (k, bx(e)) }, m,
+          oc.map { case (k, e) => (k, bx(e)) },
+          om.map { case (k, e) => (k, bx(e)) })
       case d: DeleteRelClause => d
+      case d: DetachDeleteClause => d
+      case r: RemovePropClause => r
       case SetPropClause(as) =>
         SetPropClause(as.map { case (v, p, e) => (v, p, bx(e)) })
       case r: ReturnClause  => r.copy(items = r.items.map(bi))
@@ -164,8 +168,8 @@ object CypherPlanner {
       case WriteRelClause(chain, create) =>
         graph = planWriteRel(graph, s, chain, create)
 
-      case CreateNodeClause(_, label, props, merge) =>
-        graph = planCreateNode(graph, s, label, props, merge)
+      case CreateNodeClause(_, label, props, merge, onCreate, onMatch) =>
+        graph = planCreateNode(graph, s, label, props, merge, onCreate, onMatch)
 
       case DeleteRelClause(vars) =>
         vars.foreach { rv =>
@@ -173,6 +177,22 @@ object CypherPlanner {
             throw new IllegalArgumentException(
               s"DELETE $rv: not a bound single-type directed relationship variable"))
           graph = planDeleteRel(graph, s, rv, relType)
+        }
+
+      case DetachDeleteClause(vars) =>
+        vars.foreach { nv =>
+          val label = varLabels.getOrElse(nv,
+            throw new IllegalArgumentException(
+              s"DETACH DELETE $nv: $nv is not a labeled bound node variable"))
+          graph = planDetachDelete(graph, s, nv, label)
+        }
+
+      case RemovePropClause(targets) =>
+        targets.foreach { case (v, prop) =>
+          val label = varLabels.getOrElse(v,
+            throw new IllegalArgumentException(
+              s"REMOVE $v.$prop: $v is not a labeled bound node variable"))
+          graph = planRemoveProp(graph, s, v, label, prop)
         }
 
       case SetPropClause(assignments) =>
@@ -307,9 +327,13 @@ object CypherPlanner {
     * node creation is exactly as wide as the created properties.
     */
   private def planCreateNode(graph: PropertyGraph, s: Scope, label: String,
-      props: Seq[(String, CExpr)], merge: Boolean): PropertyGraph = {
+      props: Seq[(String, CExpr)], merge: Boolean,
+      onCreate: Seq[(String, CExpr)] = Nil,
+      onMatch: Seq[(String, CExpr)] = Nil): PropertyGraph = {
     require(s.df != null,
       "CREATE/MERGE of a node needs a current frame (add a MATCH/UNWIND first)")
+    require(merge || (onCreate.isEmpty && onMatch.isEmpty),
+      "ON CREATE/ON MATCH SET requires MERGE")
     val idExpr = props.collectFirst { case ("id", e) => e }.getOrElse(
       throw new IllegalArgumentException(
         s"CREATE (:$label …) requires an `id` property — distributed node " +
@@ -317,11 +341,30 @@ object CypherPlanner {
     // the `id` property IS the node id: `x.id` resolves to the same
     // `x__id` column a scan binds, so no separate `id` column exists
     // (it would collide with the id binding at rename time)
-    val cols = toColumn(idExpr, s.binds).cast("long").as("__id") +:
-      props.collect { case (k, e) if k != "id" =>
-        toColumn(e, s.binds).as(k) }
-    var rows = s.df.select(cols: _*)
-    if (merge) rows = rows.distinct()
+    // created rows carry the pattern props plus the ON CREATE
+    // assignments (an ON CREATE prop overrides a same-named pattern
+    // prop — last write of the clause text wins, Neo4j order)
+    val createCols = {
+      val byName = scala.collection.mutable.LinkedHashMap[String, Column]()
+      byName += ("__id" -> toColumn(idExpr, s.binds).cast("long").as("__id"))
+      props.foreach { case (k, e) =>
+        if (k != "id") byName += (k -> toColumn(e, s.binds).as(k))
+      }
+      onCreate.foreach { case (k, e) =>
+        require(k != "id", "ON CREATE SET cannot reassign the id property")
+        byName += (k -> toColumn(e, s.binds).as(k))
+      }
+      byName.values.toSeq
+    }
+    var rows = s.df.select(createCols: _*)
+    if (merge) rows =
+      // per-id conflicts across frame rows resolve to MAX per column —
+      // the SetPropClause determinism discipline (plain distinct would
+      // keep several rows per id when non-id props differ)
+      if (onCreate.isEmpty && onMatch.isEmpty) rows.distinct()
+      else rows.groupBy(col("__id")).agg(
+        rows.columns.filter(_ != "__id").map(c => max(col(c)).as(c)).head,
+        rows.columns.filter(_ != "__id").map(c => max(col(c)).as(c)).tail: _*)
     val updated = graph.nodes.get(label) match {
       case None => rows
       case Some(existing) =>
@@ -329,8 +372,82 @@ object CypherPlanner {
           if (merge)
             rows.join(existing.select(col("__id")), Seq("__id"), "left_anti")
           else rows
-        existing.unionByName(appended, allowMissingColumns = true)
+        // ON MATCH SET: existing nodes whose id the frame merges get
+        // the assignments (id-keyed MAX-resolved update join, exactly
+        // planSetProp's shape); everything else unchanged
+        val matchedBase =
+          if (onMatch.isEmpty) existing
+          else {
+            val updates = s.df
+              .select(toColumn(idExpr, s.binds).cast("long").as("__id") +:
+                onMatch.map { case (k, e) =>
+                  toColumn(e, s.binds).as(s"__om_$k") }: _*)
+              .groupBy(col("__id"))
+              .agg(onMatch.map { case (k, _) =>
+                  max(col(s"__om_$k")).as(s"__om_$k") }.head,
+                onMatch.map { case (k, _) =>
+                  max(col(s"__om_$k")).as(s"__om_$k") }.tail: _*)
+            var base = existing
+            onMatch.foreach { case (k, _) =>
+              if (!base.columns.contains(k)) base = base.withColumn(k, lit(null))
+            }
+            var joined = base.join(updates, Seq("__id"), "left_outer")
+            onMatch.foreach { case (k, _) =>
+              joined = joined.withColumn(k,
+                coalesce(col(s"__om_$k"), col(k)))
+            }
+            joined.drop(onMatch.map { case (k, _) => s"__om_$k" }: _*)
+          }
+        matchedBase.unionByName(appended, allowMissingColumns = true)
     }
+    graph.copy(nodes = graph.nodes.updated(label, updated))
+  }
+
+  /** Plans `DETACH DELETE n` on a labeled bound node variable (see
+    * [[Ast.DetachDeleteClause]]): the matched ids anti-join out of the
+    * label's node table, and EVERY relationship table anti-joins away
+    * edges incident to a deleted id on either endpoint.
+    *
+    * 100 TB notes: the deleted-id frame is distinct'd ids only (8
+    * bytes/row); each rel table pays two id-keyed anti-joins
+    * (broadcastable when the delete set is small — the common case),
+    * and the whole cascade is lazy, so types never read again prune
+    * away entirely.
+    */
+  private def planDetachDelete(graph: PropertyGraph, s: Scope,
+      nv: String, label: String): PropertyGraph = {
+    val idCol = s"${nv}__id"
+    require(s.df != null && s.df.columns.contains(idCol),
+      s"DETACH DELETE $nv: $nv is not bound in the current frame")
+    val ids = s.df.select(col(idCol).as("__id")).distinct()
+    val keptNodes = graph.nodeTable(label)
+      .join(ids, Seq("__id"), "left_anti")
+    val keptRels = graph.rels.map { case (t, e) =>
+      t -> e.join(ids.select(col("__id").as("__src")), Seq("__src"), "left_anti")
+            .join(ids.select(col("__id").as("__dst")), Seq("__dst"), "left_anti")
+    }
+    graph.copy(nodes = graph.nodes.updated(label, keptNodes), rels = keptRels)
+  }
+
+  /** Plans `REMOVE n.prop` on a labeled bound node variable (see
+    * [[Ast.RemovePropClause]]): matched ids read the property as null
+    * afterwards. Unlike SET (whose coalesce keeps the old value for
+    * null updates), removal marks matched ids through the join and
+    * nulls the column exactly there.
+    */
+  private def planRemoveProp(graph: PropertyGraph, s: Scope, v: String,
+      label: String, prop: String): PropertyGraph = {
+    val idCol = s"${v}__id"
+    require(s.df != null && s.df.columns.contains(idCol),
+      s"REMOVE $v.$prop: $v is not bound in the current frame")
+    val nt = graph.nodeTable(label)
+    require(nt.columns.contains(prop),
+      s"REMOVE $v.$prop: label $label has no property '$prop'")
+    val hits = s.df.select(col(idCol).as("__id")).distinct()
+      .withColumn("__rm", lit(true))
+    val updated = nt.join(hits, Seq("__id"), "left_outer")
+      .withColumn(prop, when(col("__rm"), lit(null)).otherwise(col(prop)))
+      .drop("__rm")
     graph.copy(nodes = graph.nodes.updated(label, updated))
   }
 
@@ -935,8 +1052,11 @@ object CypherPlanner {
         out ++= imports
         out ++= colsNeeded(CypherQuery(inner))
       case _: WriteRelClause        => () // reads only endpoint __id
-      case CreateNodeClause(_, _, ps, _) => ps.foreach { case (_, e) => walk(e) }
+      case CreateNodeClause(_, _, ps, _, oc, om) =>
+        (ps ++ oc ++ om).foreach { case (_, e) => walk(e) }
       case _: DeleteRelClause       => () // rel props bind via the rel var
+      case _: DetachDeleteClause    => () // reads only the node __id
+      case RemovePropClause(ts)     => ts.foreach { case (v, _) => out += v }
       case SetPropClause(as)        =>
         as.foreach { case (v, _, e) => out += v; walk(e) }
       case r: ReturnClause          =>

@@ -739,6 +739,60 @@ object CypherQueries {
         |RETURN c2.flagged AS flagged, count(*) AS n_customers
         |ORDER BY flagged""".stripMargin)
 
+  /** `MERGE … ON CREATE SET / ON MATCH SET` conditional writes — the
+    * upsert idiom the reference's UNWIND-batched MERGE statements run
+    * server-side (Neo4jOutputFormat.java:104-137), executed by the
+    * engine itself: the first MERGE creates region hubs (ON CREATE
+    * fires), the second merges the overlapping nation keys — ids
+    * 0..4 exist and take the ON MATCH branch, the rest create with
+    * the ON CREATE value. Created-vs-matched is decided against the
+    * pre-merge table (the deterministic set-based reading of Neo4j's
+    * row-at-a-time rule; see [[Ast.CreateNodeClause]]).
+    */
+  def mergeOn(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (r:Region)
+        |MERGE (h:Hub {id: r.regionkey})
+        |ON CREATE SET h.src = 1
+        |WITH count(*) AS n1
+        |MATCH (n:Nation)
+        |MERGE (h:Hub {id: n.nationkey})
+        |ON CREATE SET h.src = 10
+        |ON MATCH SET h.src = 2
+        |WITH n1, count(*) AS n2
+        |MATCH (h:Hub)
+        |RETURN h.id AS hub_id, h.src AS src, n1, n2
+        |ORDER BY hub_id""".stripMargin)
+
+  /** `REMOVE n.prop` — engine-side property removal: negative-balance
+    * customers lose their market segment, and the post-write grouping
+    * reads those nodes as null (Neo4j missing-property ≡ null in the
+    * columnar model).
+    */
+  def removeProp(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer) WHERE c.acctbal < 0.0
+        |REMOVE c.mktsegment
+        |WITH count(*) AS n_removed
+        |MATCH (c2:Customer)
+        |RETURN c2.mktsegment AS segment, count(*) AS n,
+        |  min(n_removed) AS n_removed
+        |ORDER BY segment""".stripMargin)
+
+  /** `DETACH DELETE n` — engine-side node deletion with edge cascade:
+    * oversized parts leave the Part table AND every relationship
+    * table drops edges incident to them (Neo4j DETACH semantics),
+    * verified by re-counting the surviving CONTAINS edges in the same
+    * query.
+    */
+  def detachDelete(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (p:Part) WHERE p.size > 40
+        |DETACH DELETE p
+        |WITH count(*) AS n_del
+        |MATCH (o:Order)-[r:CONTAINS]->(p2:Part)
+        |RETURN count(*) AS n_edges, min(n_del) AS n_deleted""".stripMargin)
+
   /** `=~` regex predicate with Neo4j whole-string semantics (the
     * planner anchors the pattern, since Spark's regexp_like matches
     * anywhere). The DuckDB oracle uses regexp_full_match — same

@@ -228,6 +228,102 @@ object Algorithms {
       .orderBy(col("community"))
   }
 
+  /** Deterministic synchronous Louvain local-moving (phase 1 of
+    * Blondel et al. 2008), rounds-bounded, over the per-nation
+    * consecutive-customer graph, reported per final community with
+    * its Newman modularity part (the [[modularityQuery]] tail).
+    *
+    * Each round every node moves to the neighboring community with
+    * the best modularity gain, all nodes SIMULTANEOUSLY from the
+    * previous round's assignment — classic sequential Louvain visits
+    * nodes in an unspecified order (non-deterministic on a
+    * distributed engine), so graft pins the synchronous variant, the
+    * standard distributed spelling (it's also what Spark/Giraph
+    * Louvain implementations do).
+    *
+    * Gain comparison is EXACT integer arithmetic: moving i to
+    * community c improves modularity by (k_{i,c} − k_i·Σtot'(c)/2m)/m
+    * up to constants, so candidates rank by
+    * `2m·k_{i,c} − k_i·Σtot'(c)` — all int64 (≤ 2m·deg ≪ 2^62),
+    * bit-identical on both engines, ties to the smallest community
+    * id. Σtot'(c) excludes i's own degree when c is i's current
+    * community (the self-term of the gain formula).
+    *
+    * 100 TB notes: per round one dst-keyed edge join + (src, comm)
+    * aggregate (the label-prop exchange shape), a comm-keyed
+    * node-cardinality aggregate for Σtot, and one src-keyed argmax
+    * window; edges never change, the community frame is
+    * node-cardinality and checkpointed per round. Phase-2 graph
+    * coarsening would shrink the frame further between passes —
+    * documented future work, the local-moving pass is the
+    * corpus-scale cost either way.
+    */
+  def louvainQuery(spark: SparkSession, sfDir: String,
+      rounds: Int = 3): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"))
+    val edges = nbr.select(col("src"), col("d1").as("dst"))
+      .filter(col("dst").isNotNull)
+      .unionByName(nbr.select(col("src"), col("d2").as("dst"))
+        .filter(col("dst").isNotNull))
+      .localCheckpoint()
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mRow = edges.agg(count(lit(1)).as("m"))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // community frame carries each node's degree so rounds never
+    // re-join the degree table
+    var comm = deg.select(col("id"), col("id").as("comm"), col("deg"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("score").desc, col("nc"))
+    for (_ <- 1 to rounds) {
+      val tot = comm.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
+      val kic = sym
+        .join(comm.select(col("id").as("dst"), col("comm").as("nc")), "dst")
+        .groupBy(col("src"), col("nc")).agg(count(lit(1)).as("kic"))
+      // the stay option must always be a candidate, even with no
+      // intra-community neighbor (kic contributes 0 then)
+      val cand = kic.unionByName(
+          comm.select(col("id").as("src"), col("comm").as("nc"),
+            lit(0L).as("kic")))
+        .groupBy(col("src"), col("nc")).agg(sum(col("kic")).as("kic"))
+      comm = cand
+        .join(comm.select(col("id").as("src"), col("comm").as("oc"),
+          col("deg").as("ki")), "src")
+        .join(tot.withColumnRenamed("comm", "nc"), "nc")
+        .crossJoin(broadcast(mRow))
+        .withColumn("score",
+          lit(2L) * col("m") * col("kic") - col("ki") *
+            when(col("nc") === col("oc"), col("tot") - col("ki"))
+              .otherwise(col("tot")))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") === 1)
+        .select(col("src").as("id"), col("nc").as("comm"), col("ki").as("deg"))
+        .localCheckpoint(true)
+    }
+    val lab = comm.select(col("id"), col("comm").as("community"))
+    val cdeg = comm.groupBy(col("comm").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = edges
+      .join(lab.select(col("id").as("src"), col("community").as("ca")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("community").as("cb")), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_intra"))
+    cdeg.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_intra"), lit(0L)).as("m_intra"), col("deg_sum"),
+        (round(coalesce(col("m_intra"), lit(0L)).cast("double") / col("m") -
+          (col("deg_sum").cast("double") / (lit(2L) * col("m"))) *
+          (col("deg_sum").cast("double") / (lit(2L) * col("m"))), 9)
+          + lit(0.0)).as("q_part"))
+      .orderBy(col("community"))
+  }
+
   /** Exact triangle enumeration over an undirected edge list, one row
     * per triangle with the member ids sorted ascending.
     *

@@ -1092,4 +1092,84 @@ class CypherPlannerSpec extends AnyFunSuite {
         "MERGE (c)-[:X]-(n) RETURN count(*) AS n").collect()
     }
   }
+
+  test("MERGE ON CREATE/ON MATCH SET: branch chosen against the pre-merge table") {
+    // first merge: label absent, everything creates (ON CREATE value);
+    // second merge: nation keys 0..4 exist -> ON MATCH value, the
+    // rest create with the second ON CREATE value
+    val rows = run(
+      "MATCH (r:Region) MERGE (h:Hub {id: r.regionkey}) " +
+        "ON CREATE SET h.src = 1 " +
+        "WITH count(*) AS w1 " +
+        "MATCH (n:Nation) MERGE (h:Hub {id: n.nationkey}) " +
+        "ON CREATE SET h.src = 10 ON MATCH SET h.src = 2 " +
+        "WITH count(*) AS w2 MATCH (h:Hub) " +
+        "RETURN h.id AS hub_id, h.src AS src ORDER BY hub_id").collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (id, src) = (r.getLong(0), r.getLong(1))
+      assert(if (id <= 4) src == 2L else src == 10L, s"hub $id src $src")
+    }
+    // ON CREATE/ON MATCH require MERGE, and only the merged variable
+    // is assignable
+    intercept[Exception] {
+      run("MATCH (r:Region) CREATE (h:Hub {id: r.regionkey}) " +
+        "ON CREATE SET h.src = 1 WITH count(*) AS w " +
+        "MATCH (h:Hub) RETURN count(*) AS n").collect()
+    }
+    intercept[Exception] {
+      run("MATCH (r:Region) MERGE (h:Hub {id: r.regionkey}) " +
+        "ON MATCH SET r.name = 'x' WITH count(*) AS w " +
+        "MATCH (h:Hub) RETURN count(*) AS n").collect()
+    }
+  }
+
+  test("REMOVE nulls the property on matched nodes only") {
+    val rows = run(
+      "MATCH (c:Customer) WHERE c.acctbal < 0.0 REMOVE c.mktsegment " +
+        "WITH count(*) AS w MATCH (c2:Customer) " +
+        "RETURN c2.mktsegment AS seg, count(*) AS n ORDER BY seg").collect()
+    val nullN = rows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val negative = run(
+      "MATCH (c:Customer) WHERE c.acctbal < 0.0 RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(nullN == negative && negative > 0)
+    // removing an unknown property fails loudly
+    intercept[Exception] {
+      run("MATCH (c:Customer) REMOVE c.nosuch " +
+        "WITH count(*) AS w MATCH (c2:Customer) RETURN count(*) AS n")
+        .collect()
+    }
+  }
+
+  test("DETACH DELETE drops nodes and cascades to incident edges") {
+    val bigParts = run(
+      "MATCH (p:Part) WHERE p.size > 40 RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val allParts = run("MATCH (p:Part) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val partsLeft = run(
+      "MATCH (p:Part) WHERE p.size > 40 DETACH DELETE p " +
+        "WITH count(*) AS w MATCH (p2:Part) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(bigParts > 0 && partsLeft == allParts - bigParts)
+    // CONTAINS edges to the deleted parts are gone even via the
+    // untyped/edge-only read (no Part re-join hiding them)
+    val edgesAll = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val edgesToBig = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE p.size > 40 " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val edgesLeft = run(
+      "MATCH (p:Part) WHERE p.size > 40 DETACH DELETE p " +
+        "WITH count(*) AS w MATCH (a)-[:CONTAINS]->(b) " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(edgesLeft == edgesAll - edgesToBig)
+    // unlabeled variable fails loudly
+    intercept[Exception] {
+      run("MATCH (a)-[:CONTAINS]->(b) DETACH DELETE a " +
+        "WITH count(*) AS w MATCH (o:Order) RETURN count(*) AS n").collect()
+    }
+  }
 }

@@ -195,6 +195,24 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_nodes")).sum == labels.length)
   }
 
+  test("louvain: partition valid, local moves improve on the singleton baseline") {
+    val rows = Algorithms.louvainQuery(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // community parts are bounded and the partition covers every node
+    assert(rows.forall(r => math.abs(r.getAs[Double]("q_part")) < 1.0))
+    assert(rows.forall(r =>
+      2 * r.getAs[Long]("m_intra") <= r.getAs[Long]("deg_sum")))
+    val labels = Algorithms.labelPropQuery(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == labels.length)
+    // local moving beats the all-singletons start (Q_singleton < 0:
+    // zero intra edges, only the negative degree terms) — Louvain's
+    // whole point is positive modularity on a chain-structured graph
+    val q = rows.map(_.getAs[Double]("q_part")).sum
+    assert(q > 0.0, s"louvain Q=$q not positive")
+    // non-trivial merging happened: fewer communities than nodes
+    assert(rows.length < labels.length)
+  }
+
   test("degree distribution partitions the positive-degree nodes") {
     val rows = Algorithms.degreeDistQuery(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
