@@ -175,6 +175,7 @@ object SparkEntry {
     "sketch_cms_topk"     -> (Sketches.cmsTopk(_, _)),
     "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
     "dedup_url"           -> (Dedup.urlDedup(_, _)),
+    "dedup_paragraph"     -> (Dedup.paragraphDedup(_, _)),
     "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
     "sim_topk_agg"        -> (Similarity.topkAgg(_, _)),
@@ -546,6 +547,26 @@ object SparkEntry {
         |SELECT canon_url, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS keep_id
         |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id, ws,
+        |    GREATEST((len(ws) + 9) // 10, 1) AS nseg FROM d),
+        |segs AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+        |    array_to_string(ws[CAST(t.i*10+1 AS BIGINT) :
+        |      CAST(t.i*10+10 AS BIGINT)], ' ') AS seg
+        |  FROM b, UNNEST(range(nseg)) AS t(i)),
+        |rn AS (
+        |  SELECT doc_id, seg_idx, seg, row_number() OVER (
+        |    PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+        |    FILTER (WHERE rn = 1), '')) AS clean_md5
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint"  -> OracleSql.fingerprint(),
     "text_langid"       -> OracleSql.langid,
     "graph_pagerank"    -> OracleSql.pagerank(),

@@ -94,6 +94,39 @@ class DedupSpec extends AnyFunSuite {
     assert(singles.exists(_.getAs[Long]("n_clusters") > nDocs / 2))
   }
 
+  test("paragraph dedup: kept mass = distinct segments, clean docs intact") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = Dedup.paragraphDedup(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_dup") <= r.getAs[Long]("n_segs")))
+    // conservation: kept segments across the corpus = globally
+    // distinct segment strings (first occurrence wins, everything
+    // else drops exactly once)
+    val kept = rows.map(r =>
+      r.getAs[Long]("n_segs") - r.getAs[Long]("n_dup")).sum
+    val distinctSegs = graft.Tables.documents(spark, TestSpark.sf)
+      .withColumn("ws", expr("split(text, ' ')"))
+      .withColumn("nseg", expr("greatest((size(ws) + 9) div 10, 1L)"))
+      .select(expr("explode(transform(sequence(0L, nseg - 1), " +
+        "i -> array_join(slice(ws, CAST(i * 10 + 1 AS INT), 10), ' ')))")
+        .as("seg"))
+      .distinct().count()
+    assert(kept == distinctSegs, s"kept=$kept distinct=$distinctSegs")
+    // a doc with no duplicated segment reassembles to its original
+    // text byte-for-byte (windowed split + single-space rejoin is
+    // lossless on space-tokenized text)
+    val origMd5 = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cleanDocs = rows.filter(_.getAs[Long]("n_dup") == 0L)
+    assert(cleanDocs.nonEmpty)
+    assert(cleanDocs.forall(r =>
+      r.getAs[String]("clean_md5") == origMd5(r.getAs[Long]("doc_id"))))
+    // and some cross-document duplication exists in the corpus
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0L)
+  }
+
   test("containment dominates jaccard at the same threshold") {
     // containment = inter/min(a,b) >= inter/(a+b-inter) = jaccard, so
     // at equal tau the jaccard pair set is a subset and each kept
