@@ -94,6 +94,7 @@ object SparkEntry {
     "cypher_create_node"    -> (cypher.CypherQueries.createNode(_, _)),
     "cypher_set_prop"       -> (cypher.CypherQueries.setProp(_, _)),
     "cypher_merge_on"       -> (cypher.CypherQueries.mergeOn(_, _)),
+    "cypher_merge_rel_on"   -> (cypher.CypherQueries.mergeRelOn(_, _)),
     "cypher_remove"         -> (cypher.CypherQueries.removeProp(_, _)),
     "cypher_detach_delete"  -> (cypher.CypherQueries.detachDelete(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
@@ -2048,6 +2049,32 @@ object SparkEntry {
         |SELECT m.hub_id, m.src, c1.n1, c2.n2
         |FROM merged m CROSS JOIN c1 CROSS JOIN c2
         |ORDER BY hub_id""".stripMargin,
+    "cypher_merge_rel_on" ->
+      """WITH base AS (
+        |  SELECT CAST(3000000000 + n_nationkey AS BIGINT) AS src_id,
+        |         CAST(4000000000 + n_regionkey AS BIGINT) AS dst_id,
+        |         n_nationkey
+        |  FROM nation),
+        |e1 AS (
+        |  SELECT src_id, dst_id,
+        |    CASE WHEN n_nationkey <= 10 THEN CAST(1 AS BIGINT) END AS seen
+        |  FROM base),
+        |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1
+        |       FROM nation WHERE n_nationkey <= 10),
+        |newe AS (
+        |  SELECT DISTINCT CAST(2000000000 + c_custkey AS BIGINT) AS src_id,
+        |         CAST(4000000000 + n_regionkey AS BIGINT) AS dst_id
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_custkey <= 50),
+        |merged AS (
+        |  SELECT src_id, dst_id, seen FROM e1
+        |  UNION ALL
+        |  SELECT src_id, dst_id, CAST(2 AS BIGINT) AS seen FROM newe),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2
+        |       FROM customer WHERE c_custkey <= 50)
+        |SELECT m.src_id, m.dst_id, m.seen, c1.n1, c2.n2
+        |FROM merged m CROSS JOIN c1 CROSS JOIN c2
+        |ORDER BY src_id, dst_id""".stripMargin,
     "cypher_remove" ->
       """WITH f AS (
         |  SELECT CASE WHEN c_acctbal < 0.0 THEN NULL

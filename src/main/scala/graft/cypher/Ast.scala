@@ -207,9 +207,19 @@ object Ast {
     * pairs; CREATE: multiset) — and later clauses of the same query
     * read the post-write graph. Constant property maps on the
     * relationship become literal columns on the new edges.
+    *
+    * `onCreate` / `onMatch` (MERGE only, the relationship twin of
+    * [[CreateNodeClause]]'s): a frame (src, dst) pair absent from the
+    * PRE-merge edge table creates the edge and applies `onCreate`
+    * (expression-valued, evaluated against the frame bindings); a
+    * present pair applies `onMatch` to the existing edge. The
+    * relationship variable names the assignment target only — it is
+    * NOT bound into the frame (re-match to read the written edge).
+    * Per-pair conflicts resolve to MAX (the SET discipline).
     */
-  final case class WriteRelClause(chain: PatternChain, create: Boolean)
-      extends Clause
+  final case class WriteRelClause(chain: PatternChain, create: Boolean,
+      onCreate: Seq[(String, CExpr)] = Nil,
+      onMatch: Seq[(String, CExpr)] = Nil) extends Clause
   /** `CREATE (x:Label {id: expr, k: expr, …})` / `MERGE (…)` —
     * engine-side NODE creation (the reference's own write example:
     * Neo4jOutputFormat's UNWIND batches create `(:User)` nodes): one

@@ -192,7 +192,9 @@ object CypherParser {
             require(chain.hops.size == 1,
               "MERGE/CREATE supports exactly one relationship pattern " +
                 "between two bound node variables")
-            clauses += WriteRelClause(chain, create)
+            val (onCreate, onMatch) =
+              onSetBlocks(chain.hops.head._1.variable, create)
+            clauses += WriteRelClause(chain, create, onCreate, onMatch)
           } else {
             // node write: `(x:Label {k: expr, …})` — property values
             // are full expressions, unlike pattern maps (literals)
@@ -214,32 +216,7 @@ object CypherParser {
               eatSym("}")
             }
             eatSym(")")
-            // ON CREATE SET / ON MATCH SET conditional assignments
-            // (MERGE only), in either order, each a comma list of
-            // `var.prop = expr`
-            var onCreate = Seq.empty[(String, CExpr)]
-            var onMatch = Seq.empty[(String, CExpr)]
-            while (atKw("ON")) {
-              eatKw("ON")
-              val isCreate = atKw("CREATE")
-              if (isCreate) eatKw("CREATE") else eatKw("MATCH")
-              eatKw("SET")
-              require(!create,
-                "ON CREATE/ON MATCH SET requires MERGE, not CREATE")
-              val as = Seq.newBuilder[(String, CExpr)]
-              def assign(): Unit = {
-                val av = ident(); eatSym(".")
-                val p = ident(); eatSym("=")
-                require(v.contains(av),
-                  s"ON ${if (isCreate) "CREATE" else "MATCH"} SET targets " +
-                    s"'$av' — only the merged variable ${v.getOrElse("?")} " +
-                    "is assignable here")
-                as += ((p, addExpr()))
-              }
-              assign()
-              while (atSym(",")) { eatSym(","); assign() }
-              if (isCreate) onCreate ++= as.result() else onMatch ++= as.result()
-            }
+            val (onCreate, onMatch) = onSetBlocks(v, create)
             clauses += CreateNodeClause(v, label, props.result(),
               merge = !create, onCreate = onCreate, onMatch = onMatch)
           }
@@ -297,6 +274,39 @@ object CypherParser {
         require(pos == toks.length || atKw("UNION"),
           s"trailing tokens from position $pos: ${toks.drop(pos)}")
       CypherQuery(clauses.result())
+    }
+
+    /** ON CREATE SET / ON MATCH SET conditional assignments after a
+      * MERGE pattern (node or relationship), in either order, each a
+      * comma list of `var.prop = expr` where `var` must be the merged
+      * variable (`target`). Returns (onCreate, onMatch).
+      */
+    private def onSetBlocks(target: Option[String],
+        create: Boolean): (Seq[(String, CExpr)], Seq[(String, CExpr)]) = {
+      var onCreate = Seq.empty[(String, CExpr)]
+      var onMatch = Seq.empty[(String, CExpr)]
+      while (atKw("ON")) {
+        eatKw("ON")
+        val isCreate = atKw("CREATE")
+        if (isCreate) eatKw("CREATE") else eatKw("MATCH")
+        eatKw("SET")
+        require(!create,
+          "ON CREATE/ON MATCH SET requires MERGE, not CREATE")
+        val as = Seq.newBuilder[(String, CExpr)]
+        def assign(): Unit = {
+          val av = ident(); eatSym(".")
+          val p = ident(); eatSym("=")
+          require(target.contains(av),
+            s"ON ${if (isCreate) "CREATE" else "MATCH"} SET targets " +
+              s"'$av' — only the merged variable ${target.getOrElse("?")} " +
+              "is assignable here")
+          as += ((p, addExpr()))
+        }
+        assign()
+        while (atSym(",")) { eatSym(","); assign() }
+        if (isCreate) onCreate ++= as.result() else onMatch ++= as.result()
+      }
+      (onCreate, onMatch)
     }
 
     /** Lookahead after MERGE/CREATE: true iff the parenthesized node

@@ -84,7 +84,9 @@ object CypherPlanner {
       case UnwindClause(l, a) => UnwindClause(bx(l), a)
       case CallClause(imp, inner) =>
         CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
-      case w: WriteRelClause => w // pattern props are literals already
+      case w: WriteRelClause => // pattern props are literals already
+        w.copy(onCreate = w.onCreate.map { case (k, e) => (k, bx(e)) },
+          onMatch = w.onMatch.map { case (k, e) => (k, bx(e)) })
       case CreateNodeClause(v, l, ps, m, oc, om) =>
         CreateNodeClause(v, l, ps.map { case (k, e) => (k, bx(e)) }, m,
           oc.map { case (k, e) => (k, bx(e)) },
@@ -165,8 +167,8 @@ object CypherPlanner {
       }
     }
     clauses.foreach {
-      case WriteRelClause(chain, create) =>
-        graph = planWriteRel(graph, s, chain, create)
+      case WriteRelClause(chain, create, onCreate, onMatch) =>
+        graph = planWriteRel(graph, s, chain, create, onCreate, onMatch)
 
       case CreateNodeClause(_, label, props, merge, onCreate, onMatch) =>
         graph = planCreateNode(graph, s, label, props, merge, onCreate, onMatch)
@@ -277,7 +279,9 @@ object CypherPlanner {
     * cardinality), so a following RETURN costs nothing extra.
     */
   private def planWriteRel(graph: PropertyGraph, s: Scope,
-      chain: PatternChain, create: Boolean): PropertyGraph = {
+      chain: PatternChain, create: Boolean,
+      onCreate: Seq[(String, CExpr)] = Nil,
+      onMatch: Seq[(String, CExpr)] = Nil): PropertyGraph = {
     val (rel, endNode) = chain.hops.head
     val aVar = chain.start.variable.getOrElse(throw new IllegalArgumentException(
       "MERGE/CREATE start node must be a bound variable"))
@@ -290,25 +294,75 @@ object CypherPlanner {
       "MERGE/CREATE endpoints must be bare bound variables (no label/props)")
     val relType = rel.relType.getOrElse(throw new IllegalArgumentException(
       "MERGE/CREATE relationship must have a type"))
-    require(rel.altTypes.isEmpty && rel.varLength.isEmpty && rel.variable.isEmpty,
-      "MERGE/CREATE supports a single typed, unnamed, fixed-length relationship")
+    // the relationship variable is only the ON CREATE/ON MATCH SET
+    // assignment anchor (never bound into the frame) — without ON
+    // blocks it would be dead, so reject it as before
+    require(rel.altTypes.isEmpty && rel.varLength.isEmpty &&
+        (rel.variable.isEmpty || onCreate.nonEmpty || onMatch.nonEmpty),
+      "MERGE/CREATE supports a single typed, fixed-length relationship " +
+        "(name it only to target ON CREATE/ON MATCH SET)")
     val (srcVar, dstVar) = rel.direction match {
       case Out => (aVar, bVar)
       case In  => (bVar, aVar)
       case Both => throw new IllegalArgumentException(
         "MERGE/CREATE relationship must be directed")
     }
-    var newE = s.df.select(col(s"${srcVar}__id").as("__src"),
+    val pair = Seq(col(s"${srcVar}__id").as("__src"),
       col(s"${dstVar}__id").as("__dst"))
-    rel.props.foreach { case (k, v) => newE = newE.withColumn(k, lit(v)) }
+    // one projection over the frame: pattern map first, then ON
+    // CREATE SET (later text wins, Neo4j order); expressions may read
+    // any frame binding, so everything projects in a single select
+    val propCols = {
+      val byName = scala.collection.mutable.LinkedHashMap[String, Column]()
+      rel.props.foreach { case (k, v) => byName += (k -> lit(v).as(k)) }
+      onCreate.foreach { case (k, e) =>
+        byName += (k -> toColumn(e, s.binds).as(k))
+      }
+      byName.values.toSeq
+    }
+    var newE = s.df.select(pair ++ propCols: _*)
+    // MERGE dedups pairs; with expression-valued ON CREATE props the
+    // per-pair conflicts resolve to MAX (the SET discipline)
+    if (!create) {
+      val others = newE.columns.filter(c => c != "__src" && c != "__dst")
+      newE =
+        if (others.isEmpty) newE.distinct()
+        else newE.groupBy(col("__src"), col("__dst"))
+          .agg(max(col(others.head)).as(others.head),
+            others.tail.map(c => max(col(c)).as(c)): _*)
+    }
     val updated = graph.rels.get(relType) match {
-      case None => if (create) newE else newE.distinct()
+      case None => newE
       case Some(existing) =>
-        if (create) existing.unionByName(newE, allowMissingColumns = true)
-        else existing.unionByName(
-          newE.distinct().join(existing.select(col("__src"), col("__dst")),
-            Seq("__src", "__dst"), "left_anti"),
-          allowMissingColumns = true)
+        val appended =
+          if (create) newE
+          else newE.join(existing.select(col("__src"), col("__dst")),
+            Seq("__src", "__dst"), "left_anti")
+        // ON MATCH SET: existing edges whose (src, dst) the frame
+        // merges get the assignments — pair-keyed MAX-resolved update
+        // join, the relationship twin of planSetProp
+        val matchedBase =
+          if (onMatch.isEmpty) existing
+          else {
+            val updates = s.df
+              .select(pair ++ onMatch.map { case (k, e) =>
+                toColumn(e, s.binds).as(s"__om_$k") }: _*)
+              .groupBy(col("__src"), col("__dst"))
+              .agg(max(col(s"__om_${onMatch.head._1}"))
+                  .as(s"__om_${onMatch.head._1}"),
+                onMatch.tail.map { case (k, _) =>
+                  max(col(s"__om_$k")).as(s"__om_$k") }: _*)
+            var base = existing
+            onMatch.foreach { case (k, _) =>
+              if (!base.columns.contains(k)) base = base.withColumn(k, lit(null))
+            }
+            var joined = base.join(updates, Seq("__src", "__dst"), "left_outer")
+            onMatch.foreach { case (k, _) =>
+              joined = joined.withColumn(k, coalesce(col(s"__om_$k"), col(k)))
+            }
+            joined.drop(onMatch.map { case (k, _) => s"__om_$k" }: _*)
+          }
+        matchedBase.unionByName(appended, allowMissingColumns = true)
     }
     // the written type's endpoint schema is no longer the declared one
     // (merged edges may connect other labels) — drop its relEndpoints
@@ -1051,7 +1105,8 @@ object CypherPlanner {
         // elision, never correctness)
         out ++= imports
         out ++= colsNeeded(CypherQuery(inner))
-      case _: WriteRelClause        => () // reads only endpoint __id
+      case WriteRelClause(_, _, oc, om) => // endpoints read only __id
+        (oc ++ om).foreach { case (_, e) => walk(e) }
       case CreateNodeClause(_, _, ps, _, oc, om) =>
         (ps ++ oc ++ om).foreach { case (_, e) => walk(e) }
       case _: DeleteRelClause       => () // rel props bind via the rel var

@@ -764,6 +764,32 @@ object CypherQueries {
         |RETURN h.id AS hub_id, h.src AS src, n1, n2
         |ORDER BY hub_id""".stripMargin)
 
+  /** Relationship `MERGE … ON CREATE SET / ON MATCH SET` — the edge
+    * twin of [[mergeOn]] (and the exact statement shape the
+    * reference's Neo4jOutputFormat ships in UNWIND batches): the
+    * first MERGE re-merges existing nation→region edges (ON MATCH
+    * stamps them), the second materializes new customer→region
+    * shortcuts into the SAME type (ON CREATE stamps those), and the
+    * post-write edge set reads back both stamps plus the untouched
+    * nulls. The relationship variable anchors the assignments only —
+    * it is not bound into the frame.
+    */
+  def mergeRelOn(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)-[:IN_REGION]->(rg:Region)
+        |WHERE n.nationkey <= 10
+        |MERGE (n)-[r:IN_REGION]->(rg)
+        |ON MATCH SET r.seen = 1
+        |WITH count(*) AS n1
+        |MATCH (c:Customer)-[:FROM_NATION]->(n2:Nation)-[:IN_REGION]->(rg2:Region)
+        |WHERE c.custkey <= 50
+        |MERGE (c)-[r2:IN_REGION]->(rg2)
+        |ON CREATE SET r2.seen = 2
+        |WITH n1, count(*) AS n2
+        |MATCH (x)-[e:IN_REGION]->(y)
+        |RETURN id(x) AS src_id, id(y) AS dst_id, e.seen AS seen, n1, n2
+        |ORDER BY src_id, dst_id""".stripMargin)
+
   /** `REMOVE n.prop` — engine-side property removal: negative-balance
     * customers lose their market segment, and the post-write grouping
     * reads those nodes as null (Neo4j missing-property ≡ null in the

@@ -334,7 +334,7 @@ class CypherParserSpec extends AnyFunSuite {
       "MATCH (a:Customer)-[:FROM_NATION]->(b:Nation) " +
         "MERGE (a)-[:X]->(b) RETURN count(*) AS n")
     assert(q.clauses.collect { case w: WriteRelClause => w } match {
-      case Seq(WriteRelClause(chain, false)) =>
+      case Seq(WriteRelClause(chain, false, Nil, Nil)) =>
         chain.hops.head._1.relType.contains("X")
       case _ => false
     })

@@ -1124,6 +1124,35 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("relationship MERGE ON CREATE/ON MATCH stamps the right branch") {
+    val rows = run(
+      "MATCH (n:Nation)-[:IN_REGION]->(rg:Region) WHERE n.nationkey <= 10 " +
+        "MERGE (n)-[r:IN_REGION]->(rg) ON MATCH SET r.seen = 1 " +
+        "WITH count(*) AS w1 " +
+        "MATCH (c:Customer)-[:FROM_NATION]->(n2:Nation)-[:IN_REGION]->(rg2:Region) " +
+        "WHERE c.custkey <= 20 " +
+        "MERGE (c)-[r2:IN_REGION]->(rg2) ON CREATE SET r2.seen = 2 " +
+        "WITH count(*) AS w2 MATCH (x)-[e:IN_REGION]->(y) " +
+        "RETURN id(x) AS src, e.seen AS seen").collect()
+    val custBase = 2000000000L
+    val nationBase = 3000000000L
+    rows.foreach { r =>
+      val src = r.getLong(0)
+      val seen = if (r.isNullAt(1)) -1L else r.getLong(1)
+      if (src >= custBase && src < nationBase) assert(seen == 2L)
+      else if (src <= nationBase + 10) assert(seen == 1L)
+      else assert(seen == -1L)
+    }
+    assert(rows.exists(_.getLong(0) >= custBase) &&
+      rows.exists(r => !r.isNullAt(1) && r.getLong(1) == 1L))
+    // a named rel variable without ON blocks stays rejected (dead name)
+    intercept[Exception] {
+      run("MATCH (n:Nation)-[:IN_REGION]->(rg:Region) " +
+        "MERGE (n)-[r:IN_REGION]->(rg) WITH count(*) AS w " +
+        "MATCH (x)-[:IN_REGION]->(y) RETURN count(*) AS n").collect()
+    }
+  }
+
   test("REMOVE nulls the property on matched nodes only") {
     val rows = run(
       "MATCH (c:Customer) WHERE c.acctbal < 0.0 REMOVE c.mktsegment " +
