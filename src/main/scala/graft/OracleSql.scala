@@ -1165,7 +1165,16 @@ object OracleSql {
     * literal sentinel-space `replace` (both engines rewrite
     * non-overlapping occurrences left-to-right).
     */
-  def bpeTrain(rounds: Int = 8): String = {
+  def bpeTrain(rounds: Int = 8): String =
+    bpeCtes(rounds) + "\n" + (1 to rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, pair, " +
+        s"replace(pair, ' ', '') AS merged, cnt FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  /** The BPE training CTE chain (vocab `wf`, per-round argmax rules
+    * in `b1..bN`) shared by [[bpeTrain]] and [[bpeEncode]].
+    */
+  private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH toks AS (
        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
@@ -1189,10 +1198,49 @@ object OracleSql {
        |          ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS r,
        |          freq FROM $prev)""".stripMargin
     }
-    sb ++= "\n" + (1 to rounds).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS round, pair, " +
-        s"replace(pair, ' ', '') AS merged, cnt FROM b$k")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    sb.result()
+  }
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.bpeEncode]] —
+    * the same trained rules (shared CTEs), applied per document as
+    * the same sentinel-space literal replaces in rank order.
+    */
+  def bpeEncode(rounds: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= bpeCtes(rounds)
+    sb ++= s""",
+       |docw AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |d0 AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(ws,
+       |      w -> ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '),
+       |      '') AS r,
+       |    CAST(COALESCE(list_aggregate(
+       |      list_transform(ws, w -> len(w)), 'sum'), 0) AS BIGINT) AS n_sym0
+       |  FROM docw)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+       |d$k AS (
+       |  SELECT doc_id, n_sym0,
+       |    replace(r, ' ' || (SELECT pair FROM b$k) || ' ',
+       |      ' ' || replace((SELECT pair FROM b$k), ' ', '') || ' ') AS r
+       |  FROM d${k - 1})""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT doc_id, n_sym0,
+       |  CASE WHEN trim(r) = '' THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(regexp_split_to_array(trim(r), ' +')) AS BIGINT)
+       |  END AS n_tokens,
+       |  CASE WHEN n_sym0 = 0 THEN 0.0
+       |       ELSE round(CAST(CASE WHEN trim(r) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(r), ' +')) END AS DOUBLE)
+       |         / n_sym0, 6) END + 0.0 AS compression,
+       |  md5(r) AS repr_md5
+       |FROM d$rounds ORDER BY doc_id""".stripMargin
     sb.result()
   }
 

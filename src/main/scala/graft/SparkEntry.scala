@@ -200,6 +200,7 @@ object SparkEntry {
     "text_langid"         -> (TextAnalysis.langId(_, _)),
     "text_tokens"         -> (TextAnalysis.tokens(_, _)),
     "text_bpe_train"      -> (TextAnalysis.bpeTrain(_, _)),
+    "text_bpe_encode"     -> (TextAnalysis.bpeEncode(_, _)),
     "text_fingerprint"    -> (TextAnalysis.fingerprint(_, _)),
     "text_top_tokens"     -> (TextAnalysis.topTokens(_, _)),
     "text_length_hist"    -> (TextAnalysis.lengthHistogram(_, _)),
@@ -314,6 +315,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),
+    "text_bpe_encode"     -> OracleSql.bpeEncode(),
     "embed_pca_power"     -> OracleSql.pcaPower(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),
     "sketch_cms_topk"     -> OracleSql.cmsTopk(),

@@ -646,7 +646,18 @@ object TextAnalysis {
     * argmax is `localCheckpoint`ed (1 row) so lineage stays linear in
     * rounds.
     */
-  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 8): DataFrame = {
+  def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int = 8): DataFrame =
+    bpeRuleFrames(spark, sfDir, rounds).zipWithIndex.map { case (best, i) =>
+      best.select(lit((i + 1).toLong).as("round"), col("pair"),
+        translate(col("pair"), " ", "").as("merged"), col("cnt"))
+    }.reduce(_.unionByName(_)).orderBy(col("round"))
+
+  /** The BPE training loop of [[bpeTrain]], returning the per-round
+    * 1-row argmax frames `(pair, cnt)` — the merge-rule artifact both
+    * [[bpeTrain]] (reporting) and [[bpeEncode]] (application) consume.
+    */
+  private[graft] def bpeRuleFrames(spark: SparkSession, sfDir: String,
+      rounds: Int): Seq[DataFrame] = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val words = Tables.documents(spark, sfDir)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
@@ -656,8 +667,8 @@ object TextAnalysis {
       i => col("tok").substr(i, lit(1)))
     var reprs = words.select(col("freq"),
       concat(lit(" "), array_join(chars, " "), lit(" ")).as("r"))
-    val rounds_out = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-    for (round <- 1 to rounds) {
+    val out = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
       val sy = split(trim(col("r")), " ")
       val pairs = reprs
         .withColumn("sy", sy)
@@ -669,14 +680,63 @@ object TextAnalysis {
       val best = pairs.groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc).limit(1)
         .localCheckpoint()
-      rounds_out += best.select(lit(round.toLong).as("round"), col("pair"),
-        translate(col("pair"), " ", "").as("merged"), col("cnt"))
+      out += best
       reprs = reprs.crossJoin(broadcast(best.select(col("pair").as("bp"))))
         .select(col("freq"),
           expr("replace(r, concat(' ', bp, ' '), " +
             "concat(' ', replace(bp, ' ', ''), ' '))").as("r"))
     }
-    rounds_out.result().reduce(_.unionByName(_)).orderBy(col("round"))
+    out.result()
+  }
+
+  /** BPE tokenizer APPLICATION — the encode half of [[bpeTrain]]'s
+    * artifact, and the step a corpus pipeline actually runs at scale
+    * (training touches the vocabulary; encoding touches every
+    * document). Each document's alphabet words are char-split into
+    * the sentinel-space representation (double spaces at word
+    * boundaries, so merges never cross words), the learned rules
+    * apply in rank order as literal non-overlapping replaces, and the
+    * per-doc report carries symbol counts before/after, the
+    * compression ratio, and the md5 of the encoded representation.
+    *
+    * 100 TB notes: each rule is a broadcast 1-row frame and the
+    * rewrite chain is a single narrow projection pipeline over the
+    * document scan — encoding shuffles NOTHING (the only exchanges
+    * train the rules on the vocabulary). A production encoder with a
+    * 50k-rule table applies the same broadcast artifact in a JVM map
+    * over the same scan (the [[graft.operators.Multimodal]] decode
+    * slot pattern); the bounded rule set here keeps the plan shape
+    * identical while staying DuckDB-provable.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 8): DataFrame = {
+    val rules = bpeRuleFrames(spark, sfDir, rounds)
+    val d0 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(trim(text)), '\\\\s+'), " +
+          "w -> w rlike '^[a-z]+$')").as("ws"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ws, " +
+          "w -> concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')), '')")
+          .as("r"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))")
+          .as("n_sym0"))
+    var cur = d0
+    rules.foreach { b =>
+      cur = cur.crossJoin(broadcast(b.select(col("pair").as("bp"))))
+        .select(col("doc_id"), col("n_sym0"),
+          expr("replace(r, concat(' ', bp, ' '), " +
+            "concat(' ', replace(bp, ' ', ''), ' '))").as("r"))
+    }
+    cur
+      .withColumn("n_tokens",
+        when(trim(col("r")) === "", lit(0L))
+          .otherwise(size(split(trim(col("r")), " +")).cast("long")))
+      .select(col("doc_id"), col("n_sym0"), col("n_tokens"),
+        (when(col("n_sym0") === 0L, lit(0.0))
+          .otherwise(round(col("n_tokens").cast("double") / col("n_sym0"), 6))
+          + lit(0.0)).as("compression"),
+        md5(col("r")).as("repr_md5"))
+      .orderBy(col("doc_id"))
   }
 
   def qualityModel(spark: SparkSession, sfDir: String,

@@ -179,6 +179,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rules.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("bpe encode: every merge removes one symbol, rules actually fire") {
+    val rows = TextAnalysis.bpeEncode(spark, TestSpark.sf, rounds = 4).collect()
+    assert(rows.nonEmpty)
+    // each applied merge collapses two symbols into one, so the token
+    // count can only shrink from the char count, never below the word
+    // count (a word can't merge past a single symbol), and the ratio
+    // tracks the integer counts exactly
+    rows.foreach { r =>
+      val (s0, nt) = (r.getAs[Long]("n_sym0"), r.getAs[Long]("n_tokens"))
+      assert(nt <= s0 && (s0 == 0L || nt > 0L))
+      val c = r.getAs[Double]("compression")
+      if (s0 > 0) assert(math.abs(c - math.round(nt.toDouble / s0 * 1e6) / 1e6) < 1e-12)
+    }
+    // the trained rules fire on the corpus they were trained on
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_tokens") < r.getAs[Long]("n_sym0")))
+    // rerun-stable (deterministic training + deterministic rewrite)
+    val again = TextAnalysis.bpeEncode(spark, TestSpark.sf, rounds = 4).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("bigram LM: scores every multi-token doc, logprobs negative, count right") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
     val scored = TextAnalysis.bigramLogprob(spark, TestSpark.sf)
