@@ -674,6 +674,43 @@ object Dedup {
       .orderBy(col("canon_url"))
   }
 
+  /** JVM twin of [[paragraphDedup]]'s segmentation: the same
+    * fixed-window split (Spark's `split(text, ' ')` keeps interior
+    * and trailing empty tokens, so this uses `split(" ", -1)`), the
+    * same ≥1-segment floor. Used by the streaming filter, which
+    * drops segments whose md5 is already in a corpus index.
+    */
+  private[graft] def segmentsJvm(text: String,
+      segWords: Int = 10): Array[String] = {
+    val ws = text.split(" ", -1)
+    val nseg = math.max((ws.length + segWords - 1) / segWords, 1)
+    Array.tabulate(nseg) { i =>
+      ws.slice(i * segWords,
+        math.min(ws.length, (i + 1) * segWords)).mkString(" ")
+    }
+  }
+
+  private[graft] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** One-document paragraph hygiene against a known-paragraph index:
+    * (n_segs, n_dup, cleaned text). The per-record arithmetic of the
+    * streaming twin ([[graft.streaming.StreamingJobs.paragraphFilter]]),
+    * identical to what [[paragraphDedup]] computes for a doc whose
+    * duplicate segments all collide with the index.
+    */
+  private[graft] def paragraphFilterJvm(text: String,
+      index: scala.collection.Set[String],
+      segWords: Int = 10): (Long, Long, String) = {
+    val segs = segmentsJvm(text, segWords)
+    val kept = segs.filterNot(s => index.contains(md5Hex(s)))
+    (segs.length.toLong, (segs.length - kept.length).toLong,
+      kept.mkString(" "))
+  }
+
   /** Paragraph-level exact dedup (Lee et al. 2021 / Dolma's
     * exact-paragraph pass): duplicated PASSAGES are removed from
     * otherwise-kept documents — the corpus-cleaning step document-level

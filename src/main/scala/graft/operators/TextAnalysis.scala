@@ -655,8 +655,24 @@ object TextAnalysis {
   /** The BPE training loop of [[bpeTrain]], returning the per-round
     * 1-row argmax frames `(pair, cnt)` — the merge-rule artifact both
     * [[bpeTrain]] (reporting) and [[bpeEncode]] (application) consume.
+    * Memoized per (session, dir, rounds) like the dedup cluster
+    * artifact: a production pipeline trains the tokenizer once and
+    * ships the table; here the train pass (8 eager vocab-sized argmax
+    * actions) is paid once per session, not once per consumer.
     */
   private[graft] def bpeRuleFrames(spark: SparkSession, sfDir: String,
+      rounds: Int): Seq[DataFrame] = {
+    if (bpeRuleCache.size > 64) bpeRuleCache.clear() // bound pinning
+    bpeRuleCache.computeIfAbsent((spark, sfDir, rounds),
+      k => graft.Artifacts.pinning(k._1) {
+        computeBpeRules(k._1, k._2, k._3)
+      })
+  }
+
+  private val bpeRuleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[DataFrame]]()
+
+  private def computeBpeRules(spark: SparkSession, sfDir: String,
       rounds: Int): Seq[DataFrame] = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val words = Tables.documents(spark, sfDir)

@@ -397,6 +397,29 @@ object StreamingJobs {
       .select(col("delta_id"), col("index_id"), col("est_jaccard"))
   }
 
+  /** Streaming paragraph-hygiene filter — the ingestion-side twin of
+    * `Dedup.paragraphDedup`: each incoming document drops the
+    * segments whose md5 already sits in the corpus paragraph index
+    * (the boilerplate/duplicate-passage screen a crawl feed runs
+    * before anything else touches the text). ZERO state: the index
+    * set rides the task closure like [[classifierRoute]]'s model (a
+    * production index is a Bloom filter over paragraph hashes —
+    * the `dedup_bloom` pattern — broadcast once per executor);
+    * per-record cost is the segment split + one set probe per
+    * segment. Spec pins equality with the batch operator's
+    * arithmetic on index-covered input.
+    */
+  def paragraphFilter(docs: Dataset[(Long, String)],
+      indexHashes: scala.collection.Set[String],
+      segWords: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { case (id, text) =>
+      val (nSegs, nDup, clean) =
+        graft.operators.Dedup.paragraphFilterJvm(text, indexHashes, segWords)
+      (id, nSegs, nDup, clean)
+    }.toDF("doc_id", "n_segs", "n_dup", "clean_text")
+  }
+
   final case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   /** Per-user CEP-negation state: latest view / click micros

@@ -96,6 +96,40 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming paragraph filter drops indexed segments, keeps the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // index = the segments of an "existing corpus" doc (w0..w9 | w10..w12);
+    // the incoming doc repeats the first window verbatim, then diverges
+    val corpusDoc = (0 until 13).map(i => s"w$i").mkString(" ")
+    val index = graft.operators.Dedup.segmentsJvm(corpusDoc)
+      .map(graft.operators.Dedup.md5Hex).toSet
+    val freshTail = (0 until 10).map(i => s"x$i").mkString(" ")
+    val delta = Seq(
+      (100L, (0 until 10).map(i => s"w$i").mkString(" ") + " " + freshTail),
+      (101L, freshTail))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.paragraphFilter(input.toDS(), index)
+      .writeStream.format("memory").queryName("parafilter")
+      .outputMode("append").start()
+    try {
+      input.addData(delta: _*)
+      q.processAllAvailable()
+      val rows = spark.table("parafilter").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // doc 100: first 10-word window is indexed -> dropped; tail kept
+      assert(rows(100L) == ((2L, 1L, freshTail)))
+      // doc 101: nothing indexed -> intact
+      assert(rows(101L) == ((1L, 0L, freshTail)))
+      // arithmetic identical to the batch JVM twin
+      delta.foreach { case (id, text) =>
+        val (n, d, c) = graft.operators.Dedup.paragraphFilterJvm(text, index)
+        assert(rows(id) == ((n, d, c)))
+      }
+    } finally q.stop()
+  }
+
   test("streaming contamination matches the batch screen, stateless append") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
