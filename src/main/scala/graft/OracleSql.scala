@@ -643,29 +643,46 @@ object OracleSql {
     * arithmetic on both engines, ties to the smallest community id;
     * the reporting tail is [[modularity]]'s.
     */
-  def louvain(rounds: Int = 3): String = {
-    val steps = (1 to rounds).map { j =>
-      s"""t$j AS (SELECT comm, SUM(deg) AS tot FROM c${j - 1} GROUP BY 1),
-         |k$j AS (
-         |  SELECT s.src, c.comm AS nc, COUNT(*) AS kic
-         |  FROM s0 s JOIN c${j - 1} c ON s.dst = c.id GROUP BY 1, 2),
-         |u$j AS (
-         |  SELECT src, nc, CAST(SUM(kic) AS BIGINT) AS kic FROM (
-         |    SELECT src, nc, kic FROM k$j
-         |    UNION ALL SELECT id AS src, comm AS nc, 0 AS kic FROM c${j - 1})
-         |  GROUP BY 1, 2),
-         |c$j AS MATERIALIZED (
-         |  SELECT src AS id, nc AS comm, ki AS deg FROM (
-         |    SELECT u.src, u.nc, c.deg AS ki, row_number() OVER (
-         |      PARTITION BY u.src ORDER BY
-         |        2 * mm.m * u.kic - c.deg *
-         |          (CASE WHEN u.nc = c.comm THEN t.tot - c.deg
-         |                ELSE t.tot END) DESC, u.nc) AS rk
-         |    FROM u$j u JOIN c${j - 1} c ON u.src = c.id
-         |    JOIN t$j t ON u.nc = t.comm CROSS JOIN mm)
-         |  WHERE rk = 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH nb AS (
+  def louvain(rounds: Int = 3): String =
+    s"""WITH ${louvainBaseCtes()},
+       |c0 AS MATERIALIZED (
+       |  SELECT src AS id, src AS comm, COUNT(*) AS deg
+       |  FROM s0 GROUP BY src),
+       |${louvainSteps("c", "s0", weighted = false, rounds)}
+       |${louvainTail(s"c$rounds")}""".stripMargin
+
+  /** DuckDB twin of [[graft.graph.Algorithms.louvain2Query]]:
+    * phase-1 rounds, contraction into the weighted supernode graph
+    * (coarse degree = community degree mass), phase-2 rounds over the
+    * coarse graph, projection back, same reporting tail.
+    */
+  def louvain2(r1: Int = 2, r2: Int = 2): String =
+    s"""WITH ${louvainBaseCtes()},
+       |c0 AS MATERIALIZED (
+       |  SELECT src AS id, src AS comm, COUNT(*) AS deg
+       |  FROM s0 GROUP BY src),
+       |${louvainSteps("c", "s0", weighted = false, r1)},
+       |ce AS MATERIALIZED (
+       |  SELECT la.comm AS ca, lb.comm AS cb
+       |  FROM e JOIN c$r1 la ON e.src = la.id JOIN c$r1 lb ON e.dst = lb.id
+       |  WHERE la.comm <> lb.comm),
+       |csym AS MATERIALIZED (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+       |    SELECT ca AS src, cb AS dst FROM ce
+       |    UNION ALL SELECT cb AS src, ca AS dst FROM ce)
+       |  GROUP BY 1, 2),
+       |g0 AS MATERIALIZED (
+       |  SELECT comm AS id, comm, CAST(SUM(deg) AS BIGINT) AS deg
+       |  FROM c$r1 GROUP BY 1, 2),
+       |${louvainSteps("g", "csym", weighted = true, r2)},
+       |proj AS MATERIALIZED (
+       |  SELECT c.id, g.comm, c.deg
+       |  FROM c$r1 c JOIN g$r2 g ON c.comm = g.id)
+       |${louvainTail("proj")}""".stripMargin
+
+  /** Base-graph CTEs of the Louvain family: `nb`/`e`/`s0`/`mm`. */
+  private def louvainBaseCtes(): String =
+    s"""nb AS (
        |  SELECT c_custkey AS src,
        |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
        |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
@@ -675,12 +692,44 @@ object OracleSql {
        |  WHERE dst IS NOT NULL),
        |s0 AS MATERIALIZED (SELECT src, dst FROM e
        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
-       |mm AS (SELECT COUNT(*) AS m FROM e),
-       |c0 AS MATERIALIZED (
-       |  SELECT src AS id, src AS comm, COUNT(*) AS deg
-       |  FROM s0 GROUP BY src),
-       |$steps,
-       |lab AS MATERIALIZED (SELECT id, comm AS community, deg FROM c$rounds),
+       |mm AS (SELECT COUNT(*) AS m FROM e)""".stripMargin
+
+  /** One synchronous local-moving CTE chain: frames `${p}1..${p}N`
+    * over symmetrized edge table `sym` (weight column `w` when
+    * `weighted`), starting from `${p}0`.
+    */
+  private def louvainSteps(p: String, sym: String, weighted: Boolean,
+      rounds: Int): String = {
+    val kexpr = if (weighted) "SUM(s.w)" else "COUNT(*)"
+    (1 to rounds).map { j =>
+      s"""t$p$j AS (SELECT comm, SUM(deg) AS tot FROM $p${j - 1} GROUP BY 1),
+         |k$p$j AS (
+         |  SELECT s.src, c.comm AS nc, CAST($kexpr AS BIGINT) AS kic
+         |  FROM $sym s JOIN $p${j - 1} c ON s.dst = c.id GROUP BY 1, 2),
+         |u$p$j AS (
+         |  SELECT src, nc, CAST(SUM(kic) AS BIGINT) AS kic FROM (
+         |    SELECT src, nc, kic FROM k$p$j
+         |    UNION ALL SELECT id AS src, comm AS nc, 0 AS kic FROM $p${j - 1})
+         |  GROUP BY 1, 2),
+         |$p$j AS MATERIALIZED (
+         |  SELECT src AS id, nc AS comm, ki AS deg FROM (
+         |    SELECT u.src, u.nc, c.deg AS ki, row_number() OVER (
+         |      PARTITION BY u.src ORDER BY
+         |        2 * mm.m * u.kic - c.deg *
+         |          (CASE WHEN u.nc = c.comm THEN t.tot - c.deg
+         |                ELSE t.tot END) DESC, u.nc) AS rk
+         |    FROM u$p$j u JOIN $p${j - 1} c ON u.src = c.id
+         |    JOIN t$p$j t ON u.nc = t.comm CROSS JOIN mm)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** The per-community modularity reporting tail over a final
+    * (id, comm, deg) frame.
+    */
+  private def louvainTail(frame: String): String =
+    s""",
+       |lab AS MATERIALIZED (SELECT id, comm AS community, deg FROM $frame),
        |cdeg AS (
        |  SELECT community, COUNT(*) AS n_nodes,
        |    CAST(SUM(deg) AS BIGINT) AS deg_sum
@@ -696,7 +745,6 @@ object OracleSql {
        |    (CAST(c.deg_sum AS DOUBLE) / (2 * mm.m)), 9) + 0.0 AS q_part
        |FROM cdeg c LEFT JOIN intra i USING (community) CROSS JOIN mm
        |ORDER BY community""".stripMargin
-  }
 
   /** The DuckDB twin of [[graft.graph.Algorithms.kcorePeel]] over the
     * per-nation consecutive-customer graph: exactly `rounds` peeling

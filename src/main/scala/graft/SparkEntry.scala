@@ -109,6 +109,7 @@ object SparkEntry {
     "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
     "graph_modularity"      -> (graph.Algorithms.modularityQuery(_, _)),
     "graph_louvain"         -> (graph.Algorithms.louvainQuery(_, _)),
+    "graph_louvain2"        -> (graph.Algorithms.louvain2Query(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
@@ -282,6 +283,7 @@ object SparkEntry {
     "graph_degree_dist" -> OracleSql.degreeDist,
     "graph_modularity"  -> OracleSql.modularity(),
     "graph_louvain"     -> OracleSql.louvain(),
+    "graph_louvain2"    -> OracleSql.louvain2(),
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
     "graph_betweenness"   -> OracleSql.betweenness(),

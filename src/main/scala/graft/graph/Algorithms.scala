@@ -260,6 +260,65 @@ object Algorithms {
     */
   def louvainQuery(spark: SparkSession, sfDir: String,
       rounds: Int = 3): DataFrame = {
+    val (edges, sym, mRow) = louvainBase(spark, sfDir)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // community frame carries each node's degree so rounds never
+    // re-join the degree table
+    val comm0 = deg.select(col("id"), col("id").as("comm"), col("deg"))
+    val comm = louvainRounds(sym, comm0, mRow, rounds)
+    louvainReport(edges, comm, mRow)
+  }
+
+  /** Multi-level Louvain (phases 1+2 of Blondel et al. 2008): `r1`
+    * local-moving rounds on the base graph, then the partition
+    * CONTRACTS into a weighted supernode graph (coarse degree = the
+    * community's degree mass, inter-community weights = edge counts)
+    * and `r2` more rounds move whole communities at once — the step
+    * that lets community structure grow beyond what per-node moves
+    * reach, and the reason Louvain converges in practice. Final
+    * communities project back to base nodes, reported like
+    * [[louvainQuery]].
+    *
+    * 100 TB notes: the coarse graph is COMMUNITY-cardinality — after
+    * one contraction, every subsequent round's exchanges shrink by
+    * the phase-1 reduction factor (typically 10-100×); contraction
+    * itself is one label join + (ca, cb)-keyed count, the modularity
+    * tail's own shape. This is the multi-level scale path the
+    * single-level variant documents as future work.
+    */
+  def louvain2Query(spark: SparkSession, sfDir: String,
+      r1: Int = 2, r2: Int = 2): DataFrame = {
+    val (edges, sym, mRow) = louvainBase(spark, sfDir)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val comm0 = deg.select(col("id"), col("id").as("comm"), col("deg"))
+    val c1 = louvainRounds(sym, comm0, mRow, r1)
+    // contract: supernode = phase-1 community; inter-community edge
+    // weights = counts (both orientations), coarse degree = tot(comm)
+    // (self-loop mass rides inside it: each intra edge contributes 2)
+    val cl = c1.select(col("id"), col("comm"))
+    val ce = edges
+      .join(cl.select(col("id").as("src"), col("comm").as("ca")), Seq("src"))
+      .join(cl.select(col("id").as("dst"), col("comm").as("cb")), Seq("dst"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb")).localCheckpoint(true)
+    val csym = ce.select(col("ca").as("src"), col("cb").as("dst"))
+      .unionByName(ce.select(col("cb").as("src"), col("ca").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val g0 = c1.groupBy(col("comm"))
+      .agg(sum(col("deg")).as("deg"))
+      .select(col("comm").as("id"), col("comm"), col("deg"))
+    val g = louvainRounds(csym, g0, mRow, r2, weighted = true)
+    val projected = c1.select(col("id"), col("comm").as("c1"), col("deg"))
+      .join(g.select(col("id").as("c1"), col("comm")), Seq("c1"))
+      .select(col("id"), col("comm"), col("deg"))
+    louvainReport(edges, projected, mRow)
+  }
+
+  /** The per-nation consecutive-customer graph shared by the Louvain
+    * family: (directed-unique edges, symmetrized edges, 1-row m).
+    */
+  private def louvainBase(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c = graft.Tables.customer(spark, sfDir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
@@ -274,17 +333,27 @@ object Algorithms {
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
     val mRow = edges.agg(count(lit(1)).as("m"))
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    // community frame carries each node's degree so rounds never
-    // re-join the degree table
-    var comm = deg.select(col("id"), col("id").as("comm"), col("deg"))
+    (edges, sym, mRow)
+  }
+
+  /** The synchronous local-moving loop shared by [[louvainQuery]] and
+    * [[louvain2Query]]: `sym` is the symmetrized edge list (with a
+    * `w` weight column when `weighted`; self-loops excluded — their
+    * mass rides in the community frame's `deg`), `comm` carries
+    * (id, comm, deg). Gain ranking is exact int64:
+    * `2m·k_{i,c} − k_i·Σtot'(c)`, ties to the smallest community id.
+    */
+  private def louvainRounds(sym: DataFrame, comm0: DataFrame,
+      mRow: DataFrame, rounds: Int, weighted: Boolean = false): DataFrame = {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("score").desc, col("nc"))
+    var comm = comm0
     for (_ <- 1 to rounds) {
       val tot = comm.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
       val kic = sym
         .join(comm.select(col("id").as("dst"), col("comm").as("nc")), "dst")
-        .groupBy(col("src"), col("nc")).agg(count(lit(1)).as("kic"))
+        .groupBy(col("src"), col("nc"))
+        .agg((if (weighted) sum(col("w")) else count(lit(1))).as("kic"))
       // the stay option must always be a candidate, even with no
       // intra-community neighbor (kic contributes 0 then)
       val cand = kic.unionByName(
@@ -305,6 +374,14 @@ object Algorithms {
         .select(col("src").as("id"), col("nc").as("comm"), col("ki").as("deg"))
         .localCheckpoint(true)
     }
+    comm
+  }
+
+  /** Per-community modularity report over a (id, comm, deg) frame —
+    * the shared tail of the Louvain family and [[modularityQuery]].
+    */
+  private def louvainReport(edges: DataFrame, comm: DataFrame,
+      mRow: DataFrame): DataFrame = {
     val lab = comm.select(col("id"), col("comm").as("community"))
     val cdeg = comm.groupBy(col("comm").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))

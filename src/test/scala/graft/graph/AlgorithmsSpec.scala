@@ -213,6 +213,25 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(rows.length < labels.length)
   }
 
+  test("louvain2: contraction merges phase-1 communities, never splits") {
+    val p1 = Algorithms.louvainQuery(spark, TestSpark.sf, rounds = 2).collect()
+    val p2 = Algorithms.louvain2Query(spark, TestSpark.sf).collect()
+    assert(p2.nonEmpty)
+    // phase 2 moves whole phase-1 communities, so final communities
+    // are unions of phase-1 ones: count can only drop, node mass and
+    // degree mass are conserved exactly
+    assert(p2.length <= p1.length)
+    assert(p2.map(_.getAs[Long]("n_nodes")).sum ==
+      p1.map(_.getAs[Long]("n_nodes")).sum)
+    assert(p2.map(_.getAs[Long]("deg_sum")).sum ==
+      p1.map(_.getAs[Long]("deg_sum")).sum)
+    assert(p2.map(_.getAs[Long]("m_intra")).sum >=
+      p1.map(_.getAs[Long]("m_intra")).sum)
+    // still a sane modularity report
+    assert(p2.forall(r => math.abs(r.getAs[Double]("q_part")) < 1.0))
+    assert(p2.map(_.getAs[Double]("q_part")).sum > 0.0)
+  }
+
   test("degree distribution partitions the positive-degree nodes") {
     val rows = Algorithms.degreeDistQuery(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
