@@ -48,6 +48,8 @@ object SparkEntry {
     "cypher_rel_endpoints"  -> (cypher.CypherQueries.relEndpoints(_, _)),
     "cypher_temporal"       -> (cypher.CypherQueries.temporal(_, _)),
     "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
+    "cypher_temporal_ctor"  -> (cypher.CypherQueries.temporalCtor(_, _)),
+    "cypher_point"          -> (cypher.CypherQueries.pointDistance(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
     "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
@@ -1698,6 +1700,29 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND hour(ts) >= 6
         |GROUP BY 1, 2, 3, 4, 6 ORDER BY d, h""".stripMargin,
+    "cypher_temporal_ctor" ->
+      """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |  CAST(MIN(hour(ts)) AS BIGINT) AS h_min,
+        |  CAST(MAX(hour(ts)) AS BIGINT) AS h_max
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 12:00:00'
+        |GROUP BY 1 ORDER BY d""".stripMargin,
+    "cypher_point" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_custkey % 100 AS DOUBLE) AS x,
+        |    CAST(c_nationkey * 3 AS DOUBLE) AS y
+        |  FROM customer),
+        |d AS (
+        |  SELECT id, round(sqrt((x - 50.0) * (x - 50.0) +
+        |    (y - 36.0) * (y - 36.0)), 6) AS dist
+        |  FROM p)
+        |SELECT CASE WHEN dist < 20.0 THEN 'near'
+        |            WHEN dist < 45.0 THEN 'mid'
+        |            ELSE 'far' END AS band,
+        |  COUNT(*) AS n, MIN(dist) AS d_min, MAX(dist) AS d_max
+        |FROM d GROUP BY 1 ORDER BY band""".stripMargin,
     "cypher_temporal_trunc" ->
       """SELECT date_trunc('week', ts) AS wk,
         |  CAST(date_trunc('month', ts) AS DATE) AS mo,

@@ -632,7 +632,7 @@ object CypherParser {
         "properties", "nodes", "relationships", "exp", "log", "log10",
         "sin", "cos",
         "tan", "asin", "acos", "atan", "atan2", "degrees", "radians",
-        "pi", "e", "isempty", "startnode", "endnode")
+        "pi", "e", "isempty", "startnode", "endnode", "distance")
     private val listPredFns = Set("any", "all", "none", "single")
 
     /** Temporal instant components, accessed Neo4j-style as a postfix
@@ -796,6 +796,61 @@ object CypherParser {
         val arg = addExpr()
         eatSym(")")
         FnCallN(if (toDate) "@truncdate" else "@trunc", Seq(LitV(unit), arg))
+      case Some(TId(name))
+          if (name.equalsIgnoreCase("datetime") || name.equalsIgnoreCase("date")) &&
+          pos + 2 < toks.length && toks(pos + 1) == TSym("(") &&
+          toks(pos + 2) == TSym("{") =>
+        // map constructor `datetime({year: …, month: …, …})` /
+        // `date({year, month, day})` — desugared to reserved
+        // @mkdatetime/@mkdate calls carrying alternating (key, expr)
+        // arguments; the planner validates components and defaults
+        // the rest (month/day → 1, time-of-day → 0, Neo4j semantics)
+        val toDate = name.equalsIgnoreCase("date")
+        ident(); eatSym("("); eatSym("{")
+        val entries = Seq.newBuilder[CExpr]
+        def entry(): Unit = {
+          val k = ident().toLowerCase(java.util.Locale.ROOT)
+          eatSym(":")
+          entries += LitV(k)
+          entries += addExpr()
+        }
+        entry()
+        while (atSym(",")) { eatSym(","); entry() }
+        eatSym("}"); eatSym(")")
+        FnCallN(if (toDate) "@mkdate" else "@mkdatetime", entries.result())
+      case Some(TId(name))
+          if name.equalsIgnoreCase("point") &&
+          pos + 2 < toks.length && toks(pos + 1) == TSym("(") &&
+          toks(pos + 2) == TSym("{") =>
+        // `point({x: …, y: …})` — cartesian 2-D point (the srs-less
+        // subset of Neo4j's spatial type), a named struct downstream
+        ident(); eatSym("("); eatSym("{")
+        val kv = scala.collection.mutable.LinkedHashMap[String, CExpr]()
+        def entry(): Unit = {
+          val k = ident().toLowerCase(java.util.Locale.ROOT)
+          eatSym(":")
+          kv += (k -> addExpr())
+        }
+        entry()
+        while (atSym(",")) { eatSym(","); entry() }
+        eatSym("}"); eatSym(")")
+        require(kv.keySet == Set("x", "y"),
+          s"point() requires exactly {x, y}, got {${kv.keys.mkString(", ")}}")
+        FnCallN("@point", Seq(kv("x"), kv("y")))
+      case Some(TId(name))
+          if name.equalsIgnoreCase("point") &&
+          pos + 2 < toks.length && toks(pos + 1) == TSym(".") &&
+          (toks(pos + 2) match {
+            case TId(f) => f.equalsIgnoreCase("distance")
+            case _      => false
+          }) =>
+        // `point.distance(a, b)` — euclidean distance between two
+        // cartesian points (Neo4j 5 spelling; `distance(a, b)` also
+        // accepted as the legacy form)
+        ident(); eatSym("."); ident(); eatSym("(")
+        val a = addExpr(); eatSym(",")
+        val b = addExpr(); eatSym(")")
+        FnCallN("@distance", Seq(a, b))
       case Some(TId(name))
           if (name.equalsIgnoreCase("percentileCont") ||
             name.equalsIgnoreCase("percentileDisc")) &&

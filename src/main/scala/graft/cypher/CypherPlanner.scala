@@ -1938,6 +1938,44 @@ object CypherPlanner {
       }
       val lo = norm(a0)
       slice(arr, lo + 1, greatest(norm(b0) - lo, lit(0)))
+    // map constructors datetime({year: …}) / date({…}) (parser sugar;
+    // alternating LitV(key), expr arguments): make_timestamp/make_date
+    // with Neo4j component defaults (month/day → 1, time-of-day → 0) —
+    // foldable over literal components, so WHERE bounds stay pushable
+    case FnCallN(fn @ ("@mkdatetime" | "@mkdate"), args) =>
+      val comps = args.grouped(2).map {
+        case Seq(LitV(k: String), e) => k -> toColumn(e, scalars)
+        case other => throw new IllegalArgumentException(
+          s"malformed temporal map constructor args: $other")
+      }.toMap
+      val allowed = Set("year", "month", "day", "hour", "minute", "second")
+      val bad = comps.keySet -- allowed
+      require(bad.isEmpty, s"unsupported temporal components: " +
+        s"${bad.toSeq.sorted.mkString(", ")} (supported: " +
+        s"${allowed.toSeq.sorted.mkString(", ")})")
+      require(comps.contains("year"),
+        "temporal map constructor requires a year component")
+      def c(k: String, default: Int): Column =
+        comps.getOrElse(k, lit(default)).cast("int")
+      if (fn == "@mkdate") {
+        require(!comps.keySet.exists(Set("hour", "minute", "second")),
+          "date({…}) takes only year/month/day components")
+        make_date(c("year", 1), c("month", 1), c("day", 1))
+      } else
+        make_timestamp(c("year", 1), c("month", 1), c("day", 1),
+          c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(16,6)"))
+    // point({x, y}) → a named struct; point.distance / distance →
+    // euclidean distance spelled with multiplication (not pow — libm
+    // pow differs by ulps across engines; * and sqrt are IEEE-exact)
+    case FnCallN("@point", Seq(x, y)) =>
+      struct(toColumn(x, scalars).cast("double").as("x"),
+        toColumn(y, scalars).cast("double").as("y"))
+    case FnCallN("@distance" | "distance", Seq(a, b)) =>
+      val pa = toColumn(a, scalars)
+      val pb = toColumn(b, scalars)
+      val dx = pa.getField("x") - pb.getField("x")
+      val dy = pa.getField("y") - pb.getField("y")
+      sqrt(dx * dx + dy * dy)
     // namespaced temporal truncation (parser sugar):
     // datetime.truncate('month', x) → date_trunc — codegen'd, and
     // foldable over literal arguments so truncated-bound WHERE

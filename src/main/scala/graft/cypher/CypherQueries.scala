@@ -875,6 +875,39 @@ object CypherQueries {
         |  count(*) AS n, sum(e.value) AS total
         |ORDER BY wk, mo""".stripMargin)
 
+  /** Map-constructor temporals — `datetime({year, month, day[, hour…]})`
+    * with Neo4j's component defaults (omitted month/day → 1, omitted
+    * time-of-day → 0). Both bounds constant-fold to pushable
+    * timestamp literals, the same scan-pruning path as the string
+    * constructors in [[temporal]].
+    */
+  def temporalCtor(spark: SparkSession, sfDir: String): DataFrame =
+    runEvents(spark, sfDir,
+      """MATCH (e:Event)
+        |WHERE e.ts >= datetime({year: 2024, month: 1, day: 8})
+        |  AND e.ts < datetime({year: 2024, month: 1, day: 15, hour: 12})
+        |RETURN date(e.ts) AS d, count(*) AS n,
+        |  min(e.ts.hour) AS h_min, max(e.ts.hour) AS h_max
+        |ORDER BY d""".stripMargin)
+
+  /** Cartesian `point({x, y})` + `point.distance` — the srs-less
+    * subset of Neo4j's spatial type: points synthesized from customer
+    * keys, distance-banded around an anchor. Distance is spelled
+    * `sqrt(dx·dx + dy·dy)` (multiplication, not libm pow — IEEE-exact
+    * on both engines) and 6-dp rounded before banding.
+    */
+  def pointDistance(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WITH c.custkey AS id,
+        |  point({x: toFloat(c.custkey % 100), y: toFloat(c.nationkey * 3)}) AS p
+        |WITH id, round(point.distance(p, point({x: 50.0, y: 36.0})), 6) AS dist
+        |RETURN CASE WHEN dist < 20.0 THEN 'near'
+        |            WHEN dist < 45.0 THEN 'mid'
+        |            ELSE 'far' END AS band,
+        |  count(*) AS n, min(dist) AS d_min, max(dist) AS d_max
+        |ORDER BY band""".stripMargin)
+
   /** `properties(n)` — whole-property-map introspection, surfaced as
     * a key-sorted `array<struct<key,val>>` (stringified values; a MAP
     * would not be driver-hashable) and consumed via UNWIND + struct

@@ -1153,6 +1153,40 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal map constructor: defaults, pushdown shape, validation") {
+    // component defaults: omitted month/day -> 1, time-of-day -> 0
+    val r = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        "RETURN datetime({year: 2024}) AS a, " +
+        "datetime({year: 2024, month: 3, day: 5, hour: 6, minute: 7, second: 8}) AS b, " +
+        "date({year: 2024, month: 2}) AS c").collect().head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-05 06:07:08"))
+    assert(r.getDate(2).toString == "2024-02-01")
+    // unknown component / missing year / time on date() fail loudly
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN datetime({yr: 2024}) AS a").collect()
+    }
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN datetime({month: 3}) AS a").collect()
+    }
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN date({year: 2024, hour: 3}) AS a").collect()
+    }
+  }
+
+  test("point/distance: euclidean, both spellings, {x,y} required") {
+    val r = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        "RETURN point.distance(point({x: 3.0, y: 0.0}), point({x: 0.0, y: 4.0})) AS d1, " +
+        "distance(point({y: 4.0, x: 3.0}), point({x: 0.0, y: 0.0})) AS d2")
+      .collect().head
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 5.0)
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN point({x: 1.0, z: 2.0}) AS p").collect()
+    }
+  }
+
   test("REMOVE nulls the property on matched nodes only") {
     val rows = run(
       "MATCH (c:Customer) WHERE c.acctbal < 0.0 REMOVE c.mktsegment " +
