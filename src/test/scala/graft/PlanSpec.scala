@@ -412,4 +412,49 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(plan).isDefined,
       "expected the single user-keyed exchange")
   }
+
+  test("paragraph dedup: only segment hashes ride the dedup exchange") {
+    val plan = planOf(operators.Dedup.paragraphDedup(spark, TestSpark.sf))
+    // the first-occurrence window partitions on the md5 hash column,
+    // and neither raw text nor segment strings ride that exchange
+    val hashEx = "Exchange hashpartitioning\\(h#[^\\n]*".r.findAllIn(plan).toList
+    assert(hashEx.nonEmpty, "expected the md5-keyed dedup exchange")
+    assert(hashEx.forall(e => !e.contains("text") && !e.contains("seg#") &&
+      !e.contains("segs")),
+      s"segment text must not ride the dedup exchange: $hashEx")
+    // drop decisions broadcast back onto the doc scan
+    assert(plan.contains("BroadcastHashJoin"),
+      "doc-cardinality drop lists must broadcast back")
+  }
+
+  test("bpe encode: the rewrite chain adds no exchange over the doc scan") {
+    val df = operators.TextAnalysis.bpeEncode(spark, TestSpark.sf, rounds = 2)
+    val plan = planOf(df)
+    // every per-round rule joins as a broadcast 1-row frame; the only
+    // sort/exchange allowed is the final ORDER BY doc_id
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "rule application must never shuffle the documents")
+    val exchanges = "Exchange (hash|range)partitioning[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"only the output ordering may exchange, got: $exchanges")
+  }
+
+  test("louvain2 contraction keeps phase-2 exchanges community-keyed") {
+    val plan = planOf(graph.Algorithms.louvain2Query(spark, TestSpark.sf))
+    // no cartesian anywhere; the only nested-loop joins are the
+    // broadcast 1-row m cross joins (the repo-wide scalar pattern)
+    assert(!plan.contains("CartesianProduct"),
+      "louvain gain ranking must stay keyed, never all-pairs")
+    val bnl = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnl.forall(_.contains("Cross")),
+      s"only 1-row broadcast cross joins allowed, got: $bnl")
+  }
+
+  test("temporal map-constructor bounds push to the events scan") {
+    val plan = planOf(cypher.CypherQueries.temporalCtor(spark, TestSpark.sf))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
+      .findFirstIn(plan).isDefined,
+      s"make_timestamp bound did not fold into a pushable filter")
+  }
 }
