@@ -222,6 +222,7 @@ object SparkEntry {
     "text_boilerplate"    -> (TextAnalysis.boilerplate(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
+    "pipeline_shuffle"    -> (Pipeline.globalShuffle(_, _)),
     "sample_importance"   -> (Pipeline.importanceSample(_, _)),
     "events_pivot"        -> (Events.pivotDaily(_, _)),
     "events_value_hist"   -> (Events.valueHistogram(_, _)),
@@ -1392,6 +1393,23 @@ object SparkEntry {
         |          % 1000000007) % 100 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    (308871487 * (doc_id % 1000000007) + 532979792)
+        |      % 1000000007 AS k1,
+        |    (963307234 * (doc_id % 1000000007) + 799469688)
+        |      % 1000000007 AS k2
+        |  FROM documents),
+        |s AS (SELECT doc_id, k1, k2,
+        |        k1 % 8 AS shard_e1, k2 % 8 AS shard_e2 FROM k)
+        |SELECT doc_id, shard_e1,
+        |  row_number() OVER (PARTITION BY shard_e1 ORDER BY k1, doc_id)
+        |    AS pos_e1,
+        |  shard_e2,
+        |  row_number() OVER (PARTITION BY shard_e2 ORDER BY k2, doc_id)
+        |    AS pos_e2
+        |FROM s ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """WITH d AS (
         |  SELECT doc_id,

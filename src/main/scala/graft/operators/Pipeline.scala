@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end pretraining-corpus pipeline summaries — the shape of
@@ -145,6 +145,44 @@ object Pipeline {
         when(bucket < 90L, lit("train"))
           .when(bucket < 95L, lit("val"))
           .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic epoch-keyed GLOBAL SHUFFLE + shard layout — the
+    * training-reader data-ordering step: every epoch permutes the
+    * corpus pseudorandomly (epoch e draws each doc's key from
+    * [[graft.OracleHash]] permutation e, so epochs reshuffle without
+    * any stored state) and lays it out as `n_shards` shards with a
+    * dense within-shard position, which is exactly what a
+    * data-parallel reader fleet consumes (reader r streams shard r in
+    * pos order). Rerun-stable and engine-reproducible; two epochs
+    * reported side by side to pin the reshuffling property.
+    *
+    * 100 TB notes: a true global sort is the naive spelling and dies
+    * first at scale — this is hash-keys + PER-SHARD windows: one
+    * shard-keyed exchange per epoch carrying (doc_id, key) pairs
+    * only, each shard's position numbering independent and parallel.
+    * Shard count = reader parallelism, so the layout IS the consumer
+    * partitioning.
+    */
+  def globalShuffle(spark: SparkSession, sfDir: String,
+      nShards: Int = 8): DataFrame = {
+    import graft.OracleHash.P
+    def key(epoch: Int): Column =
+      (lit(graft.OracleHash.a(epoch)) * (col("doc_id") % lit(P)) +
+        lit(graft.OracleHash.b(epoch))) % lit(P)
+    def w(shard: String, k: String) = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shard)).orderBy(col(k), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), key(1).as("k1"), key(2).as("k2"))
+      .withColumn("shard_e1", col("k1") % nShards)
+      .withColumn("shard_e2", col("k2") % nShards)
+      .withColumn("pos_e1",
+        row_number().over(w("shard_e1", "k1")).cast("long"))
+      .withColumn("pos_e2",
+        row_number().over(w("shard_e2", "k2")).cast("long"))
+      .select(col("doc_id"), col("shard_e1"), col("pos_e1"),
+        col("shard_e2"), col("pos_e2"))
       .orderBy(col("doc_id"))
   }
 

@@ -205,4 +205,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("keep")).collect().head.getLong(0)
     assert(g("n_keep") == keeps)
   }
+
+  test("global shuffle: dense shard positions, epochs reshuffle, rerun-stable") {
+    val rows = Pipeline.globalShuffle(spark, graft.TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    def layout(shard: String, pos: String) = rows
+      .groupBy(_.getAs[Long](shard)).view.mapValues(
+        _.map(_.getAs[Long](pos)).sorted.toSeq).toMap
+    // every shard's positions are exactly 1..|shard| (dense, no gaps —
+    // a reader can stream by position) in both epochs
+    Seq(("shard_e1", "pos_e1"), ("shard_e2", "pos_e2")).foreach {
+      case (s, p) =>
+        layout(s, p).foreach { case (sh, ps) =>
+          assert(ps == (1L to ps.length.toLong), s"shard $sh of $s not dense")
+        }
+    }
+    // the two epochs produce genuinely different orders
+    assert(rows.exists(r => r.getAs[Long]("shard_e1") != r.getAs[Long]("shard_e2")
+      || r.getAs[Long]("pos_e1") != r.getAs[Long]("pos_e2")))
+    // no shard is empty and none holds more than half the corpus
+    val sizes = layout("shard_e1", "pos_e1").values.map(_.size)
+    assert(sizes.size == 8 && sizes.max <= rows.length / 2)
+    val again = Pipeline.globalShuffle(spark, graft.TestSpark.sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
