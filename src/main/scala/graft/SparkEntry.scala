@@ -112,6 +112,7 @@ object SparkEntry {
     "graph_modularity"      -> (graph.Algorithms.modularityQuery(_, _)),
     "graph_louvain"         -> (graph.Algorithms.louvainQuery(_, _)),
     "graph_louvain2"        -> (graph.Algorithms.louvain2Query(_, _)),
+    "graph_assortativity"   -> (graph.Algorithms.assortativityQuery(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
@@ -287,6 +288,31 @@ object SparkEntry {
     "graph_modularity"  -> OracleSql.modularity(),
     "graph_louvain"     -> OracleSql.louvain(),
     "graph_louvain2"    -> OracleSql.louvain2(),
+    "graph_assortativity" ->
+      """WITH nb AS (
+        |  SELECT c_custkey AS src,
+        |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+        |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
+        |  FROM customer),
+        |e AS (SELECT src, dst FROM (
+        |  SELECT src, d1 AS dst FROM nb UNION ALL SELECT src, d2 AS dst FROM nb)
+        |  WHERE dst IS NOT NULL),
+        |s0 AS (SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM s0 GROUP BY 1),
+        |j AS (
+        |  SELECT a.deg AS dx, b.deg AS dy
+        |  FROM s0 JOIN deg a ON s0.src = a.id JOIN deg b ON s0.dst = b.id),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
+        |    CAST(SUM(dx) AS BIGINT) AS sum_x,
+        |    CAST(SUM(dx * dx) AS BIGINT) AS sum_x2
+        |  FROM j)
+        |SELECT m, sum_xy, sum_x, sum_x2,
+        |  round(CAST(m * sum_xy - sum_x * sum_x AS DOUBLE) /
+        |        CAST(m * sum_x2 - sum_x * sum_x AS DOUBLE), 9) + 0.0 AS r
+        |FROM agg""".stripMargin,
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
     "graph_betweenness"   -> OracleSql.betweenness(),

@@ -314,6 +314,45 @@ object Algorithms {
     louvainReport(edges, projected, mRow)
   }
 
+  /** Degree-assortativity coefficient (Newman 2002) over the
+    * per-nation consecutive-customer graph — the one-number
+    * graph-shape QA next to [[degreeDistQuery]]'s histogram: r > 0
+    * means high-degree nodes link to high-degree nodes (social-graph
+    * shape), r < 0 hub-and-spoke. Standard Pearson correlation of
+    * endpoint degrees over the SYMMETRIZED edge list (each undirected
+    * edge contributes both orientations, so the x/y marginals
+    * coincide):
+    * `r = (M·Σxy − Σx²) / (M·Σx2 − Σx²)`.
+    *
+    * Determinism: every input is an exact integer aggregate (degree
+    * products/sums over int64, all ≪ 2^62 even at 10^8 edges); the
+    * one double expression is 9-dp rounded.
+    *
+    * 100 TB notes: one node-keyed degree aggregate, one edge-keyed
+    * join of (deg_src, deg_dst) through the dst side (src side rides
+    * the same partitioning), then a full map-side-combined reduction
+    * to a SINGLE row — nothing community- or node-sized survives the
+    * final exchange.
+    */
+  def assortativityQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, sym, _) = louvainBase(spark, sfDir)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val withDegs = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), Seq("dst"))
+    withDegs.agg(
+        count(lit(1)).as("m"),
+        sum(col("dx") * col("dy")).as("sum_xy"),
+        sum(col("dx")).as("sum_x"),
+        sum(col("dx") * col("dx")).as("sum_x2"))
+      .select(col("m"), col("sum_xy"), col("sum_x"), col("sum_x2"),
+        (round(
+          (col("m") * col("sum_xy") - col("sum_x") * col("sum_x"))
+            .cast("double") /
+          (col("m") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            .cast("double"), 9) + lit(0.0)).as("r"))
+  }
+
   /** The per-nation consecutive-customer graph shared by the Louvain
     * family: (directed-unique edges, symmetrized edges, 1-row m).
     */

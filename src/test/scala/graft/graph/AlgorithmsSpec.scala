@@ -232,6 +232,20 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(p2.map(_.getAs[Double]("q_part")).sum > 0.0)
   }
 
+  test("assortativity: bounded correlation, moments consistent with degrees") {
+    val r = Algorithms.assortativityQuery(spark, TestSpark.sf).collect().head
+    val (m, sxy, sx, sx2) = (r.getAs[Long]("m"), r.getAs[Long]("sum_xy"),
+      r.getAs[Long]("sum_x"), r.getAs[Long]("sum_x2"))
+    val coef = r.getAs[Double]("r")
+    assert(coef >= -1.0 - 1e-9 && coef <= 1.0 + 1e-9)
+    // Cauchy-Schwarz: covariance term bounded by the variance term
+    assert((m * sxy - sx * sx).abs <= (m * sx2 - sx * sx))
+    // every edge endpoint has degree >= 1, and the symmetrized edge
+    // list is larger than the node set on this graph
+    val labels = Algorithms.labelPropQuery(spark, TestSpark.sf).count()
+    assert(m > labels && sx >= m)
+  }
+
   test("degree distribution partitions the positive-degree nodes") {
     val rows = Algorithms.degreeDistQuery(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
