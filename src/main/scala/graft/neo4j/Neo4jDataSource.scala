@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -85,6 +86,7 @@ private[neo4j] final class Neo4jTable(
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -133,7 +135,9 @@ private[neo4j] final class Neo4jScanBuilder(
       throw new IllegalArgumentException(
         s"keyset mode: empty key domain $bounds (set keysetLo/keysetHi)")
     new Neo4jScan(schema, cfg, mode, numPartitions, pageSize, bounds,
-      options.getInt("keyIndex", 0))
+      options.getInt("keyIndex", 0),
+      Option(options.get("maxKeyQuery")).filter(_.nonEmpty),
+      options.getLong("startKey", options.getLong("keysetLo", 0L)))
   }
 }
 
@@ -142,7 +146,8 @@ private[neo4j] final case class Neo4jInputPartition(
 
 private[neo4j] final class Neo4jScan(
     schema: StructType, cfg: Neo4jConfig, mode: String,
-    numPartitions: Int, pageSize: Int, bounds: (Long, Long), keyIndex: Int)
+    numPartitions: Int, pageSize: Int, bounds: (Long, Long), keyIndex: Int,
+    maxKeyQuery: Option[String] = None, startKey: Long = 0L)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -153,19 +158,85 @@ private[neo4j] final class Neo4jScan(
     case "pages" =>
       (0 until numPartitions).map(Neo4jInputPartition(_, 0L, 0L)).toArray
     case "keyset" =>
-      // contiguous key ranges, remainder spread over the first ranges
-      // (same arithmetic as Neo4jReader.readKeyset)
-      val (lo, hi) = bounds
-      val span = hi - lo
-      (0 until numPartitions).map { p =>
-        val rLo = lo + span / numPartitions * p + math.min(p.toLong, span % numPartitions)
-        val rHi = lo + span / numPartitions * (p + 1) + math.min(p + 1L, span % numPartitions)
-        Neo4jInputPartition(p, rLo, rHi)
-      }.filter(r => r.rangeLo < r.rangeHi).toArray
+      Neo4jScan.keysetRanges(bounds._1, bounds._2, numPartitions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new Neo4jReaderFactory(schema, cfg, mode, numPartitions, pageSize, keyIndex)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(mode == "keyset",
+      "graft-neo4j streaming requires mode=keyset (a monotone key is " +
+        "the only offset a Cypher endpoint can tail)")
+    val maxQ = maxKeyQuery.getOrElse(throw new IllegalArgumentException(
+      "graft-neo4j streaming: set maxKeyQuery (e.g. " +
+        "'MATCH (n:User) RETURN max(id(n))') — it polls the high-water key"))
+    new Neo4jMicroBatchStream(schema, cfg, maxQ, numPartitions, pageSize,
+      keyIndex, startKey)
+  }
+}
+
+private[neo4j] object Neo4jScan {
+  /** Contiguous key ranges over (lo, hi], remainder spread over the
+    * first ranges — same arithmetic as Neo4jReader.readKeyset.
+    */
+  def keysetRanges(lo: Long, hi: Long, numPartitions: Int): Array[InputPartition] = {
+    val span = hi - lo
+    (0 until numPartitions).map { p =>
+      val rLo = lo + span / numPartitions * p + math.min(p.toLong, span % numPartitions)
+      val rHi = lo + span / numPartitions * (p + 1) + math.min(p + 1L, span % numPartitions)
+      Neo4jInputPartition(p, rLo, rHi)
+    }.filter(r => r.rangeLo < r.rangeHi).toArray[InputPartition]
+  }
+}
+
+private[neo4j] final case class Neo4jOffset(key: Long) extends Offset {
+  override def json(): String = key.toString
+}
+
+/** Micro-batch streaming read — the CDC-style TAIL of an append-only
+  * store with a monotonically increasing key (the id-batch pattern
+  * the reference's write half produces): each trigger polls the
+  * high-water key with `maxKeyQuery` (one tiny driver-side request),
+  * and the batch reads exactly the `(lastOffset, latest]` key range,
+  * split into the SAME disjoint keyset ranges the batch reader plans,
+  * so every fetch still runs in an executor task. Offsets are plain
+  * key values — restart-safe through the checkpoint, and rows are
+  * read exactly once as long as the key only grows (the documented
+  * contract; deletes/updates are out of scope for a tail).
+  */
+private[neo4j] final class Neo4jMicroBatchStream(
+    schema: StructType, cfg: Neo4jConfig, maxKeyQuery: String,
+    numPartitions: Int, pageSize: Int, keyIndex: Int, startKey: Long)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = Neo4jOffset(startKey)
+
+  override def latestOffset(): Offset = {
+    val resp = Http.post(cfg, CypherPayload.statementJson(maxKeyQuery),
+      replaySafe = true) // a read: always safe to retry
+    val rows =
+      try Neo4jRowParser.parseRows(resp.body()).toVector
+      finally resp.body().close()
+    val latest = rows.headOption.flatMap(_.headOption) match {
+      case Some(n: Number) => n.longValue()
+      case _               => startKey // empty store: stay put
+    }
+    Neo4jOffset(math.max(latest, startKey))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    Neo4jOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Neo4jScan.keysetRanges(start.asInstanceOf[Neo4jOffset].key,
+      end.asInstanceOf[Neo4jOffset].key, numPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Neo4jReaderFactory(schema, cfg, "keyset", numPartitions, pageSize, keyIndex)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[neo4j] final class Neo4jReaderFactory(

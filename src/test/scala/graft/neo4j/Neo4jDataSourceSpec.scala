@@ -17,6 +17,7 @@ class Neo4jDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var server: HttpServer = _
   private var base: String = _
+  @volatile private var streamMax = 10
   private val received = new ConcurrentLinkedQueue[String]()
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -59,6 +60,27 @@ class Neo4jDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         val page = params.get("graftPage").asInt()
         ok(ex, result((1 to 25).filter(i => i > after && i <= upper)
           .take(page).map(i => s"""{"row":[$i,"name$i"]}""")))
+      }
+    })
+    // streaming endpoint: an append-only store whose current size is
+    // `streamMax`; a max() statement returns the high-water key, a
+    // keyset statement slices like /keyset/
+    server.createContext("/stream/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        received.add(body)
+        val tree = mapper.readTree(body)
+        val stmt = tree.at("/statements/0/statement").asText()
+        if (stmt.contains("max(")) {
+          ok(ex, s"""{"results":[{"columns":["k"],"data":[{"row":[$streamMax]}]}],"errors":[]}""")
+        } else {
+          val params = tree.at("/statements/0/parameters")
+          val (after, upper) = (params.get("graftAfter").asLong(),
+            params.get("graftUpper").asLong())
+          val page = params.get("graftPage").asInt()
+          ok(ex, result((1 to streamMax).filter(i => i > after && i <= upper)
+            .take(page).map(i => s"""{"row":[$i,"name$i"]}""")))
+        }
       }
     })
     // write endpoint: records payloads, returns an empty result
@@ -146,6 +168,54 @@ class Neo4jDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until arr.size()).map(arr.get(_).get("name").asText())
     }
     assert(names.toSet == (1 to 7).map(i => s"u$i").toSet)
+  }
+
+  test("streaming keyset tail reads each appended key range exactly once") {
+    received.clear()
+    streamMax = 10
+    val spark = TestSpark.spark
+    val df = spark.readStream.format("graft-neo4j").schema(schema)
+      .option("url", s"$base/stream/")
+      .option("query", "MATCH (n) WHERE id(n) > $graftAfter AND id(n) <= $graftUpper " +
+        "RETURN id(n), n.name ORDER BY id(n) LIMIT $graftPage")
+      .option("mode", "keyset")
+      .option("maxKeyQuery", "MATCH (n) RETURN max(id(n))")
+      .option("numPartitions", "2").option("pageSize", "4")
+      .load()
+    val q = df.writeStream.format("memory").queryName("neotail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("neotail").collect().map(_.getLong(0)).sorted
+      assert(first.toSeq == (1L to 10L))
+      // the store grows; the next microbatches read ONLY the delta
+      streamMax = 25
+      q.processAllAvailable()
+      val all = spark.table("neotail").collect().map(_.getLong(0)).sorted
+      assert(all.toSeq == (1L to 25L), s"appended rows must arrive exactly once")
+      // high-water polls go through the max() statement; data fetches
+      // carry the keyset wire parameters
+      val stmts = received.toArray(Array.empty[String])
+        .map(mapper.readTree(_).at("/statements/0/statement").asText())
+      assert(stmts.exists(_.contains("max(")) &&
+        stmts.exists(_.contains("$graftAfter")))
+    } finally q.stop()
+  }
+
+  test("streaming without maxKeyQuery or with a non-keyset mode fails") {
+    val spark = TestSpark.spark
+    val e1 = intercept[Exception] {
+      spark.readStream.format("graft-neo4j").schema(schema)
+        .option("url", s"$base/stream/")
+        .option("query", "MATCH (n) WHERE id(n) > $graftAfter AND id(n) <= $graftUpper " +
+          "RETURN id(n), n.name LIMIT $graftPage")
+        .option("mode", "keyset")
+        .load()
+        .writeStream.format("memory").queryName("neofail1").start()
+        .processAllAvailable()
+    }
+    assert(e1.getMessage.contains("maxKeyQuery") ||
+      Option(e1.getCause).exists(_.getMessage.contains("maxKeyQuery")))
   }
 
   test("write with a non-UNWIND statement fails at planning time") {
