@@ -211,6 +211,7 @@ object SparkEntry {
     "multimodal_meta"     -> (Multimodal.meta(_, _)),
     "multimodal_prep"     -> (Multimodal.prep(_, _)),
     "multimodal_phash"    -> (Multimodal.phashDup(_, _)),
+    "multimodal_frame_dedup" -> (Multimodal.frameDedup(_, _)),
     "multimodal_decoded"  -> (Multimodal.decodedMeta(_, _)),
     "sample_stratified"   -> (Pipeline.stratifiedSample(_, _)),
     "contamination_ngram" -> (Pipeline.contamination(_, _)),
@@ -1568,6 +1569,41 @@ object SparkEntry {
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((len(text) + 63) // 64 AS BIGINT) AS nf
+        |  FROM documents WHERE len(text) > 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    substr(text, CAST(t.i * 64 + 1 AS BIGINT), 64) AS w
+        |  FROM d, UNNEST(range(nf)) AS t(i)),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(w, ''), ch -> ord(ch)) AS codes
+        |  FROM f),
+        |m AS (
+        |  SELECT doc_id, codes,
+        |    CAST(floor(CAST(list_sum(codes) AS DOUBLE)
+        |      / greatest(len(codes), 1)) AS BIGINT) AS mean_code
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, least(len(codes), 62) + 1),
+        |      i -> CASE WHEN codes[i] > mean_code
+        |        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS fhash
+        |  FROM m),
+        |hd AS (SELECT DISTINCT doc_id, fhash FROM h),
+        |keep AS (
+        |  SELECT fhash FROM hd GROUP BY fhash
+        |  HAVING COUNT(*) BETWEEN 2 AND 20)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM hd a JOIN hd b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+        |JOIN keep k ON a.fhash = k.fhash
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
     "multimodal_phash" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -163,6 +163,48 @@ object Multimodal {
       .orderBy(col("phash"))
   }
 
+  /** FRAME-level cross-media dedup: detect media pairs sharing
+    * perceptually-identical frames (the re-upload / clip-reuse shape
+    * video dedup needs — a whole-file hash misses a video that embeds
+    * another's frames). Each payload decomposes into fixed 64-byte
+    * frame windows, every frame gets the [[phashJvm]] fingerprint,
+    * and an inverted-index join on the fingerprint pairs media that
+    * share ≥ `minShared` distinct frames. On real media the same
+    * pipeline runs per decoded frame at the [[decodeStubBatch]]
+    * boundary — the byte-window framing keeps the oracle exact.
+    *
+    * 100 TB notes: the exchange carries (doc_id, 8-byte fingerprint)
+    * rows only — frames' bytes never shuffle; fingerprints seen in
+    * more than `dfCap` media are dropped before pairing (a constant
+    * frame — black/silence — is a quadratic bucket and can never
+    * distinguish a pair), so candidate volume stays linear in the
+    * index size, the same cap discipline as the shingle joins.
+    */
+  def frameDedup(spark: SparkSession, sfDir: String, minShared: Int = 2,
+      dfCap: Int = 20): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val nf = (t.length + 63) / 64
+        (0 until nf).iterator.map { f =>
+          (id, phashJvm(t.substring(f * 64, math.min((f + 1) * 64, t.length))))
+        }
+      }.toDF("doc_id", "fhash").distinct()
+    val kept = frames.groupBy(col("fhash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= dfCap)
+      .select(col("fhash"))
+    val pruned = frames.join(kept, Seq("fhash"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** The 62-bit aHash of [[phashDup]] as a tight JVM fold — same
     * arithmetic the DuckDB oracle spells over `ord(ch)` of the first
     * 64 chars (mean = floor of the window's code sum over its length;

@@ -56,4 +56,22 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(groups.map(_.getAs[Long]("n_docs")).sum >= exactDupDocs)
   }
+
+  test("frame dedup: ordered pairs, shared count bounded by frame counts") {
+    val pairs = Multimodal.frameDedup(spark, TestSpark.sf).collect()
+    assert(pairs.forall(p =>
+      p.getAs[Long]("a_id") < p.getAs[Long]("b_id") &&
+        p.getAs[Long]("n_shared") >= 2L))
+    // a pair can share at most min(frames(a), frames(b)) fingerprints
+    val nFrames = graft.Tables.documents(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text").length + 63) / 64).toLong).toMap
+    assert(pairs.forall { p =>
+      val (a, b) = (p.getAs[Long]("a_id"), p.getAs[Long]("b_id"))
+      p.getAs[Long]("n_shared") <= math.min(nFrames(a), nFrames(b))
+    })
+    // deterministic rerun
+    val again = Multimodal.frameDedup(spark, TestSpark.sf).collect()
+    assert(pairs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
