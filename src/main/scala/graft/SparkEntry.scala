@@ -186,6 +186,7 @@ object SparkEntry {
     "sim_topk_agg"        -> (Similarity.topkAgg(_, _)),
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "sim_recall_eval"     -> (Similarity.recallEval(_, _)),
+    "sim_dim_recall"      -> (Similarity.dimRecall(_, _)),
     "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
     "multimodal_frames"   -> (Multimodal.frameIndex(_, _)),
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
@@ -609,6 +610,50 @@ object SparkEntry {
     "graph_hits"        -> OracleSql.hits(),
     "sim_ann_lsh"       -> OracleSql.annLsh(),
     "sim_recall_eval"   -> OracleSql.annRecall(),
+    "sim_dim_recall" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n
+        |      WHERE vec_id < 5),
+        |d AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 5),
+        |s AS (
+        |  SELECT q.q_id, d.vec_id,
+        |  round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6)
+        |    + 0.0 AS score
+        |  FROM d CROSS JOIN q),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+        |  WHERE rank <= 10),
+        |t AS (
+        |  SELECT vec_id, v[1:16] AS v,
+        |    sqrt(list_dot_product(v[1:16], v[1:16])) AS nrm
+        |  FROM n),
+        |tq AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM t
+        |       WHERE vec_id < 5),
+        |td AS (SELECT vec_id, v, nrm FROM t WHERE vec_id >= 5),
+        |ts AS (
+        |  SELECT tq.q_id, td.vec_id,
+        |  round(CASE WHEN td.nrm = 0 OR tq.q_nrm = 0 THEN 0
+        |    ELSE list_dot_product(td.v, tq.q_v) / (td.nrm * tq.q_nrm) END, 6)
+        |    + 0.0 AS score
+        |  FROM td CROSS JOIN tq),
+        |trunc AS (
+        |  SELECT q_id, vec_id, 1 AS hit FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM ts)
+        |  WHERE rank <= 10)
+        |SELECT e.q_id, CAST(16 AS BIGINT) AS kept_dims,
+        |  CAST(COUNT(t.hit) AS BIGINT) AS n_hit,
+        |  round(CAST(COUNT(t.hit) AS DOUBLE) / 10, 6) + 0.0 AS recall_at_k
+        |FROM exact e LEFT JOIN trunc t
+        |  ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

