@@ -106,7 +106,8 @@ object CypherPlanner {
     */
   private final case class Scope(
       df: DataFrame, nodeVars: Set[String], scalars: Set[String],
-      lists: Set[String] = Set.empty) {
+      lists: Set[String] = Set.empty,
+      tiny: Boolean = false, tinyScalars: Set[String] = Set.empty) {
     def binds: Bindings = Bindings(scalars, lists)
   }
 
@@ -206,9 +207,19 @@ object CypherPlanner {
         }
       case MatchClause(chain, false, _) =>
         recordChainMeta(chain)
-        val (cdf, cvars) = planChain(graph, chain, s.nodeVars, s.df,
+        // a chain that shares no variable with the frame cross-joins
+        // it (Cypher cartesian semantics); when the frame is a TINY
+        // horizon (scalar aggregate / small LIMIT), hint it broadcast
+        // so the cross join plans as a 1-row BroadcastNestedLoop, not
+        // a partitioned CartesianProduct — the scalar-carry idiom
+        // (`WITH count(*) AS n MATCH …`) would otherwise shuffle the
+        // whole next pattern through a cartesian at any scale
+        val sharesVar = chain.nodeVars.exists(s.nodeVars.contains)
+        val prevDf =
+          if (s.df != null && s.tiny && !sharesVar) broadcast(s.df) else s.df
+        val (cdf, cvars) = planChain(graph, chain, s.nodeVars, prevDf,
           needs = Some(needs))
-        s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars)
+        s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars, tiny = false)
 
       case MatchClause(chain, true, where) =>
         val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
@@ -227,7 +238,7 @@ object CypherPlanner {
         val dupCols = odf.columns.toSeq.filter(c =>
           shared.exists(v => c.startsWith(s"${v}__")) && !keys.contains(c))
         s = s.copy(df = s.df.join(odf.drop(dupCols: _*), keys, "left_outer"),
-          nodeVars = s.nodeVars ++ ovars)
+          nodeVars = s.nodeVars ++ ovars, tiny = false)
 
       case FilterClause(e) =>
         s = s.copy(df = applyFilter(graph, s, e))
@@ -240,7 +251,8 @@ object CypherPlanner {
           if (s.df == null)
             graph.nodes.values.head.sparkSession.range(1).select(c)
           else s.df.select(s.df.columns.toSeq.map(col) :+ c: _*)
-        s = Scope(df, s.nodeVars, s.scalars + alias, s.lists)
+        s = Scope(df, s.nodeVars, s.scalars + alias, s.lists,
+          tiny = false, tinyScalars = s.tinyScalars - alias)
 
       case w: WithClause =>
         val (s2, items2) = materializeCounts(graph, s, w.items)
@@ -937,8 +949,43 @@ object CypherPlanner {
       }: _*)
     w.skip.foreach(n => df = df.offset(n.toInt))
     w.limit.foreach(n => df = df.limit(n.toInt))
-    Scope(df, nodeKeeps.toSet,
-      (scalarItems.map(_.name) ++ aggs.map(_.name)).toSet, newLists)
+    // TINY-horizon tracking (feeds the cross-join broadcast hint): a
+    // global aggregate is 1 row; an aggregate whose every grouping
+    // key derives from tiny-domain scalars has a tiny key domain; a
+    // small LIMIT is tiny by construction; a pure projection of a
+    // tiny frame stays tiny (select/distinct/filter never grow rows)
+    val outTiny =
+      w.limit.exists(_ <= 10000) ||
+      (aggs.nonEmpty && nodeKeeps.isEmpty &&
+        scalarItems.forall(i => tinyDerived(i.expr, s.tinyScalars))) ||
+      (aggs.isEmpty && s.tiny)
+    val outNames = (scalarItems.map(_.name) ++ aggs.map(_.name)).toSet
+    val outTinyScalars =
+      if (outTiny) outNames
+      else scalarItems.filter(i => tinyDerived(i.expr, s.tinyScalars))
+        .map(_.name).toSet
+    Scope(df, nodeKeeps.toSet, outNames, newLists,
+      tiny = outTiny, tinyScalars = outTinyScalars)
+  }
+
+  /** True when `e` only reads literals and scalars whose value domain
+    * is already known tiny — the conservatively-recognized shapes of
+    * the scalar-carry idiom (anything else reports false and simply
+    * forgoes the broadcast hint).
+    */
+  private def tinyDerived(e: CExpr, tiny: Set[String]): Boolean = e match {
+    case Ident(n)           => tiny(n)
+    case LitV(_)            => true
+    case Arith(_, l, r)     => tinyDerived(l, tiny) && tinyDerived(r, tiny)
+    case Cmp(_, l, r)       => tinyDerived(l, tiny) && tinyDerived(r, tiny)
+    case Coalesce(as)       => as.forall(tinyDerived(_, tiny))
+    case FnCall(_, a, _, _) => a.forall(tinyDerived(_, tiny))
+    case FnCallN(_, as)     => as.forall(tinyDerived(_, tiny))
+    case CaseExpr(ws, o) =>
+      ws.forall { case (c, v) =>
+        tinyDerived(c, tiny) && tinyDerived(v, tiny) } &&
+        o.forall(tinyDerived(_, tiny))
+    case _ => false
   }
 
   /** `*` placeholder (RETURN * / WITH *) → every bound scalar then

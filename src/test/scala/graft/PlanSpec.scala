@@ -451,6 +451,22 @@ class PlanSpec extends AnyFunSuite {
       s"only 1-row broadcast cross joins allowed, got: $bnl")
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // the one all-pairs operator shape that cannot survive scale; a
+    // broadcast 1-row cross join (the scalar pattern) plans as
+    // BroadcastNestedLoopJoin and is allowed — an actual
+    // CartesianProduct (both sides partitioned) is not
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")) Some(name) else None
+        } catch { case _: Throwable => None } // plannability is ContractSpec's pin
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
   test("temporal map-constructor bounds push to the events scan") {
     val plan = planOf(cypher.CypherQueries.temporalCtor(spark, TestSpark.sf))
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
