@@ -163,6 +163,7 @@ object SparkEntry {
     "events_sequence_detect" -> (Events.sequenceDetect(_, _)),
     "events_cep_negation" -> (Events.cepNegation(_, _)),
     "events_session_paths" -> (Events.sessionPaths(_, _)),
+    "events_markov"        -> (Events.markovTransitions(_, _)),
     "events_rfm"        -> (Events.rfm(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
@@ -1088,6 +1089,32 @@ object SparkEntry {
         |               ORDER BY ts, event_id))
         |SELECT path, COUNT(*) AS n FROM tri WHERE e3 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "events_markov" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+        |tr AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id, session_seq
+        |      ORDER BY ts, event_id) AS dst_type
+        |  FROM z),
+        |cnt AS (
+        |  SELECT src_type, dst_type, COUNT(*) AS n FROM tr
+        |  WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+        |    PARTITION BY src_type) AS DOUBLE), 6) + 0.0 AS p
+        |FROM cnt ORDER BY src_type, dst_type""".stripMargin,
     "events_rfm" ->
       """WITH gm AS (SELECT MAX(ts) AS global_max FROM events),
         |per AS (

@@ -516,6 +516,47 @@ object Events {
   def sessionPaths(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
     sessionPathsOn(Tables.events(spark, sfDir), k)
 
+  /** First-order Markov transition model of in-session journeys: for
+    * every (current, next) event-type pair, the transition count and
+    * probability P(next | current) — the journey model one rung below
+    * [[sessionPaths]]' literal trigram mining (a Markov chain
+    * predicts/anomaly-scores any path, not just the memorized top
+    * fragments). Transitions never cross [[sessionize]]'s exact
+    * 30-minute session cut, so all three journey operators agree on
+    * boundaries. Probabilities are 6-dp rounded over exact integer
+    * counts — deterministic on both engines.
+    *
+    * 100 TB notes: the same single user_id exchange the other journey
+    * operators pay (session tagging + lead share one partitioning);
+    * the transition aggregate collapses map-side into a |types|²
+    * domain, and the per-source normalization windows over THAT tiny
+    * frame, never the corpus.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySrc = Window.partitionBy(col("src_type"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_type", lead(col("event_type"), 1).over(bySession))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(bySrc), 6) + lit(0.0))
+      .orderBy(col("src_type"), col("dst_type"))
+  }
+
   /** [[sessionPaths]] over an arbitrary events-shaped frame — the
     * boundary/count specs drive this directly.
     */

@@ -110,6 +110,22 @@ class EventsSpec extends AnyFunSuite {
     assert(pathMass == sessions)
   }
 
+  test("markov transitions: rows are distributions, mass matches bigram count") {
+    val rows = Events.markovTransitions(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // per-source probabilities sum to 1 (within 6-dp rounding slack)
+    rows.groupBy(_.getAs[String]("src_type")).foreach { case (s, rs) =>
+      val p = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"src $s sums to $p")
+    }
+    // total transition mass = total trigram-style bigram mass: sum of
+    // per-session max(0, n_events - 1)
+    val bigrams = Events.sessionize(spark, TestSpark.sf)
+      .selectExpr("greatest(n_events - 1, 0) AS t")
+      .agg(org.apache.spark.sql.functions.sum("t")).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n")).sum == bigrams)
+  }
+
   test("rfm: terciles balanced within one, segment encodes the digits") {
     val rows = Events.rfm(spark, graft.TestSpark.sf).collect()
     assert(rows.nonEmpty)
