@@ -113,6 +113,7 @@ object SparkEntry {
     "graph_louvain"         -> (graph.Algorithms.louvainQuery(_, _)),
     "graph_louvain2"        -> (graph.Algorithms.louvain2Query(_, _)),
     "graph_assortativity"   -> (graph.Algorithms.assortativityQuery(_, _)),
+    "graph_eccentricity"    -> (graph.Algorithms.eccentricityQuery(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
@@ -346,6 +347,35 @@ object SparkEntry {
         |  CAST(SUM(b.d) AS BIGINT) AS dist_sum
         |FROM customer c LEFT JOIN best b ON b.id = c.c_custkey
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    "graph_eccentricity" ->
+      """WITH RECURSIVE nb AS (
+        |  SELECT c_custkey AS src,
+        |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+        |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2,
+        |    lead(c_custkey, 8) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d8
+        |  FROM customer),
+        |edges AS MATERIALIZED (
+        |  SELECT src, d1 AS dst FROM nb WHERE d1 IS NOT NULL
+        |  UNION ALL SELECT src, d2 FROM nb WHERE d2 IS NOT NULL
+        |  UNION ALL SELECT src, d8 FROM nb WHERE d8 IS NOT NULL),
+        |lms AS (
+        |  SELECT c_custkey AS lm FROM (
+        |    SELECT c_custkey,
+        |      row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        |    FROM customer) WHERE rn IN (1, 10)),
+        |walk AS (
+        |  SELECT lm, lm AS id, 0 AS depth FROM lms
+        |  UNION
+        |  SELECT w.lm, e.dst AS id, w.depth + 1 AS depth
+        |  FROM walk w JOIN edges e ON e.src = w.id WHERE w.depth < 16),
+        |best AS (SELECT lm, id, MIN(depth) AS d FROM walk GROUP BY 1, 2),
+        |perlm AS (
+        |  SELECT lm, CAST(MAX(d) AS BIGINT) AS ecc,
+        |    CAST(COUNT(*) AS BIGINT) AS n_reached
+        |  FROM best GROUP BY 1),
+        |diam AS (SELECT CAST(MAX(ecc) AS BIGINT) AS diam_lb FROM perlm)
+        |SELECT p.lm, p.ecc, p.n_reached, d.diam_lb
+        |FROM perlm p CROSS JOIN diam d ORDER BY lm""".stripMargin,
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),

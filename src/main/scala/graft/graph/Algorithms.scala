@@ -1181,6 +1181,29 @@ object Algorithms {
     (edges, landmarks)
   }
 
+  /** Landmark eccentricity profile + diameter lower bound — the
+    * graph-extent QA next to [[closenessQuery]] (same Thorup–Zwick
+    * landmark-sketch family, same hop-bounded truncation semantic):
+    * each landmark reports the farthest hop it reaches and its
+    * coverage, and the max over landmarks is the standard
+    * lower bound on the graph diameter (exact diameter needs
+    * all-pairs — never at 100 TB; k well-spread landmarks give the
+    * bound every practical system uses).
+    *
+    * 100 TB notes: rides [[landmarkDistances]]' (lm, id)-keyed BFS —
+    * O(k·V) state — then collapses to k rows map-side; the diameter
+    * bound is a broadcast 1-row aggregate over those k rows.
+    */
+  def eccentricityQuery(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 16): DataFrame = {
+    val (edges, landmarks) = skipLinkGraph(spark, sfDir)
+    val perLm = landmarkDistances(edges, landmarks, maxDepth)
+      .groupBy(col("lm"))
+      .agg(max(col("depth")).as("ecc"), count(lit(1)).as("n_reached"))
+    val diam = perLm.agg(max(col("ecc")).as("diam_lb"))
+    perLm.crossJoin(broadcast(diam)).orderBy(col("lm"))
+  }
+
   def closenessQuery(spark: SparkSession, sfDir: String,
       maxDepth: Int = 16): DataFrame = {
     val c = graft.Tables.customer(spark, sfDir)

@@ -246,6 +246,19 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(m > labels && sx >= m)
   }
 
+  test("eccentricity: bound dominates every landmark, coverage sane") {
+    val rows = Algorithms.eccentricityQuery(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val diam = rows.head.getAs[Long]("diam_lb")
+    assert(rows.forall(_.getAs[Long]("diam_lb") == diam))
+    assert(rows.forall(r => r.getAs[Long]("ecc") <= diam))
+    assert(rows.exists(_.getAs[Long]("ecc") == diam))
+    // a landmark reaches at least itself, and never more than |V|
+    val nodes = graft.Tables.customer(spark, TestSpark.sf).count()
+    assert(rows.forall(r => r.getAs[Long]("n_reached") >= 1L &&
+      r.getAs[Long]("n_reached") <= nodes))
+  }
+
   test("degree distribution partitions the positive-degree nodes") {
     val rows = Algorithms.degreeDistQuery(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
