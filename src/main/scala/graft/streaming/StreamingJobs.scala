@@ -470,6 +470,45 @@ object StreamingJobs {
     * event_id) order — the batch window's exact frame; across
     * batches the two maxima carry forward.
     */
+  /** Per-user Markov-model scoring state: the previous event's type
+    * and micros (null type = no prior event / fresh session).
+    */
+  final case class MarkovState(lastType: String, tsUs: Long)
+  final case class MarkovScore(event_id: Long, user_id: Long,
+      src_type: String, dst_type: String, p: Double)
+
+  /** Streaming Markov-chain journey scorer — model SERVING for
+    * `Events.markovTransitions`' artifact: each in-session transition
+    * (gap ≤ 30 min, the family's shared session cut) scores
+    * immediately against the static P(next | current) table riding
+    * the task closure (|types|² entries — broadcast-sized by
+    * construction). Unseen transitions score 0.0, which IS the
+    * anomaly signal. O(1) state per user (previous type + micros),
+    * carried across micro-batches; a session gap emits nothing and
+    * re-anchors the chain.
+    */
+  def markovScore(events: Dataset[TypedEvent],
+      model: Map[(String, String), Double]): Dataset[MarkovScore] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MarkovState, MarkovScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TypedEvent], state: GroupState[MarkovState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[MarkovScore]()
+          var st = state.getOption.orNull
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            if (st != null && us - st.tsUs <= 1800000000L)
+              out += MarkovScore(e.event_id, uid, st.lastType, e.event_type,
+                model.getOrElse((st.lastType, e.event_type), 0.0))
+            st = MarkovState(e.event_type, us)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   def cepNegation(events: Dataset[TypedEvent]): Dataset[CepVerdict] = {
     import events.sparkSession.implicits._
     events

@@ -294,6 +294,39 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("markov scorer: in-session transitions score, session cuts re-anchor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingJobs.TypedEvent
+    val model = Map(
+      ("view", "click") -> 0.5, ("click", "purchase") -> 0.25)
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingJobs.markovScore(input.toDS(), model).writeStream
+      .format("memory").queryName("markov").outputMode("append").start()
+    try {
+      input.addData(
+        TypedEvent(10, ts(0), 1L, "view", 0.0),
+        TypedEvent(11, ts(5), 1L, "click", 0.0),     // view>click p=0.5
+        TypedEvent(12, ts(10), 1L, "purchase", 1.0), // click>purchase 0.25
+        TypedEvent(13, ts(15), 1L, "view", 0.0),     // purchase>view UNSEEN 0.0
+        // 2h gap: session cut — no transition emitted for this event
+        TypedEvent(14, ts(15 + 120), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // cross-batch: within 30 min of event 14, the chain continues
+      input.addData(TypedEvent(15, ts(15 + 130), 1L, "purchase", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("markov").collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getString(3),
+          r.getDouble(4))).toMap
+      assert(got == Map(
+        11L -> (("view", "click", 0.5)),
+        12L -> (("click", "purchase", 0.25)),
+        13L -> (("purchase", "view", 0.0)),
+        15L -> (("click", "purchase", 0.25))))
+      assert(!got.contains(14L)) // the cut event itself scores nothing
+    } finally q.stop()
+  }
+
   test("as-of attribution enriches purchases with the last view, O(1) state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
