@@ -67,6 +67,28 @@ object OracleSql {
        |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb)""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.novelty]]: the
+    * shared word-3-gram shingle hashes, global first-occurrence
+    * ownership by smallest doc_id, per-doc novel fraction.
+    */
+  def novelty(): String =
+    s"""WITH $WordsCte,
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(ws)-2, 0)+1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+       |  FROM w WHERE len(ws) >= 3),
+       |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+       |hb AS (SELECT DISTINCT doc_id, ${polySql("g")} AS h FROM ex),
+       |own AS (SELECT h, MIN(doc_id) AS owner FROM hb GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  round(CAST(SUM(CASE WHEN o.owner = b.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) + 0.0 AS novelty
+       |FROM hb b JOIN own o ON b.h = o.h
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Incremental near-dup, mirroring [[Dedup.incrementalDedup]]: the
     * minhashLsh CTEs with an ASYMMETRIC candidate join (index side =
     * doc_id % 10 <> 0, delta side = doc_id % 10 = 0) and a best-match

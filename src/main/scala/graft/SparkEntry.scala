@@ -224,6 +224,7 @@ object SparkEntry {
     "text_entropy"        -> (TextAnalysis.entropy(_, _)),
     "text_repetition"     -> (TextAnalysis.repetition(_, _)),
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
+    "text_novelty"        -> (TextAnalysis.novelty(_, _)),
     "text_boilerplate"    -> (TextAnalysis.boilerplate(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
@@ -379,6 +380,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),
+    "text_novelty"        -> OracleSql.novelty(),
     "text_bpe_encode"     -> OracleSql.bpeEncode(),
     "embed_pca_power"     -> OracleSql.pcaPower(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),

@@ -782,6 +782,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document n-gram NOVELTY — the data-valuation curve of a
+    * corpus in ingestion order: a document's novelty is the fraction
+    * of its distinct word-3-gram shingles whose globally FIRST
+    * occurrence (smallest doc_id) is this document. Boilerplate-heavy
+    * or near-duplicate docs score near 0, genuinely new material near
+    * 1 — the per-doc signal curriculum ordering and incremental-crawl
+    * value estimates key on (the corpus-level complement of the
+    * dedup family's pairwise view).
+    *
+    * 100 TB notes: only (doc_id, 8-byte shingle hash) rows shuffle —
+    * one hash-keyed ownership aggregate + one hash-keyed join back,
+    * both map-side combined; text never leaves the scan, and the
+    * result frame is doc-cardinality.
+    */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        Dedup.shingleHashesJvm(t).distinct.iterator.map(h => (id, h))
+      }.toDF("doc_id", "h")
+    val owners = hd.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    hd.join(owners, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6) + lit(0.0))
+      .orderBy(col("doc_id"))
+  }
+
   def tfidf(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)

@@ -179,6 +179,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rules.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("novelty: first doc fully novel, shingle mass conserved, rates bounded") {
+    val rows = TextAnalysis.novelty(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (n, nov) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))
+      n >= 1L && nov >= 0L && nov <= n &&
+        math.abs(r.getAs[Double]("novelty") -
+          math.round(nov.toDouble / n * 1e6) / 1e6) < 1e-12
+    })
+    // the smallest doc_id owns every one of its shingles by definition
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_shingles"))
+    // total novel shingles across docs = globally distinct shingles
+    val distinctShingles = graft.Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .flatMap(r => Dedup.shingleHashesJvm(r.getString(1)).distinct)
+      .distinct.length.toLong
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctShingles)
+  }
+
   test("bpe encode: every merge removes one symbol, rules actually fire") {
     val rows = TextAnalysis.bpeEncode(spark, TestSpark.sf, rounds = 4).collect()
     assert(rows.nonEmpty)
