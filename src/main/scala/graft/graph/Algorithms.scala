@@ -1196,19 +1196,37 @@ object Algorithms {
     */
   def eccentricityQuery(spark: SparkSession, sfDir: String,
       maxDepth: Int = 16): DataFrame = {
-    val (edges, landmarks) = skipLinkGraph(spark, sfDir)
-    val perLm = landmarkDistances(edges, landmarks, maxDepth)
+    val perLm = landmarkDistanceArtifact(spark, sfDir, maxDepth)
       .groupBy(col("lm"))
       .agg(max(col("depth")).as("ecc"), count(lit(1)).as("n_reached"))
     val diam = perLm.agg(max(col("ecc")).as("diam_lb"))
     perLm.crossJoin(broadcast(diam)).orderBy(col("lm"))
   }
 
+  /** Memoized landmark-distance ARTIFACT per (session, dir, depth):
+    * [[closenessQuery]] and [[eccentricityQuery]] both read the same
+    * (lm, id, depth) sketch — in production the sketch is computed
+    * once and persisted (it IS the Thorup–Zwick precompute), so the
+    * BFS is paid once per session, not once per consumer. Same
+    * discipline as the dedup cluster and BPE-rule artifacts.
+    */
+  def landmarkDistanceArtifact(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 16): DataFrame = {
+    if (lmDistCache.size > 64) lmDistCache.clear() // bound pinning
+    lmDistCache.computeIfAbsent((spark, sfDir, maxDepth),
+      k => graft.Artifacts.pinning(k._1) {
+        val (edges, landmarks) = skipLinkGraph(k._1, k._2)
+        landmarkDistances(edges, landmarks, k._3).localCheckpoint(true)
+      })
+  }
+
+  private val lmDistCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
   def closenessQuery(spark: SparkSession, sfDir: String,
       maxDepth: Int = 16): DataFrame = {
     val c = graft.Tables.customer(spark, sfDir)
-    val (edges, landmarks) = skipLinkGraph(spark, sfDir)
-    val dist = landmarkDistances(edges, landmarks, maxDepth)
+    val dist = landmarkDistanceArtifact(spark, sfDir, maxDepth)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("reached"), sum(col("depth")).as("dist_sum"))
     c.select(col("c_custkey").as("id"))
