@@ -598,6 +598,20 @@ object OracleSql {
       |  CAST(COUNT(*) * sz AS BIGINT) AS n_docs
       |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Dedup.sourceRates]]: shared
+    * cluster closure, per-source canonical share.
+    */
+  def sourceRates(tau: Double = 0.6): String =
+    clusterCtes(tau) + """,
+      |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.doc_id = cl.cluster THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_canonical,
+      |  round(1.0 - CAST(SUM(CASE WHEN d.doc_id = cl.cluster
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_rate
+      |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   def labelProp(rounds: Int = 3): String =
     s"""WITH ${labelPropCtes(rounds)}
        |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin

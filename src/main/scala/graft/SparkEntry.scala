@@ -175,6 +175,7 @@ object SparkEntry {
     "dedup_bloom"         -> (Dedup.bloomIncremental(_, _)),
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_cluster_stats" -> (Dedup.clusterStats(_, _)),
+    "dedup_source_rates"  -> (Dedup.sourceRates(_, _)),
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct(_, _)),
@@ -286,6 +287,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters"    -> OracleSql.dedupClusters(),
     "dedup_cluster_stats" -> OracleSql.clusterStats(),
+    "dedup_source_rates"  -> OracleSql.sourceRates(),
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),

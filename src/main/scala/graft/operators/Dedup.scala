@@ -674,6 +674,31 @@ object Dedup {
       .orderBy(col("canon_url"))
   }
 
+  /** Per-SOURCE duplication rates over the cluster artifact — the
+    * provenance-level dedup observability a crawl pipeline triages
+    * with: a source whose documents are mostly non-canonical cluster
+    * members is re-crawling content the corpus already holds (cut its
+    * fetch budget), while a low dup-rate source is contributing new
+    * material. Canonical = the cluster's smallest doc_id, the same
+    * convention every cluster consumer shares.
+    *
+    * 100 TB notes: reads the memoized [[clusterArtifact]] (16 B/doc),
+    * one doc_id-keyed join against the (doc_id, source) projection,
+    * then a map-side-combined collapse to |sources| rows.
+    */
+  def sourceRates(spark: SparkSession, sfDir: String,
+      tau: Double = 0.6): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(clusterArtifact(spark, sfDir, tau), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("cluster"), 1L).otherwise(0L))
+          .as("n_canonical"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_canonical").cast("double") / col("n_docs"), 6)
+          + lit(0.0))
+      .orderBy(col("source"))
+
   /** JVM twin of [[paragraphDedup]]'s segmentation: the same
     * fixed-window split (Spark's `split(text, ' ')` keeps interior
     * and trailing empty tokens, so this uses `split(" ", -1)`), the

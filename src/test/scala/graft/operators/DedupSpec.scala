@@ -127,6 +127,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dup")).sum > 0L)
   }
 
+  test("source rates: doc mass conserved, canonical mass = cluster count") {
+    val rows = Dedup.sourceRates(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (n, c) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_canonical"))
+      c >= 1L && c <= n && r.getAs[Double]("dup_rate") >= 0.0 &&
+        r.getAs[Double]("dup_rate") <= 1.0
+    })
+    val totalDocs = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    // total canonical docs = number of clusters
+    val clusters = Dedup.clusterArtifact(spark, TestSpark.sf)
+      .select("cluster").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_canonical")).sum == clusters)
+  }
+
   test("containment dominates jaccard at the same threshold") {
     // containment = inter/min(a,b) >= inter/(a+b-inter) = jaccard, so
     // at equal tau the jaccard pair set is a subset and each kept
