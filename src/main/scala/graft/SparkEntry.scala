@@ -50,6 +50,7 @@ object SparkEntry {
     "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
     "cypher_temporal_ctor"  -> (cypher.CypherQueries.temporalCtor(_, _)),
     "cypher_point"          -> (cypher.CypherQueries.pointDistance(_, _)),
+    "cypher_catalog"        -> (cypher.CypherQueries.catalog(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
     "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
@@ -1886,6 +1887,15 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND hour(ts) >= 6
         |GROUP BY 1, 2, 3, 4, 6 ORDER BY d, h""".stripMargin,
+    "cypher_catalog" ->
+      """SELECT 'label' AS kind, name FROM (VALUES
+        |  ('Customer'), ('Nation'), ('Order'), ('Part'), ('Region'),
+        |  ('Supplier')) AS l(name)
+        |UNION ALL
+        |SELECT 'relationshipType' AS kind, name FROM (VALUES
+        |  ('CONTAINS'), ('FROM_NATION'), ('IN_REGION'),
+        |  ('NEXT_IN_REGION'), ('PLACED_BY'), ('SUPPLIES'),
+        |  ('SUPP_NATION')) AS r(name)""".stripMargin,
     "cypher_temporal_ctor" ->
       """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
         |  CAST(MIN(hour(ts)) AS BIGINT) AS h_min,

@@ -193,6 +193,15 @@ object Ast {
     */
   final case class CallClause(imports: Seq[String], inner: Seq[Clause])
       extends Clause
+  /** `CALL db.labels()` / `CALL db.relationshipTypes()` — the catalog
+    * introspection procedures every Neo4j client calls on connect.
+    * Produces one row per label / relationship type from the engine's
+    * own graph catalog (name-sorted — Neo4j's order is unspecified,
+    * so deterministic ordering is strictly stronger), bound as
+    * `label` / `relationshipType` like the real procedures' YIELD
+    * columns.
+    */
+  final case class CatalogCallClause(kind: String) extends Clause
   /** Engine-side write clause: `MERGE (a)-[:T {props}]->(b)` /
     * `CREATE (a)-[:T {props}]->(b)` — inserts a relationship between
     * two node variables bound by earlier reading clauses (the

@@ -237,6 +237,19 @@ object CypherParser {
           // LIMIT filters the modifier-applied rows — an immediate
           // FilterClause gives exactly that post-horizon semantics
           if (atKw("WHERE")) { eatKw("WHERE"); clauses += FilterClause(expr()) }
+        } else if (atKw("CALL") && pos + 1 < toks.length &&
+            isKw(toks(pos + 1), "db")) {
+          // catalog procedures: CALL db.labels() / db.relationshipTypes()
+          eatKw("CALL"); eatKw("db"); eatSym(".")
+          val proc = ident()
+          eatSym("("); eatSym(")")
+          val kind = proc.toLowerCase(java.util.Locale.ROOT) match {
+            case "labels"            => "labels"
+            case "relationshiptypes" => "relationshipTypes"
+            case other => throw new IllegalArgumentException(
+              s"unsupported procedure db.$other (db.labels | db.relationshipTypes)")
+          }
+          clauses += CatalogCallClause(kind)
         } else if (atKw("CALL")) {
           eatKw("CALL"); eatSym("{")
           // importing WITH: a leading WITH whose items are ONLY bare

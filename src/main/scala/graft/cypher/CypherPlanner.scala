@@ -96,6 +96,7 @@ object CypherPlanner {
       case r: RemovePropClause => r
       case SetPropClause(as) =>
         SetPropClause(as.map { case (v, p, e) => (v, p, bx(e)) })
+      case c: CatalogCallClause => c
       case r: ReturnClause  => r.copy(items = r.items.map(bi))
     })
   }
@@ -260,6 +261,20 @@ object CypherPlanner {
 
       case CallClause(imports, inner) =>
         s = planCall(graph, s, imports, inner)
+
+      case CatalogCallClause(kind) =>
+        val (names, colName) = kind match {
+          case "labels" => (graph.nodes.keySet.toSeq.sorted, "label")
+          case _        => (graph.rels.keySet.toSeq.sorted, "relationshipType")
+        }
+        val spark0 = graph.nodes.values.head.sparkSession
+        import spark0.implicits._
+        val cat = names.toDF(colName)
+        val df = if (s.df == null) cat else s.df.crossJoin(broadcast(cat))
+        s = Scope(df, s.nodeVars, s.scalars + colName, s.lists,
+          tiny = s.df == null || s.tiny, tinyScalars =
+            (if (s.df == null || s.tiny) s.tinyScalars + colName
+             else s.tinyScalars))
 
       case r: ReturnClause =>
         // a query can be pure projection (`RETURN 1`, `UNWIND … RETURN`)
@@ -1161,6 +1176,7 @@ object CypherPlanner {
       case RemovePropClause(ts)     => ts.foreach { case (v, _) => out += v }
       case SetPropClause(as)        =>
         as.foreach { case (v, _, e) => out += v; walk(e) }
+      case _: CatalogCallClause     => () // plan-time catalog literals
       case r: ReturnClause          =>
         walkItems(r.items); r.orderBy.foreach(s0 => walk(s0.expr))
     }

@@ -875,6 +875,20 @@ object CypherQueries {
         |  count(*) AS n, sum(e.value) AS total
         |ORDER BY wk, mo""".stripMargin)
 
+  /** `CALL db.labels()` / `CALL db.relationshipTypes()` — the catalog
+    * introspection procedures every Neo4j client calls on connect,
+    * answered from the engine's own graph catalog (name-sorted; the
+    * real procedures' order is unspecified). The two halves union
+    * into one schema report.
+    */
+  def catalog(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """CALL db.labels()
+        |RETURN 'label' AS kind, label AS name
+        |UNION ALL
+        |CALL db.relationshipTypes()
+        |RETURN 'relationshipType' AS kind, relationshipType AS name""".stripMargin)
+
   /** Map-constructor temporals — `datetime({year, month, day[, hour…]})`
     * with Neo4j's component defaults (omitted month/day → 1, omitted
     * time-of-day → 0). Both bounds constant-fold to pushable

@@ -1153,6 +1153,26 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog procedures list the graph's labels and types, compose with MATCH") {
+    val labels = run("CALL db.labels() RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels == Seq("Customer", "Nation", "Order", "Part",
+      "Region", "Supplier"))
+    val types = run(
+      "CALL db.relationshipTypes() RETURN relationshipType AS t ORDER BY t")
+      .collect().map(_.getString(0)).toSeq
+    assert(types.contains("CONTAINS") && types.contains("IN_REGION") &&
+      types.length == 7)
+    // composes with a following MATCH (the catalog frame broadcasts)
+    val n = run("CALL db.labels() MATCH (r:Region) " +
+      "RETURN label, count(*) AS n ORDER BY label").collect()
+    assert(n.length == 6 && n.forall(_.getLong(1) == 5L))
+    // unknown procedure fails loudly
+    intercept[Exception] {
+      run("CALL db.indexes() RETURN 1 AS x").collect()
+    }
+  }
+
   test("temporal map constructor: defaults, pushdown shape, validation") {
     // component defaults: omitted month/day -> 1, time-of-day -> 0
     val r = run(
