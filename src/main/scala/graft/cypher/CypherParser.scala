@@ -246,8 +246,10 @@ object CypherParser {
           val kind = proc.toLowerCase(java.util.Locale.ROOT) match {
             case "labels"            => "labels"
             case "relationshiptypes" => "relationshipTypes"
+            case "propertykeys"      => "propertyKeys"
             case other => throw new IllegalArgumentException(
-              s"unsupported procedure db.$other (db.labels | db.relationshipTypes)")
+              s"unsupported procedure db.$other " +
+                "(db.labels | db.relationshipTypes | db.propertyKeys)")
           }
           clauses += CatalogCallClause(kind)
         } else if (atKw("CALL")) {

@@ -265,6 +265,12 @@ object CypherPlanner {
       case CatalogCallClause(kind) =>
         val (names, colName) = kind match {
           case "labels" => (graph.nodes.keySet.toSeq.sorted, "label")
+          case "propertyKeys" =>
+            // every property column of every node and relationship
+            // table, deduplicated — the engine-wide key catalog
+            ((graph.nodes.values ++ graph.rels.values)
+              .flatMap(_.columns).filterNot(_.startsWith("__"))
+              .toSeq.distinct.sorted, "propertyKey")
           case _        => (graph.rels.keySet.toSeq.sorted, "relationshipType")
         }
         val spark0 = graph.nodes.values.head.sparkSession

@@ -1167,6 +1167,11 @@ class CypherPlannerSpec extends AnyFunSuite {
     val n = run("CALL db.labels() MATCH (r:Region) " +
       "RETURN label, count(*) AS n ORDER BY label").collect()
     assert(n.length == 6 && n.forall(_.getLong(1) == 5L))
+    // property keys span node and relationship tables, deduplicated
+    val keys = run("CALL db.propertyKeys() RETURN propertyKey AS k ORDER BY k")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys.contains("acctbal") && keys.contains("qty") &&
+      keys.contains("name") && keys.count(_ == "name") == 1)
     // unknown procedure fails loudly
     intercept[Exception] {
       run("CALL db.indexes() RETURN 1 AS x").collect()

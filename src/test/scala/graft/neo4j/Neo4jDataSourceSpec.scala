@@ -202,6 +202,49 @@ class Neo4jDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming tail resumes from the checkpoint after a restart") {
+    streamMax = 8
+    val spark = TestSpark.spark
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-neo4j-ckpt").toString
+    // the memory sink refuses checkpoint recovery; foreachBatch is
+    // the recoverable sink shape — each run appends into its own
+    // driver-side buffer
+    def start(buf: ConcurrentLinkedQueue[Long]) =
+      spark.readStream.format("graft-neo4j")
+        .schema(schema)
+        .option("url", s"$base/stream/")
+        .option("query", "MATCH (n) WHERE id(n) > $graftAfter AND id(n) <= $graftUpper " +
+          "RETURN id(n), n.name ORDER BY id(n) LIMIT $graftPage")
+        .option("mode", "keyset")
+        .option("maxKeyQuery", "MATCH (n) RETURN max(id(n))")
+        .option("numPartitions", "2").option("pageSize", "4")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => buf.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    val got1 = new ConcurrentLinkedQueue[Long]()
+    val q1 = start(got1)
+    try {
+      q1.processAllAvailable()
+      assert(got1.size == 8)
+    } finally q1.stop()
+    // the store grows while the query is DOWN; the restarted query
+    // must resume from the checkpointed offset and read only the delta
+    streamMax = 14
+    val got2 = new ConcurrentLinkedQueue[Long]()
+    val q2 = start(got2)
+    try {
+      q2.processAllAvailable()
+      val ids = got2.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      assert(ids.toSeq == (9L to 14L),
+        s"restart must read only keys 9..14, got ${ids.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming without maxKeyQuery or with a non-keyset mode fails") {
     val spark = TestSpark.spark
     val e1 = intercept[Exception] {
