@@ -227,6 +227,7 @@ object SparkEntry {
     "text_repetition"     -> (TextAnalysis.repetition(_, _)),
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
     "text_novelty"        -> (TextAnalysis.novelty(_, _)),
+    "er_fuzzy_names"      -> (Search.fuzzyNames(_, _)),
     "text_boilerplate"    -> (TextAnalysis.boilerplate(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
@@ -384,6 +385,30 @@ object SparkEntry {
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),
     "text_novelty"        -> OracleSql.novelty(),
+    "er_fuzzy_names" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1),
+        |vr AS (
+        |  SELECT name, unnest(list_distinct(list_append(
+        |    list_transform(range(1, len(name) + 1),
+        |      i -> substr(name, 1, CAST(i - 1 AS BIGINT)) ||
+        |           substr(name, CAST(i + 1 AS BIGINT), len(name))),
+        |    name))) AS v
+        |  FROM names),
+        |vh AS (SELECT DISTINCT name, md5(v) AS h FROM vr),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS a_name, b.name AS b_name
+        |  FROM vh a JOIN vh b ON a.h = b.h AND a.name < b.name),
+        |ver AS (
+        |  SELECT a_name, b_name,
+        |    CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+        |  FROM cand WHERE levenshtein(a_name, b_name) <= 1)
+        |SELECT v.a_name, v.b_name, v.dist,
+        |  na.n_parts AS a_parts, nb.n_parts AS b_parts
+        |FROM ver v JOIN names na ON v.a_name = na.name
+        |JOIN names nb ON v.b_name = nb.name
+        |ORDER BY a_name, b_name""".stripMargin,
     "text_bpe_encode"     -> OracleSql.bpeEncode(),
     "embed_pca_power"     -> OracleSql.pcaPower(),
     "sketch_hll_distinct" -> OracleSql.hllSketch(),

@@ -57,4 +57,48 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Fuzzy entity-name resolution by edit distance ≤ 1 — the
+    * SymSpell deletion-neighborhood join (Garbe's method, the
+    * production fuzzy-lookup structure): every DISTINCT name emits
+    * itself plus its one-character-deletion variants, names sharing a
+    * variant are candidates (provably complete for distance ≤ 1:
+    * a substitution deletes to the same string from both sides, an
+    * insertion's extra character deletes down to the partner), and
+    * exact `levenshtein` verifies only the candidates — never an
+    * all-pairs comparison. Output: matched name pairs with their
+    * entity counts, the merge work-list entity resolution feeds on.
+    *
+    * 100 TB notes: the join domain is the distinct-name VOCABULARY
+    * (entity catalogs are orders of magnitude smaller than the rows
+    * that mention them — the first groupBy collapses corpus-scale to
+    * catalog-scale with map-side partials); deletion variants
+    * multiply the vocabulary by ~name-length only, and the candidate
+    * exchange carries 16-byte variant hashes, never the names.
+    */
+  def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val variants = names.select(col("name"), explode(expr(
+        "array_union(array(name), transform(sequence(1, length(name)), " +
+          "i -> concat(substring(name, 1, i - 1), " +
+          "substring(name, i + 1, length(name)))))")).as("v"))
+      .select(col("name"), md5(col("v")).as("vh")).distinct()
+    val cands = variants.as("a").join(variants.as("b"),
+        col("a.vh") === col("b.vh") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("a_name"), col("b.name").as("b_name"))
+      .distinct()
+    cands
+      .withColumn("dist",
+        levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 1)
+      .join(names.select(col("name").as("a_name"),
+        col("n_parts").as("a_parts")), Seq("a_name"))
+      .join(names.select(col("name").as("b_name"),
+        col("n_parts").as("b_parts")), Seq("b_name"))
+      .select(col("a_name"), col("b_name"), col("dist"),
+        col("a_parts"), col("b_parts"))
+      .orderBy(col("a_name"), col("b_name"))
+  }
 }

@@ -51,6 +51,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter(col("text").contains("<PHONE>")).count() == out.count())
   }
 
+  test("fuzzy names: SymSpell candidates are complete vs brute force at k=1") {
+    val pairs = Search.fuzzyNames(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.forall { case (a, b, d) => a < b && d == 1L })
+    // brute-force ground truth over the (small) distinct-name catalog
+    val names = graft.Tables.part(spark, sf)
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val truth = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 1
+    } yield (a, b, 1L)).toSet
+    assert(pairs.toSet == truth, "deletion-neighborhood join must equal brute force")
+    assert(truth.nonEmpty)
+  }
+
   test("bm25 ranks a term-stuffed document first") {
     // rank against a corpus where doc 0's text is exactly the query
     // terms: it must win, and scores must be positive and descending
