@@ -76,6 +76,56 @@ object Search {
     * multiply the vocabulary by ~name-length only, and the candidate
     * exchange carries 16-byte variant hashes, never the names.
     */
+  /** One name's SymSpell deletion neighborhood (itself + every
+    * one-character deletion) — the JVM twin of [[fuzzyNames]]'
+    * variant expression, shared with the streaming canonicalizer.
+    */
+  private[graft] def deletionVariants(name: String): Seq[String] =
+    (name +: (0 until name.length).map(i =>
+      name.substring(0, i) + name.substring(i + 1))).distinct
+
+  /** Exact Levenshtein distance (classic DP) — candidate verification
+    * for the streaming canonicalizer; small strings only (entity
+    * names), O(|a|·|b|).
+    */
+  private[graft] def levenshteinJvm(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(identity)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val t = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    dp(a.length)
+  }
+
+  /** The SymSpell LOOKUP index for a name catalog: deletion-variant →
+    * candidate names. Built once from the (small) distinct-name
+    * catalog and shipped in the task closure / broadcast — the
+    * serving artifact of [[fuzzyNames]]' offline join.
+    */
+  private[graft] def symspellIndex(catalog: Seq[String])
+      : Map[String, Seq[String]] =
+    catalog.flatMap(n => deletionVariants(n).map(_ -> n))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+
+  /** Canonicalize one mention against a SymSpell index: the nearest
+    * catalog name within edit distance 1 — exact match always wins,
+    * then the lexicographically smallest at distance 1 (deterministic
+    * tie-break) — or None. The per-record arithmetic of
+    * `StreamingJobs.canonicalizeNames`.
+    */
+  private[graft] def canonicalizeJvm(mention: String,
+      index: Map[String, Seq[String]]): Option[String] = {
+    val cands = deletionVariants(mention)
+      .flatMap(index.getOrElse(_, Nil)).distinct
+    cands.map(c => (levenshteinJvm(mention, c), c))
+      .filter(_._1 <= 1).sorted.headOption.map(_._2)
+  }
+
   def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
     val names = Tables.part(spark, sfDir)
       .groupBy(col("p_name").as("name"))

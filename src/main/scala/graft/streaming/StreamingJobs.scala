@@ -470,6 +470,26 @@ object StreamingJobs {
     * event_id) order — the batch window's exact frame; across
     * batches the two maxima carry forward.
     */
+  /** Streaming entity canonicalizer — fuzzy name LINKING at ingest:
+    * each incoming mention resolves against the catalog's SymSpell
+    * deletion-variant index (`Search.symspellIndex`, the serving
+    * artifact of the offline `er_fuzzy_names` join) to the
+    * lexicographically smallest catalog name within edit distance 1,
+    * or passes through unlinked. ZERO state — the index rides the
+    * task closure like the classifier gate (a real catalog index is
+    * megabytes for millions of names: variants × 16-byte hashes);
+    * per-record cost is |mention| variant probes + exact verification
+    * on the handful of hits.
+    */
+  def canonicalizeNames(mentions: Dataset[(Long, String)],
+      index: Map[String, Seq[String]]): DataFrame = {
+    import mentions.sparkSession.implicits._
+    mentions.map { case (id, m) =>
+      val canon = graft.operators.Search.canonicalizeJvm(m, index)
+      (id, m, canon.getOrElse(m), canon.isDefined)
+    }.toDF("mention_id", "mention", "canonical", "linked")
+  }
+
   /** Per-user Markov-model scoring state: the previous event's type
     * and micros (null type = no prior event / fresh session).
     */

@@ -294,6 +294,30 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("name canonicalizer links within distance 1, smallest name wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = graft.operators.Search.symspellIndex(
+      Seq("cold gear", "old gear", "red bolt"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.canonicalizeNames(input.toDS(), index).writeStream
+      .format("memory").queryName("canon").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "old gear"),   // exact -> itself
+        (2L, "gold gear"),  // dist 1 of BOTH cold/old gear -> 'cold gear' (smallest)
+        (3L, "red bolts"),  // dist 1 of red bolt
+        (4L, "blue anvil")) // nothing within 1 -> unlinked passthrough
+      q.processAllAvailable()
+      val got = spark.table("canon").collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+      assert(got(1L) == (("old gear", true)))
+      assert(got(2L) == (("cold gear", true)))
+      assert(got(3L) == (("red bolt", true)))
+      assert(got(4L) == (("blue anvil", false)))
+    } finally q.stop()
+  }
+
   test("markov scorer: in-session transitions score, session cuts re-anchor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
