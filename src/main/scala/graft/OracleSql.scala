@@ -598,6 +598,45 @@ object OracleSql {
       |  CAST(COUNT(*) * sz AS BIGINT) AS n_docs
       |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Search.nameClusters]]: the
+    * SymSpell pair CTEs, a recursive transitive closure over the
+    * shared poly-hash name ids, canonical = min hash id per
+    * component.
+    */
+  def nameClusters(): String =
+    s"""WITH RECURSIVE names AS (
+       |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+       |  FROM part GROUP BY 1),
+       |nid AS (SELECT name, n_parts, ${polySql("name")} AS nid FROM names),
+       |vr AS (
+       |  SELECT name, unnest(list_distinct(list_append(
+       |    list_transform(range(1, len(name) + 1),
+       |      i -> substr(name, 1, CAST(i - 1 AS BIGINT)) ||
+       |           substr(name, CAST(i + 1 AS BIGINT), len(name))),
+       |    name))) AS v
+       |  FROM names),
+       |vh AS (SELECT DISTINCT name, md5(v) AS h FROM vr),
+       |cand AS (
+       |  SELECT DISTINCT a.name AS a_name, b.name AS b_name
+       |  FROM vh a JOIN vh b ON a.h = b.h AND a.name < b.name),
+       |ver AS (
+       |  SELECT a_name, b_name FROM cand
+       |  WHERE levenshtein(a_name, b_name) <= 1),
+       |edges AS (
+       |  SELECT na.nid AS src, nb.nid AS dst
+       |  FROM ver JOIN nid na ON ver.a_name = na.name
+       |  JOIN nid nb ON ver.b_name = nb.name),
+       |bidir AS (SELECT src, dst FROM edges
+       |  UNION ALL SELECT dst AS src, src AS dst FROM edges),
+       |reach AS (
+       |  SELECT nid AS id, nid AS lbl FROM nid
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r JOIN bidir e ON e.src = r.id),
+       |cl AS (SELECT id, MIN(lbl) AS cid FROM reach GROUP BY 1)
+       |SELECT n.name AS name, cn.name AS canonical, n.n_parts
+       |FROM nid n JOIN cl ON n.nid = cl.id JOIN nid cn ON cl.cid = cn.nid
+       |ORDER BY n.name""".stripMargin
+
   /** DuckDB twin of [[graft.operators.Dedup.sourceRates]]: shared
     * cluster closure, per-source canonical share.
     */

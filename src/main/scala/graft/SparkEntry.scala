@@ -228,6 +228,7 @@ object SparkEntry {
     "text_tfidf"          -> (TextAnalysis.tfidf(_, _)),
     "text_novelty"        -> (TextAnalysis.novelty(_, _)),
     "er_fuzzy_names"      -> (Search.fuzzyNames(_, _)),
+    "er_name_clusters"    -> (Search.nameClusters(_, _)),
     "text_boilerplate"    -> (TextAnalysis.boilerplate(_, _)),
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
@@ -385,6 +386,7 @@ object SparkEntry {
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),
     "text_novelty"        -> OracleSql.novelty(),
+    "er_name_clusters"    -> OracleSql.nameClusters(),
     "er_fuzzy_names" ->
       """WITH names AS (
         |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts

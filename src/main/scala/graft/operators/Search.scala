@@ -126,6 +126,48 @@ object Search {
       .filter(_._1 <= 1).sorted.headOption.map(_._2)
   }
 
+  /** End-to-end entity resolution over the name catalog: the fuzzy
+    * pair graph of [[fuzzyNames]] closes transitively into clusters
+    * (connected components over name-hash ids from the shared
+    * [[graft.OracleHash]] family — both engines derive identical
+    * ids), and every name maps to its cluster's canonical
+    * representative (the member with the smallest hash id —
+    * deterministic, engine-independent). The merge MAP entity
+    * resolution actually applies to rows, one step past the pair
+    * work-list.
+    *
+    * 100 TB notes: everything after the catalog groupBy is
+    * vocabulary-sized; the component loop runs on the fuzzy-pair
+    * graph only (pairs ≪ names), with singleton names defaulting to
+    * themselves via one left join — the dedup_clusters shape on the
+    * entity catalog.
+    */
+  def nameClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .as[(String, Long)]
+      .map { case (n, c) => (n, graft.OracleHash.poly(n, 0L), c) }
+      .toDF("name", "nid", "n_parts")
+    val pairs = fuzzyNames(spark, sfDir).select(col("a_name"), col("b_name"))
+    val edges = pairs
+      .join(names.select(col("name").as("a_name"), col("nid").as("src")),
+        Seq("a_name"))
+      .join(names.select(col("name").as("b_name"), col("nid").as("dst")),
+        Seq("b_name"))
+      .select(col("src"), col("dst"))
+    val comp = graft.graph.Algorithms.connectedComponents(edges)
+    names
+      .join(comp.select(col("id").as("nid"), col("comp")), Seq("nid"),
+        "left_outer")
+      .withColumn("cid", coalesce(col("comp"), col("nid")))
+      .join(names.select(col("nid").as("cid"), col("name").as("canonical")),
+        Seq("cid"))
+      .select(col("name"), col("canonical"), col("n_parts"))
+      .orderBy(col("name"))
+  }
+
   def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
     val names = Tables.part(spark, sfDir)
       .groupBy(col("p_name").as("name"))

@@ -78,6 +78,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(truth.nonEmpty)
   }
 
+  test("name clusters: canonical closed under pairs, singletons map to self") {
+    val rows = Search.nameClusters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    // every pair's two names share one canonical representative
+    val pairs = Search.fuzzyNames(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rows(a) == rows(b), s"pair ($a, $b) split across clusters")
+    }
+    // names in no pair are their own canonical
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rows.foreach { case (n, c) =>
+      if (!inPairs(n)) assert(c == n, s"singleton $n mapped to $c")
+      assert(rows(c) == c, s"canonical $c must be its own representative")
+    }
+  }
+
   test("bm25 ranks a term-stuffed document first") {
     // rank against a corpus where doc 0's text is exactly the query
     // terms: it must win, and scores must be positive and descending
