@@ -328,18 +328,20 @@ object OracleSql {
     * rounded to 6 dp on both sides like [[pagerank]].
     */
   def hits(iters: Int = 8): String = {
+    // normalization deferred to the end on both engines (the linear
+    // update commutes with scaling) — iterations carry RAW sums
     val iterCtes = (1 to iters).map { k =>
       s"""ra$k AS MATERIALIZED (
          |  SELECT e.dst AS id, SUM(h.hub) AS rawa
          |  FROM edges e JOIN h${k - 1} h ON e.src = h.id GROUP BY e.dst),
-         |rh$k AS MATERIALIZED (
-         |  SELECT e.src AS id, SUM(ra.rawa) AS rawh
-         |  FROM edges e JOIN ra$k ra ON e.dst = ra.id GROUP BY e.src),
          |h$k AS MATERIALIZED (
-         |  SELECT v.id, COALESCE(rh.rawh, 0.0::DOUBLE)/s.hnorm AS hub
-         |  FROM verts v LEFT JOIN rh$k rh ON v.id = rh.id
-         |  CROSS JOIN (SELECT SUM(rawh) AS hnorm FROM rh$k) s)""".stripMargin
+         |  SELECT e.src AS id, SUM(ra.rawa) AS hub
+         |  FROM edges e JOIN ra$k ra ON e.dst = ra.id GROUP BY e.src)""".stripMargin
     }.mkString(",\n") + s""",
+         |hf AS MATERIALIZED (
+         |  SELECT v.id, COALESCE(h.hub, 0.0::DOUBLE)/s.hnorm AS hub
+         |  FROM verts v LEFT JOIN h$iters h ON v.id = h.id
+         |  CROSS JOIN (SELECT SUM(hub) AS hnorm FROM h$iters) s),
          |a$iters AS MATERIALIZED (
          |  SELECT v.id, COALESCE(ra.rawa, 0.0::DOUBLE)/s.anorm AS auth
          |  FROM verts v LEFT JOIN ra$iters ra ON v.id = ra.id
@@ -359,7 +361,7 @@ object OracleSql {
        |h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS hub FROM verts),
        |$iterCtes
        |SELECT h.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
-       |FROM h$iters h JOIN a$iters a ON h.id = a.id ORDER BY h.id""".stripMargin
+       |FROM hf h JOIN a$iters a ON h.id = a.id ORDER BY h.id""".stripMargin
   }
 
   /** PageRank with the 10 power iterations unrolled as chained CTEs —

@@ -869,36 +869,43 @@ object Algorithms {
     // left-joins per iteration gone (measured ~20% off the query,
     // with stride-1 checkpoints beating stride 2 on this join-heavy
     // iteration body)
+    // normalization is deferred ENTIRELY to the end: HITS' update is
+    // linear, so per-iteration scale factors commute out and a single
+    // final L1 division yields the same scores (one division instead
+    // of 8 one-row aggregate barriers; raw magnitudes grow as λ^k —
+    // λ would need to exceed ~1e37 before 8 iterations could overflow
+    // a double, far beyond any real degree distribution). The oracle
+    // unrolls the identical raw recurrence.
     var hub = vertices.withColumn("hub", lit(1.0)).localCheckpoint(true)
     var authRaw: DataFrame = null
     var i = 0
     while (i < iterations) {
-      // authority raw: sum of in-neighbor hub scores (hub normalized)
+      // authority raw: sum of in-neighbor raw hub scores
       val rawA = e.join(hub.select(col("id"), col("hub")),
           e("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("rawa"))
         .select(col("dst").as("id"), col("rawa"))
       authRaw = rawA
-      // hub: normalized sum of out-neighbor RAW authority scores —
-      // the skipped authority normalization folds into this L1
+      // hub raw: sum of out-neighbor raw authority scores
       val rawH = eByDst.join(rawA.select(col("id"), col("rawa")),
           eByDst("dst") === col("id"))
         .groupBy(col("src")).agg(sum(col("rawa")).as("rawh"))
-        .select(col("src").as("id"), col("rawh"))
-      val hNorm = rawH.agg(sum(col("rawh")).as("hnorm"))
-      hub = rawH.crossJoin(broadcast(hNorm))
-        .select(col("id"), (col("rawh") / col("hnorm")).as("hub"))
+        .select(col("src").as("id"), col("rawh").as("hub"))
+      hub = rawH
       if (i % checkpointStride == checkpointStride - 1 || i == iterations - 1) {
         hub = hub.localCheckpoint(true)
         authRaw = authRaw.localCheckpoint(true)
       }
       i += 1
     }
+    val hNorm = hub.agg(sum(col("hub")).as("hnorm"))
     val aNorm = authRaw.agg(sum(col("rawa")).as("anorm"))
+    val hubN = hub.crossJoin(broadcast(hNorm))
+      .select(col("id"), (col("hub") / col("hnorm")).as("hub"))
     val auth = authRaw.crossJoin(broadcast(aNorm))
       .select(col("id"), (col("rawa") / col("anorm")).as("auth"))
     vertices
-      .join(hub, Seq("id"), "left_outer")
+      .join(hubN, Seq("id"), "left_outer")
       .join(auth, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
