@@ -157,7 +157,10 @@ object Search {
       .join(names.select(col("name").as("b_name"), col("nid").as("dst")),
         Seq("b_name"))
       .select(col("src"), col("dst"))
-    val comp = graft.graph.Algorithms.connectedComponents(edges)
+    // fuzzy-PAIR graphs are vocabulary-bounded by construction — the
+    // same size-gated union-find opt-in dedup_clusters uses
+    val comp = graft.graph.Algorithms
+      .connectedComponents(edges, localEdgeCap = 1 << 20)
     names
       .join(comp.select(col("id").as("nid"), col("comp")), Seq("nid"),
         "left_outer")
