@@ -158,7 +158,8 @@ object EagerCountAggregation extends Rule[LogicalPlan] {
   * via `SparkSessionExtensions.injectOptimizerRule`.
   */
 object GraftOptimizations {
-  private val rules = Seq(EagerCountAggregation, InstantComparisonRewrite)
+  private val rules = Seq(EagerCountAggregation, InstantComparisonRewrite,
+    BroadcastScalarCrossJoin)
   def install(spark: SparkSession): Unit =
     rules.foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
