@@ -1078,6 +1078,50 @@ object OracleSql {
        |FROM e""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.Sketches.kmvOverlap]]: same
+    * permuted hashes, same union-sketch arithmetic, same membership
+    * flags.
+    */
+  def kmvOverlap(k: Int = 256): String = {
+    val scale = (k - 1).toDouble * P
+    s"""WITH wd AS (
+       |  SELECT text,
+       |    (CAST(substr(source, 4, 10) AS INT) % 2 = 0) AS grpa
+       |  FROM documents),
+       |t AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok,
+       |    grpa
+       |  FROM wd),
+       |tg AS (SELECT DISTINCT tok, grpa FROM t WHERE len(tok) > 0),
+       |hh AS (SELECT ${polySql("tok")} AS h, grpa FROM tg),
+       |hp AS (
+       |  SELECT ${permSql("0", "h")} AS hp,
+       |    MAX(CASE WHEN grpa THEN 1 ELSE 0 END) AS ina,
+       |    MAX(CASE WHEN NOT grpa THEN 1 ELSE 0 END) AS inb
+       |  FROM hh GROUP BY 1),
+       |km AS (SELECT * FROM hp ORDER BY hp LIMIT $k),
+       |sk AS (
+       |  SELECT MAX(hp) AS kth_hash, COUNT(*) AS n_kept,
+       |    CAST(SUM(ina * inb) AS BIGINT) AS n_both
+       |  FROM km),
+       |tru AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS true_union,
+       |    CAST(SUM(ina * inb) AS BIGINT) AS true_intersection
+       |  FROM hp),
+       |e AS (
+       |  SELECT
+       |    round(CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |      ELSE $scale / CAST(kth_hash AS DOUBLE) END, 6) AS est_union,
+       |    round(CAST(n_both AS DOUBLE) / n_kept, 6) AS est_jaccard,
+       |    n_kept, n_both, true_union, true_intersection
+       |  FROM sk, tru)
+       |SELECT CAST($k AS BIGINT) AS k, n_kept, n_both,
+       |  est_union + 0.0 AS est_union, est_jaccard + 0.0 AS est_jaccard,
+       |  round(est_jaccard * est_union, 6) + 0.0 AS est_intersection,
+       |  true_union, true_intersection
+       |FROM e""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.operators.Sketches.hllDistinctOn]] —
     * identical register construction (`bit_count((v & -v) - 1)`
     * trailing zeros, cap 24) and the identical left-to-right IEEE

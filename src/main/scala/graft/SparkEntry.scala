@@ -180,6 +180,7 @@ object SparkEntry {
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct(_, _)),
+    "sketch_source_overlap" -> (Sketches.kmvOverlap(_, _)),
     "sketch_hll_distinct" -> (Sketches.hllDistinct(_, _)),
     "sketch_cms_topk"     -> (Sketches.cmsTopk(_, _)),
     "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
@@ -383,6 +384,7 @@ object SparkEntry {
         |SELECT p.lm, p.ecc, p.n_reached, d.diam_lb
         |FROM perlm p CROSS JOIN diam d ORDER BY lm""".stripMargin,
     "sketch_kmv_distinct" -> OracleSql.kmvSketch(),
+    "sketch_source_overlap" -> OracleSql.kmvOverlap(),
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),
     "text_novelty"        -> OracleSql.novelty(),

@@ -200,4 +200,54 @@ object Sketches {
       .select(col("token"), col("cnt").as("true_cnt"), col("est_cnt"))
       .orderBy(col("true_cnt").desc, col("token"))
   }
+
+  /** KMV set-operation estimates between two source cohorts (Beyer et
+    * al. 2007): the k-minimum-values sketch of the UNION of the two
+    * token sets estimates |A∪B|, the fraction of the sketch's hashes
+    * present in both sides estimates Jaccard, and their product
+    * estimates |A∩B| — the cross-source vocabulary-overlap report
+    * ("how much does cohort B add over cohort A?") that decides crawl
+    * and mixture budgets. Exact truths ride along for the eval.
+    *
+    * 100 TB notes: the union sketch is MERGEABLE — in production each
+    * source's k minima are precomputed once (the `dedup_incremental`
+    * artifact discipline) and any pair's overlap estimate needs only
+    * the two k-row sketches, never a corpus pass; here both passes
+    * run inline to stay oracle-checkable. The corpus-scale work is
+    * one hash-keyed membership aggregate with map-side partials;
+    * TakeOrdered moves k rows per task.
+    */
+  def kmvOverlap(spark: SparkSession, sfDir: String, k: Int = 256): DataFrame = {
+    import spark.implicits._
+    val th = Tables.documents(spark, sfDir)
+      .select(col("text"),
+        (expr("CAST(substring(source, 4, 10) AS INT)") % 2 === 0).as("grpA"))
+      .as[(String, Boolean)]
+      .flatMap { case (t, g) =>
+        tokenPolysJvm(t).iterator.map { case (_, h) => (h, g) }
+      }.toDF("h", "grpA")
+    val hp = th
+      .select(perm(lit(0), col("h")).as("hp"), col("grpA"))
+      .groupBy(col("hp"))
+      .agg(max(when(col("grpA"), 1L).otherwise(0L)).as("inA"),
+        max(when(!col("grpA"), 1L).otherwise(0L)).as("inB"))
+    val km = hp.orderBy(col("hp")).limit(k)
+    val sk = km.agg(max(col("hp")).as("kth_hash"),
+      count(lit(1)).as("n_kept"),
+      sum(col("inA") * col("inB")).as("n_both"))
+    val tru = hp.agg(count(lit(1)).as("true_union"),
+      sum(col("inA") * col("inB")).as("true_intersection"))
+    sk.crossJoin(broadcast(tru))
+      .withColumn("est_union",
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * graft.OracleHash.P) /
+            col("kth_hash").cast("double")), 6))
+      .withColumn("est_jaccard",
+        round(col("n_both").cast("double") / col("n_kept"), 6))
+      .withColumn("est_intersection",
+        round(col("est_jaccard") * col("est_union"), 6))
+      .select(lit(k.toLong).as("k"), col("n_kept"), col("n_both"),
+        col("est_union"), col("est_jaccard"), col("est_intersection"),
+        col("true_union"), col("true_intersection"))
+  }
 }

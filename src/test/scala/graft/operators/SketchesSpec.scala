@@ -80,4 +80,23 @@ class SketchesSpec extends AnyFunSuite {
     val cms = Sketches.cmsTopk(spark, TestSpark.sf).collect()
     assert(cms.nonEmpty && cms.length <= 20)
   }
+
+  test("KMV overlap: estimates bounded by the sketch identities, truths sane") {
+    val r = Sketches.kmvOverlap(spark, TestSpark.sf).collect().head
+    val (nKept, nBoth) = (r.getAs[Long]("n_kept"), r.getAs[Long]("n_both"))
+    assert(nKept > 0 && nBoth >= 0 && nBoth <= nKept)
+    val j = r.getAs[Double]("est_jaccard")
+    assert(j >= 0.0 && j <= 1.0)
+    // intersection estimate = j * union estimate by construction
+    assert(math.abs(r.getAs[Double]("est_intersection") -
+      math.round(j * r.getAs[Double]("est_union") * 1e6) / 1e6) < 1e-9)
+    // exact truths: intersection <= union; an underfull sketch is exact
+    val (tu, ti) = (r.getAs[Long]("true_union"),
+      r.getAs[Long]("true_intersection"))
+    assert(ti <= tu && tu > 0)
+    if (nKept < r.getAs[Long]("k")) {
+      assert(r.getAs[Double]("est_union") == tu.toDouble)
+      assert(nBoth == ti)
+    }
+  }
 }
