@@ -1179,9 +1179,19 @@ object OracleSql {
     * back (Σ cnt·wt ≡ the Spark side's per-occurrence sum — exact
     * integers either way).
     */
-  def qualityModel(dim: Int = 1024): String = {
+  def qualityModel(dim: Int = 1024): String =
+    s"""WITH ${qualityScoreCtes(dim)}
+       |SELECT doc_id, n_tokens, score,
+       |  CAST(score >= 0 AS INTEGER) AS keep
+       |FROM qd ORDER BY doc_id""".stripMargin
+
+  /** The hashed-BoW scoring CTE chain (dense per-doc frame `qd` with
+    * doc_id/n_tokens/score) shared by [[qualityModel]] and
+    * [[budgetSelect]].
+    */
+  private def qualityScoreCtes(dim: Int): String = {
     import OracleHash.{MulA, MulB}
-    s"""WITH wd AS (
+    s"""wd AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
        |  FROM documents),
        |td AS (SELECT doc_id, unnest(ws) AS tok FROM wd),
@@ -1196,14 +1206,35 @@ object OracleSql {
        |s AS (SELECT g.doc_id, CAST(SUM(g.cnt) AS BIGINT) AS n_tokens,
        |        CAST(SUM(g.cnt * wt.wt) AS BIGINT) AS score
        |      FROM tdg g JOIN vb USING (tok) JOIN wt USING (bucket)
-       |      GROUP BY 1)
-       |SELECT d.doc_id,
-       |  COALESCE(s.n_tokens, 0) AS n_tokens,
-       |  COALESCE(s.score, 0) AS score,
-       |  CAST(COALESCE(s.score, 0) >= 0 AS INTEGER) AS keep
-       |FROM documents d LEFT JOIN s USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |      GROUP BY 1),
+       |qd AS (SELECT d.doc_id,
+       |         COALESCE(s.n_tokens, 0) AS n_tokens,
+       |         COALESCE(s.score, 0) AS score
+       |       FROM documents d LEFT JOIN s USING (doc_id))""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.operators.Pipeline.budgetSelect]]: the
+    * shared scoring CTEs, bucket histogram cumulative sums, and the
+    * same within-bucket prefix rule.
+    */
+  def budgetSelect(dim: Int = 1024, budget: Long = 10000L): String =
+    s"""WITH ${qualityScoreCtes(dim)},
+       |hist AS (SELECT score, SUM(n_tokens) AS bucket_tokens
+       |         FROM qd GROUP BY 1),
+       |cum AS (
+       |  SELECT score, COALESCE(SUM(bucket_tokens) OVER (
+       |    ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cum_before
+       |  FROM hist),
+       |r AS (
+       |  SELECT qd.doc_id, qd.score, qd.n_tokens, c.cum_before,
+       |    SUM(qd.n_tokens) OVER (PARTITION BY qd.score
+       |      ORDER BY qd.doc_id ROWS UNBOUNDED PRECEDING) AS run_inc
+       |  FROM qd JOIN cum c USING (score))
+       |SELECT doc_id, score, n_tokens,
+       |  CAST(cum_before + run_inc <= $budget AS INTEGER) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of [[graft.graph.Algorithms.betweennessQuery]]:
     * σ from a bounded recursive walk enumeration (walks at the

@@ -234,6 +234,7 @@ object SparkEntry {
     "sample_split"        -> (Pipeline.trainSplit(_, _)),
     "sample_weighted"     -> (Pipeline.sampleWeighted(_, _)),
     "pipeline_shuffle"    -> (Pipeline.globalShuffle(_, _)),
+    "pipeline_budget_select" -> (Pipeline.budgetSelect(_, _)),
     "sample_importance"   -> (Pipeline.importanceSample(_, _)),
     "events_pivot"        -> (Events.pivotDaily(_, _)),
     "events_value_hist"   -> (Events.valueHistogram(_, _)),
@@ -388,6 +389,7 @@ object SparkEntry {
     "text_quality_model"  -> OracleSql.qualityModel(),
     "text_bpe_train"      -> OracleSql.bpeTrain(),
     "text_novelty"        -> OracleSql.novelty(),
+    "pipeline_budget_select" -> OracleSql.budgetSelect(),
     "er_name_clusters"    -> OracleSql.nameClusters(),
     "er_fuzzy_names" ->
       """WITH names AS (

@@ -148,6 +148,47 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Budget-constrained greedy selection — "the best documents that
+    * fit N tokens": docs admit in (quality score desc, doc_id) order
+    * until the token budget is exhausted, WITHOUT ever globally
+    * sorting the corpus. The score histogram (bounded integer domain
+    * — [[TextAnalysis.qualityModel]]'s hashed-BoW scores) cumsums on
+    * a tiny frame to find each bucket's budget headroom, whole
+    * buckets admit or reject wholesale, and only the boundary
+    * bucket's members run the within-bucket prefix rule. Kept token
+    * mass never exceeds the budget, and the selection is maximal
+    * under the greedy order.
+    *
+    * 100 TB notes: the only corpus-scale exchanges are the scoring
+    * aggregate and ONE score-keyed window pass carrying (doc_id,
+    * n_tokens) pairs; the global cumsum runs over the score
+    * HISTOGRAM (|distinct integer scores| rows), never the corpus —
+    * the shape that replaces "ORDER BY score LIMIT-until-budget" at
+    * scale.
+    */
+  def budgetSelect(spark: SparkSession, sfDir: String,
+      budget: Long = 10000L): DataFrame = {
+    val qd = TextAnalysis.qualityModel(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val hist = qd.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("bucket_tokens")).over(wDesc), lit(0L)))
+      .select(col("score"), col("cum_before"))
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("score")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    qd.join(broadcast(cum), Seq("score"))
+      .withColumn("run_inc", sum(col("n_tokens")).over(wInBucket))
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        ((col("cum_before") + col("run_inc")) <= budget).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic epoch-keyed GLOBAL SHUFFLE + shard layout — the
     * training-reader data-ordering step: every epoch permutes the
     * corpus pseudorandomly (epoch e draws each doc's key from

@@ -252,6 +252,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(g("n_keep") == keeps)
   }
 
+  test("budget select: never exceeds budget, greedy-maximal, order respected") {
+    val budget = 10000L
+    val rows = Pipeline.budgetSelect(spark, sf, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("n_tokens"), r.getAs[Int]("keep")))
+    val kept = rows.filter(_._4 == 1)
+    val dropped = rows.filter(_._4 == 0)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    val keptTokens = kept.map(_._3).sum
+    assert(keptTokens <= budget)
+    // greedy order: every kept doc dominates every dropped doc in
+    // (score desc, doc_id asc) order
+    val ord = Ordering.Tuple2[Long, Long]
+    val worstKept = kept.map(t => (-t._2, t._1)).max(ord)
+    val bestDropped = dropped.map(t => (-t._2, t._1)).min(ord)
+    assert(ord.lt(worstKept, bestDropped))
+    // maximality: the first dropped doc would not have fit
+    val firstDropped = dropped.minBy(t => (-t._2, t._1))
+    assert(keptTokens + firstDropped._3 > budget)
+  }
+
   test("global shuffle: dense shard positions, epochs reshuffle, rerun-stable") {
     val rows = Pipeline.globalShuffle(spark, graft.TestSpark.sf).collect()
     assert(rows.nonEmpty)
