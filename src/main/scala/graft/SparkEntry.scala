@@ -51,6 +51,7 @@ object SparkEntry {
     "cypher_temporal_ctor"  -> (cypher.CypherQueries.temporalCtor(_, _)),
     "cypher_point"          -> (cypher.CypherQueries.pointDistance(_, _)),
     "cypher_catalog"        -> (cypher.CypherQueries.catalog(_, _)),
+    "cypher_collect_subquery" -> (cypher.CypherQueries.collectSubquery(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
     "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
@@ -1918,6 +1919,14 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND hour(ts) >= 6
         |GROUP BY 1, 2, 3, 4, 6 ORDER BY d, h""".stripMargin,
+    "cypher_collect_subquery" ->
+      """SELECT r_name AS region,
+        |  CAST(COUNT(n_nationkey) AS BIGINT) AS n_nations,
+        |  CAST(MIN(n_nationkey) AS BIGINT) AS first_key,
+        |  CAST(COALESCE(SUM(CASE WHEN n_nationkey > 2
+        |    THEN n_nationkey END), 0) AS BIGINT) AS key_sum
+        |FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
     "cypher_catalog" ->
       """SELECT 'label' AS kind, name FROM (VALUES
         |  ('Customer'), ('Nation'), ('Order'), ('Part'), ('Region'),

@@ -893,6 +893,23 @@ object CypherParser {
         eatSym("}")
         CountPattern(chain, w)
       case Some(TId(name))
+          if name.equalsIgnoreCase("collect") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>
+        // Neo4j 5 `COLLECT { MATCH pattern (WHERE p)? RETURN expr }`
+        // subquery expression — the per-row list of projections over
+        // the pattern's matches. Desugars to the pattern
+        // comprehension ([[Ast.PatternComp]]), whose SORTED collect
+        // makes the result deterministic (Neo4j's own order is
+        // unspecified).
+        ident(); eatSym("{")
+        if (atKw("MATCH")) eatKw("MATCH")
+        val chain = patternChain()
+        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+        eatKw("RETURN")
+        val proj = addExpr()
+        eatSym("}")
+        PatternComp(chain, w, proj)
+      case Some(TId(name))
           if listPredFns.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
         // any/all/none/single(x IN list WHERE pred)

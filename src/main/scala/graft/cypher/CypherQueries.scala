@@ -1033,6 +1033,26 @@ object CypherQueries {
         |        WHERE c.acctbal > 9000.0 | c.custkey] | acc + k) AS key_sum
         |ORDER BY nation""".stripMargin)
 
+  /** Neo4j 5 `COLLECT { MATCH … RETURN … }` subquery — the
+    * list-valued sibling of COUNT{}/EXISTS{}, desugared to the
+    * pattern comprehension (same decorrelated plan), consumed through
+    * size()/head()/reduce() so the sorted-collect determinism is
+    * driver-checkable.
+    */
+  def collectSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (r:Region)
+        |RETURN r.name AS region,
+        |  size(COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+        |                 RETURN n.nationkey }) AS n_nations,
+        |  head(COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+        |                 RETURN n.nationkey }) AS first_key,
+        |  reduce(acc = 0, k IN COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+        |                                 WHERE n.nationkey > 2
+        |                                 RETURN n.nationkey } | acc + k)
+        |    AS key_sum
+        |ORDER BY region""".stripMargin)
+
   /** coalesce() over an OPTIONAL MATCH's nullable binding — the
     * null-plugging companion of every left join. The WHERE filters the
     * optional side BEFORE the join (Cypher semantics), so nations with

@@ -1153,6 +1153,19 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("COLLECT subquery: sorted lists, empty-match [] and zero fold") {
+    val r = run(
+      "MATCH (r:Region) WHERE r.regionkey = 0 " +
+        "RETURN COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) " +
+        "RETURN n.nationkey } AS ks, " +
+        "size(COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) " +
+        "WHERE n.nationkey > 9999 RETURN n.nationkey }) AS none")
+      .collect().head
+    val ks = r.getSeq[Long](0)
+    assert(ks.nonEmpty && ks == ks.sorted, s"collect must be sorted: $ks")
+    assert(r.getLong(1) == 0L)
+  }
+
   test("catalog procedures list the graph's labels and types, compose with MATCH") {
     val labels = run("CALL db.labels() RETURN label ORDER BY label")
       .collect().map(_.getString(0)).toSeq
