@@ -252,6 +252,26 @@ object CypherParser {
                 "(db.labels | db.relationshipTypes | db.propertyKeys)")
           }
           clauses += CatalogCallClause(kind)
+          // optional `YIELD col [AS alias]` (Neo4j clients always
+          // emit it): the yielded name must be the procedure's own
+          // column; an alias re-projects through a WITH horizon
+          if (atKw("YIELD")) {
+            eatKw("YIELD")
+            val y = ident()
+            val expected = kind match {
+              case "labels"       => "label"
+              case "propertyKeys" => "propertyKey"
+              case _              => "relationshipType"
+            }
+            require(y == expected,
+              s"db.$proc yields '$expected', got '$y'")
+            if (atKw("AS")) {
+              eatKw("AS")
+              clauses += WithClause(distinct = false,
+                Seq(ReturnItem(Ident(y), Some(ident()))),
+                None, Nil, None, None)
+            }
+          }
         } else if (atKw("CALL")) {
           eatKw("CALL"); eatSym("{")
           // importing WITH: a leading WITH whose items are ONLY bare

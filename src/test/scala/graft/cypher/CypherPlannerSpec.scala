@@ -1185,6 +1185,17 @@ class CypherPlannerSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(keys.contains("acctbal") && keys.contains("qty") &&
       keys.contains("name") && keys.count(_ == "name") == 1)
+    // YIELD with the right column, with and without an alias
+    val y = run("CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq
+    assert(y == labels)
+    val ya = run("CALL db.labels() YIELD label AS l RETURN l ORDER BY l")
+      .collect().map(_.getString(0)).toSeq
+    assert(ya == labels)
+    // YIELDing a wrong column fails loudly
+    intercept[Exception] {
+      run("CALL db.labels() YIELD nope RETURN nope").collect()
+    }
     // unknown procedure fails loudly
     intercept[Exception] {
       run("CALL db.indexes() RETURN 1 AS x").collect()
