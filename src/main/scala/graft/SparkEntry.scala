@@ -167,6 +167,7 @@ object SparkEntry {
     "events_cep_negation" -> (Events.cepNegation(_, _)),
     "events_session_paths" -> (Events.sessionPaths(_, _)),
     "events_markov"        -> (Events.markovTransitions(_, _)),
+    "events_windowed_topk" -> (Events.windowedTopk(_, _)),
     "events_rfm"        -> (Events.rfm(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
@@ -1012,6 +1013,18 @@ object SparkEntry {
         |  CAST(e.ts = f.first_ts AS INTEGER) AS is_first
         |FROM events e JOIN f USING (user_id)
         |ORDER BY e.event_id""".stripMargin,
+    "events_windowed_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY window_start
+        |    ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT window_start, event_type, n_events, rank
+        |FROM r WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |COUNT(*) AS n_events,

@@ -30,6 +30,32 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Windowed TOP-K — streaming SQL's canonical "top sellers per
+    * hour" report (the shape Flink demos with): per tumbling hour,
+    * the k most frequent event types with their rank, ties broken on
+    * the type name (deterministic where Flink's is arrival-order).
+    *
+    * 100 TB notes: the corpus pays only the windowed-count aggregate
+    * (map-side partials to windows×types groups); the rank window
+    * partitions over the COLLAPSED frame — top-k never sorts events,
+    * it sorts group counts. The streaming twin is the watermark
+    * analog of [[graft.streaming.StreamingJobs.hoppingAgg]] with the
+    * ranking on the sink side (finalized windows are append-mode
+    * output, exactly how production jobs spell it).
+    */
+  def windowedTopk(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("window_start"), col("rank"))
+  }
+
   /** Hopping (sliding) 1-hour window with a 15-minute slide — the
     * HOP window of streaming SQL (Flink's SlidingEventTimeWindows;
     * flink-neo4j pipelines compose it upstream of the connector).

@@ -110,6 +110,20 @@ class EventsSpec extends AnyFunSuite {
     assert(pathMass == sessions)
   }
 
+  test("windowed top-k: ranks dense 1..k, counts descending per window") {
+    val rows = Events.windowedTopk(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Timestamp]("window_start")).foreach {
+      case (_, rs) =>
+        val byRank = rs.sortBy(_.getAs[Long]("rank"))
+        assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+          (1L to byRank.length.toLong))
+        val counts = byRank.map(_.getAs[Long]("n_events"))
+        assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+        assert(byRank.length <= 3)
+    }
+  }
+
   test("markov transitions: rows are distributions, mass matches bigram count") {
     val rows = Events.markovTransitions(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
