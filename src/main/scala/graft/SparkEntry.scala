@@ -116,6 +116,7 @@ object SparkEntry {
     "graph_louvain2"        -> (graph.Algorithms.louvain2Query(_, _)),
     "graph_assortativity"   -> (graph.Algorithms.assortativityQuery(_, _)),
     "graph_eccentricity"    -> (graph.Algorithms.eccentricityQuery(_, _)),
+    "graph_component_sizes" -> (graph.Algorithms.componentSizesQuery(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
@@ -2494,6 +2495,18 @@ object SparkEntry {
         |FROM p JOIN nation na ON p.src = na.n_nationkey
         |JOIN nation nb ON p.dst = nb.n_nationkey
         |ORDER BY a_name, b_name""".stripMargin,
+    "graph_component_sizes" ->
+      """WITH nodes AS (
+        |  SELECT 2000000000 + c_custkey AS id, n_regionkey AS rk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 3000000000 + n_nationkey AS id, n_regionkey AS rk FROM nation
+        |  UNION ALL
+        |  SELECT 4000000000 + r_regionkey AS id, r_regionkey AS rk FROM region),
+        |c AS (SELECT rk, COUNT(*) AS sz FROM nodes GROUP BY rk)
+        |SELECT sz AS component_size, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(SUM(sz) AS BIGINT) AS n_nodes
+        |FROM c GROUP BY sz ORDER BY component_size""".stripMargin,
     "graph_connected_components" ->
       """WITH nodes AS (
         |  SELECT 2000000000 + c_custkey AS id, n_regionkey AS rk

@@ -526,6 +526,26 @@ object Algorithms {
     connectedComponents(edges).orderBy(col("id"))
   }
 
+  /** Component-size histogram over [[connectedComponentsQuery]]'s
+    * partition — the graph twin of the dedup cluster-size report: a
+    * giant component emerging (or the graph shattering into
+    * fragments) is the first thing to check before any
+    * per-component work is sized. Two map-side-combined aggregations
+    * over the component frame; nothing node-sized survives the
+    * second exchange.
+    */
+  def componentSizesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val edges = Seq("FROM_NATION", "IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    connectedComponents(edges)
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_nodes"))
+      .orderBy(col("component_size"))
+  }
+
   /** PageRank over the order→customer→nation→region graph (the
     * SparkEntry `graph_pagerank` query, checked against a DuckDB
     * oracle that unrolls the same 10 power iterations). Rank rounded

@@ -246,6 +246,17 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(m > labels && sx >= m)
   }
 
+  test("component sizes conserve node mass against the CC partition") {
+    val hist = Algorithms.componentSizesQuery(spark, TestSpark.sf).collect()
+    assert(hist.nonEmpty)
+    assert(hist.forall(r => r.getAs[Long]("n_nodes") ==
+      r.getAs[Long]("component_size") * r.getAs[Long]("n_components")))
+    val cc = Algorithms.connectedComponentsQuery(spark, TestSpark.sf)
+    assert(hist.map(_.getAs[Long]("n_nodes")).sum == cc.count())
+    assert(hist.map(_.getAs[Long]("n_components")).sum ==
+      cc.select("comp").distinct().count())
+  }
+
   test("eccentricity: bound dominates every landmark, coverage sane") {
     val rows = Algorithms.eccentricityQuery(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
