@@ -195,6 +195,7 @@ object SparkEntry {
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "sim_recall_eval"     -> (Similarity.recallEval(_, _)),
     "sim_dim_recall"      -> (Similarity.dimRecall(_, _)),
+    "embed_cos_hist"      -> (Similarity.cosHist(_, _)),
     "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
     "multimodal_frames"   -> (Multimodal.frameIndex(_, _)),
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
@@ -680,6 +681,19 @@ object SparkEntry {
     "graph_hits"        -> OracleSql.hits(),
     "sim_ann_lsh"       -> OracleSql.annLsh(),
     "sim_recall_eval"   -> OracleSql.annRecall(),
+    "embed_cos_hist" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
+        |    ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) AS cos
+        |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1)
+        |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
     "sim_dim_recall" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -583,6 +583,37 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Pairwise-cosine HISTOGRAM over a deterministic pair sample
+    * (consecutive vec_ids) — the embedding-space shape check next to
+    * [[pcaPower]]'s anisotropy number: a healthy space puts random
+    * pairs near 0, collapse piles them near 1, and a bimodal shape
+    * betrays mixed distributions (e.g. two encoders' outputs
+    * concatenated). Adjacent-id pairing is the deterministic stand-in
+    * for random sampling (ids carry no semantic order), giving N−1
+    * pairs from one KEYED self-join — never an all-pairs cross.
+    *
+    * 100 TB notes: the join keys on vec_id+1 (equi-join, not a
+    * cross); scores bin at the scan and collapse map-side to ≤21
+    * buckets — nothing pair-sized survives the exchange.
+    */
+  def cosHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("vec_id"))
+      .select(round(
+        when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6)
+        .as("cos"))
+      .select(floor(col("cos") * 10).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   /** Dimension-truncation recall eval (the Matryoshka-representation
     * serving dial, Kusupati et al. 2022): recall@k of top-k retrieval
     * over the FIRST `keepDims` dimensions against the full-dimension

@@ -289,6 +289,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("cosine histogram: buckets in [-1,1] range, pair mass = N-1") {
+    val rows = Similarity.cosHist(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= -10L && b <= 10L
+    })
+    val n = graft.Tables.embeddings(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n - 1)
+  }
+
   test("dim-truncation recall: bounded, monotone toward full dims") {
     val quarter = Similarity.dimRecall(spark, TestSpark.sf, keepDims = 16)
       .collect()
