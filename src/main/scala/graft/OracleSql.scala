@@ -89,6 +89,35 @@ object OracleSql {
        |FROM hb b JOIN own o ON b.h = o.h
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Dedup.lshTuningCurve]]: the
+    * shared banding CTEs for the measured counts, the closed-form
+    * collision curve on the same grid.
+    */
+  def lshTuningCurve(numPerms: Int = 128, bands: Int = 32,
+      tau: Double = 0.6): String = {
+    val r = numPerms / bands
+    minhashCtes(numPerms, bands) + s""",
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS measured_candidates FROM cand),
+       |eq AS (
+       |  SELECT round(CAST(len(list_filter(range(1, ${numPerms + 1}),
+       |    i -> a.sig[i] = b.sig[i])) AS DOUBLE)/$numPerms, 6) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigl a ON c.a_id = a.doc_id
+       |  JOIN sigl b ON c.b_id = b.doc_id),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS measured_pairs
+       |       FROM eq WHERE est_jaccard >= $tau),
+       |g AS (SELECT CAST(i AS DOUBLE)/10 AS j
+       |      FROM (SELECT unnest(range(1, 10)) AS i))
+       |SELECT g.j,
+       |  round(1.0 - pow(1.0 - pow(g.j, $r), $bands), 6) + 0.0 AS p_candidate,
+       |  nc.measured_candidates, np.measured_pairs
+       |FROM g CROSS JOIN nc CROSS JOIN np ORDER BY j""".stripMargin
+  }
+
   /** Incremental near-dup, mirroring [[Dedup.incrementalDedup]]: the
     * minhashLsh CTEs with an ASYMMETRIC candidate join (index side =
     * doc_id % 10 <> 0, delta side = doc_id % 10 = 0) and a best-match

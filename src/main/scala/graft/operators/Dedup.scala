@@ -491,6 +491,50 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The LSH TUNING CURVE — the probabilistic guarantee behind
+    * [[minhashLsh]], made inspectable: for the configured (bands b,
+    * rows-per-band r), the collision probability
+    * `P(candidate | jaccard = j) = 1 − (1 − j^r)^b` on a Jaccard
+    * grid, alongside the corpus's MEASURED candidate and verified
+    * pair counts. This is the dial that justifies a (b, r) choice
+    * before committing a 100 TB pass: the curve's S-step must sit
+    * below the verification threshold τ, and the measured candidate
+    * volume shows what the banding actually admits.
+    *
+    * 100 TB notes: the curve is pure per-row math over a 9-row grid;
+    * the two measured counts reuse the existing banding plan's
+    * exchanges and collapse to one broadcast row each.
+    */
+  def lshTuningCurve(spark: SparkSession, sfDir: String, tau: Double = 0.6,
+      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val r = numPerms / bands
+    val sigs = minhashSignatures(spark, sfDir, numPerms, bands).cache()
+    val banded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val nCand = cands.agg(count(lit(1)).as("measured_candidates"))
+    val nPairs = cands
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("est_jaccard",
+        sigAgreement(col("a_sig"), col("b_sig"), numPerms))
+      .filter(col("est_jaccard") >= tau)
+      .agg(count(lit(1)).as("measured_pairs"))
+    spark.range(1, 10)
+      .select((col("id").cast("double") / 10).as("j"))
+      .withColumn("p_candidate",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("j"), r), bands), 6)
+          + lit(0.0))
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nPairs))
+      .orderBy(col("j"))
+  }
+
   /** Incremental near-dup screen: match a NEW batch against the
     * EXISTING corpus without re-pairing the corpus with itself — the
     * shape of production ingestion, where the index side's band

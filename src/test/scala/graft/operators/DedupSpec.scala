@@ -127,6 +127,20 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dup")).sum > 0L)
   }
 
+  test("LSH tuning curve: monotone S-curve, measured counts consistent") {
+    val rows = Dedup.lshTuningCurve(spark, TestSpark.sf).collect()
+    assert(rows.length == 9)
+    val ps = rows.sortBy(_.getAs[Double]("j")).map(_.getAs[Double]("p_candidate"))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "curve must rise")
+    // measured: verified pairs never exceed candidates, and the
+    // verified count equals the declared minhash query's output
+    val (mc, mp) = (rows.head.getAs[Long]("measured_candidates"),
+      rows.head.getAs[Long]("measured_pairs"))
+    assert(mp <= mc)
+    assert(mp == Dedup.minhashLsh(spark, TestSpark.sf).count())
+  }
+
   test("source rates: doc mass conserved, canonical mass = cluster count") {
     val rows = Dedup.sourceRates(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
