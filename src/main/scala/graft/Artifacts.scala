@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Registry of session-lifetime ARTIFACT RDD ids — materialized
   * frames an operator family deliberately shares across queries (the
   * production "cluster once, consume many" pattern, e.g.
@@ -23,11 +25,66 @@ object Artifacts {
     * warmup-sized RDDs stay resident) that errs on the side of never
     * killing an artifact.
     */
-  def pinning[T](spark: org.apache.spark.sql.SparkSession)(materialize: => T): T = {
+  def pinning[T](spark: SparkSession)(materialize: => T): T =
+    pinningTracked(spark)(materialize)._1
+
+  /** [[pinning]] plus the set of newly-pinned ids, so a cache can
+    * [[release]] them on eviction instead of leaking the checkpoint
+    * blocks for the life of the session.
+    */
+  def pinningTracked[T](spark: SparkSession)(materialize: => T): (T, Set[Int]) = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = materialize
-    (sc.getPersistentRDDs.keySet -- before).foreach(pinned.add(_))
-    out
+    val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+    ids.foreach(pinned.add(_))
+    (out, ids)
+  }
+
+  /** Unpins and unpersists a pinned-id set (cache eviction). After
+    * release the artifact frame is unrecomputable (checkpoint
+    * truncated its lineage) — callers must drop every reference to it
+    * in the same breath. No-op per id when the block already died
+    * (e.g. the session stopped).
+    */
+  def release(spark: SparkSession, ids: Set[Int]): Unit = {
+    ids.foreach(pinned.remove(_))
+    val sc = spark.sparkContext
+    if (!sc.isStopped)
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Session-scoped artifact cache: memoizes `materialize` per key,
+    * pinning any RDDs it checkpoints, and — unlike a bare
+    * ConcurrentHashMap — releases those blocks when an entry is
+    * evicted and drops entries of stopped sessions on every access
+    * (so neither checkpoint blocks nor SparkSession graphs outlive
+    * their usefulness). `maxEntries` bounds total pinning; crossing it
+    * evicts wholesale (artifact reuse is per-session and small — the
+    * bound is a leak backstop, not an LRU).
+    */
+  final class Cache[K, V](maxEntries: Int = 64) {
+    private case class Entry(value: V, spark: SparkSession, ids: Set[Int])
+    private val map = new java.util.concurrent.ConcurrentHashMap[K, Entry]()
+
+    def getOrCompute(key: K, spark: SparkSession)(materialize: => V): V = {
+      val it = map.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.spark.sparkContext.isStopped) {
+          e.getValue.ids.foreach(pinned.remove(_))
+          it.remove()
+        }
+      }
+      if (map.size > maxEntries) {
+        map.forEach((_, e) => release(e.spark, e.ids))
+        map.clear()
+      }
+      map.computeIfAbsent(key, _ => {
+        val (v, ids) = pinningTracked(spark)(materialize)
+        Entry(v, spark, ids)
+      }).value
+    }
   }
 }

@@ -444,14 +444,17 @@ object CypherPlanner {
       byName.values.toSeq
     }
     var rows = s.df.select(createCols: _*)
-    if (merge) rows =
+    if (merge) rows = {
       // per-id conflicts across frame rows resolve to MAX per column —
       // the SetPropClause determinism discipline (plain distinct would
-      // keep several rows per id when non-id props differ)
-      if (onCreate.isEmpty && onMatch.isEmpty) rows.distinct()
-      else rows.groupBy(col("__id")).agg(
-        rows.columns.filter(_ != "__id").map(c => max(col(c)).as(c)).head,
-        rows.columns.filter(_ != "__id").map(c => max(col(c)).as(c)).tail: _*)
+      // keep several rows per id when non-id props differ); an
+      // id-only frame (MERGE on key with all updates in ON MATCH SET)
+      // has nothing to resolve, so plain distinct is the whole rule
+      val aggCols = rows.columns.filter(_ != "__id").map(c => max(col(c)).as(c))
+      if (aggCols.isEmpty || (onCreate.isEmpty && onMatch.isEmpty))
+        rows.distinct()
+      else rows.groupBy(col("__id")).agg(aggCols.head, aggCols.tail: _*)
+    }
     val updated = graph.nodes.get(label) match {
       case None => rows
       case Some(existing) =>

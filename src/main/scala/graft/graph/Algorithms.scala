@@ -1239,16 +1239,14 @@ object Algorithms {
     */
   def landmarkDistanceArtifact(spark: SparkSession, sfDir: String,
       maxDepth: Int = 16): DataFrame = {
-    if (lmDistCache.size > 64) lmDistCache.clear() // bound pinning
-    lmDistCache.computeIfAbsent((spark, sfDir, maxDepth),
-      k => graft.Artifacts.pinning(k._1) {
-        val (edges, landmarks) = skipLinkGraph(k._1, k._2)
-        landmarkDistances(edges, landmarks, k._3).localCheckpoint(true)
-      })
+    lmDistCache.getOrCompute((spark, sfDir, maxDepth), spark) {
+      val (edges, landmarks) = skipLinkGraph(spark, sfDir)
+      landmarkDistances(edges, landmarks, maxDepth).localCheckpoint(true)
+    }
   }
 
-  private val lmDistCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]()
+  private val lmDistCache =
+    new graft.Artifacts.Cache[(SparkSession, String, Int), DataFrame]()
 
   def closenessQuery(spark: SparkSession, sfDir: String,
       maxDepth: Int = 16): DataFrame = {

@@ -30,16 +30,14 @@ object GraphLoader {
   // scans plus windowed edge tables on every Cypher query — pure
   // plan-construction overhead at the bench's one-query-per-call
   // cadence.
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), PropertyGraph]()
+  private val cache =
+    new graft.Artifacts.Cache[(SparkSession, String), PropertyGraph](256)
 
-  def tpch(spark: SparkSession, sfDir: String): PropertyGraph = {
-    if (cache.size > 256) cache.clear() // bound session pinning
-    cache.computeIfAbsent((spark, sfDir), k => build(k._1, k._2))
-  }
+  def tpch(spark: SparkSession, sfDir: String): PropertyGraph =
+    cache.getOrCompute((spark, sfDir), spark) { build(spark, sfDir) }
 
-  private val eventsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), PropertyGraph]()
+  private val eventsCache =
+    new graft.Artifacts.Cache[(SparkSession, String), PropertyGraph](256)
 
   /** The events property graph — (:User)-[:PERFORMED]->(:Event) over
     * events.parquet, KEPT SEPARATE from [[tpch]] so untyped scans /
@@ -48,10 +46,8 @@ object GraphLoader {
     * real timestamp property (`ts`), the shape a user ports
     * time-bounded Cypher against.
     */
-  def events(spark: SparkSession, sfDir: String): PropertyGraph = {
-    if (eventsCache.size > 256) eventsCache.clear()
-    eventsCache.computeIfAbsent((spark, sfDir), k => buildEvents(k._1, k._2))
-  }
+  def events(spark: SparkSession, sfDir: String): PropertyGraph =
+    eventsCache.getOrCompute((spark, sfDir), spark) { buildEvents(spark, sfDir) }
 
   private def buildEvents(spark: SparkSession, sfDir: String): PropertyGraph = {
     val ev = Tables.events(spark, sfDir)

@@ -339,15 +339,13 @@ object Dedup {
     */
   def clusterArtifact(spark: SparkSession, sfDir: String,
       tau: Double = 0.6): DataFrame = {
-    if (clusterCache.size > 64) clusterCache.clear() // bound pinning
-    clusterCache.computeIfAbsent((spark, sfDir, tau),
-      k => graft.Artifacts.pinning(k._1) {
-        computeClusters(k._1, k._2, k._3).localCheckpoint(true)
-      })
+    clusterCache.getOrCompute((spark, sfDir, tau), spark) {
+      computeClusters(spark, sfDir, tau).localCheckpoint(true)
+    }
   }
 
-  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double), DataFrame]()
+  private val clusterCache =
+    new graft.Artifacts.Cache[(SparkSession, String, Double), DataFrame]()
 
   private def computeClusters(spark: SparkSession, sfDir: String,
       tau: Double): DataFrame = {

@@ -159,12 +159,13 @@ object Pipeline {
     * mass never exceeds the budget, and the selection is maximal
     * under the greedy order.
     *
-    * 100 TB notes: the only corpus-scale exchanges are the scoring
-    * aggregate and ONE score-keyed window pass carrying (doc_id,
-    * n_tokens) pairs; the global cumsum runs over the score
-    * HISTOGRAM (|distinct integer scores| rows), never the corpus —
-    * the shape that replaces "ORDER BY score LIMIT-until-budget" at
-    * scale.
+    * 100 TB notes: the only corpus-scale exchange is the scoring
+    * aggregate — the global cumsum runs over the score HISTOGRAM
+    * (|distinct integer scores| rows), never the corpus, and the
+    * within-bucket prefix window runs ONLY over the single boundary
+    * bucket's rows (all other buckets decide wholesale from the
+    * broadcast histogram, a pure map). The shape that replaces
+    * "ORDER BY score LIMIT-until-budget" at scale.
     */
   def budgetSelect(spark: SparkSession, sfDir: String,
       budget: Long = 10000L): DataFrame = {
@@ -175,18 +176,32 @@ object Pipeline {
     val wDesc = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // bucket triage on the HISTOGRAM (|distinct scores| rows): a
+    // bucket that fits entirely under the remaining budget admits
+    // wholesale (every prefix of it fits too), one that starts past
+    // the budget rejects wholesale, and AT MOST ONE bucket straddles
+    // the boundary (cum_before is monotone in the greedy order) —
+    // only ITS members pay the within-bucket prefix rule
     val cum = hist
       .withColumn("cum_before",
         coalesce(sum(col("bucket_tokens")).over(wDesc), lit(0L)))
-      .select(col("score"), col("cum_before"))
+      .withColumn("bucket_keep",
+        when(col("cum_before") + col("bucket_tokens") <= budget, lit(1))
+          .when(col("cum_before") > budget, lit(0))
+          .otherwise(lit(2)))
+      .select(col("score"), col("cum_before"), col("bucket_keep"))
+    val joined = qd.join(broadcast(cum), Seq("score"))
+    val wholesale = joined.filter(col("bucket_keep") =!= 2)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("bucket_keep").as("keep"))
     val wInBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("score")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    qd.join(broadcast(cum), Seq("score"))
+    val boundary = joined.filter(col("bucket_keep") === 2)
       .withColumn("run_inc", sum(col("n_tokens")).over(wInBucket))
       .select(col("doc_id"), col("score"), col("n_tokens"),
         ((col("cum_before") + col("run_inc")) <= budget).cast("int").as("keep"))
-      .orderBy(col("doc_id"))
+    wholesale.unionByName(boundary).orderBy(col("doc_id"))
   }
 
   /** Deterministic epoch-keyed GLOBAL SHUFFLE + shard layout — the

@@ -662,15 +662,13 @@ object TextAnalysis {
     */
   private[graft] def bpeRuleFrames(spark: SparkSession, sfDir: String,
       rounds: Int): Seq[DataFrame] = {
-    if (bpeRuleCache.size > 64) bpeRuleCache.clear() // bound pinning
-    bpeRuleCache.computeIfAbsent((spark, sfDir, rounds),
-      k => graft.Artifacts.pinning(k._1) {
-        computeBpeRules(k._1, k._2, k._3)
-      })
+    bpeRuleCache.getOrCompute((spark, sfDir, rounds), spark) {
+      computeBpeRules(spark, sfDir, rounds)
+    }
   }
 
-  private val bpeRuleCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), Seq[DataFrame]]()
+  private val bpeRuleCache =
+    new graft.Artifacts.Cache[(SparkSession, String, Int), Seq[DataFrame]]()
 
   private def computeBpeRules(spark: SparkSession, sfDir: String,
       rounds: Int): Seq[DataFrame] = {

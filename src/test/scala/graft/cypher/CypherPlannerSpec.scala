@@ -1124,6 +1124,26 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE on key only + ON MATCH SET (no pattern props, no ON CREATE)") {
+    // the canonical upsert shape: MERGE (x:L {id: e}) ON MATCH SET …
+    // — the frame carries only __id, so the conflict-resolution
+    // groupBy has zero aggregate columns and must fall back to distinct
+    val rows = run(
+      "MATCH (r:Region) MERGE (h:Hub {id: r.regionkey}) " +
+        "WITH count(*) AS w1 " +
+        "MATCH (n:Nation) WHERE n.nationkey <= 2 " +
+        "MERGE (h:Hub {id: n.nationkey}) ON MATCH SET h.touched = 1 " +
+        "WITH count(*) AS w2 MATCH (h:Hub) " +
+        "RETURN h.id AS hub_id, h.touched AS touched ORDER BY hub_id").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val touched = if (r.isNullAt(1)) -1L else r.getLong(1)
+      assert(if (id <= 2) touched == 1L else touched == -1L,
+        s"hub $id touched $touched")
+    }
+  }
+
   test("relationship MERGE ON CREATE/ON MATCH stamps the right branch") {
     val rows = run(
       "MATCH (n:Nation)-[:IN_REGION]->(rg:Region) WHERE n.nationkey <= 10 " +
