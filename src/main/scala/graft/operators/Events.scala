@@ -493,12 +493,14 @@ object Events {
     * .TextAnalysis.pplBuckets]] precedent.
     *
     * 100 TB notes: the corpus-scale work is ONE user-keyed aggregate
-    * with map-side partials; the tercile windows run over the
-    * already-collapsed users frame. At extreme user cardinality the
-    * two-pass quantile-cut (compute the two tercile boundaries per
-    * metric — a tiny agg — then bucket by comparison) replaces the
-    * global ntile sort with the same result; kept as ntile here
-    * because the oracle must hash-match.
+    * with map-side partials; tercile assignment then runs through
+    * [[HistogramNtile]] — rank ranges read off a broadcast histogram,
+    * whole buckets assigned in a pure map, only the ≤2 cut-straddling
+    * buckets per metric sorted — so no global (single-partition)
+    * window sort ever touches the user-cardinality frame. The
+    * per-user frame persists across the three metric passes (narrow:
+    * four columns a user), exactly the artifact a production RFM
+    * pipeline materializes.
     */
   def rfm(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -510,13 +512,16 @@ object Events {
       .crossJoin(broadcast(maxTs))
       .withColumn("recency_days",
         datediff(to_date(col("global_max")), to_date(col("last_ts"))).cast("long"))
-    val wR = Window.orderBy(col("recency_days"), col("user_id"))
-    val wF = Window.orderBy(col("frequency").desc, col("user_id"))
-    val wM = Window.orderBy(col("monetary").desc, col("user_id"))
-    per
-      .withColumn("r", ntile(3).over(wR).cast("long"))
-      .withColumn("f", ntile(3).over(wF).cast("long"))
-      .withColumn("m", ntile(3).over(wM).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"))
+      .persist()
+    val withR = HistogramNtile.withNtile(per, Nil,
+      col("recency_days"), Seq(col("recency_days"), col("user_id")), 3, "r")
+    val withF = HistogramNtile.withNtile(withR, Nil,
+      -col("frequency"), Seq(col("frequency").desc, col("user_id")), 3, "f")
+    val withM = HistogramNtile.withNtile(withF, Nil,
+      -col("monetary"), Seq(col("monetary").desc, col("user_id")), 3, "m")
+    withM
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"),
         col("r"), col("f"), col("m"),

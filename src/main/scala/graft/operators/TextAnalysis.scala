@@ -181,20 +181,24 @@ object TextAnalysis {
     * identical SQL ntile semantics.
     *
     * 100 TB notes: scoring is the LM operator's cost (token-keyed
-    * joins); the ranking window shuffles once on `lang` — partitions
-    * are per-language corpus shares. At extreme skew (one language =
-    * 90% of the crawl) swap ntile for the two-pass quantile-cut:
-    * compute per-lang score terciles (tiny agg), then bucket by
-    * comparison — same result, no giant window partition.
+    * joins); tercile assignment runs through [[HistogramNtile]] keyed
+    * by (lang, score-bucket) — rank ranges read off a broadcast
+    * per-language histogram, whole buckets assigned in a pure map,
+    * only the ≤2 cut-straddling buckets per language sorted. A
+    * language owning 90 % of the crawl no longer means one window
+    * partition owning 90 % of the corpus. The scored frame persists
+    * across the helper's two aggregate passes (the LM join is the
+    * expensive part and runs once).
     */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = unigramLogprob(spark, sfDir)
     val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("mean_logprob").desc, col("doc_id"))
-    scored.join(langs, Seq("doc_id"))
-      .withColumn("tercile", ntile(3).over(w).cast("long"))
+    val base = scored.join(langs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("mean_logprob"))
+      .persist()
+    HistogramNtile.withNtile(base, Seq("lang"),
+        -col("mean_logprob"), Seq(col("mean_logprob").desc, col("doc_id")),
+        3, "tercile")
       .select(col("doc_id"), col("lang"), col("mean_logprob"),
         col("tercile"),
         when(col("tercile") === 1, "head")

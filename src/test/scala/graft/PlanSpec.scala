@@ -467,6 +467,59 @@ class PlanSpec extends AnyFunSuite {
       s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
   }
 
+  test("no declared query plans an unpartitioned window over a corpus-scale frame") {
+    // an empty-partition-spec WindowExec is a SINGLE-PARTITION sort —
+    // the other operator shape (besides CartesianProduct) that cannot
+    // survive 100×. Allowed only over provably collapsed frames: every
+    // allowlisted query below must funnel the window's input through
+    // an aggregation onto a bounded domain (histogram, top-m, score
+    // buckets) before the window runs. Everything else must partition
+    // its windows (or use HistogramNtile's broadcast-rank plan).
+    val allow: Map[String, String] = Map(
+      // HistogramNtile's rank-range cumsum over the (≤ buckets)-row
+      // score histogram — the input is an Aggregate onto the bucket id
+      "events_rfm" -> "histogram cumsum over an aggregated bucket domain",
+      // the budget cumsum over the integer-score histogram (tens of
+      // rows) — input is the groupBy(score) Aggregate
+      "pipeline_budget_select" -> "cumsum over the bounded score histogram",
+      // rank over the k=50 survivors of a TakeOrdered — input is a
+      // GlobalLimit
+      "sample_weighted" -> "rank over the k-row TakeOrdered survivors",
+      // rank over the top-m=100 token frame — input is a GlobalLimit
+      "text_zipf" -> "rank over the top-m TakeOrdered frame")
+    // the optimized LOGICAL plan, not executedPlan: AQE wraps the
+    // physical tree in AdaptiveSparkPlanExec whose children collect()
+    // cannot see
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      GlobalLimit, Window => LWindow, WindowGroupLimit}
+    def bareWindows(name: String) = try {
+      SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w.child
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w.child
+        }
+    } catch { case _: Throwable => Nil } // plannability is ContractSpec's pin
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow.contains).filter(bareWindows(_).nonEmpty)
+    assert(offenders.isEmpty,
+      s"queries planning an unpartitioned window: ${offenders.mkString(", ")}")
+    // the allowlist is VERIFIED, not trusted: every allowlisted bare
+    // window's input must prove its collapse — an Aggregate (bounded
+    // domain) or GlobalLimit (top-k) strictly below it
+    allow.keys.foreach { name =>
+      val children = bareWindows(name)
+      assert(children.nonEmpty, s"$name: stale allowlist entry, drop it")
+      children.foreach { c =>
+        val collapsed = c.collectFirst {
+          case a: Aggregate => a
+          case l: GlobalLimit => l
+        }.isDefined
+        assert(collapsed,
+          s"$name: bare window input is not provably collapsed:\n$c")
+      }
+    }
+  }
+
   test("temporal map-constructor bounds push to the events scan") {
     val plan = planOf(cypher.CypherQueries.temporalCtor(spark, TestSpark.sf))
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r

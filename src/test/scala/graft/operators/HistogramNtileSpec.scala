@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HistogramNtile must be BIT-EQUAL to SQL ntile for every bucket
+  * count — the whole point is swapping the plan, not the answer.
+  * Buckets = 2 forces nearly every tile cut to straddle (maximal
+  * window path); buckets = 256 makes most buckets wholesale.
+  */
+class HistogramNtileSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private lazy val sf = graft.TestSpark.sf
+
+  private def checkAgainstNtile(tiles: Int, buckets: Int): Unit = {
+    val per = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
+    val expected = per.withColumn("t",
+      ntile(tiles).over(
+        Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+    val actual = HistogramNtile.withNtile(per, Nil, -col("monetary"),
+      Seq(col("monetary").desc, col("user_id")), tiles, "t", buckets)
+    val diff = expected.select(col("user_id"), col("t"))
+      .except(actual.select(col("user_id"), col("t")))
+    assert(diff.isEmpty, s"tiles=$tiles buckets=$buckets: ${diff.count()} rows differ")
+    assert(actual.count() == expected.count())
+  }
+
+  test("matches SQL ntile exactly across tile and bucket counts") {
+    for (tiles <- Seq(2, 3, 7); buckets <- Seq(2, 256))
+      checkAgainstNtile(tiles, buckets)
+  }
+
+  test("grouped: matches per-language ntile including tiny groups") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
+    val expected = docs.withColumn("t",
+      ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("len"), col("doc_id"))).cast("long"))
+    val actual = HistogramNtile.withNtile(docs, Seq("lang"), col("len"),
+      Seq(col("len"), col("doc_id")), 3, "t", buckets = 8)
+    assert(expected.select(col("doc_id"), col("t"))
+      .except(actual.select(col("doc_id"), col("t"))).isEmpty)
+  }
+
+  test("degenerate group: all-equal keys collapse into one bucket") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)).toDF("id", "v")
+    val actual = HistogramNtile.withNtile(df, Nil, col("v"),
+      Seq(col("v"), col("id")), 3, "t", buckets = 4)
+      .orderBy(col("id")).select(col("t")).collect().map(_.getLong(0))
+    assert(actual.toSeq == Seq(1L, 1L, 2L, 3L))
+  }
+}
