@@ -101,6 +101,10 @@ object SparkEntry {
     "cypher_merge_rel_on"   -> (cypher.CypherQueries.mergeRelOn(_, _)),
     "cypher_remove"         -> (cypher.CypherQueries.removeProp(_, _)),
     "cypher_detach_delete"  -> (cypher.CypherQueries.detachDelete(_, _)),
+    "cypher_foreach"        -> (cypher.CypherQueries.foreachWrite(_, _)),
+    "cypher_set_map"        -> (cypher.CypherQueries.setMap(_, _)),
+    "cypher_set_label"      -> (cypher.CypherQueries.setLabel(_, _)),
+    "cypher_multi_label"    -> (cypher.CypherQueries.multiLabel(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_degree_dist"     -> (graph.Algorithms.degreeDistQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -2398,6 +2402,26 @@ object SparkEntry {
         |  FROM customer)
         |SELECT flagged, CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM f GROUP BY 1 ORDER BY flagged""".stripMargin,
+    "cypher_foreach" ->
+      """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_vip
+        |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin,
+    "cypher_set_map" ->
+      """SELECT s_suppkey AS suppkey,
+        |  CASE WHEN s_acctbal < 0.0 THEN 'low' END AS tier,
+        |  CASE WHEN s_acctbal < 0.0 THEN NULL ELSE s_acctbal END AS bal
+        |FROM supplier ORDER BY suppkey""".stripMargin,
+    "cypher_set_label" ->
+      """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(c_acctbal) AS min_bal
+        |FROM customer WHERE c_acctbal > 7500.0
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "cypher_multi_label" ->
+      """SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(['Customer', 'Premium']) AS label
+        |  FROM customer WHERE c_acctbal > 7500.0)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

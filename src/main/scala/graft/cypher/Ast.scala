@@ -130,10 +130,16 @@ object Ast {
     */
   case object Both extends Direction
 
+  /** `moreLabels` holds the 2nd..nth labels of a multi-label pattern
+    * `(n:A:B)` (label holds the first; empty for single-label and
+    * label-less patterns). A multi-label match is the CONJUNCTION:
+    * nodes present in every listed label's table.
+    */
   final case class NodePattern(
       variable: Option[String],
       label: Option[String],
-      props: Map[String, Any])
+      props: Map[String, Any],
+      moreLabels: Seq[String] = Nil)
 
   /** `altTypes` holds the 2nd..nth alternatives of a multi-type
     * relationship `-[:A|B|C]->` (relType holds the first; empty for
@@ -273,6 +279,40 @@ object Ast {
     */
   final case class SetPropClause(assignments: Seq[(String, String, CExpr)])
       extends Clause
+  /** `SET n += {k: expr, …}` — bulk property merge on a labeled bound
+    * node variable (Neo4j map-projection update): every listed key
+    * overwrites (or adds) the property on matched ids, and an
+    * explicitly-null value REMOVES it (reads as null afterwards) —
+    * unlike [[SetPropClause]]'s coalesce, a matched id always takes
+    * the new value. Unlisted keys keep their values. Per-id conflicts
+    * resolve to MAX (the [[SetPropClause]] discipline).
+    */
+  final case class SetMapClause(variable: String,
+      entries: Seq[(String, CExpr)]) extends Clause
+  /** `SET n:Label` — adds a label to the matched nodes: the target
+    * label's table derives a new version including the matched nodes'
+    * rows (idempotent — ids already present stay as they are; schemas
+    * reconcile by name, missing properties null out). The source
+    * label keeps the nodes too: labels are SETS in Neo4j's model, and
+    * the engine's table-per-label layout realizes membership as
+    * presence in the table.
+    */
+  final case class SetLabelClause(variable: String, label: String)
+      extends Clause
+  /** `FOREACH (x IN list | update-clause …)` — per-row iteration over
+    * a list value, executing ONLY update clauses (SET / REMOVE /
+    * CREATE / MERGE / DELETE / DETACH DELETE / nested FOREACH) with
+    * `x` bound per element. The pipeline's own cardinality is
+    * untouched — after FOREACH the frame is exactly what it was (the
+    * iteration exists only for its write effects). An empty list
+    * executes nothing, which is the canonical conditional-write idiom
+    * `FOREACH (_ IN CASE WHEN p THEN [1] ELSE [] END | SET …)` the
+    * reference's UNWIND batch statements embed
+    * (Neo4jOutputFormat.java:254-270 ships such statements
+    * server-side; graft executes them engine-side).
+    */
+  final case class ForeachClause(variable: String, list: CExpr,
+      body: Seq[Clause]) extends Clause
   /** `REMOVE n.prop [, m.prop2 …]` — engine-side property removal on
     * labeled bound node variables: matched ids read the property as
     * null afterwards (Neo4j "missing property" ≡ null in the

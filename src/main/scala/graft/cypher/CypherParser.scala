@@ -59,7 +59,7 @@ object CypherParser {
         out += TStr(sb.toString); i += 1
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
-        if (Set("->", "<-", "<=", ">=", "<>", "..", "=~").contains(two)) {
+        if (Set("->", "<-", "<=", ">=", "<>", "..", "=~", "+=").contains(two)) {
           out += TSym(two); i += 2
         } else { out += TSym(c.toString); i += 1 }
       }
@@ -155,71 +155,8 @@ object CypherParser {
             clauses += MatchClause(chain, optional = false)
             where.foreach(clauses += FilterClause(_))
           }
-        } else if (atKw("DELETE") || atKw("DETACH")) {
-          val detach = atKw("DETACH")
-          if (detach) { eatKw("DETACH"); eatKw("DELETE") } else eatKw("DELETE")
-          val vs = Seq.newBuilder[String]
-          vs += ident()
-          while (atSym(",")) { eatSym(","); vs += ident() }
-          clauses +=
-            (if (detach) DetachDeleteClause(vs.result())
-             else DeleteRelClause(vs.result()))
-        } else if (atKw("REMOVE")) {
-          eatKw("REMOVE")
-          val ts = Seq.newBuilder[(String, String)]
-          def one(): Unit = {
-            val v = ident(); eatSym("."); ts += ((v, ident()))
-          }
-          one()
-          while (atSym(",")) { eatSym(","); one() }
-          clauses += RemovePropClause(ts.result())
-        } else if (atKw("SET")) {
-          eatKw("SET")
-          val as = Seq.newBuilder[(String, String, CExpr)]
-          def one(): Unit = {
-            val v = ident(); eatSym(".")
-            val p = ident(); eatSym("=")
-            as += ((v, p, addExpr()))
-          }
-          one()
-          while (atSym(",")) { eatSym(","); one() }
-          clauses += SetPropClause(as.result())
-        } else if (atKw("MERGE") || atKw("CREATE")) {
-          val create = atKw("CREATE")
-          if (create) eatKw("CREATE") else eatKw("MERGE")
-          if (writePatternIsRel) {
-            val chain = patternChain()
-            require(chain.hops.size == 1,
-              "MERGE/CREATE supports exactly one relationship pattern " +
-                "between two bound node variables")
-            val (onCreate, onMatch) =
-              onSetBlocks(chain.hops.head._1.variable, create)
-            clauses += WriteRelClause(chain, create, onCreate, onMatch)
-          } else {
-            // node write: `(x:Label {k: expr, …})` — property values
-            // are full expressions, unlike pattern maps (literals)
-            eatSym("(")
-            val v = peek match {
-              case Some(TId(_)) => Some(ident())
-              case _            => None
-            }
-            eatSym(":")
-            val label = ident()
-            val props = Seq.newBuilder[(String, CExpr)]
-            if (atSym("{")) {
-              eatSym("{")
-              def one(): Unit = {
-                val k = ident(); eatSym(":"); props += ((k, addExpr()))
-              }
-              one()
-              while (atSym(",")) { eatSym(","); one() }
-              eatSym("}")
-            }
-            eatSym(")")
-            val (onCreate, onMatch) = onSetBlocks(v, create)
-            clauses += CreateNodeClause(v, label, props.result(),
-              merge = !create, onCreate = onCreate, onMatch = onMatch)
-          }
+        } else if (atWriteClause) {
+          clauses ++= writeClauses()
         } else if (atKw("UNWIND")) {
           eatKw("UNWIND")
           val list = valueExpr()
@@ -309,6 +246,127 @@ object CypherParser {
         require(pos == toks.length || atKw("UNION"),
           s"trailing tokens from position $pos: ${toks.drop(pos)}")
       CypherQuery(clauses.result())
+    }
+
+    /** True at the head of any update clause — the clause family
+      * FOREACH bodies are restricted to.
+      */
+    private def atWriteClause: Boolean =
+      atKw("DELETE") || atKw("DETACH") || atKw("REMOVE") || atKw("SET") ||
+        atKw("MERGE") || atKw("CREATE") || atKw("FOREACH")
+
+    /** Parses one update clause head (DELETE / DETACH DELETE / REMOVE
+      * / SET / MERGE / CREATE / FOREACH) into its clauses — shared by
+      * the top-level pipeline and FOREACH bodies. A SET list may mix
+      * the three item forms (`v.prop = e`, `v += {map}`, `v:Label`),
+      * each emitting its own clause.
+      */
+    private def writeClauses(): Seq[Clause] = {
+      val clauses = Seq.newBuilder[Clause]
+      if (atKw("DELETE") || atKw("DETACH")) {
+        val detach = atKw("DETACH")
+        if (detach) { eatKw("DETACH"); eatKw("DELETE") } else eatKw("DELETE")
+        val vs = Seq.newBuilder[String]
+        vs += ident()
+        while (atSym(",")) { eatSym(","); vs += ident() }
+        clauses +=
+          (if (detach) DetachDeleteClause(vs.result())
+           else DeleteRelClause(vs.result()))
+      } else if (atKw("REMOVE")) {
+        eatKw("REMOVE")
+        val ts = Seq.newBuilder[(String, String)]
+        def one(): Unit = {
+          val v = ident(); eatSym("."); ts += ((v, ident()))
+        }
+        one()
+        while (atSym(",")) { eatSym(","); one() }
+        clauses += RemovePropClause(ts.result())
+      } else if (atKw("SET")) {
+        eatKw("SET")
+        // adjacent same-form items coalesce into one clause (the
+        // planner applies a comma list atomically); form changes cut
+        // a clause boundary, preserving left-to-right order
+        val props = Seq.newBuilder[(String, String, CExpr)]
+        def flushProps(): Unit = {
+          val ps = props.result()
+          if (ps.nonEmpty) { clauses += SetPropClause(ps); props.clear() }
+        }
+        def one(): Unit = {
+          val v = ident()
+          if (atSym(".")) {
+            eatSym(".")
+            val p = ident(); eatSym("=")
+            props += ((v, p, addExpr()))
+          } else if (atSym("+=")) {
+            eatSym("+="); eatSym("{")
+            val entries = Seq.newBuilder[(String, CExpr)]
+            def entry(): Unit = {
+              val k = ident(); eatSym(":"); entries += ((k, addExpr()))
+            }
+            entry()
+            while (atSym(",")) { eatSym(","); entry() }
+            eatSym("}")
+            flushProps()
+            clauses += SetMapClause(v, entries.result())
+          } else {
+            eatSym(":")
+            flushProps()
+            clauses += SetLabelClause(v, ident())
+          }
+        }
+        one()
+        while (atSym(",")) { eatSym(","); one() }
+        flushProps()
+      } else if (atKw("FOREACH")) {
+        eatKw("FOREACH"); eatSym("(")
+        val x = ident()
+        eatKw("IN")
+        val list = valueExpr()
+        eatSym("|")
+        val body = Seq.newBuilder[Clause]
+        require(atWriteClause,
+          "FOREACH body must contain at least one update clause")
+        while (atWriteClause) body ++= writeClauses()
+        eatSym(")")
+        clauses += ForeachClause(x, list, body.result())
+      } else {
+        val create = atKw("CREATE")
+        if (create) eatKw("CREATE") else eatKw("MERGE")
+        if (writePatternIsRel) {
+          val chain = patternChain()
+          require(chain.hops.size == 1,
+            "MERGE/CREATE supports exactly one relationship pattern " +
+              "between two bound node variables")
+          val (onCreate, onMatch) =
+            onSetBlocks(chain.hops.head._1.variable, create)
+          clauses += WriteRelClause(chain, create, onCreate, onMatch)
+        } else {
+          // node write: `(x:Label {k: expr, …})` — property values
+          // are full expressions, unlike pattern maps (literals)
+          eatSym("(")
+          val v = peek match {
+            case Some(TId(_)) => Some(ident())
+            case _            => None
+          }
+          eatSym(":")
+          val label = ident()
+          val props = Seq.newBuilder[(String, CExpr)]
+          if (atSym("{")) {
+            eatSym("{")
+            def one(): Unit = {
+              val k = ident(); eatSym(":"); props += ((k, addExpr()))
+            }
+            one()
+            while (atSym(",")) { eatSym(","); one() }
+            eatSym("}")
+          }
+          eatSym(")")
+          val (onCreate, onMatch) = onSetBlocks(v, create)
+          clauses += CreateNodeClause(v, label, props.result(),
+            merge = !create, onCreate = onCreate, onMatch = onMatch)
+        }
+      }
+      clauses.result()
     }
 
     /** ON CREATE SET / ON MATCH SET conditional assignments after a
@@ -437,6 +495,9 @@ object CypherParser {
         case _            => None
       }
       val label = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      // multi-label conjunction `(n:A:B)` — nodes carrying EVERY label
+      val more = Seq.newBuilder[String]
+      while (label.isDefined && atSym(":")) { eatSym(":"); more += ident() }
       val props =
         if (atSym("{")) {
           eatSym("{")
@@ -447,7 +508,7 @@ object CypherParser {
           m.result()
         } else Map.empty[String, Any]
       eatSym(")")
-      NodePattern(variable, label, props)
+      NodePattern(variable, label, props, more.result())
     }
 
     private def eatSymThen(sym: String): Unit = eatSym(sym)
@@ -971,6 +1032,12 @@ object CypherParser {
           val as = args.result()
           if (as.size == 1) FnCall(fn, Some(as.head)) else FnCallN(fn, as)
         }
+      case Some(TId(s)) if s.equalsIgnoreCase("null") =>
+        next(); LitV(null)
+      case Some(TId(s)) if s.equalsIgnoreCase("true") =>
+        next(); LitV(true)
+      case Some(TId(s)) if s.equalsIgnoreCase("false") =>
+        next(); LitV(false)
       case Some(TId(_)) =>
         val v = ident()
         if (atSym(".")) { eatSym("."); Prop(v, ident()) }

@@ -77,7 +77,7 @@ object CypherPlanner {
       case other           => other
     }
     def bi(i: ReturnItem): ReturnItem = i.copy(expr = bx(i.expr))
-    CypherQuery(q.clauses.map {
+    def bc(c: Clause): Clause = c match {
       case m: MatchClause   => m.copy(where = m.where.map(bx))
       case FilterClause(e)  => FilterClause(bx(e))
       case w: WithClause    => w.copy(items = w.items.map(bi), where = w.where.map(bx))
@@ -96,9 +96,14 @@ object CypherPlanner {
       case r: RemovePropClause => r
       case SetPropClause(as) =>
         SetPropClause(as.map { case (v, p, e) => (v, p, bx(e)) })
+      case SetMapClause(v, entries) =>
+        SetMapClause(v, entries.map { case (k, e) => (k, bx(e)) })
+      case s: SetLabelClause => s
+      case ForeachClause(x, l, body) => ForeachClause(x, bx(l), body.map(bc))
       case c: CatalogCallClause => c
       case r: ReturnClause  => r.copy(items = r.items.map(bi))
-    })
+    }
+    CypherQuery(q.clauses.map(bc))
   }
 
   /** Pipeline state between clauses: the accumulated plan, the bound
@@ -168,7 +173,7 @@ object CypherPlanner {
           relVarTypes += (rv -> t)
       }
     }
-    clauses.foreach {
+    def handleClause(clause: Clause): Unit = clause match {
       case WriteRelClause(chain, create, onCreate, onMatch) =>
         graph = planWriteRel(graph, s, chain, create, onCreate, onMatch)
 
@@ -206,6 +211,37 @@ object CypherPlanner {
               s"SET $v.$prop: $v is not a labeled bound node variable"))
           graph = planSetProp(graph, s, v, label, prop, value)
         }
+
+      case SetMapClause(v, entries) =>
+        val label = varLabels.getOrElse(v,
+          throw new IllegalArgumentException(
+            s"SET $v += {…}: $v is not a labeled bound node variable"))
+        graph = planSetMap(graph, s, v, label, entries)
+
+      case SetLabelClause(v, newLabel) =>
+        val label = varLabels.getOrElse(v,
+          throw new IllegalArgumentException(
+            s"SET $v:$newLabel: $v is not a labeled bound node variable"))
+        graph = planSetLabel(graph, s, v, label, newLabel)
+
+      case ForeachClause(x, list, body) =>
+        // the iteration frame: current rows × list elements (explode —
+        // an empty list contributes no rows, the conditional-write
+        // idiom). Body writes act on that frame and mutate the graph;
+        // the pipeline's own scope is restored afterwards, so FOREACH
+        // never changes downstream cardinality.
+        require(s.df != null,
+          "FOREACH needs a current frame (add a MATCH/UNWIND first)")
+        require(!s.df.columns.contains(x) && !s.scalars.contains(x),
+          s"FOREACH variable '$x' collides with an existing binding")
+        val saved = s
+        val exploded = s.df.select(
+          s.df.columns.toSeq.map(col) :+ explode(toColumn(list, s.binds)).as(x): _*)
+        s = Scope(exploded, s.nodeVars, s.scalars + x, s.lists,
+          tiny = false, tinyScalars = s.tinyScalars)
+        body.foreach(handleClause)
+        s = saved
+
       case MatchClause(chain, false, _) =>
         recordChainMeta(chain)
         // a chain that shares no variable with the frame cross-joins
@@ -289,6 +325,7 @@ object CypherPlanner {
         val (s2, items2) = materializeCounts(graph, s, r.items)
         out = planReturn(s2, r.copy(items = items2))
     }
+    clauses.foreach(handleClause)
     (s, out)
   }
 
@@ -600,6 +637,74 @@ object CypherPlanner {
       .withColumn(prop, coalesce(col("__newval"), col(prop)))
       .drop("__newval")
     graph.copy(nodes = graph.nodes.updated(label, updated))
+  }
+
+  /** Plans `SET n += {k: expr, …}` (see [[Ast.SetMapClause]]): ONE
+    * id-keyed left join applies every listed key — matched ids take
+    * the new value unconditionally (an explicit null REMOVES the
+    * property, Neo4j `+=` semantics — which is why this is not
+    * [[planSetProp]]'s coalesce), unmatched ids keep theirs. Per-id
+    * conflicts resolve to MAX per key.
+    *
+    * 100 TB notes: the k-key map costs the same single join as a
+    * 1-key SET — (id, k values) rows move once, against SetPropClause's
+    * join-per-assignment.
+    */
+  private def planSetMap(graph: PropertyGraph, s: Scope, v: String,
+      label: String, entries: Seq[(String, CExpr)]): PropertyGraph = {
+    val idCol = s"${v}__id"
+    require(s.df != null && s.df.columns.contains(idCol),
+      s"SET $v += {…}: $v is not bound in the current frame")
+    require(entries.nonEmpty, s"SET $v += {{}}: empty property map")
+    require(entries.forall(_._1 != "id"),
+      s"SET $v += {…}: cannot reassign the reserved id property")
+    val aggs = entries.map { case (k, _) =>
+      max(col(s"__sm_$k")).as(s"__sm_$k") }
+    val updates = s.df
+      .select(col(idCol).as("__id") +: entries.map { case (k, e) =>
+        toColumn(e, s.binds).as(s"__sm_$k") }: _*)
+      .groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__sm_hit", lit(1))
+    var base = graph.nodeTable(label)
+    entries.foreach { case (k, _) =>
+      if (!base.columns.contains(k)) base = base.withColumn(k, lit(null))
+    }
+    var joined = base.join(updates, Seq("__id"), "left_outer")
+    entries.foreach { case (k, _) =>
+      joined = joined.withColumn(k,
+        when(col("__sm_hit").isNotNull, col(s"__sm_$k")).otherwise(col(k)))
+    }
+    val updated = joined.drop("__sm_hit" +: entries.map {
+      case (k, _) => s"__sm_$k" }: _*)
+    graph.copy(nodes = graph.nodes.updated(label, updated))
+  }
+
+  /** Plans `SET n:Label` (see [[Ast.SetLabelClause]]): the target
+    * label's table derives a new version additionally holding the
+    * matched nodes' rows (properties carried from the variable's own
+    * label table; schemas reconcile by name). Idempotent — ids
+    * already under the target label are untouched.
+    *
+    * 100 TB notes: matched ids travel as a distinct 8-byte-id frame;
+    * the anti-join against the target and the semi-join against the
+    * source are both id-keyed (broadcastable when the SET set is
+    * small — the common case), and a query that never reads the
+    * target label again prunes the whole derivation away.
+    */
+  private def planSetLabel(graph: PropertyGraph, s: Scope, v: String,
+      srcLabel: String, newLabel: String): PropertyGraph = {
+    val idCol = s"${v}__id"
+    require(s.df != null && s.df.columns.contains(idCol),
+      s"SET $v:$newLabel: $v is not bound in the current frame")
+    val ids = s.df.select(col(idCol).as("__id")).distinct()
+    val rows = graph.nodeTable(srcLabel).join(ids, Seq("__id"), "left_semi")
+    val updated = graph.nodes.get(newLabel) match {
+      case None => rows
+      case Some(existing) => existing.unionByName(
+        rows.join(existing.select(col("__id")), Seq("__id"), "left_anti"),
+        allowMissingColumns = true)
+    }
+    graph.copy(nodes = graph.nodes.updated(newLabel, updated))
   }
 
   /** `CALL { … }` subquery planning.
@@ -1185,6 +1290,11 @@ object CypherPlanner {
       case RemovePropClause(ts)     => ts.foreach { case (v, _) => out += v }
       case SetPropClause(as)        =>
         as.foreach { case (v, _, e) => out += v; walk(e) }
+      case SetMapClause(v, entries) =>
+        out += v; entries.foreach { case (_, e) => walk(e) }
+      case SetLabelClause(v, _)     => out += v
+      case ForeachClause(_, l, body) =>
+        walk(l); out ++= colsNeeded(CypherQuery(body))
       case _: CatalogCallClause     => () // plan-time catalog literals
       case r: ReturnClause          =>
         walkItems(r.items); r.orderBy.foreach(s0 => walk(s0.expr))
@@ -1239,15 +1349,45 @@ object CypherPlanner {
         // A literal-keyed struct array, so Catalyst prunes it (and
         // the columns it reads) whenever properties(n) is not asked
         // for.
-        val props = org.apache.spark.sql.functions.filter(
-          array(ks.map(k => struct(lit(k).as("key"),
-            col(k).cast("string").as("val"))): _*),
-          x => x.getField("val").isNotNull)
+        // a property-less table (id-only CREATE) still needs the
+        // TYPED empty array — a bare array() is array<void> and the
+        // null-dropping lambda cannot field-extract from it
+        val props =
+          if (ks.isEmpty)
+            array().cast("array<struct<key:string,val:string>>")
+          else org.apache.spark.sql.functions.filter(
+            array(ks.map(k => struct(lit(k).as("key"),
+              col(k).cast("string").as("val"))): _*),
+            x => x.getField("val").isNotNull)
         nt.withColumn("@labels", array(lit(label)))
           .withColumn("@keys", array(ks.map(lit(_)): _*))
           .withColumn("@props", props)
       }
       var t = np.label match {
+        case Some(label) if np.moreLabels.nonEmpty =>
+          // multi-label conjunction `(n:A:B)`: the first label's table
+          // narrowed by an id semi-join per additional label — only
+          // 8-byte ids cross those joins (broadcastable when a label
+          // is small). Property columns come from the FIRST label's
+          // table (one node, one property set — the write family
+          // copies rows on SET n:Label, so tables agree). A
+          // multi-label scan is the one place labels(n) must see the
+          // per-id label SET rather than the scan's own tag, so
+          // @labels joins the id→sorted-label-set catalog (id-keyed,
+          // ids only; Neo4j's getLabels equivalent).
+          val conj = np.moreLabels.distinct.filter(_ != label)
+            .foldLeft(graph.nodeTable(label)) { (acc, l2) =>
+              acc.join(graph.nodeTable(l2).select(col("__id")),
+                Seq("__id"), "left_semi")
+            }
+          val catalog = graph.nodes.toSeq.sortBy(_._1)
+            .map { case (ln, t0) => t0.select(col("__id"), lit(ln).as("__l")) }
+            .reduce(_.union(_))
+            .groupBy(col("__id"))
+            .agg(sort_array(collect_set(col("__l"))).as("__dynlabels"))
+          withMeta(conj, label)
+            .join(catalog, Seq("__id"), "left_outer")
+            .withColumn("@labels", col("__dynlabels")).drop("__dynlabels")
         case Some(label) => withMeta(graph.nodeTable(label), label)
         case None => graph.nodes.toSeq.sortBy(_._1)
           .map { case (ln, nt) => withMeta(nt, ln) }

@@ -1067,4 +1067,67 @@ object CypherQueries {
         |WITH n, coalesce(c.acctbal, 0.0) AS bal
         |RETURN n.name AS nation, sum(bal) AS total_bal
         |ORDER BY nation""".stripMargin)
+
+  /** `FOREACH (x IN list | SET …)` — the conditional-write idiom real
+    * UNWIND batch statements embed (the reference ships exactly such
+    * statements server-side, Neo4jOutputFormat.java:254-270): an
+    * empty list skips the write, so `CASE WHEN p THEN [1] ELSE []
+    * END` makes the SET per-row conditional without filtering the
+    * pipeline. The re-match aggregates the flags per segment.
+    */
+  def foreachWrite(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |FOREACH (x IN CASE WHEN c.acctbal > 5000.0 THEN [1] ELSE [] END |
+        |  SET c.vip = 1)
+        |WITH count(*) AS n_total
+        |MATCH (c2:Customer)
+        |RETURN c2.mktsegment AS segment, count(*) AS n,
+        |  sum(coalesce(c2.vip, 0)) AS n_vip
+        |ORDER BY segment""".stripMargin)
+
+  /** `SET s += {map}` — bulk property merge: one clause overwrites a
+    * property, adds a new one, and null-REMOVES another on the
+    * matched nodes (Neo4j `+=` semantics; a listed null always wins,
+    * unlike plain SET's coalesce), all in a single id-keyed join.
+    */
+  def setMap(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (s:Supplier) WHERE s.acctbal < 0.0
+        |SET s += {tier: 'low', acctbal: null}
+        |WITH count(*) AS n_low
+        |MATCH (s2:Supplier)
+        |RETURN s2.suppkey AS suppkey, s2.tier AS tier, s2.acctbal AS bal
+        |ORDER BY suppkey""".stripMargin)
+
+  /** `SET n:Label` — label addition: high-balance customers gain the
+    * Premium label, and the post-write graph answers a Premium-only
+    * scan (presence in the label's table IS membership — the engine's
+    * table-per-label realization of Neo4j's label sets).
+    */
+  def setLabel(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer) WHERE c.acctbal > 7500.0
+        |SET c:Premium
+        |WITH count(*) AS n_set
+        |MATCH (p:Premium)
+        |RETURN p.mktsegment AS segment, count(*) AS n,
+        |  min(p.acctbal) AS min_bal
+        |ORDER BY segment""".stripMargin)
+
+  /** Multi-label conjunction `(p:Premium:Customer)` + the per-id label
+    * SET: the pattern matches nodes carrying EVERY listed label (id
+    * semi-join), and `labels()` on such a scan reads the real per-id
+    * label set (Customer ∪ Premium here), not the scan's own tag —
+    * UNWIND-ed into a label histogram over the conjunction.
+    */
+  def multiLabel(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer) WHERE c.acctbal > 7500.0
+        |SET c:Premium
+        |WITH count(*) AS n_set
+        |MATCH (p:Premium:Customer)
+        |UNWIND labels(p) AS label
+        |RETURN label, count(*) AS n
+        |ORDER BY label""".stripMargin)
 }

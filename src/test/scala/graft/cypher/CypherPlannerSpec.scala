@@ -1124,6 +1124,89 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("SET n += map: overwrite, add, and null-remove in one join") {
+    val rows = run(
+      "MATCH (n:Nation) WHERE n.nationkey <= 2 " +
+        "SET n += {name: 'X', flagged: 1, regionkey: null} " +
+        "WITH count(*) AS w MATCH (n2:Nation) " +
+        "RETURN n2.nationkey AS k, n2.name AS name, n2.flagged AS flagged, " +
+        "n2.regionkey AS rk ORDER BY k").collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      if (k <= 2) {
+        assert(r.getString(1) == "X" && r.getLong(2) == 1L && r.isNullAt(3),
+          s"nation $k not fully updated: $r")
+      } else {
+        assert(r.getString(1) != "X" && r.isNullAt(2) && !r.isNullAt(3),
+          s"nation $k should be untouched: $r")
+      }
+    }
+    // the reserved id property stays unassignable
+    intercept[Exception] {
+      run("MATCH (r:Region) SET r += {id: 99} WITH count(*) AS w " +
+        "MATCH (r2:Region) RETURN count(*) AS n").collect()
+    }
+  }
+
+  test("SET n:Label adds the label; multi-label pattern + labels() see it") {
+    val rows = run(
+      "MATCH (c:Customer) WHERE c.acctbal > 9900.0 SET c:Vip " +
+        "WITH count(*) AS w " +
+        "MATCH (v:Vip) RETURN v.custkey AS k, v.acctbal AS bal ORDER BY k")
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 9900.0))
+    // conjunction scan: Vip AND Customer = the same set; labels()
+    // returns the sorted per-id label SET, not the scan tag
+    val multi = run(
+      "MATCH (c:Customer) WHERE c.acctbal > 9900.0 SET c:Vip " +
+        "WITH count(*) AS w " +
+        "MATCH (v:Vip:Customer) RETURN v.custkey AS k, labels(v) AS ls " +
+        "ORDER BY k").collect()
+    assert(multi.length == rows.length)
+    multi.foreach { r =>
+      assert(r.getSeq[String](1) == Seq("Customer", "Vip"), s"labels: $r")
+    }
+    // idempotent: SET twice, still one row per id
+    val twice = run(
+      "MATCH (c:Customer) WHERE c.acctbal > 9900.0 SET c:Vip SET c:Vip " +
+        "WITH count(*) AS w MATCH (v:Vip) RETURN count(*) AS n").collect()
+    assert(twice.head.getLong(0) == rows.length)
+  }
+
+  test("FOREACH: conditional-write idiom and list iteration") {
+    // conditional write: flag only the high-balance nations' customers
+    val rows = run(
+      "MATCH (c:Customer) " +
+        "FOREACH (x IN CASE WHEN c.acctbal > 9900.0 THEN [1] ELSE [] END | " +
+        "SET c.vip = 1) " +
+        "WITH count(*) AS w " +
+        "MATCH (c2:Customer) RETURN c2.custkey AS k, c2.acctbal AS bal, " +
+        "c2.vip AS vip ORDER BY k").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getDouble(1) > 9900.0) assert(r.getLong(2) == 1L, s"missing flag: $r")
+      else assert(r.isNullAt(2), s"spurious flag: $r")
+    }
+    // list iteration: one node per element, per frame row
+    val created = run(
+      "MATCH (r:Region) WHERE r.regionkey = 0 " +
+        "FOREACH (k IN [100, 101, 102] | CREATE (:Tag {id: k + r.regionkey})) " +
+        "WITH count(*) AS w MATCH (t:Tag) RETURN t.id AS id ORDER BY id")
+      .collect()
+    assert(created.map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L))
+    // cardinality is untouched by FOREACH
+    val n = run(
+      "MATCH (r:Region) FOREACH (x IN [1, 2, 3] | SET r.touched = x) " +
+        "RETURN count(*) AS n").collect()
+    assert(n.head.getLong(0) == 5L)
+    // body must be update clauses only
+    intercept[Exception] {
+      run("MATCH (r:Region) FOREACH (x IN [1] | MATCH (c:Customer)) " +
+        "RETURN count(*) AS n").collect()
+    }
+  }
+
   test("MERGE on key only + ON MATCH SET (no pattern props, no ON CREATE)") {
     // the canonical upsert shape: MERGE (x:L {id: e}) ON MATCH SET …
     // — the frame carries only __id, so the conflict-resolution
