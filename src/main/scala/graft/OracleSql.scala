@@ -786,6 +786,56 @@ object OracleSql {
        |  FROM c$r1 c JOIN g$r2 g ON c.comm = g.id)
        |${louvainTail("proj")}""".stripMargin
 
+  /** DuckDB twin of [[graft.graph.Algorithms.louvain3Query]]: the
+    * fixpoint level loop unrolled as `maxLevels` level blocks. Each
+    * block computes the level's local-moving candidate (the shared
+    * [[louvainSteps]], uniformly weighted — base weights 1), tests
+    * the SHRINK rule (`#communities < #nodes`) in a 1-row flag CTE,
+    * and conditionally either contracts (nodes/edges/projection) or
+    * passes the carried state through. After the first non-shrinking
+    * level the carried state reproduces itself, so the remaining
+    * unrolled blocks are no-ops — exactly the engine's early stop.
+    */
+  def louvain3(r: Int = 2, maxLevels: Int = 4): String = {
+    val levels = (1 to maxLevels).map { j =>
+      val p = s"v${j}_"
+      val cand = s"$p$r"
+      s"""${p}0 AS (SELECT id, comm, deg FROM nl${j - 1}),
+         |${louvainSteps(p, s"sw${j - 1}", weighted = true, r)},
+         |cd$j AS (
+         |  SELECT (SELECT COUNT(DISTINCT comm) FROM $cand) <
+         |         (SELECT COUNT(*) FROM nl${j - 1}) AS shrunk),
+         |nl$j AS MATERIALIZED (
+         |  SELECT comm AS id, comm, CAST(SUM(deg) AS BIGINT) AS deg
+         |  FROM $cand, cd$j WHERE cd$j.shrunk GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT id, comm, deg FROM nl${j - 1}, cd$j WHERE NOT cd$j.shrunk),
+         |sw$j AS MATERIALIZED (
+         |  SELECT la.comm AS src, lb.comm AS dst, CAST(SUM(s.w) AS BIGINT) AS w
+         |  FROM sw${j - 1} s
+         |  JOIN $cand la ON s.src = la.id JOIN $cand lb ON s.dst = lb.id, cd$j
+         |  WHERE cd$j.shrunk AND la.comm <> lb.comm GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT src, dst, w FROM sw${j - 1}, cd$j WHERE NOT cd$j.shrunk),
+         |pr$j AS MATERIALIZED (
+         |  SELECT p.id, c.comm, p.deg
+         |  FROM pr${j - 1} p JOIN $cand c ON p.comm = c.id, cd$j
+         |  WHERE cd$j.shrunk
+         |  UNION ALL
+         |  SELECT id, comm, deg FROM pr${j - 1}, cd$j WHERE NOT cd$j.shrunk)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${louvainBaseCtes()},
+       |sw0 AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM s0),
+       |nl0 AS MATERIALIZED (
+       |  SELECT src AS id, src AS comm, COUNT(*) AS deg
+       |  FROM s0 GROUP BY src),
+       |pr0 AS (SELECT id, comm, deg FROM nl0),
+       |$levels
+       |${louvainTail(s"pr$maxLevels")}""".stripMargin
+  }
+
   /** Base-graph CTEs of the Louvain family: `nb`/`e`/`s0`/`mm`. */
   private def louvainBaseCtes(): String =
     s"""nb AS (
@@ -1000,6 +1050,75 @@ object OracleSql {
        |GROUP BY exact.q_id ORDER BY exact.q_id""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.annTuning]]: shared exact top-k,
+    * then per (planes, probe-radius) grid cell the same plane
+    * literals, probe masks, candidate join, top-k and recall
+    * aggregate, unioned into the tuning curve.
+    */
+  def annTuning(k: Int = 10, dims: Int = 64): String = {
+    val exactCtes =
+      s"""n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |ex_s AS (
+         |  SELECT q.vec_id AS q_id, d.vec_id,
+         |    round(CASE WHEN d.nrm = 0 OR q.nrm = 0 THEN 0
+         |      ELSE list_dot_product(d.v, q.v) / (d.nrm * q.nrm) END, 6) + 0.0 AS score
+         |  FROM (SELECT * FROM n WHERE vec_id >= 5) d
+         |  CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q),
+         |ex_r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM ex_s),
+         |exact AS (SELECT q_id, vec_id FROM ex_r WHERE rank <= $k)""".stripMargin
+    val grid = for (p <- Seq(6, 10, 14); h <- Seq(0, 1, 2)) yield (p, h)
+    val cells = grid.zipWithIndex.map { case ((np, h), i) =>
+      val bucketExpr = (0 until np).map { p =>
+        val planeList = (0 until dims).map(d => Similarity.planeComponent(p, d))
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $planeList) >= 0.0 " +
+          s"THEN ${1L << p}::BIGINT ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"""bk$i AS (SELECT n.*, $bucketExpr AS bucket FROM n),
+         |q$i AS (
+         |  SELECT q_id, q_v, q_nrm, xor(bucket, m) AS probe FROM (
+         |    SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, bucket,
+         |      unnest(list_filter(range(0, (1::BIGINT << $np)),
+         |        m -> bit_count(m) <= $h)) AS m
+         |    FROM bk$i WHERE vec_id < 5)),
+         |cand$i AS (
+         |  SELECT q.q_id, d.vec_id,
+         |    round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+         |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6) + 0.0 AS score
+         |  FROM (SELECT * FROM bk$i WHERE vec_id >= 5) d
+         |  JOIN q$i q ON d.bucket = q.probe),
+         |ann$i AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+         |    FROM cand$i) WHERE rank <= $k),
+         |rec$i AS (
+         |  SELECT round(avg(CAST(n_hit AS DOUBLE) / $k), 6) + 0.0 AS mean_recall
+         |  FROM (
+         |    SELECT exact.q_id, COUNT(ann$i.vec_id) AS n_hit
+         |    FROM exact LEFT JOIN ann$i
+         |      ON exact.q_id = ann$i.q_id AND exact.vec_id = ann$i.vec_id
+         |    GROUP BY exact.q_id)),
+         |vol$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_candidates
+         |          FROM cand$i)""".stripMargin
+    }.mkString(",\n")
+    val rows = grid.zipWithIndex.map { case ((np, h), i) =>
+      s"""SELECT CAST($np AS BIGINT) AS n_planes,
+         |  CAST($h AS BIGINT) AS probe_hamming, mean_recall, total_candidates
+         |FROM rec$i CROSS JOIN vol$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $exactCtes,
+       |$cells
+       |$rows
+       |ORDER BY n_planes, probe_hamming""".stripMargin
+  }
+
   /** Per-nation customer proximity edges (lead 1 and 2), shared with
     * the triangle-count oracle's construction.
     */
@@ -1071,6 +1190,60 @@ object OracleSql {
        |$steps
        |SELECT c.c_custkey AS id, d.cost
        |FROM customer c LEFT JOIN d$rounds d ON c.c_custkey = d.id
+       |ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.graph.Algorithms.waspQuery]]: the
+    * [[ssspWeighted]] relaxation rounds, the tight shortest-path DAG
+    * (`dist(u) + w = dist(v)`), and `rounds` unrolled σ sweeps
+    * counting minimum-cost paths (Brandes' recurrence over weighted
+    * distances; exact integer counts).
+    */
+  def wasp(rounds: Int = 14): String = {
+    val dsteps = (1 to rounds).map { j =>
+      s"""d$j AS MATERIALIZED (
+         |  SELECT id, MIN(cost) AS cost FROM (
+         |    SELECT id, cost FROM d${j - 1}
+         |    UNION ALL
+         |    SELECT we.dst AS id, d.cost + we.w AS cost
+         |    FROM d${j - 1} d JOIN we ON d.id = we.src)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    val ssteps = (1 to rounds).map { j =>
+      s"""s$j AS MATERIALIZED (
+         |  SELECT id, CAST(SUM(np) AS BIGINT) AS np FROM (
+         |    SELECT id, CAST(1 AS BIGINT) AS np FROM d0
+         |    UNION ALL
+         |    SELECT t.dst AS id, s.np FROM s${j - 1} s
+         |    JOIN tight t ON s.id = t.src)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nb AS (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+       |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2,
+       |    lead(c_custkey, 8) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d8
+       |  FROM customer),
+       |we AS MATERIALIZED (
+       |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+       |    SELECT src, d1 AS dst FROM nb WHERE d1 IS NOT NULL
+       |    UNION ALL SELECT src, d2 FROM nb WHERE d2 IS NOT NULL
+       |    UNION ALL SELECT src, d8 FROM nb WHERE d8 IS NOT NULL)),
+       |d0 AS (
+       |  SELECT MIN(c_custkey) AS id, CAST(0 AS BIGINT) AS cost
+       |  FROM customer GROUP BY c_nationkey),
+       |$dsteps,
+       |tight AS MATERIALIZED (
+       |  SELECT we.src, we.dst
+       |  FROM we JOIN d$rounds a ON we.src = a.id
+       |  JOIN d$rounds b ON we.dst = b.id
+       |  WHERE a.cost + we.w = b.cost),
+       |s0 AS (SELECT id, CAST(1 AS BIGINT) AS np FROM d0),
+       |$ssteps
+       |SELECT c.c_custkey AS id, d.cost, COALESCE(s.np, 0) AS n_paths
+       |FROM customer c
+       |LEFT JOIN d$rounds d ON c.c_custkey = d.id
+       |LEFT JOIN s$rounds s ON c.c_custkey = s.id
        |ORDER BY id""".stripMargin
   }
 

@@ -118,11 +118,13 @@ object SparkEntry {
     "graph_modularity"      -> (graph.Algorithms.modularityQuery(_, _)),
     "graph_louvain"         -> (graph.Algorithms.louvainQuery(_, _)),
     "graph_louvain2"        -> (graph.Algorithms.louvain2Query(_, _)),
+    "graph_louvain3"        -> (graph.Algorithms.louvain3Query(_, _)),
     "graph_assortativity"   -> (graph.Algorithms.assortativityQuery(_, _)),
     "graph_eccentricity"    -> (graph.Algorithms.eccentricityQuery(_, _)),
     "graph_component_sizes" -> (graph.Algorithms.componentSizesQuery(_, _)),
     "graph_clustering_coeff" -> (graph.Algorithms.clusteringCoeffQuery(_, _)),
     "graph_sssp_weighted"   -> (graph.Algorithms.ssspQuery(_, _)),
+    "graph_allshortest_weighted" -> (graph.Algorithms.waspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
     "graph_betweenness"     -> (graph.Algorithms.betweennessQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
@@ -199,6 +201,7 @@ object SparkEntry {
     "sim_topk_agg"        -> (Similarity.topkAgg(_, _)),
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "sim_recall_eval"     -> (Similarity.recallEval(_, _)),
+    "sim_ann_tuning"      -> (Similarity.annTuning(_, _)),
     "sim_dim_recall"      -> (Similarity.dimRecall(_, _)),
     "embed_cos_hist"      -> (Similarity.cosHist(_, _)),
     "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
@@ -251,7 +254,7 @@ object SparkEntry {
     "embed_quantize_int8" -> (Similarity.quantizeInt8(_, _)),
     "text_ppl_buckets"    -> (TextAnalysis.pplBuckets(_, _)),
     "pipeline_mix"        -> (Pipeline.mixWeights(_, _)),
-    "pipeline_pack"       -> (Pipeline.packChunks(_, _)),
+    "pipeline_pack"       -> ((s, d) => Pipeline.packChunks(s, d, shards = 32)),
     "search_bm25_topk"    -> (Search.bm25TopK(_, _)))
 
   /** DuckDB oracle SQL per query key (omitted keys → rows-only check).
@@ -309,6 +312,7 @@ object SparkEntry {
     "graph_modularity"  -> OracleSql.modularity(),
     "graph_louvain"     -> OracleSql.louvain(),
     "graph_louvain2"    -> OracleSql.louvain2(),
+    "graph_louvain3"    -> OracleSql.louvain3(),
     "graph_assortativity" ->
       """WITH nb AS (
         |  SELECT c_custkey AS src,
@@ -336,6 +340,7 @@ object SparkEntry {
         |FROM agg""".stripMargin,
     "graph_clustering_coeff" -> OracleSql.clusteringCoeff,
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
+    "graph_allshortest_weighted" -> OracleSql.wasp(),
     "graph_betweenness"   -> OracleSql.betweenness(),
     "graph_closeness" ->
       """WITH RECURSIVE nb AS (
@@ -687,6 +692,7 @@ object SparkEntry {
     "graph_hits"        -> OracleSql.hits(),
     "sim_ann_lsh"       -> OracleSql.annLsh(),
     "sim_recall_eval"   -> OracleSql.annRecall(),
+    "sim_ann_tuning"    -> OracleSql.annTuning(),
     "embed_cos_hist" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -314,6 +314,75 @@ object Algorithms {
     louvainReport(edges, projected, mRow)
   }
 
+  /** Multi-LEVEL Louvain (the phase-3 completion of [[louvain2Query]]'s
+    * single contraction): local-moving rounds + contraction repeat up
+    * to `maxLevels` times, stopping EARLY at any level whose
+    * partition no longer shrinks the coarse graph (Blondel et al.
+    * 2008 §2's outer loop, level-budgeted like every other iterative
+    * operator here — kcore, labelProp, the rounds of louvain
+    * itself). A discarded non-shrinking candidate ends the loop; the
+    * result is the last accepted projection — always a valid
+    * partition, coarser per accepted level.
+    *
+    * Why bounded rather than run-to-fixpoint: the deterministic
+    * SYNCHRONOUS local-moving discipline shift-oscillates in the
+    * interior of long chain-like regions (all interior nodes
+    * simultaneously chase their smallest-id neighbor community), so
+    * merges trickle in from region boundaries at a near-constant
+    * count per level — measured on this corpus' per-nation chains:
+    * ~4 merges per nation per level regardless of chain length. A
+    * stops-shrinking fixpoint is therefore unbounded-depth at scale,
+    * while each accepted level still strictly coarsens; the budget
+    * IS the contract, and the oracle replays it exactly
+    * (`maxLevels` unrolled level blocks, each conditionally a
+    * pass-through once the shrink test fails — after a rejected
+    * level the carried state reproduces itself, so later blocks are
+    * no-ops).
+    *
+    * 100 TB notes: level 1's rounds are the corpus-scale cost (the
+    * [[louvainQuery]] exchange shape); every deeper level runs on a
+    * COMMUNITY-cardinality graph shrunk by the previous level's
+    * reduction factor, and the loop's driver-side work is one count
+    * per level. Projection back composes one community-keyed join per
+    * accepted level over the node-cardinality frame.
+    */
+  def louvain3Query(spark: SparkSession, sfDir: String,
+      r: Int = 2, maxLevels: Int = 4): DataFrame = {
+    val (edges, sym0, mRow) = louvainBase(spark, sfDir)
+    val deg = sym0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var sym = sym0.withColumn("w", lit(1L))
+    var nodes = deg.select(col("id"), col("id").as("comm"), col("deg"))
+    var proj: DataFrame = null
+    var nNodes = nodes.count()
+    var converged = false
+    var level = 0
+    while (!converged && level < maxLevels) {
+      level += 1
+      val cand = louvainRounds(sym, nodes, mRow, r, weighted = true)
+      val nComm = cand.select(col("comm")).distinct().count()
+      if (nComm < nNodes) {
+        proj =
+          if (proj == null) cand
+          else roundLeaf(proj
+            .join(cand.select(col("id").as("__s"), col("comm").as("__c")),
+              proj("comm") === col("__s"))
+            .select(proj("id"), col("__c").as("comm"), proj("deg")))
+        val cl = cand.select(col("id"), col("comm"))
+        sym = roundLeaf(sym
+          .join(cl.select(col("id").as("src"), col("comm").as("ca")), Seq("src"))
+          .join(cl.select(col("id").as("dst"), col("comm").as("cb")), Seq("dst"))
+          .filter(col("ca") =!= col("cb"))
+          .groupBy(col("ca").as("src"), col("cb").as("dst"))
+          .agg(sum(col("w")).as("w")))
+        nodes = roundLeaf(cand.groupBy(col("comm"))
+          .agg(sum(col("deg")).as("deg"))
+          .select(col("comm").as("id"), col("comm"), col("deg")))
+        nNodes = nComm
+      } else converged = true
+    }
+    louvainReport(edges, if (proj == null) nodes else proj, mRow)
+  }
+
   /** Degree-assortativity coefficient (Newman 2002) over the
     * per-nation consecutive-customer graph — the one-number
     * graph-shape QA next to [[degreeDistQuery]]'s histogram: r > 0
@@ -375,6 +444,26 @@ object Algorithms {
     (edges, sym, mRow)
   }
 
+  /** Materializes an iterative-loop frame as a TRUE optimizer leaf:
+    * eager localCheckpoint (computes once, truncates lineage), then a
+    * fresh-DataFrame wrap that DROPS the checkpoint's inherited
+    * statistics. Why the wrap: Spark carries the origin plan's
+    * ESTIMATED stats into the checkpoint leaf
+    * (`LogicalRDD.originStats`), and a round plan that joins the
+    * previous leaf against itself MULTIPLIES size estimates — k
+    * compositions give an estimate with ~3^k digits, and Catalyst
+    * then spends minutes in BigInteger multiplication just VISITING
+    * stats (observed hanging louvain3's level loop; plain persist()
+    * instead leaves the analyzed tree un-truncated and tree-string
+    * generation explodes the same way). The wrap costs one
+    * InternalRow↔Row conversion per read of a node-cardinality frame
+    * — noise next to the exchanges it sits between.
+    */
+  private def roundLeaf(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** The synchronous local-moving loop shared by [[louvainQuery]] and
     * [[louvain2Query]]: `sym` is the symmetrized edge list (with a
     * `w` weight column when `weighted`; self-loops excluded — their
@@ -411,7 +500,7 @@ object Algorithms {
         .withColumn("rk", row_number().over(rankW))
         .filter(col("rk") === 1)
         .select(col("src").as("id"), col("nc").as("comm"), col("ki").as("deg"))
-        .localCheckpoint(true)
+      comm = roundLeaf(comm)
     }
     comm
   }
@@ -1122,6 +1211,77 @@ object Algorithms {
     c.select(col("c_custkey").as("id"))
       .join(dist, Seq("id"), "left_outer")
       .select(col("id"), col("cost"))
+      .orderBy(col("id"))
+  }
+
+  /** WEIGHTED all-shortest-path multiplicity (σ counting over weighted
+    * distances — the counting companion Neo4j pairs with its weighted
+    * shortest-path procedures, where the engine's Cypher
+    * `allShortestPaths` counts unweighted hops): per node, the
+    * cheapest cost from its nation's source AND the NUMBER of
+    * distinct minimum-cost paths realizing it.
+    *
+    * Brandes' recurrence generalizes unchanged to weights: the
+    * shortest-path DAG is the set of TIGHT edges
+    * (`dist(u) + w(u,v) = dist(v)`, acyclic since weights are
+    * positive), and σ(v) = Σ over tight predecessors σ(u), σ = 1 at
+    * the source. σ propagates with `rounds` synchronous sweeps,
+    * exact integer counts throughout.
+    *
+    * HOP-BOUNDED contract (inherited from [[ssspBoundedHops]] and
+    * applied to σ the same way): `cost` is the cheapest ≤ rounds-hop
+    * path and `n_paths` counts tight paths of ≤ rounds hops — the
+    * exact Dijkstra answer whenever true shortest paths fit the
+    * bound, and a deterministic truncation when they don't (cheap
+    * many-hop chains can beat short expensive ones past any fixed
+    * bound; the oracle applies the identical bound).
+    *
+    * 100 TB notes: the distance phase is [[ssspBoundedHops]]'s
+    * two-exchange rounds; the tight-DAG extraction is two id-keyed
+    * joins carrying (id, cost) pairs; each σ sweep is one src-keyed
+    * join + id-keyed sum over the (node, count) frame — no frame ever
+    * exceeds node cardinality, and the fixed sweep count keeps the
+    * loop action-free.
+    */
+  def waspQuery(spark: SparkSession, sfDir: String,
+      rounds: Int = 14): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"),
+      lead(col("c_custkey"), 8).over(w).as("d8"))
+    val edges = Seq("d1", "d2", "d8")
+      .map(d => nbr.select(col("src"), col(d).as("dst"))
+        .filter(col("dst").isNotNull))
+      .reduce(_.unionByName(_))
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      .localCheckpoint(true)
+    val sources = c.groupBy(col("c_nationkey"))
+      .agg(min(col("c_custkey")).as("id"))
+      .select(col("id"))
+    val dist = ssspBoundedHops(edges, sources, rounds)
+    val tight = edges
+      .join(dist.select(col("id").as("src"), col("cost").as("__cs")), Seq("src"))
+      .join(dist.select(col("id").as("dst"), col("cost").as("__cd")), Seq("dst"))
+      .filter(col("__cs") + col("w") === col("__cd"))
+      .select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val seed = sources.select(col("id"), lit(1L).as("np"))
+    var sig = seed
+    for (_ <- 1 to rounds) {
+      sig = seed
+        .unionByName(sig.join(tight, sig("id") === tight("src"))
+          .select(col("dst").as("id"), col("np")))
+        .groupBy(col("id")).agg(sum(col("np")).as("np"))
+        .localCheckpoint(true)
+    }
+    c.select(col("c_custkey").as("id"))
+      .join(dist, Seq("id"), "left_outer")
+      .join(sig, Seq("id"), "left_outer")
+      .select(col("id"), col("cost"),
+        coalesce(col("np"), lit(0L)).as("n_paths"))
       .orderBy(col("id"))
   }
 

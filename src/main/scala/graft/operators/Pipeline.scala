@@ -287,14 +287,23 @@ object Pipeline {
     * the plan shape is one hash exchange on the shard key.
     */
   def packChunks(spark: SparkSession, sfDir: String, budget: Long = 2048L,
-      shards: Int = 32): DataFrame = {
+      shards: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // shard count IS the writer parallelism AND the per-shard window
+    // bound (each shard sorts ~n/shards rows): default it to the
+    // session's shuffle parallelism so the layout scales with the
+    // cluster instead of a constant. Callers needing a pinned layout
+    // (the oracle-compared declared query, reader fleets of a fixed
+    // size) pass it explicitly.
+    val nShards =
+      if (shards > 0) shards
+      else spark.sessionState.conf.numShufflePartitions
     val nTok = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
         nTok.as("n_tok"))
       .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"), col("start_off"),

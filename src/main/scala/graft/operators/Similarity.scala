@@ -583,6 +583,72 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Hyperplane-LSH TUNING CURVE — the index-parameter sweep next to
+    * [[recallEval]]'s single operating point (and the hyperplane twin
+    * of the MinHash banding curve `Dedup.lshTuningCurve`): for every
+    * (plane count, probe radius) on the grid, the measured recall@k
+    * against the exact top-k AND the measured candidate volume. This
+    * is the table an operator reads to pick the accuracy/cost
+    * operating point: planes cut candidates exponentially but cost
+    * recall; Hamming-1 multi-probe buys most of it back at
+    * (planes+1)× probe volume.
+    *
+    * On isotropic-noise embeddings recall is near zero BY
+    * CONSTRUCTION (no neighbor structure exists to find) — the curve
+    * is still exactly oracle-checked; on the clustered ScaleGen
+    * corpora (k centers + noise) the same sweep exhibits the ≥0.8
+    * operating points, which is where the parameters get chosen.
+    *
+    * 100 TB notes: the exact side is the [[topkBruteforce]] broadcast
+    * pass computed ONCE and shared by every grid cell; each cell adds
+    * one corpus map (bucket bits) + one broadcast probe join whose
+    * candidate volume is the very quantity being measured. Grid cells
+    * union as independent branches — nothing quadratic, nothing
+    * corpus-keyed beyond the scans.
+    */
+  def annTuning(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val exact = topkBruteforce(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id")).localCheckpoint(true)
+    val emb = embWithNorm(spark, sfDir)
+    val grid = for (p <- Seq(6, 10, 14); h <- Seq(0, 1, 2)) yield (p, h)
+    grid.map { case (np, h) =>
+      val bucket = (0 until np).map { p =>
+        val proj = dot(col("v"),
+          array((0 until 64).map(d => lit(planeComponent(p, d))): _*))
+        when(proj >= 0.0, lit(1L << p)).otherwise(0L)
+      }.reduce((x, y) => x.bitwiseOR(y))
+      val bucketed = emb.withColumn("bucket", bucket)
+      val masks = (0L until (1L << np))
+        .filter(m => java.lang.Long.bitCount(m) <= h)
+      val probeCols = array(masks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)
+      val queries = bucketed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"), explode(probeCols).as("probe"))
+      val cand = bucketed.filter(col("vec_id") >= 5)
+        .join(broadcast(queries), col("bucket") === col("probe"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val ann = cand
+        .withColumn("score", round(
+          when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+            .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))),
+          6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val recall = exact.join(broadcast(ann), Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("n_hit"))
+        .agg(round(avg(col("n_hit").cast("double") / k), 6).as("mean_recall"))
+      val volume = cand.agg(count(lit(1)).as("total_candidates"))
+      recall.crossJoin(volume)
+        .select(lit(np.toLong).as("n_planes"), lit(h.toLong).as("probe_hamming"),
+          (col("mean_recall") + lit(0.0)).as("mean_recall"),
+          col("total_candidates"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("n_planes"), col("probe_hamming"))
+  }
+
   /** Pairwise-cosine HISTOGRAM over a deterministic pair sample
     * (consecutive vec_ids) — the embedding-space shape check next to
     * [[pcaPower]]'s anisotropy number: a healthy space puts random

@@ -105,7 +105,7 @@ object ScaleGen {
     val dims = read("embeddings")
       .select(size(col("embedding"))).head().getInt(0)
     val vecs = spark.range(nVecs).map { id =>
-      (id, synthVec(id, dims), (id % 10).toInt)
+      (id, synthVec(id, dims), (id % Clusters % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
     write(vecs, "embeddings")
   }
@@ -143,12 +143,29 @@ object ScaleGen {
     sb.toString
   }
 
-  /** Deterministic embedding: `dims` floats in [-1, 1). */
+  /** Cluster count for the synthetic embedding space (labels project
+    * to `Clusters % 10`, so per-label centroids stay meaningful too).
+    */
+  val Clusters = 64
+
+  /** Deterministic CLUSTERED embedding: vec = center(id % Clusters)
+    * + 0.35·noise(id), each component uniform in [-1, 1). Earlier
+    * rounds generated pure i.i.d. noise, which makes every
+    * nearest-neighbor eval vacuous (recall ~ 0 BY CONSTRUCTION — no
+    * neighbor structure exists to find); with k centers + noise,
+    * same-cluster cosine concentrates near 1/(1+0.35²) ≈ 0.89 and
+    * cross-cluster near 0, so recall/tuning sweeps exhibit real
+    * operating points at scale.
+    */
   def synthVec(id: Long, dims: Int): Array[Float] = {
+    var cs = (id % Clusters) * -7046029254386353131L + 0x2545F4914F6CDD1DL
     var s = id * 2862933555777941757L + 3037000493L
     Array.fill(dims) {
+      cs = cs * 6364136223846793005L + 1442695040888963407L
       s = s * 2862933555777941757L + 3037000493L
-      ((s >>> 20) % 2000000L - 1000000L) / 1000000.0f
+      val center = ((cs >>> 20) % 2000000L - 1000000L) / 1000000.0f
+      val noise = ((s >>> 20) % 2000000L - 1000000L) / 1000000.0f
+      center + 0.35f * noise
     }
   }
 }

@@ -232,6 +232,44 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(p2.map(_.getAs[Double]("q_part")).sum > 0.0)
   }
 
+  test("louvain3: each accepted level only coarsens, masses conserved") {
+    val p2 = Algorithms.louvain2Query(spark, TestSpark.sf).collect()
+    val p3 = Algorithms.louvain3Query(spark, TestSpark.sf).collect()
+    assert(p3.nonEmpty)
+    // deeper contraction can only merge further relative to phase-1
+    // rounds with the same budget shape; mass conservation is exact
+    val p1 = Algorithms.louvainQuery(spark, TestSpark.sf, rounds = 2).collect()
+    assert(p3.length <= p1.length)
+    assert(p3.map(_.getAs[Long]("n_nodes")).sum ==
+      p1.map(_.getAs[Long]("n_nodes")).sum)
+    assert(p3.map(_.getAs[Long]("deg_sum")).sum ==
+      p1.map(_.getAs[Long]("deg_sum")).sum)
+    assert(p3.forall(r => math.abs(r.getAs[Double]("q_part")) < 1.0))
+    assert(p3.map(_.getAs[Double]("q_part")).sum > 0.0)
+    // the level loop goes at least as deep as louvain2's single
+    // contraction on this graph
+    assert(p3.length <= p2.length)
+  }
+
+  test("weighted all-shortest multiplicity: sources exact, counts positive") {
+    val rows = Algorithms.waspQuery(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val dist = Algorithms.ssspQuery(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(1)) null else r.getAs[Long]("cost"))).toMap
+    rows.foreach { r =>
+      val (id, np) = (r.getAs[Long]("id"), r.getAs[Long]("n_paths"))
+      val cost = if (r.isNullAt(1)) null else r.getAs[Long]("cost")
+      // the distance phase is exactly graph_sssp_weighted's
+      assert(dist(id) == cost, s"cost mismatch for $id")
+      if (cost != null && cost == 0L) assert(np == 1L, s"source $id np=$np")
+      if (cost != null) assert(np >= 1L, s"reached $id has np=$np")
+      else assert(np == 0L, s"unreached $id has np=$np")
+    }
+    // the skip-link weights genuinely produce tied shortest paths
+    assert(rows.exists(_.getAs[Long]("n_paths") > 1L))
+  }
+
   test("assortativity: bounded correlation, moments consistent with degrees") {
     val r = Algorithms.assortativityQuery(spark, TestSpark.sf).collect().head
     val (m, sxy, sx, sx2) = (r.getAs[Long]("m"), r.getAs[Long]("sum_xy"),
