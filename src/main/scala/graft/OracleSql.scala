@@ -868,8 +868,10 @@ object OracleSql {
          |    UNION ALL SELECT id AS src, comm AS nc, 0 AS kic FROM $p${j - 1})
          |  GROUP BY 1, 2),
          |$p$j AS MATERIALIZED (
-         |  SELECT src AS id, nc AS comm, ki AS deg FROM (
-         |    SELECT u.src, u.nc, c.deg AS ki, row_number() OVER (
+         |  SELECT src AS id,
+         |    CASE WHEN (src + $j) % 2 = 0 THEN nc ELSE oc END AS comm,
+         |    ki AS deg FROM (
+         |    SELECT u.src, u.nc, c.comm AS oc, c.deg AS ki, row_number() OVER (
          |      PARTITION BY u.src ORDER BY
          |        2 * mm.m * u.kic - c.deg *
          |          (CASE WHEN u.nc = c.comm THEN t.tot - c.deg
