@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Frame materialization helpers shared by multi-pass operators. */
+object Frames {
+
+  /** Eagerly materializes a frame as a TRUE optimizer leaf: eager
+    * localCheckpoint (computes once, truncates lineage), then a
+    * fresh-DataFrame wrap that DROPS the checkpoint's inherited
+    * statistics. Use between the passes of an operator whose next
+    * stage references the previous one several times — a plain
+    * persist() leaves the full logical tree in place, so analysis
+    * and optimization still walk (and a self-joining round plan's
+    * size ESTIMATES still compound through `LogicalRDD.originStats`
+    * into BigInts with exponentially many digits — Catalyst then
+    * burns minutes just visiting stats). The wrap costs one
+    * InternalRow↔Row conversion per read — noise next to the
+    * exchanges it sits between.
+    */
+  def leaf(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+}

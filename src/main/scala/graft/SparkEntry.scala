@@ -176,6 +176,7 @@ object SparkEntry {
     "events_markov"        -> (Events.markovTransitions(_, _)),
     "events_windowed_topk" -> (Events.windowedTopk(_, _)),
     "events_rfm"        -> (Events.rfm(_, _)),
+    "events_attribution" -> (Events.attribution(_, _)),
     // §2.3 LLM pipeline
     "dedup_exact"         -> (Dedup.exact(_, _)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -1222,6 +1223,23 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
         |    PARTITION BY src_type) AS DOUBLE), 6) + 0.0 AS p
         |FROM cnt ORDER BY src_type, dst_type""".stripMargin,
+    "events_attribution" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+        |    MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM f GROUP BY user_id)
+        |SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM u GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
     "events_rfm" ->
       """WITH gm AS (SELECT MAX(ts) AS global_max FROM events),
         |per AS (

@@ -459,10 +459,7 @@ object Algorithms {
     * InternalRow↔Row conversion per read of a node-cardinality frame
     * — noise next to the exchanges it sits between.
     */
-  private def roundLeaf(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  private def roundLeaf(df: DataFrame): DataFrame = graft.Frames.leaf(df)
 
   /** The synchronous local-moving loop shared by [[louvainQuery]] and
     * [[louvain2Query]]: `sym` is the symmetrized edge list (with a

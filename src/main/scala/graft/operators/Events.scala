@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -514,14 +514,28 @@ object Events {
         datediff(to_date(col("global_max")), to_date(col("last_ts"))).cast("long"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"))
-      .persist()
-    val withR = HistogramNtile.withNtile(per, Nil,
-      col("recency_days"), Seq(col("recency_days"), col("user_id")), 3, "r")
-    val withF = HistogramNtile.withNtile(withR, Nil,
-      -col("frequency"), Seq(col("frequency").desc, col("user_id")), 3, "f")
-    val withM = HistogramNtile.withNtile(withF, Nil,
-      -col("monetary"), Seq(col("monetary").desc, col("user_id")), 3, "m")
-    withM
+    // the per-user frame materializes ONCE as a true leaf (withNtile
+    // references its input several times — stats agg, histogram agg,
+    // wholesale branch, straddle branch — and chaining the three
+    // metric passes would re-expand each stage per reference,
+    // exponentially); the three tercile passes then run as
+    // independent branches off that leaf and join back on user_id.
+    // Size-adaptive: a user frame under the threshold pays one plain
+    // ntile window per metric (bit-equal result), corpus-cardinality
+    // user counts take the broadcast-rank histogram plan
+    val perL = graft.Frames.leaf(per)
+    val nUsers = perL.count()
+    def tile(sortAsc: Column, orderWithin: Seq[Column], out: String) =
+      HistogramNtile.withNtileAdaptive(perL, nUsers, Nil, sortAsc,
+          orderWithin, 3, out)
+        .select(col("user_id"), col(out))
+    perL
+      .join(tile(col("recency_days"),
+        Seq(col("recency_days"), col("user_id")), "r"), Seq("user_id"))
+      .join(tile(-col("frequency"),
+        Seq(col("frequency").desc, col("user_id")), "f"), Seq("user_id"))
+      .join(tile(-col("monetary"),
+        Seq(col("monetary").desc, col("user_id")), "m"), Seq("user_id"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"),
         col("r"), col("f"), col("m"),
@@ -613,5 +627,41 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(k)
+  }
+
+  /** First-touch / last-touch ATTRIBUTION — the marketing-analytics
+    * join of the journey family: per user, the event type that opened
+    * the journey and the one that closed it (by timestamp, event_id
+    * tie-break), aggregated into a (first_touch, last_touch) matrix
+    * with user counts and total event value. The two-ended view that
+    * arbitrates between first- and last-click credit models.
+    *
+    * Value totals accumulate as DECIMAL(18,4) (order-independent
+    * exact sums) and surface as double — the [[rfm]] monetary
+    * discipline.
+    *
+    * 100 TB notes: ONE user-keyed exchange serves both window passes
+    * (same partitioning, two sort orders) and the per-user collapse;
+    * the touch matrix is |types|² and aggregates map-side.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        col("event_id"))
+      .withColumn("rf", row_number().over(wAsc))
+      .withColumn("rl", row_number().over(wDesc))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rf") === 1, col("event_type"))).as("first_touch"),
+        max(when(col("rl") === 1, col("event_type"))).as("last_touch"),
+        sum(col("value").cast("decimal(18,4)")).as("v"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("first_touch"), col("last_touch"))
   }
 }

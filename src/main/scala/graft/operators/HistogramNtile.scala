@@ -84,6 +84,26 @@ object HistogramNtile {
       .drop("__hs", "__hb", "__before", "__gn", "__tstart", "__tend")
   }
 
+  /** Size-ADAPTIVE spelling of [[withNtile]]: at or below `threshold`
+    * rows the plain SQL-ntile window runs instead — the two spellings
+    * are bit-equal (HistogramNtileSpec sweeps that), so this is a
+    * pure plan choice: a frame that fits one executor's sort budget
+    * pays one window instead of the histogram machinery's several
+    * small jobs, while anything larger takes the broadcast-rank plan
+    * whose sorts never exceed ~n/buckets rows. The caller passes the
+    * frame's row count (it usually has it from materializing the
+    * frame); the decision is a deterministic function of the data, so
+    * reruns and the oracle agree on the RESULT either way.
+    */
+  def withNtileAdaptive(df: DataFrame, n: Long, groupCols: Seq[String],
+      sortAsc: Column, orderWithin: Seq[Column], tiles: Int, out: String,
+      buckets: Int = 256, threshold: Long = 1L << 20): DataFrame =
+    if (n <= threshold) {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(orderWithin: _*)
+      df.withColumn(out, ntile(tiles).over(w).cast("long"))
+    } else withNtile(df, groupCols, sortAsc, orderWithin, tiles, out, buckets)
+
   /** SQL ntile tile of global rank `r` among `n` rows with `t` tiles:
     * the first n % t tiles take ⌊n/t⌋+1 rows, the rest ⌊n/t⌋. The
     * divide-by-zero branch is unreachable when ⌊n/t⌋ = 0 (then

@@ -193,10 +193,13 @@ object TextAnalysis {
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = unigramLogprob(spark, sfDir)
     val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
-    val base = scored.join(langs, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("mean_logprob"))
-      .persist()
-    HistogramNtile.withNtile(base, Seq("lang"),
+    val base = graft.Frames.leaf(scored.join(langs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("mean_logprob")))
+    // size-adaptive: under the threshold each language pays one plain
+    // ntile window (bit-equal result); a crawl-scale corpus takes the
+    // broadcast-rank histogram plan where no partition exceeds
+    // ~n/buckets rows regardless of language skew
+    HistogramNtile.withNtileAdaptive(base, base.count(), Seq("lang"),
         -col("mean_logprob"), Seq(col("mean_logprob").desc, col("doc_id")),
         3, "tercile")
       .select(col("doc_id"), col("lang"), col("mean_logprob"),

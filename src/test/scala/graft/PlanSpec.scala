@@ -505,7 +505,12 @@ class PlanSpec extends AnyFunSuite {
       s"queries planning an unpartitioned window: ${offenders.mkString(", ")}")
     // the allowlist is VERIFIED, not trusted: every allowlisted bare
     // window's input must prove its collapse — an Aggregate (bounded
-    // domain) or GlobalLimit (top-k) strictly below it
+    // domain), a GlobalLimit (top-k), or a LogicalRDD leaf (a frame
+    // deliberately materialized through Frames.leaf, which in this
+    // codebase only happens where an operator has already COUNTED the
+    // frame and size-adaptively chose the plain-window spelling for
+    // it — HistogramNtile.withNtileAdaptive)
+    import org.apache.spark.sql.execution.LogicalRDD
     allow.keys.foreach { name =>
       val children = bareWindows(name)
       assert(children.nonEmpty, s"$name: stale allowlist entry, drop it")
@@ -513,6 +518,7 @@ class PlanSpec extends AnyFunSuite {
         val collapsed = c.collectFirst {
           case a: Aggregate => a
           case l: GlobalLimit => l
+          case l: LogicalRDD => l
         }.isDefined
         assert(collapsed,
           s"$name: bare window input is not provably collapsed:\n$c")
