@@ -1278,12 +1278,15 @@ object Algorithms {
       .repartition(col("src")).localCheckpoint(true)
     val seed = sources.select(col("id"), lit(1L).as("np"))
     var sig = seed
-    for (_ <- 1 to rounds) {
+    for (k <- 1 to rounds) {
       sig = seed
         .unionByName(sig.join(tight, sig("id") === tight("src"))
           .select(col("dst").as("id"), col("np")))
         .groupBy(col("id")).agg(sum(col("np")).as("np"))
-        .localCheckpoint(true)
+      // stride-3 checkpoints: each sweep references sig ONCE, so the
+      // un-truncated tail grows linearly, and three sweeps of plan per
+      // materialization trades 2/3 of the driver actions for nothing
+      if (k % 3 == 0 || k == rounds) sig = sig.localCheckpoint(true)
     }
     c.select(col("c_custkey").as("id"))
       .join(dist, Seq("id"), "left_outer")
