@@ -32,7 +32,10 @@ object ScaleSpot {
       val times = (1 to reps).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val n = try fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[scalespot] $name failed: $e"); -1L
+        }
         dropCaches()
         ((System.nanoTime() - t0) / 1e9, n)
       }

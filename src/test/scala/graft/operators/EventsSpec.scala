@@ -160,6 +160,27 @@ class EventsSpec extends AnyFunSuite {
     assert(rows.length.toLong == users)
   }
 
+  test("attribution: matrix covers every user once, touches are real extremes") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.attribution(spark, graft.TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, graft.TestSpark.sf)
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    // spot-check one user's touches against a direct sort
+    val first = ev.orderBy(col("ts"), col("event_id")).select("user_id", "event_type")
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.head.getString(1) }
+    val last = ev.orderBy(col("ts").desc, col("event_id").desc)
+      .select("user_id", "event_type")
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.head.getString(1) }
+    val pairCounts = first.keys.toSeq
+      .groupBy(u => (first(u), last(u))).map { case (k, us) => k -> us.size.toLong }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("first_touch"), r.getAs[String]("last_touch"))
+      assert(pairCounts(k) == r.getAs[Long]("n_users"), s"pair $k")
+    }
+  }
+
   private def spk_enc: org.apache.spark.sql.Encoder[Long] =
     org.apache.spark.sql.Encoders.scalaLong
 }

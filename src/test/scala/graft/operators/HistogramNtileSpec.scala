@@ -46,6 +46,22 @@ class HistogramNtileSpec extends AnyFunSuite {
       .except(actual.select(col("doc_id"), col("t"))).isEmpty)
   }
 
+  test("adaptive spelling picks by size and stays bit-equal") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
+    val n = docs.count()
+    val small = HistogramNtile.withNtileAdaptive(docs, n, Seq("lang"),
+      col("len"), Seq(col("len"), col("doc_id")), 3, "t")
+    val big = HistogramNtile.withNtileAdaptive(docs, n, Seq("lang"),
+      col("len"), Seq(col("len"), col("doc_id")), 3, "t", threshold = 1)
+    // below-threshold → plain window (no histogram aggregate in plan);
+    // above → histogram plan; both bit-equal
+    assert(small.queryExecution.optimizedPlan.toString.contains("ntile"))
+    assert(!big.queryExecution.optimizedPlan.toString.contains("ntile"))
+    assert(small.select(col("doc_id"), col("t"))
+      .except(big.select(col("doc_id"), col("t"))).isEmpty)
+  }
+
   test("degenerate group: all-equal keys collapse into one bucket") {
     val s = spark
     import s.implicits._
