@@ -1121,6 +1121,79 @@ object OracleSql {
        |ORDER BY n_planes, probe_hamming""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.ivfTuning]]: shared label-centroid
+    * assignment + exact top-k, then per-nprobe the probe join, top-k,
+    * recall aggregate and candidate count, unioned into the curve.
+    */
+  def ivfTuning(k: Int = 10): String = {
+    val cells = Seq(1, 2, 4).zipWithIndex.map { case (p, i) =>
+      s"""q$i AS (SELECT cell, q_id, q_v, q_nrm FROM qall WHERE rk <= $p),
+         |cand$i AS (
+         |  SELECT q.q_id, d.vec_id,
+         |    round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+         |      ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6)
+         |      + 0.0 AS score
+         |  FROM d JOIN q$i q USING (cell)),
+         |ann$i AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+         |    FROM cand$i) WHERE rank <= $k),
+         |rec$i AS (
+         |  SELECT round(avg(CAST(n_hit AS DOUBLE) / $k), 6) + 0.0 AS mean_recall
+         |  FROM (
+         |    SELECT exact.q_id, COUNT(ann$i.vec_id) AS n_hit
+         |    FROM exact LEFT JOIN ann$i
+         |      ON exact.q_id = ann$i.q_id AND exact.vec_id = ann$i.vec_id
+         |    GROUP BY exact.q_id)),
+         |vol$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_candidates
+         |          FROM cand$i)""".stripMargin
+    }.mkString(",\n")
+    val rows = Seq(1, 2, 4).zipWithIndex.map { case (p, i) =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe, mean_recall, total_candidates
+         |FROM rec$i CROSS JOIN vol$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ex AS (
+       |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
+       |  FROM embeddings),
+       |cd AS (
+       |  SELECT label, d,
+       |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS c
+       |  FROM ex GROUP BY label, d),
+       |cent AS (SELECT label AS cell, list(c ORDER BY d) AS cvec
+       |         FROM cd GROUP BY label),
+       |n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(v, v) - 2.0*list_dot_product(v, cvec)
+       |        + list_dot_product(cvec, cvec), cell) AS rk
+       |  FROM n CROSS JOIN cent),
+       |d AS (SELECT cell, vec_id, v, nrm FROM assign
+       |      WHERE rk = 1 AND vec_id >= 5),
+       |qall AS (SELECT cell, rk, vec_id AS q_id, v AS q_v, nrm AS q_nrm
+       |         FROM assign WHERE vec_id < 5),
+       |ex_s AS (
+       |  SELECT q.vec_id AS q_id, dd.vec_id,
+       |    round(CASE WHEN dd.nrm = 0 OR q.nrm = 0 THEN 0
+       |      ELSE list_dot_product(dd.v, q.v) / (dd.nrm * q.nrm) END, 6)
+       |      + 0.0 AS score
+       |  FROM (SELECT * FROM n WHERE vec_id >= 5) dd
+       |  CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q),
+       |ex_r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM ex_s),
+       |exact AS (SELECT q_id, vec_id FROM ex_r WHERE rank <= $k),
+       |$cells
+       |$rows
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** Per-nation customer proximity edges (lead 1 and 2), shared with
     * the triangle-count oracle's construction.
     */

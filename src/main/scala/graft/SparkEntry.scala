@@ -203,6 +203,7 @@ object SparkEntry {
     "sim_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "sim_recall_eval"     -> (Similarity.recallEval(_, _)),
     "sim_ann_tuning"      -> (Similarity.annTuning(_, _)),
+    "sim_ivf_tuning"      -> (Similarity.ivfTuning(_, _)),
     "sim_dim_recall"      -> (Similarity.dimRecall(_, _)),
     "embed_cos_hist"      -> (Similarity.cosHist(_, _)),
     "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
@@ -694,6 +695,7 @@ object SparkEntry {
     "sim_ann_lsh"       -> OracleSql.annLsh(),
     "sim_recall_eval"   -> OracleSql.annRecall(),
     "sim_ann_tuning"    -> OracleSql.annTuning(),
+    "sim_ivf_tuning"    -> OracleSql.ivfTuning(),
     "embed_cos_hist" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

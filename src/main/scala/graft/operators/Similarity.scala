@@ -255,6 +255,63 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF nprobe TUNING CURVE — the cell-probe dial next to
+    * [[annTuning]]'s hyperplane sweep: for every probe count on the
+    * grid, the measured recall@k of [[annIvf]]-style retrieval
+    * against the exact top-k AND the candidate volume. Probing more
+    * cells monotonically buys recall at linear candidate cost — this
+    * is the table that picks nprobe for a latency budget.
+    *
+    * 100 TB notes: the cell assignment (the corpus-scale pass) runs
+    * ONCE and materializes; each grid cell then adds only a broadcast
+    * probe join against it plus the shared exact side. The centroid
+    * table stays broadcast-sized.
+    */
+  def ivfTuning(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val exact = topkBruteforce(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id")).localCheckpoint(true)
+    val cents = labelCentroids(spark, sfDir)
+      .groupBy(col("label").as("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("centroid")))),
+        s => s.getField("centroid")).as("cvec"))
+    val emb = embWithNorm(spark, sfDir)
+    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cvec")) +
+      dot(col("cvec"), col("cvec"))
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(d2.asc, col("cell"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("rk", row_number().over(assignW))
+    val data = graft.Frames.leaf(
+      assigned.filter(col("rk") === 1 && col("vec_id") >= 5)
+        .select(col("cell"), col("vec_id"), col("v"), col("nrm")))
+    val qRanks = graft.Frames.leaf(
+      assigned.filter(col("vec_id") < 5)
+        .select(col("cell"), col("rk"), col("vec_id").as("q_id"),
+          col("v").as("q_v"), col("nrm").as("q_nrm")))
+    Seq(1, 2, 4).map { p =>
+      val probes = qRanks.filter(col("rk") <= p).drop("rk")
+      val cand = data.join(broadcast(probes), Seq("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val ann = cand
+        .withColumn("score", round(
+          when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+            .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))),
+          6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val recall = exact.join(broadcast(ann), Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id")).agg(count(col("hit")).as("n_hit"))
+        .agg(round(avg(col("n_hit").cast("double") / k), 6).as("mean_recall"))
+      val volume = cand.agg(count(lit(1)).as("total_candidates"))
+      recall.crossJoin(volume)
+        .select(lit(p.toLong).as("nprobe"),
+          (col("mean_recall") + lit(0.0)).as("mean_recall"),
+          col("total_candidates"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   /** Deterministic k-means over the embedding corpus — the semantic
     * clustering step of a curation pipeline (cluster-balanced
     * sampling, semantic dedup, topic bucketing). Init is the first
