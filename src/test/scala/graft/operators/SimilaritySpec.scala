@@ -330,4 +330,26 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Long]("bench_id") % benchMod == 0
     })
   }
+
+  test("tuning curves: probing more is monotone in recall and candidates") {
+    // hyperplane sweep: within a plane count, raising the Hamming
+    // probe radius can only widen the candidate set (superset probes)
+    // and therefore never lowers measured recall
+    val ann = Similarity.annTuning(spark, TestSpark.sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    for (p <- Seq(6L, 10L, 14L); h <- Seq(0L, 1L)) {
+      val (rec0, cand0) = ann((p, h))
+      val (rec1, cand1) = ann((p, h + 1))
+      assert(cand1 >= cand0, s"planes=$p: candidates shrank raising radius")
+      assert(rec1 >= rec0 - 1e-9, s"planes=$p: recall dropped raising radius")
+    }
+    // IVF sweep: same superset argument over probed cells
+    val ivf = Similarity.ivfTuning(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    for (Seq(a, b) <- Seq(1L, 2L, 4L).sliding(2)) {
+      assert(ivf(b)._2 >= ivf(a)._2, s"nprobe $b candidates < nprobe $a")
+      assert(ivf(b)._1 >= ivf(a)._1 - 1e-9, s"nprobe $b recall < nprobe $a")
+    }
+  }
 }
