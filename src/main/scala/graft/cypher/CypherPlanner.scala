@@ -776,7 +776,7 @@ object CypherPlanner {
         val keyExprs = keyCols.map(col) ++
           plain.map(i => toColumn(i.expr, si.binds).as(i.name))
         val aggCols = aggs.map(i =>
-          toAggColumn(i.expr, si.binds, pathCountVars(si.df)).as(i.name))
+          toAggColumn(i.expr, si.binds, pathCountVars(si.df), si.df).as(i.name))
         val g = si.df.groupBy(keyExprs: _*).agg(aggCols.head, aggCols.tail: _*)
         // count() over zero matches must yield 0, not a dropped row
         val allCounts = plain.isEmpty && aggs.forall(_.expr match {
@@ -1049,7 +1049,7 @@ object CypherPlanner {
     var df =
       if (aggs.nonEmpty) {
         val aggCols = aggs.map(i =>
-          toAggColumn(i.expr, s.binds, pathCountVars(s.df)).as(i.name))
+          toAggColumn(i.expr, s.binds, pathCountVars(s.df), s.df).as(i.name))
         val keyCols = nodeCols ++ scalarCols
         if (keyCols.isEmpty) s.df.agg(aggCols.head, aggCols.tail: _*)
         else s.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -1181,7 +1181,7 @@ object CypherPlanner {
         val (aggs, keys) = q.items.partition(i => isAggregate(i.expr))
         val keyCols = keys.map(i => toColumn(i.expr, s.binds).as(i.name))
         val aggCols = aggs.map(i =>
-          toAggColumn(i.expr, s.binds, pathCountVars(df)).as(i.name))
+          toAggColumn(i.expr, s.binds, pathCountVars(df), df).as(i.name))
         if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           // backticks: whole-node expansion names columns `v.prop`
@@ -2393,8 +2393,24 @@ object CypherPlanner {
       case c if c.endsWith("__@npaths") => c.stripSuffix("__@npaths")
     }.toSet
 
+  /** Neo4j `sum()`/`avg()` result typing dispatches on the OPERAND
+    * type: an integral operand yields an INTEGER (long) sum, a float
+    * operand a FLOAT (double) one. The operand's Spark type is only
+    * known against the actual frame, so the aggregation call sites
+    * pass their input df for a plan-time resolve.
+    */
+  private def isIntegralOn(df: DataFrame, c: Column): Boolean =
+    df.select(c).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   private def toAggColumn(e: CExpr, scalars: Bindings,
-      npaths: Set[String] = Set.empty): Column = e match {
+      npaths: Set[String] = Set.empty,
+      df: DataFrame = null): Column = e match {
     case FnCall("count", Some(Ident(p)), _, false) if npaths(p) =>
       sum(col(s"${p}__@npaths")).cast("long")
     case FnCall("count", _, true, _)       => count(lit(1))
@@ -2402,10 +2418,14 @@ object CypherPlanner {
     case FnCall("count", Some(a), _, _)    => count(toColumn(a, scalars))
     // fixed-point accumulation (like Relational's money sums): decimal
     // summation is exact, so parallel combine order cannot perturb low
-    // bits; result surfaces as double
+    // bits; the surfaced type follows Neo4j sum() typing — long for an
+    // integral operand, double for a float one
     case FnCall("sum", Some(a), _, d) =>
-      val c = toColumn(a, scalars).cast("decimal(18,4)")
-      (if (d) sum_distinct(c) else sum(c)).cast("double")
+      val operand = toColumn(a, scalars)
+      val c = operand.cast("decimal(18,4)")
+      val acc = if (d) sum_distinct(c) else sum(c)
+      if (df != null && isIntegralOn(df, operand)) acc.cast("long")
+      else acc.cast("double")
     case FnCall("min", Some(a), _, _) => min(toColumn(a, scalars))
     case FnCall("max", Some(a), _, _) => max(toColumn(a, scalars))
     // avg via the same fixed-point sum over an explicit count, so the

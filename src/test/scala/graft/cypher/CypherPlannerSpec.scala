@@ -224,6 +224,27 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getDouble(1) - expected) < 1e-6)
   }
 
+  test("sum() result type follows the operand: integral -> long, float -> double") {
+    // Neo4j sum() typing: summing integers yields an integer, summing
+    // floats a float. The decimal fixed-point accumulation is an
+    // implementation detail that must not surface in the result type.
+    val intSum = run(
+      "MATCH (n:Nation) RETURN sum(n.nationkey) AS s")
+    assert(intSum.schema.head.dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(intSum.first().getLong(0) == (0 until 25).sum)
+    val dblSum = run(
+      "MATCH (c:Customer) RETURN sum(c.acctbal) AS s")
+    assert(dblSum.schema.head.dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // and through a WITH horizon (the FOREACH/SET re-match shape)
+    val viaWith = run(
+      "MATCH (n:Nation) WITH n.regionkey AS rk, sum(n.nationkey) AS s " +
+      "RETURN rk, s ORDER BY rk")
+    assert(viaWith.schema("s").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("id(n) projects the node id; bare RETURN n expands to property columns") {
     val ids = run("MATCH (n:Nation) RETURN id(n) AS nid ORDER BY nid")
       .collect().map(_.getLong(0))
