@@ -215,33 +215,61 @@ object Similarity {
         round(col("s").cast("double") / col("n"), 6).as("centroid"))
       .orderBy(col("label"), col("d"))
 
-  /** IVF-style ANN: the label centroids act as a coarse quantizer.
-    * Every vector is assigned to its nearest centroid cell (the
-    * quantizer is tiny and broadcast — an exact argmin over |cells|
-    * rows); each query probes its `nprobe` nearest cells and ranks
-    * exactly within them. At scale the cells are the pruning
-    * mechanism: a query scores ~nprobe/|cells| of the corpus.
+  /** Per-vector in-row cell ranking against the broadcast coarse
+    * quantizer — the IVF assignment step shared by [[annIvf]] and
+    * [[ivfTuning]], spelled exactly like [[kmeansAssignOn]]'s argmin:
+    * the quantizer collapses to a ONE-ROW sorted (cell, cvec) array,
+    * broadcast-carried onto every vector row, and the full cell
+    * ranking is computed IN-ROW as `array_sort(zip(d², cell))` — a
+    * pure map over the corpus. No corpus × |cells| explode, no
+    * vec_id-partitioned window exchange: at 100 TB the assignment
+    * costs one broadcast plus one scan, independent of cell count's
+    * contribution to shuffle volume.
+    *
     * Distances use d² = v·v − 2·v·c + c·c so both engines fold the
-    * identical IEEE sequence; assignment ties break on cell id.
+    * identical IEEE sequence; the struct sort breaks d² ties on the
+    * ascending cell id (same order as the former window's
+    * `ORDER BY d2, cell`).
     */
-  def annIvf(spark: SparkSession, sfDir: String, k: Int = 10, nprobe: Int = 2)
-      : DataFrame = {
-    val cents = labelCentroids(spark, sfDir)
+  private def ivfCellRanking(spark: SparkSession, sfDir: String,
+      emb: DataFrame): DataFrame = {
+    val cs = labelCentroids(spark, sfDir)
       .groupBy(col("label").as("cell"))
       .agg(transform(
         array_sort(collect_list(struct(col("d"), col("centroid")))),
         s => s.getField("centroid")).as("cvec"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+    emb.crossJoin(broadcast(cs))
+      .withColumn("ds", transform(col("cs"), c =>
+        dot(col("v"), col("v")) -
+          lit(2.0) * dot(col("v"), c.getField("cvec")) +
+          dot(c.getField("cvec"), c.getField("cvec"))))
+      .withColumn("pcs", array_sort(zip_with(col("ds"), col("cs"),
+        (d, c) => struct(d.as("d2"), c.getField("cell").as("cell")))))
+      .drop("ds", "cs")
+  }
+
+  /** IVF-style ANN: the label centroids act as a coarse quantizer.
+    * Every vector is assigned to its nearest centroid cell via
+    * [[ivfCellRanking]]'s zero-exchange in-row argmin; each query
+    * probes its `nprobe` nearest cells and ranks exactly within them.
+    * At scale the cells are the pruning mechanism: a query scores
+    * ~nprobe/|cells| of the corpus.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 10, nprobe: Int = 2)
+      : DataFrame = {
     val emb = embWithNorm(spark, sfDir)
-    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cvec")) +
-      dot(col("cvec"), col("cvec"))
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(d2.asc, col("cell"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("rk", row_number().over(assignW))
-    val data = assigned.filter(col("rk") === 1 && col("vec_id") >= 5)
-      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
-    val probes = assigned.filter(col("rk") <= nprobe && col("vec_id") < 5)
-      .select(col("cell"), col("vec_id").as("q_id"),
-        col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val ranked = ivfCellRanking(spark, sfDir, emb)
+    // data side: nearest cell only (head of the in-row ranking);
+    // query side: the nprobe nearest cells, exploded to probe rows
+    val data = ranked.filter(col("vec_id") >= 5)
+      .select(element_at(col("pcs"), 1).getField("cell").as("cell"),
+        col("vec_id"), col("v"), col("nrm"))
+    val probes = ranked.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"), explode(slice(col("pcs"), 1, nprobe)).as("pc"))
+      .select(col("pc").getField("cell").as("cell"), col("q_id"),
+        col("q_v"), col("q_nrm"))
     val scored = data.join(broadcast(probes), Seq("cell"))
       .withColumn("score", round(
         when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
@@ -270,24 +298,20 @@ object Similarity {
   def ivfTuning(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val exact = topkBruteforce(spark, sfDir, k)
       .select(col("q_id"), col("vec_id")).localCheckpoint(true)
-    val cents = labelCentroids(spark, sfDir)
-      .groupBy(col("label").as("cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("d"), col("centroid")))),
-        s => s.getField("centroid")).as("cvec"))
     val emb = embWithNorm(spark, sfDir)
-    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cvec")) +
-      dot(col("cvec"), col("cvec"))
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(d2.asc, col("cell"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("rk", row_number().over(assignW))
+    val ranked = ivfCellRanking(spark, sfDir, emb)
+    val maxProbe = 4
     val data = graft.Frames.leaf(
-      assigned.filter(col("rk") === 1 && col("vec_id") >= 5)
-        .select(col("cell"), col("vec_id"), col("v"), col("nrm")))
+      ranked.filter(col("vec_id") >= 5)
+        .select(element_at(col("pcs"), 1).getField("cell").as("cell"),
+          col("vec_id"), col("v"), col("nrm")))
     val qRanks = graft.Frames.leaf(
-      assigned.filter(col("vec_id") < 5)
-        .select(col("cell"), col("rk"), col("vec_id").as("q_id"),
-          col("v").as("q_v"), col("nrm").as("q_nrm")))
+      ranked.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+          col("nrm").as("q_nrm"),
+          posexplode(slice(col("pcs"), 1, maxProbe)).as(Seq("i", "pc")))
+        .select(col("pc").getField("cell").as("cell"),
+          (col("i") + 1).as("rk"), col("q_id"), col("q_v"), col("q_nrm")))
     Seq(1, 2, 4).map { p =>
       val probes = qRanks.filter(col("rk") <= p).drop("rk")
       val cand = data.join(broadcast(probes), Seq("cell"))

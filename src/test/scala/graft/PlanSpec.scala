@@ -526,6 +526,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF cell assignment is a pure map: no vec_id-partitioned window") {
+    // the coarse-quantizer assignment must be ivfCellRanking's in-row
+    // argmin (broadcast one-row centroid array + array_sort), never a
+    // corpus-cardinality row_number() OVER (PARTITION BY vec_id) after
+    // a corpus × |cells| explode — that shape shuffles |cells| rows
+    // per vector through a window sort where a map suffices. The only
+    // windows allowed are the per-QUERY top-k rankings (q_id-keyed).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("sim_ann_ivf", "sim_ivf_tuning").foreach { name =>
+      val vecIdWindows = SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow
+              if w.partitionSpec.exists(_.references.exists(_.name == "vec_id")) => w
+        }
+      assert(vecIdWindows.isEmpty,
+        s"$name: cell assignment must not window over vec_id")
+    }
+  }
+
   test("temporal map-constructor bounds push to the events scan") {
     val plan = planOf(cypher.CypherQueries.temporalCtor(spark, TestSpark.sf))
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r
