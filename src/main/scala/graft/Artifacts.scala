@@ -31,15 +31,27 @@ object Artifacts {
   /** [[pinning]] plus the set of newly-pinned ids, so a cache can
     * [[release]] them on eviction instead of leaking the checkpoint
     * blocks for the life of the session.
+    *
+    * Materialization windows are GLOBALLY serialized (one artifact
+    * build at a time across every cache): with overlapping windows,
+    * artifact A's before/after diff could claim artifact B's RDD ids,
+    * and a later release of A would unpersist B's lineage-truncated
+    * blocks — a permanently unrecomputable frame. Serializing makes
+    * artifact-to-artifact attribution exact; only transient
+    * checkpoints of concurrently-running plain queries can still land
+    * in a window, and those are finished with by the time any release
+    * could touch them.
     */
-  def pinningTracked[T](spark: SparkSession)(materialize: => T): (T, Set[Int]) = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = materialize
-    val ids = (sc.getPersistentRDDs.keySet -- before).toSet
-    ids.foreach(pinned.add(_))
-    (out, ids)
-  }
+  private val materializeLock = new Object
+  def pinningTracked[T](spark: SparkSession)(materialize: => T): (T, Set[Int]) =
+    materializeLock.synchronized {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = materialize
+      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+      ids.foreach(pinned.add(_))
+      (out, ids)
+    }
 
   /** Unpins and unpersists a pinned-id set (cache eviction). After
     * release the artifact frame is unrecomputable (checkpoint
@@ -60,31 +72,47 @@ object Artifacts {
     * ConcurrentHashMap — releases those blocks when an entry is
     * evicted and drops entries of stopped sessions on every access
     * (so neither checkpoint blocks nor SparkSession graphs outlive
-    * their usefulness). `maxEntries` bounds total pinning; crossing it
-    * evicts wholesale (artifact reuse is per-session and small — the
-    * bound is a leak backstop, not an LRU).
+    * their usefulness). `maxEntries` bounds total pinning via
+    * least-recently-used eviction of SINGLE entries — never the key
+    * being requested, and never wholesale: the former
+    * release-everything overflow could unpersist an entry another
+    * thread had just computed and still held, turning its
+    * lineage-truncated frame permanently unrecomputable. All map
+    * access is under the cache's monitor, so an eviction can never
+    * interleave with a lookup of the victim. (A reference handed out
+    * much earlier and still held while `maxEntries` newer artifacts
+    * pile up would still break — the bound is a many-session leak
+    * backstop, far above any real working set, not a hot LRU.)
     */
   final class Cache[K, V](maxEntries: Int = 64) {
     private case class Entry(value: V, spark: SparkSession, ids: Set[Int])
-    private val map = new java.util.concurrent.ConcurrentHashMap[K, Entry]()
+    // access-order: iteration starts at the least recently used entry
+    private val map = new java.util.LinkedHashMap[K, Entry](16, 0.75f, true)
 
-    def getOrCompute(key: K, spark: SparkSession)(materialize: => V): V = {
-      val it = map.entrySet.iterator
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue.spark.sparkContext.isStopped) {
-          e.getValue.ids.foreach(pinned.remove(_))
-          it.remove()
+    def getOrCompute(key: K, spark: SparkSession)(materialize: => V): V =
+      synchronized {
+        val it = map.entrySet.iterator
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.spark.sparkContext.isStopped) {
+            // the blocks died with the session — unpin only
+            e.getValue.ids.foreach(pinned.remove(_))
+            it.remove()
+          }
+        }
+        val hit = map.get(key)
+        if (hit != null) hit.value
+        else {
+          // evict BEFORE insert so the new entry can never be a victim
+          while (map.size >= maxEntries) {
+            val eldest = map.entrySet.iterator.next()
+            release(eldest.getValue.spark, eldest.getValue.ids)
+            map.remove(eldest.getKey): Unit
+          }
+          val (v, ids) = pinningTracked(spark)(materialize)
+          map.put(key, Entry(v, spark, ids))
+          v
         }
       }
-      if (map.size > maxEntries) {
-        map.forEach((_, e) => release(e.spark, e.ids))
-        map.clear()
-      }
-      map.computeIfAbsent(key, _ => {
-        val (v, ids) = pinningTracked(spark)(materialize)
-        Entry(v, spark, ids)
-      }).value
-    }
   }
 }

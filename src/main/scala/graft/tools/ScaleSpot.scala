@@ -36,11 +36,19 @@ object ScaleSpot {
           case e: Throwable =>
             System.err.println(s"[scalespot] $name failed: $e"); -1L
         }
+        // stop the clock BEFORE the cache sweep: dropCaches() is
+        // harness hygiene, not query cost
+        val dt = (System.nanoTime() - t0) / 1e9
         dropCaches()
-        ((System.nanoTime() - t0) / 1e9, n)
+        (dt, n)
       }
-      val best = times.map(_._1).min
-      println(f"""{"query":"$name","best_sec":$best%.3f,"rows":${times.head._2},"reps":$reps}""")
+      // best/rows over SUCCESSFUL reps only — a failed rep returns
+      // fast and would otherwise win the min and/or report rows=-1
+      // even when later reps succeeded
+      val ok = times.filter(_._2 >= 0)
+      val best = (if (ok.nonEmpty) ok else times).map(_._1).min
+      val rows = ok.headOption.map(_._2).getOrElse(-1L)
+      println(f"""{"query":"$name","best_sec":$best%.3f,"rows":$rows,"reps":$reps}""")
     }
     spark.stop()
   }
