@@ -35,8 +35,11 @@ object HistogramNtile {
     * Caller contract: `sortAsc` must be a non-null numeric column that
     * is monotone NON-DECREASING along `orderWithin`'s total order
     * (negate for descending keys), and `orderWithin` must be a total
-    * order (include a unique tie-break column). Output row order is
-    * not preserved — follow with an explicit orderBy.
+    * order (include a unique tie-break column). NaN keys are ranked
+    * LAST (Spark's ORDER BY places NaN above every double), same as
+    * the window spelling — so `orderWithin` must also rank them last.
+    * Output row order is not preserved — follow with an explicit
+    * orderBy.
     */
   def withNtile(df: DataFrame, groupCols: Seq[String], sortAsc: Column,
       orderWithin: Seq[Column], tiles: Int, out: String,
@@ -45,20 +48,26 @@ object HistogramNtile {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
     val g = groupCols.map(col)
     val keyed = df.withColumn("__hs", sortAsc.cast("double"))
+    // NaN is excluded from the histogram stats (a NaN max would poison
+    // width for the whole group) and force-bucketed LAST, where Spark's
+    // window ORDER BY would rank it — min/max skip the nulled values
+    val finite = when(isnan(col("__hs")), lit(null)).otherwise(col("__hs"))
     val stats = (if (g.isEmpty) keyed.groupBy() else keyed.groupBy(g: _*))
-      .agg(min(col("__hs")).as("__smin"), max(col("__hs")).as("__smax"),
+      .agg(min(finite).as("__smin"), max(finite).as("__smax"),
         count(lit(1)).as("__n"))
     val statsJoined =
       if (g.isEmpty) keyed.crossJoin(broadcast(stats))
       else keyed.join(broadcast(stats), groupCols)
     // order-preserving range bucket: floor is monotone in __hs, the
     // top edge clamps into the last bucket, degenerate (min == max)
-    // groups collapse into bucket 0
+    // groups collapse into bucket 0, NaN sorts above every double so
+    // the last bucket keeps the histogram order-preserving for it
     val width = (col("__smax") - col("__smin")) / buckets
     val bucketed = statsJoined.withColumn("__hb",
-      when(col("__smax") === col("__smin"), lit(0))
-        .otherwise(least(floor((col("__hs") - col("__smin")) / width),
-          lit(buckets - 1))).cast("int"))
+      when(isnan(col("__hs")), lit(buckets - 1))
+        .otherwise(when(col("__smax") === col("__smin"), lit(0))
+          .otherwise(least(floor((col("__hs") - col("__smin")) / width),
+            lit(buckets - 1)))).cast("int"))
     val histKeys = g :+ col("__hb")
     val hist = bucketed.groupBy(histKeys: _*)
       .agg(count(lit(1)).as("__cnt"), first(col("__n")).as("__gn"))

@@ -62,6 +62,34 @@ class HistogramNtileSpec extends AnyFunSuite {
       .except(big.select(col("doc_id"), col("t"))).isEmpty)
   }
 
+  test("NaN sort keys rank last, bit-equal to the SQL window") {
+    val s = spark
+    import s.implicits._
+    // NaN rows must survive (the former plan dropped them: NaN bucket
+    // arithmetic nulled __hb and the histogram join lost the rows) and
+    // take the tiles SQL ntile assigns when ORDER BY ranks NaN last
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 1.0), (4L, Double.NaN),
+      (5L, 9.0), (6L, 4.0)).toDF("id", "v")
+    val expected = df.withColumn("t",
+      ntile(3).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    for (buckets <- Seq(2, 8)) {
+      val actual = HistogramNtile.withNtile(df, Nil, col("v"),
+        Seq(col("v"), col("id")), 3, "t", buckets)
+      assert(actual.count() == 6, s"buckets=$buckets: NaN rows were dropped")
+      assert(expected.select(col("id"), col("t"))
+        .except(actual.select(col("id"), col("t"))).isEmpty,
+        s"buckets=$buckets: NaN placement diverges from SQL ntile")
+    }
+    // all-NaN group: width is null but every row routes to the last
+    // bucket and the group still tiles completely
+    val allNan = Seq((1L, Double.NaN), (2L, Double.NaN), (3L, Double.NaN))
+      .toDF("id", "v")
+    val t = HistogramNtile.withNtile(allNan, Nil, col("v"),
+      Seq(col("v"), col("id")), 2, "t", buckets = 4)
+      .orderBy(col("id")).select(col("t")).collect().map(_.getLong(0))
+    assert(t.toSeq == Seq(1L, 1L, 2L))
+  }
+
   test("degenerate group: all-equal keys collapse into one bucket") {
     val s = spark
     import s.implicits._
