@@ -592,4 +592,43 @@ object StreamingJobs {
           out.iterator
       }
   }
+
+  /** Streaming twin of the reference's WRITE half: the
+    * Neo4jOutputFormat is itself a streaming-shaped batcher
+    * (accumulate, flush at batchSize, flush at close —
+    * Neo4jOutputFormat.java:104-116, 216-237), and this is that
+    * batcher under Structured Streaming's recovery contract. Each
+    * micro-batch runs through [[graft.neo4j.Neo4jWriter]] — parallel
+    * per-partition accumulation, bounded POST batches, final flush —
+    * against the transactional endpoint.
+    *
+    * Delivery is AT-LEAST-ONCE: after a crash between a foreachBatch
+    * flush and the checkpoint commit, the whole micro-batch replays.
+    * The statement must therefore be a keyed `MERGE … SET` (replay
+    * converges instead of duplicating — the [[graft.neo4j.CypherPayload.mergeBatches]]
+    * payload shape) and `cfg.idempotentWrites` must be set, which also
+    * re-enables retries on ambiguous transport failures inside a
+    * batch. Both are validated before the stream starts; so is the
+    * `UNWIND $param` parameter-name extraction, which otherwise would
+    * fail on the first micro-batch inside the stream thread.
+    */
+  def mergeBatches(rows: DataFrame, cfg: graft.neo4j.Neo4jConfig,
+      parameterKeys: Seq[String], checkpointDir: String,
+      batchSize: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cfg.idempotentWrites,
+      "streaming writes replay micro-batches on recovery (at-least-once); " +
+        "use a keyed MERGE statement and set Neo4jConfig.idempotentWrites")
+    require("""(?is).*\bMERGE\b.*""".r.matches(cfg.query),
+      "streaming write statements must MERGE on a key: a replayed CREATE " +
+        "batch duplicates nodes")
+    graft.neo4j.CypherPayload.parameterName(cfg.query): Unit
+    val writeOne: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => graft.neo4j.Neo4jWriter.write(
+        batch.toDF(), cfg, parameterKeys, batchSize)
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(writeOne)
+      .start()
+  }
 }
