@@ -50,6 +50,9 @@ object SparkEntry {
     "cypher_temporal_trunc" -> (cypher.CypherQueries.temporalTrunc(_, _)),
     "cypher_temporal_ctor"  -> (cypher.CypherQueries.temporalCtor(_, _)),
     "cypher_point"          -> (cypher.CypherQueries.pointDistance(_, _)),
+    "cypher_point_geo"      -> (cypher.CypherQueries.pointGeoDistance(_, _)),
+    "cypher_temporal_types" -> (cypher.CypherQueries.temporalTypes(_, _)),
+    "cypher_weighted_path"  -> (cypher.CypherQueries.weightedPath(_, _)),
     "cypher_catalog"        -> (cypher.CypherQueries.catalog(_, _)),
     "cypher_collect_subquery" -> (cypher.CypherQueries.collectSubquery(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
@@ -2019,6 +2022,40 @@ object SparkEntry {
         |            ELSE 'far' END AS band,
         |  COUNT(*) AS n, MIN(dist) AS d_min, MAX(dist) AS d_max
         |FROM d GROUP BY 1 ORDER BY band""".stripMargin,
+    "cypher_temporal_types" ->
+      """WITH b AS (
+        |  SELECT ts,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + (ts - date_trunc('day', ts)) AS lt
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-10 00:00:00')
+        |SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |  MIN(lt) AS t_min, MAX(lt) AS t_max,
+        |  CAST(MIN(hour(lt)) AS BIGINT) AS h_min,
+        |  CAST(MAX(hour(lt)) AS BIGINT) AS h_max
+        |FROM b
+        |WHERE lt >= TIMESTAMP '1970-01-01 06:00:00'
+        |  AND lt < TIMESTAMP '1970-01-01 18:30:00'
+        |GROUP BY 1 ORDER BY d""".stripMargin,
+    "cypher_point_geo" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_custkey % 120 - 60 AS DOUBLE) AS lat,
+        |    CAST(c_nationkey * 13 - 170 AS DOUBLE) AS lon
+        |  FROM customer),
+        |d AS (
+        |  SELECT id, round(2.0 * 6371000.0 * asin(sqrt(
+        |    sin(radians(20.0 - lat) / 2) * sin(radians(20.0 - lat) / 2)
+        |    + cos(radians(lat)) * cos(radians(20.0))
+        |      * (sin(radians(5.0 - lon) / 2) * sin(radians(5.0 - lon) / 2))
+        |    )), 1) AS dist
+        |  FROM p)
+        |SELECT CASE WHEN dist < 6000000.0 THEN 'near'
+        |            WHEN dist < 12000000.0 THEN 'mid'
+        |            ELSE 'far' END AS band,
+        |  COUNT(*) AS n, MIN(dist) AS d_min, MAX(dist) AS d_max
+        |FROM d GROUP BY 1 ORDER BY band""".stripMargin,
     "cypher_temporal_trunc" ->
       """SELECT date_trunc('week', ts) AS wk,
         |  CAST(date_trunc('month', ts) AS DATE) AS mo,
@@ -2233,6 +2270,36 @@ object SparkEntry {
         |FROM m JOIN nation na ON m.src = na.n_nationkey
         |JOIN nation nb ON m.dst = nb.n_nationkey
         |ORDER BY a_name, b_name""".stripMargin,
+    "cypher_weighted_path" ->
+      // undirected CONTAINS graph in (part >= 0, order < 0) id space;
+      // parallel edges collapse to MIN qty first (the engine does the
+      // same before relaxing); walks up to 4 hops from the seed parts,
+      // then min cost per pair with ties to fewer hops. Cost folds
+      // cost + w per step in both engines — identical IEEE sequences,
+      // so the equality join on the min cost is exact.
+      """WITH RECURSIVE eo AS MATERIALIZED (
+        |  SELECT l_orderkey AS o, l_partkey AS p, MIN(l_quantity) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |ed AS MATERIALIZED (
+        |  SELECT -o AS s, p AS d, w FROM eo
+        |  UNION ALL
+        |  SELECT p AS s, -o AS d, w FROM eo),
+        |walk AS (
+        |  SELECT s AS src, d AS node, w AS cost, 1 AS hops FROM ed
+        |  WHERE s >= 0 AND s < 10
+        |  UNION ALL
+        |  SELECT walk.src, ed.d, walk.cost + ed.w, walk.hops + 1
+        |  FROM walk JOIN ed ON ed.s = walk.node
+        |  WHERE walk.hops < 4 AND ed.d <> walk.src),
+        |pairs AS (
+        |  SELECT src AS pa, node AS pb, cost, hops FROM walk
+        |  WHERE node >= 0 AND node < 10 AND src < node),
+        |best AS (SELECT pa, pb, MIN(cost) AS cost FROM pairs GROUP BY 1, 2)
+        |SELECT p.pa, p.pb, CAST(MIN(p.hops) AS BIGINT) AS hops,
+        |  round(b.cost, 6) AS cost
+        |FROM pairs p JOIN best b
+        |  ON p.pa = b.pa AND p.pb = b.pb AND p.cost = b.cost
+        |GROUP BY 1, 2, b.cost ORDER BY p.pa, p.pb""".stripMargin,
     "cypher_all_shortest" ->
       // CONTAINS is bipartite (Order-Part), so part-part shortest
       // distance is exactly 2 and the multiplicity is the closed form

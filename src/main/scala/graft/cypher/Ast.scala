@@ -162,10 +162,15 @@ object Ast {
     * hop count per pair, but the pair additionally carries its
     * shortest-path MULTIPLICITY (parallel relationships count as
     * distinct paths), consumable as `count(p)`.
+    * `weightProp` names a relationship cost property for the WEIGHTED
+    * shortest-path spelling `shortestPath((a)-[:T*]->(b), 'prop')` —
+    * an engine extension (core Cypher reaches this via apoc/GDS
+    * dijkstra): the planner keeps a minimum-COST walk per pair
+    * (ties → fewer hops) and `cost(p)` reads the accumulated weight.
     */
   final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)],
       pathVar: Option[String] = None, shortest: Boolean = false,
-      allShortest: Boolean = false) {
+      allShortest: Boolean = false, weightProp: Option[String] = None) {
     def nodeVars: Seq[String] =
       (start +: hops.map(_._2)).flatMap(_.variable)
   }

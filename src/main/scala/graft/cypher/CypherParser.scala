@@ -142,9 +142,22 @@ object CypherParser {
           if (allShortest) { eatKw("ALLSHORTESTPATHS"); eatSym("(") }
           else if (shortest) { eatKw("SHORTESTPATH"); eatSym("(") }
           val chain0 = patternChain()
+          // weighted spelling `shortestPath((a)-[:T*]->(b), 'prop')`:
+          // the optional second argument names the relationship cost
+          // property (engine extension — core Cypher reaches weighted
+          // paths via apoc/GDS dijkstra)
+          val weightProp =
+            if (shortest && !allShortest && atSym(",")) {
+              eatSym(",")
+              next() match {
+                case TStr(s) => Some(s)
+                case t => throw new IllegalArgumentException(
+                  s"shortestPath weight must be a string-literal property name, got $t")
+              }
+            } else None
           if (shortest) eatSym(")")
           val chain = chain0.copy(pathVar = pathVar, shortest = shortest,
-            allShortest = allShortest)
+            allShortest = allShortest, weightProp = weightProp)
           val where =
             if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
           // Cypher semantics: WHERE after OPTIONAL MATCH filters the
@@ -725,10 +738,11 @@ object CypherParser {
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
         "tail", "substring", "replace", "split", "left", "right", "keys",
         "ltrim", "rtrim", "toboolean", "date", "datetime", "duration",
+        "localdatetime", "localtime", "time",
         "properties", "nodes", "relationships", "exp", "log", "log10",
         "sin", "cos",
         "tan", "asin", "acos", "atan", "atan2", "degrees", "radians",
-        "pi", "e", "isempty", "startnode", "endnode", "distance")
+        "pi", "e", "isempty", "startnode", "endnode", "distance", "cost")
     private val listPredFns = Set("any", "all", "none", "single")
 
     /** Temporal instant components, accessed Neo4j-style as a postfix
@@ -893,15 +907,23 @@ object CypherParser {
         eatSym(")")
         FnCallN(if (toDate) "@truncdate" else "@trunc", Seq(LitV(unit), arg))
       case Some(TId(name))
-          if (name.equalsIgnoreCase("datetime") || name.equalsIgnoreCase("date")) &&
+          if (name.equalsIgnoreCase("datetime") || name.equalsIgnoreCase("date") ||
+            name.equalsIgnoreCase("localdatetime") ||
+            name.equalsIgnoreCase("time") || name.equalsIgnoreCase("localtime")) &&
           pos + 2 < toks.length && toks(pos + 1) == TSym("(") &&
           toks(pos + 2) == TSym("{") =>
         // map constructor `datetime({year: …, month: …, …})` /
-        // `date({year, month, day})` — desugared to reserved
-        // @mkdatetime/@mkdate calls carrying alternating (key, expr)
-        // arguments; the planner validates components and defaults
-        // the rest (month/day → 1, time-of-day → 0, Neo4j semantics)
-        val toDate = name.equalsIgnoreCase("date")
+        // `date({year, month, day})` / `localdatetime({…})` /
+        // `time({hour, …})` / `localtime({…})` — desugared to reserved
+        // @mk… calls carrying alternating (key, expr) arguments; the
+        // planner validates components and defaults the rest
+        // (month/day → 1, time-of-day → 0, Neo4j semantics)
+        val mkFn = name.toLowerCase(java.util.Locale.ROOT) match {
+          case "date"          => "@mkdate"
+          case "datetime"      => "@mkdatetime"
+          case "localdatetime" => "@mklocaldatetime"
+          case _               => "@mktime" // time / localtime
+        }
         ident(); eatSym("("); eatSym("{")
         val entries = Seq.newBuilder[CExpr]
         def entry(): Unit = {
@@ -913,13 +935,16 @@ object CypherParser {
         entry()
         while (atSym(",")) { eatSym(","); entry() }
         eatSym("}"); eatSym(")")
-        FnCallN(if (toDate) "@mkdate" else "@mkdatetime", entries.result())
+        FnCallN(mkFn, entries.result())
       case Some(TId(name))
           if name.equalsIgnoreCase("point") &&
           pos + 2 < toks.length && toks(pos + 1) == TSym("(") &&
           toks(pos + 2) == TSym("{") =>
-        // `point({x: …, y: …})` — cartesian 2-D point (the srs-less
-        // subset of Neo4j's spatial type), a named struct downstream
+        // `point({x: …, y: …})` — cartesian 2-D point — or
+        // `point({latitude: …, longitude: …})` — geographic WGS84
+        // point (Neo4j's key-set-determines-CRS rule); both become a
+        // (crs, x, y) struct downstream, geographic with x=longitude,
+        // y=latitude exactly as Neo4j aliases them
         ident(); eatSym("("); eatSym("{")
         val kv = scala.collection.mutable.LinkedHashMap[String, CExpr]()
         def entry(): Unit = {
@@ -930,9 +955,13 @@ object CypherParser {
         entry()
         while (atSym(",")) { eatSym(","); entry() }
         eatSym("}"); eatSym(")")
-        require(kv.keySet == Set("x", "y"),
-          s"point() requires exactly {x, y}, got {${kv.keys.mkString(", ")}}")
-        FnCallN("@point", Seq(kv("x"), kv("y")))
+        require(kv.keySet == Set("x", "y") ||
+            kv.keySet == Set("latitude", "longitude"),
+          "point() requires exactly {x, y} (cartesian) or " +
+            s"{latitude, longitude} (WGS84), got {${kv.keys.mkString(", ")}}")
+        if (kv.keySet == Set("x", "y"))
+          FnCallN("@point", Seq(kv("x"), kv("y")))
+        else FnCallN("@pointgeo", Seq(kv("longitude"), kv("latitude")))
       case Some(TId(name))
           if name.equalsIgnoreCase("point") &&
           pos + 2 < toks.length && toks(pos + 1) == TSym(".") &&

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object CypherPlanner {
 
+  /** Mean Earth radius in meters — the sphere `point.distance` uses
+    * for WGS84 (geographic) points; the DuckDB oracles embed the same
+    * constant.
+    */
+  val EarthRadiusMeters = 6371000.0
+
   def run(spark: SparkSession, graph: PropertyGraph, query: String): DataFrame = {
     graft.plans.GraftOptimizations.install(spark)
     planStatement(graph, CypherParser.parseStatement(query))
@@ -1588,7 +1594,14 @@ object CypherPlanner {
           Some(df.select(col(s"${cur}__id").as("__seedid")).distinct())
         else None
       val expanded =
-        if (chain.allShortest)
+        if (chain.weightProp.isDefined) {
+          val wp = chain.weightProp.get
+          require(orientedRel.columns.contains(wp),
+            s"weight property '$wp' is not a property of this relationship " +
+              s"(have: ${orientedRel.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
+          weightedShortestRel(orientedRel, wp, rel.varLength.get._1,
+            rel.varLength.get._2, bfsSeed)
+        } else if (chain.allShortest)
           shortestRelCounted(orientedRel, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
         else if (chain.shortest)
@@ -1628,10 +1641,15 @@ object CypherPlanner {
       // shortest-path multiplicity for `count(p)` on allShortestPaths
       val hopNpCols =
         if (chain.allShortest) Seq(col("__np").as("__r_np")) else Seq.empty
+      // accumulated weight for `cost(p)` on weighted shortest chains
+      val hopWcostCols =
+        if (chain.weightProp.isDefined && chain.pathVar.isDefined)
+          Seq(col("__wcost").as("__r_wcost"))
+        else Seq.empty
       val r = expanded
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
           (relPropCols ++ relTypeCol ++ relEndpointCols ++ hopLenCols ++
-            hopNidCols ++ hopReidCols ++ hopNpCols ++
+            hopNidCols ++ hopReidCols ++ hopNpCols ++ hopWcostCols ++
             hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
@@ -1670,6 +1688,11 @@ object CypherPlanner {
           else df.withColumn("__path_len", contrib)
         if (rel.varLength.isDefined) df = df.drop("__r_hops")
       }
+      // accumulated weight for `cost(p)`: weighted chains carry one
+      // var-length hop (enforced above), so the first contribution is
+      // the whole path's cost
+      if (df.columns.contains("__r_wcost"))
+        df = df.withColumnRenamed("__r_wcost", "__path_wcost")
       if (bound.contains(nv)) {
         // closing a cycle back onto an already-bound variable
         df = df.filter(col(s"${nv}__id") === col(joinKeyNext))
@@ -1764,6 +1787,11 @@ object CypherPlanner {
       df =
         if (df.columns.contains("__path_reids"))
           df.withColumnRenamed("__path_reids", s"${pv}__@rels")
+        else df
+      // accumulated weight of a weighted shortest chain → `cost(p)`
+      df =
+        if (df.columns.contains("__path_wcost"))
+          df.withColumnRenamed("__path_wcost", s"${pv}__@wcost")
         else df
     }
     (df, bound)
@@ -1885,6 +1913,79 @@ object CypherPlanner {
       k += 1
     }
     seen
+  }
+
+  /** Weighted shortest-path expansion — hop-bounded Bellman–Ford
+    * relaxation over (src, dst, weight) pairs, the Cypher surface of
+    * the `graph_sssp_weighted` algorithm's skeleton. Parallel edges
+    * collapse to their MIN weight up front (a cheapest walk never
+    * takes the heavier parallel edge); each round extends only the
+    * pairs IMPROVED last round and merges by lexicographic
+    * min(cost, hops), so ties prefer fewer hops and the fixpoint is
+    * deterministic. With positive weights an optimal walk never
+    * repeats a node, so edge-identity bookkeeping is unnecessary —
+    * same argument as the unweighted BFS. The hop bound `hi` is the
+    * documented sketch semantic (paths longer than the bound don't
+    * contribute — the `maxDepth` family).
+    *
+    * Scale shape: per round one keyed join + pair-keyed agg + one
+    * merge anti-join, frontier localCheckpoint'ed; the frontier holds
+    * only pairs improved last round, so rounds shrink toward the
+    * fixpoint. Returns (__src, __dst, __hops, __wcost).
+    */
+  private def weightedShortestRel(rel: DataFrame, weightProp: String,
+      lo: Int, hi: Int, seed: Option[DataFrame] = None): DataFrame = {
+    require(lo == 1 && hi >= lo && hi <= 10,
+      s"weighted shortestPath var-length bounds *$lo..$hi out of supported range")
+    val edges = rel
+      .select(col("__src"), col("__dst"),
+        col(weightProp).cast("double").as("__w"))
+      .filter(col("__src") =!= col("__dst"))
+      .groupBy(col("__src"), col("__dst")).agg(min(col("__w")).as("__w"))
+      .localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    var best = e0.select(col("__src"), col("__dst"),
+      col("__w").as("__wcost"), lit(1).as("__hops")).localCheckpoint()
+    var frontier = best
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val stepped = frontier
+        .join(edges.select(col("__src").as("__m"), col("__dst").as("__n"),
+          col("__w")), col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .select(col("__src"), col("__n").as("__dst"),
+          (col("__wcost") + col("__w")).as("__wcost"), lit(k).as("__hops"))
+        // several walks can reach a pair this round — keep the cheapest
+        .groupBy(col("__src"), col("__dst"))
+        .agg(min(struct(col("__wcost"), col("__hops"))).as("__b"))
+        .select(col("__src"), col("__dst"),
+          col("__b").getField("__wcost").as("__wcost"),
+          col("__b").getField("__hops").as("__hops"))
+      // strictly cheaper than the standing best (or unseen): an equal
+      // cost at more hops does NOT replace, so ties keep fewer hops
+      val improved = stepped
+        .join(best.select(col("__src"), col("__dst"),
+          col("__wcost").as("__old")), Seq("__src", "__dst"), "left_outer")
+        .filter(col("__old").isNull || col("__wcost") < col("__old"))
+        .select(col("__src"), col("__dst"), col("__wcost"), col("__hops"))
+        .localCheckpoint()
+      exhausted = improved.isEmpty
+      if (!exhausted) {
+        best = best
+          .join(improved.select(col("__src"), col("__dst")),
+            Seq("__src", "__dst"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint()
+        frontier = improved
+      }
+      k += 1
+    }
+    best
   }
 
   private def shortestRel(rel: DataFrame, lo: Int, hi: Int,
@@ -2081,6 +2182,21 @@ object CypherPlanner {
     // reaches the parquet scan as a pushable timestamp comparison
     case FnCall("date", Some(a), _, _)     => to_date(toColumn(a, scalars))
     case FnCall("datetime", Some(a), _, _) => to_timestamp(toColumn(a, scalars))
+    // local (zone-less) instant types. localdatetime is the wall-clock
+    // NTZ twin of datetime; time/localtime are time-of-day values.
+    // Spark has no TIME type, so time-of-day is EPOCH-ANCHORED: the
+    // instant's micros-into-the-UTC-day added onto 1970-01-01 NTZ —
+    // ordering, comparison, and the hour/minute/second components all
+    // behave like Neo4j's. Under this engine's fixed UTC session,
+    // time() (offset-carrying in Neo4j) coincides with localtime().
+    case FnCall("localdatetime", Some(a), _, _) =>
+      to_timestamp_ntz(toColumn(a, scalars))
+    case FnCall("localtime" | "time", Some(a), _, _) =>
+      // micros-of-day re-read as an epoch instant, then to NTZ under
+      // the UTC session = 1970-01-01 + time-of-day, micros preserved
+      to_timestamp_ntz(timestamp_micros(
+        pmod(unix_micros(toColumn(a, scalars).cast("timestamp")),
+          lit(86400000000L))))
     // duration('P7D'/'PT90M'/…): an ISO-8601 duration LITERAL as a
     // foldable interval, so `ts >= datetime('…') - duration('P7D')`
     // constant-folds into a pushable timestamp bound. Only literal
@@ -2154,7 +2270,7 @@ object CypherPlanner {
     // alternating LitV(key), expr arguments): make_timestamp/make_date
     // with Neo4j component defaults (month/day → 1, time-of-day → 0) —
     // foldable over literal components, so WHERE bounds stay pushable
-    case FnCallN(fn @ ("@mkdatetime" | "@mkdate"), args) =>
+    case FnCallN(fn @ ("@mkdatetime" | "@mkdate" | "@mklocaldatetime"), args) =>
       val comps = args.grouped(2).map {
         case Seq(LitV(k: String), e) => k -> toColumn(e, scalars)
         case other => throw new IllegalArgumentException(
@@ -2173,21 +2289,72 @@ object CypherPlanner {
         require(!comps.keySet.exists(Set("hour", "minute", "second")),
           "date({…}) takes only year/month/day components")
         make_date(c("year", 1), c("month", 1), c("day", 1))
-      } else
+      } else if (fn == "@mklocaldatetime")
+        make_timestamp_ntz(c("year", 1), c("month", 1), c("day", 1),
+          c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(16,6)"))
+      else
         make_timestamp(c("year", 1), c("month", 1), c("day", 1),
           c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(16,6)"))
-    // point({x, y}) → a named struct; point.distance / distance →
-    // euclidean distance spelled with multiplication (not pow — libm
-    // pow differs by ulps across engines; * and sqrt are IEEE-exact)
+    // time({hour[, minute, second]}) / localtime({…}) — epoch-anchored
+    // time-of-day (see the single-arg constructors above); hour is the
+    // required component, Neo4j-style
+    case FnCallN("@mktime", args) =>
+      val comps = args.grouped(2).map {
+        case Seq(LitV(k: String), e) => k -> toColumn(e, scalars)
+        case other => throw new IllegalArgumentException(
+          s"malformed time map constructor args: $other")
+      }.toMap
+      val allowed = Set("hour", "minute", "second")
+      val bad = comps.keySet -- allowed
+      require(bad.isEmpty, s"unsupported time components: " +
+        s"${bad.toSeq.sorted.mkString(", ")} (supported: " +
+        s"${allowed.toSeq.sorted.mkString(", ")})")
+      require(comps.contains("hour"),
+        "time map constructor requires an hour component")
+      def tc(k: String): Column =
+        comps.getOrElse(k, lit(0)).cast("int")
+      make_timestamp_ntz(lit(1970), lit(1), lit(1),
+        tc("hour"), tc("minute"), tc("second").cast("decimal(16,6)"))
+    // point({x, y}) / point({latitude, longitude}) → a (crs, x, y)
+    // struct (geographic stores x=longitude, y=latitude — Neo4j's own
+    // aliasing). point.distance / distance dispatches on the CRS tags
+    // at runtime like Neo4j: cartesian×cartesian → euclidean (spelled
+    // with multiplication, not pow — libm pow differs by ulps across
+    // engines; * and sqrt are IEEE-exact), wgs-84×wgs-84 → haversine
+    // on the mean-radius sphere, mixed CRS → NULL (Neo4j semantics).
+    // For literal-constructed points the when() chain constant-folds
+    // to the one live branch.
     case FnCallN("@point", Seq(x, y)) =>
-      struct(toColumn(x, scalars).cast("double").as("x"),
+      struct(lit("cartesian").as("crs"),
+        toColumn(x, scalars).cast("double").as("x"),
         toColumn(y, scalars).cast("double").as("y"))
+    case FnCallN("@pointgeo", Seq(lon, lat)) =>
+      struct(lit("wgs-84").as("crs"),
+        toColumn(lon, scalars).cast("double").as("x"),
+        toColumn(lat, scalars).cast("double").as("y"))
     case FnCallN("@distance" | "distance", Seq(a, b)) =>
       val pa = toColumn(a, scalars)
       val pb = toColumn(b, scalars)
+      val bothCart = pa.getField("crs") === lit("cartesian") &&
+        pb.getField("crs") === lit("cartesian")
+      val bothGeo = pa.getField("crs") === lit("wgs-84") &&
+        pb.getField("crs") === lit("wgs-84")
       val dx = pa.getField("x") - pb.getField("x")
       val dy = pa.getField("y") - pb.getField("y")
-      sqrt(dx * dx + dy * dy)
+      val euclid = sqrt(dx * dx + dy * dy)
+      // haversine, folded in a FIXED order the DuckDB oracle mirrors
+      // token-for-token (sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2), then
+      // 2·R·asin(√h)); libm sin/cos/asin spread is ≤ ulps of an O(1)
+      // intermediate and the consumer query rounds the meter-scale
+      // result coarsely enough to absorb it
+      val sLat = sin(radians(pb.getField("y") - pa.getField("y")) / 2)
+      val sLon = sin(radians(pb.getField("x") - pa.getField("x")) / 2)
+      val h = sLat * sLat +
+        cos(radians(pa.getField("y"))) * cos(radians(pb.getField("y"))) *
+          (sLon * sLon)
+      val hav = lit(2.0) * lit(EarthRadiusMeters) * asin(sqrt(h))
+      when(bothCart, euclid).when(bothGeo, hav)
+        .otherwise(lit(null).cast("double"))
     // namespaced temporal truncation (parser sugar):
     // datetime.truncate('month', x) → date_trunc — codegen'd, and
     // foldable over literal arguments so truncated-bound WHERE
@@ -2263,6 +2430,10 @@ object CypherPlanner {
     // length(p): relationship count of the named path — planChain
     // accumulates it while joining the chain's hops
     case FnCall("length", Some(Ident(p)), _, _) => col(s"${p}__@len")
+    // cost(p): accumulated weight of a weighted shortestPath chain
+    // (`shortestPath(…, 'prop')`); unbound — and loudly failing —
+    // anywhere else
+    case FnCall("cost", Some(Ident(p)), _, _) => col(s"${p}__@wcost")
     // nodes(p): the path's node-id sequence in pattern order,
     // accumulated hop by hop (unavailable on shortestPath chains —
     // the BFS keeps pair×depth, not walks; resolution fails there)

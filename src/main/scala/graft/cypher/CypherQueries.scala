@@ -624,6 +624,24 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name, length(p) AS hops
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** WEIGHTED `shortestPath((a)-[:CONTAINS*1..4]-(b), 'qty')` — the
+    * cost-property spelling (engine extension; Neo4j users reach this
+    * via apoc/GDS dijkstra): minimum total `qty` between low-key part
+    * pairs through shared orders, ties broken to fewer hops. Planned
+    * as hop-bounded Bellman–Ford relaxation seeded from the bound
+    * starts (CypherPlanner.weightedShortestRel) — pairs, never walks;
+    * `cost(p)` reads the accumulated weight, `length(p)` the hop
+    * count of the cheapest walk.
+    */
+  def weightedPath(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 10
+        |MATCH p = shortestPath((a)-[:CONTAINS*1..4]-(b:Part), 'qty')
+        |WHERE b.partkey < 10 AND a.partkey < b.partkey
+        |RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  round(cost(p), 6) AS cost
+        |ORDER BY pa, pb""".stripMargin)
+
   /** `allShortestPaths` with `count(p)` — shortest-path MULTIPLICITY
     * per endpoint pair (parallel CONTAINS relationships are distinct
     * paths, exactly Neo4j's semantics), here the co-purchase strength
@@ -918,6 +936,52 @@ object CypherQueries {
         |WITH id, round(point.distance(p, point({x: 50.0, y: 36.0})), 6) AS dist
         |RETURN CASE WHEN dist < 20.0 THEN 'near'
         |            WHEN dist < 45.0 THEN 'mid'
+        |            ELSE 'far' END AS band,
+        |  count(*) AS n, min(dist) AS d_min, max(dist) AS d_max
+        |ORDER BY band""".stripMargin)
+
+  /** `localdatetime()` / `localtime()` / `time()` — the three
+    * remaining Neo4j instant types: zone-less wall-clock datetimes and
+    * time-of-day values, as both single-arg conversions from an
+    * instant and map constructors (`time({hour: 6})`). Time-of-day is
+    * epoch-anchored (Spark has no TIME type) so comparison, min/max,
+    * and the component accessors all behave like Neo4j's; under the
+    * engine's fixed UTC session `time()` coincides with `localtime()`.
+    * The query routes a two-day event slice through a business-hours
+    * time-of-day band and reports per-day first/last activity.
+    */
+  def temporalTypes(spark: SparkSession, sfDir: String): DataFrame =
+    runEvents(spark, sfDir,
+      """MATCH (e:Event)
+        |WHERE e.ts >= datetime({year: 2024, month: 1, day: 8})
+        |  AND e.ts < datetime({year: 2024, month: 1, day: 10})
+        |WITH localdatetime(e.ts) AS ldt, localtime(e.ts) AS lt,
+        |  localtime(e.ts).hour AS h
+        |WHERE lt >= time({hour: 6}) AND lt < localtime({hour: 18, minute: 30})
+        |RETURN date(ldt) AS d, count(*) AS n, min(lt) AS t_min,
+        |  max(lt) AS t_max, min(h) AS h_min, max(h) AS h_max
+        |ORDER BY d""".stripMargin)
+
+  /** Geographic `point({latitude, longitude})` + haversine
+    * `point.distance` — the WGS84 half of Neo4j spatial (the dominant
+    * real-world use): customer coordinates synthesized from keys,
+    * distance-banded around an anchor on the mean-radius sphere.
+    * The planner folds the haversine in a fixed IEEE order the DuckDB
+    * oracle mirrors token-for-token; the 1-dp (0.1 m) rounding of the
+    * meter-scale result absorbs the cross-libm sin/cos/asin spread
+    * with orders of magnitude to spare (6-dp on values of 1e6+ m
+    * would sit within ulp noise of rounding boundaries).
+    */
+  def pointGeoDistance(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WITH c.custkey AS id,
+        |  point({latitude: toFloat(c.custkey % 120 - 60),
+        |         longitude: toFloat(c.nationkey * 13 - 170)}) AS p
+        |WITH id, round(point.distance(p,
+        |    point({latitude: 20.0, longitude: 5.0})), 1) AS dist
+        |RETURN CASE WHEN dist < 6000000.0 THEN 'near'
+        |            WHEN dist < 12000000.0 THEN 'mid'
         |            ELSE 'far' END AS band,
         |  count(*) AS n, min(dist) AS d_min, max(dist) AS d_max
         |ORDER BY band""".stripMargin)

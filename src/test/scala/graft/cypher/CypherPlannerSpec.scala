@@ -1348,6 +1348,84 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted shortestPath: min cost per pair, ties to fewer hops, cost(p) bound") {
+    // NEXT_IN_REGION has no weight property -> loud failure
+    intercept[Exception] {
+      run("MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..3]->(b:Nation), 'nosuch') " +
+        "RETURN count(*) AS n").collect()
+    }
+    // CONTAINS with qty: 2-hop part pairs through a shared order must
+    // cost min over shared orders of (qty_a + qty_b) — verify one pair
+    // against a direct relational computation
+    val rows = run(
+      "MATCH (a:Part) WHERE a.partkey < 5 " +
+        "MATCH p = shortestPath((a)-[:CONTAINS*1..2]-(b:Part), 'qty') " +
+        "WHERE b.partkey < 5 AND a.partkey < b.partkey " +
+        "RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops, " +
+        "cost(p) AS cost ORDER BY pa, pb").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) == 2L), "bipartite part pairs sit at 2 hops")
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+    import org.apache.spark.sql.functions._
+    val e = li.filter(col("l_partkey") < 5)
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(min(col("l_quantity")).as("w"))
+    val expected = e.as("x").join(e.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"),
+        (col("x.w") + col("y.w")).as("c"))
+      .groupBy(col("pa"), col("pb")).agg(min(col("c")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(expected.contains(k) && math.abs(expected(k) - r.getDouble(3)) < 1e-9,
+        s"pair $k: engine ${r.getDouble(3)} vs relational ${expected.get(k)}")
+    }
+    // cost(p) on an unweighted chain stays unbound and fails loudly
+    intercept[Exception] {
+      run("MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..3]->(b:Nation)) " +
+        "RETURN cost(p) AS c").collect()
+    }
+  }
+
+  test("localdatetime/localtime/time: NTZ wall clock, epoch-anchored time-of-day") {
+    val r = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        "RETURN localdatetime({year: 2024, month: 3, day: 5, hour: 7}) AS ldt, " +
+        "time({hour: 6, minute: 30}) AS t, " +
+        "localtime({hour: 23, minute: 59, second: 59}) AS lt, " +
+        "time({hour: 6}).hour AS h")
+      .collect().head
+    assert(r.getAs[java.time.LocalDateTime](0) ==
+      java.time.LocalDateTime.of(2024, 3, 5, 7, 0))
+    assert(r.getAs[java.time.LocalDateTime](1) ==
+      java.time.LocalDateTime.of(1970, 1, 1, 6, 30))
+    assert(r.getAs[java.time.LocalDateTime](2) ==
+      java.time.LocalDateTime.of(1970, 1, 1, 23, 59, 59))
+    assert(r.getLong(3) == 6L)
+    // single-arg conversions preserve sub-second time-of-day and the
+    // whole family compares/sorts like Neo4j's instants
+    def runEv(q: String) = CypherPlanner.run(spark,
+      GraphLoader.events(spark, TestSpark.sf), q)
+    val conv = runEv(
+      "MATCH (e:Event) " +
+        "WITH e.ts AS ts, localtime(e.ts) AS lt, localdatetime(e.ts) AS ldt " +
+        "WHERE lt >= time({hour: 12}) " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val direct = runEv(
+      "MATCH (e:Event) WHERE e.ts.hour >= 12 RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(conv == direct && conv > 0)
+    // unknown / missing components fail loudly
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN time({minute: 5}) AS t").collect()
+    }
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN localtime({hour: 1, day: 2}) AS t").collect()
+    }
+  }
+
   test("point/distance: euclidean, both spellings, {x,y} required") {
     val r = run(
       "MATCH (n:Nation) WHERE n.nationkey = 0 " +
@@ -1357,6 +1435,39 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 5.0)
     intercept[Exception] {
       run("MATCH (n:Nation) RETURN point({x: 1.0, z: 2.0}) AS p").collect()
+    }
+  }
+
+  test("geographic point: haversine distance, CRS dispatch, mixed CRS is null") {
+    val r = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        // quarter meridian: equator to pole = pi/2 * R
+        "RETURN point.distance(point({latitude: 0.0, longitude: 0.0}), " +
+        "  point({latitude: 90.0, longitude: 0.0})) AS quarter, " +
+        // same point -> 0
+        "point.distance(point({latitude: 45.0, longitude: 10.0}), " +
+        "  point({longitude: 10.0, latitude: 45.0})) AS zero, " +
+        // mixed CRS -> null (Neo4j semantics)
+        "point.distance(point({latitude: 1.0, longitude: 2.0}), " +
+        "  point({x: 1.0, y: 2.0})) AS mixed")
+      .collect().head
+    val quarterMeridian =
+      math.Pi / 2 * graft.cypher.CypherPlanner.EarthRadiusMeters
+    assert(math.abs(r.getDouble(0) - quarterMeridian) < 1e-3)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.isNullAt(2))
+    // a WITH-carried geographic point keeps its CRS through the horizon
+    val viaWith = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        "WITH point({latitude: 0.0, longitude: 0.0}) AS p " +
+        "RETURN round(point.distance(p, " +
+        "  point({latitude: 0.0, longitude: 180.0})), 1) AS d")
+      .collect().head.getDouble(0)
+    assert(math.abs(viaWith -
+      math.Pi * graft.cypher.CypherPlanner.EarthRadiusMeters) < 0.1)
+    // partial key sets fail loudly like {x, z}
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN point({latitude: 1.0, y: 2.0}) AS p").collect()
     }
   }
 
