@@ -686,14 +686,27 @@ object OracleSql {
     s"""WITH ${labelPropCtes(rounds)}
        |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin
 
-  /** The label-propagation CTE block (graph `e`/`s0`, final labels in
-    * `l$rounds`) shared by [[labelProp]] and [[modularity]].
+  /** Twin of [[graft.graph.Algorithms.labelPropAsyncQuery]] — the
+    * parity-scheduled rounds unrolled: round j's candidate aggregate
+    * only covers sources of color j % 2, everything else identical to
+    * [[labelProp]].
     */
-  private def labelPropCtes(rounds: Int): String = {
+  def labelPropAsync(rounds: Int = 4): String =
+    s"""WITH ${labelPropCtes(rounds, parityScheduled = true)}
+       |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin
+
+  /** The label-propagation CTE block (graph `e`/`s0`, final labels in
+    * `l$rounds`) shared by [[labelProp]], [[labelPropAsync]], and
+    * [[modularity]]. `parityScheduled` adds the semi-synchronous
+    * color filter: round j only updates sources with id % 2 = j % 2.
+    */
+  private def labelPropCtes(rounds: Int,
+      parityScheduled: Boolean = false): String = {
     val steps = (1 to rounds).map { j =>
+      val parity = if (parityScheduled) s" WHERE s.src % 2 = ${j % 2}" else ""
       s"""n$j AS (
          |  SELECT s.src, l.label, COUNT(*) AS cnt
-         |  FROM s0 s JOIN l${j - 1} l ON s.dst = l.id GROUP BY 1, 2),
+         |  FROM s0 s JOIN l${j - 1} l ON s.dst = l.id$parity GROUP BY 1, 2),
          |b$j AS (
          |  SELECT src AS id, label FROM (
          |    SELECT src, label, row_number() OVER (

@@ -118,6 +118,7 @@ object SparkEntry {
     "graph_triangle_count"  -> (graph.Algorithms.triangleCountQuery(_, _)),
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
     "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
+    "graph_label_prop_async" -> (graph.Algorithms.labelPropAsyncQuery(_, _)),
     "graph_modularity"      -> (graph.Algorithms.modularityQuery(_, _)),
     "graph_louvain"         -> (graph.Algorithms.louvainQuery(_, _)),
     "graph_louvain2"        -> (graph.Algorithms.louvain2Query(_, _)),
@@ -313,6 +314,7 @@ object SparkEntry {
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),
+    "graph_label_prop_async" -> OracleSql.labelPropAsync(),
     "graph_degree_dist" -> OracleSql.degreeDist,
     "graph_modularity"  -> OracleSql.modularity(),
     "graph_louvain"     -> OracleSql.louvain(),

@@ -153,6 +153,69 @@ object Algorithms {
     labels
   }
 
+  /** Semi-synchronous (coloring-scheduled) label propagation — the
+    * deterministic fix for synchronous LPA's oscillation class
+    * (Cordasco & Gargano 2011/2012, "semi-synchronous" LPA: update
+    * one color class of a proper-ish schedule at a time and the
+    * two-colorable label oscillation — e.g. a single edge swapping
+    * labels forever — cannot form). Nodes are 2-colored by id parity;
+    * round j updates ONLY color j % 2, reading every other node's
+    * CURRENT label (Gauss–Seidel order). The argmax is the same
+    * most-frequent/ties-to-smallest total order as
+    * [[labelPropagation]], so every round is deterministic and the
+    * DuckDB oracle unrolls it exactly.
+    *
+    * 100 TB notes: identical per-round shape to [[labelPropagation]]
+    * (one (node, label)-keyed partial aggregate + per-node argmax
+    * window on the same partitioning + a labels join); the parity
+    * filter halves each round's aggregate input — a full sweep costs
+    * the same total work as one synchronous round, just split in two.
+    */
+  def labelPropagationAsync(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .repartition(col("id")).localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+    for (j <- 1 to rounds) {
+      val best = sym
+        .filter(col("src") % 2 === lit(j % 2)) // the round's color class
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("id"), col("label").as("new_label"))
+      labels = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** [[labelPropagationAsync]] over the per-nation
+    * consecutive-customer graph — 4 parity rounds = two full sweeps.
+    */
+  def labelPropAsyncQuery(spark: SparkSession, sfDir: String,
+      rounds: Int = 4): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"))
+    val edges = nbr.select(col("src"), col("d1").as("dst"))
+      .filter(col("dst").isNotNull)
+      .unionByName(nbr.select(col("src"), col("d2").as("dst"))
+        .filter(col("dst").isNotNull))
+    labelPropagationAsync(edges, rounds)
+      .select(col("id"), col("label").as("community"))
+      .orderBy(col("id"))
+  }
+
   /** Label propagation over the per-nation consecutive-customer graph
     * (same cyclic synthetic graph as [[kcoreQuery]]).
     */

@@ -117,6 +117,35 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(q.nonEmpty && q.forall(_.getLong(1) <= q.map(_.getLong(0)).max))
   }
 
+  test("async-coloring label propagation breaks the synchronous oscillation") {
+    // a single edge is the minimal oscillator: synchronous LPA swaps
+    // the two labels every round forever (even rounds land back on
+    // the initial labeling), so it never converges
+    val edge = edgeDf(Seq((1L, 2L)))
+    val sync2 = Algorithms.labelPropagation(edge, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sync2 == Map(1L -> 1L, 2L -> 2L), "sync LPA oscillates with period 2")
+    // the parity schedule updates one endpoint at a time: node 1
+    // (color 1) adopts 2, then node 2 reads the UPDATED label and
+    // keeps 2 — a stable fixpoint after one full sweep
+    val async2 = Algorithms.labelPropagationAsync(edge, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(async2 == Map(1L -> 2L, 2L -> 2L), "async converges on the edge")
+    val async6 = Algorithms.labelPropagationAsync(edge, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(async6 == async2, "the fixpoint is stable under more rounds")
+    // on the bridged triangles it finds the same communities as the
+    // synchronous variant (both deterministic)
+    val edges = edgeDf(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)))
+    val lp = Algorithms.labelPropagationAsync(edges, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(lp).toSet.size == 1)
+    assert(Seq(10L, 11L, 12L).map(lp).toSet.size == 1)
+  }
+
   test("degrees on the tpch hierarchy: every order has out-degree 1") {
     val df = Algorithms.degreesQuery(spark, TestSpark.sf)
     val orders = df.filter(col("id") >= GraphLoader.OrderOffset &&
