@@ -51,8 +51,10 @@ object SparkEntry {
     "cypher_temporal_ctor"  -> (cypher.CypherQueries.temporalCtor(_, _)),
     "cypher_point"          -> (cypher.CypherQueries.pointDistance(_, _)),
     "cypher_point_geo"      -> (cypher.CypherQueries.pointGeoDistance(_, _)),
+    "cypher_point_bbox"     -> (cypher.CypherQueries.pointBBox(_, _)),
     "cypher_temporal_types" -> (cypher.CypherQueries.temporalTypes(_, _)),
     "cypher_weighted_path"  -> (cypher.CypherQueries.weightedPath(_, _)),
+    "cypher_duration_ctor"  -> (cypher.CypherQueries.durationCtor(_, _)),
     "cypher_catalog"        -> (cypher.CypherQueries.catalog(_, _)),
     "cypher_collect_subquery" -> (cypher.CypherQueries.collectSubquery(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
@@ -2024,6 +2026,16 @@ object SparkEntry {
         |            ELSE 'far' END AS band,
         |  COUNT(*) AS n, MIN(dist) AS d_min, MAX(dist) AS d_max
         |FROM d GROUP BY 1 ORDER BY band""".stripMargin,
+    "cypher_duration_ctor" ->
+      // duration({weeks:1, days:2}) = 9 days back from Jan 31 -> Jan 22;
+      // duration({days:1, hours:36}) forward from Jan 22 -> Jan 24 12:00
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(MIN(day(ts)) AS BIGINT) AS d_min,
+        |  CAST(MAX(day(ts)) AS BIGINT) AS d_max
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-24 12:00:00'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "cypher_temporal_types" ->
       """WITH b AS (
         |  SELECT ts,
@@ -2040,6 +2052,12 @@ object SparkEntry {
         |WHERE lt >= TIMESTAMP '1970-01-01 06:00:00'
         |  AND lt < TIMESTAMP '1970-01-01 18:30:00'
         |GROUP BY 1 ORDER BY d""".stripMargin,
+    "cypher_point_bbox" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nk, COUNT(*) AS n
+        |FROM customer
+        |WHERE CAST(c_custkey % 120 - 60 AS DOUBLE) BETWEEN -30.0 AND 45.0
+        |  AND CAST(c_nationkey * 13 - 170 AS DOUBLE) BETWEEN -100.0 AND 60.0
+        |GROUP BY 1 ORDER BY nk""".stripMargin,
     "cypher_point_geo" ->
       """WITH p AS (
         |  SELECT c_custkey AS id,

@@ -909,12 +909,14 @@ object CypherParser {
       case Some(TId(name))
           if (name.equalsIgnoreCase("datetime") || name.equalsIgnoreCase("date") ||
             name.equalsIgnoreCase("localdatetime") ||
-            name.equalsIgnoreCase("time") || name.equalsIgnoreCase("localtime")) &&
+            name.equalsIgnoreCase("time") || name.equalsIgnoreCase("localtime") ||
+            name.equalsIgnoreCase("duration")) &&
           pos + 2 < toks.length && toks(pos + 1) == TSym("(") &&
           toks(pos + 2) == TSym("{") =>
         // map constructor `datetime({year: …, month: …, …})` /
         // `date({year, month, day})` / `localdatetime({…})` /
-        // `time({hour, …})` / `localtime({…})` — desugared to reserved
+        // `time({hour, …})` / `localtime({…})` /
+        // `duration({days: 7, hours: 2})` — desugared to reserved
         // @mk… calls carrying alternating (key, expr) arguments; the
         // planner validates components and defaults the rest
         // (month/day → 1, time-of-day → 0, Neo4j semantics)
@@ -922,6 +924,7 @@ object CypherParser {
           case "date"          => "@mkdate"
           case "datetime"      => "@mkdatetime"
           case "localdatetime" => "@mklocaldatetime"
+          case "duration"      => "@mkduration"
           case _               => "@mktime" // time / localtime
         }
         ident(); eatSym("("); eatSym("{")
@@ -966,16 +969,27 @@ object CypherParser {
           if name.equalsIgnoreCase("point") &&
           pos + 2 < toks.length && toks(pos + 1) == TSym(".") &&
           (toks(pos + 2) match {
-            case TId(f) => f.equalsIgnoreCase("distance")
+            case TId(f) => f.equalsIgnoreCase("distance") ||
+              f.equalsIgnoreCase("withinBBox")
             case _      => false
           }) =>
-        // `point.distance(a, b)` — euclidean distance between two
-        // cartesian points (Neo4j 5 spelling; `distance(a, b)` also
-        // accepted as the legacy form)
-        ident(); eatSym("."); ident(); eatSym("(")
+        // `point.distance(a, b)` — distance between two points
+        // (Neo4j 5 spelling; `distance(a, b)` also accepted as the
+        // legacy form) — and `point.withinBBox(p, lowerLeft,
+        // upperRight)` — bounding-box containment
+        ident(); eatSym(".")
+        val f = ident()
+        eatSym("(")
         val a = addExpr(); eatSym(",")
-        val b = addExpr(); eatSym(")")
-        FnCallN("@distance", Seq(a, b))
+        val b = addExpr()
+        if (f.equalsIgnoreCase("withinBBox")) {
+          eatSym(",")
+          val c = addExpr(); eatSym(")")
+          FnCallN("@withinbbox", Seq(a, b, c))
+        } else {
+          eatSym(")")
+          FnCallN("@distance", Seq(a, b))
+        }
       case Some(TId(name))
           if (name.equalsIgnoreCase("percentileCont") ||
             name.equalsIgnoreCase("percentileDisc")) &&

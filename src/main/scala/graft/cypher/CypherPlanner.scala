@@ -2295,6 +2295,29 @@ object CypherPlanner {
       else
         make_timestamp(c("year", 1), c("month", 1), c("day", 1),
           c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(16,6)"))
+    // duration({years, months, weeks, days, hours, minutes, seconds})
+    // — the map spelling of duration('P…'): integer-literal components
+    // (like the ISO literal form) folded into one make_interval, so
+    // instant ± duration bounds stay pushable
+    case FnCallN("@mkduration", args) =>
+      val comps = args.grouped(2).map {
+        case Seq(LitV(k: String), LitV(v: Long)) => k -> v
+        case Seq(LitV(k: String), other) => throw new IllegalArgumentException(
+          s"duration({…}) takes integer-literal components, got $k: $other")
+        case other => throw new IllegalArgumentException(
+          s"malformed duration map constructor args: $other")
+      }.toMap
+      val allowed = Set("years", "months", "weeks", "days",
+        "hours", "minutes", "seconds")
+      val bad = comps.keySet -- allowed
+      require(bad.isEmpty, s"unsupported duration components: " +
+        s"${bad.toSeq.sorted.mkString(", ")} (supported: " +
+        s"${allowed.toSeq.sorted.mkString(", ")})")
+      require(comps.nonEmpty, "duration({}) needs at least one component")
+      def dn(k: String): Long = comps.getOrElse(k, 0L)
+      expr(s"make_interval(${dn("years")}, ${dn("months")}, 0, " +
+        s"${dn("weeks") * 7 + dn("days")}, ${dn("hours")}, " +
+        s"${dn("minutes")}, ${dn("seconds")})")
     // time({hour[, minute, second]}) / localtime({…}) — epoch-anchored
     // time-of-day (see the single-arg constructors above); hour is the
     // required component, Neo4j-style
@@ -2355,6 +2378,24 @@ object CypherPlanner {
       val hav = lit(2.0) * lit(EarthRadiusMeters) * asin(sqrt(h))
       when(bothCart, euclid).when(bothGeo, hav)
         .otherwise(lit(null).cast("double"))
+    // point.withinBBox(p, lowerLeft, upperRight) → axis-range
+    // containment (lat/lon ranges for geographic, x/y for cartesian —
+    // no antimeridian wrap, documented); mixed CRS → NULL like
+    // distance. getField over literal-constructed points simplifies
+    // to plain column comparisons (SimplifyExtractValueOps), so the
+    // predicate stays codegen'd scalar algebra.
+    case FnCallN("@withinbbox", Seq(p, lo, hi)) =>
+      val cp = toColumn(p, scalars)
+      val cl = toColumn(lo, scalars)
+      val ch = toColumn(hi, scalars)
+      val sameCrs = cp.getField("crs") === cl.getField("crs") &&
+        cp.getField("crs") === ch.getField("crs")
+      val inside =
+        cp.getField("x") >= cl.getField("x") &&
+        cp.getField("x") <= ch.getField("x") &&
+        cp.getField("y") >= cl.getField("y") &&
+        cp.getField("y") <= ch.getField("y")
+      when(sameCrs, inside).otherwise(lit(null).cast("boolean"))
     // namespaced temporal truncation (parser sugar):
     // datetime.truncate('month', x) → date_trunc — codegen'd, and
     // foldable over literal arguments so truncated-bound WHERE

@@ -986,6 +986,26 @@ object CypherQueries {
         |  count(*) AS n, min(dist) AS d_min, max(dist) AS d_max
         |ORDER BY band""".stripMargin)
 
+  /** `point.withinBBox(p, lowerLeft, upperRight)` — bounding-box
+    * containment over geographic points (the geo-filter companion to
+    * [[pointGeoDistance]]): customers inside a lat/lon box, grouped
+    * by nation. The struct field accesses over literal-constructed
+    * points simplify to plain column comparisons, so the predicate is
+    * ordinary codegen'd algebra; a point exactly on the box edge is
+    * inside (closed bounds, Neo4j semantics).
+    */
+  def pointBBox(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WITH c.nationkey AS nk,
+        |  point({latitude: toFloat(c.custkey % 120 - 60),
+        |         longitude: toFloat(c.nationkey * 13 - 170)}) AS p
+        |WHERE point.withinBBox(p,
+        |  point({latitude: -30.0, longitude: -100.0}),
+        |  point({latitude: 45.0, longitude: 60.0}))
+        |RETURN nk, count(*) AS n
+        |ORDER BY nk""".stripMargin)
+
   /** `properties(n)` — whole-property-map introspection, surfaced as
     * a key-sorted `array<struct<key,val>>` (stringified values; a MAP
     * would not be driver-hashable) and consumed via UNWIND + struct
@@ -1037,6 +1057,23 @@ object CypherQueries {
       """MATCH (e:Event)
         |WHERE e.ts >= datetime('2024-01-30T23:59:59') - duration('P7D')
         |  AND e.ts < datetime('2024-01-24T00:00:00') + duration('PT36H')
+        |RETURN e.eventType AS event_type, count(*) AS n,
+        |  min(e.ts.day) AS d_min, max(e.ts.day) AS d_max
+        |ORDER BY event_type""".stripMargin)
+
+  /** `duration({…})` map constructors — the Neo4j-typical spelling of
+    * duration literals (`duration({weeks: 1, days: 2})`) next to
+    * [[temporalArith]]'s ISO strings: components fold into one
+    * interval, so the instant ± duration WHERE bounds still collapse
+    * to pushable timestamp literals.
+    */
+  def durationCtor(spark: SparkSession, sfDir: String): DataFrame =
+    runEvents(spark, sfDir,
+      """MATCH (e:Event)
+        |WHERE e.ts >= datetime({year: 2024, month: 1, day: 31})
+        |    - duration({weeks: 1, days: 2})
+        |  AND e.ts < datetime({year: 2024, month: 1, day: 22})
+        |    + duration({days: 1, hours: 36})
         |RETURN e.eventType AS event_type, count(*) AS n,
         |  min(e.ts.day) AS d_min, max(e.ts.day) AS d_max
         |ORDER BY event_type""".stripMargin)

@@ -1348,6 +1348,31 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("duration map constructor folds; withinBBox: closed bounds, mixed CRS null") {
+    val r = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        "RETURN datetime('2024-01-31T00:00:00') - duration({weeks: 1, days: 2}) AS a, " +
+        "datetime('2024-01-22T00:00:00') + duration({days: 1, hours: 36}) AS b")
+      .collect().head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-22 00:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-24 12:00:00"))
+    intercept[Exception] {
+      run("MATCH (n:Nation) RETURN duration({fortnights: 1}) AS d").collect()
+    }
+    val bb = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        // on-edge point is inside (closed bounds); outside is false;
+        // mixed CRS is null
+        "RETURN point.withinBBox(point({x: 1.0, y: 2.0}), " +
+        "  point({x: 1.0, y: 0.0}), point({x: 5.0, y: 2.0})) AS onEdge, " +
+        "point.withinBBox(point({x: 9.0, y: 2.0}), " +
+        "  point({x: 1.0, y: 0.0}), point({x: 5.0, y: 2.0})) AS outside, " +
+        "point.withinBBox(point({latitude: 1.0, longitude: 2.0}), " +
+        "  point({x: 0.0, y: 0.0}), point({x: 5.0, y: 5.0})) AS mixed")
+      .collect().head
+    assert(bb.getBoolean(0) && !bb.getBoolean(1) && bb.isNullAt(2))
+  }
+
   test("weighted shortestPath: min cost per pair, ties to fewer hops, cost(p) bound") {
     // NEXT_IN_REGION has no weight property -> loud failure
     intercept[Exception] {
