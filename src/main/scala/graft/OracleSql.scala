@@ -1134,6 +1134,97 @@ object OracleSql {
        |ORDER BY n_planes, probe_hamming""".stripMargin
   }
 
+  /** The IVF cell-assignment CTE block shared by [[ivfTuning]] and
+    * [[annIvfPq]]: label centroids as the coarse quantizer, every
+    * vector ranked against every cell (`assign` with rk), data side
+    * `d` (nearest cell only), query side `qall` (all cell ranks).
+    */
+  private val IvfCellCtes: String =
+    """ex AS (
+      |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
+      |  FROM embeddings),
+      |cd AS (
+      |  SELECT label, d,
+      |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS c
+      |  FROM ex GROUP BY label, d),
+      |cent AS (SELECT label AS cell, list(c ORDER BY d) AS cvec
+      |         FROM cd GROUP BY label),
+      |n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, v, nrm, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(v, v) - 2.0*list_dot_product(v, cvec)
+      |        + list_dot_product(cvec, cvec), cell) AS rk
+      |  FROM n CROSS JOIN cent),
+      |d AS (SELECT cell, vec_id, v, nrm FROM assign
+      |      WHERE rk = 1 AND vec_id >= 5),
+      |qall AS (SELECT cell, rk, vec_id AS q_id, v AS q_v, nrm AS q_nrm
+      |         FROM assign WHERE vec_id < 5)""".stripMargin
+
+  /** DuckDB twin of [[Similarity.annIvfPq]]: the IVF cell block +
+    * one PQ kmeans block per subspace; a candidate's ADC is the
+    * left-assoc sum `0.0 + t0 + … + t_{m-1}` of per-subspace
+    * d²(query-slice, assigned-codebook-centroid) — the same fixed
+    * fold order as the engine's in-row aggregate — then the `cand`
+    * shortlist re-ranks by exact cosine.
+    */
+  def annIvfPq(k: Int = 10, nprobe: Int = 2, m: Int = 4, cb: Int = 8,
+      iters: Int = 3, dim: Int = 64, cand: Int = 50): String = {
+    val subDim = dim / m
+    val pqBlocks = (0 until m).map { s =>
+      kmeansCtesOn(cb, iters, s"s$s",
+        s"(CAST(embedding AS DOUBLE[]))[${s * subDim + 1}:${s * subDim + subDim}]")
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s => s"a$s.cell AS k$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN s${s}asg a$s USING (vec_id)").mkString(" ")
+    val cbJoins = (0 until m)
+      .map(s => s"JOIN s${s}c${iters - 1} cb$s ON cb$s.cell = c.k$s")
+      .mkString("\n  ")
+    val adcTerms = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = s * subDim + subDim
+      s"(${kmeansD2(s"q.v[$lo:$hi]", s"cb$s.cvec")})"
+    }.mkString(" + ")
+    s"""WITH $IvfCellCtes,
+       |$pqBlocks,
+       |codes AS (
+       |  SELECT a0.vec_id, $codeCols
+       |  FROM s0asg a0 $codeJoins
+       |  WHERE a0.vec_id >= 5),
+       |qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings WHERE vec_id < 5),
+       |probes AS (SELECT cell, q_id FROM qall WHERE rk <= $nprobe),
+       |candadc AS (
+       |  SELECT p.q_id, dd.vec_id, dd.v, dd.nrm,
+       |    round(0.0 + $adcTerms, 6) AS adc
+       |  FROM d dd JOIN probes p USING (cell)
+       |  JOIN codes c ON c.vec_id = dd.vec_id
+       |  JOIN qv q ON q.q_id = p.q_id
+       |  $cbJoins),
+       |shortlist AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, vec_id) AS crk
+       |    FROM candadc) WHERE crk <= $cand),
+       |scored AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    round(CASE WHEN s.nrm = 0 OR nq.nrm = 0 THEN 0
+       |      ELSE list_dot_product(s.v, nq.v) / (s.nrm * nq.nrm) END, 6)
+       |      + 0.0 AS score
+       |  FROM shortlist s JOIN n nq ON nq.vec_id = s.q_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, score FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** DuckDB twin of [[Similarity.ivfTuning]]: shared label-centroid
     * assignment + exact top-k, then per-nprobe the probe join, top-k,
     * recall aggregate and candidate count, unioned into the curve.
@@ -1166,31 +1257,7 @@ object OracleSql {
       s"""SELECT CAST($p AS BIGINT) AS nprobe, mean_recall, total_candidates
          |FROM rec$i CROSS JOIN vol$i""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ex AS (
-       |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
-       |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
-       |  FROM embeddings),
-       |cd AS (
-       |  SELECT label, d,
-       |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS c
-       |  FROM ex GROUP BY label, d),
-       |cent AS (SELECT label AS cell, list(c ORDER BY d) AS cvec
-       |         FROM cd GROUP BY label),
-       |n AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                          CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |assign AS (
-       |  SELECT vec_id, v, nrm, cell,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY
-       |      list_dot_product(v, v) - 2.0*list_dot_product(v, cvec)
-       |        + list_dot_product(cvec, cvec), cell) AS rk
-       |  FROM n CROSS JOIN cent),
-       |d AS (SELECT cell, vec_id, v, nrm FROM assign
-       |      WHERE rk = 1 AND vec_id >= 5),
-       |qall AS (SELECT cell, rk, vec_id AS q_id, v AS q_v, nrm AS q_nrm
-       |         FROM assign WHERE vec_id < 5),
+    s"""WITH $IvfCellCtes,
        |ex_s AS (
        |  SELECT q.vec_id AS q_id, dd.vec_id,
        |    round(CASE WHEN dd.nrm = 0 OR q.nrm = 0 THEN 0

@@ -216,6 +216,7 @@ object SparkEntry {
     "multimodal_frames"   -> (Multimodal.frameIndex(_, _)),
     "sim_label_centroid"  -> (Similarity.labelCentroids(_, _)),
     "sim_ann_ivf"         -> (Similarity.annIvf(_, _)),
+    "sim_ann_ivfpq"       -> (Similarity.annIvfPq(_, _)),
     "embed_kmeans"        -> (Similarity.kmeans(_, _)),
     "embed_pq"            -> (Similarity.pq(_, _)),
     "sim_semantic_dedup"  -> (Similarity.semanticDedup(_, _)),
@@ -1438,6 +1439,7 @@ object SparkEntry {
         |  CAST(CASE WHEN cos_centroid < 0.2 THEN 1 ELSE 0 END AS INTEGER)
         |    AS is_outlier
         |FROM s ORDER BY vec_id""".stripMargin,
+    "sim_ann_ivfpq" -> OracleSql.annIvfPq(),
     "sim_ann_ivf" ->
       """WITH ex AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,

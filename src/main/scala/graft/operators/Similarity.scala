@@ -336,6 +336,99 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
+  /** IVFPQ (Jégou et al. 2011): the full billion-vector ANN
+    * composition — IVF coarse cells prune the corpus, PQ codes give a
+    * compressed in-cell distance, and only a small ADC shortlist pays
+    * the exact re-rank. Pipeline per query: probe the `nprobe`
+    * nearest cells ([[ivfCellRanking]]'s zero-exchange assignment) →
+    * score every candidate by ASYMMETRIC DISTANCE (ADC): the query
+    * precomputes, per subspace, its d² to all `cb` codebook centroids
+    * (a cb×m table, tiny and broadcast), and a candidate's score is an
+    * IN-ROW fold over its m codes — no vector arithmetic per pair,
+    * just m table lookups → keep the `cand` best per query → exact
+    * cosine re-rank of that shortlist → top-k.
+    *
+    * Determinism: codebooks are [[kmeansCentroidsOn]]'s deterministic
+    * Lloyd output; the ADC fold runs in fixed subspace order (an
+    * in-row array fold, not a float groupBy); all ranking keys are
+    * 6-dp rounded with vec_id ties.
+    *
+    * 100 TB notes: the per-pair work is m=4 array lookups + adds on
+    * an in-cell candidate set (~nprobe/|cells| of the corpus); the
+    * exact side touches only cand×|queries| rows. Codes are derived
+    * here and joined once on vec_id (in production they are stored
+    * inline with the vector row — the join disappears); codebooks and
+    * query tables are broadcast-sized (m·cb centroids of dim/m).
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String, k: Int = 10,
+      nprobe: Int = 2, m: Int = 4, cb: Int = 8, iters: Int = 3,
+      dim: Int = 64, cand: Int = 50): DataFrame = {
+    val emb = embWithNorm(spark, sfDir)
+    val ranked = ivfCellRanking(spark, sfDir, emb)
+    val data = ranked.filter(col("vec_id") >= 5)
+      .select(element_at(col("pcs"), 1).getField("cell").as("cell"),
+        col("vec_id"), col("v"), col("nrm"))
+    val probes = ranked.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        explode(slice(col("pcs"), 1, nprobe)).as("pc"))
+      .select(col("pc").getField("cell").as("cell"), col("q_id"))
+    val subDim = dim / m
+    val embV = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // per-subspace codebooks: data codes + per-query distance tables
+    val subParts = (0 until m).map { s =>
+      val sub = embV.select(col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+      val cents = kmeansCentroidsOn(sub, cb, iters)
+      val codes = kmeansAssignTo(sub, cents).filter(col("vec_id") >= 5)
+        .select(col("vec_id"), lit(s).as("sub"), col("cell").cast("int").as("code"))
+      val cs = cents.agg(
+        sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+      val qtab = sub.filter(col("vec_id") < 5).crossJoin(broadcast(cs))
+        .select(col("vec_id").as("q_id"), lit(s).as("sub"),
+          transform(col("cs"), c =>
+            dot(col("v"), col("v")) -
+              lit(2.0) * dot(col("v"), c.getField("cvec")) +
+              dot(c.getField("cvec"), c.getField("cvec"))).as("dtab"))
+      (codes, qtab)
+    }
+    val codesAll = subParts.map(_._1).reduce(_.unionByName(_))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val qtabs = subParts.map(_._2).reduce(_.unionByName(_))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("dtab")))),
+        s => s.getField("dtab")).as("dtabs"))
+    // ADC: in-row fold over the m (code, table) pairs in subspace
+    // order — cell ids are 0..cb-1 (first-k init), so code+1 indexes
+    // the sorted table directly
+    val candScored = data.join(broadcast(probes), Seq("cell"))
+      .join(codesAll, Seq("vec_id"))
+      .join(broadcast(qtabs), Seq("q_id"))
+      .withColumn("adc", round(aggregate(
+        zip_with(col("codes"), col("dtabs"),
+          (code, tab) => element_at(tab, code + 1)),
+        lit(0.0), (acc, x) => acc + x), 6))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val shortlist = candScored.withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= cand)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    shortlist.join(broadcast(q), Seq("q_id"))
+      .withColumn("score", round(
+        when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Deterministic k-means over the embedding corpus — the semantic
     * clustering step of a curation pipeline (cluster-balanced
     * sampling, semantic dedup, topic bucketing). Init is the first
@@ -408,30 +501,38 @@ object Similarity {
   /** [[kmeansAssign]] over an arbitrary (vec_id, v) frame — shared
     * with [[pq]], which runs it once per subvector slice.
     */
-  private def kmeansAssignOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  private def kmeansAssignOn(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssignTo(emb, kmeansCentroidsOn(emb, k, iters))
 
-    // argmin assignment against a broadcast one-row centroid array;
-    // first index of the min distance = smallest cell id among ties
-    // (cs is sorted by cell)
-    def assign(cents: DataFrame): DataFrame = {
-      val cs = cents.agg(
-        sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
-      emb.crossJoin(broadcast(cs))
-        .withColumn("ds", transform(col("cs"), c =>
-          dot(col("v"), col("v")) -
-            lit(2.0) * dot(col("v"), c.getField("cvec")) +
-            dot(c.getField("cvec"), c.getField("cvec"))))
-        .withColumn("best", array_position(col("ds"), array_min(col("ds"))).cast("int"))
-        .select(col("vec_id"), col("v"),
-          element_at(col("cs"), col("best")).getField("cell").as("cell"),
-          element_at(col("ds"), col("best")).as("d2"))
-    }
+  /** Argmin assignment of `emb` against a (cell, cvec) centroid
+    * frame: broadcast one-row centroid array, in-row distances, first
+    * index of the min = smallest cell id among ties (cs is sorted by
+    * cell). Pure map over the corpus.
+    */
+  private def kmeansAssignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = cents.agg(
+      sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+    emb.crossJoin(broadcast(cs))
+      .withColumn("ds", transform(col("cs"), c =>
+        dot(col("v"), col("v")) -
+          lit(2.0) * dot(col("v"), c.getField("cvec")) +
+          dot(c.getField("cvec"), c.getField("cvec"))))
+      .withColumn("best", array_position(col("ds"), array_min(col("ds"))).cast("int"))
+      .select(col("vec_id"), col("v"),
+        element_at(col("cs"), col("best")).getField("cell").as("cell"),
+        element_at(col("ds"), col("best")).as("d2"))
+  }
 
+  /** The Lloyd loop's final (cell, cvec) centroids — exposed so
+    * [[annIvfPq]] can score against the trained codebooks, not just
+    * read assignments.
+    */
+  private def kmeansCentroidsOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"))
       .localCheckpoint()
     for (_ <- 1 until iters) {
-      val means = assign(cents)
+      val means = kmeansAssignTo(emb, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
         .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
@@ -445,7 +546,7 @@ object Similarity {
         .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"))
         .localCheckpoint()
     }
-    assign(cents)
+    cents
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023,

@@ -78,6 +78,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("ivfpq: exact-reranked shortlist tracks the plain-IVF retrieval") {
+    // IVFPQ searches the same probed cells as annIvf but pre-filters
+    // with the compressed ADC before the exact re-rank, so with a
+    // shortlist much larger than k it should recover most of what the
+    // uncompressed in-cell ranking finds
+    val ivf = Similarity.annIvf(spark, TestSpark.sf, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = Similarity.annIvfPq(spark, TestSpark.sf, k = 10, nprobe = 2)
+      .collect()
+    val pqSet = ivfpq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = ivf.count(pqSet.contains).toDouble / ivf.size
+    assert(overlap >= 0.6, s"IVFPQ/IVF overlap $overlap")
+    // dense ranks, descending exact scores per query
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, "exact re-rank must order scores")
+    }
+    // deterministic: a second run is bit-identical
+    val again = Similarity.annIvfPq(spark, TestSpark.sf, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq ==
+      ivfpq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
   test("LSH-blocked near-dup pairs recall >= 0.85 of exact all-pairs truth") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
