@@ -506,9 +506,13 @@ object OracleSql {
   /** [[kmeansCtes]] with a CTE-name prefix and an arbitrary vector
     * expression over `embeddings` — [[pq]] instantiates one block per
     * subvector slice; the final assignment lands in `${p}asg`.
+    * `trainWhere` optionally restricts the LLOYD TRAINING set (the
+    * `${p}t` CTE feeding init + iterations) — the final assignment
+    * always covers the full `${p}e` frame, mirroring
+    * `Similarity.annIvfPq`'s subsampled codebook training.
     */
   private def kmeansCtesOn(k: Int, iters: Int, p: String,
-      vexpr: String): String = {
+      vexpr: String, trainWhere: String = ""): String = {
     def d2 = kmeansD2 _
     val steps = (1 until iters).map { j =>
       s"""${p}a$j AS MATERIALIZED (
@@ -516,7 +520,7 @@ object OracleSql {
          |    SELECT e.vec_id, e.v, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        ${d2("e.v", "c.cvec")}, c.cell) AS rk
-         |    FROM ${p}e e CROSS JOIN ${p}c${j - 1} c) WHERE rk = 1),
+         |    FROM ${p}t e CROSS JOIN ${p}c${j - 1} c) WHERE rk = 1),
          |${p}m$j AS (
          |  SELECT cell, d,
          |    round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 6) AS m
@@ -531,8 +535,10 @@ object OracleSql {
     }.mkString(",\n")
     s"""${p}e AS MATERIALIZED (
        |  SELECT vec_id, $vexpr AS v FROM embeddings),
+       |${p}t AS MATERIALIZED (
+       |  SELECT * FROM ${p}e $trainWhere),
        |${p}c0 AS MATERIALIZED (
-       |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM ${p}e WHERE vec_id < $k),
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM ${p}t WHERE vec_id < $k),
        |$steps,
        |${p}asg AS MATERIALIZED (
        |  SELECT vec_id, v, cell, d2 FROM (
@@ -1174,11 +1180,13 @@ object OracleSql {
     * shortlist re-ranks by exact cosine.
     */
   def annIvfPq(k: Int = 10, nprobe: Int = 2, m: Int = 4, cb: Int = 8,
-      iters: Int = 3, dim: Int = 64, cand: Int = 50): String = {
+      iters: Int = 3, dim: Int = 64, cand: Int = 50,
+      trainN: Int = 512): String = {
     val subDim = dim / m
     val pqBlocks = (0 until m).map { s =>
       kmeansCtesOn(cb, iters, s"s$s",
-        s"(CAST(embedding AS DOUBLE[]))[${s * subDim + 1}:${s * subDim + subDim}]")
+        s"(CAST(embedding AS DOUBLE[]))[${s * subDim + 1}:${s * subDim + subDim}]",
+        trainWhere = s"WHERE vec_id < $trainN")
     }.mkString(",\n")
     val codeCols = (0 until m).map(s => s"a$s.cell AS k$s").mkString(", ")
     val codeJoins = (1 until m)

@@ -362,7 +362,7 @@ object Similarity {
     */
   def annIvfPq(spark: SparkSession, sfDir: String, k: Int = 10,
       nprobe: Int = 2, m: Int = 4, cb: Int = 8, iters: Int = 3,
-      dim: Int = 64, cand: Int = 50): DataFrame = {
+      dim: Int = 64, cand: Int = 50, trainN: Int = 512): DataFrame = {
     val emb = embWithNorm(spark, sfDir)
     val ranked = ivfCellRanking(spark, sfDir, emb)
     val data = ranked.filter(col("vec_id") >= 5)
@@ -375,31 +375,67 @@ object Similarity {
     val subDim = dim / m
     val embV = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    // per-subspace codebooks: data codes + per-query distance tables
-    val subParts = (0 until m).map { s =>
-      val sub = embV.select(col("vec_id"),
+    // ALL m subspaces in one (sub, vec_id, v) frame: the Lloyd loop
+    // trains every codebook simultaneously with centroids keyed
+    // (sub, cell) — iters jobs total instead of m·iters (the per-sub
+    // arithmetic is identical, just batched; the oracle's per-sub CTE
+    // blocks compute the same numbers). Codebooks train on a
+    // deterministic SUBSAMPLE (first trainN vectors) — the production
+    // discipline: only the one-pass ASSIGNMENT reads the full corpus.
+    val subs = (0 until m).map { s =>
+      embV.select(lit(s).as("sub"), col("vec_id"),
         slice(col("v"), s * subDim + 1, subDim).as("v"))
-      val cents = kmeansCentroidsOn(sub, cb, iters)
-      val codes = kmeansAssignTo(sub, cents).filter(col("vec_id") >= 5)
-        .select(col("vec_id"), lit(s).as("sub"), col("cell").cast("int").as("code"))
-      val cs = cents.agg(
-        sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
-      val qtab = sub.filter(col("vec_id") < 5).crossJoin(broadcast(cs))
-        .select(col("vec_id").as("q_id"), lit(s).as("sub"),
-          transform(col("cs"), c =>
-            dot(col("v"), col("v")) -
-              lit(2.0) * dot(col("v"), c.getField("cvec")) +
-              dot(c.getField("cvec"), c.getField("cvec"))).as("dtab"))
-      (codes, qtab)
+    }.reduce(_.unionByName(_))
+    def assignAll(frame: DataFrame, cents: DataFrame): DataFrame = {
+      val cs = cents.groupBy(col("sub"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+      frame.join(broadcast(cs), Seq("sub"))
+        .withColumn("ds", transform(col("cs"), c =>
+          dot(col("v"), col("v")) -
+            lit(2.0) * dot(col("v"), c.getField("cvec")) +
+            dot(c.getField("cvec"), c.getField("cvec"))))
+        .withColumn("best",
+          array_position(col("ds"), array_min(col("ds"))).cast("int"))
+        .select(col("sub"), col("vec_id"), col("v"),
+          element_at(col("cs"), col("best")).getField("cell").as("cell"),
+          element_at(col("ds"), col("best")).as("d2"))
     }
-    val codesAll = subParts.map(_._1).reduce(_.unionByName(_))
+    val train = subs.filter(col("vec_id") < trainN).localCheckpoint()
+    var cents = train.filter(col("vec_id") < cb)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+        col("v").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 until iters) {
+      val means = assignAll(train, cents)
+        .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("cell"), col("d"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("d"),
+          round(col("s").cast("double") / col("n"), 6).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      cents = cents.join(means, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    val codesAll = assignAll(subs.filter(col("vec_id") >= 5), cents)
       .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-    val qtabs = subParts.map(_._2).reduce(_.unionByName(_))
-      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell").cast("int")).as("codes"))
+    val csAll = cents.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+    val qtabs = subs.filter(col("vec_id") < 5)
+      .join(broadcast(csAll), Seq("sub"))
+      .withColumn("dtab", transform(col("cs"), c =>
+        dot(col("v"), col("v")) -
+          lit(2.0) * dot(col("v"), c.getField("cvec")) +
+          dot(c.getField("cvec"), c.getField("cvec"))))
+      .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("dtab")))),
         s => s.getField("dtab")).as("dtabs"))
+      .withColumnRenamed("vec_id", "q_id")
     // ADC: in-row fold over the m (code, table) pairs in subspace
     // order — cell ids are 0..cb-1 (first-k init), so code+1 indexes
     // the sorted table directly
