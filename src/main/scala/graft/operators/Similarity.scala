@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -382,45 +382,9 @@ object Similarity {
     // blocks compute the same numbers). Codebooks train on a
     // deterministic SUBSAMPLE (first trainN vectors) — the production
     // discipline: only the one-pass ASSIGNMENT reads the full corpus.
-    val subs = (0 until m).map { s =>
-      embV.select(lit(s).as("sub"), col("vec_id"),
-        slice(col("v"), s * subDim + 1, subDim).as("v"))
-    }.reduce(_.unionByName(_))
-    def assignAll(frame: DataFrame, cents: DataFrame): DataFrame = {
-      val cs = cents.groupBy(col("sub"))
-        .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
-      frame.join(broadcast(cs), Seq("sub"))
-        .withColumn("ds", transform(col("cs"), c =>
-          dot(col("v"), col("v")) -
-            lit(2.0) * dot(col("v"), c.getField("cvec")) +
-            dot(c.getField("cvec"), c.getField("cvec"))))
-        .withColumn("best",
-          array_position(col("ds"), array_min(col("ds"))).cast("int"))
-        .select(col("sub"), col("vec_id"), col("v"),
-          element_at(col("cs"), col("best")).getField("cell").as("cell"),
-          element_at(col("ds"), col("best")).as("d2"))
-    }
-    val train = subs.filter(col("vec_id") < trainN).localCheckpoint()
-    var cents = train.filter(col("vec_id") < cb)
-      .select(col("sub"), col("vec_id").cast("int").as("cell"),
-        col("v").as("cvec"))
-      .localCheckpoint()
-    for (_ <- 1 until iters) {
-      val means = assignAll(train, cents)
-        .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("sub"), col("cell"), col("d"))
-        .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
-        .select(col("sub"), col("cell"), col("d"),
-          round(col("s").cast("double") / col("n"), 6).as("m"))
-        .groupBy(col("sub"), col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          s => s.getField("m")).as("mvec"))
-      cents = cents.join(means, Seq("sub", "cell"), "left")
-        .select(col("sub"), col("cell"),
-          coalesce(col("mvec"), col("cvec")).as("cvec"))
-        .localCheckpoint()
-    }
-    val codesAll = assignAll(subs.filter(col("vec_id") >= 5), cents)
+    val (subs, cents) =
+      pqTrain(embV, m, subDim, cb, iters, col("vec_id") < trainN)
+    val codesAll = pqAssign(subs.filter(col("vec_id") >= 5), cents)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
         s => s.getField("cell").cast("int")).as("codes"))
@@ -463,6 +427,62 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("score"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Batched multi-subspace argmin assignment against (sub, cell)
+    * centroids: per-sub one-row centroid arrays broadcast-joined on
+    * `sub`, distances and the argmin computed in-row — a pure map
+    * over the (sub, vec_id, v) frame. Shared by [[pq]] and
+    * [[annIvfPq]].
+    */
+  private def pqAssign(frame: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = cents.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+    frame.join(broadcast(cs), Seq("sub"))
+      .withColumn("ds", transform(col("cs"), c =>
+        dot(col("v"), col("v")) -
+          lit(2.0) * dot(col("v"), c.getField("cvec")) +
+          dot(c.getField("cvec"), c.getField("cvec"))))
+      .withColumn("best",
+        array_position(col("ds"), array_min(col("ds"))).cast("int"))
+      .select(col("sub"), col("vec_id"), col("v"),
+        element_at(col("cs"), col("best")).getField("cell").as("cell"),
+        element_at(col("ds"), col("best")).as("d2"))
+  }
+
+  /** Batched multi-subspace Lloyd training: slices every vector into
+    * `m` subvectors in ONE (sub, vec_id, v) frame and trains all `m`
+    * codebooks simultaneously with centroids keyed (sub, cell) —
+    * `iters` checkpointed jobs total instead of m·iters, identical
+    * per-subspace arithmetic. Returns (subs frame, final centroids).
+    */
+  private def pqTrain(embV: DataFrame, m: Int, subDim: Int, cb: Int,
+      iters: Int, trainFilter: Column): (DataFrame, DataFrame) = {
+    val subs = (0 until m).map { s =>
+      embV.select(lit(s).as("sub"), col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+    }.reduce(_.unionByName(_))
+    val train = subs.filter(trainFilter).localCheckpoint()
+    var cents = train.filter(col("vec_id") < cb)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+        col("v").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 until iters) {
+      val means = pqAssign(train, cents)
+        .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("cell"), col("d"))
+        .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("d"),
+          round(col("s").cast("double") / col("n"), 6).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      cents = cents.join(means, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    (subs, cents)
   }
 
   /** Deterministic k-means over the embedding corpus — the semantic
@@ -512,15 +532,12 @@ object Similarity {
       iters: Int = 3, dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val subDim = dim / m
-    (0 until m).map { s =>
-      kmeansAssignOn(
-          emb.select(col("vec_id"), slice(col("v"), s * subDim + 1, subDim).as("v")),
-          k, iters)
-        .select(col("vec_id"), lit(s.toLong).as("sub"),
-          col("cell").cast("long").as("code"),
-          (round(col("d2"), 6) + lit(0.0)).as("dist2"))
-    }.reduce(_.unionByName(_)).orderBy(col("vec_id"), col("sub"))
+    val (subs, cents) = pqTrain(emb, m, dim / m, k, iters, lit(true))
+    pqAssign(subs, cents)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("cell").cast("long").as("code"),
+        (round(col("d2"), 6) + lit(0.0)).as("dist2"))
+      .orderBy(col("vec_id"), col("sub"))
   }
 
   /** Lloyd iterations returning the final assignment WITH the vector
