@@ -1296,6 +1296,46 @@ object OracleSql {
       |  UNION
       |  SELECT src AS u, d2 AS v FROM nb WHERE d2 IS NOT NULL)""".stripMargin
 
+  /** DuckDB twin of [[graft.graph.Algorithms.ktrussQuery]]: peeling
+    * rounds unrolled — per round the ascending-wedge triangle
+    * enumeration, per-edge support via a left join (no-triangle edges
+    * keep 0), filter at k−2; final support recomputed on the
+    * survivors.
+    */
+  def ktruss(k: Int = 4, rounds: Int = 2): String = {
+    def supportSql(src: String, tri: String, out: String): String =
+      s"""$tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM $src e1 JOIN $src e2 ON e1.v = e2.u
+         |  JOIN $src e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |$out AS (
+         |  SELECT ed.u, ed.v, COALESCE(ts.tsup, CAST(0 AS BIGINT)) AS support
+         |  FROM $src ed LEFT JOIN (
+         |    SELECT u, v, COUNT(*) AS tsup FROM (
+         |      SELECT a AS u, b AS v FROM $tri
+         |      UNION ALL SELECT b AS u, c AS v FROM $tri
+         |      UNION ALL SELECT a AS u, c AS v FROM $tri) GROUP BY u, v) ts
+         |  USING (u, v))""".stripMargin
+    val steps = (1 to rounds).map { j =>
+      s"""${supportSql(s"e${j - 1}", s"t$j", s"s$j")},
+         |e$j AS MATERIALIZED (
+         |  SELECT u, v FROM s$j WHERE support >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nb3 AS (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+       |    lead(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2,
+       |    lead(c_custkey, 3) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS d3
+       |  FROM customer),
+       |e0 AS MATERIALIZED (
+       |  SELECT src AS u, d1 AS v FROM nb3 WHERE d1 IS NOT NULL
+       |  UNION SELECT src AS u, d2 AS v FROM nb3 WHERE d2 IS NOT NULL
+       |  UNION SELECT src AS u, d3 AS v FROM nb3 WHERE d3 IS NOT NULL),
+       |$steps,
+       |${supportSql(s"e$rounds", "tfin", "sfin")}
+       |SELECT u, v, support FROM sfin ORDER BY u, v""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.graph.Algorithms.clusteringCoeffQuery]]:
     * chain edges always point ascending, so each triangle enumerates
     * exactly once as (u, v, w) with u<v<w.

@@ -121,6 +121,7 @@ object SparkEntry {
     "graph_kcore"           -> (graph.Algorithms.kcoreQuery(_, _)),
     "graph_label_prop"      -> (graph.Algorithms.labelPropQuery(_, _)),
     "graph_label_prop_async" -> (graph.Algorithms.labelPropAsyncQuery(_, _)),
+    "graph_ktruss"          -> (graph.Algorithms.ktrussQuery(_, _)),
     "graph_modularity"      -> (graph.Algorithms.modularityQuery(_, _)),
     "graph_louvain"         -> (graph.Algorithms.louvainQuery(_, _)),
     "graph_louvain2"        -> (graph.Algorithms.louvain2Query(_, _)),
@@ -318,6 +319,7 @@ object SparkEntry {
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),
     "graph_label_prop_async" -> OracleSql.labelPropAsync(),
+    "graph_ktruss"      -> OracleSql.ktruss(),
     "graph_degree_dist" -> OracleSql.degreeDist,
     "graph_modularity"  -> OracleSql.modularity(),
     "graph_louvain"     -> OracleSql.louvain(),

@@ -115,6 +115,76 @@ object Algorithms {
     kcorePeel(edges, k, rounds).orderBy(col("id"))
   }
 
+  /** Rounds-bounded k-TRUSS peeling — the edge-level analog of
+    * [[kcorePeel]] (Cohen 2008): per round, every edge's triangle
+    * SUPPORT (triangles it participates in) is computed on the
+    * current edge set and edges with support < k−2 are dropped; the
+    * survivors after `rounds` rounds are returned with their support
+    * recomputed on the final set. Rounds-bounded for the same reason
+    * as k-core: the result is a pure function of (edges, k, rounds)
+    * that a SQL oracle unrolls exactly; convergence needs an explicit
+    * iteration budget in production.
+    *
+    * 100 TB notes: edges canonicalize to u < v, so each triangle
+    * enumerates exactly once as an ascending wedge (a<b<c) closed by
+    * one more edge join — the standard oriented-triangle bound of
+    * Σ d_out(b)² wedge candidates, never all pairs. Per round: two
+    * edge-keyed joins + one per-edge aggregate, all on the (shrinking)
+    * survivor set; support 0 edges (no triangles) coalesce in via a
+    * left join so they peel correctly.
+    */
+  def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    def support(e: DataFrame): DataFrame = {
+      val ab = e.select(col("u").as("a"), col("v").as("b"))
+      val bc = e.select(col("u").as("b2"), col("v").as("c"))
+      val ac = e.select(col("u").as("a2"), col("v").as("c2"))
+      val tris = ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+        .select(col("a"), col("b"), col("c"))
+      val perEdge = tris.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(tris.select(col("b").as("u"), col("c").as("v")))
+        .unionAll(tris.select(col("a").as("u"), col("c").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("tsup"))
+      e.join(perEdge, Seq("u", "v"), "left_outer")
+        .select(col("u"), col("v"),
+          coalesce(col("tsup"), lit(0L)).as("support"))
+    }
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = support(e).filter(col("support") >= k - 2)
+        .select(col("u"), col("v"))
+        .repartition(col("u")).localCheckpoint()
+    }
+    support(e)
+  }
+
+  /** [[ktruss]] over a THREE-band per-nation consecutive-customer
+    * graph (lead 1, 2, and 3 — denser than the two-band graph the
+    * other community ops use, whose 4-truss peels to empty): interior
+    * lead-1 edges carry support up to 4, lead-3 edges exactly 2, so
+    * the 4-truss survives non-trivially while the per-nation boundary
+    * edges peel each round.
+    */
+  def ktrussQuery(spark: SparkSession, sfDir: String, k: Int = 4,
+      rounds: Int = 2): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").as("src"),
+      lead(col("c_custkey"), 1).over(w).as("d1"),
+      lead(col("c_custkey"), 2).over(w).as("d2"),
+      lead(col("c_custkey"), 3).over(w).as("d3"))
+    val edges = Seq("d1", "d2", "d3").map(d =>
+      nbr.select(col("src"), col(d).as("dst")).filter(col("dst").isNotNull))
+      .reduce(_.unionByName(_))
+    ktruss(edges, k, rounds).orderBy(col("u"), col("v"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own label; each round a node adopts its neighbors'
     * MOST FREQUENT label with ties to the smallest (a total order, so

@@ -117,6 +117,25 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(q.nonEmpty && q.forall(_.getLong(1) <= q.map(_.getLong(0)).max))
   }
 
+  test("k-truss: K4 survives at k=4, empties at k=5; pendant edges peel") {
+    val k4 = edgeDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // every K4 edge sits in exactly 2 triangles -> the 4-truss keeps
+    // all 6 edges with support 2
+    val t4 = Algorithms.ktruss(k4, k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.size == 6 && t4.values.forall(_ == 2L))
+    // support >= 3 is unattainable -> first round empties the graph
+    assert(Algorithms.ktruss(k4, k = 5, rounds = 1).count() == 0)
+    // a pendant edge (support 0) peels; the triangle survives at k=3
+    val tri = edgeDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)))
+    val t3 = Algorithms.ktruss(tri, k = 3, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L))
+    // the declared query returns canonical ascending edges
+    val q = Algorithms.ktrussQuery(spark, TestSpark.sf).collect()
+    assert(q.nonEmpty && q.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("async-coloring label propagation breaks the synchronous oscillation") {
     // a single edge is the minimal oscillator: synchronous LPA swaps
     // the two labels every round forever (even rounds land back on
