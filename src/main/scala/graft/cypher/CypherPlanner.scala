@@ -1937,30 +1937,41 @@ object CypherPlanner {
       lo: Int, hi: Int, seed: Option[DataFrame] = None): DataFrame = {
     require(lo == 1 && hi >= lo && hi <= 10,
       s"weighted shortestPath var-length bounds *$lo..$hi out of supported range")
-    val edges = rel
+    // RAW weighted edges — deliberately NOT min-collapsed up front: a
+    // global (src, dst) groupBy shuffles the whole edge table before
+    // any pruning, while the per-round min(struct) aggregate below
+    // collapses parallel edges for free on the (frontier-bounded)
+    // stepped set. cost + min(w) ≡ min(cost + w): IEEE addition is
+    // monotone in one operand, so the lazy collapse is value-exact.
+    val raw = rel
       .select(col("__src"), col("__dst"),
         col(weightProp).cast("double").as("__w"))
       .filter(col("__src") =!= col("__dst"))
-      .groupBy(col("__src"), col("__dst")).agg(min(col("__w")).as("__w"))
-      .localCheckpoint()
-    val e0 = seed match {
+    val e0 = (seed match {
       case Some(s) =>
-        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
-      case None => edges
-    }
+        raw.join(s, raw("__src") === s("__seedid"), "left_semi")
+      case None => raw
+    }).groupBy(col("__src"), col("__dst")).agg(min(col("__w")).as("__w"))
     var best = e0.select(col("__src"), col("__dst"),
       col("__w").as("__wcost"), lit(1).as("__hops")).localCheckpoint()
     var frontier = best
     var k = 2
     var exhausted = hi < 2 || frontier.isEmpty
+    // a SEEDED frontier stays bounded by the seeds' reachable pair
+    // set — broadcast it so each round is a map-side join over the
+    // edge scan instead of shuffling the full edge table; unseeded
+    // (all-pairs) frontiers can be edge-scale, so they stay keyed
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (seed.isDefined) broadcast(df) else df
     while (k <= hi && !exhausted) {
-      val stepped = frontier
-        .join(edges.select(col("__src").as("__m"), col("__dst").as("__n"),
-          col("__w")), col("__dst") === col("__m"))
+      val stepped = raw
+        .select(col("__src").as("__m"), col("__dst").as("__n"), col("__w"))
+        .join(maybeBroadcast(frontier), col("__dst") === col("__m"))
         .filter(col("__src") =!= col("__n"))
         .select(col("__src"), col("__n").as("__dst"),
           (col("__wcost") + col("__w")).as("__wcost"), lit(k).as("__hops"))
-        // several walks can reach a pair this round — keep the cheapest
+        // several walks (and parallel edges) can reach a pair this
+        // round — keep the cheapest
         .groupBy(col("__src"), col("__dst"))
         .agg(min(struct(col("__wcost"), col("__hops"))).as("__b"))
         .select(col("__src"), col("__dst"),
