@@ -538,7 +538,7 @@ object OracleSql {
        |${p}t AS MATERIALIZED (
        |  SELECT * FROM ${p}e $trainWhere),
        |${p}c0 AS MATERIALIZED (
-       |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM ${p}t WHERE vec_id < $k),
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM ${p}e WHERE vec_id < $k),
        |$steps,
        |${p}asg AS MATERIALIZED (
        |  SELECT vec_id, v, cell, d2 FROM (
@@ -1181,12 +1181,14 @@ object OracleSql {
     */
   def annIvfPq(k: Int = 10, nprobe: Int = 2, m: Int = 4, cb: Int = 8,
       iters: Int = 3, dim: Int = 64, cand: Int = 50,
-      trainN: Int = 512): String = {
+      trainMod: Int = 4): String = {
+    import graft.OracleHash.{MulA, MulB, P}
     val subDim = dim / m
     val pqBlocks = (0 until m).map { s =>
       kmeansCtesOn(cb, iters, s"s$s",
         s"(CAST(embedding AS DOUBLE[]))[${s * subDim + 1}:${s * subDim + subDim}]",
-        trainWhere = s"WHERE vec_id < $trainN")
+        trainWhere =
+          s"WHERE (($MulA * vec_id + $MulB) % $P) % $trainMod = 0")
     }.mkString(",\n")
     val codeCols = (0 until m).map(s => s"a$s.cell AS k$s").mkString(", ")
     val codeJoins = (1 until m)

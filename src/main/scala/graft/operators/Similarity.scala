@@ -231,14 +231,33 @@ object Similarity {
     * ascending cell id (same order as the former window's
     * `ORDER BY d2, cell`).
     */
-  private def ivfCellRanking(spark: SparkSession, sfDir: String,
-      emb: DataFrame): DataFrame = {
-    val cs = labelCentroids(spark, sfDir)
+  /** The coarse quantizer as a ONE-ROW sorted (cell, cvec) array —
+    * the broadcastable piece of the IVF index, shared by the batch
+    * queries and the streaming serving twin
+    * ([[graft.streaming.StreamingJobs.annServe]]).
+    */
+  def ivfQuantizer(spark: SparkSession, sfDir: String): DataFrame =
+    labelCentroids(spark, sfDir)
       .groupBy(col("label").as("cell"))
       .agg(transform(
         array_sort(collect_list(struct(col("d"), col("centroid")))),
         s => s.getField("centroid")).as("cvec"))
       .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cs"))
+
+  /** The static IVF serving index: every data vector (vec_id ≥ 5)
+    * assigned to its nearest cell, with vector and norm attached —
+    * what a production deployment materializes once and serves many
+    * query streams against.
+    */
+  def ivfIndex(spark: SparkSession, sfDir: String): DataFrame =
+    ivfCellRanking(spark, sfDir, embWithNorm(spark, sfDir))
+      .filter(col("vec_id") >= 5)
+      .select(element_at(col("pcs"), 1).getField("cell").as("cell"),
+        col("vec_id"), col("v"), col("nrm"))
+
+  private def ivfCellRanking(spark: SparkSession, sfDir: String,
+      emb: DataFrame): DataFrame = {
+    val cs = ivfQuantizer(spark, sfDir)
     emb.crossJoin(broadcast(cs))
       .withColumn("ds", transform(col("cs"), c =>
         dot(col("v"), col("v")) -
@@ -362,7 +381,7 @@ object Similarity {
     */
   def annIvfPq(spark: SparkSession, sfDir: String, k: Int = 10,
       nprobe: Int = 2, m: Int = 4, cb: Int = 8, iters: Int = 3,
-      dim: Int = 64, cand: Int = 50, trainN: Int = 512): DataFrame = {
+      dim: Int = 64, cand: Int = 50, trainMod: Int = 4): DataFrame = {
     val emb = embWithNorm(spark, sfDir)
     val ranked = ivfCellRanking(spark, sfDir, emb)
     val data = ranked.filter(col("vec_id") >= 5)
@@ -380,10 +399,17 @@ object Similarity {
     // (sub, cell) — iters jobs total instead of m·iters (the per-sub
     // arithmetic is identical, just batched; the oracle's per-sub CTE
     // blocks compute the same numbers). Codebooks train on a
-    // deterministic SUBSAMPLE (first trainN vectors) — the production
-    // discipline: only the one-pass ASSIGNMENT reads the full corpus.
-    val (subs, cents) =
-      pqTrain(embV, m, subDim, cb, iters, col("vec_id") < trainN)
+    // deterministic HASH-SPREAD ~1/trainMod subsample — the
+    // production discipline (only the one-pass ASSIGNMENT reads the
+    // full corpus), and the spread matters: a first-N prefix sample is
+    // cluster-BIASED on corpora whose ids correlate with content, and
+    // prefix-trained codebooks collapsed IVFPQ recall at 100× scale
+    // in round-10 measurement. The LCG spread is engine-agnostic
+    // (OracleHash constants), so the DuckDB oracle samples
+    // identically.
+    import graft.OracleHash.{MulA, MulB, P}
+    val (subs, cents) = pqTrain(embV, m, subDim, cb, iters,
+      pmod(lit(MulA) * col("vec_id") + lit(MulB), lit(P)) % trainMod === 0)
     val codesAll = pqAssign(subs.filter(col("vec_id") >= 5), cents)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
@@ -463,7 +489,10 @@ object Similarity {
         slice(col("v"), s * subDim + 1, subDim).as("v"))
     }.reduce(_.unionByName(_))
     val train = subs.filter(trainFilter).localCheckpoint()
-    var cents = train.filter(col("vec_id") < cb)
+    // init from the FULL frame's first cb vectors (always present —
+    // a sampled training set need not contain the low vec_ids), then
+    // Lloyd refines over the training sample only
+    var cents = subs.filter(col("vec_id") < cb)
       .select(col("sub"), col("vec_id").cast("int").as("cell"),
         col("v").as("cvec"))
       .localCheckpoint()

@@ -593,6 +593,55 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming ANN SERVING: a query-vector stream scored against the
+    * static IVF index — the production vector-search serving shape
+    * (index materialized once, broadcast quantizer, per-query cell
+    * probing) running under Structured Streaming. Per incoming query:
+    * the one-row quantizer array joins in (broadcast, keyed on a
+    * constant — stream-static), the cell ranking is computed IN-ROW
+    * exactly like the batch `ivfCellRanking`, the top-`nprobe` cells
+    * explode to probe rows, a stream-static equi-join on `cell` pulls
+    * the in-cell candidates, and the per-query top-k reduces through
+    * the mergeable [[graft.functions.TopKAggregate]] (bounded state
+    * per query, no window sort). Output mode Update; identical
+    * scoring/tie rules to the batch `annIvf`, which
+    * StreamingJobsSpec pins stream == batch on.
+    *
+    * `queries` needs (q_id: long, qv: array<double>); `index` is
+    * [[graft.operators.Similarity.ivfIndex]]'s (cell, vec_id, v,
+    * nrm); `quantizer` is [[graft.operators.Similarity.ivfQuantizer]]'s
+    * one-row array.
+    */
+  def annServe(queries: DataFrame, index: DataFrame, quantizer: DataFrame,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    val topk = udaf(new graft.functions.TopKAggregate(k))
+    val probed = queries
+      .select(col("q_id"), col("qv").as("q_v"), norm(col("qv")).as("q_nrm"),
+        lit(1).as("__one"))
+      .join(broadcast(quantizer.withColumn("__one", lit(1))), Seq("__one"))
+      .withColumn("pcs", array_sort(zip_with(
+        transform(col("cs"), c =>
+          dot(col("q_v"), col("q_v")) -
+            lit(2.0) * dot(col("q_v"), c.getField("cvec")) +
+            dot(c.getField("cvec"), c.getField("cvec"))),
+        col("cs"),
+        (d, c) => struct(d.as("d2"), c.getField("cell").as("cell")))))
+      .select(col("q_id"), col("q_v"), col("q_nrm"),
+        explode(slice(col("pcs"), 1, nprobe)).as("pc"))
+      .select(col("pc").getField("cell").as("cell"), col("q_id"),
+        col("q_v"), col("q_nrm"))
+    probed.join(index, Seq("cell"))
+      .withColumn("score", round(
+        when(col("nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+          .otherwise(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm"))), 6))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "row")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("row._1").as("vec_id"), col("row._2").as("score"))
+  }
+
   /** Streaming twin of the reference's WRITE half: the
     * Neo4jOutputFormat is itself a streaming-shaped batcher
     * (accumulate, flush at batchSize, flush at close —

@@ -640,4 +640,37 @@ class StreamingJobsSpec extends AnyFunSuite {
       assert(streamed.nonEmpty && streamed.size < docs.size) // gate splits
     } finally q.stop()
   }
+
+  test("streaming ANN serving equals the batch IVF retrieval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch queries (vec_id < 5) arrive as a stream against the
+    // materialized static index + quantizer — results must be
+    // bit-identical to the batch annIvf retrieval
+    val qs = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val index = graft.operators.Similarity
+      .ivfIndex(spark, graft.TestSpark.sf).localCheckpoint()
+    val quant = graft.operators.Similarity
+      .ivfQuantizer(spark, graft.TestSpark.sf).localCheckpoint()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingJobs.annServe(input.toDF().toDF("q_id", "qv"), index, quant)
+      .writeStream.format("memory").queryName("annserve")
+      .outputMode("update").start()
+    try {
+      input.addData(qs.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("annserve")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = graft.operators.Similarity.annIvf(spark, graft.TestSpark.sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
 }
