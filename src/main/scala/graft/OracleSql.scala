@@ -1892,4 +1892,101 @@ object OracleSql {
        |  CAST(COALESCE(s.weight, 0.0) >= 0 AS INTEGER) AS keep
        |FROM documents d LEFT JOIN s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The first-order deterministic walk corpus as a recursive CTE
+    * (`walk(walker, step, node)`) — shared by [[randomWalk]] and
+    * [[walkSkipgrams]]. Mirrors `Algorithms.randomWalkQuery`
+    * bit-for-bit: per-src row_number neighbor index, seeded
+    * overflow-free modular hash, inner-join dead-end semantics.
+    */
+  private def randomWalkCtes(steps: Int = 8): String =
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER w AS d1,
+       |    lead(c_custkey, 2) OVER w AS d2,
+       |    lead(c_custkey, 8) OVER w AS d8
+       |  FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+       |e AS MATERIALIZED (
+       |  SELECT src, d1 AS dst FROM base WHERE d1 IS NOT NULL
+       |  UNION ALL SELECT src, d2 FROM base WHERE d2 IS NOT NULL
+       |  UNION ALL SELECT src, d8 FROM base WHERE d8 IS NOT NULL),
+       |i AS MATERIALIZED (
+       |  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+       |  FROM e),
+       |d AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |walk(walker, step, node) AS (
+       |  SELECT CAST(c_custkey AS BIGINT), CAST(0 AS BIGINT), CAST(c_custkey AS BIGINT)
+       |  FROM customer WHERE c_custkey % 100 = 1
+       |  UNION ALL
+       |  SELECT w.walker, w.step + 1, CAST(i.dst AS BIGINT)
+       |  FROM walk w
+       |  JOIN d ON d.src = w.node
+       |  JOIN i ON i.src = w.node
+       |   AND i.idx = (((w.node % 1000003) * 37 + (w.walker % 1000003)
+       |                 + w.step * 101) % 1000003) % d.deg
+       |  WHERE w.step < $steps)""".stripMargin
+
+  def randomWalk(steps: Int = 8): String =
+    s"""${randomWalkCtes(steps)}
+       |SELECT walker, step, node FROM walk ORDER BY walker, step""".stripMargin
+
+  def walkSkipgrams(steps: Int = 8, window: Int = 2): String =
+    s"""${randomWalkCtes(steps)}
+       |SELECT a.node AS center, b.node AS context,
+       |  COUNT(*) AS n_pairs
+       |FROM walk a JOIN walk b ON a.walker = b.walker
+       | AND a.step <> b.step AND abs(a.step - b.step) <= $window
+       |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+
+  /** node2vec-style second-order biased walk, steps unrolled as CTEs
+    * (window functions are off-limits inside a recursive member, so
+    * the rounds-as-CTEs discipline applies). Mirrors
+    * `Algorithms.biasedWalkQuery` bit-for-bit: symmetrized proximity
+    * edges, integer bias weights (return 1 / shared 4 / outward 2),
+    * cumulative-weight inversion of the shared seeded hash.
+    */
+  def biasedWalk(steps: Int = 6): String = {
+    val hash = "(((q.node % 1000003) * 37 + (q.walker % 1000003)" +
+      " + q.pstep * 101) % 1000003) % q.tot"
+    val stepCtes = (1 to steps).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT q.walker, CAST($k AS BIGINT) AS step,
+         |    q.node AS prev, q.dst AS node
+         |  FROM (
+         |    SELECT c.*, SUM(wt) OVER (PARTITION BY walker ORDER BY dst) AS cum,
+         |           SUM(wt) OVER (PARTITION BY walker) AS tot
+         |    FROM (
+         |      SELECT s.walker, s.step AS pstep, s.prev, s.node, e.dst,
+         |        CASE WHEN e.dst = s.prev THEN 1
+         |             WHEN EXISTS (SELECT 1 FROM e2 x
+         |                          WHERE x.src = s.prev AND x.dst = e.dst) THEN 4
+         |             ELSE 2 END AS wt
+         |      FROM s${k - 1} s JOIN e2 e ON e.src = s.node) c) q
+         |  WHERE q.cum - q.wt <= $hash AND $hash < q.cum)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps)
+      .map(k => s"SELECT walker, step, node FROM s$k").mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS src,
+       |    lead(c_custkey, 1) OVER w AS d1,
+       |    lead(c_custkey, 2) OVER w AS d2,
+       |    lead(c_custkey, 8) OVER w AS d8
+       |  FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+       |f AS (
+       |  SELECT src, d1 AS dst FROM base WHERE d1 IS NOT NULL
+       |  UNION ALL SELECT src, d2 FROM base WHERE d2 IS NOT NULL
+       |  UNION ALL SELECT src, d8 FROM base WHERE d8 IS NOT NULL),
+       |e2 AS MATERIALIZED (
+       |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM f
+       |  UNION ALL
+       |  SELECT CAST(dst AS BIGINT), CAST(src AS BIGINT) FROM f),
+       |s0 AS MATERIALIZED (
+       |  SELECT CAST(c_custkey AS BIGINT) AS walker, CAST(0 AS BIGINT) AS step,
+       |    CAST(-1 AS BIGINT) AS prev, CAST(c_custkey AS BIGINT) AS node
+       |  FROM customer WHERE c_custkey % 200 = 1),
+       |$stepCtes
+       |SELECT walker, step, node FROM (
+       |  $unions)
+       |ORDER BY walker, step""".stripMargin
+  }
 }

@@ -26,6 +26,7 @@ object SparkEntry {
     "cypher_order_limit"    -> (cypher.CypherQueries.orderLimit(_, _)),
     "cypher_optional_match" -> (cypher.CypherQueries.optionalMatch(_, _)),
     "cypher_var_expand"     -> (cypher.CypherQueries.varExpand(_, _)),
+    "cypher_quantified_path" -> (cypher.CypherQueries.quantifiedPath(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -135,6 +136,11 @@ object SparkEntry {
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
     "graph_betweenness"     -> (graph.Algorithms.betweennessQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
+    "graph_scc"             -> (graph.Algorithms.sccQuery(_, _)),
+    "graph_adamic_adar"     -> (graph.Algorithms.adamicAdarQuery(_, _)),
+    "graph_random_walk"     -> (graph.Algorithms.randomWalkQuery(_, _)),
+    "graph_biased_walk"     -> (graph.Algorithms.biasedWalkQuery(_, _)),
+    "graph_walk_skipgrams"  -> (graph.Algorithms.walkSkipgramsQuery(_, _)),
     // §2.2 relational / events
     "q1_agg"            -> (Relational.q1Agg(_, _)),
     "q3_topk_join"      -> (Relational.q3TopkJoin(_, _)),
@@ -489,6 +495,38 @@ object SparkEntry {
         |    AS BIGINT) AS contaminated
         |FROM c LEFT JOIN hit ON c.doc_id = hit.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "graph_scc" ->
+      """WITH rmin AS (
+        |  SELECT n_regionkey, MIN(n_nationkey) AS mn
+        |  FROM nation GROUP BY n_regionkey),
+        |nodes AS (
+        |  SELECT 1000000000 + o_orderkey AS id,
+        |         1000000000 + o_orderkey AS scc FROM orders
+        |  UNION ALL
+        |  SELECT 2000000000 + c_custkey, 2000000000 + c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT 3000000000 + n_nationkey, 3000000000 + mn
+        |  FROM nation JOIN rmin USING (n_regionkey))
+        |SELECT id, scc FROM nodes ORDER BY id""".stripMargin,
+    "graph_biased_walk" -> OracleSql.biasedWalk(),
+    "graph_random_walk" -> OracleSql.randomWalk(),
+    "graph_walk_skipgrams" -> OracleSql.walkSkipgrams(),
+    "graph_adamic_adar" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 5000000000 + l_suppkey AS supp, 6000000000 + l_partkey AS part
+        |  FROM lineitem),
+        |pd AS (SELECT part, COUNT(*) AS pdeg FROM e GROUP BY part),
+        |w AS (
+        |  SELECT e.supp, e.part, CAST(round(1.0 / ln(pdeg), 9) AS DECIMAL(28,9)) AS w
+        |  FROM e JOIN pd USING (part) WHERE pdeg BETWEEN 2 AND 500),
+        |p AS (
+        |  SELECT a.supp AS supp_a, b.supp AS supp_b,
+        |    SUM(a.w) AS aa_dec, COUNT(*) AS common
+        |  FROM w a JOIN w b ON a.part = b.part AND a.supp < b.supp
+        |  GROUP BY 1, 2)
+        |SELECT supp_a, supp_b,
+        |  round(CAST(aa_dec AS DOUBLE), 6) + 0.0 AS aa_score, common
+        |FROM p ORDER BY aa_score DESC, supp_a, supp_b LIMIT 20""".stripMargin,
     "graph_neighbor_sim" ->
       """WITH e AS (
         |  SELECT DISTINCT 5000000000 + l_suppkey AS supp, 6000000000 + l_partkey AS part
@@ -2648,6 +2686,24 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT a.src, c.dst FROM e2 a JOIN e2 b ON a.dst = b.src
         |    JOIN e2 c ON b.dst = c.src)
+        |SELECT na.n_name AS a_name, nb.n_name AS b_name
+        |FROM p JOIN nation na ON p.src = na.n_nationkey
+        |JOIN nation nb ON p.dst = nb.n_nationkey
+        |ORDER BY a_name, b_name""".stripMargin,
+    "cypher_quantified_path" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+        |  UNION ALL
+        |  SELECT a.src, c.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN e2 c ON b.dst = c.src
+        |  UNION ALL
+        |  SELECT a.src, d.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN e2 c ON b.dst = c.src JOIN e2 d ON c.dst = d.src)
         |SELECT na.n_name AS a_name, nb.n_name AS b_name
         |FROM p JOIN nation na ON p.src = na.n_nationkey
         |JOIN nation nb ON p.dst = nb.n_nationkey

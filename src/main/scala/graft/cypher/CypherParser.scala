@@ -593,15 +593,50 @@ object CypherParser {
           m.result()
         } else Map.empty[String, Any]
       eatSym("]")
+      // GQL-style postfix quantifier `-[:T]->{n,m}` (also {n}, {n,},
+      // {,m}) — the Neo4j-5 spelling of the *n..m range; parsed after
+      // the closing arrow, where `{` is unambiguous (a node pattern
+      // always opens with `(`). Combining both spellings is rejected.
+      def quantified(base: Option[(Int, Int)]): Option[(Int, Int)] =
+        if (!atSym("{")) base
+        else {
+          eatSym("{")
+          val lo = peek match {
+            case Some(TNum(_)) => Some(longLit().toInt)
+            case _             => None
+          }
+          val hasComma = atSym(",")
+          if (hasComma) eatSym(",")
+          val hi = peek match {
+            case Some(TNum(_)) => Some(longLit().toInt)
+            case _             => None
+          }
+          eatSym("}")
+          if (base.isDefined) throw new IllegalArgumentException(
+            "cannot combine a *range with a {n,m} path quantifier")
+          val r = (lo, hasComma, hi) match {
+            case (Some(l), false, _)      => (l, l)          // {2}
+            case (Some(l), true, Some(h)) => (l, h)          // {1,3}
+            case (Some(l), true, None)    => (l, MaxVarHops) // {2,}
+            case (None, true, Some(h))    => (1, h)          // {,3}
+            case _ => throw new IllegalArgumentException(
+              "empty path quantifier {}")
+          }
+          if (r._1 < 1) throw new IllegalArgumentException(
+            "path quantifier lower bound 0 is not supported (hops must be >= 1)")
+          Some(r)
+        }
       direction match {
         case In =>
           eatSym("-")
-          RelPattern(variable, relType, In, varLength, props, alts)
+          RelPattern(variable, relType, In, quantified(varLength), props, alts)
         case _ =>
           if (atSym("->")) {
-            eatSym("->"); RelPattern(variable, relType, Out, varLength, props, alts)
+            eatSym("->")
+            RelPattern(variable, relType, Out, quantified(varLength), props, alts)
           } else if (atSym("-")) {
-            eatSym("-"); RelPattern(variable, relType, Both, varLength, props, alts)
+            eatSym("-")
+            RelPattern(variable, relType, Both, quantified(varLength), props, alts)
           } else throw new IllegalArgumentException(
             "expected -> or - to close the relationship pattern")
       }

@@ -69,6 +69,16 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** GQL-style postfix path quantifier — the Neo4j-5 spelling
+    * `-[:T]->{2,4}` of the classic `*2..4` range; same planner path
+    * (iterative bounded expansion), different surface grammar.
+    */
+  def quantifiedPath(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Nation)-[:NEXT_IN_REGION]->{2,4}(b:Nation)
+        |RETURN a.name AS a_name, b.name AS b_name
+        |ORDER BY a_name, b_name""".stripMargin)
+
   def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (c:Customer)

@@ -1647,4 +1647,349 @@ object Algorithms {
       .select(col("id"), (coalesce(col("bc"), lit(0.0)) + lit(0.0)).as("bc"))
       .orderBy(col("id"))
   }
+
+  /** Directed min-label propagation to fixpoint over `edges`
+    * restricted to `verts` (id column): label(v) = min{id(u) : u ⇝ v
+    * along src→dst edges} ∪ {v}. The [[connectedComponents]] loop
+    * without the symmetrization — one dst-keyed min-agg exchange per
+    * iteration, `limit(1).count()` change probe, lineage cut per
+    * round.
+    */
+  private def minLabelFixpoint(edges: DataFrame, verts: DataFrame,
+      maxIter: Int): DataFrame = {
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(propagated)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "old_lbl"), "id")
+        .filter(col("lbl") =!= col("old_lbl")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"minLabelFixpoint did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** Strongly connected components of a DIRECTED edge list — trim +
+    * forward/backward min-label coloring (the FW-BW decomposition of
+    * Fleischer-Hendrickson-Pinar 2000 in the data-parallel rounds
+    * discipline of Hong-Rodia-Olukotun 2013, re-expressed as keyed
+    * DataFrame aggregations):
+    *
+    *  1. TRIM: repeatedly remove vertices with zero in-degree or zero
+    *     out-degree in the remaining graph — such a vertex lies on no
+    *     cycle, so it is its own singleton SCC. Each peel is two
+    *     degree aggregations + two semi-joins; DAG-shaped regions of
+    *     the graph drain in depth-many peels.
+    *  2. COLOR: on the cycle-bearing remainder, compute FWD(v) =
+    *     min-id that reaches v and BWD(v) = min-id that v reaches
+    *     (two [[minLabelFixpoint]] runs, one on reversed edges). The
+    *     groups where FWD(v) = BWD(v) = c are EXACTLY the SCCs whose
+    *     root c is the minimum of its own reach set: mutual
+    *     reachability through c proves membership, and any smaller
+    *     in/out-reachable vertex would contradict FWD(c) = c. The
+    *     global minimum remaining vertex always qualifies, so every
+    *     round makes progress. Remove resolved vertices, repeat.
+    *
+    * Scale: no step materializes anything larger than the edge list;
+    * every exchange is keyed (src, dst, or id); the driver sees only
+    * per-round count probes. Rounds are bounded and convergence is
+    * ASSERTED — a silent partial answer is never returned.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxTrim: Int = 20,
+      maxRounds: Int = 10, maxProp: Int = 50): DataFrame = {
+    var rem = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var verts = rem.select(col("src").as("id"))
+      .unionByName(rem.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    // ---- trim: peel no-in or no-out vertices as singleton SCCs ----
+    var peel = 0
+    var trimDone = false
+    while (peel < maxTrim && !trimDone) {
+      val hasIn = rem.select(col("dst").as("id")).distinct()
+      val hasOut = rem.select(col("src").as("id")).distinct()
+      val core = verts.join(hasIn, Seq("id"), "left_semi")
+        .join(hasOut, Seq("id"), "left_semi")
+      val trimmed = verts.join(core, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (trimmed.limit(1).count() == 0) trimDone = true
+      else {
+        acc += trimmed.select(col("id"), col("id").as("scc"))
+        verts = verts.join(trimmed, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        rem = rem
+          .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .repartition(col("src")).localCheckpoint(true)
+      }
+      peel += 1
+    }
+
+    // ---- color: FW-BW rounds on the cycle-bearing remainder ----
+    var round = 0
+    var remaining = verts.limit(1).count()
+    while (remaining > 0 && round < maxRounds) {
+      val fwd = minLabelFixpoint(rem, verts, maxProp)
+        .withColumnRenamed("lbl", "fwd")
+      val bwd = minLabelFixpoint(
+        rem.select(col("dst").as("src"), col("src").as("dst")),
+        verts, maxProp).withColumnRenamed("lbl", "bwd")
+      val resolved = fwd.join(bwd, Seq("id"))
+        .filter(col("fwd") === col("bwd"))
+        .select(col("id"), col("fwd").as("scc"))
+        .localCheckpoint(true)
+      acc += resolved
+      verts = verts.join(resolved, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      rem = rem
+        .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .repartition(col("src")).localCheckpoint(true)
+      remaining = verts.limit(1).count()
+      round += 1
+    }
+    if (remaining > 0) throw new IllegalStateException(
+      s"stronglyConnectedComponents did not resolve in $maxRounds rounds")
+    if (acc.isEmpty) verts.select(col("id"), col("id").as("scc"))
+    else acc.result().reduce(_.unionByName(_))
+  }
+
+  /** [[stronglyConnectedComponents]] over a TPC-H-derived directed
+    * graph with KNOWN cycle structure (SparkEntry `graph_scc`,
+    * oracle-checked): order→customer (PLACED_BY) and customer→nation
+    * (FROM_NATION) DAG tails feeding per-region nation RINGS —
+    * NEXT_IN_REGION successor chains closed by a wrap-around edge
+    * from each region's max nation back to its min. Expected SCCs:
+    * every order and customer is a singleton (trimmed), each
+    * region's ring is one SCC rooted at its minimum nation id.
+    */
+  def sccQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val dag = Seq("PLACED_BY", "FROM_NATION", "NEXT_IN_REGION")
+      .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+      .reduce(_.unionByName(_))
+    val wrap = graft.Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey"))
+      .agg(max(col("n_nationkey")).as("mx"), min(col("n_nationkey")).as("mn"))
+      .select((lit(GraphLoader.NationOffset) + col("mx")).as("src"),
+        (lit(GraphLoader.NationOffset) + col("mn")).as("dst"))
+    stronglyConnectedComponents(dag.unionByName(wrap))
+      .orderBy(col("id"))
+  }
+
+  /** Deterministic pseudo-random walks (SparkEntry
+    * `graph_random_walk`, oracle-checked) — the node2vec/DeepWalk
+    * sampling primitive: from each seed, take `steps` hops, choosing
+    * the next neighbor by a SEEDED integer hash of (walker, step,
+    * current node) so the walk corpus is reproducible end-to-end and
+    * the oracle can replay the identical arithmetic. The hash is
+    * plain BIGINT modular algebra (no engine-specific RNG, no
+    * overflow — operands are reduced mod 1000003 before the one
+    * multiply), so Spark and DuckDB agree bit-for-bit.
+    *
+    * Scale: neighbor indexing is ONE row_number window over the edge
+    * list (per-src, bounded fanout) computed once; each step is two
+    * keyed joins — degree lookup on the current node, then edge
+    * lookup on (src, chosen index). Walker state is |seeds| rows,
+    * never the graph. Dead-end nodes simply terminate their walk
+    * (inner-join semantics, identical on the oracle side). Lineage
+    * cut every other step.
+    */
+  def randomWalkQuery(spark: SparkSession, sfDir: String,
+      steps: Int = 8): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").cast("long").as("src"),
+      lead(col("c_custkey"), 1).over(w).cast("long").as("d1"),
+      lead(col("c_custkey"), 2).over(w).cast("long").as("d2"),
+      lead(col("c_custkey"), 8).over(w).cast("long").as("d8"))
+    val edges = Seq("d1", "d2", "d8")
+      .map(d => nbr.select(col("src"), col(d).as("dst"))
+        .filter(col("dst").isNotNull))
+      .reduce(_.unionByName(_))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val idx = edges.withColumn("idx", row_number().over(iw) - lit(1))
+      .localCheckpoint(true)
+    val deg = idx.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val seeds = c.filter(col("c_custkey") % 100 === 1)
+      .select(col("c_custkey").cast("long").as("walker"),
+        lit(0L).as("step"), col("c_custkey").cast("long").as("node"))
+    var state = seeds.localCheckpoint(true)
+    val acc = scala.collection.mutable.ArrayBuffer[DataFrame](state)
+    for (s <- 1 to steps) {
+      val pick = state
+        .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+        .withColumn("choice",
+          (((col("node") % 1000003L) * 37L + col("walker") % 1000003L
+            + col("step") * 101L) % 1000003L) % col("deg"))
+      state = pick
+        .join(idx.select(col("src").as("node"), col("idx").as("choice"),
+          col("dst")), Seq("node", "choice"))
+        .select(col("walker"), lit(s.toLong).as("step"),
+          col("dst").as("node"))
+      if (s % 2 == 0 || s == steps) state = state.localCheckpoint(true)
+      acc += state
+    }
+    acc.result().reduce(_.unionByName(_))
+      .orderBy(col("walker"), col("step"))
+  }
+
+  /** Second-order (p,q-biased) deterministic walks (SparkEntry
+    * `graph_biased_walk`, oracle-checked) — node2vec's search-bias
+    * (Grover & Leskovec 2016) on top of [[randomWalkQuery]]'s
+    * machinery: the next hop is drawn from the current node's
+    * neighbors with INTEGER weights by their relation to the
+    * PREVIOUS node — return to prev (weight 1 ≙ high p), move to a
+    * shared neighbor of prev (weight 4, BFS-ish), or jump outward
+    * (weight 2, DFS-ish) — via cumulative-weight inversion of the
+    * same seeded overflow-free hash. Integer weights keep the
+    * cumulative arithmetic exact on both engines.
+    *
+    * Scale: per step the state (walker-cardinality) joins the
+    * indexed edge list on the current node (keyed, bounded fanout
+    * ≤3 here), flags shared-neighborhood via ONE (prev, dst) semi
+    * join against the edge list, and the cumulative-weight pick is
+    * a walker-partitioned window over ≤fanout rows — no exchange
+    * ever carries more than |state| × fanout rows.
+    */
+  def biasedWalkQuery(spark: SparkSession, sfDir: String,
+      steps: Int = 6): DataFrame = {
+    val c = graft.Tables.customer(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val nbr = c.select(col("c_custkey").cast("long").as("src"),
+      lead(col("c_custkey"), 1).over(w).cast("long").as("d1"),
+      lead(col("c_custkey"), 2).over(w).cast("long").as("d2"),
+      lead(col("c_custkey"), 8).over(w).cast("long").as("d8"))
+    // symmetrized so walks can RETURN (the node2vec p-dial is
+    // meaningless on a DAG): forward proximity edges + their reverses
+    val fwd = Seq("d1", "d2", "d8")
+      .map(d => nbr.select(col("src"), col(d).as("dst"))
+        .filter(col("dst").isNotNull))
+      .reduce(_.unionByName(_))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val seeds = c.filter(col("c_custkey") % 200 === 1)
+      .select(col("c_custkey").cast("long").as("walker"),
+        lit(0L).as("step"), lit(-1L).as("prev"),
+        col("c_custkey").cast("long").as("node"))
+    var state = seeds.localCheckpoint(true)
+    val acc = scala.collection.mutable.ArrayBuffer[DataFrame](
+      state.select(col("walker"), col("step"), col("node")))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("walker")).orderBy(col("dst"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("walker"))
+    for (s <- 1 to steps) {
+      val cand = state
+        .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
+      // shared-neighborhood flag: is (prev → dst) an edge?
+      val shared = edges.select(col("src").as("prev"),
+        col("dst"), lit(1).as("__sh"))
+      val weighted = cand.join(shared, Seq("prev", "dst"), "left_outer")
+        .withColumn("wt",
+          when(col("dst") === col("prev"), lit(1L))
+            .when(col("__sh").isNotNull, lit(4L))
+            .otherwise(lit(2L)))
+        .withColumn("cum", sum(col("wt")).over(pw))
+        .withColumn("tot", sum(col("wt")).over(tw))
+        .withColumn("r",
+          (((col("node") % 1000003L) * 37L + col("walker") % 1000003L
+            + col("step") * 101L) % 1000003L) % col("tot"))
+      state = weighted
+        .filter(col("cum") - col("wt") <= col("r") && col("r") < col("cum"))
+        .select(col("walker"), lit(s.toLong).as("step"),
+          col("node").as("prev"), col("dst").as("node"))
+      if (s % 2 == 0 || s == steps) state = state.localCheckpoint(true)
+      acc += state.select(col("walker"), col("step"), col("node"))
+    }
+    acc.result().reduce(_.unionByName(_))
+      .orderBy(col("walker"), col("step"))
+  }
+
+  /** Skip-gram training pairs from the walk corpus (SparkEntry
+    * `graph_walk_skipgrams`, oracle-checked) — the last mile of the
+    * DeepWalk/node2vec pipeline: every (center, context) node pair
+    * within `window` steps of each other on the SAME walk, plus the
+    * corpus-frequency of each pair — exactly what a word2vec-style
+    * embedding trainer consumes.
+    *
+    * Scale: the pairing is a walker-keyed self-join of the walk
+    * corpus with a |step distance| ≤ window predicate — each walk
+    * contributes ≤ steps·window pairs, so the exchange carries
+    * corpus × window rows, keyed on walker; the count agg collapses
+    * map-side onto the (center, context) key space.
+    */
+  def walkSkipgramsQuery(spark: SparkSession, sfDir: String,
+      window: Int = 2): DataFrame = {
+    val walks = randomWalkQuery(spark, sfDir)
+      .select(col("walker"), col("step"), col("node"))
+      .localCheckpoint(true)
+    walks.as("a")
+      .join(walks.select(col("walker"), col("step").as("cstep"),
+        col("node").as("context")).as("b"), Seq("walker"))
+      .filter(col("step") =!= col("cstep") &&
+        abs(col("step") - col("cstep")) <= window)
+      .groupBy(col("node").as("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("center"), col("context"), col("n_pairs"))
+      .orderBy(col("center"), col("context"))
+  }
+
+  /** Adamic-Adar link prediction over the supplier-part bipartite
+    * graph (SparkEntry `graph_adamic_adar`, oracle-checked): score a
+    * supplier pair by Σ 1/ln(deg(w)) over shared parts w — common
+    * neighbors inversely weighted by how promiscuous they are
+    * (Adamic-Adar 2003), the classic refinement of raw
+    * common-neighbor counting that [[neighborSimQuery]]'s Jaccard
+    * normalizes globally instead of per-neighbor.
+    *
+    * Scale: identical candidate discipline to [[neighborSimQuery]] —
+    * pairs form through the bounded-fanout PART side, parts shared by
+    * more than hubCap suppliers are dropped (a universal part
+    * connects everyone and scores ≈0 anyway: weight 1/ln(deg) decays
+    * exactly where the fanout explodes). Per-part weights are rounded
+    * to 9 dp THEN summed as decimal so the score is bit-identical
+    * under any aggregation order.
+    */
+  def adamicAdarQuery(spark: SparkSession, sfDir: String, k: Int = 20,
+      hubCap: Int = 500): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val e = g.relTable("SUPPLIES")
+      .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
+    val partDeg = e.groupBy(col("part")).agg(count(lit(1)).as("pdeg"))
+    // pdeg >= 2 is implied by pair formation; the weight ln(pdeg) is
+    // therefore never zero
+    val weighted = e.join(broadcast(partDeg
+        .filter(col("pdeg") <= hubCap && col("pdeg") >= 2)), Seq("part"))
+      .withColumn("w",
+        round(lit(1.0) / log(col("pdeg").cast("double")), 9)
+          .cast("decimal(28,9)"))
+    val pairs = weighted.as("a")
+      .join(weighted.select(col("part"), col("supp").as("supp_b")).as("b"),
+        col("a.part") === col("b.part") && col("a.supp") < col("supp_b"))
+      .groupBy(col("a.supp").as("supp_a"), col("supp_b"))
+      .agg(sum(col("a.w")).as("aa_dec"), count(lit(1)).as("common"))
+    pairs.select(col("supp_a"), col("supp_b"),
+        (round(col("aa_dec").cast("double"), 6) + lit(0.0)).as("aa_score"),
+        col("common"))
+      .orderBy(col("aa_score").desc, col("supp_a"), col("supp_b"))
+      .limit(k)
+  }
 }

@@ -65,6 +65,21 @@ class CypherParserSpec extends AnyFunSuite {
     assert(vl(":R").isEmpty)
   }
 
+  test("GQL postfix path quantifier maps onto the var-length range") {
+    def vl(pat: String) = matches(CypherParser.parse(
+      s"MATCH (a:X)$pat(b:Y) RETURN a.p")).head.chain.hops.head._1.varLength
+    assert(vl("-[:R]->{1,3}").contains((1, 3)))
+    assert(vl("-[:R]->{2}").contains((2, 2)))
+    assert(vl("-[:R]->{2,}").contains((2, CypherParser.MaxVarHops)))
+    assert(vl("-[:R]->{,3}").contains((1, 3)))
+    assert(vl("<-[:R]-{1,2}").contains((1, 2)))
+    assert(vl("-[:R]-{1,2}").contains((1, 2)))
+    // combining both spellings is rejected; so are {} and a 0 bound
+    intercept[IllegalArgumentException](vl("-[:R*1..2]->{1,3}"))
+    intercept[IllegalArgumentException](vl("-[:R]->{}"))
+    intercept[IllegalArgumentException](vl("-[:R]->{0,3}"))
+  }
+
   test("relationship property maps parse and attach to the pattern") {
     val r = matches(CypherParser.parse(
       "MATCH (a:X)-[l:R {qty: 25.0, kind: 'bulk'}]->(b:Y) RETURN a.p"))

@@ -165,6 +165,120 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L).map(lp).toSet.size == 1)
   }
 
+  test("scc: cycles group, DAG tails are singletons, nested structure resolves") {
+    // two 3-cycles bridged one-way (NOT one SCC), a tail into the
+    // first cycle, and a pure chain hanging off the second
+    val edges = edgeDf(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),          // cycle A {1,2,3}
+      (10L, 11L), (11L, 12L), (12L, 10L),    // cycle B {10,11,12}
+      (3L, 10L),                             // one-way bridge A→B
+      (50L, 1L),                             // tail into A
+      (12L, 60L), (60L, 61L)))               // chain off B
+    val scc = Algorithms.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc(1L) == 1L && scc(2L) == 1L && scc(3L) == 1L)
+    assert(scc(10L) == 10L && scc(11L) == 10L && scc(12L) == 10L)
+    assert(Seq(50L, 60L, 61L).forall(v => scc(v) == v)) // singletons
+    assert(scc.size == 9)
+  }
+
+  test("scc: mutually-reaching cycles sharing a vertex are ONE component") {
+    // figure-eight: two cycles through 5 — strongly connected as one
+    val edges = edgeDf(Seq(
+      (5L, 6L), (6L, 5L), (5L, 7L), (7L, 8L), (8L, 5L), (1L, 5L)))
+    val scc = Algorithms.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(5L, 6L, 7L, 8L).map(scc).toSet == Set(5L))
+    assert(scc(1L) == 1L)
+  }
+
+  test("scc query: nation rings group per region, orders/customers singleton") {
+    val out = Algorithms.sccQuery(spark, TestSpark.sf).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nations = byId.filter { case (id, _) => id >= 3000000000L && id < 4000000000L }
+    // every nation's scc is a nation id and rings are non-trivial
+    assert(nations.nonEmpty && nations.values.forall(s => s >= 3000000000L))
+    assert(nations.values.toSet.size < nations.size) // at least one real ring
+    val custs = byId.filter { case (id, _) => id >= 2000000000L && id < 3000000000L }
+    assert(custs.forall { case (id, s) => s == id }) // customers singleton
+  }
+
+  test("adamic-adar: shared low-degree neighbors outscore shared hubs") {
+    val out = Algorithms.adamicAdarQuery(spark, TestSpark.sf, k = 20).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-_))) // descending
+    // score is a sum of 1/ln(pdeg) with pdeg>=2: each term <= 1/ln 2
+    out.foreach { r =>
+      val common = r.getLong(3)
+      assert(r.getDouble(2) <= common / math.log(2.0) + 1e-6)
+      assert(r.getDouble(2) > 0.0 && common >= 1L)
+      assert(r.getLong(0) < r.getLong(1)) // canonical pair order
+    }
+  }
+
+  test("random walks: reproducible traces, contiguous steps, edges real") {
+    val out = Algorithms.randomWalkQuery(spark, TestSpark.sf, steps = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val byWalker = out.groupBy(_._1)
+    byWalker.foreach { case (wk, trace) =>
+      val steps = trace.map(_._2).sorted
+      assert(steps.head == 0L && steps.last == steps.length - 1,
+        s"walker $wk trace must be contiguous from step 0")
+      assert(trace.find(_._2 == 0L).get._3 == wk, "walk starts at the seed")
+    }
+    // determinism: a second run yields the identical corpus
+    val again = Algorithms.randomWalkQuery(spark, TestSpark.sf, steps = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(again))
+    // every consecutive (node, next) pair is a real proximity edge
+    val c = graft.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey").cast("long").as("k"), col("c_nationkey").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    byWalker.values.foreach { trace =>
+      val ordered = trace.sortBy(_._2).map(_._3)
+      ordered.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(c(a) == c(b) && b > a, s"hop $a->$b must stay in-nation, forward")
+      }
+    }
+  }
+
+  test("biased walks: reproducible, contiguous, never stuck (symmetric graph)") {
+    val out = Algorithms.biasedWalkQuery(spark, TestSpark.sf, steps = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val byWalker = out.groupBy(_._1)
+    byWalker.foreach { case (wk, trace) =>
+      // the symmetrized proximity graph has no dead ends reachable
+      // from a seed, so every walk runs the full length
+      assert(trace.length == 7, s"walker $wk must take all 6 steps")
+      assert(trace.map(_._2).sorted.sameElements(0L to 6L))
+      assert(trace.find(_._2 == 0L).get._3 == wk)
+    }
+    val again = Algorithms.biasedWalkQuery(spark, TestSpark.sf, steps = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sameElements(again))
+  }
+
+  test("skip-gram pairs: symmetric counts, consistent with the walk corpus") {
+    val walks = Algorithms.randomWalkQuery(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    walks.groupBy(_._1).values.foreach { trace =>
+      val t = trace.sortBy(_._2)
+      for {
+        a <- t; b <- t
+        if a._2 != b._2 && math.abs(a._2 - b._2) <= 2
+      } expected((a._3, b._3)) = expected.getOrElse((a._3, b._3), 0L) + 1L
+    }
+    val got = Algorithms.walkSkipgramsQuery(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected.toMap)
+    // window symmetry: (a,b) and (b,a) appear with equal counts
+    got.foreach { case ((a, b), n) => assert(got((b, a)) == n) }
+  }
+
   test("degrees on the tpch hierarchy: every order has out-degree 1") {
     val df = Algorithms.degreesQuery(spark, TestSpark.sf)
     val orders = df.filter(col("id") >= GraphLoader.OrderOffset &&
