@@ -27,6 +27,7 @@ object SparkEntry {
     "cypher_optional_match" -> (cypher.CypherQueries.optionalMatch(_, _)),
     "cypher_var_expand"     -> (cypher.CypherQueries.varExpand(_, _)),
     "cypher_quantified_path" -> (cypher.CypherQueries.quantifiedPath(_, _)),
+    "cypher_qpp_group"      -> (cypher.CypherQueries.qppGroup(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -517,15 +518,15 @@ object SparkEntry {
         |  FROM lineitem),
         |pd AS (SELECT part, COUNT(*) AS pdeg FROM e GROUP BY part),
         |w AS (
-        |  SELECT e.supp, e.part, CAST(round(1.0 / ln(pdeg), 9) AS DECIMAL(28,9)) AS w
+        |  SELECT e.supp, e.part, CAST(round(1.0e9 / ln(pdeg), 0) AS BIGINT) AS w9
         |  FROM e JOIN pd USING (part) WHERE pdeg BETWEEN 2 AND 500),
         |p AS (
         |  SELECT a.supp AS supp_a, b.supp AS supp_b,
-        |    SUM(a.w) AS aa_dec, COUNT(*) AS common
+        |    SUM(a.w9) AS aa9, COUNT(*) AS common
         |  FROM w a JOIN w b ON a.part = b.part AND a.supp < b.supp
         |  GROUP BY 1, 2)
         |SELECT supp_a, supp_b,
-        |  round(CAST(aa_dec AS DOUBLE), 6) + 0.0 AS aa_score, common
+        |  round(CAST(aa9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS aa_score, common
         |FROM p ORDER BY aa_score DESC, supp_a, supp_b LIMIT 20""".stripMargin,
     "graph_neighbor_sim" ->
       """WITH e AS (
@@ -2704,6 +2705,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT a.src, d.dst FROM e2 a JOIN e2 b ON a.dst = b.src
         |    JOIN e2 c ON b.dst = c.src JOIN e2 d ON c.dst = d.src)
+        |SELECT na.n_name AS a_name, nb.n_name AS b_name
+        |FROM p JOIN nation na ON p.src = na.n_nationkey
+        |JOIN nation nb ON p.dst = nb.n_nationkey
+        |ORDER BY a_name, b_name""".stripMargin,
+    "cypher_qpp_group" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+        |  UNION ALL
+        |  SELECT a.src, c.dst FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN e2 c ON b.dst = c.src)
         |SELECT na.n_name AS a_name, nb.n_name AS b_name
         |FROM p JOIN nation na ON p.src = na.n_nationkey
         |JOIN nation nb ON p.dst = nb.n_nationkey

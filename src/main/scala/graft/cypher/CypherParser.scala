@@ -494,12 +494,84 @@ object CypherParser {
     private def patternChain(): PatternChain = {
       val start = nodePattern()
       val hops = Seq.newBuilder[(RelPattern, NodePattern)]
-      while (atSym("-") || atSym("<-")) {
-        val rel = relPattern()
-        hops += ((rel, nodePattern()))
+      while (atSym("-") || atSym("<-") || atGroupStart) {
+        if (atGroupStart) hops += ((quantifiedGroupRel(), nodePattern()))
+        else {
+          val rel = relPattern()
+          hops += ((rel, nodePattern()))
+        }
       }
       PatternChain(start, hops.result())
     }
+
+    /** `(` directly followed by `(` can only open a parenthesized
+      * path-pattern group — a node pattern's body never starts with
+      * another paren.
+      */
+    private def atGroupStart: Boolean =
+      atSym("(") && pos + 1 < toks.length && toks(pos + 1) == TSym("(")
+
+    /** Parenthesized quantified path pattern — the full GQL form
+      * `(s) (()-[:T]->()){n,m} (t)`: the group's single hop repeats
+      * n..m times between the juncture nodes, exactly the `*n..m`
+      * plan. Inner variables would be GQL group variables (per-step
+      * lists); inner labels/props would constrain EVERY step — both
+      * are beyond the var-expand plan, so they are rejected loudly
+      * rather than silently dropped.
+      */
+    private def quantifiedGroupRel(): RelPattern = {
+      eatSym("(")
+      val inner = patternChain()
+      eatSym(")")
+      val q = pathQuantifier().getOrElse(throw new IllegalArgumentException(
+        "a parenthesized path pattern must carry a {n,m} quantifier"))
+      require(inner.hops.size == 1,
+        "only single-hop quantified path groups are supported")
+      val (rel, endNode) = inner.hops.head
+      require(rel.varLength.isEmpty,
+        "cannot quantify an already var-length relationship")
+      for (n <- Seq(inner.start, endNode)) {
+        require(n.variable.isEmpty,
+          "named inner nodes of a quantified path group are not supported " +
+            "(GQL group variables bind per-step lists)")
+        require(n.label.isEmpty && n.props.isEmpty && n.moreLabels.isEmpty,
+          "labels/properties on inner nodes of a quantified path group " +
+            "are not supported (they would constrain every step)")
+      }
+      rel.copy(varLength = Some(q))
+    }
+
+    /** The `{n,m}` / `{n}` / `{n,}` / `{,m}` quantifier body; None
+      * when the cursor is not on `{`. Shared by the postfix
+      * relationship quantifier and the parenthesized group form.
+      */
+    private def pathQuantifier(): Option[(Int, Int)] =
+      if (!atSym("{")) None
+      else {
+        eatSym("{")
+        val lo = peek match {
+          case Some(TNum(_)) => Some(longLit().toInt)
+          case _             => None
+        }
+        val hasComma = atSym(",")
+        if (hasComma) eatSym(",")
+        val hi = peek match {
+          case Some(TNum(_)) => Some(longLit().toInt)
+          case _             => None
+        }
+        eatSym("}")
+        val r = (lo, hasComma, hi) match {
+          case (Some(l), false, _)      => (l, l)          // {2}
+          case (Some(l), true, Some(h)) => (l, h)          // {1,3}
+          case (Some(l), true, None)    => (l, MaxVarHops) // {2,}
+          case (None, true, Some(h))    => (1, h)          // {,3}
+          case _ => throw new IllegalArgumentException(
+            "empty path quantifier {}")
+        }
+        if (r._1 < 1) throw new IllegalArgumentException(
+          "path quantifier lower bound 0 is not supported (hops must be >= 1)")
+        Some(r)
+      }
 
     private def nodePattern(): NodePattern = {
       eatSym("(")
@@ -598,33 +670,12 @@ object CypherParser {
       // the closing arrow, where `{` is unambiguous (a node pattern
       // always opens with `(`). Combining both spellings is rejected.
       def quantified(base: Option[(Int, Int)]): Option[(Int, Int)] =
-        if (!atSym("{")) base
-        else {
-          eatSym("{")
-          val lo = peek match {
-            case Some(TNum(_)) => Some(longLit().toInt)
-            case _             => None
-          }
-          val hasComma = atSym(",")
-          if (hasComma) eatSym(",")
-          val hi = peek match {
-            case Some(TNum(_)) => Some(longLit().toInt)
-            case _             => None
-          }
-          eatSym("}")
-          if (base.isDefined) throw new IllegalArgumentException(
-            "cannot combine a *range with a {n,m} path quantifier")
-          val r = (lo, hasComma, hi) match {
-            case (Some(l), false, _)      => (l, l)          // {2}
-            case (Some(l), true, Some(h)) => (l, h)          // {1,3}
-            case (Some(l), true, None)    => (l, MaxVarHops) // {2,}
-            case (None, true, Some(h))    => (1, h)          // {,3}
-            case _ => throw new IllegalArgumentException(
-              "empty path quantifier {}")
-          }
-          if (r._1 < 1) throw new IllegalArgumentException(
-            "path quantifier lower bound 0 is not supported (hops must be >= 1)")
-          Some(r)
+        pathQuantifier() match {
+          case None => base
+          case q =>
+            if (base.isDefined) throw new IllegalArgumentException(
+              "cannot combine a *range with a {n,m} path quantifier")
+            q
         }
       direction match {
         case In =>

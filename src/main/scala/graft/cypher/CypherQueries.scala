@@ -79,6 +79,17 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** Parenthesized quantified path pattern — the full GQL group form
+    * `(s) (()-[:T]->()){n,m} (t)`; the group's hop repeats n..m times
+    * between the juncture nodes, planned as the same bounded
+    * expansion as `*n..m`.
+    */
+  def qppGroup(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Nation) (()-[:NEXT_IN_REGION]->()){2,3} (b:Nation)
+        |RETURN a.name AS a_name, b.name AS b_name
+        |ORDER BY a_name, b_name""".stripMargin)
+
   def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (c:Customer)

@@ -1832,12 +1832,19 @@ object Algorithms {
     var state = seeds.localCheckpoint(true)
     val acc = scala.collection.mutable.ArrayBuffer[DataFrame](state)
     for (s <- 1 to steps) {
-      val pick = state
+      // the walker state is |seeds|-bounded BY CONSTRUCTION (each
+      // walker advances to at most one next node), so both per-step
+      // joins broadcast the state side and STREAM the materialized
+      // deg/idx frames — no per-step shuffle or sort of anything
+      // edge-sized (without the hint, un-checkpointed odd-step plans
+      // carry join-bloated size estimates and fall back to
+      // shuffled-sort-merge over the edge list every step)
+      val pick = broadcast(state)
         .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
         .withColumn("choice",
           (((col("node") % 1000003L) * 37L + col("walker") % 1000003L
             + col("step") * 101L) % 1000003L) % col("deg"))
-      state = pick
+      state = broadcast(pick)
         .join(idx.select(col("src").as("node"), col("idx").as("choice"),
           col("dst")), Seq("node", "choice"))
         .select(col("walker"), lit(s.toLong).as("step"),
@@ -1897,12 +1904,23 @@ object Algorithms {
     val tw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("walker"))
     for (s <- 1 to steps) {
-      val cand = state
+      // walker-state broadcast, edge frames streamed — same
+      // no-per-step-shuffle discipline as [[randomWalkQuery]]
+      val cand = broadcast(state)
         .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
-      // shared-neighborhood flag: is (prev → dst) an edge?
-      val shared = edges.select(col("src").as("prev"),
-        col("dst"), lit(1).as("__sh"))
-      val weighted = cand.join(shared, Seq("prev", "dst"), "left_outer")
+        .localCheckpoint(true)
+      // shared-neighborhood flag: is (prev → dst) an edge? A direct
+      // left join against the edge list would have to build (or
+      // shuffle) the EDGE side — a left-outer join cannot broadcast
+      // its preserved side — so probe the other way: stream the edge
+      // list once against a broadcast semi-probe of the candidate
+      // (prev, dst) pairs, then left-join the tiny hit set back.
+      val hit = edges.select(col("src").as("prev"), col("dst"))
+        .join(broadcast(cand.select(col("prev"), col("dst"))),
+          Seq("prev", "dst"), "left_semi")
+        .withColumn("__sh", lit(1))
+      val weighted = cand
+        .join(broadcast(hit), Seq("prev", "dst"), "left_outer")
         .withColumn("wt",
           when(col("dst") === col("prev"), lit(1L))
             .when(col("__sh").isNotNull, lit(4L))
@@ -1964,9 +1982,15 @@ object Algorithms {
     * pairs form through the bounded-fanout PART side, parts shared by
     * more than hubCap suppliers are dropped (a universal part
     * connects everyone and scores ≈0 anyway: weight 1/ln(deg) decays
-    * exactly where the fanout explodes). Per-part weights are rounded
-    * to 9 dp THEN summed as decimal so the score is bit-identical
-    * under any aggregation order.
+    * exactly where the fanout explodes). Per-part weights are scaled
+    * to integer nano-units (round(1e9/ln(pdeg)) as LONG) and summed
+    * as long — bit-identical under any aggregation order like a
+    * decimal sum, but the accumulator stays a primitive: a
+    * decimal(28,9) here exceeds Spark's 18-digit long-backed Decimal
+    * and drops the whole 1B-pair aggregation onto BigDecimal
+    * (measured 310 s → this plan at sf10). No overflow: ≤2^30 pairs
+    * × ≤1.45e9 nano-weight < 2^63, and the final /1e9 stays under
+    * 2^53 so the double division is exact on both engines.
     */
   def adamicAdarQuery(spark: SparkSession, sfDir: String, k: Int = 20,
       hubCap: Int = 500): DataFrame = {
@@ -1978,16 +2002,16 @@ object Algorithms {
     // therefore never zero
     val weighted = e.join(broadcast(partDeg
         .filter(col("pdeg") <= hubCap && col("pdeg") >= 2)), Seq("part"))
-      .withColumn("w",
-        round(lit(1.0) / log(col("pdeg").cast("double")), 9)
-          .cast("decimal(28,9)"))
+      .withColumn("w9",
+        round(lit(1.0e9) / log(col("pdeg").cast("double")), 0).cast("long"))
     val pairs = weighted.as("a")
       .join(weighted.select(col("part"), col("supp").as("supp_b")).as("b"),
         col("a.part") === col("b.part") && col("a.supp") < col("supp_b"))
       .groupBy(col("a.supp").as("supp_a"), col("supp_b"))
-      .agg(sum(col("a.w")).as("aa_dec"), count(lit(1)).as("common"))
+      .agg(sum(col("a.w9")).as("aa9"), count(lit(1)).as("common"))
     pairs.select(col("supp_a"), col("supp_b"),
-        (round(col("aa_dec").cast("double"), 6) + lit(0.0)).as("aa_score"),
+        (round(col("aa9").cast("double") / lit(1.0e9), 6) + lit(0.0))
+          .as("aa_score"),
         col("common"))
       .orderBy(col("aa_score").desc, col("supp_a"), col("supp_b"))
       .limit(k)

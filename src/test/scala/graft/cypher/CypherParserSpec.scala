@@ -80,6 +80,28 @@ class CypherParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](vl("-[:R]->{0,3}"))
   }
 
+  test("parenthesized quantified path group maps onto the var-length range") {
+    val q = CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->()){2,3} (b:Y) RETURN a.p")
+    val chain = matches(q).head.chain
+    assert(chain.start.label.contains("X"))
+    assert(chain.hops.size == 1)
+    val (rel, end) = chain.hops.head
+    assert(rel.relType.contains("R") && rel.varLength.contains((2, 3)))
+    assert(end.label.contains("Y"))
+    // unsupported group shapes fail loudly instead of binding wrongly
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (a:X) ((n)-[:R]->()){2,3} (b:Y) RETURN a.p")) // named inner
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (a:X) ((:Z)-[:R]->()){2,3} (b:Y) RETURN a.p")) // inner label
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->()-[:S]->()){2} (b:Y) RETURN a.p")) // 2 hops
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (a:X) (()-[:R*1..2]->()){2} (b:Y) RETURN a.p")) // double spell
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->()) (b:Y) RETURN a.p")) // missing quantifier
+  }
+
   test("relationship property maps parse and attach to the pattern") {
     val r = matches(CypherParser.parse(
       "MATCH (a:X)-[l:R {qty: 25.0, kind: 'bulk'}]->(b:Y) RETURN a.p"))
