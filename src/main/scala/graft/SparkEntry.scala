@@ -137,6 +137,7 @@ object SparkEntry {
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
     "graph_betweenness"     -> (graph.Algorithms.betweennessQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
+    "graph_neighbor_sim_approx" -> (graph.Algorithms.neighborSimApproxQuery(_, _)),
     "graph_scc"             -> (graph.Algorithms.sccQuery(_, _)),
     "graph_adamic_adar"     -> (graph.Algorithms.adamicAdarQuery(_, _)),
     "graph_random_walk"     -> (graph.Algorithms.randomWalkQuery(_, _)),
@@ -219,6 +220,7 @@ object SparkEntry {
     "sim_ann_tuning"      -> (Similarity.annTuning(_, _)),
     "sim_ivf_tuning"      -> (Similarity.ivfTuning(_, _)),
     "sim_dim_recall"      -> (Similarity.dimRecall(_, _)),
+    "embed_binary_recall" -> (Similarity.binaryRecall(_, _)),
     "embed_cos_hist"      -> (Similarity.cosHist(_, _)),
     "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
     "multimodal_frames"   -> (Multimodal.frameIndex(_, _)),
@@ -528,6 +530,51 @@ object SparkEntry {
         |SELECT supp_a, supp_b,
         |  round(CAST(aa9 AS DOUBLE) / 1.0e9, 6) + 0.0 AS aa_score, common
         |FROM p ORDER BY aa_score DESC, supp_a, supp_b LIMIT 20""".stripMargin,
+    "graph_neighbor_sim_approx" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 5000000000 + l_suppkey AS supp, 6000000000 + l_partkey AS part
+        |  FROM lineitem),
+        |sig AS (
+        |  SELECT supp,
+        |    MIN((part*131+7) % 1000003) AS s0,
+        |    MIN((part*137+11) % 1000003) AS s1,
+        |    MIN((part*139+13) % 1000003) AS s2,
+        |    MIN((part*149+17) % 1000003) AS s3,
+        |    MIN((part*151+19) % 1000003) AS s4,
+        |    MIN((part*157+23) % 1000003) AS s5,
+        |    MIN((part*163+29) % 1000003) AS s6,
+        |    MIN((part*167+31) % 1000003) AS s7,
+        |    MIN((part*173+37) % 1000003) AS s8,
+        |    MIN((part*179+41) % 1000003) AS s9,
+        |    MIN((part*181+43) % 1000003) AS s10,
+        |    MIN((part*191+47) % 1000003) AS s11,
+        |    MIN((part*193+53) % 1000003) AS s12,
+        |    MIN((part*197+59) % 1000003) AS s13,
+        |    MIN((part*199+61) % 1000003) AS s14,
+        |    MIN((part*211+67) % 1000003) AS s15
+        |  FROM e GROUP BY supp),
+        |b AS (
+        |  SELECT 0 AS band, ((((((s0)*31+s1) % 1000003)*31+s2) % 1000003)*31+s3) % 1000003 AS bh, supp FROM sig
+        |  UNION ALL
+        |  SELECT 1 AS band, ((((((s4)*31+s5) % 1000003)*31+s6) % 1000003)*31+s7) % 1000003 AS bh, supp FROM sig
+        |  UNION ALL
+        |  SELECT 2 AS band, ((((((s8)*31+s9) % 1000003)*31+s10) % 1000003)*31+s11) % 1000003 AS bh, supp FROM sig
+        |  UNION ALL
+        |  SELECT 3 AS band, ((((((s12)*31+s13) % 1000003)*31+s14) % 1000003)*31+s15) % 1000003 AS bh, supp FROM sig),
+        |cnt AS (SELECT band, bh, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |kept AS (SELECT b.band, b.bh, b.supp FROM b JOIN cnt USING (band, bh) WHERE n <= 200),
+        |cand AS (
+        |  SELECT DISTINCT ka.supp AS supp_a, kb.supp AS supp_b
+        |  FROM kept ka JOIN kept kb
+        |    ON ka.band = kb.band AND ka.bh = kb.bh AND ka.supp < kb.supp),
+        |scored AS (
+        |  SELECT c.supp_a, c.supp_b,
+        |    (CASE WHEN sa.s0=sb.s0 THEN 1 ELSE 0 END + CASE WHEN sa.s1=sb.s1 THEN 1 ELSE 0 END + CASE WHEN sa.s2=sb.s2 THEN 1 ELSE 0 END + CASE WHEN sa.s3=sb.s3 THEN 1 ELSE 0 END + CASE WHEN sa.s4=sb.s4 THEN 1 ELSE 0 END + CASE WHEN sa.s5=sb.s5 THEN 1 ELSE 0 END + CASE WHEN sa.s6=sb.s6 THEN 1 ELSE 0 END + CASE WHEN sa.s7=sb.s7 THEN 1 ELSE 0 END + CASE WHEN sa.s8=sb.s8 THEN 1 ELSE 0 END + CASE WHEN sa.s9=sb.s9 THEN 1 ELSE 0 END + CASE WHEN sa.s10=sb.s10 THEN 1 ELSE 0 END + CASE WHEN sa.s11=sb.s11 THEN 1 ELSE 0 END + CASE WHEN sa.s12=sb.s12 THEN 1 ELSE 0 END + CASE WHEN sa.s13=sb.s13 THEN 1 ELSE 0 END + CASE WHEN sa.s14=sb.s14 THEN 1 ELSE 0 END + CASE WHEN sa.s15=sb.s15 THEN 1 ELSE 0 END) AS agree
+        |  FROM cand c JOIN sig sa ON c.supp_a = sa.supp JOIN sig sb ON c.supp_b = sb.supp)
+        |SELECT supp_a, supp_b, CAST(agree AS DOUBLE) / 16 AS est_jaccard,
+        |  CAST(agree AS BIGINT) AS agree
+        |FROM scored WHERE agree >= 4
+        |ORDER BY est_jaccard DESC, supp_a, supp_b LIMIT 20""".stripMargin,
     "graph_neighbor_sim" ->
       """WITH e AS (
         |  SELECT DISTINCT 5000000000 + l_suppkey AS supp, 6000000000 + l_partkey AS part
@@ -758,6 +805,44 @@ object SparkEntry {
         |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_pairs
         |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "embed_binary_recall" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS b
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n
+        |      WHERE vec_id < 5),
+        |d AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 5),
+        |s AS (
+        |  SELECT q.q_id, d.vec_id,
+        |  round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6)
+        |    + 0.0 AS score
+        |  FROM d CROSS JOIN q),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+        |  WHERE rank <= 10),
+        |bq AS (SELECT vec_id AS q_id, b AS q_b FROM n WHERE vec_id < 5),
+        |bd AS (SELECT vec_id, b FROM n WHERE vec_id >= 5),
+        |hs AS (
+        |  SELECT bq.q_id, bd.vec_id, list_dot_product(bd.b, bq.q_b) AS score
+        |  FROM bd CROSS JOIN bq),
+        |ham AS (
+        |  SELECT q_id, vec_id, 1 AS hit FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM hs)
+        |  WHERE rank <= 10),
+        |nd AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS n_dims FROM embeddings)
+        |SELECT e.q_id, nd.n_dims, COUNT(h.hit) AS n_hit,
+        |  round(COUNT(h.hit) / 10.0, 6) + 0.0 AS recall_at_k
+        |FROM exact e LEFT JOIN ham h ON e.q_id = h.q_id AND e.vec_id = h.vec_id
+        |CROSS JOIN nd
+        |GROUP BY e.q_id, nd.n_dims ORDER BY e.q_id""".stripMargin,
     "sim_dim_recall" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

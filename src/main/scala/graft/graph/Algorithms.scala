@@ -1217,6 +1217,86 @@ object Algorithms {
       .limit(k)
   }
 
+  /** MinHash-APPROXIMATED neighborhood similarity (SparkEntry
+    * `graph_neighbor_sim_approx`) — the scale path past
+    * [[neighborSimQuery]]: the exact query's candidate volume is
+    * Σ_s deg(s)² through shared neighbors, which a hub cap bounds but
+    * a 100 TB co-occurrence graph still pays in full; here each node
+    * carries a FIXED-WIDTH MinHash signature of its neighbor set
+    * (Broder 1997 — P[min agree] = Jaccard), candidates come from
+    * banded-LSH buckets over the signature (the dedup_minhash_lsh
+    * discipline applied to graph neighborhoods, GDS nodeSimilarity's
+    * sampled mode), and the similarity ESTIMATE is the fraction of
+    * agreeing components — no common-neighbor pair is ever
+    * enumerated.
+    *
+    * 100 TB shape: signatures are one groupBy(supp) with k min
+    * aggregates (map-side partials collapse each partition to one row
+    * per supplier before the only node-keyed exchange); band buckets
+    * shuffle (band, 8-byte hash, supp) triples; hot buckets (> a cap
+    * of suppliers hashing identically) are dropped via a broadcast
+    * anti-join exactly like dedup's stop shingles; the verify join
+    * touches signatures, never neighbor lists.
+    *
+    * Determinism: hashes are fixed-constant BIGINT modular algebra
+    * (operands < 2^41 · 211 — no overflow), agreement counts are
+    * integers, est = agree/k is an exact binary double — the DuckDB
+    * oracle replays every step bit-for-bit.
+    */
+  def neighborSimApproxQuery(spark: SparkSession, sfDir: String,
+      k: Int = 20, minAgree: Int = 4, bucketCap: Int = 200): DataFrame = {
+    val g = GraphLoader.tpch(spark, sfDir)
+    val e = g.relTable("SUPPLIES")
+      .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
+    val A = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L,
+      173L, 179L, 181L, 191L, 193L, 197L, 199L, 211L)
+    val B = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L,
+      37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
+    val P = 1000003L
+    val nHash = A.size // 16 = 4 bands x 4 rows
+    val mins = (0 until nHash).map(i =>
+      min((col("part") * A(i) + B(i)) % P).as(s"s$i"))
+    val sig = e.groupBy(col("supp")).agg(mins.head, mins.tail: _*)
+      .localCheckpoint(true)
+    // band hash: left fold of the band's 4 components, mod-reduced
+    // each step (collisions only ADD candidates; the estimate filter
+    // removes them — same contract as any LSH bucketing)
+    def bandHash(j: Int): org.apache.spark.sql.Column =
+      (4 * j until 4 * j + 4).map(i => col(s"s$i"))
+        .reduce((acc, s) => (acc * 31L + s) % P)
+    val buckets = (0 until 4).map(j => sig.select(lit(j).as("band"),
+        bandHash(j).as("bh"), col("supp")))
+      .reduce(_.unionByName(_))
+    // a bucket holding > bucketCap suppliers is a degenerate
+    // signature region (near-empty or constant neighborhoods): it
+    // would contribute cap² candidate pairs that the estimate filter
+    // kills anyway — drop it up front, dedup's stop-shingle rule
+    val hot = buckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
+      .select(col("band"), col("bh"))
+    val kept = buckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val cand = kept.as("a")
+      .join(kept.as("b"), col("a.band") === col("b.band") &&
+        col("a.bh") === col("b.bh") && col("a.supp") < col("b.supp"))
+      .select(col("a.supp").as("supp_a"), col("b.supp").as("supp_b"))
+      .distinct()
+    val sigA = sig.select(col("supp").as("supp_a") +:
+      (0 until nHash).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("supp").as("supp_b") +:
+      (0 until nHash).map(i => col(s"s$i").as(s"b$i")): _*)
+    val agree = (0 until nHash)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, Seq("supp_a")).join(sigB, Seq("supp_b"))
+      .withColumn("agree", agree.cast("long"))
+      .filter(col("agree") >= minAgree)
+      .select(col("supp_a"), col("supp_b"),
+        (col("agree").cast("double") / nHash).as("est_jaccard"),
+        col("agree"))
+      .orderBy(col("est_jaccard").desc, col("supp_a"), col("supp_b"))
+      .limit(k)
+  }
+
   /** Local clustering coefficient per node: 2·t(v) / (d(v)·(d(v)−1))
     * with t(v) the triangles containing v and d(v) the distinct
     * undirected degree; nodes of degree < 2 report 0.0.

@@ -958,6 +958,55 @@ object Similarity {
     * anywhere; the k·|Q| truncated top-k broadcasts into the exact
     * side exactly like [[recallEval]].
     */
+  /** Binary (sign-bit) quantization recall (SparkEntry
+    * `embed_binary_recall`) — the most aggressive embedding
+    * compression dial, next to [[quantizeInt8]] and [[dimRecall]]:
+    * each dimension keeps ONE bit (its sign), a 32× storage/bandwidth
+    * cut, and retrieval ranks by Hamming agreement. This query
+    * MEASURES what that buys: recall@k of the sign-bit ranking
+    * against the exact-cosine top-k — the number a team reads before
+    * switching its 100 TB vector store to binary embeddings.
+    *
+    * Determinism end-to-end in integers: signs are ±1, the agreement
+    * score is a ±1 dot product (an exact small-integer double — no
+    * rounding contract needed), ties rank by vec_id.
+    *
+    * 100 TB shape: signing is a pure per-row map at the scan; the
+    * score pass is the same broadcast-queries × corpus map as
+    * [[topkBruteforce]] (in production the ±1 dot compiles to
+    * XOR+popcount over packed words — the plan shape is identical);
+    * per-query top-k via window over q_id like the recall-eval
+    * family.
+    */
+  def binaryRecall(spark: SparkSession, sfDir: String, k: Int = 10)
+      : DataFrame = {
+    val exact = topkBruteforce(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(toDouble(col("embedding")),
+          x => when(x >= 0.0, lit(1.0)).otherwise(lit(-1.0))).as("b"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("b").as("q_b"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val ham = emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .withColumn("score", dot(col("b"), col("q_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val nd = Tables.embeddings(spark, sfDir)
+      .agg(max(size(col("embedding"))).cast("long").as("n_dims"))
+    exact.join(broadcast(ham), Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("q_id")).agg(count(col("hit")).as("n_hit"))
+      .crossJoin(broadcast(nd))
+      .select(col("q_id"), col("n_dims"), col("n_hit"),
+        (round(col("n_hit").cast("double") / k, 6) + lit(0.0))
+          .as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
   def dimRecall(spark: SparkSession, sfDir: String, k: Int = 10,
       keepDims: Int = 16): DataFrame = {
     val exact = topkBruteforce(spark, sfDir, k)

@@ -642,6 +642,35 @@ object StreamingJobs {
         col("row._1").as("vec_id"), col("row._2").as("score"))
   }
 
+  /** Streaming twin of the SCC TRIM phase
+    * ([[graft.graph.Algorithms.stronglyConnectedComponents]]'s round-0
+    * peel): over an edge stream, maintain per-vertex in/out degree
+    * state and flag vertices that are PROVABLY singleton SCCs as of
+    * the seen prefix — a vertex with no in-edge or no out-edge lies
+    * on no cycle. Update mode: a vertex's verdict can flip to
+    * non-trim when a later edge supplies the missing direction
+    * (monotone one-way — trim evidence only ever disappears), so
+    * downstream consumes the LATEST row per id. The iterative deep
+    * peel (removing trimmed vertices re-exposes their neighbors) and
+    * the FW-BW coloring stay in the periodic batch job — the standard
+    * streaming/batch split for graph maintenance: the stream keeps
+    * the cheap monotone invariant hot, the batch pass settles the
+    * rest.
+    *
+    * 100 TB shape: state is two longs per vertex (the same keyed agg
+    * state any streaming degree counter pays); each micro-batch
+    * shuffles only its own edges' endpoint increments, map-side
+    * combined.
+    */
+  def sccTrimDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"),
+        lit(1L).as("out_d"), lit(0L).as("in_d"))
+      .unionByName(edges.select(col("dst").as("id"),
+        lit(0L).as("out_d"), lit(1L).as("in_d")))
+      .groupBy(col("id"))
+      .agg(sum(col("out_d")).as("out_deg"), sum(col("in_d")).as("in_deg"))
+      .withColumn("trim", col("out_deg") === 0L || col("in_deg") === 0L)
+
   /** Streaming twin of the reference's WRITE half: the
     * Neo4jOutputFormat is itself a streaming-shaped batcher
     * (accumulate, flush at batchSize, flush at close —

@@ -217,6 +217,39 @@ class AlgorithmsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx neighbor-sim: estimates track exact Jaccard, deterministic") {
+    val out = Algorithms.neighborSimApproxQuery(spark, TestSpark.sf, k = 20)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val ests = out.map(_.getDouble(2))
+    assert(ests.sameElements(ests.sortBy(-_))) // descending
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical pair order
+      assert(r.getLong(3) >= 4L && r.getLong(3) <= 16L)
+      assert(math.abs(r.getDouble(2) - r.getLong(3) / 16.0) < 1e-12)
+    }
+    // the MinHash estimate must TRACK the exact Jaccard of the same
+    // neighborhoods (k=16 components: single-pair std ~0.12, so only
+    // assert a loose per-pair band and a tighter mean band)
+    val g = GraphLoader.tpch(spark, TestSpark.sf)
+    val nbrs: Map[Long, Set[Long]] = g.relTable("SUPPLIES")
+      .select(col("__src").cast("long"), col("__dst").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
+    val errs = out.map { r =>
+      val (a, b) = (nbrs(r.getLong(0)), nbrs(r.getLong(1)))
+      val exact = (a & b).size.toDouble / (a | b).size
+      math.abs(r.getDouble(2) - exact)
+    }
+    assert(errs.forall(_ <= 0.5), s"per-pair error too large: ${errs.max}")
+    assert(errs.sum / errs.length <= 0.25,
+      s"mean |est - exact| = ${errs.sum / errs.length}")
+    // determinism: fixed hash constants => identical result set
+    val again = Algorithms.neighborSimApproxQuery(spark, TestSpark.sf, k = 20)
+      .collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("random walks: reproducible traces, contiguous steps, edges real") {
     val out = Algorithms.randomWalkQuery(spark, TestSpark.sf, steps = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -344,6 +344,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanQ <= 1.0)
   }
 
+  test("binary-sign recall: bounded, beats chance, agrees on the diagonal") {
+    val rows = Similarity.binaryRecall(spark, TestSpark.sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_hit")
+      assert(n >= 0L && n <= 10L)
+      assert(math.abs(r.getAs[Double]("recall_at_k") - n / 10.0) < 1e-9)
+      assert(r.getAs[Long]("n_dims") == 64L)
+    }
+    // sign-bit ranking must carry real signal: random ranking on an
+    // N-vector corpus recalls ~k/N (≈ 0.2% here) — require the mean
+    // to beat that by an order of magnitude
+    val corpus = graft.Tables.embeddings(spark, TestSpark.sf).count() - 5
+    val chance = 10.0 / corpus
+    val mean = rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    assert(mean > 10 * chance, s"mean=$mean chance=$chance")
+    // determinism
+    val again = Similarity.binaryRecall(spark, TestSpark.sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("embedding contamination: flags only non-benchmark vectors above tau") {
     val benchMod = 29L; val tau = 0.35
     val rows = Similarity.contaminationEmbedding(

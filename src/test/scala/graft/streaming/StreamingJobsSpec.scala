@@ -673,4 +673,44 @@ class StreamingJobsSpec extends AnyFunSuite {
       assert(got == want && got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming SCC trim: verdicts flip monotonically as edges close cycles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingJobs
+      .sccTrimDegrees(input.toDF().toDF("src", "dst"))
+      .writeStream.format("memory").queryName("scctrim")
+      .outputMode("update").start()
+    def latest(): Map[Long, (Long, Long, Boolean)] =
+      // update mode appends one row per changed key per batch; the
+      // degree counts only grow, so max degree sums identify the
+      // newest verdict per id
+      spark.table("scctrim").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .groupBy(_._1)
+        .map { case (id, vs) =>
+          id -> vs.map(_._2).maxBy(v => v._1 + v._2) }
+    try {
+      // batch 1: a path 1 -> 2 -> 3 (no cycle anywhere: all trim)
+      input.addData((1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      val afterPath = latest()
+      assert(afterPath(1L) == ((1L, 0L, true)))  // source: no in
+      assert(afterPath(2L) == ((1L, 1L, false))) // interior: both sides
+      assert(afterPath(3L) == ((0L, 1L, true)))  // sink: no out
+      // batch 2: close the cycle 3 -> 1 — both endpoints lose trim
+      input.addData((3L, 1L))
+      q.processAllAvailable()
+      val afterCycle = latest()
+      assert(afterCycle(1L) == ((1L, 1L, false)))
+      assert(afterCycle(3L) == ((1L, 1L, false)))
+      assert(afterCycle(2L) == ((1L, 1L, false)))
+      // the batch trim agrees: on the closed triangle nothing peels
+      val batchTrim = StreamingJobs.sccTrimDegrees(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(batchTrim == Map(1L -> false, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
 }
