@@ -221,6 +221,7 @@ object SparkEntry {
     "sim_ivf_tuning"      -> (Similarity.ivfTuning(_, _)),
     "sim_dim_recall"      -> (Similarity.dimRecall(_, _)),
     "embed_binary_recall" -> (Similarity.binaryRecall(_, _)),
+    "sim_hamming_topk"    -> (Similarity.hammingTopk(_, _)),
     "embed_cos_hist"      -> (Similarity.cosHist(_, _)),
     "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
     "multimodal_frames"   -> (Multimodal.frameIndex(_, _)),
@@ -805,6 +806,30 @@ object SparkEntry {
         |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_pairs
         |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "sim_hamming_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS d
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN x >= 0 AND d < 32
+        |      THEN (1::BIGINT << d) ELSE 0 END) AS BIGINT) AS w0,
+        |    CAST(SUM(CASE WHEN x >= 0 AND d >= 32 AND d < 64
+        |      THEN (1::BIGINT << (d - 32)) ELSE 0 END) AS BIGINT) AS w1
+        |  FROM e GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM codes
+        |      WHERE vec_id < 5),
+        |c AS (SELECT vec_id, w0, w1 FROM codes WHERE vec_id >= 5),
+        |h AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    CAST(bit_count(xor(c.w0, q.q0)) AS BIGINT)
+        |      + CAST(bit_count(xor(c.w1, q.q1)) AS BIGINT) AS hamming
+        |  FROM c CROSS JOIN q)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, hamming FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY hamming, vec_id) AS rank FROM h)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "embed_binary_recall" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

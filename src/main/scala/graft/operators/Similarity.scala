@@ -1007,6 +1007,50 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Packed-word binary Hamming retrieval (SparkEntry
+    * `sim_hamming_topk`) — the PRODUCTION spelling of what
+    * [[binaryRecall]] evaluates: sign bits pack into 32-bit halves of
+    * BIGINT words IN-ROW (a fold over the vector, zero exchanges —
+    * dims > 64 would add ⌈d/32⌉ words, same plan), and retrieval is
+    * XOR + popcount per word — the instruction-level kernel every
+    * billion-vector binary index runs. Top-k per query by
+    * (hamming asc, vec_id): all-integer arithmetic, no rounding
+    * contract anywhere.
+    *
+    * 100 TB shape: packing is a pure per-row map at the scan (the
+    * corpus's 64-float vectors leave the scan as TWO longs — a 32×
+    * bandwidth cut before any exchange); scoring is the
+    * broadcast-queries map of the brute-force family over those
+    * longs; per-query top-k via the recall-eval window.
+    */
+  def hammingTopk(spark: SparkSession, sfDir: String, k: Int = 10)
+      : DataFrame = {
+    val pack =
+      "aggregate(zip_with(cast(embedding as array<double>), " +
+        "sequence(0, size(embedding) - 1), " +
+        "(x, d) -> case when x >= 0.0 and %s then shiftleft(1L, %s) " +
+        "else 0L end), 0L, (a, b) -> a + b)"
+    val codes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(pack.format("d < 32", "d")).as("w0"),
+        expr(pack.format("d >= 32 and d < 64", "d - 32")).as("w1"))
+    val queries = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        col("w0").as("q0"), col("w1").as("q1"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    codes.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .withColumn("hamming",
+        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q1")))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("hamming"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def dimRecall(spark: SparkSession, sfDir: String, k: Int = 10,
       keepDims: Int = 16): DataFrame = {
     val exact = topkBruteforce(spark, sfDir, k)

@@ -365,6 +365,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("hamming top-k: packed-word plan equals a per-bit JVM reference") {
+    val got = Similarity.hammingTopk(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // independent reference: sign bits compared one by one, no packing
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).map(_ >= 0.0))
+      .toMap
+    val queries = vecs.keys.filter(_ < 5)
+    val want = queries.toSeq.sorted.flatMap { q =>
+      vecs.toSeq.collect { case (id, bits) if id >= 5 =>
+        (id, bits.zip(vecs(q)).count { case (a, b) => a != b }.toLong)
+      }.sortBy { case (id, h) => (h, id) }.take(10).zipWithIndex
+        .map { case ((id, h), i) => (q, i + 1L, id, h) }
+    }
+    assert(got.toSeq == want)
+  }
+
   test("embedding contamination: flags only non-benchmark vectors above tau") {
     val benchMod = 29L; val tau = 0.35
     val rows = Similarity.contaminationEmbedding(
