@@ -222,6 +222,7 @@ object SparkEntry {
     "sim_dim_recall"      -> (Similarity.dimRecall(_, _)),
     "embed_binary_recall" -> (Similarity.binaryRecall(_, _)),
     "sim_hamming_topk"    -> (Similarity.hammingTopk(_, _)),
+    "sim_hamming_tuning"  -> (Similarity.hammingTuning(_, _)),
     "embed_cos_hist"      -> (Similarity.cosHist(_, _)),
     "embed_outliers"      -> (Similarity.centroidOutliers(_, _)),
     "multimodal_frames"   -> (Multimodal.frameIndex(_, _)),
@@ -806,6 +807,56 @@ object SparkEntry {
         |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_pairs
         |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "sim_hamming_tuning" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n
+        |      WHERE vec_id < 5),
+        |d AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 5),
+        |s AS (
+        |  SELECT q.q_id, d.vec_id,
+        |  round(CASE WHEN d.nrm = 0 OR q.q_nrm = 0 THEN 0
+        |    ELSE list_dot_product(d.v, q.q_v) / (d.nrm * q.q_nrm) END, 6)
+        |    + 0.0 AS score
+        |  FROM d CROSS JOIN q),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM s)
+        |  WHERE rank <= 10),
+        |e2 AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS d
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN x >= 0 AND d < 32
+        |      THEN (1::BIGINT << d) ELSE 0 END) AS BIGINT) AS w0,
+        |    CAST(SUM(CASE WHEN x >= 0 AND d >= 32 AND d < 64
+        |      THEN (1::BIGINT << (d - 32)) ELSE 0 END) AS BIGINT) AS w1
+        |  FROM e2 GROUP BY vec_id),
+        |cq AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM codes
+        |       WHERE vec_id < 5),
+        |cd AS (SELECT vec_id, w0, w1 FROM codes WHERE vec_id >= 5),
+        |h AS (
+        |  SELECT cq.q_id, cd.vec_id,
+        |    CAST(bit_count(xor(cd.w0, cq.q0)) AS BIGINT)
+        |      + CAST(bit_count(xor(cd.w1, cq.q1)) AS BIGINT) AS hamming,
+        |    CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ex
+        |  FROM cd CROSS JOIN cq
+        |  LEFT JOIN exact e ON e.q_id = cq.q_id AND e.vec_id = cd.vec_id)
+        |SELECT CAST(r.radius AS BIGINT) AS radius,
+        |  CAST(SUM(CASE WHEN h.hamming <= r.radius THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN h.hamming <= r.radius THEN h.ex ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN h.hamming <= r.radius THEN h.ex ELSE 0 END)
+        |    AS DOUBLE) / 50, 6) + 0.0 AS mean_recall
+        |FROM h CROSS JOIN (VALUES (8), (12), (16), (20), (24)) r(radius)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_hamming_topk" ->
       """WITH e AS (
         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,

@@ -1051,6 +1051,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Hamming-radius tuning curve (SparkEntry `sim_hamming_tuning`) —
+    * the binary-retrieval dial next to the LSH plane/probe and IVF
+    * nprobe curves: per candidate radius r, the measured recall@k of
+    * "keep everything within Hamming r of the query's sign code" and
+    * the candidate volume that radius admits — the table a team reads
+    * to pick the filter radius before the exact re-rank pass.
+    *
+    * 100 TB shape: ONE scoring pass (the [[hammingTopk]] packed-word
+    * map) feeds every grid cell as conditional partial sums inside a
+    * single map-side-combined aggregate — the radius grid adds zero
+    * exchanges and zero extra passes; the 5-row curve unpivots from
+    * the one aggregate row.
+    */
+  def hammingTuning(spark: SparkSession, sfDir: String, k: Int = 10,
+      radii: Seq[Int] = Seq(8, 12, 16, 20, 24)): DataFrame = {
+    val exact = topkBruteforce(spark, sfDir, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("ex"))
+    val pack =
+      "aggregate(zip_with(cast(embedding as array<double>), " +
+        "sequence(0, size(embedding) - 1), " +
+        "(x, d) -> case when x >= 0.0 and %s then shiftleft(1L, %s) " +
+        "else 0L end), 0L, (a, b) -> a + b)"
+    val codes = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(pack.format("d < 32", "d")).as("w0"),
+        expr(pack.format("d >= 32 and d < 64", "d - 32")).as("w1"))
+    val queries = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        col("w0").as("q0"), col("w1").as("q1"))
+    val nQ = 5
+    val scored = codes.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(queries))
+      .withColumn("hamming",
+        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q1")))).cast("long"))
+      .join(broadcast(exact), Seq("q_id", "vec_id"), "left_outer")
+    val cells = radii.flatMap(r => Seq(
+      sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"c$r"),
+      coalesce(sum(when(col("hamming") <= r, col("ex"))), lit(0L))
+        .as(s"h$r")))
+    scored.agg(cells.head, cells.tail: _*)
+      .selectExpr(s"stack(${radii.size}, " +
+        radii.map(r => s"${r}L, c$r, h$r").mkString(", ") +
+        ") as (radius, n_candidates, n_hits)")
+      .select(col("radius"), col("n_candidates"), col("n_hits"),
+        (round(col("n_hits").cast("double") / (k * nQ), 6) + lit(0.0))
+          .as("mean_recall"))
+      .orderBy(col("radius"))
+  }
+
   def dimRecall(spark: SparkSession, sfDir: String, k: Int = 10,
       keepDims: Int = 16): DataFrame = {
     val exact = topkBruteforce(spark, sfDir, k)

@@ -384,6 +384,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("hamming tuning curve: wider radii never lose candidates or recall") {
+    val rows = Similarity.hammingTuning(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8L, 12L, 16L, 20L, 24L))
+    rows.foreach { case (_, cand, hits, recall) =>
+      assert(hits <= cand && hits <= 50L)
+      assert(math.abs(recall - hits / 50.0) < 1e-9)
+    }
+    // the curve is monotone by construction (radius r admits a
+    // superset of radius r-1's candidates) — pin it
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"candidates shrank: $a -> $b")
+      assert(b._3 >= a._3, s"hits shrank: $a -> $b")
+    }
+    // the widest radius (64 bits, r=24) must recover real recall on
+    // this corpus and the full-corpus ceiling bounds candidates
+    val n = graft.Tables.embeddings(spark, TestSpark.sf).count() - 5
+    assert(rows.last._2 <= 5 * n)
+    assert(rows.last._3 > 0L, "r=24 found no exact neighbors at all")
+  }
+
   test("embedding contamination: flags only non-benchmark vectors above tau") {
     val benchMod = 29L; val tau = 0.35
     val rows = Similarity.contaminationEmbedding(
