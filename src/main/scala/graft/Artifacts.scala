@@ -88,9 +88,25 @@ object Artifacts {
     private case class Entry(value: V, spark: SparkSession, ids: Set[Int])
     // access-order: iteration starts at the least recently used entry
     private val map = new java.util.LinkedHashMap[K, Entry](16, 0.75f, true)
+    // per-key builds in progress: same-key callers await the future
+    // instead of re-materializing; OTHER keys are untouched
+    private val inFlight =
+      new java.util.HashMap[K, java.util.concurrent.CompletableFuture[V]]
 
-    def getOrCompute(key: K, spark: SparkSession)(materialize: => V): V =
-      synchronized {
+    /** Memoized lookup. The cache monitor is held only for map
+      * bookkeeping, NEVER across a materialization (a minutes-long
+      * Spark job) — so a hit on one key cannot block behind a build
+      * of another, and the lock order is strictly
+      * materializeLock → monitor (the inverse never occurs, so a
+      * materialize closure that consults another cache cannot
+      * deadlock). Concurrent same-key callers coalesce onto one
+      * build via an in-flight future; a failed build clears its
+      * future so later callers retry.
+      */
+    def getOrCompute(key: K, spark: SparkSession)(materialize: => V): V = {
+      var await: java.util.concurrent.CompletableFuture[V] = null
+      var mine: java.util.concurrent.CompletableFuture[V] = null
+      val cached: Option[V] = synchronized {
         val it = map.entrySet.iterator
         while (it.hasNext) {
           val e = it.next()
@@ -101,18 +117,47 @@ object Artifacts {
           }
         }
         val hit = map.get(key)
-        if (hit != null) hit.value
+        if (hit != null) Some(hit.value)
         else {
-          // evict BEFORE insert so the new entry can never be a victim
-          while (map.size >= maxEntries) {
-            val eldest = map.entrySet.iterator.next()
-            release(eldest.getValue.spark, eldest.getValue.ids)
-            map.remove(eldest.getKey): Unit
+          val f = inFlight.get(key)
+          if (f != null) await = f
+          else {
+            mine = new java.util.concurrent.CompletableFuture[V]
+            inFlight.put(key, mine)
           }
-          val (v, ids) = pinningTracked(spark)(materialize)
-          map.put(key, Entry(v, spark, ids))
-          v
+          None
         }
       }
+      cached.getOrElse {
+        if (await != null)
+          try await.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        else
+          try {
+            val (v, ids) = pinningTracked(spark)(materialize)
+            synchronized {
+              // evict BEFORE insert so the new entry can never be a
+              // victim
+              while (map.size >= maxEntries) {
+                val eldest = map.entrySet.iterator.next()
+                release(eldest.getValue.spark, eldest.getValue.ids)
+                map.remove(eldest.getKey): Unit
+              }
+              map.put(key, Entry(v, spark, ids))
+              inFlight.remove(key): Unit
+            }
+            mine.complete(v)
+            v
+          } catch {
+            case t: Throwable =>
+              synchronized { inFlight.remove(key): Unit }
+              mine.completeExceptionally(t)
+              throw t
+          }
+      }
+    }
   }
 }

@@ -1593,6 +1593,13 @@ object CypherPlanner {
             df.columns.contains(s"${cur}__id"))
           Some(df.select(col(s"${cur}__id").as("__seedid")).distinct())
         else None
+      // Neo4j rejects shortestPath over a fixed-length relationship
+      // ("requires a pattern with variable length") — fail the same
+      // way instead of an opaque None.get below
+      require(rel.varLength.isDefined ||
+          (!chain.shortest && !chain.allShortest && chain.weightProp.isEmpty),
+        "shortestPath/allShortestPaths requires a variable-length " +
+          "relationship pattern (e.g. -[:T*]->), got a fixed-length one")
       val expanded =
         if (chain.weightProp.isDefined) {
           val wp = chain.weightProp.get

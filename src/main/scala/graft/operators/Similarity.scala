@@ -215,22 +215,6 @@ object Similarity {
         round(col("s").cast("double") / col("n"), 6).as("centroid"))
       .orderBy(col("label"), col("d"))
 
-  /** Per-vector in-row cell ranking against the broadcast coarse
-    * quantizer — the IVF assignment step shared by [[annIvf]] and
-    * [[ivfTuning]], spelled exactly like [[kmeansAssignOn]]'s argmin:
-    * the quantizer collapses to a ONE-ROW sorted (cell, cvec) array,
-    * broadcast-carried onto every vector row, and the full cell
-    * ranking is computed IN-ROW as `array_sort(zip(d², cell))` — a
-    * pure map over the corpus. No corpus × |cells| explode, no
-    * vec_id-partitioned window exchange: at 100 TB the assignment
-    * costs one broadcast plus one scan, independent of cell count's
-    * contribution to shuffle volume.
-    *
-    * Distances use d² = v·v − 2·v·c + c·c so both engines fold the
-    * identical IEEE sequence; the struct sort breaks d² ties on the
-    * ascending cell id (same order as the former window's
-    * `ORDER BY d2, cell`).
-    */
   /** The coarse quantizer as a ONE-ROW sorted (cell, cvec) array —
     * the broadcastable piece of the IVF index, shared by the batch
     * queries and the streaming serving twin
@@ -255,6 +239,22 @@ object Similarity {
       .select(element_at(col("pcs"), 1).getField("cell").as("cell"),
         col("vec_id"), col("v"), col("nrm"))
 
+  /** Per-vector in-row cell ranking against the broadcast coarse
+    * quantizer — the IVF assignment step shared by [[annIvf]] and
+    * [[ivfTuning]], spelled exactly like [[kmeansAssignOn]]'s argmin:
+    * the quantizer collapses to a ONE-ROW sorted (cell, cvec) array,
+    * broadcast-carried onto every vector row, and the full cell
+    * ranking is computed IN-ROW as `array_sort(zip(d², cell))` — a
+    * pure map over the corpus. No corpus × |cells| explode, no
+    * vec_id-partitioned window exchange: at 100 TB the assignment
+    * costs one broadcast plus one scan, independent of cell count's
+    * contribution to shuffle volume.
+    *
+    * Distances use d² = v·v − 2·v·c + c·c so both engines fold the
+    * identical IEEE sequence; the struct sort breaks d² ties on the
+    * ascending cell id (same order as the former window's
+    * `ORDER BY d2, cell`).
+    */
   private def ivfCellRanking(spark: SparkSession, sfDir: String,
       emb: DataFrame): DataFrame = {
     val cs = ivfQuantizer(spark, sfDir)
@@ -1023,17 +1023,27 @@ object Similarity {
     * broadcast-queries map of the brute-force family over those
     * longs; per-query top-k via the recall-eval window.
     */
-  def hammingTopk(spark: SparkSession, sfDir: String, k: Int = 10)
-      : DataFrame = {
+  /** Sign-bit packing shared by [[hammingTopk]] and [[hammingTuning]]
+    * (and mirrored verbatim by both DuckDB oracles): dims 0–31 →
+    * bits of `w0`, dims 32–63 → bits of `w1`, each an in-row
+    * aggregate fold — the two spellings MUST stay bit-identical, so
+    * there is exactly one.
+    */
+  private def signCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val pack =
       "aggregate(zip_with(cast(embedding as array<double>), " +
         "sequence(0, size(embedding) - 1), " +
         "(x, d) -> case when x >= 0.0 and %s then shiftleft(1L, %s) " +
         "else 0L end), 0L, (a, b) -> a + b)"
-    val codes = Tables.embeddings(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr(pack.format("d < 32", "d")).as("w0"),
         expr(pack.format("d >= 32 and d < 64", "d - 32")).as("w1"))
+  }
+
+  def hammingTopk(spark: SparkSession, sfDir: String, k: Int = 10)
+      : DataFrame = {
+    val codes = signCodes(spark, sfDir)
     val queries = codes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"),
         col("w0").as("q0"), col("w1").as("q1"))
@@ -1068,15 +1078,7 @@ object Similarity {
       radii: Seq[Int] = Seq(8, 12, 16, 20, 24)): DataFrame = {
     val exact = topkBruteforce(spark, sfDir, k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("ex"))
-    val pack =
-      "aggregate(zip_with(cast(embedding as array<double>), " +
-        "sequence(0, size(embedding) - 1), " +
-        "(x, d) -> case when x >= 0.0 and %s then shiftleft(1L, %s) " +
-        "else 0L end), 0L, (a, b) -> a + b)"
-    val codes = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        expr(pack.format("d < 32", "d")).as("w0"),
-        expr(pack.format("d >= 32 and d < 64", "d - 32")).as("w1"))
+    val codes = signCodes(spark, sfDir)
     val queries = codes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"),
         col("w0").as("q0"), col("w1").as("q1"))

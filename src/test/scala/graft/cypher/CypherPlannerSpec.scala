@@ -1412,6 +1412,20 @@ class CypherPlannerSpec extends AnyFunSuite {
       run("MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..3]->(b:Nation)) " +
         "RETURN cost(p) AS c").collect()
     }
+    // shortestPath over a FIXED-length relationship is a loud
+    // validation error (Neo4j: "requires variable length"), never an
+    // opaque None.get — weighted and unweighted spellings alike (the
+    // chain-shape validation catches both; the planner's own
+    // variable-length require is defense-in-depth behind it)
+    for (q <- Seq(
+        "MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION]->(b:Nation), " +
+          "'dist') RETURN length(p) AS l",
+        "MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION]->(b:Nation)) " +
+          "RETURN length(p) AS l")) {
+      val e = intercept[IllegalArgumentException] { run(q).collect() }
+      assert(e.getMessage.contains("var-length") ||
+        e.getMessage.contains("variable-length"))
+    }
   }
 
   test("localdatetime/localtime/time: NTZ wall clock, epoch-anchored time-of-day") {
