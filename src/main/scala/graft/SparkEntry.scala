@@ -538,31 +538,39 @@ object SparkEntry {
         |  FROM lineitem),
         |sig AS (
         |  SELECT supp,
-        |    MIN((part*131+7) % 1000003) AS s0,
-        |    MIN((part*137+11) % 1000003) AS s1,
-        |    MIN((part*139+13) % 1000003) AS s2,
-        |    MIN((part*149+17) % 1000003) AS s3,
-        |    MIN((part*151+19) % 1000003) AS s4,
-        |    MIN((part*157+23) % 1000003) AS s5,
-        |    MIN((part*163+29) % 1000003) AS s6,
-        |    MIN((part*167+31) % 1000003) AS s7,
-        |    MIN((part*173+37) % 1000003) AS s8,
-        |    MIN((part*179+41) % 1000003) AS s9,
-        |    MIN((part*181+43) % 1000003) AS s10,
-        |    MIN((part*191+47) % 1000003) AS s11,
-        |    MIN((part*193+53) % 1000003) AS s12,
-        |    MIN((part*197+59) % 1000003) AS s13,
-        |    MIN((part*199+61) % 1000003) AS s14,
-        |    MIN((part*211+67) % 1000003) AS s15
+        |    MIN(((part % 1000000007)*654435747 + 266489896) % 1000000007) AS s0,
+        |    MIN(((part % 1000000007)*953445008 + 172972768) % 1000000007) AS s1,
+        |    MIN(((part % 1000000007)*666121539 + 632483670) % 1000000007) AS s2,
+        |    MIN(((part % 1000000007)*916718432 + 260144778) % 1000000007) AS s3,
+        |    MIN(((part % 1000000007)*635055555 + 348881410) % 1000000007) AS s4,
+        |    MIN(((part % 1000000007)*613703214 + 16419770) % 1000000007) AS s5,
+        |    MIN(((part % 1000000007)*478985632 + 769014006) % 1000000007) AS s6,
+        |    MIN(((part % 1000000007)*685929885 + 46942149) % 1000000007) AS s7,
+        |    MIN(((part % 1000000007)*537319864 + 317459248) % 1000000007) AS s8,
+        |    MIN(((part % 1000000007)*113289140 + 391560441) % 1000000007) AS s9,
+        |    MIN(((part % 1000000007)*443904346 + 469375836) % 1000000007) AS s10,
+        |    MIN(((part % 1000000007)*237508372 + 844965644) % 1000000007) AS s11,
+        |    MIN(((part % 1000000007)*760536115 + 16909389) % 1000000007) AS s12,
+        |    MIN(((part % 1000000007)*56448786 + 284490277) % 1000000007) AS s13,
+        |    MIN(((part % 1000000007)*174558421 + 800044711) % 1000000007) AS s14,
+        |    MIN(((part % 1000000007)*842614604 + 337313246) % 1000000007) AS s15
         |  FROM e GROUP BY supp),
         |b AS (
-        |  SELECT 0 AS band, ((((((s0)*31+s1) % 1000003)*31+s2) % 1000003)*31+s3) % 1000003 AS bh, supp FROM sig
+        |  SELECT 0 AS band, ((s0)*31+s1) % 1000000007 AS bh, supp FROM sig
         |  UNION ALL
-        |  SELECT 1 AS band, ((((((s4)*31+s5) % 1000003)*31+s6) % 1000003)*31+s7) % 1000003 AS bh, supp FROM sig
+        |  SELECT 1 AS band, ((s2)*31+s3) % 1000000007 AS bh, supp FROM sig
         |  UNION ALL
-        |  SELECT 2 AS band, ((((((s8)*31+s9) % 1000003)*31+s10) % 1000003)*31+s11) % 1000003 AS bh, supp FROM sig
+        |  SELECT 2 AS band, ((s4)*31+s5) % 1000000007 AS bh, supp FROM sig
         |  UNION ALL
-        |  SELECT 3 AS band, ((((((s12)*31+s13) % 1000003)*31+s14) % 1000003)*31+s15) % 1000003 AS bh, supp FROM sig),
+        |  SELECT 3 AS band, ((s6)*31+s7) % 1000000007 AS bh, supp FROM sig
+        |  UNION ALL
+        |  SELECT 4 AS band, ((s8)*31+s9) % 1000000007 AS bh, supp FROM sig
+        |  UNION ALL
+        |  SELECT 5 AS band, ((s10)*31+s11) % 1000000007 AS bh, supp FROM sig
+        |  UNION ALL
+        |  SELECT 6 AS band, ((s12)*31+s13) % 1000000007 AS bh, supp FROM sig
+        |  UNION ALL
+        |  SELECT 7 AS band, ((s14)*31+s15) % 1000000007 AS bh, supp FROM sig),
         |cnt AS (SELECT band, bh, COUNT(*) AS n FROM b GROUP BY 1, 2),
         |kept AS (SELECT b.band, b.bh, b.supp FROM b JOIN cnt USING (band, bh) WHERE n <= 200),
         |cand AS (
@@ -575,7 +583,7 @@ object SparkEntry {
         |  FROM cand c JOIN sig sa ON c.supp_a = sa.supp JOIN sig sb ON c.supp_b = sb.supp)
         |SELECT supp_a, supp_b, CAST(agree AS DOUBLE) / 16 AS est_jaccard,
         |  CAST(agree AS BIGINT) AS agree
-        |FROM scored WHERE agree >= 4
+        |FROM scored
         |ORDER BY est_jaccard DESC, supp_a, supp_b LIMIT 20""".stripMargin,
     "graph_neighbor_sim" ->
       """WITH e AS (

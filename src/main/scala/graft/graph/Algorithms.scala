@@ -1239,32 +1239,60 @@ object Algorithms {
     * touches signatures, never neighbor lists.
     *
     * Determinism: hashes are fixed-constant BIGINT modular algebra
-    * (operands < 2^41 · 211 — no overflow), agreement counts are
+    * (all products < 2^62 — no overflow), agreement counts are
     * integers, est = agree/k is an exact binary double — the DuckDB
     * oracle replays every step bit-for-bit.
+    *
+    * RESOLUTION CONTRACT: k components resolve similarity at the
+    * J ≳ 1/k scale (k=16 → steps of 0.0625). On a corpus whose
+    * neighborhoods are uniformly dissimilar (e.g. TPC-H sf0.1
+    * suppliers: max true J ≈ 0.035) the ranking cannot — and should
+    * not — reproduce the exact query's noise-level ordering; the est
+    * column honestly reports ≈0.25-0.31 for every survivor. To
+    * resolve finer similarity, raise k (dedup's document MinHash
+    * uses 128 for exactly this reason); the plan shape is unchanged.
     */
   def neighborSimApproxQuery(spark: SparkSession, sfDir: String,
-      k: Int = 20, minAgree: Int = 4, bucketCap: Int = 200): DataFrame = {
+      k: Int = 20, bucketCap: Int = 200): DataFrame = {
     val g = GraphLoader.tpch(spark, sfDir)
     val e = g.relTable("SUPPLIES")
       .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
-    val A = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L,
-      173L, 179L, 181L, 191L, 193L, 197L, 199L, 211L)
-    val B = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L,
-      37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
-    val P = 1000003L
-    val nHash = A.size // 16 = 4 bands x 4 rows
-    val mins = (0 until nHash).map(i =>
-      min((col("part") * A(i) + B(i)) % P).as(s"s$i"))
+    // Hash family — two hard-won constraints, both observed failing
+    // on this exact query before they were imposed:
+    //  1. multipliers must be LARGE (≈2^31) relative to P: small ones
+    //     (131..211) over dense integer keys quantize the low range
+    //     of the hash and the MINIMA of DISJOINT sets collide (est
+    //     1.0 on near-zero-Jaccard pairs at sf0.1);
+    //  2. the 16 slopes must be mutually UNRELATED: the linear family
+    //     a_i = (i+1)·A, b_i = (i+1)·B factors as
+    //     h_i(x) = (i+1)·h_1(x) mod P — sixteen scalar multiples of
+    //     ONE permutation, whose argmins co-move, so agreement
+    //     saturates at 0-or-16 (observed: est exactly 1.0 across
+    //     whole supplier cohorts). POWER constants a_i = A^(i+1),
+    //     b_i = B^(i+1) mod P give pairwise-unrelated affine maps.
+    import graft.OracleHash.{MulA, MulB}
+    val P = graft.OracleHash.P // 1000000007
+    val nHash = 16 // 8 bands x 2 rows
+    // a_i = MulA^(i+1) mod P (iterated product stays < 2^62)
+    val as = Iterator.iterate(MulA % P)(x => (x * MulA) % P)
+      .take(nHash).toSeq
+    val bs = Iterator.iterate(MulB % P)(x => (x * MulB) % P)
+      .take(nHash).toSeq
+    val mins = (0 until nHash).map { i =>
+      min(((col("part") % P) * as(i) + bs(i)) % P).as(s"s$i")
+    }
     val sig = e.groupBy(col("supp")).agg(mins.head, mins.tail: _*)
       .localCheckpoint(true)
-    // band hash: left fold of the band's 4 components, mod-reduced
-    // each step (collisions only ADD candidates; the estimate filter
-    // removes them — same contract as any LSH bucketing)
+    // band hash: fold of the band's 2 components, mod-reduced each
+    // step (collisions only ADD candidates; the estimate ranking
+    // demotes them — same contract as any LSH bucketing). 2-row
+    // bands keep the candidate probability J² per band, so the OR
+    // over 8 bands still surfaces pairs on sparse-overlap corpora
+    // where a 4-row band's J⁴ admits nothing.
     def bandHash(j: Int): org.apache.spark.sql.Column =
-      (4 * j until 4 * j + 4).map(i => col(s"s$i"))
+      (2 * j until 2 * j + 2).map(i => col(s"s$i"))
         .reduce((acc, s) => (acc * 31L + s) % P)
-    val buckets = (0 until 4).map(j => sig.select(lit(j).as("band"),
+    val buckets = (0 until 8).map(j => sig.select(lit(j).as("band"),
         bandHash(j).as("bh"), col("supp")))
       .reduce(_.unionByName(_))
     // a bucket holding > bucketCap suppliers is a degenerate
@@ -1287,9 +1315,12 @@ object Algorithms {
     val agree = (0 until nHash)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // every banding survivor is RANKED (no agreement floor): on a
+    // corpus with no truly-similar neighborhoods the top-k then
+    // self-describes its low resolution through the est column,
+    // instead of returning an arbitrary all-ties subset
     cand.join(sigA, Seq("supp_a")).join(sigB, Seq("supp_b"))
       .withColumn("agree", agree.cast("long"))
-      .filter(col("agree") >= minAgree)
       .select(col("supp_a"), col("supp_b"),
         (col("agree").cast("double") / nHash).as("est_jaccard"),
         col("agree"))
