@@ -223,6 +223,11 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.length <= 20)
     val ests = out.map(_.getDouble(2))
     assert(ests.sameElements(ests.sortBy(-_))) // descending
+    // NOTE the |est − exact| ≤ 0.5 bound below IS the regression pin
+    // for the R10 correlated-family bug: a factoring hash family
+    // saturates est at 1.0 on near-zero-Jaccard pairs, which that
+    // bound rejects at any SF where the defect can manifest (a
+    // legitimate est of 1.0 on a truly-similar pair passes).
     out.foreach { r =>
       assert(r.getLong(0) < r.getLong(1)) // canonical pair order
       assert(r.getLong(3) >= 4L && r.getLong(3) <= 16L)
