@@ -43,14 +43,33 @@ object Artifacts {
     * could touch them.
     */
   private val materializeLock = new Object
+  // ids claimed by NESTED windows on this thread (materializeLock is
+  // reentrant, so a materialize closure that triggers another cache's
+  // first build runs an inner window on the same thread; without this
+  // the inner build's ids would ALSO land in the outer diff, and a
+  // later eviction of the outer entry would release checkpoint blocks
+  // still owned by the inner cache's live entry — a permanently
+  // unrecomputable frame). Non-null only while a window is open.
+  private val innerClaimed =
+    new ThreadLocal[scala.collection.mutable.Set[Int]]
   def pinningTracked[T](spark: SparkSession)(materialize: => T): (T, Set[Int]) =
     materializeLock.synchronized {
       val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val out = materialize
-      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
-      ids.foreach(pinned.add(_))
-      (out, ids)
+      val enclosing = innerClaimed.get // non-null ⇒ we are nested
+      innerClaimed.set(scala.collection.mutable.Set.empty[Int])
+      try {
+        val before = sc.getPersistentRDDs.keySet
+        val out = materialize
+        val fromInner = innerClaimed.get
+        val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+          .filterNot(fromInner.contains)
+        ids.foreach(pinned.add(_))
+        if (enclosing != null) { // attribute our ids away from the
+          enclosing ++= ids // grandparent window too
+          enclosing ++= fromInner
+        }
+        (out, ids)
+      } finally innerClaimed.set(enclosing)
     }
 
   /** Unpins and unpersists a pinned-id set (cache eviction). After

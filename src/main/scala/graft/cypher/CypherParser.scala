@@ -564,7 +564,11 @@ object CypherParser {
           case (Some(l), false, _)      => (l, l)          // {2}
           case (Some(l), true, Some(h)) => (l, h)          // {1,3}
           case (Some(l), true, None)    => (l, MaxVarHops) // {2,}
-          case (None, true, Some(h))    => (1, h)          // {,3}
+          // {,m} means 0..m in GQL/Neo4j (zero-length paths included);
+          // rejecting it with the SAME error as the explicit {0,m}
+          // keeps the divergence from Neo4j loud in both spellings
+          // instead of silently clamping one of them to 1.
+          case (None, true, Some(_))    => (0, 0)          // {,3} → reject below
           case _ => throw new IllegalArgumentException(
             "empty path quantifier {}")
         }

@@ -1950,9 +1950,22 @@ object CypherPlanner {
     // collapses parallel edges for free on the (frontier-bounded)
     // stepped set. cost + min(w) ≡ min(cost + w): IEEE addition is
     // monotone in one operand, so the lazy collapse is value-exact.
+    // null weights (missing property, or a non-numeric value the cast
+    // nulls out) would propagate NULL __wcost through every relaxation
+    // touching the edge — the pair would surface with cost(p) = NULL
+    // and never improve, a SILENT poisoning unlike the loud
+    // missing-property failure. Guard inline with raise_error (same
+    // scan, no extra validation pass): any unweighable edge fails the
+    // job with a named cause the first time it is read.
+    val guardedW = {
+      val w = col(weightProp).cast("double")
+      when(w.isNotNull, w).otherwise(raise_error(lit(
+        s"weighted shortestPath: relationship property '$weightProp' is " +
+          "null or non-numeric on at least one relationship — every " +
+          "edge must carry a numeric weight")).cast("double"))
+    }
     val raw = rel
-      .select(col("__src"), col("__dst"),
-        col(weightProp).cast("double").as("__w"))
+      .select(col("__src"), col("__dst"), guardedW.as("__w"))
       .filter(col("__src") =!= col("__dst"))
     val e0 = (seed match {
       case Some(s) =>

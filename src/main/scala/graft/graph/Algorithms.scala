@@ -252,7 +252,10 @@ object Algorithms {
       .partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
     for (j <- 1 to rounds) {
       val best = sym
-        .filter(col("src") % 2 === lit(j % 2)) // the round's color class
+        // pmod, not %: Spark's % yields -1 for negative odd ids, which
+        // would match neither color class and freeze those vertices'
+        // labels on general (possibly negative-id) edge lists.
+        .filter(pmod(col("src"), lit(2)) === lit(j % 2))
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w))

@@ -54,6 +54,33 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(k1new != null)
   }
 
+  test("nested materialization windows attribute ids to the INNER window only") {
+    // materializeLock is reentrant on one thread, so a materialize
+    // closure that triggers another cache's first build opens a nested
+    // window. The outer window's diff must EXCLUDE the inner build's
+    // ids — otherwise evicting the outer entry would release checkpoint
+    // blocks still owned by the inner cache's live entry.
+    val inner = new Artifacts.Cache[String, org.apache.spark.sql.DataFrame]()
+    var innerIds = Set.empty[Int]
+    val (_, outerIds) = Artifacts.pinningTracked(spark) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      inner.getOrCompute("shared", spark)(checkpointed(7))
+      innerIds = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      checkpointed(8) // the outer window's own artifact
+    }
+    assert(innerIds.nonEmpty, "the inner build must have checkpointed")
+    assert(outerIds.nonEmpty, "the outer window must claim its own build")
+    assert((outerIds & innerIds).isEmpty,
+      "outer window must not claim the nested build's ids")
+    // releasing the outer entry leaves the inner artifact alive
+    Artifacts.release(spark, outerIds)
+    assert(innerIds.forall(Artifacts.isPinned),
+      "inner cache's blocks must stay pinned after the outer release")
+    val again = inner.getOrCompute("shared", spark)(
+      fail("inner entry must still be cached"))
+    assert(again.count() == 7, "inner artifact must still be readable")
+  }
+
   test("release unpins and unpersists; evicted victims leave no pinned ids behind") {
     val cache = new Artifacts.Cache[String, org.apache.spark.sql.DataFrame](maxEntries = 1)
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -71,13 +71,15 @@ class CypherParserSpec extends AnyFunSuite {
     assert(vl("-[:R]->{1,3}").contains((1, 3)))
     assert(vl("-[:R]->{2}").contains((2, 2)))
     assert(vl("-[:R]->{2,}").contains((2, CypherParser.MaxVarHops)))
-    assert(vl("-[:R]->{,3}").contains((1, 3)))
     assert(vl("<-[:R]-{1,2}").contains((1, 2)))
     assert(vl("-[:R]-{1,2}").contains((1, 2)))
-    // combining both spellings is rejected; so are {} and a 0 bound
+    // combining both spellings is rejected; so are {}, a 0 bound, and
+    // the implicit-0 spelling {,m} (GQL semantics are 0..m — both the
+    // explicit and implicit zero lower bound fail with the same error)
     intercept[IllegalArgumentException](vl("-[:R*1..2]->{1,3}"))
     intercept[IllegalArgumentException](vl("-[:R]->{}"))
     intercept[IllegalArgumentException](vl("-[:R]->{0,3}"))
+    intercept[IllegalArgumentException](vl("-[:R]->{,3}"))
   }
 
   test("parenthesized quantified path group maps onto the var-length range") {

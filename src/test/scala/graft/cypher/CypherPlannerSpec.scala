@@ -1428,6 +1428,38 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted shortestPath fails loudly on null/non-numeric weights") {
+    // a null weight would propagate NULL __wcost through every
+    // relaxation touching the edge — pairs silently surfacing with
+    // cost(p) = NULL. The inline raise_error guard makes it loud.
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("__id", "name")),
+      rels = Map("E" -> Seq(
+        (1L, 2L, Some(1.5)),
+        (2L, 3L, None) // the poisoned edge
+      ).toDF("__src", "__dst", "w")))
+    val e = intercept[Exception] {
+      CypherPlanner.run(spark, g,
+        "MATCH p = shortestPath((a:V)-[:E*1..3]->(b:V), 'w') " +
+          "RETURN a.name AS a, b.name AS b, cost(p) AS c").collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("numeric weight")),
+      s"expected the named null-weight error, got: ${e.getMessage}")
+    // an all-weighted graph over the same shape still answers
+    val ok = graft.graph.PropertyGraph(
+      nodes = g.nodes,
+      rels = Map("E" -> Seq((1L, 2L, 1.5), (2L, 3L, 2.0))
+        .toDF("__src", "__dst", "w")))
+    val rows = CypherPlanner.run(spark, ok,
+      "MATCH p = shortestPath((a:V)-[:E*1..3]->(b:V), 'w') " +
+        "WHERE a.name = 'a' AND b.name = 'c' RETURN cost(p) AS c").collect()
+    assert(rows.length == 1 && math.abs(rows(0).getDouble(0) - 3.5) < 1e-9)
+  }
+
   test("localdatetime/localtime/time: NTZ wall clock, epoch-anchored time-of-day") {
     val r = run(
       "MATCH (n:Nation) WHERE n.nationkey = 0 " +

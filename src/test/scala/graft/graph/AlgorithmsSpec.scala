@@ -165,6 +165,18 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L).map(lp).toSet.size == 1)
   }
 
+  test("async label propagation updates vertices with negative ids") {
+    // Spark's % yields -1 for negative odd ids: with `src % 2 === j%2`
+    // those vertices matched NEITHER color class and never updated.
+    // pmod puts every id in {0,1}, so both endpoints of an all-negative
+    // edge participate and the pair converges to one label.
+    val edge = edgeDf(Seq((-1L, -2L)))
+    val lp = Algorithms.labelPropagationAsync(edge, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.values.toSet.size == 1,
+      s"negative-id endpoints must converge to one label, got $lp")
+  }
+
   test("scc: cycles group, DAG tails are singletons, nested structure resolves") {
     // two 3-cycles bridged one-way (NOT one SCC), a tail into the
     // first cycle, and a pure chain hanging off the second
