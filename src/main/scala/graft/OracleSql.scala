@@ -10,7 +10,7 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * argument — so the driver's hash compare is exact, not approximate.
   */
 object OracleSql {
-  import OracleHash.{P, polySql, permSql}
+  import OracleHash.{P, polySql, permSql, permTableSql, permJoinedSql}
 
   /** Word-split shared with the ngram-jaccard oracle (proved
     * equivalent to Spark's `split(lower(trim(text)), "\\s+")`).
@@ -56,8 +56,8 @@ object OracleSql {
        |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
        |hb AS (SELECT doc_id, ${polySql("g")} AS h0 FROM ex),
        |perm AS (
-       |  SELECT doc_id, p, MIN(${permSql("p", "h0")}) AS sp
-       |  FROM hb CROSS JOIN (SELECT unnest(range(0, $numPerms)) AS p) pp
+       |  SELECT doc_id, p, MIN(${permJoinedSql("h0")}) AS sp
+       |  FROM hb CROSS JOIN ${permTableSql(numPerms)}
        |  GROUP BY doc_id, p),
        |sigl AS (SELECT doc_id, list(sp ORDER BY p) AS sig FROM perm GROUP BY doc_id),
        |banded AS (
@@ -157,10 +157,10 @@ object OracleSql {
        |  FROM documents),
        |t AS (SELECT doc_id, ${polySql("tok")} AS h0 FROM toks WHERE len(tok) > 0),
        |bs AS (
-       |  SELECT doc_id, b,
-       |    SUM(CASE WHEN ${permSql("b", "h0")} % 2 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM t CROSS JOIN (SELECT unnest(range(0, $bits)) AS b) bb
-       |  GROUP BY doc_id, b),
+       |  SELECT doc_id, p AS b,
+       |    SUM(CASE WHEN ${permJoinedSql("h0")} % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM t CROSS JOIN ${permTableSql(bits)}
+       |  GROUP BY doc_id, p),
        |sh AS (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
@@ -1469,7 +1469,7 @@ object OracleSql {
   def kmvSketch(k: Int = 256): String = {
     val scale = (k - 1).toDouble * P
     s"""WITH $TokenHashCtes,
-       |hp AS (SELECT DISTINCT ${permSql("0", "h")} AS hp FROM th),
+       |hp AS (SELECT DISTINCT ${permSql(0, "h")} AS hp FROM th),
        |km AS (SELECT hp FROM hp ORDER BY hp LIMIT $k),
        |sk AS (SELECT MAX(hp) AS kth_hash, COUNT(*) AS n_kept FROM km),
        |tru AS (SELECT COUNT(*) AS true_distinct FROM tg),
@@ -1502,7 +1502,7 @@ object OracleSql {
        |tg AS (SELECT DISTINCT tok, grpa FROM t WHERE len(tok) > 0),
        |hh AS (SELECT ${polySql("tok")} AS h, grpa FROM tg),
        |hp AS (
-       |  SELECT ${permSql("0", "h")} AS hp,
+       |  SELECT ${permSql(0, "h")} AS hp,
        |    MAX(CASE WHEN grpa THEN 1 ELSE 0 END) AS ina,
        |    MAX(CASE WHEN NOT grpa THEN 1 ELSE 0 END) AS inb
        |  FROM hh GROUP BY 1),
@@ -1536,7 +1536,7 @@ object OracleSql {
     */
   def hllSketch(m: Int = 128): String = {
     s"""WITH $TokenHashCtes,
-       |hp AS (SELECT ${permSql("0", "h")} AS hp FROM th),
+       |hp AS (SELECT ${permSql(0, "h")} AS hp FROM th),
        |r AS (SELECT hp % $m AS bucket, hp // $m AS v FROM hp),
        |rr AS (SELECT bucket,
        |         least(bit_count((v & (-v)) - 1) + 1, 24) AS rho FROM r),
@@ -1565,14 +1565,14 @@ object OracleSql {
   /** DuckDB twin of [[graft.operators.Sketches.cmsTopkOn]]. */
   def cmsTopk(depth: Int = 4, width: Int = 1024, topk: Int = 20): String = {
     s"""WITH $TokenHashCtes,
-       |ix AS (SELECT range AS i FROM range($depth)),
+       |ix AS (SELECT p AS i, pa, pb FROM ${permTableSql(depth)}),
        |cc AS (
-       |  SELECT i, ${permSql("i", "h")} % $width AS cell,
+       |  SELECT i, ${permJoinedSql("h")} % $width AS cell,
        |    CAST(SUM(cnt) AS BIGINT) AS ccnt
        |  FROM th CROSS JOIN ix GROUP BY 1, 2),
        |top AS (SELECT tok, h, cnt FROM th ORDER BY cnt DESC, tok LIMIT $topk),
        |tc AS (
-       |  SELECT tok, cnt, i, ${permSql("i", "h")} % $width AS cell
+       |  SELECT tok, cnt, i, ${permJoinedSql("h")} % $width AS cell
        |  FROM top CROSS JOIN ix)
        |SELECT tc.tok AS token, tc.cnt AS true_cnt, MIN(cc.ccnt) AS est_cnt
        |FROM tc JOIN cc USING (i, cell)
@@ -1606,7 +1606,7 @@ object OracleSql {
        |        WHERE len(tok) > 0 GROUP BY 1, 2),
        |vocab AS (SELECT DISTINCT tok FROM tdg),
        |vh AS (SELECT tok, ${polySql("tok")} AS h FROM vocab),
-       |vb AS (SELECT tok, ${permSql("0", "h")} % $dim AS bucket FROM vh),
+       |vb AS (SELECT tok, ${permSql(0, "h")} % $dim AS bucket FROM vh),
        |wt AS (SELECT CAST(j AS BIGINT) AS bucket,
        |         (($MulA*(j+7)+$MulB) % $P) % 201 - 100 AS wt
        |       FROM (SELECT unnest(range(0, $dim)) AS j)),
@@ -1650,7 +1650,22 @@ object OracleSql {
     * each mirroring the engine's round-12 / DECIMAL(38,12) term
     * accumulation exactly.
     */
-  def betweenness(maxDepth: Int = 4): String = {
+  def betweenness(maxDepth: Int = 4): String =
+    betweennessCtes(maxDepth) + """,
+       |bc AS (SELECT v AS id,
+       |    round(CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0
+       |      AS bc
+       |  FROM allv GROUP BY 1)
+       |SELECT c_custkey AS id, COALESCE(bc.bc, 0.0) + 0.0 AS bc
+       |FROM customer LEFT JOIN bc ON c_custkey = bc.id
+       |ORDER BY id""".stripMargin
+
+  /** The shared Brandes CTE chain (skip-link DAG, landmark σ BFS,
+    * backward dependency levels) ending at `allv(lm, v, delta)` —
+    * one definition behind [[betweenness]] and [[centralityTuning]]
+    * so the two cannot drift.
+    */
+  private def betweennessCtes(maxDepth: Int): String = {
     val back = new StringBuilder
     var prev = s"dl$maxDepth"
     for (l <- (maxDepth - 1) to 1 by -1) {
@@ -1696,15 +1711,43 @@ object OracleSql {
        |  WHERE dd = md),
        |dl$maxDepth AS (SELECT lm, v, sigma, 0.0 AS delta FROM sg
        |  WHERE dist = $maxDepth)$back,
-       |allv AS (
-       |  $unions),
-       |bc AS (SELECT v AS id,
-       |    round(CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0
-       |      AS bc
-       |  FROM allv GROUP BY 1)
-       |SELECT c_custkey AS id, COALESCE(bc.bc, 0.0) + 0.0 AS bc
-       |FROM customer LEFT JOIN bc ON c_custkey = bc.id
-       |ORDER BY id""".stripMargin
+       |allv AS MATERIALIZED (
+       |  $unions)""".stripMargin
+  }
+
+  /** DuckDB twin of
+    * [[graft.graph.Algorithms.centralityTuningQuery]]: the shared
+    * Brandes chain, landmark-prefix re-aggregation per grid k,
+    * top-`topN` overlap against the full-set reference.
+    */
+  def centralityTuning(maxDepth: Int = 4, ks: Seq[Int] = Seq(5, 10, 25, 50),
+      topN: Int = 20): String = {
+    val kMax = ks.max
+    betweennessCtes(maxDepth) + s""",
+       |lmr AS (SELECT lm, row_number() OVER (ORDER BY lm) AS r
+       |        FROM (SELECT DISTINCT lm FROM allv)),
+       |grid AS (SELECT unnest([${ks.mkString(", ")}]) AS k),
+       |bck AS MATERIALIZED (
+       |  SELECT g.k, a.v AS id,
+       |    round(CAST(SUM(CAST(a.delta AS DECIMAL(38,12))) AS DOUBLE), 6)
+       |      + 0.0 AS bc,
+       |    COUNT(*) AS np
+       |  FROM allv a JOIN lmr ON a.lm = lmr.lm CROSS JOIN grid g
+       |  WHERE lmr.r <= g.k GROUP BY 1, 2),
+       |t AS MATERIALIZED (
+       |  SELECT k, id FROM (
+       |    SELECT k, id, row_number() OVER (
+       |      PARTITION BY k ORDER BY bc DESC, id) AS rnk FROM bck)
+       |  WHERE rnk <= $topN),
+       |ref AS (SELECT id FROM t WHERE k = $kMax),
+       |np AS (SELECT k, CAST(SUM(np) AS BIGINT) AS n_pairs FROM bck GROUP BY 1),
+       |ov AS (
+       |  SELECT t.k, CAST(COUNT(ref.id) AS BIGINT) AS overlap
+       |  FROM t LEFT JOIN ref ON t.id = ref.id GROUP BY 1)
+       |SELECT CAST(ov.k AS BIGINT) AS n_landmarks, np.n_pairs,
+       |  ov.overlap AS top${topN}_overlap,
+       |  round(CAST(ov.overlap AS DOUBLE) / $topN, 6) + 0.0 AS agreement
+       |FROM ov JOIN np USING (k) ORDER BY n_landmarks""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.Similarity.pcaPower]] — the
@@ -1866,7 +1909,7 @@ object OracleSql {
        |t2 AS (SELECT doc_id, lang, tok FROM td WHERE len(tok) > 0),
        |vocab AS (SELECT DISTINCT tok FROM t2),
        |vh AS (SELECT tok, ${polySql("tok")} AS h FROM vocab),
-       |vb AS (SELECT tok, ${permSql("0", "h")} % $dim AS bucket FROM vh),
+       |vb AS (SELECT tok, ${permSql(0, "h")} % $dim AS bucket FROM vh),
        |occ AS (SELECT doc_id, lang, bucket FROM t2 JOIN vb USING (tok)),
        |rc AS (SELECT bucket, COUNT(*) AS cnt_r FROM occ GROUP BY 1),
        |tc AS (SELECT bucket, COUNT(*) AS cnt_t FROM occ

@@ -28,6 +28,7 @@ object SparkEntry {
     "cypher_var_expand"     -> (cypher.CypherQueries.varExpand(_, _)),
     "cypher_quantified_path" -> (cypher.CypherQueries.quantifiedPath(_, _)),
     "cypher_qpp_group"      -> (cypher.CypherQueries.qppGroup(_, _)),
+    "cypher_qpp_groupvar"   -> (cypher.CypherQueries.qppGroupVars(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "graph_allshortest_weighted" -> (graph.Algorithms.waspQuery(_, _)),
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
     "graph_betweenness"     -> (graph.Algorithms.betweennessQuery(_, _)),
+    "graph_centrality_tuning" -> (graph.Algorithms.centralityTuningQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
     "graph_neighbor_sim_approx" -> (graph.Algorithms.neighborSimApproxQuery(_, _)),
     "graph_scc"             -> (graph.Algorithms.sccQuery(_, _)),
@@ -365,6 +367,7 @@ object SparkEntry {
     "graph_sssp_weighted" -> OracleSql.ssspWeighted(),
     "graph_allshortest_weighted" -> OracleSql.wasp(),
     "graph_betweenness"   -> OracleSql.betweenness(),
+    "graph_centrality_tuning" -> OracleSql.centralityTuning(),
     "graph_closeness" ->
       """WITH RECURSIVE nb AS (
         |  SELECT c_custkey AS src,
@@ -839,20 +842,22 @@ object SparkEntry {
         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |         generate_subscripts(embedding, 1) - 1 AS d
         |  FROM embeddings),
-        |codes AS (
-        |  SELECT vec_id,
-        |    CAST(SUM(CASE WHEN x >= 0 AND d < 32
-        |      THEN (1::BIGINT << d) ELSE 0 END) AS BIGINT) AS w0,
-        |    CAST(SUM(CASE WHEN x >= 0 AND d >= 32 AND d < 64
-        |      THEN (1::BIGINT << (d - 32)) ELSE 0 END) AS BIGINT) AS w1
-        |  FROM e2 GROUP BY vec_id),
-        |cq AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM codes
+        |wd AS (
+        |  SELECT vec_id, d // 32 AS wi,
+        |    CAST(SUM(CASE WHEN x >= 0
+        |      THEN (1::BIGINT << (d % 32)) ELSE 0 END) AS BIGINT) AS w
+        |  FROM e2 GROUP BY 1, 2),
+        |codes AS (SELECT vec_id, list(w ORDER BY wi) AS words
+        |          FROM wd GROUP BY vec_id),
+        |cq AS (SELECT vec_id AS q_id, words AS q_words FROM codes
         |       WHERE vec_id < 5),
-        |cd AS (SELECT vec_id, w0, w1 FROM codes WHERE vec_id >= 5),
+        |cd AS (SELECT vec_id, words FROM codes WHERE vec_id >= 5),
         |h AS (
         |  SELECT cq.q_id, cd.vec_id,
-        |    CAST(bit_count(xor(cd.w0, cq.q0)) AS BIGINT)
-        |      + CAST(bit_count(xor(cd.w1, cq.q1)) AS BIGINT) AS hamming,
+        |    list_reduce(list_transform(range(1, len(cd.words) + 1),
+        |      i -> CAST(bit_count(xor(cd.words[CAST(i AS INT)],
+        |                              cq.q_words[CAST(i AS INT)])) AS BIGINT)),
+        |      (a, b) -> a + b) AS hamming,
         |    CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ex
         |  FROM cd CROSS JOIN cq
         |  LEFT JOIN exact e ON e.q_id = cq.q_id AND e.vec_id = cd.vec_id)
@@ -870,20 +875,22 @@ object SparkEntry {
         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |         generate_subscripts(embedding, 1) - 1 AS d
         |  FROM embeddings),
-        |codes AS (
-        |  SELECT vec_id,
-        |    CAST(SUM(CASE WHEN x >= 0 AND d < 32
-        |      THEN (1::BIGINT << d) ELSE 0 END) AS BIGINT) AS w0,
-        |    CAST(SUM(CASE WHEN x >= 0 AND d >= 32 AND d < 64
-        |      THEN (1::BIGINT << (d - 32)) ELSE 0 END) AS BIGINT) AS w1
-        |  FROM e GROUP BY vec_id),
-        |q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM codes
+        |wd AS (
+        |  SELECT vec_id, d // 32 AS wi,
+        |    CAST(SUM(CASE WHEN x >= 0
+        |      THEN (1::BIGINT << (d % 32)) ELSE 0 END) AS BIGINT) AS w
+        |  FROM e GROUP BY 1, 2),
+        |codes AS (SELECT vec_id, list(w ORDER BY wi) AS words
+        |          FROM wd GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, words AS q_words FROM codes
         |      WHERE vec_id < 5),
-        |c AS (SELECT vec_id, w0, w1 FROM codes WHERE vec_id >= 5),
+        |c AS (SELECT vec_id, words FROM codes WHERE vec_id >= 5),
         |h AS (
         |  SELECT q.q_id, c.vec_id,
-        |    CAST(bit_count(xor(c.w0, q.q0)) AS BIGINT)
-        |      + CAST(bit_count(xor(c.w1, q.q1)) AS BIGINT) AS hamming
+        |    list_reduce(list_transform(range(1, len(c.words) + 1),
+        |      i -> CAST(bit_count(xor(c.words[CAST(i AS INT)],
+        |                              q.q_words[CAST(i AS INT)])) AS BIGINT)),
+        |      (a, b) -> a + b) AS hamming
         |  FROM c CROSS JOIN q)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, hamming FROM (
         |  SELECT *, row_number() OVER (
@@ -1839,11 +1846,11 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "pipeline_shuffle" ->
-      """WITH k AS (
+      s"""WITH k AS (
         |  SELECT doc_id,
-        |    (308871487 * (doc_id % 1000000007) + 532979792)
+        |    (${graft.OracleHash.a(1)} * (doc_id % 1000000007) + ${graft.OracleHash.b(1)})
         |      % 1000000007 AS k1,
-        |    (963307234 * (doc_id % 1000000007) + 799469688)
+        |    (${graft.OracleHash.a(2)} * (doc_id % 1000000007) + ${graft.OracleHash.b(2)})
         |      % 1000000007 AS k2
         |  FROM documents),
         |s AS (SELECT doc_id, k1, k2,
@@ -2893,6 +2900,29 @@ object SparkEntry {
         |FROM p JOIN nation na ON p.src = na.n_nationkey
         |JOIN nation nb ON p.dst = nb.n_nationkey
         |ORDER BY a_name, b_name""".stripMargin,
+    "cypher_qpp_groupvar" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p2 AS (SELECT a.src AS s, a.dst AS m1, b.dst AS t
+        |       FROM e2 a JOIN e2 b ON a.dst = b.src),
+        |p3 AS (SELECT a.src AS s, a.dst AS m1, b.dst AS m2, c.dst AS t
+        |       FROM e2 a JOIN e2 b ON a.dst = b.src
+        |       JOIN e2 c ON b.dst = c.src),
+        |rws AS (
+        |  SELECT s, t, 2 AS n_steps, m1 AS step FROM p2
+        |  UNION ALL SELECT s, t, 2, t FROM p2
+        |  UNION ALL SELECT s, t, 3, m1 FROM p3
+        |  UNION ALL SELECT s, t, 3, m2 FROM p3
+        |  UNION ALL SELECT s, t, 3, t FROM p3)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(n_steps AS BIGINT) AS n_steps,
+        |  CAST(3000000000 + step AS BIGINT) AS step_node
+        |FROM rws JOIN nation ns ON rws.s = ns.n_nationkey
+        |JOIN nation nt ON rws.t = nt.n_nationkey
+        |ORDER BY s_name, t_name, n_steps, step_node""".stripMargin,
     "graph_component_sizes" ->
       """WITH nodes AS (
         |  SELECT 2000000000 + c_custkey AS id, n_regionkey AS rk

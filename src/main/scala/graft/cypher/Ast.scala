@@ -151,7 +151,14 @@ object Ast {
       direction: Direction,
       varLength: Option[(Int, Int)],
       props: Map[String, Any] = Map.empty,
-      altTypes: Seq[String] = Nil)
+      altTypes: Seq[String] = Nil,
+      /** GQL group variables of a quantified path group
+        * `((a)-[:T]->(b)){n,m}`: the inner source/target node names,
+        * each binding a PER-STEP node-id list over the group's k
+        * repetitions (a = pattern-order nodes minus the last, b =
+        * minus the first). None for every other relationship shape.
+        */
+      groupNodes: Option[(Option[String], Option[String])] = None)
 
   /** A linear pattern chain: start node then (rel, node) hops.
     * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for

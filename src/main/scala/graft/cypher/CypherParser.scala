@@ -512,12 +512,14 @@ object CypherParser {
       atSym("(") && pos + 1 < toks.length && toks(pos + 1) == TSym("(")
 
     /** Parenthesized quantified path pattern — the full GQL form
-      * `(s) (()-[:T]->()){n,m} (t)`: the group's single hop repeats
+      * `(s) ((a)-[:T]->(b)){n,m} (t)`: the group's single hop repeats
       * n..m times between the juncture nodes, exactly the `*n..m`
-      * plan. Inner variables would be GQL group variables (per-step
-      * lists); inner labels/props would constrain EVERY step — both
-      * are beyond the var-expand plan, so they are rejected loudly
-      * rather than silently dropped.
+      * plan. Named inner nodes are GQL GROUP VARIABLES — each binds a
+      * per-step node list over the group's repetitions (derived from
+      * the var-expand walk the plan already carries). Inner
+      * labels/props would constrain EVERY step — beyond the
+      * var-expand plan, so they stay rejected loudly rather than
+      * silently dropped.
       */
     private def quantifiedGroupRel(): RelPattern = {
       eatSym("(")
@@ -531,14 +533,15 @@ object CypherParser {
       require(rel.varLength.isEmpty,
         "cannot quantify an already var-length relationship")
       for (n <- Seq(inner.start, endNode)) {
-        require(n.variable.isEmpty,
-          "named inner nodes of a quantified path group are not supported " +
-            "(GQL group variables bind per-step lists)")
         require(n.label.isEmpty && n.props.isEmpty && n.moreLabels.isEmpty,
           "labels/properties on inner nodes of a quantified path group " +
             "are not supported (they would constrain every step)")
       }
-      rel.copy(varLength = Some(q))
+      val groupVars = (inner.start.variable, endNode.variable) match {
+        case (None, None) => None
+        case gv            => Some(gv)
+      }
+      rel.copy(varLength = Some(q), groupNodes = groupVars)
     }
 
     /** The `{n,m}` / `{n}` / `{n,}` / `{,m}` quantifier body; None

@@ -262,7 +262,14 @@ object CypherPlanner {
           if (s.df != null && s.tiny && !sharesVar) broadcast(s.df) else s.df
         val (cdf, cvars) = planChain(graph, chain, s.nodeVars, prevDf,
           needs = Some(needs))
-        s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars, tiny = false)
+        // GQL group variables surface as LIST-valued scalar bindings
+        // (UNWIND/size/indexing consume them like any WITH-bound list)
+        val gvars = chain.hops.flatMap { case (r, _) =>
+          r.groupNodes.toSeq.flatMap { case (a, b) => a.toSeq ++ b.toSeq }
+        }.toSet
+        s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars,
+          scalars = s.scalars ++ gvars, lists = s.lists ++ gvars,
+          tiny = false)
 
       case MatchClause(chain, true, where) =>
         val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
@@ -1633,7 +1640,8 @@ object CypherPlanner {
       // (the BFS keeps pair×depth only), so nodes(p) on a shortest
       // chain stays unbound and fails loudly at resolution.
       val hopNidCols =
-        if (chain.pathVar.isDefined && !chain.shortest &&
+        if ((chain.pathVar.isDefined || rel.groupNodes.isDefined) &&
+            !chain.shortest &&
             rel.varLength.isDefined && expanded.columns.contains("__nids"))
           Seq(col("__nids").as("__r_nids"))
         else Seq.empty
@@ -1721,6 +1729,33 @@ object CypherPlanner {
         df = df.join(ndf, col(joinKeyNext) === col(s"${nv}__id"))
         bound += nv
         df = df.drop("__r_src", "__r_dst")
+      }
+      // GQL group variables — the quantified group's inner node names
+      // bind PER-STEP node-id lists, derived from the walk the
+      // var-expand already carries: pattern-order nodes are
+      // [src, x1, …, dst] over k steps, so the inner-source list is
+      // everything but the last and the inner-target list everything
+      // but the first (= the walk suffix `__r_nids` itself, reversed
+      // into pattern order for In hops like the nodes(p) path below).
+      rel.groupNodes.foreach { case (aName, bName) =>
+        require(!chain.shortest && !chain.allShortest,
+          "group variables are not supported inside shortestPath " +
+            "(the BFS keeps pair×depth, not walks)")
+        (aName.toSeq ++ bName.toSeq).foreach(n =>
+          require(!df.columns.contains(n),
+            s"group variable '$n' collides with an existing binding"))
+        val walk =
+          if (rel.direction == In)
+            reverse(concat(array(col(s"${nv}__id")),
+              slice(col("__r_nids"), lit(1),
+                greatest(size(col("__r_nids")) - 1, lit(0)))))
+          else col("__r_nids")
+        bName.foreach(b => df = df.withColumn(b, walk))
+        aName.foreach(a => df = df.withColumn(a,
+          concat(array(col(s"${cur}__id")),
+            slice(walk, lit(1), greatest(size(walk) - 1, lit(0))))))
+        if (chain.pathVar.isEmpty || chain.shortest)
+          df = df.drop("__r_nids")
       }
       // `nodes(p)` accumulation — after the endpoint is bound so
       // `${nv}__id` resolves in every binding shape. A var-length hop

@@ -90,6 +90,22 @@ object CypherQueries {
         |RETURN a.name AS a_name, b.name AS b_name
         |ORDER BY a_name, b_name""".stripMargin)
 
+  /** GQL GROUP VARIABLES — named inner nodes of a quantified path
+    * group bind per-step node-id LISTS over the group's repetitions:
+    * for `(s) ((a)-[:T]->(b)){2,3} (t)`, `a` is the step-source list
+    * and `b` the step-target list (b's last element is t's id). The
+    * query consumes both through the list surface — `size()` for the
+    * step count and UNWIND for the per-step rows — the round-11 ask
+    * that replaces the former loud parse-time reject.
+    */
+  def qppGroupVars(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (s:Nation) ((a)-[:NEXT_IN_REGION]->(b)){2,3} (t:Nation)
+        |UNWIND b AS step_node
+        |RETURN s.name AS s_name, t.name AS t_name, size(a) AS n_steps,
+        |  step_node
+        |ORDER BY s_name, t_name, n_steps, step_node""".stripMargin)
+
   def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (c:Customer)

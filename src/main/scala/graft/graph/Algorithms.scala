@@ -1273,14 +1273,13 @@ object Algorithms {
     //     saturates at 0-or-16 (observed: est exactly 1.0 across
     //     whole supplier cohorts). POWER constants a_i = A^(i+1),
     //     b_i = B^(i+1) mod P give pairwise-unrelated affine maps.
-    import graft.OracleHash.{MulA, MulB}
     val P = graft.OracleHash.P // 1000000007
     val nHash = 16 // 8 bands x 2 rows
-    // a_i = MulA^(i+1) mod P (iterated product stays < 2^62)
-    val as = Iterator.iterate(MulA % P)(x => (x * MulA) % P)
-      .take(nHash).toSeq
-    val bs = Iterator.iterate(MulB % P)(x => (x * MulB) % P)
-      .take(nHash).toSeq
+    // a_i = MulA^(i+1) mod P — since R11 this IS OracleHash.a/b (the
+    // document-side family adopted this query's power-constant fix),
+    // so the one shared definition serves both MinHash twins
+    val as = (0 until nHash).map(graft.OracleHash.a)
+    val bs = (0 until nHash).map(graft.OracleHash.b)
     val mins = (0 until nHash).map { i =>
       min(((col("part") % P) * as(i) + bs(i)) % P).as(s"s$i")
     }
@@ -1705,6 +1704,24 @@ object Algorithms {
   def betweennessQuery(spark: SparkSession, sfDir: String,
       maxDepth: Int = 4): DataFrame = {
     val c = graft.Tables.customer(spark, sfDir)
+    val perNode = betweennessDeltas(spark, sfDir, maxDepth)
+      .groupBy(col("id"))
+      .agg((round(sum(col("delta").cast("decimal(38,12)")).cast("double"), 6)
+        + lit(0.0)).as("bc"))
+    c.select(col("c_custkey").as("id"))
+      .join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), (coalesce(col("bc"), lit(0.0)) + lit(0.0)).as("bc"))
+      .orderBy(col("id"))
+  }
+
+  /** The per-(landmark, node) dependency frame `(lm, id, delta)`
+    * behind [[betweennessQuery]] — one full Brandes pass over ALL
+    * landmarks; consumers aggregate (the full query sums every lm,
+    * [[centralityTuningQuery]] re-aggregates prefix subsets from the
+    * SAME pass, the hammingTuning zero-extra-pass discipline).
+    */
+  private[graft] def betweennessDeltas(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 4): DataFrame = {
     val (edges, landmarks) = skipLinkGraph(spark, sfDir)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
@@ -1751,15 +1768,63 @@ object Algorithms {
         .localCheckpoint(true)
       acc += withDelta.select(col("lm"), col("id"), col("dist"), col("delta"))
     }
-    val perNode = acc.result().reduce(_.unionByName(_))
+    acc.result().reduce(_.unionByName(_))
       .filter(col("dist") >= 1)
-      .groupBy(col("id"))
-      .agg((round(sum(col("delta").cast("decimal(38,12)")).cast("double"), 6)
-        + lit(0.0)).as("bc"))
-    c.select(col("c_custkey").as("id"))
-      .join(perNode, Seq("id"), "left_outer")
-      .select(col("id"), (coalesce(col("bc"), lit(0.0)) + lit(0.0)).as("bc"))
-      .orderBy(col("id"))
+      .select(col("lm"), col("id"), col("delta"))
+  }
+
+  /** Landmark-count tuning curve for sampled betweenness (SparkEntry
+    * `graph_centrality_tuning`) — the dial the ANN family already
+    * has: per landmark budget k (prefix of the landmark set ordered
+    * by lm id), how well does the k-landmark estimate's top-`topN`
+    * agree with the FULL landmark set's top-`topN`? One Brandes pass
+    * over all landmarks feeds every grid cell (the k-subsets are
+    * re-aggregations of the same (lm, id, delta) frame — zero extra
+    * BFS/backward passes, the [[graft.operators.Similarity]]
+    * hammingTuning discipline); overlap@topN is an integer
+    * rank-agreement measure, deterministic across engines (ties by
+    * id). n_pairs is the k-subset's (lm, id) state volume — the cost
+    * axis of the curve.
+    */
+  def centralityTuningQuery(spark: SparkSession, sfDir: String,
+      maxDepth: Int = 4, ks: Seq[Int] = Seq(5, 10, 25, 50),
+      topN: Int = 20): DataFrame = {
+    val deltas = betweennessDeltas(spark, sfDir, maxDepth)
+      .localCheckpoint(true)
+    val lmRank = deltas.select(col("lm")).distinct()
+      .select(col("lm"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("lm"))).as("r"))
+    val ranked = deltas.join(broadcast(lmRank), Seq("lm"))
+    val byK = ks.map { k =>
+      ranked.filter(col("r") <= k)
+        .groupBy(col("id"))
+        .agg((round(sum(col("delta").cast("decimal(38,12)"))
+          .cast("double"), 6) + lit(0.0)).as("bc"),
+          count(lit(1)).as("np"))
+        .select(lit(k).as("k"), col("id"), col("bc"), col("np"))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("bc").desc, col("id"))
+    val tops = byK
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .localCheckpoint(true)
+    val kMax = ks.max
+    val ref = tops.filter(col("k") === kMax)
+      .select(col("id"), lit(1L).as("in_ref"))
+    val pairs = byK.groupBy(col("k"))
+      .agg(sum(col("np")).as("n_pairs"))
+    tops.join(broadcast(ref), Seq("id"), "left_outer")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("in_ref")), lit(0L)).as("overlap"))
+      .join(pairs, Seq("k"))
+      .select(col("k").cast("long").as("n_landmarks"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("overlap").cast("long").as(s"top${topN}_overlap"),
+        (round(col("overlap").cast("double") / topN, 6) + lit(0.0))
+          .as("agreement"))
+      .orderBy(col("n_landmarks"))
   }
 
   /** Directed min-label propagation to fixpoint over `edges`

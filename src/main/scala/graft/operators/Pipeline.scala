@@ -482,7 +482,7 @@ object Pipeline {
           .flatMap { case (id, t) =>
             Sketches.tokenPolysJvm(t).map { case (_, h) => (id, h) }
           }.toDF("doc_id", "h")
-    occ.withColumn("bucket", Sketches.perm(lit(0), col("h")) % dim).drop("h")
+    occ.withColumn("bucket", Sketches.perm(0, col("h")) % dim).drop("h")
   }
 
   /** The trained DSIR artifact: per-bucket 6-dp target-vs-raw

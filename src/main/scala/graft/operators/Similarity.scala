@@ -1024,36 +1024,52 @@ object Similarity {
     * longs; per-query top-k via the recall-eval window.
     */
   /** Sign-bit packing shared by [[hammingTopk]] and [[hammingTuning]]
-    * (and mirrored verbatim by both DuckDB oracles): dims 0–31 →
-    * bits of `w0`, dims 32–63 → bits of `w1`, each an in-row
-    * aggregate fold — the two spellings MUST stay bit-identical, so
-    * there is exactly one.
+    * (and mirrored by both DuckDB oracles): ⌈dims/32⌉ packed BIGINT
+    * words as one `array<bigint>` column — word `wi` holds dims
+    * [wi·32, wi·32+32), bit `d mod 32` set when dim d's value ≥ 0.
+    * An in-row fold, zero exchanges at ANY dimensionality (the R10
+    * two-word form capped dims at 64; real embedding dims are
+    * 256–1024). A short final slice zero-fills via the null guard.
     */
-  private def signCodes(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def signCodesOn(emb: DataFrame): DataFrame = {
     val pack =
-      "aggregate(zip_with(cast(embedding as array<double>), " +
-        "sequence(0, size(embedding) - 1), " +
-        "(x, d) -> case when x >= 0.0 and %s then shiftleft(1L, %s) " +
-        "else 0L end), 0L, (a, b) -> a + b)"
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        expr(pack.format("d < 32", "d")).as("w0"),
-        expr(pack.format("d >= 32 and d < 64", "d - 32")).as("w1"))
+      "transform(sequence(0, (size(embedding) + 31) div 32 - 1), wi -> " +
+        "aggregate(zip_with(" +
+        "slice(cast(embedding as array<double>), wi * 32 + 1, 32), " +
+        "sequence(0, 31), " +
+        "(x, d) -> case when x is not null and x >= cast(0 as double) " +
+        "then shiftleft(1L, d) else 0L end), 0L, (a, b) -> a + b))"
+    emb.select(col("vec_id"), expr(pack).as("words"))
   }
 
+  private def signCodes(spark: SparkSession, sfDir: String): DataFrame =
+    signCodesOn(Tables.embeddings(spark, sfDir))
+
+  /** Packed-word Hamming distance between two equal-length word-array
+    * columns: per-word XOR + popcount, summed in-row. The
+    * instruction-level kernel of every billion-vector binary index,
+    * spelled over `zip_with`/`aggregate` so it rides whole-stage
+    * codegen.
+    */
+  private def hammingExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, " +
+      "(x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (s, v) -> s + v)")
+
   def hammingTopk(spark: SparkSession, sfDir: String, k: Int = 10)
-      : DataFrame = {
-    val codes = signCodes(spark, sfDir)
+      : DataFrame =
+    hammingTopkOn(signCodes(spark, sfDir), k)
+
+  /** [[hammingTopk]] over a precomputed [[signCodesOn]] frame (spec
+    * seam for non-testdata dimensionalities, e.g. dims = 128).
+    */
+  private[graft] def hammingTopkOn(codes: DataFrame, k: Int): DataFrame = {
     val queries = codes.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"),
-        col("w0").as("q0"), col("w1").as("q1"))
+      .select(col("vec_id").as("q_id"), col("words").as("q_words"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("vec_id"))
     codes.filter(col("vec_id") >= 5)
       .crossJoin(broadcast(queries))
-      .withColumn("hamming",
-        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
-          bit_count(col("w1").bitwiseXOR(col("q1")))).cast("long"))
+      .withColumn("hamming", hammingExpr("words", "q_words"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
@@ -1080,14 +1096,11 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), lit(1L).as("ex"))
     val codes = signCodes(spark, sfDir)
     val queries = codes.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"),
-        col("w0").as("q0"), col("w1").as("q1"))
+      .select(col("vec_id").as("q_id"), col("words").as("q_words"))
     val nQ = 5
     val scored = codes.filter(col("vec_id") >= 5)
       .crossJoin(broadcast(queries))
-      .withColumn("hamming",
-        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
-          bit_count(col("w1").bitwiseXOR(col("q1")))).cast("long"))
+      .withColumn("hamming", hammingExpr("words", "q_words"))
       .join(broadcast(exact), Seq("q_id", "vec_id"), "left_outer")
     val cells = radii.flatMap(r => Seq(
       sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"c$r"),

@@ -62,11 +62,20 @@ object Sketches {
   }
 
   /** Permutation `i` of hash column `h` as pure column arithmetic —
-    * every intermediate < 2^62 (see [[graft.OracleHash]]), so BIGINT
-    * math is exact on both engines.
+    * the [[graft.OracleHash.a]]/[[graft.OracleHash.b]] power constants
+    * inlined as literals (constants < P, h < P ⇒ every intermediate
+    * < P² < 2^60), so BIGINT math is exact on both engines.
     */
-  private[graft] def perm(i: Column, h: Column): Column =
-    (((lit(MulA) * (i + 1)) % P) * h + (lit(MulB) * (i + 1)) % P) % P
+  private[graft] def perm(i: Int, h: Column): Column =
+    (lit(OracleHash.a(i)) * h + lit(OracleHash.b(i))) % P
+
+  /** All `depth` permutation constants as one literal array of
+    * `(i, pa, pb)` structs — explode it to permute by a COLUMN index
+    * without recomputing powers per row (the CMS depth loop).
+    */
+  private[graft] def permStructs(depth: Int): Column =
+    array((0 until depth).map(i => struct(lit(i).as("i"),
+      lit(OracleHash.a(i)).as("pa"), lit(OracleHash.b(i)).as("pb"))): _*)
 
   /** (bucket, rho) HLL register observations of a permuted-hash
     * column `hp` — bucket = hp mod m, rho = trailing-zeros(hp div m)
@@ -108,7 +117,7 @@ object Sketches {
   /** [[kmvDistinct]] over an arbitrary documents-shaped frame. */
   def kmvDistinctOn(docs: DataFrame, k: Int = 256): DataFrame = {
     val th = tokenHashes(docs)
-    val kmin = th.select(perm(lit(0), col("h")).as("hp"))
+    val kmin = th.select(perm(0, col("h")).as("hp"))
       .distinct()
       .orderBy(col("hp"))
       .limit(k)
@@ -147,7 +156,7 @@ object Sketches {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
     val spark = docs.sparkSession
     val th = tokenHashes(docs)
-    val (bucket, rho) = hllObservations(perm(lit(0), col("h")), m)
+    val (bucket, rho) = hllObservations(perm(0, col("h")), m)
     val regs = th.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("m_j"))
     val full = spark.range(m).toDF("bucket")
@@ -181,19 +190,20 @@ object Sketches {
       topk: Int = 20): DataFrame = {
     val tc = tokenHashes(docs)
       .groupBy(col("token"), col("h")).agg(count(lit(1)).as("cnt"))
-    // sketch cells: d·w bounded groups, partial-summed map-side
+    // sketch cells: d·w bounded groups, partial-summed map-side; the
+    // depth loop explodes a LITERAL (i, pa, pb) array so the power
+    // constants ride the plan instead of being recomputed per row
+    val pc = (col("pp.pa") * col("h") + col("pp.pb")) % P
     val cells = tc
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"),
-        col("h"), col("cnt"))
-      .select(col("i"), (perm(col("i"), col("h")) % width).as("cell"),
-        col("cnt"))
+      .select(explode(permStructs(depth)).as("pp"), col("h"), col("cnt"))
+      .select(col("pp.i").as("i"), (pc % width).as("cell"), col("cnt"))
       .groupBy(col("i"), col("cell")).agg(sum(col("cnt")).as("ccnt"))
     val top = tc.orderBy(col("cnt").desc, col("token")).limit(topk)
     top
       .select(col("token"), col("cnt"),
-        explode(sequence(lit(0), lit(depth - 1))).as("i"), col("h"))
-      .select(col("token"), col("cnt"), col("i"),
-        (perm(col("i"), col("h")) % width).as("cell"))
+        explode(permStructs(depth)).as("pp"), col("h"))
+      .select(col("token"), col("cnt"), col("pp.i").as("i"),
+        (pc % width).as("cell"))
       .join(cells, Seq("i", "cell"))
       .groupBy(col("token"), col("cnt"))
       .agg(min(col("ccnt")).as("est_cnt"))
@@ -227,7 +237,7 @@ object Sketches {
         tokenPolysJvm(t).iterator.map { case (_, h) => (h, g) }
       }.toDF("h", "grpA")
     val hp = th
-      .select(perm(lit(0), col("h")).as("hp"), col("grpA"))
+      .select(perm(0, col("h")).as("hp"), col("grpA"))
       .groupBy(col("hp"))
       .agg(max(when(col("grpA"), 1L).otherwise(0L)).as("inA"),
         max(when(!col("grpA"), 1L).otherwise(0L)).as("inB"))

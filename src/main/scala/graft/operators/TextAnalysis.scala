@@ -770,7 +770,7 @@ object TextAnalysis {
       .flatMap { case (id, t) =>
         Sketches.tokenPolysJvm(t).map { case (_, h) => (id, h) }
       }.toDF("doc_id", "h")
-    val bucket = (Sketches.perm(lit(0), col("h")) % dim).as("bucket")
+    val bucket = (Sketches.perm(0, col("h")) % dim).as("bucket")
     val weights = spark.range(dim.toLong)
       .select(col("id").as("bucket"),
         (((lit(MulA) * (col("id") + 7) + MulB) % P) % 201 - 100).as("wt"))

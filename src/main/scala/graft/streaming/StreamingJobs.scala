@@ -169,7 +169,7 @@ object StreamingJobs {
         graft.operators.Sketches.tokenPolysJvm(t).map(p => (ts, p._2)) }
       .toDF("ts", "h")
     val (bucket, rho) = graft.operators.Sketches.hllObservations(
-      graft.operators.Sketches.perm(lit(0), col("h")), m)
+      graft.operators.Sketches.perm(0, col("h")), m)
     toks
       .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
       .withWatermark("ts", "2 hours")
@@ -198,10 +198,11 @@ object StreamingJobs {
       .toDF("ts", "h")
     toks
       .select(col("ts"),
-        explode(sequence(lit(0), lit(depth - 1))).as("i"), col("h"))
-      .select(col("ts"), col("i"),
-        (graft.operators.Sketches.perm(col("i"), col("h")) % width)
-          .as("cell"))
+        explode(graft.operators.Sketches.permStructs(depth)).as("pp"),
+        col("h"))
+      .select(col("ts"), col("pp.i").as("i"),
+        ((col("pp.pa") * col("h") + col("pp.pb"))
+          % graft.OracleHash.P % width).as("cell"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("i"), col("cell"))
       .agg(count(lit(1)).as("ccnt"))
@@ -662,6 +663,38 @@ object StreamingJobs {
     * shuffles only its own edges' endpoint increments, map-side
     * combined.
     */
+  /** Streaming twin of label propagation's MAINTENANCE half
+    * ([[graft.graph.Algorithms.labelPropagation]]'s argmax state, the
+    * sccTrimDegrees pattern applied to communities): over an edge
+    * stream, accumulate per-(vertex, neighbor-community) VOTE COUNTS
+    * against a static community `assignment` artifact (the last batch
+    * LPA run — broadcast, like every model-artifact stream join in
+    * this file). The emitted rows are the argmax REGISTERS, not the
+    * verdict: like [[hllRegisters]]/[[cmsRegisters]], the streaming
+    * query maintains the mergeable state (counts add across batches
+    * and streams) and the consumer takes the per-vertex argmax —
+    * a vertex whose assigned community no longer wins its
+    * neighborhood vote is what the next periodic batch LPA must
+    * revisit. The full propagation (labels chase each other) stays in
+    * the batch job — the standard streaming/batch split for graph
+    * maintenance.
+    *
+    * 100 TB shape: state is one long per (vertex, adjacent-community)
+    * pair — bounded by the neighborhood's community diversity, not
+    * the edge count; each micro-batch shuffles only its own edges'
+    * increments, map-side combined; the assignment artifact rides the
+    * task closure via broadcast, so no stream-side join state exists.
+    */
+  def lpaVotes(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val nbrLabel = broadcast(
+      assignment.select(col("id").as("dst"), col("label")))
+    edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .join(nbrLabel, "dst")
+      .groupBy(col("src").as("id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+  }
+
   def sccTrimDegrees(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id"),
         lit(1L).as("out_d"), lit(0L).as("in_d"))

@@ -42,6 +42,15 @@ object PerfLab {
           Algorithms.pageRank(spark, edges, iterations = 10,
             checkpointStride = stride, eagerCheckpoint = eager).count()
         case "cc"       => Algorithms.connectedComponentsQuery(spark, sfDir).count()
+        // hits checkpoint-stride variants for the sf10 scale-drift
+        // adjudication (graph_hits: 22.4× → 28.7× across r9→r10)
+        case "hits_s1" | "hits_s2" | "hits_s4" | "hits_s8" =>
+          val g = graft.graph.GraphLoader.tpch(spark, sfDir)
+          val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+            .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+            .reduce(_.unionByName(_))
+          Algorithms.hits(spark, edges,
+            checkpointStride = what.stripPrefix("hits_s").toInt).count()
         case "ngram"    => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()
         case "neighbor_sim"   => Algorithms.neighborSimQuery(spark, sfDir).count()
         case "dedup_clusters" => graft.operators.Dedup.dedupClusters(spark, sfDir).count()

@@ -27,6 +27,54 @@ class OracleHashSpec extends AnyFunSuite {
       // a * h + b for h < P must stay below 2^62
       assert(a * (OracleHash.P - 1) + b < (1L << 62))
     }
+    // power-family canaries: perm 0 is UNCHANGED from the pre-R11
+    // linear family (A^1 = 1·A), so every perm-0 oracle stays valid;
+    // perm 1 matches the constants the R10 graph oracle shipped with
+    // (independently exercised through DuckDB all of round 10)
+    assert(OracleHash.a(0) == 654435747L && OracleHash.b(0) == 266489896L)
+    assert(OracleHash.a(1) == 953445008L && OracleHash.b(1) == 172972768L)
+  }
+
+  test("permutation slopes admit no small-integer pairwise relation") {
+    // The measured R10 failure mode: the linear family a_i = (i+1)·A
+    // satisfies (j+1)·a_i ≡ (i+1)·a_j (mod P) — a small-scalar
+    // relation under which all 128 argmins co-move and Jaccard
+    // estimates saturate at 0-or-1. The power family must admit NO
+    // relation p·a_i ≡ q·a_j (mod P) with 1 ≤ p, q ≤ 256, any pair.
+    val P = OracleHash.P
+    def modpow(base: Long, e: Long): Long = {
+      var r = 1L; var b = base % P; var x = e
+      while (x > 0) { if ((x & 1) == 1) r = r * b % P; b = b * b % P; x >>= 1 }
+      r
+    }
+    def smallestRelation(v: Array[Long]): Option[(Int, Int, Long, Long)] = {
+      val n = v.length
+      var found: Option[(Int, Int, Long, Long)] = None
+      var i = 0
+      while (i < n && found.isEmpty) {
+        var j = i + 1
+        while (j < n && found.isEmpty) {
+          val ratio = v(i) * modpow(v(j), P - 2) % P // a_i / a_j mod P
+          var p = 1L
+          while (p <= 256 && found.isEmpty) {
+            val q = p * ratio % P // q with p·a_i ≡ q·a_j (mod P)
+            if (q >= 1 && q <= 256) found = Some((i, j, p, q))
+            p += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      found
+    }
+    // the checker itself catches the OLD family (guards the guard)
+    val linear = Array.tabulate(128)(i => OracleHash.MulA * (i + 1) % P)
+    assert(smallestRelation(linear).isDefined,
+      "the checker must flag the linear family it was built to exclude")
+    val aRel = smallestRelation(Array.tabulate(128)(OracleHash.a))
+    assert(aRel.isEmpty, s"a-family small relation: $aRel")
+    val bRel = smallestRelation(Array.tabulate(128)(OracleHash.b))
+    assert(bRel.isEmpty, s"b-family small relation: $bRel")
   }
 
   test("winnowing fingerprint canaries are stable") {

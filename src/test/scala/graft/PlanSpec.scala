@@ -486,7 +486,10 @@ class PlanSpec extends AnyFunSuite {
       // GlobalLimit
       "sample_weighted" -> "rank over the k-row TakeOrdered survivors",
       // rank over the top-m=100 token frame — input is a GlobalLimit
-      "text_zipf" -> "rank over the top-m TakeOrdered frame")
+      "text_zipf" -> "rank over the top-m TakeOrdered frame",
+      // landmark ordinal over the distinct-lm aggregate (k ≤ 50 rows)
+      "graph_centrality_tuning" ->
+        "landmark rank over the distinct-lm aggregate")
     // the optimized LOGICAL plan, not executedPlan: AQE wraps the
     // physical tree in AdaptiveSparkPlanExec whose children collect()
     // cannot see

@@ -91,9 +91,18 @@ class CypherParserSpec extends AnyFunSuite {
     val (rel, end) = chain.hops.head
     assert(rel.relType.contains("R") && rel.varLength.contains((2, 3)))
     assert(end.label.contains("Y"))
+    // named inner nodes are GQL group variables (per-step node lists)
+    val gv = matches(CypherParser.parse(
+      "MATCH (a:X) ((u)-[:R]->(v)){2,3} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(gv.groupNodes.contains((Some("u"), Some("v"))))
+    assert(gv.varLength.contains((2, 3)))
+    val gvHalf = matches(CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->(v)){2} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(gvHalf.groupNodes.contains((None, Some("v"))))
+    assert(rel.groupNodes.isEmpty, "anonymous groups bind no group vars")
     // unsupported group shapes fail loudly instead of binding wrongly
-    intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (a:X) ((n)-[:R]->()){2,3} (b:Y) RETURN a.p")) // named inner
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (a:X) ((:Z)-[:R]->()){2,3} (b:Y) RETURN a.p")) // inner label
     intercept[IllegalArgumentException](CypherParser.parse(

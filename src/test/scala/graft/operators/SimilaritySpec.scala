@@ -384,6 +384,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("hamming top-k at dims=128: multi-word packing equals the per-bit reference") {
+    // the packing must generalize past the R10 two-word/64-dim cap:
+    // 128 dims → 4 packed words, scored by the same zip_with
+    // XOR+popcount fold, bit-identical to an unpacked per-bit count
+    import spark.implicits._
+    def comp(id: Long, d: Int): Double =
+      (graft.OracleHash.poly(s"$id:$d", 0L) % 1001L).toDouble - 500.0
+    val dims = 128
+    val n = 60
+    val emb = (0L until n).map(id =>
+        (id, (0 until dims).map(d => comp(id, d)).toArray))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.signCodesOn(emb)
+    assert(codes.selectExpr("size(words)").collect()
+      .forall(_.getInt(0) == dims / 32), "128 dims must pack to 4 words")
+    val got = Similarity.hammingTopkOn(codes, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val bits = (0L until n)
+      .map(id => id -> (0 until dims).map(d => comp(id, d) >= 0.0)).toMap
+    val want = (0L until 5L).flatMap { q =>
+      bits.toSeq.collect { case (id, bs) if id >= 5 =>
+        (id, bs.zip(bits(q)).count { case (a, b) => a != b }.toLong)
+      }.sortBy { case (id, h) => (h, id) }.take(10).zipWithIndex
+        .map { case ((id, h), i) => (q, i + 1L, id, h) }
+    }
+    assert(got.toSeq == want)
+    // a dims=80 corpus (non-multiple of 32) zero-fills the short tail
+    val odd = (0L until 20L).map(id =>
+        (id, (0 until 80).map(d => comp(id, d)).toArray))
+      .toDF("vec_id", "embedding")
+    val oddCodes = Similarity.signCodesOn(odd)
+    assert(oddCodes.selectExpr("size(words)").collect()
+      .forall(_.getInt(0) == 3), "80 dims must pack to 3 words")
+    val oddGot = Similarity.hammingTopkOn(oddCodes, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val oddBits = (0L until 20L)
+      .map(id => id -> (0 until 80).map(d => comp(id, d) >= 0.0)).toMap
+    val oddWant = (0L until 5L).flatMap { q =>
+      oddBits.toSeq.collect { case (id, bs) if id >= 5 =>
+        (id, bs.zip(oddBits(q)).count { case (a, b) => a != b }.toLong)
+      }.sortBy { case (id, h) => (h, id) }.take(5).zipWithIndex
+        .map { case ((id, h), i) => (q, i + 1L, id, h) }
+    }
+    assert(oddGot.toSeq == oddWant)
+  }
+
   test("hamming tuning curve: wider radii never lose candidates or recall") {
     val rows = Similarity.hammingTuning(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -600,8 +600,10 @@ class StreamingJobsSpec extends AnyFunSuite {
       val one = Seq((1L, textA)).toDF("doc_id", "text")
         .select(col("text")).as[String]
         .flatMap(Sketches.tokenPolysJvm).toDF("token", "h")
-        .select(explode(sequence(lit(0), lit(3))).as("i"), col("h"))
-        .select(col("i"), (Sketches.perm(col("i"), col("h")) % 1024).as("cell"))
+        .select(explode(Sketches.permStructs(4)).as("pp"), col("h"))
+        .select(col("pp.i").as("i"),
+          ((col("pp.pa") * col("h") + col("pp.pb"))
+            % graft.OracleHash.P % 1024).as("cell"))
         .groupBy("i", "cell").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(streamed.keySet == one.keySet)
@@ -671,6 +673,53 @@ class StreamingJobsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSet
       assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming LPA votes: registers merge across batches, argmax matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static assignment artifact: {1,2} in community 1, {3,4} in 3
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "label")
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingJobs
+      .lpaVotes(input.toDF().toDF("src", "dst"), assign)
+      .writeStream.format("memory").queryName("lpavotes")
+      .outputMode("update").start()
+    def latest(): Map[(Long, Long), Long] =
+      // update mode appends one row per changed key per batch; votes
+      // only grow, so max identifies the newest register per key
+      spark.table("lpavotes").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    try {
+      input.addData((1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      val a = latest()
+      // vertex 2 hears community 1 (from 1) and community 3 (from 3)
+      assert(a((2L, 1L)) == 1L && a((2L, 3L)) == 1L)
+      assert(a((1L, 1L)) == 1L && a((3L, 1L)) == 1L)
+      // batch 2 repeats an edge: the register ADDS, not replaces
+      input.addData((1L, 2L), (2L, 4L))
+      q.processAllAvailable()
+      val b = latest()
+      assert(b((2L, 1L)) == 2L, "repeated edge must add a vote")
+      assert(b((2L, 3L)) == 2L, "edge to 4 adds a second community-3 vote")
+      // streamed registers == batch registers over the union of edges
+      val batch = StreamingJobs.lpaVotes(
+        Seq((1L, 2L), (2L, 3L), (1L, 2L), (2L, 4L)).toDF("src", "dst"), assign)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(b == batch)
+      // the consumer's argmax flags instability: vertex 2's assigned
+      // community (1) ties its neighborhood vote (2 vs 2) — ties keep
+      // the smaller label, so 2 stays stable; flipping an edge breaks it
+      val argmax = b.toSeq.groupBy(_._1._1).map { case (id, vs) =>
+        id -> vs.map { case ((_, l), n) => (l, n) }.minBy(t => (-t._2, t._1))._1
+      }
+      assert(argmax(2L) == 1L)
+      assert(argmax(3L) == 1L && argmax(4L) == 1L,
+        "3 and 4 only hear vertex 2's community-1 voice")
     } finally q.stop()
   }
 
