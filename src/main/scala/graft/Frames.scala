@@ -22,4 +22,20 @@ object Frames {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Unpersists the block-backed RDD behind an eagerly
+    * localCheckpoint-ed frame. A localCheckpoint TRUNCATES lineage,
+    * so the blocks cannot be recomputed — free ONLY frames no live
+    * plan will read again (the checkpoint superseded by the next
+    * stride of an iterative loop). Without this, a k-iteration
+    * algorithm leaves k/stride dead vertex-sized block sets in the
+    * executor store; at large SFs they evict and spill the blocks the
+    * LIVE iteration needs. No-op on frames that are not a checkpoint
+    * leaf.
+    */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false): Unit
+    case _ => ()
+  }
 }

@@ -113,6 +113,7 @@ object SparkEntry {
     "cypher_set_map"        -> (cypher.CypherQueries.setMap(_, _)),
     "cypher_set_label"      -> (cypher.CypherQueries.setLabel(_, _)),
     "cypher_multi_label"    -> (cypher.CypherQueries.multiLabel(_, _)),
+    "cypher_call_in_tx"     -> (cypher.CypherQueries.callInTx(_, _)),
     "graph_degrees"         -> (graph.Algorithms.degreesQuery(_, _)),
     "graph_degree_dist"     -> (graph.Algorithms.degreeDistQuery(_, _)),
     "graph_connected_components" -> (graph.Algorithms.connectedComponentsQuery(_, _)),
@@ -2754,6 +2755,20 @@ object SparkEntry {
         |  SELECT unnest(['Customer', 'Premium']) AS label
         |  FROM customer WHERE c_acctbal > 7500.0)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "cypher_call_in_tx" ->
+      """WITH rows AS (
+        |  SELECT 1000000000 + l_orderkey AS k, l_orderkey AS okey
+        |  FROM lineitem WHERE l_orderkey < 4000),
+        |b AS (
+        |  SELECT okey, CAST(k // 50 AS BIGINT) AS range_id,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY k // 50 ORDER BY k) - 1) // 50
+        |      AS BIGINT) AS sub_id
+        |  FROM rows)
+        |SELECT CAST(range_id AS VARCHAR) || '-' || CAST(sub_id AS VARCHAR) AS tx_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders,
+        |  MIN(okey) AS lo_key, MAX(okey) AS hi_key
+        |FROM b GROUP BY range_id, sub_id ORDER BY lo_key, tx_id""".stripMargin,
     "cypher_agg_functions" ->
       """SELECT COUNT(DISTINCT c_nationkey) AS n_nations,
         |MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,

@@ -211,6 +211,24 @@ object Ast {
     */
   final case class CallClause(imports: Seq[String], inner: Seq[Clause])
       extends Clause
+  /** `CALL { [WITH var, …] <write clauses> } IN TRANSACTIONS
+    * [OF n ROWS] [REPORT STATUS AS var]` — Neo4j's batched-write
+    * subquery (the `:auto` bulk-update idiom). The body is restricted
+    * to update clauses; `rowCap` is the per-transaction row bound
+    * (Neo4j's default 1000 when `OF … ROWS` is omitted); `statusVar`
+    * binds the per-row transaction status map when `REPORT STATUS AS`
+    * is present (`transactionId`, `committed`, `errorMessage` — the
+    * Neo4j 5 status-map fields).
+    *
+    * Transaction identity is the key-range/row-cap batcher the
+    * connector's payload builder uses
+    * ([[graft.neo4j.CypherPayload.txBatch]]) keyed on the FIRST
+    * imported variable's node id — the engine's write path and the
+    * connector's UNWIND batcher share one batching arithmetic
+    * end-to-end.
+    */
+  final case class CallInTxClause(imports: Seq[String], body: Seq[Clause],
+      rowCap: Int, statusVar: Option[String]) extends Clause
   /** `CALL db.labels()` / `CALL db.relationshipTypes()` — the catalog
     * introspection procedures every Neo4j client calls on connect.
     * Produces one row per label / relationship type from the engine's

@@ -123,7 +123,10 @@ object CypherParser {
       val clauses = Seq.newBuilder[Clause]
       var sawReturn = false
       var sawAny = false
-      while (!sawReturn) {
+      // a CALL body may be RETURN-less (write-only IN TRANSACTIONS
+      // bodies); the closing brace ends it — read-shaped RETURN-less
+      // bodies still fail loudly at plan time ("must end in RETURN")
+      while (!sawReturn && !(inCall && sawAny && atSym("}"))) {
         if (atKw("MATCH") || atKw("OPTIONAL")) {
           val opt = atKw("OPTIONAL")
           if (opt) eatKw("OPTIONAL")
@@ -237,7 +240,42 @@ object CypherParser {
             } else Seq.empty
           val inner = query(inCall = true)
           eatSym("}")
-          clauses += CallClause(imports, inner.clauses)
+          if (atKw("IN")) {
+            // `IN TRANSACTIONS [OF n ROWS] [REPORT STATUS AS var]` —
+            // the batched-write subquery form. The body must be pure
+            // update clauses (Neo4j rejects reading clauses in an
+            // IN TRANSACTIONS body driven from an outer MATCH too).
+            eatKw("IN"); eatKw("TRANSACTIONS")
+            val cap =
+              if (atKw("OF")) {
+                eatKw("OF"); val n = longLit(); eatKw("ROWS")
+                require(n >= 1 && n <= Int.MaxValue,
+                  s"IN TRANSACTIONS OF $n ROWS: the row cap must be a positive int")
+                n.toInt
+              } else 1000 // Neo4j's default batch size
+            val status =
+              if (atKw("REPORT")) {
+                eatKw("REPORT"); eatKw("STATUS"); eatKw("AS"); Some(ident())
+              } else None
+            require(imports.nonEmpty,
+              "CALL { … } IN TRANSACTIONS requires an importing WITH " +
+                "(the first import's node id keys the transaction batches)")
+            val bad = inner.clauses.collectFirst {
+              case c if !c.isInstanceOf[WriteRelClause] &&
+                !c.isInstanceOf[CreateNodeClause] &&
+                !c.isInstanceOf[DeleteRelClause] &&
+                !c.isInstanceOf[DetachDeleteClause] &&
+                !c.isInstanceOf[SetPropClause] &&
+                !c.isInstanceOf[SetMapClause] &&
+                !c.isInstanceOf[SetLabelClause] &&
+                !c.isInstanceOf[RemovePropClause] &&
+                !c.isInstanceOf[ForeachClause] => c
+            }
+            require(bad.isEmpty,
+              s"CALL { … } IN TRANSACTIONS body must contain only update " +
+                s"clauses, got ${bad.get.getClass.getSimpleName}")
+            clauses += CallInTxClause(imports, inner.clauses, cap, status)
+          } else clauses += CallClause(imports, inner.clauses)
         } else if (atKw("RETURN")) {
           eatKw("RETURN")
           val (distinct, items) = projectionItems()
@@ -446,16 +484,18 @@ object CypherParser {
       var ok = true
       var expectId = true
       var done = false
+      // write-clause keywords follow an importing WITH too — the
+      // IN TRANSACTIONS body form is `WITH o MERGE …` / `WITH o SET …`
+      val followKws = Set("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN",
+        "CALL", "MERGE", "CREATE", "SET", "DELETE", "DETACH", "REMOVE",
+        "FOREACH")
       while (!done && ok && p < toks.length) {
         toks(p) match {
-          case TId(s) if expectId &&
-              !Set("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN", "CALL")
-                .contains(s.toUpperCase) =>
+          case TId(s) if expectId && !followKws.contains(s.toUpperCase) =>
             expectId = false; p += 1
           case TSym(",") if !expectId => expectId = true; p += 1
-          case TId(s) if !expectId &&
-              Set("MATCH", "OPTIONAL", "UNWIND", "WITH", "RETURN", "CALL")
-                .contains(s.toUpperCase) => done = true
+          case TId(s) if !expectId && followKws.contains(s.toUpperCase) =>
+            done = true
           case _ => ok = false
         }
       }

@@ -90,6 +90,9 @@ object CypherPlanner {
       case UnwindClause(l, a) => UnwindClause(bx(l), a)
       case CallClause(imp, inner) =>
         CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
+      case CallInTxClause(imp, body, cap, sv) =>
+        CallInTxClause(imp, bindParams(CypherQuery(body), params).clauses,
+          cap, sv)
       case w: WriteRelClause => // pattern props are literals already
         w.copy(onCreate = w.onCreate.map { case (k, e) => (k, bx(e)) },
           onMatch = w.onMatch.map { case (k, e) => (k, bx(e)) })
@@ -310,6 +313,38 @@ object CypherPlanner {
 
       case CallClause(imports, inner) =>
         s = planCall(graph, s, imports, inner)
+
+      case CallInTxClause(imports, body, rowCap, statusVar) =>
+        // the engine's writes are set-based (anti-joined unions /
+        // keyed overlays), so transaction chunk boundaries CANNOT
+        // change the final graph state — the body plans exactly as
+        // inline writes over the full frame. What IN TRANSACTIONS
+        // adds is the OBSERVABLE partition: REPORT STATUS binds each
+        // row's transaction coordinate, computed by the SAME
+        // key-range/row-cap batcher the connector's payload builder
+        // POSTs by (CypherPayload.txBatch with keyRange = rowCap) —
+        // one batching arithmetic end-to-end, per-range windows only
+        // (thousands of concurrent ranges, no global-sort funnel).
+        require(s.df != null,
+          "CALL { … } IN TRANSACTIONS needs a driving frame (MATCH first)")
+        require(s.nodeVars.contains(imports.head),
+          s"CALL { … } IN TRANSACTIONS: first import '${imports.head}' " +
+            "must be a bound node variable (its id keys the batches)")
+        body.foreach(handleClause)
+        statusVar.foreach { sv =>
+          require(!s.df.columns.contains(sv) && !s.scalars.contains(sv),
+            s"REPORT STATUS variable '$sv' collides with an existing binding")
+          val keyed = graft.neo4j.CypherPayload.txBatch(
+            s.df, col(s"${imports.head}__id"), rowCap, rowCap)
+          val status = struct(
+            concat(col("__tx_range").cast("string"), lit("-"),
+              col("__tx_sub").cast("string")).as("transactionId"),
+            lit(true).as("committed"),
+            lit(null).cast("string").as("errorMessage"))
+          s = s.copy(
+            df = keyed.withColumn(sv, status).drop("__tx_range", "__tx_sub"),
+            scalars = s.scalars + sv, tiny = false)
+        }
 
       case CatalogCallClause(kind) =>
         val (names, colName) = kind match {
@@ -1294,6 +1329,9 @@ object CypherPlanner {
         // elision, never correctness)
         out ++= imports
         out ++= colsNeeded(CypherQuery(inner))
+      case CallInTxClause(imports, body, _, _) =>
+        out ++= imports
+        out ++= colsNeeded(CypherQuery(body))
       case WriteRelClause(_, _, oc, om) => // endpoints read only __id
         (oc ++ om).foreach { case (_, e) => walk(e) }
       case CreateNodeClause(_, _, ps, _, oc, om) =>

@@ -1224,6 +1224,28 @@ object CypherQueries {
         |  sum(coalesce(c2.vip, 0)) AS n_vip
         |ORDER BY segment""".stripMargin)
 
+  /** `CALL { … } IN TRANSACTIONS OF n ROWS REPORT STATUS AS s` —
+    * Neo4j's batched bulk-write subquery, surfaced onto the SAME
+    * key-range/row-cap batcher the connector's UNWIND payload builder
+    * POSTs by (CypherPayload.txBatch): the engine's write path and
+    * the connector's batching share one arithmetic end-to-end. The
+    * driving frame is the CONTAINS fanout (duplicate order keys), so
+    * dense key ranges genuinely sub-split at the 50-row cap; the
+    * per-transaction stats aggregate only key-derived facts (count /
+    * distinct / min / max of the batching key), which the batcher
+    * keeps deterministic under tied keys.
+    */
+  def callInTx(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)-[:CONTAINS]->(p:Part)
+        |WHERE o.orderkey < 4000
+        |CALL { WITH o, p MERGE (o)-[:TXFLAG]->(p) }
+        |IN TRANSACTIONS OF 50 ROWS REPORT STATUS AS s
+        |RETURN s.transactionId AS tx_id, count(*) AS n_rows,
+        |  count(DISTINCT o.orderkey) AS n_orders,
+        |  min(o.orderkey) AS lo_key, max(o.orderkey) AS hi_key
+        |ORDER BY lo_key, tx_id""".stripMargin)
+
   /** `SET s += {map}` — bulk property merge: one clause overwrites a
     * property, adds a new one, and null-REMOVES another on the
     * matched nodes (Neo4j `+=` semantics; a listed null always wins,

@@ -1131,6 +1131,13 @@ object Algorithms {
     // unrolls the identical raw recurrence.
     var hub = vertices.withColumn("hub", lit(1.0)).localCheckpoint(true)
     var authRaw: DataFrame = null
+    // checkpoints superseded by the next stride: their lineage is cut
+    // and no later plan reads them, so their blocks are freed as soon
+    // as the replacing checkpoint has materialized. Leaving them
+    // resident is what drove the sf10 scale drift (8 iterations × two
+    // vertex-sized block sets in a bounded executor store evict and
+    // spill the frames the LIVE iteration needs).
+    var prevCks: Seq[DataFrame] = Seq(hub)
     var i = 0
     while (i < iterations) {
       // authority raw: sum of in-neighbor raw hub scores
@@ -1148,6 +1155,8 @@ object Algorithms {
       if (i % checkpointStride == checkpointStride - 1 || i == iterations - 1) {
         hub = hub.localCheckpoint(true)
         authRaw = authRaw.localCheckpoint(true)
+        prevCks.foreach(graft.Frames.free)
+        prevCks = Seq(hub, authRaw)
       }
       i += 1
     }

@@ -1,7 +1,7 @@
 package graft.neo4j
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Builds Neo4j transactional-endpoint write payloads: rows batched
@@ -121,18 +121,37 @@ object CypherPayload {
     * (orderkey, status) rows — split out so the cap is testable
     * against pathological fully-dense keys.
     */
+  /** The key-range/row-cap transaction batcher SHARED by the
+    * connector's payload builder ([[payloadBatches]]) and the Cypher
+    * `CALL { … } IN TRANSACTIONS` surface (CypherPlanner): adds
+    * `__tx_range = floor(key / keyRange)` (a pure per-row function —
+    * every exchange hash-partitions on it, no global ordering) and
+    * `__tx_sub`, a PER-RANGE row_number sub-split capping every
+    * (range, sub) transaction at `rowCap` rows regardless of key
+    * density. The intra-range window orders by the key alone, so with
+    * TIED keys the per-transaction KEY MULTISETS are deterministic
+    * (equal keys are interchangeable across tie positions) even though
+    * individual row placement under a tie is not — consumers must
+    * aggregate per-transaction facts from the key, not from
+    * tie-distinguishing columns.
+    */
+  def txBatch(df: DataFrame, key: Column, keyRange: Int, rowCap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tx_range")).orderBy(key)
+    df.withColumn("__tx_range", floor(key / keyRange).cast("long"))
+      .withColumn("__tx_sub",
+        floor((row_number().over(w) - 1) / rowCap).cast("long"))
+  }
+
   private[neo4j] def payloadBatches(orders: DataFrame, keyRange: Int,
       rowCap: Int,
       stmt: String =
         "UNWIND $inserts AS i CREATE (o:Order {orderkey:i.orderkey, status:i.status})")
       : DataFrame = {
     val param = parameterName(stmt)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("range_id")).orderBy(col("o_orderkey"))
-    val rows = orders
-      .withColumn("range_id", floor(col(orders.columns(0)) / keyRange).cast("long"))
-      .withColumn("sub_id",
-        floor((row_number().over(w) - 1) / rowCap).cast("long"))
+    val rows = txBatch(orders, col(orders.columns(0)), keyRange, rowCap)
+      .withColumnRenamed("__tx_range", "range_id")
+      .withColumnRenamed("__tx_sub", "sub_id")
       .withColumn("elem", jsonElem(Seq(
         ("orderkey", col(orders.columns(0)), false),
         ("status", col(orders.columns(1)), true))))

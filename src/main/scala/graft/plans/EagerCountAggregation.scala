@@ -47,7 +47,15 @@ object EagerCountAggregation extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.eagerCountAgg", "true").toBoolean) plan
     else plan.transform {
-      case agg @ Aggregate(gkeys, results, child, _) =>
+      // never rewrite a STREAMING aggregate: the rewrite moves the
+      // aggregation boundary, so the stateful operator becomes the
+      // outer SUM while the pushed-down per-side COUNTs accumulate
+      // their own cross-batch state — each micro-batch then re-adds
+      // every PRIOR batch's per-side counts into the outer sum
+      // (measured: votes 1 → 3 instead of 1 → 2 on a repeated edge).
+      // Batch plans have no cross-batch state, so the algebraic
+      // identity only holds there.
+      case agg @ Aggregate(gkeys, results, child, _) if !agg.isStreaming =>
         rewrite(gkeys, results, child).getOrElse(agg)
     }
 

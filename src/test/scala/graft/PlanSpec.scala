@@ -174,10 +174,11 @@ class PlanSpec extends AnyFunSuite {
     // the plan fully parallel
     assert(!plan.contains("SinglePartition"),
       s"single-partition exchange in write-batch plan")
-    // the rowCap sub-split window is allowed ONLY partitioned by
-    // range_id (thousands of concurrent ranges) — never global
-    assert("windowspecdefinition\\(range_id".r.findFirstIn(plan).isDefined,
-      "rowCap window must partition by range_id")
+    // the rowCap sub-split window is allowed ONLY partitioned by the
+    // range id (thousands of concurrent ranges) — never global
+    // (__tx_range is the shared CypherPayload.txBatch spelling)
+    assert("windowspecdefinition\\(__tx_range".r.findFirstIn(plan).isDefined,
+      "rowCap window must partition by the range id")
   }
 
   test("salted aggregation plans two partial phases, no hot-key funnel") {

@@ -392,4 +392,42 @@ class CypherParserSpec extends AnyFunSuite {
         "MERGE (a)-[:X]->(b)-[:Y]->(c) RETURN count(*) AS n")
     }
   }
+
+  test("CALL { } IN TRANSACTIONS parses; non-write bodies and missing imports reject") {
+    import graft.cypher.Ast._
+    val q = CypherParser.parse(
+      "MATCH (a:Customer)-[:FROM_NATION]->(b:Nation) " +
+        "CALL { WITH a, b MERGE (a)-[:X]->(b) } " +
+        "IN TRANSACTIONS OF 250 ROWS REPORT STATUS AS s " +
+        "RETURN s.transactionId AS t, count(*) AS n")
+    q.clauses.collectFirst { case c: CallInTxClause => c } match {
+      case Some(CallInTxClause(imports, body, cap, status)) =>
+        assert(imports == Seq("a", "b") && cap == 250 &&
+          status.contains("s") && body.forall(_.isInstanceOf[WriteRelClause]))
+      case None => fail("no CallInTxClause parsed")
+    }
+    // OF … ROWS omitted → Neo4j's default 1000; REPORT STATUS optional
+    val q2 = CypherParser.parse(
+      "MATCH (a:Customer) CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS " +
+        "RETURN count(*) AS n")
+    assert(q2.clauses.collectFirst { case c: CallInTxClause => c }
+      .exists(c => c.rowCap == 1000 && c.statusVar.isEmpty))
+    // a reading clause in the body is rejected at parse time
+    intercept[Exception] {
+      CypherParser.parse("MATCH (a:Customer) " +
+        "CALL { WITH a MATCH (n:Nation) MERGE (a)-[:X]->(n) } IN TRANSACTIONS " +
+        "RETURN count(*) AS n")
+    }
+    // no importing WITH: nothing keys the batches — rejected
+    intercept[Exception] {
+      CypherParser.parse("MATCH (a:Customer) " +
+        "CALL { MERGE (x:Y {id: 1}) } IN TRANSACTIONS RETURN count(*) AS n")
+    }
+    // zero row cap is rejected
+    intercept[Exception] {
+      CypherParser.parse("MATCH (a:Customer) " +
+        "CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS OF 0 ROWS " +
+        "RETURN count(*) AS n")
+    }
+  }
 }

