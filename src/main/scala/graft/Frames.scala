@@ -31,10 +31,14 @@ object Frames {
     * algorithm leaves k/stride dead vertex-sized block sets in the
     * executor store; at large SFs they evict and spill the blocks the
     * LIVE iteration needs. No-op on frames that are not a checkpoint
-    * leaf.
+    * leaf, and on leaves whose backing RDD is not actually persisted
+    * (StorageLevel.NONE — e.g. a `createDataFrame(rdd, schema)` wrap
+    * of a plain RDD, where unpersist would be a misleading claim that
+    * blocks were released).
     */
   def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+    case lr: org.apache.spark.sql.execution.LogicalRDD
+        if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
       lr.rdd.unpersist(blocking = false): Unit
     case _ => ()
   }

@@ -228,7 +228,8 @@ object Ast {
     * end-to-end.
     */
   final case class CallInTxClause(imports: Seq[String], body: Seq[Clause],
-      rowCap: Int, statusVar: Option[String]) extends Clause
+      rowCap: Int, statusVar: Option[String],
+      onError: Option[String] = None) extends Clause
   /** `CALL db.labels()` / `CALL db.relationshipTypes()` — the catalog
     * introspection procedures every Neo4j client calls on connect.
     * Produces one row per label / relationship type from the engine's

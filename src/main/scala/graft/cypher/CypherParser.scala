@@ -241,10 +241,16 @@ object CypherParser {
           val inner = query(inCall = true)
           eatSym("}")
           if (atKw("IN")) {
-            // `IN TRANSACTIONS [OF n ROWS] [REPORT STATUS AS var]` —
-            // the batched-write subquery form. The body must be pure
-            // update clauses (Neo4j rejects reading clauses in an
-            // IN TRANSACTIONS body driven from an outer MATCH too).
+            // `IN TRANSACTIONS [OF n ROWS] [ON ERROR …] [REPORT
+            // STATUS AS var]` — the batched-write subquery form.
+            // ENGINE DIVERGENCE (documented in SURVEY §6): Neo4j
+            // permits reading clauses (MATCH/MERGE) inside an
+            // IN TRANSACTIONS body; this engine restricts the body to
+            // pure update clauses because its set-based write algebra
+            // plans the whole body over the full driving frame — an
+            // inner read that observed earlier batches' writes would
+            // silently diverge from Neo4j's sequential-batch
+            // semantics, so the shape rejects loudly instead.
             eatKw("IN"); eatKw("TRANSACTIONS")
             val cap =
               if (atKw("OF")) {
@@ -253,10 +259,31 @@ object CypherParser {
                   s"IN TRANSACTIONS OF $n ROWS: the row cap must be a positive int")
                 n.toInt
               } else 1000 // Neo4j's default batch size
+            // `ON ERROR CONTINUE | BREAK | FAIL` — Neo4j's per-batch
+            // error policy. The engine's set-based writes cannot fail
+            // per-batch (no partial commits exist to skip or halt at),
+            // so all three plan identically; parsing them matters
+            // because Neo4j REQUIRES one of CONTINUE/BREAK alongside
+            // REPORT STATUS (REPORT STATUS under the default ON ERROR
+            // FAIL is a client-side syntax error), and matching that
+            // validation keeps query portability honest.
+            val onError =
+              if (atKw("ON")) {
+                eatKw("ON"); eatKw("ERROR")
+                val mode = ident().toUpperCase
+                require(Set("CONTINUE", "BREAK", "FAIL")(mode),
+                  s"ON ERROR $mode: expected CONTINUE, BREAK or FAIL")
+                Some(mode)
+              } else None
             val status =
               if (atKw("REPORT")) {
                 eatKw("REPORT"); eatKw("STATUS"); eatKw("AS"); Some(ident())
               } else None
+            require(status.isEmpty ||
+                onError.exists(m => m == "CONTINUE" || m == "BREAK"),
+              "REPORT STATUS AS requires ON ERROR CONTINUE or ON ERROR " +
+                "BREAK (Neo4j rejects REPORT STATUS under the default " +
+                "ON ERROR FAIL)")
             require(imports.nonEmpty,
               "CALL { … } IN TRANSACTIONS requires an importing WITH " +
                 "(the first import's node id keys the transaction batches)")
@@ -274,7 +301,7 @@ object CypherParser {
             require(bad.isEmpty,
               s"CALL { … } IN TRANSACTIONS body must contain only update " +
                 s"clauses, got ${bad.get.getClass.getSimpleName}")
-            clauses += CallInTxClause(imports, inner.clauses, cap, status)
+            clauses += CallInTxClause(imports, inner.clauses, cap, status, onError)
           } else clauses += CallClause(imports, inner.clauses)
         } else if (atKw("RETURN")) {
           eatKw("RETURN")

@@ -90,9 +90,9 @@ object CypherPlanner {
       case UnwindClause(l, a) => UnwindClause(bx(l), a)
       case CallClause(imp, inner) =>
         CallClause(imp, bindParams(CypherQuery(inner), params).clauses)
-      case CallInTxClause(imp, body, cap, sv) =>
+      case CallInTxClause(imp, body, cap, sv, oe) =>
         CallInTxClause(imp, bindParams(CypherQuery(body), params).clauses,
-          cap, sv)
+          cap, sv, oe)
       case w: WriteRelClause => // pattern props are literals already
         w.copy(onCreate = w.onCreate.map { case (k, e) => (k, bx(e)) },
           onMatch = w.onMatch.map { case (k, e) => (k, bx(e)) })
@@ -314,7 +314,7 @@ object CypherPlanner {
       case CallClause(imports, inner) =>
         s = planCall(graph, s, imports, inner)
 
-      case CallInTxClause(imports, body, rowCap, statusVar) =>
+      case CallInTxClause(imports, body, rowCap, statusVar, _) =>
         // the engine's writes are set-based (anti-joined unions /
         // keyed overlays), so transaction chunk boundaries CANNOT
         // change the final graph state — the body plans exactly as
@@ -331,6 +331,16 @@ object CypherPlanner {
           s"CALL { … } IN TRANSACTIONS: first import '${imports.head}' " +
             "must be a bound node variable (its id keys the batches)")
         body.foreach(handleClause)
+        // BATCH-IDENTITY DIVERGENCE (documented in SURVEY §6): Neo4j's
+        // `s.transactionId` is a server-assigned physical transaction
+        // identity ("neo4j-tx-123"), unstable across runs; here it is
+        // the DETERMINISTIC key-range coordinate "<range>-<sub>" from
+        // the shared batcher — same cardinality and per-row membership,
+        // stable across replays (strictly stronger for testing, but a
+        // user string-matching Neo4j's id format will see different
+        // text). `committed` is always true and `errorMessage` always
+        // null: set-based writes have no per-batch failure mode, so the
+        // ON ERROR CONTINUE/BREAK distinction is unobservable.
         statusVar.foreach { sv =>
           require(!s.df.columns.contains(sv) && !s.scalars.contains(sv),
             s"REPORT STATUS variable '$sv' collides with an existing binding")
@@ -1329,7 +1339,7 @@ object CypherPlanner {
         // elision, never correctness)
         out ++= imports
         out ++= colsNeeded(CypherQuery(inner))
-      case CallInTxClause(imports, body, _, _) =>
+      case CallInTxClause(imports, body, _, _, _) =>
         out ++= imports
         out ++= colsNeeded(CypherQuery(body))
       case WriteRelClause(_, _, oc, om) => // endpoints read only __id

@@ -1240,7 +1240,7 @@ object CypherQueries {
       """MATCH (o:Order)-[:CONTAINS]->(p:Part)
         |WHERE o.orderkey < 4000
         |CALL { WITH o, p MERGE (o)-[:TXFLAG]->(p) }
-        |IN TRANSACTIONS OF 50 ROWS REPORT STATUS AS s
+        |IN TRANSACTIONS OF 50 ROWS ON ERROR CONTINUE REPORT STATUS AS s
         |RETURN s.transactionId AS tx_id, count(*) AS n_rows,
         |  count(DISTINCT o.orderkey) AS n_orders,
         |  min(o.orderkey) AS lo_key, max(o.orderkey) AS hi_key

@@ -398,12 +398,13 @@ class CypherParserSpec extends AnyFunSuite {
     val q = CypherParser.parse(
       "MATCH (a:Customer)-[:FROM_NATION]->(b:Nation) " +
         "CALL { WITH a, b MERGE (a)-[:X]->(b) } " +
-        "IN TRANSACTIONS OF 250 ROWS REPORT STATUS AS s " +
+        "IN TRANSACTIONS OF 250 ROWS ON ERROR CONTINUE REPORT STATUS AS s " +
         "RETURN s.transactionId AS t, count(*) AS n")
     q.clauses.collectFirst { case c: CallInTxClause => c } match {
-      case Some(CallInTxClause(imports, body, cap, status)) =>
+      case Some(CallInTxClause(imports, body, cap, status, onError)) =>
         assert(imports == Seq("a", "b") && cap == 250 &&
-          status.contains("s") && body.forall(_.isInstanceOf[WriteRelClause]))
+          status.contains("s") && onError.contains("CONTINUE") &&
+          body.forall(_.isInstanceOf[WriteRelClause]))
       case None => fail("no CallInTxClause parsed")
     }
     // OF … ROWS omitted → Neo4j's default 1000; REPORT STATUS optional
@@ -427,6 +428,35 @@ class CypherParserSpec extends AnyFunSuite {
     intercept[Exception] {
       CypherParser.parse("MATCH (a:Customer) " +
         "CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS OF 0 ROWS " +
+        "RETURN count(*) AS n")
+    }
+    // ON ERROR BREAK / FAIL parse without REPORT STATUS
+    assert(CypherParser.parse("MATCH (a:Customer) " +
+      "CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS ON ERROR BREAK " +
+      "RETURN count(*) AS n")
+      .clauses.collectFirst { case c: CallInTxClause => c }
+      .exists(_.onError.contains("BREAK")))
+    assert(CypherParser.parse("MATCH (a:Customer) " +
+      "CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS ON ERROR FAIL " +
+      "RETURN count(*) AS n")
+      .clauses.collectFirst { case c: CallInTxClause => c }
+      .exists(_.onError.contains("FAIL")))
+    // REPORT STATUS without ON ERROR CONTINUE/BREAK is a Neo4j syntax
+    // error (the default ON ERROR FAIL cannot carry a status var)
+    intercept[Exception] {
+      CypherParser.parse("MATCH (a:Customer) " +
+        "CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS " +
+        "REPORT STATUS AS s RETURN count(*) AS n")
+    }
+    intercept[Exception] {
+      CypherParser.parse("MATCH (a:Customer) " +
+        "CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS ON ERROR FAIL " +
+        "REPORT STATUS AS s RETURN count(*) AS n")
+    }
+    // an unknown ON ERROR mode rejects loudly
+    intercept[Exception] {
+      CypherParser.parse("MATCH (a:Customer) " +
+        "CALL { WITH a SET a.flag = 1 } IN TRANSACTIONS ON ERROR RETRY " +
         "RETURN count(*) AS n")
     }
   }

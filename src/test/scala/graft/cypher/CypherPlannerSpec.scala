@@ -1631,7 +1631,7 @@ class CypherPlannerSpec extends AnyFunSuite {
     val rows = run(
       "MATCH (o:Order)-[:CONTAINS]->(p:Part) WHERE o.orderkey < 1000 " +
         "CALL { WITH o, p MERGE (o)-[:TXF]->(p) } " +
-        "IN TRANSACTIONS OF 20 ROWS REPORT STATUS AS s " +
+        "IN TRANSACTIONS OF 20 ROWS ON ERROR CONTINUE REPORT STATUS AS s " +
         "RETURN s.transactionId AS t, s.committed AS ok, " +
         "s.errorMessage AS err, count(*) AS n").collect()
     assert(rows.nonEmpty)

@@ -88,10 +88,19 @@ class EagerCountAggregationSpec extends AnyFunSuite {
       // cross-batch count must reach exactly 2 (1 would mean the
       // state reset; 3 would mean the split re-added batch 1)
       assert(counts.max == 2L, s"streaming count corrupted: ${counts.toSeq}")
-      // and the micro-batch plan must not carry the rewrite marker
-      val lastPlan = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
-        .lastProgress.sources.nonEmpty // progress exists
-      assert(lastPlan)
+      // and the LAST EXECUTED micro-batch plan must not carry the
+      // rewrite marker — assert on the IncrementalExecution's actual
+      // optimized plan, not on progress metadata
+      val lastExec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution
+      assert(lastExec != null, "no micro-batch executed")
+      val microBatchPlan = lastExec.optimizedPlan.treeString
+      assert(microBatchPlan.contains("StateStore") ||
+        lastExec.executedPlan.treeString.contains("StateStore"),
+        "micro-batch plan is not the stateful aggregate under test")
+      assert(!microBatchPlan.contains("__graft_cnt"),
+        s"eager-count rewrite fired inside a streaming micro-batch:\n$microBatchPlan")
     } finally q.stop()
   }
 }
