@@ -1665,27 +1665,16 @@ object OracleSql {
     * one definition behind [[betweenness]] and [[centralityTuning]]
     * so the two cannot drift.
     */
-  private def betweennessCtes(maxDepth: Int): String = {
-    val back = new StringBuilder
-    var prev = s"dl$maxDepth"
-    for (l <- (maxDepth - 1) to 1 by -1) {
-      back ++= s""",
-         |c$l AS (
-         |  SELECT s.lm, s.v,
-         |    CAST(SUM(CAST(round(CAST(s.sigma AS DOUBLE)/w.sigma
-         |      * (1.0 + w.delta), 12) AS DECIMAL(38,12))) AS DOUBLE) AS delta
-         |  FROM sg s JOIN e ON e.src = s.v
-         |  JOIN $prev w ON w.lm = s.lm AND w.v = e.dst
-         |  WHERE s.dist = $l GROUP BY 1, 2),
-         |dl$l AS MATERIALIZED (
-         |  SELECT s.lm, s.v, s.sigma, COALESCE(c.delta, 0.0) AS delta
-         |  FROM sg s LEFT JOIN c$l c ON c.lm = s.lm AND c.v = s.v
-         |  WHERE s.dist = $l)""".stripMargin
-      prev = s"dl$l"
-    }
-    val unions = (1 to maxDepth)
-      .map(l => s"SELECT lm, v, delta FROM dl$l")
-      .mkString("\n  UNION ALL ")
+  private def betweennessCtes(maxDepth: Int): String =
+    brandesForwardCtes(maxDepth) + brandesBackwardCtes(maxDepth, "")
+
+  /** Forward σ chain only (skip-link DAG, landmark walk enumeration,
+    * first-reach σ) ending at `sg(lm, v, dist, sigma)`. First-reach
+    * is prefix-stable in the walk bound, so one forward chain at
+    * max-depth serves every smaller backward bound — mirrors
+    * `Algorithms.brandesForward`.
+    */
+  private def brandesForwardCtes(maxDepth: Int): String =
     s"""WITH RECURSIVE cw AS (
        |  SELECT c_custkey,
        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
@@ -1708,10 +1697,37 @@ object OracleSql {
        |  SELECT lm, v, dd AS dist, CAST(walks AS BIGINT) AS sigma FROM (
        |    SELECT lm, v, dd, walks, MIN(dd) OVER (PARTITION BY lm, v) AS md
        |    FROM wc)
-       |  WHERE dd = md),
-       |dl$maxDepth AS (SELECT lm, v, sigma, 0.0 AS delta FROM sg
-       |  WHERE dist = $maxDepth)$back,
-       |allv AS MATERIALIZED (
+       |  WHERE dd = md)""".stripMargin
+
+  /** Backward dependency chain of the depth-`depth`-bounded Brandes
+    * over `sg`, CTE names suffixed `sfx` so several bounds coexist in
+    * one query; ends at `allv$sfx(lm, v, delta)`.
+    */
+  private def brandesBackwardCtes(depth: Int, sfx: String): String = {
+    val back = new StringBuilder
+    var prev = s"dl$sfx$depth"
+    for (l <- (depth - 1) to 1 by -1) {
+      back ++= s""",
+         |c$sfx$l AS (
+         |  SELECT s.lm, s.v,
+         |    CAST(SUM(CAST(round(CAST(s.sigma AS DOUBLE)/w.sigma
+         |      * (1.0 + w.delta), 12) AS DECIMAL(38,12))) AS DOUBLE) AS delta
+         |  FROM sg s JOIN e ON e.src = s.v
+         |  JOIN $prev w ON w.lm = s.lm AND w.v = e.dst
+         |  WHERE s.dist = $l GROUP BY 1, 2),
+         |dl$sfx$l AS MATERIALIZED (
+         |  SELECT s.lm, s.v, s.sigma, COALESCE(c.delta, 0.0) AS delta
+         |  FROM sg s LEFT JOIN c$sfx$l c ON c.lm = s.lm AND c.v = s.v
+         |  WHERE s.dist = $l)""".stripMargin
+      prev = s"dl$sfx$l"
+    }
+    val unions = (1 to depth)
+      .map(l => s"SELECT lm, v, delta FROM dl$sfx$l")
+      .mkString("\n  UNION ALL ")
+    s""",
+       |dl$sfx$depth AS (SELECT lm, v, sigma, 0.0 AS delta FROM sg
+       |  WHERE dist = $depth)$back,
+       |allv$sfx AS MATERIALIZED (
        |  $unions)""".stripMargin
   }
 
@@ -1748,6 +1764,43 @@ object OracleSql {
        |  ov.overlap AS top${topN}_overlap,
        |  round(CAST(ov.overlap AS DOUBLE) / $topN, 6) + 0.0 AS agreement
        |FROM ov JOIN np USING (k) ORDER BY n_landmarks""".stripMargin
+  }
+
+  /** DuckDB twin of
+    * [[graft.graph.Algorithms.centralityDepthTuningQuery]]: one
+    * forward σ chain at max(depths), one suffixed backward chain per
+    * grid depth, per-depth bc + top-`topN` overlap against the
+    * deepest bound.
+    */
+  def centralityDepthTuning(depths: Seq[Int] = Seq(2, 3, 4),
+      topN: Int = 20): String = {
+    val maxD = depths.max
+    val backs = depths.map(d => brandesBackwardCtes(d, s"_${d}_")).mkString
+    val bcd = depths.map(d =>
+      s"""SELECT $d AS dep, v AS id,
+         |    round(CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE), 6)
+         |      + 0.0 AS bc,
+         |    COUNT(*) AS np
+         |  FROM allv_${d}_ GROUP BY v""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    brandesForwardCtes(maxD) + backs + s""",
+       |bcd AS MATERIALIZED (
+       |  $bcd),
+       |t AS MATERIALIZED (
+       |  SELECT dep, id FROM (
+       |    SELECT dep, id, row_number() OVER (
+       |      PARTITION BY dep ORDER BY bc DESC, id) AS rnk FROM bcd)
+       |  WHERE rnk <= $topN),
+       |ref AS (SELECT id FROM t WHERE dep = $maxD),
+       |st AS (SELECT dep, CAST(SUM(np) AS BIGINT) AS n_state
+       |       FROM bcd GROUP BY 1),
+       |ov AS (
+       |  SELECT t.dep, CAST(COUNT(ref.id) AS BIGINT) AS overlap
+       |  FROM t LEFT JOIN ref ON t.id = ref.id GROUP BY 1)
+       |SELECT CAST(ov.dep AS BIGINT) AS max_depth, st.n_state,
+       |  ov.overlap AS top${topN}_overlap,
+       |  round(CAST(ov.overlap AS DOUBLE) / $topN, 6) + 0.0 AS agreement
+       |FROM ov JOIN st USING (dep) ORDER BY max_depth""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.Similarity.pcaPower]] — the

@@ -29,6 +29,8 @@ object SparkEntry {
     "cypher_quantified_path" -> (cypher.CypherQueries.quantifiedPath(_, _)),
     "cypher_qpp_group"      -> (cypher.CypherQueries.qppGroup(_, _)),
     "cypher_qpp_groupvar"   -> (cypher.CypherQueries.qppGroupVars(_, _)),
+    "cypher_qpp_stepfilter" -> (cypher.CypherQueries.qppStepFilter(_, _)),
+    "cypher_qpp_zero"       -> (cypher.CypherQueries.qppZero(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -139,6 +141,7 @@ object SparkEntry {
     "graph_closeness"       -> (graph.Algorithms.closenessQuery(_, _)),
     "graph_betweenness"     -> (graph.Algorithms.betweennessQuery(_, _)),
     "graph_centrality_tuning" -> (graph.Algorithms.centralityTuningQuery(_, _)),
+    "graph_centrality_depth" -> (graph.Algorithms.centralityDepthTuningQuery(_, _)),
     "graph_neighbor_sim"    -> (graph.Algorithms.neighborSimQuery(_, _)),
     "graph_neighbor_sim_approx" -> (graph.Algorithms.neighborSimApproxQuery(_, _)),
     "graph_scc"             -> (graph.Algorithms.sccQuery(_, _)),
@@ -369,6 +372,7 @@ object SparkEntry {
     "graph_allshortest_weighted" -> OracleSql.wasp(),
     "graph_betweenness"   -> OracleSql.betweenness(),
     "graph_centrality_tuning" -> OracleSql.centralityTuning(),
+    "graph_centrality_depth" -> OracleSql.centralityDepthTuning(),
     "graph_closeness" ->
       """WITH RECURSIVE nb AS (
         |  SELECT c_custkey AS src,
@@ -2938,6 +2942,49 @@ object SparkEntry {
         |FROM rws JOIN nation ns ON rws.s = ns.n_nationkey
         |JOIN nation nt ON rws.t = nt.n_nationkey
         |ORDER BY s_name, t_name, n_steps, step_node""".stripMargin,
+    // hop-count union with the per-step source predicate applied to
+    // every hop's source explicitly (the oracle spells the per-step
+    // semantics out; the engine plans it as one edge pre-filter)
+    "cypher_qpp_stepfilter" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |se AS (
+        |  SELECT e.src, e.dst FROM e
+        |  JOIN nation a ON a.n_nationkey = e.src AND a.n_regionkey = 2
+        |  WHERE e.dst IS NOT NULL),
+        |p AS (
+        |  SELECT src, dst, 1 AS n FROM se
+        |  UNION ALL
+        |  SELECT a.src, b.dst, 2 FROM se a JOIN se b ON a.dst = b.src
+        |  UNION ALL
+        |  SELECT a.src, c.dst, 3 FROM se a JOIN se b ON a.dst = b.src
+        |    JOIN se c ON b.dst = c.src)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.n AS BIGINT) AS n_steps
+        |FROM p JOIN nation ns ON p.src = ns.n_nationkey
+        |JOIN nation nt ON p.dst = nt.n_nationkey
+        |ORDER BY s_name, t_name, n_steps""".stripMargin,
+    // zero-length branch = one self-pair per nation at 0 hops,
+    // union'd with the 1- and 2-hop expansions
+    "cypher_qpp_zero" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |p AS (
+        |  SELECT n_nationkey AS src, n_nationkey AS dst, 0 AS n FROM nation
+        |  UNION ALL
+        |  SELECT src, dst, 1 FROM e2
+        |  UNION ALL
+        |  SELECT a.src, b.dst, 2 FROM e2 a JOIN e2 b ON a.dst = b.src)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.n AS BIGINT) AS hops
+        |FROM p JOIN nation ns ON p.src = ns.n_nationkey
+        |JOIN nation nt ON p.dst = nt.n_nationkey
+        |ORDER BY s_name, t_name, hops""".stripMargin,
     "graph_component_sizes" ->
       """WITH nodes AS (
         |  SELECT 2000000000 + c_custkey AS id, n_regionkey AS rk

@@ -158,7 +158,18 @@ object Ast {
         * repetitions (a = pattern-order nodes minus the last, b =
         * minus the first). None for every other relationship shape.
         */
-      groupNodes: Option[(Option[String], Option[String])] = None)
+      groupNodes: Option[(Option[String], Option[String])] = None,
+      /** Per-step inner node constraints of a quantified path group
+        * `((a:L {p: v})-[:T]->(b:M)){n,m}`: the full inner source and
+        * target NodePatterns (labels + property literals). They
+        * constrain EVERY repetition — each step's source must satisfy
+        * the first pattern and each step's target the second, which
+        * the planner applies as a single semi-join pre-filter of the
+        * edge list (a step is an edge; per-step node constraints are
+        * edge-endpoint constraints). None when both inner nodes are
+        * bare.
+        */
+      stepFilters: Option[(NodePattern, NodePattern)] = None)
 
   /** A linear pattern chain: start node then (rel, node) hops.
     * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for

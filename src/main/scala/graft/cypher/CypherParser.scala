@@ -579,14 +579,14 @@ object CypherParser {
       atSym("(") && pos + 1 < toks.length && toks(pos + 1) == TSym("(")
 
     /** Parenthesized quantified path pattern — the full GQL form
-      * `(s) ((a)-[:T]->(b)){n,m} (t)`: the group's single hop repeats
-      * n..m times between the juncture nodes, exactly the `*n..m`
-      * plan. Named inner nodes are GQL GROUP VARIABLES — each binds a
-      * per-step node list over the group's repetitions (derived from
-      * the var-expand walk the plan already carries). Inner
-      * labels/props would constrain EVERY step — beyond the
-      * var-expand plan, so they stay rejected loudly rather than
-      * silently dropped.
+      * `(s) ((a:L {p: v})-[:T]->(b:M)){n,m} (t)`: the group's single
+      * hop repeats n..m times between the juncture nodes, exactly the
+      * `*n..m` plan. Named inner nodes are GQL GROUP VARIABLES — each
+      * binds a per-step node list over the group's repetitions
+      * (derived from the var-expand walk the plan already carries).
+      * Inner labels/properties constrain EVERY repetition — carried
+      * as [[RelPattern.stepFilters]] and planned as an edge-endpoint
+      * semi-join pre-filter.
       */
     private def quantifiedGroupRel(): RelPattern = {
       eatSym("(")
@@ -599,16 +599,14 @@ object CypherParser {
       val (rel, endNode) = inner.hops.head
       require(rel.varLength.isEmpty,
         "cannot quantify an already var-length relationship")
-      for (n <- Seq(inner.start, endNode)) {
-        require(n.label.isEmpty && n.props.isEmpty && n.moreLabels.isEmpty,
-          "labels/properties on inner nodes of a quantified path group " +
-            "are not supported (they would constrain every step)")
-      }
       val groupVars = (inner.start.variable, endNode.variable) match {
         case (None, None) => None
         case gv            => Some(gv)
       }
-      rel.copy(varLength = Some(q), groupNodes = groupVars)
+      val constrained = Seq(inner.start, endNode).exists(n =>
+        n.label.isDefined || n.props.nonEmpty || n.moreLabels.nonEmpty)
+      rel.copy(varLength = Some(q), groupNodes = groupVars,
+        stepFilters = if (constrained) Some((inner.start, endNode)) else None)
     }
 
     /** The `{n,m}` / `{n}` / `{n,}` / `{,m}` quantifier body; None
@@ -634,16 +632,15 @@ object CypherParser {
           case (Some(l), false, _)      => (l, l)          // {2}
           case (Some(l), true, Some(h)) => (l, h)          // {1,3}
           case (Some(l), true, None)    => (l, MaxVarHops) // {2,}
-          // {,m} means 0..m in GQL/Neo4j (zero-length paths included);
-          // rejecting it with the SAME error as the explicit {0,m}
-          // keeps the divergence from Neo4j loud in both spellings
-          // instead of silently clamping one of them to 1.
-          case (None, true, Some(_))    => (0, 0)          // {,3} → reject below
+          // {,m} means 0..m in GQL/Neo4j — the zero-length path
+          // (start = end, no edges traversed) is included, planned as
+          // the k=0 union branch of the var-expand
+          case (None, true, Some(h))    => (0, h)          // {,3}
           case _ => throw new IllegalArgumentException(
             "empty path quantifier {}")
         }
-        if (r._1 < 1) throw new IllegalArgumentException(
-          "path quantifier lower bound 0 is not supported (hops must be >= 1)")
+        require(r._2 >= r._1, s"path quantifier {${r._1},${r._2}}: " +
+          "upper bound below lower bound")
         Some(r)
       }
 

@@ -1636,6 +1636,58 @@ object CypherPlanner {
           relForExpand.unionByName(swapped)
         case _ => relForExpand
       }
+      // Per-step inner node constraints of a quantified group
+      // (`((a:L {p: v})-[:T]->(b:M)){n,m}`): every repetition's source
+      // must satisfy the inner start pattern and its target the inner
+      // end pattern. A repetition IS one edge of the walk, so the
+      // per-step constraint is an edge-endpoint constraint — two id
+      // semi-joins applied ONCE, before expansion (shrinking the edge
+      // list every k-hop join composes, instead of re-checking nodes
+      // per repetition). Orientation: in TRAVERSAL order the step
+      // source is the inner start; an In hop traverses edges backward,
+      // so its traversal source is the stored __dst. Zero-length
+      // branches ({0,m}) are untouched — no step executes, so step
+      // constraints are vacuous (GQL semantics).
+      val stepFiltered = rel.stepFilters match {
+        case None => orientedRel
+        case Some((aPat, bPat)) =>
+          def constraintIds(np: NodePattern): Option[DataFrame] = {
+            if (np.label.isEmpty && np.props.isEmpty && np.moreLabels.isEmpty)
+              None
+            else {
+              var t = np.label match {
+                case Some(l) =>
+                  np.moreLabels.distinct.filter(_ != l)
+                    .foldLeft(graph.nodeTable(l)) { (acc, l2) =>
+                      acc.join(graph.nodeTable(l2).select(col("__id")),
+                        Seq("__id"), "left_semi")
+                    }
+                case None =>
+                  // props-only constraint: any label whose table carries
+                  // every named property can satisfy it
+                  val cands = graph.nodes.values.toSeq
+                    .filter(t0 => np.props.keys.forall(t0.columns.contains))
+                    .map(t0 => t0.select(col("__id") +:
+                      np.props.keys.toSeq.sorted.map(col): _*))
+                  cands.reduceOption(_.unionByName(_)).getOrElse(
+                    graph.nodes.values.head.sparkSession.range(0)
+                      .select(col("id").as("__id") +:
+                        np.props.keys.toSeq.sorted.map(k =>
+                          lit(null).as(k)): _*))
+              }
+              np.props.foreach { case (k, v) => t = t.filter(col(k) === lit(v)) }
+              Some(t.select(col("__id")))
+            }
+          }
+          val (sCol, dCol) =
+            if (rel.direction == In) ("__dst", "__src") else ("__src", "__dst")
+          var e = orientedRel
+          constraintIds(aPat).foreach(f =>
+            e = e.join(f, e(sCol) === f("__id"), "left_semi"))
+          constraintIds(bPat).foreach(f =>
+            e = e.join(f, e(dCol) === f("__id"), "left_semi"))
+          e
+      }
       // shortest-path chains seed the BFS with the start variable's
       // bound id set (the pre-bound MATCH spelling, or at least the
       // start label's scan): sources outside the binding can never
@@ -1658,18 +1710,28 @@ object CypherPlanner {
       val expanded =
         if (chain.weightProp.isDefined) {
           val wp = chain.weightProp.get
-          require(orientedRel.columns.contains(wp),
+          require(stepFiltered.columns.contains(wp),
             s"weight property '$wp' is not a property of this relationship " +
-              s"(have: ${orientedRel.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
-          weightedShortestRel(orientedRel, wp, rel.varLength.get._1,
+              s"(have: ${stepFiltered.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
+          weightedShortestRel(stepFiltered, wp, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
         } else if (chain.allShortest)
-          shortestRelCounted(orientedRel, rel.varLength.get._1,
+          shortestRelCounted(stepFiltered, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
         else if (chain.shortest)
-          shortestRel(orientedRel, rel.varLength.get._1,
+          shortestRel(stepFiltered, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
-        else varLengthRel(orientedRel, rel.varLength)
+        else {
+          // zero-lower-bound expansion needs the node universe for
+          // its k=0 branch: every node id, across all labels (a
+          // multi-label node contributes once)
+          val zeroUniverse =
+            if (rel.varLength.exists(_._1 == 0))
+              Some(graph.nodes.values.map(_.select(col("__id")))
+                .reduce(_.union(_)).distinct())
+            else None
+          varLengthRel(stepFiltered, rel.varLength, zeroUniverse)
+        }
       // the edge identities this hop consumed, exposed only when some
       // other hop of the chain must be kept from reusing them
       val hopEids: Option[Column] =
@@ -1794,14 +1856,19 @@ object CypherPlanner {
             s"group variable '$n' collides with an existing binding"))
         val walk =
           if (rel.direction == In)
-            reverse(concat(array(col(s"${nv}__id")),
-              slice(col("__r_nids"), lit(1),
-                greatest(size(col("__r_nids")) - 1, lit(0)))))
+            when(size(col("__r_nids")) === 0, col("__r_nids")).otherwise(
+              reverse(concat(array(col(s"${nv}__id")),
+                slice(col("__r_nids"), lit(1),
+                  greatest(size(col("__r_nids")) - 1, lit(0))))))
           else col("__r_nids")
+        // zero repetitions (a {0,m} group's k=0 branch) bind BOTH
+        // group variables to the empty list — no step executed, so
+        // no per-step sources either (GQL group-variable semantics)
         bName.foreach(b => df = df.withColumn(b, walk))
         aName.foreach(a => df = df.withColumn(a,
-          concat(array(col(s"${cur}__id")),
-            slice(walk, lit(1), greatest(size(walk) - 1, lit(0))))))
+          when(size(walk) === 0, walk).otherwise(
+            concat(array(col(s"${cur}__id")),
+              slice(walk, lit(1), greatest(size(walk) - 1, lit(0)))))))
         if (chain.pathVar.isEmpty || chain.shortest)
           df = df.drop("__r_nids")
       }
@@ -1819,9 +1886,12 @@ object CypherPlanner {
         val contrib =
           if (rel.varLength.isEmpty) array(col(s"${nv}__id"))
           else if (rel.direction == In)
-            reverse(concat(array(col(s"${nv}__id")),
-              slice(col("__r_nids"), lit(1),
-                greatest(size(col("__r_nids")) - 1, lit(0)))))
+            // a zero-hop walk contributes nothing (start = end, the
+            // seeded start already covers the path's one node)
+            when(size(col("__r_nids")) === 0, col("__r_nids")).otherwise(
+              reverse(concat(array(col(s"${nv}__id")),
+                slice(col("__r_nids"), lit(1),
+                  greatest(size(col("__r_nids")) - 1, lit(0))))))
           else col("__r_nids")
         df =
           if (df.columns.contains("__path_nids"))
@@ -1893,10 +1963,52 @@ object CypherPlanner {
     * Catalyst/AQE picks broadcast vs shuffle per step; at 100 TB the
     * intermediate frontier is keyed on node id throughout, so the
     * partitioning is reused between steps.
+    *
+    * lo = 0 (GQL `{0,m}` / `*0..m`) adds the ZERO-LENGTH branch:
+    * one (n, n) row per node in `zeroUniverse` (the graph's full node
+    * id set — isolated nodes have zero-length paths to themselves
+    * too), zero hops, empty edge/node lists. The surrounding joins
+    * apply both endpoints' constraints to the SAME node, exactly
+    * GQL's start-equals-end semantics; `length(p)` sees 0 and
+    * `nodes(p)` the single-node path. |V| extra rows keyed on node
+    * id — no fanout, broadcast/shuffle-join like any other branch.
     */
-  private def varLengthRel(rel: DataFrame, varLength: Option[(Int, Int)]): DataFrame =
+  private def varLengthRel(rel: DataFrame, varLength: Option[(Int, Int)],
+      zeroUniverse: Option[DataFrame] = None): DataFrame =
     varLength match {
       case None => rel
+      case Some((0, hi)) =>
+        val universe = zeroUniverse.getOrElse(throw new IllegalStateException(
+          "zero-lower-bound expansion needs the node universe"))
+        val pos =
+          if (hi == 0) None // `{0}` / `{0,0}`: only the empty path
+          else Some(varLengthRel(rel, Some((1, hi)), None))
+        val zero0 = universe.select(col("__id").as("__src"),
+          col("__id").as("__dst"), lit(0).as("__hops"))
+        val zero = pos match {
+          case None =>
+            val withNids = zero0.withColumn("__nids",
+              array().cast("array<bigint>"))
+            // an eid-tagged hop ({0} under chain-uniqueness or a path
+            // variable) still exposes the (empty) edge-identity list
+            if (rel.columns.contains("__eid"))
+              withNids.withColumn("__eids", array().cast(
+                org.apache.spark.sql.types.ArrayType(
+                  rel.schema("__eid").dataType)))
+            else withNids
+          case Some(p) =>
+            // typed empty lists matching the positive branches' walk
+            // schema (edge-identity struct type is derived, not spelled)
+            p.schema.fields.foldLeft(zero0) { (z, f) =>
+              if (f.name == "__eids" || f.name == "__nids")
+                z.withColumn(f.name, array().cast(f.dataType))
+              else z
+            }
+        }
+        pos match {
+          case None    => zero
+          case Some(p) => zero.unionByName(p).select(p.columns.map(col).toSeq: _*)
+        }
       case Some((lo, hi)) =>
         require(lo >= 1 && hi >= lo && hi <= 10,
           s"variable-length bounds *$lo..$hi out of supported range")

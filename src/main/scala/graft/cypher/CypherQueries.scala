@@ -106,6 +106,30 @@ object CypherQueries {
         |  step_node
         |ORDER BY s_name, t_name, n_steps, step_node""".stripMargin)
 
+  /** Per-step inner node predicates on a quantified path group — the
+    * GQL form `((a:L {p: v})-[:T]->(b)){n,m}` where the inner
+    * pattern's labels/properties constrain EVERY repetition (each
+    * step's source here must be a region-2 nation). Planned as one
+    * edge-endpoint semi-join before the bounded expansion, not a
+    * per-repetition re-check.
+    */
+  def qppStepFilter(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (s:Nation) ((a:Nation {regionkey: 2})-[:NEXT_IN_REGION]->(b)){1,3} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, size(a) AS n_steps
+        |ORDER BY s_name, t_name, n_steps""".stripMargin)
+
+  /** Zero-lower-bound quantified path — GQL `*0..m` / `{0,m}` / `{,m}`
+    * include the ZERO-LENGTH path (start = end, no edge traversed):
+    * `length(p)` is 0 on it and every node is its own zero-hop
+    * neighbor, union'd with the ordinary 1..m expansion.
+    */
+  def qppZero(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation)-[:NEXT_IN_REGION*0..2]->(t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name, hops""".stripMargin)
+
   def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (c:Customer)

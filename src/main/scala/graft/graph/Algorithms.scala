@@ -1731,6 +1731,19 @@ object Algorithms {
     */
   private[graft] def betweennessDeltas(spark: SparkSession, sfDir: String,
       maxDepth: Int = 4): DataFrame = {
+    val (levels, e, deepest) = brandesForward(spark, sfDir, maxDepth)
+    brandesBackward(levels, e, deepest)
+  }
+
+  /** Forward Brandes σ BFS: `(levels(lm, id, dist, sigma), edges,
+    * deepest-reached-level)`. First-reach only, so `levels` is
+    * PREFIX-STABLE in the depth bound — the frame computed at bound D
+    * filtered to `dist <= d` IS the bound-d frame, which is what lets
+    * [[centralityDepthTuningQuery]] feed every grid depth from ONE
+    * forward pass.
+    */
+  private[graft] def brandesForward(spark: SparkSession, sfDir: String,
+      maxDepth: Int): (DataFrame, DataFrame, Int) = {
     val (edges, landmarks) = skipLinkGraph(spark, sfDir)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
@@ -1753,14 +1766,24 @@ object Algorithms {
       if (next.isEmpty) drained = true
       else { levels = levels.unionByName(next); frontier = next; d += 1 }
     }
-    val deepest = d
-    // backward dependency accumulation, deepest level first; nodes at
-    // the deepest level have no successors inside the bound → delta 0
-    var withDelta = levels.filter(col("dist") === deepest)
+    (levels, e, d)
+  }
+
+  /** Backward dependency accumulation of the depth-`depth`-bounded
+    * Brandes over a forward `levels` frame (computed at a bound
+    * ≥ `depth`): nodes AT the horizon seed delta 0, each shallower
+    * level sums σ-ratio terms from its successors. Returns the
+    * per-(landmark, node) dependency frame `(lm, id, delta)`,
+    * `1 <= dist <= depth` rows only.
+    */
+  private def brandesBackward(levels: DataFrame, e: DataFrame,
+      depth: Int): DataFrame = {
+    // nodes at the horizon have no successors inside the bound → 0
+    var withDelta = levels.filter(col("dist") === depth)
       .withColumn("delta", lit(0.0)).localCheckpoint(true)
     val acc = Seq.newBuilder[DataFrame]
     acc += withDelta.select(col("lm"), col("id"), col("dist"), col("delta"))
-    for (l <- (deepest - 1) to 1 by -1) {
+    for (l <- (depth - 1) to 1 by -1) {
       val vSide = levels.filter(col("dist") === l)
       val wSide = withDelta.select(col("lm").as("w_lm"), col("id").as("w_id"),
         col("sigma").as("w_sigma"), col("delta").as("w_delta"))
@@ -1813,11 +1836,18 @@ object Algorithms {
           count(lit(1)).as("np"))
         .select(lit(k).as("k"), col("id"), col("bc"), col("np"))
     }.reduce(_.unionByName(_))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("bc").desc, col("id"))
-    val tops = byK
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topN)
+    // per-k top-N as the mergeable bounded aggregate
+    // ([[graft.functions.TopKAggregate]], same (bc DESC, id ASC)
+    // order as the former row_number window): with 4 k-values the
+    // window plan made 4 node-cardinality partitions whose map-side
+    // bounding leaned on the unpinned WindowGroupLimit rescue — the
+    // aggregate bounds every map task to ≤ topN rows per k by
+    // construction, so the exchange carries ≤ topN·|ks|·tasks rows
+    val topkAgg = udaf(new graft.functions.TopKAggregate(topN))
+    val tops = byK.groupBy(col("k"))
+      .agg(topkAgg(col("id"), col("bc")).as("top"))
+      .select(col("k"), explode(col("top")).as("row"))
+      .select(col("k"), col("row._1").as("id"))
       .localCheckpoint(true)
     val kMax = ks.max
     val ref = tops.filter(col("k") === kMax)
@@ -1834,6 +1864,52 @@ object Algorithms {
         (round(col("overlap").cast("double") / topN, 6) + lit(0.0))
           .as("agreement"))
       .orderBy(col("n_landmarks"))
+  }
+
+  /** Depth-bound tuning curve for sampled betweenness — the OTHER
+    * dial next to [[centralityTuningQuery]]'s landmark count: per BFS
+    * horizon d in `depths`, how well does the depth-d-bounded
+    * estimate's top-`topN` agree with the deepest bound's? ONE
+    * forward σ pass at max(depths) feeds every cell (first-reach
+    * levels are prefix-stable in the bound, see [[brandesForward]]);
+    * only the cheap backward re-accumulation runs per grid depth —
+    * zero extra BFS/anti-join passes, the landmark-grid discipline.
+    * n_state is the cell's (lm, id) dependency-state volume — the
+    * cost axis. Top-N via the mergeable bounded
+    * [[graft.functions.TopKAggregate]] (map-side ≤ topN rows per
+    * depth, no node-cardinality window partitions).
+    */
+  def centralityDepthTuningQuery(spark: SparkSession, sfDir: String,
+      depths: Seq[Int] = Seq(2, 3, 4), topN: Int = 20): DataFrame = {
+    val maxD = depths.max
+    val (levels, e, deepest) = brandesForward(spark, sfDir, maxD)
+    val byD = depths.map { dep =>
+      brandesBackward(levels, e, math.min(dep, deepest))
+        .groupBy(col("id"))
+        .agg((round(sum(col("delta").cast("decimal(38,12)"))
+          .cast("double"), 6) + lit(0.0)).as("bc"),
+          count(lit(1)).as("np"))
+        .select(lit(dep).as("dep"), col("id"), col("bc"), col("np"))
+    }.reduce(_.unionByName(_))
+    val topkAgg = udaf(new graft.functions.TopKAggregate(topN))
+    val tops = byD.groupBy(col("dep"))
+      .agg(topkAgg(col("id"), col("bc")).as("top"))
+      .select(col("dep"), explode(col("top")).as("row"))
+      .select(col("dep"), col("row._1").as("id"))
+      .localCheckpoint(true)
+    val ref = tops.filter(col("dep") === maxD)
+      .select(col("id"), lit(1L).as("in_ref"))
+    val state = byD.groupBy(col("dep")).agg(sum(col("np")).as("n_state"))
+    tops.join(broadcast(ref), Seq("id"), "left_outer")
+      .groupBy(col("dep"))
+      .agg(coalesce(sum(col("in_ref")), lit(0L)).as("overlap"))
+      .join(state, Seq("dep"))
+      .select(col("dep").cast("long").as("max_depth"),
+        col("n_state").cast("long").as("n_state"),
+        col("overlap").cast("long").as(s"top${topN}_overlap"),
+        (round(col("overlap").cast("double") / topN, 6) + lit(0.0))
+          .as("agreement"))
+      .orderBy(col("max_depth"))
   }
 
   /** Directed min-label propagation to fixpoint over `edges`

