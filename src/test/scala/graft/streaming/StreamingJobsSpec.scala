@@ -723,6 +723,89 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("community maintenance loop: votes -> disagreement flags -> batch LPA revisit converges") {
+    // the full streaming/batch maintenance split, end-to-end over an
+    // EVOLVING edge stream: (1) batch LPA settles an assignment on
+    // the initial graph; (2) lpaVotes keeps per-(vertex, community)
+    // registers hot across >= 3 micro-batches (bootstrap + deltas);
+    // (3) the register argmax flags exactly the vertices the next
+    // periodic batch run must revisit; (4) the revisit over the full
+    // edge log converges — re-seeding the votes with the NEW
+    // assignment clears every flag
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two triangles: {1,2,3} and {4,5,6}
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val assign0 = graft.graph.Algorithms
+      .labelPropagation(e0.toDF("src", "dst"), 5)
+    val a0 = assign0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labA, labB) = (a0(1L), a0(4L))
+    assert(a0(2L) == labA && a0(3L) == labA &&
+      a0(5L) == labB && a0(6L) == labB && labA != labB,
+      s"initial LPA must settle the two triangles: $a0")
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingJobs
+      .lpaVotes(input.toDF().toDF("src", "dst"), assign0)
+      .writeStream.format("memory").queryName("lpaloop")
+      .outputMode("update").start()
+    // registers: update mode emits one row per changed key per batch;
+    // votes only grow, so max is the newest value per key
+    def registers(): Map[(Long, Long), Long] =
+      spark.table("lpaloop").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    // the consumer's disagreement detector: a vertex whose register
+    // argmax (ties to the smaller label) is not its assigned label —
+    // including vertices the assignment has never seen
+    def flagged(asg: Map[Long, Long]): Set[Long] =
+      registers().toSeq.groupBy(_._1._1).flatMap { case (id, vs) =>
+        val argmax = vs.map { case ((_, l), n) => (l, n) }
+          .minBy(t => (-t._2, t._1))._1
+        if (asg.get(id).contains(argmax)) None else Some(id)
+      }.toSet
+    try {
+      // micro-batch 1: the initial edge log bootstraps the registers —
+      // a settled assignment has zero disagreements
+      input.addData(e0: _*); q.processAllAvailable()
+      assert(flagged(a0).isEmpty,
+        s"settled assignment must not flag anything: ${flagged(a0)}")
+      // micro-batch 2: a NEW vertex attaches to the A triangle — it
+      // has no assignment, so it alone is flagged for the next revisit
+      input.addData((3L, 7L)); q.processAllAvailable()
+      assert(flagged(a0) == Set(7L))
+      // micro-batch 3: vertex 6 gains three A-side edges — its
+      // neighborhood vote (3×A vs 2×B) now contradicts its assignment
+      input.addData((6L, 1L), (6L, 2L), (6L, 3L)); q.processAllAvailable()
+      assert(flagged(a0) == Set(6L, 7L),
+        s"votes must flag 6 (outvoted) and 7 (unseen): ${flagged(a0)}")
+      // periodic batch revisit over the FULL edge log
+      val eAll = e0 ++ Seq((3L, 7L), (6L, 1L), (6L, 2L), (6L, 3L))
+      val a1 = graft.graph.Algorithms
+        .labelPropagation(eAll.toDF("src", "dst"), 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the flagged vertices settle into the A community; B's core
+      // keeps its label
+      assert(a1(6L) == a1(1L) && a1(7L) == a1(1L),
+        s"revisit must move 6 and 7 into the A community: $a1")
+      assert(a1(4L) == a1(5L), s"revisit must keep B's core together: $a1")
+      // loop closure: votes over the full log against the REVISITED
+      // assignment flag nothing — computed with the same batch-mode
+      // lpaVotes the stream runs (registers are stream/batch identical,
+      // pinned by the spec above)
+      val closed = StreamingJobs.lpaVotes(
+        eAll.toDF("src", "dst"),
+        a1.toSeq.toDF("id", "label"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1._1).flatMap { case (id, vs) =>
+          val argmax = vs.map { case ((_, l), n) => (l, n) }
+            .minBy(t => (-t._2, t._1))._1
+          if (a1.get(id).contains(argmax)) None else Some(id)
+        }.toSet
+      assert(closed.isEmpty,
+        s"revisited assignment must clear every flag: $closed")
+    } finally q.stop()
+  }
+
   test("streaming SCC trim: verdicts flip monotonically as edges close cycles") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
