@@ -223,10 +223,13 @@ object Ast {
   final case class CallClause(imports: Seq[String], inner: Seq[Clause])
       extends Clause
   /** `CALL { [WITH var, …] <write clauses> } IN TRANSACTIONS
-    * [OF n ROWS] [REPORT STATUS AS var]` — Neo4j's batched-write
-    * subquery (the `:auto` bulk-update idiom). The body is restricted
-    * to update clauses; `rowCap` is the per-transaction row bound
-    * (Neo4j's default 1000 when `OF … ROWS` is omitted); `statusVar`
+    * [OF n ROWS] [ON ERROR CONTINUE|BREAK|FAIL] [REPORT STATUS AS
+    * var]` — Neo4j's batched-write subquery (the `:auto` bulk-update
+    * idiom). The body is restricted to update clauses (engine
+    * divergence, see the parser note); `rowCap` is the
+    * per-transaction row bound (Neo4j's default 1000 when `OF … ROWS`
+    * is omitted); `onError` is the per-batch error policy (Neo4j
+    * requires CONTINUE or BREAK alongside REPORT STATUS); `statusVar`
     * binds the per-row transaction status map when `REPORT STATUS AS`
     * is present (`transactionId`, `committed`, `errorMessage` — the
     * Neo4j 5 status-map fields).

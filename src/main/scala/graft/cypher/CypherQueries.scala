@@ -1248,8 +1248,11 @@ object CypherQueries {
         |  sum(coalesce(c2.vip, 0)) AS n_vip
         |ORDER BY segment""".stripMargin)
 
-  /** `CALL { … } IN TRANSACTIONS OF n ROWS REPORT STATUS AS s` —
-    * Neo4j's batched bulk-write subquery, surfaced onto the SAME
+  /** `CALL { … } IN TRANSACTIONS OF n ROWS ON ERROR CONTINUE REPORT
+    * STATUS AS s` — Neo4j's batched bulk-write subquery (REPORT
+    * STATUS requires the CONTINUE/BREAK error policy, as in Neo4j;
+    * the policies are unobservable here — set-based writes cannot
+    * fail per batch), surfaced onto the SAME
     * key-range/row-cap batcher the connector's UNWIND payload builder
     * POSTs by (CypherPayload.txBatch): the engine's write path and
     * the connector's batching share one arithmetic end-to-end. The
