@@ -73,13 +73,16 @@ class CypherParserSpec extends AnyFunSuite {
     assert(vl("-[:R]->{2,}").contains((2, CypherParser.MaxVarHops)))
     assert(vl("<-[:R]-{1,2}").contains((1, 2)))
     assert(vl("-[:R]-{1,2}").contains((1, 2)))
-    // combining both spellings is rejected; so are {}, a 0 bound, and
-    // the implicit-0 spelling {,m} (GQL semantics are 0..m — both the
-    // explicit and implicit zero lower bound fail with the same error)
+    // zero lower bounds are GQL semantics (0..m includes the empty
+    // path) — both the explicit and implicit spellings parse (r13)
+    assert(vl("-[:R]->{0,3}").contains((0, 3)))
+    assert(vl("-[:R]->{,3}").contains((0, 3)))
+    assert(vl("-[:R]->{0}").contains((0, 0)))
+    // combining both spellings is rejected; so are {} and an inverted
+    // range
     intercept[IllegalArgumentException](vl("-[:R*1..2]->{1,3}"))
     intercept[IllegalArgumentException](vl("-[:R]->{}"))
-    intercept[IllegalArgumentException](vl("-[:R]->{0,3}"))
-    intercept[IllegalArgumentException](vl("-[:R]->{,3}"))
+    intercept[IllegalArgumentException](vl("-[:R]->{3,1}"))
   }
 
   test("parenthesized quantified path group maps onto the var-length range") {
@@ -102,9 +105,14 @@ class CypherParserSpec extends AnyFunSuite {
       .head.chain.hops.head._1
     assert(gvHalf.groupNodes.contains((None, Some("v"))))
     assert(rel.groupNodes.isEmpty, "anonymous groups bind no group vars")
-    // unsupported group shapes fail loudly instead of binding wrongly
-    intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (a:X) ((:Z)-[:R]->()){2,3} (b:Y) RETURN a.p")) // inner label
+    // inner labels/props are PER-STEP constraints since r13 —
+    // captured as stepFilters, no longer a reject
+    val sf = matches(CypherParser.parse(
+      "MATCH (a:X) ((:Z)-[:R]->()){2,3} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(sf.stepFilters.exists(_._1.label.contains("Z")))
+    assert(sf.varLength.contains((2, 3)))
+    // unsupported group shapes still fail loudly
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (a:X) (()-[:R]->()-[:S]->()){2} (b:Y) RETURN a.p")) // 2 hops
     intercept[IllegalArgumentException](CypherParser.parse(
