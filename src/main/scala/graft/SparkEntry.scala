@@ -31,6 +31,7 @@ object SparkEntry {
     "cypher_qpp_groupvar"   -> (cypher.CypherQueries.qppGroupVars(_, _)),
     "cypher_qpp_stepfilter" -> (cypher.CypherQueries.qppStepFilter(_, _)),
     "cypher_qpp_zero"       -> (cypher.CypherQueries.qppZero(_, _)),
+    "cypher_qpp_multihop"   -> (cypher.CypherQueries.qppMultiHop(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -2966,6 +2967,29 @@ object SparkEntry {
         |FROM p JOIN nation ns ON p.src = ns.n_nationkey
         |JOIN nation nt ON p.dst = nt.n_nationkey
         |ORDER BY s_name, t_name, n_steps""".stripMargin,
+    // k repetitions of the 2-hop unit = 2k-edge walks: the 2- and
+    // 4-hop compositions with repetition counts
+    "cypher_qpp_multihop" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |h2 AS (SELECT a.src AS s, b.dst AS t FROM e2 a
+        |       JOIN e2 b ON a.dst = b.src),
+        |h4 AS (SELECT a.src AS s, d.dst AS t FROM e2 a
+        |       JOIN e2 b ON a.dst = b.src
+        |       JOIN e2 c ON b.dst = c.src
+        |       JOIN e2 d ON c.dst = d.src),
+        |p AS (
+        |  SELECT s, t, 2 AS hops, 1 AS n_reps FROM h2
+        |  UNION ALL
+        |  SELECT s, t, 4, 2 FROM h4)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.hops AS BIGINT) AS hops, CAST(p.n_reps AS BIGINT) AS n_reps
+        |FROM p JOIN nation ns ON p.s = ns.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name""".stripMargin,
     // zero-length branch = one self-pair per nation at 0 hops,
     // union'd with the 1- and 2-hop expansions
     "cypher_qpp_zero" ->

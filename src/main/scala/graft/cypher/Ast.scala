@@ -169,7 +169,18 @@ object Ast {
         * edge-endpoint constraints). None when both inner nodes are
         * bare.
         */
-      stepFilters: Option[(NodePattern, NodePattern)] = None)
+      stepFilters: Option[(NodePattern, NodePattern)] = None,
+      /** Multi-hop quantified path group `((a)-[:X]->(b)-[:Y]->(c))
+        * {n,m}` (2–3 inner hops): the WHOLE inner chain repeats as a
+        * unit. The planner composes the inner hops into a composite
+        * edge frame (per-repetition node/edge-identity arrays ride
+        * along) and var-expands that, so `length(p)` counts k·h
+        * relationships and every named inner node binds its per-
+        * repetition group-variable list by stride-slicing the walk.
+        * None for single-hop groups (which use `groupNodes`/
+        * `stepFilters`) and all other relationship shapes.
+        */
+      groupChain: Option[PatternChain] = None)
 
   /** A linear pattern chain: start node then (rel, node) hops.
     * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for

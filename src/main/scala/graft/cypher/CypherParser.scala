@@ -594,19 +594,35 @@ object CypherParser {
       eatSym(")")
       val q = pathQuantifier().getOrElse(throw new IllegalArgumentException(
         "a parenthesized path pattern must carry a {n,m} quantifier"))
-      require(inner.hops.size == 1,
-        "only single-hop quantified path groups are supported")
-      val (rel, endNode) = inner.hops.head
-      require(rel.varLength.isEmpty,
-        "cannot quantify an already var-length relationship")
-      val groupVars = (inner.start.variable, endNode.variable) match {
-        case (None, None) => None
-        case gv            => Some(gv)
+      inner.hops.foreach { case (r, _) =>
+        require(r.varLength.isEmpty,
+          "cannot quantify an already var-length relationship")
       }
-      val constrained = Seq(inner.start, endNode).exists(n =>
-        n.label.isDefined || n.props.nonEmpty || n.moreLabels.nonEmpty)
-      rel.copy(varLength = Some(q), groupNodes = groupVars,
-        stepFilters = if (constrained) Some((inner.start, endNode)) else None)
+      if (inner.hops.size == 1) {
+        val (rel, endNode) = inner.hops.head
+        val groupVars = (inner.start.variable, endNode.variable) match {
+          case (None, None) => None
+          case gv            => Some(gv)
+        }
+        val constrained = Seq(inner.start, endNode).exists(n =>
+          n.label.isDefined || n.props.nonEmpty || n.moreLabels.nonEmpty)
+        rel.copy(varLength = Some(q), groupNodes = groupVars,
+          stepFilters = if (constrained) Some((inner.start, endNode)) else None)
+      } else {
+        // multi-hop group: the whole inner chain repeats as a unit —
+        // composed into a composite edge frame by the planner
+        require(inner.hops.size <= 3,
+          "quantified path group inner chains support at most 3 hops")
+        require(inner.hops.forall(_._1.direction == Out),
+          "multi-hop quantified groups support only left-to-right " +
+            "(->) inner hops")
+        require(inner.hops.forall(_._1.relType.isDefined),
+          "multi-hop quantified group hops must carry a relationship type")
+        RelPattern(variable = None,
+          relType = inner.hops.head._1.relType,
+          direction = Out, varLength = Some(q),
+          groupChain = Some(inner))
+      }
     }
 
     /** The `{n,m}` / `{n}` / `{n,}` / `{,m}` quantifier body; None

@@ -268,7 +268,9 @@ object CypherPlanner {
         // GQL group variables surface as LIST-valued scalar bindings
         // (UNWIND/size/indexing consume them like any WITH-bound list)
         val gvars = chain.hops.flatMap { case (r, _) =>
-          r.groupNodes.toSeq.flatMap { case (a, b) => a.toSeq ++ b.toSeq }
+          r.groupNodes.toSeq.flatMap { case (a, b) => a.toSeq ++ b.toSeq } ++
+            r.groupChain.toSeq.flatMap(ch =>
+              (ch.start +: ch.hops.map(_._2)).flatMap(_.variable))
         }.toSet
         s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars,
           scalars = s.scalars ++ gvars, lists = s.lists ++ gvars,
@@ -1389,6 +1391,39 @@ object CypherPlanner {
     // materializes from the FIRST hop's edge source instead
     var pendingStart: Option[String] = None
 
+    /** Node-id frame satisfying a pattern's label/property
+      * constraints, or None for a bare pattern — the semi-join side of
+      * per-step group predicates (single- and multi-hop alike).
+      */
+    def constraintIds(np: NodePattern): Option[DataFrame] = {
+      if (np.label.isEmpty && np.props.isEmpty && np.moreLabels.isEmpty)
+        None
+      else {
+        var t = np.label match {
+          case Some(l) =>
+            np.moreLabels.distinct.filter(_ != l)
+              .foldLeft(graph.nodeTable(l)) { (acc, l2) =>
+                acc.join(graph.nodeTable(l2).select(col("__id")),
+                  Seq("__id"), "left_semi")
+              }
+          case None =>
+            // props-only constraint: any label whose table carries
+            // every named property can satisfy it
+            val cands = graph.nodes.values.toSeq
+              .filter(t0 => np.props.keys.forall(t0.columns.contains))
+              .map(t0 => t0.select(col("__id") +:
+                np.props.keys.toSeq.sorted.map(col): _*))
+            cands.reduceOption(_.unionByName(_)).getOrElse(
+              graph.nodes.values.head.sparkSession.range(0)
+                .select(col("id").as("__id") +:
+                  np.props.keys.toSeq.sorted.map(k =>
+                    lit(null).as(k)): _*))
+        }
+        np.props.foreach { case (k, v) => t = t.filter(col(k) === lit(v)) }
+        Some(t.select(col("__id")))
+      }
+    }
+
     def nodeDf(np: NodePattern): (DataFrame, String) = {
       val v = np.variable.getOrElse(s"__anon${np.hashCode.abs}")
       // label-less node (`MATCH (a)-->(b)`): the scan is the
@@ -1482,8 +1517,14 @@ object CypherPlanner {
     // the same chain could bind the same edge: same type, or either
     // hop type-less.
     val hopTypes: Seq[Option[Set[String]]] = chain.hops.map { h =>
-      if (h._1.relType.isEmpty) None
-      else Some((h._1.relType.toSeq ++ h._1.altTypes).toSet)
+      h._1.groupChain match {
+        // a composite group binds every inner hop's type
+        case Some(ch) => Some(ch.hops.flatMap(ih =>
+          ih._1.relType.toSeq ++ ih._1.altTypes).toSet)
+        case None =>
+          if (h._1.relType.isEmpty) None
+          else Some((h._1.relType.toSeq ++ h._1.altTypes).toSet)
+      }
     }
     def typesOverlap(a: Option[Set[String]], b: Option[Set[String]]): Boolean =
       a.isEmpty || b.isEmpty || a.get.intersect(b.get).nonEmpty
@@ -1651,34 +1692,6 @@ object CypherPlanner {
       val stepFiltered = rel.stepFilters match {
         case None => orientedRel
         case Some((aPat, bPat)) =>
-          def constraintIds(np: NodePattern): Option[DataFrame] = {
-            if (np.label.isEmpty && np.props.isEmpty && np.moreLabels.isEmpty)
-              None
-            else {
-              var t = np.label match {
-                case Some(l) =>
-                  np.moreLabels.distinct.filter(_ != l)
-                    .foldLeft(graph.nodeTable(l)) { (acc, l2) =>
-                      acc.join(graph.nodeTable(l2).select(col("__id")),
-                        Seq("__id"), "left_semi")
-                    }
-                case None =>
-                  // props-only constraint: any label whose table carries
-                  // every named property can satisfy it
-                  val cands = graph.nodes.values.toSeq
-                    .filter(t0 => np.props.keys.forall(t0.columns.contains))
-                    .map(t0 => t0.select(col("__id") +:
-                      np.props.keys.toSeq.sorted.map(col): _*))
-                  cands.reduceOption(_.unionByName(_)).getOrElse(
-                    graph.nodes.values.head.sparkSession.range(0)
-                      .select(col("id").as("__id") +:
-                        np.props.keys.toSeq.sorted.map(k =>
-                          lit(null).as(k)): _*))
-              }
-              np.props.foreach { case (k, v) => t = t.filter(col(k) === lit(v)) }
-              Some(t.select(col("__id")))
-            }
-          }
           val (sCol, dCol) =
             if (rel.direction == In) ("__dst", "__src") else ("__src", "__dst")
           var e = orientedRel
@@ -1707,8 +1720,103 @@ object CypherPlanner {
           (!chain.shortest && !chain.allShortest && chain.weightProp.isEmpty),
         "shortestPath/allShortestPaths requires a variable-length " +
           "relationship pattern (e.g. -[:T*]->), got a fixed-length one")
+      // Multi-hop quantified group: compose the inner chain into a
+      // composite edge frame — one row per full repetition, carrying
+      // the repetition's node-id list (pattern order after the start)
+      // and its edge-identity list (for whole-path uniqueness) — then
+      // var-expand repetitions exactly like single edges. Per-inner-
+      // node label/prop constraints semi-join each hop's endpoints
+      // ONCE, before composition.
+      def compositeExpand(ch: PatternChain, lo: Int, hi: Int): DataFrame = {
+        require(!chain.shortest && !chain.allShortest &&
+            chain.weightProp.isEmpty,
+          "multi-hop quantified groups are not supported inside " +
+            "shortestPath/allShortestPaths")
+        val h = ch.hops.size
+        val nodePats = ch.start +: ch.hops.map(_._2)
+        val hopFrames = ch.hops.zipWithIndex.map { case ((r, _), j) =>
+          val t = r.relType.get
+          var base = graph.relTable(t)
+          r.props.foreach { case (k, v) => base = base.filter(col(k) === lit(v)) }
+          // per-inner-node constraints: hop j runs node j → node j+1
+          constraintIds(nodePats(j)).foreach(f =>
+            base = base.join(f, base("__src") === f("__id"), "left_semi"))
+          constraintIds(nodePats(j + 1)).foreach(f =>
+            base = base.join(f, base("__dst") === f("__id"), "left_semi"))
+          // edge identity, same struct as the single-hop tagger
+          val ordCols = base.columns.toSeq
+            .filterNot(Set("__src", "__dst")).sorted.map(col) match {
+            case Seq() => Seq(col("__src"))
+            case cs    => cs
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__src"), col("__dst")).orderBy(ordCols: _*)
+          base.withColumn("__eid",
+            struct(lit(t).as("t"), col("__src").as("u"),
+              col("__dst").as("v"), row_number().over(w).as("k")))
+            .select(col("__src"), col("__dst"), col("__eid"))
+        }
+        // one repetition = the h hops joined through their junctures,
+        // no edge reused INSIDE a repetition either
+        val oneRep = hopFrames.tail.zipWithIndex
+          .foldLeft(hopFrames.head.select(col("__src"), col("__dst"),
+            array(col("__eid")).as("__nes"),
+            array(col("__dst")).as("__snids"))) { case (acc, (hf, j)) =>
+            val right = hf.select(col("__src").as(s"__g$j"),
+              col("__dst").as("__gd"), col("__eid").as("__ge"))
+            acc.join(right, acc("__dst") === right(s"__g$j") &&
+                !array_contains(acc("__nes"), right("__ge")))
+              .select(acc("__src"), col("__gd").as("__dst"),
+                concat(acc("__nes"), array(col("__ge"))).as("__nes"),
+                concat(acc("__snids"), array(col("__gd"))).as("__snids"))
+          }
+        val base = oneRep.select(col("__src"), col("__dst"),
+          col("__nes").as("__eids"), col("__snids").as("__nids"))
+        def kRep(k: Int): DataFrame =
+          (2 to k).foldLeft(base) { (acc, step) =>
+            val right = oneRep.select(col("__src").as(s"__m$step"),
+              col("__dst").as("__nd"), col("__nes").as("__ne2"),
+              col("__snids").as("__nn2"))
+            acc.join(right, acc("__dst") === right(s"__m$step") &&
+                !arrays_overlap(acc("__eids"), right("__ne2")))
+              .select(acc("__src"), col("__nd").as("__dst"),
+                concat(acc("__eids"), col("__ne2")).as("__eids"),
+                concat(acc("__nids"), col("__nn2")).as("__nids"))
+          }
+        // `__hops` counts RELATIONSHIPS (length(p)): k repetitions
+        // of an h-hop chain traverse k·h edges
+        val pos =
+          if (hi == 0) None
+          else Some((math.max(lo, 1) to hi)
+            .map(k => kRep(k).select(col("__src"), col("__dst"),
+              col("__eids"), lit(k * h).as("__hops"), col("__nids")))
+            .reduce(_.unionByName(_)))
+        if (lo > 0) pos.get
+        else {
+          val universe = graph.nodes.values.map(_.select(col("__id")))
+            .reduce(_.union(_)).distinct()
+          val zero0 = universe.select(col("__id").as("__src"),
+            col("__id").as("__dst"), lit(0).as("__hops"))
+          val proto = pos.getOrElse(base.select(col("__src"), col("__dst"),
+            col("__eids"), lit(0).as("__hops"), col("__nids")))
+          val zero = proto.schema.fields.foldLeft(zero0) { (z, f) =>
+            if (f.name == "__eids" || f.name == "__nids")
+              z.withColumn(f.name, array().cast(f.dataType))
+            else z
+          }
+          pos match {
+            case None    => zero.select(proto.columns.map(col).toSeq: _*)
+            case Some(p) =>
+              zero.unionByName(p).select(p.columns.map(col).toSeq: _*)
+          }
+        }
+      }
       val expanded =
-        if (chain.weightProp.isDefined) {
+        if (rel.groupChain.isDefined) {
+          val (lo, hi) = rel.varLength.get
+          require(hi <= 10, s"quantified group bound {$lo,$hi} above the cap")
+          compositeExpand(rel.groupChain.get, lo, hi)
+        } else if (chain.weightProp.isDefined) {
           val wp = chain.weightProp.get
           require(stepFiltered.columns.contains(wp),
             s"weight property '$wp' is not a property of this relationship " +
@@ -1750,8 +1858,8 @@ object CypherPlanner {
       // (the BFS keeps pair×depth only), so nodes(p) on a shortest
       // chain stays unbound and fails loudly at resolution.
       val hopNidCols =
-        if ((chain.pathVar.isDefined || rel.groupNodes.isDefined) &&
-            !chain.shortest &&
+        if ((chain.pathVar.isDefined || rel.groupNodes.isDefined ||
+            rel.groupChain.isDefined) && !chain.shortest &&
             rel.varLength.isDefined && expanded.columns.contains("__nids"))
           Seq(col("__nids").as("__r_nids"))
         else Seq.empty
@@ -1871,6 +1979,38 @@ object CypherPlanner {
               slice(walk, lit(1), greatest(size(walk) - 1, lit(0)))))))
         if (chain.pathVar.isEmpty || chain.shortest)
           df = df.drop("__r_nids")
+      }
+      // Multi-hop group variables: named inner nodes of a composite
+      // group bind per-REPETITION node-id lists by stride-slicing the
+      // walk (pattern-order node ids after the chain source, h per
+      // repetition): inner node j ≥ 1 occupies walk indices ≡ j-1
+      // (mod h); the inner START list is the chain source followed by
+      // every repetition end but the last. Zero repetitions bind
+      // empty lists throughout.
+      rel.groupChain.foreach { ch =>
+        val h = ch.hops.size
+        val names = (ch.start +: ch.hops.map(_._2)).map(_.variable)
+        if (names.exists(_.isDefined)) {
+          val walk = col("__r_nids")
+          names.zipWithIndex.foreach {
+            case (Some(n), j) =>
+              require(!df.columns.contains(n),
+                s"group variable '$n' collides with an existing binding")
+              val listCol =
+                if (j == 0) {
+                  val ends = org.apache.spark.sql.functions.filter(
+                    walk, (_, i) => (i % h) === (h - 1))
+                  when(size(walk) === 0, walk).otherwise(
+                    concat(array(col(s"${cur}__id")),
+                      slice(ends, lit(1), greatest(size(ends) - 1, lit(0)))))
+                } else
+                  org.apache.spark.sql.functions.filter(
+                    walk, (_, i) => (i % h) === (j - 1))
+              df = df.withColumn(n, listCol)
+            case _ => ()
+          }
+        }
+        if (chain.pathVar.isEmpty) df = df.drop("__r_nids")
       }
       // `nodes(p)` accumulation — after the endpoint is bound so
       // `${nv}__id` resolves in every binding shape. A var-length hop

@@ -130,6 +130,19 @@ object CypherQueries {
         |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
         |ORDER BY s_name, t_name, hops""".stripMargin)
 
+  /** Multi-hop quantified path group — the whole 2-hop inner chain
+    * repeats as a unit: `((a)-[:T]->(b)-[:T]->(c)){1,2}` walks 2 or 4
+    * relationships (`length(p)` counts edges, `size(b)` repetitions).
+    * Planned as a composite-edge var-expansion: inner hops compose
+    * once, repetitions chain with whole-path edge uniqueness.
+    */
+  def qppMultiHop(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){1,2} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops,
+        |  size(b) AS n_reps
+        |ORDER BY s_name, t_name""".stripMargin)
+
   def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (c:Customer)

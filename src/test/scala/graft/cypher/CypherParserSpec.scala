@@ -112,9 +112,17 @@ class CypherParserSpec extends AnyFunSuite {
       .head.chain.hops.head._1
     assert(sf.stepFilters.exists(_._1.label.contains("Z")))
     assert(sf.varLength.contains((2, 3)))
+    // multi-hop inner chains parse as a composite groupChain (r13)
+    val mh = matches(CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->()-[:S]->()){2} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(mh.groupChain.exists(_.hops.size == 2))
+    assert(mh.varLength.contains((2, 2)))
     // unsupported group shapes still fail loudly
     intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (a:X) (()-[:R]->()-[:S]->()){2} (b:Y) RETURN a.p")) // 2 hops
+      "MATCH (a:X) (()-[:R]->()-[:S]->()-[:T]->()-[:U]->()){2} (b:Y) RETURN a.p")) // 4 hops
+    intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->()<-[:S]-()){2} (b:Y) RETURN a.p")) // non-Out hop
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (a:X) (()-[:R*1..2]->()){2} (b:Y) RETURN a.p")) // double spell
     intercept[IllegalArgumentException](CypherParser.parse(

@@ -1579,6 +1579,57 @@ class CypherPlannerSpec extends AnyFunSuite {
       gv(0).getSeq[Long](1).toList == List(2L, 3L))
   }
 
+  test("multi-hop quantified groups: the whole inner chain repeats as a unit") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, true), (2L, true), (3L, false),
+        (4L, true), (5L, true)).toDF("__id", "ok")),
+      rels = Map(
+        "X" -> Seq((1L, 2L), (3L, 4L)).toDF("__src", "__dst"),
+        "Y" -> Seq((2L, 3L), (4L, 5L)).toDF("__src", "__dst"),
+        "E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+          .toDF("__src", "__dst")))
+    def pairs(q: String): Set[(Long, Long, Long)] =
+      CypherPlanner.run(spark, g, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // alternating X·Y repetition: reps 1→3 and 3→5; k=2 chains them,
+    // and length(p) counts k·2 RELATIONSHIPS
+    assert(pairs("MATCH p = (s:V) (()-[:X]->()-[:Y]->()){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (3L, 5L, 2L), (1L, 5L, 4L)))
+    // same-type inner chain: whole-path edge uniqueness holds across
+    // and inside repetitions
+    assert(pairs("MATCH p = (s:V) (()-[:E]->()-[:E]->()){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (2L, 4L, 2L), (3L, 5L, 2L), (1L, 5L, 4L)))
+    // per-inner-node predicate constrains EVERY repetition's middle
+    assert(pairs("MATCH p = (s:V) (()-[:E]->({ok: true})-[:E]->()){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (3L, 5L, 2L), (1L, 5L, 4L)))
+    // zero repetitions compose with multi-hop groups
+    assert(pairs("MATCH p = (s:V) (()-[:X]->()-[:Y]->()){0,1} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 4L, 0L),
+        (5L, 5L, 0L), (1L, 3L, 2L), (3L, 5L, 2L)))
+    // group variables bind one per-repetition list per inner node
+    val gv = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[:X]->(b)-[:Y]->(c)){2,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, a, b, c, size(b) AS k")
+      .collect()
+    assert(gv.length == 1)
+    assert(gv(0).getLong(0) == 1L && gv(0).getLong(1) == 5L)
+    assert(gv(0).getSeq[Long](2).toList == List(1L, 3L))
+    assert(gv(0).getSeq[Long](3).toList == List(2L, 4L))
+    assert(gv(0).getSeq[Long](4).toList == List(3L, 5L))
+    assert(gv(0).getLong(5) == 2L)
+    // inner chains beyond 3 hops and non-Out hops reject loudly
+    intercept[Exception](CypherParser.parse(
+      "MATCH (s) (()-[:E]->()-[:E]->()-[:E]->()-[:E]->()){1,2} (t) " +
+        "RETURN count(*) AS n"))
+    intercept[Exception](CypherParser.parse(
+      "MATCH (s) (()-[:X]->()<-[:Y]-()){1,2} (t) RETURN count(*) AS n"))
+  }
+
   test("weighted shortestPath fails loudly on null/non-numeric weights") {
     // a null weight would propagate NULL __wcost through every
     // relaxation touching the edge — pairs silently surfacing with
