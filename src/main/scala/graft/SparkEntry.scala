@@ -32,6 +32,7 @@ object SparkEntry {
     "cypher_qpp_stepfilter" -> (cypher.CypherQueries.qppStepFilter(_, _)),
     "cypher_qpp_zero"       -> (cypher.CypherQueries.qppZero(_, _)),
     "cypher_qpp_multihop"   -> (cypher.CypherQueries.qppMultiHop(_, _)),
+    "cypher_qpp_where"      -> (cypher.CypherQueries.qppWhere(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -2967,6 +2968,30 @@ object SparkEntry {
         |FROM p JOIN nation ns ON p.src = ns.n_nationkey
         |JOIN nation nt ON p.dst = nt.n_nationkey
         |ORDER BY s_name, t_name, n_steps""".stripMargin,
+    // per-step WHERE = one filter on the edge list (name-increasing
+    // steps), then the 1..3-hop chain unions over the FILTERED edges
+    "cypher_qpp_where" ->
+      """WITH e0 AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e AS (
+        |  SELECT a.src, a.dst FROM e0 a
+        |  JOIN nation ns ON a.src = ns.n_nationkey
+        |  JOIN nation nd ON a.dst = nd.n_nationkey
+        |  WHERE a.dst IS NOT NULL AND ns.n_name < nd.n_name),
+        |p AS (
+        |  SELECT src AS s, dst AS t, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT a.src, b.dst, 2 FROM e a JOIN e b ON a.dst = b.src
+        |  UNION ALL
+        |  SELECT a.src, c.dst, 3 FROM e a
+        |  JOIN e b ON a.dst = b.src JOIN e c ON b.dst = c.src)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.hops AS BIGINT) AS hops
+        |FROM p JOIN nation ns ON p.s = ns.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name, hops""".stripMargin,
     // k repetitions of the 2-hop unit = 2k-edge walks: the 2- and
     // 4-hop compositions with repetition counts
     "cypher_qpp_multihop" ->

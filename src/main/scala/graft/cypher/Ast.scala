@@ -180,7 +180,19 @@ object Ast {
         * None for single-hop groups (which use `groupNodes`/
         * `stepFilters`) and all other relationship shapes.
         */
-      groupChain: Option[PatternChain] = None)
+      groupChain: Option[PatternChain] = None,
+      /** Inline per-step WHERE of a quantified path group
+        * `((a)-[r:T]->(b) WHERE a.p < b.p){n,m}` (GQL / Neo4j 5): the
+        * predicate is evaluated once per REPETITION with the inner
+        * variables bound to that repetition's elements — unlike
+        * [[stepFilters]] (independent per-node constraints) it can
+        * relate the two endpoints and the step relationship to each
+        * other. Planned as prop-lookup id-joins + one filter on the
+        * edge list ONCE before expansion. Only inner variables are in
+        * scope (Neo4j also admits outer ones; divergence documented).
+        * None when the group carries no WHERE.
+        */
+      stepWhere: Option[CExpr] = None)
 
   /** A linear pattern chain: start node then (rel, node) hops.
     * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for

@@ -591,6 +591,9 @@ object CypherParser {
     private def quantifiedGroupRel(): RelPattern = {
       eatSym("(")
       val inner = patternChain()
+      // GQL inline per-step WHERE: `((a)-[r:T]->(b) WHERE a.p < b.p)`
+      val stepWhere =
+        if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
       eatSym(")")
       val q = pathQuantifier().getOrElse(throw new IllegalArgumentException(
         "a parenthesized path pattern must carry a {n,m} quantifier"))
@@ -607,8 +610,12 @@ object CypherParser {
         val constrained = Seq(inner.start, endNode).exists(n =>
           n.label.isDefined || n.props.nonEmpty || n.moreLabels.nonEmpty)
         rel.copy(varLength = Some(q), groupNodes = groupVars,
-          stepFilters = if (constrained) Some((inner.start, endNode)) else None)
+          stepFilters = if (constrained) Some((inner.start, endNode)) else None,
+          stepWhere = stepWhere)
       } else {
+        require(stepWhere.isEmpty,
+          "inline WHERE is supported only on single-hop quantified " +
+            "path groups")
         // multi-hop group: the whole inner chain repeats as a unit —
         // composed into a composite edge frame by the planner
         require(inner.hops.size <= 3,

@@ -1689,7 +1689,7 @@ object CypherPlanner {
       // so its traversal source is the stored __dst. Zero-length
       // branches ({0,m}) are untouched — no step executes, so step
       // constraints are vacuous (GQL semantics).
-      val stepFiltered = rel.stepFilters match {
+      val endpointFiltered = rel.stepFilters match {
         case None => orientedRel
         case Some((aPat, bPat)) =>
           val (sCol, dCol) =
@@ -1700,6 +1700,123 @@ object CypherPlanner {
           constraintIds(bPat).foreach(f =>
             e = e.join(f, e(dCol) === f("__id"), "left_semi"))
           e
+      }
+      // Inline per-step WHERE (`((a)-[r:T]->(b) WHERE a.p < b.p){n,m}`):
+      // evaluated once per repetition with the inner variables bound to
+      // that repetition's elements. A repetition is one edge, so the
+      // predicate compiles to a FILTER ON THE EDGE LIST, applied once
+      // before expansion: referenced node properties materialize as
+      // `v__p` columns via id-equi-joins against the (label-pruned)
+      // node tables, relationship properties alias in place, and the
+      // existing scalar compiler evaluates the predicate unchanged.
+      // Left joins + filter give Cypher's missing-property semantics
+      // (null predicate = row dropped). Zero-length branches stay
+      // untouched — no step executes, so the WHERE is vacuous.
+      val stepFiltered = rel.stepWhere match {
+        case None => endpointFiltered
+        case Some(pred) =>
+          val aVar = rel.groupNodes.flatMap(_._1)
+          val bVar = rel.groupNodes.flatMap(_._2)
+          val rVar = rel.variable
+          // collect variable references: prop accesses per variable,
+          // plus bare-identity uses (id(v) / v IN ...)
+          val propRefs = scala.collection.mutable.Map.empty[String, Set[String]]
+          val identRefs = scala.collection.mutable.Set.empty[String]
+          def walk(e: CExpr): Unit = e match {
+            case Prop(v, p) =>
+              propRefs(v) = propRefs.getOrElse(v, Set.empty) + p
+            case Ident(n)        => identRefs += n
+            case LitV(_) | Param(_) =>
+            case ListLit(xs)     => xs.foreach(walk)
+            case Cmp(_, l, r)    => walk(l); walk(r)
+            case Arith(_, l, r)  => walk(l); walk(r)
+            case StrPred(_, l, r) => walk(l); walk(r)
+            case IsNull(x)       => walk(x)
+            case InList(x, l)    => walk(x); walk(l)
+            case And(l, r)       => walk(l); walk(r)
+            case Or(l, r)        => walk(l); walk(r)
+            case Not(x)          => walk(x)
+            case Coalesce(xs)    => xs.foreach(walk)
+            case FnCall(_, a, _, _) => a.foreach(walk)
+            case FnCallN(_, as)  => as.foreach(walk)
+            case CaseExpr(ws, other) =>
+              ws.foreach { case (c, v) => walk(c); walk(v) }
+              other.foreach(walk)
+            case other => throw new IllegalArgumentException(
+              s"unsupported expression inside a quantified-group WHERE: $other")
+          }
+          walk(pred)
+          val inScope = (aVar.toSeq ++ bVar.toSeq ++ rVar.toSeq).toSet
+          val outOfScope = (propRefs.keySet ++ identRefs) -- inScope
+          require(outOfScope.isEmpty,
+            s"a quantified-group WHERE may reference only the group's " +
+              s"inner variables (${inScope.mkString(", ")}); " +
+              s"got: ${outOfScope.mkString(", ")}")
+          val (sCol, dCol) =
+            if (rel.direction == In) ("__dst", "__src") else ("__src", "__dst")
+          // node-property lookup frame for an inner variable: its
+          // pattern label if constrained, else the relationship
+          // schema's endpoint label(s), else any table carrying all
+          // referenced properties — ids are globally unique across
+          // labels, so the union never duplicates a node
+          def propFrame(v: String, isSource: Boolean): DataFrame = {
+            val props = propRefs.getOrElse(v, Set.empty).toSeq.sorted
+            val patLabel = rel.stepFilters.flatMap { case (ap, bp) =>
+              (if (isSource) ap else bp).label
+            }
+            val schemaLabels = (rel.relType.toSeq ++ rel.altTypes)
+              .flatMap(graph.relEndpoints.get)
+              .map(ep => if (isSource == (rel.direction != In)) ep._1 else ep._2)
+              .distinct
+            val tables: Seq[DataFrame] = patLabel match {
+              case Some(l) => Seq(graph.nodeTable(l))
+              case None if schemaLabels.nonEmpty =>
+                schemaLabels.map(graph.nodeTable)
+              case None =>
+                val cands = graph.nodes.values.toSeq
+                  .filter(t => props.forall(t.columns.contains))
+                require(cands.nonEmpty,
+                  s"no node table carries properties " +
+                    s"${props.mkString(", ")} referenced by '$v'")
+                cands
+            }
+            tables.map { t =>
+              val cols = col("__id").as(s"${v}__@pid") +:
+                props.map(p =>
+                  (if (t.columns.contains(p)) col(p)
+                   else lit(null)).as(s"${v}__$p"))
+              t.select(cols: _*)
+            }.reduce(_.unionByName(_))
+          }
+          var e = endpointFiltered
+          Seq((aVar, true, sCol), (bVar, false, dCol)).foreach {
+            case (Some(v), isSource, ec) if propRefs.contains(v) ||
+                identRefs.contains(v) =>
+              if (propRefs.contains(v)) {
+                val pf = propFrame(v, isSource)
+                e = e.join(pf, e(ec) === pf(s"${v}__@pid"), "left_outer")
+              }
+              if (identRefs.contains(v)) {
+                // id(v) and bare-identity uses read v__id
+                e = e.withColumn(s"${v}__id", col(ec))
+              }
+            case _ =>
+          }
+          // relationship property refs alias the edge frame's own
+          // plain-named property columns
+          rVar.filter(propRefs.contains).foreach { v =>
+            propRefs(v).foreach { p =>
+              require(endpointFiltered.columns.contains(p),
+                s"relationship property '$p' referenced by the " +
+                  s"quantified-group WHERE is not a property of :" +
+                  s"${(rel.relType.toSeq ++ rel.altTypes).mkString("|")} " +
+                  s"(have: ${endpointFiltered.columns
+                    .filterNot(_.startsWith("__")).sorted.mkString(", ")})")
+              e = e.withColumn(s"${v}__$p", col(p))
+            }
+          }
+          e.filter(toColumn(pred, Bindings.empty))
+            .select(endpointFiltered.columns.map(col).toSeq: _*)
       }
       // shortest-path chains seed the BFS with the start variable's
       // bound id set (the pre-bound MATCH spelling, or at least the

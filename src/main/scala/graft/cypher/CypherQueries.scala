@@ -143,6 +143,20 @@ object CypherQueries {
         |  size(b) AS n_reps
         |ORDER BY s_name, t_name""".stripMargin)
 
+  /** Inline per-step WHERE on a quantified path group (GQL/Neo4j 5):
+    * the predicate relates BOTH endpoints of every repetition —
+    * `a.name < b.name` keeps only walks whose nation names strictly
+    * increase step-over-step (the key-ordered NEXT_IN_REGION chain
+    * makes this a real 48%-selective edge filter, not a vacuous one).
+    * Planned as prop-lookup id-joins + one filter on the edge list
+    * before expansion.
+    */
+  def qppWhere(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b) WHERE a.name < b.name){1,3} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name, hops""".stripMargin)
+
   def optionalMatch(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (c:Customer)

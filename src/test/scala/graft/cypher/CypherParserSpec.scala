@@ -112,6 +112,12 @@ class CypherParserSpec extends AnyFunSuite {
       .head.chain.hops.head._1
     assert(sf.stepFilters.exists(_._1.label.contains("Z")))
     assert(sf.varLength.contains((2, 3)))
+    // inline per-step WHERE parses into stepWhere (r13)
+    val sw = matches(CypherParser.parse(
+      "MATCH (a:X) ((u)-[:R]->(v) WHERE u.p < v.p){1,3} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(sw.stepWhere.contains(
+      Ast.Cmp("<", Ast.Prop("u", "p"), Ast.Prop("v", "p"))))
     // multi-hop inner chains parse as a composite groupChain (r13)
     val mh = matches(CypherParser.parse(
       "MATCH (a:X) (()-[:R]->()-[:S]->()){2} (b:Y) RETURN a.p"))

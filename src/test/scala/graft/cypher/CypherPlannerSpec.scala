@@ -1630,6 +1630,53 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (s) (()-[:X]->()<-[:Y]-()){1,2} (t) RETURN count(*) AS n"))
   }
 
+  test("QPP inline WHERE relates a repetition's endpoints and relationship") {
+    import spark.implicits._
+    // chain 1→2→3→4→5; node values DIP at 3 (so a.v < b.v prunes the
+    // 2→3 step), edge weights drop on 3→4
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, 10L), (2L, 20L), (3L, 15L),
+        (4L, 40L), (5L, 50L)).toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L, 9.0), (2L, 3L, 8.0), (3L, 4L, 2.0),
+        (4L, 5L, 7.0)).toDF("__src", "__dst", "w")))
+    def pairs(q: String): Set[(Long, Long, Long)] =
+      CypherPlanner.run(spark, g, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cross-endpoint node predicate: 2→3 violates a.v < b.v, so no
+    // walk may cross it — {1,3} yields only segments on either side
+    assert(pairs("MATCH p = (s:V) ((a)-[:E]->(b) WHERE a.v < b.v){1,3} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 2L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (3L, 5L, 2L)))
+    // relationship property predicate: w >= 7 drops the 3→4 edge
+    assert(pairs("MATCH p = (s:V) ((a)-[r:E]->(b) WHERE r.w >= 7.0){1,3} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 2L, 1L), (2L, 3L, 1L), (4L, 5L, 1L), (1L, 3L, 2L)))
+    // node + rel predicates compose; id() resolves to the step ids
+    assert(pairs("MATCH p = (s:V) ((a)-[r:E]->(b) WHERE a.v < b.v AND r.w > 2.0 " +
+      "AND id(a) < id(b)){1,3} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 2L, 1L), (4L, 5L, 1L)))
+    // In-direction group: a is the traversal source (stored dst), so
+    // a.v < b.v holds only on the 3←2 step (15 < 20)
+    assert(pairs("MATCH p = (s:V) ((a)<-[:E]-(b) WHERE a.v < b.v){1,3} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((3L, 2L, 1L)))
+    // ...and the mirrored predicate walks the chain backward
+    assert(pairs("MATCH p = (s:V) ((a)<-[:E]-(b) WHERE a.v > b.v){1,3} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((2L, 1L, 1L), (4L, 3L, 1L), (5L, 4L, 1L), (5L, 3L, 2L)))
+    // zero-length branch is untouched even by a never-true predicate
+    val zero = pairs("MATCH p = (s:V) ((a)-[:E]->(b) WHERE a.v > 999){0,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l")
+    assert(zero == (1L to 5L).map(i => (i, i, 0L)).toSet)
+    // out-of-scope variables and non-single-hop groups reject loudly
+    intercept[Exception](CypherPlanner.run(spark, g,
+      "MATCH p = (s:V) ((a)-[:E]->(b) WHERE s.v < b.v){1,2} (t:V) " +
+        "RETURN id(s) AS sid").collect())
+    intercept[Exception](CypherParser.parse(
+      "MATCH (s) (()-[:E]->()-[:E]->() WHERE 1 = 1){1,2} (t) RETURN count(*) AS n"))
+  }
+
   test("weighted shortestPath fails loudly on null/non-numeric weights") {
     // a null weight would propagate NULL __wcost through every
     // relaxation touching the edge — pairs silently surfacing with
