@@ -1424,6 +1424,72 @@ object CypherPlanner {
       }
     }
 
+    /** Variable references of a quantified-group inline WHERE:
+      * property accesses per variable plus bare-identity uses
+      * (`id(v)`, `v IN …`). Rejects expression forms that cannot
+      * appear in a per-step predicate (pattern subqueries,
+      * comprehensions) loudly.
+      */
+    def stepWhereRefs(pred: CExpr): (Map[String, Set[String]], Set[String]) = {
+      val propRefs = scala.collection.mutable.Map.empty[String, Set[String]]
+      val identRefs = scala.collection.mutable.Set.empty[String]
+      def walk(e: CExpr): Unit = e match {
+        case Prop(v, p) =>
+          propRefs(v) = propRefs.getOrElse(v, Set.empty) + p
+        case Ident(n)        => identRefs += n
+        case LitV(_) | Param(_) =>
+        case ListLit(xs)     => xs.foreach(walk)
+        case Cmp(_, l, r)    => walk(l); walk(r)
+        case Arith(_, l, r)  => walk(l); walk(r)
+        case StrPred(_, l, r) => walk(l); walk(r)
+        case IsNull(x)       => walk(x)
+        case InList(x, l)    => walk(x); walk(l)
+        case And(l, r)       => walk(l); walk(r)
+        case Or(l, r)        => walk(l); walk(r)
+        case Not(x)          => walk(x)
+        case Coalesce(xs)    => xs.foreach(walk)
+        case FnCall(_, a, _, _) => a.foreach(walk)
+        case FnCallN(_, as)  => as.foreach(walk)
+        case CaseExpr(ws, other) =>
+          ws.foreach { case (c, v) => walk(c); walk(v) }
+          other.foreach(walk)
+        case other => throw new IllegalArgumentException(
+          s"unsupported expression inside a quantified-group WHERE: $other")
+      }
+      walk(pred)
+      (propRefs.toMap, identRefs.toSet)
+    }
+
+    /** Node-property lookup frame `(v__@pid, v__p…)` for an inner
+      * group variable: its pattern label if constrained, else the
+      * relationship schema's endpoint label(s), else any table
+      * carrying all referenced properties — ids are globally unique
+      * across labels, so the union never duplicates a node. Missing
+      * properties null out (Cypher semantics).
+      */
+    def propLookup(v: String, props: Seq[String], patLabel: Option[String],
+        schemaLabels: Seq[String]): DataFrame = {
+      val tables: Seq[DataFrame] = patLabel match {
+        case Some(l) => Seq(graph.nodeTable(l))
+        case None if schemaLabels.nonEmpty =>
+          schemaLabels.distinct.map(graph.nodeTable)
+        case None =>
+          val cands = graph.nodes.values.toSeq
+            .filter(t => props.forall(t.columns.contains))
+          require(cands.nonEmpty,
+            s"no node table carries properties " +
+              s"${props.mkString(", ")} referenced by '$v'")
+          cands
+      }
+      tables.map { t =>
+        val cols = col("__id").as(s"${v}__@pid") +:
+          props.map(p =>
+            (if (t.columns.contains(p)) col(p)
+             else lit(null)).as(s"${v}__$p"))
+        t.select(cols: _*)
+      }.reduce(_.unionByName(_))
+    }
+
     def nodeDf(np: NodePattern): (DataFrame, String) = {
       val v = np.variable.getOrElse(s"__anon${np.hashCode.abs}")
       // label-less node (`MATCH (a)-->(b)`): the scan is the
