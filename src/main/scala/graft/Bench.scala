@@ -4,6 +4,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to the named queries —
+    // the warm spot-re-run / scale-spot mode (drift adjudication, sf1
+    // evidence) without paying the full 270-query sweep
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = only match {
+      case Some(sel) =>
+        val missing = sel -- SparkEntry.queries.keySet
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_ONLY names unknown queries: ${missing.mkString(", ")}")
+        SparkEntry.queries.filter { case (k, _) => sel(k) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,7 +35,7 @@ object Bench {
       // warm concurrently: the point is JIT/codegen coverage, not
       // timing, and the tiny-SF jobs interleave fine on local[32]
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      SparkEntry.queries.values.foreach(fn =>
+      benchQueries.values.foreach(fn =>
         pool.submit(new Runnable {
           override def run(): Unit =
             try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
@@ -64,7 +78,7 @@ object Bench {
       dropCaches()
       dt
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(name, fn)
     }
     // residual GC noise lands disproportionately on the
@@ -72,7 +86,7 @@ object Bench {
     // run and report the better of the two (standard best-of timing)
     val results = firstPass.map { case (name, dt) =>
       if (dt <= 3.0) name -> dt
-      else name -> math.min(dt, timed(name, SparkEntry.queries(name)))
+      else name -> math.min(dt, timed(name, benchQueries(name)))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -84,9 +98,11 @@ object Bench {
     // unparseable fragment. Persist the full JSON to a file, then
     // print a compact line LAST — total + the slowest queries,
     // rounded — that always fits the tail whole.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
+    // spot mode must not clobber the full-run artifact the driver reads
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
     println(full)
     def r3(d: Double) = math.rint(d * 1000) / 1000
     val top = results.toSeq.sortBy(-_._2).take(20)

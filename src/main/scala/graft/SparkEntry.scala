@@ -32,7 +32,12 @@ object SparkEntry {
     "cypher_qpp_stepfilter" -> (cypher.CypherQueries.qppStepFilter(_, _)),
     "cypher_qpp_zero"       -> (cypher.CypherQueries.qppZero(_, _)),
     "cypher_qpp_multihop"   -> (cypher.CypherQueries.qppMultiHop(_, _)),
+    "cypher_qpp_multihop_in" -> (cypher.CypherQueries.qppMultiHopIn(_, _)),
+    "cypher_qpp_multihop_untyped" -> (cypher.CypherQueries.qppMultiHopUntyped(_, _)),
+    "cypher_qpp_multihop_where" -> (cypher.CypherQueries.qppMultiHopWhere(_, _)),
+    "cypher_delete_node"    -> (cypher.CypherQueries.deleteNode(_, _)),
     "cypher_qpp_where"      -> (cypher.CypherQueries.qppWhere(_, _)),
+    "cypher_qpp_where_outer" -> (cypher.CypherQueries.qppWhereOuter(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -2734,6 +2739,17 @@ object SparkEntry {
         |  WHERE p_size <= 40)
         |SELECT e.n_edges, del.n_deleted
         |FROM e CROSS JOIN del""".stripMargin,
+    // plain DELETE after in-query edge removal: parts above the size
+    // cut lose SUPPLIES + CONTAINS edges, then the node rows
+    "cypher_delete_node" ->
+      """WITH del AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+        |  FROM part WHERE p_size > 44),
+        |kept AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_left
+        |  FROM part WHERE p_size <= 44)
+        |SELECT kept.n_parts_left, del.n_deleted
+        |FROM kept CROSS JOIN del""".stripMargin,
     "cypher_set_prop" ->
       """WITH f AS (
         |  SELECT c_custkey,
@@ -3014,6 +3030,94 @@ object SparkEntry {
         |  CAST(p.hops AS BIGINT) AS hops, CAST(p.n_reps AS BIGINT) AS n_reps
         |FROM p JOIN nation ns ON p.s = ns.n_nationkey
         |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name""".stripMargin,
+    // multi-hop repetition WHERE: a repetition is a 2-hop segment
+    // whose END name exceeds its START name; k=2 chains two
+    // qualifying segments (edge-disjoint on the linear region chain)
+    "cypher_qpp_multihop_where" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |nm AS (SELECT n_nationkey AS id, n_name AS name FROM nation),
+        |rep AS (
+        |  SELECT a.src AS s, b.dst AS t FROM e2 a
+        |  JOIN e2 b ON a.dst = b.src
+        |  JOIN nm x ON a.src = x.id JOIN nm y ON b.dst = y.id
+        |  WHERE x.name < y.name),
+        |p AS (
+        |  SELECT s, t, 2 AS hops FROM rep
+        |  UNION ALL
+        |  SELECT r1.s, r2.t, 4 FROM rep r1 JOIN rep r2 ON r1.t = r2.s)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.hops AS BIGINT) AS hops
+        |FROM p JOIN nation ns ON p.s = ns.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name, hops""".stripMargin,
+    // outer-ref per-step WHERE: every step's dst name exceeds the
+    // WALK START's name — the start value parameterizes each union arm
+    "cypher_qpp_where_outer" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |nm AS (SELECT n_nationkey AS id, n_name AS name FROM nation),
+        |p AS (
+        |  SELECT a.src AS s, a.dst AS t, 1 AS hops FROM e2 a
+        |    JOIN nm s0 ON a.src = s0.id JOIN nm d1 ON a.dst = d1.id
+        |    WHERE d1.name > s0.name
+        |  UNION ALL
+        |  SELECT a.src, b.dst, 2 FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN nm s0 ON a.src = s0.id JOIN nm d1 ON a.dst = d1.id
+        |    JOIN nm d2 ON b.dst = d2.id
+        |    WHERE d1.name > s0.name AND d2.name > s0.name
+        |  UNION ALL
+        |  SELECT a.src, c.dst, 3 FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN e2 c ON b.dst = c.src
+        |    JOIN nm s0 ON a.src = s0.id JOIN nm d1 ON a.dst = d1.id
+        |    JOIN nm d2 ON b.dst = d2.id JOIN nm d3 ON c.dst = d3.id
+        |    WHERE d1.name > s0.name AND d2.name > s0.name
+        |      AND d3.name > s0.name)
+        |SELECT s0.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.hops AS BIGINT) AS hops
+        |FROM p JOIN nation s0 ON p.s = s0.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name, hops""".stripMargin,
+    // In-direction inner hops walk the chain BACKWARD: reverse the
+    // edge list, then compose 2- and 4-hop reverse walks
+    "cypher_qpp_multihop_in" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |r AS (SELECT dst AS src, src AS dst FROM e2),
+        |h2 AS (SELECT a.src AS s, b.dst AS t FROM r a
+        |       JOIN r b ON a.dst = b.src),
+        |h4 AS (SELECT a.src AS s, d.dst AS t FROM r a
+        |       JOIN r b ON a.dst = b.src
+        |       JOIN r c ON b.dst = c.src
+        |       JOIN r d ON c.dst = d.src),
+        |p AS (
+        |  SELECT s, t, 2 AS hops FROM h2
+        |  UNION ALL
+        |  SELECT s, t, 4 FROM h4)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.hops AS BIGINT) AS hops
+        |FROM p JOIN nation ns ON p.s = ns.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name, hops""".stripMargin,
+    // the typeless second hop unions Nation-sourced edge types
+    // (IN_REGION + NEXT_IN_REGION); the :Region juncture keeps only
+    // the IN_REGION ends → customer → nation → region, 2 hops
+    "cypher_qpp_multihop_untyped" ->
+      """SELECT c.c_name AS s_name, r.r_name AS t_name,
+        |  CAST(2 AS BIGINT) AS hops
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY s_name, t_name""".stripMargin,
     // zero-length branch = one self-pair per nation at 0 hops,
     // union'd with the 1- and 2-hop expansions

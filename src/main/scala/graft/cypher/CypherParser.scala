@@ -613,22 +613,21 @@ object CypherParser {
           stepFilters = if (constrained) Some((inner.start, endNode)) else None,
           stepWhere = stepWhere)
       } else {
-        require(stepWhere.isEmpty,
-          "inline WHERE is supported only on single-hop quantified " +
-            "path groups")
         // multi-hop group: the whole inner chain repeats as a unit —
-        // composed into a composite edge frame by the planner
+        // composed into a composite edge frame by the planner; an
+        // inline WHERE filters whole repetitions there (r14)
         require(inner.hops.size <= 3,
           "quantified path group inner chains support at most 3 hops")
-        require(inner.hops.forall(_._1.direction == Out),
-          "multi-hop quantified groups support only left-to-right " +
-            "(->) inner hops")
-        require(inner.hops.forall(_._1.relType.isDefined),
-          "multi-hop quantified group hops must carry a relationship type")
+        // a named inner relationship would silently unbind (the
+        // composite frame keeps edge identities, not per-hop rel
+        // bindings) — reject loudly like the other unsupported shapes
+        require(inner.hops.forall(_._1.variable.isEmpty),
+          "named relationship variables inside a multi-hop quantified " +
+            "group are unsupported (name the group's nodes instead)")
         RelPattern(variable = None,
           relType = inner.hops.head._1.relType,
           direction = Out, varLength = Some(q),
-          groupChain = Some(inner))
+          groupChain = Some(inner), stepWhere = stepWhere)
       }
     }
 

@@ -191,10 +191,19 @@ object CypherPlanner {
 
       case DeleteRelClause(vars) =>
         vars.foreach { rv =>
-          val relType = relVarTypes.getOrElse(rv,
-            throw new IllegalArgumentException(
-              s"DELETE $rv: not a bound single-type directed relationship variable"))
-          graph = planDeleteRel(graph, s, rv, relType)
+          relVarTypes.get(rv) match {
+            case Some(relType) =>
+              graph = planDeleteRel(graph, s, rv, relType)
+            case None =>
+              // plain `DELETE n` on a NODE variable: legal only when
+              // every matched node is already relationship-free
+              // (Neo4j errors otherwise; DETACH DELETE cascades)
+              val label = varLabels.getOrElse(rv,
+                throw new IllegalArgumentException(
+                  s"DELETE $rv: not a bound relationship or labeled " +
+                    s"node variable"))
+              graph = planDeleteNode(graph, s, rv, label)
+          }
         }
 
       case DetachDeleteClause(vars) =>
@@ -614,6 +623,40 @@ object CypherPlanner {
             .join(ids.select(col("__id").as("__dst")), Seq("__dst"), "left_anti")
     }
     graph.copy(nodes = graph.nodes.updated(label, keptNodes), rels = keptRels)
+  }
+
+  /** Plans plain `DELETE n` (non-detach) on a labeled bound node
+    * variable: Neo4j errors when any matched node still has
+    * relationships ("Cannot delete node, because it still has
+    * relationships") — same loud contract here, checked EAGERLY like
+    * Neo4j's runtime error, then the matched ids anti-join out of the
+    * label's table. Relationship tables are untouched (nothing can be
+    * incident to a legal plain delete).
+    *
+    * 100 TB notes: the check is one semi-join of each edge table's
+    * endpoint ids against the (distinct, usually small → broadcast)
+    * delete set, short-circuited by limit(1); types already deleted
+    * upstream check against their DERIVED tables, so a
+    * delete-edges-then-node pipeline stays legal.
+    */
+  private def planDeleteNode(graph: PropertyGraph, s: Scope,
+      nv: String, label: String): PropertyGraph = {
+    val idCol = s"${nv}__id"
+    require(s.df != null && s.df.columns.contains(idCol),
+      s"DELETE $nv: $nv is not bound in the current frame")
+    val ids = s.df.select(col(idCol).as("__id")).distinct()
+    val attached = graph.rels.values
+      .map(e => e.select(col("__src").as("__id"))
+        .unionByName(e.select(col("__dst").as("__id")))
+        .join(ids, Seq("__id"), "left_semi"))
+      .reduce(_.unionByName(_))
+      .limit(1).collect()
+    if (attached.nonEmpty)
+      throw new IllegalStateException(
+        s"DELETE $nv: cannot delete node ${attached.head.getLong(0)} " +
+          s"because it still has relationships (use DETACH DELETE)")
+    graph.copy(nodes = graph.nodes.updated(label,
+      graph.nodeTable(label).join(ids, Seq("__id"), "left_anti")))
   }
 
   /** Plans `REMOVE n.prop` on a labeled bound node variable (see
@@ -1584,9 +1627,12 @@ object CypherPlanner {
     // hop type-less.
     val hopTypes: Seq[Option[Set[String]]] = chain.hops.map { h =>
       h._1.groupChain match {
-        // a composite group binds every inner hop's type
-        case Some(ch) => Some(ch.hops.flatMap(ih =>
-          ih._1.relType.toSeq ++ ih._1.altTypes).toSet)
+        // a composite group binds every inner hop's type; a typeless
+        // inner hop can bind ANY type (None = overlaps everything)
+        case Some(ch) =>
+          if (ch.hops.exists(_._1.relType.isEmpty)) None
+          else Some(ch.hops.flatMap(ih =>
+            ih._1.relType.toSeq ++ ih._1.altTypes).toSet)
         case None =>
           if (h._1.relType.isEmpty) None
           else Some((h._1.relType.toSeq ++ h._1.altTypes).toSet)
@@ -1778,88 +1824,85 @@ object CypherPlanner {
       // Left joins + filter give Cypher's missing-property semantics
       // (null predicate = row dropped). Zero-length branches stay
       // untouched — no step executes, so the WHERE is vacuous.
+      // Outer-scope variables referenced by a quantified-group WHERE
+      // (`((a)-[r]->(b) WHERE a.p > x.q){n,m}` with x bound earlier):
+      // decorrelated by embedding the DISTINCT outer-value tuples into
+      // the edge keys. The tuple frame (value domain, usually tiny) is
+      // broadcast-crossed into the edge list, the predicate filters
+      // per tuple, and __src/__dst become (id, tuple) structs — so the
+      // untouched var-expand machinery chains repetitions WITHIN one
+      // outer binding, and the final join matches walks back to the
+      // bound rows on start id + tuple equality. Per-repetition
+      // semantics are Neo4j's: the outer value is constant across a
+      // walk and every step's predicate saw it.
+      var qppOuterCols: Seq[String] = Nil
+      lazy val qppOuterTuples: DataFrame =
+        broadcast(df.select(qppOuterCols.map(col): _*).distinct())
       val stepFiltered = rel.stepWhere match {
         case None => endpointFiltered
+        // a multi-hop group's WHERE filters whole REPETITIONS of the
+        // composite frame — handled inside compositeExpand, where the
+        // per-position node ids exist
+        case Some(_) if rel.groupChain.isDefined => endpointFiltered
         case Some(pred) =>
           val aVar = rel.groupNodes.flatMap(_._1)
           val bVar = rel.groupNodes.flatMap(_._2)
           val rVar = rel.variable
-          // collect variable references: prop accesses per variable,
-          // plus bare-identity uses (id(v) / v IN ...)
-          val propRefs = scala.collection.mutable.Map.empty[String, Set[String]]
-          val identRefs = scala.collection.mutable.Set.empty[String]
-          def walk(e: CExpr): Unit = e match {
-            case Prop(v, p) =>
-              propRefs(v) = propRefs.getOrElse(v, Set.empty) + p
-            case Ident(n)        => identRefs += n
-            case LitV(_) | Param(_) =>
-            case ListLit(xs)     => xs.foreach(walk)
-            case Cmp(_, l, r)    => walk(l); walk(r)
-            case Arith(_, l, r)  => walk(l); walk(r)
-            case StrPred(_, l, r) => walk(l); walk(r)
-            case IsNull(x)       => walk(x)
-            case InList(x, l)    => walk(x); walk(l)
-            case And(l, r)       => walk(l); walk(r)
-            case Or(l, r)        => walk(l); walk(r)
-            case Not(x)          => walk(x)
-            case Coalesce(xs)    => xs.foreach(walk)
-            case FnCall(_, a, _, _) => a.foreach(walk)
-            case FnCallN(_, as)  => as.foreach(walk)
-            case CaseExpr(ws, other) =>
-              ws.foreach { case (c, v) => walk(c); walk(v) }
-              other.foreach(walk)
-            case other => throw new IllegalArgumentException(
-              s"unsupported expression inside a quantified-group WHERE: $other")
-          }
-          walk(pred)
+          val (propRefs, identRefs) = stepWhereRefs(pred)
           val inScope = (aVar.toSeq ++ bVar.toSeq ++ rVar.toSeq).toSet
-          val outOfScope = (propRefs.keySet ++ identRefs) -- inScope
-          require(outOfScope.isEmpty,
-            s"a quantified-group WHERE may reference only the group's " +
-              s"inner variables (${inScope.mkString(", ")}); " +
-              s"got: ${outOfScope.mkString(", ")}")
+          val refs = propRefs.keySet ++ identRefs
+          val outerVars = (refs -- inScope).filter(bound.contains)
+          val unknown = refs -- inScope -- outerVars
+          require(unknown.isEmpty,
+            s"a quantified-group WHERE may reference the group's inner " +
+              s"variables (${inScope.mkString(", ")}) or previously " +
+              s"bound ones; unknown: ${unknown.mkString(", ")}")
+          require(outerVars.isEmpty || (!chain.shortest &&
+              !chain.allShortest && chain.weightProp.isEmpty),
+            "outer variables in a quantified-group WHERE are not " +
+              "supported inside shortestPath/allShortestPaths")
+          val outerCols: Seq[String] = outerVars.toSeq.sorted.flatMap { v =>
+            val pcols = propRefs.getOrElse(v, Set.empty).toSeq.sorted
+              .map(p => s"${v}__$p")
+            val icols =
+              if (identRefs.contains(v)) Seq(s"${v}__id") else Seq.empty
+            pcols ++ icols
+          }.distinct
+          outerCols.foreach(c =>
+            require(df != null && df.columns.contains(c),
+              s"outer reference '$c' of the quantified-group WHERE is " +
+                s"not a column of the bound frame (is the property " +
+                s"carried by the variable's label table?)"))
+          qppOuterCols = outerCols
           val (sCol, dCol) =
             if (rel.direction == In) ("__dst", "__src") else ("__src", "__dst")
-          // node-property lookup frame for an inner variable: its
-          // pattern label if constrained, else the relationship
-          // schema's endpoint label(s), else any table carrying all
-          // referenced properties — ids are globally unique across
-          // labels, so the union never duplicates a node
-          def propFrame(v: String, isSource: Boolean): DataFrame = {
-            val props = propRefs.getOrElse(v, Set.empty).toSeq.sorted
-            val patLabel = rel.stepFilters.flatMap { case (ap, bp) =>
-              (if (isSource) ap else bp).label
-            }
-            val schemaLabels = (rel.relType.toSeq ++ rel.altTypes)
+          // declared endpoint label(s) of this hop's relationship
+          // type(s). An undirected hop traverses mirrored edge rows,
+          // so EITHER declared endpoint can be a step's source or
+          // target — include both (ids are globally unique across
+          // labels, the union never duplicates a node); a one-sided
+          // lookup would null out the predicate on mirrored rows of a
+          // heterogeneous-endpoint relationship and silently drop them
+          def endpointLabels(isSource: Boolean): Seq[String] =
+            (rel.relType.toSeq ++ rel.altTypes)
               .flatMap(graph.relEndpoints.get)
-              .map(ep => if (isSource == (rel.direction != In)) ep._1 else ep._2)
+              .flatMap { ep =>
+                if (rel.direction == Both) Seq(ep._1, ep._2)
+                else Seq(
+                  if (isSource == (rel.direction != In)) ep._1 else ep._2)
+              }
               .distinct
-            val tables: Seq[DataFrame] = patLabel match {
-              case Some(l) => Seq(graph.nodeTable(l))
-              case None if schemaLabels.nonEmpty =>
-                schemaLabels.map(graph.nodeTable)
-              case None =>
-                val cands = graph.nodes.values.toSeq
-                  .filter(t => props.forall(t.columns.contains))
-                require(cands.nonEmpty,
-                  s"no node table carries properties " +
-                    s"${props.mkString(", ")} referenced by '$v'")
-                cands
-            }
-            tables.map { t =>
-              val cols = col("__id").as(s"${v}__@pid") +:
-                props.map(p =>
-                  (if (t.columns.contains(p)) col(p)
-                   else lit(null)).as(s"${v}__$p"))
-              t.select(cols: _*)
-            }.reduce(_.unionByName(_))
-          }
           var e = endpointFiltered
+          if (outerCols.nonEmpty) e = e.crossJoin(qppOuterTuples)
           Seq((aVar, true, sCol), (bVar, false, dCol)).foreach {
             case (Some(v), isSource, ec) if propRefs.contains(v) ||
                 identRefs.contains(v) =>
               if (propRefs.contains(v)) {
-                val pf = propFrame(v, isSource)
+                val patLabel = rel.stepFilters.flatMap { case (ap, bp) =>
+                  (if (isSource) ap else bp).label
+                }
+                val pf = propLookup(v, propRefs(v).toSeq.sorted, patLabel,
+                  endpointLabels(isSource))
                 e = e.join(pf, e(ec) === pf(s"${v}__@pid"), "left_outer")
               }
               if (identRefs.contains(v)) {
@@ -1881,8 +1924,20 @@ object CypherPlanner {
               e = e.withColumn(s"${v}__$p", col(p))
             }
           }
-          e.filter(toColumn(pred, Bindings.empty))
-            .select(endpointFiltered.columns.map(col).toSeq: _*)
+          val kept = e.filter(toColumn(pred, Bindings.empty))
+          if (outerCols.isEmpty)
+            kept.select(endpointFiltered.columns.map(col).toSeq: _*)
+          else
+            // composite keys: (id, outer tuple) structs keep the
+            // expansion within one outer binding; edge identity stays
+            // plain (an edge is the same edge under every tuple)
+            kept.select(endpointFiltered.columns.toSeq.map {
+              case "__src" => struct((col("__src").as("i") +:
+                outerCols.map(col)): _*).as("__src")
+              case "__dst" => struct((col("__dst").as("i") +:
+                outerCols.map(col)): _*).as("__dst")
+              case c => col(c)
+            }: _*)
       }
       // shortest-path chains seed the BFS with the start variable's
       // bound id set (the pre-bound MATCH spelling, or at least the
@@ -1918,26 +1973,78 @@ object CypherPlanner {
         val h = ch.hops.size
         val nodePats = ch.start +: ch.hops.map(_._2)
         val hopFrames = ch.hops.zipWithIndex.map { case ((r, _), j) =>
-          val t = r.relType.get
-          var base = graph.relTable(t)
-          r.props.foreach { case (k, v) => base = base.filter(col(k) === lit(v)) }
-          // per-inner-node constraints: hop j runs node j → node j+1
-          constraintIds(nodePats(j)).foreach(f =>
-            base = base.join(f, base("__src") === f("__id"), "left_semi"))
-          constraintIds(nodePats(j + 1)).foreach(f =>
-            base = base.join(f, base("__dst") === f("__id"), "left_semi"))
-          // edge identity, same struct as the single-hop tagger
-          val ordCols = base.columns.toSeq
-            .filterNot(Set("__src", "__dst")).sorted.map(col) match {
-            case Seq() => Seq(col("__src"))
-            case cs    => cs
+          // the hop's edge tables in STORED orientation: a typed hop
+          // reads one table; `-[:A|B]->` the listed tables; a typeless
+          // hop every table whose declared endpoints can match the
+          // inner node labels (static schema pruning, exactly like the
+          // single-hop typeless union — at 100 TB the difference
+          // between two small scans and every edge list in the graph)
+          require(r.props.isEmpty || (r.relType.isDefined &&
+              r.altTypes.isEmpty),
+            "a property map on a multi-type or type-less relationship " +
+              "inside a quantified group is unsupported")
+          val (srcPat, dstPat) =
+            if (r.direction == In) (nodePats(j + 1), nodePats(j))
+            else (nodePats(j), nodePats(j + 1))
+          def fits(want: Option[String], have: String) = want.forall(_ == have)
+          val typed: Seq[(String, DataFrame)] = r.relType match {
+            case Some(t) if r.altTypes.isEmpty => Seq(t -> graph.relTable(t))
+            case Some(t) => (t +: r.altTypes).distinct.sorted
+              .map(tn => tn -> graph.relTable(tn))
+            case None => graph.rels.toSeq.sortBy(_._1).filter { case (tn, _) =>
+              graph.relEndpoints.get(tn) match {
+                case None => true // schema unknown for this type: keep
+                case Some((sl, dl)) => r.direction match {
+                  case Both =>
+                    (fits(srcPat.label, sl) && fits(dstPat.label, dl)) ||
+                      (fits(srcPat.label, dl) && fits(dstPat.label, sl))
+                  case _ =>
+                    fits(srcPat.label, sl) && fits(dstPat.label, dl)
+                }
+              }
+            }
           }
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__src"), col("__dst")).orderBy(ordCols: _*)
-          base.withColumn("__eid",
-            struct(lit(t).as("t"), col("__src").as("u"),
-              col("__dst").as("v"), row_number().over(w).as("k")))
-            .select(col("__src"), col("__dst"), col("__eid"))
+          require(typed.nonEmpty,
+            s"no relationship type connects the labels of quantified-" +
+              s"group hop ${j + 1} (schema-pruned to nothing)")
+          // per-branch: prop filters, then the edge-identity struct in
+          // stored orientation (the mirror carries it through, so an
+          // undirected edge and its mirror share one identity)
+          val tagged = typed.map { case (tn, t0) =>
+            var base = t0
+            r.props.foreach { case (k, v) =>
+              base = base.filter(col(k) === lit(v)) }
+            val ordCols = base.columns.toSeq
+              .filterNot(Set("__src", "__dst")).sorted.map(col) match {
+              case Seq() => Seq(col("__src"))
+              case cs    => cs
+            }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__src"), col("__dst")).orderBy(ordCols: _*)
+            base.withColumn("__eid",
+              struct(lit(tn).as("t"), col("__src").as("u"),
+                col("__dst").as("v"), row_number().over(w).as("k")))
+              .select(col("__src"), col("__dst"), col("__eid"))
+          }.reduce(_.unionByName(_))
+          // orient into TRAVERSAL order: after this, __src is always
+          // the step's source. An In hop walks stored edges backward;
+          // an undirected hop both ways (mirrored, identity unchanged)
+          val swapped = tagged.select(col("__dst").as("__src"),
+            col("__src").as("__dst"), col("__eid"))
+          var oriented = r.direction match {
+            case Out  => tagged
+            case In   => swapped
+            case Both => tagged.unionByName(swapped)
+          }
+          // per-inner-node constraints: hop j runs node j → node j+1
+          // in traversal order
+          constraintIds(nodePats(j)).foreach(f =>
+            oriented = oriented.join(f,
+              oriented("__src") === f("__id"), "left_semi"))
+          constraintIds(nodePats(j + 1)).foreach(f =>
+            oriented = oriented.join(f,
+              oriented("__dst") === f("__id"), "left_semi"))
+          oriented
         }
         // one repetition = the h hops joined through their junctures,
         // no edge reused INSIDE a repetition either
@@ -1953,11 +2060,67 @@ object CypherPlanner {
                 concat(acc("__nes"), array(col("__ge"))).as("__nes"),
                 concat(acc("__snids"), array(col("__gd"))).as("__snids"))
           }
-        val base = oneRep.select(col("__src"), col("__dst"),
+        // Inline WHERE on a multi-hop group: the predicate relates one
+        // REPETITION's nodes to each other, so it filters the composite
+        // frame once, before repetitions chain. Node position j of the
+        // inner chain is __src (j = 0) or __snids[j-1]; referenced
+        // properties join in via the shared propLookup (pattern label →
+        // schema-derived adjacent-hop endpoint labels → prop-carrier
+        // union), and the scalar compiler evaluates the predicate
+        // unchanged. Zero-length branches never ran a repetition, so
+        // they stay untouched (same vacuous-WHERE rule as single-hop).
+        val repFiltered = rel.stepWhere match {
+          case None => oneRep
+          case Some(pred) =>
+            val names = nodePats.map(_.variable)
+            val (propRefs, identRefs) = stepWhereRefs(pred)
+            val inScope = names.flatten.toSet
+            val unknown = (propRefs.keySet ++ identRefs) -- inScope
+            require(unknown.isEmpty,
+              s"a multi-hop quantified-group WHERE may reference only " +
+                s"the group's inner node variables " +
+                s"(${inScope.mkString(", ")}); got: " +
+                s"${unknown.mkString(", ")} (outer-scope references " +
+                s"are supported on single-hop groups only)")
+            // candidate labels for position j, from the declared
+            // endpoints of the adjacent hop (traversal orientation)
+            def posLabels(j: Int): Seq[String] = {
+              def epLabels(r: RelPattern, source: Boolean): Seq[String] =
+                (r.relType.toSeq ++ r.altTypes)
+                  .flatMap(graph.relEndpoints.get).flatMap { ep =>
+                    r.direction match {
+                      case Both => Seq(ep._1, ep._2)
+                      case In   => Seq(if (source) ep._2 else ep._1)
+                      case Out  => Seq(if (source) ep._1 else ep._2)
+                    }
+                  }
+              (if (j == 0) epLabels(ch.hops.head._1, source = true)
+               else epLabels(ch.hops(j - 1)._1, source = false)).distinct
+            }
+            var e = oneRep
+            names.zipWithIndex.foreach {
+              case (Some(v), j) if propRefs.contains(v) ||
+                  identRefs.contains(v) =>
+                val idCol =
+                  if (j == 0) col("__src")
+                  else element_at(col("__snids"), j)
+                if (identRefs.contains(v))
+                  e = e.withColumn(s"${v}__id", idCol)
+                if (propRefs.contains(v)) {
+                  val pf = propLookup(v, propRefs(v).toSeq.sorted,
+                    nodePats(j).label, posLabels(j))
+                  e = e.join(pf, idCol === pf(s"${v}__@pid"), "left_outer")
+                }
+              case _ =>
+            }
+            e.filter(toColumn(pred, Bindings.empty))
+              .select(oneRep.columns.map(col).toSeq: _*)
+        }
+        val base = repFiltered.select(col("__src"), col("__dst"),
           col("__nes").as("__eids"), col("__snids").as("__nids"))
         def kRep(k: Int): DataFrame =
           (2 to k).foldLeft(base) { (acc, step) =>
-            val right = oneRep.select(col("__src").as(s"__m$step"),
+            val right = repFiltered.select(col("__src").as(s"__m$step"),
               col("__dst").as("__nd"), col("__nes").as("__ne2"),
               col("__snids").as("__nn2"))
             acc.join(right, acc("__dst") === right(s"__m$step") &&
@@ -1997,7 +2160,9 @@ object CypherPlanner {
       val expanded =
         if (rel.groupChain.isDefined) {
           val (lo, hi) = rel.varLength.get
-          require(hi <= 10, s"quantified group bound {$lo,$hi} above the cap")
+          require(hi <= CypherParser.MaxVarHops,
+            s"quantified group bound {$lo,$hi} above the shared " +
+              s"var-length cap *..${CypherParser.MaxVarHops}")
           compositeExpand(rel.groupChain.get, lo, hi)
         } else if (chain.weightProp.isDefined) {
           val wp = chain.weightProp.get
@@ -2017,17 +2182,41 @@ object CypherPlanner {
           // its k=0 branch: every node id, across all labels (a
           // multi-label node contributes once)
           val zeroUniverse =
-            if (rel.varLength.exists(_._1 == 0))
-              Some(graph.nodes.values.map(_.select(col("__id")))
-                .reduce(_.union(_)).distinct())
-            else None
+            if (rel.varLength.exists(_._1 == 0)) {
+              val u = graph.nodes.values.map(_.select(col("__id")))
+                .reduce(_.union(_)).distinct()
+              // under an outer-ref WHERE the k=0 branch must exist for
+              // EVERY outer tuple (zero repetitions = vacuous WHERE,
+              // including null-valued tuples) — composite-key it too
+              Some(
+                if (qppOuterCols.isEmpty) u
+                else u.crossJoin(qppOuterTuples)
+                  .select(struct((col("__id").as("i") +:
+                    qppOuterCols.map(col)): _*).as("__id")))
+            } else None
           varLengthRel(stepFiltered, rel.varLength, zeroUniverse)
+        }
+      // unpack composite (id, outer-tuple) keys after expansion: the
+      // tuple columns surface as __oc_* for the join back to the
+      // bound frame; node ids (keys and walks) revert to plain longs
+      val expandedPlain =
+        if (qppOuterCols.isEmpty) expanded
+        else {
+          var e2 = expanded
+          qppOuterCols.foreach(c =>
+            e2 = e2.withColumn(s"__oc_$c", col("__src").getField(c)))
+          e2 = e2.withColumn("__src", col("__src").getField("i"))
+            .withColumn("__dst", col("__dst").getField("i"))
+          if (e2.columns.contains("__nids"))
+            e2 = e2.withColumn("__nids",
+              transform(col("__nids"), x => x.getField("i")))
+          e2
         }
       // the edge identities this hop consumed, exposed only when some
       // other hop of the chain must be kept from reusing them
       val hopEids: Option[Column] =
         if (!needChainEid) None
-        else if (expanded.columns.contains("__eids")) Some(col("__eids"))
+        else if (expandedPlain.columns.contains("__eids")) Some(col("__eids"))
         else Some(array(col("__eid")))
       // hop count for `length(p)`: var-length hops report their walk
       // length (`__hops`), fixed hops contribute 1
@@ -2043,7 +2232,7 @@ object CypherPlanner {
       val hopNidCols =
         if ((chain.pathVar.isDefined || rel.groupNodes.isDefined ||
             rel.groupChain.isDefined) && !chain.shortest &&
-            rel.varLength.isDefined && expanded.columns.contains("__nids"))
+            rel.varLength.isDefined && expandedPlain.columns.contains("__nids"))
           Seq(col("__nids").as("__r_nids"))
         else Seq.empty
       // edge identities for `relationships(p)`, in walk order: a
@@ -2051,7 +2240,7 @@ object CypherPlanner {
       // fixed hop its one tagged edge
       val hopReidCols =
         if (!needPathRels) Seq.empty
-        else if (expanded.columns.contains("__eids"))
+        else if (expandedPlain.columns.contains("__eids"))
           Seq(col("__eids").as("__r_reids"))
         else Seq(array(col("__eid")).as("__r_reids"))
       // shortest-path multiplicity for `count(p)` on allShortestPaths
@@ -2062,10 +2251,11 @@ object CypherPlanner {
         if (chain.weightProp.isDefined && chain.pathVar.isDefined)
           Seq(col("__wcost").as("__r_wcost"))
         else Seq.empty
-      val r = expanded
+      val r = expandedPlain
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
           (relPropCols ++ relTypeCol ++ relEndpointCols ++ hopLenCols ++
             hopNidCols ++ hopReidCols ++ hopNpCols ++ hopWcostCols ++
+            qppOuterCols.map(c => col(s"__oc_$c")) ++
             hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
@@ -2082,13 +2272,22 @@ object CypherPlanner {
         pendingStart = None
         val r2 = r.withColumnRenamed(joinKeyCur, s"${cur}__id")
         df = if (df == null) r2 else df.crossJoin(r2)
+        // outer-ref WHERE: keep only walks computed under THIS row's
+        // outer values (null-safe: zero-length rows must survive a
+        // null outer value — no step ran, the WHERE never evaluated)
+        qppOuterCols.foreach(c =>
+          df = df.filter(col(c) <=> col(s"__oc_$c")))
       } else {
         var joinCond = col(s"${cur}__id") === col(joinKeyCur)
         if (hasAcc && hopEids.isDefined)
           joinCond = joinCond &&
             !arrays_overlap(col("__chain_eids"), col("__r_eids"))
+        qppOuterCols.foreach(c =>
+          joinCond = joinCond && (col(c) <=> col(s"__oc_$c")))
         df = df.join(r, joinCond)
       }
+      if (qppOuterCols.nonEmpty)
+        df = df.drop(qppOuterCols.map(c => s"__oc_$c"): _*)
       if (hopEids.isDefined)
         df =
           if (hasAcc)
@@ -2310,8 +2509,11 @@ object CypherPlanner {
           col("__id").as("__dst"), lit(0).as("__hops"))
         val zero = pos match {
           case None =>
+            // element type follows the universe's id type (plain long,
+            // or an (id, outer-tuple) struct under an outer-ref WHERE)
             val withNids = zero0.withColumn("__nids",
-              array().cast("array<bigint>"))
+              array().cast(org.apache.spark.sql.types.ArrayType(
+                universe.schema("__id").dataType)))
             // an eid-tagged hop ({0} under chain-uniqueness or a path
             // variable) still exposes the (empty) edge-identity list
             if (rel.columns.contains("__eid"))
@@ -2333,8 +2535,9 @@ object CypherPlanner {
           case Some(p) => zero.unionByName(p).select(p.columns.map(col).toSeq: _*)
         }
       case Some((lo, hi)) =>
-        require(lo >= 1 && hi >= lo && hi <= 10,
-          s"variable-length bounds *$lo..$hi out of supported range")
+        require(lo >= 1 && hi >= lo && hi <= CypherParser.MaxVarHops,
+          s"variable-length bounds *$lo..$hi out of supported range " +
+            s"(shared cap *..${CypherParser.MaxVarHops})")
         // `__hops` reports each row's walk length for `length(p)`;
         // `__nids` the walk's node ids AFTER the source (each step's
         // destination, in order) for `nodes(p)`

@@ -143,6 +143,31 @@ object CypherQueries {
         |  size(b) AS n_reps
         |ORDER BY s_name, t_name""".stripMargin)
 
+  /** Multi-hop quantified group with IN-direction inner hops (r14):
+    * `((a)<-[:T]-(b)<-[:T]-(c)){1,2}` walks the region chain BACKWARD
+    * two stored edges per repetition — each inner hop's frame is
+    * oriented (stored dst = traversal source) before the composite
+    * join, the same flip the single-hop In path uses.
+    */
+  def qppMultiHopIn(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation) ((a)<-[:NEXT_IN_REGION]-(b)<-[:NEXT_IN_REGION]-(c)){1,2} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name, hops""".stripMargin)
+
+  /** Multi-hop quantified group with a TYPELESS inner hop (r14): the
+    * second hop `-->` reads the union of every relationship type
+    * whose declared source label can be :Nation (static schema
+    * pruning — IN_REGION and NEXT_IN_REGION here, never the
+    * order-scale CONTAINS table), tagged per type for edge identity;
+    * the :Region juncture then keeps only the IN_REGION ends.
+    */
+  def qppMultiHopUntyped(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Customer) ((c)-[:FROM_NATION]->(n:Nation)-->(x)){1,1} (t:Region)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name""".stripMargin)
+
   /** Inline per-step WHERE on a quantified path group (GQL/Neo4j 5):
     * the predicate relates BOTH endpoints of every repetition —
     * `a.name < b.name` keeps only walks whose nation names strictly
@@ -151,6 +176,32 @@ object CypherQueries {
     * Planned as prop-lookup id-joins + one filter on the edge list
     * before expansion.
     */
+  /** Inline WHERE on a MULTI-hop quantified group (r14): the
+    * predicate relates one repetition's nodes to each other —
+    * `a.name < c.name` constrains every 2-hop repetition's endpoints.
+    * Planned as ONE filter on the composite repetition frame (ids at
+    * position j come from the frame's node-array, properties join in
+    * via the shared prop-lookup), applied before repetitions chain.
+    */
+  def qppMultiHopWhere(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c) WHERE a.name < c.name){1,2} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name, hops""".stripMargin)
+
+  /** Outer-scope variable in a quantified-group WHERE (r14 — closes
+    * the round-13 Neo4j divergence): `b.name > s.name` references the
+    * group's own juncture start, bound OUTSIDE the group. Decorrelated
+    * by broadcasting the distinct outer-value tuples into the edge
+    * filter and embedding them in the expansion keys, so each walk is
+    * computed under — and joined back to — its own outer binding.
+    */
+  def qppWhereOuter(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b) WHERE b.name > s.name){1,3} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name, hops""".stripMargin)
+
   def qppWhere(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b) WHERE a.name < b.name){1,3} (t:Nation)
@@ -924,6 +975,27 @@ object CypherQueries {
         |WITH count(*) AS n_del
         |MATCH (o:Order)-[r:CONTAINS]->(p2:Part)
         |RETURN count(*) AS n_edges, min(n_del) AS n_deleted""".stripMargin)
+
+  /** Plain `DELETE n` (non-detach, r14): legal only on
+    * relationship-free nodes — Neo4j errors otherwise, and so does
+    * the engine (spec-pinned). The query first deletes both edge
+    * families incident to the big parts, then plain-DELETEs the now
+    * isolated nodes; the eager attachment check runs against the
+    * DERIVED edge tables, so the pipeline is legal end-to-end.
+    */
+  def deleteNode(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (s:Supplier)-[r:SUPPLIES]->(p:Part) WHERE p.size > 44
+        |DELETE r
+        |WITH count(*) AS n1
+        |MATCH (o:Order)-[r2:CONTAINS]->(p2:Part) WHERE p2.size > 44
+        |DELETE r2
+        |WITH count(*) AS n2
+        |MATCH (p3:Part) WHERE p3.size > 44
+        |DELETE p3
+        |WITH count(*) AS n_deleted
+        |MATCH (p4:Part)
+        |RETURN count(*) AS n_parts_left, min(n_deleted) AS n_deleted""".stripMargin)
 
   /** `=~` regex predicate with Neo4j whole-string semantics (the
     * planner anchors the pattern, since Spark's regexp_like matches

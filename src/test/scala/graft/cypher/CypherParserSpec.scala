@@ -127,8 +127,13 @@ class CypherParserSpec extends AnyFunSuite {
     // unsupported group shapes still fail loudly
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (a:X) (()-[:R]->()-[:S]->()-[:T]->()-[:U]->()){2} (b:Y) RETURN a.p")) // 4 hops
+    // In-direction inner hops parse since r14 (composite orientation)
+    val mhIn = matches(CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->()<-[:S]-()){2} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(mhIn.groupChain.exists(_.hops.size == 2))
     intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (a:X) (()-[:R]->()<-[:S]-()){2} (b:Y) RETURN a.p")) // non-Out hop
+      "MATCH (a:X) ((u)-[r:R]->()-[:S]->()){2} (b:Y) RETURN a.p")) // named inner rel
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (a:X) (()-[:R*1..2]->()){2} (b:Y) RETURN a.p")) // double spell
     intercept[IllegalArgumentException](CypherParser.parse(

@@ -1622,12 +1622,62 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(gv(0).getSeq[Long](3).toList == List(2L, 4L))
     assert(gv(0).getSeq[Long](4).toList == List(3L, 5L))
     assert(gv(0).getLong(5) == 2L)
-    // inner chains beyond 3 hops and non-Out hops reject loudly
+    // inner chains beyond 3 hops reject loudly
     intercept[Exception](CypherParser.parse(
       "MATCH (s) (()-[:E]->()-[:E]->()-[:E]->()-[:E]->()){1,2} (t) " +
         "RETURN count(*) AS n"))
-    intercept[Exception](CypherParser.parse(
-      "MATCH (s) (()-[:X]->()<-[:Y]-()){1,2} (t) RETURN count(*) AS n"))
+  }
+
+  test("multi-hop groups widen to In, undirected, multi-type and typeless hops") {
+    import spark.implicits._
+    def pairs(g: graft.graph.PropertyGraph, q: String): Set[(Long, Long, Long)] =
+      CypherPlanner.run(spark, g, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // In-direction inner hop: `(b)<-[:G]-(c)` walks stored G edges
+    // backward, so a repetition is a -F-> b <-G- c
+    val gIn = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 6L).map(i => Tuple1(i)).toDF("__id")),
+      rels = Map(
+        "F" -> Seq((1L, 2L), (3L, 4L)).toDF("__src", "__dst"),
+        "G" -> Seq((3L, 2L), (6L, 4L)).toDF("__src", "__dst")))
+    assert(pairs(gIn,
+      "MATCH p = (s:V) (()-[:F]->()<-[:G]-()){1,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (3L, 6L, 2L), (1L, 6L, 4L)))
+    // multi-type inner hop `-[:X|Z]->`: before the widening the
+    // planner silently read only :X and lost every :Z repetition
+    val gAlt = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 4L).map(i => Tuple1(i)).toDF("__id")),
+      rels = Map(
+        "X" -> Seq((1L, 2L)).toDF("__src", "__dst"),
+        "Y" -> Seq((2L, 3L), (4L, 1L)).toDF("__src", "__dst"),
+        "Z" -> Seq((3L, 4L)).toDF("__src", "__dst")))
+    assert(pairs(gAlt,
+      "MATCH p = (s:V) (()-[:X|Z]->()-[:Y]->()){1,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (3L, 1L, 2L), (1L, 1L, 4L), (3L, 3L, 4L)))
+    // typeless inner hop: the union of every edge table (here X, Y, Z
+    // all connect :V nodes), whole-path uniqueness across types
+    assert(pairs(gAlt,
+      "MATCH p = (s:V) (()-->()-[:Y]->()){1,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (3L, 1L, 2L), (1L, 1L, 4L), (3L, 3L, 4L)))
+    // undirected inner hop: `(a)-[:X]-(b)` mirrors, so b=2 reaches
+    // a=1 via the stored edge and continues 2 -Y-> 3
+    assert(pairs(gAlt,
+      "MATCH p = (s:V) (()-[:X]-()-[:Y]->()){1,1} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L)))
+    // group variables still bind per-repetition lists across an
+    // In-direction inner hop
+    val gv = CypherPlanner.run(spark, gIn,
+      "MATCH (s:V) ((a)-[:F]->(b)<-[:G]-(c)){2,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, a, b, c").collect()
+    assert(gv.length == 1)
+    assert(gv(0).getLong(0) == 1L && gv(0).getLong(1) == 6L)
+    assert(gv(0).getSeq[Long](2).toList == List(1L, 3L))
+    assert(gv(0).getSeq[Long](3).toList == List(2L, 4L))
+    assert(gv(0).getSeq[Long](4).toList == List(3L, 6L))
   }
 
   test("QPP inline WHERE relates a repetition's endpoints and relationship") {
@@ -1669,12 +1719,129 @@ class CypherPlannerSpec extends AnyFunSuite {
     val zero = pairs("MATCH p = (s:V) ((a)-[:E]->(b) WHERE a.v > 999){0,2} (t:V) " +
       "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l")
     assert(zero == (1L to 5L).map(i => (i, i, 0L)).toSet)
-    // out-of-scope variables and non-single-hop groups reject loudly
-    intercept[Exception](CypherPlanner.run(spark, g,
-      "MATCH p = (s:V) ((a)-[:E]->(b) WHERE s.v < b.v){1,2} (t:V) " +
+  }
+
+  test("multi-hop group WHERE filters whole repetitions") {
+    import spark.implicits._
+    // chain 1→2→3→4→5, v values 10,20,15,40,50
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, 10L), (2L, 20L), (3L, 15L),
+        (4L, 40L), (5L, 50L)).toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("__src", "__dst")))
+    def pairs(q: String): Set[(Long, Long, Long)] =
+      CypherPlanner.run(spark, g, q).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // endpoint-relating predicate: every 2-hop repetition must end
+    // higher than it starts — all three reps qualify, and k=2 chains
+    assert(pairs("MATCH p = (s:V) ((a)-[:E]->(b)-[:E]->(c) " +
+      "WHERE a.v < c.v){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (2L, 4L, 2L), (3L, 5L, 2L), (1L, 5L, 4L)))
+    // middle-node predicate: b must dominate BOTH endpoints — only
+    // the 1→2→3 repetition survives (20 > 10 and 20 > 15)
+    assert(pairs("MATCH p = (s:V) ((a)-[:E]->(b)-[:E]->(c) " +
+      "WHERE b.v > a.v AND b.v > c.v){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L)))
+    // id() resolves per-position; zero-length branch stays vacuous
+    assert(pairs("MATCH p = (s:V) ((a)-[:E]->(b)-[:E]->(c) " +
+      "WHERE id(a) < id(c) AND a.v > 999){0,1} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      (1L to 5L).map(i => (i, i, 0L)).toSet)
+    // outer-scope references are single-hop-group-only — loud reject
+    val e = intercept[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = (s:V) ((a)-[:E]->(b)-[:E]->(c) WHERE s.v < c.v){1,2} (t:V) " +
         "RETURN id(s) AS sid").collect())
-    intercept[Exception](CypherParser.parse(
-      "MATCH (s) (()-[:E]->()-[:E]->() WHERE 1 = 1){1,2} (t) RETURN count(*) AS n"))
+    assert(e.getMessage.contains("inner node variables"))
+  }
+
+  test("QPP WHERE references outer-scope variables (decorrelated per tuple)") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "C" -> Seq((100L, Some(15L)), (200L, Some(35L)), (300L, None))
+          .toDF("__id", "cut"),
+        "V" -> Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+          .toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    // a variable bound by an EARLIER clause parameterizes the per-step
+    // predicate: each x row sees its own filtered edge set
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (x:C) MATCH p = (s:V) ((a)-[:E]->(b) WHERE b.v > x.cut){1,3} (t:V) " +
+        "RETURN id(x) AS xid, id(s) AS sid, id(t) AS tid, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows == Set(
+      (100L, 1L, 2L, 1L), (100L, 2L, 3L, 1L), (100L, 3L, 4L, 1L),
+      (100L, 1L, 3L, 2L), (100L, 2L, 4L, 2L), (100L, 1L, 4L, 3L),
+      (200L, 3L, 4L, 1L)))
+    // x = 300 has a NULL cut: every step predicate is null → no walks
+    // with k >= 1 — but the ZERO-length branch never ran the WHERE, so
+    // it survives even under a null outer value
+    val zero = CypherPlanner.run(spark, g,
+      "MATCH (x:C) MATCH p = (s:V) ((a)-[:E]->(b) WHERE b.v > x.cut){0,2} (t:V) " +
+        "WHERE id(x) = 300 " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(zero == (1L to 4L).map(i => (i, i, 0L)).toSet)
+    // the group's own juncture start is an outer binding too — the
+    // round-13 divergence ((a)-[r]->(b) WHERE s.v < b.v) now plans
+    val sv = CypherPlanner.run(spark, g,
+      "MATCH p = (s:V) ((a)-[:E]->(b) WHERE s.v < b.v){1,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sv == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (2L, 4L, 2L), (3L, 4L, 1L)))
+    // inner and outer references compose in one predicate
+    val mix = CypherPlanner.run(spark, g,
+      "MATCH (x:C) MATCH p = (s:V) ((a)-[:E]->(b) WHERE a.v < b.v AND b.v > x.cut){1,3} (t:V) " +
+        "WHERE id(x) = 200 " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mix == Set((3L, 4L, 1L)))
+    // genuinely unknown variables still reject loudly
+    val e = intercept[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = (s:V) ((a)-[:E]->(b) WHERE nosuch.v < b.v){1,2} (t:V) " +
+        "RETURN id(s) AS sid").collect())
+    assert(e.getMessage.contains("unknown"))
+  }
+
+  test("undirected QPP WHERE over heterogeneous endpoints sees both labels") {
+    import spark.implicits._
+    // U --LIKES--> W with DIFFERENT endpoint labels declared in the
+    // schema. An undirected group mirrors the edge list, so a step's
+    // traversal source can be EITHER a :U or a :W node — the WHERE's
+    // property lookup must union both label tables, or mirrored rows
+    // null out and silently vanish.
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "U" -> Seq((1L, 10L), (2L, 5L)).toDF("__id", "v"),
+        "W" -> Seq((11L, 7L), (12L, 1L)).toDF("__id", "v")),
+      rels = Map("LIKES" -> Seq((1L, 11L), (2L, 12L))
+        .toDF("__src", "__dst")),
+      relEndpoints = Map("LIKES" -> ("U", "W")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (s) ((a)-[:LIKES]-(b) WHERE a.v > b.v){1,1} (t) " +
+        "RETURN id(s) AS sid, id(t) AS tid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stored rows: 1→11 (10 > 7 keeps), 2→12 (5 > 1 keeps);
+    // mirrored rows: 11→1 (7 > 10 drops), 12→2 (1 > 5 drops).
+    // Before the fix the mirrored rows' a.v lookup found no row
+    // (single-sided label) and the kept set depended on orientation.
+    assert(rows == Set((1L, 11L), (2L, 12L)))
+    // the mirrored predicate keeps only the mirrored orientation
+    val rev = CypherPlanner.run(spark, g,
+      "MATCH (s) ((a)-[:LIKES]-(b) WHERE a.v < b.v){1,1} (t) " +
+        "RETURN id(s) AS sid, id(t) AS tid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rev == Set((11L, 1L), (12L, 2L)))
+    // named inner relationship variables in a MULTI-hop group reject
+    // loudly at parse time (they would silently unbind otherwise)
+    val e = intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (s) ((a)-[r:X]->(b)-[:Y]->(c)){1,2} (t) RETURN count(*) AS n"))
+    assert(e.getMessage.contains("named relationship"))
   }
 
   test("weighted shortestPath fails loudly on null/non-numeric weights") {
@@ -1838,6 +2005,34 @@ class CypherPlannerSpec extends AnyFunSuite {
       run("MATCH (a)-[:CONTAINS]->(b) DETACH DELETE a " +
         "WITH count(*) AS w MATCH (o:Order) RETURN count(*) AS n").collect()
     }
+  }
+
+  test("plain DELETE errors on attached nodes and deletes isolated ones") {
+    // attached: every Part has SUPPLIES edges — plain DELETE is the
+    // Neo4j runtime error, spec-pinned here
+    val e = intercept[IllegalStateException] {
+      run("MATCH (p:Part) WHERE p.size > 40 DELETE p " +
+        "WITH count(*) AS w MATCH (p2:Part) RETURN count(*) AS n")
+        .collect()
+    }
+    assert(e.getMessage.contains("still has relationships"))
+    // legal pipeline: strip both edge families first, then the plain
+    // DELETE sees the DERIVED (edge-free) tables and succeeds
+    val bigParts = run(
+      "MATCH (p:Part) WHERE p.size > 40 RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val allParts = run("MATCH (p:Part) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val left = run(
+      "MATCH (s:Supplier)-[r:SUPPLIES]->(p:Part) WHERE p.size > 40 DELETE r " +
+        "WITH count(*) AS n1 " +
+        "MATCH (o:Order)-[r2:CONTAINS]->(p2:Part) WHERE p2.size > 40 DELETE r2 " +
+        "WITH count(*) AS n2 " +
+        "MATCH (p3:Part) WHERE p3.size > 40 DELETE p3 " +
+        "WITH count(*) AS n3 " +
+        "MATCH (p4:Part) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(bigParts > 0 && left == allParts - bigParts)
   }
 
   test("CALL IN TRANSACTIONS: status caps every transaction and the write matches inline") {
