@@ -149,6 +149,12 @@ object Ast {
       variable: Option[String],
       relType: Option[String],
       direction: Direction,
+      /** Var-length bounds `(lo, hi)` of `*lo..hi`, the postfix
+        * `{lo,hi}` quantifier, or a quantified group. Every spelling
+        * shares ONE upper cap, [[CypherParser.MaxVarHops]] (10): open
+        * ranges parse to it, and the planner enforces it with the
+        * same named error for ranges and groups alike.
+        */
       varLength: Option[(Int, Int)],
       props: Map[String, Any] = Map.empty,
       altTypes: Seq[String] = Nil,
@@ -171,7 +177,8 @@ object Ast {
         */
       stepFilters: Option[(NodePattern, NodePattern)] = None,
       /** Multi-hop quantified path group `((a)-[:X]->(b)-[:Y]->(c))
-        * {n,m}` (2–3 inner hops): the WHOLE inner chain repeats as a
+        * {n,m}` (2–3 inner hops, any direction, typed, multi-type or
+        * typeless — r14): the WHOLE inner chain repeats as a
         * unit. The planner composes the inner hops into a composite
         * edge frame (per-repetition node/edge-identity arrays ride
         * along) and var-expands that, so `length(p)` counts k·h
@@ -188,9 +195,11 @@ object Ast {
         * [[stepFilters]] (independent per-node constraints) it can
         * relate the two endpoints and the step relationship to each
         * other. Planned as prop-lookup id-joins + one filter on the
-        * edge list ONCE before expansion. Only inner variables are in
-        * scope (Neo4j also admits outer ones; divergence documented).
-        * None when the group carries no WHERE.
+        * edge list ONCE before expansion. Outer-scope references are
+        * decorrelated through broadcast distinct value tuples (r14);
+        * on MULTI-hop groups the predicate instead filters whole
+        * repetitions of the composite frame (inner node variables
+        * only). None when the group carries no WHERE.
         */
       stepWhere: Option[CExpr] = None)
 
