@@ -36,6 +36,9 @@ object SparkEntry {
     "cypher_qpp_multihop_untyped" -> (cypher.CypherQueries.qppMultiHopUntyped(_, _)),
     "cypher_qpp_multihop_where" -> (cypher.CypherQueries.qppMultiHopWhere(_, _)),
     "cypher_delete_node"    -> (cypher.CypherQueries.deleteNode(_, _)),
+    "cypher_qpp_mh_where_outer" -> (cypher.CypherQueries.qppMultiHopWhereOuter(_, _)),
+    "cypher_var_rel_list"   -> (cypher.CypherQueries.varRelList(_, _)),
+    "cypher_qpp_rel_groupvar" -> (cypher.CypherQueries.qppRelGroupVar(_, _)),
     "cypher_qpp_where"      -> (cypher.CypherQueries.qppWhere(_, _)),
     "cypher_qpp_where_outer" -> (cypher.CypherQueries.qppWhereOuter(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
@@ -2739,6 +2742,45 @@ object SparkEntry {
         |  WHERE p_size <= 40)
         |SELECT e.n_edges, del.n_deleted
         |FROM e CROSS JOIN del""".stripMargin,
+    // per-repetition rel lists: span folds each repetition's 2nd-hop
+    // key gap — one row per (s,t,k) composition of the 2-hop unit
+    "cypher_qpp_rel_groupvar" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |h2 AS (SELECT a.src AS s, b.dst AS t, b.dst - b.src AS span
+        |       FROM e2 a JOIN e2 b ON a.dst = b.src),
+        |p AS (
+        |  SELECT s, t, 1 AS n_reps, span FROM h2
+        |  UNION ALL
+        |  SELECT r1.s, r2.t, 2, r1.span + r2.span
+        |  FROM h2 r1 JOIN h2 r2 ON r1.t = r2.s)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.n_reps AS BIGINT) AS n_reps, CAST(p.span AS BIGINT) AS span
+        |FROM p JOIN nation ns ON p.s = ns.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name, n_reps""".stripMargin,
+    // relationship list over the 2-hop undirected part-order-part
+    // walk: same edge-identity ranks as the planner (row_number per
+    // (order, part) ordered by the remaining columns sorted:
+    // price, qty), same not-same-edge uniqueness
+    "cypher_var_rel_list" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS o, l_partkey AS p, l_quantity AS qty,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |      ORDER BY l_extendedprice, l_quantity) AS k
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT a.p AS pa, b.p AS pb, a.qty + b.qty AS tq
+        |  FROM e a JOIN e b ON a.o = b.o
+        |    AND NOT (a.p = b.p AND a.k = b.k)
+        |  WHERE a.p < 3)
+        |SELECT CAST(pa AS BIGINT) AS pa,
+        |  CAST(pb + 6000000000 AS BIGINT) AS pb_id,
+        |  CAST(2 AS BIGINT) AS n_rels, round(tq, 6) AS total_qty
+        |FROM w ORDER BY pa, pb_id, total_qty""".stripMargin,
     // plain DELETE after in-query edge removal: parts above the size
     // cut lose SUPPLIES + CONTAINS edges, then the node rows
     "cypher_delete_node" ->
@@ -3031,6 +3073,32 @@ object SparkEntry {
         |FROM p JOIN nation ns ON p.s = ns.n_nationkey
         |JOIN nation nt ON p.t = nt.n_nationkey
         |ORDER BY s_name, t_name""".stripMargin,
+    // multi-hop + outer-ref WHERE: each repetition's end name exceeds
+    // the WALK start's name (rep1 end = the juncture mid, rep2 end =
+    // the walk end; both compare against the k=2 walk's first src)
+    "cypher_qpp_mh_where_outer" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |nm AS (SELECT n_nationkey AS id, n_name AS name FROM nation),
+        |rep AS (SELECT a.src AS s, b.dst AS t FROM e2 a
+        |        JOIN e2 b ON a.dst = b.src),
+        |p AS (
+        |  SELECT r.s, r.t, 2 AS hops FROM rep r
+        |  JOIN nm x ON r.s = x.id JOIN nm y ON r.t = y.id
+        |  WHERE y.name > x.name
+        |  UNION ALL
+        |  SELECT r1.s, r2.t, 4 FROM rep r1 JOIN rep r2 ON r1.t = r2.s
+        |  JOIN nm x ON r1.s = x.id JOIN nm m ON r1.t = m.id
+        |  JOIN nm y ON r2.t = y.id
+        |  WHERE m.name > x.name AND y.name > x.name)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.hops AS BIGINT) AS hops
+        |FROM p JOIN nation ns ON p.s = ns.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name, hops""".stripMargin,
     // multi-hop repetition WHERE: a repetition is a 2-hop segment
     // whose END name exceeds its START name; k=2 chains two
     // qualifying segments (edge-disjoint on the linear region chain)

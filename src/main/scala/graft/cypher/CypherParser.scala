@@ -618,12 +618,9 @@ object CypherParser {
         // inline WHERE filters whole repetitions there (r14)
         require(inner.hops.size <= 3,
           "quantified path group inner chains support at most 3 hops")
-        // a named inner relationship would silently unbind (the
-        // composite frame keeps edge identities, not per-hop rel
-        // bindings) — reject loudly like the other unsupported shapes
-        require(inner.hops.forall(_._1.variable.isEmpty),
-          "named relationship variables inside a multi-hop quantified " +
-            "group are unsupported (name the group's nodes instead)")
+        // named inner relationships bind per-repetition payload lists
+        // (GQL group variables for relationships) — planned by the
+        // composite expansion alongside the node group variables
         RelPattern(variable = None,
           relType = inner.hops.head._1.relType,
           direction = Out, varLength = Some(q),

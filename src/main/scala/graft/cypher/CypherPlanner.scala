@@ -276,11 +276,7 @@ object CypherPlanner {
           needs = Some(needs))
         // GQL group variables surface as LIST-valued scalar bindings
         // (UNWIND/size/indexing consume them like any WITH-bound list)
-        val gvars = chain.hops.flatMap { case (r, _) =>
-          r.groupNodes.toSeq.flatMap { case (a, b) => a.toSeq ++ b.toSeq } ++
-            r.groupChain.toSeq.flatMap(ch =>
-              (ch.start +: ch.hops.map(_._2)).flatMap(_.variable))
-        }.toSet
+        val gvars = groupListVars(chain)
         s = s.copy(df = cdf, nodeVars = s.nodeVars ++ cvars,
           scalars = s.scalars ++ gvars, lists = s.lists ++ gvars,
           tiny = false)
@@ -301,8 +297,14 @@ object CypherPlanner {
         // drop the optional side's duplicate copies of shared-var props
         val dupCols = odf.columns.toSeq.filter(c =>
           shared.exists(v => c.startsWith(s"${v}__")) && !keys.contains(c))
+        // group / relationship-list variables bound inside the
+        // optional chain register as list-valued scalars, exactly
+        // like the non-optional MATCH path (unmatched rows: null)
+        val ogvars = groupListVars(chain)
         s = s.copy(df = s.df.join(odf.drop(dupCols: _*), keys, "left_outer"),
-          nodeVars = s.nodeVars ++ ovars, tiny = false)
+          nodeVars = s.nodeVars ++ ovars,
+          scalars = s.scalars ++ ogvars, lists = s.lists ++ ogvars,
+          tiny = false)
 
       case FilterClause(e) =>
         s = s.copy(df = applyFilter(graph, s, e))
@@ -1760,7 +1762,7 @@ object CypherPlanner {
       // `relationships(p)` needs every hop's edge identity, even on
       // single-hop chains that need no uniqueness bookkeeping
       val needPathRels = chain.pathVar.isDefined && !chain.shortest
-      val relForExpand =
+      val relForExpand0 =
         if (needWalkEid || needChainEid || needPathRels) {
           val tagCol =
             if (baseRel.columns.contains("__rt")) col("__rt")
@@ -1777,6 +1779,39 @@ object CypherPlanner {
             struct(tagCol.as("t"), col("__src").as("u"),
               col("__dst").as("v"), row_number().over(w).as("k")))
         } else baseRel
+      // A NAMED var-length relationship (`-[rs:T*1..3]->`, or a named
+      // single-hop group rel) binds rs as the walk's per-step
+      // RELATIONSHIP LIST (Neo4j semantics). Each step carries a
+      // payload struct — type, stored endpoints, and every property —
+      // tagged BEFORE mirroring (intrinsic orientation, like __eid),
+      // accumulated alongside the walk arrays, and surfaced as a
+      // list-valued scalar binding: size(rs), UNWIND, list
+      // comprehensions and reduce all consume it, with per-element
+      // property access via struct fields. The payload widens this
+      // hop's shuffles ONLY when the variable is actually named.
+      val needEpl = rel.variable.isDefined && rel.varLength.isDefined &&
+        !chain.shortest
+      require(!needEpl ||
+          (!chain.allShortest && chain.weightProp.isEmpty),
+        "a named variable-length relationship is not supported inside " +
+          "allShortestPaths/weighted shortestPath (the search keeps " +
+          "pairs, not walks)")
+      val relForExpand =
+        if (!needEpl) relForExpand0
+        else {
+          val propCols = relForExpand0.columns.toSeq
+            .filterNot(Set("__src", "__dst", "__rt", "__eid")).sorted
+          val meta = Set("type", "src", "dst")
+          require(propCols.forall(c => !meta(c)),
+            s"relationship property ${propCols.filter(meta).mkString(",")} " +
+              s"collides with the walk payload's type/src/dst fields")
+          val tagCol =
+            if (relForExpand0.columns.contains("__rt")) col("__rt")
+            else lit(rel.relType.getOrElse(""))
+          relForExpand0.withColumn("__epl",
+            struct((tagCol.as("type") +: col("__src").as("src") +:
+              col("__dst").as("dst") +: propCols.map(col)): _*))
+        }
       // undirected: the edge list mirrored once (props/identity ride
       // along), then planned exactly like an Out hop
       val orientedRel = rel.direction match {
@@ -1983,6 +2018,13 @@ object CypherPlanner {
               r.altTypes.isEmpty),
             "a property map on a multi-type or type-less relationship " +
               "inside a quantified group is unsupported")
+          // a NAMED inner relationship binds a per-repetition payload
+          // list; the payload struct needs one fixed schema, so the
+          // hop must carry exactly one type
+          require(r.variable.isEmpty || (r.relType.isDefined &&
+              r.altTypes.isEmpty),
+            "a named relationship inside a multi-hop quantified group " +
+              "must carry exactly one relationship type")
           val (srcPat, dstPat) =
             if (r.direction == In) (nodePats(j + 1), nodePats(j))
             else (nodePats(j), nodePats(j + 1))
@@ -2021,16 +2063,35 @@ object CypherPlanner {
             }
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("__src"), col("__dst")).orderBy(ordCols: _*)
-            base.withColumn("__eid",
+            var out = base.withColumn("__eid",
               struct(lit(tn).as("t"), col("__src").as("u"),
                 col("__dst").as("v"), row_number().over(w).as("k")))
-              .select(col("__src"), col("__dst"), col("__eid"))
+            // named hop: payload struct in stored orientation (type,
+            // endpoints, every property) — same shape as the
+            // single-hop named var-length payload
+            if (r.variable.isDefined) {
+              val propCols = base.columns.toSeq
+                .filterNot(Set("__src", "__dst")).sorted
+              val meta = Set("type", "src", "dst")
+              require(propCols.forall(c => !meta(c)),
+                s"relationship property ${propCols.filter(meta).mkString(",")} " +
+                  s"collides with the payload's type/src/dst fields")
+              out = out.withColumn("__epl",
+                struct((lit(tn).as("type") +: col("__src").as("src") +:
+                  col("__dst").as("dst") +: propCols.map(col)): _*))
+            }
+            out.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
+              (if (r.variable.isDefined) Seq(col("__epl"))
+               else Seq.empty): _*)
           }.reduce(_.unionByName(_))
           // orient into TRAVERSAL order: after this, __src is always
           // the step's source. An In hop walks stored edges backward;
           // an undirected hop both ways (mirrored, identity unchanged)
-          val swapped = tagged.select(col("__dst").as("__src"),
-            col("__src").as("__dst"), col("__eid"))
+          val swapped = tagged.select(tagged.columns.map {
+            case "__src" => col("__dst").as("__src")
+            case "__dst" => col("__src").as("__dst")
+            case c       => col(c)
+          }.toSeq: _*)
           var oriented = r.direction match {
             case Out  => tagged
             case In   => swapped
@@ -2047,18 +2108,33 @@ object CypherPlanner {
           oriented
         }
         // one repetition = the h hops joined through their junctures,
-        // no edge reused INSIDE a repetition either
+        // no edge reused INSIDE a repetition either. Named hops carry
+        // their payload as per-hop scalars (__epl_j) — each repetition
+        // contributes exactly one element to each named hop's list.
+        val namedIdx = ch.hops.zipWithIndex.collect {
+          case ((r, _), j) if r.variable.isDefined => j
+        }.toSet
         val oneRep = hopFrames.tail.zipWithIndex
-          .foldLeft(hopFrames.head.select(col("__src"), col("__dst"),
+          .foldLeft(hopFrames.head.select(Seq(col("__src"), col("__dst"),
             array(col("__eid")).as("__nes"),
-            array(col("__dst")).as("__snids"))) { case (acc, (hf, j)) =>
-            val right = hf.select(col("__src").as(s"__g$j"),
-              col("__dst").as("__gd"), col("__eid").as("__ge"))
+            array(col("__dst")).as("__snids")) ++
+            (if (namedIdx(0)) Seq(col("__epl").as("__epl_0"))
+             else Seq.empty): _*)) { case (acc, (hf, j)) =>
+            val right = hf.select(Seq(col("__src").as(s"__g$j"),
+              col("__dst").as("__gd"), col("__eid").as("__ge")) ++
+              (if (namedIdx(j + 1)) Seq(col("__epl").as("__ge_epl"))
+               else Seq.empty): _*)
+            val keepEpls = acc.columns.filter(_.startsWith("__epl_"))
+              .toSeq.map(acc(_))
             acc.join(right, acc("__dst") === right(s"__g$j") &&
                 !array_contains(acc("__nes"), right("__ge")))
-              .select(acc("__src"), col("__gd").as("__dst"),
+              .select(Seq(acc("__src"), col("__gd").as("__dst"),
                 concat(acc("__nes"), array(col("__ge"))).as("__nes"),
-                concat(acc("__snids"), array(col("__gd"))).as("__snids"))
+                concat(acc("__snids"), array(col("__gd"))).as("__snids")) ++
+                keepEpls ++
+                (if (namedIdx(j + 1))
+                  Seq(col("__ge_epl").as(s"__epl_${j + 1}"))
+                else Seq.empty): _*)
           }
         // Inline WHERE on a multi-hop group: the predicate relates one
         // REPETITION's nodes to each other, so it filters the composite
@@ -2075,13 +2151,31 @@ object CypherPlanner {
             val names = nodePats.map(_.variable)
             val (propRefs, identRefs) = stepWhereRefs(pred)
             val inScope = names.flatten.toSet
-            val unknown = (propRefs.keySet ++ identRefs) -- inScope
+            val refs = propRefs.keySet ++ identRefs
+            val outerVars = (refs -- inScope).filter(bound.contains)
+            val unknown = refs -- inScope -- outerVars
             require(unknown.isEmpty,
-              s"a multi-hop quantified-group WHERE may reference only " +
-                s"the group's inner node variables " +
-                s"(${inScope.mkString(", ")}); got: " +
-                s"${unknown.mkString(", ")} (outer-scope references " +
-                s"are supported on single-hop groups only)")
+              s"a multi-hop quantified-group WHERE may reference the " +
+                s"group's inner node variables " +
+                s"(${inScope.mkString(", ")}) or previously bound " +
+                s"ones; unknown: ${unknown.mkString(", ")}")
+            // outer-scope references decorrelate exactly like the
+            // single-hop path: distinct outer tuples broadcast-cross
+            // into the repetition frame, the keys embed the tuple so
+            // chaining stays within one binding (walk node/edge
+            // arrays stay plain — they never join)
+            val outerCols: Seq[String] = outerVars.toSeq.sorted.flatMap { v =>
+              val pcols = propRefs.getOrElse(v, Set.empty).toSeq.sorted
+                .map(p => s"${v}__$p")
+              val icols =
+                if (identRefs.contains(v)) Seq(s"${v}__id") else Seq.empty
+              pcols ++ icols
+            }.distinct
+            outerCols.foreach(c =>
+              require(df != null && df.columns.contains(c),
+                s"outer reference '$c' of the quantified-group WHERE " +
+                  s"is not a column of the bound frame"))
+            qppOuterCols = outerCols
             // candidate labels for position j, from the declared
             // endpoints of the adjacent hop (traversal orientation)
             def posLabels(j: Int): Seq[String] = {
@@ -2098,6 +2192,7 @@ object CypherPlanner {
                else epLabels(ch.hops(j - 1)._1, source = false)).distinct
             }
             var e = oneRep
+            if (outerCols.nonEmpty) e = e.crossJoin(qppOuterTuples)
             names.zipWithIndex.foreach {
               case (Some(v), j) if propRefs.contains(v) ||
                   identRefs.contains(v) =>
@@ -2113,40 +2208,64 @@ object CypherPlanner {
                 }
               case _ =>
             }
-            e.filter(toColumn(pred, Bindings.empty))
-              .select(oneRep.columns.map(col).toSeq: _*)
+            val kept = e.filter(toColumn(pred, Bindings.empty))
+            if (outerCols.isEmpty)
+              kept.select(oneRep.columns.map(col).toSeq: _*)
+            else
+              kept.select(oneRep.columns.toSeq.map {
+                case "__src" => struct((col("__src").as("i") +:
+                  outerCols.map(col)): _*).as("__src")
+                case "__dst" => struct((col("__dst").as("i") +:
+                  outerCols.map(col)): _*).as("__dst")
+                case c => col(c)
+              }: _*)
         }
-        val base = repFiltered.select(col("__src"), col("__dst"),
-          col("__nes").as("__eids"), col("__snids").as("__nids"))
+        val named = namedIdx.toSeq.sorted
+        val base = repFiltered.select(Seq(col("__src"), col("__dst"),
+          col("__nes").as("__eids"), col("__snids").as("__nids")) ++
+          named.map(j => array(col(s"__epl_$j")).as(s"__epls_$j")): _*)
         def kRep(k: Int): DataFrame =
           (2 to k).foldLeft(base) { (acc, step) =>
-            val right = repFiltered.select(col("__src").as(s"__m$step"),
+            val right = repFiltered.select(Seq(col("__src").as(s"__m$step"),
               col("__dst").as("__nd"), col("__nes").as("__ne2"),
-              col("__snids").as("__nn2"))
+              col("__snids").as("__nn2")) ++
+              named.map(j => col(s"__epl_$j").as(s"__ne_epl_$j")): _*)
             acc.join(right, acc("__dst") === right(s"__m$step") &&
                 !arrays_overlap(acc("__eids"), right("__ne2")))
-              .select(acc("__src"), col("__nd").as("__dst"),
+              .select(Seq(acc("__src"), col("__nd").as("__dst"),
                 concat(acc("__eids"), col("__ne2")).as("__eids"),
-                concat(acc("__nids"), col("__nn2")).as("__nids"))
+                concat(acc("__nids"), col("__nn2")).as("__nids")) ++
+                named.map(j => concat(acc(s"__epls_$j"),
+                  array(col(s"__ne_epl_$j"))).as(s"__epls_$j")): _*)
           }
         // `__hops` counts RELATIONSHIPS (length(p)): k repetitions
         // of an h-hop chain traverse k·h edges
         val pos =
           if (hi == 0) None
           else Some((math.max(lo, 1) to hi)
-            .map(k => kRep(k).select(col("__src"), col("__dst"),
-              col("__eids"), lit(k * h).as("__hops"), col("__nids")))
+            .map(k => kRep(k).select(Seq(col("__src"), col("__dst"),
+              col("__eids"), lit(k * h).as("__hops"), col("__nids")) ++
+              named.map(j => col(s"__epls_$j")): _*))
             .reduce(_.unionByName(_)))
         if (lo > 0) pos.get
         else {
-          val universe = graph.nodes.values.map(_.select(col("__id")))
+          val universe0 = graph.nodes.values.map(_.select(col("__id")))
             .reduce(_.union(_)).distinct()
+          // under an outer-ref WHERE the zero branch exists for every
+          // outer tuple (vacuous WHERE — single-hop rule applies)
+          val universe =
+            if (qppOuterCols.isEmpty) universe0
+            else universe0.crossJoin(qppOuterTuples)
+              .select(struct((col("__id").as("i") +:
+                qppOuterCols.map(col)): _*).as("__id"))
           val zero0 = universe.select(col("__id").as("__src"),
             col("__id").as("__dst"), lit(0).as("__hops"))
-          val proto = pos.getOrElse(base.select(col("__src"), col("__dst"),
-            col("__eids"), lit(0).as("__hops"), col("__nids")))
+          val proto = pos.getOrElse(base.select(Seq(col("__src"),
+            col("__dst"), col("__eids"), lit(0).as("__hops"),
+            col("__nids")) ++ named.map(j => col(s"__epls_$j")): _*))
           val zero = proto.schema.fields.foldLeft(zero0) { (z, f) =>
-            if (f.name == "__eids" || f.name == "__nids")
+            if (f.name == "__eids" || f.name == "__nids" ||
+                f.name.startsWith("__epls"))
               z.withColumn(f.name, array().cast(f.dataType))
             else z
           }
@@ -2207,7 +2326,13 @@ object CypherPlanner {
             e2 = e2.withColumn(s"__oc_$c", col("__src").getField(c)))
           e2 = e2.withColumn("__src", col("__src").getField("i"))
             .withColumn("__dst", col("__dst").getField("i"))
-          if (e2.columns.contains("__nids"))
+          // single-hop walks carry composite ids in __nids (each step
+          // dst was a key); multi-hop composite walks keep them plain
+          if (e2.columns.contains("__nids") &&
+              e2.schema("__nids").dataType
+                .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+                .elementType
+                .isInstanceOf[org.apache.spark.sql.types.StructType])
             e2 = e2.withColumn("__nids",
               transform(col("__nids"), x => x.getField("i")))
           e2
@@ -2251,11 +2376,19 @@ object CypherPlanner {
         if (chain.weightProp.isDefined && chain.pathVar.isDefined)
           Seq(col("__wcost").as("__r_wcost"))
         else Seq.empty
+      // a named var-length rel's per-step payload list rides along;
+      // multi-hop groups carry one list per named inner hop
+      val hopEplCols =
+        (if (expandedPlain.columns.contains("__epls"))
+          Seq(col("__epls").as("__r_epls"))
+        else Seq.empty) ++
+          expandedPlain.columns.filter(_.startsWith("__epls_"))
+            .toSeq.map(col)
       val r = expandedPlain
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
           (relPropCols ++ relTypeCol ++ relEndpointCols ++ hopLenCols ++
             hopNidCols ++ hopReidCols ++ hopNpCols ++ hopWcostCols ++
-            qppOuterCols.map(c => col(s"__oc_$c")) ++
+            hopEplCols ++ qppOuterCols.map(c => col(s"__oc_$c")) ++
             hopEids.map(_.as("__r_eids")).toSeq): _*)
       val nv = nextNode.variable.getOrElse(s"__anon${nextNode.hashCode.abs}")
 
@@ -2337,6 +2470,21 @@ object CypherPlanner {
       // everything but the last and the inner-target list everything
       // but the first (= the walk suffix `__r_nids` itself, reversed
       // into pattern order for In hops like the nodes(p) path below).
+      // bind the named var-length relationship list (payload structs
+      // in walk order — Neo4j's `-[rs:T*1..3]->` list semantics)
+      rel.variable.filter(_ => df.columns.contains("__r_epls"))
+        .foreach { rv =>
+          require(!df.columns.contains(rv),
+            s"relationship list variable '$rv' collides with an " +
+              s"existing binding")
+          // an In hop plans the walk in STORED orientation with
+          // flipped join keys, so its payload list reverses into path
+          // order — exactly like the nodes(p)/group-variable walks
+          val lst =
+            if (rel.direction == In) reverse(col("__r_epls"))
+            else col("__r_epls")
+          df = df.withColumn(rv, lst).drop("__r_epls")
+        }
       rel.groupNodes.foreach { case (aName, bName) =>
         require(!chain.shortest && !chain.allShortest,
           "group variables are not supported inside shortestPath " +
@@ -2390,6 +2538,17 @@ object CypherPlanner {
                     walk, (_, i) => (i % h) === (j - 1))
               df = df.withColumn(n, listCol)
             case _ => ()
+          }
+        }
+        // named inner relationships bind their per-repetition payload
+        // lists (one element per repetition, already in walk order —
+        // the composite frames were oriented before composition)
+        ch.hops.zipWithIndex.foreach { case ((ir, _), j) =>
+          ir.variable.foreach { rv =>
+            require(!df.columns.contains(rv),
+              s"relationship list variable '$rv' collides with an " +
+                s"existing binding")
+            df = df.withColumnRenamed(s"__epls_$j", rv)
           }
         }
         if (chain.pathVar.isEmpty) df = df.drop("__r_nids")
@@ -2511,21 +2670,27 @@ object CypherPlanner {
           case None =>
             // element type follows the universe's id type (plain long,
             // or an (id, outer-tuple) struct under an outer-ref WHERE)
-            val withNids = zero0.withColumn("__nids",
+            var z = zero0.withColumn("__nids",
               array().cast(org.apache.spark.sql.types.ArrayType(
                 universe.schema("__id").dataType)))
             // an eid-tagged hop ({0} under chain-uniqueness or a path
-            // variable) still exposes the (empty) edge-identity list
+            // variable) still exposes the (empty) edge-identity list;
+            // a named rel's payload list is empty the same way
             if (rel.columns.contains("__eid"))
-              withNids.withColumn("__eids", array().cast(
+              z = z.withColumn("__eids", array().cast(
                 org.apache.spark.sql.types.ArrayType(
                   rel.schema("__eid").dataType)))
-            else withNids
+            if (rel.columns.contains("__epl"))
+              z = z.withColumn("__epls", array().cast(
+                org.apache.spark.sql.types.ArrayType(
+                  rel.schema("__epl").dataType)))
+            z
           case Some(p) =>
             // typed empty lists matching the positive branches' walk
             // schema (edge-identity struct type is derived, not spelled)
             p.schema.fields.foldLeft(zero0) { (z, f) =>
-              if (f.name == "__eids" || f.name == "__nids")
+              if (f.name == "__eids" || f.name == "__nids" ||
+                  f.name == "__epls")
                 z.withColumn(f.name, array().cast(f.dataType))
               else z
             }
@@ -2541,12 +2706,17 @@ object CypherPlanner {
         // `__hops` reports each row's walk length for `length(p)`;
         // `__nids` the walk's node ids AFTER the source (each step's
         // destination, in order) for `nodes(p)`
+        val hasEpl = rel.columns.contains("__epl")
+        val eplBase: Seq[Column] =
+          if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty
         if (!rel.columns.contains("__eid"))
-          rel.select(col("__src"), col("__dst"), lit(1).as("__hops"),
-            array(col("__dst")).as("__nids"))
+          rel.select(Seq(col("__src"), col("__dst"), lit(1).as("__hops"),
+            array(col("__dst")).as("__nids")) ++ eplBase: _*)
         else if (hi <= 1)
-          rel.select(col("__src"), col("__dst"), array(col("__eid")).as("__eids"),
-            lit(1).as("__hops"), array(col("__dst")).as("__nids"))
+          rel.select(Seq(col("__src"), col("__dst"),
+            array(col("__eid")).as("__eids"),
+            lit(1).as("__hops"), array(col("__dst")).as("__nids")) ++
+            eplBase: _*)
         else {
           // Cypher relationship uniqueness: a walk may not traverse
           // the same relationship twice. Each step carries the walk's
@@ -2554,22 +2724,29 @@ object CypherPlanner {
           // away any edge already used. Without this, an undirected
           // *2 hop would return every node as its own neighbor via
           // a-x-a (the mirrored edge reused backward).
-          val base = rel.select(col("__src"), col("__dst"),
+          val base = rel.select(Seq(col("__src"), col("__dst"),
             array(col("__eid")).as("__eids"),
-            array(col("__dst")).as("__nids"))
+            array(col("__dst")).as("__nids")) ++ eplBase: _*)
           def kHop(k: Int): DataFrame =
             (2 to k).foldLeft(base) { (acc, step) =>
-              val right = rel.select(col("__src").as(s"__m$step"),
-                col("__dst").as("__nd"), col("__eid").as("__ne"))
+              val right = rel.select(Seq(col("__src").as(s"__m$step"),
+                col("__dst").as("__nd"), col("__eid").as("__ne")) ++
+                (if (hasEpl) Seq(col("__epl").as("__nepl"))
+                 else Seq.empty): _*)
               acc.join(right, acc("__dst") === right(s"__m$step") &&
                   !array_contains(acc("__eids"), right("__ne")))
-                .select(acc("__src"), col("__nd").as("__dst"),
+                .select(Seq(acc("__src"), col("__nd").as("__dst"),
                   concat(acc("__eids"), array(col("__ne"))).as("__eids"),
-                  concat(acc("__nids"), array(col("__nd"))).as("__nids"))
+                  concat(acc("__nids"), array(col("__nd"))).as("__nids")) ++
+                  (if (hasEpl)
+                    Seq(concat(acc("__epls"),
+                      array(col("__nepl"))).as("__epls"))
+                  else Seq.empty): _*)
             }
           (lo to hi)
-            .map(k => kHop(k).select(col("__src"), col("__dst"), col("__eids"),
-              lit(k).as("__hops"), col("__nids")))
+            .map(k => kHop(k).select(Seq(col("__src"), col("__dst"),
+              col("__eids"), lit(k).as("__hops"), col("__nids")) ++
+              (if (hasEpl) Seq(col("__epls")) else Seq.empty): _*))
             .reduce(_.unionByName(_))
         }
     }
@@ -3310,6 +3487,10 @@ object CypherPlanner {
   private def subst(e: CExpr, name: String, c: Column): CExpr = e match {
     case Ident(`name`)   => ColRef(c)
     case i: Ident        => i
+    // property access on the lambda variable is struct-field access
+    // (e.g. `r.w` in `reduce(acc = 0.0, r IN rs | acc + r.w)` over a
+    // relationship payload list)
+    case Prop(`name`, p) => ColRef(c.getField(p))
     case p: Prop         => p
     case l: LitV         => l
     case pr: Param       => pr
@@ -3346,6 +3527,22 @@ object CypherPlanner {
       else ReduceExpr(acc, init2, v, l2, subst(st, name, c))
     case other => other // patterns (EXISTS/COUNT) hold no lambda vars
   }
+
+  /** List-valued variables a MATCH chain binds as scalars: GQL node
+    * group variables (single- and multi-hop), per-repetition
+    * relationship lists of named inner hops, and named var-length
+    * relationship lists. Shared by the MATCH and OPTIONAL MATCH
+    * scope-registration paths.
+    */
+  private def groupListVars(chain: PatternChain): Set[String] =
+    chain.hops.flatMap { case (r, _) =>
+      r.groupNodes.toSeq.flatMap { case (a, b) => a.toSeq ++ b.toSeq } ++
+        r.groupChain.toSeq.flatMap(ch =>
+          (ch.start +: ch.hops.map(_._2)).flatMap(_.variable) ++
+            ch.hops.flatMap(_._1.variable)) ++
+        (if (r.varLength.isDefined && !chain.shortest) r.variable.toSeq
+         else Seq.empty)
+    }.toSet
 
   /** Path variables carrying a shortest-path multiplicity
     * (`allShortestPaths` chains): `count(p)` over them sums the

@@ -189,6 +189,18 @@ object CypherQueries {
         |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
         |ORDER BY s_name, t_name, hops""".stripMargin)
 
+  /** Outer-scope variable in a MULTI-hop quantified-group WHERE
+    * (r14): every 2-hop repetition's END name must exceed the WALK
+    * START's — the outer juncture value decorrelates through the
+    * same broadcast-tuple composite keys as the single-hop path,
+    * applied to the repetition frame.
+    */
+  def qppMultiHopWhereOuter(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c) WHERE c.name > s.name){1,2} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name, hops""".stripMargin)
+
   /** Outer-scope variable in a quantified-group WHERE (r14 — closes
     * the round-13 Neo4j divergence): `b.name > s.name` references the
     * group's own juncture start, bound OUTSIDE the group. Decorrelated
@@ -975,6 +987,34 @@ object CypherQueries {
         |WITH count(*) AS n_del
         |MATCH (o:Order)-[r:CONTAINS]->(p2:Part)
         |RETURN count(*) AS n_edges, min(n_del) AS n_deleted""".stripMargin)
+
+  /** Named inner relationships of a MULTI-hop quantified group (r14):
+    * `((a)-[r1:T]->(b)-[r2:T]->(c)){1,2}` binds r1/r2 as
+    * per-REPETITION payload lists (one element per repetition, walk
+    * order) — the relationship flavor of GQL group variables. Here
+    * `span` folds each second-hop edge's key gap via struct fields.
+    */
+  def qppRelGroupVar(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (s:Nation) ((a)-[r1:NEXT_IN_REGION]->(b)-[r2:NEXT_IN_REGION]->(c)){1,2} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, size(r1) AS n_reps,
+        |  reduce(acc = 0, r IN r2 | acc + r.dst - r.src) AS span
+        |ORDER BY s_name, t_name, n_reps""".stripMargin)
+
+  /** Named VAR-LENGTH relationship variable (r14): `-[rs:T*2..2]-`
+    * binds rs as the walk's RELATIONSHIP LIST (Neo4j semantics) —
+    * per-step payload structs carrying type, stored endpoints and
+    * every property, consumable by size()/UNWIND/comprehensions/
+    * reduce with struct-field property access. Here: part pairs one
+    * shared order apart, with the walk's total line quantity.
+    */
+  def varRelList(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part)-[rs:CONTAINS*2..2]-(b:Part)
+        |WHERE a.partkey < 3
+        |RETURN a.partkey AS pa, id(b) AS pb_id, size(rs) AS n_rels,
+        |  round(reduce(acc = 0.0, r IN rs | acc + r.qty), 6) AS total_qty
+        |ORDER BY pa, pb_id, total_qty""".stripMargin)
 
   /** Plain `DELETE n` (non-detach, r14): legal only on
     * relationship-free nodes — Neo4j errors otherwise, and so does

@@ -132,8 +132,11 @@ class CypherParserSpec extends AnyFunSuite {
       "MATCH (a:X) (()-[:R]->()<-[:S]-()){2} (b:Y) RETURN a.p"))
       .head.chain.hops.head._1
     assert(mhIn.groupChain.exists(_.hops.size == 2))
-    intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (a:X) ((u)-[r:R]->()-[:S]->()){2} (b:Y) RETURN a.p")) // named inner rel
+    // named inner relationships parse since r14 (per-repetition lists)
+    val mhR = matches(CypherParser.parse(
+      "MATCH (a:X) ((u)-[r:R]->()-[:S]->()){2} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(mhR.groupChain.exists(_.hops.head._1.variable.contains("r")))
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (a:X) (()-[:R*1..2]->()){2} (b:Y) RETURN a.p")) // double spell
     intercept[IllegalArgumentException](CypherParser.parse(

@@ -1721,6 +1721,100 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(zero == (1L to 5L).map(i => (i, i, 0L)).toSet)
   }
 
+  test("named var-length relationships bind per-step payload lists") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 4L).map(Tuple1(_)).toDF("__id")),
+      rels = Map("E" -> Seq((1L, 2L, 2.0), (2L, 3L, 5.0), (3L, 4L, 7.0))
+        .toDF("__src", "__dst", "w")))
+    // rs is the walk's relationship list: size + reduce over properties
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[rs:E*2..2]->(b:V) " +
+        "RETURN id(a) AS aid, id(b) AS bid, size(rs) AS n, " +
+        "reduce(acc = 0.0, r IN rs | acc + r.w) AS tw ORDER BY aid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(rows == List((1L, 3L, 2L, 7.0), (2L, 4L, 2L, 12.0)))
+    // UNWIND surfaces per-step structs: type/src/dst + properties
+    val un = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[rs:E*1..2]->(b:V) WHERE id(a) = 1 " +
+        "UNWIND rs AS r " +
+        "RETURN id(b) AS bid, r.src AS s, r.dst AS d, r.w AS w, " +
+        "r.type AS t ORDER BY bid, s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toList
+    assert(un == List((2L, 1L, 2L, 2.0, "E"), (3L, 1L, 2L, 2.0, "E"),
+      (3L, 2L, 3L, 5.0, "E")))
+    // a named single-hop group rel binds the same list, alongside the
+    // node group variables
+    val grp = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[r:E]->(b)){2,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, size(r) AS n, " +
+        "reduce(acc = 0.0, x IN r | acc + x.w) AS tw, b ORDER BY sid")
+      .collect()
+    assert(grp.length == 2)
+    assert(grp(0).getLong(0) == 1L && grp(0).getLong(2) == 2L &&
+      grp(0).getDouble(3) == 7.0 &&
+      grp(0).getSeq[Long](4).toList == List(2L, 3L))
+    // In-direction walks list edges from the LEFT endpoint backward
+    val inc = CypherPlanner.run(spark, g,
+      "MATCH (b:V)<-[rs:E*2..2]-(a:V) WHERE id(b) = 3 " +
+        "UNWIND rs AS r RETURN r.src AS s, r.dst AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(inc == List((2L, 3L), (1L, 2L)))
+    // zero-length branch binds the empty list
+    val zero = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[rs:E*0..1]->(b:V) WHERE id(a) = 4 " +
+        "RETURN id(b) AS bid, size(rs) AS n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(zero == List((4L, 0L)))
+    // shortestPath stays a loud reject for named var-length rels
+    intercept[Exception](CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((a:V)-[rs:E*1..3]->(b:V)) " +
+        "RETURN length(p) AS l").collect())
+    // OPTIONAL MATCH registers the list variable too; unmatched
+    // outer rows read it as null
+    val opt = CypherPlanner.run(spark, g,
+      "MATCH (a:V) OPTIONAL MATCH (a)-[rs:E*2..2]->(b:V) " +
+        "RETURN id(a) AS aid, size(rs) AS n ORDER BY aid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toList
+    assert(opt == List((1L, 2L), (2L, 2L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("multi-hop group named relationships bind per-repetition lists") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 5L).map(Tuple1(_)).toDF("__id")),
+      rels = Map(
+        "X" -> Seq((1L, 2L, 1.0), (3L, 4L, 3.0)).toDF("__src", "__dst", "w"),
+        "Y" -> Seq((2L, 3L), (4L, 5L)).toDF("__src", "__dst")))
+    // k=2 walk 1→2→3→4→5: rx collects the two X edges, ry the two Y
+    // edges — one element per repetition, in walk order
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[rx:X]->(b)-[ry:Y]->(c)){2,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, size(rx) AS nx, " +
+        "reduce(acc = 0.0, r IN rx | acc + r.w) AS xw, " +
+        "[r IN ry | r.src] AS ysrcs").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 5L)
+    assert(rows(0).getLong(2) == 2L && rows(0).getDouble(3) == 4.0)
+    assert(rows(0).getSeq[Long](4).toList == List(2L, 4L))
+    // zero repetitions bind empty lists; UNWIND consumes the structs
+    val zero = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[rx:X]->(b)-[ry:Y]->(c)){0,1} (t:V) " +
+        "WHERE id(s) = 5 RETURN id(t) AS tid, size(rx) AS n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(zero == List((5L, 0L)))
+    val un = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((a)-[rx:X]->(b)-[ry:Y]->(c)){1,2} (t:V) " +
+        "WHERE id(s) = 1 AND id(t) = 5 " +
+        "UNWIND rx AS r RETURN r.src AS s2, r.dst AS d, r.w AS w " +
+        "ORDER BY s2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(un == List((1L, 2L, 1.0), (3L, 4L, 3.0)))
+  }
+
   test("multi-hop group WHERE filters whole repetitions") {
     import spark.implicits._
     // chain 1→2→3→4→5, v values 10,20,15,40,50
@@ -1749,11 +1843,17 @@ class CypherPlannerSpec extends AnyFunSuite {
       "WHERE id(a) < id(c) AND a.v > 999){0,1} (t:V) " +
       "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
       (1L to 5L).map(i => (i, i, 0L)).toSet)
-    // outer-scope references are single-hop-group-only — loud reject
+    // outer-scope references decorrelate on multi-hop groups too:
+    // every repetition's end must exceed the WALK START's value
+    assert(pairs("MATCH p = (s:V) ((a)-[:E]->(b)-[:E]->(c) " +
+      "WHERE s.v < c.v){1,2} (t:V) " +
+      "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l") ==
+      Set((1L, 3L, 2L), (1L, 5L, 4L), (2L, 4L, 2L), (3L, 5L, 2L)))
+    // unknown variables still reject loudly
     val e = intercept[IllegalArgumentException](CypherPlanner.run(spark, g,
-      "MATCH p = (s:V) ((a)-[:E]->(b)-[:E]->(c) WHERE s.v < c.v){1,2} (t:V) " +
+      "MATCH p = (s:V) ((a)-[:E]->(b)-[:E]->(c) WHERE nosuch.v < c.v){1,2} (t:V) " +
         "RETURN id(s) AS sid").collect())
-    assert(e.getMessage.contains("inner node variables"))
+    assert(e.getMessage.contains("unknown"))
   }
 
   test("QPP WHERE references outer-scope variables (decorrelated per tuple)") {
@@ -1837,11 +1937,6 @@ class CypherPlannerSpec extends AnyFunSuite {
         "RETURN id(s) AS sid, id(t) AS tid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rev == Set((11L, 1L), (12L, 2L)))
-    // named inner relationship variables in a MULTI-hop group reject
-    // loudly at parse time (they would silently unbind otherwise)
-    val e = intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (s) ((a)-[r:X]->(b)-[:Y]->(c)){1,2} (t) RETURN count(*) AS n"))
-    assert(e.getMessage.contains("named relationship"))
   }
 
   test("weighted shortestPath fails loudly on null/non-numeric weights") {
