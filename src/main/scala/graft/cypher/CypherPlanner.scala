@@ -1986,6 +1986,26 @@ object CypherPlanner {
             df.columns.contains(s"${cur}__id"))
           Some(df.select(col(s"${cur}__id").as("__seedid")).distinct())
         else None
+      // Plain var-length expansion gets the SAME pre-bound-start
+      // seeding as the shortest-path BFS: when this is the chain's
+      // first hop and its source variable is already bound (the
+      // `MATCH (a:L) WHERE … MATCH (a)-[rs:T*..]-(b)` spelling), the
+      // bound id set semi-joins the FIRST step's edge base — walks
+      // that cannot survive the later start join never expand. On an
+      // undirected 12M-row mirrored edge list restricted to 3 bound
+      // starts this is the difference between a full 2-hop blowup and
+      // a handful of rows. In hops are excluded (the bound variable
+      // sits at the stored walk's far end), as are composite-keyed
+      // outer-WHERE frames (struct keys).
+      val varSeed: Option[DataFrame] =
+        if (hopIdx == 0 && rel.direction != In && !chain.shortest &&
+            !chain.allShortest && chain.weightProp.isEmpty &&
+            rel.varLength.isDefined && rel.groupChain.isEmpty &&
+            qppOuterCols.isEmpty && df != null &&
+            !pendingStart.contains(cur) &&
+            df.columns.contains(s"${cur}__id"))
+          Some(df.select(col(s"${cur}__id").as("__seedid")).distinct())
+        else None
       // Neo4j rejects shortestPath over a fixed-length relationship
       // ("requires a pattern with variable length") — fail the same
       // way instead of an opaque None.get below
@@ -2313,7 +2333,7 @@ object CypherPlanner {
                   .select(struct((col("__id").as("i") +:
                     qppOuterCols.map(col)): _*).as("__id")))
             } else None
-          varLengthRel(stepFiltered, rel.varLength, zeroUniverse)
+          varLengthRel(stepFiltered, rel.varLength, zeroUniverse, varSeed)
         }
       // unpack composite (id, outer-tuple) keys after expansion: the
       // tuple columns surface as __oc_* for the join back to the
@@ -2655,15 +2675,23 @@ object CypherPlanner {
     * id — no fanout, broadcast/shuffle-join like any other branch.
     */
   private def varLengthRel(rel: DataFrame, varLength: Option[(Int, Int)],
-      zeroUniverse: Option[DataFrame] = None): DataFrame =
+      zeroUniverse: Option[DataFrame] = None,
+      seed: Option[DataFrame] = None): DataFrame =
     varLength match {
       case None => rel
       case Some((0, hi)) =>
-        val universe = zeroUniverse.getOrElse(throw new IllegalStateException(
+        val universe0 = zeroUniverse.getOrElse(throw new IllegalStateException(
           "zero-lower-bound expansion needs the node universe"))
+        // the zero branch exists only for seeded starts too (cur = dst
+        // there, and cur is exactly the seeded variable)
+        val universe = seed match {
+          case Some(sd) => universe0.join(sd,
+            universe0("__id") === sd("__seedid"), "left_semi")
+          case None => universe0
+        }
         val pos =
           if (hi == 0) None // `{0}` / `{0,0}`: only the empty path
-          else Some(varLengthRel(rel, Some((1, hi)), None))
+          else Some(varLengthRel(rel, Some((1, hi)), None, seed))
         val zero0 = universe.select(col("__id").as("__src"),
           col("__id").as("__dst"), lit(0).as("__hops"))
         val zero = pos match {
@@ -2709,11 +2737,19 @@ object CypherPlanner {
         val hasEpl = rel.columns.contains("__epl")
         val eplBase: Seq[Column] =
           if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty
+        // seeded start: only the FIRST step is restricted — every walk
+        // begins at a bound id, later steps roam freely (the final
+        // join back to the bound frame re-checks the start anyway)
+        val first = seed match {
+          case Some(sd) => rel.join(sd,
+            rel("__src") === sd("__seedid"), "left_semi")
+          case None => rel
+        }
         if (!rel.columns.contains("__eid"))
-          rel.select(Seq(col("__src"), col("__dst"), lit(1).as("__hops"),
+          first.select(Seq(col("__src"), col("__dst"), lit(1).as("__hops"),
             array(col("__dst")).as("__nids")) ++ eplBase: _*)
         else if (hi <= 1)
-          rel.select(Seq(col("__src"), col("__dst"),
+          first.select(Seq(col("__src"), col("__dst"),
             array(col("__eid")).as("__eids"),
             lit(1).as("__hops"), array(col("__dst")).as("__nids")) ++
             eplBase: _*)
@@ -2724,7 +2760,7 @@ object CypherPlanner {
           // away any edge already used. Without this, an undirected
           // *2 hop would return every node as its own neighbor via
           // a-x-a (the mirrored edge reused backward).
-          val base = rel.select(Seq(col("__src"), col("__dst"),
+          val base = first.select(Seq(col("__src"), col("__dst"),
             array(col("__eid")).as("__eids"),
             array(col("__dst")).as("__nids")) ++ eplBase: _*)
           def kHop(k: Int): DataFrame =

@@ -1010,8 +1010,8 @@ object CypherQueries {
     */
   def varRelList(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
-      """MATCH (a:Part)-[rs:CONTAINS*2..2]-(b:Part)
-        |WHERE a.partkey < 3
+      """MATCH (a:Part) WHERE a.partkey < 3
+        |MATCH (a)-[rs:CONTAINS*2..2]-(b:Part)
         |RETURN a.partkey AS pa, id(b) AS pb_id, size(rs) AS n_rels,
         |  round(reduce(acc = 0.0, r IN rs | acc + r.qty), 6) AS total_qty
         |ORDER BY pa, pb_id, total_qty""".stripMargin)
