@@ -198,8 +198,8 @@ object Ast {
         * edge list ONCE before expansion. Outer-scope references are
         * decorrelated through broadcast distinct value tuples (r14);
         * on MULTI-hop groups the predicate instead filters whole
-        * repetitions of the composite frame (inner node variables
-        * only). None when the group carries no WHERE.
+        * repetitions of the composite frame (same outer-ref
+        * decorrelation). None when the group carries no WHERE.
         */
       stepWhere: Option[CExpr] = None)
 

@@ -3064,6 +3064,12 @@ object CypherPlanner {
     // endpoint ids a named DIRECTED single-hop relationship binds
     // (missing column = loud resolution failure for undirected or
     // var-length hops, where the intrinsic orientation isn't carried)
+    // … and on an UNWINDed relationship-payload struct, the struct's
+    // stored-endpoint fields
+    case FnCall("id", Some(FnCall("startnode", Some(Ident(r)), _, _)), _, _)
+        if scalars(r) => col(r).getField("src")
+    case FnCall("id", Some(FnCall("endnode", Some(Ident(r)), _, _)), _, _)
+        if scalars(r) => col(r).getField("dst")
     case FnCall("id", Some(FnCall("startnode", Some(Ident(r)), _, _)), _, _) =>
       col(s"${r}__@src")
     case FnCall("id", Some(FnCall("endnode", Some(Ident(r)), _, _)), _, _) =>
@@ -3422,6 +3428,9 @@ object CypherPlanner {
     // hidden `r__@type` column (a literal for typed hops, the union's
     // `__rt` tag for type-less ones; "@" keeps it out of the
     // property namespace and whole-node expansion)
+    // … and on an UNWINDed relationship-payload struct, its tag field
+    case FnCall("type", Some(Ident(r)), _, _) if scalars(r) =>
+      col(r).getField("type")
     case FnCall("type", Some(Ident(r)), _, _)   => col(s"${r}__@type")
     // labels(n): the node's label list, bound by every node scan as
     // the hidden `n__@labels` column

@@ -555,4 +555,20 @@ class PlanSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined,
       s"make_timestamp bound did not fold into a pushable filter")
   }
+
+  test("pre-bound var-length starts seed the first expansion step") {
+    // the r14 var-expand seed: a bound start set must semi-join the
+    // first step's edge base, so the expansion never materializes
+    // walks the final start join would discard (30.9 -> 5.3 s at sf1
+    // on the undirected CONTAINS 2-hop). A LeftSemi in the optimized
+    // plan is the signature; without the seed none exists.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val semis = cypher.CypherQueries.varRelList(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+    assert(semis.nonEmpty,
+      "seeded var-length expansion lost its start semi-join")
+  }
 }

@@ -1772,6 +1772,13 @@ class CypherPlannerSpec extends AnyFunSuite {
     intercept[Exception](CypherPlanner.run(spark, g,
       "MATCH p = shortestPath((a:V)-[rs:E*1..3]->(b:V)) " +
         "RETURN length(p) AS l").collect())
+    // type()/startNode()/endNode() work on UNWINDed payload elements
+    val tse = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[rs:E*1..1]->(b:V) WHERE id(a) = 1 " +
+        "UNWIND rs AS r RETURN type(r) AS t, id(startNode(r)) AS s, " +
+        "id(endNode(r)) AS d").collect()
+    assert(tse.length == 1 && tse(0).getString(0) == "E" &&
+      tse(0).getLong(1) == 1L && tse(0).getLong(2) == 2L)
     // OPTIONAL MATCH registers the list variable too; unmatched
     // outer rows read it as null
     val opt = CypherPlanner.run(spark, g,
