@@ -75,6 +75,7 @@ object SparkEntry {
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
     "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
+    "cypher_rel_props_fn"   -> (cypher.CypherQueries.relPropertiesFn(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
     "cypher_temporal_arith" -> (cypher.CypherQueries.temporalArith(_, _)),
@@ -2324,6 +2325,17 @@ object SparkEntry {
         |           ELSE CAST(CAST(r_regionkey AS BIGINT) AS VARCHAR) END AS v
         |FROM region CROSS JOIN (SELECT unnest(['name', 'regionkey']) AS key)
         |ORDER BY id, k""".stripMargin,
+    // rel-property introspection: two stringified props per CONTAINS
+    // row (price, qty — key-sorted), keys() size a constant 2
+    "cypher_rel_props_fn" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS ok,
+        |  CAST(l_partkey AS BIGINT) AS pk, key AS k,
+        |  CASE key WHEN 'price' THEN CAST(l_extendedprice AS VARCHAR)
+        |           ELSE CAST(l_quantity AS VARCHAR) END AS v,
+        |  CAST(2 AS BIGINT) AS nk
+        |FROM lineitem CROSS JOIN (SELECT unnest(['price', 'qty']) AS key)
+        |WHERE l_orderkey < 8
+        |ORDER BY ok, pk, k, v""".stripMargin,
     "cypher_map_proj" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
         |  c_mktsegment AS segment

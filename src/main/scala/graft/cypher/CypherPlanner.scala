@@ -1668,20 +1668,27 @@ object CypherPlanner {
       // scans an order→part edge table. At 100 TB this is the
       // difference between scanning two small tables and every edge
       // list in the graph.
+      // inline property map on a multi-type / typeless hop (r14):
+      // each union branch filters on its OWN columns — a type without
+      // the property contributes nothing (Neo4j: null never equals)
+      def branchProps(t0: DataFrame): DataFrame = {
+        var b = t0
+        rel.props.foreach { case (k, v) =>
+          b = if (b.columns.contains(k)) b.filter(col(k) === lit(v))
+              else b.filter(lit(false))
+        }
+        b
+      }
       val relBase = rel.relType match {
         case Some(t) if rel.altTypes.isEmpty => graph.relTable(t)
         // multi-type `-[:A|B]->`: union of exactly the listed edge
         // tables, edges only, each branch tagged for type(r)/identity
         case Some(t) =>
-          require(rel.props.isEmpty,
-            "a property map on a multi-type relationship is unsupported")
           (t +: rel.altTypes).distinct.sorted
-            .map(tn => graph.relTable(tn)
+            .map(tn => branchProps(graph.relTable(tn))
               .select(col("__src"), col("__dst"), lit(tn).as("__rt")))
             .reduce(_.unionByName(_))
         case None =>
-          require(rel.props.isEmpty,
-            "a property map on a type-less relationship is unsupported")
           def fits(want: Option[String], have: String) = want.forall(_ == have)
           val compatible = (tn: String) => graph.relEndpoints.get(tn) match {
             case None => true // schema unknown for this type: keep
@@ -1703,7 +1710,8 @@ object CypherPlanner {
               .filter(lit(false))
           } else kept
             .map { case (tn, t) =>
-              t.select(col("__src"), col("__dst"), lit(tn).as("__rt")) }
+              branchProps(t)
+                .select(col("__src"), col("__dst"), lit(tn).as("__rt")) }
             .reduce(_.unionByName(_))
       }
       // a named single-hop typed relationship binds its property
@@ -1715,6 +1723,26 @@ object CypherPlanner {
           relBase.columns.toSeq
             .filterNot(Set("__src", "__dst"))
             .map(c => col(c).as(s"${rv}__$c"))
+        case _ => Seq.empty
+      }
+      // keys(r) / properties(r) for a named fixed single-hop typed
+      // relationship — the same literal-keyed shapes node scans bind
+      // (@keys a per-type literal, @props a null-dropping key-sorted
+      // struct array with stringified values); Catalyst prunes both,
+      // and the columns they read, whenever neither is asked for
+      val relMetaCols = rel.variable match {
+        case Some(rv) if rel.varLength.isEmpty && rel.relType.isDefined &&
+            rel.altTypes.isEmpty =>
+          val ks = relBase.columns.filterNot(Set("__src", "__dst")).sorted
+          val props =
+            if (ks.isEmpty)
+              array().cast("array<struct<key:string,val:string>>")
+            else org.apache.spark.sql.functions.filter(
+              array(ks.map(k => struct(lit(k).as("key"),
+                col(k).cast("string").as("val"))).toSeq: _*),
+              x => x.getField("val").isNotNull)
+          Seq(props.as(s"${rv}__@props"),
+            array(ks.map(lit(_)).toSeq: _*).as(s"${rv}__@keys"))
         case _ => Seq.empty
       }
       // a named single-hop relationship also binds its type name for
@@ -1742,9 +1770,13 @@ object CypherPlanner {
         case _ => Seq.empty
       }
       // inline relationship property map → equality filters on the
-      // edge table, applied before any mirroring/expansion
+      // edge table, applied before any mirroring/expansion (multi-type
+      // and typeless hops already filtered per union branch above —
+      // their unions carry only __src/__dst/__rt)
       var baseRel = relBase
-      rel.props.foreach { case (k, v) => baseRel = baseRel.filter(col(k) === lit(v)) }
+      if (rel.relType.isDefined && rel.altTypes.isEmpty)
+        rel.props.foreach { case (k, v) =>
+          baseRel = baseRel.filter(col(k) === lit(v)) }
       // Edge identity, needed when a walk (var-length) or another hop
       // of the same chain could rebind this relationship. The identity
       // is (type, src, dst, rank-among-duplicates) in the edge's
@@ -2034,10 +2066,6 @@ object CypherPlanner {
           // inner node labels (static schema pruning, exactly like the
           // single-hop typeless union — at 100 TB the difference
           // between two small scans and every edge list in the graph)
-          require(r.props.isEmpty || (r.relType.isDefined &&
-              r.altTypes.isEmpty),
-            "a property map on a multi-type or type-less relationship " +
-              "inside a quantified group is unsupported")
           // a NAMED inner relationship binds a per-repetition payload
           // list; the payload struct needs one fixed schema, so the
           // hop must carry exactly one type
@@ -2073,9 +2101,13 @@ object CypherPlanner {
           // stored orientation (the mirror carries it through, so an
           // undirected edge and its mirror share one identity)
           val tagged = typed.map { case (tn, t0) =>
+            // inline property maps filter per branch: a type without
+            // the property contributes nothing (null never equals)
             var base = t0
             r.props.foreach { case (k, v) =>
-              base = base.filter(col(k) === lit(v)) }
+              base =
+                if (base.columns.contains(k)) base.filter(col(k) === lit(v))
+                else base.filter(lit(false)) }
             val ordCols = base.columns.toSeq
               .filterNot(Set("__src", "__dst")).sorted.map(col) match {
               case Seq() => Seq(col("__src"))
@@ -2406,7 +2438,8 @@ object CypherPlanner {
             .toSeq.map(col)
       val r = expandedPlain
         .select(col("__src").as("__r_src") +: col("__dst").as("__r_dst") +:
-          (relPropCols ++ relTypeCol ++ relEndpointCols ++ hopLenCols ++
+          (relPropCols ++ relMetaCols ++ relTypeCol ++ relEndpointCols ++
+            hopLenCols ++
             hopNidCols ++ hopReidCols ++ hopNpCols ++ hopWcostCols ++
             hopEplCols ++ qppOuterCols.map(c => col(s"__oc_$c")) ++
             hopEids.map(_.as("__r_eids")).toSeq): _*)

@@ -1219,6 +1219,21 @@ object CypherQueries {
         |RETURN r.regionkey AS id, p.key AS k, p.val AS v
         |ORDER BY id, k""".stripMargin)
 
+  /** `properties(r)` / `keys(r)` on a RELATIONSHIP variable (r14) —
+    * the same introspection trio node scans bind, for named fixed
+    * single-hop typed rels: @keys a per-type literal, @props the
+    * null-dropping key-sorted struct array. Both literal-keyed, so
+    * Catalyst prunes them (and the columns they read) when unused.
+    */
+  def relPropertiesFn(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |WHERE o.orderkey < 8
+        |UNWIND properties(l) AS kv
+        |RETURN o.orderkey AS ok, p.partkey AS pk, kv.key AS k,
+        |  kv.val AS v, size(keys(l)) AS nk
+        |ORDER BY ok, pk, k, v""".stripMargin)
+
   /** Map projection `c {.name, .acctbal}` — parser sugar building a
     * struct from the selected properties, consumed through scalar
     * field access after a WITH horizon (Neo4j's map value itself

@@ -213,6 +213,24 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(filtered == expected && filtered > 0)
   }
 
+  test("property maps on multi-type and typeless relationships filter per branch") {
+    // `-[:CONTAINS|SUPPLIES {qty: 25.0}]->`: SUPPLIES has no qty, so
+    // only the CONTAINS branch contributes (null never equals)
+    val multi = run(
+      "MATCH (o)-[l:CONTAINS|SUPPLIES {qty: 25.0}]->(p:Part) " +
+        "RETURN count(*) AS n").first().getLong(0)
+    val expected = graft.Tables.lineitem(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") === 25.0)
+      .count()
+    assert(multi == expected && multi > 0)
+    // typeless with a property map: every type carrying qty filters,
+    // the rest vanish — same count (only CONTAINS has qty)
+    val untyped = run(
+      "MATCH (o:Order)-[l {qty: 25.0}]->(p:Part) RETURN count(*) AS n")
+      .first().getLong(0)
+    assert(untyped == expected)
+  }
+
   test("named relationship binds its property columns") {
     val rows = run(
       "MATCH (o:Order)-[l:CONTAINS]->(p:Part) " +
