@@ -1261,18 +1261,26 @@ object CypherParser {
         val v = ident()
         if (atSym(".")) { eatSym("."); Prop(v, ident()) }
         else if (atSym("{")) {
-          // map projection `n {.name, .acctbal}` — desugared at parse
-          // time to a struct build (reserved FnCallN), consumed via
-          // field access (`m.name`). Only the `.key` entry form is
-          // supported; computed entries / `.*` fail loudly here.
+          // map projection `n {.name, total: expr}` — desugared at
+          // parse time to a struct build (reserved FnCallN), consumed
+          // via field access (`m.name`). Entry forms: `.key` property
+          // selectors and `key: expr` computed entries (r14); `.*`
+          // still fails loudly (the parser has no label context to
+          // enumerate properties).
           eatSym("{")
           val keys = Seq.newBuilder[CExpr]
           while (!atSym("}")) {
-            if (!atSym(".")) throw new IllegalArgumentException(
-              s"unsupported map-projection entry for '$v' — only " +
-                "property selectors (`{.key, .key}`) are supported")
-            eatSym(".")
-            keys += LitV(ident())
+            if (atSym(".")) {
+              eatSym(".")
+              if (atSym("*")) throw new IllegalArgumentException(
+                s"map-projection `.*` on '$v' is unsupported — list " +
+                  "the properties, or use properties(" + v + ")")
+              keys += LitV(ident())
+            } else {
+              val k = ident()
+              eatSym(":")
+              keys += FnCallN("@mapentry", Seq(LitV(k), expr()))
+            }
             if (!atSym("}")) eatSym(",")
           }
           eatSym("}")

@@ -1344,6 +1344,11 @@ object CypherPlanner {
       case FnCall(_, arg, _, _) => arg.foreach(walk)
       case FnCallN("@mapproj", as) =>
         as.headOption.foreach { case Ident(v) => out += v; case _ => () }
+        // computed entries may reference OTHER variables' properties
+        as.drop(1).foreach {
+          case FnCallN("@mapentry", Seq(_, e)) => walk(e)
+          case _ => ()
+        }
       case FnCallN(_, as)      => as.foreach(walk)
       case ListPred(_, _, l, p) => walk(l); walk(p)
       case Cmp(_, l, r)        => walk(l); walk(r)
@@ -3417,7 +3422,11 @@ object CypherPlanner {
     // with the selected properties as fields; field access on the
     // result goes through the scalar-Prop getField path
     case FnCallN("@mapproj", Seq(Ident(v), keys @ _*)) =>
-      struct(keys.map { case LitV(k: String) => col(s"${v}__$k").as(k)
+      struct(keys.map {
+        case LitV(k: String) => col(s"${v}__$k").as(k)
+        // computed entry `key: expr` — any scalar expression, named
+        case FnCallN("@mapentry", Seq(LitV(k: String), e)) =>
+          toColumn(e, scalars).as(k)
         case other => throw new IllegalArgumentException(
           s"map-projection key must be a property name, got $other") }: _*)
     case FnCallN("substring", args) if args.size == 2 || args.size == 3 =>

@@ -916,11 +916,17 @@ class CypherPlannerSpec extends AnyFunSuite {
       .collect().head
     assert(m.getAs[String]("nm") == "NATION_3" && m.getAs[Long]("rk") == 3L)
 
-    // unsupported entry forms fail loudly at parse time
+    // computed entries `key: expr` mix with property selectors (r14)
+    val c = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 3 " +
+        "WITH n {.name, dbl: n.nationkey * 2, tag: 'x'} AS m " +
+        "RETURN m.name AS nm, m.dbl AS d, m.tag AS t")
+      .collect().head
+    assert(c.getAs[String]("nm") == "NATION_3" &&
+      c.getAs[Long]("d") == 6L && c.getAs[String]("t") == "x")
+    // `.*` still fails loudly at parse time
     intercept[IllegalArgumentException](CypherParser.parse(
       "MATCH (n:Nation) RETURN n {.*} AS m"))
-    intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (n:Nation) RETURN n {name: 1} AS m"))
   }
 
   test("list indexing and slicing: 0-based, negative, open and OOB bounds") {
