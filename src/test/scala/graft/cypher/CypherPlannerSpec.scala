@@ -1846,6 +1846,43 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(un == List((1L, 2L, 1.0), (3L, 4L, 3.0)))
   }
 
+  test("relationship-list and QPP feature combinations hold together") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+        .toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L, 2.0), (2L, 3L, 5.0), (3L, 4L, 7.0))
+        .toDF("__src", "__dst", "w")))
+    // path variable + rel list on the same hop: length(p) == size(rs)
+    val pv = CypherPlanner.run(spark, g,
+      "MATCH p = (a:V)-[rs:E*1..3]->(b:V) " +
+        "RETURN length(p) AS l, size(rs) AS n").collect()
+    assert(pv.nonEmpty && pv.forall(r => r.getLong(0) == r.getLong(1)))
+    // undirected named var-length: the mirror shares identities, so
+    // no a-x-a ghost walks appear in the payload lists either
+    val und = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[rs:E*2..2]-(b:V) WHERE id(a) = 1 " +
+        "RETURN id(b) AS bid, reduce(acc = 0.0, r IN rs | acc + r.w) AS tw")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(und == Set((3L, 7.0)))
+    // seeded zero-bound expansion: pre-bound start keeps its k=0 row
+    val z = CypherPlanner.run(spark, g,
+      "MATCH (a:V) WHERE id(a) = 4 " +
+        "MATCH p = (a)-[rs:E*0..2]->(b:V) " +
+        "RETURN id(b) AS bid, length(p) AS l, size(rs) AS n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(z == Set((4L, 0L, 0L)))
+    // inline WHERE + rel list on one group: the filtered steps are
+    // exactly the listed payloads
+    val wl = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((x)-[r:E]->(y) WHERE r.w > 2.0){1,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, " +
+        "reduce(acc = 0.0, e IN r | acc + e.w) AS tw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(wl == Set((2L, 3L, 5.0), (3L, 4L, 7.0), (2L, 4L, 12.0)))
+  }
+
   test("multi-hop group WHERE filters whole repetitions") {
     import spark.implicits._
     // chain 1→2→3→4→5, v values 10,20,15,40,50
