@@ -1881,6 +1881,15 @@ class CypherPlannerSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     assert(wl == Set((2L, 3L, 5.0), (3L, 4L, 7.0), (2L, 4L, 12.0)))
+    // OUTER-ref WHERE (composite keys) + named group rel (payload
+    // list) on the same hop — the README quick-tour shape
+    val ow = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((x)-[r:E]->(y) WHERE y.v > s.v){1,3} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, size(r) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(ow == Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (2L, 3L, 1L), (2L, 4L, 2L), (3L, 4L, 1L)))
   }
 
   test("multi-hop group WHERE filters whole repetitions") {
