@@ -32,6 +32,7 @@ object SparkEntry {
     "cypher_qpp_stepfilter" -> (cypher.CypherQueries.qppStepFilter(_, _)),
     "cypher_qpp_zero"       -> (cypher.CypherQueries.qppZero(_, _)),
     "cypher_qpp_multihop"   -> (cypher.CypherQueries.qppMultiHop(_, _)),
+    "cypher_qpp_multihop4"  -> (cypher.CypherQueries.qppMultiHop4(_, _)),
     "cypher_qpp_multihop_in" -> (cypher.CypherQueries.qppMultiHopIn(_, _)),
     "cypher_qpp_multihop_untyped" -> (cypher.CypherQueries.qppMultiHopUntyped(_, _)),
     "cypher_qpp_multihop_where" -> (cypher.CypherQueries.qppMultiHopWhere(_, _)),
@@ -41,6 +42,7 @@ object SparkEntry {
     "cypher_qpp_rel_groupvar" -> (cypher.CypherQueries.qppRelGroupVar(_, _)),
     "cypher_qpp_where"      -> (cypher.CypherQueries.qppWhere(_, _)),
     "cypher_qpp_where_outer" -> (cypher.CypherQueries.qppWhereOuter(_, _)),
+    "cypher_sp_where_outer" -> (cypher.CypherQueries.spWhereOuter(_, _)),
     "cypher_with_agg"       -> (cypher.CypherQueries.withAgg(_, _)),
     "cypher_collect_unwind" -> (cypher.CypherQueries.collectUnwind(_, _)),
     "cypher_multi_match"    -> (cypher.CypherQueries.multiMatch(_, _)),
@@ -71,12 +73,14 @@ object SparkEntry {
     "cypher_weighted_path"  -> (cypher.CypherQueries.weightedPath(_, _)),
     "cypher_duration_ctor"  -> (cypher.CypherQueries.durationCtor(_, _)),
     "cypher_catalog"        -> (cypher.CypherQueries.catalog(_, _)),
+    "cypher_catalog_keys"   -> (cypher.CypherQueries.catalogKeys(_, _)),
     "cypher_collect_subquery" -> (cypher.CypherQueries.collectSubquery(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
     "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
     "cypher_rel_props_fn"   -> (cypher.CypherQueries.relPropertiesFn(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
+    "cypher_map_proj_star"  -> (cypher.CypherQueries.mapProjectionStar(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
     "cypher_temporal_arith" -> (cypher.CypherQueries.temporalArith(_, _)),
     "cypher_temporal_arith2" -> (cypher.CypherQueries.temporalArith2(_, _)),
@@ -2238,6 +2242,16 @@ object SparkEntry {
         |  ('CONTAINS'), ('FROM_NATION'), ('IN_REGION'),
         |  ('NEXT_IN_REGION'), ('PLACED_BY'), ('SUPPLIES'),
         |  ('SUPP_NATION')) AS r(name)""".stripMargin,
+    // the engine-wide property-key catalog: every node/rel property
+    // column, deduplicated — schema facts, mirrored literally
+    "cypher_catalog_keys" ->
+      """SELECT name AS propertyKey FROM (VALUES
+        |  ('acctbal'), ('brand'), ('custkey'), ('mktsegment'),
+        |  ('name'), ('nationkey'), ('orderdate'), ('orderkey'),
+        |  ('orderpriority'), ('orderstatus'), ('partkey'), ('price'),
+        |  ('qty'), ('regionkey'), ('retailprice'), ('size'),
+        |  ('suppkey'), ('totalprice'), ('type')) AS k(name)
+        |ORDER BY propertyKey""".stripMargin,
     "cypher_temporal_ctor" ->
       """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
         |  CAST(MIN(hour(ts)) AS BIGINT) AS h_min,
@@ -2339,6 +2353,13 @@ object SparkEntry {
     "cypher_map_proj" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
         |  c_mktsegment AS segment
+        |FROM customer WHERE c_custkey <= 10 ORDER BY id""".stripMargin,
+    // `.*` enumerates every Customer property; the explicit `name:`
+    // computed entry overrides the star's selector
+    "cypher_map_proj_star" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, upper(c_name) AS name,
+        |  c_acctbal AS acctbal, c_mktsegment AS segment,
+        |  CAST(c_nationkey AS BIGINT) AS nk
         |FROM customer WHERE c_custkey <= 10 ORDER BY id""".stripMargin,
     "cypher_pattern_comp" ->
       """SELECT n_name AS nation,
@@ -3062,6 +3083,28 @@ object SparkEntry {
         |FROM p JOIN nation ns ON p.s = ns.n_nationkey
         |JOIN nation nt ON p.t = nt.n_nationkey
         |ORDER BY s_name, t_name, hops""".stripMargin,
+    // k repetitions of the 4-HOP unit (r15, cap lifted): only k = 1
+    // fits the 5-node region chains — the k = 2 (8-edge) arm unions
+    // empty, mirrored here for semantic fidelity
+    "cypher_qpp_multihop4" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |h4 AS (SELECT a.src AS s, d.dst AS t FROM e2 a
+        |       JOIN e2 b ON a.dst = b.src
+        |       JOIN e2 c ON b.dst = c.src
+        |       JOIN e2 d ON c.dst = d.src),
+        |p AS (
+        |  SELECT s, t, 4 AS hops, 1 AS n_reps FROM h4
+        |  UNION ALL
+        |  SELECT r1.s, r2.t, 8, 2 FROM h4 r1 JOIN h4 r2 ON r1.t = r2.s)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(p.hops AS BIGINT) AS hops, CAST(p.n_reps AS BIGINT) AS n_reps
+        |FROM p JOIN nation ns ON p.s = ns.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |ORDER BY s_name, t_name""".stripMargin,
     // k repetitions of the 2-hop unit = 2k-edge walks: the 2- and
     // 4-hop compositions with repetition counts
     "cypher_qpp_multihop" ->
@@ -3165,6 +3208,38 @@ object SparkEntry {
         |FROM p JOIN nation s0 ON p.s = s0.n_nationkey
         |JOIN nation nt ON p.t = nt.n_nationkey
         |ORDER BY s_name, t_name, hops""".stripMargin,
+    // the SHORTEST variant of the outer-WHERE walks: identical
+    // per-start-parameterized unions, collapsed to min(hops) per
+    // (s, t) pair — the BFS first-reach semantics
+    "cypher_sp_where_outer" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |nm AS (SELECT n_nationkey AS id, n_name AS name FROM nation),
+        |p AS (
+        |  SELECT a.src AS s, a.dst AS t, 1 AS hops FROM e2 a
+        |    JOIN nm s0 ON a.src = s0.id JOIN nm d1 ON a.dst = d1.id
+        |    WHERE d1.name > s0.name
+        |  UNION ALL
+        |  SELECT a.src, b.dst, 2 FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN nm s0 ON a.src = s0.id JOIN nm d1 ON a.dst = d1.id
+        |    JOIN nm d2 ON b.dst = d2.id
+        |    WHERE d1.name > s0.name AND d2.name > s0.name
+        |  UNION ALL
+        |  SELECT a.src, c.dst, 3 FROM e2 a JOIN e2 b ON a.dst = b.src
+        |    JOIN e2 c ON b.dst = c.src
+        |    JOIN nm s0 ON a.src = s0.id JOIN nm d1 ON a.dst = d1.id
+        |    JOIN nm d2 ON b.dst = d2.id JOIN nm d3 ON c.dst = d3.id
+        |    WHERE d1.name > s0.name AND d2.name > s0.name
+        |      AND d3.name > s0.name)
+        |SELECT s0.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(MIN(p.hops) AS BIGINT) AS hops
+        |FROM p JOIN nation s0 ON p.s = s0.n_nationkey
+        |JOIN nation nt ON p.t = nt.n_nationkey
+        |GROUP BY s0.n_name, nt.n_name
+        |ORDER BY s_name, t_name""".stripMargin,
     // In-direction inner hops walk the chain BACKWARD: reverse the
     // edge list, then compose 2- and 4-hop reverse walks
     "cypher_qpp_multihop_in" ->

@@ -614,10 +614,13 @@ object CypherParser {
           stepWhere = stepWhere)
       } else {
         // multi-hop group: the whole inner chain repeats as a unit —
-        // composed into a composite edge frame by the planner; an
-        // inline WHERE filters whole repetitions there (r14)
-        require(inner.hops.size <= 3,
-          "quantified path group inner chains support at most 3 hops")
+        // composed into a composite edge frame by the planner (a fold
+        // over the h inner hops, no per-h machinery); an inline WHERE
+        // filters whole repetitions there (r14). The only cap is the
+        // shared quantifier one — GQL imposes no inner-chain limit.
+        require(inner.hops.size <= MaxVarHops,
+          s"quantified path group inner chains support at most " +
+            s"$MaxVarHops hops (the shared var-length cap)")
         // named inner relationships bind per-repetition payload lists
         // (GQL group variables for relationships) — planned by the
         // composite expansion alongside the node group variables
@@ -1261,21 +1264,21 @@ object CypherParser {
         val v = ident()
         if (atSym(".")) { eatSym("."); Prop(v, ident()) }
         else if (atSym("{")) {
-          // map projection `n {.name, total: expr}` — desugared at
+          // map projection `n {.*, .name, total: expr}` — desugared at
           // parse time to a struct build (reserved FnCallN), consumed
           // via field access (`m.name`). Entry forms: `.key` property
-          // selectors and `key: expr` computed entries (r14); `.*`
-          // still fails loudly (the parser has no label context to
-          // enumerate properties).
+          // selectors, `key: expr` computed entries (r14), and the
+          // `.*` all-properties selector (r15) — the parser has no
+          // label context, so `.*` emits an `@mapstar` marker the
+          // planner resolves against the bound frame's property
+          // columns at plan time.
           eatSym("{")
           val keys = Seq.newBuilder[CExpr]
           while (!atSym("}")) {
             if (atSym(".")) {
               eatSym(".")
-              if (atSym("*")) throw new IllegalArgumentException(
-                s"map-projection `.*` on '$v' is unsupported — list " +
-                  "the properties, or use properties(" + v + ")")
-              keys += LitV(ident())
+              if (atSym("*")) { eatSym("*"); keys += FnCallN("@mapstar", Nil) }
+              else keys += LitV(ident())
             } else {
               val k = ident()
               eatSym(":")

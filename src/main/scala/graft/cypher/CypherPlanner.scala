@@ -28,6 +28,16 @@ object CypherPlanner {
     */
   val EarthRadiusMeters = 6371000.0
 
+  /** Cap on the outer-scope QPP WHERE decorrelation domain: the
+    * DISTINCT outer-value tuple frame is force-broadcast and
+    * CROSS-joined into the hop's edge list, so |domain| multiplies
+    * every expansion row — the one plan shape here that can go
+    * quadratic on a reachable input. Domains above the cap reject
+    * loudly at plan time (counted via a limit-capped probe, so the
+    * check itself never scans past cap+1 rows).
+    */
+  val MaxQppOuterDomain = 1000
+
   def run(spark: SparkSession, graph: PropertyGraph, query: String): DataFrame = {
     graft.plans.GraftOptimizations.install(spark)
     planStatement(graph, CypherParser.parseStatement(query))
@@ -190,20 +200,24 @@ object CypherPlanner {
         graph = planCreateNode(graph, s, label, props, merge, onCreate, onMatch)
 
       case DeleteRelClause(vars) =>
-        vars.foreach { rv =>
-          relVarTypes.get(rv) match {
-            case Some(relType) =>
-              graph = planDeleteRel(graph, s, rv, relType)
-            case None =>
-              // plain `DELETE n` on a NODE variable: legal only when
-              // every matched node is already relationship-free
-              // (Neo4j errors otherwise; DETACH DELETE cascades)
-              val label = varLabels.getOrElse(rv,
-                throw new IllegalArgumentException(
-                  s"DELETE $rv: not a bound relationship or labeled " +
-                    s"node variable"))
-              graph = planDeleteNode(graph, s, rv, label)
-          }
+        // Neo4j accepts a node and its relationships in ONE DELETE
+        // clause regardless of listing order (`DELETE a, r` = `DELETE
+        // r, a`): plan every relationship-variable delete first, so
+        // the node deletes' attachment checks run against the DERIVED
+        // (post-delete) edge tables.
+        val (relVars, nodeVars) = vars.partition(relVarTypes.contains)
+        relVars.foreach { rv =>
+          graph = planDeleteRel(graph, s, rv, relVarTypes(rv))
+        }
+        nodeVars.foreach { rv =>
+          // plain `DELETE n` on a NODE variable: legal only when
+          // every matched node is already relationship-free
+          // (Neo4j errors otherwise; DETACH DELETE cascades)
+          val label = varLabels.getOrElse(rv,
+            throw new IllegalArgumentException(
+              s"DELETE $rv: not a bound relationship or labeled " +
+                s"node variable"))
+          graph = planDeleteNode(graph, s, rv, label)
         }
 
       case DetachDeleteClause(vars) =>
@@ -647,16 +661,23 @@ object CypherPlanner {
     require(s.df != null && s.df.columns.contains(idCol),
       s"DELETE $nv: $nv is not bound in the current frame")
     val ids = s.df.select(col(idCol).as("__id")).distinct()
-    val attached = graph.rels.values
-      .map(e => e.select(col("__src").as("__id"))
-        .unionByName(e.select(col("__dst").as("__id")))
-        .join(ids, Seq("__id"), "left_semi"))
-      .reduce(_.unionByName(_))
-      .limit(1).collect()
-    if (attached.nonEmpty)
-      throw new IllegalStateException(
-        s"DELETE $nv: cannot delete node ${attached.head.getLong(0)} " +
-          s"because it still has relationships (use DETACH DELETE)")
+    // Sequential per-table limit-1 probes instead of one union-all
+    // job: the typical case (the error) stops at the FIRST table with
+    // an attached row, so later tables never scan; the success case
+    // pays the same total work as the union did. A graph with no
+    // relationship tables at all (nodes-only, e.g. built by CREATE)
+    // short-circuits entirely — nothing can be attached.
+    val attached = graph.rels.toSeq.sortBy(_._1).iterator
+      .map { case (_, e) =>
+        e.select(col("__src").as("__id"))
+          .unionByName(e.select(col("__dst").as("__id")))
+          .join(ids, Seq("__id"), "left_semi")
+          .limit(1).collect()
+      }
+      .collectFirst { case rows if rows.nonEmpty => rows.head }
+    attached.foreach(row => throw new IllegalStateException(
+      s"DELETE $nv: cannot delete node ${row.getLong(0)} " +
+        s"because it still has relationships (use DETACH DELETE)"))
     graph.copy(nodes = graph.nodes.updated(label,
       graph.nodeTable(label).join(ids, Seq("__id"), "left_anti")))
   }
@@ -1138,7 +1159,8 @@ object CypherPlanner {
     * is a HAVING.
     */
   private def planWith(s: Scope, w0: WithClause): Scope = {
-    val w = w0.copy(items = expandStar(s, w0.items))
+    val w = w0.copy(items = expandStar(s, w0.items).map(i =>
+      i.copy(expr = expandMapStars(s.df, i.expr))))
     val (aggs, keys) = w.items.partition(i => isAggregate(i.expr))
     val nodeKeeps = keys.collect {
       case ReturnItem(Ident(v), None) if s.nodeVars(v) => v
@@ -1222,6 +1244,105 @@ object CypherPlanner {
     case _ => false
   }
 
+  /** The UNION property schema of a set of typed edge tables (name →
+    * type, name-sorted): the fixed payload shape a named multi-type /
+    * typeless relationship needs — each branch null-fills properties
+    * it lacks (typed from a carrier table), so `r.prop` on a step of
+    * a type without the property reads null, Neo4j's missing-property
+    * value, instead of failing on mismatched union schemas (r15).
+    * Same-named properties with CONFLICTING types across tables
+    * reject loudly (one struct field, one type).
+    */
+  private def unionPropSchema(tables: Seq[(String, DataFrame)])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val m = scala.collection.mutable.LinkedHashMap[
+      String, org.apache.spark.sql.types.DataType]()
+    tables.sortBy(_._1).foreach { case (tn, t) =>
+      t.schema.fields
+        .filterNot(f => f.name == "__src" || f.name == "__dst")
+        .foreach { f =>
+          m.get(f.name) match {
+            case None => m += f.name -> f.dataType
+            case Some(dt) => require(dt == f.dataType,
+              s"relationship property '${f.name}' has conflicting " +
+                s"types across the union's tables (:$tn has " +
+                s"${f.dataType.simpleString}, an earlier type " +
+                s"${dt.simpleString}) — a multi-type payload needs " +
+                s"one schema")
+          }
+        }
+    }
+    m.toSeq.sortBy(_._1)
+  }
+
+  /** Map-projection `.*` resolution (r15): the parser has no label
+    * context, so `n {.*, extra: expr}` carries an `@mapstar` marker —
+    * resolved HERE, where the bound frame is in scope: the variable's
+    * property columns (`v__p`; the id and planner-internal `@` names
+    * excluded) enumerate the key list at plan time, sorted, minus any
+    * key the projection already names explicitly (Neo4j: explicit
+    * entries override the star's). Works for node AND relationship
+    * variables (both bind plain `v__prop` columns). A variable with
+    * no property columns in the frame (scalar binding, elided scan)
+    * rejects loudly — the narrowed form of the former blanket reject.
+    */
+  private def expandMapStars(df: DataFrame, e: CExpr): CExpr = {
+    def rw(x: CExpr): CExpr = x match {
+      case FnCallN("@mapproj", as) =>
+        val hasStar = as.drop(1).exists {
+          case FnCallN("@mapstar", _) => true; case _ => false
+        }
+        if (!hasStar) FnCallN("@mapproj", as.head +: as.drop(1).map(rw))
+        else {
+          val v = as.head match {
+            case Ident(n) => n
+            case other => throw new IllegalArgumentException(
+              s"map projection must target a variable, got $other")
+          }
+          val explicit = as.drop(1).collect {
+            case LitV(k: String) => k
+            case FnCallN("@mapentry", Seq(LitV(k: String), _)) => k
+          }.toSet
+          val props =
+            if (df == null) Seq.empty[String]
+            else df.columns.toSeq.filter(_.startsWith(s"${v}__"))
+              .map(_.stripPrefix(s"${v}__"))
+              .filter(p => p != "id" && !p.startsWith("@")).sorted
+          require(props.nonEmpty,
+            s"map-projection `.*` on '$v': no property columns for " +
+              s"'$v' in the current frame — `.*` enumerates the " +
+              s"matched pattern's properties; list keys explicitly " +
+              s"for scalar bindings")
+          val entries = as.drop(1).flatMap {
+            case FnCallN("@mapstar", _) =>
+              props.filterNot(explicit).map(p => LitV(p): CExpr)
+            case other => Seq(rw(other))
+          }
+          FnCallN("@mapproj", as.head +: entries)
+        }
+      case FnCall(n, a, s0, d)   => FnCall(n, a.map(rw), s0, d)
+      case FnCallN(n, as)        => FnCallN(n, as.map(rw))
+      case Cmp(op, l, r)         => Cmp(op, rw(l), rw(r))
+      case Arith(op, l, r)       => Arith(op, rw(l), rw(r))
+      case And(l, r)             => And(rw(l), rw(r))
+      case Or(l, r)              => Or(rw(l), rw(r))
+      case Not(y)                => Not(rw(y))
+      case IsNull(y)             => IsNull(rw(y))
+      case InList(y, l)          => InList(rw(y), ListLit(l.items.map(rw)))
+      case StrPred(op, l, r)     => StrPred(op, rw(l), rw(r))
+      case Coalesce(xs)          => Coalesce(xs.map(rw))
+      case ListLit(xs)           => ListLit(xs.map(rw))
+      case CaseExpr(ws, o)       =>
+        CaseExpr(ws.map { case (c, v) => (rw(c), rw(v)) }, o.map(rw))
+      case ListComp(v, l, w, p)  => ListComp(v, rw(l), w.map(rw), p.map(rw))
+      case ReduceExpr(a, i, v, l, st) =>
+        ReduceExpr(a, rw(i), v, rw(l), rw(st))
+      case ListPred(k, v, l, p)  => ListPred(k, v, rw(l), rw(p))
+      case other                 => other
+    }
+    rw(e)
+  }
+
   /** `*` placeholder (RETURN * / WITH *) → every bound scalar then
     * every bound node variable, name-sorted (Neo4j's column order is
     * also deterministic by name). Node variables then expand to
@@ -1239,7 +1360,8 @@ object CypherPlanner {
     }
 
   private def planReturn(s: Scope, q00: ReturnClause): DataFrame = {
-    val q0 = q00.copy(items = expandStar(s, q00.items))
+    val q0 = q00.copy(items = expandStar(s, q00.items).map(i =>
+      i.copy(expr = expandMapStars(s.df, i.expr))))
     // bare `RETURN n` for a bound pattern variable returns the whole
     // node: expand to one output column per property, named `n.prop`
     // (the tabular spelling of Neo4j's node value; ids stay behind
@@ -1684,15 +1806,34 @@ object CypherPlanner {
         }
         b
       }
+      // a NAMED var-length hop over a union needs the branches to
+      // carry the UNION property schema (null-filled per branch) so
+      // its payload struct has one fixed shape and `r.prop` reads
+      // Neo4j's null on steps of a type without the property (r15 —
+      // previously the payload silently held only type/src/dst and
+      // property access failed with an opaque getField error); plain
+      // unions stay edges-only, nothing widens when nothing is named
+      val unionNeedsProps =
+        rel.variable.isDefined && rel.varLength.isDefined
+      def unionBranches(tabs: Seq[(String, DataFrame)]): DataFrame = {
+        val schema =
+          if (unionNeedsProps) unionPropSchema(tabs) else Seq.empty
+        tabs.map { case (tn, t0) =>
+          val b = branchProps(t0)
+          b.select(Seq(col("__src"), col("__dst"),
+            lit(tn).as("__rt")) ++
+            schema.map { case (p, dt) =>
+              (if (b.columns.contains(p)) col(p)
+               else lit(null).cast(dt)).as(p) }: _*)
+        }.reduce(_.unionByName(_))
+      }
       val relBase = rel.relType match {
         case Some(t) if rel.altTypes.isEmpty => graph.relTable(t)
         // multi-type `-[:A|B]->`: union of exactly the listed edge
-        // tables, edges only, each branch tagged for type(r)/identity
+        // tables, each branch tagged for type(r)/identity
         case Some(t) =>
-          (t +: rel.altTypes).distinct.sorted
-            .map(tn => branchProps(graph.relTable(tn))
-              .select(col("__src"), col("__dst"), lit(tn).as("__rt")))
-            .reduce(_.unionByName(_))
+          unionBranches((t +: rel.altTypes).distinct.sorted
+            .map(tn => tn -> graph.relTable(tn)))
         case None =>
           def fits(want: Option[String], have: String) = want.forall(_ == have)
           val compatible = (tn: String) => graph.relEndpoints.get(tn) match {
@@ -1713,11 +1854,7 @@ object CypherPlanner {
             val (tn0, t0) = graph.rels.toSeq.sortBy(_._1).head
             t0.select(col("__src"), col("__dst"), lit(tn0).as("__rt"))
               .filter(lit(false))
-          } else kept
-            .map { case (tn, t) =>
-              branchProps(t)
-                .select(col("__src"), col("__dst"), lit(tn).as("__rt")) }
-            .reduce(_.unionByName(_))
+          } else unionBranches(kept)
       }
       // a named single-hop typed relationship binds its property
       // columns as `rv__prop` (Neo4j relationship properties);
@@ -1908,8 +2045,27 @@ object CypherPlanner {
       // semantics are Neo4j's: the outer value is constant across a
       // walk and every step's predicate saw it.
       var qppOuterCols: Seq[String] = Nil
-      lazy val qppOuterTuples: DataFrame =
-        broadcast(df.select(qppOuterCols.map(col): _*).distinct())
+      // The decorrelation is a forced broadcast + cross-join: |domain|
+      // MULTIPLIES every edge-list row, and the broadcast hint
+      // overrides Spark's own size safety — so the distinct domain is
+      // counted first (one cheap action over a frame that is built
+      // anyway) and anything above the cap rejects loudly instead of
+      // going quadratic / OOMing the driver. A query whose outer
+      // variable ranges over millions of rows should aggregate or
+      // pre-filter that domain into a small one before correlating it
+      // into a per-step QPP predicate.
+      lazy val qppOuterTuples: DataFrame = {
+        val t = df.select(qppOuterCols.map(col): _*).distinct()
+        val n = t.limit(MaxQppOuterDomain + 1).count()
+        require(n <= MaxQppOuterDomain,
+          s"outer-scope QPP WHERE decorrelation domain too large: " +
+            s"more than $MaxQppOuterDomain distinct value tuples over " +
+            s"(${qppOuterCols.mkString(", ")}) — each tuple multiplies " +
+            s"the expansion's edge list, so a large domain goes " +
+            s"quadratic; aggregate or pre-filter the outer variable " +
+            s"to at most $MaxQppOuterDomain distinct values first")
+        broadcast(t)
+      }
       val stepFiltered = rel.stepWhere match {
         case None => endpointFiltered
         // a multi-hop group's WHERE filters whole REPETITIONS of the
@@ -1929,10 +2085,12 @@ object CypherPlanner {
             s"a quantified-group WHERE may reference the group's inner " +
               s"variables (${inScope.mkString(", ")}) or previously " +
               s"bound ones; unknown: ${unknown.mkString(", ")}")
-          require(outerVars.isEmpty || (!chain.shortest &&
-              !chain.allShortest && chain.weightProp.isEmpty),
-            "outer variables in a quantified-group WHERE are not " +
-              "supported inside shortestPath/allShortestPaths")
+          // outer variables compose with shortestPath/allShortestPaths
+          // since r15: the BFS machinery is key-agnostic (joins,
+          // distincts and anti-joins on __src/__dst work on the
+          // (id, tuple) structs unchanged), so each outer binding gets
+          // its own per-tuple BFS for free — paths never cross tuples
+          // because struct equality requires the tuple to match.
           val outerCols: Seq[String] = outerVars.toSeq.sorted.flatMap { v =>
             val pcols = propRefs.getOrElse(v, Set.empty).toSeq.sorted
               .map(p => s"${v}__$p")
@@ -2020,22 +2178,30 @@ object CypherPlanner {
       // touches ~1k edges where all-pairs touches millions)
       val bfsSeed: Option[DataFrame] =
         if (chain.shortest && df != null &&
-            df.columns.contains(s"${cur}__id"))
-          Some(df.select(col(s"${cur}__id").as("__seedid")).distinct())
-        else None
+            df.columns.contains(s"${cur}__id")) {
+          // under an outer-ref WHERE the edge keys are (id, tuple)
+          // structs — the seed mirrors that shape, so each bound row
+          // seeds exactly its own tuple's BFS
+          val sid =
+            if (qppOuterCols.isEmpty) col(s"${cur}__id").as("__seedid")
+            else struct((col(s"${cur}__id").as("i") +:
+              qppOuterCols.map(col)): _*).as("__seedid")
+          Some(df.select(sid).distinct())
+        } else None
       // Plain var-length expansion gets the SAME pre-bound-start
-      // seeding as the shortest-path BFS: when this is the chain's
-      // first hop and its source variable is already bound (the
-      // `MATCH (a:L) WHERE … MATCH (a)-[rs:T*..]-(b)` spelling), the
-      // bound id set semi-joins the FIRST step's edge base — walks
-      // that cannot survive the later start join never expand. On an
-      // undirected 12M-row mirrored edge list restricted to 3 bound
-      // starts this is the difference between a full 2-hop blowup and
-      // a handful of rows. In hops are excluded (the bound variable
-      // sits at the stored walk's far end), as are composite-keyed
-      // outer-WHERE frames (struct keys).
+      // seeding as the shortest-path BFS: whenever the hop's source
+      // variable is already bound — the chain's first hop after an
+      // earlier MATCH (`MATCH (a:L) WHERE … MATCH (a)-[rs:T*..]-(b)`)
+      // OR any LATER hop of a chain (the accumulated frame binds
+      // `cur` there by construction) — the bound id set semi-joins
+      // the FIRST step's edge base, so walks that cannot survive the
+      // later start join never expand. On an undirected 12M-row
+      // mirrored edge list restricted to 3 bound starts this is the
+      // difference between a full 2-hop blowup and a handful of rows.
+      // Composite-keyed outer-WHERE frames are excluded (struct
+      // keys). In hops seed too, via the traversal flip below.
       val varSeed: Option[DataFrame] =
-        if (hopIdx == 0 && rel.direction != In && !chain.shortest &&
+        if (!chain.shortest &&
             !chain.allShortest && chain.weightProp.isEmpty &&
             rel.varLength.isDefined && rel.groupChain.isEmpty &&
             qppOuterCols.isEmpty && df != null &&
@@ -2043,6 +2209,25 @@ object CypherPlanner {
             df.columns.contains(s"${cur}__id"))
           Some(df.select(col(s"${cur}__id").as("__seedid")).distinct())
         else None
+      // An In-direction hop keeps its edge list in STORED orientation
+      // (the join keys flip instead), so the bound variable `cur`
+      // sits at the walk's far end — seeding stored __src with cur's
+      // ids would restrict the WRONG end and silently drop every
+      // walk. Seeded In hops therefore expand over the FLIPPED edge
+      // list (traversal orientation, cur = __src) and the result
+      // flips back to the stored contract afterwards: endpoints swap,
+      // walk arrays reverse (the node suffix re-anchors on the
+      // traversal start), scalar outputs (__hops/__np/__wcost) are
+      // orientation-free. Without a seed nothing flips — the stored
+      // plan is already minimal.
+      val inFlip = rel.direction == In && rel.groupChain.isEmpty &&
+        (varSeed.isDefined || bfsSeed.isDefined)
+      def flipEdges(e: DataFrame): DataFrame = e.select(e.columns.map {
+        case "__src" => col("__dst").as("__src")
+        case "__dst" => col("__src").as("__dst")
+        case c       => col(c)
+      }.toSeq: _*)
+      val expandEdges = if (inFlip) flipEdges(stepFiltered) else stepFiltered
       // Neo4j rejects shortestPath over a fixed-length relationship
       // ("requires a pattern with variable length") — fail the same
       // way instead of an opaque None.get below
@@ -2072,12 +2257,9 @@ object CypherPlanner {
           // single-hop typeless union — at 100 TB the difference
           // between two small scans and every edge list in the graph)
           // a NAMED inner relationship binds a per-repetition payload
-          // list; the payload struct needs one fixed schema, so the
-          // hop must carry exactly one type
-          require(r.variable.isEmpty || (r.relType.isDefined &&
-              r.altTypes.isEmpty),
-            "a named relationship inside a multi-hop quantified group " +
-              "must carry exactly one relationship type")
+          // list; the payload struct gets ONE fixed schema by
+          // null-filling each branch up to the union property schema
+          // (r15 — replaces the former single-type require)
           val (srcPat, dstPat) =
             if (r.direction == In) (nodePats(j + 1), nodePats(j))
             else (nodePats(j), nodePats(j + 1))
@@ -2102,6 +2284,12 @@ object CypherPlanner {
           require(typed.nonEmpty,
             s"no relationship type connects the labels of quantified-" +
               s"group hop ${j + 1} (schema-pruned to nothing)")
+          // the named hop's fixed payload shape: the union property
+          // schema across every contributing table (null-filled per
+          // branch below)
+          val pSchema =
+            if (r.variable.isDefined) unionPropSchema(typed)
+            else Seq.empty
           // per-branch: prop filters, then the edge-identity struct in
           // stored orientation (the mirror carries it through, so an
           // undirected edge and its mirror share one identity)
@@ -2124,18 +2312,20 @@ object CypherPlanner {
               struct(lit(tn).as("t"), col("__src").as("u"),
                 col("__dst").as("v"), row_number().over(w).as("k")))
             // named hop: payload struct in stored orientation (type,
-            // endpoints, every property) — same shape as the
-            // single-hop named var-length payload
+            // endpoints, the union property schema — branches
+            // null-fill properties their type lacks) — same shape as
+            // the single-hop named var-length payload
             if (r.variable.isDefined) {
-              val propCols = base.columns.toSeq
-                .filterNot(Set("__src", "__dst")).sorted
               val meta = Set("type", "src", "dst")
-              require(propCols.forall(c => !meta(c)),
-                s"relationship property ${propCols.filter(meta).mkString(",")} " +
+              require(pSchema.forall { case (c, _) => !meta(c) },
+                s"relationship property " +
+                  s"${pSchema.map(_._1).filter(meta).mkString(",")} " +
                   s"collides with the payload's type/src/dst fields")
               out = out.withColumn("__epl",
                 struct((lit(tn).as("type") +: col("__src").as("src") +:
-                  col("__dst").as("dst") +: propCols.map(col)): _*))
+                  col("__dst").as("dst") +: pSchema.map { case (p, dt) =>
+                    (if (base.columns.contains(p)) col(p)
+                     else lit(null).cast(dt)).as(p) }): _*))
             }
             out.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
               (if (r.variable.isDefined) Seq(col("__epl"))
@@ -2342,16 +2532,16 @@ object CypherPlanner {
           compositeExpand(rel.groupChain.get, lo, hi)
         } else if (chain.weightProp.isDefined) {
           val wp = chain.weightProp.get
-          require(stepFiltered.columns.contains(wp),
+          require(expandEdges.columns.contains(wp),
             s"weight property '$wp' is not a property of this relationship " +
-              s"(have: ${stepFiltered.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
-          weightedShortestRel(stepFiltered, wp, rel.varLength.get._1,
+              s"(have: ${expandEdges.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
+          weightedShortestRel(expandEdges, wp, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
         } else if (chain.allShortest)
-          shortestRelCounted(stepFiltered, rel.varLength.get._1,
+          shortestRelCounted(expandEdges, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
         else if (chain.shortest)
-          shortestRel(stepFiltered, rel.varLength.get._1,
+          shortestRel(expandEdges, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
         else {
           // zero-lower-bound expansion needs the node universe for
@@ -2370,15 +2560,37 @@ object CypherPlanner {
                   .select(struct((col("__id").as("i") +:
                     qppOuterCols.map(col)): _*).as("__id")))
             } else None
-          varLengthRel(stepFiltered, rel.varLength, zeroUniverse, varSeed)
+          varLengthRel(expandEdges, rel.varLength, zeroUniverse, varSeed)
+        }
+      // flip a seeded In hop's expansion back to the STORED contract
+      // every downstream consumer expects: endpoints swap, the walk's
+      // node suffix re-derives (stored order = reverse of [traversal
+      // start, all but the walk's last node]), edge-identity and
+      // payload arrays simply reverse (their structs were tagged in
+      // intrinsic orientation, untouched by the flip)
+      val expandedStored =
+        if (!inFlip) expanded
+        else {
+          var out = expanded
+          if (out.columns.contains("__nids"))
+            out = out.withColumn("__nids",
+              when(size(col("__nids")) === 0, col("__nids")).otherwise(
+                reverse(concat(array(col("__src")),
+                  slice(col("__nids"), lit(1),
+                    greatest(size(col("__nids")) - 1, lit(0)))))))
+          if (out.columns.contains("__eids"))
+            out = out.withColumn("__eids", reverse(col("__eids")))
+          if (out.columns.contains("__epls"))
+            out = out.withColumn("__epls", reverse(col("__epls")))
+          flipEdges(out)
         }
       // unpack composite (id, outer-tuple) keys after expansion: the
       // tuple columns surface as __oc_* for the join back to the
       // bound frame; node ids (keys and walks) revert to plain longs
       val expandedPlain =
-        if (qppOuterCols.isEmpty) expanded
+        if (qppOuterCols.isEmpty) expandedStored
         else {
-          var e2 = expanded
+          var e2 = expandedStored
           qppOuterCols.foreach(c =>
             e2 = e2.withColumn(s"__oc_$c", col("__src").getField(c)))
           e2 = e2.withColumn("__src", col("__src").getField("i"))
@@ -2544,9 +2756,18 @@ object CypherPlanner {
           df = df.withColumn(rv, lst).drop("__r_epls")
         }
       rel.groupNodes.foreach { case (aName, bName) =>
-        require(!chain.shortest && !chain.allShortest,
-          "group variables are not supported inside shortestPath " +
-            "(the BFS keeps pair×depth, not walks)")
+        // Named inner nodes inside shortestPath: the BFS keeps
+        // pair×depth, not walks, so group LISTS cannot bind — but a
+        // group whose inner names are consumed only by its own WHERE
+        // (`shortestPath((s) ((a)-[:T]->(b) WHERE b.p > s.q){1,3} (t))`,
+        // r15) needs no lists: the predicate filtered the edge set
+        // before the search. Skip the binding there; a downstream
+        // consumer of the unbound name fails at column resolution.
+        if (chain.shortest || chain.allShortest) {
+          require(rel.stepWhere.isDefined,
+            "group variables are not supported inside shortestPath " +
+              "(the BFS keeps pair×depth, not walks)")
+        } else {
         (aName.toSeq ++ bName.toSeq).foreach(n =>
           require(!df.columns.contains(n),
             s"group variable '$n' collides with an existing binding"))
@@ -2567,6 +2788,7 @@ object CypherPlanner {
               slice(walk, lit(1), greatest(size(walk) - 1, lit(0)))))))
         if (chain.pathVar.isEmpty || chain.shortest)
           df = df.drop("__r_nids")
+        }
       }
       // Multi-hop group variables: named inner nodes of a composite
       // group bind per-REPETITION node-id lists by stride-slicing the
@@ -3427,6 +3649,12 @@ object CypherPlanner {
         // computed entry `key: expr` — any scalar expression, named
         case FnCallN("@mapentry", Seq(LitV(k: String), e)) =>
           toColumn(e, scalars).as(k)
+        // an unresolved `.*` marker: the star resolves against the
+        // projected frame in RETURN/WITH items; anywhere else the
+        // frame is not in scope here — list the keys explicitly
+        case FnCallN("@mapstar", _) => throw new IllegalArgumentException(
+          "map-projection `.*` is supported in RETURN/WITH items; " +
+            "list the keys explicitly in this position")
         case other => throw new IllegalArgumentException(
           s"map-projection key must be a property name, got $other") }: _*)
     case FnCallN("substring", args) if args.size == 2 || args.size == 3 =>

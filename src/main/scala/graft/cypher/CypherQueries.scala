@@ -143,6 +143,20 @@ object CypherQueries {
         |  size(b) AS n_reps
         |ORDER BY s_name, t_name""".stripMargin)
 
+  /** FOUR-hop quantified group (r15 — the former 3-hop parse cap
+    * lifted to the shared var-length cap): the whole 4-hop inner
+    * chain repeats as a unit, group variable `b` still binds one id
+    * per repetition (stride-sliced from the composite walk, h = 4).
+    * On the 5-nation region chains only k = 1 produces walks (k = 2
+    * needs 8 edges) — the k = 2 union arm is exercised and empty.
+    */
+  def qppMultiHop4(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)-[:NEXT_IN_REGION]->(d)-[:NEXT_IN_REGION]->(e)){1,2} (t:Nation)
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops,
+        |  size(b) AS n_reps
+        |ORDER BY s_name, t_name""".stripMargin)
+
   /** Multi-hop quantified group with IN-direction inner hops (r14):
     * `((a)<-[:T]-(b)<-[:T]-(c)){1,2}` walks the region chain BACKWARD
     * two stored edges per repetition — each inner hop's frame is
@@ -213,6 +227,19 @@ object CypherQueries {
       """MATCH p = (s:Nation) ((a)-[:NEXT_IN_REGION]->(b) WHERE b.name > s.name){1,3} (t:Nation)
         |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
         |ORDER BY s_name, t_name, hops""".stripMargin)
+
+  /** Outer-scope variable in a quantified-group WHERE INSIDE
+    * shortestPath (r15 — the last cell of the outer-WHERE matrix):
+    * the decorrelation's (id, tuple) struct keys flow through the
+    * level-synchronous BFS unchanged (joins/distincts/anti-joins are
+    * key-agnostic), so each outer binding runs its own per-tuple
+    * first-reach search and `length(p)` is the per-tuple minimum.
+    */
+  def spWhereOuter(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = shortestPath((s:Nation) ((a)-[:NEXT_IN_REGION]->(b) WHERE b.name > s.name){1,3} (t:Nation))
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name""".stripMargin)
 
   def qppWhere(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
@@ -1107,6 +1134,18 @@ object CypherQueries {
         |CALL db.relationshipTypes()
         |RETURN 'relationshipType' AS kind, relationshipType AS name""".stripMargin)
 
+  /** `CALL db.propertyKeys()` — the third of the connect-time catalog
+    * trio (labels / relationshipTypes / propertyKeys): every property
+    * column of every node and relationship table, deduplicated and
+    * name-sorted, answered as a plan-time literal frame from the
+    * graph catalog (no scan — schema introspection is free).
+    */
+  def catalogKeys(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """CALL db.propertyKeys()
+        |RETURN propertyKey
+        |ORDER BY propertyKey""".stripMargin)
+
   /** Map-constructor temporals — `datetime({year, month, day[, hour…]})`
     * with Neo4j's component defaults (omitted month/day → 1, omitted
     * time-of-day → 0). Both bounds constant-fold to pushable
@@ -1245,6 +1284,22 @@ object CypherQueries {
         |WHERE c.custkey <= 10
         |WITH c.custkey AS id, c {.name, .mktsegment} AS m
         |RETURN id, m.name AS name, m.mktsegment AS segment
+        |ORDER BY id""".stripMargin)
+
+  /** Map projection `.*` (r15 — the former loud reject resolved): the
+    * star enumerates ALL of the variable's properties at plan time
+    * from the bound frame's columns (the label context the parser
+    * lacks), mixed with computed entries; an explicit entry with a
+    * property's name OVERRIDES the star's selector (Neo4j rule —
+    * `name:` here replaces the stored name).
+    */
+  def mapProjectionStar(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)
+        |WHERE c.custkey <= 10
+        |WITH c.custkey AS id, c {.*, name: toUpper(c.name)} AS m
+        |RETURN id, m.name AS name, m.acctbal AS acctbal,
+        |  m.mktsegment AS segment, m.nationkey AS nk
         |ORDER BY id""".stripMargin)
 
   /** Postfix list access — 0-based indexing with negative-from-end

@@ -124,9 +124,15 @@ class CypherParserSpec extends AnyFunSuite {
       .head.chain.hops.head._1
     assert(mh.groupChain.exists(_.hops.size == 2))
     assert(mh.varLength.contains((2, 2)))
-    // unsupported group shapes still fail loudly
+    // 4-hop inner chains parse since r15 (cap lifted to MaxVarHops)
+    val mh4 = matches(CypherParser.parse(
+      "MATCH (a:X) (()-[:R]->()-[:S]->()-[:T]->()-[:U]->()){2} (b:Y) RETURN a.p"))
+      .head.chain.hops.head._1
+    assert(mh4.groupChain.exists(_.hops.size == 4))
+    // only the shared quantifier cap rejects inner chains now
+    val tooMany = Seq.fill(CypherParser.MaxVarHops + 1)("-[:R]->()").mkString
     intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (a:X) (()-[:R]->()-[:S]->()-[:T]->()-[:U]->()){2} (b:Y) RETURN a.p")) // 4 hops
+      s"MATCH (a:X) (()$tooMany){2} (b:Y) RETURN a.p"))
     // In-direction inner hops parse since r14 (composite orientation)
     val mhIn = matches(CypherParser.parse(
       "MATCH (a:X) (()-[:R]->()<-[:S]-()){2} (b:Y) RETURN a.p"))

@@ -924,9 +924,13 @@ class CypherPlannerSpec extends AnyFunSuite {
       .collect().head
     assert(c.getAs[String]("nm") == "NATION_3" &&
       c.getAs[Long]("d") == 6L && c.getAs[String]("t") == "x")
-    // `.*` still fails loudly at parse time
-    intercept[IllegalArgumentException](CypherParser.parse(
-      "MATCH (n:Nation) RETURN n {.*} AS m"))
+    // `.*` parses (r15) — it resolves to ALL properties at plan time
+    val star = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 3 " +
+        "RETURN n {.*} AS m").collect().head
+      .getAs[org.apache.spark.sql.Row]("m")
+    assert(star.schema.fieldNames.sorted
+      .sameElements(Array("name", "nationkey", "regionkey")))
   }
 
   test("list indexing and slicing: 0-based, negative, open and OOB bounds") {
@@ -1646,10 +1650,11 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(gv(0).getSeq[Long](3).toList == List(2L, 4L))
     assert(gv(0).getSeq[Long](4).toList == List(3L, 5L))
     assert(gv(0).getLong(5) == 2L)
-    // inner chains beyond 3 hops reject loudly
+    // inner chains beyond the shared quantifier cap reject loudly
+    // (4-hop chains plan since r15 — see the dedicated cap-lift spec)
+    val over = Seq.fill(CypherParser.MaxVarHops + 1)("-[:E]->()").mkString
     intercept[Exception](CypherParser.parse(
-      "MATCH (s) (()-[:E]->()-[:E]->()-[:E]->()-[:E]->()){1,2} (t) " +
-        "RETURN count(*) AS n"))
+      s"MATCH (s) (()$over){1,2} (t) RETURN count(*) AS n"))
   }
 
   test("multi-hop groups widen to In, undirected, multi-type and typeless hops") {
@@ -2205,6 +2210,283 @@ class CypherPlannerSpec extends AnyFunSuite {
         "MATCH (p4:Part) RETURN count(*) AS n")
       .collect().head.getLong(0)
     assert(bigParts > 0 && left == allParts - bigParts)
+  }
+
+  test("plain DELETE on a nodes-only graph succeeds (no edge tables, nothing attached)") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "a"), (2L, "b")).toDF("__id", "name")),
+      rels = Map.empty)
+    val n = CypherPlanner.run(spark, g,
+      "MATCH (v:V) WHERE v.name = 'a' DELETE v " +
+        "WITH count(*) AS w MATCH (v2:V) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 1L)
+  }
+
+  test("DELETE a, r plans relationship deletes before node deletes (order-free)") {
+    import spark.implicits._
+    def g() = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "a"), (2L, "b")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L)).toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    // node listed FIRST: Neo4j still accepts it — the same clause
+    // deletes the only incident relationship
+    val n = CypherPlanner.run(spark, g(),
+      "MATCH (a:V)-[r:E]->(b:V) DELETE a, r " +
+        "WITH count(*) AS w MATCH (v:V) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 1L)
+    // but an UNMATCHED relationship still blocks the node delete
+    val g2 = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("__id", "name")),
+      rels = Map(
+        "E" -> Seq((1L, 2L)).toDF("__src", "__dst"),
+        "F" -> Seq((1L, 3L)).toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V"), "F" -> ("V", "V")))
+    val e = intercept[IllegalStateException] {
+      CypherPlanner.run(spark, g2,
+        "MATCH (a:V)-[r:E]->(b:V) DELETE a, r " +
+          "WITH count(*) AS w MATCH (v:V) RETURN count(*) AS n").collect()
+    }
+    assert(e.getMessage.contains("still has relationships"))
+  }
+
+  test("quantified groups accept 4-hop inner chains (cap lifted to MaxVarHops)") {
+    val rows = CypherQueries.qppMultiHop4(spark, TestSpark.sf).collect()
+    // one 4-hop walk per 5-nation region chain, k = 1 only (k = 2
+    // needs 8 edges) — the group variable still binds one id per rep
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getLong(2) == 4L && r.getLong(3) == 1L))
+    // the shared quantifier cap still rejects oversized inner chains
+    val hops = Seq.fill(CypherParser.MaxVarHops + 1)("-[:E]->()").mkString
+    val e = intercept[IllegalArgumentException](
+      CypherParser.parse(s"MATCH (s) (()$hops){1,2} (t) RETURN id(s) AS x"))
+    assert(e.getMessage.contains("at most"))
+  }
+
+  test("map projection `.*` resolves all properties; explicit entries override") {
+    val rows = CypherQueries.mapProjectionStar(spark, TestSpark.sf).collect()
+    assert(rows.length == 11)
+    // the computed name: entry overrode the star's stored-name selector
+    assert(rows.forall(r => r.getString(1) == r.getString(1).toUpperCase))
+    // star + plain selectors dedupe (no duplicate struct field)
+    val dup = run(
+      "MATCH (n:Nation) WHERE n.nationkey = 0 " +
+        "WITH n {.*, .name} AS m RETURN m.name AS nm, m.regionkey AS rk")
+      .collect()
+    assert(dup.length == 1 && dup.head.getString(0) == "NATION_0")
+    // relationship variables project their properties through `.*` too
+    val rel = run(
+      "MATCH (o:Order)-[r:CONTAINS]->(p:Part) WHERE o.orderkey = 1 " +
+        "WITH r {.*} AS m RETURN m.qty AS q, m.price AS pr ORDER BY q, pr")
+      .collect()
+    assert(rel.nonEmpty && !rel.head.isNullAt(0) && !rel.head.isNullAt(1))
+    // a scalar binding has no property columns — narrowed loud reject
+    val e = intercept[IllegalArgumentException](run(
+      "MATCH (n:Nation) WITH n.name AS x RETURN x {.*} AS m").collect())
+    assert(e.getMessage.contains("no property columns"))
+  }
+
+  test("CALL db.propertyKeys() answers the engine-wide key catalog") {
+    val keys = CypherQueries.catalogKeys(spark, TestSpark.sf).collect()
+      .map(_.getString(0)).toSeq
+    assert(keys == keys.sorted && keys.contains("acctbal") &&
+      keys.contains("qty") && keys.size == 19)
+  }
+
+  test("named var-length and group rels widen multi-type/typeless payloads to the union schema") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("__id", "name")),
+      rels = Map(
+        "X" -> Seq((1L, 2L, 10L), (3L, 4L, 30L)).toDF("__src", "__dst", "w"),
+        "Y" -> Seq((2L, 3L, "yy")).toDF("__src", "__dst", "z")),
+      relEndpoints = Map("X" -> ("V", "V"), "Y" -> ("V", "V")))
+    // named MULTI-TYPE var-length: each step's payload carries the
+    // union schema — w on :X steps, null on :Y steps (and vice versa
+    // for z); type(r) via the payload's type field
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[rs:X|Y*2..3]->(b:V) WHERE id(a) = 1 " +
+        "RETURN id(b) AS bid, size(rs) AS n, " +
+        "[r IN rs | r.w] AS ws, [r IN rs | r.type] AS ts").collect()
+    assert(rows.length == 2)
+    val byB = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byB(3L).getSeq[Any](2).toList == List(10L, null))
+    assert(byB(3L).getSeq[String](3).toList == List("X", "Y"))
+    assert(byB(4L).getSeq[Any](2).toList == List(10L, null, 30L))
+    // named TYPELESS var-length: same union schema over every
+    // schema-compatible table
+    val tl = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[rs*2..2]->(b:V) WHERE id(a) = 1 " +
+        "RETURN id(b) AS bid, [r IN rs | r.z] AS zs").collect()
+    assert(tl.length == 1 && tl.head.getSeq[Any](1).toList == List(null, "yy"))
+    // named inner rel of a multi-hop group over a MULTI-TYPE hop
+    // (r15 — replaces the single-type reject): one payload element
+    // per repetition, union-schema fields
+    val mh = CypherPlanner.run(spark, g,
+      "MATCH (s:V) ((u)-[r1:X|Y]->(v)-[r2:X|Y]->(w)){1,1} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid, " +
+        "[r IN r1 | r.w] AS w1, [r IN r2 | r.z] AS z2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Any](2).toList,
+        r.getSeq[Any](3).toList)).toSet
+    assert(mh == Set(
+      (1L, 3L, List(10L), List("yy")),
+      (2L, 4L, List(null), List(null))))
+  }
+
+  test("outer-scope QPP WHERE composes with shortestPath (per-tuple BFS)") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "C" -> Seq((100L, Some(15L)), (200L, Some(35L)), (300L, None))
+          .toDF("__id", "cut"),
+        "V" -> Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+          .toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    // each x row runs its own BFS over its own filtered edge set;
+    // x = 300 (null cut) has no qualifying edges, so no paths at all
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (x:C) " +
+        "MATCH p = shortestPath((s:V) ((a)-[:E]->(b) WHERE b.v > x.cut){1,3} (t:V)) " +
+        "RETURN id(x) AS xid, id(s) AS sid, id(t) AS tid, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows == Set(
+      (100L, 1L, 2L, 1L), (100L, 2L, 3L, 1L), (100L, 3L, 4L, 1L),
+      (100L, 1L, 3L, 2L), (100L, 2L, 4L, 2L), (100L, 1L, 4L, 3L),
+      (200L, 3L, 4L, 1L)))
+    // the group's own juncture start as the outer binding, shortest
+    val sv = CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((s:V) ((a)-[:E]->(b) WHERE b.v > s.v){1,3} (t:V)) " +
+        "RETURN id(s) AS sid, id(t) AS tid, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sv == Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (2L, 3L, 1L), (2L, 4L, 2L), (3L, 4L, 1L)))
+    // pre-bound start + outer WHERE: the composite-keyed seed kicks in
+    val seeded = CypherPlanner.run(spark, g,
+      "MATCH (x:C) WHERE id(x) = 100 MATCH (s:V) WHERE id(s) = 2 " +
+        "MATCH p = shortestPath((s) ((a)-[:E]->(b) WHERE b.v > x.cut){1,3} (t:V)) " +
+        "RETURN id(t) AS tid, length(p) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seeded == Set((3L, 1L), (4L, 2L)))
+  }
+
+  test("In-direction pre-bound starts seed the expansion via the traversal flip") {
+    import spark.implicits._
+    def g() = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+        .toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L, 12L), (2L, 3L, 23L), (3L, 4L, 34L))
+        .toDF("__src", "__dst", "w")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    // shortestPath with an In hop and a PRE-BOUND start: before the
+    // flip, the BFS seeded the stored-src end (the walk's FAR end)
+    // and silently returned nothing
+    val sp = CypherPlanner.run(spark, g(),
+      "MATCH (a:V) WHERE id(a) = 4 " +
+        "MATCH p = shortestPath((a)<-[:E*1..3]-(b:V)) " +
+        "RETURN id(b) AS bid, length(p) AS l").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp == Set((3L, 1L), (2L, 2L), (1L, 3L)))
+    // plain var-length: nodes(p) stays in pattern order through the
+    // flip-back (walk arrays reverse, re-anchored on the start)
+    val vl = CypherPlanner.run(spark, g(),
+      "MATCH (a:V) WHERE id(a) = 4 " +
+        "MATCH p = (a)<-[:E*1..2]-(b:V) " +
+        "RETURN id(b) AS bid, length(p) AS l, nodes(p) AS ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    assert(vl == Set((3L, 1L, List(4L, 3L)), (2L, 2L, List(4L, 3L, 2L))))
+    // named relationship lists reverse into path order too
+    val rl = CypherPlanner.run(spark, g(),
+      "MATCH (a:V) WHERE id(a) = 4 " +
+        "MATCH (a)<-[rs:E*1..2]-(b:V) " +
+        "RETURN id(b) AS bid, [r IN rs | r.w] AS ws").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(rl == Set((3L, List(34L)), (2L, List(34L, 23L))))
+    // and the seeded results equal the unseeded same-clause spelling
+    val unseeded = CypherPlanner.run(spark, g(),
+      "MATCH p = (a:V)<-[:E*1..2]-(b:V) WHERE id(a) = 4 " +
+        "RETURN id(b) AS bid, length(p) AS l, nodes(p) AS ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    assert(unseeded == vl)
+    // group variables through a seeded In group hop
+    val gv = CypherPlanner.run(spark, g(),
+      "MATCH (s:V) WHERE id(s) = 4 " +
+        "MATCH (s) ((x)<-[:E]-(y)){1,2} (t:V) " +
+        "RETURN id(t) AS tid, x AS xs, y AS ys").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getSeq[Long](2).toList)).toSet
+    val gvUnseeded = CypherPlanner.run(spark, g(),
+      "MATCH (s:V) ((x)<-[:E]-(y)){1,2} (t:V) WHERE id(s) = 4 " +
+        "RETURN id(t) AS tid, x AS xs, y AS ys").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getSeq[Long](2).toList)).toSet
+    assert(gv == gvUnseeded && gv.nonEmpty)
+    // zero-lower-bound: the seeded k=0 row survives on the In spelling
+    val z = CypherPlanner.run(spark, g(),
+      "MATCH (a:V) WHERE id(a) = 4 " +
+        "MATCH p = (a)<-[:E*0..1]-(b:V) " +
+        "RETURN id(b) AS bid, length(p) AS l").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(z == Set((4L, 0L), (3L, 1L)))
+  }
+
+  test("mid-chain var-length hops seed from the accumulated frame") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+        .toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L))
+        .toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[:E]->(m:V)-[:E*1..2]->(b:V) " +
+        "RETURN id(a) AS aid, id(m) AS mid, id(b) AS bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L, 3L), (1L, 2L, 4L), (2L, 3L, 4L)))
+    // the seed is visible in the optimized plan as a LeftSemi join
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val semis = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[:E]->(m:V)-[:E*1..2]->(b:V) " +
+        "RETURN id(a) AS aid, id(b) AS bid")
+      .queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+    assert(semis.nonEmpty,
+      "mid-chain var-length expansion lost its seed semi-join")
+  }
+
+  test("outer-scope QPP WHERE rejects decorrelation domains above the cap") {
+    import spark.implicits._
+    val big = (1L to (CypherPlanner.MaxQppOuterDomain + 10L))
+      .map(i => (1000000L + i, i)).toDF("__id", "cut")
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "C" -> big,
+        "V" -> Seq((1L, 10L), (2L, 20L)).toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L)).toDF("__src", "__dst")))
+    val e = intercept[IllegalArgumentException] {
+      CypherPlanner.run(spark, g,
+        "MATCH (x:C) MATCH (s:V) ((a)-[:E]->(b) WHERE b.v > x.cut){1,2} (t:V) " +
+          "RETURN id(x) AS xid, id(s) AS sid").collect()
+    }
+    assert(e.getMessage.contains("decorrelation domain too large"))
+    // at-cap domains still plan (the declared queries' 25-row Nation
+    // domain is far below the cap)
+    val ok = graft.graph.PropertyGraph(
+      nodes = Map(
+        "C" -> Seq((100L, 15L)).toDF("__id", "cut"),
+        "V" -> Seq((1L, 10L), (2L, 20L)).toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L)).toDF("__src", "__dst")))
+    val rows = CypherPlanner.run(spark, ok,
+      "MATCH (x:C) MATCH (s:V) ((a)-[:E]->(b) WHERE b.v > x.cut){1,2} (t:V) " +
+        "RETURN id(s) AS sid, id(t) AS tid").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
   test("CALL IN TRANSACTIONS: status caps every transaction and the write matches inline") {
