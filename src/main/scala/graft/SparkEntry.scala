@@ -39,6 +39,7 @@ object SparkEntry {
     "cypher_delete_node"    -> (cypher.CypherQueries.deleteNode(_, _)),
     "cypher_qpp_mh_where_outer" -> (cypher.CypherQueries.qppMultiHopWhereOuter(_, _)),
     "cypher_var_rel_list"   -> (cypher.CypherQueries.varRelList(_, _)),
+    "cypher_var_rel_list_in" -> (cypher.CypherQueries.varRelListIn(_, _)),
     "cypher_qpp_rel_groupvar" -> (cypher.CypherQueries.qppRelGroupVar(_, _)),
     "cypher_qpp_where"      -> (cypher.CypherQueries.qppWhere(_, _)),
     "cypher_qpp_where_outer" -> (cypher.CypherQueries.qppWhereOuter(_, _)),
@@ -74,6 +75,9 @@ object SparkEntry {
     "cypher_duration_ctor"  -> (cypher.CypherQueries.durationCtor(_, _)),
     "cypher_catalog"        -> (cypher.CypherQueries.catalog(_, _)),
     "cypher_catalog_keys"   -> (cypher.CypherQueries.catalogKeys(_, _)),
+    "cypher_label_disjunction" -> (cypher.CypherQueries.labelDisjunction(_, _)),
+    "cypher_label_pred"     -> (cypher.CypherQueries.labelPredicate(_, _)),
+    "cypher_element_id"     -> (cypher.CypherQueries.elementIdQ(_, _)),
     "cypher_collect_subquery" -> (cypher.CypherQueries.collectSubquery(_, _)),
     "cypher_path_nodes"     -> (cypher.CypherQueries.pathNodes(_, _)),
     "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
@@ -2242,6 +2246,29 @@ object SparkEntry {
         |  ('CONTAINS'), ('FROM_NATION'), ('IN_REGION'),
         |  ('NEXT_IN_REGION'), ('PLACED_BY'), ('SUPPLIES'),
         |  ('SUPP_NATION')) AS r(name)""".stripMargin,
+    // label disjunction: the union of exactly the two label tables
+    "cypher_label_disjunction" ->
+      """SELECT kind, name, acctbal FROM (
+        |  SELECT 'Customer' AS kind, c_name AS name, c_acctbal AS acctbal
+        |  FROM customer WHERE c_acctbal > 9900.0
+        |  UNION ALL
+        |  SELECT 'Supplier', s_name, s_acctbal
+        |  FROM supplier WHERE s_acctbal > 9900.0)
+        |ORDER BY kind, name""".stripMargin,
+    // label predicates over the untyped scan: region-2 nations plus
+    // the region-2 region row
+    "cypher_label_pred" ->
+      """SELECT name, is_nation FROM (
+        |  SELECT n_name AS name, TRUE AS is_nation FROM nation
+        |  WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT r_name, FALSE FROM region WHERE r_regionkey = 2)
+        |ORDER BY name""".stripMargin,
+    // elementId = the engine id, stringified
+    "cypher_element_id" ->
+      """SELECT CAST(c_custkey + 2000000000 AS VARCHAR) AS eid,
+        |  c_name AS name
+        |FROM customer WHERE c_custkey < 5 ORDER BY name""".stripMargin,
     // the engine-wide property-key catalog: every node/rel property
     // column, deduplicated — schema facts, mirrored literally
     "cypher_catalog_keys" ->
@@ -2814,6 +2841,15 @@ object SparkEntry {
         |  CAST(pb + 6000000000 AS BIGINT) AS pb_id,
         |  CAST(2 AS BIGINT) AS n_rels, round(tq, 6) AS total_qty
         |FROM w ORDER BY pa, pb_id, total_qty""".stripMargin,
+    // the In-spelled pre-bound walk: one CONTAINS step per qualifying
+    // lineitem row (the *1..2 upper arm is empty — nothing points
+    // INTO :Order)
+    "cypher_var_rel_list_in" ->
+      """SELECT CAST(l_partkey AS BIGINT) AS pb,
+        |  CAST(l_orderkey + 1000000000 AS BIGINT) AS o_id,
+        |  CAST(1 AS BIGINT) AS n_rels, round(l_quantity, 6) AS total_qty
+        |FROM lineitem WHERE l_partkey < 3
+        |ORDER BY pb, o_id, total_qty""".stripMargin,
     // plain DELETE after in-query edge removal: parts above the size
     // cut lose SUPPLIES + CONTAINS edges, then the node rows
     "cypher_delete_node" ->

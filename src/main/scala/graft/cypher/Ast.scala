@@ -139,7 +139,17 @@ object Ast {
       variable: Option[String],
       label: Option[String],
       props: Map[String, Any],
-      moreLabels: Seq[String] = Nil)
+      moreLabels: Seq[String] = Nil,
+      altLabels: Seq[String] = Nil) {
+    /** The ONE label this pattern restricts to, when that question
+      * has a single answer — None for label-less patterns AND for
+      * label disjunctions `(n:A|B)` (r15), so label-keyed fast paths
+      * (schema pruning, write metadata, prop lookups) fall back to
+      * their conservative no-label behavior instead of silently
+      * acting on the first alternative.
+      */
+    def soleLabel: Option[String] = if (altLabels.nonEmpty) None else label
+  }
 
   /** `altTypes` holds the 2nd..nth alternatives of a multi-type
     * relationship `-[:A|B|C]->` (relType holds the first; empty for

@@ -673,9 +673,17 @@ object CypherParser {
         case _            => None
       }
       val label = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      // label disjunction `(n:A|B)` (Neo4j 5 label expression, r15) —
+      // nodes carrying ANY of the alternatives
+      val alts = Seq.newBuilder[String]
+      while (label.isDefined && atSym("|")) { eatSym("|"); alts += ident() }
+      val altLabels = alts.result()
       // multi-label conjunction `(n:A:B)` — nodes carrying EVERY label
       val more = Seq.newBuilder[String]
       while (label.isDefined && atSym(":")) { eatSym(":"); more += ident() }
+      require(altLabels.isEmpty || more.result().isEmpty,
+        "label expressions cannot mix `|` (any-of) and `:` (all-of) " +
+          "alternatives in one pattern")
       val props =
         if (atSym("{")) {
           eatSym("{")
@@ -686,7 +694,7 @@ object CypherParser {
           m.result()
         } else Map.empty[String, Any]
       eatSym(")")
-      NodePattern(variable, label, props, more.result())
+      NodePattern(variable, label, props, more.result(), altLabels)
     }
 
     private def eatSymThen(sym: String): Unit = eatSym(sym)
@@ -912,7 +920,8 @@ object CypherParser {
     private val aggFns =
       Set("count", "sum", "min", "max", "avg", "collect", "stdev")
     private val scalarFns =
-      Set("toupper", "tolower", "trim", "size", "id", "type", "labels",
+      Set("toupper", "tolower", "trim", "size", "id", "elementid",
+        "type", "labels",
         "length", "abs", "ceil", "floor", "round", "sign", "sqrt",
         "tointeger", "tofloat", "tostring", "reverse", "head", "last",
         "tail", "substring", "replace", "split", "left", "right", "keys",
@@ -1290,6 +1299,14 @@ object CypherParser {
           val ks = keys.result()
           require(ks.nonEmpty, s"empty map projection on '$v'")
           FnCallN("@mapproj", Ident(v) +: ks)
+        } else if (atSym(":")) {
+          // label predicate `v:Label(:More)*` in expression position
+          // (`WHERE n:Customer`, `RETURN n:Part AS is_part`, r15) —
+          // true when the node carries EVERY listed label; reads the
+          // scan's hidden @labels column, so no extra join
+          val ls = Seq.newBuilder[CExpr]
+          while (atSym(":")) { eatSym(":"); ls += LitV(ident()) }
+          FnCallN("@haslabel", Ident(v) +: ls.result())
         } else Ident(v)
       case Some(TStr(s)) => next(); LitV(s)
       case Some(TNum(n)) =>

@@ -183,7 +183,7 @@ object CypherPlanner {
     var relVarTypes = Map.empty[String, String]
     def recordChainMeta(chain: PatternChain): Unit = {
       (chain.start +: chain.hops.map(_._2)).foreach { np =>
-        for (v <- np.variable; l <- np.label) varLabels += (v -> l)
+        for (v <- np.variable; l <- np.soleLabel) varLabels += (v -> l)
       }
       chain.hops.foreach { case (rel, _) =>
         for (rv <- rel.variable; t <- rel.relType
@@ -1471,6 +1471,9 @@ object CypherPlanner {
           case FnCallN("@mapentry", Seq(_, e)) => walk(e)
           case _ => ()
         }
+      // a label predicate reads the variable's @labels scan column
+      case FnCallN("@haslabel", as) =>
+        as.headOption.foreach { case Ident(v) => out += v; case _ => () }
       case FnCallN(_, as)      => as.foreach(walk)
       case ListPred(_, _, l, p) => walk(l); walk(p)
       case Cmp(_, l, r)        => walk(l); walk(r)
@@ -1572,6 +1575,19 @@ object CypherPlanner {
         None
       else {
         var t = np.label match {
+          // disjunction: any alternative's ids qualify; inline props
+          // filter per branch on the branch's own columns (a label
+          // without the property contributes nothing), then the
+          // post-union filter below is vacuous on the pre-filtered set
+          case Some(l) if np.altLabels.nonEmpty =>
+            return Some((l +: np.altLabels).distinct.sorted.map { ln =>
+              var b = graph.nodeTable(ln)
+              np.props.foreach { case (k, v0) =>
+                b = if (b.columns.contains(k)) b.filter(col(k) === lit(v0))
+                    else b.filter(lit(false))
+              }
+              b.select(col("__id"))
+            }.reduce(_.unionByName(_)))
           case Some(l) =>
             np.moreLabels.distinct.filter(_ != l)
               .foldLeft(graph.nodeTable(l)) { (acc, l2) =>
@@ -1698,6 +1714,15 @@ object CypherPlanner {
           .withColumn("@props", props)
       }
       var t = np.label match {
+        // label disjunction `(n:A|B)` (r15): the union of exactly the
+        // listed label tables, schema-reconciled like the label-less
+        // scan (each table contributes its own property columns,
+        // missing ones null out; @labels/@keys/@props stay per-branch
+        // literals) — two pruned scans, never the whole node catalog
+        case Some(label) if np.altLabels.nonEmpty =>
+          (label +: np.altLabels).distinct.sorted
+            .map(ln => withMeta(graph.nodeTable(ln), ln))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
         case Some(label) if np.moreLabels.nonEmpty =>
           // multi-label conjunction `(n:A:B)`: the first label's table
           // narrowed by an id semi-join per additional label — only
@@ -1783,7 +1808,7 @@ object CypherPlanner {
     var cur = bindStart(chain.start)
     // the CURRENT node's pattern label, tracked through the hops —
     // drives static schema pruning of type-less relationship unions
-    var curLabel: Option[String] = chain.start.label
+    var curLabel: Option[String] = chain.start.soleLabel
     chain.hops.zipWithIndex.foreach { case ((rel, nextNode), hopIdx) =>
       // type-less relationship (`-->`, `-[r]->`): the union of every
       // relationship table, edges only — properties are type-specific.
@@ -1839,11 +1864,11 @@ object CypherPlanner {
           val compatible = (tn: String) => graph.relEndpoints.get(tn) match {
             case None => true // schema unknown for this type: keep
             case Some((sl, dl)) => rel.direction match {
-              case Out => fits(curLabel, sl) && fits(nextNode.label, dl)
-              case In  => fits(curLabel, dl) && fits(nextNode.label, sl)
+              case Out => fits(curLabel, sl) && fits(nextNode.soleLabel, dl)
+              case In  => fits(curLabel, dl) && fits(nextNode.soleLabel, sl)
               case Both =>
-                (fits(curLabel, sl) && fits(nextNode.label, dl)) ||
-                  (fits(curLabel, dl) && fits(nextNode.label, sl))
+                (fits(curLabel, sl) && fits(nextNode.soleLabel, dl)) ||
+                  (fits(curLabel, dl) && fits(nextNode.soleLabel, sl))
             }
           }
           val kept = graph.rels.toSeq.sortBy(_._1)
@@ -2129,7 +2154,7 @@ object CypherPlanner {
                 identRefs.contains(v) =>
               if (propRefs.contains(v)) {
                 val patLabel = rel.stepFilters.flatMap { case (ap, bp) =>
-                  (if (isSource) ap else bp).label
+                  (if (isSource) ap else bp).soleLabel
                 }
                 val pf = propLookup(v, propRefs(v).toSeq.sorted, patLabel,
                   endpointLabels(isSource))
@@ -2273,10 +2298,10 @@ object CypherPlanner {
                 case None => true // schema unknown for this type: keep
                 case Some((sl, dl)) => r.direction match {
                   case Both =>
-                    (fits(srcPat.label, sl) && fits(dstPat.label, dl)) ||
-                      (fits(srcPat.label, dl) && fits(dstPat.label, sl))
+                    (fits(srcPat.soleLabel, sl) && fits(dstPat.soleLabel, dl)) ||
+                      (fits(srcPat.soleLabel, dl) && fits(dstPat.soleLabel, sl))
                   case _ =>
-                    fits(srcPat.label, sl) && fits(dstPat.label, dl)
+                    fits(srcPat.soleLabel, sl) && fits(dstPat.soleLabel, dl)
                 }
               }
             }
@@ -2450,7 +2475,7 @@ object CypherPlanner {
                   e = e.withColumn(s"${v}__id", idCol)
                 if (propRefs.contains(v)) {
                   val pf = propLookup(v, propRefs(v).toSeq.sorted,
-                    nodePats(j).label, posLabels(j))
+                    nodePats(j).soleLabel, posLabels(j))
                   e = e.join(pf, idCol === pf(s"${v}__@pid"), "left_outer")
                 }
               case _ =>
@@ -2877,7 +2902,7 @@ object CypherPlanner {
         df = df.drop("__r_reids")
       }
       cur = nv
-      curLabel = nextNode.label
+      curLabel = nextNode.soleLabel
     }
     // uniqueness is scoped to ONE MATCH pattern (Cypher semantics);
     // the accumulated identities don't leak into later clauses
@@ -3320,6 +3345,19 @@ object CypherPlanner {
     // id(n): the node's id column — the reference README's first
     // documented query shape (`MATCH (n:User) RETURN id(n), n.name`)
     case FnCall("id", Some(Ident(v)), _, _) => col(s"${v}__id")
+    // elementId(n): Neo4j 5's string-valued identity — the same id,
+    // stringified (the engine has no store-file epoch to encode)
+    case FnCall("elementid", Some(Ident(v)), _, _) =>
+      col(s"${v}__id").cast("string")
+    // label predicate `v:Label(:More)*` (r15): true when the node
+    // carries EVERY listed label — reads the scan's hidden @labels
+    // column (the per-id label SET on multi-label scans), no join
+    case FnCallN("@haslabel", Seq(Ident(v), ls @ _*)) =>
+      ls.map {
+        case LitV(l: String) => array_contains(col(s"${v}__@labels"), l)
+        case other => throw new IllegalArgumentException(
+          s"label predicate expects literal label names, got $other")
+      }.reduce(_ && _)
     // startNode/endNode identity: resolves to the hidden @src/@dst
     // endpoint ids a named DIRECTED single-hop relationship binds
     // (missing column = loud resolution failure for undirected or

@@ -1043,6 +1043,24 @@ object CypherQueries {
         |  round(reduce(acc = 0.0, r IN rs | acc + r.qty), 6) AS total_qty
         |ORDER BY pa, pb_id, total_qty""".stripMargin)
 
+  /** The IN-spelled pre-bound relationship list (r15): the bound
+    * :Part start sits at the hop's STORED-dst end, so the seed could
+    * not apply before the traversal flip landed — the expansion used
+    * to walk the FULL order-scale CONTAINS edge list before joining
+    * back to 3 parts. Seeded In hops now expand over the flipped edge
+    * list (3 bound starts prune the base immediately) and flip the
+    * walk back; the payload list still reads in path order. The
+    * `*1..2` upper arm is exercised and empty (nothing points INTO
+    * :Order), so the cost is exactly the seeded 1-hop base.
+    */
+  def varRelListIn(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (b:Part) WHERE b.partkey < 3
+        |MATCH (b)<-[rs:CONTAINS*1..2]-(o:Order)
+        |RETURN b.partkey AS pb, id(o) AS o_id, size(rs) AS n_rels,
+        |  round(reduce(acc = 0.0, r IN rs | acc + r.qty), 6) AS total_qty
+        |ORDER BY pb, o_id, total_qty""".stripMargin)
+
   /** Plain `DELETE n` (non-detach, r14): legal only on
     * relationship-free nodes — Neo4j errors otherwise, and so does
     * the engine (spec-pinned). The query first deletes both edge
@@ -1133,6 +1151,42 @@ object CypherQueries {
         |UNION ALL
         |CALL db.relationshipTypes()
         |RETURN 'relationshipType' AS kind, relationshipType AS name""".stripMargin)
+
+  /** Label disjunction `(n:Customer|Supplier)` (Neo4j 5 label
+    * expression, r15): the scan is the union of exactly the listed
+    * label tables — schema-reconciled like the label-less union
+    * (per-branch property columns, missing ones null), but it never
+    * touches the rest of the node catalog. `labels(n)` stays a
+    * per-branch literal, so the branch tag is free.
+    */
+  def labelDisjunction(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Customer|Supplier)
+        |WHERE n.acctbal > 9900.0
+        |RETURN labels(n)[0] AS kind, n.name AS name, n.acctbal AS acctbal
+        |ORDER BY kind, name""".stripMargin)
+
+  /** Label predicates in expression position (`WHERE n:Nation`,
+    * `RETURN n:Nation AS is_nation`, r15): true when the node carries
+    * every listed label, compiled to an `array_contains` over the
+    * scan's hidden `@labels` column — no join, prunable when unused.
+    */
+  def labelPredicate(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n)
+        |WHERE (n:Nation OR n:Region) AND n.regionkey = 2
+        |RETURN n.name AS name, n:Nation AS is_nation
+        |ORDER BY name""".stripMargin)
+
+  /** `elementId(n)` — Neo4j 5's string identity (the driver-facing
+    * replacement for numeric `id()`): the same engine id,
+    * stringified.
+    */
+  def elementIdQ(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer) WHERE c.custkey < 5
+        |RETURN elementId(c) AS eid, c.name AS name
+        |ORDER BY name""".stripMargin)
 
   /** `CALL db.propertyKeys()` — the third of the connect-time catalog
     * trio (labels / relationshipTypes / propertyKeys): every property

@@ -2296,6 +2296,60 @@ class CypherPlannerSpec extends AnyFunSuite {
       keys.contains("qty") && keys.size == 19)
   }
 
+  test("label disjunction (n:A|B) scans exactly the listed label tables") {
+    val rows = CypherQueries.labelDisjunction(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("Customer", "Supplier")))
+    // schema-reconciled branches: a property only ONE branch carries
+    // reads null on the other (Customer has mktsegment, Supplier none)
+    val mixed = run(
+      "MATCH (n:Customer|Supplier) WHERE n.acctbal > 9990.0 " +
+        "RETURN labels(n)[0] AS kind, n.mktsegment AS seg")
+      .collect()
+    assert(mixed.filter(_.getString(0) == "Supplier").forall(_.isNullAt(1)))
+    // inline props filter per branch: only branches carrying the
+    // property can match
+    val withProps = run(
+      "MATCH (n:Customer|Supplier {mktsegment: 'BUILDING'}) " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val onlyCust = run(
+      "MATCH (c:Customer {mktsegment: 'BUILDING'}) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(withProps == onlyCust && onlyCust > 0)
+    // disjunction + conjunction mixing rejects at parse time
+    val e = intercept[IllegalArgumentException](CypherParser.parse(
+      "MATCH (n:Customer|Supplier:Nation) RETURN id(n) AS x"))
+    assert(e.getMessage.contains("cannot mix"))
+    // disjunction endpoints join through relationships (no stale
+    // single-label schema pruning)
+    val viaRel = run(
+      "MATCH (n:Customer|Supplier)-[:FROM_NATION]->(m:Nation) " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val custOnly = run(
+      "MATCH (n:Customer)-[:FROM_NATION]->(m:Nation) " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(viaRel == custOnly && custOnly > 0)
+  }
+
+  test("label predicates n:Label work in WHERE and RETURN position") {
+    val rows = CypherQueries.labelPredicate(spark, TestSpark.sf).collect()
+    // 5 region-2 nations (is_nation) + the region row itself
+    assert(rows.length == 6)
+    assert(rows.count(_.getBoolean(1)) == 5)
+    // conjunction spelling `n:A:B` is an all-of check
+    val none = run(
+      "MATCH (n) WHERE n:Nation:Region RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(none == 0L)
+  }
+
+  test("elementId(n) is the stringified node id") {
+    val rows = CypherQueries.elementIdQ(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) == (2000000000L +
+      r.getString(1).split("#")(1).toLong).toString))
+  }
+
   test("named var-length and group rels widen multi-type/typeless payloads to the union schema") {
     import spark.implicits._
     val g = graft.graph.PropertyGraph(
