@@ -83,6 +83,7 @@ object SparkEntry {
     "cypher_path_rels"      -> (cypher.CypherQueries.pathRels(_, _)),
     "cypher_properties"     -> (cypher.CypherQueries.propertiesOf(_, _)),
     "cypher_rel_props_fn"   -> (cypher.CypherQueries.relPropertiesFn(_, _)),
+    "cypher_rel_props_union" -> (cypher.CypherQueries.relPropsUnion(_, _)),
     "cypher_map_proj"       -> (cypher.CypherQueries.mapProjection(_, _)),
     "cypher_map_proj_star"  -> (cypher.CypherQueries.mapProjectionStar(_, _)),
     "cypher_list_index"     -> (cypher.CypherQueries.listIndex(_, _)),
@@ -2368,6 +2369,18 @@ object SparkEntry {
         |ORDER BY id, k""".stripMargin,
     // rel-property introspection: two stringified props per CONTAINS
     // row (price, qty — key-sorted), keys() size a constant 2
+    // multi-type named fixed hop: qty null-fills on :SUPPLIES steps,
+    // keys(r) is the branch type's own key set
+    "cypher_rel_props_union" ->
+      """SELECT t, pk, qty, nk FROM (
+        |  SELECT 'CONTAINS' AS t, CAST(l_partkey AS BIGINT) AS pk,
+        |    l_quantity AS qty, CAST(2 AS BIGINT) AS nk
+        |  FROM lineitem WHERE l_partkey < 2
+        |  UNION ALL
+        |  SELECT 'SUPPLIES', CAST(p AS BIGINT), NULL, CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |        FROM lineitem WHERE l_partkey < 2))
+        |ORDER BY t, pk, qty""".stripMargin,
     "cypher_rel_props_fn" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS ok,
         |  CAST(l_partkey AS BIGINT) AS pk, key AS k,

@@ -1327,6 +1327,21 @@ object CypherQueries {
         |  kv.val AS v, size(keys(l)) AS nk
         |ORDER BY ok, pk, k, v""".stripMargin)
 
+  /** Relationship properties and keys() on a NAMED MULTI-TYPE fixed
+    * hop (r15 — the former opaque unresolved-column failure): the
+    * union carries the union property schema null-filled per branch,
+    * so `r.qty` reads Neo4j's null on :SUPPLIES steps, while
+    * `keys(r)` stays each BRANCH type's own key set (0 for the
+    * property-less SUPPLIES, 2 for CONTAINS).
+    */
+  def relPropsUnion(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (x)-[r:SUPPLIES|CONTAINS]->(p:Part)
+        |WHERE p.partkey < 2
+        |RETURN type(r) AS t, p.partkey AS pk, r.qty AS qty,
+        |  size(keys(r)) AS nk
+        |ORDER BY t, pk, qty""".stripMargin)
+
   /** Map projection `c {.name, .acctbal}` — parser sugar building a
     * struct from the selected properties, consumed through scalar
     * field access after a WITH horizon (Neo4j's map value itself

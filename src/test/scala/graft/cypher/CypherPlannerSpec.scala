@@ -2350,6 +2350,37 @@ class CypherPlannerSpec extends AnyFunSuite {
       r.getString(1).split("#")(1).toLong).toString))
   }
 
+  test("named fixed multi-type/typeless hops bind union props and per-branch keys/properties") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("__id", "name")),
+      rels = Map(
+        "X" -> Seq((1L, 2L, 10L)).toDF("__src", "__dst", "w"),
+        "Y" -> Seq((1L, 3L, "yy")).toDF("__src", "__dst", "z")),
+      relEndpoints = Map("X" -> ("V", "V"), "Y" -> ("V", "V")))
+    // r.prop on a multi-type FIXED hop: the union schema null-fills
+    // per branch (Neo4j's missing-property null); keys(r) stays the
+    // BRANCH type's own key set, not the union's
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[r:X|Y]->(b:V) " +
+        "RETURN id(b) AS bid, type(r) AS t, r.w AS w, r.z AS z, " +
+        "keys(r) AS ks").collect()
+      .map(x => (x.getLong(0), x.getString(1), Option(x.get(2)),
+        Option(x.get(3)), x.getSeq[String](4).toList)).toSet
+    assert(rows == Set(
+      (2L, "X", Some(10L), None, List("w")),
+      (3L, "Y", None, Some("yy"), List("z"))))
+    // typeless named fixed hop: same union surface, properties(r)
+    // holds only the branch's own non-null entries
+    val tl = CypherPlanner.run(spark, g,
+      "MATCH (a:V)-[r]->(b:V) WHERE id(a) = 1 " +
+        "UNWIND properties(r) AS kv " +
+        "RETURN id(b) AS bid, kv.key AS k, kv.val AS v").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    assert(tl == Set((2L, "w", "10"), (3L, "z", "yy")))
+  }
+
   test("named var-length and group rels widen multi-type/typeless payloads to the union schema") {
     import spark.implicits._
     val g = graft.graph.PropertyGraph(
@@ -2427,6 +2458,44 @@ class CypherPlannerSpec extends AnyFunSuite {
         "RETURN id(t) AS tid, length(p) AS l")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(seeded == Set((3L, 1L), (4L, 2L)))
+  }
+
+  test("outer-scope QPP WHERE composes with weighted and allShortestPaths too") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "C" -> Seq((100L, 15L), (200L, 35L)).toDF("__id", "cut"),
+        "V" -> Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+          .toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L, 5.0), (2L, 3L, 1.0), (1L, 3L, 9.0))
+        .toDF("__src", "__dst", "w")))
+    // weighted: per-tuple Bellman-Ford — x=100 admits every edge
+    // (cheapest 1->3 is via 2, cost 6); x=200 drops b.v<=35 edges,
+    // hmm: only (1,3,9) and (2,3,1) have dst v=30<=35? v(3)=30<=35 no
+    // edges survive for x=200 except none with b.v>35 => only dst 4
+    // (absent) — no paths
+    val w = CypherPlanner.run(spark, g,
+      "MATCH (x:C) " +
+        "MATCH p = shortestPath((s:V) ((a)-[:E]->(b) WHERE b.v > x.cut){1,3} (t:V), 'w') " +
+        "RETURN id(x) AS xid, id(s) AS sid, id(t) AS tid, cost(p) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(w == Set(
+      (100L, 1L, 2L, 5.0), (100L, 2L, 3L, 1.0), (100L, 1L, 3L, 6.0)))
+    // allShortestPaths: multiplicity counted per tuple
+    val g2 = graft.graph.PropertyGraph(
+      nodes = Map(
+        "C" -> Seq((100L, 15L)).toDF("__id", "cut"),
+        "V" -> Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 40L))
+          .toDF("__id", "v")),
+      rels = Map("E" -> Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    val a = CypherPlanner.run(spark, g2,
+      "MATCH (x:C) " +
+        "MATCH p = allShortestPaths((s:V) ((a)-[:E]->(b) WHERE b.v > x.cut){1,3} (t:V)) " +
+        "WHERE id(s) = 1 AND id(t) = 4 " +
+        "RETURN count(p) AS n").collect().head.getLong(0)
+    assert(a == 2L)
   }
 
   test("In-direction pre-bound starts seed the expansion via the traversal flip") {
