@@ -115,6 +115,9 @@ object SparkEntry {
     "cypher_labels"         -> (cypher.CypherQueries.labelCounts(_, _)),
     "cypher_path_len"       -> (cypher.CypherQueries.pathLen(_, _)),
     "cypher_shortest_path"  -> (cypher.CypherQueries.shortestPath(_, _)),
+    "cypher_sp_nodes"       -> (cypher.CypherQueries.spNodes(_, _)),
+    "cypher_sp_rel_list"    -> (cypher.CypherQueries.spRelList(_, _)),
+    "cypher_sp_group_nodes" -> (cypher.CypherQueries.spGroupNodes(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2580,6 +2583,46 @@ object SparkEntry {
         |  UNION ALL SELECT 'Region' FROM region
         |  UNION ALL SELECT 'Supplier' FROM supplier)
         |GROUP BY label ORDER BY label""".stripMargin,
+    // the NEXT_IN_REGION chain is a unique-successor function, so
+    // each pair's shortest path is UNIQUE — the engine's deterministic
+    // min-walk and the oracle's positional reconstruction must agree
+    "cypher_sp_nodes" ->
+      """WITH nr AS (
+        |  SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos
+        |  FROM nation)
+        |SELECT a.nm AS a_name, b.nm AS b_name,
+        |  CAST(b.pos - a.pos AS BIGINT) AS hops,
+        |  '/' || string_agg(CAST(3000000000 + m.nk AS VARCHAR), '/' ORDER BY m.pos) AS path_nodes
+        |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
+        |JOIN nr m ON m.rk = a.rk AND m.pos BETWEEN a.pos AND b.pos
+        |GROUP BY a.nm, b.nm, a.pos, b.pos
+        |ORDER BY a_name, b_name""".stripMargin,
+    "cypher_sp_rel_list" ->
+      """WITH nr AS (
+        |  SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos
+        |  FROM nation)
+        |SELECT a.nm AS a_name, b.nm AS b_name,
+        |  CAST(b.pos - a.pos AS BIGINT) AS n_rels,
+        |  CAST(b.nk - a.nk AS BIGINT) AS span,
+        |  CAST(b.nk - a.nk AS BIGINT) AS span2
+        |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
+        |WHERE a.rk = 1
+        |ORDER BY a_name, b_name""".stripMargin,
+    "cypher_sp_group_nodes" ->
+      """WITH nr AS (
+        |  SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nxt
+        |  FROM nation)
+        |SELECT a.nm AS s_name, b.nm AS t_name,
+        |  CAST(b.pos - a.pos AS BIGINT) AS hops,
+        |  CAST(b.pos - a.pos AS BIGINT) AS n_steps,
+        |  CAST(3000000000 + a.nxt AS BIGINT) AS first_step
+        |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
+        |WHERE a.rk = 2
+        |ORDER BY s_name, t_name""".stripMargin,
     "cypher_shortest_path" ->
       """WITH RECURSIVE e AS MATERIALIZED (
         |  SELECT src, dst FROM (

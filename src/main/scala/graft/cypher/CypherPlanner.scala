@@ -174,6 +174,10 @@ object CypherPlanner {
     var graph = graph0
     var s = s0
     var out: DataFrame = null
+    // walk consumption for shortest-path chains (nodes(p)/
+    // relationships(p)/named lists) — decided from the AST because the
+    // BFS's per-level checkpoints defeat lazy column pruning
+    val wref = walkRefVars(clauses)
     // pattern metadata the write clauses need: which label a node
     // variable scanned, which single type a named relationship
     // variable bound (only SET/DELETE consume these, so WITH horizons
@@ -287,7 +291,7 @@ object CypherPlanner {
         val prevDf =
           if (s.df != null && s.tiny && !sharesVar) broadcast(s.df) else s.df
         val (cdf, cvars) = planChain(graph, chain, s.nodeVars, prevDf,
-          needs = Some(needs))
+          needs = Some(needs), wref = wref)
         // GQL group variables surface as LIST-valued scalar bindings
         // (UNWIND/size/indexing consume them like any WITH-bound list)
         val gvars = groupListVars(chain)
@@ -305,7 +309,7 @@ object CypherPlanner {
         // WHERE filters the optional side BEFORE the join — unmatched
         // outer rows keep their nulls (Cypher semantics).
         var (odf, ovars) = planChain(graph, chain, Set.empty, null, shared.toSet,
-          needs = Some(needs))
+          needs = Some(needs), wref = wref)
         where.foreach(e => odf = odf.filter(toColumn(e, s.binds)))
         val keys = shared.map(v => s"${v}__id")
         // drop the optional side's duplicate copies of shared-var props
@@ -1543,6 +1547,84 @@ object CypherPlanner {
     out.toSet
   }
 
+  /** Names whose WALKS a shortest-path chain must materialize:
+    * `nodesOf`/`relsOf` hold path variables consumed via
+    * `nodes(p)`/`relationships(p)`, `idents` every plain identifier
+    * reference anywhere in the pipeline (named relationship lists,
+    * group variables). `length(p)`/`cost(p)`/`count(p)` read
+    * pair-level scalars and do NOT register — a shortestPath consumed
+    * only through them keeps the plain pair×depth BFS, which never
+    * pays the walk arrays (the per-level localCheckpoint materializes
+    * eagerly, so Catalyst cannot prune an always-carried walk; the
+    * decision must be made from the AST, here).
+    */
+  private final case class WalkRefs(nodesOf: Set[String],
+      relsOf: Set[String], idents: Set[String]) {
+    def walksOf(pv: String): Boolean = nodesOf(pv) || relsOf(pv)
+  }
+  private object WalkRefs {
+    val empty: WalkRefs = WalkRefs(Set.empty, Set.empty, Set.empty)
+  }
+
+  private def walkRefVars(clauses: Seq[Clause]): WalkRefs = {
+    val nodesOf = scala.collection.mutable.Set[String]()
+    val relsOf = scala.collection.mutable.Set[String]()
+    val idents = scala.collection.mutable.Set[String]()
+    def walk(e: CExpr): Unit = e match {
+      case FnCall("nodes", Some(Ident(v)), _, _) => nodesOf += v; idents += v
+      case FnCall("relationships", Some(Ident(v)), _, _) =>
+        relsOf += v; idents += v
+      case Ident(v)             => idents += v
+      case Prop(v, _)           => idents += v
+      case FnCall(_, arg, _, _) => arg.foreach(walk)
+      case FnCallN(_, as)       => as.foreach(walk)
+      case ListPred(_, _, l, p) => walk(l); walk(p)
+      case ListComp(_, l, w, pj) => walk(l); w.foreach(walk); pj.foreach(walk)
+      case ReduceExpr(_, i, _, l, st) => walk(i); walk(l); walk(st)
+      case RangeList(f, t, st)  => walk(f); walk(t); walk(st)
+      case PercentileCont(a, _) => walk(a)
+      case PercentileDisc(a, _) => walk(a)
+      case ExistsPattern(_, w)  => w.foreach(walk)
+      case CountPattern(_, w)   => w.foreach(walk)
+      case PatternComp(_, w, pj) => w.foreach(walk); walk(pj)
+      case Cmp(_, l, r)         => walk(l); walk(r)
+      case Arith(_, l, r)       => walk(l); walk(r)
+      case And(l, r)            => walk(l); walk(r)
+      case Or(l, r)             => walk(l); walk(r)
+      case Not(x)               => walk(x)
+      case IsNull(x)            => walk(x)
+      case InList(x, l)         => walk(x); walk(l)
+      case StrPred(_, l, r)     => walk(l); walk(r)
+      case Coalesce(xs)         => xs.foreach(walk)
+      case CaseExpr(ws, els)    =>
+        ws.foreach { case (c, v) => walk(c); walk(v) }; els.foreach(walk)
+      case ListLit(xs)          => xs.foreach(walk)
+      case _                    => () // LitV/Param/ColRef
+    }
+    def walkAll(cs: Seq[Clause]): Unit = cs.foreach {
+      case MatchClause(_, _, where)   => where.foreach(walk)
+      case FilterClause(e)            => walk(e)
+      case UnwindClause(l, _)         => walk(l)
+      case w: WithClause              =>
+        w.items.foreach(i => walk(i.expr)); w.where.foreach(walk)
+        w.orderBy.foreach(s0 => walk(s0.expr))
+      case CallClause(_, inner)       => walkAll(inner)
+      case CallInTxClause(_, body, _, _, _) => walkAll(body)
+      case WriteRelClause(_, _, oc, om) =>
+        (oc ++ om).foreach { case (_, e) => walk(e) }
+      case CreateNodeClause(_, _, ps, _, oc, om) =>
+        (ps ++ oc ++ om).foreach { case (_, e) => walk(e) }
+      case SetPropClause(as)          => as.foreach { case (_, _, e) => walk(e) }
+      case SetMapClause(_, entries)   => entries.foreach { case (_, e) => walk(e) }
+      case ForeachClause(_, l, body)  => walk(l); walkAll(body)
+      case r: ReturnClause            =>
+        r.items.foreach(i => walk(i.expr)); r.orderBy.foreach(s0 => walk(s0.expr))
+      case _                          => ()
+    }
+    walkAll(clauses)
+    WalkRefs(nodesOf.toSet, relsOf.toSet, idents.toSet)
+  }
+
   /** Plans one linear pattern chain. Returns (df, node variables
     * bound). `prev` (with `prevBound` vars) is the accumulated plan
     * from earlier clauses; a chain that starts from an already-bound
@@ -1552,7 +1634,8 @@ object CypherPlanner {
   private def planChain(graph: PropertyGraph, chain: PatternChain,
       prevBound: Set[String], prev: DataFrame,
       virtualVars: Set[String] = Set.empty,
-      needs: Option[Set[String]] = None): (DataFrame, Set[String]) = {
+      needs: Option[Set[String]] = None,
+      wref: WalkRefs = WalkRefs.empty): (DataFrame, Set[String]) = {
 
     var bound = prevBound
     var df = prev
@@ -1802,10 +1885,17 @@ object CypherPlanner {
     }
 
     if (chain.shortest) {
+      // a NAMED hop binds the walk's relationship list — legal on
+      // plain shortestPath since the walk-carrying BFS (r15); the
+      // hop-level spCarry/needEpl logic rejects it for
+      // allShortestPaths/weighted searches
       require(chain.hops.size == 1 &&
           chain.hops.head._1.varLength.exists(_._1 == 1) &&
-          chain.hops.head._1.variable.isEmpty,
-        "shortestPath supports a single unnamed var-length hop starting at *1")
+          (chain.hops.head._1.variable.isEmpty ||
+            (!chain.allShortest && chain.weightProp.isEmpty)),
+        "shortestPath supports a single var-length hop starting at *1 " +
+          "(named relationship lists only on the unweighted single-" +
+          "path form)")
     }
 
     var cur = bindStart(chain.start)
@@ -1991,12 +2081,27 @@ object CypherPlanner {
       // ordered by the remaining columns, so it is deterministic up to
       // fully-duplicate rows, which are interchangeable.
       // shortestPath never enumerates walks, so no edge-identity
-      // bookkeeping: a BFS first-reach cannot traverse an edge twice
+      // bookkeeping: a BFS first-reach cannot traverse an edge twice.
+      // But when the query CONSUMES the path's walk — nodes(p),
+      // relationships(p), a named relationship list, group variables —
+      // the BFS carries ONE deterministic walk per pair alongside the
+      // frontier (min node-id sequence; still pair-bounded, never walk
+      // enumeration — see shortestRel). allShortestPaths and weighted
+      // searches keep their pair-level aggregates (multiplicity /
+      // cost) and stay walk-free.
+      val spCarry = chain.shortest && !chain.allShortest &&
+        chain.weightProp.isEmpty && rel.varLength.isDefined &&
+        rel.groupChain.isEmpty && (
+          chain.pathVar.exists(wref.walksOf) ||
+          rel.variable.exists(wref.idents) ||
+          rel.groupNodes.exists { case (a, b) =>
+            (a.toSeq ++ b.toSeq).exists(wref.idents) })
       val needWalkEid = !chain.shortest && rel.varLength.exists(_._2 > 1)
       val needChainEid = !chain.shortest && chainEidAt(hopIdx)
       // `relationships(p)` needs every hop's edge identity, even on
       // single-hop chains that need no uniqueness bookkeeping
-      val needPathRels = chain.pathVar.isDefined && !chain.shortest
+      val needPathRels = chain.pathVar.isDefined &&
+        (!chain.shortest || (spCarry && chain.pathVar.exists(wref.relsOf)))
       val relForExpand0 =
         if (needWalkEid || needChainEid || needPathRels) {
           val tagCol =
@@ -2029,8 +2134,8 @@ object CypherPlanner {
       // property access via struct fields. The payload widens this
       // hop's shuffles ONLY when the variable is actually named.
       val needEpl = rel.variable.isDefined && rel.varLength.isDefined &&
-        !chain.shortest
-      require(!needEpl ||
+        (!chain.shortest || (spCarry && rel.variable.exists(wref.idents)))
+      require(rel.variable.isEmpty || rel.varLength.isEmpty ||
           (!chain.allShortest && chain.weightProp.isEmpty),
         "a named variable-length relationship is not supported inside " +
           "allShortestPaths/weighted shortestPath (the search keeps " +
@@ -2607,7 +2712,7 @@ object CypherPlanner {
             rel.varLength.get._2, bfsSeed)
         else if (chain.shortest)
           shortestRel(expandEdges, rel.varLength.get._1,
-            rel.varLength.get._2, bfsSeed)
+            rel.varLength.get._2, bfsSeed, carryWalks = spCarry)
         else {
           // zero-lower-bound expansion needs the node universe for
           // its k=0 branch: every node id, across all labels (a
@@ -2685,12 +2790,13 @@ object CypherPlanner {
         else Seq.empty
       // node ids for `nodes(p)`: a var-length hop reports its walk's
       // node sequence (`__nids`); fixed hops contribute the bound
-      // endpoint below. shortestPath never carries node sequences
-      // (the BFS keeps pair×depth only), so nodes(p) on a shortest
-      // chain stays unbound and fails loudly at resolution.
+      // endpoint below. A shortest chain carries node sequences only
+      // when the query consumes them (spCarry — the walk-carrying
+      // BFS); otherwise the column is absent and nodes(p) on a
+      // shortest chain fails loudly at resolution.
       val hopNidCols =
         if ((chain.pathVar.isDefined || rel.groupNodes.isDefined ||
-            rel.groupChain.isDefined) && !chain.shortest &&
+            rel.groupChain.isDefined) && (!chain.shortest || spCarry) &&
             rel.varLength.isDefined && expandedPlain.columns.contains("__nids"))
           Seq(col("__nids").as("__r_nids"))
         else Seq.empty
@@ -2828,10 +2934,16 @@ object CypherPlanner {
         // r15) needs no lists: the predicate filtered the edge set
         // before the search. Skip the binding there; a downstream
         // consumer of the unbound name fails at column resolution.
-        if (chain.shortest || chain.allShortest) {
-          require(rel.stepWhere.isDefined,
-            "group variables are not supported inside shortestPath " +
-              "(the BFS keeps pair×depth, not walks)")
+        if ((chain.shortest && !spCarry) || chain.allShortest) {
+          // names consumed nowhere (or only by the group's own WHERE)
+          // need no lists — the walk-free search stands. A name the
+          // query DOES consume forces spCarry on plain shortestPath,
+          // so reaching here consumed means allShortestPaths/weighted
+          val consumed = (aName.toSeq ++ bName.toSeq).exists(wref.idents)
+          require(!consumed,
+            "group variables are not supported inside " +
+              "allShortestPaths/weighted shortestPath (the search " +
+              "keeps pair aggregates, not walks)")
         } else {
         (aName.toSeq ++ bName.toSeq).foreach(n =>
           require(!df.columns.contains(n),
@@ -2851,7 +2963,7 @@ object CypherPlanner {
           when(size(walk) === 0, walk).otherwise(
             concat(array(col(s"${cur}__id")),
               slice(walk, lit(1), greatest(size(walk) - 1, lit(0)))))))
-        if (chain.pathVar.isEmpty || chain.shortest)
+        if (chain.pathVar.isEmpty || (chain.shortest && !spCarry))
           df = df.drop("__r_nids")
         }
       }
@@ -2904,7 +3016,7 @@ object CypherPlanner {
       // element IS the endpoint); a fixed hop contributes the
       // endpoint id. The chain's start node seeds the array on the
       // first hop (`cur` still names the hop's source here).
-      if (chain.pathVar.isDefined && !chain.shortest) {
+      if (chain.pathVar.isDefined && (!chain.shortest || spCarry)) {
         // an In hop's walk runs opposite to pattern order: the edge
         // orientation's node list [b, x, …, a] must surface as
         // [x, …, b] after the already-seeded a — reverse the walk
@@ -3279,9 +3391,11 @@ object CypherPlanner {
   }
 
   private def shortestRel(rel: DataFrame, lo: Int, hi: Int,
-      seed: Option[DataFrame] = None): DataFrame = {
+      seed: Option[DataFrame] = None, carryWalks: Boolean = false): DataFrame = {
     require(lo == 1 && hi >= lo && hi <= 10,
       s"shortestPath var-length bounds *$lo..$hi out of supported range")
+    if (carryWalks)
+      return shortestRelWalks(rel, hi, seed)
     val edges = rel.select(col("__src"), col("__dst")).distinct().localCheckpoint()
     val e0 = seed match {
       case Some(s) =>
@@ -3314,6 +3428,123 @@ object CypherPlanner {
       k += 1
     }
     seen
+  }
+
+  /** Walk-carrying variant of [[shortestRel]] (r15): the same
+    * level-synchronous first-reach BFS, additionally materializing ONE
+    * deterministic shortest walk per (src, dst) pair — per level, the
+    * candidates extending recorded prefixes collapse to the
+    * lexicographically-least node-id sequence via a pair-keyed
+    * `min(struct(...))` aggregate (which REPLACES the plain BFS's
+    * distinct — same exchange count). Induction over first-reach
+    * prefixes makes every recorded walk a simple path, so no
+    * edge-identity bookkeeping is needed for uniqueness. Parallel
+    * edges collapse up front to ONE content-least payload/identity
+    * struct per (src, dst) — payload-led when both ride, so
+    * `relationships(p)` and a named list always describe the SAME
+    * edge. The frontier stays bounded by the reachable PAIR set (one
+    * row per pair, arrays ≤ hi elements) — never walk enumeration.
+    *
+    * Feeds `nodes(p)`, `relationships(p)`, named relationship lists
+    * and group variables inside `shortestPath` — shapes that were
+    * loud rejects while the BFS kept pair×depth only. Returns
+    * (__src, __dst, __hops, __nids[, __eids][, __epls]) in the
+    * var-expand walk contract (`__nids` = node ids after the source).
+    */
+  private def shortestRelWalks(rel: DataFrame, hi: Int,
+      seed: Option[DataFrame]): DataFrame = {
+    val hasEid = rel.columns.contains("__eid")
+    val hasEpl = rel.columns.contains("__epl")
+    val edges0 =
+      if (!hasEid && !hasEpl)
+        rel.select(col("__src"), col("__dst")).distinct()
+      else if (hasEid && hasEpl)
+        // one combined min keeps identity and payload from the SAME
+        // parallel edge (payload-led: content-deterministic ordering)
+        rel.groupBy(col("__src"), col("__dst"))
+          .agg(min(struct(col("__epl").as("__epl"),
+            col("__eid").as("__eid"))).as("__pk"))
+          .select(col("__src"), col("__dst"),
+            col("__pk").getField("__epl").as("__epl"),
+            col("__pk").getField("__eid").as("__eid"))
+      else {
+        val c = if (hasEid) "__eid" else "__epl"
+        rel.groupBy(col("__src"), col("__dst")).agg(min(col(c)).as(c))
+      }
+    val edges = edges0.localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    var seen = e0.select(Seq(col("__src"), col("__dst"),
+      lit(1).as("__hops"), array(col("__dst")).as("__nids")) ++
+      (if (hasEid) Seq(array(col("__eid")).as("__eids")) else Seq.empty) ++
+      (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
+      .localCheckpoint()
+    var frontier = seen
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = edges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n")) ++
+        (if (hasEid) Seq(col("__eid").as("__ne")) else Seq.empty) ++
+        (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
+      // the walk struct's FIRST field is the node sequence, so the
+      // min-aggregate is ordered by it; the payload fields ride along
+      // (a walk's node sequence determines its payload after the
+      // parallel-edge collapse, so ties cannot diverge)
+      val walkStruct = struct(
+        Seq(concat(col("__nids"), array(col("__n"))).as("__nids")) ++
+        (if (hasEid)
+          Seq(concat(col("__eids"), array(col("__ne"))).as("__eids"))
+        else Seq.empty) ++
+        (if (hasEpl)
+          Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
+        else Seq.empty): _*)
+      val stepped = frontier
+        .join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .select(col("__src"), col("__n").as("__d2"), walkStruct.as("__wk"))
+        .groupBy(col("__src"), col("__d2"))
+        .agg(min(col("__wk")).as("__wk"))
+      val walkCols =
+        Seq(col("__wk").getField("__nids").as("__nids")) ++
+        (if (hasEid) Seq(col("__wk").getField("__eids").as("__eids"))
+         else Seq.empty) ++
+        (if (hasEpl) Seq(col("__wk").getField("__epls").as("__epls"))
+         else Seq.empty)
+      val fresh = stepped
+        .select(Seq(col("__src"), col("__d2").as("__dst")) ++ walkCols: _*)
+        .join(seen.select(col("__src"), col("__dst")), Seq("__src", "__dst"),
+          "left_anti")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        seen = seen.unionByName(fresh.withColumn("__hops", lit(k)))
+        frontier = fresh
+      }
+      k += 1
+    }
+    seen
+  }
+
+  /** Statically string-valued expressions — drives `+`-as-concat
+    * (Neo4j overloads `+` on strings). Conservative: only shapes the
+    * parser can PROVE are strings; a plain column reference stays
+    * numeric-add (Cypher queries over numbers are the common case,
+    * and an explicit toString() opts in).
+    */
+  private def stringish(e: CExpr): Boolean = e match {
+    case LitV(_: String) => true
+    case FnCall("toString" | "toUpper" | "toLower" | "trim" | "ltrim" |
+        "rtrim" | "elementId", _, _, _) => true
+    case FnCallN("substring" | "replace" | "left" | "right", _) => true
+    case Arith("+", l, r) => stringish(l) || stringish(r)
+    case CaseExpr(ws, els) =>
+      ws.exists { case (_, v) => stringish(v) } || els.exists(stringish)
+    case Coalesce(xs) => xs.exists(stringish)
+    case _ => false
   }
 
   private def isAggregate(e: CExpr): Boolean = e match {
@@ -3363,6 +3594,14 @@ object CypherPlanner {
     case Cmp(">", l, r)  => toColumn(l, scalars) > toColumn(r, scalars)
     case Cmp(">=", l, r) => toColumn(l, scalars) >= toColumn(r, scalars)
     case Cmp(op, _, _)   => throw new IllegalArgumentException(s"bad operator $op")
+    // Neo4j `+` concatenates when either operand is a string — decided
+    // statically from the AST (a string literal, a string-returning
+    // function, or a concatenation itself); mixed operands cast to
+    // string like Neo4j's 'a' + 1 = 'a1'. Everything else stays the
+    // codegen'd numeric add.
+    case Arith("+", l, r) if stringish(l) || stringish(r) =>
+      concat(toColumn(l, scalars).cast("string"),
+        toColumn(r, scalars).cast("string"))
     case Arith("+", l, r) => toColumn(l, scalars) + toColumn(r, scalars)
     case Arith("-", l, r) => toColumn(l, scalars) - toColumn(r, scalars)
     case Arith("*", l, r) => toColumn(l, scalars) * toColumn(r, scalars)
@@ -3933,8 +4172,11 @@ object CypherPlanner {
         r.groupChain.toSeq.flatMap(ch =>
           (ch.start +: ch.hops.map(_._2)).flatMap(_.variable) ++
             ch.hops.flatMap(_._1.variable)) ++
-        (if (r.varLength.isDefined && !chain.shortest) r.variable.toSeq
-         else Seq.empty)
+        (if (r.varLength.isDefined &&
+            (!chain.shortest ||
+              (!chain.allShortest && chain.weightProp.isEmpty)))
+          r.variable.toSeq
+        else Seq.empty)
     }.toSet
 
   /** Path variables carrying a shortest-path multiplicity

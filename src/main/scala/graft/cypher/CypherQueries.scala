@@ -841,6 +841,52 @@ object CypherQueries {
         |  count(p) AS n_paths
         |ORDER BY pa, pb""".stripMargin)
 
+  /** `nodes(p)` ON a shortestPath chain (r15 — formerly a loud
+    * unbound-column failure: the BFS kept pair×depth only). The
+    * walk-carrying BFS (CypherPlanner.shortestRelWalks) materializes
+    * ONE deterministic shortest walk per pair — pair-bounded, never
+    * walk enumeration — and the path string folds it with Neo4j's
+    * `+` string concatenation (also r15). NEXT_IN_REGION is a
+    * successor chain, so each pair's shortest path is unique and the
+    * oracle reproduces it exactly.
+    */
+  def spNodes(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..10]->(b:Nation))
+        |RETURN a.name AS a_name, b.name AS b_name, length(p) AS hops,
+        |  reduce(s = '', x IN nodes(p) | s + '/' + toString(x)) AS path_nodes
+        |ORDER BY a_name, b_name""".stripMargin)
+
+  /** Named relationship LIST + `relationships(p)` inside shortestPath
+    * (r15 — the row-8e reject lifted): the walk-carrying BFS rides
+    * the per-step payload structs and edge identities alongside the
+    * node walk, so `rs` folds stored endpoints from payloads and
+    * `relationships(p)` the identity structs — both describing the
+    * SAME deterministic shortest walk (payload-led parallel-edge
+    * collapse).
+    */
+  def spRelList(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = shortestPath((a:Nation)-[rs:NEXT_IN_REGION*1..10]->(b:Nation))
+        |WHERE a.regionkey = 1
+        |RETURN a.name AS a_name, b.name AS b_name, size(rs) AS n_rels,
+        |  reduce(s = 0, r IN rs | s + r.dst - r.src) AS span,
+        |  reduce(s = 0, r IN relationships(p) | s + r.v - r.u) AS span2
+        |ORDER BY a_name, b_name""".stripMargin)
+
+  /** GQL group variables inside shortestPath (r15 — the last
+    * pair×depth reject): named inner nodes of a quantified group
+    * under shortestPath bind per-step node-id lists from the carried
+    * walk, exactly like the plain quantified-path binding.
+    */
+  def spGroupNodes(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = shortestPath((s:Nation) ((a)-[:NEXT_IN_REGION]->(b)){1,10} (t:Nation))
+        |WHERE s.regionkey = 2
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops,
+        |  size(b) AS n_steps, b[0] AS first_step
+        |ORDER BY s_name, t_name""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

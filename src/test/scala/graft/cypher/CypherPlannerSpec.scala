@@ -481,10 +481,69 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(und.keys.forall { case (a, b) => a != b })
     assert(und.forall { case ((a, b), d) => und((b, a)) == d })
     assert(sp.forall { case (k, d) => und(k) == d })
-    // unsupported shapes are rejected, not silently mis-planned
-    assertThrows[IllegalArgumentException](run(
+    // a NAMED hop binds the walk's relationship list (r15): size(r)
+    // agrees with length(p) on every pair
+    val named = run(
       "MATCH p = shortestPath((a:Nation)-[r:NEXT_IN_REGION*1..3]->(b:Nation)) " +
-      "RETURN length(p) AS l"))
+      "RETURN a.name AS a, b.name AS b, size(r) AS n, length(p) AS l")
+      .collect()
+    assert(named.nonEmpty && named.forall(r => r.getLong(2) == r.getLong(3)))
+    // pair-aggregate searches still reject named lists loudly
+    assertThrows[IllegalArgumentException](run(
+      "MATCH p = allShortestPaths((a:Nation)-[r:NEXT_IN_REGION*1..3]->(b:Nation)) " +
+      "RETURN size(r) AS n"))
+  }
+
+  test("shortestPath walk carry: deterministic min walk on ties, In-seeded flip, + concat") {
+    import spark.implicits._
+    // diamond: two tied 2-hop shortest walks 1→4 (via 2, via 3); the
+    // carried walk is the lexicographically-least node sequence
+    val diamond = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    val tie = CypherPlanner.run(spark, diamond,
+      "MATCH p = shortestPath((a:V)-[rs:E*1..3]->(b:V)) " +
+        "WHERE id(a) = 1 AND id(b) = 4 " +
+        "RETURN nodes(p) AS ns, [x IN rs | x.dst] AS ds, " +
+        "relationships(p) AS res, length(p) AS l").collect()
+    assert(tie.length == 1)
+    assert(tie(0).getSeq[Long](0).toList == List(1L, 2L, 4L))
+    assert(tie(0).getSeq[Long](1).toList == List(2L, 4L))
+    // relationships(p) identities describe the SAME walk as rs
+    assert(tie(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(1), r.getLong(2))).toList ==
+      List((1L, 2L), (2L, 4L)))
+    assert(tie(0).getLong(3) == 2L)
+    // In-spelled pre-bound shortest with walks: the seeded flip
+    // reverses node and payload arrays back into pattern order
+    val chainG = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    val in = CypherPlanner.run(spark, chainG,
+      "MATCH (a:V) WHERE id(a) = 4 " +
+        "MATCH p = shortestPath((a)<-[rs:E*1..3]-(b:V)) " +
+        "RETURN id(b) AS bid, nodes(p) AS ns, [x IN rs | x.src] AS ss " +
+        "ORDER BY bid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getSeq[Long](2).toList)).toList
+    assert(in == List(
+      (1L, List(4L, 3L, 2L, 1L), List(3L, 2L, 1L)),
+      (2L, List(4L, 3L, 2L), List(3L, 2L)),
+      (3L, List(4L, 3L), List(3L))))
+    // Neo4j `+` string concatenation (r15): literal-driven, mixed
+    // operands cast, reduce folds a path string
+    val cc = CypherPlanner.run(spark, chainG,
+      "MATCH p = shortestPath((a:V)-[:E*1..3]->(b:V)) " +
+        "WHERE id(a) = 1 AND id(b) = 3 " +
+        "RETURN 'n' + 1 AS m, " +
+        "reduce(s = '', x IN nodes(p) | s + '/' + toString(x)) AS ps")
+      .collect()
+    assert(cc.length == 1 && cc(0).getString(0) == "n1" &&
+      cc(0).getString(1) == "/1/2/3")
   }
 
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
@@ -1483,13 +1542,23 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (s:V) ((a)-[:E]->(b)){2,2} (t:V) WHERE s.name = 'n1' " +
         "UNWIND b AS step RETURN step ORDER BY step").collect()
     assert(un.map(_.getLong(0)).toList == List(2L, 3L))
-    // group variables inside shortestPath stay a loud reject
-    val e = intercept[Exception] {
-      CypherPlanner.run(spark, g,
-        "MATCH p = shortestPath((s:V) ((a)-[:E]->(b)){1,3} (t:V)) " +
-          "RETURN length(p) AS l").collect()
-    }
-    assert(e.getMessage != null)
+    // group variables inside shortestPath bind from the carried walk
+    // (r15 — formerly a loud reject)
+    val spg = CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((s:V) ((a)-[:E]->(b)){1,3} (t:V)) " +
+        "WHERE s.name = 'n1' RETURN t.name AS t, b AS bl, length(p) AS l")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1).toList, r.getLong(2))))
+      .toMap
+    assert(spg == Map(
+      "n2" -> ((List(2L), 1L)),
+      "n3" -> ((List(2L, 3L), 2L)),
+      "n4" -> ((List(2L, 3L, 4L), 3L))))
+    // consumed group variables under allShortestPaths stay a loud
+    // reject (the sigma search keeps pair aggregates, not walks)
+    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((s:V) ((a)-[:E]->(b)){1,3} (t:V)) " +
+        "RETURN size(b) AS n"))
   }
 
   test("zero-length quantified paths: {0,m}, {,m} and *0..m include the empty path") {
@@ -1797,10 +1866,13 @@ class CypherPlannerSpec extends AnyFunSuite {
         "RETURN id(b) AS bid, size(rs) AS n").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toList
     assert(zero == List((4L, 0L)))
-    // shortestPath stays a loud reject for named var-length rels
-    intercept[Exception](CypherPlanner.run(spark, g,
-      "MATCH p = shortestPath((a:V)-[rs:E*1..3]->(b:V)) " +
-        "RETURN length(p) AS l").collect())
+    // named var-length rels inside shortestPath bind the walk's
+    // payload list (r15 — formerly a loud reject)
+    val spl = CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((a:V)-[rs:E*1..3]->(b:V)) WHERE id(a) = 1 " +
+        "RETURN id(b) AS bid, size(rs) AS n ORDER BY bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(spl == List((2L, 1L), (3L, 2L), (4L, 3L)))
     // type()/startNode()/endNode() work on UNWINDed payload elements
     val tse = CypherPlanner.run(spark, g,
       "MATCH (a:V)-[rs:E*1..1]->(b:V) WHERE id(a) = 1 " +
