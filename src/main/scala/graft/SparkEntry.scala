@@ -118,6 +118,8 @@ object SparkEntry {
     "cypher_sp_nodes"       -> (cypher.CypherQueries.spNodes(_, _)),
     "cypher_sp_rel_list"    -> (cypher.CypherQueries.spRelList(_, _)),
     "cypher_sp_group_nodes" -> (cypher.CypherQueries.spGroupNodes(_, _)),
+    "cypher_inline_where"   -> (cypher.CypherQueries.inlineWhere(_, _)),
+    "cypher_gql_shortest"   -> (cypher.CypherQueries.gqlShortest(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2583,6 +2585,33 @@ object SparkEntry {
         |  UNION ALL SELECT 'Region' FROM region
         |  UNION ALL SELECT 'Supplier' FROM supplier)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "cypher_inline_where" ->
+      """WITH hi AS (
+        |  SELECT n.n_nationkey AS nk, n.n_name AS nm, COUNT(*) AS hi_cust
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE c.c_acctbal > 9000.0 AND n.n_regionkey = 2
+        |  GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS hi_supp
+        |  FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1)
+        |SELECT hi.nm AS nation, hi.hi_cust AS hi_cust, sup.hi_supp AS hi_supp
+        |FROM hi JOIN sup ON hi.nk = sup.nk
+        |ORDER BY nation""".stripMargin,
+    "cypher_gql_shortest" ->
+      """WITH nr AS (
+        |  SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos
+        |  FROM nation)
+        |SELECT 'any' AS kind, a.nm AS a_name, b.nm AS b_name,
+        |  CAST(b.pos - a.pos AS BIGINT) AS hops
+        |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
+        |WHERE a.rk = 3
+        |UNION ALL
+        |SELECT 'k1' AS kind, a.nm AS a_name, b.nm AS b_name,
+        |  CAST(b.pos - a.pos AS BIGINT) AS hops
+        |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
+        |  AND b.pos - a.pos <= 3
+        |WHERE a.rk = 4""".stripMargin,
     // the NEXT_IN_REGION chain is a unique-successor function, so
     // each pair's shortest path is UNIQUE — the engine's deterministic
     // min-walk and the oracle's positional reconstruction must agree

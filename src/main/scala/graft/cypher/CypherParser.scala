@@ -137,20 +137,44 @@ object CypherParser {
               val pv = ident(); eatSym("="); Some(pv)
             case _ => None
           }
+          // GQL path selectors (Neo4j 5.2x / GQL, r15): `ANY SHORTEST
+          // <path>`, `SHORTEST 1 <path>`, `ALL SHORTEST <path>` —
+          // keyword sugar over the shortestPath/allShortestPaths
+          // plans, no parenthesis wrapper. `SHORTEST k` with k > 1
+          // (k-best enumeration) rejects loudly.
+          var gqlShortest = false
+          var gqlAllShortest = false
+          def kwPair(a: String, b: String): Boolean =
+            atKw(a) && pos + 1 < toks.length && isKw(toks(pos + 1), b)
+          if (kwPair("ANY", "SHORTEST")) {
+            eatKw("ANY"); eatKw("SHORTEST"); gqlShortest = true
+          } else if (kwPair("ALL", "SHORTEST")) {
+            eatKw("ALL"); eatKw("SHORTEST"); gqlAllShortest = true
+          } else if (atKw("SHORTEST") && pos + 1 < toks.length &&
+              toks(pos + 1).isInstanceOf[TNum]) {
+            eatKw("SHORTEST")
+            val k = longLit()
+            require(k == 1,
+              s"SHORTEST $k: only SHORTEST 1 (= shortestPath) is " +
+                "supported — k-best path enumeration is not")
+            gqlShortest = true
+          }
           // `shortestPath((a)-[:T*]->(b))` / `allShortestPaths(…)` —
           // lex as the identifier followed by '(' '(': the inner '('
           // opens the wrapped pattern's start node
-          val allShortest = atKw("ALLSHORTESTPATHS")
-          val shortest = allShortest || atKw("SHORTESTPATH")
-          if (allShortest) { eatKw("ALLSHORTESTPATHS"); eatSym("(") }
-          else if (shortest) { eatKw("SHORTESTPATH"); eatSym("(") }
+          val parenAll = atKw("ALLSHORTESTPATHS")
+          val parenShort = parenAll || atKw("SHORTESTPATH")
+          if (parenAll) { eatKw("ALLSHORTESTPATHS"); eatSym("(") }
+          else if (parenShort) { eatKw("SHORTESTPATH"); eatSym("(") }
+          val allShortest = parenAll || gqlAllShortest
+          val shortest = parenShort || gqlShortest || gqlAllShortest
           val chain0 = patternChain()
           // weighted spelling `shortestPath((a)-[:T*]->(b), 'prop')`:
           // the optional second argument names the relationship cost
           // property (engine extension — core Cypher reaches weighted
           // paths via apoc/GDS dijkstra)
           val weightProp =
-            if (shortest && !allShortest && atSym(",")) {
+            if (parenShort && !parenAll && atSym(",")) {
               eatSym(",")
               next() match {
                 case TStr(s) => Some(s)
@@ -158,11 +182,15 @@ object CypherParser {
                   s"shortestPath weight must be a string-literal property name, got $t")
               }
             } else None
-          if (shortest) eatSym(")")
+          if (parenShort) eatSym(")")
           val chain = chain0.copy(pathVar = pathVar, shortest = shortest,
             allShortest = allShortest, weightProp = weightProp)
-          val where =
-            if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+          // inline pattern predicates conjoin with the clause WHERE —
+          // for OPTIONAL MATCH both filter the optional side before
+          // the left join (Neo4j's inline-WHERE scoping)
+          val inlineW = drainInlineWheres()
+          val where = andOpt(inlineW,
+            if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None)
           // Cypher semantics: WHERE after OPTIONAL MATCH filters the
           // optional pattern before the left join; after a plain MATCH
           // it is an ordinary filter
@@ -412,6 +440,9 @@ object CypherParser {
         if (create) eatKw("CREATE") else eatKw("MERGE")
         if (writePatternIsRel) {
           val chain = patternChain()
+          require(inlineWheres.isEmpty,
+            "inline pattern WHERE is not allowed in MERGE/CREATE " +
+              "patterns (Neo4j rule) — filter with a preceding MATCH")
           require(chain.hops.size == 1,
             "MERGE/CREATE supports exactly one relationship pattern " +
               "between two bound node variables")
@@ -558,6 +589,29 @@ object CypherParser {
       case t       => throw new IllegalArgumentException(s"expected number, got $t")
     }
 
+    /** Neo4j-5 inline pattern predicates — `(n:L WHERE n.p > 1)` /
+      * `-[r:T WHERE r.q = 2]->` — collected here while the enclosing
+      * pattern parses, then drained into the owning context's WHERE
+      * (MATCH / OPTIONAL MATCH / EXISTS / COUNT / COLLECT / pattern
+      * comprehension). Hoisting is semantics-preserving: the inline
+      * predicate filters that element's bindings, which for inner
+      * joins commutes with the post-match filter, and OPTIONAL
+      * MATCH's attached WHERE already filters before the left join.
+      */
+    private val inlineWheres = scala.collection.mutable.Buffer[CExpr]()
+    private def drainInlineWheres(): Option[CExpr] =
+      if (inlineWheres.isEmpty) None
+      else {
+        val w = inlineWheres.reduceLeft[CExpr](And(_, _))
+        inlineWheres.clear()
+        Some(w)
+      }
+    private def andOpt(a: Option[CExpr], b: Option[CExpr]): Option[CExpr] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(And(x, y))
+        case _                  => a.orElse(b)
+      }
+
     private def patternChain(): PatternChain = {
       val start = nodePattern()
       val hops = Seq.newBuilder[(RelPattern, NodePattern)]
@@ -590,7 +644,15 @@ object CypherParser {
       */
     private def quantifiedGroupRel(): RelPattern = {
       eatSym("(")
+      val mark = inlineWheres.size
       val inner = patternChain()
+      // inner-element inline WHERE would hoist OUT of the repetition
+      // scope (the inner names bind per-step, not per-row) — point at
+      // the group-level form instead of mis-scoping silently
+      require(inlineWheres.size == mark,
+        "inline WHERE on a quantified group's inner elements is not " +
+          "supported — use the group-level WHERE " +
+          "`((a)-[:T]->(b) WHERE …){n,m}`")
       // GQL inline per-step WHERE: `((a)-[r:T]->(b) WHERE a.p < b.p)`
       val stepWhere =
         if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
@@ -636,7 +698,12 @@ object CypherParser {
       * relationship quantifier and the parenthesized group form.
       */
     private def pathQuantifier(): Option[(Int, Int)] =
-      if (!atSym("{")) None
+      // GQL `+` (one-or-more) / `*` (zero-or-more) postfix
+      // quantifiers — `-[:T]->+`, `((a)-[:T]->(b))*` (r15); bounded
+      // by the shared var-length cap like the open {n,} forms
+      if (atSym("+")) { eatSym("+"); Some((1, MaxVarHops)) }
+      else if (atSym("*")) { eatSym("*"); Some((0, MaxVarHops)) }
+      else if (!atSym("{")) None
       else {
         eatSym("{")
         val lo = peek match {
@@ -693,6 +760,9 @@ object CypherParser {
           eatSym("}")
           m.result()
         } else Map.empty[String, Any]
+      // inline node predicate `(n:L WHERE n.p > 1)` (Neo4j 5) —
+      // hoisted to the owning context's WHERE via inlineWheres
+      if (atKw("WHERE")) { eatKw("WHERE"); inlineWheres += expr() }
       eatSym(")")
       NodePattern(variable, label, props, more.result(), altLabels)
     }
@@ -765,6 +835,10 @@ object CypherParser {
           eatSym("}")
           m.result()
         } else Map.empty[String, Any]
+      // inline relationship predicate `-[r:T WHERE r.q > 5]->`
+      // (Neo4j 5; fixed-length hops only, per Neo4j's own rule)
+      val relWhere =
+        if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
       eatSym("]")
       // GQL-style postfix quantifier `-[:T]->{n,m}` (also {n}, {n,},
       // {,m}) — the Neo4j-5 spelling of the *n..m range; parsed after
@@ -778,17 +852,34 @@ object CypherParser {
               "cannot combine a *range with a {n,m} path quantifier")
             q
         }
+      // the inline predicate hoists only off FIXED-length hops —
+      // Neo4j itself rejects it on var-length/quantified patterns
+      // (the per-step form is the quantified group's WHERE)
+      def withWhere(vl: Option[(Int, Int)]): Option[(Int, Int)] = {
+        relWhere.foreach { w =>
+          require(vl.isEmpty,
+            "relationship pattern predicates are not supported on " +
+              "variable-length or quantified relationships (Neo4j " +
+              "rule) — use a quantified group " +
+              "`((a)-[r:T]->(b) WHERE …){n,m}`")
+          inlineWheres += w
+        }
+        vl
+      }
       direction match {
         case In =>
           eatSym("-")
-          RelPattern(variable, relType, In, quantified(varLength), props, alts)
+          RelPattern(variable, relType, In, withWhere(quantified(varLength)),
+            props, alts)
         case _ =>
           if (atSym("->")) {
             eatSym("->")
-            RelPattern(variable, relType, Out, quantified(varLength), props, alts)
+            RelPattern(variable, relType, Out,
+              withWhere(quantified(varLength)), props, alts)
           } else if (atSym("-")) {
             eatSym("-")
-            RelPattern(variable, relType, Both, quantified(varLength), props, alts)
+            RelPattern(variable, relType, Both,
+              withWhere(quantified(varLength)), props, alts)
           } else throw new IllegalArgumentException(
             "expected -> or - to close the relationship pattern")
       }
@@ -828,9 +919,10 @@ object CypherParser {
         // WHERE restricting the subquery's own matches
         if (atKw("MATCH")) eatKw("MATCH")
         val chain = patternChain()
+        val inW = drainInlineWheres()
         val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
         eatSym("}")
-        ExistsPattern(chain, w)
+        ExistsPattern(chain, andOpt(inW, w))
       } else if (atSym("(")) {
         // bare pattern predicate — `WHERE (a)-[:T]->(b)` — is EXISTS
         // sugar. Try a pattern parse; a parenthesized value expression
@@ -838,8 +930,8 @@ object CypherParser {
         val save = pos
         try {
           val chain = patternChain()
-          if (chain.hops.nonEmpty) ExistsPattern(chain)
-          else { pos = save; cmpExpr() }
+          if (chain.hops.nonEmpty) ExistsPattern(chain, drainInlineWheres())
+          else { pos = save; drainInlineWheres(); cmpExpr() }
         } catch {
           case scala.util.control.NonFatal(_) => pos = save; cmpExpr()
         }
@@ -1201,9 +1293,10 @@ object CypherParser {
         ident(); eatSym("{")
         if (atKw("MATCH")) eatKw("MATCH")
         val chain = patternChain()
+        val inW = drainInlineWheres()
         val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
         eatSym("}")
-        CountPattern(chain, w)
+        CountPattern(chain, andOpt(inW, w))
       case Some(TId(name))
           if name.equalsIgnoreCase("collect") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>
@@ -1216,11 +1309,12 @@ object CypherParser {
         ident(); eatSym("{")
         if (atKw("MATCH")) eatKw("MATCH")
         val chain = patternChain()
+        val inW = drainInlineWheres()
         val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
         eatKw("RETURN")
         val proj = addExpr()
         eatSym("}")
-        PatternComp(chain, w, proj)
+        PatternComp(chain, andOpt(inW, w), proj)
       case Some(TId(name))
           if listPredFns.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
@@ -1327,11 +1421,12 @@ object CypherParser {
           val chain = patternChain()
           if (chain.hops.isEmpty) throw new IllegalArgumentException(
             "not a pattern comprehension")
+          val inW = drainInlineWheres()
           val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
           eatSym("|")
           val proj = addExpr()
           eatSym("]")
-          PatternComp(chain, w, proj)
+          PatternComp(chain, andOpt(inW, w), proj)
         } catch {
           case scala.util.control.NonFatal(_) =>
             pos = save

@@ -887,6 +887,37 @@ object CypherQueries {
         |  size(b) AS n_steps, b[0] AS first_step
         |ORDER BY s_name, t_name""".stripMargin)
 
+  /** Neo4j-5 INLINE pattern predicates (r15): `(n:L WHERE …)` on node
+    * patterns and `-[r:T WHERE …]->` on fixed-length relationship
+    * patterns, in MATCH and after a WITH horizon. Parsed into the
+    * owning context's WHERE (semantics-preserving hoist — inner joins
+    * commute with the filter); var-length/quantified hops reject with
+    * Neo4j's own rule.
+    */
+  def inlineWhere(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer WHERE c.acctbal > 9000.0)-[:FROM_NATION]->(n:Nation WHERE n.regionkey = 2)
+        |WITH n, count(*) AS hi_cust
+        |MATCH (s:Supplier)-[sn:SUPP_NATION WHERE s.acctbal > 5000.0]->(n)
+        |RETURN n.name AS nation, hi_cust, count(*) AS hi_supp
+        |ORDER BY nation""".stripMargin)
+
+  /** GQL path selectors + postfix quantifiers (r15): `ANY SHORTEST`
+    * and `SHORTEST 1` are keyword sugar over the shortestPath plan
+    * (no parenthesis wrapper), `->+` is the GQL one-or-more
+    * quantifier, `->{n,m}` composes with the selectors. `SHORTEST k`
+    * for k > 1 rejects loudly (k-best enumeration).
+    */
+  def gqlShortest(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = ANY SHORTEST (a:Nation)-[:NEXT_IN_REGION]->+(b:Nation)
+        |WHERE a.regionkey = 3
+        |RETURN 'any' AS kind, a.name AS a_name, b.name AS b_name, length(p) AS hops
+        |UNION ALL
+        |MATCH p = SHORTEST 1 (a:Nation)-[:NEXT_IN_REGION]->{1,3}(b:Nation)
+        |WHERE a.regionkey = 4
+        |RETURN 'k1' AS kind, a.name AS a_name, b.name AS b_name, length(p) AS hops""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

@@ -546,6 +546,73 @@ class CypherPlannerSpec extends AnyFunSuite {
       cc(0).getString(1) == "/1/2/3")
   }
 
+  test("inline pattern WHERE hoists into the owning context (Neo4j 5)") {
+    // node + rel inline predicates ≡ the clause-level WHERE spelling
+    val inline = run(
+      "MATCH (c:Customer WHERE c.acctbal > 9000.0)-[r:FROM_NATION WHERE c.acctbal < 9900.0]->(n:Nation WHERE n.regionkey = 2) " +
+        "RETURN n.name AS nm, count(*) AS n ORDER BY nm").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    val hoisted = run(
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) " +
+        "WHERE c.acctbal > 9000.0 AND c.acctbal < 9900.0 AND n.regionkey = 2 " +
+        "RETURN n.name AS nm, count(*) AS n ORDER BY nm").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(inline.nonEmpty && inline == hoisted)
+    // OPTIONAL MATCH: the inline predicate filters the optional side
+    // BEFORE the left join — unmatched outer rows keep their nulls
+    val opt = run(
+      "MATCH (n:Nation) OPTIONAL MATCH (c:Customer WHERE c.acctbal > 9999.0)-[:FROM_NATION]->(n) " +
+        "RETURN n.name AS nm, count(c) AS nc").collect()
+    assert(opt.length == 25)
+    // EXISTS subquery accepts inline WHERE on its pattern
+    val ex = run(
+      "MATCH (n:Nation) WHERE EXISTS { (s:Supplier WHERE s.acctbal > 9000.0)-[:SUPP_NATION]->(n) } " +
+        "RETURN count(*) AS n").collect()(0).getLong(0)
+    val exRef = run(
+      "MATCH (n:Nation) WHERE EXISTS { (s:Supplier)-[:SUPP_NATION]->(n) WHERE s.acctbal > 9000.0 } " +
+        "RETURN count(*) AS n").collect()(0).getLong(0)
+    assert(ex == exRef)
+    // Neo4j's own rules stay loud rejects
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (a:Nation)-[r:NEXT_IN_REGION*1..3 WHERE r.x = 1]->(b:Nation) RETURN count(*) AS n"))
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (s:Nation) ((a WHERE a.regionkey = 1)-[:NEXT_IN_REGION]->(b)){1,2} (t:Nation) RETURN count(*) AS n"))
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (a:Nation) MATCH (b:Nation) MERGE (a)-[r:NEXT_IN_REGION WHERE a.regionkey = 1]->(b) RETURN count(*) AS n"))
+  }
+
+  test("GQL path selectors and postfix quantifiers resolve onto shortest plans") {
+    val paren = run(
+      "MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..10]->(b:Nation)) " +
+        "RETURN a.name AS a, b.name AS b, length(p) AS h").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val any = run(
+      "MATCH p = ANY SHORTEST (a:Nation)-[:NEXT_IN_REGION]->+(b:Nation) " +
+        "RETURN a.name AS a, b.name AS b, length(p) AS h").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(any == paren)
+    val k1 = run(
+      "MATCH p = SHORTEST 1 (a:Nation)-[:NEXT_IN_REGION]->{1,3}(b:Nation) " +
+        "RETURN count(*) AS n").collect()(0).getLong(0)
+    assert(k1 == paren.count(_._2 <= 3))
+    // ALL SHORTEST keeps the multiplicity semantics
+    val gqlAll = run(
+      "MATCH p = ALL SHORTEST (o:Order)-[:CONTAINS]->+(b:Part) " +
+        "WHERE o.orderkey < 100 RETURN count(p) AS s").collect()(0)
+    val parenAll = run(
+      "MATCH p = allShortestPaths((o:Order)-[:CONTAINS*1..10]->(b:Part)) " +
+        "WHERE o.orderkey < 100 RETURN count(p) AS s").collect()(0)
+    assert(gqlAll.getLong(0) == parenAll.getLong(0) && gqlAll.getLong(0) > 0)
+    // `->*` is the zero-or-more quantifier: includes the empty path
+    val star = run(
+      "MATCH (a:Region)-[:IN_REGION]->*(b) RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(star == 5L) // regions have no outgoing edges: zero-branch only
+    // k-best enumeration rejects loudly
+    assertThrows[IllegalArgumentException](run(
+      "MATCH p = SHORTEST 2 (a:Nation)-[:NEXT_IN_REGION]->+(b:Nation) RETURN length(p) AS h"))
+  }
+
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
     // directed 1-hop over CONTAINS: count(p) per (order, part) pair
     // must equal the PARALLEL relationship count (one per lineitem) —
