@@ -120,6 +120,7 @@ object SparkEntry {
     "cypher_sp_group_nodes" -> (cypher.CypherQueries.spGroupNodes(_, _)),
     "cypher_inline_where"   -> (cypher.CypherQueries.inlineWhere(_, _)),
     "cypher_gql_shortest"   -> (cypher.CypherQueries.gqlShortest(_, _)),
+    "cypher_label_expr"     -> (cypher.CypherQueries.labelExpr(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2585,6 +2586,20 @@ object SparkEntry {
         |  UNION ALL SELECT 'Region' FROM region
         |  UNION ALL SELECT 'Supplier' FROM supplier)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "cypher_label_expr" ->
+      """WITH counts AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+        |      + (SELECT COUNT(*) FROM region) + (SELECT COUNT(*) FROM orders)
+        |      + (SELECT COUNT(*) FROM supplier) + (SELECT COUNT(*) FROM part)
+        |      AS all_nodes,
+        |    (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region)
+        |      + (SELECT COUNT(*) FROM supplier) AS small3)
+        |SELECT c.all_nodes AS all_nodes, c.small3 AS small3,
+        |  (SELECT COUNT(*) FROM supplier s
+        |   JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |   WHERE n.n_regionkey = 1) AS sup_r1
+        |FROM counts c""".stripMargin,
     "cypher_inline_where" ->
       """WITH hi AS (
         |  SELECT n.n_nationkey AS nk, n.n_name AS nm, COUNT(*) AS hi_cust

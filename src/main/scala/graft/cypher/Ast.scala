@@ -135,12 +135,18 @@ object Ast {
     * label-less patterns). A multi-label match is the CONJUNCTION:
     * nodes present in every listed label's table.
     */
+  /** `negLabels` holds `!`-negated conjunction terms of a Neo4j-5
+    * label expression — `(n:!A)`, `(n:B&!A)` (r15). `label` stays the
+    * first POSITIVE term (None for pure negations and the `%`
+    * wildcard, which desugars to the label-less scan).
+    */
   final case class NodePattern(
       variable: Option[String],
       label: Option[String],
       props: Map[String, Any],
       moreLabels: Seq[String] = Nil,
-      altLabels: Seq[String] = Nil) {
+      altLabels: Seq[String] = Nil,
+      negLabels: Seq[String] = Nil) {
     /** The ONE label this pattern restricts to, when that question
       * has a single answer — None for label-less patterns AND for
       * label disjunctions `(n:A|B)` (r15), so label-keyed fast paths

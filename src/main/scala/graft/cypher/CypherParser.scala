@@ -739,18 +739,36 @@ object CypherParser {
         case Some(TId(_)) => Some(ident())
         case _            => None
       }
-      val label = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
-      // label disjunction `(n:A|B)` (Neo4j 5 label expression, r15) —
-      // nodes carrying ANY of the alternatives
+      // Neo4j-5 label expressions (r15): `:A|B` any-of, `:A:B`/`:A&B`
+      // all-of, `:!A` negated terms, `:%` wildcard (any label — every
+      // node here is labeled, so it desugars to the label-less scan).
+      // Mixing `|` with conjunction forms rejects, per Neo4j.
+      val pos0 = Seq.newBuilder[String]
+      val negs = Seq.newBuilder[String]
+      var sawAmp = false
+      var sawWild = false
+      def labelTerm(): Unit =
+        if (atSym("%")) { eatSym("%"); sawWild = true }
+        else if (atSym("!")) { eatSym("!"); negs += ident() }
+        else pos0 += ident()
+      val hasLabel = atSym(":")
+      if (hasLabel) { eatSym(":"); labelTerm() }
+      while (hasLabel && atSym("&")) { sawAmp = true; eatSym("&"); labelTerm() }
+      val posList = pos0.result()
+      val negList = negs.result()
+      val label = posList.headOption
+      // label disjunction `(n:A|B)` — nodes carrying ANY alternative
       val alts = Seq.newBuilder[String]
       while (label.isDefined && atSym("|")) { eatSym("|"); alts += ident() }
       val altLabels = alts.result()
       // multi-label conjunction `(n:A:B)` — nodes carrying EVERY label
       val more = Seq.newBuilder[String]
       while (label.isDefined && atSym(":")) { eatSym(":"); more += ident() }
-      require(altLabels.isEmpty || more.result().isEmpty,
-        "label expressions cannot mix `|` (any-of) and `:` (all-of) " +
-          "alternatives in one pattern")
+      more ++= posList.drop(1)
+      require(altLabels.isEmpty ||
+          (more.result().isEmpty && negList.isEmpty && !sawAmp && !sawWild),
+        "label expressions cannot mix `|` (any-of) with conjunction " +
+          "forms (`:`/`&`/`!`/`%`) in one pattern")
       val props =
         if (atSym("{")) {
           eatSym("{")
@@ -764,7 +782,7 @@ object CypherParser {
       // hoisted to the owning context's WHERE via inlineWheres
       if (atKw("WHERE")) { eatKw("WHERE"); inlineWheres += expr() }
       eatSym(")")
-      NodePattern(variable, label, props, more.result(), altLabels)
+      NodePattern(variable, label, props, more.result(), altLabels, negList)
     }
 
     private def eatSymThen(sym: String): Unit = eatSym(sym)

@@ -1647,7 +1647,8 @@ object CypherPlanner {
     // plan. At 100 TB this removes entire table scans from
     // existence-only patterns like `(n:Nation)-[r]->(x)` or `-->()`.
     def idOnly(np: NodePattern, v: String): Boolean =
-      needs.exists(n => np.label.isEmpty && np.props.isEmpty && !n(v))
+      needs.exists(n => np.label.isEmpty && np.props.isEmpty &&
+        np.negLabels.isEmpty && !n(v))
     // the chain start's scan elision is deferred: its id column
     // materializes from the FIRST hop's edge source instead
     var pendingStart: Option[String] = None
@@ -1657,7 +1658,8 @@ object CypherPlanner {
       * per-step group predicates (single- and multi-hop alike).
       */
     def constraintIds(np: NodePattern): Option[DataFrame] = {
-      if (np.label.isEmpty && np.props.isEmpty && np.moreLabels.isEmpty)
+      if (np.label.isEmpty && np.props.isEmpty && np.moreLabels.isEmpty &&
+          np.negLabels.isEmpty)
         None
       else {
         var t = np.label match {
@@ -1692,6 +1694,11 @@ object CypherPlanner {
                 .select(col("id").as("__id") +:
                   np.props.keys.toSeq.sorted.map(k =>
                     lit(null).as(k)): _*))
+        }
+        // negated labels: same id anti-join as the scan path
+        np.negLabels.distinct.foreach { nl =>
+          graph.nodes.get(nl).foreach(nt =>
+            t = t.join(nt.select(col("__id")), Seq("__id"), "left_anti"))
         }
         np.props.foreach { case (k, v) => t = t.filter(col(k) === lit(v)) }
         Some(t.select(col("__id")))
@@ -1837,6 +1844,15 @@ object CypherPlanner {
         case None => graph.nodes.toSeq.sortBy(_._1)
           .map { case (ln, nt) => withMeta(nt, ln) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+      // label negation `(n:!A)` / `(n:B&!A)` (r15): ids carrying any
+      // negated label anti-join out — id-only probes (broadcastable),
+      // correct under multi-label writes (a SET n:Label copy in
+      // another table still excludes by id); an unknown negated label
+      // excludes nothing, per Neo4j
+      np.negLabels.distinct.foreach { nl =>
+        graph.nodes.get(nl).foreach(nt =>
+          t = t.join(nt.select(col("__id")), Seq("__id"), "left_anti"))
       }
       np.props.foreach { case (k, value) => t = t.filter(col(k) === lit(value)) }
       val renamed = t.select(t.columns.toSeq.map(c =>

@@ -918,6 +918,22 @@ object CypherQueries {
         |WHERE a.regionkey = 4
         |RETURN 'k1' AS kind, a.name AS a_name, b.name AS b_name, length(p) AS hops""".stripMargin)
 
+  /** Neo4j-5 label expressions, conjunction forms (r15): `%` wildcard
+    * (any label — desugars to the label-less union scan), `!`
+    * negation (id anti-joins against the negated tables — correct
+    * under multi-label writes), `&` conjunction mixing positive and
+    * negated terms. Pure negations scan the full union minus the
+    * negated ids; property maps still filter per branch.
+    */
+  def labelExpr(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:%)
+        |WITH count(*) AS all_nodes
+        |MATCH (m:!Order&!Customer&!Part)
+        |WITH all_nodes, count(*) AS small3
+        |MATCH (s:Supplier&!Order)-[:SUPP_NATION]->(t:!Region&!Order {regionkey: 1})
+        |RETURN all_nodes, small3, count(*) AS sup_r1""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

@@ -613,6 +613,45 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH p = SHORTEST 2 (a:Nation)-[:NEXT_IN_REGION]->+(b:Nation) RETURN length(p) AS h"))
   }
 
+  test("label expressions: % wildcard, ! negation, & conjunction") {
+    val nation = graft.Tables.nation(spark, TestSpark.sf).count()
+    val region = graft.Tables.region(spark, TestSpark.sf).count()
+    val supplier = graft.Tables.supplier(spark, TestSpark.sf).count()
+    // % = any labeled node = the full union
+    val wild = run("MATCH (n:%) RETURN count(*) AS n").collect()(0).getLong(0)
+    val all = run("MATCH (n) RETURN count(*) AS n").collect()(0).getLong(0)
+    assert(wild == all && wild > 0)
+    // pure negation: everything except the negated tables
+    val neg = run("MATCH (n:!Order&!Customer&!Part) RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(neg == nation + region + supplier)
+    // positive & negated conjunction; negating a label the node never
+    // carries is a no-op, negating its own label empties the scan
+    val posneg = run("MATCH (n:Supplier&!Order) RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(posneg == supplier)
+    assert(run("MATCH (n:Supplier&!Supplier) RETURN count(*) AS n")
+      .collect()(0).getLong(0) == 0L)
+    // unknown negated label excludes nothing (Neo4j)
+    assert(run("MATCH (n:Nation&!NoSuch) RETURN count(*) AS n")
+      .collect()(0).getLong(0) == nation)
+    // & conjunction of two positives ≡ the :A:B spelling; negation
+    // composes with a dynamically added label (SET n:Label)
+    val conj = run(
+      "MATCH (n:Nation) WHERE n.regionkey = 1 SET n:Hot " +
+        "WITH count(*) AS tagged " +
+        "MATCH (m:Nation&!Hot) RETURN tagged, count(*) AS cold")
+      .collect()(0)
+    assert(conj.getLong(0) == 5L && conj.getLong(1) == nation - 5L)
+    // properties still filter per branch on a pure-negation union
+    val p = run("MATCH (n:!Region {regionkey: 1}) RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(p == 5L) // exactly the region-1 nations
+    // mixing | with conjunction forms rejects at parse time
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n:Nation|Region&!Order) RETURN count(*) AS n"))
+  }
+
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
     // directed 1-hop over CONTAINS: count(p) per (order, part) pair
     // must equal the PARALLEL relationship count (one per lineitem) —
