@@ -121,6 +121,8 @@ object SparkEntry {
     "cypher_inline_where"   -> (cypher.CypherQueries.inlineWhere(_, _)),
     "cypher_gql_shortest"   -> (cypher.CypherQueries.gqlShortest(_, _)),
     "cypher_label_expr"     -> (cypher.CypherQueries.labelExpr(_, _)),
+    "cypher_weighted_nodes" -> (cypher.CypherQueries.weightedNodes(_, _)),
+    "cypher_catalog_schema" -> (cypher.CypherQueries.catalogSchema(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2600,6 +2602,73 @@ object SparkEntry {
         |   JOIN nation n ON s.s_nationkey = n.n_nationkey
         |   WHERE n.n_regionkey = 1) AS sup_r1
         |FROM counts c""".stripMargin,
+    // static TPC-H schema truth: the engine COMPUTES mandatory via a
+    // per-table null-count pass; these generated tables carry no nulls
+    "cypher_catalog_schema" ->
+      """SELECT * FROM (VALUES
+        |  (':`Customer`', 'acctbal', 'Double', true),
+        |  (':`Customer`', 'custkey', 'Long', true),
+        |  (':`Customer`', 'mktsegment', 'String', true),
+        |  (':`Customer`', 'name', 'String', true),
+        |  (':`Customer`', 'nationkey', 'Long', true),
+        |  (':`Nation`', 'name', 'String', true),
+        |  (':`Nation`', 'nationkey', 'Long', true),
+        |  (':`Nation`', 'regionkey', 'Long', true),
+        |  (':`Order`', 'custkey', 'Long', true),
+        |  (':`Order`', 'orderdate', 'LocalDateTime', true),
+        |  (':`Order`', 'orderkey', 'Long', true),
+        |  (':`Order`', 'orderpriority', 'String', true),
+        |  (':`Order`', 'orderstatus', 'String', true),
+        |  (':`Order`', 'totalprice', 'Double', true),
+        |  (':`Part`', 'brand', 'String', true),
+        |  (':`Part`', 'name', 'String', true),
+        |  (':`Part`', 'partkey', 'Long', true),
+        |  (':`Part`', 'retailprice', 'Double', true),
+        |  (':`Part`', 'size', 'Long', true),
+        |  (':`Part`', 'type', 'String', true),
+        |  (':`Region`', 'name', 'String', true),
+        |  (':`Region`', 'regionkey', 'Long', true),
+        |  (':`Supplier`', 'acctbal', 'Double', true),
+        |  (':`Supplier`', 'name', 'String', true),
+        |  (':`Supplier`', 'nationkey', 'Long', true),
+        |  (':`Supplier`', 'suppkey', 'Long', true)
+        |) AS t(nodeType, propertyName, ptype, mandatory)
+        |ORDER BY nodeType, propertyName""".stripMargin,
+    // price weights make every pair's cheapest walk unique on this
+    // data (checked at sf0.01/sf0.1: zero min-cost ties), so the
+    // engine's deterministic recorded walk IS the enumerated minimum
+    "cypher_weighted_nodes" ->
+      """WITH RECURSIVE eo AS MATERIALIZED (
+        |  SELECT 1000000000 + l_orderkey AS o, 6000000000 + l_partkey AS p,
+        |    MIN(l_extendedprice) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |ed AS MATERIALIZED (
+        |  SELECT o AS s, p AS d, w FROM eo
+        |  UNION ALL
+        |  SELECT p AS s, o AS d, w FROM eo),
+        |walk AS (
+        |  SELECT s AS src, d AS node, w AS cost, 1 AS hops, [s, d] AS path
+        |  FROM ed WHERE s >= 6000000000 AND s < 6000000040
+        |  UNION ALL
+        |  SELECT walk.src, ed.d, walk.cost + ed.w, walk.hops + 1,
+        |    list_append(walk.path, ed.d)
+        |  FROM walk JOIN ed ON ed.s = walk.node
+        |  WHERE walk.hops < 4 AND NOT list_contains(walk.path, ed.d)),
+        |pairs AS (
+        |  SELECT src AS pa, node AS pb, cost, hops, path FROM walk
+        |  WHERE node >= 6000000000 AND node < 6000000040 AND src < node),
+        |best AS (SELECT pa, pb, MIN(cost) AS c FROM pairs GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT p.pa, p.pb, MIN(p.hops) AS hops, MIN(p.cost) AS cost,
+        |    MIN(p.path) AS path
+        |  FROM pairs p JOIN best b ON p.pa = b.pa AND p.pb = b.pb AND p.cost = b.c
+        |  GROUP BY 1, 2)
+        |SELECT CAST(pa - 6000000000 AS BIGINT) AS pa,
+        |  CAST(pb - 6000000000 AS BIGINT) AS pb,
+        |  CAST(hops AS BIGINT) AS hops, round(cost, 4) AS cost,
+        |  '/' || array_to_string(path, '/') AS path_nodes,
+        |  round(cost, 4) AS psum
+        |FROM pick ORDER BY pa, pb""".stripMargin,
     "cypher_inline_where" ->
       """WITH hi AS (
         |  SELECT n.n_nationkey AS nk, n.n_name AS nm, COUNT(*) AS hi_cust

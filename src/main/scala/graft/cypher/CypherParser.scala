@@ -222,36 +222,49 @@ object CypherParser {
             isKw(toks(pos + 1), "db")) {
           // catalog procedures: CALL db.labels() / db.relationshipTypes()
           eatKw("CALL"); eatKw("db"); eatSym(".")
-          val proc = ident()
+          val proc0 = ident()
+          // dotted procedure names: db.schema.nodeTypeProperties()
+          val proc =
+            if (atSym(".")) { eatSym("."); s"$proc0.${ident()}" } else proc0
           eatSym("("); eatSym(")")
           val kind = proc.toLowerCase(java.util.Locale.ROOT) match {
             case "labels"            => "labels"
             case "relationshiptypes" => "relationshipTypes"
             case "propertykeys"      => "propertyKeys"
+            case "schema.nodetypeproperties" => "nodeTypeProperties"
             case other => throw new IllegalArgumentException(
               s"unsupported procedure db.$other " +
-                "(db.labels | db.relationshipTypes | db.propertyKeys)")
+                "(db.labels | db.relationshipTypes | db.propertyKeys | " +
+                "db.schema.nodeTypeProperties)")
           }
           clauses += CatalogCallClause(kind)
-          // optional `YIELD col [AS alias]` (Neo4j clients always
-          // emit it): the yielded name must be the procedure's own
-          // column; an alias re-projects through a WITH horizon
+          // optional `YIELD col [AS alias] (, col [AS alias])*` (Neo4j
+          // clients always emit it): each yielded name must be one of
+          // the procedure's own columns; the YIELD list re-projects
+          // through a WITH horizon
           if (atKw("YIELD")) {
             eatKw("YIELD")
-            val y = ident()
-            val expected = kind match {
-              case "labels"       => "label"
-              case "propertyKeys" => "propertyKey"
-              case _              => "relationshipType"
+            val expected: Set[String] = kind match {
+              case "labels"       => Set("label")
+              case "propertyKeys" => Set("propertyKey")
+              case "nodeTypeProperties" =>
+                Set("nodeType", "nodeLabels", "propertyName",
+                  "propertyTypes", "mandatory")
+              case _              => Set("relationshipType")
             }
-            require(y == expected,
-              s"db.$proc yields '$expected', got '$y'")
-            if (atKw("AS")) {
-              eatKw("AS")
-              clauses += WithClause(distinct = false,
-                Seq(ReturnItem(Ident(y), Some(ident()))),
-                None, Nil, None, None)
+            val items = Seq.newBuilder[ReturnItem]
+            def one(): Unit = {
+              val y = ident()
+              require(expected(y),
+                s"db.$proc yields ${expected.mkString(", ")}; got '$y'")
+              val alias =
+                if (atKw("AS")) { eatKw("AS"); Some(ident()) } else None
+              items += ReturnItem(Ident(y), alias)
             }
+            one()
+            while (atSym(",")) { eatSym(","); one() }
+            clauses += WithClause(distinct = false, items.result(),
+              None, Nil, None, None)
           }
         } else if (atKw("CALL")) {
           eatKw("CALL"); eatSym("{")

@@ -387,6 +387,65 @@ object CypherPlanner {
             scalars = s.scalars + sv, tiny = false)
         }
 
+      case CatalogCallClause("nodeTypeProperties") =>
+        // `CALL db.schema.nodeTypeProperties()` (r15): one row per
+        // (label, property) with the Cypher-mapped type and the HONEST
+        // `mandatory` answer — a per-table null-count aggregate (one
+        // distributed pass per node table, lazily planned; Neo4j's own
+        // procedure samples the store the same way). Fully plan-side:
+        // the 1-row aggregate explodes into the per-property rows, no
+        // driver action.
+        def cypherTypeName(dt: org.apache.spark.sql.types.DataType): String =
+          dt match {
+            case _: org.apache.spark.sql.types.ByteType |
+                 _: org.apache.spark.sql.types.ShortType |
+                 _: org.apache.spark.sql.types.IntegerType |
+                 _: org.apache.spark.sql.types.LongType => "Long"
+            case _: org.apache.spark.sql.types.FloatType |
+                 _: org.apache.spark.sql.types.DoubleType |
+                 _: org.apache.spark.sql.types.DecimalType => "Double"
+            case _: org.apache.spark.sql.types.StringType => "String"
+            case _: org.apache.spark.sql.types.BooleanType => "Boolean"
+            case _: org.apache.spark.sql.types.DateType => "Date"
+            case _: org.apache.spark.sql.types.TimestampType => "DateTime"
+            // wall-clock timestamps (no zone) are Cypher's LOCAL kind
+            case _: org.apache.spark.sql.types.TimestampNTZType =>
+              "LocalDateTime"
+            case other => other.typeName.capitalize
+          }
+        val perTable = graph.nodes.toSeq.sortBy(_._1).flatMap {
+          case (ln, nt) =>
+            val props = nt.columns
+              .filterNot(c => c.startsWith("__") || c.startsWith("@"))
+              .sorted.toSeq
+            if (props.isEmpty) None
+            else Some {
+              val nullAggs = props.map(p =>
+                max(col(p).isNull.cast("int")).as(s"__n_$p"))
+              nt.agg(nullAggs.head, nullAggs.tail: _*)
+                .select(lit(s":`$ln`").as("nodeType"),
+                  array(lit(ln)).as("nodeLabels"),
+                  explode(array(props.map(p => struct(
+                    lit(p).as("propertyName"),
+                    array(lit(cypherTypeName(nt.schema(p).dataType)))
+                      .as("propertyTypes"),
+                    (col(s"__n_$p") === 0).as("mandatory"))): _*)).as("__e"))
+                .select(col("nodeType"), col("nodeLabels"),
+                  col("__e").getField("propertyName").as("propertyName"),
+                  col("__e").getField("propertyTypes").as("propertyTypes"),
+                  col("__e").getField("mandatory").as("mandatory"))
+            }
+        }
+        val cat = perTable.reduce(_.unionByName(_))
+        val df = if (s.df == null) cat else s.df.crossJoin(broadcast(cat))
+        val cols = Set("nodeType", "nodeLabels", "propertyName",
+          "propertyTypes", "mandatory")
+        s = Scope(df, s.nodeVars, s.scalars ++ cols,
+          s.lists ++ Set("nodeLabels", "propertyTypes"),
+          tiny = s.df == null || s.tiny, tinyScalars =
+            (if (s.df == null || s.tiny) s.tinyScalars ++ cols
+             else s.tinyScalars))
+
       case CatalogCallClause(kind) =>
         val (names, colName) = kind match {
           case "labels" => (graph.nodes.keySet.toSeq.sorted, "label")
@@ -1907,11 +1966,9 @@ object CypherPlanner {
       // allShortestPaths/weighted searches
       require(chain.hops.size == 1 &&
           chain.hops.head._1.varLength.exists(_._1 == 1) &&
-          (chain.hops.head._1.variable.isEmpty ||
-            (!chain.allShortest && chain.weightProp.isEmpty)),
+          (chain.hops.head._1.variable.isEmpty || !chain.allShortest),
         "shortestPath supports a single var-length hop starting at *1 " +
-          "(named relationship lists only on the unweighted single-" +
-          "path form)")
+          "(named relationship lists only on the single-path forms)")
     }
 
     var cur = bindStart(chain.start)
@@ -2106,7 +2163,7 @@ object CypherPlanner {
       // searches keep their pair-level aggregates (multiplicity /
       // cost) and stay walk-free.
       val spCarry = chain.shortest && !chain.allShortest &&
-        chain.weightProp.isEmpty && rel.varLength.isDefined &&
+        rel.varLength.isDefined &&
         rel.groupChain.isEmpty && (
           chain.pathVar.exists(wref.walksOf) ||
           rel.variable.exists(wref.idents) ||
@@ -2152,10 +2209,10 @@ object CypherPlanner {
       val needEpl = rel.variable.isDefined && rel.varLength.isDefined &&
         (!chain.shortest || (spCarry && rel.variable.exists(wref.idents)))
       require(rel.variable.isEmpty || rel.varLength.isEmpty ||
-          (!chain.allShortest && chain.weightProp.isEmpty),
+          !chain.allShortest,
         "a named variable-length relationship is not supported inside " +
-          "allShortestPaths/weighted shortestPath (the search keeps " +
-          "pairs, not walks)")
+          "allShortestPaths (the search keeps pair multiplicities, " +
+          "not walks)")
       val relForExpand =
         if (!needEpl) relForExpand0
         else {
@@ -2722,7 +2779,7 @@ object CypherPlanner {
             s"weight property '$wp' is not a property of this relationship " +
               s"(have: ${expandEdges.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
           weightedShortestRel(expandEdges, wp, rel.varLength.get._1,
-            rel.varLength.get._2, bfsSeed)
+            rel.varLength.get._2, bfsSeed, carryWalks = spCarry)
         } else if (chain.allShortest)
           shortestRelCounted(expandEdges, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed)
@@ -3328,9 +3385,12 @@ object CypherPlanner {
     * fixpoint. Returns (__src, __dst, __hops, __wcost).
     */
   private def weightedShortestRel(rel: DataFrame, weightProp: String,
-      lo: Int, hi: Int, seed: Option[DataFrame] = None): DataFrame = {
+      lo: Int, hi: Int, seed: Option[DataFrame] = None,
+      carryWalks: Boolean = false): DataFrame = {
     require(lo == 1 && hi >= lo && hi <= 10,
       s"weighted shortestPath var-length bounds *$lo..$hi out of supported range")
+    if (carryWalks)
+      return weightedShortestRelWalks(rel, weightProp, hi, seed)
     // RAW weighted edges — deliberately NOT min-collapsed up front: a
     // global (src, dst) groupBy shuffles the whole edge table before
     // any pruning, while the per-round min(struct) aggregate below
@@ -3391,6 +3451,122 @@ object CypherPlanner {
           col("__wcost").as("__old")), Seq("__src", "__dst"), "left_outer")
         .filter(col("__old").isNull || col("__wcost") < col("__old"))
         .select(col("__src"), col("__dst"), col("__wcost"), col("__hops"))
+        .localCheckpoint()
+      exhausted = improved.isEmpty
+      if (!exhausted) {
+        best = best
+          .join(improved.select(col("__src"), col("__dst")),
+            Seq("__src", "__dst"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint()
+        frontier = improved
+      }
+      k += 1
+    }
+    best
+  }
+
+  /** Walk-carrying variant of [[weightedShortestRel]] (r15): the same
+    * hop-bounded Bellman–Ford relaxation, additionally materializing
+    * ONE deterministic cheapest walk per pair. Parallel edges collapse
+    * UP FRONT to the min (weight, payload, identity) struct per
+    * stored (src, dst) — a cheapest walk can always take the
+    * min-weight parallel edge, so the collapse is cost-exact and
+    * makes payloads a function of the node sequence. Each round's
+    * pair-keyed aggregate keeps min(struct(cost, walk…)) — candidates
+    * in one round share the hop count, so the ordering is cost, then
+    * lexicographic node sequence — and only STRICTLY cheaper
+    * candidates replace the standing best (ties keep fewer hops, the
+    * unweighted discipline). With positive weights a recorded walk
+    * never contains a cycle: the cycle-free shortcut has fewer edges,
+    * so an at-most-equal cost was already standing when the cyclic
+    * candidate arrived, and equal never replaces.
+    *
+    * Returns (__src, __dst, __hops, __wcost, __nids[, __eids]
+    * [, __epls]) in the var-expand walk contract.
+    */
+  private def weightedShortestRelWalks(rel: DataFrame, weightProp: String,
+      hi: Int, seed: Option[DataFrame]): DataFrame = {
+    val hasEid = rel.columns.contains("__eid")
+    val hasEpl = rel.columns.contains("__epl")
+    val guardedW = {
+      val w = col(weightProp).cast("double")
+      when(w.isNotNull, w).otherwise(raise_error(lit(
+        s"weighted shortestPath: relationship property '$weightProp' is " +
+          "null or non-numeric on at least one relationship — every " +
+          "edge must carry a numeric weight")).cast("double"))
+    }
+    val raw = rel.select(Seq(col("__src"), col("__dst"),
+      guardedW.as("__w")) ++
+      (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
+      (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
+      .filter(col("__src") =!= col("__dst"))
+    val seeded = seed match {
+      case Some(s) => raw.join(s, raw("__src") === s("__seedid"), "left_semi")
+      case None    => raw
+    }
+    // NO up-front parallel-edge collapse (a global (src, dst) groupBy
+    // would shuffle the full edge table before any pruning, the same
+    // argument as the walk-free variant's lazy collapse): each round's
+    // min(struct) below picks one whole candidate row, so the chosen
+    // cost, walk, payload and identity always describe the SAME edge.
+    // Candidate struct order is (cost, node walk, identity, payload) —
+    // equal-weight parallels tie on cost+walk and break
+    // deterministically on the rank-windowed identity.
+    def walkSelect(e: DataFrame): Seq[Column] =
+      Seq(col("__src"), col("__dst"), col("__w").as("__wcost"),
+        lit(1).as("__hops"), array(col("__dst")).as("__nids")) ++
+        (if (hasEid) Seq(array(col("__eid")).as("__eids")) else Seq.empty) ++
+        (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty)
+    val initStruct = struct(Seq(col("__wcost"), col("__nids")) ++
+      (if (hasEid) Seq(col("__eids")) else Seq.empty) ++
+      (if (hasEpl) Seq(col("__epls")) else Seq.empty): _*)
+    def unpack(prefix: DataFrame): DataFrame =
+      prefix.select(Seq(col("__src"), col("__dst"),
+        col("__wk").getField("__wcost").as("__wcost"), col("__hops"),
+        col("__wk").getField("__nids").as("__nids")) ++
+        (if (hasEid) Seq(col("__wk").getField("__eids").as("__eids"))
+         else Seq.empty) ++
+        (if (hasEpl) Seq(col("__wk").getField("__epls").as("__epls"))
+         else Seq.empty): _*)
+    var best = unpack(seeded.select(walkSelect(seeded): _*)
+      .select(col("__src"), col("__dst"), lit(1).as("__hops"),
+        initStruct.as("__wk"))
+      .groupBy(col("__src"), col("__dst"), col("__hops"))
+      .agg(min(col("__wk")).as("__wk")))
+      .localCheckpoint()
+    var frontier = best
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (seed.isDefined) broadcast(df) else df
+    while (k <= hi && !exhausted) {
+      val right = raw.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n"), col("__w")) ++
+        (if (hasEid) Seq(col("__eid").as("__ne")) else Seq.empty) ++
+        (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
+      val walkStruct = struct(
+        Seq((col("__wcost") + col("__w")).as("__wcost"),
+          concat(col("__nids"), array(col("__n"))).as("__nids")) ++
+        (if (hasEid)
+          Seq(concat(col("__eids"), array(col("__ne"))).as("__eids"))
+        else Seq.empty) ++
+        (if (hasEpl)
+          Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
+        else Seq.empty): _*)
+      val stepped = unpack(right
+        .join(maybeBroadcast(frontier), col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .select(col("__src"), col("__n").as("__d2"), walkStruct.as("__wk"))
+        .groupBy(col("__src"), col("__d2"))
+        .agg(min(col("__wk")).as("__wk"))
+        .select(col("__src"), col("__d2").as("__dst"),
+          lit(k).as("__hops"), col("__wk")))
+      val improved = stepped
+        .join(best.select(col("__src"), col("__dst"),
+          col("__wcost").as("__old")), Seq("__src", "__dst"), "left_outer")
+        .filter(col("__old").isNull || col("__wcost") < col("__old"))
+        .drop("__old")
         .localCheckpoint()
       exhausted = improved.isEmpty
       if (!exhausted) {
@@ -4188,11 +4364,8 @@ object CypherPlanner {
         r.groupChain.toSeq.flatMap(ch =>
           (ch.start +: ch.hops.map(_._2)).flatMap(_.variable) ++
             ch.hops.flatMap(_._1.variable)) ++
-        (if (r.varLength.isDefined &&
-            (!chain.shortest ||
-              (!chain.allShortest && chain.weightProp.isEmpty)))
-          r.variable.toSeq
-        else Seq.empty)
+        (if (r.varLength.isDefined && !chain.allShortest) r.variable.toSeq
+         else Seq.empty)
     }.toSet
 
   /** Path variables carrying a shortest-path multiplicity

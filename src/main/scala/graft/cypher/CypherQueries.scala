@@ -934,6 +934,41 @@ object CypherQueries {
         |MATCH (s:Supplier&!Order)-[:SUPP_NATION]->(t:!Region&!Order {regionkey: 1})
         |RETURN all_nodes, small3, count(*) AS sup_r1""".stripMargin)
 
+  /** WEIGHTED shortestPath with walk materialization (r15 — the last
+    * pairs-not-walks reject on the single-path forms): `nodes(p)` and
+    * the named relationship list ride the hop-bounded Bellman–Ford
+    * relaxation (CypherPlanner.weightedShortestRelWalks), one
+    * deterministic cheapest walk per pair. The `price` weight makes
+    * every pair's cheapest walk UNIQUE on this data (verified at
+    * sf0.01/sf0.1), so the oracle's enumeration picks the same walk;
+    * `psum` re-derives the cost from the payload list — the two
+    * surfaces must describe the same edges.
+    */
+  def weightedNodes(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 40
+        |MATCH p = shortestPath((a)-[rs:CONTAINS*1..4]-(b:Part), 'price')
+        |WHERE b.partkey < 40 AND a.partkey < b.partkey
+        |RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  round(cost(p), 4) AS cost,
+        |  reduce(s = '', x IN nodes(p) | s + '/' + toString(x)) AS path_nodes,
+        |  round(reduce(acc = 0.0, r IN rs | acc + r.price), 4) AS psum
+        |ORDER BY pa, pb""".stripMargin)
+
+  /** `CALL db.schema.nodeTypeProperties()` (r15) — the schema
+    * procedure every driver and GUI calls at connect time: one row
+    * per (label, property) with the Cypher-mapped type and the HONEST
+    * `mandatory` flag (a distributed null-count pass per node table,
+    * exploded plan-side — no driver action). Multi-column YIELD
+    * re-projects like Neo4j's.
+    */
+  def catalogSchema(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """CALL db.schema.nodeTypeProperties()
+        |YIELD nodeType, propertyName, propertyTypes, mandatory
+        |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
+        |ORDER BY nodeType, propertyName""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

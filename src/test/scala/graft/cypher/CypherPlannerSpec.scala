@@ -652,6 +652,39 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (n:Nation|Region&!Order) RETURN count(*) AS n"))
   }
 
+  test("weighted shortestPath carries the cheapest walk when consumed") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L, 1.0), (2L, 4L, 1.0), (1L, 3L, 5.0),
+        (3L, 4L, 1.0), (1L, 4L, 10.0)).toDF("__src", "__dst", "w")))
+    val r = CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((a:V)-[rs:E*1..3]->(b:V), 'w') " +
+        "WHERE id(a) = 1 AND id(b) = 4 " +
+        "RETURN nodes(p) AS ns, cost(p) AS c, length(p) AS l, " +
+        "[x IN rs | x.w] AS ws").collect()
+    assert(r.length == 1)
+    assert(r(0).getSeq[Long](0).toList == List(1L, 2L, 4L))
+    assert(r(0).getDouble(1) == 2.0 && r(0).getLong(2) == 2L)
+    assert(r(0).getSeq[Double](3).toList == List(1.0, 1.0))
+    // equal-cost same-round walks pick the lexicographically-least
+    // node sequence (deterministic recorded choice)
+    val g2 = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "n1"), (2L, "n2"), (3L, "n3"), (4L, "n4"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L, 1.0), (2L, 4L, 1.0), (1L, 3L, 1.0),
+        (3L, 4L, 1.0)).toDF("__src", "__dst", "w")))
+    val tie = CypherPlanner.run(spark, g2,
+      "MATCH p = shortestPath((a:V)-[:E*1..3]->(b:V), 'w') " +
+        "WHERE id(a) = 1 AND id(b) = 4 RETURN nodes(p) AS ns").collect()
+    assert(tie(0).getSeq[Long](0).toList == List(1L, 2L, 4L))
+    // allShortestPaths still rejects named lists loudly
+    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[rs:E*1..3]->(b:V)) " +
+        "RETURN size(rs) AS n"))
+  }
+
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
     // directed 1-hop over CONTAINS: count(p) per (order, part) pair
     // must equal the PARALLEL relationship count (one per lineitem) —
