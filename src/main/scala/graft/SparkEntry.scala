@@ -123,6 +123,8 @@ object SparkEntry {
     "cypher_label_expr"     -> (cypher.CypherQueries.labelExpr(_, _)),
     "cypher_weighted_nodes" -> (cypher.CypherQueries.weightedNodes(_, _)),
     "cypher_catalog_schema" -> (cypher.CypherQueries.catalogSchema(_, _)),
+    "cypher_call_scoped"    -> (cypher.CypherQueries.callScoped(_, _)),
+    "cypher_rel_type_neg"   -> (cypher.CypherQueries.relTypeNeg(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2602,6 +2604,21 @@ object SparkEntry {
         |   JOIN nation n ON s.s_nationkey = n.n_nationkey
         |   WHERE n.n_regionkey = 1) AS sup_r1
         |FROM counts c""".stripMargin,
+    "cypher_call_scoped" ->
+      """SELECT n.n_name AS nation, COUNT(*) AS nc,
+        |  round(AVG(c.c_acctbal), 4) AS avg_bal
+        |FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_regionkey = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cypher_rel_type_neg" ->
+      """SELECT rt, COUNT(*) AS n FROM (
+        |  SELECT 'SUPP_NATION' AS rt FROM supplier
+        |  UNION ALL
+        |  SELECT 'NEXT_IN_REGION' FROM (
+        |    SELECT lead(n_nationkey) OVER (
+        |      PARTITION BY n_regionkey ORDER BY n_nationkey) AS nxt
+        |    FROM nation) WHERE nxt IS NOT NULL)
+        |GROUP BY rt ORDER BY rt""".stripMargin,
     // static TPC-H schema truth: the engine COMPUTES mandatory via a
     // per-table null-count pass; these generated tables carry no nulls
     "cypher_catalog_schema" ->

@@ -217,7 +217,14 @@ object Ast {
         * repetitions of the composite frame (same outer-ref
         * decorrelation). None when the group carries no WHERE.
         */
-      stepWhere: Option[CExpr] = None)
+      stepWhere: Option[CExpr] = None,
+      /** `!`-negated relationship types `-[:!T]->` (r15): the hop
+        * matches any type EXCEPT the listed ones (each relationship
+        * carries exactly one type, so negation is set difference on
+        * the typeless union). Empty for all other shapes; mixing with
+        * positive types rejects at parse time.
+        */
+      negTypes: Seq[String] = Nil)
 
   /** A linear pattern chain: start node then (rel, node) hops.
     * `pathVar` names the whole path (`MATCH p = (a)-[:T*]->(b)`) for

@@ -267,18 +267,41 @@ object CypherParser {
               None, Nil, None, None)
           }
         } else if (atKw("CALL")) {
-          eatKw("CALL"); eatSym("{")
+          eatKw("CALL")
+          // Neo4j-5.23 SCOPED subquery form `CALL (n, m) { … }` /
+          // `CALL (*) { … }` / `CALL () { … }` — the GQL spelling of
+          // the importing WITH ('*' imports every bound variable,
+          // resolved at plan time). A scoped CALL must not also open
+          // with an importing WITH (Neo4j's rule); its body may still
+          // start with an ordinary projecting WITH.
+          val scoped: Option[Seq[String]] =
+            if (!atSym("(")) None
+            else {
+              eatSym("(")
+              val b = Seq.newBuilder[String]
+              if (atSym("*")) { eatSym("*"); b += "*" }
+              else if (!atSym(")")) {
+                b += ident()
+                while (atSym(",")) { eatSym(","); b += ident() }
+              }
+              eatSym(")")
+              Some(b.result())
+            }
+          eatSym("{")
           // importing WITH: a leading WITH whose items are ONLY bare
           // identifiers (lookahead distinguishes it from a projecting
           // WITH, which the subquery body may still open with)
-          val imports =
-            if (atKw("WITH") && importListAhead()) {
-              eatKw("WITH")
-              val b = Seq.newBuilder[String]
-              b += ident()
-              while (atSym(",")) { eatSym(","); b += ident() }
-              b.result()
-            } else Seq.empty
+          val imports = scoped match {
+            case Some(sc) => sc
+            case None =>
+              if (atKw("WITH") && importListAhead()) {
+                eatKw("WITH")
+                val b = Seq.newBuilder[String]
+                b += ident()
+                while (atSym(",")) { eatSym(","); b += ident() }
+                b.result()
+              } else Seq.empty
+          }
           val inner = query(inCall = true)
           eatSym("}")
           if (atKw("IN")) {
@@ -325,6 +348,10 @@ object CypherParser {
               "REPORT STATUS AS requires ON ERROR CONTINUE or ON ERROR " +
                 "BREAK (Neo4j rejects REPORT STATUS under the default " +
                 "ON ERROR FAIL)")
+            require(imports != Seq("*"),
+              "CALL (*) { … } IN TRANSACTIONS is not supported — name " +
+                "the imports (the first import's node id keys the " +
+                "transaction batches)")
             require(imports.nonEmpty,
               "CALL { … } IN TRANSACTIONS requires an importing WITH " +
                 "(the first import's node id keys the transaction batches)")
@@ -822,16 +849,43 @@ object CypherParser {
         case Some(TId(_)) => Some(ident())
         case _            => None
       }
-      val relType = if (atSym(":")) { eatSym(":"); Some(ident()) } else None
+      // type expression: positive `:A` (with `|` alternatives), or
+      // NEGATED `:!A` / `:!A|!B` (r15 — any type except the listed;
+      // a relationship carries exactly one type, so negation is set
+      // difference on the typeless union). Mixing rejects loudly.
+      val negTypes = Seq.newBuilder[String]
+      val relType =
+        if (!atSym(":")) None
+        else {
+          eatSym(":")
+          if (atSym("!")) {
+            eatSym("!")
+            negTypes += ident()
+            while (atSym("|")) {
+              eatSym("|")
+              if (atSym(":")) eatSym(":")
+              require(atSym("!"),
+                "cannot mix negated and positive relationship types " +
+                  "in one pattern")
+              eatSym("!")
+              negTypes += ident()
+            }
+            None
+          } else Some(ident())
+        }
       // multi-type alternatives `:A|B` (also `:A|:B`)
       val altTypes = Seq.newBuilder[String]
       if (relType.isDefined)
         while (atSym("|")) {
           eatSym("|")
           if (atSym(":")) eatSym(":")
+          require(!atSym("!"),
+            "cannot mix negated and positive relationship types " +
+              "in one pattern")
           altTypes += ident()
         }
       val alts = altTypes.result()
+      val negs = negTypes.result()
       // all Cypher range spellings: *  *2  *1..3  *..3  *2..
       // (missing lower bound → 1; missing upper bound → the planner's
       // supported cap; bare number → exactly that many hops)
@@ -901,16 +955,18 @@ object CypherParser {
         case In =>
           eatSym("-")
           RelPattern(variable, relType, In, withWhere(quantified(varLength)),
-            props, alts)
+            props, alts, negTypes = negs)
         case _ =>
           if (atSym("->")) {
             eatSym("->")
             RelPattern(variable, relType, Out,
-              withWhere(quantified(varLength)), props, alts)
+              withWhere(quantified(varLength)), props, alts,
+              negTypes = negs)
           } else if (atSym("-")) {
             eatSym("-")
             RelPattern(variable, relType, Both,
-              withWhere(quantified(varLength)), props, alts)
+              withWhere(quantified(varLength)), props, alts,
+              negTypes = negs)
           } else throw new IllegalArgumentException(
             "expected -> or - to close the relationship pattern")
       }

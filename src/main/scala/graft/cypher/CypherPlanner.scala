@@ -343,7 +343,12 @@ object CypherPlanner {
         s = planWith(s2, w.copy(items = items2))
 
       case CallClause(imports, inner) =>
-        s = planCall(graph, s, imports, inner)
+        // the scoped form's `CALL (*) { … }` imports every currently
+        // bound variable (resolved here — parse time cannot know)
+        val imps =
+          if (imports == Seq("*")) (s.nodeVars ++ s.scalars).toSeq.sorted
+          else imports
+        s = planCall(graph, s, imps, inner)
 
       case CallInTxClause(imports, body, rowCap, statusVar, _) =>
         // the engine's writes are set-based (anti-joined unions /
@@ -2054,8 +2059,12 @@ object CypherPlanner {
                   (fits(curLabel, dl) && fits(nextNode.soleLabel, sl))
             }
           }
+          // `-[:!T]->` (r15): negated types drop out of the typeless
+          // union (set difference — a relationship has ONE type);
+          // unknown negated names exclude nothing
+          val negSet = rel.negTypes.toSet
           val kept = graph.rels.toSeq.sortBy(_._1)
-            .filter { case (tn, _) => compatible(tn) }
+            .filter { case (tn, _) => compatible(tn) && !negSet(tn) }
           if (kept.isEmpty) {
             // no relationship type connects these labels — statically
             // empty, but keep the union's schema for downstream code
@@ -2511,7 +2520,9 @@ object CypherPlanner {
             case Some(t) if r.altTypes.isEmpty => Seq(t -> graph.relTable(t))
             case Some(t) => (t +: r.altTypes).distinct.sorted
               .map(tn => tn -> graph.relTable(tn))
-            case None => graph.rels.toSeq.sortBy(_._1).filter { case (tn, _) =>
+            case None => graph.rels.toSeq.sortBy(_._1)
+              .filterNot { case (tn, _) => r.negTypes.contains(tn) }
+              .filter { case (tn, _) =>
               graph.relEndpoints.get(tn) match {
                 case None => true // schema unknown for this type: keep
                 case Some((sl, dl)) => r.direction match {

@@ -969,6 +969,32 @@ object CypherQueries {
         |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
         |ORDER BY nodeType, propertyName""".stripMargin)
 
+  /** Neo4j-5.23 SCOPED subquery form (r15): `CALL (n) { … }` is the
+    * GQL spelling of the importing WITH — pure parse sugar onto the
+    * same correlated-subquery plan (`CALL (*)` imports every bound
+    * variable, resolved at plan time).
+    */
+  def callScoped(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation) WHERE n.regionkey = 0
+        |CALL (n) {
+        |  MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |  RETURN count(*) AS nc, avg(c.acctbal) AS avg_bal
+        |}
+        |RETURN n.name AS nation, nc, round(avg_bal, 4) AS avg_bal
+        |ORDER BY nation""".stripMargin)
+
+  /** Relationship-type NEGATION `-[:!T]->` (r15): any type except the
+    * listed ones — set difference on the schema-pruned typeless
+    * union (a relationship carries exactly one type). Mixing negated
+    * and positive alternatives rejects at parse time.
+    */
+  def relTypeNeg(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)<-[r:!FROM_NATION]-(m)
+        |RETURN type(r) AS rt, count(*) AS n
+        |ORDER BY rt""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

@@ -685,6 +685,59 @@ class CypherPlannerSpec extends AnyFunSuite {
         "RETURN size(rs) AS n"))
   }
 
+  test("scoped CALL (n) { } is the importing-WITH plan; (*) imports everything") {
+    val scoped = run(
+      "MATCH (n:Nation) CALL (n) { MATCH (c:Customer)-[:FROM_NATION]->(n) " +
+        "RETURN count(*) AS nc } RETURN n.name AS nm, nc ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val importing = run(
+      "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:FROM_NATION]->(n) " +
+        "RETURN count(*) AS nc } RETURN n.name AS nm, nc ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(scoped.nonEmpty && scoped == importing)
+    // (*) imports every bound variable — here that is just n
+    val star = run(
+      "MATCH (n:Nation) CALL (*) { MATCH (c:Customer)-[:FROM_NATION]->(n) " +
+        "RETURN count(*) AS nc } RETURN n.name AS nm, nc ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(star == scoped)
+    // () is the uncorrelated form
+    val empty = run(
+      "MATCH (r:Region) CALL () { MATCH (n:Nation) RETURN count(*) AS nn } " +
+        "RETURN count(*) AS rows, min(nn) AS nn").collect()(0)
+    assert(empty.getLong(0) == 5L && empty.getLong(1) == 25L)
+    // CALL (*) composes badly with IN TRANSACTIONS batching — loud
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n:Nation) CALL (*) { SET n.x = 1 } IN TRANSACTIONS " +
+        "RETURN count(*) AS n"))
+  }
+
+  test("relationship-type negation drops listed types from the typeless union") {
+    val neg = run(
+      "MATCH (n:Nation)<-[r:!FROM_NATION]-(m) " +
+        "RETURN type(r) AS rt, count(*) AS c ORDER BY rt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val all = run(
+      "MATCH (n:Nation)<-[r]-(m) RETURN type(r) AS rt, count(*) AS c ORDER BY rt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(neg == all.filterNot(_._1 == "FROM_NATION") && neg.nonEmpty)
+    // negating every compatible type empties the hop
+    val none = run(
+      "MATCH (n:Nation)<-[r:!FROM_NATION|!SUPP_NATION|!NEXT_IN_REGION]-(m) " +
+        "RETURN count(*) AS c").collect()(0).getLong(0)
+    assert(none == 0L)
+    // an unknown negated type excludes nothing
+    val unk = run(
+      "MATCH (n:Nation)<-[r:!NO_SUCH]-(m) RETURN count(*) AS c")
+      .collect()(0).getLong(0)
+    assert(unk == all.map(_._2).sum)
+    // mixing negated and positive alternatives rejects at parse time
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n)-[r:!FROM_NATION|SUPP_NATION]->(m) RETURN count(*) AS c"))
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n)-[r:FROM_NATION|!SUPP_NATION]->(m) RETURN count(*) AS c"))
+  }
+
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
     // directed 1-hop over CONTAINS: count(p) per (order, part) pair
     // must equal the PARALLEL relationship count (one per lineitem) —
