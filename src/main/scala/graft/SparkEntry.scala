@@ -125,6 +125,7 @@ object SparkEntry {
     "cypher_catalog_schema" -> (cypher.CypherQueries.catalogSchema(_, _)),
     "cypher_call_scoped"    -> (cypher.CypherQueries.callScoped(_, _)),
     "cypher_rel_type_neg"   -> (cypher.CypherQueries.relTypeNeg(_, _)),
+    "cypher_fn_extras"      -> (cypher.CypherQueries.fnExtras(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2604,6 +2605,13 @@ object SparkEntry {
         |   JOIN nation n ON s.s_nationkey = n.n_nationkey
         |   WHERE n.n_regionkey = 1) AS sup_r1
         |FROM counts c""".stripMargin,
+    "cypher_fn_extras" ->
+      """SELECT c_custkey AS k, CAST(length(c_name) AS BIGINT) AS len,
+        |  CAST(NULL AS BIGINT) AS not_int, c_custkey AS as_int,
+        |  true AS nan_flag, false AS not_nan, 0.0 AS hav0,
+        |  CAST(c_custkey + 1 AS BIGINT) AS ep_day,
+        |  CAST(c_custkey + 1 AS BIGINT) AS ep_day2
+        |FROM customer WHERE c_custkey <= 5 ORDER BY k""".stripMargin,
     "cypher_call_scoped" ->
       """SELECT n.n_name AS nation, COUNT(*) AS nc,
         |  round(AVG(c.c_acctbal), 4) AS avg_bal

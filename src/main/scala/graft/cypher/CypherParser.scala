@@ -1109,7 +1109,10 @@ object CypherParser {
         "properties", "nodes", "relationships", "exp", "log", "log10",
         "sin", "cos",
         "tan", "asin", "acos", "atan", "atan2", "degrees", "radians",
-        "pi", "e", "isempty", "startnode", "endnode", "distance", "cost")
+        "pi", "e", "isempty", "startnode", "endnode", "distance", "cost",
+        "tointegerornull", "tofloatornull", "tostringornull",
+        "tobooleanornull", "isnan", "char_length", "character_length",
+        "haversin")
     private val listPredFns = Set("any", "all", "none", "single")
 
     /** Temporal instant components, accessed Neo4j-style as a postfix
@@ -1252,6 +1255,26 @@ object CypherParser {
         val step = if (atSym(",")) { eatSym(","); addExpr() } else LitV(1L)
         eatSym(")")
         RangeList(from, to, step)
+      case Some(TId(ns))
+          if ns.equalsIgnoreCase("datetime") &&
+          pos + 2 < toks.length && toks(pos + 1) == TSym(".") &&
+          (toks(pos + 2) match {
+            case TId(f) => f.equalsIgnoreCase("fromepoch") ||
+              f.equalsIgnoreCase("fromepochmillis")
+            case _ => false
+          }) =>
+        // `datetime.fromEpoch(seconds[, nanos])` /
+        // `datetime.fromEpochMillis(ms)` (Neo4j 5.8) — epoch-anchored
+        // instants, desugared to reserved @fromepoch calls
+        ident(); eatSym(".")
+        val f = ident().toLowerCase(java.util.Locale.ROOT)
+        eatSym("(")
+        val args = Seq.newBuilder[CExpr]
+        args += addExpr()
+        while (atSym(",")) { eatSym(","); args += addExpr() }
+        eatSym(")")
+        FnCallN(if (f == "fromepoch") "@fromepoch" else "@fromepochmillis",
+          args.result())
       case Some(TId(ns))
           if (ns.equalsIgnoreCase("datetime") || ns.equalsIgnoreCase("date")) &&
           pos + 2 < toks.length && toks(pos + 1) == TSym(".") &&

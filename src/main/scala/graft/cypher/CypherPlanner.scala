@@ -3989,9 +3989,28 @@ object CypherPlanner {
       unix_millis(to_timestamp(toColumn(a, scalars)))
     // conversions: toInteger truncates toward zero (Neo4j semantics —
     // Spark's double→long cast truncates, matching)
-    case FnCall("tointeger", Some(a), _, _) => toColumn(a, scalars).cast("long")
-    case FnCall("tofloat", Some(a), _, _)   => toColumn(a, scalars).cast("double")
-    case FnCall("tostring", Some(a), _, _)  => toColumn(a, scalars).cast("string")
+    // toInteger/toFloat return null on unparseable strings (Neo4j
+    // semantics) — under ANSI mode that must be try_cast, a plain
+    // cast THROWS on malformed input
+    case FnCall("tointeger" | "tointegerornull", Some(a), _, _) =>
+      toColumn(a, scalars).try_cast("long")
+    case FnCall("tofloat" | "tofloatornull", Some(a), _, _) =>
+      toColumn(a, scalars).try_cast("double")
+    case FnCall("tostring" | "tostringornull", Some(a), _, _) =>
+      toColumn(a, scalars).cast("string")
+    case FnCall("tobooleanornull", Some(a), _, _) =>
+      val l = lower(toColumn(a, scalars).cast("string"))
+      when(l === "true", lit(true)).when(l === "false", lit(false))
+        .otherwise(lit(null))
+    case FnCall("isnan", Some(a), _, _) =>
+      isnan(toColumn(a, scalars).cast("double"))
+    // char_length/character_length: always character count (size()'s
+    // non-list branch), Neo4j 5.13 aliases
+    case FnCall("char_length" | "character_length", Some(a), _, _) =>
+      length(toColumn(a, scalars)).cast("long")
+    // haversin(x) = (1 - cos(x)) / 2
+    case FnCall("haversin", Some(a), _, _) =>
+      (lit(1.0) - cos(toColumn(a, scalars).cast("double"))) / lit(2.0)
     case FnCall("reverse", Some(a), _, _)   => reverse(toColumn(a, scalars))
     case FnCall("head", Some(a), _, _) => element_at(toColumn(a, scalars), 1)
     case FnCall("last", Some(a), _, _) => element_at(toColumn(a, scalars), -1)
@@ -4187,6 +4206,19 @@ object CypherPlanner {
       replace(toColumn(s0, scalars), toColumn(f0, scalars), toColumn(t0, scalars))
     case FnCallN("atan2", Seq(y0, x0)) =>
       atan2(toColumn(y0, scalars), toColumn(x0, scalars))
+    // datetime.fromEpoch(seconds[, nanos]) / fromEpochMillis(ms) —
+    // epoch-anchored instants at microsecond precision (Spark's
+    // timestamp grain; sub-microsecond nanos truncate)
+    case FnCallN("@fromepoch", as) =>
+      require(as.size <= 2,
+        s"datetime.fromEpoch takes (seconds[, nanos]), got ${as.size} args")
+      val secs = toColumn(as.head, scalars).cast("long")
+      val nanos =
+        if (as.size == 2) toColumn(as(1), scalars).cast("long") else lit(0L)
+      timestamp_micros((secs * lit(1000000L) +
+        (nanos / lit(1000L)).cast("long")).cast("long"))
+    case FnCallN("@fromepochmillis", Seq(a)) =>
+      timestamp_millis(toColumn(a, scalars).cast("long"))
     // split on a LITERAL delimiter (Neo4j splits literally; Spark's
     // split takes a regex, so the delimiter is quoted)
     case FnCallN("split", Seq(s0, LitV(d: String))) =>

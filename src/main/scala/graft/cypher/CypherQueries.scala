@@ -995,6 +995,24 @@ object CypherQueries {
         |RETURN type(r) AS rt, count(*) AS n
         |ORDER BY rt""".stripMargin)
 
+  /** Neo4j-5 scalar-function extras (r15): the lenient `…OrNull` cast
+    * family, `isNaN`, `char_length`/`character_length`, `haversin`,
+    * and the epoch constructors `datetime.fromEpoch(sec[, nanos])` /
+    * `datetime.fromEpochMillis(ms)` (components read via the postfix
+    * accessors).
+    */
+  def fnExtras(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer) WHERE c.custkey <= 5
+        |RETURN c.custkey AS k, char_length(c.name) AS len,
+        |  toIntegerOrNull(c.mktsegment) AS not_int,
+        |  toIntegerOrNull(toString(c.custkey)) AS as_int,
+        |  isNaN(sqrt(0.0 - 1.0)) AS nan_flag, isNaN(c.acctbal) AS not_nan,
+        |  round(haversin(0.0), 6) AS hav0,
+        |  datetime.fromEpoch(c.custkey * 86400, 0).day AS ep_day,
+        |  datetime.fromEpochMillis(c.custkey * 86400000).day AS ep_day2
+        |ORDER BY k""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */
