@@ -126,6 +126,7 @@ object SparkEntry {
     "cypher_call_scoped"    -> (cypher.CypherQueries.callScoped(_, _)),
     "cypher_rel_type_neg"   -> (cypher.CypherQueries.relTypeNeg(_, _)),
     "cypher_fn_extras"      -> (cypher.CypherQueries.fnExtras(_, _)),
+    "cypher_sp_outer_groupvar" -> (cypher.CypherQueries.spOuterGroupVar(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2605,6 +2606,21 @@ object SparkEntry {
         |   JOIN nation n ON s.s_nationkey = n.n_nationkey
         |   WHERE n.n_regionkey = 1) AS sup_r1
         |FROM counts c""".stripMargin,
+    "cypher_sp_outer_groupvar" ->
+      """WITH nr AS (
+        |  SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS nxt
+        |  FROM nation)
+        |SELECT a.nm AS sn, b.nm AS tn, CAST(b.pos - a.pos AS BIGINT) AS nb,
+        |  CAST(3000000000 + a.nxt AS BIGINT) AS first_b,
+        |  CAST(b.pos - a.pos AS BIGINT) AS hops
+        |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM nr m
+        |  WHERE m.rk = a.rk AND m.pos > a.pos AND m.pos <= b.pos
+        |    AND m.nm <= a.nm)
+        |ORDER BY sn, tn""".stripMargin,
     "cypher_fn_extras" ->
       """SELECT c_custkey AS k, CAST(length(c_name) AS BIGINT) AS len,
         |  CAST(NULL AS BIGINT) AS not_int, c_custkey AS as_int,

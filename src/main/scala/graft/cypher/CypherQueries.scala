@@ -1013,6 +1013,19 @@ object CypherQueries {
         |  datetime.fromEpochMillis(c.custkey * 86400000).day AS ep_day2
         |ORDER BY k""".stripMargin)
 
+  /** Outer-scope QPP WHERE inside shortestPath WITH group-variable
+    * lists (r15 — row 8c12's last carve-out): the decorrelated
+    * (id, tuple) keys flow through the walk-carrying BFS, the carried
+    * walk unpacks to plain ids, and the group variables bind their
+    * per-step lists — three machineries composing without new code.
+    */
+  def spOuterGroupVar(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = shortestPath((s:Nation) ((a)-[:NEXT_IN_REGION]->(b) WHERE b.name > s.name){1,10} (t:Nation))
+        |RETURN s.name AS sn, t.name AS tn, size(b) AS nb, b[0] AS first_b,
+        |  length(p) AS hops
+        |ORDER BY sn, tn""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */
