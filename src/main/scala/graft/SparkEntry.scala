@@ -127,6 +127,7 @@ object SparkEntry {
     "cypher_rel_type_neg"   -> (cypher.CypherQueries.relTypeNeg(_, _)),
     "cypher_fn_extras"      -> (cypher.CypherQueries.fnExtras(_, _)),
     "cypher_sp_outer_groupvar" -> (cypher.CypherQueries.spOuterGroupVar(_, _)),
+    "cypher_exists_full"    -> (cypher.CypherQueries.existsFull(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2606,6 +2607,14 @@ object SparkEntry {
         |   JOIN nation n ON s.s_nationkey = n.n_nationkey
         |   WHERE n.n_regionkey = 1) AS sup_r1
         |FROM counts c""".stripMargin,
+    "cypher_exists_full" ->
+      """SELECT DISTINCT n.n_name AS nation
+        |FROM nation n
+        |JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |  AND s.s_acctbal > 9000.0
+        |JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size > 40
+        |ORDER BY nation""".stripMargin,
     "cypher_sp_outer_groupvar" ->
       """WITH nr AS (
         |  SELECT n_nationkey AS nk, n_name AS nm, n_regionkey AS rk,

@@ -58,6 +58,14 @@ object Ast {
   final case class ExistsPattern(chain: PatternChain,
       where: Option[CExpr] = None) extends CExpr
 
+  /** `EXISTS { <full clause pipeline> }` (Neo4j 5, r15): multi-clause
+    * bodies — MATCH/WHERE/WITH/UNWIND chains; an optional trailing
+    * RETURN is IGNORED (Neo4j's documented rule: existence is
+    * unaffected by the subquery's RETURN). The common single-pattern
+    * form stays the lighter [[ExistsPattern]].
+    */
+  final case class ExistsSubquery(body: Seq[Clause]) extends CExpr
+
   /** `COUNT { (MATCH)? pattern (WHERE pred)? }` subquery expression
     * (openCypher): the number of pattern matches (after the optional
     * inner predicate) for the row's bindings of the shared variables.

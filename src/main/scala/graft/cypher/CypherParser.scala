@@ -1002,14 +1002,30 @@ object CypherParser {
       else if (atKw("EXISTS")) {
         eatKw("EXISTS")
         eatSym("{")
-        // full subquery form: optional MATCH keyword, optional inner
-        // WHERE restricting the subquery's own matches
-        if (atKw("MATCH")) eatKw("MATCH")
-        val chain = patternChain()
-        val inW = drainInlineWheres()
-        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
-        eatSym("}")
-        ExistsPattern(chain, andOpt(inW, w))
+        // single-pattern form first: optional MATCH keyword, one
+        // pattern, optional inner WHERE, then the closing brace. A
+        // body that continues past that (WITH horizons, further
+        // MATCHes, a RETURN) backtracks into the FULL-subquery form
+        // (r15) — a whole clause pipeline, planned per outer binding.
+        val save = pos
+        val simple: Option[CExpr] =
+          try {
+            if (atKw("MATCH")) eatKw("MATCH")
+            val chain = patternChain()
+            val inW = drainInlineWheres()
+            val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+            if (atSym("}")) { eatSym("}"); Some(ExistsPattern(chain, andOpt(inW, w))) }
+            else None
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          }
+        simple.getOrElse {
+          pos = save
+          inlineWheres.clear() // a failed simple attempt may have buffered
+          val body = query(inCall = true).clauses
+          eatSym("}")
+          ExistsSubquery(body)
+        }
       } else if (atSym("(")) {
         // bare pattern predicate — `WHERE (a)-[:T]->(b)` — is EXISTS
         // sugar. Try a pattern parse; a parenthesized value expression

@@ -1033,6 +1033,10 @@ object CypherPlanner {
         existsJoin(graph, s, chain, "left_semi", w)
       case Not(ExistsPattern(chain, w)) =>
         existsJoin(graph, s, chain, "left_anti", w)
+      case ExistsSubquery(body) =>
+        existsBodyJoin(graph, s, body, "left_semi")
+      case Not(ExistsSubquery(body)) =>
+        existsBodyJoin(graph, s, body, "left_anti")
       // COUNT { } in a predicate (`WHERE COUNT { … } >= k`): bind the
       // counts as hidden scalars, filter, then drop them so they never
       // leak into RETURN * or later horizons
@@ -1053,6 +1057,16 @@ object CypherPlanner {
         var idx = 0
         val flags = Seq.newBuilder[String]
         def bind(e2: CExpr): CExpr = e2 match {
+          case ExistsSubquery(body) =>
+            // same flag-join as the pattern form, with the body
+            // planned over the full-body seeding discipline
+            val (keys, keyFrame) = existsBodyKeys(graph, s, body)
+            val alias = s"__graft_ex_$idx"
+            idx += 1
+            flags += alias
+            df = df.join(keyFrame.withColumn(alias, lit(true)),
+              keys, "left")
+            ColRef(coalesce(col(alias), lit(false)))
           case ExistsPattern(chain, w) =>
             val shared = chain.nodeVars.filter(s.nodeVars.contains).distinct
             require(shared.nonEmpty,
@@ -1078,6 +1092,69 @@ object CypherPlanner {
         df.filter(toColumn(bound, s.binds)).drop(flags.result(): _*)
       case other => s.df.filter(toColumn(other, s.binds))
     }
+
+  /** FULL-body `EXISTS { … }` (r15): the body is a whole clause
+    * pipeline, planned ONCE over the DISTINCT bindings of the outer
+    * variables it references (the CALL-subquery seeding discipline —
+    * correlation without per-row re-execution), then semi/anti-joined
+    * back on those keys. A trailing RETURN is stripped: Neo4j
+    * documents that an EXISTS subquery's result is unaffected by it.
+    */
+  private def existsBodyJoin(graph: PropertyGraph, s: Scope,
+      body: Seq[Clause], joinType: String): DataFrame = {
+    val (keys, keyFrame) = existsBodyKeys(graph, s, body)
+    s.df.join(keyFrame, keys, joinType)
+  }
+
+  /** The shared machinery of [[existsBodyJoin]] and the boolean-flag
+    * path: plans the body and returns (outer key columns, the body's
+    * DISTINCT surviving key bindings).
+    */
+  private def existsBodyKeys(graph: PropertyGraph, s: Scope,
+      body0: Seq[Clause]): (Seq[String], DataFrame) = {
+    val body = body0.lastOption match {
+      case Some(_: ReturnClause) => body0.init
+      case _                     => body0
+    }
+    require(body.nonEmpty, "empty EXISTS subquery body")
+    val chainVars = body.collect {
+      case MatchClause(ch, _, _) => ch.nodeVars
+    }.flatten.toSet
+    val refs = walkRefVars(body).idents ++ chainVars
+    val sharedNodes = s.nodeVars.intersect(refs)
+    val sharedScalars = s.scalars.intersect(refs)
+    require(sharedNodes.nonEmpty || sharedScalars.nonEmpty,
+      "an EXISTS subquery must reference at least one outer variable")
+    val keyCols = sharedNodes.toSeq.sorted.map(v => s"${v}__id") ++
+      sharedScalars.toSeq.sorted
+    val carryCols = (sharedNodes.toSeq.sorted.flatMap(v =>
+      s.df.columns.filter(_.startsWith(s"${v}__"))) ++
+      sharedScalars.toSeq.sorted).distinct
+    val seed = Scope(s.df.select(carryCols.map(col): _*).distinct(),
+      sharedNodes, sharedScalars, s.lists.intersect(sharedScalars))
+    // the correlation keys must SURVIVE to the body's end even when a
+    // user WITH drops them from scope (Neo4j evaluates the body per
+    // outer row; the decorrelated plan threads the keys instead):
+    // inject the missing key variables into every WITH horizon — for
+    // aggregating horizons they become grouping keys, which is
+    // exactly per-outer-binding existence
+    val keyVars = (sharedNodes ++ sharedScalars).toSeq.sorted
+    val threaded = body.map {
+      case w: WithClause if !w.items.exists(_.expr == Ident("*")) =>
+        val present = w.items.flatMap(i => i.expr match {
+          case Ident(v) => Seq(v) ++ i.alias.toSeq
+          case _        => i.alias.toSeq
+        }).toSet
+        val missing = keyVars.filterNot(present)
+        if (missing.isEmpty) w
+        else w.copy(items = w.items ++ missing.map(v =>
+          ReturnItem(Ident(v), None)))
+      case c => c
+    }
+    val (si, _) = planClauses(graph, threaded,
+      seed, colsNeeded(CypherQuery(threaded)) ++ sharedNodes ++ sharedScalars)
+    (keyCols, si.df.select(keyCols.map(col): _*).distinct())
+  }
 
   private def existsJoin(graph: PropertyGraph, s: Scope,
       chain: PatternChain, joinType: String,
@@ -1215,6 +1292,7 @@ object CypherPlanner {
 
   private def containsExists(e: CExpr): Boolean = e match {
     case _: ExistsPattern => true
+    case _: ExistsSubquery => true
     case And(l, r)        => containsExists(l) || containsExists(r)
     case Or(l, r)         => containsExists(l) || containsExists(r)
     case Not(x)           => containsExists(x)
@@ -1559,6 +1637,14 @@ object CypherPlanner {
       case CaseExpr(ws, els)   =>
         ws.foreach { case (c, v) => walk(c); walk(v) }; els.foreach(walk)
       case ListLit(xs)         => xs.foreach(walk)
+      // a full-body EXISTS reads outer columns inside its pipeline —
+      // over-approximate (extra names only reduce scan elision)
+      case ExistsSubquery(body) =>
+        out ++= colsNeeded(CypherQuery(body))
+        body.foreach {
+          case MatchClause(ch, _, _) => out ++= ch.nodeVars
+          case _                     => ()
+        }
       case _                   => () // Ident/LitV/Param/ExistsPattern
     }
     def walkItems(items: Seq[ReturnItem]): Unit = items.foreach {
@@ -1649,6 +1735,7 @@ object CypherPlanner {
       case PercentileCont(a, _) => walk(a)
       case PercentileDisc(a, _) => walk(a)
       case ExistsPattern(_, w)  => w.foreach(walk)
+      case ExistsSubquery(body) => walkAll(body)
       case CountPattern(_, w)   => w.foreach(walk)
       case PatternComp(_, w, pj) => w.foreach(walk); walk(pj)
       case Cmp(_, l, r)         => walk(l); walk(r)
@@ -4317,8 +4404,9 @@ object CypherPlanner {
     case ColRef(c) => c.asInstanceOf[Column]
     case f: FnCall    => throw new IllegalArgumentException(
       s"aggregate ${f.name} not allowed here")
-    case _: ExistsPattern => throw new IllegalArgumentException(
-      "EXISTS is only valid in a WHERE directly after MATCH")
+    case _: ExistsPattern | _: ExistsSubquery =>
+      throw new IllegalArgumentException(
+        "EXISTS is only valid in a WHERE directly after MATCH")
     case _: CountPattern => throw new IllegalArgumentException(
       "COUNT { } is only supported as a top-level RETURN/WITH item")
     case _: PercentileCont | _: PercentileDisc =>

@@ -1026,6 +1026,24 @@ object CypherQueries {
         |  length(p) AS hops
         |ORDER BY sn, tn""".stripMargin)
 
+  /** FULL-body `EXISTS { … }` (r15): multi-clause subqueries — here a
+    * WITH horizon between two MATCHes, plus a trailing RETURN that is
+    * IGNORED per Neo4j's documented rule. Planned once over the
+    * distinct outer bindings (the CALL seeding discipline), then
+    * semi-joined back — correlation without per-row re-execution.
+    */
+  def existsFull(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |WHERE EXISTS {
+        |  MATCH (s:Supplier)-[:SUPP_NATION]->(n)
+        |  WITH s WHERE s.acctbal > 9000.0
+        |  MATCH (s)-[:SUPPLIES]->(p:Part) WHERE p.size > 40
+        |  RETURN p
+        |}
+        |RETURN n.name AS nation
+        |ORDER BY nation""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

@@ -738,6 +738,45 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (n)-[r:FROM_NATION|!SUPP_NATION]->(m) RETURN count(*) AS c"))
   }
 
+  test("full-body EXISTS subqueries: WITH horizons, NOT, ignored RETURN") {
+    // multi-clause body ≡ the flattened two-hop exists
+    val full = run(
+      "MATCH (n:Nation) WHERE EXISTS { " +
+        "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s WHERE s.acctbal > 1000.0 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) WHERE p.size > 20 RETURN p } " +
+        "RETURN n.name AS nm ORDER BY nm").collect().map(_.getString(0)).toList
+    val flat = run(
+      "MATCH (n:Nation) WHERE EXISTS { " +
+        "(s:Supplier)-[:SUPP_NATION]->(n) } " +
+        "RETURN n.name AS nm ORDER BY nm").collect().map(_.getString(0)).toList
+    assert(full.nonEmpty && full.toSet.subsetOf(flat.toSet))
+    val direct = run(
+      "MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) WHERE s.acctbal > 1000.0 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) WHERE p.size > 20 " +
+        "RETURN DISTINCT n.name AS nm ORDER BY nm")
+      .collect().map(_.getString(0)).toList
+    assert(full == direct)
+    // NOT EXISTS is the complement
+    val not = run(
+      "MATCH (n:Nation) WHERE NOT EXISTS { " +
+        "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s WHERE s.acctbal > 1000.0 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) WHERE p.size > 20 RETURN p } " +
+        "RETURN count(*) AS c").collect()(0).getLong(0)
+    assert(not == 25L - full.size)
+    // the trailing RETURN is IGNORED (Neo4j rule): an aggregate there
+    // cannot turn empty matches into existence
+    val agg = run(
+      "MATCH (n:Nation) WHERE EXISTS { " +
+        "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WHERE s.acctbal > 99999.0 " +
+        "RETURN count(*) } RETURN count(*) AS c").collect()(0).getLong(0)
+    assert(agg == 0L)
+    // a body referencing no outer variable rejects loudly
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n:Nation) WHERE EXISTS { MATCH (r:Region) WITH r WHERE " +
+        "r.regionkey > 99 MATCH (r)<-[:IN_REGION]-(x) RETURN x } " +
+        "RETURN count(*) AS c"))
+  }
+
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
     // directed 1-hop over CONTAINS: count(p) per (order, part) pair
     // must equal the PARALLEL relationship count (one per lineitem) —
