@@ -128,6 +128,7 @@ object SparkEntry {
     "cypher_fn_extras"      -> (cypher.CypherQueries.fnExtras(_, _)),
     "cypher_sp_outer_groupvar" -> (cypher.CypherQueries.spOuterGroupVar(_, _)),
     "cypher_exists_full"    -> (cypher.CypherQueries.existsFull(_, _)),
+    "cypher_count_collect_sub" -> (cypher.CypherQueries.countCollectSub(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2607,6 +2608,22 @@ object SparkEntry {
         |   JOIN nation n ON s.s_nationkey = n.n_nationkey
         |   WHERE n.n_regionkey = 1) AS sup_r1
         |FROM counts c""".stripMargin,
+    "cypher_count_collect_sub" ->
+      """WITH ps AS (
+        |  SELECT s.s_nationkey AS nk, COUNT(DISTINCT l.l_partkey) AS c
+        |  FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_acctbal > 5000.0 GROUP BY 1),
+        |rs AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS n_rich,
+        |    MIN(s_name) AS first_rich
+        |  FROM supplier WHERE s_acctbal > 8000.0 GROUP BY 1)
+        |SELECT n.n_name AS nation, COALESCE(ps.c, 0) AS big_sup_parts,
+        |  COALESCE(rs.n_rich, 0) AS n_rich, rs.first_rich AS first_rich
+        |FROM nation n
+        |LEFT JOIN ps ON ps.nk = n.n_nationkey
+        |LEFT JOIN rs ON rs.nk = n.n_nationkey
+        |WHERE n.n_regionkey = 3
+        |ORDER BY nation""".stripMargin,
     "cypher_exists_full" ->
       """SELECT DISTINCT n.n_name AS nation
         |FROM nation n

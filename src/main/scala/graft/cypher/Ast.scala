@@ -66,6 +66,21 @@ object Ast {
     */
   final case class ExistsSubquery(body: Seq[Clause]) extends CExpr
 
+  /** `COUNT { <full clause pipeline> }` (r15): the number of rows the
+    * body yields per outer binding. A trailing RETURN is honored
+    * (`RETURN DISTINCT x` counts distinct values per binding);
+    * SKIP/LIMIT there reject — they would be per-binding, which the
+    * decorrelated plan cannot express. The single-pattern form stays
+    * [[CountPattern]].
+    */
+  final case class CountSubquery(body: Seq[Clause]) extends CExpr
+
+  /** `COLLECT { <full clause pipeline> RETURN expr }` (r15): the
+    * body's single RETURN column collected per outer binding (sorted —
+    * deterministic). The single-pattern form stays [[PatternComp]].
+    */
+  final case class CollectSubquery(body: Seq[Clause]) extends CExpr
+
   /** `COUNT { (MATCH)? pattern (WHERE pred)? }` subquery expression
     * (openCypher): the number of pattern matches (after the optional
     * inner predicate) for the row's bindings of the shared variables.

@@ -1415,14 +1415,27 @@ object CypherParser {
       case Some(TId(name))
           if name.equalsIgnoreCase("count") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>
-        // COUNT { (MATCH)? pattern (WHERE pred)? } subquery expression
+        // COUNT { (MATCH)? pattern (WHERE pred)? } subquery
+        // expression; bodies continuing past one pattern backtrack
+        // into the FULL-subquery form (r15)
         ident(); eatSym("{")
-        if (atKw("MATCH")) eatKw("MATCH")
-        val chain = patternChain()
-        val inW = drainInlineWheres()
-        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
-        eatSym("}")
-        CountPattern(chain, andOpt(inW, w))
+        val saveC = pos
+        val simpleC: Option[CExpr] =
+          try {
+            if (atKw("MATCH")) eatKw("MATCH")
+            val chain = patternChain()
+            val inW = drainInlineWheres()
+            val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+            if (atSym("}")) { eatSym("}"); Some(CountPattern(chain, andOpt(inW, w))) }
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        simpleC.getOrElse {
+          pos = saveC
+          inlineWheres.clear()
+          val body = query(inCall = true).clauses
+          eatSym("}")
+          CountSubquery(body)
+        }
       case Some(TId(name))
           if name.equalsIgnoreCase("collect") &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("{") =>
@@ -1433,14 +1446,27 @@ object CypherParser {
         // makes the result deterministic (Neo4j's own order is
         // unspecified).
         ident(); eatSym("{")
-        if (atKw("MATCH")) eatKw("MATCH")
-        val chain = patternChain()
-        val inW = drainInlineWheres()
-        val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
-        eatKw("RETURN")
-        val proj = addExpr()
-        eatSym("}")
-        PatternComp(chain, andOpt(inW, w), proj)
+        val saveL = pos
+        val simpleL: Option[CExpr] =
+          try {
+            if (atKw("MATCH")) eatKw("MATCH")
+            val chain = patternChain()
+            val inW = drainInlineWheres()
+            val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
+            eatKw("RETURN")
+            val proj = addExpr()
+            if (atSym("}")) { eatSym("}"); Some(PatternComp(chain, andOpt(inW, w), proj)) }
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        simpleL.getOrElse {
+          pos = saveL
+          inlineWheres.clear()
+          // full form (r15): a whole pipeline whose last clause must
+          // be a single-item RETURN (validated at plan time)
+          val body = query(inCall = true).clauses
+          eatSym("}")
+          CollectSubquery(body)
+        }
       case Some(TId(name))
           if listPredFns.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>

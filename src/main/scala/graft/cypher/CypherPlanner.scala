@@ -1112,19 +1112,42 @@ object CypherPlanner {
     */
   private def existsBodyKeys(graph: PropertyGraph, s: Scope,
       body0: Seq[Clause]): (Seq[String], DataFrame) = {
-    val body = body0.lastOption match {
-      case Some(_: ReturnClause) => body0.init
-      case _                     => body0
+    val (keys, rows, _) =
+      subqueryBodyRows(graph, s, body0, keepReturn = false, kind = "EXISTS")
+    (keys, rows.select(keys.map(col): _*).distinct())
+  }
+
+  /** Shared decorrelation of full-body EXISTS / COUNT / COLLECT
+    * subqueries (r15): the body plans ONCE over the DISTINCT outer
+    * bindings it references (the CALL-subquery seeding discipline),
+    * with the correlation keys THREADED through every projection
+    * horizon the user's items would drop (on aggregating horizons
+    * they become grouping keys — exactly per-binding semantics).
+    * `keepReturn = false` (EXISTS) strips the trailing RETURN —
+    * Neo4j documents existence as unaffected by it; `true`
+    * (COUNT/COLLECT) folds it into a keys-threaded WITH, so `RETURN
+    * DISTINCT x` is per-binding-distinct, and rejects SKIP/LIMIT
+    * there (per-binding limits are not expressible once
+    * decorrelated). Returns (key columns, surviving rows, the RETURN
+    * item's column name when kept).
+    */
+  private def subqueryBodyRows(graph: PropertyGraph, s: Scope,
+      body0: Seq[Clause], keepReturn: Boolean,
+      kind: String): (Seq[String], DataFrame, Option[String]) = {
+    val (body, ret) = body0.lastOption match {
+      case Some(r: ReturnClause) => (body0.init, Some(r))
+      case _                     => (body0, None)
     }
-    require(body.nonEmpty, "empty EXISTS subquery body")
-    val chainVars = body.collect {
+    require(body.nonEmpty || (keepReturn && ret.isDefined),
+      s"empty $kind subquery body")
+    val chainVars = body0.collect {
       case MatchClause(ch, _, _) => ch.nodeVars
     }.flatten.toSet
-    val refs = walkRefVars(body).idents ++ chainVars
+    val refs = walkRefVars(body0).idents ++ chainVars
     val sharedNodes = s.nodeVars.intersect(refs)
     val sharedScalars = s.scalars.intersect(refs)
     require(sharedNodes.nonEmpty || sharedScalars.nonEmpty,
-      "an EXISTS subquery must reference at least one outer variable")
+      s"a $kind subquery must reference at least one outer variable")
     val keyCols = sharedNodes.toSeq.sorted.map(v => s"${v}__id") ++
       sharedScalars.toSeq.sorted
     val carryCols = (sharedNodes.toSeq.sorted.flatMap(v =>
@@ -1132,15 +1155,16 @@ object CypherPlanner {
       sharedScalars.toSeq.sorted).distinct
     val seed = Scope(s.df.select(carryCols.map(col): _*).distinct(),
       sharedNodes, sharedScalars, s.lists.intersect(sharedScalars))
-    // the correlation keys must SURVIVE to the body's end even when a
-    // user WITH drops them from scope (Neo4j evaluates the body per
-    // outer row; the decorrelated plan threads the keys instead):
-    // inject the missing key variables into every WITH horizon — for
-    // aggregating horizons they become grouping keys, which is
-    // exactly per-outer-binding existence
     val keyVars = (sharedNodes ++ sharedScalars).toSeq.sorted
-    val threaded = body.map {
-      case w: WithClause if !w.items.exists(_.expr == Ident("*")) =>
+    def thread(w: WithClause): WithClause = {
+      // a SKIP/LIMIT horizon inside the body would apply GLOBALLY in
+      // the decorrelated plan but PER-BINDING in Neo4j — reject
+      // loudly rather than diverge silently
+      require(w.skip.isEmpty && w.limit.isEmpty,
+        s"SKIP/LIMIT inside a $kind subquery body is not supported " +
+          "(it would be per-binding)")
+      if (w.items.exists(_.expr == Ident("*"))) w
+      else {
         val present = w.items.flatMap(i => i.expr match {
           case Ident(v) => Seq(v) ++ i.alias.toSeq
           case _        => i.alias.toSeq
@@ -1149,11 +1173,21 @@ object CypherPlanner {
         if (missing.isEmpty) w
         else w.copy(items = w.items ++ missing.map(v =>
           ReturnItem(Ident(v), None)))
-      case c => c
+      }
     }
+    val retAsWith = ret.filter(_ => keepReturn).map { r =>
+      require(r.skip.isEmpty && r.limit.isEmpty,
+        s"SKIP/LIMIT inside a $kind subquery's RETURN is not " +
+          "supported (it would be per-binding)")
+      thread(WithClause(r.distinct, r.items, None, Nil, None, None))
+    }
+    val threaded = body.map {
+      case w: WithClause => thread(w)
+      case c             => c
+    } ++ retAsWith.toSeq
     val (si, _) = planClauses(graph, threaded,
       seed, colsNeeded(CypherQuery(threaded)) ++ sharedNodes ++ sharedScalars)
-    (keyCols, si.df.select(keyCols.map(col): _*).distinct())
+    (keyCols, si.df, ret.filter(_ => keepReturn).map(_.items.head.name))
   }
 
   private def existsJoin(graph: PropertyGraph, s: Scope,
@@ -1220,6 +1254,41 @@ object CypherPlanner {
         scope = Scope(joined, scope.nodeVars, scope.scalars + alias,
           scope.lists + alias)
         Ident(alias)
+      case CountSubquery(body) =>
+        // full-body COUNT (r15): rows per outer binding, trailing
+        // RETURN honored (DISTINCT = per-binding distinct)
+        val (keys, rows, _) =
+          subqueryBodyRows(graph, scope, body, keepReturn = true, "COUNT")
+        val alias = Iterator.from(0).map(i => s"__graft_psq_$i")
+          .find(a => !scope.df.columns.contains(a)).get
+        val cnts = rows.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(alias))
+        val joined = scope.df.join(cnts, keys, "left")
+          .withColumn(alias, coalesce(col(alias), lit(0L)))
+        scope = Scope(joined, scope.nodeVars, scope.scalars + alias, scope.lists)
+        Ident(alias)
+      case CollectSubquery(body) =>
+        // full-body COLLECT (r15): the single RETURN column collected
+        // per outer binding (sorted — deterministic)
+        body.lastOption match {
+          case Some(r: ReturnClause) =>
+            require(r.items.size == 1,
+              "COLLECT { } subquery must RETURN exactly one item")
+          case _ => throw new IllegalArgumentException(
+            "COLLECT { } subquery must end in RETURN")
+        }
+        val (keys, rows, Some(valName)) =
+          subqueryBodyRows(graph, scope, body, keepReturn = true, "COLLECT")
+        val alias = Iterator.from(0).map(i => s"__graft_pc_$i")
+          .find(a => !scope.df.columns.contains(a)).get
+        val lists = rows.groupBy(keys.map(col): _*)
+          .agg(sort_array(collect_list(col(valName))).as(alias))
+        val dt = lists.schema(alias).dataType
+        val joined = scope.df.join(lists, keys, "left")
+          .withColumn(alias, coalesce(col(alias), array().cast(dt)))
+        scope = Scope(joined, scope.nodeVars, scope.scalars + alias,
+          scope.lists + alias)
+        Ident(alias)
       case Cmp(op, l, r)   => Cmp(op, rw(l), rw(r))
       case Arith(op, l, r) => Arith(op, rw(l), rw(r))
       case And(l, r)       => And(rw(l), rw(r))
@@ -1256,6 +1325,14 @@ object CypherPlanner {
           val (s2, e2) = bindCounts(graph, scope, cp)
           scope = s2
           ReturnItem(e2, Some(it.alias.getOrElse("count")))
+        case cs: CountSubquery =>
+          val (s2, e2) = bindCounts(graph, scope, cs)
+          scope = s2
+          ReturnItem(e2, Some(it.alias.getOrElse("count")))
+        case cs: CollectSubquery =>
+          val (s2, e2) = bindCounts(graph, scope, cs)
+          scope = s2
+          ReturnItem(e2, Some(it.alias.getOrElse("collect")))
         case other if containsCountPattern(other) =>
           val (s2, e2) = bindCounts(graph, scope, other)
           scope = s2
@@ -1267,6 +1344,8 @@ object CypherPlanner {
   }
 
   private def containsCountPattern(e: CExpr): Boolean = e match {
+    case _: CountSubquery  => true
+    case _: CollectSubquery => true
     case _: CountPattern  => true
     case _: PatternComp   => true
     case And(l, r)        => containsCountPattern(l) || containsCountPattern(r)
@@ -1645,6 +1724,18 @@ object CypherPlanner {
           case MatchClause(ch, _, _) => out ++= ch.nodeVars
           case _                     => ()
         }
+      case CountSubquery(body) =>
+        out ++= colsNeeded(CypherQuery(body))
+        body.foreach {
+          case MatchClause(ch, _, _) => out ++= ch.nodeVars
+          case _                     => ()
+        }
+      case CollectSubquery(body) =>
+        out ++= colsNeeded(CypherQuery(body))
+        body.foreach {
+          case MatchClause(ch, _, _) => out ++= ch.nodeVars
+          case _                     => ()
+        }
       case _                   => () // Ident/LitV/Param/ExistsPattern
     }
     def walkItems(items: Seq[ReturnItem]): Unit = items.foreach {
@@ -1736,6 +1827,8 @@ object CypherPlanner {
       case PercentileDisc(a, _) => walk(a)
       case ExistsPattern(_, w)  => w.foreach(walk)
       case ExistsSubquery(body) => walkAll(body)
+      case CountSubquery(body)  => walkAll(body)
+      case CollectSubquery(body) => walkAll(body)
       case CountPattern(_, w)   => w.foreach(walk)
       case PatternComp(_, w, pj) => w.foreach(walk); walk(pj)
       case Cmp(_, l, r)         => walk(l); walk(r)
@@ -4099,8 +4192,12 @@ object CypherPlanner {
     case FnCall("haversin", Some(a), _, _) =>
       (lit(1.0) - cos(toColumn(a, scalars).cast("double"))) / lit(2.0)
     case FnCall("reverse", Some(a), _, _)   => reverse(toColumn(a, scalars))
-    case FnCall("head", Some(a), _, _) => element_at(toColumn(a, scalars), 1)
-    case FnCall("last", Some(a), _, _) => element_at(toColumn(a, scalars), -1)
+    // head/last of an EMPTY list are null (Neo4j) — under ANSI mode
+    // element_at throws there, so use the lenient accessor
+    case FnCall("head", Some(a), _, _) =>
+      try_element_at(toColumn(a, scalars), lit(1))
+    case FnCall("last", Some(a), _, _) =>
+      try_element_at(toColumn(a, scalars), lit(-1))
     case FnCall("tail", Some(a), _, _) =>
       val c = toColumn(a, scalars)
       slice(c, lit(2), greatest(size(c) - 1, lit(0)))
@@ -4407,8 +4504,10 @@ object CypherPlanner {
     case _: ExistsPattern | _: ExistsSubquery =>
       throw new IllegalArgumentException(
         "EXISTS is only valid in a WHERE directly after MATCH")
-    case _: CountPattern => throw new IllegalArgumentException(
-      "COUNT { } is only supported as a top-level RETURN/WITH item")
+    case _: CountPattern | _: CountSubquery | _: CollectSubquery =>
+      throw new IllegalArgumentException(
+        "COUNT { } / COLLECT { } are only supported as top-level " +
+          "RETURN/WITH items or inside a WHERE")
     case _: PercentileCont | _: PercentileDisc =>
       throw new IllegalArgumentException(
         "percentile aggregates are only valid in RETURN/WITH items")

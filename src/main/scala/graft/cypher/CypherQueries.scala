@@ -1044,6 +1044,27 @@ object CypherQueries {
         |RETURN n.name AS nation
         |ORDER BY nation""".stripMargin)
 
+  /** FULL-body COUNT { } and COLLECT { } subqueries (r15, completing
+    * the EXISTS/COUNT/COLLECT trio): multi-clause bodies with WITH
+    * horizons; COUNT honors the trailing RETURN (`RETURN DISTINCT p`
+    * counts distinct parts per nation), COLLECT gathers its single
+    * RETURN column sorted. Same once-decorrelated plan as EXISTS —
+    * grouped counts/lists per distinct outer binding, left-joined
+    * back with zero/empty defaults.
+    */
+  def countCollectSub(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation) WHERE n.regionkey = 3
+        |RETURN n.name AS nation,
+        |  COUNT { MATCH (s:Supplier)-[:SUPP_NATION]->(n)
+        |    WITH s WHERE s.acctbal > 5000.0
+        |    MATCH (s)-[:SUPPLIES]->(p:Part) RETURN DISTINCT p } AS big_sup_parts,
+        |  size(COLLECT { MATCH (s:Supplier)-[:SUPP_NATION]->(n)
+        |    WITH s WHERE s.acctbal > 8000.0 RETURN s.name }) AS n_rich,
+        |  head(COLLECT { MATCH (s2:Supplier)-[:SUPP_NATION]->(n)
+        |    WITH s2 WHERE s2.acctbal > 8000.0 RETURN s2.name }) AS first_rich
+        |ORDER BY nation""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */

@@ -777,6 +777,45 @@ class CypherPlannerSpec extends AnyFunSuite {
         "RETURN count(*) AS c"))
   }
 
+  test("full-body COUNT/COLLECT subqueries: RETURN honored, per-binding") {
+    // COUNT { body RETURN DISTINCT p } ≡ the relational distinct count
+    val got = run(
+      "MATCH (n:Nation) RETURN n.name AS nm, " +
+        "COUNT { MATCH (s:Supplier)-[:SUPP_NATION]->(n) " +
+        "WITH s WHERE s.acctbal > 1000.0 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN DISTINCT p } AS c " +
+        "ORDER BY nm").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val ref = run(
+      "MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) WHERE s.acctbal > 1000.0 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) " +
+        "RETURN n.name AS nm, count(DISTINCT p) AS c ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // zero-match nations read 0 from the subquery, absent from ref
+    assert(got.nonEmpty && ref.forall { case (k, v) => got(k) == v })
+    assert(got.filterNot { case (k, _) => ref.contains(k) }.values.forall(_ == 0L))
+    // COLLECT gathers the single RETURN column, sorted; empty = []
+    val coll = run(
+      "MATCH (r:Region) RETURN r.name AS nm, " +
+        "size(COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) " +
+        "WITH n WHERE n.nationkey >= 10 RETURN n.name }) AS k " +
+        "ORDER BY nm").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val collRef = run(
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WHERE n.nationkey >= 10 " +
+        "RETURN r.name AS nm, count(*) AS k ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(collRef.forall { case (k, v) => coll(k) == v })
+    // per-binding SKIP/LIMIT shapes reject loudly (would be global)
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n:Nation) RETURN n.name AS nm, COUNT { " +
+        "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s LIMIT 2 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c"))
+    // COLLECT bodies must end in a single-item RETURN
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n:Nation) RETURN size(COLLECT { " +
+        "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s WHERE s.acctbal > 0.0 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p, s }) AS k"))
+  }
+
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
     // directed 1-hop over CONTAINS: count(p) per (order, part) pair
     // must equal the PARALLEL relationship count (one per lineitem) —
