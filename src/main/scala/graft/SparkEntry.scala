@@ -129,6 +129,7 @@ object SparkEntry {
     "cypher_sp_outer_groupvar" -> (cypher.CypherQueries.spOuterGroupVar(_, _)),
     "cypher_exists_full"    -> (cypher.CypherQueries.existsFull(_, _)),
     "cypher_count_collect_sub" -> (cypher.CypherQueries.countCollectSub(_, _)),
+    "cypher_in_list_expr"   -> (cypher.CypherQueries.inListExpr(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -2608,6 +2609,15 @@ object SparkEntry {
         |   JOIN nation n ON s.s_nationkey = n.n_nationkey
         |   WHERE n.n_regionkey = 1) AS sup_r1
         |FROM counts c""".stripMargin,
+    "cypher_in_list_expr" ->
+      """WITH bn AS (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |SELECT n.n_name AS nation, COUNT(*) AS n_cust
+        |FROM nation n JOIN bn ON bn.nk = n.n_nationkey
+        |JOIN customer c2 ON c2.c_nationkey = n.n_nationkey
+        |WHERE c2.c_custkey <= 200 AND c2.c_custkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cypher_count_collect_sub" ->
       """WITH ps AS (
         |  SELECT s.s_nationkey AS nk, COUNT(DISTINCT l.l_partkey) AS c

@@ -35,8 +35,12 @@ object Ast {
   final case class Arith(op: String, l: CExpr, r: CExpr) extends CExpr
   /** `e IS NULL` (negate with NOT / IS NOT NULL). */
   final case class IsNull(e: CExpr) extends CExpr
-  /** `e IN [literal, …]`. */
-  final case class InList(e: CExpr, list: ListLit) extends CExpr
+  /** `x IN list` — the list may be ANY list-valued expression
+    * (literal, bound list variable, collect result, range(), group
+    * variable — r15; formerly literals only). Literal lists keep the
+    * codegen'd isin fast path.
+    */
+  final case class InList(e: CExpr, list: CExpr) extends CExpr
   /** `$name` placeholder — replaced by a literal at plan time (the
     * reference ships these in the payload's `parameters` object).
     */

@@ -1066,11 +1066,10 @@ object CypherParser {
           if (negated) Not(IsNull(l)) else IsNull(l)
         case Some(t) if isKw(t, "IN") =>
           eatKw("IN")
-          addExpr() match {
-            case ll: ListLit => InList(l, ll)
-            case other => throw new IllegalArgumentException(
-              s"IN expects a list literal, got $other")
-          }
+          // any list-valued expression (r15): bound list variables,
+          // collect results, range(), group variables — literal lists
+          // keep the isin fast path at compile time
+          InList(l, addExpr())
         case _ => l
       }
     }

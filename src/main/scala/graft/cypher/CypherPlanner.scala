@@ -82,7 +82,7 @@ object CypherPlanner {
       case Or(l, r)        => Or(bx(l), bx(r))
       case Not(x)          => Not(bx(x))
       case IsNull(x)       => IsNull(bx(x))
-      case InList(x, ListLit(items)) => InList(bx(x), ListLit(items.map(bx)))
+      case InList(x, l)    => InList(bx(x), bx(l))
       case ListLit(items)  => ListLit(items.map(bx))
       case FnCall(n, a, s, d) => FnCall(n, a.map(bx), s, d)
       case FnCallN(n, as)    => FnCallN(n, as.map(bx))
@@ -1307,7 +1307,7 @@ object CypherPlanner {
         ReduceExpr(acc, rw(init), v, rw(l), step)
       case ListComp(v, l, w, p) => ListComp(v, rw(l), w, p)
       case ListPred(k, v, l, p) => ListPred(k, v, rw(l), p)
-      case InList(x, l)    => InList(rw(x), l) // list is a literal
+      case InList(x, l)    => InList(rw(x), rw(l))
       case leaf            => leaf
     }
     // rewrite FIRST: rw mutates `scope`, so the tuple must read it
@@ -1556,7 +1556,7 @@ object CypherPlanner {
       case Or(l, r)              => Or(rw(l), rw(r))
       case Not(y)                => Not(rw(y))
       case IsNull(y)             => IsNull(rw(y))
-      case InList(y, l)          => InList(rw(y), ListLit(l.items.map(rw)))
+      case InList(y, l)          => InList(rw(y), rw(l))
       case StrPred(op, l, r)     => StrPred(op, rw(l), rw(r))
       case Coalesce(xs)          => Coalesce(xs.map(rw))
       case ListLit(xs)           => ListLit(xs.map(rw))
@@ -3995,12 +3995,15 @@ object CypherPlanner {
       toColumn(r, scalars).cast("double"))
     case Arith(op, _, _)  => throw new IllegalArgumentException(s"bad operator $op")
     case IsNull(x)        => toColumn(x, scalars).isNull
-    case InList(x, ListLit(items)) =>
+    case InList(x, ListLit(items)) if items.forall(_.isInstanceOf[LitV]) =>
+      // literal fast path: codegen'd isin
       toColumn(x, scalars).isin(items.map {
         case LitV(v) => v
-        case other => throw new IllegalArgumentException(
-          s"IN list must hold literals, got $other")
+        case other => throw new IllegalStateException(s"unreachable: $other")
       }: _*)
+    // general list expression (r15): membership over any list value
+    case InList(x, listE) =>
+      array_contains(toColumn(listE, scalars), toColumn(x, scalars))
     case And(l, r)    => toColumn(l, scalars) && toColumn(r, scalars)
     case Or(l, r)     => toColumn(l, scalars) || toColumn(r, scalars)
     case Not(x)       => !toColumn(x, scalars)
@@ -4553,8 +4556,7 @@ object CypherPlanner {
     case Cmp(op, l, r)   => Cmp(op, subst(l, name, c), subst(r, name, c))
     case Arith(op, l, r) => Arith(op, subst(l, name, c), subst(r, name, c))
     case IsNull(x)       => IsNull(subst(x, name, c))
-    case InList(x, l)    => InList(subst(x, name, c),
-      ListLit(l.items.map(subst(_, name, c))))
+    case InList(x, l)    => InList(subst(x, name, c), subst(l, name, c))
     case And(l, r)       => And(subst(l, name, c), subst(r, name, c))
     case Or(l, r)        => Or(subst(l, name, c), subst(r, name, c))
     case Not(x)          => Not(subst(x, name, c))

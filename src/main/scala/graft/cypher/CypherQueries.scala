@@ -1065,6 +1065,20 @@ object CypherQueries {
         |    WITH s2 WHERE s2.acctbal > 8000.0 RETURN s2.name }) AS first_rich
         |ORDER BY nation""".stripMargin)
 
+  /** `IN` over list EXPRESSIONS (r15 — formerly literals only): bound
+    * collect() results and range() lists on the right of IN, compiled
+    * to array membership (literal lists keep the codegen'd isin fast
+    * path).
+    */
+  def inListExpr(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n, collect(DISTINCT c.mktsegment) AS segs
+        |MATCH (c2:Customer)-[:FROM_NATION]->(n)
+        |WHERE 'BUILDING' IN segs AND c2.custkey IN range(0, 200, 2)
+        |RETURN n.name AS nation, count(*) AS n_cust
+        |ORDER BY nation""".stripMargin)
+
   /** Searched CASE in a projection, grouped — value banding, the
     * everyday reporting idiom.
     */
