@@ -646,6 +646,44 @@ object CypherParser {
         inlineWheres.clear()
         Some(w)
       }
+    /** Drain only entries buffered at index >= `mark` — the frame a
+      * nested parse (subquery expression, pattern predicate, pattern
+      * comprehension) opened — leaving predicates buffered by EARLIER
+      * elements of the enclosing pattern for that pattern's own
+      * drain. Whole-buffer drains inside a nested parse would pull
+      * the enclosing frame's predicates into the wrong scope.
+      */
+    private def drainInlineWheresFrom(mark: Int): Option[CExpr] =
+      if (inlineWheres.size <= mark) None
+      else {
+        val w = inlineWheres.drop(mark).reduceLeft[CExpr](And(_, _))
+        inlineWheres.remove(mark, inlineWheres.size - mark)
+        Some(w)
+      }
+    /** Discard entries at index >= `mark` (a backtracked or
+      * fallback-replaced nested parse), restoring the enclosing
+      * frame's prefix untouched.
+      */
+    private def resetInlineWheres(mark: Int): Unit =
+      if (inlineWheres.size > mark)
+        inlineWheres.remove(mark, inlineWheres.size - mark)
+    /** Run a nested full-body subquery parse against an EMPTY
+      * inline-WHERE buffer, restoring the enclosing frame's entries
+      * afterwards. The body's own MATCH clauses drain the buffer
+      * wholesale ([[drainInlineWheres]]) and its MERGE validation
+      * requires it empty — with the enclosing pattern's predicates
+      * still buffered they would be silently pulled into the
+      * subquery's scope (or trip the MERGE require).
+      */
+    private def withFreshInlineFrame[A](body: => A): A = {
+      val saved = inlineWheres.toList
+      inlineWheres.clear()
+      try body
+      finally {
+        inlineWheres.clear()
+        inlineWheres ++= saved
+      }
+    }
     private def andOpt(a: Option[CExpr], b: Option[CExpr]): Option[CExpr] =
       (a, b) match {
         case (Some(x), Some(y)) => Some(And(x, y))
@@ -1008,11 +1046,12 @@ object CypherParser {
         // MATCHes, a RETURN) backtracks into the FULL-subquery form
         // (r15) — a whole clause pipeline, planned per outer binding.
         val save = pos
+        val mark = inlineWheres.size
         val simple: Option[CExpr] =
           try {
             if (atKw("MATCH")) eatKw("MATCH")
             val chain = patternChain()
-            val inW = drainInlineWheres()
+            val inW = drainInlineWheresFrom(mark)
             val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
             if (atSym("}")) { eatSym("}"); Some(ExistsPattern(chain, andOpt(inW, w))) }
             else None
@@ -1021,8 +1060,8 @@ object CypherParser {
           }
         simple.getOrElse {
           pos = save
-          inlineWheres.clear() // a failed simple attempt may have buffered
-          val body = query(inCall = true).clauses
+          resetInlineWheres(mark) // drop only this frame's buffered entries
+          val body = withFreshInlineFrame(query(inCall = true).clauses)
           eatSym("}")
           ExistsSubquery(body)
         }
@@ -1031,12 +1070,14 @@ object CypherParser {
         // sugar. Try a pattern parse; a parenthesized value expression
         // (no hops, or not pattern-shaped at all) backtracks cleanly.
         val save = pos
+        val mark = inlineWheres.size
         try {
           val chain = patternChain()
-          if (chain.hops.nonEmpty) ExistsPattern(chain, drainInlineWheres())
-          else { pos = save; drainInlineWheres(); cmpExpr() }
+          if (chain.hops.nonEmpty) ExistsPattern(chain, drainInlineWheresFrom(mark))
+          else { pos = save; resetInlineWheres(mark); cmpExpr() }
         } catch {
-          case scala.util.control.NonFatal(_) => pos = save; cmpExpr()
+          case scala.util.control.NonFatal(_) =>
+            pos = save; resetInlineWheres(mark); cmpExpr()
         }
       } else cmpExpr()
 
@@ -1419,19 +1460,20 @@ object CypherParser {
         // into the FULL-subquery form (r15)
         ident(); eatSym("{")
         val saveC = pos
+        val markC = inlineWheres.size
         val simpleC: Option[CExpr] =
           try {
             if (atKw("MATCH")) eatKw("MATCH")
             val chain = patternChain()
-            val inW = drainInlineWheres()
+            val inW = drainInlineWheresFrom(markC)
             val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
             if (atSym("}")) { eatSym("}"); Some(CountPattern(chain, andOpt(inW, w))) }
             else None
           } catch { case scala.util.control.NonFatal(_) => None }
         simpleC.getOrElse {
           pos = saveC
-          inlineWheres.clear()
-          val body = query(inCall = true).clauses
+          resetInlineWheres(markC)
+          val body = withFreshInlineFrame(query(inCall = true).clauses)
           eatSym("}")
           CountSubquery(body)
         }
@@ -1446,11 +1488,12 @@ object CypherParser {
         // unspecified).
         ident(); eatSym("{")
         val saveL = pos
+        val markL = inlineWheres.size
         val simpleL: Option[CExpr] =
           try {
             if (atKw("MATCH")) eatKw("MATCH")
             val chain = patternChain()
-            val inW = drainInlineWheres()
+            val inW = drainInlineWheresFrom(markL)
             val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
             eatKw("RETURN")
             val proj = addExpr()
@@ -1459,10 +1502,10 @@ object CypherParser {
           } catch { case scala.util.control.NonFatal(_) => None }
         simpleL.getOrElse {
           pos = saveL
-          inlineWheres.clear()
+          resetInlineWheres(markL)
           // full form (r15): a whole pipeline whose last clause must
           // be a single-item RETURN (validated at plan time)
-          val body = query(inCall = true).clauses
+          val body = withFreshInlineFrame(query(inCall = true).clauses)
           eatSym("}")
           CollectSubquery(body)
         }
@@ -1567,12 +1610,13 @@ object CypherParser {
         // expression backtracks cleanly (same discipline as the bare
         // pattern predicate)
         val save = pos
+        val markP = inlineWheres.size
         try {
           eatSym("[")
           val chain = patternChain()
           if (chain.hops.isEmpty) throw new IllegalArgumentException(
             "not a pattern comprehension")
-          val inW = drainInlineWheres()
+          val inW = drainInlineWheresFrom(markP)
           val w = if (atKw("WHERE")) { eatKw("WHERE"); Some(expr()) } else None
           eatSym("|")
           val proj = addExpr()
@@ -1581,6 +1625,7 @@ object CypherParser {
         } catch {
           case scala.util.control.NonFatal(_) =>
             pos = save
+            resetInlineWheres(markP)
             eatSym("[")
             val items = Seq.newBuilder[CExpr]
             if (!atSym("]")) {

@@ -427,7 +427,12 @@ object CypherPlanner {
             else Some {
               val nullAggs = props.map(p =>
                 max(col(p).isNull.cast("int")).as(s"__n_$p"))
-              nt.agg(nullAggs.head, nullAggs.tail: _*)
+              // the ungrouped agg over an EMPTY table still yields one
+              // row (max over no rows = null) — Neo4j emits NO rows
+              // for a zero-node label, so guard on the row count
+              nt.agg(nullAggs.head,
+                  nullAggs.tail :+ count(lit(1)).as("__cnt"): _*)
+                .filter(col("__cnt") > 0)
                 .select(lit(s":`$ln`").as("nodeType"),
                   array(lit(ln)).as("nodeLabels"),
                   explode(array(props.map(p => struct(
@@ -1163,6 +1168,16 @@ object CypherPlanner {
       require(w.skip.isEmpty && w.limit.isEmpty,
         s"SKIP/LIMIT inside a $kind subquery body is not supported " +
           "(it would be per-binding)")
+      // a horizon item whose alias SHADOWS a correlation key (outer
+      // `x`, body `WITH s.q AS x`) would not be re-threaded — the key
+      // column would carry the body's value and the join would
+      // silently mis-correlate. Neo4j rejects redeclaring an outer
+      // variable inside a subquery; so do we (identity re-exports
+      // `WITH x`/`WITH x AS x` stay legal).
+      w.items.foreach(i => i.alias.foreach(a =>
+        require(!keyVars.contains(a) || i.expr == Ident(a),
+          s"cannot redeclare the outer variable `$a` inside a $kind " +
+            "subquery body (it is a correlation key)")))
       if (w.items.exists(_.expr == Ident("*"))) w
       else {
         val present = w.items.flatMap(i => i.expr match {
@@ -3659,19 +3674,20 @@ object CypherPlanner {
 
   /** Walk-carrying variant of [[weightedShortestRel]] (r15): the same
     * hop-bounded Bellman–Ford relaxation, additionally materializing
-    * ONE deterministic cheapest walk per pair. Parallel edges collapse
-    * UP FRONT to the min (weight, payload, identity) struct per
-    * stored (src, dst) — a cheapest walk can always take the
-    * min-weight parallel edge, so the collapse is cost-exact and
-    * makes payloads a function of the node sequence. Each round's
-    * pair-keyed aggregate keeps min(struct(cost, walk…)) — candidates
-    * in one round share the hop count, so the ordering is cost, then
-    * lexicographic node sequence — and only STRICTLY cheaper
-    * candidates replace the standing best (ties keep fewer hops, the
-    * unweighted discipline). With positive weights a recorded walk
-    * never contains a cycle: the cycle-free shortcut has fewer edges,
-    * so an at-most-equal cost was already standing when the cyclic
-    * candidate arrived, and equal never replaces.
+    * ONE deterministic cheapest walk per pair. Parallel edges are
+    * deliberately NOT collapsed up front (a global (src, dst) groupBy
+    * would shuffle the full edge table before any pruning — see the
+    * inline note at `raw`); instead each round's pair-keyed aggregate
+    * keeps the min over WHOLE-ROW candidate structs ordered (cost,
+    * node walk, edge identity, payload), so the chosen cost, walk,
+    * identity and payload always come from the SAME edge — candidates
+    * in one round share the hop count, equal-weight parallels tie on
+    * cost+walk and break deterministically on edge identity. Only
+    * STRICTLY cheaper candidates replace the standing best (ties keep
+    * fewer hops, the unweighted discipline). With positive weights a
+    * recorded walk never contains a cycle: the cycle-free shortcut
+    * has fewer edges, so an at-most-equal cost was already standing
+    * when the cyclic candidate arrived, and equal never replaces.
     *
     * Returns (__src, __dst, __hops, __wcost, __nids[, __eids]
     * [, __epls]) in the var-expand walk contract.
@@ -4182,8 +4198,16 @@ object CypherPlanner {
     case FnCall("tostring" | "tostringornull", Some(a), _, _) =>
       toColumn(a, scalars).cast("string")
     case FnCall("tobooleanornull", Some(a), _, _) =>
-      val l = lower(toColumn(a, scalars).cast("string"))
+      // Neo4j 5: booleans pass through, INTEGER maps 0→false /
+      // nonzero→true, strings only 'true'/'false'; all else → null.
+      // Integer-typed values print as bare digits after the string
+      // cast — matched by the integral regex (a purely-numeric STRING
+      // is indistinguishable at this point and converts too; floats
+      // print with a '.' and stay null, as in Neo4j).
+      val cb = toColumn(a, scalars)
+      val l = lower(cb.cast("string"))
       when(l === "true", lit(true)).when(l === "false", lit(false))
+        .when(l.rlike("^-?[0-9]+$"), cb.try_cast("long") =!= 0)
         .otherwise(lit(null))
     case FnCall("isnan", Some(a), _, _) =>
       isnan(toColumn(a, scalars).cast("double"))

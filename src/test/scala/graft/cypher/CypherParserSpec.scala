@@ -286,6 +286,50 @@ class CypherParserSpec extends AnyFunSuite {
     assert(f3.expr.isInstanceOf[Cmp])
   }
 
+  test("nested subquery expressions keep the enclosing pattern's inline WHERE frame") {
+    // predicates buffered by EARLIER elements of the enclosing
+    // pattern (a.acctbal > 1.0) must neither be drained into a nested
+    // subquery expression's inner scope nor dropped by the full-body
+    // fallback's buffer reset (r16 frame-mark discipline)
+    def flat(e: CExpr): Seq[CExpr] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other     => Seq(other)
+    }
+    def hasAPred(preds: Seq[CExpr]): Boolean = preds.exists {
+      case Cmp(">", Prop("a", "acctbal"), _) => true
+      case _                                 => false
+    }
+    // simple-form EXISTS inside the SECOND element's inline WHERE
+    val q1 = CypherParser.parse(
+      "MATCH (a:Customer WHERE a.acctbal > 1.0)<-[:PLACED_BY]-" +
+        "(b WHERE EXISTS { (b)-[:CONTAINS]->(:Part) }) RETURN a.name")
+    val preds1 = flat(q1.clauses.collectFirst { case f: FilterClause => f }.get.expr)
+    assert(hasAPred(preds1), "a's inline predicate must stay in the outer frame")
+    val ex1 = preds1.collectFirst { case e: ExistsPattern => e }.get
+    assert(ex1.where.isEmpty, "a's predicate must not leak into the EXISTS scope")
+    // full-body EXISTS (the WITH horizon forces the fallback path)
+    val q2 = CypherParser.parse(
+      "MATCH (a:Customer WHERE a.acctbal > 1.0)<-[:PLACED_BY]-" +
+        "(b WHERE EXISTS { MATCH (b)-[:CONTAINS]->(p:Part) WITH p " +
+        "MATCH (p2:Part) WHERE p2.size = p.size RETURN p2 }) RETURN a.name")
+    val preds2 = flat(q2.clauses.collectFirst { case f: FilterClause => f }.get.expr)
+    assert(hasAPred(preds2), "full-body fallback must not drop a's predicate")
+    val sub2 = preds2.collectFirst { case e: ExistsSubquery => e }.get
+    val innerPreds = sub2.body.collect { case FilterClause(e) => flat(e) }.flatten
+    assert(!hasAPred(innerPreds), "a's predicate must not migrate into the body")
+    // full-body COUNT nested the same way
+    val q3 = CypherParser.parse(
+      "MATCH (a:Customer WHERE a.acctbal > 1.0)<-[:PLACED_BY]-" +
+        "(b WHERE COUNT { MATCH (b)-[:CONTAINS]->(p:Part) WITH p " +
+        "RETURN DISTINCT p.size } > 0) RETURN a.name")
+    val preds3 = flat(q3.clauses.collectFirst { case f: FilterClause => f }.get.expr)
+    assert(hasAPred(preds3), "COUNT fallback must not drop a's predicate")
+    assert(preds3.exists {
+      case Cmp(">", _: CountSubquery, _) => true
+      case _                             => false
+    })
+  }
+
   test("COUNT { pattern } parses as a subquery expression, count(x) stays an aggregate") {
     val q = CypherParser.parse(
       "MATCH (n:Nation) RETURN n.name, COUNT { (n)<-[:FROM_NATION]-(:Customer) } AS c")

@@ -816,6 +816,47 @@ class CypherPlannerSpec extends AnyFunSuite {
         "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p, s }) AS k"))
   }
 
+  test("subquery bodies cannot redeclare an outer correlation key") {
+    // a body horizon shadowing an outer scalar key would silently
+    // mis-correlate (the key column would carry the body's value) —
+    // Neo4j rejects redeclaring outer variables; so do we (r16)
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n:Nation) WITH n.nationkey AS x, n.name AS nm " +
+        "RETURN nm, COUNT { MATCH (s:Supplier) WHERE s.nationkey = x " +
+        "WITH s.acctbal AS x RETURN DISTINCT x } AS c"))
+    // identity re-threading `WITH x` / `x AS x` stays legal
+    val ok = run(
+      "MATCH (n:Nation) WITH n.nationkey AS x, n.name AS nm " +
+        "RETURN nm, COUNT { MATCH (s:Supplier) WHERE s.nationkey = x " +
+        "WITH s, x WHERE s.acctbal > 0.0 RETURN s } AS c ORDER BY nm")
+    assert(ok.count() == 25)
+  }
+
+  test("inline WHERE on earlier elements survives a nested subquery expression") {
+    // the r16 parser frame fix: (a … WHERE pred) followed by an
+    // element whose inline WHERE holds a FULL-BODY subquery must keep
+    // pred in the OUTER filter, not drop it or push it into the body
+    val got = run(
+      "MATCH (s:Supplier WHERE s.acctbal > 5000.0)-[:SUPP_NATION]->" +
+        "(n WHERE EXISTS { MATCH (n)<-[:FROM_NATION]-(c:Customer) WITH c " +
+        "WHERE c.acctbal > 9000.0 RETURN c }) " +
+        "RETURN s.suppkey AS sk ORDER BY sk").collect().map(_.getLong(0)).toList
+    val ref = run(
+      "MATCH (s:Supplier)-[:SUPP_NATION]->(n:Nation) " +
+        "WHERE s.acctbal > 5000.0 AND " +
+        "EXISTS { MATCH (n)<-[:FROM_NATION]-(c:Customer) WITH c " +
+        "WHERE c.acctbal > 9000.0 RETURN c } " +
+        "RETURN s.suppkey AS sk ORDER BY sk").collect().map(_.getLong(0)).toList
+    assert(got.nonEmpty && got == ref)
+    // and strictly fewer rows than without the first element's filter
+    val loose = run(
+      "MATCH (s:Supplier)-[:SUPP_NATION]->" +
+        "(n WHERE EXISTS { MATCH (n)<-[:FROM_NATION]-(c:Customer) WITH c " +
+        "WHERE c.acctbal > 9000.0 RETURN c }) " +
+        "RETURN s.suppkey AS sk").count()
+    assert(got.size < loose)
+  }
+
   test("allShortestPaths counts shortest-path multiplicity via sigma recurrence") {
     // directed 1-hop over CONTAINS: count(p) per (order, part) pair
     // must equal the PARALLEL relationship count (one per lineitem) —
@@ -1036,6 +1077,22 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getAs[String]("r9") == "spark") // n past length → whole string
     assert(r.getAs[String]("rev") == "cba")
     assert(r.getAs[String]("ts") == "42")
+  }
+
+  test("toBooleanOrNull follows Neo4j 5: strings, integers, all else null") {
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+      "toBooleanOrNull('true') AS st, toBooleanOrNull('False') AS sf, " +
+      "toBooleanOrNull('yes') AS sx, toBooleanOrNull(1) AS i1, " +
+      "toBooleanOrNull(0) AS i0, toBooleanOrNull(-7) AS im, " +
+      "toBooleanOrNull(1.5) AS f").collect().head
+    assert(r.getAs[Boolean]("st") == true)
+    assert(r.getAs[Boolean]("sf") == false)
+    assert(r.isNullAt(r.fieldIndex("sx")))
+    assert(r.getAs[Boolean]("i1") == true)   // Neo4j: nonzero integer → true
+    assert(r.getAs[Boolean]("i0") == false)  // 0 → false
+    assert(r.getAs[Boolean]("im") == true)
+    assert(r.isNullAt(r.fieldIndex("f")))    // floats are not convertible
   }
 
   test("list predicates and head/last/tail over lists") {
@@ -2552,6 +2609,25 @@ class CypherPlannerSpec extends AnyFunSuite {
         "MATCH (p4:Part) RETURN count(*) AS n")
       .collect().head.getLong(0)
     assert(bigParts > 0 && left == allParts - bigParts)
+  }
+
+  test("db.schema.nodeTypeProperties emits no rows for a zero-node label") {
+    // Neo4j's procedure reads the store: a label with no nodes has no
+    // schema rows — the ungrouped agg must not leak its empty-group
+    // row with a null `mandatory` (r16)
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "V" -> Seq((1L, "a"), (2L, "b")).toDF("__id", "name"),
+        "W" -> Seq.empty[(Long, String)].toDF("__id", "tag")),
+      rels = Map.empty)
+    val rows = CypherPlanner.run(spark, g,
+      "CALL db.schema.nodeTypeProperties() " +
+        "RETURN nodeType, propertyName, mandatory ORDER BY nodeType, propertyName")
+      .collect()
+    assert(rows.map(_.getString(0)).forall(_ == ":`V`"))
+    assert(rows.map(_.getString(1)).toList == List("name"))
+    assert(rows.forall(!_.isNullAt(2)))
   }
 
   test("plain DELETE on a nodes-only graph succeeds (no edge tables, nothing attached)") {
