@@ -27,11 +27,7 @@ object OracleSql {
     * 6-dp round matches bit-for-bit.
     */
   def minhashLsh(numPerms: Int = 128, bands: Int = 32, tau: Double = 0.6): String =
-    minhashCtes(numPerms, bands) + s""",
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+    minhashCtes(numPerms, bands) + "," + candCte + s""",
        |eq AS (
        |  SELECT c.a_id, c.b_id,
        |    round(CAST(len(list_filter(range(1, ${numPerms + 1}),
@@ -41,6 +37,34 @@ object OracleSql {
        |  JOIN sigl b ON c.b_id = b.doc_id)
        |SELECT a_id, b_id, est_jaccard FROM eq
        |WHERE est_jaccard >= $tau ORDER BY a_id, b_id""".stripMargin
+
+  /** The hot-bucket-guarded candidate CTE shared by [[minhashLsh]]
+    * and [[lshTuningCurve]], mirroring
+    * [[Dedup.bandedCandidatePairs]] with the same
+    * [[Dedup.HotBucketCap]]: buckets of ≤ cap members all-pair;
+    * larger buckets emit star edges to the bucket-min doc_id.
+    */
+  private def candCte: String = {
+    val cap = Dedup.HotBucketCap
+    s"""
+       |bsz AS (
+       |  SELECT band, band_hash, COUNT(*) AS m, MIN(doc_id) AS min_id
+       |  FROM banded GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT x.doc_id AS a_id, y.doc_id AS b_id
+       |    FROM banded x
+       |    JOIN banded y
+       |      ON x.band = y.band AND x.band_hash = y.band_hash
+       |      AND x.doc_id < y.doc_id
+       |    JOIN bsz s ON s.band = x.band AND s.band_hash = x.band_hash
+       |    WHERE s.m <= $cap
+       |    UNION ALL
+       |    SELECT s.min_id AS a_id, b.doc_id AS b_id
+       |    FROM banded b
+       |    JOIN bsz s ON s.band = b.band AND s.band_hash = b.band_hash
+       |    WHERE s.m > $cap AND b.doc_id <> s.min_id))""".stripMargin
+  }
 
   /** The shared shingle→signature→band CTE chain (no final SELECT)
     * behind [[minhashLsh]] and [[incrementalDedup]] — one definition
@@ -96,11 +120,7 @@ object OracleSql {
   def lshTuningCurve(numPerms: Int = 128, bands: Int = 32,
       tau: Double = 0.6): String = {
     val r = numPerms / bands
-    minhashCtes(numPerms, bands) + s""",
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+    minhashCtes(numPerms, bands) + "," + candCte + s""",
        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS measured_candidates FROM cand),
        |eq AS (
        |  SELECT round(CAST(len(list_filter(range(1, ${numPerms + 1}),
@@ -167,15 +187,27 @@ object OracleSql {
        |      AS simhash
        |  FROM bs GROUP BY doc_id),
        |bl AS (
-       |  SELECT doc_id, simhash, i AS blk, (simhash >> CAST(i*15 AS INT)) & 32767 AS blk_val
+       |  SELECT doc_id, i AS blk, (simhash >> CAST(i*15 AS INT)) & 32767 AS blk_val
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii),
+       |blsz AS (
+       |  SELECT blk, blk_val, COUNT(*) AS m, MIN(doc_id) AS min_id
+       |  FROM bl GROUP BY 1, 2),
        |p AS (
-       |  SELECT DISTINCT x.doc_id AS a_id, x.simhash AS a_sh,
-       |    y.doc_id AS b_id, y.simhash AS b_sh
-       |  FROM bl x JOIN bl y
-       |    ON x.blk = y.blk AND x.blk_val = y.blk_val AND x.doc_id < y.doc_id)
-       |SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
-       |FROM p WHERE bit_count(xor(a_sh, b_sh)) <= $maxHamming
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT x.doc_id AS a_id, y.doc_id AS b_id
+       |    FROM bl x
+       |    JOIN bl y ON x.blk = y.blk AND x.blk_val = y.blk_val
+       |      AND x.doc_id < y.doc_id
+       |    JOIN blsz s ON s.blk = x.blk AND s.blk_val = x.blk_val
+       |    WHERE s.m <= ${Dedup.HotBucketCap}
+       |    UNION ALL
+       |    SELECT s.min_id AS a_id, b.doc_id AS b_id
+       |    FROM bl b JOIN blsz s ON s.blk = b.blk AND s.blk_val = b.blk_val
+       |    WHERE s.m > ${Dedup.HotBucketCap} AND b.doc_id <> s.min_id))
+       |SELECT p.a_id, p.b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM p JOIN sh a ON p.a_id = a.doc_id JOIN sh b ON p.b_id = b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
   }
 

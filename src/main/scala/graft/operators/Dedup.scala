@@ -351,9 +351,16 @@ object Dedup {
       tau: Double): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
-    val exactPairs = hashed.as("a").join(hashed.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    // exact-dup edges as STARS to the per-hash min doc (m−1 rows per
+    // hash group, r16) — identical connectivity to the old all-pairs
+    // self-join (same md5 ⇒ same component, transitively), but a
+    // 10⁵-copy boilerplate group contributes 10⁵−1 edges, not ~5×10⁹
+    val exactPairs = hashed
+      .join(hashed.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("src"), count(lit(1)).as("__m"))
+        .filter(col("__m") > 1), Seq("h"))
+      .filter(col("doc_id") =!= col("src"))
+      .select(col("src"), col("doc_id").as("dst"))
     val nearPairs = ngramJaccard(spark, sfDir, tau)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     // the component loop only ever sees docs that appear in a pair —
@@ -458,26 +465,70 @@ object Dedup {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       numPerms, bands)
 
+  /** Default hot-bucket cap for the LSH-family band/block joins: a
+    * bucket holding more members than this emits STAR edges (every
+    * member → bucket-min doc, m−1 rows) instead of all pairs
+    * (m(m−1)/2). 64 keeps all-pairs exactness for every sanely-sized
+    * bucket (≤ 2,016 pairs) while bounding the duplicate-cluster
+    * blowup: 10⁵ boilerplate copies in one bucket emit 10⁵−1 edges,
+    * not ~5×10⁹.
+    */
+  val HotBucketCap = 64
+
+  /** Candidate pairs from an exploded bucket table — the shared
+    * HOT-BUCKET-GUARDED core of [[minhashLsh]] and
+    * [[lshTuningCurve]] (r16, the [[ngramPairIntersections]]
+    * stop-shingle discipline applied to the band join): buckets of
+    * size ≤ `bucketCap` emit the exact all-pairs candidate set;
+    * larger buckets — duplicate clusters, mirrored boilerplate —
+    * emit star edges to the bucket's min doc_id, keeping every
+    * member connected so a downstream connected-components closure
+    * ([[dedupClusters]]) recovers the same clusters transitively
+    * while candidate volume stays LINEAR in bucket size. Nothing is
+    * dropped silently: every bucket member still appears in ≥ 1
+    * candidate row.
+    *
+    * 100 TB shape: the hot-bucket list is tiny by construction (only
+    * buckets with > cap members) → broadcast; the all-pairs join runs
+    * only on capped buckets, so no single key can go quadratic.
+    */
+  private def bandedCandidatePairs(banded: DataFrame,
+      keys: Seq[String], bucketCap: Int): DataFrame = {
+    val kc = keys.map(col)
+    val hot = banded.groupBy(kc: _*)
+      .agg(count(lit(1)).as("__m"), min(col("doc_id")).as("__min_id"))
+      .filter(col("__m") > bucketCap)
+    val tagged = banded.join(broadcast(hot), keys, "left")
+    val cold = tagged.filter(col("__m").isNull)
+      .select(kc :+ col("doc_id"): _*)
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k"))
+          .reduce(_ && _) && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val hotPairs = tagged
+      .filter(col("__m").isNotNull && col("doc_id") =!= col("__min_id"))
+      .select(col("__min_id").as("a_id"), col("doc_id").as("b_id"))
+    coldPairs.unionByName(hotPairs).distinct()
+  }
+
   /** MinHash+LSH near-dup: b bands × r rows banding over the MinHash
-    * signature; docs colliding in any band become candidates; a
-    * verification pass computes the estimated Jaccard from full
-    * signatures and keeps pairs ≥ τ.
+    * signature; docs colliding in any band become candidates (via the
+    * hot-bucket-guarded [[bandedCandidatePairs]]); a verification
+    * pass computes the estimated Jaccard from full signatures and
+    * keeps pairs ≥ τ.
     *
     * At 100 TB: the banding join shuffles (band_id, band_hash, doc_id)
     * — 24 B rows; text is never shuffled. Verification joins the 1 KB
-    * signatures for candidate pairs only.
+    * signatures for candidate pairs only, and the hot-bucket star
+    * edges keep duplicate clusters from going quadratic.
     */
   def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.6,
-      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+      numPerms: Int = 128, bands: Int = 32,
+      bucketCap: Int = HotBucketCap): DataFrame = {
     val sigs = minhashSignatures(spark, sfDir, numPerms, bands).cache()
     val banded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "band_hash")))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cands = bandedCandidatePairs(banded, Seq("band", "band_hash"), bucketCap)
 
     cands
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
@@ -504,17 +555,13 @@ object Dedup {
     * exchanges and collapse to one broadcast row each.
     */
   def lshTuningCurve(spark: SparkSession, sfDir: String, tau: Double = 0.6,
-      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+      numPerms: Int = 128, bands: Int = 32,
+      bucketCap: Int = HotBucketCap): DataFrame = {
     val r = numPerms / bands
     val sigs = minhashSignatures(spark, sfDir, numPerms, bands).cache()
     val banded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "band_hash")))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cands = bandedCandidatePairs(banded, Seq("band", "band_hash"), bucketCap)
     val nCand = cands.agg(count(lit(1)).as("measured_candidates"))
     val nPairs = cands
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
@@ -644,24 +691,26 @@ object Dedup {
     * split would silently lose completeness the moment a caller asked
     * for a larger distance.
     */
-  def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 3)
-      : DataFrame = {
+  def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 3,
+      bucketCap: Int = HotBucketCap): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimhashBits, s"bad maxHamming $maxHamming")
     val nBlocks = maxHamming + 1
     val width = (SimhashBits + nBlocks - 1) / nBlocks
     val sigs = simhashSignatures(spark, sfDir).cache()
-    val blocks = sigs.select(col("doc_id"), col("simhash"),
+    val blocks = sigs.select(col("doc_id"),
       posexplode(array((0 until nBlocks).map(i =>
         shiftright(col("simhash"), i * width)
           .bitwiseAND(lit((1L << width) - 1))): _*))
         .as(Seq("blk", "blk_val")))
-    val pairs = blocks.as("x").join(blocks.as("y"),
-        col("x.blk") === col("y.blk") && col("x.blk_val") === col("y.blk_val") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("x.simhash").as("a_sh"),
-        col("y.doc_id").as("b_id"), col("y.simhash").as("b_sh"))
-      .distinct()
+    // the block join takes the same hot-bucket guard as the band join
+    // (r16): near-identical clusters — and the all-zero-simhash
+    // boilerplate bucket — emit star edges, not all pairs. The
+    // verify-side hashes join back from the cached 16 B/doc
+    // signatures, candidates only.
+    val pairs = bandedCandidatePairs(blocks, Seq("blk", "blk_val"), bucketCap)
     pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sh")), "b_id")
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))

@@ -157,6 +157,60 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_canonical")).sum == clusters)
   }
 
+  test("hot-bucket guard: star edges on duplicate clusters keep clusters, collapse volume") {
+    // a corpus WITH a large duplicate cluster — the 10⁵-boilerplate
+    // shape, shrunk: 200 identical copies + a near-dup pair + distinct
+    // filler. The guarded run must (a) emit LINEAR candidate volume on
+    // the cluster, (b) recover the SAME connected components as the
+    // exact all-pairs run, (c) keep the cold-bucket pairs bit-identical.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the miller grinds wheat by the river mill every single day"
+    val copies = (0 until 200).map(i => (i.toLong, base))
+    val nearA = (500L, base + " extra tail words here")
+    val nearB = (501L, base + " extra tail words there")
+    val distinct = (600 until 620).map(i => (i.toLong,
+      s"totally unrelated document number $i about topic $i with unique " +
+        s"content token$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotbucket").toString
+    (copies ++ Seq(nearA, nearB) ++ distinct).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def comps(pairs: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.groupBy(find).values.map(_.toSet).toSet
+    }
+    val guarded = Dedup.minhashLsh(spark, dir, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.minhashLsh(spark, dir, tau = 0.6,
+      bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // volume collapse: the 200-cluster contributes 199 star edges, not
+    // 19,900 all-pairs
+    assert(guarded.count { case (a, b) => a < 200 && b < 200 } == 199)
+    assert(exact.count { case (a, b) => a < 200 && b < 200 } == 19900)
+    // cluster equivalence
+    assert(comps(guarded) == comps(exact))
+    // cold pairs (the near-dup pair lives in small buckets) identical
+    assert(guarded.contains((500L, 501L)) == exact.contains((500L, 501L)))
+
+    // simhash takes the same guard: identical docs share the simhash,
+    // so the 200-cluster is one hot block bucket per block index
+    val gSim = Dedup.simhashNearDup(spark, dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eSim = Dedup.simhashNearDup(spark, dir, maxHamming = 3,
+      bucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gSim.count { case (a, b) => a < 200 && b < 200 } == 199)
+    assert(eSim.count { case (a, b) => a < 200 && b < 200 } == 19900)
+    assert(comps(gSim) == comps(eSim))
+  }
+
   test("containment dominates jaccard at the same threshold") {
     // containment = inter/min(a,b) >= inter/(a+b-inter) = jaccard, so
     // at equal tau the jaccard pair set is a subset and each kept
