@@ -120,6 +120,7 @@ object SparkEntry {
     "cypher_sp_group_nodes" -> (cypher.CypherQueries.spGroupNodes(_, _)),
     "cypher_inline_where"   -> (cypher.CypherQueries.inlineWhere(_, _)),
     "cypher_gql_shortest"   -> (cypher.CypherQueries.gqlShortest(_, _)),
+    "cypher_sp_multihop_group" -> (cypher.CypherQueries.spMultihopGroup(_, _)),
     "cypher_label_expr"     -> (cypher.CypherQueries.labelExpr(_, _)),
     "cypher_weighted_nodes" -> (cypher.CypherQueries.weightedNodes(_, _)),
     "cypher_catalog_schema" -> (cypher.CypherQueries.catalogSchema(_, _)),
@@ -2773,6 +2774,29 @@ object SparkEntry {
         |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
         |  AND b.pos - a.pos <= 3
         |WHERE a.rk = 4""".stripMargin,
+    // shortestPath over a 2-hop quantified group: per pair, the
+    // minimum over the h·k union arms (k=1 → 2 hops, k=2 → 4)
+    "cypher_sp_multihop_group" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |h2 AS (SELECT a.src AS s, b.dst AS t FROM e2 a
+        |       JOIN e2 b ON a.dst = b.src),
+        |h4 AS (SELECT a.src AS s, d.dst AS t FROM e2 a
+        |       JOIN e2 b ON a.dst = b.src
+        |       JOIN e2 c ON b.dst = c.src
+        |       JOIN e2 d ON c.dst = d.src),
+        |u AS (SELECT s, t, 2 AS hops FROM h2
+        |      UNION ALL SELECT s, t, 4 FROM h4),
+        |m AS (SELECT s, t, MIN(hops) AS hops FROM u WHERE s <> t
+        |      GROUP BY 1, 2)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(m.hops AS BIGINT) AS hops
+        |FROM m JOIN nation ns ON m.s = ns.n_nationkey
+        |JOIN nation nt ON m.t = nt.n_nationkey
+        |ORDER BY s_name, t_name""".stripMargin,
     // the NEXT_IN_REGION chain is a unique-successor function, so
     // each pair's shortest path is UNIQUE — the engine's deterministic
     // min-walk and the oracle's positional reconstruction must agree

@@ -2367,8 +2367,11 @@ object CypherPlanner {
       // searches keep their pair-level aggregates (multiplicity /
       // cost) and stay walk-free.
       val spCarry = chain.shortest && !chain.allShortest &&
-        rel.varLength.isDefined &&
-        rel.groupChain.isEmpty && (
+        rel.varLength.isDefined && (
+          // a multi-hop quantified group's repetition-level BFS (r16)
+          // always carries the composite walk arrays — they double as
+          // the relationship-uniqueness bookkeeping
+          rel.groupChain.isDefined ||
           chain.pathVar.exists(wref.walksOf) ||
           rel.variable.exists(wref.idents) ||
           rel.groupNodes.exists { case (a, b) =>
@@ -2690,10 +2693,20 @@ object CypherPlanner {
       // node label/prop constraints semi-join each hop's endpoints
       // ONCE, before composition.
       def compositeExpand(ch: PatternChain, lo: Int, hi: Int): DataFrame = {
-        require(!chain.shortest && !chain.allShortest &&
-            chain.weightProp.isEmpty,
+        // plain MATCH and (since r16) shortestPath consume the
+        // composite frame; allShortestPaths keeps pair aggregates (σ)
+        // that cannot ride a synthetic-edge walk, and the weighted
+        // search has no per-repetition weight to minimize — both stay
+        // loud rejects
+        require(!chain.allShortest && chain.weightProp.isEmpty,
           "multi-hop quantified groups are not supported inside " +
-            "shortestPath/allShortestPaths")
+            "allShortestPaths or weighted shortestPath")
+        // lower bound pinned to 1 under shortestPath (first-reach BFS
+        // = fewest repetitions; a {2,…} floor would need post-floor
+        // re-search) — same restriction as the single-edge shortestRel
+        require(!chain.shortest || lo == 1,
+          "shortestPath over a quantified group requires lower bound " +
+            s"exactly 1 (got {$lo,$hi})")
         val h = ch.hops.size
         val nodePats = ch.start +: ch.hops.map(_._2)
         val hopFrames = ch.hops.zipWithIndex.map { case ((r, _), j) =>
@@ -2920,6 +2933,22 @@ object CypherPlanner {
         val base = repFiltered.select(Seq(col("__src"), col("__dst"),
           col("__nes").as("__eids"), col("__snids").as("__nids")) ++
           named.map(j => array(col(s"__epl_$j")).as(s"__epls_$j")): _*)
+        // shortestPath over the composite frame: repetition-level
+        // walk-carrying BFS (fewest repetitions = fewest edges, k·h
+        // monotone in k). Seed rebuilt HERE because an outer-ref
+        // repetition WHERE composite-keys the frame only during
+        // repFiltered above — the chain-level bfsSeed predates that.
+        if (chain.shortest) {
+          val spSeed: Option[DataFrame] =
+            if (df != null && df.columns.contains(s"${cur}__id")) {
+              val sid =
+                if (qppOuterCols.isEmpty) col(s"${cur}__id").as("__seedid")
+                else struct((col(s"${cur}__id").as("i") +:
+                  qppOuterCols.map(col)): _*).as("__seedid")
+              Some(df.select(sid).distinct())
+            } else None
+          return compositeShortestWalks(base, h, hi, spSeed)
+        }
         def kRep(k: Int): DataFrame =
           (2 to k).foldLeft(base) { (acc, step) =>
             val right = repFiltered.select(Seq(col("__src").as(s"__m$step"),
@@ -3921,6 +3950,93 @@ object CypherPlanner {
       exhausted = fresh.isEmpty
       if (!exhausted) {
         seen = seen.unionByName(fresh.withColumn("__hops", lit(k)))
+        frontier = fresh
+      }
+      k += 1
+    }
+    seen
+  }
+
+  /** Multi-hop-quantified-group shortestPath (r16): the composite
+    * repetition frame IS a synthetic edge list — one row per full
+    * repetition of the h-hop inner chain, already carrying the
+    * repetition's node-id / edge-identity (/ per-named-hop payload)
+    * ARRAYS — so the walk-carrying first-reach BFS consumes it with
+    * two changes: walk columns CONCAT per step instead of
+    * array-wrapping a scalar, and extensions whose edge-identity
+    * arrays overlap the standing walk are skipped (repetitions may
+    * share inner edges, which Cypher's relationship-uniqueness rule
+    * forbids along one path; single-edge BFS needs no such check
+    * because node-simple ⇒ edge-simple there). Parallel repetitions
+    * (same juncture pair, different inner content) are deliberately
+    * NOT collapsed up front — the [[weightedShortestRelWalks]]
+    * discipline: each round's pair-keyed `min(struct(nids, eids,
+    * payloads…))` picks one whole candidate row AFTER the overlap
+    * filter, so a conflicting parallel repetition never blocks a
+    * non-conflicting sibling, and the recorded walk's content stays
+    * deterministic (node-sequence-led ordering).
+    * `__hops` reports RELATIONSHIPS traversed (k repetitions = k·h
+    * edges, `length(p)` semantics). Returns the var-expand walk
+    * contract (__src, __dst, __hops, __nids[, __eids][, __epls_j…]).
+    *
+    * Known bounded divergence (documented, not silent): keeping ONE
+    * walk per pair means a pair whose every minimal extension
+    * conflicts with the one RECORDED prefix may surface at a later
+    * level or not at all — the price of never enumerating walks,
+    * shared with every min-struct BFS here.
+    */
+  private def compositeShortestWalks(reps: DataFrame, h: Int, hi: Int,
+      seed: Option[DataFrame]): DataFrame = {
+    val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
+      c.startsWith("__epls")).toSeq.sorted
+    require(carry.contains("__nids") && carry.contains("__eids"),
+      s"composite repetition frame must carry __nids/__eids, has: $carry")
+    val edges = reps.filter(col("__src") =!= col("__dst")).localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    val ordCols = Seq("__nids", "__eids") ++
+      carry.filterNot(Set("__nids", "__eids"))
+    var seen = e0
+      .select(col("__src"), col("__dst"),
+        struct(ordCols.map(col): _*).as("__wk"))
+      .groupBy(col("__src"), col("__dst"))
+      .agg(min(col("__wk")).as("__wk"))
+      .select(Seq(col("__src"), col("__dst"), lit(h).as("__hops")) ++
+        ordCols.map(c => col("__wk").getField(c).as(c)): _*)
+      .localCheckpoint()
+    var frontier = seen
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = edges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n")) ++
+        carry.map(c => col(c).as(s"__r$c")): _*)
+      // node-sequence-led struct — the same ordering as level 1, so
+      // the recorded walk is the lexicographically-least node walk
+      // among the non-conflicting extensions, ties broken by edge
+      // identity then payloads
+      val walkStruct = struct(
+        ordCols.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
+      val stepped = frontier
+        .join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        // relationship uniqueness across repetitions
+        .filter(!arrays_overlap(col("__eids"), col("__r__eids")))
+        .select(col("__src"), col("__n").as("__d2"), walkStruct.as("__wk"))
+        .groupBy(col("__src"), col("__d2"))
+        .agg(min(col("__wk")).as("__wk"))
+      val fresh = stepped
+        .select(Seq(col("__src"), col("__d2").as("__dst")) ++
+          ordCols.map(c => col("__wk").getField(c).as(c)): _*)
+        .join(seen.select(col("__src"), col("__dst")), Seq("__src", "__dst"),
+          "left_anti")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        seen = seen.unionByName(fresh.withColumn("__hops", lit(k * h)))
         frontier = fresh
       }
       k += 1

@@ -918,6 +918,20 @@ object CypherQueries {
         |WHERE a.regionkey = 4
         |RETURN 'k1' AS kind, a.name AS a_name, b.name AS b_name, length(p) AS hops""".stripMargin)
 
+  /** shortestPath over a MULTI-hop quantified group (r16 — the former
+    * loud reject): the composite repetition frame is a synthetic edge
+    * list, consumed by the repetition-level walk-carrying BFS
+    * (`compositeShortestWalks`) — fewest repetitions = fewest edges,
+    * `length(p)` reports k·h. Per pair, the first-reach level equals
+    * the minimum over the h·k union arms of the plain quantified
+    * expansion (the oracle's spelling).
+    */
+  def spMultihopGroup(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = shortestPath((s:Nation) ((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){1,2} (t:Nation))
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops
+        |ORDER BY s_name, t_name""".stripMargin)
+
   /** Neo4j-5 label expressions, conjunction forms (r15): `%` wildcard
     * (any label — desugars to the label-less union scan), `!`
     * negation (id anti-joins against the negated tables — correct

@@ -546,6 +546,57 @@ class CypherPlannerSpec extends AnyFunSuite {
       cc(0).getString(1) == "/1/2/3")
   }
 
+  test("shortestPath over a multi-hop quantified group (composite BFS, r16)") {
+    // linear nation chains: pair set = the h·k union, one arm per pair
+    val sp = run(
+      "MATCH p = shortestPath((s:Nation) " +
+        "((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){1,2} (t:Nation)) " +
+        "RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ref = run(
+      "MATCH p = (s:Nation) " +
+        "((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){1,2} (t:Nation) " +
+        "RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops")
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).min).toMap
+    assert(sp.nonEmpty && sp == ref)
+    // first-reach beats longer arms: a custom graph where a pair is
+    // reachable at k=1 (via a shortcut) AND k=2 (along the chain)
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 9L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (5L, 6L), (6L, 7L), (1L, 9L), (9L, 5L)).toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val short = CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((s:V) ((x)-[:E]->(y)-[:E]->(z)){1,3} (t:V)) " +
+        "WHERE id(s) = 1 AND id(t) = 5 " +
+        "RETURN length(p) AS hops, nodes(p) AS ns").collect()
+    assert(short.length == 1)
+    assert(short(0).getLong(0) == 2L) // the k=1 shortcut, not the 4-hop chain
+    assert(short(0).getSeq[Long](1).toList == List(1L, 9L, 5L))
+    // group variables stride-slice the composite walk under the BFS:
+    // shortest 1→7 is 2 reps via the shortcut (1→9→5→6→7), beating
+    // the 3-rep chain walk
+    val gv = CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((s:V) ((x)-[:E]->(y)-[:E]->(z)){1,3} (t:V)) " +
+        "WHERE id(s) = 1 AND id(t) = 7 " +
+        "RETURN length(p) AS hops, y AS mids, size(z) AS reps").collect()
+    assert(gv.length == 1 && gv(0).getLong(0) == 4L)
+    assert(gv(0).getSeq[Long](1).toList == List(9L, 6L)) // mid of each rep
+    assert(gv(0).getLong(2) == 2L)
+    // the reject narrowed: allShortestPaths still refuses loudly
+    assertThrows[IllegalArgumentException](run(
+      "MATCH p = allShortestPaths((s:Nation) " +
+        "((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){1,2} (t:Nation)) " +
+        "RETURN count(p) AS n"))
+    // zero lower bound under shortestPath rejects loudly
+    assertThrows[IllegalArgumentException](run(
+      "MATCH p = shortestPath((s:Nation) " +
+        "((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){0,2} (t:Nation)) " +
+        "RETURN count(p) AS n"))
+  }
+
   test("inline pattern WHERE hoists into the owning context (Neo4j 5)") {
     // node + rel inline predicates ≡ the clause-level WHERE spelling
     val inline = run(
