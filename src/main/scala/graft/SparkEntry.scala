@@ -53,6 +53,8 @@ object SparkEntry {
     "cypher_pattern_pred"   -> (cypher.CypherQueries.patternPred(_, _)),
     "cypher_count_subquery" -> (cypher.CypherQueries.countSubquery(_, _)),
     "cypher_call_topk"      -> (cypher.CypherQueries.callTopk(_, _)),
+    "cypher_call_agg_topk"  -> (cypher.CypherQueries.callAggTopk(_, _)),
+    "cypher_sub_topk"       -> (cypher.CypherQueries.subTopk(_, _)),
     "cypher_stat_agg"       -> (cypher.CypherQueries.statAgg(_, _)),
     "cypher_unwind_range"   -> (cypher.CypherQueries.unwindRange(_, _)),
     "cypher_list_comp"      -> (cypher.CypherQueries.listComp(_, _)),
@@ -3225,6 +3227,36 @@ object SparkEntry {
         |      ORDER BY c_acctbal DESC, c_name) AS rk
         |  FROM customer, nation WHERE c_nationkey = n_nationkey)
         |WHERE rk <= 3 ORDER BY nation, bal DESC, top_cust""".stripMargin,
+    // aggregates + ORDER BY/LIMIT in a CALL RETURN: per-customer
+    // most-frequent status via a post-aggregation window
+    "cypher_call_agg_topk" ->
+      """SELECT custkey, st, n_orders FROM (
+        |  SELECT o_custkey AS custkey, o_orderstatus AS st,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY COUNT(*) DESC, o_orderstatus) AS rk
+        |  FROM orders WHERE o_custkey <= 200
+        |  GROUP BY o_custkey, o_orderstatus)
+        |WHERE rk = 1 ORDER BY custkey""".stripMargin,
+    // per-binding LIMIT inside a COUNT body: each nation's 2 richest
+    // suppliers' distinct-part fanout, zero for supplier-less nations
+    "cypher_sub_topk" ->
+      """WITH top2 AS (
+        |  SELECT s_suppkey, s_nationkey FROM (
+        |    SELECT s_suppkey, s_nationkey,
+        |      ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |        ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        |    FROM supplier) WHERE rk <= 2),
+        |cnt AS (
+        |  SELECT t.s_nationkey, COUNT(*) AS c
+        |  FROM top2 t JOIN (SELECT DISTINCT l_suppkey, l_partkey
+        |                    FROM lineitem) sp
+        |    ON t.s_suppkey = sp.l_suppkey
+        |  GROUP BY 1)
+        |SELECT n_name AS nation,
+        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS top2_parts
+        |FROM nation n LEFT JOIN cnt c ON n.n_nationkey = c.s_nationkey
+        |ORDER BY nation""".stripMargin,
     "cypher_pattern_pred" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n_orders
         |FROM orders

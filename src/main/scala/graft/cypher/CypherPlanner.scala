@@ -973,18 +973,46 @@ object CypherPlanner {
 
     val (sub, joinKind, coalesceZero) =
       if (aggs.nonEmpty) {
-        require(ret.orderBy.isEmpty && ret.limit.isEmpty && ret.skip.isEmpty,
-          "ORDER BY/SKIP/LIMIT with aggregates inside CALL is unsupported")
         val keyExprs = keyCols.map(col) ++
           plain.map(i => toColumn(i.expr, si.binds).as(i.name))
         val aggCols = aggs.map(i =>
           toAggColumn(i.expr, si.binds, pathCountVars(si.df), si.df).as(i.name))
-        val g = si.df.groupBy(keyExprs: _*).agg(aggCols.head, aggCols.tail: _*)
-        // count() over zero matches must yield 0, not a dropped row
+        val g0 = si.df.groupBy(keyExprs: _*).agg(aggCols.head, aggCols.tail: _*)
+        // ORDER BY/SKIP/LIMIT over an aggregating RETURN (r16 —
+        // formerly a loud reject): a POST-aggregation row_number
+        // window partitioned by the import keys — per-binding top-k
+        // over the aggregated rows. Sort keys resolve against the
+        // aggregated frame (item aliases are its columns).
+        val lo = ret.skip.getOrElse(0L)
+        val hi = ret.limit.map(lo + _).getOrElse(Long.MaxValue)
+        val g =
+          if (ret.orderBy.isEmpty && ret.limit.isEmpty && ret.skip.isEmpty) g0
+          else {
+            require(ret.orderBy.nonEmpty || plain.isEmpty,
+              "SKIP/LIMIT with grouped aggregates inside CALL " +
+                "requires ORDER BY (per-key top-k)")
+            // all-aggregate bodies yield one row per binding — a sort
+            // over that singleton is optional
+            val sortCols =
+              if (ret.orderBy.isEmpty) Seq(lit(1).asc)
+              else ret.orderBy.map { o =>
+                val c = toColumn(o.expr, si.binds.copy(
+                  names = si.binds.names ++ items.map(_.name)))
+                if (o.ascending) c.asc else c.desc
+              }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*).orderBy(sortCols: _*)
+            g0.withColumn("__call_rk", row_number().over(w))
+              .filter(col("__call_rk") > lo && col("__call_rk") <= hi)
+              .drop("__call_rk")
+          }
+        // count() over zero matches must yield 0, not a dropped row —
+        // but only when the virtual zero-row would itself survive the
+        // modifiers (SKIP ≥ 1 drops the one-row body in Neo4j too)
         val allCounts = plain.isEmpty && aggs.forall(_.expr match {
           case FnCall("count", _, _, _) => true
           case _                        => false
-        })
+        }) && lo == 0 && hi >= 1
         (g, if (allCounts) "left_outer" else "inner", allCounts)
       } else if (ret.orderBy.nonEmpty || ret.limit.isDefined || ret.skip.isDefined) {
         require(ret.orderBy.nonEmpty,
@@ -1162,12 +1190,6 @@ object CypherPlanner {
       sharedNodes, sharedScalars, s.lists.intersect(sharedScalars))
     val keyVars = (sharedNodes ++ sharedScalars).toSeq.sorted
     def thread(w: WithClause): WithClause = {
-      // a SKIP/LIMIT horizon inside the body would apply GLOBALLY in
-      // the decorrelated plan but PER-BINDING in Neo4j — reject
-      // loudly rather than diverge silently
-      require(w.skip.isEmpty && w.limit.isEmpty,
-        s"SKIP/LIMIT inside a $kind subquery body is not supported " +
-          "(it would be per-binding)")
       // a horizon item whose alias SHADOWS a correlation key (outer
       // `x`, body `WITH s.q AS x`) would not be re-threaded — the key
       // column would carry the body's value and the join would
@@ -1190,18 +1212,69 @@ object CypherPlanner {
           ReturnItem(Ident(v), None)))
       }
     }
-    val retAsWith = ret.filter(_ => keepReturn).map { r =>
-      require(r.skip.isEmpty && r.limit.isEmpty,
-        s"SKIP/LIMIT inside a $kind subquery's RETURN is not " +
-          "supported (it would be per-binding)")
-      thread(WithClause(r.distinct, r.items, None, Nil, None, None))
-    }
+    val retAsWith = ret.filter(_ => keepReturn).map(r =>
+      thread(WithClause(r.distinct, r.items, None, r.orderBy, r.skip,
+        r.limit)))
     val threaded = body.map {
       case w: WithClause => thread(w)
       case c             => c
     } ++ retAsWith.toSeq
-    val (si, _) = planClauses(graph, threaded,
-      seed, colsNeeded(CypherQuery(threaded)) ++ sharedNodes ++ sharedScalars)
+    val needsAll = colsNeeded(CypherQuery(threaded)) ++
+      sharedNodes ++ sharedScalars
+    val hasLimitHorizon = threaded.exists {
+      case w: WithClause => w.skip.isDefined || w.limit.isDefined
+      case _             => false
+    }
+    val si =
+      if (!hasLimitHorizon)
+        planClauses(graph, threaded, seed, needsAll)._1
+      else {
+        // SKIP/LIMIT horizons are PER-BINDING in Neo4j: a global
+        // sort-limit would diverge silently, so each such horizon
+        // becomes a row_number window PARTITIONED BY the correlation
+        // keys (the CALL-subquery top-k idiom, r16) — the clause list
+        // plans in segments around them; everything else is the
+        // single-pass plan above
+        var cur = seed
+        var buf = Vector.empty[Clause]
+        def flush(): Unit = if (buf.nonEmpty) {
+          cur = planClauses(graph, buf, cur, needsAll)._1
+          buf = Vector.empty
+        }
+        threaded.foreach {
+          case w: WithClause if w.skip.isDefined || w.limit.isDefined =>
+            require(w.orderBy.nonEmpty,
+              s"SKIP/LIMIT inside a $kind subquery body requires " +
+                "ORDER BY (per-binding top-k)")
+            // plan the horizon itself (projection/aggregation,
+            // DISTINCT) first; modifiers apply to ITS output
+            buf :+= w.copy(orderBy = Nil, skip = None, limit = None)
+            flush()
+            // sort keys resolve against the POST-horizon frame: a
+            // sort expression matching a projected item reads that
+            // item's output column (pre-horizon variables are gone);
+            // item aliases and carried node properties resolve as
+            // ordinary post-horizon columns
+            val itemCol: Map[CExpr, String] =
+              w.items.map(i => i.expr -> i.name).toMap
+            val sortCols = w.orderBy.map { o =>
+              val c = itemCol.get(o.expr).map(n => col(s"`$n`"))
+                .getOrElse(toColumn(o.expr, cur.binds))
+              if (o.ascending) c.asc else c.desc
+            }
+            val wnd = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*).orderBy(sortCols: _*)
+            val lo = w.skip.getOrElse(0L)
+            val hi2 = w.limit.map(lo + _).getOrElse(Long.MaxValue)
+            cur = cur.copy(df = cur.df
+              .withColumn("__sub_rk", row_number().over(wnd))
+              .filter(col("__sub_rk") > lo && col("__sub_rk") <= hi2)
+              .drop("__sub_rk"))
+          case c => buf :+= c
+        }
+        flush()
+        cur
+      }
     (keyCols, si.df, ret.filter(_ => keepReturn).map(_.items.head.name))
   }
 

@@ -1079,6 +1079,38 @@ object CypherQueries {
         |    WITH s2 WHERE s2.acctbal > 8000.0 RETURN s2.name }) AS first_rich
         |ORDER BY nation""".stripMargin)
 
+  /** PER-BINDING SKIP/LIMIT inside subquery-expression bodies (r16 —
+    * formerly a loud reject: a global sort-limit would diverge from
+    * Neo4j's per-binding semantics): each such horizon becomes a
+    * row_number window PARTITIONED BY the threaded correlation keys —
+    * the CALL-subquery top-k idiom applied to the shared
+    * decorrelation. COUNT caps each nation's supplier frame at its 2
+    * richest before expanding to parts; COLLECT keeps the top-2
+    * nation names per region on the trailing RETURN.
+    */
+  def subTopk(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation)
+        |RETURN n.name AS nation,
+        |  COUNT { MATCH (s:Supplier)-[:SUPP_NATION]->(n)
+        |    WITH s ORDER BY s.acctbal DESC, s.suppkey LIMIT 2
+        |    MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS top2_parts
+        |ORDER BY nation""".stripMargin)
+
+  /** Aggregates + ORDER BY/SKIP/LIMIT inside a correlated CALL RETURN
+    * (r16 — formerly a loud reject): a POST-aggregation row_number
+    * window partitioned by the import keys — each customer's most
+    * frequent order status (ties by status name).
+    */
+  def callAggTopk(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (c:Customer) WHERE c.custkey <= 200
+        |CALL { WITH c MATCH (o:Order)-[:PLACED_BY]->(c)
+        |  RETURN o.orderstatus AS st, count(o) AS n_orders
+        |  ORDER BY n_orders DESC, st LIMIT 1 }
+        |RETURN c.custkey AS custkey, st, n_orders
+        |ORDER BY custkey""".stripMargin)
+
   /** `IN` over list EXPRESSIONS (r15 — formerly literals only): bound
     * collect() results and range() lists on the right of IN, compiled
     * to array membership (literal lists keep the codegen'd isin fast

@@ -867,6 +867,96 @@ class CypherPlannerSpec extends AnyFunSuite {
         "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p, s }) AS k"))
   }
 
+  test("per-binding SKIP/LIMIT inside subquery bodies and aggregating CALL returns") {
+    import org.apache.spark.sql.functions.{col, row_number, countDistinct}
+    import org.apache.spark.sql.expressions.Window
+    // COUNT body with a mid-body top-k horizon: each nation's supplier
+    // frame caps at its 2 highest-acctbal suppliers BEFORE expanding
+    // to parts (per-binding window, not a global limit)
+    val got = run(
+      "MATCH (n:Nation) RETURN n.name AS nm, " +
+        "COUNT { MATCH (s:Supplier)-[:SUPP_NATION]->(n) " +
+        "WITH s ORDER BY s.acctbal DESC, s.suppkey LIMIT 2 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c ORDER BY nm")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val top2 = graft.Tables.supplier(spark, TestSpark.sf)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val perNation = top2
+      .join(graft.Tables.lineitem(spark, TestSpark.sf)
+        .select(col("l_suppkey"), col("l_partkey")).distinct(),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_nationkey")).count()
+      .join(graft.Tables.nation(spark, TestSpark.sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perNation.nonEmpty && perNation.forall { case (k, v) => got(k) == v })
+    assert(got.filterNot { case (k, _) => perNation.contains(k) }
+      .values.forall(_ == 0L))
+    // COLLECT with ORDER BY + LIMIT on the trailing RETURN: top-2
+    // nation names per region (collected list itself stays sorted)
+    val coll = run(
+      "MATCH (r:Region) RETURN r.name AS nm, " +
+        "COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) " +
+        "RETURN n.name ORDER BY n.name DESC LIMIT 2 } AS top2 ORDER BY nm")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val nat = run(
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) " +
+        "RETURN r.name AS rn, n.name AS nn").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).sorted.takeRight(2).toList).toMap
+    assert(coll.nonEmpty && nat.forall { case (k, v) => coll(k) == v })
+    // SKIP drops per-binding prefixes (EXISTS: a binding with <= skip
+    // rows stops existing)
+    val skipped = run(
+      "MATCH (r:Region) WHERE EXISTS { MATCH (n:Nation)-[:IN_REGION]->(r) " +
+        "WITH n ORDER BY n.nationkey SKIP 4 RETURN n } " +
+        "RETURN count(*) AS k").collect()(0).getLong(0)
+    val fivePlus = nat.count(_._2.nonEmpty) // every region with >= 5 nations
+    assert(skipped == run(
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WITH r, count(n) AS k " +
+        "WHERE k >= 5 RETURN count(*) AS c").collect()(0).getLong(0))
+    assert(fivePlus >= skipped.toInt)
+    // LIMIT without ORDER BY still rejects loudly
+    assertThrows[IllegalArgumentException](run(
+      "MATCH (n:Nation) RETURN n.name AS nm, COUNT { " +
+        "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s LIMIT 2 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c"))
+    // aggregating CALL RETURN with grouped top-1 (r16 — formerly a
+    // loud reject): each customer's most frequent order status
+    val call = run(
+      "MATCH (c:Customer) WHERE c.custkey <= 30 " +
+        "CALL { WITH c MATCH (o:Order)-[:PLACED_BY]->(c) " +
+        "RETURN o.orderstatus AS st, count(o) AS k ORDER BY k DESC, st LIMIT 1 } " +
+        "RETURN c.custkey AS id, st, k ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val refCall = graft.Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_custkey") <= 30)
+      .groupBy(col("o_custkey"), col("o_orderstatus")).count()
+      .withColumn("rk", row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("count").desc, col("o_orderstatus"))))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderstatus"), col("count"))
+      .orderBy(col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(call.nonEmpty && call.toList == refCall.toList)
+    // all-aggregate CALL: LIMIT 1 keeps every binding (incl. count=0),
+    // SKIP 1 drops them all
+    val keep = run(
+      "MATCH (r:Region) CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) " +
+        "RETURN count(n) AS k ORDER BY k LIMIT 1 } RETURN count(*) AS c")
+      .collect()(0).getLong(0)
+    assert(keep == 5L)
+    val drop = run(
+      "MATCH (r:Region) CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) " +
+        "RETURN count(n) AS k ORDER BY k SKIP 1 } RETURN count(*) AS c")
+      .collect()(0).getLong(0)
+    assert(drop == 0L)
+  }
+
   test("subquery bodies cannot redeclare an outer correlation key") {
     // a body horizon shadowing an outer scalar key would silently
     // mis-correlate (the key column would carry the body's value) —
