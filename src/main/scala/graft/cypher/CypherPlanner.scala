@@ -3318,13 +3318,15 @@ object CypherPlanner {
         if ((chain.shortest && !spCarry) || chain.allShortest) {
           // names consumed nowhere (or only by the group's own WHERE)
           // need no lists — the walk-free search stands. A name the
-          // query DOES consume forces spCarry on plain shortestPath,
-          // so reaching here consumed means allShortestPaths/weighted
+          // query DOES consume forces spCarry on plain AND weighted
+          // shortestPath (both carry walks since r15/r16, spec-pinned
+          // for the weighted composition), so reaching here consumed
+          // means allShortestPaths
           val consumed = (aName.toSeq ++ bName.toSeq).exists(wref.idents)
           require(!consumed,
             "group variables are not supported inside " +
-              "allShortestPaths/weighted shortestPath (the search " +
-              "keeps pair aggregates, not walks)")
+              "allShortestPaths (the search keeps pair " +
+              "multiplicities, not walks)")
         } else {
         (aName.toSeq ++ bName.toSeq).foreach(n =>
           require(!df.columns.contains(n),

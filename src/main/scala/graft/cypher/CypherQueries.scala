@@ -969,6 +969,24 @@ object CypherQueries {
         |  round(reduce(acc = 0.0, r IN rs | acc + r.price), 4) AS psum
         |ORDER BY pa, pb""".stripMargin)
 
+  /** Group variables under WEIGHTED shortestPath (r16 — the last
+    * group-variable cell): the weighted search has carried walks
+    * since r15 and the group-variable slicing is search-agnostic, so
+    * the quantified-group spelling composes with the Bellman–Ford
+    * walk carry with no new machinery. `y` binds the per-step end
+    * nodes of the cheapest walk (`price` weights make it unique on
+    * this data — the cypher_weighted_nodes argument).
+    */
+  def weightedGroupvar(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 40
+        |MATCH p = shortestPath((a) ((x)-[:CONTAINS]-(y)){1,4} (b:Part), 'price')
+        |WHERE b.partkey < 40 AND a.partkey < b.partkey
+        |RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  round(cost(p), 4) AS cost,
+        |  reduce(s = '', v IN y | s + '/' + toString(v)) AS step_ends
+        |ORDER BY pa, pb""".stripMargin)
+
   /** `CALL db.schema.nodeTypeProperties()` (r15) — the schema
     * procedure every driver and GUI calls at connect time: one row
     * per (label, property) with the Cypher-mapped type and the HONEST

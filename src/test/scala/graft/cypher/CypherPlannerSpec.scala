@@ -597,6 +597,32 @@ class CypherPlannerSpec extends AnyFunSuite {
         "RETURN count(p) AS n"))
   }
 
+  test("group variables under weighted shortestPath bind from the carried walk") {
+    // the quantified-group spelling of the weighted search must agree
+    // with the plain var-length spelling on cost/hops, and the group
+    // variable must slice the SAME carried walk
+    val grp = run(
+      "MATCH (a:Part) WHERE a.partkey < 10 " +
+        "MATCH p = shortestPath((a) ((x)-[:CONTAINS]-(y)){1,4} (b:Part), 'qty') " +
+        "WHERE b.partkey < 10 AND a.partkey < b.partkey " +
+        "RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops, " +
+        "round(cost(p), 6) AS cost, y AS steps ORDER BY pa, pb").collect()
+    val plain = run(
+      "MATCH (a:Part) WHERE a.partkey < 10 " +
+        "MATCH p = shortestPath((a)-[:CONTAINS*1..4]-(b:Part), 'qty') " +
+        "WHERE b.partkey < 10 AND a.partkey < b.partkey " +
+        "RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops, " +
+        "round(cost(p), 6) AS cost, nodes(p) AS ns ORDER BY pa, pb").collect()
+    assert(grp.nonEmpty && grp.length == plain.length)
+    grp.zip(plain).foreach { case (g, pl) =>
+      assert(g.getLong(0) == pl.getLong(0) && g.getLong(1) == pl.getLong(1))
+      assert(g.getLong(2) == pl.getLong(2))
+      assert(g.getDouble(3) == pl.getDouble(3))
+      // y = per-step end nodes = the walk after its start
+      assert(g.getSeq[Long](4).toList == pl.getSeq[Long](4).toList.tail)
+    }
+  }
+
   test("inline pattern WHERE hoists into the owning context (Neo4j 5)") {
     // node + rel inline predicates ≡ the clause-level WHERE spelling
     val inline = run(
