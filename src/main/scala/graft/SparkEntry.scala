@@ -127,6 +127,7 @@ object SparkEntry {
     "cypher_weighted_nodes" -> (cypher.CypherQueries.weightedNodes(_, _)),
     "cypher_weighted_groupvar" -> (cypher.CypherQueries.weightedGroupvar(_, _)),
     "cypher_catalog_schema" -> (cypher.CypherQueries.catalogSchema(_, _)),
+    "cypher_catalog_rel_schema" -> (cypher.CypherQueries.catalogRelSchema(_, _)),
     "cypher_call_scoped"    -> (cypher.CypherQueries.callScoped(_, _)),
     "cypher_rel_type_neg"   -> (cypher.CypherQueries.relTypeNeg(_, _)),
     "cypher_fn_extras"      -> (cypher.CypherQueries.fnExtras(_, _)),
@@ -2715,6 +2716,21 @@ object SparkEntry {
         |  (':`Supplier`', 'suppkey', 'Long', true)
         |) AS t(nodeType, propertyName, ptype, mandatory)
         |ORDER BY nodeType, propertyName""".stripMargin,
+    // relationship schema: CONTAINS carries qty/price (never null in
+    // TPC-H lineitem → mandatory), every other type is property-less
+    // and emits Neo4j's null frame
+    "cypher_catalog_rel_schema" ->
+      """SELECT * FROM (VALUES
+        |  (':`CONTAINS`', 'price', 'Double', true),
+        |  (':`CONTAINS`', 'qty', 'Double', true),
+        |  (':`FROM_NATION`', NULL, NULL, false),
+        |  (':`IN_REGION`', NULL, NULL, false),
+        |  (':`NEXT_IN_REGION`', NULL, NULL, false),
+        |  (':`PLACED_BY`', NULL, NULL, false),
+        |  (':`SUPP_NATION`', NULL, NULL, false),
+        |  (':`SUPPLIES`', NULL, NULL, false)
+        |) AS t(relType, propertyName, ptype, mandatory)
+        |ORDER BY relType, propertyName""".stripMargin,
     // price weights make every pair's cheapest walk unique on this
     // data (checked at sf0.01/sf0.1: zero min-cost ties), so the
     // engine's deterministic recorded walk IS the enumerated minimum

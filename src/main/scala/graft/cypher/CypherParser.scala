@@ -232,10 +232,12 @@ object CypherParser {
             case "relationshiptypes" => "relationshipTypes"
             case "propertykeys"      => "propertyKeys"
             case "schema.nodetypeproperties" => "nodeTypeProperties"
+            case "schema.reltypeproperties"  => "relTypeProperties"
             case other => throw new IllegalArgumentException(
               s"unsupported procedure db.$other " +
                 "(db.labels | db.relationshipTypes | db.propertyKeys | " +
-                "db.schema.nodeTypeProperties)")
+                "db.schema.nodeTypeProperties | " +
+                "db.schema.relTypeProperties)")
           }
           clauses += CatalogCallClause(kind)
           // optional `YIELD col [AS alias] (, col [AS alias])*` (Neo4j
@@ -250,6 +252,9 @@ object CypherParser {
               case "nodeTypeProperties" =>
                 Set("nodeType", "nodeLabels", "propertyName",
                   "propertyTypes", "mandatory")
+              case "relTypeProperties" =>
+                Set("relType", "propertyName", "propertyTypes",
+                  "mandatory")
               case _              => Set("relationshipType")
             }
             val items = Seq.newBuilder[ReturnItem]

@@ -166,6 +166,28 @@ object CypherPlanner {
     * scope with imported variables). Returns the final scope and the
     * RETURN result (null when the pipeline has no RETURN).
     */
+  /** Spark column type → the Cypher type name the schema procedures
+    * report (`db.schema.nodeTypeProperties` / `relTypeProperties`).
+    */
+  private def cypherTypeName(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => "Long"
+      case _: org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.DecimalType => "Double"
+      case _: org.apache.spark.sql.types.StringType => "String"
+      case _: org.apache.spark.sql.types.BooleanType => "Boolean"
+      case _: org.apache.spark.sql.types.DateType => "Date"
+      case _: org.apache.spark.sql.types.TimestampType => "DateTime"
+      // wall-clock timestamps (no zone) are Cypher's LOCAL kind
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        "LocalDateTime"
+      case other => other.typeName.capitalize
+    }
+
   private def planClauses(graph0: PropertyGraph, clauses: Seq[Clause],
       s0: Scope, needs: Set[String]): (Scope, DataFrame) = {
     // a WriteRelClause swaps in the post-write graph, so clauses after
@@ -400,24 +422,6 @@ object CypherPlanner {
         // procedure samples the store the same way). Fully plan-side:
         // the 1-row aggregate explodes into the per-property rows, no
         // driver action.
-        def cypherTypeName(dt: org.apache.spark.sql.types.DataType): String =
-          dt match {
-            case _: org.apache.spark.sql.types.ByteType |
-                 _: org.apache.spark.sql.types.ShortType |
-                 _: org.apache.spark.sql.types.IntegerType |
-                 _: org.apache.spark.sql.types.LongType => "Long"
-            case _: org.apache.spark.sql.types.FloatType |
-                 _: org.apache.spark.sql.types.DoubleType |
-                 _: org.apache.spark.sql.types.DecimalType => "Double"
-            case _: org.apache.spark.sql.types.StringType => "String"
-            case _: org.apache.spark.sql.types.BooleanType => "Boolean"
-            case _: org.apache.spark.sql.types.DateType => "Date"
-            case _: org.apache.spark.sql.types.TimestampType => "DateTime"
-            // wall-clock timestamps (no zone) are Cypher's LOCAL kind
-            case _: org.apache.spark.sql.types.TimestampNTZType =>
-              "LocalDateTime"
-            case other => other.typeName.capitalize
-          }
         val perTable = graph.nodes.toSeq.sortBy(_._1).flatMap {
           case (ln, nt) =>
             val props = nt.columns
@@ -454,6 +458,52 @@ object CypherPlanner {
           s.lists ++ Set("nodeLabels", "propertyTypes"),
           tiny = s.df == null || s.tiny, tinyScalars =
             (if (s.df == null || s.tiny) s.tinyScalars ++ cols
+             else s.tinyScalars))
+
+      case CatalogCallClause("relTypeProperties") =>
+        // `CALL db.schema.relTypeProperties()` (r16) — the
+        // relationship half of nodeTypeProperties: same per-table
+        // null-count plan over the EDGE tables; a relationship type
+        // with edges but no properties emits Neo4j's one null-frame
+        // row (propertyName/propertyTypes null, mandatory false),
+        // zero-edge types emit nothing
+        val perRel = graph.rels.toSeq.sortBy(_._1).map { case (tn, rt) =>
+          val props = rt.columns
+            .filterNot(c => c.startsWith("__") || c.startsWith("@"))
+            .sorted.toSeq
+          if (props.isEmpty)
+            rt.agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 0)
+              .select(lit(s":`$tn`").as("relType"),
+                lit(null).cast("string").as("propertyName"),
+                lit(null).cast("array<string>").as("propertyTypes"),
+                lit(false).as("mandatory"))
+          else {
+            val nullAggs = props.map(p =>
+              max(col(p).isNull.cast("int")).as(s"__n_$p"))
+            rt.agg(nullAggs.head,
+                nullAggs.tail :+ count(lit(1)).as("__cnt"): _*)
+              .filter(col("__cnt") > 0)
+              .select(lit(s":`$tn`").as("relType"),
+                explode(array(props.map(p => struct(
+                  lit(p).as("propertyName"),
+                  array(lit(cypherTypeName(rt.schema(p).dataType)))
+                    .as("propertyTypes"),
+                  (col(s"__n_$p") === 0).as("mandatory"))): _*)).as("__e"))
+              .select(col("relType"),
+                col("__e").getField("propertyName").as("propertyName"),
+                col("__e").getField("propertyTypes").as("propertyTypes"),
+                col("__e").getField("mandatory").as("mandatory"))
+          }
+        }
+        val relCat = perRel.reduce(_.unionByName(_))
+        val rdf = if (s.df == null) relCat
+          else s.df.crossJoin(broadcast(relCat))
+        val rcols = Set("relType", "propertyName", "propertyTypes",
+          "mandatory")
+        s = Scope(rdf, s.nodeVars, s.scalars ++ rcols,
+          s.lists + "propertyTypes",
+          tiny = s.df == null || s.tiny, tinyScalars =
+            (if (s.df == null || s.tiny) s.tinyScalars ++ rcols
              else s.tinyScalars))
 
       case CatalogCallClause(kind) =>

@@ -1001,6 +1001,19 @@ object CypherQueries {
         |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
         |ORDER BY nodeType, propertyName""".stripMargin)
 
+  /** `CALL db.schema.relTypeProperties()` (r16) — the relationship
+    * half of the schema-procedure family: one row per (relationship
+    * type, property) with the Cypher-mapped type and the honest
+    * per-table null-count `mandatory`; property-less types with edges
+    * emit Neo4j's single null-frame row.
+    */
+  def catalogRelSchema(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """CALL db.schema.relTypeProperties()
+        |YIELD relType, propertyName, propertyTypes, mandatory
+        |RETURN relType, propertyName, propertyTypes[0] AS ptype, mandatory
+        |ORDER BY relType, propertyName""".stripMargin)
+
   /** Neo4j-5.23 SCOPED subquery form (r15): `CALL (n) { … }` is the
     * GQL spelling of the importing WITH — pure parse sugar onto the
     * same correlated-subquery plan (`CALL (*)` imports every bound

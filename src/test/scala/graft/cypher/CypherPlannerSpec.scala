@@ -2797,6 +2797,25 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(rows.forall(!_.isNullAt(2)))
   }
 
+  test("db.schema.relTypeProperties: typed rows, null frames, zero-edge gating") {
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "a"), (2L, "b")).toDF("__id", "name")),
+      rels = Map(
+        "W" -> Seq((1L, 2L, 3.5), (2L, 1L, 4.5)).toDF("__src", "__dst", "w"),
+        "BARE" -> Seq((1L, 2L)).toDF("__src", "__dst"),
+        "EMPTY" -> Seq.empty[(Long, Long)].toDF("__src", "__dst")))
+    val rows = CypherPlanner.run(spark, g,
+      "CALL db.schema.relTypeProperties() " +
+        "YIELD relType, propertyName, propertyTypes, mandatory " +
+        "RETURN relType, propertyName, mandatory ORDER BY relType")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getBoolean(2))).toList
+    // BARE has edges but no properties → one null frame; W's `w` is
+    // mandatory (never null); EMPTY emits nothing
+    assert(rows == List((":`BARE`", null, false), (":`W`", "w", true)))
+  }
+
   test("plain DELETE on a nodes-only graph succeeds (no edge tables, nothing attached)") {
     import spark.implicits._
     val g = graft.graph.PropertyGraph(
