@@ -136,6 +136,7 @@ object SparkEntry {
     "cypher_count_collect_sub" -> (cypher.CypherQueries.countCollectSub(_, _)),
     "cypher_in_list_expr"   -> (cypher.CypherQueries.inListExpr(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
+    "cypher_allsp_walks"    -> (cypher.CypherQueries.allShortestWalks(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
@@ -2951,6 +2952,17 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT pa, pb, CAST(2 AS BIGINT) AS hops, n_paths
         |FROM pp ORDER BY pa, pb""".stripMargin,
+    // enumerated all-shortest walks, re-aggregated per pair: σ =
+    // parallel CONTAINS multiplicity, per-walk qty reduce sums to the
+    // pair's lineitem quantity total (2-hop arm empty: no edges
+    // leave :Part)
+    "cypher_allsp_walks" ->
+      """SELECT l_orderkey AS ok, l_partkey AS pk,
+        |  CAST(1 AS BIGINT) AS hops, CAST(2 AS BIGINT) AS n_nodes,
+        |  CAST(COUNT(*) AS BIGINT) AS np,
+        |  round(SUM(l_quantity), 2) AS qty_sum
+        |FROM lineitem WHERE l_orderkey < 100
+        |GROUP BY 1, 2 ORDER BY ok, pk""".stripMargin,
     "cypher_path_len" ->
       """WITH e AS (
         |  SELECT n_nationkey AS src,

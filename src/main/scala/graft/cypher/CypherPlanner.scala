@@ -2284,14 +2284,12 @@ object CypherPlanner {
 
     if (chain.shortest) {
       // a NAMED hop binds the walk's relationship list — legal on
-      // plain shortestPath since the walk-carrying BFS (r15); the
-      // hop-level spCarry/needEpl logic rejects it for
-      // allShortestPaths/weighted searches
+      // plain shortestPath since the walk-carrying BFS (r15), and on
+      // allShortestPaths since the capped walk enumeration (r16); the
+      // hop-level needEpl logic enforces the remaining carve-outs
       require(chain.hops.size == 1 &&
-          chain.hops.head._1.varLength.exists(_._1 == 1) &&
-          (chain.hops.head._1.variable.isEmpty || !chain.allShortest),
-        "shortestPath supports a single var-length hop starting at *1 " +
-          "(named relationship lists only on the single-path forms)")
+          chain.hops.head._1.varLength.exists(_._1 == 1),
+        "shortestPath supports a single var-length hop starting at *1")
     }
 
     var cur = bindStart(chain.start)
@@ -2499,14 +2497,25 @@ object CypherPlanner {
           rel.variable.exists(wref.idents) ||
           rel.groupNodes.exists { case (a, b) =>
             (a.toSeq ++ b.toSeq).exists(wref.idents) })
+      // allShortestPaths whose WALKS the query consumes (r16):
+      // enumerate shortest walks under the per-pair σ cap instead of
+      // rejecting — the pair-aggregate plan stays for count(p)-only
+      // consumers
+      val aspCarry = chain.allShortest && rel.varLength.isDefined &&
+        rel.groupChain.isEmpty && chain.weightProp.isEmpty && (
+          chain.pathVar.exists(wref.walksOf) ||
+          rel.variable.exists(wref.idents) ||
+          rel.groupNodes.exists { case (a, b) =>
+            (a.toSeq ++ b.toSeq).exists(wref.idents) })
       val needWalkEid = !chain.shortest && rel.varLength.exists(_._2 > 1)
       val needChainEid = !chain.shortest && chainEidAt(hopIdx)
       // `relationships(p)` needs every hop's edge identity, even on
       // single-hop chains that need no uniqueness bookkeeping
       val needPathRels = chain.pathVar.isDefined &&
-        (!chain.shortest || (spCarry && chain.pathVar.exists(wref.relsOf)))
+        (!chain.shortest || (spCarry && chain.pathVar.exists(wref.relsOf)) ||
+          (aspCarry && chain.pathVar.exists(wref.relsOf)))
       val relForExpand0 =
-        if (needWalkEid || needChainEid || needPathRels) {
+        if (needWalkEid || needChainEid || needPathRels || aspCarry) {
           val tagCol =
             if (baseRel.columns.contains("__rt")) col("__rt")
             else lit(rel.relType.getOrElse(""))
@@ -2537,12 +2546,13 @@ object CypherPlanner {
       // property access via struct fields. The payload widens this
       // hop's shuffles ONLY when the variable is actually named.
       val needEpl = rel.variable.isDefined && rel.varLength.isDefined &&
-        (!chain.shortest || (spCarry && rel.variable.exists(wref.idents)))
+        (!chain.shortest || (spCarry && rel.variable.exists(wref.idents)) ||
+          (aspCarry && rel.variable.exists(wref.idents)))
       require(rel.variable.isEmpty || rel.varLength.isEmpty ||
-          !chain.allShortest,
-        "a named variable-length relationship is not supported inside " +
-          "allShortestPaths (the search keeps pair multiplicities, " +
-          "not walks)")
+          !chain.allShortest || aspCarry,
+        "a named variable-length relationship inside allShortestPaths " +
+          "must be consumed (unused names keep the pair-aggregate " +
+          "plan, which carries no walks)")
       val relForExpand =
         if (!needEpl) relForExpand0
         else {
@@ -3138,9 +3148,14 @@ object CypherPlanner {
               s"(have: ${expandEdges.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
           weightedShortestRel(expandEdges, wp, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed, carryWalks = spCarry)
-        } else if (chain.allShortest)
-          shortestRelCounted(expandEdges, rel.varLength.get._1,
-            rel.varLength.get._2, bfsSeed)
+        } else if (chain.allShortest) {
+          if (aspCarry)
+            allShortestWalks(expandEdges, rel.varLength.get._1,
+              rel.varLength.get._2, bfsSeed)
+          else
+            shortestRelCounted(expandEdges, rel.varLength.get._1,
+              rel.varLength.get._2, bfsSeed)
+        }
         else if (chain.shortest)
           shortestRel(expandEdges, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed, carryWalks = spCarry)
@@ -3227,7 +3242,8 @@ object CypherPlanner {
       // shortest chain fails loudly at resolution.
       val hopNidCols =
         if ((chain.pathVar.isDefined || rel.groupNodes.isDefined ||
-            rel.groupChain.isDefined) && (!chain.shortest || spCarry) &&
+            rel.groupChain.isDefined) &&
+            (!chain.shortest || spCarry || aspCarry) &&
             rel.varLength.isDefined && expandedPlain.columns.contains("__nids"))
           Seq(col("__nids").as("__r_nids"))
         else Seq.empty
@@ -3365,7 +3381,8 @@ object CypherPlanner {
         // r15) needs no lists: the predicate filtered the edge set
         // before the search. Skip the binding there; a downstream
         // consumer of the unbound name fails at column resolution.
-        if ((chain.shortest && !spCarry) || chain.allShortest) {
+        if (((chain.shortest && !spCarry) || chain.allShortest) &&
+            !aspCarry) {
           // names consumed nowhere (or only by the group's own WHERE)
           // need no lists — the walk-free search stands. A name the
           // query DOES consume forces spCarry on plain AND weighted
@@ -3396,7 +3413,8 @@ object CypherPlanner {
           when(size(walk) === 0, walk).otherwise(
             concat(array(col(s"${cur}__id")),
               slice(walk, lit(1), greatest(size(walk) - 1, lit(0)))))))
-        if (chain.pathVar.isEmpty || (chain.shortest && !spCarry))
+        if (chain.pathVar.isEmpty ||
+            (chain.shortest && !spCarry && !aspCarry))
           df = df.drop("__r_nids")
         }
       }
@@ -3449,7 +3467,8 @@ object CypherPlanner {
       // element IS the endpoint); a fixed hop contributes the
       // endpoint id. The chain's start node seeds the array on the
       // first hop (`cur` still names the hop's source here).
-      if (chain.pathVar.isDefined && (!chain.shortest || spCarry)) {
+      if (chain.pathVar.isDefined &&
+          (!chain.shortest || spCarry || aspCarry)) {
         // an In hop's walk runs opposite to pattern order: the edge
         // orientation's node list [b, x, …, a] must surface as
         // [x, …, b] after the already-seeded a — reverse the walk
@@ -3724,6 +3743,102 @@ object CypherPlanner {
       k += 1
     }
     seen
+  }
+
+  /** Per-pair cap on [[allShortestWalks]]' enumeration — the
+    * `MaxQppOuterDomain` loud-guard discipline applied to σ: the
+    * enumerated row count per pair IS that pair's shortest-path
+    * multiplicity, which is exponential in the worst case (a braided
+    * graph doubles σ per level), so enumeration without a cap is a
+    * scale landmine. 1000 covers every sane walk-introspection query;
+    * denser pairs keep the σ-counting plan (count(p)/length(p)) or
+    * bind tighter endpoints.
+    */
+  private val MaxAllShortestWalks = 1000L
+
+  /** All-shortest-walk ENUMERATION for allShortestPaths chains whose
+    * walks the query CONSUMES — nodes(p), relationships(p), named
+    * relationship lists, group variables (r16; formerly loud
+    * rejects). Neo4j answers these by enumerating paths; this is the
+    * capped equivalent: the plain level-synchronous BFS keeping EVERY
+    * distinct first-reach walk per pair (a prefix of a shortest path
+    * is a shortest path to its endpoint, so first-reach enumerates
+    * exactly the σ shortest walks, all node-simple — an extension
+    * into its own walk hits an already-seen pair and anti-joins
+    * away). Parallel edges are distinct paths (their identities
+    * differ), exactly the σ-counting semantics. After every level a
+    * bounded driver action (one max row) checks the per-pair walk
+    * count against [[MaxAllShortestWalks]] and fails LOUDLY above it
+    * — never a silent truncation. Walk-free consumers
+    * (count(p)/length(p)) stay on [[shortestRelCounted]]'s pair
+    * aggregates. Returns the walk contract with `__np = 1` per row,
+    * so the untouched count(p) = sum(__np) arithmetic counts
+    * enumerated paths.
+    */
+  private def allShortestWalks(rel: DataFrame, lo: Int, hi: Int,
+      seed: Option[DataFrame]): DataFrame = {
+    require(lo == 1 && hi >= lo && hi <= 10,
+      s"allShortestPaths var-length bounds *$lo..$hi out of supported range")
+    val hasEpl = rel.columns.contains("__epl")
+    require(rel.columns.contains("__eid"),
+      "internal: allShortestPaths walk enumeration needs edge identities")
+    val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
+      (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
+      .distinct().localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    def guard(fresh: DataFrame, k: Int): Unit = {
+      val top = fresh.groupBy(col("__src"), col("__dst"))
+        .agg(count(lit(1)).as("__sigma"))
+        .agg(max(col("__sigma"))).collect()(0)
+      if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
+        throw new IllegalArgumentException(
+          s"allShortestPaths walk enumeration: a pair at depth $k has " +
+            s"${top.getLong(0)} shortest paths, above the " +
+            s"$MaxAllShortestWalks cap — consume count(p)/length(p) " +
+            "(the pair-aggregate plan) or bind tighter endpoints")
+    }
+    var seen = e0.select(Seq(col("__src"), col("__dst"),
+      lit(1).as("__hops"), array(col("__dst")).as("__nids"),
+      array(col("__eid")).as("__eids")) ++
+      (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
+      .localCheckpoint()
+    guard(seen, 1)
+    var seenPairs = seen.select(col("__src"), col("__dst")).distinct()
+      .localCheckpoint()
+    var frontier = seen
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = edges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n"), col("__eid").as("__ne")) ++
+        (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
+      val stepped = frontier.join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .select(Seq(col("__src"), col("__n").as("__dst"),
+          concat(col("__nids"), array(col("__n"))).as("__nids"),
+          concat(col("__eids"), array(col("__ne"))).as("__eids")) ++
+          (if (hasEpl)
+            Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
+          else Seq.empty): _*)
+      val fresh = stepped
+        .join(seenPairs, Seq("__src", "__dst"), "left_anti")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        guard(fresh, k)
+        seen = seen.unionByName(fresh.withColumn("__hops", lit(k)))
+        seenPairs = seenPairs.unionByName(
+          fresh.select(col("__src"), col("__dst")).distinct())
+          .localCheckpoint()
+        frontier = fresh
+      }
+      k += 1
+    }
+    seen.withColumn("__np", lit(1L))
   }
 
   /** Weighted shortest-path expansion — hop-bounded Bellman–Ford
@@ -4861,8 +4976,9 @@ object CypherPlanner {
         r.groupChain.toSeq.flatMap(ch =>
           (ch.start +: ch.hops.map(_._2)).flatMap(_.variable) ++
             ch.hops.flatMap(_._1.variable)) ++
-        (if (r.varLength.isDefined && !chain.allShortest) r.variable.toSeq
-         else Seq.empty)
+        // named var-length lists bind under allShortestPaths too
+        // since the capped walk enumeration (r16)
+        (if (r.varLength.isDefined) r.variable.toSeq else Seq.empty)
     }.toSet
 
   /** Path variables carrying a shortest-path multiplicity

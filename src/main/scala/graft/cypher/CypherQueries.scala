@@ -1001,6 +1001,24 @@ object CypherQueries {
         |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
         |ORDER BY nodeType, propertyName""".stripMargin)
 
+  /** Walk-CONSUMING allShortestPaths (r16 — formerly loud rejects):
+    * nodes(p), named relationship lists and per-walk reduce() under
+    * the σ-capped enumeration (`CypherPlanner.allShortestWalks`).
+    * Parallel CONTAINS edges are distinct paths sharing a node walk,
+    * so count(p) = the pair's lineitem multiplicity and the per-walk
+    * qty reduce sums to the pair's total quantity.
+    */
+  def allShortestWalks(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = allShortestPaths((o:Order)-[rs:CONTAINS*1..2]->(b:Part))
+        |WHERE o.orderkey < 100
+        |WITH o.orderkey AS ok, b.partkey AS pk, length(p) AS hops,
+        |  size(nodes(p)) AS n_nodes,
+        |  reduce(acc = 0.0, r IN rs | acc + r.qty) AS wq
+        |WITH ok, pk, hops, n_nodes, count(*) AS np, sum(wq) AS qs
+        |RETURN ok, pk, hops, n_nodes, np, round(qs, 2) AS qty_sum
+        |ORDER BY ok, pk""".stripMargin)
+
   /** `CALL db.schema.relTypeProperties()` (r16) — the relationship
     * half of the schema-procedure family: one row per (relationship
     * type, property) with the Cypher-mapped type and the honest

@@ -488,10 +488,15 @@ class CypherPlannerSpec extends AnyFunSuite {
       "RETURN a.name AS a, b.name AS b, size(r) AS n, length(p) AS l")
       .collect()
     assert(named.nonEmpty && named.forall(r => r.getLong(2) == r.getLong(3)))
-    // pair-aggregate searches still reject named lists loudly
-    assertThrows[IllegalArgumentException](run(
+    // named lists under allShortestPaths bind via the capped walk
+    // enumeration since r16: the unique-successor chain has sigma = 1
+    // everywhere, so the enumerated rows mirror the shortestPath ones
+    val aspNamed = run(
       "MATCH p = allShortestPaths((a:Nation)-[r:NEXT_IN_REGION*1..3]->(b:Nation)) " +
-      "RETURN size(r) AS n"))
+      "RETURN a.name AS a, b.name AS b, size(r) AS n, length(p) AS l")
+      .collect()
+    assert(aspNamed.length == named.length &&
+      aspNamed.forall(r => r.getLong(2) == r.getLong(3)))
   }
 
   test("shortestPath walk carry: deterministic min walk on ties, In-seeded flip, + concat") {
@@ -595,6 +600,55 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH p = shortestPath((s:Nation) " +
         "((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){0,2} (t:Nation)) " +
         "RETURN count(p) AS n"))
+  }
+
+  test("allShortestPaths walk enumeration: rows = sigma, node-simple, capped") {
+    import spark.implicits._
+    // diamond + a parallel edge: 1→4 has 3 shortest 2-hop walks
+    // (via 2 twice — parallel E edges — and via 3)
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 4L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    // count(p) over the enumeration agrees with the sigma plan
+    val sigma = CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[:E*1..3]->(b:V)) " +
+        "WHERE id(a) = 1 AND id(b) = 4 RETURN count(p) AS np")
+      .collect()(0).getLong(0)
+    val walks = CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[:E*1..3]->(b:V)) " +
+        "WHERE id(a) = 1 AND id(b) = 4 " +
+        "RETURN nodes(p) AS ns, count(p) AS np ORDER BY ns").collect()
+    assert(sigma == 3L)
+    assert(walks.map(_.getLong(1)).sum == sigma)
+    // the two parallel-edge walks share the node walk [1,2,4]
+    assert(walks.map(_.getSeq[Long](0).toList).toList ==
+      List(List(1L, 2L, 4L), List(1L, 3L, 4L)))
+    assert(walks.map(_.getLong(1)).toList == List(2L, 1L))
+    // named relationship lists enumerate per walk: 3 rows, each a
+    // 2-element list
+    val named = CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[rs:E*1..3]->(b:V)) " +
+        "WHERE id(a) = 1 AND id(b) = 4 " +
+        "RETURN size(rs) AS k").collect().map(_.getLong(0)).toList
+    assert(named == List(2L, 2L, 2L))
+    // per-pair sigma above the cap fails LOUDLY, never truncates: two
+    // chained 40-wide fan stages give the end pair 40² = 1600
+    // shortest 4-hop walks
+    val mids = 40
+    val braid = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (0L to 82L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> (0 until 2).flatMap { st =>
+        val a = st * (mids + 1L); val b = a + mids + 1L
+        (1 to mids).flatMap(i => Seq((a, a + i), (a + i, b)))
+      }.toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val e = intercept[IllegalArgumentException](CypherPlanner.run(spark, braid,
+      "MATCH p = allShortestPaths((a:V)-[:E*1..10]->(b:V)) " +
+        "WHERE id(a) = 0 " +
+        "RETURN nodes(p) AS ns").count())
+    assert(e.getMessage.contains("cap"))
   }
 
   test("group variables under weighted shortestPath bind from the carried walk") {
@@ -756,10 +810,12 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH p = shortestPath((a:V)-[:E*1..3]->(b:V), 'w') " +
         "WHERE id(a) = 1 AND id(b) = 4 RETURN nodes(p) AS ns").collect()
     assert(tie(0).getSeq[Long](0).toList == List(1L, 2L, 4L))
-    // allShortestPaths still rejects named lists loudly
-    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
+    // named lists under allShortestPaths enumerate since r16 —
+    // unweighted, 1→4's single shortest walk is the direct edge
+    val aspRows = CypherPlanner.run(spark, g,
       "MATCH p = allShortestPaths((a:V)-[rs:E*1..3]->(b:V)) " +
-        "RETURN size(rs) AS n"))
+        "WHERE id(a) = 1 AND id(b) = 4 RETURN size(rs) AS n").collect()
+    assert(aspRows.length == 1 && aspRows.forall(_.getLong(0) == 1L))
   }
 
   test("scoped CALL (n) { } is the importing-WITH plan; (*) imports everything") {
@@ -2048,11 +2104,16 @@ class CypherPlannerSpec extends AnyFunSuite {
       "n2" -> ((List(2L), 1L)),
       "n3" -> ((List(2L, 3L), 2L)),
       "n4" -> ((List(2L, 3L, 4L), 3L))))
-    // consumed group variables under allShortestPaths stay a loud
-    // reject (the sigma search keeps pair aggregates, not walks)
-    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
+    // consumed group variables under allShortestPaths bind via the
+    // capped walk enumeration since r16 — on the linear chain the
+    // enumerated lists equal the shortestPath ones
+    val aspg = CypherPlanner.run(spark, g,
       "MATCH p = allShortestPaths((s:V) ((a)-[:E]->(b)){1,3} (t:V)) " +
-        "RETURN size(b) AS n"))
+        "WHERE s.name = 'n1' RETURN t.name AS t, b AS bl, length(p) AS l")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1).toList, r.getLong(2))))
+      .toMap
+    assert(aspg == spg)
   }
 
   test("zero-length quantified paths: {0,m}, {,m} and *0..m include the empty path") {
