@@ -137,6 +137,7 @@ object SparkEntry {
     "cypher_in_list_expr"   -> (cypher.CypherQueries.inListExpr(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_allsp_walks"    -> (cypher.CypherQueries.allShortestWalks(_, _)),
+    "cypher_shortest_k"     -> (cypher.CypherQueries.kShortest(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
@@ -2951,6 +2952,22 @@ object SparkEntry {
         |  WHERE a.p < 40 AND b.p < 40
         |  GROUP BY 1, 2)
         |SELECT pa, pb, CAST(2 AS BIGINT) AS hops, n_paths
+        |FROM pp ORDER BY pa, pb""".stripMargin,
+    // SHORTEST 2 on the bipartite CONTAINS graph: every part-part
+    // trail is exactly 2 hops, so the per-pair answer is the closed
+    // form (min(2, multiplicity), 2, 2)
+    "cypher_shortest_k" ->
+      """WITH ce AS (
+        |  SELECT l_partkey AS p, l_orderkey AS o, COUNT(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT a.p AS pa, b.p AS pb, SUM(a.w * b.w) AS m
+        |  FROM ce a JOIN ce b ON a.o = b.o AND a.p < b.p
+        |  WHERE a.p < 30 AND b.p < 30
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb,
+        |  CAST(CASE WHEN m >= 2 THEN 2 ELSE m END AS BIGINT) AS n_paths,
+        |  CAST(2 AS BIGINT) AS h1, CAST(2 AS BIGINT) AS h2
         |FROM pp ORDER BY pa, pb""".stripMargin,
     // enumerated all-shortest walks, re-aggregated per pair: σ =
     // parallel CONTAINS multiplicity, per-walk qty reduce sums to the

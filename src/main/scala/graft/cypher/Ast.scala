@@ -270,7 +270,8 @@ object Ast {
     */
   final case class PatternChain(start: NodePattern, hops: Seq[(RelPattern, NodePattern)],
       pathVar: Option[String] = None, shortest: Boolean = false,
-      allShortest: Boolean = false, weightProp: Option[String] = None) {
+      allShortest: Boolean = false, weightProp: Option[String] = None,
+      kBest: Option[Int] = None) {
     def nodeVars: Seq[String] =
       (start +: hops.map(_._2)).flatMap(_.variable)
   }

@@ -144,6 +144,7 @@ object CypherParser {
           // (k-best enumeration) rejects loudly.
           var gqlShortest = false
           var gqlAllShortest = false
+          var gqlKBest: Option[Int] = None
           def kwPair(a: String, b: String): Boolean =
             atKw(a) && pos + 1 < toks.length && isKw(toks(pos + 1), b)
           if (kwPair("ANY", "SHORTEST")) {
@@ -154,10 +155,14 @@ object CypherParser {
               toks(pos + 1).isInstanceOf[TNum]) {
             eatKw("SHORTEST")
             val k = longLit()
-            require(k == 1,
-              s"SHORTEST $k: only SHORTEST 1 (= shortestPath) is " +
-                "supported — k-best path enumeration is not")
+            // SHORTEST k with k > 1 (r16): GQL k-best — planned as the
+            // capped trail enumeration + per-pair top-k window. The k
+            // cap mirrors the MaxVarHops discipline: unbounded k would
+            // silently turn the search into full enumeration.
+            require(k >= 1 && k <= 16,
+              s"SHORTEST $k: k must be between 1 and 16")
             gqlShortest = true
+            if (k > 1) gqlKBest = Some(k.toInt)
           }
           // `shortestPath((a)-[:T*]->(b))` / `allShortestPaths(…)` —
           // lex as the identifier followed by '(' '(': the inner '('
@@ -184,7 +189,8 @@ object CypherParser {
             } else None
           if (parenShort) eatSym(")")
           val chain = chain0.copy(pathVar = pathVar, shortest = shortest,
-            allShortest = allShortest, weightProp = weightProp)
+            allShortest = allShortest, weightProp = weightProp,
+            kBest = gqlKBest)
           // inline pattern predicates conjoin with the clause WHERE —
           // for OPTIONAL MATCH both filter the optional side before
           // the left join (Neo4j's inline-WHERE scoping)

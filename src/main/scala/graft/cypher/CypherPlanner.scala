@@ -2493,6 +2493,8 @@ object CypherPlanner {
           // always carries the composite walk arrays — they double as
           // the relationship-uniqueness bookkeeping
           rel.groupChain.isDefined ||
+          // SHORTEST k (k > 1) enumerates trails, which always carry
+          chain.kBest.exists(_ > 1) ||
           chain.pathVar.exists(wref.walksOf) ||
           rel.variable.exists(wref.idents) ||
           rel.groupNodes.exists { case (a, b) =>
@@ -2515,7 +2517,8 @@ object CypherPlanner {
         (!chain.shortest || (spCarry && chain.pathVar.exists(wref.relsOf)) ||
           (aspCarry && chain.pathVar.exists(wref.relsOf)))
       val relForExpand0 =
-        if (needWalkEid || needChainEid || needPathRels || aspCarry) {
+        if (needWalkEid || needChainEid || needPathRels || aspCarry ||
+            chain.kBest.exists(_ > 1)) {
           val tagCol =
             if (baseRel.columns.contains("__rt")) col("__rt")
             else lit(rel.relType.getOrElse(""))
@@ -2834,6 +2837,9 @@ object CypherPlanner {
         require(!chain.allShortest && chain.weightProp.isEmpty,
           "multi-hop quantified groups are not supported inside " +
             "allShortestPaths or weighted shortestPath")
+        require(chain.kBest.forall(_ <= 1),
+          "SHORTEST k (k > 1) over quantified groups is not supported " +
+            "— the composite BFS keeps one walk per pair")
         // lower bound pinned to 1 under shortestPath (first-reach BFS
         // = fewest repetitions; a {2,…} floor would need post-floor
         // re-search) — same restriction as the single-edge shortestRel
@@ -3156,6 +3162,9 @@ object CypherPlanner {
             shortestRelCounted(expandEdges, rel.varLength.get._1,
               rel.varLength.get._2, bfsSeed)
         }
+        else if (chain.kBest.exists(_ > 1))
+          kShortestWalks(expandEdges, rel.varLength.get._1,
+            rel.varLength.get._2, bfsSeed, chain.kBest.get)
         else if (chain.shortest)
           shortestRel(expandEdges, rel.varLength.get._1,
             rel.varLength.get._2, bfsSeed, carryWalks = spCarry)
@@ -3839,6 +3848,85 @@ object CypherPlanner {
       k += 1
     }
     seen.withColumn("__np", lit(1L))
+  }
+
+  /** GQL `SHORTEST k` (k > 1, r16): the k length-least TRAILS per
+    * pair — edge-unique walks, Cypher's relationship-uniqueness rule;
+    * the i-th best path may be LONGER than the shortest, so
+    * first-reach pruning cannot apply. Planned as a level-synchronous
+    * trail enumeration (extensions never reuse an edge identity,
+    * sources never revisited — the BFS family's shared src≠n rule)
+    * with the [[MaxAllShortestWalks]] per-pair loud guard at every
+    * level, then one per-pair row_number window ordered by
+    * (hops, node walk, edge identities) keeping the k least —
+    * deterministic, never silently truncated. Parallel edges are
+    * distinct trails via their identities, exactly the
+    * allShortestPaths multiplicity semantics.
+    */
+  private def kShortestWalks(rel: DataFrame, lo: Int, hi: Int,
+      seed: Option[DataFrame], kBest: Int): DataFrame = {
+    require(lo == 1 && hi >= lo && hi <= 10,
+      s"SHORTEST $kBest var-length bounds *$lo..$hi out of supported range")
+    val hasEpl = rel.columns.contains("__epl")
+    require(rel.columns.contains("__eid"),
+      "internal: SHORTEST k trail enumeration needs edge identities")
+    val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
+      (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
+      .distinct().localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    def guard(level: DataFrame, k: Int): Unit = {
+      val top = level.groupBy(col("__src"), col("__dst"))
+        .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
+      if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
+        throw new IllegalArgumentException(
+          s"SHORTEST $kBest: a pair at depth $k has ${top.getLong(0)} " +
+            s"trails, above the $MaxAllShortestWalks cap — bind " +
+            "tighter endpoints or lower the hop bound")
+    }
+    var level = e0.select(Seq(col("__src"), col("__dst"),
+      lit(1).as("__hops"), array(col("__dst")).as("__nids"),
+      array(col("__eid")).as("__eids")) ++
+      (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
+      .filter(col("__src") =!= col("__dst"))
+      .localCheckpoint()
+    guard(level, 1)
+    var all = level
+    var k = 2
+    var exhausted = hi < 2 || level.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = edges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n"), col("__eid").as("__ne")) ++
+        (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
+      val stepped = level.join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .filter(!array_contains(col("__eids"), col("__ne")))
+        .select(Seq(col("__src"), col("__n").as("__dst"),
+          lit(k).as("__hops"),
+          concat(col("__nids"), array(col("__n"))).as("__nids"),
+          concat(col("__eids"), array(col("__ne"))).as("__eids")) ++
+          (if (hasEpl)
+            Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
+          else Seq.empty): _*)
+        .localCheckpoint()
+      exhausted = stepped.isEmpty
+      if (!exhausted) {
+        guard(stepped, k)
+        all = all.unionByName(stepped)
+        level = stepped
+      }
+      k += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"), col("__dst"))
+      .orderBy(Seq(col("__hops"), col("__nids"), col("__eids")) ++
+        (if (hasEpl) Seq(col("__epls")) else Seq.empty): _*)
+    all.withColumn("__kb_rk", row_number().over(w))
+      .filter(col("__kb_rk") <= kBest)
+      .drop("__kb_rk")
   }
 
   /** Weighted shortest-path expansion — hop-bounded Bellman–Ford

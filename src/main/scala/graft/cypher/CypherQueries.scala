@@ -1001,6 +1001,22 @@ object CypherQueries {
         |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
         |ORDER BY nodeType, propertyName""".stripMargin)
 
+  /** GQL `SHORTEST k` with k > 1 (r16 — formerly a loud parse
+    * reject): the k length-least trails per pair via the capped trail
+    * enumeration + per-pair top-k window. On the bipartite CONTAINS
+    * graph every part-part trail is 2 hops, so the k = 2 result per
+    * pair is (min(2, multiplicity), 2, 2) — the closed form the
+    * oracle computes from lineitem.
+    */
+  def kShortest(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 30
+        |MATCH p = SHORTEST 2 (a)-[:CONTAINS*1..2]-(b:Part)
+        |WHERE b.partkey < 30 AND a.partkey < b.partkey
+        |WITH a.partkey AS pa, b.partkey AS pb, length(p) AS l
+        |RETURN pa, pb, count(*) AS n_paths, min(l) AS h1, max(l) AS h2
+        |ORDER BY pa, pb""".stripMargin)
+
   /** Walk-CONSUMING allShortestPaths (r16 — formerly loud rejects):
     * nodes(p), named relationship lists and per-walk reduce() under
     * the σ-capped enumeration (`CypherPlanner.allShortestWalks`).

@@ -651,6 +651,41 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("SHORTEST k returns the k length-least trails per pair") {
+    import spark.implicits._
+    // 1→4: direct edge (1 hop), via 2 (2 hops), via 3 (2 hops) — the
+    // 2 best are the direct edge and the lexicographically-least
+    // 2-hop walk
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 4L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 4L), (1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L))
+        .toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val two = CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 2 (a:V)-[:E]->{1,3}(b:V) " +
+        "WHERE id(a) = 1 AND id(b) = 4 " +
+        "RETURN length(p) AS l, nodes(p) AS ns ORDER BY l, ns").collect()
+    assert(two.length == 2)
+    assert(two(0).getLong(0) == 1L &&
+      two(0).getSeq[Long](1).toList == List(1L, 4L))
+    assert(two(1).getLong(0) == 2L &&
+      two(1).getSeq[Long](1).toList == List(1L, 2L, 4L))
+    // k larger than the trail count returns them all (3 here)
+    val four = CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 4 (a:V)-[:E]->{1,3}(b:V) " +
+        "WHERE id(a) = 1 AND id(b) = 4 RETURN length(p) AS l ORDER BY l")
+      .collect().map(_.getLong(0)).toList
+    assert(four == List(1L, 2L, 2L))
+    // SHORTEST 1 stays the plain first-reach BFS (one row)
+    val one = CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 1 (a:V)-[:E]->{1,3}(b:V) " +
+        "WHERE id(a) = 1 AND id(b) = 4 RETURN length(p) AS l").collect()
+    assert(one.length == 1 && one(0).getLong(0) == 1L)
+    // k above the supported cap rejects at parse time
+    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 99 (a:V)-[:E]->{1,3}(b:V) RETURN length(p) AS l"))
+  }
+
   test("group variables under weighted shortestPath bind from the carried walk") {
     // the quantified-group spelling of the weighted search must agree
     // with the plain var-length spelling on cost/hops, and the group
@@ -739,9 +774,16 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (a:Region)-[:IN_REGION]->*(b) RETURN count(*) AS n")
       .collect()(0).getLong(0)
     assert(star == 5L) // regions have no outgoing edges: zero-branch only
-    // k-best enumeration rejects loudly
-    assertThrows[IllegalArgumentException](run(
-      "MATCH p = SHORTEST 2 (a:Nation)-[:NEXT_IN_REGION]->+(b:Nation) RETURN length(p) AS h"))
+    // SHORTEST 2 composes with the GQL quantifier (r16): the
+    // unique-successor chain has exactly one trail per pair, so the
+    // k = 2 result equals the k = 1 one
+    val kTwo = run(
+      "MATCH p = SHORTEST 2 (a:Nation)-[:NEXT_IN_REGION]->+(b:Nation) " +
+        "WHERE a.regionkey = 3 RETURN count(*) AS n").collect()(0).getLong(0)
+    val kOne = run(
+      "MATCH p = SHORTEST 1 (a:Nation)-[:NEXT_IN_REGION]->+(b:Nation) " +
+        "WHERE a.regionkey = 3 RETURN count(*) AS n").collect()(0).getLong(0)
+    assert(kTwo == kOne && kOne > 0)
   }
 
   test("label expressions: % wildcard, ! negation, & conjunction") {
