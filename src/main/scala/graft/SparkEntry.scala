@@ -138,6 +138,7 @@ object SparkEntry {
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_allsp_walks"    -> (cypher.CypherQueries.allShortestWalks(_, _)),
     "cypher_shortest_k"     -> (cypher.CypherQueries.kShortest(_, _)),
+    "cypher_datetime_tz"    -> (cypher.CypherQueries.datetimeTz(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
@@ -2953,6 +2954,15 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT pa, pb, CAST(2 AS BIGINT) AS hops, n_paths
         |FROM pp ORDER BY pa, pb""".stripMargin,
+    // zoned construction compared as epoch seconds — zone-free
+    // integers, tzdb-real on both engines (DST pinned by the NY pair)
+    "cypher_datetime_tz" ->
+      """SELECT
+        |  CAST(epoch(make_timestamptz(2024, 6, 1, 12, 0, 0, 'America/New_York')) AS BIGINT) AS ny_summer,
+        |  CAST(epoch(make_timestamptz(2024, 1, 15, 12, 0, 0, 'America/New_York')) AS BIGINT) AS ny_winter,
+        |  CAST(epoch(make_timestamptz(2024, 6, 1, 12, 30, 0, 'Asia/Tokyo')) AS BIGINT) AS tokyo,
+        |  CAST(epoch(make_timestamptz(2024, 6, 1, 12, 0, 0, 'UTC')) AS BIGINT) AS utc,
+        |  CAST(epoch(make_timestamptz(2024, 6, 1, 12, 0, 0, 'UTC')) AS BIGINT) AS plain_utc""".stripMargin,
     // SHORTEST 2 on the bipartite CONTAINS graph: every part-part
     // trail is exactly 2 hops, so the per-pair answer is the closed
     // form (min(2, multiplicity), 2, 2)

@@ -4696,7 +4696,25 @@ object CypherPlanner {
     // with Neo4j component defaults (month/day → 1, time-of-day → 0) —
     // foldable over literal components, so WHERE bounds stay pushable
     case FnCallN(fn @ ("@mkdatetime" | "@mkdate" | "@mklocaldatetime"), args) =>
-      val comps = args.grouped(2).map {
+      // datetime({…, timezone: '<IANA zone>'}) (r16): the wall-clock
+      // components are interpreted IN that zone and the result is the
+      // corresponding instant (Neo4j's zoned construction — DST rules
+      // included, via the JVM tzdb). Under this engine's pinned UTC
+      // session the instant DISPLAYS in UTC; Neo4j would display it
+      // with the zone's offset — a formatting divergence only, the
+      // instant (epoch seconds, comparisons, arithmetic) is exact.
+      val (tzArgs, plainArgs) = args.grouped(2).toSeq.partition {
+        case Seq(LitV("timezone"), _) => true
+        case _                        => false
+      }
+      val tz: Option[String] = tzArgs.headOption.map {
+        case Seq(_, LitV(z: String)) => z
+        case other => throw new IllegalArgumentException(
+          s"timezone component must be a string literal, got $other")
+      }
+      require(tz.isEmpty || fn == "@mkdatetime",
+        "only datetime({…}) takes a timezone component")
+      val comps = plainArgs.flatten.grouped(2).map {
         case Seq(LitV(k: String), e) => k -> toColumn(e, scalars)
         case other => throw new IllegalArgumentException(
           s"malformed temporal map constructor args: $other")
@@ -4705,7 +4723,7 @@ object CypherPlanner {
       val bad = comps.keySet -- allowed
       require(bad.isEmpty, s"unsupported temporal components: " +
         s"${bad.toSeq.sorted.mkString(", ")} (supported: " +
-        s"${allowed.toSeq.sorted.mkString(", ")})")
+        s"${allowed.toSeq.sorted.mkString(", ")}, timezone)")
       require(comps.contains("year"),
         "temporal map constructor requires a year component")
       def c(k: String, default: Int): Column =
@@ -4717,9 +4735,15 @@ object CypherPlanner {
       } else if (fn == "@mklocaldatetime")
         make_timestamp_ntz(c("year", 1), c("month", 1), c("day", 1),
           c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(16,6)"))
-      else
-        make_timestamp(c("year", 1), c("month", 1), c("day", 1),
-          c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(16,6)"))
+      else tz match {
+        case Some(z) =>
+          make_timestamp(c("year", 1), c("month", 1), c("day", 1),
+            c("hour", 0), c("minute", 0),
+            c("second", 0).cast("decimal(16,6)"), lit(z))
+        case None =>
+          make_timestamp(c("year", 1), c("month", 1), c("day", 1),
+            c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(16,6)"))
+      }
     // duration({years, months, weeks, days, hours, minutes, seconds})
     // — the map spelling of duration('P…'): integer-literal components
     // (like the ISO literal form) folded into one make_interval, so

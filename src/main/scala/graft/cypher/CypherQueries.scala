@@ -1001,6 +1001,24 @@ object CypherQueries {
         |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
         |ORDER BY nodeType, propertyName""".stripMargin)
 
+  /** Timezone-aware `datetime({…, timezone: '<IANA zone>'})` (r16 —
+    * closes the documented UTC-session carve-out): wall-clock
+    * components interpret IN the zone (DST rules included, JVM tzdb)
+    * and the result is the corresponding instant. Compared as
+    * epochSeconds — zone-free integers, so the oracle is exact
+    * regardless of either engine's session display zone. The summer/
+    * winter New-York pair pins real DST arithmetic (UTC-4 vs UTC-5).
+    */
+  def datetimeTz(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """UNWIND [1] AS one
+        |RETURN
+        |  datetime({year: 2024, month: 6, day: 1, hour: 12, timezone: 'America/New_York'}).epochSeconds AS ny_summer,
+        |  datetime({year: 2024, month: 1, day: 15, hour: 12, timezone: 'America/New_York'}).epochSeconds AS ny_winter,
+        |  datetime({year: 2024, month: 6, day: 1, hour: 12, minute: 30, timezone: 'Asia/Tokyo'}).epochSeconds AS tokyo,
+        |  datetime({year: 2024, month: 6, day: 1, hour: 12, timezone: 'UTC'}).epochSeconds AS utc,
+        |  datetime({year: 2024, month: 6, day: 1, hour: 12}).epochSeconds AS plain_utc""".stripMargin)
+
   /** GQL `SHORTEST k` with k > 1 (r16 — formerly a loud parse
     * reject): the k length-least trails per pair via the capped trail
     * enumeration + per-pair top-k window. On the bipartite CONTAINS
