@@ -1044,8 +1044,8 @@ object CypherQueries {
     */
   def allShortestWalks(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
-      """MATCH p = allShortestPaths((o:Order)-[rs:CONTAINS*1..2]->(b:Part))
-        |WHERE o.orderkey < 100
+      """MATCH (o:Order) WHERE o.orderkey < 100
+        |MATCH p = allShortestPaths((o)-[rs:CONTAINS*1..2]->(b:Part))
         |WITH o.orderkey AS ok, b.partkey AS pk, length(p) AS hops,
         |  size(nodes(p)) AS n_nodes,
         |  reduce(acc = 0.0, r IN rs | acc + r.qty) AS wq
