@@ -172,6 +172,13 @@ object OracleSql {
     */
   def simhash(maxHamming: Int = 3): String = {
     val bits = Dedup.SimhashBits
+    val nBlocks = maxHamming + 1
+    val width = (bits + nBlocks - 1) / nBlocks
+    val blkMask = (1L << width) - 1
+    val remW = bits - width
+    val subW = (remW + nBlocks - 1) / nBlocks
+    val subMask = (1L << subW) - 1
+    val cap = Dedup.HotBucketCap
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
        |  FROM documents),
@@ -187,23 +194,50 @@ object OracleSql {
        |      AS simhash
        |  FROM bs GROUP BY doc_id),
        |bl AS (
-       |  SELECT doc_id, i AS blk, (simhash >> CAST(i*15 AS INT)) & 32767 AS blk_val
-       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii),
-       |blsz AS (
-       |  SELECT blk, blk_val, COUNT(*) AS m, MIN(doc_id) AS min_id
-       |  FROM bl GROUP BY 1, 2),
+       |  SELECT doc_id, i AS blk, (simhash >> CAST(i*$width AS INT)) & $blkMask AS blk_val
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, $nBlocks)) AS i) ii),
+       |blsz AS (SELECT blk, blk_val, COUNT(*) AS m FROM bl GROUP BY 1, 2),
+       |coldp AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bl x
+       |  JOIN bl y ON x.blk = y.blk AND x.blk_val = y.blk_val
+       |    AND x.doc_id < y.doc_id
+       |  JOIN blsz s ON s.blk = x.blk AND s.blk_val = x.blk_val
+       |  WHERE s.m <= $cap),
+       |hot AS (
+       |  SELECT b.doc_id, b.blk, b.blk_val,
+       |    ((h.simhash >> CAST((b.blk+1)*$width AS INT)) << CAST(b.blk*$width AS INT)) |
+       |      (h.simhash & ((CAST(1 AS BIGINT) << CAST(b.blk*$width AS INT)) - 1)) AS rem
+       |  FROM bl b
+       |  JOIN blsz s ON s.blk = b.blk AND s.blk_val = b.blk_val
+       |  JOIN sh h ON h.doc_id = b.doc_id
+       |  WHERE s.m > $cap),
+       |sub AS (
+       |  SELECT doc_id, blk, blk_val, j AS sub,
+       |    (rem >> CAST(j*$subW AS INT)) & $subMask AS sub_val
+       |  FROM hot CROSS JOIN (SELECT unnest(range(0, $nBlocks)) AS j) jj),
+       |subsz AS (
+       |  SELECT blk, blk_val, sub, sub_val, COUNT(*) AS m2,
+       |    MIN(doc_id) AS min_id
+       |  FROM sub GROUP BY 1, 2, 3, 4),
        |p AS (
        |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT * FROM coldp
+       |    UNION ALL
        |    SELECT x.doc_id AS a_id, y.doc_id AS b_id
-       |    FROM bl x
-       |    JOIN bl y ON x.blk = y.blk AND x.blk_val = y.blk_val
+       |    FROM sub x
+       |    JOIN sub y ON x.blk = y.blk AND x.blk_val = y.blk_val
+       |      AND x.sub = y.sub AND x.sub_val = y.sub_val
        |      AND x.doc_id < y.doc_id
-       |    JOIN blsz s ON s.blk = x.blk AND s.blk_val = x.blk_val
-       |    WHERE s.m <= ${Dedup.HotBucketCap}
+       |    JOIN subsz s ON s.blk = x.blk AND s.blk_val = x.blk_val
+       |      AND s.sub = x.sub AND s.sub_val = x.sub_val
+       |    WHERE s.m2 <= $cap
        |    UNION ALL
        |    SELECT s.min_id AS a_id, b.doc_id AS b_id
-       |    FROM bl b JOIN blsz s ON s.blk = b.blk AND s.blk_val = b.blk_val
-       |    WHERE s.m > ${Dedup.HotBucketCap} AND b.doc_id <> s.min_id))
+       |    FROM sub b
+       |    JOIN subsz s ON s.blk = b.blk AND s.blk_val = b.blk_val
+       |      AND s.sub = b.sub AND s.sub_val = b.sub_val
+       |    WHERE s.m2 > $cap AND b.doc_id <> s.min_id))
        |SELECT p.a_id, p.b_id,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM p JOIN sh a ON p.a_id = a.doc_id JOIN sh b ON p.b_id = b.doc_id

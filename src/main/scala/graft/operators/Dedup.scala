@@ -690,6 +690,11 @@ object Dedup {
     * all-pairs comparison. The block count DERIVES from k: a fixed
     * split would silently lose completeness the moment a caller asked
     * for a larger distance.
+    *
+    * Hot buckets (> `bucketCap` members — low-entropy block values,
+    * boilerplate) re-pigeonhole EXACTLY on the remaining bits (r16);
+    * only buckets still hot after the sub-split fall back to
+    * star edges (see the inline note).
     */
   def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 3,
       bucketCap: Int = HotBucketCap): DataFrame = {
@@ -697,17 +702,72 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val width = (SimhashBits + nBlocks - 1) / nBlocks
     val sigs = simhashSignatures(spark, sfDir).cache()
-    val blocks = sigs.select(col("doc_id"),
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(i =>
         shiftright(col("simhash"), i * width)
           .bitwiseAND(lit((1L << width) - 1))): _*))
         .as(Seq("blk", "blk_val")))
-    // the block join takes the same hot-bucket guard as the band join
-    // (r16): near-identical clusters — and the all-zero-simhash
-    // boilerplate bucket — emit star edges, not all pairs. The
-    // verify-side hashes join back from the cached 16 B/doc
-    // signatures, candidates only.
-    val pairs = bandedCandidatePairs(blocks, Seq("blk", "blk_val"), bucketCap)
+    // Hot-bucket guard, EXACT form (r16): simhash buckets go hot from
+    // LOW-ENTROPY block values (boilerplate zero-blocks), whose
+    // members are mostly NOT near-dups — star edges there would lose
+    // real pairs (spec-caught at maxHamming 6). Instead hot buckets
+    // re-pigeonhole on the REMAINING bits: a qualifying pair in the
+    // bucket already agrees on this block, so its ≤ k differing bits
+    // all live in the other `SimhashBits − width`, and a (k+1)-way
+    // sub-split of those catches it on some sub-block — completeness
+    // preserved, bucket sizes shrunk by the remaining bits' entropy.
+    // Only a bucket still hot AFTER sub-splitting (width + subW bits
+    // of agreement by > cap docs — the near-identical family, where
+    // the true pair OUTPUT is itself quadratic) falls back to star
+    // edges to the bucket-min doc; downstream connected-components
+    // closure recovers those clusters transitively.
+    val sz1 = blocks.groupBy(col("blk"), col("blk_val"))
+      .agg(count(lit(1)).as("__m")).filter(col("__m") > bucketCap)
+    val tagged = blocks.join(broadcast(sz1), Seq("blk", "blk_val"), "left")
+    val cold = tagged.filter(col("__m").isNull)
+      .select(col("blk"), col("blk_val"), col("doc_id"))
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.blk") === col("y.blk") &&
+        col("x.blk_val") === col("y.blk_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val remW = SimhashBits - width
+    val subW = (remW + nBlocks - 1) / nBlocks
+    // remaining bits with this block's width-bit slice removed:
+    // high bits shift down into the gap, low bits stay
+    val remExpr = expr(
+      s"shiftleft(shiftright(simhash, cast((blk + 1) * $width as int)), " +
+        s"cast(blk * $width as int)) | " +
+        s"(simhash & (shiftleft(cast(1 as bigint), " +
+        s"cast(blk * $width as int)) - 1))")
+    val hotSub = tagged.filter(col("__m").isNotNull)
+      .withColumn("__rem", remExpr)
+      .select(col("doc_id"), col("blk"), col("blk_val"),
+        posexplode(array((0 until nBlocks).map(j =>
+          shiftright(col("__rem"), j * subW)
+            .bitwiseAND(lit((1L << subW) - 1))): _*))
+          .as(Seq("sub", "sub_val")))
+    val sz2 = hotSub.groupBy(col("blk"), col("blk_val"),
+        col("sub"), col("sub_val"))
+      .agg(count(lit(1)).as("__m2"), min(col("doc_id")).as("__min_id"))
+      .filter(col("__m2") > bucketCap)
+    val tagged2 = hotSub.join(broadcast(sz2),
+      Seq("blk", "blk_val", "sub", "sub_val"), "left")
+    val cold2 = tagged2.filter(col("__m2").isNull)
+      .select(col("blk"), col("blk_val"), col("sub"), col("sub_val"),
+        col("doc_id"))
+    val cold2Pairs = cold2.as("x").join(cold2.as("y"),
+        col("x.blk") === col("y.blk") &&
+        col("x.blk_val") === col("y.blk_val") &&
+        col("x.sub") === col("y.sub") &&
+        col("x.sub_val") === col("y.sub_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val starPairs = tagged2
+      .filter(col("__m2").isNotNull && col("doc_id") =!= col("__min_id"))
+      .select(col("__min_id").as("a_id"), col("doc_id").as("b_id"))
+    val pairs = coldPairs.unionByName(cold2Pairs).unionByName(starPairs)
+      .distinct()
     pairs
       .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sh")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sh")), "b_id")
