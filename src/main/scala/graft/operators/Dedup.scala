@@ -723,29 +723,12 @@ object Dedup {
     // closure recovers those clusters transitively.
     val sz1 = blocks.groupBy(col("blk"), col("blk_val"))
       .agg(count(lit(1)).as("__m")).filter(col("__m") > bucketCap)
-    // bounded plan-time probe (the MaxQppOuterDomain/DELETE-proof
-    // discipline): with NO hot buckets — the common case on clean
-    // corpora — the whole two-level machinery reduces to the plain
-    // block self-join, so take exactly that plan and pay one small
-    // aggregate job instead of three union branches (measured: the
-    // empty-branch plan costs ~3× at sf0.1). The oracle needs no
-    // probe: with no hot buckets its branches degenerate identically.
-    if (sz1.isEmpty) {
-      val bk = blocks.select(col("blk"), col("blk_val"), col("doc_id"))
-      return bk.as("x").join(bk.as("y"),
-          col("x.blk") === col("y.blk") &&
-          col("x.blk_val") === col("y.blk_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-        .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sh")), "a_id")
-        .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sh")), "b_id")
-        .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("a_id"), col("b_id"),
-          col("hamming").cast("long").as("hamming"))
-        .orderBy(col("a_id"), col("b_id"))
-    }
+    // NO empty-hot plan probe: it was built, measured (spots
+    // 2.21→2.61 s, full bench 1.75→2.07 s — the probe job costs more
+    // than the three empty branches it skips), and reverted on
+    // evidence — the r15 DELETE-probe discipline. The lazy plan pays
+    // ~1.2 s over the pre-guard single join at sf0.1, the price of
+    // the recall-exact sub-split.
     val tagged = blocks.join(broadcast(sz1), Seq("blk", "blk_val"), "left")
     val cold = tagged.filter(col("__m").isNull)
       .select(col("blk"), col("blk_val"), col("doc_id"))
