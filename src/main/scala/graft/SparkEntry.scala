@@ -126,6 +126,7 @@ object SparkEntry {
     "cypher_label_expr"     -> (cypher.CypherQueries.labelExpr(_, _)),
     "cypher_weighted_nodes" -> (cypher.CypherQueries.weightedNodes(_, _)),
     "cypher_weighted_groupvar" -> (cypher.CypherQueries.weightedGroupvar(_, _)),
+    "cypher_weighted_mh_group" -> (cypher.CypherQueries.weightedMultihopGroup(_, _)),
     "cypher_catalog_schema" -> (cypher.CypherQueries.catalogSchema(_, _)),
     "cypher_catalog_rel_schema" -> (cypher.CypherQueries.catalogRelSchema(_, _)),
     "cypher_call_scoped"    -> (cypher.CypherQueries.callScoped(_, _)),
@@ -2768,6 +2769,44 @@ object SparkEntry {
         |  CAST(hops AS BIGINT) AS hops, round(cost, 4) AS cost,
         |  '/' || array_to_string(path, '/') AS path_nodes,
         |  round(cost, 4) AS psum
+        |FROM pick ORDER BY pa, pb""".stripMargin,
+    // weighted multi-hop group: the same unique cheapest walks as
+    // cypher_weighted_nodes (bipartite CONTAINS ⇒ all part-part walks
+    // are even-length, so the 2-hop-group reachability is identical);
+    // rep_ends slices the walk at positions 3, 5, … (each
+    // repetition's end node)
+    "cypher_weighted_mh_group" ->
+      """WITH RECURSIVE eo AS MATERIALIZED (
+        |  SELECT 1000000000 + l_orderkey AS o, 6000000000 + l_partkey AS p,
+        |    MIN(l_extendedprice) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |ed AS MATERIALIZED (
+        |  SELECT o AS s, p AS d, w FROM eo
+        |  UNION ALL
+        |  SELECT p AS s, o AS d, w FROM eo),
+        |walk AS (
+        |  SELECT s AS src, d AS node, w AS cost, 1 AS hops, [s, d] AS path
+        |  FROM ed WHERE s >= 6000000000 AND s < 6000000040
+        |  UNION ALL
+        |  SELECT walk.src, ed.d, walk.cost + ed.w, walk.hops + 1,
+        |    list_append(walk.path, ed.d)
+        |  FROM walk JOIN ed ON ed.s = walk.node
+        |  WHERE walk.hops < 4 AND NOT list_contains(walk.path, ed.d)),
+        |pairs AS (
+        |  SELECT src AS pa, node AS pb, cost, hops, path FROM walk
+        |  WHERE node >= 6000000000 AND node < 6000000040 AND src < node),
+        |best AS (SELECT pa, pb, MIN(cost) AS c FROM pairs GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT p.pa, p.pb, MIN(p.hops) AS hops, MIN(p.cost) AS cost,
+        |    MIN(p.path) AS path
+        |  FROM pairs p JOIN best b ON p.pa = b.pa AND p.pb = b.pb AND p.cost = b.c
+        |  GROUP BY 1, 2)
+        |SELECT CAST(pa - 6000000000 AS BIGINT) AS pa,
+        |  CAST(pb - 6000000000 AS BIGINT) AS pb,
+        |  CAST(hops AS BIGINT) AS hops, round(cost, 4) AS cost,
+        |  '/' || array_to_string(
+        |    list_transform(range(3, len(path) + 1, 2),
+        |      i -> path[CAST(i AS INT)]), '/') AS rep_ends
         |FROM pick ORDER BY pa, pb""".stripMargin,
     // group variable under weighted shortestPath: same unique
     // cheapest walks as cypher_weighted_nodes, step-end slice

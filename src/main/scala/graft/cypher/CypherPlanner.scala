@@ -2829,14 +2829,14 @@ object CypherPlanner {
       // node label/prop constraints semi-join each hop's endpoints
       // ONCE, before composition.
       def compositeExpand(ch: PatternChain, lo: Int, hi: Int): DataFrame = {
-        // plain MATCH and (since r16) shortestPath consume the
-        // composite frame; allShortestPaths keeps pair aggregates (σ)
-        // that cannot ride a synthetic-edge walk, and the weighted
-        // search has no per-repetition weight to minimize — both stay
-        // loud rejects
-        require(!chain.allShortest && chain.weightProp.isEmpty,
+        // plain MATCH, shortestPath (r16) and WEIGHTED shortestPath
+        // (r16 — a repetition's weight is the sum of its inner edges'
+        // weights) consume the composite frame; allShortestPaths
+        // keeps pair aggregates (σ) that cannot ride a synthetic-edge
+        // walk and stays a loud reject
+        require(!chain.allShortest,
           "multi-hop quantified groups are not supported inside " +
-            "allShortestPaths or weighted shortestPath")
+            "allShortestPaths")
         require(chain.kBest.forall(_ <= 1),
           "SHORTEST k (k > 1) over quantified groups is not supported " +
             "— the composite BFS keeps one walk per pair")
@@ -2928,8 +2928,25 @@ object CypherPlanner {
                     (if (base.columns.contains(p)) col(p)
                      else lit(null).cast(dt)).as(p) }): _*))
             }
+            // weighted composite search: every inner hop's edges must
+            // carry the weight property (null → loud error, the
+            // single-edge weighted guard)
+            chain.weightProp.foreach { wp =>
+              require(base.columns.contains(wp),
+                s"weight property '$wp' is not a property of " +
+                  s"quantified-group hop ${j + 1} (type $tn)")
+              val wcol = col(wp).cast("double")
+              out = out.withColumn("__hw",
+                when(wcol.isNotNull, wcol).otherwise(raise_error(lit(
+                  s"weighted shortestPath: relationship property '$wp' " +
+                    "is null or non-numeric on at least one " +
+                    "relationship of the quantified group"))
+                  .cast("double")))
+            }
             out.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
               (if (r.variable.isDefined) Seq(col("__epl"))
+               else Seq.empty) ++
+              (if (chain.weightProp.isDefined) Seq(col("__hw"))
                else Seq.empty): _*)
           }.reduce(_.unionByName(_))
           // orient into TRAVERSAL order: after this, __src is always
@@ -2962,15 +2979,20 @@ object CypherPlanner {
         val namedIdx = ch.hops.zipWithIndex.collect {
           case ((r, _), j) if r.variable.isDefined => j
         }.toSet
+        val weighted = chain.weightProp.isDefined
         val oneRep = hopFrames.tail.zipWithIndex
           .foldLeft(hopFrames.head.select(Seq(col("__src"), col("__dst"),
             array(col("__eid")).as("__nes"),
             array(col("__dst")).as("__snids")) ++
             (if (namedIdx(0)) Seq(col("__epl").as("__epl_0"))
+             else Seq.empty) ++
+            (if (weighted) Seq(col("__hw").as("__wsum"))
              else Seq.empty): _*)) { case (acc, (hf, j)) =>
             val right = hf.select(Seq(col("__src").as(s"__g$j"),
               col("__dst").as("__gd"), col("__eid").as("__ge")) ++
               (if (namedIdx(j + 1)) Seq(col("__epl").as("__ge_epl"))
+               else Seq.empty) ++
+              (if (weighted) Seq(col("__hw").as("__ge_hw"))
                else Seq.empty): _*)
             val keepEpls = acc.columns.filter(_.startsWith("__epl_"))
               .toSeq.map(acc(_))
@@ -2982,6 +3004,9 @@ object CypherPlanner {
                 keepEpls ++
                 (if (namedIdx(j + 1))
                   Seq(col("__ge_epl").as(s"__epl_${j + 1}"))
+                else Seq.empty) ++
+                (if (weighted)
+                  Seq((acc("__wsum") + col("__ge_hw")).as("__wsum"))
                 else Seq.empty): _*)
           }
         // Inline WHERE on a multi-hop group: the predicate relates one
@@ -3071,12 +3096,16 @@ object CypherPlanner {
         val named = namedIdx.toSeq.sorted
         val base = repFiltered.select(Seq(col("__src"), col("__dst"),
           col("__nes").as("__eids"), col("__snids").as("__nids")) ++
-          named.map(j => array(col(s"__epl_$j")).as(s"__epls_$j")): _*)
+          named.map(j => array(col(s"__epl_$j")).as(s"__epls_$j")) ++
+          (if (weighted) Seq(col("__wsum").as("__w")) else Seq.empty): _*)
         // shortestPath over the composite frame: repetition-level
         // walk-carrying BFS (fewest repetitions = fewest edges, k·h
-        // monotone in k). Seed rebuilt HERE because an outer-ref
-        // repetition WHERE composite-keys the frame only during
-        // repFiltered above — the chain-level bfsSeed predates that.
+        // monotone in k); the weighted spelling takes the
+        // repetition-level Bellman–Ford instead (cheapest total edge
+        // weight, k·h-bounded). Seed rebuilt HERE because an
+        // outer-ref repetition WHERE composite-keys the frame only
+        // during repFiltered above — the chain-level bfsSeed
+        // predates that.
         if (chain.shortest) {
           val spSeed: Option[DataFrame] =
             if (df != null && df.columns.contains(s"${cur}__id")) {
@@ -3086,7 +3115,8 @@ object CypherPlanner {
                   qppOuterCols.map(col)): _*).as("__seedid")
               Some(df.select(sid).distinct())
             } else None
-          return compositeShortestWalks(base, h, hi, spSeed)
+          return if (weighted) compositeWeightedWalks(base, h, hi, spSeed)
+          else compositeShortestWalks(base, h, hi, spSeed)
         }
         def kRep(k: Int): DataFrame =
           (2 to k).foldLeft(base) { (acc, step) =>
@@ -4370,6 +4400,89 @@ object CypherPlanner {
       k += 1
     }
     seen
+  }
+
+  /** WEIGHTED shortestPath over a multi-hop quantified group (r16 —
+    * formerly a loud reject): a repetition's weight IS the sum of its
+    * inner edges' weight property (computed during composition, so
+    * the synthetic edge list carries `__w`), and the search is the
+    * repetition-level hop-bounded Bellman–Ford — the
+    * [[weightedShortestRelWalks]] relaxation with
+    * [[compositeShortestWalks]]' two composite changes: walk columns
+    * CONCAT per step and extensions whose edge-identity arrays
+    * overlap the standing walk are skipped (Cypher relationship
+    * uniqueness across repetitions). Candidate structs order
+    * (cost, node walk, identities, payloads); only STRICTLY cheaper
+    * candidates replace the standing best (ties keep fewer
+    * repetitions); positive weights keep recorded walks cycle-free at
+    * the juncture level by the shared argument. Returns the walk
+    * contract with `__wcost` (total edge weight) and `__hops` = k·h.
+    */
+  private def compositeWeightedWalks(reps: DataFrame, h: Int, hi: Int,
+      seed: Option[DataFrame]): DataFrame = {
+    val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
+      c.startsWith("__epls")).toSeq.sorted
+    require(carry.contains("__nids") && carry.contains("__eids") &&
+        reps.columns.contains("__w"),
+      s"weighted composite frame must carry __w/__nids/__eids, has: " +
+        s"${reps.columns.mkString(",")}")
+    val edges = reps.filter(col("__src") =!= col("__dst")).localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    // cost-led struct: the min aggregate picks the cheapest candidate,
+    // ties broken by node walk then identities/payloads
+    val ordCols = Seq("__wcost", "__nids", "__eids") ++
+      carry.filterNot(Set("__nids", "__eids"))
+    var best = e0
+      .select(Seq(col("__src"), col("__dst"),
+        struct((col("__w").as("__wcost") +:
+          carry.map(col)): _*).as("__wk")): _*)
+      .groupBy(col("__src"), col("__dst"))
+      .agg(min(col("__wk")).as("__wk"))
+      .select(Seq(col("__src"), col("__dst"), lit(h).as("__hops")) ++
+        ordCols.map(c => col("__wk").getField(c).as(c)): _*)
+      .localCheckpoint()
+    var frontier = best
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = edges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n"), col("__w")) ++
+        carry.map(c => col(c).as(s"__r$c")): _*)
+      val walkStruct = struct(
+        (col("__wcost") + col("__w")).as("__wcost") +:
+          carry.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
+      val stepped = frontier
+        .join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .filter(!arrays_overlap(col("__eids"), col("__r__eids")))
+        .select(col("__src"), col("__n").as("__d2"), walkStruct.as("__wk"))
+        .groupBy(col("__src"), col("__d2"))
+        .agg(min(col("__wk")).as("__wk"))
+        .select(Seq(col("__src"), col("__d2").as("__dst"),
+          lit(k * h).as("__hops")) ++
+          ordCols.map(c => col("__wk").getField(c).as(c)): _*)
+      val improved = stepped
+        .join(best.select(col("__src"), col("__dst"),
+          col("__wcost").as("__old")), Seq("__src", "__dst"), "left_outer")
+        .filter(col("__old").isNull || col("__wcost") < col("__old"))
+        .drop("__old")
+        .localCheckpoint()
+      exhausted = improved.isEmpty
+      if (!exhausted) {
+        best = best
+          .join(improved.select(col("__src"), col("__dst")),
+            Seq("__src", "__dst"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint()
+        frontier = improved
+      }
+      k += 1
+    }
+    best
   }
 
   /** Statically string-valued expressions — drives `+`-as-concat

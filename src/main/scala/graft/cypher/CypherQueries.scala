@@ -1001,6 +1001,25 @@ object CypherQueries {
         |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
         |ORDER BY nodeType, propertyName""".stripMargin)
 
+  /** WEIGHTED shortestPath over a MULTI-hop quantified group (r16 —
+    * formerly a loud reject): a repetition's weight is the SUM of its
+    * inner edges' `price`, and the repetition-level Bellman–Ford
+    * minimizes total walk cost (`CypherPlanner.compositeWeightedWalks`).
+    * On the bipartite CONTAINS graph every part-part walk has even
+    * length, so the group spelling reaches exactly the plain weighted
+    * pairs; `z` binds the per-repetition end nodes of the unique
+    * cheapest walk (the cypher_weighted_nodes uniqueness argument).
+    */
+  def weightedMultihopGroup(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 40
+        |MATCH p = shortestPath((a) ((x)-[:CONTAINS]-(y)-[:CONTAINS]-(z)){1,2} (b:Part), 'price')
+        |WHERE b.partkey < 40 AND a.partkey < b.partkey
+        |RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  round(cost(p), 4) AS cost,
+        |  reduce(s = '', v IN z | s + '/' + toString(v)) AS rep_ends
+        |ORDER BY pa, pb""".stripMargin)
+
   /** Timezone-aware `datetime({…, timezone: '<IANA zone>'})` (r16 —
     * closes the documented UTC-session carve-out): wall-clock
     * components interpret IN the zone (DST rules included, JVM tzdb)

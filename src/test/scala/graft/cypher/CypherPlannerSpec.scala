@@ -651,6 +651,55 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("weighted shortestPath over a multi-hop quantified group sums repetition weights") {
+    import spark.implicits._
+    // chain 1→2→3→4→5 (cheap) + shortcut 1→9→5 (expensive second
+    // hop): fewest repetitions is the shortcut (1 rep, cost 11), the
+    // CHEAPEST walk is the 2-rep chain (cost 4) — the weighted search
+    // must pick cost over repetition count
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 9L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+        (4L, 5L, 1.0), (1L, 9L, 1.0), (9L, 5L, 10.0))
+        .toDF("__src", "__dst", "w")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val r = CypherPlanner.run(spark, g,
+      "MATCH p = shortestPath((s:V) ((x)-[:E]->(y)-[:E]->(z)){1,3} (t:V), 'w') " +
+        "WHERE id(s) = 1 AND id(t) = 5 " +
+        "RETURN length(p) AS hops, cost(p) AS c, nodes(p) AS ns, " +
+        "y AS mids").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 4L)
+    assert(r(0).getDouble(1) == 4.0)
+    assert(r(0).getSeq[Long](2).toList == List(1L, 2L, 3L, 4L, 5L))
+    assert(r(0).getSeq[Long](3).toList == List(2L, 4L)) // per-rep mids
+    // equivalence with the plain-relationship weighted spelling where
+    // both are expressible: 2-hop groups over the tpch CONTAINS graph
+    val grp = run(
+      "MATCH (a:Part) WHERE a.partkey < 10 " +
+        "MATCH p = shortestPath((a) ((x)-[:CONTAINS]-(y)-[:CONTAINS]-(z)){1,2} (b:Part), 'qty') " +
+        "WHERE b.partkey < 10 AND a.partkey < b.partkey " +
+        "RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops, " +
+        "round(cost(p), 6) AS cost ORDER BY pa, pb").collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getDouble(3)))
+    val plain = run(
+      "MATCH (a:Part) WHERE a.partkey < 10 " +
+        "MATCH p = shortestPath((a)-[:CONTAINS*1..4]-(b:Part), 'qty') " +
+        "WHERE b.partkey < 10 AND a.partkey < b.partkey " +
+        "RETURN a.partkey AS pa, b.partkey AS pb, length(p) AS hops, " +
+        "round(cost(p), 6) AS cost ORDER BY pa, pb").collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getDouble(3)))
+    // the group spelling constrains walks to EVEN hop counts, so its
+    // pairs are the plain ones whose cheapest even walk exists; on
+    // the bipartite CONTAINS graph every part-part walk is even, so
+    // the two agree exactly
+    assert(grp.nonEmpty && grp.toList == plain.toList)
+    // a missing weight property rejects loudly
+    assertThrows[IllegalArgumentException](run(
+      "MATCH p = shortestPath((s:Nation) ((x)-[:NEXT_IN_REGION]->(y)-[:NEXT_IN_REGION]->(z)){1,2} (t:Nation), 'qty') " +
+        "RETURN length(p) AS l"))
+  }
+
   test("SHORTEST k returns the k length-least trails per pair") {
     import spark.implicits._
     // 1→4: direct edge (1 hop), via 2 (2 hops), via 3 (2 hops) — the
