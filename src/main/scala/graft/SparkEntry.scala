@@ -127,6 +127,7 @@ object SparkEntry {
     "cypher_weighted_nodes" -> (cypher.CypherQueries.weightedNodes(_, _)),
     "cypher_weighted_groupvar" -> (cypher.CypherQueries.weightedGroupvar(_, _)),
     "cypher_weighted_mh_group" -> (cypher.CypherQueries.weightedMultihopGroup(_, _)),
+    "cypher_allsp_mh_group" -> (cypher.CypherQueries.allShortestMultihopGroup(_, _)),
     "cypher_catalog_schema" -> (cypher.CypherQueries.catalogSchema(_, _)),
     "cypher_catalog_rel_schema" -> (cypher.CypherQueries.catalogRelSchema(_, _)),
     "cypher_call_scoped"    -> (cypher.CypherQueries.callScoped(_, _)),
@@ -2868,6 +2869,29 @@ object SparkEntry {
         |FROM nr a JOIN nr b ON a.rk = b.rk AND b.pos > a.pos
         |  AND b.pos - a.pos <= 3
         |WHERE a.rk = 4""".stripMargin,
+    // allShortestPaths over the 2-hop group: the linear chains have
+    // exactly one repetition chain per first-reach pair (np = 1)
+    "cypher_allsp_mh_group" ->
+      """WITH e AS (
+        |  SELECT n_nationkey AS src,
+        |    lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+        |  FROM nation),
+        |e2 AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+        |h2 AS (SELECT a.src AS s, b.dst AS t FROM e2 a
+        |       JOIN e2 b ON a.dst = b.src),
+        |h4 AS (SELECT a.src AS s, d.dst AS t FROM e2 a
+        |       JOIN e2 b ON a.dst = b.src
+        |       JOIN e2 c ON b.dst = c.src
+        |       JOIN e2 d ON c.dst = d.src),
+        |u AS (SELECT s, t, 2 AS hops FROM h2
+        |      UNION ALL SELECT s, t, 4 FROM h4),
+        |m AS (SELECT s, t, MIN(hops) AS hops FROM u WHERE s <> t
+        |      GROUP BY 1, 2)
+        |SELECT ns.n_name AS s_name, nt.n_name AS t_name,
+        |  CAST(m.hops AS BIGINT) AS hops, CAST(1 AS BIGINT) AS np
+        |FROM m JOIN nation ns ON m.s = ns.n_nationkey
+        |JOIN nation nt ON m.t = nt.n_nationkey
+        |ORDER BY s_name, t_name""".stripMargin,
     // shortestPath over a 2-hop quantified group: per pair, the
     // minimum over the h·k union arms (k=1 → 2 hops, k=2 → 4)
     "cypher_sp_multihop_group" ->

@@ -2504,7 +2504,10 @@ object CypherPlanner {
       // rejecting — the pair-aggregate plan stays for count(p)-only
       // consumers
       val aspCarry = chain.allShortest && rel.varLength.isDefined &&
-        rel.groupChain.isEmpty && chain.weightProp.isEmpty && (
+        chain.weightProp.isEmpty && (
+          // composite groups always enumerate (the σ recurrence
+          // cannot express cross-repetition edge uniqueness, r16)
+          rel.groupChain.isDefined ||
           chain.pathVar.exists(wref.walksOf) ||
           rel.variable.exists(wref.idents) ||
           rel.groupNodes.exists { case (a, b) =>
@@ -2829,14 +2832,10 @@ object CypherPlanner {
       // node label/prop constraints semi-join each hop's endpoints
       // ONCE, before composition.
       def compositeExpand(ch: PatternChain, lo: Int, hi: Int): DataFrame = {
-        // plain MATCH, shortestPath (r16) and WEIGHTED shortestPath
-        // (r16 — a repetition's weight is the sum of its inner edges'
-        // weights) consume the composite frame; allShortestPaths
-        // keeps pair aggregates (σ) that cannot ride a synthetic-edge
-        // walk and stays a loud reject
-        require(!chain.allShortest,
-          "multi-hop quantified groups are not supported inside " +
-            "allShortestPaths")
+        // plain MATCH, shortestPath (r16), WEIGHTED shortestPath (r16
+        // — a repetition's weight is the sum of its inner edges'
+        // weights) and allShortestPaths (r16 — the capped composite
+        // enumeration) all consume the composite frame
         require(chain.kBest.forall(_ <= 1),
           "SHORTEST k (k > 1) over quantified groups is not supported " +
             "— the composite BFS keeps one walk per pair")
@@ -3115,7 +3114,9 @@ object CypherPlanner {
                   qppOuterCols.map(col)): _*).as("__seedid")
               Some(df.select(sid).distinct())
             } else None
-          return if (weighted) compositeWeightedWalks(base, h, hi, spSeed)
+          return if (chain.allShortest)
+            compositeAllShortestWalks(base, h, hi, spSeed)
+          else if (weighted) compositeWeightedWalks(base, h, hi, spSeed)
           else compositeShortestWalks(base, h, hi, spSeed)
         }
         def kRep(k: Int): DataFrame =
@@ -4400,6 +4401,76 @@ object CypherPlanner {
       k += 1
     }
     seen
+  }
+
+  /** allShortestPaths over a multi-hop quantified group (r16 — the
+    * matrix's last composition cell): [[allShortestWalks]]' capped
+    * first-reach enumeration with [[compositeShortestWalks]]' two
+    * composite changes (walk CONCAT per step, `arrays_overlap`
+    * relationship uniqueness across repetitions). Every distinct
+    * repetition chain reaching a pair at its first-reach level is one
+    * path row (`__np` = 1, so `count(p) = sum(__np)` counts them);
+    * the per-level [[MaxAllShortestWalks]] guard fails loudly above
+    * the cap. σ here is EXACT under relationship uniqueness — the
+    * recurrence-based σ count cannot express the overlap rule, which
+    * is why groups never took the pair-aggregate plan.
+    */
+  private def compositeAllShortestWalks(reps: DataFrame, h: Int, hi: Int,
+      seed: Option[DataFrame]): DataFrame = {
+    val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
+      c.startsWith("__epls")).toSeq.sorted
+    require(carry.contains("__nids") && carry.contains("__eids"),
+      s"composite repetition frame must carry __nids/__eids, has: $carry")
+    val edges = reps.filter(col("__src") =!= col("__dst")).localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    def guard(fresh: DataFrame, k: Int): Unit = {
+      val top = fresh.groupBy(col("__src"), col("__dst"))
+        .agg(count(lit(1)).as("__sigma"))
+        .agg(max(col("__sigma"))).collect()(0)
+      if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
+        throw new IllegalArgumentException(
+          s"allShortestPaths over a quantified group: a pair at " +
+            s"repetition depth $k has ${top.getLong(0)} shortest " +
+            s"paths, above the $MaxAllShortestWalks cap — bind " +
+            "tighter endpoints")
+    }
+    var seen = e0.select(Seq(col("__src"), col("__dst"),
+      lit(h).as("__hops")) ++ carry.map(col): _*)
+      .distinct().localCheckpoint()
+    guard(seen, 1)
+    var seenPairs = seen.select(col("__src"), col("__dst")).distinct()
+      .localCheckpoint()
+    var frontier = seen
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = edges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n")) ++
+        carry.map(c => col(c).as(s"__r$c")): _*)
+      val stepped = frontier.join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .filter(!arrays_overlap(col("__eids"), col("__r__eids")))
+        .select(Seq(col("__src"), col("__n").as("__dst")) ++
+          carry.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
+      val fresh = stepped
+        .join(seenPairs, Seq("__src", "__dst"), "left_anti")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        guard(fresh, k)
+        seen = seen.unionByName(fresh.withColumn("__hops", lit(k * h)))
+        seenPairs = seenPairs.unionByName(
+          fresh.select(col("__src"), col("__dst")).distinct())
+          .localCheckpoint()
+        frontier = fresh
+      }
+      k += 1
+    }
+    seen.withColumn("__np", lit(1L))
   }
 
   /** WEIGHTED shortestPath over a multi-hop quantified group (r16 —

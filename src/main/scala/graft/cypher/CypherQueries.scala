@@ -1001,6 +1001,20 @@ object CypherQueries {
         |RETURN nodeType, propertyName, propertyTypes[0] AS ptype, mandatory
         |ORDER BY nodeType, propertyName""".stripMargin)
 
+  /** allShortestPaths over a MULTI-hop quantified group (r16 — the
+    * composition matrix's last cell): the capped composite
+    * enumeration (`compositeAllShortestWalks`) emits one row per
+    * shortest repetition chain; on the unique-successor nation chains
+    * σ = 1 everywhere, so `count(p)` pins exactly one enumerated row
+    * per first-reach pair across BOTH k-arms.
+    */
+  def allShortestMultihopGroup(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH p = allShortestPaths((s:Nation) ((a)-[:NEXT_IN_REGION]->(b)-[:NEXT_IN_REGION]->(c)){1,2} (t:Nation))
+        |RETURN s.name AS s_name, t.name AS t_name, length(p) AS hops,
+        |  count(p) AS np
+        |ORDER BY s_name, t_name""".stripMargin)
+
   /** WEIGHTED shortestPath over a MULTI-hop quantified group (r16 —
     * formerly a loud reject): a repetition's weight is the SUM of its
     * inner edges' `price`, and the repetition-level Bellman–Ford
