@@ -2979,8 +2979,24 @@ object CypherPlanner {
           case ((r, _), j) if r.variable.isDefined => j
         }.toSet
         val weighted = chain.weightProp.isDefined
+        // Repetition composition as a FUNCTION of the allowed start
+        // set (r16): a SEEDED composite search composes, per BFS
+        // round, only the repetitions its frontier can actually
+        // enter — the first hop semi-joins the round's start ids, so
+        // every downstream hop join shrinks with it. Without the
+        // restriction the synthetic frame is corpus × degree^h rows
+        // BEFORE the seed prunes anything (measured: the weighted
+        // CONTAINS key took 181 s at sf1 eagerly; frontier-bounded
+        // it tracks the plain weighted search).
+        def composeRep(startIds: Option[DataFrame]): DataFrame = {
+        val head0 = hopFrames.head
+        val headF = startIds match {
+          case Some(sd) =>
+            head0.join(sd, head0("__src") === sd("__cstart"), "left_semi")
+          case None => head0
+        }
         val oneRep = hopFrames.tail.zipWithIndex
-          .foldLeft(hopFrames.head.select(Seq(col("__src"), col("__dst"),
+          .foldLeft(headF.select(Seq(col("__src"), col("__dst"),
             array(col("__eid")).as("__nes"),
             array(col("__dst")).as("__snids")) ++
             (if (namedIdx(0)) Seq(col("__epl").as("__epl_0"))
@@ -3017,7 +3033,7 @@ object CypherPlanner {
         // union), and the scalar compiler evaluates the predicate
         // unchanged. Zero-length branches never ran a repetition, so
         // they stay untouched (same vacuous-WHERE rule as single-hop).
-        val repFiltered = rel.stepWhere match {
+        rel.stepWhere match {
           case None => oneRep
           case Some(pred) =>
             val names = nodePats.map(_.variable)
@@ -3092,33 +3108,58 @@ object CypherPlanner {
                 case c => col(c)
               }: _*)
         }
+        }
         val named = namedIdx.toSeq.sorted
-        val base = repFiltered.select(Seq(col("__src"), col("__dst"),
-          col("__nes").as("__eids"), col("__snids").as("__nids")) ++
-          named.map(j => array(col(s"__epl_$j")).as(s"__epls_$j")) ++
-          (if (weighted) Seq(col("__wsum").as("__w")) else Seq.empty): _*)
+        def baseOf(startIds: Option[DataFrame]): DataFrame =
+          composeRep(startIds).select(Seq(col("__src"), col("__dst"),
+            col("__nes").as("__eids"), col("__snids").as("__nids")) ++
+            named.map(j => array(col(s"__epl_$j")).as(s"__epls_$j")) ++
+            (if (weighted) Seq(col("__wsum").as("__w")) else Seq.empty): _*)
+        // an outer-ref repetition WHERE composite-keys the frame, so
+        // the lazy start restriction (plain long keys) cannot apply
+        val hasOuterWhere = rel.stepWhere.exists { pred =>
+          val (pr, ir) = stepWhereRefs(pred)
+          ((pr.keySet ++ ir) -- nodePats.flatMap(_.variable).toSet).nonEmpty
+        }
         // shortestPath over the composite frame: repetition-level
         // walk-carrying BFS (fewest repetitions = fewest edges, k·h
         // monotone in k); the weighted spelling takes the
         // repetition-level Bellman–Ford instead (cheapest total edge
         // weight, k·h-bounded). Seed rebuilt HERE because an
         // outer-ref repetition WHERE composite-keys the frame only
-        // during repFiltered above — the chain-level bfsSeed
-        // predates that.
+        // during composeRep above — the chain-level bfsSeed predates
+        // that. A SEEDED search with plain keys composes lazily, per
+        // round, from its frontier.
         if (chain.shortest) {
+          // an outer-ref WHERE populates qppOuterCols during
+          // composition — run one (lazy, plan-only) compose before
+          // choosing the seed's key shape
+          if (hasOuterWhere) composeRep(None)
           val spSeed: Option[DataFrame] =
             if (df != null && df.columns.contains(s"${cur}__id")) {
-              val sid =
+              val sidCol =
                 if (qppOuterCols.isEmpty) col(s"${cur}__id").as("__seedid")
                 else struct((col(s"${cur}__id").as("i") +:
                   qppOuterCols.map(col)): _*).as("__seedid")
-              Some(df.select(sid).distinct())
+              Some(df.select(sidCol).distinct())
             } else None
+          val composeFrom: Option[DataFrame => DataFrame] =
+            if (spSeed.isDefined && !hasOuterWhere)
+              Some((starts: DataFrame) => baseOf(Some(starts)))
+            else None
           return if (chain.allShortest)
-            compositeAllShortestWalks(base, h, hi, spSeed)
-          else if (weighted) compositeWeightedWalks(base, h, hi, spSeed)
-          else compositeShortestWalks(base, h, hi, spSeed)
+            compositeAllShortestWalks(baseOf(None), h, hi, spSeed,
+              composeFrom)
+          else if (weighted)
+            compositeWeightedWalks(baseOf(None), h, hi, spSeed, composeFrom)
+          else
+            compositeShortestWalks(baseOf(None), h, hi, spSeed, composeFrom)
         }
+        val repFiltered = composeRep(None)
+        val base = repFiltered.select(Seq(col("__src"), col("__dst"),
+          col("__nes").as("__eids"), col("__snids").as("__nids")) ++
+          named.map(j => array(col(s"__epl_$j")).as(s"__epls_$j")) ++
+          (if (weighted) Seq(col("__wsum").as("__w")) else Seq.empty): _*)
         def kRep(k: Int): DataFrame =
           (2 to k).foldLeft(base) { (acc, step) =>
             val right = repFiltered.select(Seq(col("__src").as(s"__m$step"),
@@ -4345,17 +4386,28 @@ object CypherPlanner {
     * shared with every min-struct BFS here.
     */
   private def compositeShortestWalks(reps: DataFrame, h: Int, hi: Int,
-      seed: Option[DataFrame]): DataFrame = {
+      seed: Option[DataFrame],
+      composeFrom: Option[DataFrame => DataFrame] = None): DataFrame = {
     val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
       c.startsWith("__epls")).toSeq.sorted
     require(carry.contains("__nids") && carry.contains("__eids"),
       s"composite repetition frame must carry __nids/__eids, has: $carry")
-    val edges = reps.filter(col("__src") =!= col("__dst")).localCheckpoint()
-    val e0 = seed match {
-      case Some(s) =>
-        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
-      case None => edges
-    }
+    // seeded searches compose repetitions PER ROUND from the frontier
+    // (composeFrom) — the full composite frame never materializes
+    val lazyMode = composeFrom.isDefined && seed.isDefined
+    val fullEdges: Option[DataFrame] =
+      if (lazyMode) None
+      else Some(reps.filter(col("__src") =!= col("__dst")).localCheckpoint())
+    def edgesFrom(starts: DataFrame): DataFrame =
+      composeFrom.get(starts).filter(col("__src") =!= col("__dst"))
+    val e0 =
+      if (lazyMode)
+        edgesFrom(seed.get.select(col("__seedid").as("__cstart")).distinct())
+      else seed match {
+        case Some(s) => fullEdges.get.join(s,
+          fullEdges.get("__src") === s("__seedid"), "left_semi")
+        case None => fullEdges.get
+      }
     val ordCols = Seq("__nids", "__eids") ++
       carry.filterNot(Set("__nids", "__eids"))
     var seen = e0
@@ -4370,7 +4422,11 @@ object CypherPlanner {
     var k = 2
     var exhausted = hi < 2 || frontier.isEmpty
     while (k <= hi && !exhausted) {
-      val right = edges.select(Seq(col("__src").as("__m"),
+      val stepEdges =
+        if (lazyMode)
+          edgesFrom(frontier.select(col("__dst").as("__cstart")).distinct())
+        else fullEdges.get
+      val right = stepEdges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n")) ++
         carry.map(c => col(c).as(s"__r$c")): _*)
       // node-sequence-led struct — the same ordering as level 1, so
@@ -4416,17 +4472,26 @@ object CypherPlanner {
     * is why groups never took the pair-aggregate plan.
     */
   private def compositeAllShortestWalks(reps: DataFrame, h: Int, hi: Int,
-      seed: Option[DataFrame]): DataFrame = {
+      seed: Option[DataFrame],
+      composeFrom: Option[DataFrame => DataFrame] = None): DataFrame = {
     val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
       c.startsWith("__epls")).toSeq.sorted
     require(carry.contains("__nids") && carry.contains("__eids"),
       s"composite repetition frame must carry __nids/__eids, has: $carry")
-    val edges = reps.filter(col("__src") =!= col("__dst")).localCheckpoint()
-    val e0 = seed match {
-      case Some(s) =>
-        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
-      case None => edges
-    }
+    val lazyMode = composeFrom.isDefined && seed.isDefined
+    val fullEdges: Option[DataFrame] =
+      if (lazyMode) None
+      else Some(reps.filter(col("__src") =!= col("__dst")).localCheckpoint())
+    def edgesFrom(starts: DataFrame): DataFrame =
+      composeFrom.get(starts).filter(col("__src") =!= col("__dst"))
+    val e0 =
+      if (lazyMode)
+        edgesFrom(seed.get.select(col("__seedid").as("__cstart")).distinct())
+      else seed match {
+        case Some(s) => fullEdges.get.join(s,
+          fullEdges.get("__src") === s("__seedid"), "left_semi")
+        case None => fullEdges.get
+      }
     def guard(fresh: DataFrame, k: Int): Unit = {
       val top = fresh.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__sigma"))
@@ -4448,7 +4513,11 @@ object CypherPlanner {
     var k = 2
     var exhausted = hi < 2 || frontier.isEmpty
     while (k <= hi && !exhausted) {
-      val right = edges.select(Seq(col("__src").as("__m"),
+      val stepEdges =
+        if (lazyMode)
+          edgesFrom(frontier.select(col("__dst").as("__cstart")).distinct())
+        else fullEdges.get
+      val right = stepEdges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n")) ++
         carry.map(c => col(c).as(s"__r$c")): _*)
       val stepped = frontier.join(right, col("__dst") === col("__m"))
@@ -4490,19 +4559,28 @@ object CypherPlanner {
     * contract with `__wcost` (total edge weight) and `__hops` = k·h.
     */
   private def compositeWeightedWalks(reps: DataFrame, h: Int, hi: Int,
-      seed: Option[DataFrame]): DataFrame = {
+      seed: Option[DataFrame],
+      composeFrom: Option[DataFrame => DataFrame] = None): DataFrame = {
     val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
       c.startsWith("__epls")).toSeq.sorted
     require(carry.contains("__nids") && carry.contains("__eids") &&
         reps.columns.contains("__w"),
       s"weighted composite frame must carry __w/__nids/__eids, has: " +
         s"${reps.columns.mkString(",")}")
-    val edges = reps.filter(col("__src") =!= col("__dst")).localCheckpoint()
-    val e0 = seed match {
-      case Some(s) =>
-        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
-      case None => edges
-    }
+    val lazyMode = composeFrom.isDefined && seed.isDefined
+    val fullEdges: Option[DataFrame] =
+      if (lazyMode) None
+      else Some(reps.filter(col("__src") =!= col("__dst")).localCheckpoint())
+    def edgesFrom(starts: DataFrame): DataFrame =
+      composeFrom.get(starts).filter(col("__src") =!= col("__dst"))
+    val e0 =
+      if (lazyMode)
+        edgesFrom(seed.get.select(col("__seedid").as("__cstart")).distinct())
+      else seed match {
+        case Some(s) => fullEdges.get.join(s,
+          fullEdges.get("__src") === s("__seedid"), "left_semi")
+        case None => fullEdges.get
+      }
     // cost-led struct: the min aggregate picks the cheapest candidate,
     // ties broken by node walk then identities/payloads
     val ordCols = Seq("__wcost", "__nids", "__eids") ++
@@ -4520,7 +4598,11 @@ object CypherPlanner {
     var k = 2
     var exhausted = hi < 2 || frontier.isEmpty
     while (k <= hi && !exhausted) {
-      val right = edges.select(Seq(col("__src").as("__m"),
+      val stepEdges =
+        if (lazyMode)
+          edgesFrom(frontier.select(col("__dst").as("__cstart")).distinct())
+        else fullEdges.get
+      val right = stepEdges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__w")) ++
         carry.map(c => col(c).as(s"__r$c")): _*)
       val walkStruct = struct(
