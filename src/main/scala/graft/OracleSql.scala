@@ -140,17 +140,29 @@ object OracleSql {
 
   /** Incremental near-dup, mirroring [[Dedup.incrementalDedup]]: the
     * minhashLsh CTEs with an ASYMMETRIC candidate join (index side =
-    * doc_id % 10 <> 0, delta side = doc_id % 10 = 0) and a best-match
-    * rank per delta doc.
+    * doc_id % 10 <> 0, delta side = doc_id % 10 = 0), the index side
+    * hot-bucket-collapsed to its min-id representative above
+    * [[Dedup.HotBucketCap]] members (r17, mirroring
+    * [[Dedup.guardedIndexBands]]), and a best-match rank per delta
+    * doc.
     */
   def incrementalDedup(numPerms: Int = 128, bands: Int = 32,
       tau: Double = 0.6): String =
     minhashCtes(numPerms, bands) + s""",
+       |isz AS (
+       |  SELECT band, band_hash, COUNT(*) AS m, MIN(doc_id) AS min_id
+       |  FROM banded WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+       |gidx AS (
+       |  SELECT b.doc_id, b.band, b.band_hash
+       |  FROM banded b
+       |  JOIN isz s ON s.band = b.band AND s.band_hash = b.band_hash
+       |  WHERE b.doc_id % 10 <> 0
+       |    AND (s.m <= ${Dedup.HotBucketCap} OR b.doc_id = s.min_id)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS index_id, y.doc_id AS delta_id
-       |  FROM banded x JOIN banded y
+       |  FROM gidx x JOIN banded y
        |    ON x.band = y.band AND x.band_hash = y.band_hash
-       |    AND x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+       |    AND y.doc_id % 10 = 0),
        |eq AS (
        |  SELECT c.index_id, c.delta_id,
        |    round(CAST(len(list_filter(range(1, ${numPerms + 1}),
@@ -206,8 +218,11 @@ object OracleSql {
        |  WHERE s.m <= $cap),
        |hot AS (
        |  SELECT b.doc_id, b.blk, b.blk_val,
-       |    ((h.simhash >> CAST((b.blk+1)*$width AS INT)) << CAST(b.blk*$width AS INT)) |
-       |      (h.simhash & ((CAST(1 AS BIGINT) << CAST(b.blk*$width AS INT)) - 1)) AS rem
+       |    ((CASE WHEN (b.blk+1)*$width >= $bits THEN CAST(0 AS BIGINT)
+       |           ELSE h.simhash >> CAST((b.blk+1)*$width AS INT) END)
+       |       << CAST(b.blk*$width AS INT)) |
+       |      (CASE WHEN b.blk*$width >= $bits THEN h.simhash
+       |            ELSE h.simhash & ((CAST(1 AS BIGINT) << CAST(b.blk*$width AS INT)) - 1) END) AS rem
        |  FROM bl b
        |  JOIN blsz s ON s.blk = b.blk AND s.blk_val = b.blk_val
        |  JOIN sh h ON h.doc_id = b.doc_id

@@ -450,7 +450,16 @@ object CypherPlanner {
                   col("__e").getField("mandatory").as("mandatory"))
             }
         }
-        val cat = perTable.reduce(_.unionByName(_))
+        // a graph where every label is property-less flatMaps to an
+        // EMPTY collection — Neo4j returns zero rows there, so the
+        // fold needs an empty typed frame, not `empty.reduce` (r17)
+        val cat = perTable.reduceOption(_.unionByName(_)).getOrElse(
+          graph.nodes.values.head.sparkSession.range(0).select(
+            lit(null).cast("string").as("nodeType"),
+            lit(null).cast("array<string>").as("nodeLabels"),
+            lit(null).cast("string").as("propertyName"),
+            lit(null).cast("array<string>").as("propertyTypes"),
+            lit(null).cast("boolean").as("mandatory")))
         val df = if (s.df == null) cat else s.df.crossJoin(broadcast(cat))
         val cols = Set("nodeType", "nodeLabels", "propertyName",
           "propertyTypes", "mandatory")
@@ -495,7 +504,14 @@ object CypherPlanner {
                 col("__e").getField("mandatory").as("mandatory"))
           }
         }
-        val relCat = perRel.reduce(_.unionByName(_))
+        // zero relationship types → zero rows (Neo4j), not
+        // `empty.reduce` (r17)
+        val relCat = perRel.reduceOption(_.unionByName(_)).getOrElse(
+          graph.nodes.values.head.sparkSession.range(0).select(
+            lit(null).cast("string").as("relType"),
+            lit(null).cast("string").as("propertyName"),
+            lit(null).cast("array<string>").as("propertyTypes"),
+            lit(null).cast("boolean").as("mandatory")))
         val rdf = if (s.df == null) relCat
           else s.df.crossJoin(broadcast(relCat))
         val rcols = Set("relType", "propertyName", "propertyTypes",
@@ -3926,9 +3942,13 @@ object CypherPlanner {
     * pair — edge-unique walks, Cypher's relationship-uniqueness rule;
     * the i-th best path may be LONGER than the shortest, so
     * first-reach pruning cannot apply. Planned as a level-synchronous
-    * trail enumeration (extensions never reuse an edge identity,
-    * sources never revisited — the BFS family's shared src≠n rule)
-    * with the [[MaxAllShortestWalks]] per-pair loud guard at every
+    * trail enumeration — extensions never reuse an edge identity,
+    * and that is the ONLY uniqueness rule: GQL/Cypher trail semantics
+    * permit node revisits, including trails that pass back through
+    * (or close at) the source, so the BFS family's src≠n shortcut
+    * does NOT apply here (r17, ADVICE — it silently dropped valid
+    * trails on graphs with cycles through the source) — with the
+    * [[MaxAllShortestWalks]] per-pair loud guard at every
     * level, then one per-pair row_number window ordered by
     * (hops, node walk, edge identities) keeping the k least —
     * deterministic, never silently truncated. Parallel edges are
@@ -3959,11 +3979,13 @@ object CypherPlanner {
             s"trails, above the $MaxAllShortestWalks cap — bind " +
             "tighter endpoints or lower the hop bound")
     }
+    // no src≠dst filter: a self-loop edge is a valid 1-hop trail and
+    // a cycle back to the source is a valid closed trail (edge
+    // uniqueness is the only trail rule)
     var level = e0.select(Seq(col("__src"), col("__dst"),
       lit(1).as("__hops"), array(col("__dst")).as("__nids"),
       array(col("__eid")).as("__eids")) ++
       (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
-      .filter(col("__src") =!= col("__dst"))
       .localCheckpoint()
     guard(level, 1)
     var all = level
@@ -3974,7 +3996,6 @@ object CypherPlanner {
         col("__dst").as("__n"), col("__eid").as("__ne")) ++
         (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
       val stepped = level.join(right, col("__dst") === col("__m"))
-        .filter(col("__src") =!= col("__n"))
         .filter(!array_contains(col("__eids"), col("__ne")))
         .select(Seq(col("__src"), col("__n").as("__dst"),
           lit(k).as("__hops"),
@@ -4910,14 +4931,22 @@ object CypherPlanner {
     case FnCall("tobooleanornull", Some(a), _, _) =>
       // Neo4j 5: booleans pass through, INTEGER maps 0→false /
       // nonzero→true, strings only 'true'/'false'; all else → null.
-      // Integer-typed values print as bare digits after the string
-      // cast — matched by the integral regex (a purely-numeric STRING
-      // is indistinguishable at this point and converts too; floats
-      // print with a '.' and stay null, as in Neo4j).
+      // Dispatch on the DECLARED type via `typeof` (constant-folded
+      // to a literal per plan — a column has one static type), so a
+      // purely-numeric STRING ('42') stays null exactly as in Neo4j
+      // instead of riding the integral branch (r17, ADVICE: the old
+      // print-then-regex dispatch could not tell 42 from '42'). All
+      // value work runs on the stringified form so non-castable
+      // types (arrays, maps) analyze fine and fall to null.
       val cb = toColumn(a, scalars)
+      val t = call_function("typeof", cb)
       val l = lower(cb.cast("string"))
-      when(l === "true", lit(true)).when(l === "false", lit(false))
-        .when(l.rlike("^-?[0-9]+$"), cb.try_cast("long") =!= 0)
+      when(t === "boolean", l === "true")
+        .when(t.isin("tinyint", "smallint", "int", "bigint"),
+          l.try_cast("long") =!= 0)
+        .when(t === "string",
+          when(l === "true", lit(true)).when(l === "false", lit(false))
+            .otherwise(lit(null)))
         .otherwise(lit(null))
     case FnCall("isnan", Some(a), _, _) =>
       isnan(toColumn(a, scalars).cast("double"))

@@ -49,7 +49,8 @@ object Dedup {
     * two xxHash probes - far below the shuffle it eliminates.
     */
   def bloomIncremental(spark: SparkSession, sfDir: String, tau: Double = 0.6,
-      numPerms: Int = 128, bands: Int = 32, fpp: Double = 0.01): DataFrame = {
+      numPerms: Int = 128, bands: Int = 32, fpp: Double = 0.01,
+      bucketCap: Int = HotBucketCap): DataFrame = {
     val sigs = minhashSignatures(spark, sfDir, numPerms, bands).cache()
     val isDelta = col("doc_id") % 10 === 0
     // one 64-bit key per (band, hash): the band index rides the top
@@ -65,7 +66,13 @@ object Dedup {
     val deltaPruned = banded.filter(isDelta)
       .filter((r: org.apache.spark.sql.Row) =>
         bc.value.mightContainLong(r.getAs[Long]("k")))
-    val cands = indexBanded.as("x").join(deltaPruned.as("y"),
+    // the Bloom filter is built over the UNCOLLAPSED index keys, so
+    // it prunes exactly the same delta rows as [[incrementalDedup]]
+    // never joins; the collapsed index (r17) then keeps the join
+    // itself linear in hot buckets — output stays byte-identical to
+    // the plain incremental (shared oracle, spec-pinned)
+    val cands = guardedIndexBands(indexBanded, bucketCap).as("x")
+      .join(deltaPruned.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("index_id"), col("y.doc_id").as("delta_id"))
@@ -481,12 +488,24 @@ object Dedup {
     * stop-shingle discipline applied to the band join): buckets of
     * size ≤ `bucketCap` emit the exact all-pairs candidate set;
     * larger buckets — duplicate clusters, mirrored boilerplate —
-    * emit star edges to the bucket's min doc_id, keeping every
-    * member connected so a downstream connected-components closure
-    * ([[dedupClusters]]) recovers the same clusters transitively
-    * while candidate volume stays LINEAR in bucket size. Nothing is
-    * dropped silently: every bucket member still appears in ≥ 1
-    * candidate row.
+    * emit star edges to the bucket's min doc_id, keeping candidate
+    * volume LINEAR in bucket size. Every bucket member appears in
+    * ≥ 1 candidate row.
+    *
+    * RECALL CONTRACT (r17, stated honestly): within a still-hot
+    * bucket, only pairs INVOLVING the bucket-min representative are
+    * ever handed to the caller's verify pass — a qualifying pair of
+    * two NON-representative members is surfaced only if it also
+    * collides in some cold bucket (with 32 independent bands, near
+    * dups usually do). Pair-returning callers therefore have bounded
+    * recall inside hot buckets; CLUSTER-building callers are exact
+    * whenever the hot bucket is a true duplicate family (every
+    * member verifies against the representative, so a
+    * connected-components closure — [[dedupClusters]]'s stage —
+    * recovers the full cluster transitively). This is the same
+    * recall-for-boundedness trade every production LSH dedup makes;
+    * callers that need exact all-pairs inside mega-buckets pass
+    * `bucketCap = Int.MaxValue` and accept the quadratic join.
     *
     * 100 TB shape: the hot-bucket list is tiny by construction (only
     * buckets with > cap members) → broadcast; the all-pairs join runs
@@ -520,7 +539,12 @@ object Dedup {
     * At 100 TB: the banding join shuffles (band_id, band_hash, doc_id)
     * — 24 B rows; text is never shuffled. Verification joins the 1 KB
     * signatures for candidate pairs only, and the hot-bucket star
-    * edges keep duplicate clusters from going quadratic.
+    * edges keep duplicate clusters from going quadratic — at the
+    * recall bound documented on [[bandedCandidatePairs]]: inside a
+    * still-hot bucket only representative-involving pairs are
+    * verified, so two non-representative members of a mega-bucket
+    * appear as a pair only via a cold band collision (their cluster
+    * is still recoverable transitively through the representative).
     */
   def minhashLsh(spark: SparkSession, sfDir: String, tau: Double = 0.6,
       numPerms: Int = 128, bands: Int = 32,
@@ -580,6 +604,42 @@ object Dedup {
       .orderBy(col("j"))
   }
 
+  /** Hot-bucket collapse of a STATIC index band artifact — the
+    * ingestion-side form of the star discipline (r17, finishing
+    * r16's [[bandedCandidatePairs]]): buckets with ≤ `bucketCap`
+    * index members pass through untouched; hotter buckets keep ONLY
+    * the bucket-min representative row, so any delta row colliding
+    * there is matched against the representative instead of fanning
+    * out to every member. The routine re-crawl disaster this bounds:
+    * 10⁵ index copies × 10³ delta copies of one boilerplate page in
+    * one bucket emitted 10⁸ candidate rows × 32 bands before
+    * `distinct()`; collapsed, the bucket contributes |delta| rows per
+    * band. Shared by [[incrementalDedup]], [[bloomIncremental]] and
+    * the streaming twin
+    * ([[graft.streaming.StreamingJobs.incrementalCandidates]]) — in
+    * production this collapse is baked into the persisted index
+    * artifact once, not recomputed per batch.
+    *
+    * OUTPUT CONTRACT: the downstream best-match verify is
+    * BYTE-IDENTICAL to the unguarded join whenever hot buckets are
+    * true duplicate families (members share the signature, so every
+    * candidate ties on est_jaccard and the rank's `index_id`
+    * tie-break already picks the bucket-min representative — the
+    * spec pins this). For a hash-collision bucket of genuinely
+    * distinct docs the recall bound of [[bandedCandidatePairs]]
+    * applies: a delta row is tested against that bucket's
+    * representative only, plus whatever its other bands hit.
+    */
+  def guardedIndexBands(banded: DataFrame,
+      bucketCap: Int = HotBucketCap, idCol: String = "doc_id"): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__m"), min(col(idCol)).as("__min_id"))
+      .filter(col("__m") > bucketCap)
+    banded.join(broadcast(hot), Seq("band", "band_hash"), "left")
+      .filter(col("__m").isNull || col(idCol) === col("__min_id"))
+      .select(col(idCol), col("band"), col("band_hash"))
+  }
+
   /** Incremental near-dup screen: match a NEW batch against the
     * EXISTING corpus without re-pairing the corpus with itself — the
     * shape of production ingestion, where the index side's band
@@ -587,16 +647,20 @@ object Dedup {
     * |delta| signatures plus an asymmetric band join. Here the split
     * is deterministic (doc_id % 10 == 0 is the incoming batch); the
     * band join keeps only (index, delta) pairs, so index-index
-    * candidates — the quadratic bulk of a full dedup — never form.
+    * candidates — the quadratic bulk of a full dedup — never form,
+    * and the index side is hot-bucket-collapsed
+    * ([[guardedIndexBands]], r17) so a duplicate cluster present on
+    * BOTH sides cannot go quadratic either.
     * Output: delta docs with their nearest index duplicate.
     */
   def incrementalDedup(spark: SparkSession, sfDir: String, tau: Double = 0.6,
-      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+      numPerms: Int = 128, bands: Int = 32,
+      bucketCap: Int = HotBucketCap): DataFrame = {
     val sigs = minhashSignatures(spark, sfDir, numPerms, bands).cache()
     val isDelta = col("doc_id") % 10 === 0
     val banded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "band_hash")))
-    val cands = banded.filter(!isDelta).as("x")
+    val cands = guardedIndexBands(banded.filter(!isDelta), bucketCap).as("x")
       .join(banded.filter(isDelta).as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash"))
@@ -719,8 +783,15 @@ object Dedup {
     // Only a bucket still hot AFTER sub-splitting (width + subW bits
     // of agreement by > cap docs — the near-identical family, where
     // the true pair OUTPUT is itself quadratic) falls back to star
-    // edges to the bucket-min doc; downstream connected-components
-    // closure recovers those clusters transitively.
+    // edges to the bucket-min doc. RECALL BOUND there (r17, honest):
+    // the Hamming verify below keeps only star pairs within
+    // maxHamming of the REPRESENTATIVE, so a qualifying pair of two
+    // non-representative members whose only agreeing block leads to
+    // a still-hot sub-bucket is returned only if another block puts
+    // it in a cold(er) bucket; its CLUSTER stays recoverable via the
+    // representative's edges when the family is a true duplicate
+    // cluster. Exact all-pairs inside mega-buckets: pass
+    // `bucketCap = Int.MaxValue`.
     val sz1 = blocks.groupBy(col("blk"), col("blk_val"))
       .agg(count(lit(1)).as("__m")).filter(col("__m") > bucketCap)
     // NO empty-hot plan probe: it was built, measured (spots
@@ -740,12 +811,22 @@ object Dedup {
     val remW = SimhashBits - width
     val subW = (remW + nBlocks - 1) / nBlocks
     // remaining bits with this block's width-bit slice removed:
-    // high bits shift down into the gap, low bits stay
+    // high bits shift down into the gap, low bits stay. Shift amounts
+    // ≥ SimhashBits are guarded to their closed forms (high part 0,
+    // low part the whole hash): for nBlocks ≥ 8 the top block's
+    // (blk+1)*width reaches 64, where Java/Spark shifts mask the
+    // amount mod 64 (shiftright(x, 64) = x) while DuckDB saturates to
+    // 0 — the guard keeps the expression exact and engine-agnostic
+    // for every maxHamming instead of only the defaults (r17,
+    // ADVICE).
     val remExpr = expr(
-      s"shiftleft(shiftright(simhash, cast((blk + 1) * $width as int)), " +
+      s"shiftleft(CASE WHEN (blk + 1) * $width >= $SimhashBits " +
+        s"THEN cast(0 as bigint) " +
+        s"ELSE shiftright(simhash, cast((blk + 1) * $width as int)) END, " +
         s"cast(blk * $width as int)) | " +
-        s"(simhash & (shiftleft(cast(1 as bigint), " +
-        s"cast(blk * $width as int)) - 1))")
+        s"(CASE WHEN blk * $width >= $SimhashBits THEN simhash " +
+        s"ELSE simhash & (shiftleft(cast(1 as bigint), " +
+        s"cast(blk * $width as int)) - 1) END)")
     val hotSub = tagged.filter(col("__m").isNotNull)
       .withColumn("__rem", remExpr)
       .select(col("doc_id"), col("blk"), col("blk_val"),

@@ -376,11 +376,20 @@ object StreamingJobs {
     *
     * `indexBands`: (index_id, band, band_hash); `indexSigs`:
     * (index_id, sig array) — the precomputed artifact the batch
-    * operator also probes.
+    * operator also probes. The index side goes through the same
+    * hot-bucket collapse as the batch ingestion paths
+    * ([[graft.operators.Dedup.guardedIndexBands]], r17): a bucket
+    * with > cap index members keeps only its min-id representative,
+    * so one boilerplate cluster in the index cannot fan a matching
+    * delta stream out quadratically. In production the collapse is
+    * baked into the persisted artifact ONCE; here it is expressed
+    * inline on the static side (per-batch re-aggregation of a static
+    * frame — the artifact-build cost, not a streaming-state cost).
     */
   def incrementalCandidates(docs: Dataset[(Long, String)],
       indexBands: DataFrame, indexSigs: DataFrame,
-      numPerms: Int = 128, bands: Int = 32, tau: Double = 0.6): DataFrame = {
+      numPerms: Int = 128, bands: Int = 32, tau: Double = 0.6,
+      bucketCap: Int = graft.operators.Dedup.HotBucketCap): DataFrame = {
     import docs.sparkSession.implicits._
     val deltaBands = docs.flatMap { case (id, text) =>
       graft.operators.Dedup.minhashBandsJvm(text, numPerms, bands) match {
@@ -389,8 +398,10 @@ object StreamingJobs {
         case None => Iterator.empty
       }
     }.toDF("delta_id", "delta_sig", "band", "band_hash")
+    val guardedIndex = graft.operators.Dedup
+      .guardedIndexBands(indexBands, bucketCap, idCol = "index_id")
     deltaBands
-      .join(indexBands, Seq("band", "band_hash"))
+      .join(guardedIndex, Seq("band", "band_hash"))
       .join(indexSigs, Seq("index_id"))
       .withColumn("est_jaccard", graft.operators.Dedup
         .sigAgreement(col("delta_sig"), col("sig"), numPerms))

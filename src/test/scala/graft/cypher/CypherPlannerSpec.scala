@@ -1442,7 +1442,9 @@ class CypherPlannerSpec extends AnyFunSuite {
       "toBooleanOrNull('true') AS st, toBooleanOrNull('False') AS sf, " +
       "toBooleanOrNull('yes') AS sx, toBooleanOrNull(1) AS i1, " +
       "toBooleanOrNull(0) AS i0, toBooleanOrNull(-7) AS im, " +
-      "toBooleanOrNull(1.5) AS f").collect().head
+      "toBooleanOrNull(1.5) AS f, toBooleanOrNull('42') AS s42, " +
+      "toBooleanOrNull('0') AS s0, toBooleanOrNull(true) AS bt")
+      .collect().head
     assert(r.getAs[Boolean]("st") == true)
     assert(r.getAs[Boolean]("sf") == false)
     assert(r.isNullAt(r.fieldIndex("sx")))
@@ -1450,6 +1452,12 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("i0") == false)  // 0 → false
     assert(r.getAs[Boolean]("im") == true)
     assert(r.isNullAt(r.fieldIndex("f")))    // floats are not convertible
+    // numeric STRINGS are not integers: Neo4j returns null for any
+    // string other than 'true'/'false' (r17 — dispatch on declared
+    // type, not on the printed form)
+    assert(r.isNullAt(r.fieldIndex("s42")))
+    assert(r.isNullAt(r.fieldIndex("s0")))
+    assert(r.getAs[Boolean]("bt") == true)   // booleans pass through
   }
 
   test("list predicates and head/last/tail over lists") {
@@ -3009,6 +3017,50 @@ class CypherPlannerSpec extends AnyFunSuite {
     // BARE has edges but no properties → one null frame; W's `w` is
     // mandatory (never null); EMPTY emits nothing
     assert(rows == List((":`BARE`", null, false), (":`W`", "w", true)))
+  }
+
+  test("schema procedures return zero rows on schema-less graphs (no empty.reduce)") {
+    import spark.implicits._
+    // zero relationship types → relTypeProperties yields zero rows
+    // (Neo4j); every label property-less → nodeTypeProperties too
+    // (r17 — both used to throw on the empty fold)
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq(Tuple1(1L), Tuple1(2L)).toDF("__id")),
+      rels = Map.empty)
+    val relRows = CypherPlanner.run(spark, g,
+      "CALL db.schema.relTypeProperties() " +
+        "RETURN relType, propertyName, mandatory").collect()
+    assert(relRows.isEmpty)
+    val nodeRows = CypherPlanner.run(spark, g,
+      "CALL db.schema.nodeTypeProperties() " +
+        "RETURN nodeType, propertyName, mandatory").collect()
+    assert(nodeRows.isEmpty)
+  }
+
+  test("SHORTEST k trails may revisit the source (edge uniqueness only)") {
+    import spark.implicits._
+    // 1→2 (e1), 2→1 (e2), 1→3 (e3), 2→3 (e4): trails 1⇝3 are [e3]
+    // (1 hop), [e1,e4] (2 hops), and [e1,e2,e3] (3 hops — passes back
+    // THROUGH the source; GQL trail semantics only require edge
+    // uniqueness, so it is a valid trail Neo4j returns; r17 dropped
+    // the src≠n shortcut that silently excluded it)
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 3L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L))
+        .toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val hops = CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 5 (a:V)-[:E]->{1,3}(b:V) " +
+        "WHERE id(a) = 1 AND id(b) = 3 RETURN length(p) AS l ORDER BY l")
+      .collect().map(_.getLong(0)).toList
+    assert(hops == List(1L, 2L, 3L))
+    // a closed trail back to the source is also valid: 1→2→1 via the
+    // two distinct edge identities
+    val closed = CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 2 (a:V)-[:E]->{1,3}(b:V) " +
+        "WHERE id(a) = 1 AND id(b) = 1 RETURN length(p) AS l ORDER BY l")
+      .collect().map(_.getLong(0)).toList
+    assert(closed == List(2L))
   }
 
   test("plain DELETE on a nodes-only graph succeeds (no edge tables, nothing attached)") {

@@ -50,6 +50,17 @@ class DedupSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 6
     } yield (ids(i), ids(j))).toSet
     assert(pairs6 == brute6)
+    // maxHamming = 7 → 8 blocks of width 8: the top block's rem-shift
+    // reaches (blk+1)*width = 64, where an unguarded shiftright masks
+    // the amount mod 64 (r17 ADVICE) — the guarded expression must
+    // stay exhaustive
+    val pairs7 = Dedup.simhashNearDup(spark, TestSpark.sf, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute7 = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 7
+    } yield (ids(i), ids(j))).toSet
+    assert(pairs7 == brute7)
   }
 
   test("dedup clusters: labels are cluster minima and respect pair edges") {
@@ -209,6 +220,54 @@ class DedupSpec extends AnyFunSuite {
     assert(gSim.count { case (a, b) => a < 200 && b < 200 } == 199)
     assert(eSim.count { case (a, b) => a < 200 && b < 200 } == 19900)
     assert(comps(gSim) == comps(eSim))
+  }
+
+  test("ingestion hot-bucket guard: incremental/bloom outputs unchanged, index collapsed") {
+    // the routine re-crawl shape the r16 guard missed: one boilerplate
+    // cluster present on BOTH sides of the asymmetric join — 200
+    // identical copies split 180 index / 20 delta by the % 10 rule.
+    // The guarded run must (a) keep the OUTPUT byte-identical (the
+    // best-match rank's index_id tie-break already picks the
+    // bucket-min representative the star discipline keeps), and
+    // (b) collapse the index side of each hot bucket to one row.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the miller grinds wheat by the river mill every single day"
+    val copies = (0 until 200).map(i => (i.toLong, base))
+    val distinctDocs = (600 until 640).map(i => (i.toLong,
+      s"totally unrelated document number $i about topic $i with unique " +
+        s"content token$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotingest").toString
+    (copies ++ distinctDocs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+
+    val guarded = rows(Dedup.incrementalDedup(spark, dir))
+    val exact = rows(Dedup.incrementalDedup(spark, dir, bucketCap = Int.MaxValue))
+    assert(guarded == exact)
+    assert(guarded.nonEmpty)
+    // every delta copy of the cluster resolves to the representative
+    // (the smallest index doc id in the cluster = 1)
+    val clusterMatches = guarded.filter(_._1 < 200)
+    assert(clusterMatches.size == 20 && clusterMatches.forall(_._2 == 1L))
+
+    // the Bloom twin stays byte-identical to the plain incremental
+    // (no false negatives + the same collapsed join)
+    assert(rows(Dedup.bloomIncremental(spark, dir)) == exact)
+    assert(rows(Dedup.bloomIncremental(spark, dir,
+      bucketCap = Int.MaxValue)) == exact)
+
+    // candidate-volume collapse: each of the cluster's 32 hot band
+    // buckets keeps 1 representative index row instead of 180
+    val sigs = Dedup.minhashSignatures(spark, dir)
+    val idxBanded = sigs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "band_hash")))
+    assert(idxBanded.filter(col("doc_id") < 200).count() == 180L * 32)
+    assert(Dedup.guardedIndexBands(idxBanded)
+      .filter(col("doc_id") < 200).count() == 32L)
   }
 
   test("containment dominates jaccard at the same threshold") {

@@ -260,6 +260,38 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup collapses hot index buckets to the representative") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 80 identical index copies of one boilerplate page: every band
+    // bucket is hot (80 > HotBucketCap = 64), so a matching delta doc
+    // must surface once per band against the MIN index id only —
+    // 32 rows, not 80 × 32 (r17, the ingestion star discipline)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val indexDocs = (1L to 80L).map(i => (i, base))
+    val bandRows = indexDocs.flatMap { case (id, t) =>
+      graft.operators.Dedup.minhashBandsJvm(t).toSeq.flatMap { case (_, bhs) =>
+        bhs.zipWithIndex.map { case (h, b) => (id, b, h) } }
+    }
+    val sigRows = indexDocs.flatMap { case (id, t) =>
+      graft.operators.Dedup.minhashBandsJvm(t).map { case (sig, _) => (id, sig) } }
+    val indexBands = bandRows.toDF("index_id", "band", "band_hash")
+    val indexSigs = sigRows.toDF("index_id", "sig")
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalCandidates(input.toDS(), indexBands, indexSigs)
+      .writeStream.format("memory").queryName("inc_hot")
+      .outputMode("append").start()
+    try {
+      input.addData((500L, base))
+      q.processAllAvailable()
+      val got = spark.table("inc_hot").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 32)
+      assert(got.forall(_ == (500L, 1L)))
+    } finally q.stop()
+  }
+
   test("CEP negation classifies purchases like the batch windows, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
