@@ -140,6 +140,8 @@ object SparkEntry {
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_allsp_walks"    -> (cypher.CypherQueries.allShortestWalks(_, _)),
     "cypher_shortest_k"     -> (cypher.CypherQueries.kShortest(_, _)),
+    "cypher_shortest_k_mh_group" ->
+      (cypher.CypherQueries.kShortestMultihopGroup(_, _)),
     "cypher_datetime_tz"    -> (cypher.CypherQueries.datetimeTz(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -3042,6 +3044,40 @@ object SparkEntry {
         |  CAST(CASE WHEN m >= 2 THEN 2 ELSE m END AS BIGINT) AS n_paths,
         |  CAST(2 AS BIGINT) AS h1, CAST(2 AS BIGINT) AS h2
         |FROM pp ORDER BY pa, pb""".stripMargin,
+    // SHORTEST 2 over the 2-hop quantified group: trails enumerate
+    // from lineitem edges (identity = per-(order,part) line rank);
+    // one repetition = part–order–part over two distinct edges, two
+    // repetitions chain with the four cross-repetition identity
+    // inequalities; per-pair top-2 window by hops mirrors the
+    // engine's k-best rank
+    "cypher_shortest_k_mh_group" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS o, l_partkey AS p,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |                       ORDER BY l_linenumber) AS k
+        |  FROM lineitem),
+        |rep AS (
+        |  SELECT x.p AS u, y.p AS v, x.o AS o, x.k AS k1, y.k AS k2
+        |  FROM e x JOIN e y ON x.o = y.o
+        |  WHERE NOT (x.p = y.p AND x.k = y.k)),
+        |t2 AS (
+        |  SELECT u AS pa, v AS pb, 2 AS hops FROM rep
+        |  WHERE u < 30 AND v < 30 AND u < v),
+        |t4 AS (
+        |  SELECT r1.u AS pa, r2.v AS pb, 4 AS hops
+        |  FROM rep r1 JOIN rep r2 ON r1.v = r2.u
+        |  WHERE r1.u < 30 AND r2.v < 30 AND r1.u < r2.v
+        |    AND NOT (r1.o = r2.o AND r1.u = r2.u AND r1.k1 = r2.k1)
+        |    AND NOT (r1.o = r2.o AND r1.k2 = r2.k1)
+        |    AND NOT (r1.o = r2.o AND r1.v = r2.v AND r1.k2 = r2.k2)
+        |    AND NOT (r1.o = r2.o AND r1.u = r2.v AND r1.k1 = r2.k2)),
+        |rk AS (
+        |  SELECT pa, pb, hops, row_number() OVER (
+        |    PARTITION BY pa, pb ORDER BY hops) AS r
+        |  FROM (SELECT * FROM t2 UNION ALL SELECT * FROM t4))
+        |SELECT pa, pb, COUNT(*) AS n_paths,
+        |  CAST(MIN(hops) AS BIGINT) AS h1, CAST(MAX(hops) AS BIGINT) AS h2
+        |FROM rk WHERE r <= 2 GROUP BY 1, 2 ORDER BY pa, pb""".stripMargin,
     // enumerated all-shortest walks, re-aggregated per pair: σ =
     // parallel CONTAINS multiplicity, per-walk qty reduce sums to the
     // pair's lineitem quantity total (2-hop arm empty: no edges

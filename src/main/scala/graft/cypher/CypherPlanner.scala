@@ -2850,11 +2850,15 @@ object CypherPlanner {
       def compositeExpand(ch: PatternChain, lo: Int, hi: Int): DataFrame = {
         // plain MATCH, shortestPath (r16), WEIGHTED shortestPath (r16
         // — a repetition's weight is the sum of its inner edges'
-        // weights) and allShortestPaths (r16 — the capped composite
-        // enumeration) all consume the composite frame
-        require(chain.kBest.forall(_ <= 1),
-          "SHORTEST k (k > 1) over quantified groups is not supported " +
-            "— the composite BFS keeps one walk per pair")
+        // weights), allShortestPaths (r16 — the capped composite
+        // enumeration) and SHORTEST k (r17 — the capped composite
+        // TRAIL enumeration) all consume the composite frame; the
+        // remaining rejects are the k-best combinations with
+        // weighted / allShortestPaths, which have no GQL spelling
+        require(chain.kBest.forall(_ <= 1) ||
+            (!chain.allShortest && chain.weightProp.isEmpty),
+          "SHORTEST k (k > 1) over quantified groups composes only " +
+            "with the plain (unweighted, single-selector) search")
         // lower bound pinned to 1 under shortestPath (first-reach BFS
         // = fewest repetitions; a {2,…} floor would need post-floor
         // re-search) — same restriction as the single-edge shortestRel
@@ -3168,6 +3172,9 @@ object CypherPlanner {
               composeFrom)
           else if (weighted)
             compositeWeightedWalks(baseOf(None), h, hi, spSeed, composeFrom)
+          else if (chain.kBest.exists(_ > 1))
+            compositeKShortestWalks(baseOf(None), h, hi, spSeed,
+              chain.kBest.get, composeFrom)
           else
             compositeShortestWalks(baseOf(None), h, hi, spSeed, composeFrom)
         }
@@ -4561,6 +4568,93 @@ object CypherPlanner {
       k += 1
     }
     seen.withColumn("__np", lit(1L))
+  }
+
+  /** GQL `SHORTEST k` (k > 1) over a multi-hop quantified group (r17
+    * — formerly a loud reject): [[kShortestWalks]]' capped trail
+    * enumeration with [[compositeShortestWalks]]' two composite
+    * changes — walk columns CONCAT per repetition step, and
+    * extensions whose edge-identity arrays overlap the standing
+    * walk's are skipped (`arrays_overlap`, relationship uniqueness
+    * across repetitions; within-repetition uniqueness is enforced
+    * during composition). ALL repetition levels are kept (the i-th
+    * best trail may take more repetitions than the first, so
+    * first-reach pruning cannot apply), each level loud-guarded by
+    * the per-pair [[MaxAllShortestWalks]] cap, then one per-pair
+    * row_number window ordered by (hops, node walk, edge identities,
+    * payloads) keeps the k least — deterministic, never silently
+    * truncated. Trail semantics: edge uniqueness is the ONLY rule
+    * (source revisits and closed trails are valid, the r17 contract
+    * shared with [[kShortestWalks]]). A seeded search composes
+    * repetitions lazily per level from its frontier (`composeFrom`),
+    * so the corpus-wide composite frame never materializes.
+    */
+  private def compositeKShortestWalks(reps: DataFrame, h: Int, hi: Int,
+      seed: Option[DataFrame], kBest: Int,
+      composeFrom: Option[DataFrame => DataFrame] = None): DataFrame = {
+    val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
+      c.startsWith("__epls")).toSeq.sorted
+    require(carry.contains("__nids") && carry.contains("__eids"),
+      s"composite repetition frame must carry __nids/__eids, has: $carry")
+    val lazyMode = composeFrom.isDefined && seed.isDefined
+    val fullEdges: Option[DataFrame] =
+      if (lazyMode) None else Some(reps.localCheckpoint())
+    def edgesFrom(starts: DataFrame): DataFrame = composeFrom.get(starts)
+    val e0 =
+      if (lazyMode)
+        edgesFrom(seed.get.select(col("__seedid").as("__cstart")).distinct())
+      else seed match {
+        case Some(s) => fullEdges.get.join(s,
+          fullEdges.get("__src") === s("__seedid"), "left_semi")
+        case None => fullEdges.get
+      }
+    def guard(level: DataFrame, k: Int): Unit = {
+      val top = level.groupBy(col("__src"), col("__dst"))
+        .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
+      if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
+        throw new IllegalArgumentException(
+          s"SHORTEST $kBest over a quantified group: a pair at " +
+            s"repetition depth $k has ${top.getLong(0)} trails, above " +
+            s"the $MaxAllShortestWalks cap — bind tighter endpoints " +
+            "or lower the repetition bound")
+    }
+    var level = e0.select(Seq(col("__src"), col("__dst"),
+      lit(h).as("__hops")) ++ carry.map(col): _*)
+      .distinct().localCheckpoint()
+    guard(level, 1)
+    var all = level
+    var k = 2
+    var exhausted = hi < 2 || level.isEmpty
+    while (k <= hi && !exhausted) {
+      val stepEdges =
+        if (lazyMode)
+          edgesFrom(level.select(col("__dst").as("__cstart")).distinct())
+        else fullEdges.get
+      val right = stepEdges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n")) ++
+        carry.map(c => col(c).as(s"__r$c")): _*)
+      val stepped = level.join(right, col("__dst") === col("__m"))
+        .filter(!arrays_overlap(col("__eids"), col("__r__eids")))
+        .select(Seq(col("__src"), col("__n").as("__dst"),
+          lit(k * h).as("__hops")) ++
+          carry.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
+        .localCheckpoint()
+      exhausted = stepped.isEmpty
+      if (!exhausted) {
+        guard(stepped, k)
+        all = all.unionByName(stepped)
+        level = stepped
+      }
+      k += 1
+    }
+    val ordCols = Seq("__nids", "__eids") ++
+      carry.filterNot(Set("__nids", "__eids"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"), col("__dst"))
+      .orderBy((col("__hops") +: ordCols.map(col)): _*)
+    all.withColumn("__kb_rk", row_number().over(w))
+      .filter(col("__kb_rk") <= kBest)
+      .drop("__kb_rk")
   }
 
   /** WEIGHTED shortestPath over a multi-hop quantified group (r16 —

@@ -1034,6 +1034,27 @@ object CypherQueries {
         |  reduce(s = '', v IN z | s + '/' + toString(v)) AS rep_ends
         |ORDER BY pa, pb""".stripMargin)
 
+  /** GQL `SHORTEST k` (k = 2) over a MULTI-hop quantified group (r17
+    * — the k-best × groups composition cell r16 left open): the
+    * capped composite TRAIL enumeration
+    * (`CypherPlanner.compositeKShortestWalks`) keeps the 2
+    * length-least edge-unique trails per pair; trails may take MORE
+    * repetitions than the shortest (no first-reach pruning), so a
+    * pair with one 1-repetition trail and any 2-repetition trail
+    * reports (2, 2, 4). The oracle enumerates both repetition arms
+    * from lineitem (edge identity = per-(order, part) line rank,
+    * cross-repetition distinctness spelled as the four identity
+    * inequalities) and applies the same per-pair top-2 window.
+    */
+  def kShortestMultihopGroup(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 30
+        |MATCH p = SHORTEST 2 (a) ((x)-[:CONTAINS]-(y)-[:CONTAINS]-(z)){1,2} (b:Part)
+        |WHERE b.partkey < 30 AND a.partkey < b.partkey
+        |WITH a.partkey AS pa, b.partkey AS pb, length(p) AS l
+        |RETURN pa, pb, count(*) AS n_paths, min(l) AS h1, max(l) AS h2
+        |ORDER BY pa, pb""".stripMargin)
+
   /** Timezone-aware `datetime({…, timezone: '<IANA zone>'})` (r16 —
     * closes the documented UTC-session carve-out): wall-clock
     * components interpret IN the zone (DST rules included, JVM tzdb)

@@ -778,6 +778,32 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH p = SHORTEST 99 (a:V)-[:E]->{1,3}(b:V) RETURN length(p) AS l"))
   }
 
+  test("SHORTEST k over a multi-hop quantified group enumerates composite trails") {
+    import spark.implicits._
+    // one 1-repetition trail 1⇝5 (1→2→5) and one 2-repetition trail
+    // (1→3→4 then 4→2→5) — the k-best window must keep BOTH (the
+    // 2nd-best trail takes more repetitions than the shortest, so
+    // first-reach pruning would lose it)
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 5L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (2L, 5L), (1L, 3L), (3L, 4L), (4L, 2L))
+        .toDF("__src", "__dst")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (a:V) WHERE id(a) = 1 " +
+        "MATCH p = SHORTEST 2 (a) ((x)-[:E]->(y)-[:E]->(z)){1,2} (b:V) " +
+        "WHERE id(b) = 5 RETURN length(p) AS l ORDER BY l")
+      .collect().map(_.getLong(0)).toList
+    assert(rows == List(2L, 4L))
+    // SHORTEST 1 stays the first-reach composite BFS (one walk)
+    val one = CypherPlanner.run(spark, g,
+      "MATCH (a:V) WHERE id(a) = 1 " +
+        "MATCH p = SHORTEST 1 (a) ((x)-[:E]->(y)-[:E]->(z)){1,2} (b:V) " +
+        "WHERE id(b) = 5 RETURN length(p) AS l")
+      .collect().map(_.getLong(0)).toList
+    assert(one == List(2L))
+  }
+
   test("group variables under weighted shortestPath bind from the carried walk") {
     // the quantified-group spelling of the weighted search must agree
     // with the plain var-length spelling on cost/hops, and the group
