@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,6 +47,10 @@ import org.apache.spark.sql.Row
   * endpoint commits per request, so the sink is at-least-once under
   * retry only when `idempotentWrites` is set (MERGE-style statements)
   * and fail-fast otherwise — same contract as [[Neo4jWriter]].
+  * `writeStream.format("graft-neo4j")` ships the same per-partition
+  * UNWIND batches per micro-batch epoch (r17); streaming REQUIRES
+  * `idempotentWrites` because a failed epoch replays, and a
+  * statement may reference `$graftEpoch` for replay bookkeeping.
   */
 final class Neo4jTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-neo4j"
@@ -87,7 +92,8 @@ private[neo4j] final class Neo4jTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // table properties (from the provider) + per-read options
@@ -317,6 +323,14 @@ private[neo4j] final class Neo4jReaderFactory(
 
 // --------------------------------------------------------------- write
 
+/** The wire parameter a streaming-write statement may reference to
+  * see its micro-batch epoch (`… SET n.epoch = $graftEpoch`): bound
+  * per batch only when the statement mentions it, enabling
+  * statement-side replay bookkeeping on top of the MERGE idempotency
+  * contract.
+  */
+private[neo4j] object Neo4jStreamingWrite { val EpochParam = "graftEpoch" }
+
 private[neo4j] final class Neo4jWriteBuilder(
     schema: StructType, options: CaseInsensitiveStringMap) extends WriteBuilder {
   override def build(): Write = new Write {
@@ -334,50 +348,101 @@ private[neo4j] final class Neo4jWriteBuilder(
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
+    // Streaming write (r17 — the reference's OutputFormat shape under
+    // structured streaming): each micro-batch ships the same
+    // per-partition UNWIND batches as the batch path. A failed epoch
+    // REPLAYS under Spark's at-least-once sink contract and the
+    // transactional endpoint commits per request (no rollback), so
+    // the sink REQUIRES `idempotentWrites` — the option that both
+    // declares the statement MERGE-shaped (replayed batches are
+    // no-ops) and marks the HTTP posts replay-safe for retry. A
+    // statement may reference `$graftEpoch` to record the epoch.
+    override def toStreaming: StreamingWrite = {
+      require(cfg.idempotentWrites,
+        "graft-neo4j streaming write: a failed epoch is replayed " +
+          "(at-least-once) and the transactional endpoint commits " +
+          "per request with no rollback — set idempotentWrites=true " +
+          "and use a MERGE-style statement so replays are no-ops")
+      new StreamingWrite {
+        override def createStreamingWriterFactory(
+            info: PhysicalWriteInfo): StreamingDataWriterFactory =
+          new Neo4jStreamingWriterFactory(schema, cfg, batchSize)
+        override def commit(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = ()
+        override def abort(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = ()
+      }
+    }
   }
 }
 
 private[neo4j] final case class Neo4jCommit(rows: Long) extends WriterCommitMessage
 
+/** Row → UNWIND-batch writer shared by the batch and streaming write
+  * paths (one payload shape, one type mapping — the twins cannot
+  * drift). `extraParams` carries the streaming epoch when the
+  * statement references it.
+  */
+private[neo4j] final class Neo4jRowWriter(
+    schema: StructType, cfg: Neo4jConfig, batchSize: Int,
+    extraParams: Map[String, com.fasterxml.jackson.databind.JsonNode])
+    extends DataWriter[InternalRow] {
+  private val param = CypherPayload.parameterName(cfg.query)
+  private val keys = schema.fields.map(_.name)
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private var batch = mapper.createArrayNode()
+  private var written = 0L
+
+  private def flush(): Unit = if (batch.size() > 0) {
+    val payload = CypherPayload.statementJson(cfg.query,
+      extraParams + (param -> batch))
+    Http.post(cfg, payload, replaySafe = cfg.idempotentWrites).body().close()
+    batch = mapper.createArrayNode()
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val row = toScala(record).asInstanceOf[Row]
+    val node = batch.addObject()
+    keys.zipWithIndex.foreach { case (key, i) =>
+      row.get(i) match {
+        case null       => node.putNull(key)
+        case b: Boolean => node.put(key, b)
+        case x: Int     => node.put(key, x)
+        case x: Long    => node.put(key, x)
+        case x: Float   => node.put(key, x)
+        case x: Double  => node.put(key, x)
+        case s: String  => node.put(key, s)
+        case other => throw new java.io.IOException(
+          s"Unsupported field type for value: $other (column $key)")
+      }
+    }
+    written += 1
+    if (batch.size() >= batchSize) flush()
+  }
+  override def commit(): WriterCommitMessage = { flush(); Neo4jCommit(written) }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
 private[neo4j] final class Neo4jDataWriterFactory(
     schema: StructType, cfg: Neo4jConfig, batchSize: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val param = CypherPayload.parameterName(cfg.query)
-      private val keys = schema.fields.map(_.name)
-      private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
-      private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      private var batch = mapper.createArrayNode()
-      private var written = 0L
+    new Neo4jRowWriter(schema, cfg, batchSize, Map.empty)
+}
 
-      private def flush(): Unit = if (batch.size() > 0) {
-        val payload = CypherPayload.statementJson(cfg.query, Map(param -> batch))
-        Http.post(cfg, payload, replaySafe = cfg.idempotentWrites).body().close()
-        batch = mapper.createArrayNode()
-      }
-
-      override def write(record: InternalRow): Unit = {
-        val row = toScala(record).asInstanceOf[Row]
-        val node = batch.addObject()
-        keys.zipWithIndex.foreach { case (key, i) =>
-          row.get(i) match {
-            case null       => node.putNull(key)
-            case b: Boolean => node.put(key, b)
-            case x: Int     => node.put(key, x)
-            case x: Long    => node.put(key, x)
-            case x: Float   => node.put(key, x)
-            case x: Double  => node.put(key, x)
-            case s: String  => node.put(key, s)
-            case other => throw new java.io.IOException(
-              s"Unsupported field type for value: $other (column $key)")
-          }
-        }
-        written += 1
-        if (batch.size() >= batchSize) flush()
-      }
-      override def commit(): WriterCommitMessage = { flush(); Neo4jCommit(written) }
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
-    }
+private[neo4j] final class Neo4jStreamingWriterFactory(
+    schema: StructType, cfg: Neo4jConfig, batchSize: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val nodes = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    val extra =
+      if (cfg.query.contains("$" + Neo4jStreamingWrite.EpochParam))
+        Map(Neo4jStreamingWrite.EpochParam ->
+          (nodes.numberNode(epochId): com.fasterxml.jackson.databind.JsonNode))
+      else Map.empty[String, com.fasterxml.jackson.databind.JsonNode]
+    new Neo4jRowWriter(schema, cfg, batchSize, extra)
+  }
 }

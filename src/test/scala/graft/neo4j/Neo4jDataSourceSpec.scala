@@ -261,6 +261,110 @@ class Neo4jDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e1.getCause).exists(_.getMessage.contains("maxKeyQuery")))
   }
 
+  test("streaming write ships per-epoch UNWIND MERGE batches with the epoch bound") {
+    received.clear()
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-neo4j-wckpt").toString
+    val q = input.toDF().toDF("id", "name").coalesce(1)
+      .writeStream.format("graft-neo4j")
+      .option("url", s"$base/write/")
+      .option("query", "UNWIND $rows AS r MERGE (n:User {id: r.id}) " +
+        "SET n.name = r.name, n.epoch = $graftEpoch")
+      .option("idempotentWrites", "true")
+      .option("batchSize", "3")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      q.processAllAvailable()
+      input.addData((5L, "e"))
+      q.processAllAvailable()
+      val batches = received.toArray(Array.empty[String]).map(mapper.readTree)
+      // 4 rows at batchSize 3 → two payloads for epoch 0, one for epoch 1
+      assert(batches.length == 3)
+      assert(batches.forall(_.at("/statements/0/statement").asText()
+        .startsWith("UNWIND")))
+      val ids = batches.flatMap { b =>
+        val arr = b.at("/statements/0/parameters/rows")
+        (0 until arr.size()).map(arr.get(_).get("id").asLong())
+      }
+      assert(ids.sorted.toSeq == (1L to 5L))
+      // the statement references $graftEpoch → bound per batch
+      val epochs = batches.map(_.at("/statements/0/parameters/graftEpoch").asLong())
+      assert(epochs.count(_ == 0L) == 2 && epochs.count(_ == 1L) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming write replays an uncommitted epoch with identical payloads") {
+    received.clear()
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-neo4j-rckpt").toString
+    def start() = input.toDF().toDF("id", "name").coalesce(1)
+      .writeStream.format("graft-neo4j")
+      .option("url", s"$base/write/")
+      .option("query", "UNWIND $rows AS r MERGE (n:User {id: r.id}) " +
+        "SET n.name = r.name")
+      .option("idempotentWrites", "true")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val sent1 = received.toArray(Array.empty[String]).toList
+    assert(sent1.size == 1)
+    // simulate a crash BETWEEN the epoch's writes and its commit
+    // marker: drop the last commit file — the restarted query must
+    // REPLAY the epoch, re-sending the byte-identical payload (this
+    // is exactly the duplicate a MERGE statement absorbs, and why the
+    // sink demands idempotentWrites)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filterNot(_.getName.startsWith("."))
+    assert(commits.nonEmpty)
+    val last = commits.maxBy(_.getName.toLong)
+    // drop the marker AND its checksum shadow (a stale .crc blocks
+    // the replayed marker's rename)
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    assert(last.delete())
+    if (crc.exists()) assert(crc.delete())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val sent2 = received.toArray(Array.empty[String]).toList
+    assert(sent2.size == 2, s"expected a replayed payload, got $sent2")
+    assert(sent2.toSet.size == 1, "replayed payload must be byte-identical")
+  }
+
+  test("streaming write without idempotentWrites rejects loudly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val e = intercept[Exception] {
+      val q = input.toDF().toDF("id", "name")
+        .writeStream.format("graft-neo4j")
+        .option("url", s"$base/write/")
+        .option("query", "UNWIND $rows AS r MERGE (n:User {id: r.id})")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-neo4j-nckpt").toString)
+        .outputMode("append").start()
+      try { input.addData((1L, "a")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def anywhere(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("idempotentWrites")) ||
+        anywhere(t.getCause))
+    assert(anywhere(e))
+  }
+
   test("write with a non-UNWIND statement fails at planning time") {
     val spark = TestSpark.spark
     import spark.implicits._
