@@ -142,6 +142,8 @@ object SparkEntry {
     "cypher_shortest_k"     -> (cypher.CypherQueries.kShortest(_, _)),
     "cypher_shortest_k_mh_group" ->
       (cypher.CypherQueries.kShortestMultihopGroup(_, _)),
+    "cypher_weighted_allsp" ->
+      (cypher.CypherQueries.weightedAllShortest(_, _)),
     "cypher_datetime_tz"    -> (cypher.CypherQueries.datetimeTz(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
@@ -3044,6 +3046,24 @@ object SparkEntry {
         |  CAST(CASE WHEN m >= 2 THEN 2 ELSE m END AS BIGINT) AS n_paths,
         |  CAST(2 AS BIGINT) AS h1, CAST(2 AS BIGINT) AS h2
         |FROM pp ORDER BY pa, pb""".stripMargin,
+    // weighted allShortestPaths on the bipartite CONTAINS graph:
+    // every part-part walk is 2 hops (two distinct lineitem edges
+    // through a shared order — distinct automatically since the
+    // endpoints differ); minimal qty-sum per pair, np = exact tie
+    // count (qty integral, so the DOUBLE tie compare is exact)
+    "cypher_weighted_allsp" ->
+      """WITH w AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+        |    CAST(x.l_quantity + y.l_quantity AS DOUBLE) AS cost
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < 25 AND y.l_partkey < 25
+        |    AND x.l_partkey < y.l_partkey),
+        |mc AS (SELECT pa, pb, MIN(cost) AS c FROM w GROUP BY 1, 2)
+        |SELECT w.pa, w.pb, CAST(2 AS BIGINT) AS h1, CAST(2 AS BIGINT) AS h2,
+        |  CAST(3 AS BIGINT) AS n_nodes, round(mc.c, 2) AS cost,
+        |  COUNT(*) AS np
+        |FROM w JOIN mc ON w.pa = mc.pa AND w.pb = mc.pb AND w.cost = mc.c
+        |GROUP BY 1, 2, 6 ORDER BY w.pa, w.pb, cost""".stripMargin,
     // SHORTEST 2 over the 2-hop quantified group: trails enumerate
     // from lineitem edges (identity = per-(order,part) line rank);
     // one repetition = part–order–part over two distinct edges, two

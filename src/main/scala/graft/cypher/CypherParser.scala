@@ -174,12 +174,13 @@ object CypherParser {
           val allShortest = parenAll || gqlAllShortest
           val shortest = parenShort || gqlShortest || gqlAllShortest
           val chain0 = patternChain()
-          // weighted spelling `shortestPath((a)-[:T*]->(b), 'prop')`:
-          // the optional second argument names the relationship cost
+          // weighted spelling `shortestPath((a)-[:T*]->(b), 'prop')`
+          // and (r17) `allShortestPaths((a)-[:T*]->(b), 'prop')`: the
+          // optional second argument names the relationship cost
           // property (engine extension — core Cypher reaches weighted
           // paths via apoc/GDS dijkstra)
           val weightProp =
-            if (parenShort && !parenAll && atSym(",")) {
+            if (parenShort && atSym(",")) {
               eatSym(",")
               next() match {
                 case TStr(s) => Some(s)

@@ -2519,11 +2519,14 @@ object CypherPlanner {
       // enumerate shortest walks under the per-pair σ cap instead of
       // rejecting — the pair-aggregate plan stays for count(p)-only
       // consumers
-      val aspCarry = chain.allShortest && rel.varLength.isDefined &&
-        chain.weightProp.isEmpty && (
+      val aspCarry = chain.allShortest && rel.varLength.isDefined && (
           // composite groups always enumerate (the σ recurrence
-          // cannot express cross-repetition edge uniqueness, r16)
+          // cannot express cross-repetition edge uniqueness, r16);
+          // weighted allShortestPaths (r17) also always enumerates —
+          // the dispatch below routes it to the cost-minimal
+          // enumeration whether or not walks are consumed
           rel.groupChain.isDefined ||
+          chain.weightProp.isDefined ||
           chain.pathVar.exists(wref.walksOf) ||
           rel.variable.exists(wref.idents) ||
           rel.groupNodes.exists { case (a, b) =>
@@ -2859,6 +2862,10 @@ object CypherPlanner {
             (!chain.allShortest && chain.weightProp.isEmpty),
           "SHORTEST k (k > 1) over quantified groups composes only " +
             "with the plain (unweighted, single-selector) search")
+        require(!(chain.allShortest && chain.weightProp.isDefined),
+          "weighted allShortestPaths over a quantified group is not " +
+            "supported — spell the pattern as a plain var-length " +
+            "relationship")
         // lower bound pinned to 1 under shortestPath (first-reach BFS
         // = fewest repetitions; a {2,…} floor would need post-floor
         // re-search) — same restriction as the single-edge shortestRel
@@ -3247,8 +3254,12 @@ object CypherPlanner {
           require(expandEdges.columns.contains(wp),
             s"weight property '$wp' is not a property of this relationship " +
               s"(have: ${expandEdges.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
-          weightedShortestRel(expandEdges, wp, rel.varLength.get._1,
-            rel.varLength.get._2, bfsSeed, carryWalks = spCarry)
+          if (chain.allShortest)
+            weightedAllShortestWalks(expandEdges, wp, rel.varLength.get._1,
+              rel.varLength.get._2, bfsSeed)
+          else
+            weightedShortestRel(expandEdges, wp, rel.varLength.get._1,
+              rel.varLength.get._2, bfsSeed, carryWalks = spCarry)
         } else if (chain.allShortest) {
           if (aspCarry)
             allShortestWalks(expandEdges, rel.varLength.get._1,
@@ -4244,6 +4255,113 @@ object CypherPlanner {
       k += 1
     }
     best
+  }
+
+  /** WEIGHTED allShortestPaths (r17 — formerly unreachable: the
+    * weight argument only parsed on shortestPath): enumerate ALL
+    * cost-minimal walks per pair under the hop bound — the last
+    * walk-introspection cell, which Neo4j itself reaches only via
+    * apoc/GDS. Correctness rests on prefix optimality under positive
+    * weights (every prefix of a cost-minimal walk is cost-minimal to
+    * its endpoint — the cycle-cutting argument the walk-carrying
+    * Bellman–Ford already documents), so extending only each round's
+    * walks that are at-or-below the standing per-pair minimum
+    * generates every minimal walk of the next length; walks a later
+    * round undercuts are dropped by the FINAL per-pair min filter.
+    * Cost ties compare as exact doubles — exact whenever the weight
+    * property is integral-valued (the declared key uses `qty`).
+    * Per-round per-pair walk counts are loud-guarded by
+    * [[MaxAllShortestWalks]]; parallel edges are distinct paths via
+    * their identities; rows carry `__np = 1` so `count(p) =
+    * sum(__np)` counts enumerated paths, exactly the
+    * [[allShortestWalks]] contract plus `__wcost`.
+    */
+  private def weightedAllShortestWalks(rel: DataFrame, weightProp: String,
+      lo: Int, hi: Int, seed: Option[DataFrame]): DataFrame = {
+    require(lo == 1,
+      s"weighted allShortestPaths requires lower bound exactly 1 (got $lo)")
+    val hasEid = rel.columns.contains("__eid")
+    val hasEpl = rel.columns.contains("__epl")
+    val guardedW = {
+      val w = col(weightProp).cast("double")
+      when(w.isNotNull, w).otherwise(raise_error(lit(
+        s"weighted allShortestPaths: relationship property " +
+          s"'$weightProp' is null or non-numeric on at least one " +
+          "relationship — every edge must carry a numeric weight"))
+        .cast("double"))
+    }
+    val raw = rel.select(Seq(col("__src"), col("__dst"),
+      guardedW.as("__w")) ++
+      (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
+      (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
+      .filter(col("__src") =!= col("__dst"))
+    val seeded = seed match {
+      case Some(s) => raw.join(s, raw("__src") === s("__seedid"), "left_semi")
+      case None    => raw
+    }
+    def guard(fresh: DataFrame, k: Int): Unit = {
+      val top = fresh.groupBy(col("__src"), col("__dst"))
+        .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
+      if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
+        throw new IllegalArgumentException(
+          s"weighted allShortestPaths: a pair at depth $k has " +
+            s"${top.getLong(0)} candidate minimal walks, above the " +
+            s"$MaxAllShortestWalks cap — bind tighter endpoints or " +
+            "lower the hop bound")
+    }
+    def keepMin(df: DataFrame): DataFrame = {
+      val mc = df.groupBy(col("__src"), col("__dst"))
+        .agg(min(col("__wcost")).as("__mc"))
+      df.join(mc, Seq("__src", "__dst"))
+        .filter(col("__wcost") === col("__mc")).drop("__mc")
+    }
+    var all = seeded.select(Seq(col("__src"), col("__dst"),
+      col("__w").as("__wcost"), lit(1).as("__hops"),
+      array(col("__dst")).as("__nids")) ++
+      (if (hasEid) Seq(array(col("__eid")).as("__eids")) else Seq.empty) ++
+      (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
+      .distinct().localCheckpoint()
+    var frontier = keepMin(all).localCheckpoint()
+    guard(frontier, 1)
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = raw.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n"), col("__w")) ++
+        (if (hasEid) Seq(col("__eid").as("__ne")) else Seq.empty) ++
+        (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
+      var stepped = frontier.join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+      if (hasEid)
+        stepped = stepped.filter(!array_contains(col("__eids"), col("__ne")))
+      val extended = stepped.select(Seq(col("__src"),
+        col("__n").as("__dst"),
+        (col("__wcost") + col("__w")).as("__wcost"), lit(k).as("__hops"),
+        concat(col("__nids"), array(col("__n"))).as("__nids")) ++
+        (if (hasEid)
+          Seq(concat(col("__eids"), array(col("__ne"))).as("__eids"))
+        else Seq.empty) ++
+        (if (hasEpl)
+          Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
+        else Seq.empty): _*)
+        .distinct()
+      // extensions that can still be minimal: at-or-below the standing
+      // per-pair minimum (ties must keep flowing — they are the σ)
+      val mc = all.groupBy(col("__src"), col("__dst"))
+        .agg(min(col("__wcost")).as("__mc"))
+      val fresh = extended.join(mc, Seq("__src", "__dst"), "left_outer")
+        .filter(col("__mc").isNull || col("__wcost") <= col("__mc"))
+        .drop("__mc")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        guard(fresh, k)
+        all = all.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+      }
+      k += 1
+    }
+    keepMin(all).withColumn("__np", lit(1L))
   }
 
   private def shortestRel(rel: DataFrame, lo: Int, hi: Int,

@@ -1034,6 +1034,27 @@ object CypherQueries {
         |  reduce(s = '', v IN z | s + '/' + toString(v)) AS rep_ends
         |ORDER BY pa, pb""".stripMargin)
 
+  /** WEIGHTED allShortestPaths (r17 — the last walk-introspection
+    * cell; Neo4j reaches it only via apoc/GDS): ALL cost-minimal
+    * walks per pair via the capped cost-minimal enumeration
+    * (`CypherPlanner.weightedAllShortestWalks`). On the bipartite
+    * CONTAINS graph every part–part walk is exactly 2 hops, so the
+    * per-pair answer is: the minimal qty-sum over (edge, edge) pairs
+    * through a shared order, with `np` counting EXACT ties (qty is
+    * integral, so double tie comparison is exact in both engines)
+    * and `size(nodes(p))` pinning that real walks were enumerated.
+    */
+  def weightedAllShortest(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 25
+        |MATCH p = allShortestPaths((a)-[:CONTAINS*1..2]-(b:Part), 'qty')
+        |WHERE b.partkey < 25 AND a.partkey < b.partkey
+        |WITH a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  size(nodes(p)) AS nn, round(cost(p), 2) AS cost
+        |RETURN pa, pb, min(hops) AS h1, max(hops) AS h2,
+        |  min(nn) AS n_nodes, cost, count(*) AS np
+        |ORDER BY pa, pb, cost""".stripMargin)
+
   /** GQL `SHORTEST k` (k = 2) over a MULTI-hop quantified group (r17
     * — the k-best × groups composition cell r16 left open): the
     * capped composite TRAIL enumeration

@@ -778,6 +778,44 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH p = SHORTEST 99 (a:V)-[:E]->{1,3}(b:V) RETURN length(p) AS l"))
   }
 
+  test("weighted allShortestPaths enumerates ALL cost-minimal walks") {
+    import spark.implicits._
+    // minimal 1⇝4 cost is 2.0, reached four ways: TWO parallel direct
+    // edges (w=2 each — distinct paths via edge identity), and two
+    // 2-hop walks (1→2→4, 1→3→4, w=1+1) — ties ACROSS hop counts, so
+    // first-reach pruning would lose the direct pair and a
+    // keep-one-walk Bellman–Ford would lose three of the four
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 4L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L, 1.0), (2L, 4L, 1.0), (1L, 3L, 1.0),
+        (3L, 4L, 1.0), (1L, 4L, 2.0), (1L, 4L, 2.0), (1L, 4L, 5.0))
+        .toDF("__src", "__dst", "w")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[:E*1..3]->(b:V), 'w') " +
+        "WHERE id(a) = 1 AND id(b) = 4 " +
+        "RETURN length(p) AS l, round(cost(p), 1) AS c, " +
+        "reduce(s = '', x IN nodes(p) | s + '/' + toString(x)) AS ns " +
+        "ORDER BY l, ns").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getDouble(1) == 2.0))
+    assert(rows.map(_.getLong(0)).toList == List(1L, 1L, 2L, 2L))
+    assert(rows.map(_.getString(2)).toList ==
+      List("/1/4", "/1/4", "/1/2/4", "/1/3/4"))
+    // count(p) = number of enumerated minimal paths
+    val np = CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[:E*1..3]->(b:V), 'w') " +
+        "WHERE id(a) = 1 AND id(b) = 4 RETURN count(p) AS n")
+      .collect()(0).getLong(0)
+    assert(np == 4L)
+    // over a MULTI-hop quantified group the weighted all-shortest form
+    // rejects loudly (the composite frame has no cost-tie enumeration;
+    // single-hop groups desugar to plain var-length and just work)
+    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V) ((x)-[:E]->(y)-[:E]->(z)){1,2} (b:V), 'w') " +
+        "RETURN count(p) AS n").collect())
+  }
+
   test("SHORTEST k over a multi-hop quantified group enumerates composite trails") {
     import spark.implicits._
     // one 1-repetition trail 1⇝5 (1→2→5) and one 2-repetition trail
