@@ -55,6 +55,8 @@ object SparkEntry {
     "cypher_call_topk"      -> (cypher.CypherQueries.callTopk(_, _)),
     "cypher_call_agg_topk"  -> (cypher.CypherQueries.callAggTopk(_, _)),
     "cypher_sub_topk"       -> (cypher.CypherQueries.subTopk(_, _)),
+    "cypher_sub_limit_noorder" ->
+      (cypher.CypherQueries.subLimitNoOrder(_, _)),
     "cypher_stat_agg"       -> (cypher.CypherQueries.statAgg(_, _)),
     "cypher_unwind_range"   -> (cypher.CypherQueries.unwindRange(_, _)),
     "cypher_list_comp"      -> (cypher.CypherQueries.listComp(_, _)),
@@ -145,6 +147,8 @@ object SparkEntry {
     "cypher_weighted_allsp" ->
       (cypher.CypherQueries.weightedAllShortest(_, _)),
     "cypher_datetime_tz"    -> (cypher.CypherQueries.datetimeTz(_, _)),
+    "cypher_datetime_tz_display" ->
+      (cypher.CypherQueries.datetimeTzDisplay(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
@@ -3021,6 +3025,42 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT pa, pb, CAST(2 AS BIGINT) AS hops, n_paths
         |FROM pp ORDER BY pa, pb""".stripMargin,
+    // zone-aware display: the rendered string re-derived from
+    // DuckDB's own tzdb (wall clock AT TIME ZONE + computed offset),
+    // so DST arithmetic and the java.time-style formatting both pin
+    "cypher_datetime_tz_display" ->
+      """WITH z AS (
+        |  SELECT 'ny_summer' AS k, 'America/New_York' AS zone,
+        |    make_timestamptz(2024,6,1,12,0,0,'America/New_York') AS ts
+        |  UNION ALL SELECT 'ny_winter', 'America/New_York',
+        |    make_timestamptz(2024,1,15,12,0,0,'America/New_York')
+        |  UNION ALL SELECT 'tokyo', 'Asia/Tokyo',
+        |    make_timestamptz(2024,6,1,12,30,45,'Asia/Tokyo')
+        |  UNION ALL SELECT 'utc', 'UTC',
+        |    make_timestamptz(2024,6,1,12,0,0,'UTC')),
+        |w AS (
+        |  SELECT k, zone, CAST(ts AT TIME ZONE zone AS TIMESTAMP) AS wall,
+        |    CAST(epoch(CAST(ts AT TIME ZONE zone AS TIMESTAMP)) - epoch(ts)
+        |      AS BIGINT) AS off
+        |  FROM z),
+        |r AS (
+        |  SELECT k,
+        |    strftime(wall, '%Y-%m-%dT%H:%M') ||
+        |    CASE WHEN extract(second FROM wall) > 0
+        |      THEN ':' || lpad(CAST(CAST(extract(second FROM wall) AS BIGINT)
+        |        AS VARCHAR), 2, '0') ELSE '' END ||
+        |    CASE WHEN off = 0 THEN 'Z' ELSE
+        |      (CASE WHEN off < 0 THEN '-' ELSE '+' END) ||
+        |      lpad(CAST(abs(off) // 3600 AS VARCHAR), 2, '0') || ':' ||
+        |      lpad(CAST((abs(off) % 3600) // 60 AS VARCHAR), 2, '0') END ||
+        |    '[' || zone || ']' AS s
+        |  FROM w)
+        |SELECT
+        |  max(CASE WHEN k = 'ny_summer' THEN s END) AS ny_summer,
+        |  max(CASE WHEN k = 'ny_winter' THEN s END) AS ny_winter,
+        |  max(CASE WHEN k = 'tokyo' THEN s END) AS tokyo,
+        |  max(CASE WHEN k = 'utc' THEN s END) AS utc
+        |FROM r""".stripMargin,
     // zoned construction compared as epoch seconds — zone-free
     // integers, tzdb-real on both engines (DST pinned by the NY pair)
     "cypher_datetime_tz" ->
@@ -3428,6 +3468,18 @@ object SparkEntry {
         |LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier
         |           GROUP BY 1) s ON n_nationkey = s.s_nationkey
         |ORDER BY nation""".stripMargin,
+    // per-binding LIMIT without ORDER BY: the engine's documented
+    // deterministic tie-break is the RETURN items ascending in item
+    // order (cname, bal), so the kept rows are the 3 name-least
+    // customers per nation — assertable exactly
+    "cypher_sub_limit_noorder" ->
+      """SELECT nation, cname, bal FROM (
+        |  SELECT n_name AS nation, c_name AS cname, c_acctbal AS bal,
+        |    ROW_NUMBER() OVER (PARTITION BY n_nationkey
+        |      ORDER BY c_name, c_acctbal) AS rk
+        |  FROM customer, nation
+        |  WHERE c_nationkey = n_nationkey AND n_regionkey = 1)
+        |WHERE rk <= 3 ORDER BY nation, cname""".stripMargin,
     "cypher_call_topk" ->
       """SELECT nation, top_cust, bal FROM (
         |  SELECT n_name AS nation, c_name AS top_cust, c_acctbal AS bal,

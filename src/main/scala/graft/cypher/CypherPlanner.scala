@@ -1054,13 +1054,17 @@ object CypherPlanner {
         val g =
           if (ret.orderBy.isEmpty && ret.limit.isEmpty && ret.skip.isEmpty) g0
           else {
-            require(ret.orderBy.nonEmpty || plain.isEmpty,
-              "SKIP/LIMIT with grouped aggregates inside CALL " +
-                "requires ORDER BY (per-key top-k)")
-            // all-aggregate bodies yield one row per binding — a sort
-            // over that singleton is optional
+            // SKIP/LIMIT without ORDER BY (r17 — formerly a loud
+            // reject): Neo4j accepts the form but leaves WHICH rows
+            // survive unspecified; here it takes a DOCUMENTED
+            // deterministic tie-break — the RETURN items' own output
+            // columns, ascending, in item order (correlation keys are
+            // constant within a partition) — a strictly stronger
+            // contract than the accepted-but-nondeterministic surface
             val sortCols =
-              if (ret.orderBy.isEmpty) Seq(lit(1).asc)
+              if (ret.orderBy.isEmpty && plain.isEmpty) Seq(lit(1).asc)
+              else if (ret.orderBy.isEmpty)
+                items.map(i => col(s"`${i.name}`").asc)
               else ret.orderBy.map { o =>
                 val c = toColumn(o.expr, si.binds.copy(
                   names = si.binds.names ++ items.map(_.name)))
@@ -1081,10 +1085,20 @@ object CypherPlanner {
         }) && lo == 0 && hi >= 1
         (g, if (allCounts) "left_outer" else "inner", allCounts)
       } else if (ret.orderBy.nonEmpty || ret.limit.isDefined || ret.skip.isDefined) {
-        require(ret.orderBy.nonEmpty,
-          "SKIP/LIMIT inside a correlated CALL requires ORDER BY (per-key top-k)")
         val itemByName = items.map(i => i.name -> i.expr).toMap
-        val sortCols = ret.orderBy.map { o =>
+        // SKIP/LIMIT without ORDER BY (r17): deterministic tie-break
+        // on the RETURN items themselves, ascending, in item order
+        // (see the aggregating branch above for the contract)
+        val sortCols =
+          if (ret.orderBy.isEmpty)
+            items.map { i =>
+              (i.expr match {
+                case Ident(n) if si.df.columns.contains(s"${n}__id") =>
+                  col(s"${n}__id") // node item ties break on its id
+                case e => toColumn(e, si.binds)
+              }).asc
+            }
+          else ret.orderBy.map { o =>
           val e = o.expr match {
             case Ident(n) if itemByName.contains(n) => itemByName(n)
             case e2                                 => e2
@@ -1225,10 +1239,10 @@ object CypherPlanner {
     * `keepReturn = false` (EXISTS) strips the trailing RETURN —
     * Neo4j documents existence as unaffected by it; `true`
     * (COUNT/COLLECT) folds it into a keys-threaded WITH, so `RETURN
-    * DISTINCT x` is per-binding-distinct, and rejects SKIP/LIMIT
-    * there (per-binding limits are not expressible once
-    * decorrelated). Returns (key columns, surviving rows, the RETURN
-    * item's column name when kept).
+    * DISTINCT x` is per-binding-distinct and SKIP/LIMIT take the
+    * per-binding window (without ORDER BY: the r17 deterministic
+    * item tie-break). Returns (key columns, surviving rows, the
+    * RETURN item's column name when kept).
     */
   private def subqueryBodyRows(graph: PropertyGraph, s: Scope,
       body0: Seq[Clause], keepReturn: Boolean,
@@ -1309,9 +1323,6 @@ object CypherPlanner {
         }
         threaded.foreach {
           case w: WithClause if w.skip.isDefined || w.limit.isDefined =>
-            require(w.orderBy.nonEmpty,
-              s"SKIP/LIMIT inside a $kind subquery body requires " +
-                "ORDER BY (per-binding top-k)")
             // plan the horizon itself (projection/aggregation,
             // DISTINCT) first; modifiers apply to ITS output
             buf :+= w.copy(orderBy = Nil, skip = None, limit = None)
@@ -1320,10 +1331,21 @@ object CypherPlanner {
             // sort expression matching a projected item reads that
             // item's output column (pre-horizon variables are gone);
             // item aliases and carried node properties resolve as
-            // ordinary post-horizon columns
+            // ordinary post-horizon columns. Without ORDER BY (r17 —
+            // formerly a loud reject) the horizon takes the
+            // documented deterministic tie-break: its own projected
+            // items, ascending, in item order (Neo4j accepts the
+            // form but leaves row choice unspecified; this is the
+            // same rows on every run and engine)
             val itemCol: Map[CExpr, String] =
               w.items.map(i => i.expr -> i.name).toMap
-            val sortCols = w.orderBy.map { o =>
+            val sortCols =
+              if (w.orderBy.isEmpty)
+                w.items.map { i =>
+                  (if (cur.df.columns.contains(i.name)) col(s"`${i.name}`")
+                   else col(s"`${i.name}__id`")).asc // node item → its id
+                }
+              else w.orderBy.map { o =>
               val c = itemCol.get(o.expr).map(n => col(s"`$n`"))
                 .getOrElse(toColumn(o.expr, cur.binds))
               if (o.ascending) c.asc else c.desc
@@ -5138,6 +5160,37 @@ object CypherPlanner {
       toColumn(a, scalars).try_cast("long")
     case FnCall("tofloat" | "tofloatornull", Some(a), _, _) =>
       toColumn(a, scalars).try_cast("double")
+    // zone-aware datetime DISPLAY (r17 — closes the documented
+    // display-only divergence): toString over a zone-constructed
+    // datetime renders the instant IN the constructor's zone with
+    // Neo4j's java.time-style format — wall clock, seconds omitted
+    // when zero, offset as ±HH:MM ('Z' at zero), the zone name in
+    // brackets. The instant itself is unchanged (epoch/comparison
+    // surfaces were already exact); only the rendering carries the
+    // zone, which is statically known from the constructor.
+    case FnCall("tostring" | "tostringornull",
+        Some(dt @ FnCallN("@mkdatetime", dtArgs)), _, _)
+        if dtArgs.grouped(2).exists {
+          case Seq(LitV("timezone"), _) => true
+          case _                        => false
+        } =>
+      val z = dtArgs.grouped(2).collectFirst {
+        case Seq(LitV("timezone"), LitV(zz: String)) => zz
+      }.get
+      val inst = toColumn(dt, scalars)
+      val wall = from_utc_timestamp(inst, z)
+      val off = (unix_timestamp(wall) - unix_timestamp(inst)).cast("long")
+      val aoff = abs(off)
+      val offStr = when(off === 0, lit("Z")).otherwise(concat(
+        when(off < 0, lit("-")).otherwise(lit("+")),
+        lpad((aoff / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+        lpad(((aoff % 3600) / 60).cast("long").cast("string"), 2, "0")))
+      val secs = second(wall)
+      val base = date_format(wall, "yyyy-MM-dd'T'HH:mm")
+      concat(
+        when(secs === 0, base).otherwise(
+          concat(base, lit(":"), lpad(secs.cast("string"), 2, "0"))),
+        offStr, lit("["), lit(z), lit("]"))
     case FnCall("tostring" | "tostringornull", Some(a), _, _) =>
       toColumn(a, scalars).cast("string")
     case FnCall("tobooleanornull", Some(a), _, _) =>

@@ -385,6 +385,22 @@ object CypherQueries {
         |RETURN n.name AS nation, top_cust, bal
         |ORDER BY nation, bal DESC, top_cust""".stripMargin)
 
+  /** Per-binding LIMIT WITHOUT ORDER BY in a correlated CALL (r17 —
+    * formerly a loud reject): Neo4j accepts the form but leaves WHICH
+    * rows survive unspecified; this engine gives it a documented
+    * DETERMINISTIC tie-break — the RETURN items themselves, ascending,
+    * in item order — so the kept rows are the same on every run and
+    * the oracle can assert them exactly (here: the 3 name-least
+    * customers per nation, because `cname` leads the item list).
+    */
+  def subLimitNoOrder(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (n:Nation) WHERE n.regionkey = 1
+        |CALL { WITH n MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |  RETURN c.name AS cname, c.acctbal AS bal LIMIT 3 }
+        |RETURN n.name AS nation, cname, bal
+        |ORDER BY nation, cname""".stripMargin)
+
   /** Undirected relationship: neighbors along the nation chain in
     * either orientation.
     */
@@ -1075,6 +1091,24 @@ object CypherQueries {
         |WITH a.partkey AS pa, b.partkey AS pb, length(p) AS l
         |RETURN pa, pb, count(*) AS n_paths, min(l) AS h1, max(l) AS h2
         |ORDER BY pa, pb""".stripMargin)
+
+  /** Zone-aware datetime DISPLAY (r17 — closes the r16 carve-out
+    * where zoned instants printed in the pinned UTC session zone):
+    * `toString` over a zone-constructed datetime renders in the
+    * constructor's zone with Neo4j's java.time format — seconds
+    * omitted when zero, ±HH:MM offset ('Z' at zero), zone name in
+    * brackets. The oracle re-derives the same strings from DuckDB's
+    * own tzdb (offsets computed, not hardcoded), so the two engines'
+    * DST arithmetic AND formatting must agree.
+    */
+  def datetimeTzDisplay(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """UNWIND [1] AS one
+        |RETURN
+        |  toString(datetime({year: 2024, month: 6, day: 1, hour: 12, timezone: 'America/New_York'})) AS ny_summer,
+        |  toString(datetime({year: 2024, month: 1, day: 15, hour: 12, timezone: 'America/New_York'})) AS ny_winter,
+        |  toString(datetime({year: 2024, month: 6, day: 1, hour: 12, minute: 30, second: 45, timezone: 'Asia/Tokyo'})) AS tokyo,
+        |  toString(datetime({year: 2024, month: 6, day: 1, hour: 12, timezone: 'UTC'})) AS utc""".stripMargin)
 
   /** Timezone-aware `datetime({…, timezone: '<IANA zone>'})` (r16 —
     * closes the documented UTC-session carve-out): wall-clock

@@ -778,6 +778,53 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH p = SHORTEST 99 (a:V)-[:E]->{1,3}(b:V) RETURN length(p) AS l"))
   }
 
+  test("per-binding LIMIT without ORDER BY takes the deterministic item tie-break") {
+    import spark.implicits._
+    // Neo4j accepts LIMIT-without-ORDER-BY but leaves row choice
+    // unspecified; this engine documents the tie-break as the RETURN
+    // items ascending in item order — so `v` leads and the kept rows
+    // are exactly the 2 smallest v per key, on every run
+    val g = graft.graph.PropertyGraph(
+      nodes = Map(
+        "K" -> Seq((1L, "a"), (2L, "b")).toDF("__id", "name"),
+        "V" -> (10L to 15L).map(i => (i, i * 10)).toDF("__id", "v")),
+      rels = Map("HAS" -> Seq((1L, 10L), (1L, 12L), (1L, 14L),
+        (2L, 11L), (2L, 13L), (2L, 15L)).toDF("__src", "__dst")),
+      relEndpoints = Map("HAS" -> ("K", "V")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (k:K) CALL { WITH k MATCH (k)-[:HAS]->(x:V) " +
+        "RETURN x.v AS v LIMIT 2 } " +
+        "RETURN k.name AS kn, v ORDER BY kn, v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows == List(("a", 100L), ("a", 120L), ("b", 110L), ("b", 130L)))
+    // the same contract inside a COUNT subquery body horizon
+    val cnt = CypherPlanner.run(spark, g,
+      "MATCH (k:K) RETURN k.name AS kn, " +
+        "COUNT { MATCH (k)-[:HAS]->(x:V) WITH x LIMIT 2 " +
+        "  RETURN x } AS n ORDER BY kn").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(cnt == List(("a", 2L), ("b", 2L)))
+  }
+
+  test("toString of a zone-constructed datetime renders Neo4j's zoned format") {
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+        "toString(datetime({year: 2024, month: 6, day: 1, hour: 12, " +
+        "timezone: 'America/New_York'})) AS summer, " +
+        "toString(datetime({year: 2024, month: 1, day: 15, hour: 12, " +
+        "timezone: 'America/New_York'})) AS winter, " +
+        "toString(datetime({year: 2024, month: 6, day: 1, hour: 12, " +
+        "minute: 30, second: 45, timezone: 'Asia/Tokyo'})) AS tokyo, " +
+        "toString(datetime({year: 2024, month: 6, day: 1, hour: 12, " +
+        "timezone: 'UTC'})) AS utc").collect().head
+    // java.time/Neo4j rendering: seconds omitted when zero, ±HH:MM
+    // offset (DST-correct), 'Z' at zero offset, zone name bracketed
+    assert(r.getString(0) == "2024-06-01T12:00-04:00[America/New_York]")
+    assert(r.getString(1) == "2024-01-15T12:00-05:00[America/New_York]")
+    assert(r.getString(2) == "2024-06-01T12:30:45+09:00[Asia/Tokyo]")
+    assert(r.getString(3) == "2024-06-01T12:00Z[UTC]")
+  }
+
   test("weighted allShortestPaths enumerates ALL cost-minimal walks") {
     import spark.implicits._
     // minimal 1⇝4 cost is 2.0, reached four ways: TWO parallel direct
@@ -1200,11 +1247,20 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WITH r, count(n) AS k " +
         "WHERE k >= 5 RETURN count(*) AS c").collect()(0).getLong(0))
     assert(fivePlus >= skipped.toInt)
-    // LIMIT without ORDER BY still rejects loudly
-    assertThrows[IllegalArgumentException](run(
+    // LIMIT without ORDER BY takes the deterministic item tie-break
+    // (r17 — formerly a loud reject): a node item orders by its id,
+    // so the form equals the explicit ORDER BY id(s) spelling
+    val noOrder = run(
       "MATCH (n:Nation) RETURN n.name AS nm, COUNT { " +
         "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s LIMIT 2 " +
-        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c"))
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val explicitOrd = run(
+      "MATCH (n:Nation) RETURN n.name AS nm, COUNT { " +
+        "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s ORDER BY id(s) LIMIT 2 " +
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(noOrder == explicitOrd && noOrder.nonEmpty)
     // aggregating CALL RETURN with grouped top-1 (r16 — formerly a
     // loud reject): each customer's most frequent order status
     val call = run(
