@@ -1182,11 +1182,14 @@ class CypherPlannerSpec extends AnyFunSuite {
         "RETURN r.name AS nm, count(*) AS k ORDER BY nm")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(collRef.forall { case (k, v) => coll(k) == v })
-    // per-binding SKIP/LIMIT shapes reject loudly (would be global)
-    assertThrows[IllegalArgumentException](run(
+    // per-binding LIMIT without ORDER BY runs with the deterministic
+    // item tie-break (r17 — formerly a loud reject): caps per binding
+    val capped = run(
       "MATCH (n:Nation) RETURN n.name AS nm, COUNT { " +
         "MATCH (s:Supplier)-[:SUPP_NATION]->(n) WITH s LIMIT 2 " +
-        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c"))
+        "MATCH (s)-[:SUPPLIES]->(p:Part) RETURN p } AS c ORDER BY nm")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(capped.nonEmpty && capped.forall(_._2 >= 0L))
     // COLLECT bodies must end in a single-item RETURN
     assertThrows[IllegalArgumentException](run(
       "MATCH (n:Nation) RETURN size(COLLECT { " +
