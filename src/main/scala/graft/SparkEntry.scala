@@ -146,6 +146,8 @@ object SparkEntry {
       (cypher.CypherQueries.kShortestMultihopGroup(_, _)),
     "cypher_weighted_allsp" ->
       (cypher.CypherQueries.weightedAllShortest(_, _)),
+    "cypher_weighted_allsp_group" ->
+      (cypher.CypherQueries.weightedAllShortestGroup(_, _)),
     "cypher_datetime_tz"    -> (cypher.CypherQueries.datetimeTz(_, _)),
     "cypher_datetime_tz_display" ->
       (cypher.CypherQueries.datetimeTzDisplay(_, _)),
@@ -3104,6 +3106,42 @@ object SparkEntry {
         |  COUNT(*) AS np
         |FROM w JOIN mc ON w.pa = mc.pa AND w.pb = mc.pb AND w.cost = mc.c
         |GROUP BY 1, 2, 6 ORDER BY w.pa, w.pb, cost""".stripMargin,
+    // weighted allShortestPaths over the 2-hop group: per-pair
+    // minimal qty-sum over 1- and 2-repetition trails (a cheap
+    // 2-repetition walk can undercut every 1-repetition one), exact
+    // tie counts at the minimum; cross-repetition edge distinctness
+    // spelled as the four identity inequalities, self-loop
+    // repetitions and returns-to-source excluded (the engine's BFS
+    // family rules)
+    "cypher_weighted_allsp_group" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS o, l_partkey AS p,
+        |    CAST(l_quantity AS DOUBLE) AS q,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |                       ORDER BY l_linenumber) AS k
+        |  FROM lineitem),
+        |rep AS (
+        |  SELECT x.p AS u, y.p AS v, x.o AS o, x.k AS k1, y.k AS k2,
+        |    x.q + y.q AS c
+        |  FROM e x JOIN e y ON x.o = y.o
+        |  WHERE NOT (x.p = y.p AND x.k = y.k) AND x.p <> y.p),
+        |t2 AS (
+        |  SELECT u AS pa, v AS pb, c AS cost, 2 AS hops FROM rep
+        |  WHERE u < 15 AND v < 15 AND u < v),
+        |t4 AS (
+        |  SELECT r1.u AS pa, r2.v AS pb, r1.c + r2.c AS cost, 4 AS hops
+        |  FROM rep r1 JOIN rep r2 ON r1.v = r2.u
+        |  WHERE r1.u < 15 AND r2.v < 15 AND r1.u < r2.v
+        |    AND NOT (r1.o = r2.o AND r1.u = r2.u AND r1.k1 = r2.k1)
+        |    AND NOT (r1.o = r2.o AND r1.k2 = r2.k1)
+        |    AND NOT (r1.o = r2.o AND r1.v = r2.v AND r1.k2 = r2.k2)
+        |    AND NOT (r1.o = r2.o AND r1.u = r2.v AND r1.k1 = r2.k2)),
+        |alltr AS (SELECT * FROM t2 UNION ALL SELECT * FROM t4),
+        |mc AS (SELECT pa, pb, MIN(cost) AS c FROM alltr GROUP BY 1, 2)
+        |SELECT a.pa, a.pb, round(mc.c, 2) AS cost, COUNT(*) AS np,
+        |  CAST(MIN(a.hops) AS BIGINT) AS h1, CAST(MAX(a.hops) AS BIGINT) AS h2
+        |FROM alltr a JOIN mc ON a.pa = mc.pa AND a.pb = mc.pb AND a.cost = mc.c
+        |GROUP BY 1, 2, 3 ORDER BY a.pa, a.pb""".stripMargin,
     // SHORTEST 2 over the 2-hop quantified group: trails enumerate
     // from lineitem edges (identity = per-(order,part) line rank);
     // one repetition = part–order–part over two distinct edges, two

@@ -2884,10 +2884,6 @@ object CypherPlanner {
             (!chain.allShortest && chain.weightProp.isEmpty),
           "SHORTEST k (k > 1) over quantified groups composes only " +
             "with the plain (unweighted, single-selector) search")
-        require(!(chain.allShortest && chain.weightProp.isDefined),
-          "weighted allShortestPaths over a quantified group is not " +
-            "supported — spell the pattern as a plain var-length " +
-            "relationship")
         // lower bound pinned to 1 under shortestPath (first-reach BFS
         // = fewest repetitions; a {2,…} floor would need post-floor
         // re-search) — same restriction as the single-edge shortestRel
@@ -3196,7 +3192,10 @@ object CypherPlanner {
             if (spSeed.isDefined && !hasOuterWhere)
               Some((starts: DataFrame) => baseOf(Some(starts)))
             else None
-          return if (chain.allShortest)
+          return if (chain.allShortest && weighted)
+            compositeWeightedAllWalks(baseOf(None), h, hi, spSeed,
+              composeFrom)
+          else if (chain.allShortest)
             compositeAllShortestWalks(baseOf(None), h, hi, spSeed,
               composeFrom)
           else if (weighted)
@@ -4891,6 +4890,101 @@ object CypherPlanner {
       k += 1
     }
     best
+  }
+
+  /** WEIGHTED allShortestPaths over a multi-hop quantified group (r17
+    * — completes the weighted column of the composition matrix):
+    * [[weightedAllShortestWalks]]' capped cost-minimal enumeration
+    * with [[compositeShortestWalks]]' two composite changes — walk
+    * columns CONCAT per repetition and `arrays_overlap` relationship
+    * uniqueness across repetitions (within-repetition handled during
+    * composition; a repetition's weight is its inner edges' sum,
+    * `__w`). Prefix optimality holds at the repetition level by the
+    * same positive-weight cycle-cutting argument, so extending each
+    * round's at-or-below-standing-min walks generates every minimal
+    * walk; ties kept exactly (including across different repetition
+    * counts), per-round [[MaxAllShortestWalks]] loud guard, final
+    * per-pair min filter, `__np = 1` rows. Seeded searches compose
+    * repetitions lazily per round (`composeFrom`).
+    */
+  private def compositeWeightedAllWalks(reps: DataFrame, h: Int, hi: Int,
+      seed: Option[DataFrame],
+      composeFrom: Option[DataFrame => DataFrame] = None): DataFrame = {
+    val carry = reps.columns.filter(c => c == "__nids" || c == "__eids" ||
+      c.startsWith("__epls")).toSeq.sorted
+    require(carry.contains("__nids") && carry.contains("__eids") &&
+        reps.columns.contains("__w"),
+      s"weighted composite frame must carry __w/__nids/__eids, has: " +
+        s"${reps.columns.mkString(",")}")
+    val lazyMode = composeFrom.isDefined && seed.isDefined
+    val fullEdges: Option[DataFrame] =
+      if (lazyMode) None
+      else Some(reps.filter(col("__src") =!= col("__dst")).localCheckpoint())
+    def edgesFrom(starts: DataFrame): DataFrame =
+      composeFrom.get(starts).filter(col("__src") =!= col("__dst"))
+    val e0 =
+      if (lazyMode)
+        edgesFrom(seed.get.select(col("__seedid").as("__cstart")).distinct())
+      else seed match {
+        case Some(s) => fullEdges.get.join(s,
+          fullEdges.get("__src") === s("__seedid"), "left_semi")
+        case None => fullEdges.get
+      }
+    def guard(fresh: DataFrame, k: Int): Unit = {
+      val top = fresh.groupBy(col("__src"), col("__dst"))
+        .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
+      if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
+        throw new IllegalArgumentException(
+          s"weighted allShortestPaths over a quantified group: a pair " +
+            s"at repetition depth $k has ${top.getLong(0)} candidate " +
+            s"minimal walks, above the $MaxAllShortestWalks cap — bind " +
+            "tighter endpoints or lower the repetition bound")
+    }
+    def keepMin(df: DataFrame): DataFrame = {
+      val mc = df.groupBy(col("__src"), col("__dst"))
+        .agg(min(col("__wcost")).as("__mc"))
+      df.join(mc, Seq("__src", "__dst"))
+        .filter(col("__wcost") === col("__mc")).drop("__mc")
+    }
+    var all = e0.select(Seq(col("__src"), col("__dst"),
+      col("__w").as("__wcost"), lit(h).as("__hops")) ++
+      carry.map(col): _*)
+      .distinct().localCheckpoint()
+    var frontier = keepMin(all).localCheckpoint()
+    guard(frontier, 1)
+    var k = 2
+    var exhausted = hi < 2 || frontier.isEmpty
+    while (k <= hi && !exhausted) {
+      val stepEdges =
+        if (lazyMode)
+          edgesFrom(frontier.select(col("__dst").as("__cstart")).distinct())
+        else fullEdges.get
+      val right = stepEdges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n"), col("__w")) ++
+        carry.map(c => col(c).as(s"__r$c")): _*)
+      val stepped = frontier.join(right, col("__dst") === col("__m"))
+        .filter(col("__src") =!= col("__n"))
+        .filter(!arrays_overlap(col("__eids"), col("__r__eids")))
+        .select(Seq(col("__src"), col("__n").as("__dst"),
+          (col("__wcost") + col("__w")).as("__wcost"),
+          lit(k * h).as("__hops")) ++
+          carry.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
+        .distinct()
+      val mc = all.groupBy(col("__src"), col("__dst"))
+        .agg(min(col("__wcost")).as("__mc"))
+      val fresh = stepped.join(mc, Seq("__src", "__dst"), "left_outer")
+        .filter(col("__mc").isNull || col("__wcost") <= col("__mc"))
+        .drop("__mc")
+        .localCheckpoint()
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        guard(fresh, k)
+        all = all.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+      }
+      k += 1
+    }
+    keepMin(all).withColumn("__np", lit(1L))
   }
 
   /** Statically string-valued expressions — drives `+`-as-concat

@@ -1071,6 +1071,27 @@ object CypherQueries {
         |  min(nn) AS n_nodes, cost, count(*) AS np
         |ORDER BY pa, pb, cost""".stripMargin)
 
+  /** WEIGHTED allShortestPaths over a MULTI-hop quantified group (r17
+    * — completes the weighted column of the composition matrix): ALL
+    * cost-minimal walks where a repetition's weight is its inner
+    * edges' qty sum, enumerated at the repetition level
+    * (`CypherPlanner.compositeWeightedAllWalks`). Minima can tie
+    * ACROSS repetition counts (a cheap 2-repetition walk can undercut
+    * every 1-repetition one), so the oracle enumerates both arms with
+    * the cross-repetition identity inequalities and counts exact ties
+    * at the per-pair minimum (qty integral → exact double compare).
+    */
+  def weightedAllShortestGroup(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 15
+        |MATCH p = allShortestPaths((a) ((x)-[:CONTAINS]-(y)-[:CONTAINS]-(z)){1,2} (b:Part), 'qty')
+        |WHERE b.partkey < 15 AND a.partkey < b.partkey
+        |WITH a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  round(cost(p), 2) AS cost
+        |RETURN pa, pb, cost, count(*) AS np,
+        |  min(hops) AS h1, max(hops) AS h2
+        |ORDER BY pa, pb""".stripMargin)
+
   /** GQL `SHORTEST k` (k = 2) over a MULTI-hop quantified group (r17
     * — the k-best × groups composition cell r16 left open): the
     * capped composite TRAIL enumeration

@@ -855,12 +855,33 @@ class CypherPlannerSpec extends AnyFunSuite {
         "WHERE id(a) = 1 AND id(b) = 4 RETURN count(p) AS n")
       .collect()(0).getLong(0)
     assert(np == 4L)
-    // over a MULTI-hop quantified group the weighted all-shortest form
-    // rejects loudly (the composite frame has no cost-tie enumeration;
-    // single-hop groups desugar to plain var-length and just work)
-    assertThrows[IllegalArgumentException](CypherPlanner.run(spark, g,
-      "MATCH p = allShortestPaths((a:V) ((x)-[:E]->(y)-[:E]->(z)){1,2} (b:V), 'w') " +
-        "RETURN count(p) AS n").collect())
+  }
+
+  test("weighted allShortestPaths over a multi-hop group keeps cross-repetition-count ties") {
+    import spark.implicits._
+    // 1⇝4 minimal cost 4, two ways at DIFFERENT repetition counts:
+    // one repetition 1→2→4 (2+2) and two repetitions 1→3→5, 5→6→4
+    // (1+1 then 1+1) — plus a cost-10 decoy repetition 1→7→4. The
+    // composite enumeration must keep BOTH minima (first-reach or
+    // keep-one-walk plans lose one of them).
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 7L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L, 2.0), (2L, 4L, 2.0), (1L, 3L, 1.0),
+        (3L, 5L, 1.0), (5L, 6L, 1.0), (6L, 4L, 1.0), (1L, 7L, 5.0),
+        (7L, 4L, 5.0)).toDF("__src", "__dst", "w")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (a:V) WHERE id(a) = 1 " +
+        "MATCH p = allShortestPaths((a) ((x)-[:E]->(y)-[:E]->(z)){1,2} (b:V), 'w') " +
+        "WHERE id(b) = 4 " +
+        "RETURN length(p) AS l, round(cost(p), 1) AS c, " +
+        "reduce(s = '', x IN nodes(p) | s + '/' + toString(x)) AS ns " +
+        "ORDER BY l").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getDouble(1) == 4.0))
+    assert(rows.map(_.getLong(0)).toList == List(2L, 4L))
+    assert(rows.map(_.getString(2)).toList ==
+      List("/1/2/4", "/1/3/5/6/4"))
   }
 
   test("SHORTEST k over a multi-hop quantified group enumerates composite trails") {
