@@ -769,6 +769,23 @@ object OracleSql {
       |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Dedup.sourceOverlapMatrix]]:
+    * shared cluster closure, per-(cluster, source) counts, pair join
+    * (the ≥-2-sources gate is implicit in `a.source < b.source`).
+    */
+  def sourceOverlapMatrix(tau: Double = 0.6): String =
+    clusterCtes(tau) + """,
+      |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+      |cs AS (
+      |  SELECT cl.cluster, d.source, COUNT(*) AS n
+      |  FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared_clusters,
+      |  CAST(SUM(a.n + b.n) AS BIGINT) AS n_docs_involved
+      |FROM cs a JOIN cs b ON a.cluster = b.cluster AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   def labelProp(rounds: Int = 3): String =
     s"""WITH ${labelPropCtes(rounds)}
        |SELECT id, label AS community FROM l$rounds ORDER BY id""".stripMargin

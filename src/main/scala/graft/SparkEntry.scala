@@ -263,6 +263,7 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.dedupClusters(_, _)),
     "dedup_cluster_stats" -> (Dedup.clusterStats(_, _)),
     "dedup_source_rates"  -> (Dedup.sourceRates(_, _)),
+    "dedup_source_matrix" -> (Dedup.sourceOverlapMatrix(_, _)),
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
     "dedup_lsh_tuning"    -> (Dedup.lshTuningCurve(_, _)),
@@ -387,6 +388,7 @@ object SparkEntry {
     "dedup_clusters"    -> OracleSql.dedupClusters(),
     "dedup_cluster_stats" -> OracleSql.clusterStats(),
     "dedup_source_rates"  -> OracleSql.sourceRates(),
+    "dedup_source_matrix" -> OracleSql.sourceOverlapMatrix(),
     "pipeline_curate"   -> OracleSql.curate(),
     "graph_kcore"       -> OracleSql.kcorePeel(),
     "graph_label_prop"  -> OracleSql.labelProp(),

@@ -937,6 +937,44 @@ object Dedup {
           + lit(0.0))
       .orderBy(col("source"))
 
+  /** Cross-SOURCE near-duplication MATRIX over the cluster artifact
+    * (r17) — the pairwise provenance view [[sourceRates]] aggregates
+    * away: for each unordered source pair, how many duplicate
+    * clusters span both and how much document mass those shared
+    * clusters hold across the two sides. The triage this answers:
+    * which source PAIRS are re-crawling each other's content (cut
+    * one side's fetch budget), versus sources whose duplication is
+    * internal (boilerplate within the source).
+    *
+    * 100 TB notes: reads the memoized 16 B/doc [[clusterArtifact]];
+    * the per-(cluster, source) collapse is map-side combined, only
+    * clusters spanning ≥ 2 sources survive the semi-join (duplicate
+    * clusters are ≪ corpus and spanning ones rarer still), and the
+    * pair join runs on (cluster, source) rows — bounded by
+    * |spanning clusters| × |sources per cluster|², with sources a
+    * small enum; document rows never enter the pairing.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, sfDir: String,
+      tau: Double = 0.6): DataFrame = {
+    val cs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(clusterArtifact(spark, sfDir, tau), Seq("doc_id"))
+      .groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val spanning = cs.join(
+      cs.groupBy(col("cluster"))
+        .agg(countDistinct(col("source")).as("__ns"))
+        .filter(col("__ns") > 1).select(col("cluster")),
+      Seq("cluster"), "left_semi")
+    spanning.as("a").join(spanning.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("a.n") + col("b.n")).as("n_docs_involved"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** JVM twin of [[paragraphDedup]]'s segmentation: the same
     * fixed-window split (Spark's `split(text, ' ')` keeps interior
     * and trailing empty tokens, so this uses `split(" ", -1)`), the

@@ -222,6 +222,28 @@ class DedupSpec extends AnyFunSuite {
     assert(comps(gSim) == comps(eSim))
   }
 
+  test("source overlap matrix counts spanning clusters per source pair") {
+    val rows = Dedup.sourceOverlapMatrix(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    assert(rows.forall(r => r.getAs[Long]("n_shared_clusters") >= 1 &&
+      r.getAs[Long]("n_docs_involved") >= 2 * r.getAs[Long]("n_shared_clusters")))
+    // cross-check pair counts against a direct recomputation from the
+    // cluster artifact (every cluster spanning both sources counts once)
+    val art = Dedup.clusterArtifact(spark, TestSpark.sf)
+      .join(graft.Tables.documents(spark, TestSpark.sf)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("cluster", "source").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expectPairs = art.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).toSeq.sorted.distinct.combinations(2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("n_shared_clusters")).toMap
+    assert(got == expectPairs)
+  }
+
   test("ingestion hot-bucket guard: incremental/bloom outputs unchanged, index collapsed") {
     // the routine re-crawl shape the r16 guard missed: one boilerplate
     // cluster present on BOTH sides of the asymmetric join — 200
