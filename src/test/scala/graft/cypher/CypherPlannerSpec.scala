@@ -855,6 +855,17 @@ class CypherPlannerSpec extends AnyFunSuite {
         "WHERE id(a) = 1 AND id(b) = 4 RETURN count(p) AS n")
       .collect()(0).getLong(0)
     assert(np == 4L)
+    // a NAMED relationship list rides the enumeration: per-walk
+    // weight reduce re-derives cost(p) on every minimal walk
+    val viaRs = CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[rs:E*1..3]->(b:V), 'w') " +
+        "WHERE id(a) = 1 AND id(b) = 4 " +
+        "RETURN size(rs) AS n_steps, " +
+        "round(reduce(acc = 0.0, r IN rs | acc + r.w), 1) AS wsum " +
+        "ORDER BY n_steps").collect()
+    assert(viaRs.length == 4)
+    assert(viaRs.forall(_.getDouble(1) == 2.0))
+    assert(viaRs.map(_.getLong(0)).toList == List(1L, 1L, 2L, 2L))
   }
 
   test("weighted allShortestPaths over a multi-hop group keeps cross-repetition-count ties") {
