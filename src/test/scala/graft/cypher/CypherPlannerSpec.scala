@@ -895,6 +895,28 @@ class CypherPlannerSpec extends AnyFunSuite {
       List("/1/2/4", "/1/3/5/6/4"))
   }
 
+  test("trail/tie enumerations fail loudly above the per-pair walk cap") {
+    import spark.implicits._
+    // 40 parallel 1→2 edges × 40 parallel 2→3 edges = 1600 two-hop
+    // trails (and 1600 equal-cost minima) for the (1, 3) pair — above
+    // the 1000-walk cap, so BOTH new enumerations must throw the
+    // documented loud guard instead of silently truncating
+    val manyEdges = (1 to 40).flatMap(i =>
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0)))
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> (1L to 3L).map(i => (i, s"n$i")).toDF("__id", "name")),
+      rels = Map("E" -> manyEdges.toDF("__src", "__dst", "w")),
+      relEndpoints = Map("E" -> ("V", "V")))
+    val eK = intercept[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 2 (a:V)-[:E]->{1,2}(b:V) " +
+        "WHERE id(a) = 1 AND id(b) = 3 RETURN length(p) AS l").collect())
+    assert(eK.getMessage.contains("cap"))
+    val eW = intercept[IllegalArgumentException](CypherPlanner.run(spark, g,
+      "MATCH p = allShortestPaths((a:V)-[:E*1..2]->(b:V), 'w') " +
+        "WHERE id(a) = 1 AND id(b) = 3 RETURN count(p) AS n").collect())
+    assert(eW.getMessage.contains("cap"))
+  }
+
   test("SHORTEST k over a multi-hop quantified group enumerates composite trails") {
     import spark.implicits._
     // one 1-repetition trail 1⇝5 (1→2→5) and one 2-repetition trail
