@@ -290,6 +290,49 @@ object OracleSql {
        |SELECT doc_id, fingerprint FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Content-defined-chunk dedup, mirroring [[Dedup.cdcChunksJvm]] +
+    * [[Dedup.cdcDedup]]: the same poly-1000003 mod 2^40 k-gram
+    * rolling hashes as [[fingerprint]], boundaries where the hash is
+    * ≡ 0 mod `div` (excluding a boundary at the very end), chunks =
+    * slices between cuts, then the paragraph pass's
+    * first-occurrence-wins window and no-separator rejoin.
+    */
+  def cdcDedup(k: Int = 8, div: Long = 64L): String = {
+    val M = 1L << 40
+    s"""WITH h AS (
+       |  SELECT doc_id, text,
+       |    list_transform(range(1, greatest(len(text)-$k+1, 0)+1),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range(i, i+$k),
+       |               j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |           (acc, c) -> (acc*1000003+c)%$M)) AS hs
+       |  FROM documents),
+       |cts AS (
+       |  SELECT doc_id, text,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      list_filter(list_transform(range(1, len(hs)+1),
+       |        j -> CASE WHEN hs[CAST(j AS INT)] % $div = 0
+       |          THEN CAST(j + $k - 1 AS BIGINT) ELSE NULL END),
+       |        p -> p IS NOT NULL AND p < len(text))),
+       |      [CAST(len(text) AS BIGINT)]) AS cuts
+       |  FROM h),
+       |segs AS (
+       |  SELECT doc_id, CAST(t.ci - 1 AS BIGINT) AS seg_idx,
+       |    substr(text, CAST(cuts[CAST(t.ci AS INT)] + 1 AS INT),
+       |      CAST(cuts[CAST(t.ci AS INT) + 1] - cuts[CAST(t.ci AS INT)] AS INT))
+       |      AS seg
+       |  FROM cts, UNNEST(range(1, len(cuts))) AS t(ci)),
+       |rn AS (
+       |  SELECT doc_id, seg_idx, seg, row_number() OVER (
+       |    PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+       |  FROM segs)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  md5(COALESCE(string_agg(seg, '' ORDER BY seg_idx)
+       |    FILTER (WHERE rn = 1), '')) AS clean_md5
+       |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact-substring dup candidates, mirroring [[Dedup.substringDup]]:
     * same per-gram rolling hashes as [[fingerprint]], but instead of
     * xor-folding the window minima it extracts the SELECTED gram

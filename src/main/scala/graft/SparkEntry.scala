@@ -274,6 +274,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhashNearDup(_, _)),
     "dedup_url"           -> (Dedup.urlDedup(_, _)),
     "dedup_paragraph"     -> (Dedup.paragraphDedup(_, _)),
+    "dedup_cdc"           -> (Dedup.cdcDedup(_, _)),
     "embed_cosine_dup"    -> (Similarity.embCosineDup(_, _)),
     "sim_topk_bruteforce" -> (Similarity.topkBruteforce(_, _)),
     "sim_topk_agg"        -> (Similarity.topkAgg(_, _)),
@@ -858,6 +859,7 @@ object SparkEntry {
         |  md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
         |    FILTER (WHERE rn = 1), '')) AS clean_md5
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_cdc"         -> OracleSql.cdcDedup(),
     "text_fingerprint"  -> OracleSql.fingerprint(),
     "text_langid"       -> OracleSql.langid,
     "graph_pagerank"    -> OracleSql.pagerank(),

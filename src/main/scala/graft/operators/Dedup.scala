@@ -1012,6 +1012,87 @@ object Dedup {
       kept.mkString(" "))
   }
 
+  /** Content-defined chunk split of one document — the rsync/LBFS
+    * discipline (r17): a chunk boundary falls after code-point
+    * position j+k-1 whenever the rolling poly-1000003 mod 2^40 hash
+    * of the k-gram ending there ([[TextAnalysis.winnowHashes]]' exact
+    * family, so the DuckDB oracle replays it bit-for-bit) is ≡ 0 mod
+    * `div`. Boundaries derive from LOCAL content, so an insertion
+    * perturbs only the chunk it lands in and boundaries re-synchronize
+    * right after — the property fixed-window segmentation
+    * ([[paragraphDedup]]) lacks, where one inserted word shifts every
+    * later segment. Expected chunk length ≈ div code points.
+    * Documents shorter than k (or boundary-free) are one whole-text
+    * chunk. Concatenating the chunks with no separator reconstructs
+    * the text exactly. Production CDC adds min/max chunk bounds (a
+    * stateful per-doc scan, still JVM-local); the unbounded form here
+    * keeps the oracle a pure per-position filter.
+    */
+  private[graft] def cdcChunksJvm(text: String, k: Int = 8,
+      div: Long = 64L): Array[String] = {
+    val s = text.codePoints().toArray
+    if (s.length < k) return Array(text)
+    val hashes = TextAnalysis.winnowHashes(s, k)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var j = 0
+    while (j < hashes.length) {
+      val cut = j + k // code points [start, cut) form a chunk
+      if (hashes(j) % div == 0L && cut < s.length && cut > start) {
+        out += new String(s, start, cut - start)
+        start = cut
+      }
+      j += 1
+    }
+    out += new String(s, start, s.length - start)
+    out.toArray
+  }
+
+  /** Content-defined-chunk exact dedup (r17) — [[paragraphDedup]]'s
+    * first-occurrence-wins pass over [[cdcChunksJvm]]'s
+    * insertion-robust segmentation: duplicated passages are detected
+    * even when a re-crawl inserted or deleted words EARLIER in the
+    * page, because chunk boundaries re-derive from local content
+    * instead of fixed offsets (the spec pins exactly this: an early
+    * insertion leaves the fixed-window pass blind while the CDC pass
+    * still drops the shared tail). Output matches the paragraph
+    * pass's shape: per-doc chunk counts and the md5 of the cleaned
+    * (first-occurrence-only) text, rejoined with no separator since
+    * chunks are raw slices.
+    *
+    * 100 TB notes: chunking is a per-partition JVM map (documents are
+    * independent); only (md5, doc_id, idx) rows reach the dedup
+    * exchange; drop decisions collapse to doc-keyed index lists; the
+    * rebuild is an in-row filter over the doc's own chunk array.
+    */
+  def cdcDedup(spark: SparkSession, sfDir: String, k: Int = 8,
+      div: Long = 64L): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, cdcChunksJvm(t, k, div)) }
+      .toDF("doc_id", "chunks")
+    val segHashes = base
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(col("seg")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+    val drops = segHashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("drop_idx"))
+    base.join(drops, Seq("doc_id"), "left")
+      .withColumn("drop_idx",
+        coalesce(col("drop_idx"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"),
+        size(col("drop_idx")).cast("long").as("n_dup"),
+        md5(expr("array_join(filter(chunks, (s, i) -> " +
+          "NOT array_contains(drop_idx, CAST(i AS BIGINT))), '')"))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Paragraph-level exact dedup (Lee et al. 2021 / Dolma's
     * exact-paragraph pass): duplicated PASSAGES are removed from
     * otherwise-kept documents — the corpus-cleaning step document-level

@@ -138,6 +138,51 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dup")).sum > 0L)
   }
 
+  test("CDC dedup: insertion-robust where fixed windows are blind; reconstruction exact") {
+    import spark.implicits._
+    // doc 2 = doc 1 with TWO WORDS INSERTED AT THE FRONT. Fixed-window
+    // segmentation shifts every later segment, so the paragraph pass
+    // sees (almost) nothing duplicated; CDC boundaries re-derive from
+    // local content and re-synchronize right after the insertion, so
+    // most of doc 2's chunks are exact repeats of doc 1's.
+    val base = (1 to 40).map(i =>
+      s"sentence number $i about rivers mills and stones").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    Seq((1L, base), (2L, "breaking news " + base),
+        (3L, "a completely different document about astronomy and tides"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cdc = Dedup.cdcDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val para = Dedup.paragraphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // CDC: the shifted copy is still MOSTLY duplicate chunks
+    val (cdcChunks, cdcDup, _) = cdc(2L)
+    assert(cdcDup.toDouble / cdcChunks > 0.7,
+      s"CDC should drop most of the shifted copy, dropped $cdcDup/$cdcChunks")
+    // fixed windows: the same copy looks (almost entirely) novel
+    val (paraSegs, paraDup) = para(2L)
+    assert(paraDup.toDouble / paraSegs < 0.2,
+      s"fixed windows unexpectedly caught the shift: $paraDup/$paraSegs")
+    // clean docs reconstruct byte-for-byte (no-separator rejoin)
+    val origMd5 = Seq((1L, base),
+      (3L, "a completely different document about astronomy and tides"))
+      .map { case (id, t) => id -> Dedup.md5Hex(t) }.toMap
+    assert(cdc(1L)._2 == 0L && cdc(1L)._3 == origMd5(1L))
+    assert(cdc(3L)._2 == 0L && cdc(3L)._3 == origMd5(3L))
+    // chunk concatenation is lossless: total chunk chars = text chars
+    val chunks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) =>
+        val cs = Dedup.cdcChunksJvm(t)
+        assert(cs.mkString("") == t)
+        id -> cs.length
+      }.toMap
+    assert(chunks(1L) == cdc(1L)._1.toInt)
+  }
+
   test("LSH tuning curve: monotone S-curve, measured counts consistent") {
     val rows = Dedup.lshTuningCurve(spark, TestSpark.sf).collect()
     assert(rows.length == 9)
