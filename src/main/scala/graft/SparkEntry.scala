@@ -141,6 +141,7 @@ object SparkEntry {
     "cypher_in_list_expr"   -> (cypher.CypherQueries.inListExpr(_, _)),
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_allsp_walks"    -> (cypher.CypherQueries.allShortestWalks(_, _)),
+    "cypher_allsp_groupvar" -> (cypher.CypherQueries.allShortestGroupVar(_, _)),
     "cypher_shortest_k"     -> (cypher.CypherQueries.kShortest(_, _)),
     "cypher_shortest_k_mh_group" ->
       (cypher.CypherQueries.kShortestMultihopGroup(_, _)),
@@ -3184,6 +3185,21 @@ object SparkEntry {
     // parallel CONTAINS multiplicity, per-walk qty reduce sums to the
     // pair's lineitem quantity total (2-hop arm empty: no edges
     // leave :Part)
+    // group variables under unweighted allShortestPaths: every
+    // part–part shortest walk is 2 repetitions through a shared
+    // order (bipartite graph), so walks per (pair, order) are the
+    // lineitem (edge, edge) combinations — the join counts parallel
+    // edges naturally; x[1]/y[0] are both the walk's order node id
+    "cypher_allsp_groupvar" ->
+      """WITH w AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb, x.l_orderkey AS o
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < 25 AND y.l_partkey < 25
+        |    AND x.l_partkey < y.l_partkey)
+        |SELECT pa, pb, CAST(2 AS BIGINT) AS hops, CAST(2 AS BIGINT) AS nx,
+        |  1000000000 + o AS mid, 1000000000 + o AS mid2,
+        |  COUNT(*) AS np
+        |FROM w GROUP BY 1, 2, 5 ORDER BY pa, pb, mid""".stripMargin,
     "cypher_allsp_walks" ->
       """SELECT l_orderkey AS ok, l_partkey AS pk,
         |  CAST(1 AS BIGINT) AS hops, CAST(2 AS BIGINT) AS n_nodes,

@@ -1060,11 +1060,17 @@ object CypherPlanner {
             // deterministic tie-break — the RETURN items' own output
             // columns, ascending, in item order (correlation keys are
             // constant within a partition) — a strictly stronger
-            // contract than the accepted-but-nondeterministic surface
+            // contract than the accepted-but-nondeterministic surface.
+            // Determinism holds because the plain items ARE the
+            // groupBy key (unique per partition); unorderable agg
+            // outputs (maps) are skipped from the sort list (r18).
             val sortCols =
               if (ret.orderBy.isEmpty && plain.isEmpty) Seq(lit(1).asc)
-              else if (ret.orderBy.isEmpty)
-                items.map(i => col(s"`${i.name}`").asc)
+              else if (ret.orderBy.isEmpty) {
+                val cs = items.map(i => col(s"`${i.name}`"))
+                  .filter(isOrderableOn(g0, _)).map(_.asc)
+                if (cs.isEmpty) Seq(lit(1).asc) else cs
+              }
               else ret.orderBy.map { o =>
                 val c = toColumn(o.expr, si.binds.copy(
                   names = si.binds.names ++ items.map(_.name)))
@@ -1088,16 +1094,28 @@ object CypherPlanner {
         val itemByName = items.map(i => i.name -> i.expr).toMap
         // SKIP/LIMIT without ORDER BY (r17): deterministic tie-break
         // on the RETURN items themselves, ascending, in item order
-        // (see the aggregating branch above for the contract)
+        // (see the aggregating branch above for the contract). Item
+        // values need not form a unique key per binding, so EVERY
+        // bound identity column is appended as a last-resort
+        // tiebreak — without it a tie leaves the surviving row
+        // partition-order-dependent; unorderable (map-typed) items
+        // are skipped where Neo4j accepts the query (r18, ADVICE).
         val sortCols =
-          if (ret.orderBy.isEmpty)
-            items.map { i =>
-              (i.expr match {
+          if (ret.orderBy.isEmpty) {
+            val itemCols = items.flatMap { i =>
+              i.expr match {
                 case Ident(n) if si.df.columns.contains(s"${n}__id") =>
-                  col(s"${n}__id") // node item ties break on its id
-                case e => toColumn(e, si.binds)
-              }).asc
+                  Some(col(s"${n}__id")) // node item ties break on its id
+                case e =>
+                  val c = toColumn(e, si.binds)
+                  if (isOrderableOn(si.df, c)) Some(c) else None
+              }
             }
+            val idCols = si.df.columns.filter(_.endsWith("__id"))
+              .sorted.map(col)
+            val cs = (itemCols ++ idCols).map(_.asc)
+            if (cs.isEmpty) Seq(lit(1).asc) else cs
+          }
           else ret.orderBy.map { o =>
           val e = o.expr match {
             case Ident(n) if itemByName.contains(n) => itemByName(n)
@@ -2883,7 +2901,10 @@ object CypherPlanner {
         require(chain.kBest.forall(_ <= 1) ||
             (!chain.allShortest && chain.weightProp.isEmpty),
           "SHORTEST k (k > 1) over quantified groups composes only " +
-            "with the plain (unweighted, single-selector) search")
+            "with the plain (unweighted, single-selector) search — " +
+            "the weighted/allShortest combinations have no GQL " +
+            "spelling (permanent documented carve-out; see README " +
+            "\"Path selector semantics and permanent carve-outs\")")
         // lower bound pinned to 1 under shortestPath (first-reach BFS
         // = fewest repetitions; a {2,…} floor would need post-floor
         // re-search) — same restriction as the single-edge shortestRel
@@ -2973,19 +2994,14 @@ object CypherPlanner {
                      else lit(null).cast(dt)).as(p) }): _*))
             }
             // weighted composite search: every inner hop's edges must
-            // carry the weight property (null → loud error, the
-            // single-edge weighted guard)
+            // carry the weight property, strictly positive (null or
+            // w <= 0 → loud error, the shared weighted-search guard)
             chain.weightProp.foreach { wp =>
               require(base.columns.contains(wp),
                 s"weight property '$wp' is not a property of " +
                   s"quantified-group hop ${j + 1} (type $tn)")
-              val wcol = col(wp).cast("double")
-              out = out.withColumn("__hw",
-                when(wcol.isNotNull, wcol).otherwise(raise_error(lit(
-                  s"weighted shortestPath: relationship property '$wp' " +
-                    "is null or non-numeric on at least one " +
-                    "relationship of the quantified group"))
-                  .cast("double")))
+              out = out.withColumn("__hw", positiveWeightOrDie(wp,
+                "weighted shortestPath over a quantified group"))
             }
             out.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
               (if (r.variable.isDefined) Seq(col("__epl"))
@@ -3522,14 +3538,14 @@ object CypherPlanner {
           // names consumed nowhere (or only by the group's own WHERE)
           // need no lists — the walk-free search stands. A name the
           // query DOES consume forces spCarry on plain AND weighted
-          // shortestPath (both carry walks since r15/r16, spec-pinned
-          // for the weighted composition), so reaching here consumed
-          // means allShortestPaths
+          // shortestPath (r15/r16) and aspCarry on allShortestPaths
+          // (r18 — the formerly-rejected cell: allShortestWalks
+          // enumerates every shortest walk under the per-pair cap,
+          // so group lists bind per path below), so reaching here
+          // means the names are unconsumed by construction.
           val consumed = (aName.toSeq ++ bName.toSeq).exists(wref.idents)
-          require(!consumed,
-            "group variables are not supported inside " +
-              "allShortestPaths (the search keeps pair " +
-              "multiplicities, not walks)")
+          assert(!consumed, "internal: consumed group variables must " +
+            "ride a walk-carrying search (spCarry/aspCarry)")
         } else {
         (aName.toSeq ++ bName.toSeq).foreach(n =>
           require(!df.columns.contains(n),
@@ -4079,6 +4095,53 @@ object CypherPlanner {
     * only pairs improved last round, so rounds shrink toward the
     * fixpoint. Returns (__src, __dst, __hops, __wcost).
     */
+  /** Weight guard shared by every weighted search. Null / non-numeric
+    * weights would propagate NULL `__wcost` through every relaxation
+    * touching the edge — a silent poisoning — and the `<=`-standing-min
+    * frontier pruning plus the "cost-minimal walks never repeat a
+    * node" enumeration argument are sound ONLY for strictly positive
+    * weights: a zero weight admits zero-cost detours that tie the
+    * minimum without being enumerated, a negative one breaks the
+    * pruning outright. Both therefore fail LOUDLY with raise_error in
+    * the same scan that reads the property (no extra validation pass).
+    * (r18, ADVICE: the r17 guards silently accepted w <= 0, yielding a
+    * possibly incomplete or wrong cost-minimal set.)
+    */
+  private def positiveWeightOrDie(weightProp: String, ctx: String): Column = {
+    val w = col(weightProp).cast("double")
+    when(w.isNull, raise_error(lit(
+      s"$ctx: relationship property '$weightProp' is null or " +
+        "non-numeric on at least one relationship — every edge must " +
+        "carry a numeric weight")).cast("double"))
+      .when(w <= 0.0, raise_error(lit(
+        s"$ctx: relationship property '$weightProp' is zero or " +
+          "negative on at least one relationship — weighted searches " +
+          "require strictly positive weights (frontier pruning and " +
+          "minimal-walk enumeration assume them)")).cast("double"))
+      .otherwise(w)
+  }
+
+  /** Neo4j 5 toBoolean/toBooleanOrNull: booleans pass through,
+    * INTEGER maps 0→false / nonzero→true, strings only
+    * 'true'/'false' (case-insensitive); all else → null. Dispatch on
+    * the DECLARED type via `typeof` (constant-folded to a literal per
+    * plan — a column has one static type), so a purely-numeric STRING
+    * ('42') stays null exactly as in Neo4j instead of riding the
+    * integral branch. All value work runs on the stringified form so
+    * non-castable types (arrays, maps) analyze fine and fall to null.
+    */
+  private def toBooleanColumn(cb: Column): Column = {
+    val t = call_function("typeof", cb)
+    val l = lower(cb.cast("string"))
+    when(t === "boolean", l === "true")
+      .when(t.isin("tinyint", "smallint", "int", "bigint"),
+        l.try_cast("long") =!= 0)
+      .when(t === "string",
+        when(l === "true", lit(true)).when(l === "false", lit(false))
+          .otherwise(lit(null)))
+      .otherwise(lit(null))
+  }
+
   private def weightedShortestRel(rel: DataFrame, weightProp: String,
       lo: Int, hi: Int, seed: Option[DataFrame] = None,
       carryWalks: Boolean = false): DataFrame = {
@@ -4092,20 +4155,11 @@ object CypherPlanner {
     // collapses parallel edges for free on the (frontier-bounded)
     // stepped set. cost + min(w) ≡ min(cost + w): IEEE addition is
     // monotone in one operand, so the lazy collapse is value-exact.
-    // null weights (missing property, or a non-numeric value the cast
-    // nulls out) would propagate NULL __wcost through every relaxation
-    // touching the edge — the pair would surface with cost(p) = NULL
-    // and never improve, a SILENT poisoning unlike the loud
-    // missing-property failure. Guard inline with raise_error (same
-    // scan, no extra validation pass): any unweighable edge fails the
-    // job with a named cause the first time it is read.
-    val guardedW = {
-      val w = col(weightProp).cast("double")
-      when(w.isNotNull, w).otherwise(raise_error(lit(
-        s"weighted shortestPath: relationship property '$weightProp' is " +
-          "null or non-numeric on at least one relationship — every " +
-          "edge must carry a numeric weight")).cast("double"))
-    }
+    // Weight validation (null / non-numeric / w <= 0 → loud error) is
+    // the shared positiveWeightOrDie guard, evaluated inline on the
+    // same scan that reads the property.
+    val guardedW =
+      positiveWeightOrDie(weightProp, "weighted shortestPath")
     val raw = rel
       .select(col("__src"), col("__dst"), guardedW.as("__w"))
       .filter(col("__src") =!= col("__dst"))
@@ -4185,13 +4239,8 @@ object CypherPlanner {
       hi: Int, seed: Option[DataFrame]): DataFrame = {
     val hasEid = rel.columns.contains("__eid")
     val hasEpl = rel.columns.contains("__epl")
-    val guardedW = {
-      val w = col(weightProp).cast("double")
-      when(w.isNotNull, w).otherwise(raise_error(lit(
-        s"weighted shortestPath: relationship property '$weightProp' is " +
-          "null or non-numeric on at least one relationship — every " +
-          "edge must carry a numeric weight")).cast("double"))
-    }
+    val guardedW =
+      positiveWeightOrDie(weightProp, "weighted shortestPath")
     val raw = rel.select(Seq(col("__src"), col("__dst"),
       guardedW.as("__w")) ++
       (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
@@ -4303,14 +4352,8 @@ object CypherPlanner {
       s"weighted allShortestPaths requires lower bound exactly 1 (got $lo)")
     val hasEid = rel.columns.contains("__eid")
     val hasEpl = rel.columns.contains("__epl")
-    val guardedW = {
-      val w = col(weightProp).cast("double")
-      when(w.isNotNull, w).otherwise(raise_error(lit(
-        s"weighted allShortestPaths: relationship property " +
-          s"'$weightProp' is null or non-numeric on at least one " +
-          "relationship — every edge must carry a numeric weight"))
-        .cast("double"))
-    }
+    val guardedW =
+      positiveWeightOrDie(weightProp, "weighted allShortestPaths")
     val raw = rel.select(Seq(col("__src"), col("__dst"),
       guardedW.as("__w")) ++
       (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
@@ -4404,7 +4447,18 @@ object CypherPlanner {
     while (k <= hi && !exhausted) {
       // src = dst is excluded: Neo4j's shortestPath never binds both
       // ends to one node, and without edge identities an undirected
-      // mirror-edge bounce (a-x-a) would fabricate a 2-hop self-pair
+      // mirror-edge bounce (a-x-a) would fabricate a 2-hop self-pair.
+      // NOTE the selector-dependent contract (documented, r18): the
+      // whole BFS family — SHORTEST 1 / shortestPath /
+      // allShortestPaths — keeps this src≠n exclusion (matching
+      // Neo4j, which never binds a shortestPath's two ends to one
+      // node), while SHORTEST k (k > 1) follows GQL TRAIL semantics
+      // where edge uniqueness is the ONLY rule, so closed trails and
+      // source revisits ARE returned there ([[kShortestWalks]]). A
+      // same-endpoint pattern thus yields rows under SHORTEST 2 but
+      // none under SHORTEST 1 — intentional, per-selector semantics,
+      // harmless for a≠b hop-minimal searches where the pruning is
+      // complete. See README "path selector semantics".
       val stepped = frontier
         .join(edges.select(col("__src").as("__m"), col("__dst").as("__n")),
           col("__dst") === col("__m"))
@@ -5123,11 +5177,13 @@ object CypherPlanner {
     case FnCall("trim", Some(a), _, _)    => trim(toColumn(a, scalars))
     case FnCall("ltrim", Some(a), _, _)   => ltrim(toColumn(a, scalars))
     case FnCall("rtrim", Some(a), _, _)   => rtrim(toColumn(a, scalars))
-    // toBoolean('true'/'false', case-insensitive; anything else null)
+    // toBoolean — Neo4j 5 accepts BOOLEAN | STRING | INTEGER: booleans
+    // pass through, integers map 0→false / nonzero→true, strings only
+    // 'true'/'false' (case-insensitive); everything else → null. Same
+    // declared-type dispatch as toBooleanOrNull (r18, ADVICE: the r17
+    // strict-string fix stringified integers and nulled all of them).
     case FnCall("toboolean", Some(a), _, _) =>
-      val l = lower(toColumn(a, scalars))
-      when(l === "true", lit(true)).when(l === "false", lit(false))
-        .otherwise(lit(null))
+      toBooleanColumn(toColumn(a, scalars))
     // size() is element count for a (statically) list-shaped argument,
     // character count otherwise — Neo4j's polymorphic size() resolved
     // at plan time from the expression shape
@@ -5261,12 +5317,19 @@ object CypherPlanner {
     // when zero, offset as ±HH:MM ('Z' at zero), the zone name in
     // brackets. The instant itself is unchanged (epoch/comparison
     // surfaces were already exact); only the rendering carries the
-    // zone, which is statically known from the constructor.
+    // zone, which is statically known from the constructor. The case
+    // fires ONLY when the timezone value is a string LITERAL — any
+    // other shape falls through to @mkdatetime's loud "must be a
+    // string literal" reject instead of a bare NoSuchElement (r18,
+    // ADVICE). Carve-out: the zone is a plan-time property of the
+    // SYNTACTICALLY NESTED form; an aliased datetime (WITH
+    // datetime({..., timezone:'X'}) AS d RETURN toString(d)) has no
+    // zone column to read and renders in the UTC session zone.
     case FnCall("tostring" | "tostringornull",
         Some(dt @ FnCallN("@mkdatetime", dtArgs)), _, _)
         if dtArgs.grouped(2).exists {
-          case Seq(LitV("timezone"), _) => true
-          case _                        => false
+          case Seq(LitV("timezone"), LitV(_: String)) => true
+          case _                                      => false
         } =>
       val z = dtArgs.grouped(2).collectFirst {
         case Seq(LitV("timezone"), LitV(zz: String)) => zz
@@ -5288,25 +5351,7 @@ object CypherPlanner {
     case FnCall("tostring" | "tostringornull", Some(a), _, _) =>
       toColumn(a, scalars).cast("string")
     case FnCall("tobooleanornull", Some(a), _, _) =>
-      // Neo4j 5: booleans pass through, INTEGER maps 0→false /
-      // nonzero→true, strings only 'true'/'false'; all else → null.
-      // Dispatch on the DECLARED type via `typeof` (constant-folded
-      // to a literal per plan — a column has one static type), so a
-      // purely-numeric STRING ('42') stays null exactly as in Neo4j
-      // instead of riding the integral branch (r17, ADVICE: the old
-      // print-then-regex dispatch could not tell 42 from '42'). All
-      // value work runs on the stringified form so non-castable
-      // types (arrays, maps) analyze fine and fall to null.
-      val cb = toColumn(a, scalars)
-      val t = call_function("typeof", cb)
-      val l = lower(cb.cast("string"))
-      when(t === "boolean", l === "true")
-        .when(t.isin("tinyint", "smallint", "int", "bigint"),
-          l.try_cast("long") =!= 0)
-        .when(t === "string",
-          when(l === "true", lit(true)).when(l === "false", lit(false))
-            .otherwise(lit(null)))
-        .otherwise(lit(null))
+      toBooleanColumn(toColumn(a, scalars))
     case FnCall("isnan", Some(a), _, _) =>
       isnan(toColumn(a, scalars).cast("double"))
     // char_length/character_length: always character count (size()'s
@@ -5763,6 +5808,16 @@ object CypherPlanner {
     * known against the actual frame, so the aggregation call sites
     * pass their input df for a plan-time resolve.
     */
+  /** Whether a column is usable as a sort key against the given frame
+    * (map-typed values — and containers of them — have no ordering in
+    * Spark; ORDER BY over one is an AnalysisException). Used to SKIP
+    * unorderable items from the deterministic no-ORDER-BY tie-break,
+    * where Neo4j accepts the query.
+    */
+  private def isOrderableOn(df: DataFrame, c: Column): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+      df.select(c).schema.head.dataType)
+
   private def isIntegralOn(df: DataFrame, c: Column): Boolean =
     df.select(c).schema.head.dataType match {
       case org.apache.spark.sql.types.ByteType |

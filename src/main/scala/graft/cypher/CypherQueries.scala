@@ -1172,6 +1172,29 @@ object CypherQueries {
     * so count(p) = the pair's lineitem multiplicity and the per-walk
     * qty reduce sums to the pair's total quantity.
     */
+  /** GROUP VARIABLES under unweighted `allShortestPaths` (r18 — the
+    * last group-variable cell, formerly a loud reject): consumed
+    * inner names force the capped shortest-walk enumeration
+    * (`CypherPlanner.allShortestWalks`), and each enumerated walk
+    * binds its OWN per-repetition lists — `x` the repetition sources,
+    * `y` the targets, in pattern order. On the bipartite CONTAINS
+    * graph every part–part walk is exactly 2 repetitions through a
+    * shared order, so `x[1]` and `y[0]` both name that walk's order
+    * node and the count per (pair, order) is the number of
+    * (edge, edge) lineitem combinations — parallel edges are distinct
+    * paths via their identities, the allShortestPaths multiplicity
+    * contract.
+    */
+  def allShortestGroupVar(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 25
+        |MATCH p = allShortestPaths((a) ((x)-[:CONTAINS]-(y)){1,2} (b:Part))
+        |WHERE b.partkey < 25 AND a.partkey < b.partkey
+        |WITH a.partkey AS pa, b.partkey AS pb, length(p) AS hops,
+        |  size(x) AS nx, x[1] AS mid, y[0] AS mid2
+        |RETURN pa, pb, hops, nx, mid, mid2, count(*) AS np
+        |ORDER BY pa, pb, mid""".stripMargin)
+
   def allShortestWalks(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, sfDir,
       """MATCH (o:Order) WHERE o.orderkey < 100

@@ -1637,6 +1637,27 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("bt") == true)   // booleans pass through
   }
 
+  test("toBoolean shares the Neo4j 5 type dispatch (integers convert)") {
+    // r18, ADVICE: the r17 strict-string fix stringified integers and
+    // nulled all of them — toBoolean(1) must be true, exactly like
+    // toBooleanOrNull (Neo4j 5 accepts BOOLEAN | STRING | INTEGER)
+    val r = run(
+      "UNWIND [1] AS one RETURN " +
+      "toBoolean('true') AS st, toBoolean('FALSE') AS sf, " +
+      "toBoolean('yes') AS sx, toBoolean(1) AS i1, " +
+      "toBoolean(0) AS i0, toBoolean(-7) AS im, " +
+      "toBoolean('42') AS s42, toBoolean(false) AS bf")
+      .collect().head
+    assert(r.getAs[Boolean]("st") == true)
+    assert(r.getAs[Boolean]("sf") == false)
+    assert(r.isNullAt(r.fieldIndex("sx")))
+    assert(r.getAs[Boolean]("i1") == true)
+    assert(r.getAs[Boolean]("i0") == false)
+    assert(r.getAs[Boolean]("im") == true)
+    assert(r.isNullAt(r.fieldIndex("s42")))
+    assert(r.getAs[Boolean]("bf") == false)
+  }
+
   test("list predicates and head/last/tail over lists") {
     val r = run(
       "UNWIND [1] AS one RETURN " +
@@ -2997,6 +3018,58 @@ class CypherPlannerSpec extends AnyFunSuite {
       "MATCH p = shortestPath((a:V)-[:E*1..3]->(b:V), 'w') " +
         "WHERE a.name = 'a' AND b.name = 'c' RETURN cost(p) AS c").collect()
     assert(rows.length == 1 && math.abs(rows(0).getDouble(0) - 3.5) < 1e-9)
+  }
+
+  test("weighted searches reject zero or negative weights loudly") {
+    // the <=-standing-min frontier pruning and the "minimal walks are
+    // simple" enumeration argument hold only for strictly positive
+    // weights — w <= 0 must fail loudly, not silently return an
+    // incomplete cost-minimal set (r18, ADVICE)
+    import spark.implicits._
+    def g(w: Double) = graft.graph.PropertyGraph(
+      nodes = Map("V" ->
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L, 1.5), (2L, 3L, w))
+        .toDF("__src", "__dst", "w")))
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    def positiveErr(e: Throwable): Boolean = causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("strictly positive"))
+    val e0 = intercept[Exception] {
+      CypherPlanner.run(spark, g(0.0),
+        "MATCH p = shortestPath((a:V)-[:E*1..3]->(b:V), 'w') " +
+          "RETURN cost(p) AS c").collect()
+    }
+    assert(positiveErr(e0), s"expected the w<=0 error, got: ${e0.getMessage}")
+    val eNeg = intercept[Exception] {
+      CypherPlanner.run(spark, g(-1.0),
+        "MATCH p = allShortestPaths((a:V)-[:E*1..3]->(b:V), 'w') " +
+          "RETURN cost(p) AS c").collect()
+    }
+    assert(positiveErr(eNeg),
+      s"expected the w<=0 error, got: ${eNeg.getMessage}")
+  }
+
+  test("group variables bind per-walk lists under allShortestPaths") {
+    // r18 — the formerly-rejected cell: a diamond with TWO shortest
+    // 2-hop walks (1→2→4 and 1→3→4); each enumerated walk binds its
+    // OWN group lists, so x[1] names that walk's middle node
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "s"), (2L, "m1"), (3L, "m2"), (4L, "t"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("__src", "__dst")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH (a:V) WHERE a.name = 's' " +
+        "MATCH p = allShortestPaths((a) ((x)-[:E]->(y)){1,3} (b:V)) " +
+        "WHERE b.name = 't' " +
+        "RETURN x[1] AS mid, size(x) AS nx, size(y) AS ny, " +
+        "length(p) AS hops ORDER BY mid").collect()
+    assert(rows.length == 2, s"expected 2 walks, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(rows.forall(r =>
+      r.getLong(1) == 2 && r.getLong(2) == 2 && r.getLong(3) == 2))
   }
 
   test("localdatetime/localtime/time: NTZ wall clock, epoch-anchored time-of-day") {
