@@ -961,6 +961,16 @@ object Dedup {
       .join(clusterArtifact(spark, sfDir, tau), Seq("doc_id"))
       .groupBy(col("cluster"), col("source"))
       .agg(count(lit(1)).as("n"))
+    sourceMatrixFromCS(cs).orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** The pair-matrix aggregate over a per-(cluster, source) count
+    * frame — shared by [[sourceOverlapMatrix]] and the streaming
+    * per-epoch maintenance
+    * ([[graft.streaming.StreamingJobs.sourceMatrixDelta]]'s fold
+    * referee), so batch/stream equivalence is one code path.
+    */
+  def sourceMatrixFromCS(cs: DataFrame): DataFrame = {
     val spanning = cs.join(
       cs.groupBy(col("cluster"))
         .agg(countDistinct(col("source")).as("__ns"))
@@ -972,7 +982,6 @@ object Dedup {
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared_clusters"),
         sum(col("a.n") + col("b.n")).as("n_docs_involved"))
-      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** JVM twin of [[paragraphDedup]]'s segmentation: the same
@@ -1010,6 +1019,22 @@ object Dedup {
     val kept = segs.filterNot(s => index.contains(md5Hex(s)))
     (segs.length.toLong, (segs.length - kept.length).toLong,
       kept.mkString(" "))
+  }
+
+  /** One-document CDC hygiene against a known-chunk index:
+    * (n_chunks, n_dup, cleaned text) — [[paragraphFilterJvm]]'s
+    * arithmetic over [[cdcChunksJvm]]'s insertion-robust segmentation.
+    * Chunks are raw slices, so the cleaned text rejoins with no
+    * separator. The per-record body of the streaming twin
+    * ([[graft.streaming.StreamingJobs.cdcFilter]]).
+    */
+  private[graft] def cdcFilterJvm(text: String,
+      index: scala.collection.Set[String],
+      k: Int = 8, div: Long = 64L): (Long, Long, String) = {
+    val chunks = cdcChunksJvm(text, k, div)
+    val kept = chunks.filterNot(c => index.contains(md5Hex(c)))
+    (chunks.length.toLong, (chunks.length - kept.length).toLong,
+      kept.mkString(""))
   }
 
   /** Content-defined chunk split of one document — the rsync/LBFS

@@ -432,6 +432,70 @@ object StreamingJobs {
     }.toDF("doc_id", "n_segs", "n_dup", "clean_text")
   }
 
+  /** Streaming CDC-chunk hygiene filter — the ingestion-side twin of
+    * `Dedup.cdcDedup` (r18): each incoming document splits on
+    * content-defined boundaries (`Dedup.cdcChunksJvm` — the
+    * insertion-robust segmentation, so a re-crawl that inserted words
+    * EARLIER in the page still collides on the unchanged tail) and
+    * drops the chunks whose md5 already sits in the corpus chunk
+    * index. ZERO streaming state: the index set rides the task
+    * closure like [[paragraphFilter]]'s (a production index is a
+    * Bloom filter over chunk hashes, broadcast once per executor);
+    * per-record cost is the rolling-hash scan + one set probe per
+    * chunk. Spec pins equality with `Dedup.cdcFilterJvm`.
+    */
+  def cdcFilter(docs: Dataset[(Long, String)],
+      indexHashes: scala.collection.Set[String],
+      k: Int = 8, div: Long = 64L): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.map { case (id, text) =>
+      val (nChunks, nDup, clean) =
+        graft.operators.Dedup.cdcFilterJvm(text, indexHashes, k, div)
+      (id, nChunks, nDup, clean)
+    }.toDF("doc_id", "n_chunks", "n_dup", "clean_text")
+  }
+
+  /** Per-epoch cross-source matrix maintenance — the `foreachBatch`
+    * body that keeps `Dedup.sourceOverlapMatrix`'s standing artifact
+    * current as newly-ingested documents resolve to clusters (r18).
+    * `delta` is this epoch's (doc_id, source, cluster) assignments
+    * (the output of candidate resolution over
+    * [[incrementalCandidates]]); `standingCS` the persisted
+    * per-(cluster, source) doc counts. Emits the UPDATED
+    * per-(cluster, pair) contribution rows for every cluster this
+    * epoch touched — the fold contract is replace-by-cluster:
+    * overwrite the standing contribution rows of the touched
+    * clusters with the emitted ones, and the full matrix remains
+    * `groupBy(source_a, source_b).agg(count, sum(n_a + n_b))`, exactly
+    * the batch operator's final aggregate (spec-pinned).
+    *
+    * 100 TB notes: the delta collapse is map-side combined over one
+    * micro-batch; the standing side is touched only via a
+    * cluster-keyed semi-join (AQE-broadcastable — an epoch touches
+    * ≪ |clusters|); the pair join runs on per-(cluster, source) rows
+    * with sources a small enum, never document rows.
+    */
+  def sourceMatrixDelta(delta: DataFrame, standingCS: DataFrame): DataFrame = {
+    val deltaCS = delta.groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val touched = deltaCS.select(col("cluster")).distinct()
+    val merged = standingCS
+      .join(touched, Seq("cluster"), "left_semi")
+      .unionByName(deltaCS)
+      .groupBy(col("cluster"), col("source")).agg(sum(col("n")).as("n"))
+    val spanning = merged.join(
+      merged.groupBy(col("cluster"))
+        .agg(countDistinct(col("source")).as("__ns"))
+        .filter(col("__ns") > 1).select(col("cluster")),
+      Seq("cluster"), "left_semi")
+    spanning.as("a").join(spanning.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+        col("a.source") < col("b.source"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+  }
+
   final case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   /** Per-user CEP-negation state: latest view / click micros

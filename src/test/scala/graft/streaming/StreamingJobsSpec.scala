@@ -130,6 +130,103 @@ class StreamingJobsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC filter drops indexed chunks despite early insertions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // index = the CDC chunks of an "existing corpus" doc; the delta
+    // doc INSERTS words at the front — fixed-window segmentation
+    // would shift every later window, but CDC boundaries re-derive
+    // from local content, so the shared tail still collides
+    val corpusDoc = (0 until 120).map(i => s"word$i").mkString(" ")
+    val index = graft.operators.Dedup.cdcChunksJvm(corpusDoc)
+      .map(graft.operators.Dedup.md5Hex).toSet
+    val delta = Seq(
+      (100L, "inserted preamble here " + corpusDoc),
+      (101L, (0 until 20).map(i => s"fresh$i").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.cdcFilter(input.toDS(), index)
+      .writeStream.format("memory").queryName("cdcfilter")
+      .outputMode("append").start()
+    try {
+      input.addData(delta: _*)
+      q.processAllAvailable()
+      val rows = spark.table("cdcfilter").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // doc 100: the re-synchronized tail chunks are indexed -> dropped
+      assert(rows(100L)._2 > 0,
+        s"expected indexed tail chunks to drop, got ${rows(100L)}")
+      // doc 101: nothing indexed -> intact
+      assert(rows(101L)._2 == 0L)
+      assert(rows(101L)._3 == (0 until 20).map(i => s"fresh$i").mkString(" "))
+      // arithmetic identical to the batch JVM twin
+      delta.foreach { case (id, text) =>
+        val (n, d, c) = graft.operators.Dedup.cdcFilterJvm(text, index)
+        assert(rows(id) == ((n, d, c)))
+      }
+    } finally q.stop()
+  }
+
+  test("per-epoch source-matrix maintenance folds to the batch matrix") {
+    import spark.implicits._
+    // sourceMatrixDelta is a foreachBatch body: each epoch's resolved
+    // (doc_id, source, cluster) assignments emit UPDATED per-(cluster,
+    // pair) contribution rows for the touched clusters; the sink
+    // replaces by cluster. Corpus: cluster 1 spans A/B from the
+    // start, cluster 2 is internal to A until epoch 1's B doc,
+    // cluster 3 becomes spanning only with epoch 2's C docs.
+    val standing = Seq(
+      (1L, "A", 1L), (2L, "B", 1L), (3L, "A", 2L), (4L, "A", 2L),
+      (5L, "B", 3L))
+    val epoch1 = Seq((6L, "A", 1L), (7L, "B", 2L))
+    val epoch2 = Seq((8L, "C", 3L), (9L, "C", 3L))
+    def csOf(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("doc_id", "source", "cluster")
+        .groupBy(col("cluster"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    val csSchema = csOf(standing).schema
+    def csDF(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), csSchema)
+    // bootstrap: the standing corpus is epoch 0 over an empty artifact
+    val boot = StreamingJobs.sourceMatrixDelta(
+      standing.toDF("doc_id", "source", "cluster"), csDF(Seq.empty))
+    val contribSchema = boot.schema
+    var contribRows = boot.collect().toSeq
+    var csRows = csOf(standing).collect().toSeq
+    def contribDF(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), contribSchema)
+    for (epoch <- Seq(epoch1, epoch2)) {
+      val emitted = StreamingJobs.sourceMatrixDelta(
+        epoch.toDF("doc_id", "source", "cluster"), csDF(csRows))
+        .collect().toSeq
+      val touched = epoch.map(_._3).toSet
+      // fold contract: replace-by-cluster on the contribution rows
+      contribRows = contribRows.filterNot(r =>
+        touched(r.getLong(r.fieldIndex("cluster")))) ++ emitted
+      // CS-artifact maintenance: add the epoch's counts
+      csRows = csDF(csRows).unionByName(csOf(epoch))
+        .groupBy(col("cluster"), col("source"))
+        .agg(sum(col("n")).as("n")).collect().toSeq
+    }
+    // the folded matrix equals the batch operator's aggregate over
+    // the FULL corpus (one shared code path: sourceMatrixFromCS)
+    val folded = contribDF(contribRows)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("n_a") + col("n_b")).as("n_docs_involved"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val full = graft.operators.Dedup.sourceMatrixFromCS(
+      csOf(standing ++ epoch1 ++ epoch2))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(folded == full, s"folded=$folded full=$full")
+    // and the late-spanning cluster 3 is present in both
+    assert(full.contains(("B", "C")))
+  }
+
   test("streaming contamination matches the batch screen, stateless append") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
