@@ -91,6 +91,25 @@ object OracleSql {
        |  FROM sigl CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) bb)""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.Dedup.guardTelemetry]]: the
+    * shared banding CTEs, bucket sizes per (band, band_hash), then
+    * one row per cap with guarded-bucket / collapsed-row counts.
+    */
+  def guardTelemetry(numPerms: Int = 128, bands: Int = 32): String =
+    minhashCtes(numPerms, bands) + s""",
+       |bsz AS (
+       |  SELECT band, band_hash, COUNT(*) AS m FROM banded GROUP BY 1, 2),
+       |caps AS (
+       |  SELECT unnest([1, 2, 4, 8, ${Dedup.HotBucketCap}]) AS cap)
+       |SELECT CAST(c.cap AS BIGINT) AS cap,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(SUM(CASE WHEN m > c.cap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hot_buckets,
+       |  CAST(SUM(CASE WHEN m > c.cap THEN m - 1 ELSE 0 END) AS BIGINT)
+       |    AS n_collapsed_rows,
+       |  MAX(m) AS max_bucket
+       |FROM bsz, caps c GROUP BY 1 ORDER BY cap""".stripMargin
+
   /** DuckDB twin of [[graft.operators.TextAnalysis.novelty]]: the
     * shared word-3-gram shingle hashes, global first-occurrence
     * ownership by smallest doc_id, per-doc novel fraction.

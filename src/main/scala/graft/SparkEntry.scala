@@ -268,6 +268,7 @@ object SparkEntry {
     "pipeline_corpus_stats" -> (Pipeline.corpusStats(_, _)),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh(_, _)),
     "dedup_lsh_tuning"    -> (Dedup.lshTuningCurve(_, _)),
+    "dedup_guard_stats"   -> (Dedup.guardTelemetry(_, _)),
     "sketch_kmv_distinct" -> (Sketches.kmvDistinct(_, _)),
     "sketch_source_overlap" -> (Sketches.kmvOverlap(_, _)),
     "sketch_hll_distinct" -> (Sketches.hllDistinct(_, _)),
@@ -793,6 +794,7 @@ object SparkEntry {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> OracleSql.minhashLsh(),
     "dedup_lsh_tuning"  -> OracleSql.lshTuningCurve(),
+    "dedup_guard_stats" -> OracleSql.guardTelemetry(),
     "dedup_substring"   -> OracleSql.substringDup(),
     "dedup_incremental" -> OracleSql.incrementalDedup(),
     // bloom prefilter is a pure pruning layer (no false negatives;

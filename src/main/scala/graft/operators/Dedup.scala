@@ -640,6 +640,46 @@ object Dedup {
       .select(col(idCol), col("band"), col("band_hash"))
   }
 
+  /** Hot-bucket guard TELEMETRY (r18): per-cap counts of guarded
+    * buckets and collapsed index rows over a banded frame — the
+    * observability a 100-TB operator wants before trusting the
+    * guard: how many buckets would the cap touch, how many rows does
+    * the collapse remove, and how hot is the hottest bucket. One
+    * row per cap; all aggregates are map-side-combined over the
+    * (band, band_hash) size frame, never the banded rows themselves.
+    */
+  def guardStatsFromBanded(banded: DataFrame, caps: Seq[Int]): DataFrame = {
+    val bsz = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__m"))
+    caps.map { cap =>
+      bsz.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("__m") > cap, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(when(col("__m") > cap, col("__m") - 1L).otherwise(0L))
+          .as("n_collapsed_rows"),
+        max(col("__m")).as("max_bucket"))
+        .select(lit(cap.toLong).as("cap"), col("n_buckets"),
+          col("n_hot_buckets"), col("n_collapsed_rows"), col("max_bucket"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The telemetry curve over the corpus' MinHash banding — what the
+    * [[guardedIndexBands]] collapse WOULD do at caps 1..the
+    * production [[HotBucketCap]]. `n_collapsed_rows` at cap c = index
+    * rows the guard removes (bucket members beyond the kept
+    * representative); the curve flattening toward the production cap
+    * is the evidence that real corpora only trip the guard on
+    * genuine mega-clusters.
+    */
+  def guardTelemetry(spark: SparkSession, sfDir: String,
+      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir, numPerms, bands)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    guardStatsFromBanded(banded, Seq(1, 2, 4, 8, HotBucketCap))
+      .orderBy(col("cap"))
+  }
+
   /** Incremental near-dup screen: match a NEW batch against the
     * EXISTING corpus without re-pairing the corpus with itself — the
     * shape of production ingestion, where the index side's band

@@ -337,6 +337,43 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("doc_id") < 200).count() == 32L)
   }
 
+  test("guard telemetry counts the crafted hot corpus exactly") {
+    // 200 identical copies -> every one of the 32 band buckets of the
+    // cluster holds 200 members; 40 distinct docs add singleton
+    // buckets. At any cap < 200 the telemetry must count exactly the
+    // 32 hot buckets and 32 * (200 - 1) collapsed rows; at the
+    // production HotBucketCap the same (200 > 64).
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the miller grinds wheat by the river mill every single day"
+    val copies = (0 until 200).map(i => (i.toLong, base))
+    val distinctDocs = (600 until 640).map(i => (i.toLong,
+      s"totally unrelated document number $i about topic $i with unique " +
+        s"content token$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_guardtel").toString
+    (copies ++ distinctDocs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = Dedup.minhashSignatures(spark, dir)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val stats = Dedup.guardStatsFromBanded(
+      banded, Seq(Dedup.HotBucketCap, 300)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nBuckets, nHot, nCollapsed, maxBucket) =
+      stats(Dedup.HotBucketCap.toLong)
+    assert(nHot == 32L, s"expected the 32 cluster buckets hot, got $nHot")
+    assert(nCollapsed == 32L * 199L,
+      s"expected 32*(200-1) collapsed rows, got $nCollapsed")
+    assert(maxBucket == 200L)
+    // distinct docs may collide among themselves on a band, but the
+    // bucket universe must hold at least the 32 cluster buckets plus
+    // the distinct docs' (mostly singleton) buckets
+    assert(nBuckets >= 32L + 40L)
+    // above the hottest bucket, nothing is guarded
+    assert(stats(300L)._2 == 0L && stats(300L)._3 == 0L)
+  }
+
   test("containment dominates jaccard at the same threshold") {
     // containment = inter/min(a,b) >= inter/(a+b-inter) = jaccard, so
     // at equal tau the jaccard pair set is a subset and each kept
