@@ -142,6 +142,7 @@ object SparkEntry {
     "cypher_all_shortest"   -> (cypher.CypherQueries.allShortest(_, _)),
     "cypher_allsp_walks"    -> (cypher.CypherQueries.allShortestWalks(_, _)),
     "cypher_allsp_groupvar" -> (cypher.CypherQueries.allShortestGroupVar(_, _)),
+    "cypher_weighted_shortest_k" -> (cypher.CypherQueries.weightedKShortest(_, _)),
     "cypher_shortest_k"     -> (cypher.CypherQueries.kShortest(_, _)),
     "cypher_shortest_k_mh_group" ->
       (cypher.CypherQueries.kShortestMultihopGroup(_, _)),
@@ -3187,6 +3188,25 @@ object SparkEntry {
     // parallel CONTAINS multiplicity, per-walk qty reduce sums to the
     // pair's lineitem quantity total (2-hop arm empty: no edges
     // leave :Part)
+    // weighted SHORTEST 2: every part-part trail is a 2-hop
+    // shared-order lineitem pair; per-pair top-2 by cost, then the
+    // tie-order-independent (count, min, max) cost multiset
+    "cypher_weighted_shortest_k" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS o, l_partkey AS p,
+        |    CAST(l_quantity AS DOUBLE) AS q
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT x.p AS pa, y.p AS pb, x.q + y.q AS cost
+        |  FROM e x JOIN e y ON x.o = y.o
+        |  WHERE x.p < 15 AND y.p < 15 AND x.p < y.p),
+        |r AS (
+        |  SELECT pa, pb, cost,
+        |    row_number() OVER (PARTITION BY pa, pb ORDER BY cost) AS rn
+        |  FROM t)
+        |SELECT pa, pb, COUNT(*) AS k, round(MIN(cost), 2) AS c1,
+        |  round(MAX(cost), 2) AS c2
+        |FROM r WHERE rn <= 2 GROUP BY 1, 2 ORDER BY pa, pb""".stripMargin,
     // group variables under unweighted allShortestPaths: every
     // part–part shortest walk is 2 repetitions through a shared
     // order (bipartite graph), so walks per (pair, order) are the

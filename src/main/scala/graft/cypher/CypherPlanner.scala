@@ -3291,7 +3291,14 @@ object CypherPlanner {
           require(expandEdges.columns.contains(wp),
             s"weight property '$wp' is not a property of this relationship " +
               s"(have: ${expandEdges.columns.filterNot(_.startsWith("__")).sorted.mkString(", ")})")
-          if (chain.allShortest)
+          require(chain.kBest.forall(_ <= 1) || !chain.allShortest,
+            "SHORTEST k (k > 1) does not compose with weighted " +
+              "allShortestPaths (no GQL spelling; see README \"Path " +
+              "selector semantics and permanent carve-outs\")")
+          if (chain.kBest.exists(_ > 1))
+            weightedKShortestWalks(expandEdges, wp, rel.varLength.get._1,
+              rel.varLength.get._2, bfsSeed, chain.kBest.get)
+          else if (chain.allShortest)
             weightedAllShortestWalks(expandEdges, wp, rel.varLength.get._1,
               rel.varLength.get._2, bfsSeed)
           else
@@ -4077,24 +4084,96 @@ object CypherPlanner {
       .drop("__kb_rk")
   }
 
-  /** Weighted shortest-path expansion — hop-bounded Bellman–Ford
-    * relaxation over (src, dst, weight) pairs, the Cypher surface of
-    * the `graph_sssp_weighted` algorithm's skeleton. Parallel edges
-    * collapse to their MIN weight up front (a cheapest walk never
-    * takes the heavier parallel edge); each round extends only the
-    * pairs IMPROVED last round and merges by lexicographic
-    * min(cost, hops), so ties prefer fewer hops and the fixpoint is
-    * deterministic. With positive weights an optimal walk never
-    * repeats a node, so edge-identity bookkeeping is unnecessary —
-    * same argument as the unweighted BFS. The hop bound `hi` is the
-    * documented sketch semantic (paths longer than the bound don't
-    * contribute — the `maxDepth` family).
-    *
-    * Scale shape: per round one keyed join + pair-keyed agg + one
-    * merge anti-join, frontier localCheckpoint'ed; the frontier holds
-    * only pairs improved last round, so rounds shrink toward the
-    * fixpoint. Returns (__src, __dst, __hops, __wcost).
+  /** WEIGHTED `SHORTEST k` (k > 1, r18) — the GDS/Yen-shaped
+    * "k cheapest trails per pair", spelled
+    * `SHORTEST k shortestPath((a)-[:T*1..h]->(b), 'prop')` (an engine
+    * extension: GQL/Cypher has no spelling — Neo4j reaches k-cheapest
+    * via `gds.shortestPath.yens`; before r18 the planner silently
+    * DROPPED k on this spelling and answered 1-best). Same capped
+    * level-synchronous TRAIL enumeration as [[kShortestWalks]] (edge
+    * uniqueness the only rule; the i-th cheapest trail can be both
+    * LONGER and CHEAPER than shorter ones, so neither first-reach nor
+    * cost-frontier pruning can apply), additionally accumulating the
+    * strictly-positive guarded weight. The final per-pair row_number
+    * window orders by (cost, hops, node walk, edge identities,
+    * payloads) and keeps the k least — deterministic, never silently
+    * truncated (per-level [[MaxAllShortestWalks]] loud guard).
+    * Parallel edges are distinct trails via their identities and keep
+    * their OWN weights — no min-collapse, the 2nd-cheapest trail may
+    * ride the heavier parallel edge.
     */
+  private def weightedKShortestWalks(rel: DataFrame, weightProp: String,
+      lo: Int, hi: Int, seed: Option[DataFrame], kBest: Int): DataFrame = {
+    require(lo == 1 && hi >= lo && hi <= 10,
+      s"weighted SHORTEST $kBest var-length bounds *$lo..$hi out of " +
+        "supported range")
+    val hasEpl = rel.columns.contains("__epl")
+    require(rel.columns.contains("__eid"),
+      "internal: weighted SHORTEST k trail enumeration needs edge identities")
+    val guardedW =
+      positiveWeightOrDie(weightProp, s"weighted SHORTEST $kBest")
+    val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid"),
+      guardedW.as("__w")) ++
+      (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
+      .distinct().localCheckpoint()
+    val e0 = seed match {
+      case Some(s) =>
+        edges.join(s, edges("__src") === s("__seedid"), "left_semi")
+      case None => edges
+    }
+    def guard(level: DataFrame, k: Int): Unit = {
+      val top = level.groupBy(col("__src"), col("__dst"))
+        .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
+      if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
+        throw new IllegalArgumentException(
+          s"weighted SHORTEST $kBest: a pair at depth $k has " +
+            s"${top.getLong(0)} trails, above the $MaxAllShortestWalks " +
+            "cap — bind tighter endpoints or lower the hop bound")
+    }
+    var level = e0.select(Seq(col("__src"), col("__dst"),
+      lit(1).as("__hops"), col("__w").as("__wcost"),
+      array(col("__dst")).as("__nids"),
+      array(col("__eid")).as("__eids")) ++
+      (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
+      .localCheckpoint()
+    guard(level, 1)
+    var all = level
+    var k = 2
+    var exhausted = hi < 2 || level.isEmpty
+    while (k <= hi && !exhausted) {
+      val right = edges.select(Seq(col("__src").as("__m"),
+        col("__dst").as("__n"), col("__eid").as("__ne"),
+        col("__w").as("__nw")) ++
+        (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
+      val stepped = level.join(right, col("__dst") === col("__m"))
+        .filter(!array_contains(col("__eids"), col("__ne")))
+        .select(Seq(col("__src"), col("__n").as("__dst"),
+          lit(k).as("__hops"),
+          (col("__wcost") + col("__nw")).as("__wcost"),
+          concat(col("__nids"), array(col("__n"))).as("__nids"),
+          concat(col("__eids"), array(col("__ne"))).as("__eids")) ++
+          (if (hasEpl)
+            Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
+          else Seq.empty): _*)
+        .localCheckpoint()
+      exhausted = stepped.isEmpty
+      if (!exhausted) {
+        guard(stepped, k)
+        all = all.unionByName(stepped)
+        level = stepped
+      }
+      k += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"), col("__dst"))
+      .orderBy(Seq(col("__wcost"), col("__hops"), col("__nids"),
+        col("__eids")) ++
+        (if (hasEpl) Seq(col("__epls")) else Seq.empty): _*)
+    all.withColumn("__kb_rk", row_number().over(w))
+      .filter(col("__kb_rk") <= kBest)
+      .drop("__kb_rk")
+  }
+
   /** Weight guard shared by every weighted search. Null / non-numeric
     * weights would propagate NULL `__wcost` through every relaxation
     * touching the edge — a silent poisoning — and the `<=`-standing-min
@@ -4142,6 +4221,24 @@ object CypherPlanner {
       .otherwise(lit(null))
   }
 
+  /** Weighted shortest-path expansion — hop-bounded Bellman–Ford
+    * relaxation over (src, dst, weight) pairs, the Cypher surface of
+    * the `graph_sssp_weighted` algorithm's skeleton. Parallel edges
+    * collapse to their MIN weight up front (a cheapest walk never
+    * takes the heavier parallel edge); each round extends only the
+    * pairs IMPROVED last round and merges by lexicographic
+    * min(cost, hops), so ties prefer fewer hops and the fixpoint is
+    * deterministic. With positive weights an optimal walk never
+    * repeats a node, so edge-identity bookkeeping is unnecessary —
+    * same argument as the unweighted BFS. The hop bound `hi` is the
+    * documented sketch semantic (paths longer than the bound don't
+    * contribute — the `maxDepth` family).
+    *
+    * Scale shape: per round one keyed join + pair-keyed agg + one
+    * merge anti-join, frontier localCheckpoint'ed; the frontier holds
+    * only pairs improved last round, so rounds shrink toward the
+    * fixpoint. Returns (__src, __dst, __hops, __wcost).
+    */
   private def weightedShortestRel(rel: DataFrame, weightProp: String,
       lo: Int, hi: Int, seed: Option[DataFrame] = None,
       carryWalks: Boolean = false): DataFrame = {

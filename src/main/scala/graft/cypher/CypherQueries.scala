@@ -1165,6 +1165,28 @@ object CypherQueries {
         |RETURN pa, pb, count(*) AS n_paths, min(l) AS h1, max(l) AS h2
         |ORDER BY pa, pb""".stripMargin)
 
+  /** WEIGHTED `SHORTEST k` (k = 2, r18) — the GDS/Yen-shaped
+    * "k cheapest trails per pair", spelled by composing the GQL
+    * selector with the weighted-shortestPath argument:
+    * `SHORTEST 2 shortestPath((a)-[:T*1..2]-(b), 'qty')`. The capped
+    * trail enumeration accumulates weights and a per-pair window
+    * keeps the 2 COST-least trails
+    * (`CypherPlanner.weightedKShortestWalks` — before r18 the planner
+    * silently dropped k on this spelling). The oracle enumerates the
+    * 2-hop shared-order trails from lineitem and applies the same
+    * per-pair cost-ordered top-2; aggregating to the (count, min,
+    * max) cost multiset keeps the check tie-order-independent (qty is
+    * integral, so double comparison is exact in both engines).
+    */
+  def weightedKShortest(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """MATCH (a:Part) WHERE a.partkey < 15
+        |MATCH p = SHORTEST 2 shortestPath((a)-[:CONTAINS*1..2]-(b:Part), 'qty')
+        |WHERE b.partkey < 15 AND a.partkey < b.partkey
+        |WITH a.partkey AS pa, b.partkey AS pb, round(cost(p), 2) AS cost
+        |RETURN pa, pb, count(*) AS k, min(cost) AS c1, max(cost) AS c2
+        |ORDER BY pa, pb""".stripMargin)
+
   /** Walk-CONSUMING allShortestPaths (r16 — formerly loud rejects):
     * nodes(p), named relationship lists and per-walk reduce() under
     * the σ-capped enumeration (`CypherPlanner.allShortestWalks`).

@@ -3050,6 +3050,35 @@ class CypherPlannerSpec extends AnyFunSuite {
       s"expected the w<=0 error, got: ${eNeg.getMessage}")
   }
 
+  test("weighted SHORTEST k keeps the k cheapest trails per pair") {
+    // crafted so the CHEAPEST trail is the LONGER one (1->2->3 costs
+    // 3 vs the direct edge's 10) and a parallel direct edge (cost 5)
+    // takes the 2nd slot — pins that neither first-reach nor
+    // min-collapse pruning applies and parallel edges keep their own
+    // weights. Before r18, SHORTEST 2 + weighted silently answered
+    // 1-best.
+    import spark.implicits._
+    val g = graft.graph.PropertyGraph(
+      nodes = Map("V" -> Seq((1L, "s"), (2L, "m"), (3L, "t"))
+        .toDF("__id", "name")),
+      rels = Map("E" -> Seq((1L, 3L, 10.0), (1L, 3L, 5.0),
+        (1L, 2L, 1.0), (2L, 3L, 2.0)).toDF("__src", "__dst", "w")))
+    val rows = CypherPlanner.run(spark, g,
+      "MATCH p = SHORTEST 2 shortestPath((a:V)-[:E*1..2]->(b:V), 'w') " +
+        "WHERE a.name = 's' AND b.name = 't' " +
+        "RETURN length(p) AS hops, cost(p) AS c ORDER BY c").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((2L, 3.0), (1L, 5.0)))
+    // the weighted allShortestPaths combination stays a loud reject
+    val e = intercept[Exception] {
+      CypherPlanner.run(spark, g,
+        "MATCH p = SHORTEST 2 allShortestPaths((a:V)-[:E*1..2]->(b:V), 'w') " +
+          "RETURN cost(p) AS c").collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("does not compose with weighted"))
+  }
+
   test("group variables bind per-walk lists under allShortestPaths") {
     // r18 — the formerly-rejected cell: a diamond with TWO shortest
     // 2-hop walks (1→2→4 and 1→3→4); each enumerated walk binds its
