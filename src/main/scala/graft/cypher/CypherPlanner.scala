@@ -3941,9 +3941,18 @@ object CypherPlanner {
     val hasEpl = rel.columns.contains("__epl")
     require(rel.columns.contains("__eid"),
       "internal: allShortestPaths walk enumeration needs edge identities")
+    // no distinct: the __eid rank is unique per (src, dst), so rows
+    // already are — a global distinct would be a full extra shuffle
+    // of the edge table (r18)
     val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
-      .distinct().localCheckpoint()
+      .localCheckpoint()
+    // a SEEDED frontier stays bounded by the seeds' reachable pair
+    // set — broadcast it so each level is a map-side join over the
+    // edge scan instead of shuffling the full edge table (r18, the
+    // weightedShortestRel discipline); unseeded searches stay keyed
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (seed.isDefined) broadcast(df) else df
     val e0 = seed match {
       case Some(s) =>
         edges.join(s, edges("__src") === s("__seedid"), "left_semi")
@@ -3975,7 +3984,8 @@ object CypherPlanner {
       val right = edges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__eid").as("__ne")) ++
         (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
-      val stepped = frontier.join(right, col("__dst") === col("__m"))
+      val stepped = maybeBroadcast(frontier)
+        .join(right, col("__dst") === col("__m"))
         .filter(col("__src") =!= col("__n"))
         .select(Seq(col("__src"), col("__n").as("__dst"),
           concat(col("__nids"), array(col("__n"))).as("__nids"),
@@ -4024,9 +4034,14 @@ object CypherPlanner {
     val hasEpl = rel.columns.contains("__epl")
     require(rel.columns.contains("__eid"),
       "internal: SHORTEST k trail enumeration needs edge identities")
+    // no distinct (the __eid rank already makes rows unique) and a
+    // broadcast seeded frontier — the r18 enumeration scale shape,
+    // see allShortestWalks
     val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
-      .distinct().localCheckpoint()
+      .localCheckpoint()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (seed.isDefined) broadcast(df) else df
     val e0 = seed match {
       case Some(s) =>
         edges.join(s, edges("__src") === s("__seedid"), "left_semi")
@@ -4057,7 +4072,8 @@ object CypherPlanner {
       val right = edges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__eid").as("__ne")) ++
         (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
-      val stepped = level.join(right, col("__dst") === col("__m"))
+      val stepped = maybeBroadcast(level)
+        .join(right, col("__dst") === col("__m"))
         .filter(!array_contains(col("__eids"), col("__ne")))
         .select(Seq(col("__src"), col("__n").as("__dst"),
           lit(k).as("__hops"),
@@ -4112,10 +4128,15 @@ object CypherPlanner {
       "internal: weighted SHORTEST k trail enumeration needs edge identities")
     val guardedW =
       positiveWeightOrDie(weightProp, s"weighted SHORTEST $kBest")
+    // no distinct (the __eid rank already makes rows unique) and a
+    // broadcast seeded frontier — the r18 enumeration scale shape,
+    // see allShortestWalks
     val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid"),
       guardedW.as("__w")) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
-      .distinct().localCheckpoint()
+      .localCheckpoint()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (seed.isDefined) broadcast(df) else df
     val e0 = seed match {
       case Some(s) =>
         edges.join(s, edges("__src") === s("__seedid"), "left_semi")
@@ -4145,7 +4166,8 @@ object CypherPlanner {
         col("__dst").as("__n"), col("__eid").as("__ne"),
         col("__w").as("__nw")) ++
         (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
-      val stepped = level.join(right, col("__dst") === col("__m"))
+      val stepped = maybeBroadcast(level)
+        .join(right, col("__dst") === col("__m"))
         .filter(!array_contains(col("__eids"), col("__ne")))
         .select(Seq(col("__src"), col("__n").as("__dst"),
           lit(k).as("__hops"),
