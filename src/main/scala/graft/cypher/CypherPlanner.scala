@@ -3915,6 +3915,55 @@ object CypherPlanner {
     */
   private val MaxAllShortestWalks = 1000L
 
+  /** Stand-down cap for [[seedRestrictEdges]]' bounded driver action:
+    * reachable sets above this many nodes skip the scan restriction
+    * (the optimization stands down, never gates semantics).
+    */
+  private val ReachRestrictCap = 100000
+
+  /** Seeded enumerations (r18): the edge frame's `__eid` identity
+    * window ranks the WHOLE edge table even though a seeded search
+    * touches only the seeds' reachable neighborhood. Ranks are
+    * per-(src, dst) partition and a src-restriction keeps or drops
+    * whole partitions, so pushing an IN filter on `__src` below the
+    * window (Catalyst pushes partition-key predicates through
+    * Window, and on into the parquet scan) shrinks the rank shuffle
+    * and the scan to the touched edges without changing any rank.
+    * The reachable set (nodes within hi-1 traversal steps of a seed,
+    * computed on the plain pair view — column pruning drops the
+    * window there) is collected as a bounded driver action (the
+    * `limit(cap+1)` discipline): above [[ReachRestrictCap]], or on
+    * composite struct keys, the restriction silently stands down.
+    */
+  private def seedRestrictEdges(rel: DataFrame, seed: Option[DataFrame],
+      hi: Int): DataFrame = seed match {
+    case None => rel
+    case Some(s) =>
+      if (rel.schema("__src").dataType !=
+          org.apache.spark.sql.types.LongType) return rel
+      val pairs = rel.select(col("__src"), col("__dst"))
+      var reach = s.select(col("__seedid").as("__n")).distinct()
+        .localCheckpoint()
+      var frontier = reach
+      var i = 1
+      var over = reach.limit(ReachRestrictCap + 1).count() > ReachRestrictCap
+      while (i < hi && !over && !frontier.isEmpty) {
+        val nxt = pairs.join(broadcast(frontier), pairs("__src") === col("__n"))
+          .select(col("__dst").as("__n")).distinct()
+          .join(reach, Seq("__n"), "left_anti").localCheckpoint()
+        reach = reach.unionByName(nxt).localCheckpoint()
+        over = reach.limit(ReachRestrictCap + 1).count() > ReachRestrictCap
+        frontier = nxt
+        i += 1
+      }
+      if (over) rel
+      else {
+        val ids = reach.collect().map(_.getLong(0)).toSeq
+        if (ids.isEmpty) rel.filter(lit(false))
+        else rel.filter(col("__src").isInCollection(ids))
+      }
+  }
+
   /** All-shortest-walk ENUMERATION for allShortestPaths chains whose
     * walks the query CONSUMES — nodes(p), relationships(p), named
     * relationship lists, group variables (r16; formerly loud
@@ -3943,8 +3992,11 @@ object CypherPlanner {
       "internal: allShortestPaths walk enumeration needs edge identities")
     // no distinct: the __eid rank is unique per (src, dst), so rows
     // already are — a global distinct would be a full extra shuffle
-    // of the edge table (r18)
-    val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
+    // of the edge table (r18); seeded searches additionally restrict
+    // the scan (and the identity window below it) to the seeds'
+    // reachable neighborhood (seedRestrictEdges)
+    val edges = seedRestrictEdges(rel, seed, hi)
+      .select(Seq(col("__src"), col("__dst"), col("__eid")) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
       .localCheckpoint()
     // a SEEDED frontier stays bounded by the seeds' reachable pair
@@ -4034,10 +4086,12 @@ object CypherPlanner {
     val hasEpl = rel.columns.contains("__epl")
     require(rel.columns.contains("__eid"),
       "internal: SHORTEST k trail enumeration needs edge identities")
-    // no distinct (the __eid rank already makes rows unique) and a
-    // broadcast seeded frontier — the r18 enumeration scale shape,
-    // see allShortestWalks
-    val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid")) ++
+    // no distinct (the __eid rank already makes rows unique), a
+    // broadcast seeded frontier, and the seeded reachable-set scan
+    // restriction — the r18 enumeration scale shape, see
+    // allShortestWalks/seedRestrictEdges
+    val edges = seedRestrictEdges(rel, seed, hi)
+      .select(Seq(col("__src"), col("__dst"), col("__eid")) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
       .localCheckpoint()
     def maybeBroadcast(df: DataFrame): DataFrame =
@@ -4128,10 +4182,12 @@ object CypherPlanner {
       "internal: weighted SHORTEST k trail enumeration needs edge identities")
     val guardedW =
       positiveWeightOrDie(weightProp, s"weighted SHORTEST $kBest")
-    // no distinct (the __eid rank already makes rows unique) and a
-    // broadcast seeded frontier — the r18 enumeration scale shape,
-    // see allShortestWalks
-    val edges = rel.select(Seq(col("__src"), col("__dst"), col("__eid"),
+    // no distinct (the __eid rank already makes rows unique), a
+    // broadcast seeded frontier, and the seeded reachable-set scan
+    // restriction — the r18 enumeration scale shape, see
+    // allShortestWalks/seedRestrictEdges
+    val edges = seedRestrictEdges(rel, seed, hi)
+      .select(Seq(col("__src"), col("__dst"), col("__eid"),
       guardedW.as("__w")) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
       .localCheckpoint()
@@ -4360,7 +4416,10 @@ object CypherPlanner {
     val hasEpl = rel.columns.contains("__epl")
     val guardedW =
       positiveWeightOrDie(weightProp, "weighted shortestPath")
-    val raw = rel.select(Seq(col("__src"), col("__dst"),
+    // seeded reachable-set scan restriction (r18, seedRestrictEdges):
+    // shrinks the scan and any __eid identity window to touched edges
+    val raw = seedRestrictEdges(rel, seed, hi)
+      .select(Seq(col("__src"), col("__dst"),
       guardedW.as("__w")) ++
       (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
@@ -4473,7 +4532,10 @@ object CypherPlanner {
     val hasEpl = rel.columns.contains("__epl")
     val guardedW =
       positiveWeightOrDie(weightProp, "weighted allShortestPaths")
-    val raw = rel.select(Seq(col("__src"), col("__dst"),
+    // seeded reachable-set scan restriction (r18, seedRestrictEdges):
+    // shrinks the scan and any __eid identity window to touched edges
+    val raw = seedRestrictEdges(rel, seed, hi)
+      .select(Seq(col("__src"), col("__dst"),
       guardedW.as("__w")) ++
       (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
