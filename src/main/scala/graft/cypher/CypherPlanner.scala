@@ -3867,7 +3867,11 @@ object CypherPlanner {
       seed: Option[DataFrame] = None): DataFrame = {
     require(lo == 1 && hi >= lo && hi <= 10,
       s"allShortestPaths var-length bounds *$lo..$hi out of supported range")
-    val edges = rel.select(col("__src"), col("__dst"))
+    // seeded reachable-set scan restriction (r18, seedRestrictEdges):
+    // levels >= 2 join this frame, and the multiplicity groupBy
+    // shuffles only the touched edges
+    val edges = seedRestrictEdges(rel, seed, hi)
+      .select(col("__src"), col("__dst"))
       .groupBy(col("__src"), col("__dst"))
       .agg(count(lit(1)).as("__w"))
       .localCheckpoint()
@@ -3921,6 +3925,15 @@ object CypherPlanner {
     */
   private val ReachRestrictCap = 100000
 
+  /** Size gate for [[seedRestrictEdges]]: below this plan-stats
+    * estimate the per-level reach jobs cost more than the full scans
+    * they save, so the restriction stands down. 64 MB ≈ a few million
+    * edge rows — measured crossover on the enumeration family (at
+    * ~100 MB the restricted plan already beats unrestricted ~2×; at
+    * ~15 MB the reach jobs are pure overhead).
+    */
+  private val ReachRestrictMinBytes = BigInt(64L << 20)
+
   /** Seeded enumerations (r18): the edge frame's `__eid` identity
     * window ranks the WHOLE edge table even though a seeded search
     * touches only the seeds' reachable neighborhood. Ranks are
@@ -3941,27 +3954,32 @@ object CypherPlanner {
     case Some(s) =>
       if (rel.schema("__src").dataType !=
           org.apache.spark.sql.types.LongType) return rel
+      // cost gate: on a small edge table the per-level reach jobs
+      // cost more than the full scans they save (plan-stats estimate,
+      // no job)
+      if (rel.queryExecution.optimizedPlan.stats.sizeInBytes <
+          ReachRestrictMinBytes) return rel
       val pairs = rel.select(col("__src"), col("__dst"))
-      var reach = s.select(col("__seedid").as("__n")).distinct()
-        .localCheckpoint()
+      val seeds0 = s.select(col("__seedid").cast("long"))
+        .limit(ReachRestrictCap + 1).collect()
+      if (seeds0.length > ReachRestrictCap) return rel
+      // driver-set BFS, ONE job per level (pruned scan + IN filter +
+      // distinct + capped collect); exits at the fixed point
+      var reach = seeds0.map(_.getLong(0)).toSet
       var frontier = reach
       var i = 1
-      var over = reach.limit(ReachRestrictCap + 1).count() > ReachRestrictCap
-      while (i < hi && !over && !frontier.isEmpty) {
-        val nxt = pairs.join(broadcast(frontier), pairs("__src") === col("__n"))
-          .select(col("__dst").as("__n")).distinct()
-          .join(reach, Seq("__n"), "left_anti").localCheckpoint()
-        reach = reach.unionByName(nxt).localCheckpoint()
-        over = reach.limit(ReachRestrictCap + 1).count() > ReachRestrictCap
-        frontier = nxt
+      while (i < hi && frontier.nonEmpty) {
+        val nxt = pairs.filter(col("__src").isInCollection(frontier.toSeq))
+          .select(col("__dst")).distinct()
+          .limit(ReachRestrictCap + 1).collect()
+        if (reach.size + nxt.length > ReachRestrictCap) return rel
+        val nxtIds = nxt.map(_.getLong(0)).toSet
+        frontier = nxtIds -- reach
+        reach = reach ++ nxtIds
         i += 1
       }
-      if (over) rel
-      else {
-        val ids = reach.collect().map(_.getLong(0)).toSeq
-        if (ids.isEmpty) rel.filter(lit(false))
-        else rel.filter(col("__src").isInCollection(ids))
-      }
+      if (reach.isEmpty) rel.filter(lit(false))
+      else rel.filter(col("__src").isInCollection(reach.toSeq))
   }
 
   /** All-shortest-walk ENUMERATION for allShortestPaths chains whose
@@ -4615,7 +4633,8 @@ object CypherPlanner {
       s"shortestPath var-length bounds *$lo..$hi out of supported range")
     if (carryWalks)
       return shortestRelWalks(rel, hi, seed)
-    val edges = rel.select(col("__src"), col("__dst")).distinct().localCheckpoint()
+    val edges = seedRestrictEdges(rel, seed, hi)
+      .select(col("__src"), col("__dst")).distinct().localCheckpoint()
     val e0 = seed match {
       case Some(s) =>
         edges.join(s, edges("__src") === s("__seedid"), "left_semi")
@@ -4685,13 +4704,17 @@ object CypherPlanner {
       seed: Option[DataFrame]): DataFrame = {
     val hasEid = rel.columns.contains("__eid")
     val hasEpl = rel.columns.contains("__epl")
+    // seeded reachable-set scan restriction (r18, seedRestrictEdges):
+    // the parallel-edge collapse and every level's join shuffle only
+    // the touched edges
+    val relR = seedRestrictEdges(rel, seed, hi)
     val edges0 =
       if (!hasEid && !hasEpl)
-        rel.select(col("__src"), col("__dst")).distinct()
+        relR.select(col("__src"), col("__dst")).distinct()
       else if (hasEid && hasEpl)
         // one combined min keeps identity and payload from the SAME
         // parallel edge (payload-led: content-deterministic ordering)
-        rel.groupBy(col("__src"), col("__dst"))
+        relR.groupBy(col("__src"), col("__dst"))
           .agg(min(struct(col("__epl").as("__epl"),
             col("__eid").as("__eid"))).as("__pk"))
           .select(col("__src"), col("__dst"),
@@ -4699,7 +4722,7 @@ object CypherPlanner {
             col("__pk").getField("__eid").as("__eid"))
       else {
         val c = if (hasEid) "__eid" else "__epl"
-        rel.groupBy(col("__src"), col("__dst")).agg(min(col(c)).as(c))
+        relR.groupBy(col("__src"), col("__dst")).agg(min(col(c)).as(c))
       }
     val edges = edges0.localCheckpoint()
     val e0 = seed match {
