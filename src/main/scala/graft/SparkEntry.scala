@@ -153,6 +153,8 @@ object SparkEntry {
     "cypher_datetime_tz"    -> (cypher.CypherQueries.datetimeTz(_, _)),
     "cypher_datetime_tz_display" ->
       (cypher.CypherQueries.datetimeTzDisplay(_, _)),
+    "cypher_datetime_tz_alias" ->
+      (cypher.CypherQueries.datetimeTzAlias(_, _)),
     "cypher_case"           -> (cypher.CypherQueries.caseBand(_, _)),
     "cypher_coalesce_agg"   -> (cypher.CypherQueries.coalesceAgg(_, _)),
     "cypher_regex"          -> (cypher.CypherQueries.regexMatch(_, _)),
@@ -387,6 +389,44 @@ object SparkEntry {
          |    AND stop_hits >= 2 AS INT) AS keep
          |FROM r""".stripMargin
   }
+
+  /** Neo4j zoned-display rendering replayed in DuckDB — shared by
+    * the nested (`cypher_datetime_tz_display`) and aliased
+    * (`cypher_datetime_tz_alias`) spellings, whose expected strings
+    * are identical.
+    */
+  private val TzDisplayOracle: String = """WITH z AS (
+        |  SELECT 'ny_summer' AS k, 'America/New_York' AS zone,
+        |    make_timestamptz(2024,6,1,12,0,0,'America/New_York') AS ts
+        |  UNION ALL SELECT 'ny_winter', 'America/New_York',
+        |    make_timestamptz(2024,1,15,12,0,0,'America/New_York')
+        |  UNION ALL SELECT 'tokyo', 'Asia/Tokyo',
+        |    make_timestamptz(2024,6,1,12,30,45,'Asia/Tokyo')
+        |  UNION ALL SELECT 'utc', 'UTC',
+        |    make_timestamptz(2024,6,1,12,0,0,'UTC')),
+        |w AS (
+        |  SELECT k, zone, CAST(ts AT TIME ZONE zone AS TIMESTAMP) AS wall,
+        |    CAST(epoch(CAST(ts AT TIME ZONE zone AS TIMESTAMP)) - epoch(ts)
+        |      AS BIGINT) AS off
+        |  FROM z),
+        |r AS (
+        |  SELECT k,
+        |    strftime(wall, '%Y-%m-%dT%H:%M') ||
+        |    CASE WHEN extract(second FROM wall) > 0
+        |      THEN ':' || lpad(CAST(CAST(extract(second FROM wall) AS BIGINT)
+        |        AS VARCHAR), 2, '0') ELSE '' END ||
+        |    CASE WHEN off = 0 THEN 'Z' ELSE
+        |      (CASE WHEN off < 0 THEN '-' ELSE '+' END) ||
+        |      lpad(CAST(abs(off) // 3600 AS VARCHAR), 2, '0') || ':' ||
+        |      lpad(CAST((abs(off) % 3600) // 60 AS VARCHAR), 2, '0') END ||
+        |    '[' || zone || ']' AS s
+        |  FROM w)
+        |SELECT
+        |  max(CASE WHEN k = 'ny_summer' THEN s END) AS ny_summer,
+        |  max(CASE WHEN k = 'ny_winter' THEN s END) AS ny_winter,
+        |  max(CASE WHEN k = 'tokyo' THEN s END) AS tokyo,
+        |  max(CASE WHEN k = 'utc' THEN s END) AS utc
+        |FROM r""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters"    -> OracleSql.dedupClusters(),
@@ -3038,39 +3078,11 @@ object SparkEntry {
     // zone-aware display: the rendered string re-derived from
     // DuckDB's own tzdb (wall clock AT TIME ZONE + computed offset),
     // so DST arithmetic and the java.time-style formatting both pin
-    "cypher_datetime_tz_display" ->
-      """WITH z AS (
-        |  SELECT 'ny_summer' AS k, 'America/New_York' AS zone,
-        |    make_timestamptz(2024,6,1,12,0,0,'America/New_York') AS ts
-        |  UNION ALL SELECT 'ny_winter', 'America/New_York',
-        |    make_timestamptz(2024,1,15,12,0,0,'America/New_York')
-        |  UNION ALL SELECT 'tokyo', 'Asia/Tokyo',
-        |    make_timestamptz(2024,6,1,12,30,45,'Asia/Tokyo')
-        |  UNION ALL SELECT 'utc', 'UTC',
-        |    make_timestamptz(2024,6,1,12,0,0,'UTC')),
-        |w AS (
-        |  SELECT k, zone, CAST(ts AT TIME ZONE zone AS TIMESTAMP) AS wall,
-        |    CAST(epoch(CAST(ts AT TIME ZONE zone AS TIMESTAMP)) - epoch(ts)
-        |      AS BIGINT) AS off
-        |  FROM z),
-        |r AS (
-        |  SELECT k,
-        |    strftime(wall, '%Y-%m-%dT%H:%M') ||
-        |    CASE WHEN extract(second FROM wall) > 0
-        |      THEN ':' || lpad(CAST(CAST(extract(second FROM wall) AS BIGINT)
-        |        AS VARCHAR), 2, '0') ELSE '' END ||
-        |    CASE WHEN off = 0 THEN 'Z' ELSE
-        |      (CASE WHEN off < 0 THEN '-' ELSE '+' END) ||
-        |      lpad(CAST(abs(off) // 3600 AS VARCHAR), 2, '0') || ':' ||
-        |      lpad(CAST((abs(off) % 3600) // 60 AS VARCHAR), 2, '0') END ||
-        |    '[' || zone || ']' AS s
-        |  FROM w)
-        |SELECT
-        |  max(CASE WHEN k = 'ny_summer' THEN s END) AS ny_summer,
-        |  max(CASE WHEN k = 'ny_winter' THEN s END) AS ny_winter,
-        |  max(CASE WHEN k = 'tokyo' THEN s END) AS tokyo,
-        |  max(CASE WHEN k = 'utc' THEN s END) AS utc
-        |FROM r""".stripMargin,
+    "cypher_datetime_tz_display" -> TzDisplayOracle,
+    // the ALIASED zoned-display spelling shares the nested form's
+    // oracle verbatim — identical expected strings, reached through a
+    // WITH horizon's zone carry (r18)
+    "cypher_datetime_tz_alias" -> TzDisplayOracle,
     // zoned construction compared as epoch seconds — zone-free
     // integers, tzdb-real on both engines (DST pinned by the NY pair)
     "cypher_datetime_tz" ->

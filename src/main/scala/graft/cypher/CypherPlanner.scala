@@ -132,20 +132,26 @@ object CypherPlanner {
   private final case class Scope(
       df: DataFrame, nodeVars: Set[String], scalars: Set[String],
       lists: Set[String] = Set.empty,
-      tiny: Boolean = false, tinyScalars: Set[String] = Set.empty) {
-    def binds: Bindings = Bindings(scalars, lists)
+      tiny: Boolean = false, tinyScalars: Set[String] = Set.empty,
+      zones: Map[String, String] = Map.empty) {
+    def binds: Bindings = Bindings(scalars, lists, zones)
   }
 
   /** Scalar bindings visible to expression translation: the names
     * bound by WITH/UNWIND, plus which of them hold LIST values —
     * tracked through WITH horizons so the polymorphic `size()`
     * resolves correctly on bound list variables (e.g.
-    * `WITH collect(x) AS xs … RETURN size(xs)`).
+    * `WITH collect(x) AS xs … RETURN size(xs)`) — plus the DISPLAY
+    * zone of aliases bound to a zone-constructed datetime (r18:
+    * `WITH datetime({…, timezone: 'X'}) AS d … RETURN toString(d)`
+    * renders in X exactly like the syntactically nested form; the
+    * zone is a plan-time literal, the instant column is unchanged).
     */
   private[cypher] final case class Bindings(
-      names: Set[String], lists: Set[String] = Set.empty) {
+      names: Set[String], lists: Set[String] = Set.empty,
+      zones: Map[String, String] = Map.empty) {
     def apply(n: String): Boolean = names(n)
-    def +(n: String): Bindings = Bindings(names + n, lists)
+    def +(n: String): Bindings = Bindings(names + n, lists, zones)
   }
   private[cypher] object Bindings {
     val empty: Bindings = Bindings(Set.empty)
@@ -1642,8 +1648,22 @@ object CypherPlanner {
       if (outTiny) outNames
       else scalarItems.filter(i => tinyDerived(i.expr, s.tinyScalars))
         .map(_.name).toSet
+    // display-zone carry (r18): an item that IS a zone-constructed
+    // datetime (literal timezone) binds its alias to that zone, and a
+    // plain passthrough of an already-zoned alias keeps it — so
+    // toString(d) after the horizon renders like the nested form
+    def zoneOf(e: CExpr): Option[String] = e match {
+      case FnCallN("@mkdatetime", dtArgs) =>
+        dtArgs.grouped(2).collectFirst {
+          case Seq(LitV("timezone"), LitV(z: String)) => z
+        }
+      case Ident(n) => s.zones.get(n)
+      case _        => None
+    }
+    val outZones = scalarItems
+      .flatMap(i => zoneOf(i.expr).map(i.name -> _)).toMap
     Scope(df, nodeKeeps.toSet, outNames, newLists,
-      tiny = outTiny, tinyScalars = outTinyScalars)
+      tiny = outTiny, tinyScalars = outTinyScalars, zones = outZones)
   }
 
   /** True when `e` only reads literals and scalars whose value domain
@@ -5525,10 +5545,9 @@ object CypherPlanner {
     // fires ONLY when the timezone value is a string LITERAL — any
     // other shape falls through to @mkdatetime's loud "must be a
     // string literal" reject instead of a bare NoSuchElement (r18,
-    // ADVICE). Carve-out: the zone is a plan-time property of the
-    // SYNTACTICALLY NESTED form; an aliased datetime (WITH
-    // datetime({..., timezone:'X'}) AS d RETURN toString(d)) has no
-    // zone column to read and renders in the UTC session zone.
+    // ADVICE). Aliased datetimes reach the same rendering through
+    // the bindings' zone carry (the Ident case below); zones survive
+    // straight WITH→RETURN chains, not list/aggregate round-trips.
     case FnCall("tostring" | "tostringornull",
         Some(dt @ FnCallN("@mkdatetime", dtArgs)), _, _)
         if dtArgs.grouped(2).exists {
@@ -5538,20 +5557,15 @@ object CypherPlanner {
       val z = dtArgs.grouped(2).collectFirst {
         case Seq(LitV("timezone"), LitV(zz: String)) => zz
       }.get
-      val inst = toColumn(dt, scalars)
-      val wall = from_utc_timestamp(inst, z)
-      val off = (unix_timestamp(wall) - unix_timestamp(inst)).cast("long")
-      val aoff = abs(off)
-      val offStr = when(off === 0, lit("Z")).otherwise(concat(
-        when(off < 0, lit("-")).otherwise(lit("+")),
-        lpad((aoff / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
-        lpad(((aoff % 3600) / 60).cast("long").cast("string"), 2, "0")))
-      val secs = second(wall)
-      val base = date_format(wall, "yyyy-MM-dd'T'HH:mm")
-      concat(
-        when(secs === 0, base).otherwise(
-          concat(base, lit(":"), lpad(secs.cast("string"), 2, "0"))),
-        offStr, lit("["), lit(z), lit("]"))
+      zonedDisplay(toColumn(dt, scalars), z)
+    // … and over an ALIAS bound to a zone-constructed datetime (r18 —
+    // closes the aliased-display carve-out): the WITH horizon carried
+    // the literal zone in the bindings, so
+    // `WITH datetime({…, timezone:'X'}) AS d RETURN toString(d)`
+    // renders exactly like the nested form
+    case FnCall("tostring" | "tostringornull", Some(Ident(v)), _, _)
+        if scalars.zones.contains(v) =>
+      zonedDisplay(col(v), scalars.zones(v))
     case FnCall("tostring" | "tostringornull", Some(a), _, _) =>
       toColumn(a, scalars).cast("string")
     case FnCall("tobooleanornull", Some(a), _, _) =>
@@ -6012,6 +6026,29 @@ object CypherPlanner {
     * known against the actual frame, so the aggregation call sites
     * pass their input df for a plan-time resolve.
     */
+  /** Zone-aware datetime DISPLAY rendering shared by the nested and
+    * aliased `toString(datetime({…, timezone: 'z'}))` forms: the
+    * instant rendered as a wall clock IN `z`, Neo4j's java.time-style
+    * format — seconds omitted when zero, offset as ±HH:MM ('Z' at
+    * zero), the zone name in brackets. The instant itself is
+    * unchanged; only the rendering carries the plan-time zone.
+    */
+  private def zonedDisplay(inst: Column, z: String): Column = {
+    val wall = from_utc_timestamp(inst, z)
+    val off = (unix_timestamp(wall) - unix_timestamp(inst)).cast("long")
+    val aoff = abs(off)
+    val offStr = when(off === 0, lit("Z")).otherwise(concat(
+      when(off < 0, lit("-")).otherwise(lit("+")),
+      lpad((aoff / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(((aoff % 3600) / 60).cast("long").cast("string"), 2, "0")))
+    val secs = second(wall)
+    val base = date_format(wall, "yyyy-MM-dd'T'HH:mm")
+    concat(
+      when(secs === 0, base).otherwise(
+        concat(base, lit(":"), lpad(secs.cast("string"), 2, "0"))),
+      offStr, lit("["), lit(z), lit("]"))
+  }
+
   /** Whether a column is usable as a sort key against the given frame
     * (map-typed values — and containers of them — have no ordering in
     * Spark; ORDER BY over one is an AnalysisException). Used to SKIP

@@ -1131,6 +1131,24 @@ object CypherQueries {
         |  toString(datetime({year: 2024, month: 6, day: 1, hour: 12, minute: 30, second: 45, timezone: 'Asia/Tokyo'})) AS tokyo,
         |  toString(datetime({year: 2024, month: 6, day: 1, hour: 12, timezone: 'UTC'})) AS utc""".stripMargin)
 
+  /** The ALIASED zoned-display spelling (r18 — closes the
+    * aliased-display carve-out): the WITH horizon carries each
+    * alias's literal construction zone in the bindings, so
+    * `toString(d)` after the horizon renders identically to the
+    * nested `cypher_datetime_tz_display` form (same oracle verbatim).
+    * One alias passes through a second WITH hop to pin the carry.
+    */
+  def datetimeTzAlias(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir,
+      """UNWIND [1] AS one
+        |WITH datetime({year: 2024, month: 6, day: 1, hour: 12, timezone: 'America/New_York'}) AS a,
+        |  datetime({year: 2024, month: 1, day: 15, hour: 12, timezone: 'America/New_York'}) AS b,
+        |  datetime({year: 2024, month: 6, day: 1, hour: 12, minute: 30, second: 45, timezone: 'Asia/Tokyo'}) AS c,
+        |  datetime({year: 2024, month: 6, day: 1, hour: 12, timezone: 'UTC'}) AS d
+        |WITH a, b, c, d
+        |RETURN toString(a) AS ny_summer, toString(b) AS ny_winter,
+        |  toString(c) AS tokyo, toString(d) AS utc""".stripMargin)
+
   /** Timezone-aware `datetime({…, timezone: '<IANA zone>'})` (r16 —
     * closes the documented UTC-session carve-out): wall-clock
     * components interpret IN the zone (DST rules included, JVM tzdb)

@@ -825,6 +825,25 @@ class CypherPlannerSpec extends AnyFunSuite {
     assert(r.getString(3) == "2024-06-01T12:00Z[UTC]")
   }
 
+  test("aliased zone-constructed datetime renders like the nested form") {
+    // r18 — the aliased-display carve-out closed: the WITH horizon
+    // carries the literal zone, through passthrough hops too
+    val r = run(
+      "UNWIND [1] AS u " +
+        "WITH datetime({year: 2024, month: 6, day: 1, hour: 12, " +
+        "timezone: 'America/New_York'}) AS d " +
+        "WITH d, 1 AS one " +
+        "RETURN toString(d) AS s, toString(one) AS o").collect().head
+    assert(r.getString(0) == "2024-06-01T12:00-04:00[America/New_York]")
+    assert(r.getString(1) == "1")
+    // non-literal / absent zones keep the plain UTC rendering
+    val p = run(
+      "UNWIND [1] AS u " +
+        "WITH datetime({year: 2024, month: 6, day: 1, hour: 12}) AS d " +
+        "RETURN toString(d) AS s").collect().head
+    assert(p.getString(0).startsWith("2024-06-01 12:00:00"))
+  }
+
   test("weighted allShortestPaths enumerates ALL cost-minimal walks") {
     import spark.implicits._
     // minimal 1⇝4 cost is 2.0, reached four ways: TWO parallel direct
