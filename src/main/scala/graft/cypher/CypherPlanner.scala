@@ -2933,7 +2933,7 @@ object CypherPlanner {
             s"exactly 1 (got {$lo,$hi})")
         val h = ch.hops.size
         val nodePats = ch.start +: ch.hops.map(_._2)
-        val hopFrames = ch.hops.zipWithIndex.map { case ((r, _), j) =>
+        val hopFrames0 = ch.hops.zipWithIndex.map { case ((r, _), j) =>
           // the hop's edge tables in STORED orientation: a typed hop
           // reads one table; `-[:A|B]->` the listed tables; a typeless
           // hop every table whose declared endpoints can match the
@@ -3051,6 +3051,35 @@ object CypherPlanner {
             oriented = oriented.join(f,
               oriented("__dst") === f("__id"), "left_semi"))
           oriented
+        }
+        // r18: a seeded composite SHORTEST-family search restricts
+        // every hop frame to the seeds' reachable neighborhood
+        // (≤ hi·h traversal steps over the union pair view) — the IN
+        // filter on __src pushes below each branch's __eid identity
+        // window and into the scans, exactly the seedRestrictEdges
+        // discipline. Stands down on small tables or a tripped reach
+        // cap (an optimization, never a semantic gate).
+        val hopFrames = {
+          val seedable = chain.shortest && df != null &&
+            df.columns.contains(s"${cur}__id")
+          if (!seedable) hopFrames0
+          else {
+            val unionPairs = hopFrames0
+              .map(_.select(col("__src"), col("__dst")))
+              .reduce(_.unionByName(_))
+            if (unionPairs.queryExecution.optimizedPlan.stats.sizeInBytes <
+                ReachRestrictMinBytes) hopFrames0
+            else reachableWithin(unionPairs,
+                df.select(col(s"${cur}__id").cast("long")).distinct(),
+                hi * h) match {
+              case None => hopFrames0
+              case Some(reach) if reach.isEmpty =>
+                hopFrames0.map(_.filter(lit(false)))
+              case Some(reach) =>
+                hopFrames0.map(
+                  _.filter(col("__src").isInCollection(reach.toSeq)))
+            }
+          }
         }
         // one repetition = the h hops joined through their junctures,
         // no edge reused INSIDE a repetition either. Named hops carry
@@ -3979,27 +4008,41 @@ object CypherPlanner {
       // no job)
       if (rel.queryExecution.optimizedPlan.stats.sizeInBytes <
           ReachRestrictMinBytes) return rel
-      val pairs = rel.select(col("__src"), col("__dst"))
-      val seeds0 = s.select(col("__seedid").cast("long"))
-        .limit(ReachRestrictCap + 1).collect()
-      if (seeds0.length > ReachRestrictCap) return rel
-      // driver-set BFS, ONE job per level (pruned scan + IN filter +
-      // distinct + capped collect); exits at the fixed point
-      var reach = seeds0.map(_.getLong(0)).toSet
-      var frontier = reach
-      var i = 1
-      while (i < hi && frontier.nonEmpty) {
-        val nxt = pairs.filter(col("__src").isInCollection(frontier.toSeq))
-          .select(col("__dst")).distinct()
-          .limit(ReachRestrictCap + 1).collect()
-        if (reach.size + nxt.length > ReachRestrictCap) return rel
-        val nxtIds = nxt.map(_.getLong(0)).toSet
-        frontier = nxtIds -- reach
-        reach = reach ++ nxtIds
-        i += 1
+      reachableWithin(rel.select(col("__src"), col("__dst")),
+        s.select(col("__seedid").cast("long")), hi) match {
+        case None => rel
+        case Some(reach) if reach.isEmpty => rel.filter(lit(false))
+        case Some(reach) =>
+          rel.filter(col("__src").isInCollection(reach.toSeq))
       }
-      if (reach.isEmpty) rel.filter(lit(false))
-      else rel.filter(col("__src").isInCollection(reach.toSeq))
+  }
+
+  /** The reach BFS behind [[seedRestrictEdges]] (and the composite
+    * hop-frame restriction): the node ids within `steps - 1`
+    * traversal steps of any seed over the given (src, dst) pair
+    * view — a driver-set BFS, ONE job per level (pruned scan + IN
+    * filter + distinct + capped collect), exiting at the fixed
+    * point. None = the [[ReachRestrictCap]] bound tripped (caller
+    * stands down).
+    */
+  private def reachableWithin(pairs: DataFrame, seedIds: DataFrame,
+      steps: Int): Option[Set[Long]] = {
+    val seeds0 = seedIds.limit(ReachRestrictCap + 1).collect()
+    if (seeds0.length > ReachRestrictCap) return None
+    var reach = seeds0.map(_.getLong(0)).toSet
+    var frontier = reach
+    var i = 1
+    while (i < steps && frontier.nonEmpty) {
+      val nxt = pairs.filter(col("__src").isInCollection(frontier.toSeq))
+        .select(col("__dst")).distinct()
+        .limit(ReachRestrictCap + 1).collect()
+      if (reach.size + nxt.length > ReachRestrictCap) return None
+      val nxtIds = nxt.map(_.getLong(0)).toSet
+      frontier = nxtIds -- reach
+      reach = reach ++ nxtIds
+      i += 1
+    }
+    Some(reach)
   }
 
   /** All-shortest-walk ENUMERATION for allShortestPaths chains whose
