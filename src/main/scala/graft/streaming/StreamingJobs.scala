@@ -496,6 +496,36 @@ object StreamingJobs {
         col("a.n").as("n_a"), col("b.n").as("n_b"))
   }
 
+  /** Per-epoch hot-bucket PROBE telemetry on the ingestion path (r18
+    * — the streaming side of `Dedup.guardTelemetry`): for one
+    * micro-batch's delta band probes (the
+    * [[incrementalCandidates]] input shape), how many landed in
+    * guarded (hot) index buckets, how many in cold ones, and how
+    * many missed the index entirely. The counts an operator trends
+    * per epoch to SEE the guard absorbing a boilerplate re-crawl —
+    * a spike in `n_hot_probes` with flat `n_hot_buckets_touched` is
+    * one mega-cluster being re-ingested. One row per epoch; the
+    * index bucket-size frame is the persisted artifact
+    * (re-aggregated inline here, the [[incrementalCandidates]]
+    * static-side convention).
+    */
+  def guardProbeStats(deltaBands: DataFrame, indexBands: DataFrame,
+      bucketCap: Int = graft.operators.Dedup.HotBucketCap): DataFrame = {
+    val bsz = indexBands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__m"))
+    deltaBands.join(bsz, Seq("band", "band_hash"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("__m") > bucketCap, 1L).otherwise(0L))
+          .as("n_hot_probes"),
+        countDistinct(when(col("__m") > bucketCap,
+          concat_ws(":", col("band"), col("band_hash"))))
+          .as("n_hot_buckets_touched"),
+        sum(when(col("__m").isNotNull && col("__m") <= bucketCap, 1L)
+          .otherwise(0L)).as("n_cold_probes"),
+        sum(when(col("__m").isNull, 1L).otherwise(0L))
+          .as("n_novel_probes"))
+  }
+
   final case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   /** Per-user CEP-negation state: latest view / click micros

@@ -227,6 +227,44 @@ class StreamingJobsSpec extends AnyFunSuite {
     assert(full.contains(("B", "C")))
   }
 
+  test("per-epoch guard probe telemetry counts hot/cold/novel exactly") {
+    import spark.implicits._
+    // index = 180 copies of one boilerplate doc (every band bucket
+    // 180-hot at the default cap 64) + 20 distinct docs; the epoch's
+    // delta = 2 more copies (all-hot probes) + 1 fresh doc (novel)
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the miller grinds wheat by the river mill every single day"
+    val idxDocs = (0 until 180).map(i => (i.toLong, base)) ++
+      (600 until 620).map(i => (i.toLong,
+        s"totally unrelated document number $i about topic $i with unique " +
+          s"content token$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_probetel").toString
+    idxDocs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val indexBands = graft.operators.Dedup.minhashSignatures(spark, dir)
+      .select(col("doc_id"), posexplode(col("bands"))
+        .as(Seq("band", "band_hash")))
+    def bandsOf(id: Long, text: String) =
+      graft.operators.Dedup.minhashBandsJvm(text, 128, 32).get._2
+        .zipWithIndex.map { case (h, b) => (id, b, h) }
+    val freshText = (0 until 30).map(i => s"zz$i yy$i").mkString(" ")
+    val deltaBands = (bandsOf(900L, base) ++ bandsOf(901L, base) ++
+      bandsOf(902L, freshText))
+      .toSeq.toDF("doc_id", "band", "band_hash")
+    val r = StreamingJobs.guardProbeStats(deltaBands, indexBands)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_probes")) == 96L) // 3 docs x 32 bands
+    // both copies probe all 32 hot cluster buckets
+    assert(r.getLong(r.fieldIndex("n_hot_probes")) == 64L)
+    assert(r.getLong(r.fieldIndex("n_hot_buckets_touched")) == 32L)
+    // the fresh doc's probes may graze a distinct doc's (cold) bucket
+    // but hot + cold + novel must partition the probe count
+    val cold = r.getLong(r.fieldIndex("n_cold_probes"))
+    val novel = r.getLong(r.fieldIndex("n_novel_probes"))
+    assert(64L + cold + novel == 96L)
+    assert(novel >= 30L, s"expected mostly-novel fresh-doc probes, got $novel")
+  }
+
   test("streaming contamination matches the batch screen, stateless append") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
