@@ -776,7 +776,13 @@ object CypherPlanner {
     val idCol = s"${nv}__id"
     require(s.df != null && s.df.columns.contains(idCol),
       s"DETACH DELETE $nv: $nv is not bound in the current frame")
+    // lazily checkpointed (r18 optimization round): the id set is
+    // read by the node anti-join plus TWO anti-joins per relationship
+    // table — 15 consumers on this graph — and each would otherwise
+    // re-plan and re-run the whole MATCH that produced it. Lazy, so a
+    // write whose graph is never read still prunes away.
     val ids = s.df.select(col(idCol).as("__id")).distinct()
+      .localCheckpoint(false)
     val keptNodes = graph.nodeTable(label)
       .join(ids, Seq("__id"), "left_anti")
     val keptRels = graph.rels.map { case (t, e) =>
@@ -805,7 +811,11 @@ object CypherPlanner {
     val idCol = s"${nv}__id"
     require(s.df != null && s.df.columns.contains(idCol),
       s"DELETE $nv: $nv is not bound in the current frame")
+    // lazily checkpointed: the attached-relationship probe reads this
+    // set twice per edge table, then the node anti-join again (r18
+    // optimization round — same argument as DETACH DELETE)
     val ids = s.df.select(col(idCol).as("__id")).distinct()
+      .localCheckpoint(false)
     // ONE union-all limit(1) job over every edge table. A per-table
     // sequential probe was tried (r15) and MEASURED 3.2× slower on
     // the success path at sf1 (86.2 s vs 26.9 s): seven sequential
@@ -872,11 +882,15 @@ object CypherPlanner {
     val srcCol = s"${rv}__@src"
     require(s.df != null && s.df.columns.contains(srcCol),
       s"DELETE $rv: relationship variable is not bound in the current frame")
+    // lazily checkpointed (r18 optimization round): later clauses
+    // that read the type re-plan the anti-join, and every read would
+    // otherwise re-run the MATCH behind the deleted-row set
     val delRows = s.df.select(existing.columns.toSeq.map {
       case "__src" => col(srcCol).as("__src")
       case "__dst" => col(s"${rv}__@dst").as("__dst")
       case c       => col(s"${rv}__$c").as(c)
     }: _*).distinct()
+      .localCheckpoint(false)
     val updated = existing.join(delRows, existing.columns.toSeq, "left_anti")
     // deleting edges only shrinks the type's endpoint population —
     // the declared endpoint schema stays valid for static pruning
@@ -3983,6 +3997,51 @@ object CypherPlanner {
     */
   private val ReachRestrictMinBytes = BigInt(64L << 20)
 
+  /** Materializes an iterative loop's edge frame once, spread over
+    * the session's shuffle parallelism (r18 optimization round). Two
+    * problems, one fix:
+    *
+    *  1. a LAZY edge frame is re-planned and re-scanned on every
+    *     round (hi rescans of the relationship table where one pays);
+    *  2. a checkpoint taken at the frame's natural width (the scan's
+    *     split count, or an AQE-coalesced exchange) pins every later
+    *     round's broadcast-frontier join stage to that many tasks —
+    *     the expensive expansion stages of the walk family were
+    *     observed running 6-wide on a 32-core session.
+    *
+    * The repartition is stats-gated: tiny edge frames (the catalog
+    * hierarchies) keep their natural single-task width, because 32
+    * near-empty tasks per round cost more scheduling than they save
+    * in compute. Both the gate (plan-stats estimate, no job) and the
+    * width (`spark.sql.shuffle.partitions`) scale with the session —
+    * nothing here is tuned to a core count.
+    */
+  private def loopEdgeFrame(df: DataFrame): DataFrame = {
+    val narrow = df.localCheckpoint()
+    // MEASURED gate, not plan stats: a seed-restricted frame's filter
+    // is invisible to size estimates (no CBO selectivity), and
+    // repartitioning a tiny restricted frame 32-wide costs more
+    // per-round task scheduling than its expansions save. The count
+    // is one job over already-materialized data (~ms).
+    if (narrow.count() >= LoopRepartitionMinRows) {
+      val npart = df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val wide = narrow
+        .repartition(npart, col("__src"), col("__dst")).localCheckpoint()
+      graft.Frames.free(narrow)
+      wide
+    } else narrow
+  }
+
+  /** Gate for [[loopEdgeFrame]]'s repartition: frames below this many
+    * materialized rows keep their natural (usually narrow) width —
+    * the scheduling cost of full-width rounds exceeds their compute.
+    * Above it, expansion stages measurably benefit from every core;
+    * at cluster scale real edge frames sit far above the gate and
+    * always spread.
+    */
+  private val LoopRepartitionMinRows = 200000L
+
   /** Seeded enumerations (r18): the edge frame's `__eid` identity
     * window ranks the WHOLE edge table even though a seeded search
     * touches only the seeds' reachable neighborhood. Ranks are
@@ -4498,13 +4557,17 @@ object CypherPlanner {
     val guardedW =
       positiveWeightOrDie(weightProp, "weighted shortestPath")
     // seeded reachable-set scan restriction (r18, seedRestrictEdges):
-    // shrinks the scan and any __eid identity window to touched edges
-    val raw = seedRestrictEdges(rel, seed, hi)
+    // shrinks the scan and any __eid identity window to touched
+    // edges; materialized once at session parallelism
+    // ([[loopEdgeFrame]], r18 optimization round) — every relaxation
+    // round re-reads this frame, and the lazy version re-scanned the
+    // relationship table per round at the scan's task width
+    val raw = loopEdgeFrame(seedRestrictEdges(rel, seed, hi)
       .select(Seq(col("__src"), col("__dst"),
       guardedW.as("__w")) ++
       (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
-      .filter(col("__src") =!= col("__dst"))
+      .filter(col("__src") =!= col("__dst")))
     val seeded = seed match {
       case Some(s) => raw.join(s, raw("__src") === s("__seedid"), "left_semi")
       case None    => raw
@@ -4614,13 +4677,16 @@ object CypherPlanner {
     val guardedW =
       positiveWeightOrDie(weightProp, "weighted allShortestPaths")
     // seeded reachable-set scan restriction (r18, seedRestrictEdges):
-    // shrinks the scan and any __eid identity window to touched edges
-    val raw = seedRestrictEdges(rel, seed, hi)
+    // shrinks the scan and any __eid identity window to touched
+    // edges; materialized once at session parallelism
+    // ([[loopEdgeFrame]], r18 optimization round) — same rescan /
+    // width argument as [[weightedShortestRelWalks]]
+    val raw = loopEdgeFrame(seedRestrictEdges(rel, seed, hi)
       .select(Seq(col("__src"), col("__dst"),
       guardedW.as("__w")) ++
       (if (hasEid) Seq(col("__eid")) else Seq.empty) ++
       (if (hasEpl) Seq(col("__epl")) else Seq.empty): _*)
-      .filter(col("__src") =!= col("__dst"))
+      .filter(col("__src") =!= col("__dst")))
     val seeded = seed match {
       case Some(s) => raw.join(s, raw("__src") === s("__seedid"), "left_semi")
       case None    => raw

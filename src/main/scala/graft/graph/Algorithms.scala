@@ -1201,8 +1201,16 @@ object Algorithms {
   def neighborSimQuery(spark: SparkSession, sfDir: String, k: Int = 20,
       hubCap: Int = 500): DataFrame = {
     val g = GraphLoader.tpch(spark, sfDir)
+    // materialized once (same reasoning as [[adamicAdarQuery]]): four
+    // consumers — partDeg, deg, and both pair-join sides — otherwise
+    // each re-scan the raw table and re-pay the distinct exchange;
+    // partitioned by the pair key at session shuffle parallelism so
+    // the Σ_p pdeg² enumeration stage runs on every core
     val e = g.relTable("SUPPLIES")
       .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("part"))
+      .localCheckpoint(true)
     // candidate pairs form through the PART side, whose supplier
     // fanout is bounded by the catalog shape (≈ suppliers-per-part, a
     // constant as the data grows) — pairing through the supplier side
@@ -2259,8 +2267,19 @@ object Algorithms {
   def adamicAdarQuery(spark: SparkSession, sfDir: String, k: Int = 20,
       hubCap: Int = 500): DataFrame = {
     val g = GraphLoader.tpch(spark, sfDir)
+    // materialize the deduped edge list once: it feeds the degree
+    // aggregate AND both sides of the pair join, and each consumer
+    // would otherwise re-scan the raw table and re-pay the distinct
+    // exchange (4 full scans observed in the un-checkpointed plan).
+    // Partition by the pair key at the session's shuffle parallelism:
+    // the Σ_p pdeg² pair enumeration downstream is the expensive
+    // stage, and a checkpoint left at the AQE-coalesced width (4
+    // partitions here) would run it on that many cores.
+    val npart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = g.relTable("SUPPLIES")
       .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
+      .repartition(npart, col("part"))
+      .localCheckpoint(true)
     val partDeg = e.groupBy(col("part")).agg(count(lit(1)).as("pdeg"))
     // pdeg >= 2 is implied by pair formation; the weight ln(pdeg) is
     // therefore never zero

@@ -51,6 +51,74 @@ object PerfLab {
             .reduce(_.unionByName(_))
           Algorithms.hits(spark, edges,
             checkpointStride = what.stripPrefix("hits_s").toInt).count()
+        case "latency" =>
+          // fixed-cost floor: 20 trivial 1-stage jobs + 20 tiny-shuffle
+          // 2-stage jobs — the per-job/per-stage scheduling overhead
+          // every iterative operator pays per materialization
+          val t1 = System.nanoTime()
+          (1 to 20).foreach(_ => spark.range(100).count())
+          val t2 = System.nanoTime()
+          (1 to 20).foreach(_ =>
+            spark.range(100).groupBy(col("id") % 7).count().count())
+          val t3 = System.nanoTime()
+          println(f"[perflab] 1-stage job: ${(t2 - t1) / 20 / 1e6}%.1f ms, " +
+            f"2-stage shuffle job: ${(t3 - t2) / 20 / 1e6}%.1f ms")
+          0L
+        case "aa_card" =>
+          // cardinalities feeding adamic_adar: edge count, degree
+          // histogram, pair count
+          val g = graft.graph.GraphLoader.tpch(spark, sfDir)
+          val e = g.relTable("SUPPLIES")
+            .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
+            .localCheckpoint(true)
+          println(s"[perflab] edges=${e.count()}")
+          val pd = e.groupBy(col("part")).agg(count(lit(1)).as("pdeg"))
+          pd.groupBy(col("pdeg")).count().orderBy(col("pdeg")).show(50)
+          val pairs = e.as("a").join(e.select(col("part"), col("supp").as("supp_b")).as("b"),
+            col("a.part") === col("b.part") && col("a.supp") < col("supp_b"))
+          println(s"[perflab] pairs=${pairs.count()}")
+          0L
+        case "aa_par" =>
+          // the pair-enumeration stage parallelized: checkpoint e at
+          // the session's shuffle parallelism instead of the
+          // AQE-coalesced 4 partitions
+          val g = graft.graph.GraphLoader.tpch(spark, sfDir)
+          val npart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          val e = g.relTable("SUPPLIES")
+            .select(col("__src").as("supp"), col("__dst").as("part")).distinct()
+            .repartition(npart, col("part"))
+            .localCheckpoint(true)
+          val pairs = e.as("a").join(e.select(col("part"), col("supp").as("supp_b")).as("b"),
+            col("a.part") === col("b.part") && col("a.supp") < col("supp_b"))
+            .groupBy(col("a.supp").as("supp_a"), col("supp_b"))
+            .agg(count(lit(1)).as("common"))
+          pairs.count()
+        case "latency2" =>
+          // decompose the trivial-job floor: raw RDD job (scheduler
+          // only), SQL planning only, SQL count
+          val t1 = System.nanoTime()
+          (1 to 20).foreach(_ => spark.sparkContext.parallelize(1 to 100, 1).count())
+          val t2 = System.nanoTime()
+          (1 to 20).foreach(_ => spark.range(100).queryExecution.executedPlan)
+          val t3 = System.nanoTime()
+          (1 to 20).foreach(_ => spark.range(100).count())
+          val t4 = System.nanoTime()
+          println(f"[perflab] rdd job: ${(t2 - t1) / 20 / 1e6}%.1f ms, " +
+            f"sql plan-only: ${(t3 - t2) / 20 / 1e6}%.1f ms, " +
+            f"sql count: ${(t4 - t3) / 20 / 1e6}%.1f ms")
+          0L
+        case "hits_noaqe" =>
+          // diagnosis only: how much of the per-stage cost is AQE
+          // stage-materialization overhead (never shipped — AQE stays
+          // on; see OPTIMIZATION_r18.md)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          try {
+            val g = graft.graph.GraphLoader.tpch(spark, sfDir)
+            val edges = Seq("PLACED_BY", "FROM_NATION", "IN_REGION")
+              .map(t => g.relTable(t).select(col("__src").as("src"), col("__dst").as("dst")))
+              .reduce(_.unionByName(_))
+            Algorithms.hits(spark, edges).count()
+          } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
         case "ngram"    => graft.operators.Dedup.ngramJaccard(spark, sfDir).count()
         case "neighbor_sim"   => Algorithms.neighborSimQuery(spark, sfDir).count()
         case "dedup_clusters" => graft.operators.Dedup.dedupClusters(spark, sfDir).count()
