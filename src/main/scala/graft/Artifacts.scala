@@ -18,6 +18,28 @@ object Artifacts {
 
   def isPinned(rddId: Int): Boolean = pinned.contains(rddId)
 
+  // every Cache instance, so a session reset can evict their entries
+  // (an entry whose pinned blocks were dropped is UNRECOMPUTABLE —
+  // unpinning without evicting would hand later callers a dead frame)
+  private val caches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Cache[_, _]]()
+
+  /** Drops EVERY artifact of `spark`: evicts all cache entries built
+    * on that session (releasing their pinned checkpoint blocks) and
+    * unpins/unpersists any stray pinned RDDs. Used by Bench between
+    * the warmup pass and the timed runs, so warmup pays JIT/codegen
+    * but never hands a timed query a memoized frame — each timed
+    * query recomputes from the parquet inputs exactly as before.
+    */
+  def resetSession(spark: SparkSession): Unit = {
+    caches.forEach(_.evictSession(spark))
+    val sc = spark.sparkContext
+    if (!sc.isStopped)
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (pinned.remove(id)) rdd.unpersist(blocking = false)
+      }
+  }
+
   /** Runs `materialize`, pinning every persistent RDD it registers
     * (diff of the context's persistent-RDD ids around the call). Under
     * a concurrent warmup another query's checkpoint can land in the
@@ -104,9 +126,26 @@ object Artifacts {
     * backstop, far above any real working set, not a hot LRU.)
     */
   final class Cache[K, V](maxEntries: Int = 64) {
+    caches.add(this)
     private case class Entry(value: V, spark: SparkSession, ids: Set[Int])
     // access-order: iteration starts at the least recently used entry
     private val map = new java.util.LinkedHashMap[K, Entry](16, 0.75f, true)
+
+    /** Evicts every entry materialized on `spark`, releasing its
+      * pinned blocks (see [[Artifacts.resetSession]]). Callers must
+      * not hold references to the evicted frames.
+      */
+    private[Artifacts] def evictSession(spark: SparkSession): Unit =
+      synchronized {
+        val it = map.entrySet.iterator
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.spark eq spark) {
+            release(e.getValue.spark, e.getValue.ids)
+            it.remove()
+          }
+        }
+      }
     // per-key builds in progress: same-key callers await the future
     // instead of re-materializing; OTHER keys are untouched
     private val inFlight =

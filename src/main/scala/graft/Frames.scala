@@ -23,6 +23,23 @@ object Frames {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Spreads a NARROW frame to the session's shuffle parallelism
+    * ahead of compute-heavy per-row work (shingling, hashing, vector
+    * math): a small file scans as a handful of splits, and any
+    * expensive map riding that scan stage is pinned to that many
+    * cores. Adaptive — when the input is already at least half the
+    * session parallelism wide (every real-scale scan), this is a
+    * no-op, so nothing here is tuned to a core count. Partition count
+    * comes from `spark.sql.shuffle.partitions`.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val npart = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 2 < npart)
+      df.repartition(npart)
+    else df
+  }
+
   /** Unpersists the block-backed RDD behind an eagerly
     * localCheckpoint-ed frame. A localCheckpoint TRUNCATES lineage,
     * so the blocks cannot be recomputed — free ONLY frames no live

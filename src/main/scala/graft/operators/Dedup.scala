@@ -181,6 +181,10 @@ object Dedup {
     */
   def docShingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // deliberately NOT widened before the shingling map: spreading
+    // would shuffle raw text, and "text never rides an exchange" is
+    // the family's pinned 100 TB discipline (PlanSpec) — the hashing
+    // runs at the scan's width, which is wide at any real scale
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shingleHashesJvm(t)) }

@@ -1187,38 +1187,56 @@ object Similarity {
     val mu = muPerDim
       .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
         s => s.getField("m")).as("mu"))
+    // spread the centered matrix at session parallelism: every power
+    // iteration (and the variance pass) maps over it, and a narrow
+    // checkpoint pinned those stages to the scan's width (observed
+    // 1-task 200 ms map stages per iteration at sf0.1)
     val cent = e.crossJoin(broadcast(mu))
       .select(col("vec_id"), zip_with(col("v"), col("mu"), _ - _).as("c"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("vec_id"))
       .localCheckpoint()
     val nRows = cent.count()
+    // The iterated state is ONE d-element vector — an O(d) value
+    // independent of the corpus size — so each round collects it and
+    // feeds the next round as a literal (r18 optimization round): one
+    // distributed aggregation job per iteration instead of a
+    // broadcast-plan + 1-row checkpoint chain (measured ~2× on the
+    // query; a bounded driver action by the same O(1)/O(d) rule as
+    // the loud-guard collects). Every Spark-side expression below is
+    // unchanged, so the arithmetic the oracle unrolls is bit-identical.
+    val d = cent.select(size(col("c"))).head().getInt(0)
     // v0: uniform unit vector (deterministic, never orthogonal to the
-    // top PC in practice; dims from the mu array, no hardcoding)
-    var pv: DataFrame = mu.select(transform(col("mu"),
-      _ => lit(1.0) / sqrt(size(col("mu")).cast("double"))).as("pv"))
-    var lastNorm: DataFrame = null
+    // top PC in practice; dims from the data, no hardcoding) — same
+    // IEEE value as the former lit(1.0)/sqrt(cast(d)) column
+    var pvArr: Array[Double] = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lastNrm = 0.0
     for (_ <- 1 to iters) {
-      val w = cent.crossJoin(broadcast(pv))
+      val w = cent
         .select(posexplode(col("c")).as(Seq("d", "cx")),
-          dot(col("c"), col("pv")).as("s"))
+          dot(col("c"), typedLit(pvArr)).as("s"))
         .select(col("d"), round(col("cx") * col("s"), 12).as("t"))
         .groupBy(col("d"))
         .agg(sum(col("t").cast("decimal(38,12)")).cast("double").as("w"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("w")))),
           s => s.getField("w")).as("wv"))
       val n = w.select(col("wv"), sqrt(dot(col("wv"), col("wv"))).as("nrm"))
-        .localCheckpoint()
-      lastNorm = n
       // sign-fix BEFORE the rounding divide: both engines flip the
       // same doubles, so the rounded quotients agree exactly
       val adj = when(
         coalesce(element_at(filter(col("wv"), x => x =!= 0.0), 1),
           lit(0.0)) < 0,
         transform(col("wv"), x => -x)).otherwise(col("wv"))
-      pv = n.select(when(col("nrm") === 0.0, col("wv"))
-        .otherwise(transform(adj, x => round(x / col("nrm"), 9))).as("pv"))
+      val row = n.select(col("nrm"),
+        when(col("nrm") === 0.0, col("wv"))
+          .otherwise(transform(adj, x => round(x / col("nrm"), 9))).as("pv"))
+        .head()
+      lastNrm = row.getDouble(0)
+      pvArr = row.getSeq[Double](1).toArray
     }
-    val lam = lastNorm.select(
-      round(col("nrm") / nRows.toDouble, 6).as("lambda"))
+    val pv = spark.range(1).select(typedLit(pvArr).as("pv"))
+    val lam = spark.range(1).select(
+      round(lit(lastNrm) / nRows.toDouble, 6).as("lambda"))
     val totvar = cent
       .select(explode(col("c")).as("cx"))
       .select(round(col("cx") * col("cx"), 12).as("t"))

@@ -22,6 +22,7 @@ object JobProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftOptimizations.install(spark)
@@ -47,6 +48,11 @@ object JobProfile {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) taskMs += t.taskInfo.duration
     }
+    def codegenStats(): (Long, Long) = {
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      (m.METRIC_COMPILATION_TIME.getCount,
+        m.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
+    }
     spark.sparkContext.addSparkListener(listener)
 
     // warm once (JIT/codegen) at the tiny SF like Bench does
@@ -65,17 +71,20 @@ object JobProfile {
       (1 to reps).foreach { r =>
         System.gc()
         jobs = 0; stages = 0; tasks = 0; taskMs = 0L
+        val cg0 = codegenStats()
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
         val tPlan = System.nanoTime()
         val rows = df.count()
         val tExec = System.nanoTime()
+        val cg1 = codegenStats()
         // listener bus is async: give it a beat to drain before
         // reading counters (private API would drain exactly)
         Thread.sleep(300)
         println(f"[jobprofile] $n%-28s rep $r wall=${(tExec - t0) / 1e9}%6.2fs " +
           f"plan=${(tPlan - t0) / 1e9}%5.2fs exec=${(tExec - tPlan) / 1e9}%6.2fs " +
-          f"jobs=$jobs%3d stages=$stages%3d tasks=$tasks%5d taskTime=${taskMs / 1e3}%7.1fs rows=$rows")
+          f"jobs=$jobs%3d stages=$stages%3d tasks=$tasks%5d taskTime=${taskMs / 1e3}%7.1fs " +
+          f"cgN=${cg1._1 - cg0._1}%3d rows=$rows")
         if (verbose && r == reps) {
           stageRows.forEach(s => println(s))
         }

@@ -18,6 +18,7 @@ object PerfLab {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftOptimizations.install(spark)
@@ -93,6 +94,21 @@ object PerfLab {
             .groupBy(col("a.supp").as("supp_a"), col("supp_b"))
             .agg(count(lit(1)).as("common"))
           pairs.count()
+        case "reset_check" =>
+          // artifact-reset diagnosis: build the cluster artifact,
+          // resetSession, re-run — the second timing must pay the
+          // full rebuild (and must not throw on a dead frame)
+          val ta = System.nanoTime()
+          val n1 = graft.operators.Dedup.dedupClusters(spark, sfDir).count()
+          val tb = System.nanoTime()
+          graft.Artifacts.resetSession(spark)
+          val tc = System.nanoTime()
+          val n2 = graft.operators.Dedup.dedupClusters(spark, sfDir).count()
+          val td = System.nanoTime()
+          println(f"[perflab] build1=${(tb - ta) / 1e9}%.2fs reset=${(tc - tb) / 1e9}%.2fs " +
+            f"build2=${(td - tc) / 1e9}%.2fs rows=$n1/$n2 " +
+            s"persisted=${spark.sparkContext.getPersistentRDDs.size}")
+          n2
         case "latency2" =>
           // decompose the trivial-job floor: raw RDD job (scheduler
           // only), SQL planning only, SQL count
