@@ -1153,10 +1153,16 @@ object Algorithms {
         .select(col("src").as("id"), col("rawh").as("hub"))
       hub = rawH
       if (i % checkpointStride == checkpointStride - 1 || i == iterations - 1) {
+        // only hub is checkpointed mid-loop (r18 optimization round):
+        // authRaw re-derives from the hub checkpoint in ONE join+agg,
+        // so its lineage stays shallow without paying a second
+        // vertex-sized materialization job per stride. The LAST
+        // iteration still checkpoints authRaw — the final assembly
+        // reads it twice (norm + projection).
         hub = hub.localCheckpoint(true)
-        authRaw = authRaw.localCheckpoint(true)
+        if (i == iterations - 1) authRaw = authRaw.localCheckpoint(true)
         prevCks.foreach(graft.Frames.free)
-        prevCks = Seq(hub, authRaw)
+        prevCks = if (i == iterations - 1) Seq(hub, authRaw) else Seq(hub)
       }
       i += 1
     }

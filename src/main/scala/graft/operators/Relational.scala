@@ -109,8 +109,15 @@ object Relational {
     // never re-reads lineitem; the quadratic pair fan-out happens
     // inside the row it belongs to (bounded by order size, ~4 parts),
     // which is the shape that survives 100 TB order volumes.
+    // explicit width on the order-key exchange (r18 optimization
+    // round): AQE's byte-based coalescing sees small adjacency rows
+    // and shrinks this stage to a handful of tasks, but the pair
+    // explode below multiplies WORK, not bytes — the fan-out stage
+    // must keep full session parallelism at any scale
     val parts = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     parts
