@@ -116,7 +116,12 @@ object Similarity {
     */
   def embCosineDup(spark: SparkSession, sfDir: String, tau: Double = 0.35,
       nPlanes: Int = -1, radius: Int = 2): DataFrame = {
-    val emb = embWithNorm(spark, sfDir)
+    // widen ahead of the candidate join (r18 optimization round): the
+    // per-candidate 64-dim dot products are the query's entire cost
+    // and ride the probe join's stream side, which otherwise runs at
+    // the scan's width (observed as a 1.2 s single-task stage at
+    // bench scale); no-op when the scan is already wide
+    val emb = graft.Frames.widen(embWithNorm(spark, sfDir))
     val np = if (nPlanes > 0) nPlanes
              else planesFor(Tables.embeddings(spark, sfDir).count())
     val bucket = (0 until np).map { p =>
