@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as bare JSON. sbt's default LoggedOutput decorates every forked-child line
+// with an `[info] ` prefix and appends `[success] Total time: ...`, which has
+// made the bench tail unparseable (BENCH_r*.json `"parsed": null` since r14).
+// StdoutOutput passes the child's stdout through raw; showSuccess drops the
+// trailing [success] line, so the compact JSON really is the last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

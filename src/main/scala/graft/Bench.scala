@@ -43,8 +43,13 @@ object Bench {
     // Warming on the timed SF compiles the exact timed plans. Every
     // artifact or memoized frame the warmup builds is RELEASED below
     // (Artifacts.resetSession), so each timed query still computes
-    // from the parquet inputs — only process-global JIT/codegen
-    // caches stay warm, never data or results.
+    // from the parquet inputs — no query RESULT or artifact frame
+    // survives into the timed region. What does stay warm besides
+    // JIT/codegen: the OS page cache of the timed parquet, Spark's
+    // file-listing/footer caches, and Tables' per-(session, path)
+    // reader memos — i.e. timed first runs no longer pay cold input
+    // I/O, which the legacy sf0.001 warmup made them pay. Declared
+    // methodology, not a guarantee of cold I/O.
     // SPARK_GRAFT_WARM_SF=legacy restores the old tiny-SF warmup for
     // apples-to-apples methodology comparison.
     val warmDir = sys.env.get("SPARK_GRAFT_WARM_SF") match {
@@ -67,6 +72,12 @@ object Bench {
       if (!pool.awaitTermination(20, java.util.concurrent.TimeUnit.MINUTES)) {
         pool.shutdownNow()
         spark.sparkContext.cancelAllJobs()
+        // wait (bounded) for interrupted warmup threads to actually
+        // finish: a thread already past job completion inside
+        // Cache.getOrCompute could otherwise insert its artifact entry
+        // AFTER resetSession below, handing a timed query a
+        // warmup-built frame
+        pool.awaitTermination(2, java.util.concurrent.TimeUnit.MINUTES): Unit
       }
     } else Tables.all.foreach { t =>
       try {
@@ -88,6 +99,7 @@ object Bench {
       }
     }
     dropCaches()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // bench hygiene: collect garbage from the previous query OUTSIDE
@@ -98,8 +110,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           // a failed query's "time" is meaningless — make it VISIBLE
-          // on stderr instead of silently reporting a fast number
+          // on stderr AND in the JSON ("failed" list) instead of
+          // silently reporting a fast number
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
           -1L
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -109,20 +123,41 @@ object Bench {
       dt
     }
     val firstPass = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name, fn)
+      val b0 = Artifacts.buildCount
+      val dt = timed(name, fn)
+      (name, dt, Artifacts.buildCount - b0)
     }
-    // residual GC noise lands disproportionately on the
-    // allocation-heavy iterative queries; give anything slow a second
-    // run and report the better of the two (standard best-of timing)
-    val results = firstPass.map { case (name, dt) =>
-      if (dt <= 3.0) name -> dt
-      else name -> math.min(dt, timed(name, benchQueries(name)))
+    // Two reasons for a second run:
+    //  - the first run MATERIALIZED a session artifact (builds > 0):
+    //    its time conflates the one-off build with the query itself and
+    //    flaps with bench order / the best-of-2 threshold (r18:
+    //    dedup_cluster_stats 0.40↔2.86 s). Always re-run, report the
+    //    stable reuse time as the query's number, and surface the build
+    //    cost as a separate additive "artifact_build:<name>" entry so
+    //    the total still covers all work done.
+    //  - residual GC noise lands disproportionately on the
+    //    allocation-heavy iterative queries; give anything slow a
+    //    second run and report the better of the two (standard best-of
+    //    timing).
+    val results = firstPass.flatMap { case (name, dt, builds) =>
+      if (builds > 0) {
+        val reuse = timed(name, benchQueries(name))
+        val best =
+          if (reuse <= 3.0) reuse
+          else math.min(reuse, timed(name, benchQueries(name)))
+        Seq(name -> best,
+          s"artifact_build:$name" -> math.max(0.0, dt - best))
+      } else if (dt <= 3.0) Seq(name -> dt)
+      else Seq(name -> math.min(dt, timed(name, benchQueries(name))))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     // the full line (115+ queries) exceeds the 2000-char output tail
     // the round driver keeps, which clipped r6's artifact into an
     // unparseable fragment. Persist the full JSON to a file, then
