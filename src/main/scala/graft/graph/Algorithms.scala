@@ -399,13 +399,13 @@ object Algorithms {
     */
   def louvainQuery(spark: SparkSession, sfDir: String,
       rounds: Int = 3): DataFrame = {
-    val (edges, sym, mRow) = louvainBase(spark, sfDir)
+    val (edges, sym, m) = louvainBase(spark, sfDir)
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     // community frame carries each node's degree so rounds never
     // re-join the degree table
     val comm0 = deg.select(col("id"), col("id").as("comm"), col("deg"))
-    val comm = louvainRounds(sym, comm0, mRow, rounds)
-    louvainReport(edges, comm, mRow)
+    val comm = louvainRounds(sym, comm0, m, rounds)
+    louvainReport(edges, comm, m)
   }
 
   /** Multi-level Louvain (phases 1+2 of Blondel et al. 2008): `r1`
@@ -427,10 +427,10 @@ object Algorithms {
     */
   def louvain2Query(spark: SparkSession, sfDir: String,
       r1: Int = 2, r2: Int = 2): DataFrame = {
-    val (edges, sym, mRow) = louvainBase(spark, sfDir)
+    val (edges, sym, m) = louvainBase(spark, sfDir)
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val comm0 = deg.select(col("id"), col("id").as("comm"), col("deg"))
-    val c1 = louvainRounds(sym, comm0, mRow, r1)
+    val c1 = louvainRounds(sym, comm0, m, r1)
     // contract: supernode = phase-1 community; inter-community edge
     // weights = counts (both orientations), coarse degree = tot(comm)
     // (self-loop mass rides inside it: each intra edge contributes 2)
@@ -446,11 +446,11 @@ object Algorithms {
     val g0 = c1.groupBy(col("comm"))
       .agg(sum(col("deg")).as("deg"))
       .select(col("comm").as("id"), col("comm"), col("deg"))
-    val g = louvainRounds(csym, g0, mRow, r2, weighted = true)
+    val g = louvainRounds(csym, g0, m, r2, weighted = true)
     val projected = c1.select(col("id"), col("comm").as("c1"), col("deg"))
       .join(g.select(col("id").as("c1"), col("comm")), Seq("c1"))
       .select(col("id"), col("comm"), col("deg"))
-    louvainReport(edges, projected, mRow)
+    louvainReport(edges, projected, m)
   }
 
   /** Multi-LEVEL Louvain (the phase-3 completion of [[louvain2Query]]'s
@@ -484,25 +484,41 @@ object Algorithms {
     */
   def louvain3Query(spark: SparkSession, sfDir: String,
       r: Int = 2, maxLevels: Int = 4): DataFrame = {
-    val (edges, sym0, mRow) = louvainBase(spark, sfDir)
+    val (edges, sym0, m) = louvainBase(spark, sfDir)
     val deg = sym0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     var sym = sym0.withColumn("w", lit(1L))
     var nodes = deg.select(col("id"), col("id").as("comm"), col("deg"))
     var proj: DataFrame = null
+    var projJoins = 0
     var nNodes = nodes.count()
     var converged = false
     var level = 0
     while (!converged && level < maxLevels) {
       level += 1
-      val cand = louvainRounds(sym, nodes, mRow, r, weighted = true)
-      val nComm = cand.select(col("comm")).distinct().count()
+      val cand = louvainRounds(sym, nodes, m, r, weighted = true)
+      // the next level's node frame IS one row per distinct community
+      // — materialize it first and count THAT for the shrink test
+      // (was: a separate distinct().count() probe job, then the same
+      // community groupBy again on acceptance — r19, one job fewer
+      // per level and no duplicate exchange)
+      val cNodes = roundLeaf(cand.groupBy(col("comm"))
+        .agg(sum(col("deg")).as("deg"))
+        .select(col("comm").as("id"), col("comm"), col("deg")))
+      val nComm = cNodes.count()
       if (nComm < nNodes) {
+        // the base→current-level projection stays LAZY across levels
+        // (a linear join chain over per-level cand leaves, read only
+        // by the final report) and materializes ONCE at the end —
+        // was: one node-cardinality checkpoint job per accepted level
         proj =
           if (proj == null) cand
-          else roundLeaf(proj
-            .join(cand.select(col("id").as("__s"), col("comm").as("__c")),
-              proj("comm") === col("__s"))
-            .select(proj("id"), col("__c").as("comm"), proj("deg")))
+          else {
+            projJoins += 1
+            proj
+              .join(cand.select(col("id").as("__s"), col("comm").as("__c")),
+                proj("comm") === col("__s"))
+              .select(proj("id"), col("__c").as("comm"), proj("deg"))
+          }
         val cl = cand.select(col("id"), col("comm"))
         sym = roundLeaf(sym
           .join(cl.select(col("id").as("src"), col("comm").as("ca")), Seq("src"))
@@ -510,13 +526,14 @@ object Algorithms {
           .filter(col("ca") =!= col("cb"))
           .groupBy(col("ca").as("src"), col("cb").as("dst"))
           .agg(sum(col("w")).as("w")))
-        nodes = roundLeaf(cand.groupBy(col("comm"))
-          .agg(sum(col("deg")).as("deg"))
-          .select(col("comm").as("id"), col("comm"), col("deg")))
+        nodes = cNodes
         nNodes = nComm
       } else converged = true
     }
-    louvainReport(edges, if (proj == null) nodes else proj, mRow)
+    louvainReport(edges,
+      if (proj == null) nodes
+      else if (projJoins == 0) proj // single level: already a leaf
+      else roundLeaf(proj), m)
   }
 
   /** Degree-assortativity coefficient (Newman 2002) over the
@@ -559,10 +576,17 @@ object Algorithms {
   }
 
   /** The per-nation consecutive-customer graph shared by the Louvain
-    * family: (directed-unique edges, symmetrized edges, 1-row m).
+    * family: (directed-unique edges, symmetrized edges, edge count m).
+    *
+    * m is LOOP-INVARIANT, so it is collected ONCE from the
+    * already-materialized edge checkpoint (bounded O(1) driver state,
+    * the embed_pca_power discipline) instead of riding every round's
+    * plan as a broadcast 1-row aggregate subtree — that subtree cost
+    * one agg + broadcast-exchange stage per round and per report
+    * (r19; guide §1.2 "don't compute things you throw away").
     */
   private def louvainBase(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Long) = {
     val c = graft.Tables.customer(spark, sfDir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
@@ -576,8 +600,7 @@ object Algorithms {
       .localCheckpoint()
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-    val mRow = edges.agg(count(lit(1)).as("m"))
-    (edges, sym, mRow)
+    (edges, sym, edges.count())
   }
 
   /** Materializes an iterative-loop frame as a TRUE optimizer leaf:
@@ -605,33 +628,44 @@ object Algorithms {
     * `2m·k_{i,c} − k_i·Σtot'(c)`, ties to the smallest community id.
     */
   private def louvainRounds(sym: DataFrame, comm0: DataFrame,
-      mRow: DataFrame, rounds: Int, weighted: Boolean = false): DataFrame = {
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("score").desc, col("nc"))
+      m: Long, rounds: Int, weighted: Boolean = false): DataFrame = {
     var comm = comm0
     for (j <- 1 to rounds) {
       val tot = comm.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
-      val kic = sym
-        .join(comm.select(col("id").as("dst"), col("comm").as("nc")), "dst")
-        .groupBy(col("src"), col("nc"))
-        .agg((if (weighted) sum(col("w")) else count(lit(1))).as("kic"))
       // the stay option must always be a candidate, even with no
-      // intra-community neighbor (kic contributes 0 then)
-      val cand = kic.unionByName(
+      // intra-community neighbor (kic contributes 0 then). RAW
+      // neighbor contributions union the stay rows and aggregate
+      // ONCE: sum is associative, so the former two back-to-back
+      // (src, nc) groupBys (neighbor kic, then kic ∪ stay again)
+      // collapse into one exchange with map-side partials (r19,
+      // guide §2.3/§2.4 — one aggregate, not two, for the same sum)
+      val contrib = sym
+        .join(comm.select(col("id").as("dst"), col("comm").as("nc")), "dst")
+        .select(col("src"), col("nc"),
+          (if (weighted) col("w") else lit(1L)).as("kic"))
+      val cand = contrib.unionByName(
           comm.select(col("id").as("src"), col("comm").as("nc"),
             lit(0L).as("kic")))
         .groupBy(col("src"), col("nc")).agg(sum(col("kic")).as("kic"))
       comm = cand
+        // tot first, src-keyed comm second: the final argmax groups by
+        // src, so the last join's src-side exchange is the one the
+        // aggregate reuses (nc-last would force one more exchange)
+        .join(tot.withColumnRenamed("comm", "nc"), "nc")
         .join(comm.select(col("id").as("src"), col("comm").as("oc"),
           col("deg").as("ki")), "src")
-        .join(tot.withColumnRenamed("comm", "nc"), "nc")
-        .crossJoin(broadcast(mRow))
         .withColumn("score",
-          lit(2L) * col("m") * col("kic") - col("ki") *
+          lit(2L * m) * col("kic") - col("ki") *
             when(col("nc") === col("oc"), col("tot") - col("ki"))
               .otherwise(col("tot")))
-        .withColumn("rk", row_number().over(rankW))
-        .filter(col("rk") === 1)
+        // argmax by (score DESC, nc ASC) as ONE hash aggregate — a
+        // struct max ordered by (score, -nc) is exactly the former
+        // row_number window's first row (all int64, no ties: (src,nc)
+        // is unique), but aggregates partially map-side and skips the
+        // window's per-partition sort (r19, guide §2.3 / §4 codegen)
+        .groupBy(col("src"), col("oc"), col("ki"))
+        .agg(max(struct(col("score"), (-col("nc")).as("neg_nc"),
+          col("nc"))).as("best"))
         // alternating-parity symmetry breaking: only nodes with
         // (id + round) parity 0 adopt their best move this round; the
         // rest hold. Fully-synchronous moving lets symmetric
@@ -641,7 +675,7 @@ object Algorithms {
         // coloring fix and stays deterministic and exactly
         // SQL-replayable.
         .select(col("src").as("id"),
-          when((col("src") + lit(j.toLong)) % 2 === 0, col("nc"))
+          when((col("src") + lit(j.toLong)) % 2 === 0, col("best.nc"))
             .otherwise(col("oc")).as("comm"),
           col("ki").as("deg"))
       comm = roundLeaf(comm)
@@ -653,7 +687,7 @@ object Algorithms {
     * the shared tail of the Louvain family and [[modularityQuery]].
     */
   private def louvainReport(edges: DataFrame, comm: DataFrame,
-      mRow: DataFrame): DataFrame = {
+      m: Long): DataFrame = {
     val lab = comm.select(col("id"), col("comm").as("community"))
     val cdeg = comm.groupBy(col("comm").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
@@ -663,12 +697,11 @@ object Algorithms {
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_intra"))
     cdeg.join(intra, Seq("community"), "left")
-      .crossJoin(broadcast(mRow))
       .select(col("community"), col("n_nodes"),
         coalesce(col("m_intra"), lit(0L)).as("m_intra"), col("deg_sum"),
-        (round(coalesce(col("m_intra"), lit(0L)).cast("double") / col("m") -
-          (col("deg_sum").cast("double") / (lit(2L) * col("m"))) *
-          (col("deg_sum").cast("double") / (lit(2L) * col("m"))), 9)
+        (round(coalesce(col("m_intra"), lit(0L)).cast("double") / lit(m) -
+          (col("deg_sum").cast("double") / lit(2L * m)) *
+          (col("deg_sum").cast("double") / lit(2L * m)), 9)
           + lit(0.0)).as("q_part"))
       .orderBy(col("community"))
   }
@@ -984,7 +1017,10 @@ object Algorithms {
       val summed = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("received"))
       // dangling mass (nodes without out-edges) enters the plan as a
       // broadcast 1-row aggregate instead of a driver action — no
-      // extra Spark job per iteration
+      // extra Spark job per iteration. (r19 measured: folding this
+      // into the contribution exchange via a sentinel key ADDED ~3
+      // AQE stage-jobs per iteration — 77→104 jobs, 3.8→5.0 s — so
+      // the separate rank-frame scan stays.)
       val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       ranks = vertices.join(summed, Seq("id"), "left_outer")
@@ -1746,7 +1782,7 @@ object Algorithms {
   private[graft] def betweennessDeltas(spark: SparkSession, sfDir: String,
       maxDepth: Int = 4): DataFrame = {
     val (levels, e, deepest) = brandesForward(spark, sfDir, maxDepth)
-    brandesBackward(levels, e, deepest)
+    brandesBackward(levels, brandesPairs(levels, e), deepest)
   }
 
   /** Forward Brandes σ BFS: `(levels(lm, id, dist, sigma), edges,
@@ -1783,14 +1819,38 @@ object Algorithms {
     (levels, e, d)
   }
 
-  /** Backward dependency accumulation of the depth-`depth`-bounded
-    * Brandes over a forward `levels` frame (computed at a bound
-    * ≥ `depth`): nodes AT the horizon seed delta 0, each shallower
-    * level sums σ-ratio terms from its successors. Returns the
-    * per-(landmark, node) dependency frame `(lm, id, delta)`,
-    * `1 <= dist <= depth` rows only.
+  /** The Brandes successor-pair frame `(lm, vid, vdist, vsig, wid,
+    * wsig)` — one row per (landmark, BFS-tree edge v→w with
+    * dist(w) = dist(v)+1), computed in ONE edge-list join pass over
+    * the whole forward frame and checkpointed (r19). Every backward
+    * accumulation at every depth bound consumes the SAME pair frame:
+    * like the forward levels, the pair structure is prefix-stable in
+    * the bound, so the per-level (and, in the depth-tuning grid,
+    * per-cell) edge-list re-joins of the former backward pass — the
+    * only edge-sized work it did — collapse into this single pass
+    * (guide §2.4).
     */
-  private def brandesBackward(levels: DataFrame, e: DataFrame,
+  private def brandesPairs(levels: DataFrame, e: DataFrame): DataFrame = {
+    val v = levels.select(col("lm"), col("id").as("vid"),
+      col("dist").as("vdist"), col("sigma").as("vsig"))
+    val w = levels.select(col("lm").as("w_lm"), col("id").as("wid"),
+      col("dist").as("wdist"), col("sigma").as("wsig"))
+    v.join(e, v("vid") === e("src"))
+      .join(w, col("lm") === col("w_lm") && col("dst") === col("wid") &&
+        col("wdist") === col("vdist") + 1)
+      .select(col("lm"), col("vid"), col("vdist"), col("vsig"),
+        col("wid"), col("wsig"))
+      .localCheckpoint(true)
+  }
+
+  /** Backward dependency accumulation of the depth-`depth`-bounded
+    * Brandes over the forward `levels` frame and its [[brandesPairs]]
+    * frame (both computed at a bound ≥ `depth`): nodes AT the horizon
+    * seed delta 0, each shallower level sums σ-ratio terms from its
+    * successors. Returns the per-(landmark, node) dependency frame
+    * `(lm, id, delta)`, `1 <= dist <= depth` rows only.
+    */
+  private def brandesBackward(levels: DataFrame, pairs: DataFrame,
       depth: Int): DataFrame = {
     // nodes at the horizon have no successors inside the bound → 0
     var withDelta = levels.filter(col("dist") === depth)
@@ -1798,17 +1858,17 @@ object Algorithms {
     val acc = Seq.newBuilder[DataFrame]
     acc += withDelta.select(col("lm"), col("id"), col("dist"), col("delta"))
     for (l <- (depth - 1) to 1 by -1) {
-      val vSide = levels.filter(col("dist") === l)
-      val wSide = withDelta.select(col("lm").as("w_lm"), col("id").as("w_id"),
-        col("sigma").as("w_sigma"), col("delta").as("w_delta"))
-      val contrib = vSide.join(e, vSide("id") === e("src"))
-        .join(wSide, col("lm") === col("w_lm") && col("dst") === col("w_id"))
-        .select(col("lm"), col("id"),
-          round(col("sigma").cast("double") / col("w_sigma")
+      val wSide = withDelta.select(col("lm"), col("id").as("wid"),
+        col("delta").as("w_delta"))
+      val contrib = pairs.filter(col("vdist") === l)
+        .join(wSide, Seq("lm", "wid"))
+        .select(col("lm"), col("vid").as("id"),
+          round(col("vsig").cast("double") / col("wsig")
             * (lit(1.0) + col("w_delta")), 12).as("t"))
         .groupBy(col("lm"), col("id"))
         .agg(sum(col("t").cast("decimal(38,12)")).cast("double").as("delta"))
-      withDelta = vSide.join(contrib, Seq("lm", "id"), "left_outer")
+      withDelta = levels.filter(col("dist") === l)
+        .join(contrib, Seq("lm", "id"), "left_outer")
         .select(col("lm"), col("id"), col("dist"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(true)
@@ -1897,8 +1957,12 @@ object Algorithms {
       depths: Seq[Int] = Seq(2, 3, 4), topN: Int = 20): DataFrame = {
     val maxD = depths.max
     val (levels, e, deepest) = brandesForward(spark, sfDir, maxD)
+    // ONE successor-pair frame feeds every grid cell's backward pass —
+    // the per-cell edge-list joins were the grid's only edge-sized
+    // work (r19; the forward pass was already shared)
+    val pairs = brandesPairs(levels, e)
     val byD = depths.map { dep =>
-      brandesBackward(levels, e, math.min(dep, deepest))
+      brandesBackward(levels, pairs, math.min(dep, deepest))
         .groupBy(col("id"))
         .agg((round(sum(col("delta").cast("decimal(38,12)"))
           .cast("double"), 6) + lit(0.0)).as("bc"),
@@ -1941,14 +2005,20 @@ object Algorithms {
     var converged = false
     while (iter < maxIter && !converged) {
       val propagated = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(propagated)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("id"), col("lbl"),
+          lit(null).cast(labels.schema("lbl").dataType).as("old"))
+      // the change probe rides the SAME aggregate: every id has
+      // exactly one row in `labels` (its previous label), so min(old)
+      // recovers it and `lbl < old` marks a change — the former probe
+      // re-joined two vertex-sized checkpoints per iteration just to
+      // compare them (r19, guide §2.4; propagation itself unchanged)
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+        .unionByName(propagated)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"),
+          min(col("old")).as("old"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "old_lbl"), "id")
-        .filter(col("lbl") =!= col("old_lbl")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("lbl") < col("old")).limit(1).count()
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       iter += 1
     }
@@ -1993,20 +2063,30 @@ object Algorithms {
     val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     // ---- trim: peel no-in or no-out vertices as singleton SCCs ----
+    // Restructured (r19): the surviving core IS hasIn ∩ hasOut (rem's
+    // endpoints are already restricted to verts), so each peel
+    // materializes ONE vertex frame — the next round's verts — and
+    // detects the fixpoint by comparing its count with the previous
+    // round's (a count over the fresh checkpoint, ~free). The peeled
+    // singleton set stays LAZY (one anti-join over two checkpoints,
+    // read once by the final union). The former loop paid two extra
+    // vertex-sized checkpoint jobs + a probe join per peel for the
+    // same information.
     var peel = 0
     var trimDone = false
+    var nVerts = verts.count()
     while (peel < maxTrim && !trimDone) {
-      val hasIn = rem.select(col("dst").as("id")).distinct()
-      val hasOut = rem.select(col("src").as("id")).distinct()
-      val core = verts.join(hasIn, Seq("id"), "left_semi")
-        .join(hasOut, Seq("id"), "left_semi")
-      val trimmed = verts.join(core, Seq("id"), "left_anti")
+      val core = rem.select(col("dst").as("id")).distinct()
+        .join(rem.select(col("src").as("id")).distinct(),
+          Seq("id"), "left_semi")
         .localCheckpoint(true)
-      if (trimmed.limit(1).count() == 0) trimDone = true
+      val nCore = core.count()
+      if (nCore == nVerts) trimDone = true
       else {
-        acc += trimmed.select(col("id"), col("id").as("scc"))
-        verts = verts.join(trimmed, Seq("id"), "left_anti")
-          .localCheckpoint(true)
+        acc += verts.join(core, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("scc"))
+        verts = core
+        nVerts = nCore
         rem = rem
           .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
@@ -2017,7 +2097,7 @@ object Algorithms {
 
     // ---- color: FW-BW rounds on the cycle-bearing remainder ----
     var round = 0
-    var remaining = verts.limit(1).count()
+    var remaining = nVerts // known from the trim loop — no probe job
     while (remaining > 0 && round < maxRounds) {
       val fwd = minLabelFixpoint(rem, verts, maxProp)
         .withColumnRenamed("lbl", "fwd")
