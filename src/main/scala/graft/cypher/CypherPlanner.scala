@@ -3099,6 +3099,16 @@ object CypherPlanner {
         // no edge reused INSIDE a repetition either. Named hops carry
         // their payload as per-hop scalars (__epl_j) — each repetition
         // contributes exactly one element to each named hop's list.
+        //
+        // NOT materialized (r19, measured): checkpointing each hop
+        // frame once (narrow or loopEdgeFrame-widened) so the
+        // frontier-bounded rounds stop re-running the __eid identity
+        // windows REGRESSED the family — weighted_mh_group 2.99→4.42 s
+        // narrow / 5.72 s widened (taskTime 36→55/88 s): the lazy
+        // per-round plans fuse scan+window+joins into AQE-coalesced
+        // one-task stages over the reach-restricted rows, while
+        // checkpoint blocks are probed at their materialized width by
+        // every round. The recomputation IS the cheaper shape here.
         val namedIdx = ch.hops.zipWithIndex.collect {
           case ((r, _), j) if r.variable.isDefined => j
         }.toSet
@@ -3285,6 +3295,10 @@ object CypherPlanner {
           else
             compositeShortestWalks(baseOf(None), h, hi, spSeed, composeFrom)
         }
+        // (r19, measured: checkpointing this once for the k-fold
+        // chaining below — which re-references it per k — made the qpp
+        // family SLOWER, e.g. qpp_multihop4 0.72→0.82 s at 11→24
+        // jobs; the lazy re-derivations fuse and coalesce better)
         val repFiltered = composeRep(None)
         val base = repFiltered.select(Seq(col("__src"), col("__dst"),
           col("__nes").as("__eids"), col("__snids").as("__nids")) ++
@@ -4150,7 +4164,10 @@ object CypherPlanner {
         edges.join(s, edges("__src") === s("__seedid"), "left_semi")
       case None => edges
     }
-    def guard(fresh: DataFrame, k: Int): Unit = {
+    // ONE driver action per level: the cap guard's max-σ aggregate is
+    // null exactly when the level is empty, so it doubles as the
+    // exhaustion probe (was: a separate isEmpty job per level — r19)
+    def guard(fresh: DataFrame, k: Int): Boolean = {
       val top = fresh.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__sigma"))
         .agg(max(col("__sigma"))).collect()(0)
@@ -4160,18 +4177,19 @@ object CypherPlanner {
             s"${top.getLong(0)} shortest paths, above the " +
             s"$MaxAllShortestWalks cap — consume count(p)/length(p) " +
             "(the pair-aggregate plan) or bind tighter endpoints")
+      top.isNullAt(0)
     }
     var seen = e0.select(Seq(col("__src"), col("__dst"),
       lit(1).as("__hops"), array(col("__dst")).as("__nids"),
       array(col("__eid")).as("__eids")) ++
       (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
       .localCheckpoint()
-    guard(seen, 1)
+    val emptySeed = guard(seen, 1)
     var seenPairs = seen.select(col("__src"), col("__dst")).distinct()
       .localCheckpoint()
     var frontier = seen
     var k = 2
-    var exhausted = hi < 2 || frontier.isEmpty
+    var exhausted = hi < 2 || emptySeed
     while (k <= hi && !exhausted) {
       val right = edges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__eid").as("__ne")) ++
@@ -4188,9 +4206,8 @@ object CypherPlanner {
       val fresh = stepped
         .join(seenPairs, Seq("__src", "__dst"), "left_anti")
         .localCheckpoint()
-      exhausted = fresh.isEmpty
+      exhausted = guard(fresh, k)
       if (!exhausted) {
-        guard(fresh, k)
         seen = seen.unionByName(fresh.withColumn("__hops", lit(k)))
         seenPairs = seenPairs.unionByName(
           fresh.select(col("__src"), col("__dst")).distinct())
@@ -4241,7 +4258,9 @@ object CypherPlanner {
         edges.join(s, edges("__src") === s("__seedid"), "left_semi")
       case None => edges
     }
-    def guard(level: DataFrame, k: Int): Unit = {
+    // cap guard + exhaustion probe in ONE driver action per level
+    // (the max-trails aggregate is null exactly when empty — r19)
+    def guard(level: DataFrame, k: Int): Boolean = {
       val top = level.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
       if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
@@ -4249,6 +4268,7 @@ object CypherPlanner {
           s"SHORTEST $kBest: a pair at depth $k has ${top.getLong(0)} " +
             s"trails, above the $MaxAllShortestWalks cap — bind " +
             "tighter endpoints or lower the hop bound")
+      top.isNullAt(0)
     }
     // no src≠dst filter: a self-loop edge is a valid 1-hop trail and
     // a cycle back to the source is a valid closed trail (edge
@@ -4258,10 +4278,10 @@ object CypherPlanner {
       array(col("__eid")).as("__eids")) ++
       (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
       .localCheckpoint()
-    guard(level, 1)
+    val emptySeed = guard(level, 1)
     var all = level
     var k = 2
-    var exhausted = hi < 2 || level.isEmpty
+    var exhausted = hi < 2 || emptySeed
     while (k <= hi && !exhausted) {
       val right = edges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__eid").as("__ne")) ++
@@ -4277,9 +4297,8 @@ object CypherPlanner {
             Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
           else Seq.empty): _*)
         .localCheckpoint()
-      exhausted = stepped.isEmpty
+      exhausted = guard(stepped, k)
       if (!exhausted) {
-        guard(stepped, k)
         all = all.unionByName(stepped)
         level = stepped
       }
@@ -4338,7 +4357,7 @@ object CypherPlanner {
         edges.join(s, edges("__src") === s("__seedid"), "left_semi")
       case None => edges
     }
-    def guard(level: DataFrame, k: Int): Unit = {
+    def guard(level: DataFrame, k: Int): Boolean = {
       val top = level.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
       if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
@@ -4346,6 +4365,7 @@ object CypherPlanner {
           s"weighted SHORTEST $kBest: a pair at depth $k has " +
             s"${top.getLong(0)} trails, above the $MaxAllShortestWalks " +
             "cap — bind tighter endpoints or lower the hop bound")
+      top.isNullAt(0)
     }
     var level = e0.select(Seq(col("__src"), col("__dst"),
       lit(1).as("__hops"), col("__w").as("__wcost"),
@@ -4353,10 +4373,10 @@ object CypherPlanner {
       array(col("__eid")).as("__eids")) ++
       (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
       .localCheckpoint()
-    guard(level, 1)
+    val emptySeed = guard(level, 1)
     var all = level
     var k = 2
-    var exhausted = hi < 2 || level.isEmpty
+    var exhausted = hi < 2 || emptySeed
     while (k <= hi && !exhausted) {
       val right = edges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__eid").as("__ne"),
@@ -4374,9 +4394,8 @@ object CypherPlanner {
             Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
           else Seq.empty): _*)
         .localCheckpoint()
-      exhausted = stepped.isEmpty
+      exhausted = guard(stepped, k)
       if (!exhausted) {
-        guard(stepped, k)
         all = all.unionByName(stepped)
         level = stepped
       }
@@ -4691,7 +4710,7 @@ object CypherPlanner {
       case Some(s) => raw.join(s, raw("__src") === s("__seedid"), "left_semi")
       case None    => raw
     }
-    def guard(fresh: DataFrame, k: Int): Unit = {
+    def guard(fresh: DataFrame, k: Int): Boolean = {
       val top = fresh.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
       if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
@@ -4700,6 +4719,7 @@ object CypherPlanner {
             s"${top.getLong(0)} candidate minimal walks, above the " +
             s"$MaxAllShortestWalks cap — bind tighter endpoints or " +
             "lower the hop bound")
+      top.isNullAt(0)
     }
     def keepMin(df: DataFrame): DataFrame = {
       val mc = df.groupBy(col("__src"), col("__dst"))
@@ -4714,9 +4734,9 @@ object CypherPlanner {
       (if (hasEpl) Seq(array(col("__epl")).as("__epls")) else Seq.empty): _*)
       .distinct().localCheckpoint()
     var frontier = keepMin(all).localCheckpoint()
-    guard(frontier, 1)
+    val emptySeed = guard(frontier, 1)
     var k = 2
-    var exhausted = hi < 2 || frontier.isEmpty
+    var exhausted = hi < 2 || emptySeed
     while (k <= hi && !exhausted) {
       val right = raw.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__w")) ++
@@ -4745,9 +4765,8 @@ object CypherPlanner {
         .filter(col("__mc").isNull || col("__wcost") <= col("__mc"))
         .drop("__mc")
         .localCheckpoint()
-      exhausted = fresh.isEmpty
+      exhausted = guard(fresh, k)
       if (!exhausted) {
-        guard(fresh, k)
         all = all.unionByName(fresh).localCheckpoint()
         frontier = fresh
       }
@@ -5046,7 +5065,7 @@ object CypherPlanner {
           fullEdges.get("__src") === s("__seedid"), "left_semi")
         case None => fullEdges.get
       }
-    def guard(fresh: DataFrame, k: Int): Unit = {
+    def guard(fresh: DataFrame, k: Int): Boolean = {
       val top = fresh.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__sigma"))
         .agg(max(col("__sigma"))).collect()(0)
@@ -5056,16 +5075,17 @@ object CypherPlanner {
             s"repetition depth $k has ${top.getLong(0)} shortest " +
             s"paths, above the $MaxAllShortestWalks cap — bind " +
             "tighter endpoints")
+      top.isNullAt(0)
     }
     var seen = e0.select(Seq(col("__src"), col("__dst"),
       lit(h).as("__hops")) ++ carry.map(col): _*)
       .distinct().localCheckpoint()
-    guard(seen, 1)
+    val emptySeed = guard(seen, 1)
     var seenPairs = seen.select(col("__src"), col("__dst")).distinct()
       .localCheckpoint()
     var frontier = seen
     var k = 2
-    var exhausted = hi < 2 || frontier.isEmpty
+    var exhausted = hi < 2 || emptySeed
     while (k <= hi && !exhausted) {
       val stepEdges =
         if (lazyMode)
@@ -5082,9 +5102,8 @@ object CypherPlanner {
       val fresh = stepped
         .join(seenPairs, Seq("__src", "__dst"), "left_anti")
         .localCheckpoint()
-      exhausted = fresh.isEmpty
+      exhausted = guard(fresh, k)
       if (!exhausted) {
-        guard(fresh, k)
         seen = seen.unionByName(fresh.withColumn("__hops", lit(k * h)))
         seenPairs = seenPairs.unionByName(
           fresh.select(col("__src"), col("__dst")).distinct())
@@ -5134,7 +5153,7 @@ object CypherPlanner {
           fullEdges.get("__src") === s("__seedid"), "left_semi")
         case None => fullEdges.get
       }
-    def guard(level: DataFrame, k: Int): Unit = {
+    def guard(level: DataFrame, k: Int): Boolean = {
       val top = level.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
       if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
@@ -5143,14 +5162,15 @@ object CypherPlanner {
             s"repetition depth $k has ${top.getLong(0)} trails, above " +
             s"the $MaxAllShortestWalks cap — bind tighter endpoints " +
             "or lower the repetition bound")
+      top.isNullAt(0)
     }
     var level = e0.select(Seq(col("__src"), col("__dst"),
       lit(h).as("__hops")) ++ carry.map(col): _*)
       .distinct().localCheckpoint()
-    guard(level, 1)
+    val emptySeed = guard(level, 1)
     var all = level
     var k = 2
-    var exhausted = hi < 2 || level.isEmpty
+    var exhausted = hi < 2 || emptySeed
     while (k <= hi && !exhausted) {
       val stepEdges =
         if (lazyMode)
@@ -5165,9 +5185,8 @@ object CypherPlanner {
           lit(k * h).as("__hops")) ++
           carry.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
         .localCheckpoint()
-      exhausted = stepped.isEmpty
+      exhausted = guard(stepped, k)
       if (!exhausted) {
-        guard(stepped, k)
         all = all.unionByName(stepped)
         level = stepped
       }
@@ -5317,7 +5336,7 @@ object CypherPlanner {
           fullEdges.get("__src") === s("__seedid"), "left_semi")
         case None => fullEdges.get
       }
-    def guard(fresh: DataFrame, k: Int): Unit = {
+    def guard(fresh: DataFrame, k: Int): Boolean = {
       val top = fresh.groupBy(col("__src"), col("__dst"))
         .agg(count(lit(1)).as("__m")).agg(max(col("__m"))).collect()(0)
       if (!top.isNullAt(0) && top.getLong(0) > MaxAllShortestWalks)
@@ -5326,6 +5345,7 @@ object CypherPlanner {
             s"at repetition depth $k has ${top.getLong(0)} candidate " +
             s"minimal walks, above the $MaxAllShortestWalks cap — bind " +
             "tighter endpoints or lower the repetition bound")
+      top.isNullAt(0)
     }
     def keepMin(df: DataFrame): DataFrame = {
       val mc = df.groupBy(col("__src"), col("__dst"))
@@ -5338,9 +5358,9 @@ object CypherPlanner {
       carry.map(col): _*)
       .distinct().localCheckpoint()
     var frontier = keepMin(all).localCheckpoint()
-    guard(frontier, 1)
+    val emptySeed = guard(frontier, 1)
     var k = 2
-    var exhausted = hi < 2 || frontier.isEmpty
+    var exhausted = hi < 2 || emptySeed
     while (k <= hi && !exhausted) {
       val stepEdges =
         if (lazyMode)
@@ -5363,9 +5383,8 @@ object CypherPlanner {
         .filter(col("__mc").isNull || col("__wcost") <= col("__mc"))
         .drop("__mc")
         .localCheckpoint()
-      exhausted = fresh.isEmpty
+      exhausted = guard(fresh, k)
       if (!exhausted) {
-        guard(fresh, k)
         all = all.unionByName(fresh).localCheckpoint()
         frontier = fresh
       }

@@ -1486,7 +1486,10 @@ object Algorithms {
       val improved = merged
         .filter(col("old_cost").isNull || col("cost") < col("old_cost"))
         .select(col("id"), col("cost"))
-      frontierSize = improved.count()
+      // only the BOOLEAN "did anything improve" matters — the limit
+      // probe stops at the first surviving row instead of scanning
+      // the whole vertex-sized checkpoint every round (r19)
+      frontierSize = improved.limit(1).count()
       if (frontierSize > 0) dist = merged.select(col("id"), col("cost"))
       frontier = improved
       r += 1

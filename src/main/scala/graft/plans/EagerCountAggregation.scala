@@ -167,7 +167,7 @@ object EagerCountAggregation extends Rule[LogicalPlan] {
   */
 object GraftOptimizations {
   private val rules = Seq(EagerCountAggregation, InstantComparisonRewrite,
-    BroadcastScalarCrossJoin)
+    BroadcastScalarCrossJoin, JoinKeyRangePropagation)
   def install(spark: SparkSession): Unit =
     rules.foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
