@@ -4631,23 +4631,38 @@ object CypherPlanner {
         col("__dst").as("__n"), col("__w")) ++
         (if (hasEid) Seq(col("__eid").as("__ne")) else Seq.empty) ++
         (if (hasEpl) Seq(col("__epl").as("__nepl")) else Seq.empty): _*)
-      val walkStruct = struct(
+      // DEFERRED walk concat (r19, guide §2.3): the min-aggregate used
+      // to compare structs of freshly CONCATENATED arrays, paying two
+      // to three array allocations per candidate row — losers
+      // included. Every candidate in round k extends a length-(k-1)
+      // prefix, so comparing (prefix, tail-element) field-by-field is
+      // EXACTLY the old concatenated order (equal-length arrays
+      // compare element-wise), and the concat now runs once per
+      // per-pair WINNER after the aggregate.
+      val deferStruct = struct(
         Seq((col("__wcost") + col("__w")).as("__wcost"),
-          concat(col("__nids"), array(col("__n"))).as("__nids")) ++
-        (if (hasEid)
-          Seq(concat(col("__eids"), array(col("__ne"))).as("__eids"))
-        else Seq.empty) ++
-        (if (hasEpl)
-          Seq(concat(col("__epls"), array(col("__nepl"))).as("__epls"))
-        else Seq.empty): _*)
-      val stepped = unpack(right
+          col("__nids").as("__pn"), col("__n").as("__tn")) ++
+        (if (hasEid) Seq(col("__eids").as("__pe"), col("__ne").as("__te"))
+         else Seq.empty) ++
+        (if (hasEpl) Seq(col("__epls").as("__pp"), col("__nepl").as("__tp"))
+         else Seq.empty): _*)
+      val stepped = right
         .join(maybeBroadcast(frontier), col("__dst") === col("__m"))
         .filter(col("__src") =!= col("__n"))
-        .select(col("__src"), col("__n").as("__d2"), walkStruct.as("__wk"))
+        .select(col("__src"), col("__n").as("__d2"), deferStruct.as("__wk"))
         .groupBy(col("__src"), col("__d2"))
         .agg(min(col("__wk")).as("__wk"))
-        .select(col("__src"), col("__d2").as("__dst"),
-          lit(k).as("__hops"), col("__wk")))
+        .select(Seq(col("__src"), col("__d2").as("__dst"),
+          col("__wk.__wcost").as("__wcost"), lit(k).as("__hops"),
+          concat(col("__wk.__pn"), array(col("__wk.__tn"))).as("__nids")) ++
+          (if (hasEid)
+            Seq(concat(col("__wk.__pe"), array(col("__wk.__te")))
+              .as("__eids"))
+          else Seq.empty) ++
+          (if (hasEpl)
+            Seq(concat(col("__wk.__pp"), array(col("__wk.__tp")))
+              .as("__epls"))
+          else Seq.empty): _*)
       val improved = stepped
         .join(best.select(col("__src"), col("__dst"),
           col("__wcost").as("__old")), Seq("__src", "__dst"), "left_outer")
@@ -5005,20 +5020,25 @@ object CypherPlanner {
       // node-sequence-led struct — the same ordering as level 1, so
       // the recorded walk is the lexicographically-least node walk
       // among the non-conflicting extensions, ties broken by edge
-      // identity then payloads
-      val walkStruct = struct(
-        ordCols.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
+      // identity then payloads. Deferred concat (r19, see
+      // weightedShortestRelWalks): uniform prefix/tail lengths make
+      // (prefix, tail) pairs compare exactly like the concatenated
+      // arrays, so the concat runs once per per-pair winner
+      val deferStruct = struct(
+        ordCols.flatMap(c => Seq(col(c).as(s"__p$c"),
+          col(s"__r$c").as(s"__t$c"))): _*)
       val stepped = frontier
         .join(right, col("__dst") === col("__m"))
         .filter(col("__src") =!= col("__n"))
         // relationship uniqueness across repetitions
         .filter(!arrays_overlap(col("__eids"), col("__r__eids")))
-        .select(col("__src"), col("__n").as("__d2"), walkStruct.as("__wk"))
+        .select(col("__src"), col("__n").as("__d2"), deferStruct.as("__wk"))
         .groupBy(col("__src"), col("__d2"))
         .agg(min(col("__wk")).as("__wk"))
       val fresh = stepped
         .select(Seq(col("__src"), col("__d2").as("__dst")) ++
-          ordCols.map(c => col("__wk").getField(c).as(c)): _*)
+          ordCols.map(c =>
+            concat(col(s"__wk.__p$c"), col(s"__wk.__t$c")).as(c)): _*)
         .join(seen.select(col("__src"), col("__dst")), Seq("__src", "__dst"),
           "left_anti")
         .localCheckpoint()
@@ -5265,19 +5285,28 @@ object CypherPlanner {
       val right = stepEdges.select(Seq(col("__src").as("__m"),
         col("__dst").as("__n"), col("__w")) ++
         carry.map(c => col(c).as(s"__r$c")): _*)
-      val walkStruct = struct(
+      // deferred walk concat (r19, see weightedShortestRelWalks):
+      // every candidate extends a length-(k-1)·h prefix with a
+      // length-h repetition, so (prefix, tail) field pairs compare
+      // exactly like the concatenated arrays and the concat runs once
+      // per per-pair winner, not per candidate
+      val deferStruct = struct(
         (col("__wcost") + col("__w")).as("__wcost") +:
-          carry.map(c => concat(col(c), col(s"__r$c")).as(c)): _*)
+          carry.flatMap(c => Seq(col(c).as(s"__p$c"),
+            col(s"__r$c").as(s"__t$c"))): _*)
       val stepped = frontier
         .join(right, col("__dst") === col("__m"))
         .filter(col("__src") =!= col("__n"))
         .filter(!arrays_overlap(col("__eids"), col("__r__eids")))
-        .select(col("__src"), col("__n").as("__d2"), walkStruct.as("__wk"))
+        .select(col("__src"), col("__n").as("__d2"), deferStruct.as("__wk"))
         .groupBy(col("__src"), col("__d2"))
         .agg(min(col("__wk")).as("__wk"))
         .select(Seq(col("__src"), col("__d2").as("__dst"),
           lit(k * h).as("__hops")) ++
-          ordCols.map(c => col("__wk").getField(c).as(c)): _*)
+          ordCols.map {
+            case "__wcost" => col("__wk.__wcost").as("__wcost")
+            case c => concat(col(s"__wk.__p$c"), col(s"__wk.__t$c")).as(c)
+          }: _*)
       val improved = stepped
         .join(best.select(col("__src"), col("__dst"),
           col("__wcost").as("__old")), Seq("__src", "__dst"), "left_outer")
